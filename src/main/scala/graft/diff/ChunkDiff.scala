@@ -1,0 +1,88 @@
+package graft.diff
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Batch table-equivalence engine (SURVEY.md §2.13) — the Spark-native
+ * sync_diff_inspector.
+ *
+ * Reference pipeline (sync_diff_inspector/diff/diff.go:284-660): split both
+ * tables into key-range chunks, compute per-chunk
+ * `COUNT + BIT_XOR(hash(row))` digests on each side, and for mismatched
+ * chunks drill down to row level, emitting fix-SQL.
+ *
+ * Spark-first: chunking is a window `ntile` (or any deterministic bucketing)
+ * instead of stats-guided range scans; the checksum is one hash aggregation
+ * per side; and the row-level drill-down is a single full-outer join on the
+ * key — no binary search needed because the join IS the row-level diff at
+ * scale (one shuffle, AQE handles skew). At 100 TB both sides stay fully
+ * distributed; nothing is collected to the driver.
+ */
+object ChunkDiff {
+
+  /**
+   * A1 — order-insensitive row-set digest: BIT_XOR over a 60-bit integer
+   * carved from md5 of the canonicalized row. Canonical form must use
+   * engine-portable renderings only: ints, decimal-cast floats, ISO dates.
+   * (reference sync_diff_inspector/utils/utils.go:860-918 uses
+   * CONV(SUBSTRING(MD5(CONCAT_WS(...)),...),16,10) — same construction.)
+   */
+  def rowDigest(canonicalCols: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("|", canonicalCols: _*)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** V1 — deterministic chunking by ntile over the key order. */
+  def withChunk(df: DataFrame, orderKeys: Seq[Column], nChunks: Int): DataFrame =
+    df.withColumn("chunk_id", ntile(nChunks).over(Window.orderBy(orderKeys: _*)))
+
+  /** V2 — per-chunk (count, checksum) digest. */
+  def chunkChecksums(df: DataFrame, orderKeys: Seq[Column], nChunks: Int,
+                     canonicalCols: Seq[Column]): DataFrame =
+    withChunk(df.withColumn("row_digest", rowDigest(canonicalCols)), orderKeys, nChunks)
+      .groupBy("chunk_id")
+      .agg(
+        count(lit(1)).as("cnt"),
+        expr("bit_xor(row_digest)").as("checksum"),
+        min(orderKeys.head).as("chunk_lo"),
+        max(orderKeys.head).as("chunk_hi"))
+
+  /**
+   * J4/V3 — row-level diff via full-outer join on the key columns.
+   * Emits one row per difference with a class:
+   *   missing   — key present in source, absent in target (needs INSERT)
+   *   extra     — key absent in source, present in target (needs DELETE)
+   *   different — key on both sides but the digest differs (needs REPLACE)
+   */
+  def rowDiff(source: DataFrame, target: DataFrame, keyCols: Seq[String],
+              canonicalCols: DataFrame => Seq[Column]): DataFrame = {
+    val s = source.withColumn("s_digest", rowDigest(canonicalCols(source)))
+      .select(keyCols.map(col) :+ col("s_digest"): _*)
+    val t = target.withColumn("t_digest", rowDigest(canonicalCols(target)))
+      .select(keyCols.map(col) :+ col("t_digest"): _*)
+    s.join(t, keyCols, "full_outer")
+      .withColumn("diff_type",
+        when(col("t_digest").isNull, "missing")
+          .when(col("s_digest").isNull, "extra")
+          .when(col("s_digest") =!= col("t_digest"), "different"))
+      .filter(col("diff_type").isNotNull)
+  }
+
+  /**
+   * V4 — fix-SQL generation: REPLACE for missing/different, DELETE for
+   * extra (reference sync_diff_inspector/diff/diff.go:792-890). Pure string
+   * building from typed columns; values must be rendered engine-portably by
+   * the caller (ints / decimal casts / quoted strings).
+   */
+  def fixSql(diff: DataFrame, table: String, keyCols: Seq[String],
+             valueExprs: Seq[Column]): DataFrame =
+    diff.withColumn("fix_sql",
+      when(col("diff_type") === "extra",
+        concat(lit(s"DELETE FROM $table WHERE "),
+          concat_ws(" AND ", keyCols.map(k => concat(lit(s"$k = "), col(k))): _*),
+          lit(";")))
+        .otherwise(
+          concat(lit(s"REPLACE INTO $table VALUES ("),
+            concat_ws(", ", valueExprs: _*), lit(");"))))
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Event filters (SURVEY.md §2.4, F1-F7 + W7).
+ *
+ * tiflow evaluates filter rules row-at-a-time in Go (table filter:
+ * pkg/filter/filter.go:100-165; event filter:
+ * pkg/filter/sql_event_filter.go:193-222; expression filter:
+ * pkg/filter/expr_filter.go:41-260 embeds a TiDB expression evaluator).
+ * Spark-first design: each rule set compiles ONCE into a Catalyst `Column`
+ * predicate, so filters participate in whole-stage codegen and can be pushed
+ * into scans by the optimizer — no per-row interpretation.
+ */
+object Filters {
+
+  /** One allow/block rule over (schema, table), MySQL-wildcard syntax:
+    * `*` = any run, `?` = one char. A leading `!` on the pattern blocks. */
+  final case class TableRule(schemaPat: String, tablePat: String, allow: Boolean)
+
+  /** Compile a MySQL-style wildcard pattern to an anchored Java regex. */
+  def wildcardToRegex(pat: String): String =
+    "^" + pat.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    } + "$"
+
+  /**
+   * F1 — table filter. Last matching rule wins (tiflow's table-filter
+   * semantics: rules are evaluated in order, later rules override earlier).
+   * Rows matching no rule are dropped (allow-list behavior when the first
+   * rule is an allow; callers can prepend `TableRule("*","*",true)`).
+   */
+  def tableFilterPredicate(rules: Seq[TableRule],
+                           schemaCol: Column, tableCol: Column): Column = {
+    val matchNone = lit(false)
+    rules.foldLeft(matchNone) { (acc, r) =>
+      val m = schemaCol.rlike(wildcardToRegex(r.schemaPat)) &&
+        tableCol.rlike(wildcardToRegex(r.tablePat))
+      when(m, lit(r.allow)).otherwise(acc)
+    }
+  }
+
+  def tableFilter(df: DataFrame, rules: Seq[TableRule]): DataFrame =
+    df.filter(tableFilterPredicate(rules, col("schema_name"), col("table_name")))
+
+  /** F2 — event-type filter: drop listed DML op types for matching tables. */
+  final case class EventRule(schemaPat: String, tablePat: String,
+                             ignoreOps: Set[String] = Set.empty,
+                             ignoreEtypes: Set[String] = Set.empty)
+
+  def eventFilter(df: DataFrame, rules: Seq[EventRule]): DataFrame = {
+    val drop = rules.foldLeft(lit(false)) { (acc, r) =>
+      val tableMatch = col("schema_name").rlike(wildcardToRegex(r.schemaPat)) &&
+        col("table_name").rlike(wildcardToRegex(r.tablePat))
+      val opMatch =
+        (if (r.ignoreOps.nonEmpty) col("op").isin(r.ignoreOps.toSeq.sorted: _*)
+         else lit(false)) ||
+        (if (r.ignoreEtypes.nonEmpty) col("etype").isin(r.ignoreEtypes.toSeq.sorted: _*)
+         else lit(false))
+      acc || (tableMatch && opMatch)
+    }
+    df.filter(!drop)
+  }
+
+  /**
+   * F3 — expression filter. tiflow parses the user SQL expression with the
+   * TiDB parser and interprets it per row; in Spark `expr()` hands the same
+   * string to Catalyst, which parses, optimizes (constant folding), and
+   * code-generates it. Each rule skips rows of a given op kind for which the
+   * expression is TRUE (null-safe: null = no skip, matching tiflow).
+   */
+  final case class ExprRule(op: String, skipWhen: String)
+
+  def exprFilter(df: DataFrame, rules: Seq[ExprRule]): DataFrame = {
+    val skip = rules.foldLeft(lit(false)) { (acc, r) =>
+      acc || (col("op") === r.op && coalesce(expr(r.skipWhen), lit(false)))
+    }
+    df.filter(!skip)
+  }
+
+  /** F4 — drop txns whose start_ts is in an ignore list (error recovery;
+    * reference pkg/filter/filter.go:246-254). */
+  def startTsFilter(df: DataFrame, ignored: Seq[Long]): DataFrame =
+    if (ignored.isEmpty) df else df.filter(!col("start_ts").isin(ignored: _*))
+
+  /** F6 — drop events at-or-before a per-table replication checkpoint
+    * (reference dm/syncer/syncer.go:2641-2649). Checkpoints come in as a
+    * small map broadcast into the predicate. */
+  def checkpointFilter(df: DataFrame, checkpoints: Map[(String, String), Long],
+                       defaultTs: Long = Long.MinValue): DataFrame = {
+    val pred = checkpoints.foldLeft(col("commit_ts") > lit(defaultTs)) {
+      case (acc, ((s, t), ts)) =>
+        when(col("schema_name") === s && col("table_name") === t,
+          col("commit_ts") > lit(ts)).otherwise(acc)
+    }
+    df.filter(pred)
+  }
+
+  /** W7 — BDR/bidirectional filter: drop events originated by self. */
+  def bdrFilter(df: DataFrame, dropSourceIds: Seq[Int]): DataFrame =
+    if (dropSourceIds.isEmpty) df
+    else df.filter(!col("source_id").isin(dropSourceIds: _*))
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Routing / repartitioning operators (SURVEY.md §2.5, R1-R4 + D7).
+ *
+ * tiflow routes with per-row Go rule evaluation (table router:
+ * dm/syncer/syncer.go:3268-3280; MQ dispatchers:
+ * cdc/sink/dmlsink/mq/dispatcher/partition/{table,ts,index_value,columns}.go).
+ * Spark-first: routes are
+ * `when/otherwise` Column chains (codegen'd, vectorizable) and partition
+ * dispatch is just a derived column used by `repartition` or the Kafka
+ * sink's `partition` column — the shuffle itself is Spark's.
+ */
+object Routing {
+
+  /** R1 — table router rule: wildcard match on source (schema, table) →
+    * literal target names. First matching rule wins (DM semantics). */
+  final case class RouteRule(schemaPat: String, tablePat: String,
+                             targetSchema: String, targetTable: String)
+
+  def route(df: DataFrame, rules: Seq[RouteRule]): DataFrame = {
+    def chain(pick: RouteRule => String, default: Column): Column =
+      rules.foldRight(default) { (r, acc) =>
+        val m = col("schema_name").rlike(Filters.wildcardToRegex(r.schemaPat)) &&
+          col("table_name").rlike(Filters.wildcardToRegex(r.tablePat))
+        when(m, lit(pick(r))).otherwise(acc)
+      }
+    df.withColumn("target_schema", chain(_.targetSchema, col("schema_name")))
+      .withColumn("target_table", chain(_.targetTable, col("table_name")))
+  }
+
+  /** D7 — extend columns: synthesize columns from regex captures over the
+    * source schema/table names (shard index extraction;
+    * reference dm/syncer/syncer.go:2821-2836). */
+  def extendColumns(df: DataFrame, extracts: Seq[(String, Column)]): DataFrame =
+    extracts.foldLeft(df) { case (d, (name, e)) => d.withColumn(name, e) }
+
+  /** R2 — topic router: `[prefix]{schema}[mid]{table}[suffix]`
+    * (reference cdc/sink/dmlsink/mq/dispatcher/topic/expression.go:29-110). */
+  def topic(prefix: String, mid: String, suffix: String = ""): Column =
+    concat(lit(prefix), col("target_schema"), lit(mid), col("target_table"), lit(suffix))
+
+  /**
+   * Deterministic 32-bit multiplicative hash used by all dispatchers.
+   * tiflow uses fnv/crc32 (dispatcher code cited above); we need a hash that
+   * BOTH Spark and the DuckDB oracle can evaluate identically, so we use
+   * Knuth's multiplicative constant over the key's long value. For string
+   * keys callers pre-hash to a long (e.g. via Checksums.hex15ToLong).
+   */
+  def hash32(key: Column): Column =
+    pmod(pmod(key, lit(2147483647L)) * lit(2654435761L), lit(4294967296L))
+
+  /** R3 dispatchers — partition index derivations. */
+  def dispatchByTable(n: Int): Column =
+    pmod(hash32(xxhashLess(col("target_schema"), col("target_table"))), lit(n.toLong))
+  def dispatchByTs(n: Int): Column = pmod(col("commit_ts"), lit(n.toLong))
+  def dispatchByIndexValue(n: Int): Column = pmod(hash32(col("pk_after")), lit(n.toLong))
+  def dispatchByColumns(n: Int, cols: Seq[Column]): Column =
+    pmod(hash32(cols.reduce(_ * lit(31L) + _)), lit(n.toLong))
+
+  /** Engine-portable string→long hash: first 15 hex chars of md5 parsed
+    * base-16 (both Spark `conv` and DuckDB hex-cast agree). */
+  def md5Long(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def xxhashLess(a: Column, b: Column): Column = md5Long(concat_ws("\u0001", a, b))
+
+  /**
+   * R4 — causality/conflict partitioning. tiflow maintains a conflict-
+   * detector DAG with 16384 slots (pkg/causality/conflict_detector.go:31-141)
+   * to serialize txns touching the same key while parallelizing the rest.
+   * Under Spark microbatch semantics the DAG collapses to: derive a
+   * causality key per row; `repartition` on it; apply each partition
+   * sequentially ordered by commit_ts — same-key rows land in the same
+   * partition in order, different keys parallelize.
+   */
+  val DefaultSlots = 16384
+  def causalitySlot(key: Column, slots: Int = DefaultSlots): Column =
+    pmod(hash32(key), lit(slots.toLong))
+
+  def partitionByCausality(df: DataFrame, numPartitions: Int,
+                           slots: Int = DefaultSlots): DataFrame =
+    df.withColumn("causality_slot", causalitySlot(col("pk"), slots))
+      .repartition(numPartitions, col("causality_slot"))
+      .sortWithinPartitions(col("commit_ts"), col("seq"))
+}

@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.CdcStream
+import graft.operators._
+
+/**
+ * Gate queries for the CDC operator suite (SURVEY.md §2.4-2.6). Each query
+ * applies one operator (as the streaming pipeline would, per microbatch) to
+ * the deterministic derived change stream and aggregates the result into a
+ * small, engine-portable output.
+ */
+object CdcQueries {
+
+  private val cte = CdcStream.sqlCte
+
+  // F1 — table filter: allow *.*, then block *.tbl_2, then re-allow db_1.tbl_2.
+  // Last matching rule wins.
+  private val tableRules = Seq(
+    Filters.TableRule("*", "*", allow = true),
+    Filters.TableRule("*", "tbl_2", allow = false),
+    Filters.TableRule("db_1", "tbl_2", allow = true))
+
+  val tableFilter = GateQuery(
+    "q10_table_filter",
+    Some(cte +
+      """SELECT schema_name, table_name, count(*) AS cnt
+        |FROM cdc
+        |WHERE CASE WHEN schema_name = 'db_1' AND table_name = 'tbl_2' THEN TRUE
+        |           WHEN table_name = 'tbl_2' THEN FALSE
+        |           ELSE TRUE END
+        |GROUP BY schema_name, table_name""".stripMargin)) { (spark, dir) =>
+    Filters.tableFilter(CdcStream.derive(spark, dir), tableRules)
+      .groupBy("schema_name", "table_name").agg(count(lit(1)).as("cnt"))
+  }
+
+  // F2 — event-type filter: no deletes on *.tbl_1, no 'error' payloads on db_0.*.
+  private val eventRules = Seq(
+    Filters.EventRule("*", "tbl_1", ignoreOps = Set("D")),
+    Filters.EventRule("db_0", "*", ignoreEtypes = Set("error")))
+
+  val eventFilter = GateQuery(
+    "q11_event_filter",
+    Some(cte +
+      """SELECT schema_name, op, count(*) AS cnt
+        |FROM cdc
+        |WHERE NOT ((table_name = 'tbl_1' AND op = 'D')
+        |        OR (schema_name = 'db_0' AND etype = 'error'))
+        |GROUP BY schema_name, op""".stripMargin)) { (spark, dir) =>
+    Filters.eventFilter(CdcStream.derive(spark, dir), eventRules)
+      .groupBy("schema_name", "op").agg(count(lit(1)).as("cnt"))
+  }
+
+  // F3 — expression filter: Catalyst evaluates the user SQL expression that
+  // tiflow runs through its embedded TiDB evaluator.
+  private val exprRules = Seq(
+    Filters.ExprRule("I", "val_after > 150 AND etype = 'click'"),
+    Filters.ExprRule("U", "val_before < 20"))
+
+  val exprFilter = GateQuery(
+    "q12_expr_filter",
+    Some(cte +
+      """SELECT op, count(*) AS cnt,
+        |  CAST(sum(CAST(coalesce(val_after, -1) AS DECIMAL(18,6))) AS DOUBLE) AS sum_after
+        |FROM cdc
+        |WHERE NOT ((op = 'I' AND coalesce(val_after > 150 AND etype = 'click', FALSE))
+        |        OR (op = 'U' AND coalesce(val_before < 20, FALSE)))
+        |GROUP BY op""".stripMargin)) { (spark, dir) =>
+    Filters.exprFilter(CdcStream.derive(spark, dir), exprRules)
+      .groupBy("op").agg(
+        count(lit(1)).as("cnt"),
+        sum(coalesce(col("val_after"), lit(-1d)).cast(DecimalType(18, 6)))
+          .cast("double").as("sum_after"))
+  }
+
+  // F4 — start-ts ignore list.
+  private val ignoredStartTs = Seq(1000006L, 1000249L, 1001238L)
+
+  val startTsFilter = GateQuery(
+    "q13_startts_filter",
+    Some(cte +
+      s"""SELECT count(*) AS cnt, count(DISTINCT start_ts) AS n_start_ts,
+         |  min(start_ts) AS min_ts, max(start_ts) AS max_ts
+         |FROM cdc WHERE start_ts NOT IN (${ignoredStartTs.mkString(", ")})""".stripMargin)) { (spark, dir) =>
+    Filters.startTsFilter(CdcStream.derive(spark, dir), ignoredStartTs)
+      .agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("start_ts")).as("n_start_ts"),
+        min(col("start_ts")).as("min_ts"),
+        max(col("start_ts")).as("max_ts"))
+  }
+
+  // W7 — BDR filter: drop events originated by cluster 2.
+  val bdrFilter = GateQuery(
+    "q14_bdr_filter",
+    Some(cte +
+      """SELECT source_id, etype, count(*) AS cnt
+        |FROM cdc WHERE source_id <> 2
+        |GROUP BY source_id, etype""".stripMargin)) { (spark, dir) =>
+    Filters.bdrFilter(CdcStream.derive(spark, dir), Seq(2))
+      .groupBy("source_id", "etype").agg(count(lit(1)).as("cnt"))
+  }
+
+  // F6 — per-table checkpoint gate.
+  private val checkpoints = Map(
+    ("db_0", "tbl_0") -> 1001000L,
+    ("db_1", "tbl_3") -> 1000500L)
+
+  val checkpointFilter = GateQuery(
+    "q15_checkpoint_filter",
+    Some(cte +
+      """SELECT schema_name, table_name, count(*) AS cnt, min(commit_ts) AS min_ts
+        |FROM cdc
+        |WHERE commit_ts > CASE
+        |    WHEN schema_name = 'db_0' AND table_name = 'tbl_0' THEN 1001000
+        |    WHEN schema_name = 'db_1' AND table_name = 'tbl_3' THEN 1000500
+        |    ELSE 1000100 END
+        |GROUP BY schema_name, table_name""".stripMargin)) { (spark, dir) =>
+    Filters.checkpointFilter(CdcStream.derive(spark, dir), checkpoints, 1000100L)
+      .groupBy("schema_name", "table_name")
+      .agg(count(lit(1)).as("cnt"), min(col("commit_ts")).as("min_ts"))
+  }
+
+  // R1 — table router: shard-merge db_0.* and db_1.tbl_1 into target tables.
+  private val routeRules = Seq(
+    Routing.RouteRule("db_0", "*", "dw", "merged_0"),
+    Routing.RouteRule("db_1", "tbl_1", "dw", "merged_11"))
+
+  val router = GateQuery(
+    "q20_router",
+    Some(cte +
+      """SELECT
+        |  CASE WHEN schema_name = 'db_0' THEN 'dw'
+        |       WHEN schema_name = 'db_1' AND table_name = 'tbl_1' THEN 'dw'
+        |       ELSE schema_name END AS target_schema,
+        |  CASE WHEN schema_name = 'db_0' THEN 'merged_0'
+        |       WHEN schema_name = 'db_1' AND table_name = 'tbl_1' THEN 'merged_11'
+        |       ELSE table_name END AS target_table,
+        |  count(*) AS cnt
+        |FROM cdc GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    Routing.route(CdcStream.derive(spark, dir), routeRules)
+      .groupBy("target_schema", "target_table").agg(count(lit(1)).as("cnt"))
+  }
+
+  // D7 — extend columns from regex captures of source names.
+  val extendColumns = GateQuery(
+    "q21_extend_columns",
+    Some(cte +
+      """SELECT regexp_extract(schema_name, 'db_(\d+)', 1) AS db_idx,
+        |       regexp_extract(table_name, 'tbl_(\d+)', 1) AS tbl_idx,
+        |       count(*) AS cnt, count(DISTINCT pk) AS n_keys
+        |FROM cdc GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    Routing.extendColumns(CdcStream.derive(spark, dir), Seq(
+      "db_idx" -> regexp_extract(col("schema_name"), "db_(\\d+)", 1),
+      "tbl_idx" -> regexp_extract(col("table_name"), "tbl_(\\d+)", 1)))
+      .groupBy("db_idx", "tbl_idx")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("pk")).as("n_keys"))
+  }
+
+  // R2 — topic router.
+  val topicRouter = GateQuery(
+    "q22_topic_router",
+    Some(cte +
+      """SELECT 'cdc.' || schema_name || '.' || table_name AS topic, count(*) AS cnt
+        |FROM cdc GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    Routing.route(CdcStream.derive(spark, dir), Nil)
+      .withColumn("topic", Routing.topic("cdc.", "."))
+      .groupBy("topic").agg(count(lit(1)).as("cnt"))
+  }
+
+  // R3 — partition dispatchers (table / ts / index-value).
+  private val oracleHash32 = "((%s %% 2147483647) * 2654435761) %% 4294967296"
+  private def oracleMd5Long(e: String) =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  val dispatchByTable = GateQuery(
+    "q23_dispatch_table",
+    Some(cte +
+      s"""SELECT ${oracleHash32.format(oracleMd5Long("schema_name || chr(1) || table_name"))} % 6 AS part,
+         |  count(*) AS cnt, count(DISTINCT schema_name || '.' || table_name) AS n_tables
+         |FROM cdc GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    CdcStream.derive(spark, dir)
+      .withColumn("target_schema", col("schema_name"))
+      .withColumn("target_table", col("table_name"))
+      .withColumn("part", Routing.dispatchByTable(6))
+      .groupBy("part").agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(concat_ws(".", col("schema_name"), col("table_name"))).as("n_tables"))
+  }
+
+  val dispatchByTs = GateQuery(
+    "q24_dispatch_ts",
+    Some(cte +
+      """SELECT commit_ts % 6 AS part, count(*) AS cnt FROM cdc GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    CdcStream.derive(spark, dir)
+      .withColumn("part", Routing.dispatchByTs(6))
+      .groupBy("part").agg(count(lit(1)).as("cnt"))
+  }
+
+  val dispatchByIndexValue = GateQuery(
+    "q25_dispatch_index_value",
+    Some(cte +
+      s"""SELECT ${oracleHash32.format("pk_after")} % 6 AS part,
+         |  count(*) AS cnt, count(DISTINCT pk_after) AS n_keys
+         |FROM cdc GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    CdcStream.derive(spark, dir)
+      .withColumn("part", Routing.dispatchByIndexValue(6))
+      .groupBy("part").agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("pk_after")).as("n_keys"))
+  }
+
+  // Shared oracle SQL for the post-update-split stream (C1). Mirrors
+  // Transforms.updateSplit including the seq rescale to 2*seq+leg.
+  private[queries] val splitCte = cte +
+    """, split AS (
+      |  SELECT seq * 2 + leg AS seq,
+      |    CASE WHEN leg = 1 THEN 'I'
+      |         WHEN op = 'U' AND pk <> pk_after THEN 'D'
+      |         ELSE op END AS op,
+      |    commit_ts, start_ts, source_id, schema_name, table_name,
+      |    CASE WHEN leg = 1 THEN pk_after ELSE pk END AS pk,
+      |    pk_after,
+      |    CASE WHEN leg = 1 THEN NULL ELSE val_before END AS val_before,
+      |    CASE WHEN leg = 1 THEN val_after
+      |         WHEN op = 'U' AND pk <> pk_after THEN NULL
+      |         WHEN op = 'D' THEN NULL
+      |         ELSE val_after END AS val_after,
+      |    etype
+      |  FROM (SELECT *,
+      |          unnest(CASE WHEN op = 'U' AND pk <> pk_after
+      |                      THEN [0, 1] ELSE [0] END) AS leg
+      |        FROM cdc)
+      |)""".stripMargin
+
+  // C1 — update split.
+  val updateSplit = GateQuery(
+    "q30_update_split",
+    Some(splitCte +
+      """SELECT op, count(*) AS cnt, sum(pk) AS sum_pk, count(DISTINCT pk) AS n_keys
+        |FROM split GROUP BY op""".stripMargin)) { (spark, dir) =>
+    Transforms.updateSplit(CdcStream.derive(spark, dir))
+      .groupBy("op").agg(
+        count(lit(1)).as("cnt"),
+        sum(col("pk")).as("sum_pk"),
+        countDistinct(col("pk")).as("n_keys"))
+  }
+
+  // C2 — compaction to net effects (full compacted state as the result).
+  val compaction = GateQuery(
+    "q31_compaction",
+    Some(splitCte +
+      """SELECT schema_name, table_name, pk,
+        |  CASE WHEN first_op = 'I' AND last_op = 'D' THEN NULL
+        |       WHEN last_op = 'D' THEN 'D'
+        |       WHEN first_op = 'I' THEN 'I'
+        |       WHEN first_op = 'D' THEN 'R'
+        |       ELSE 'U' END AS net_op,
+        |  CASE WHEN last_op = 'D' THEN NULL ELSE last_val_raw END AS final_val,
+        |  last_seq, last_commit_ts, n_events
+        |FROM (
+        |  SELECT schema_name, table_name, pk,
+        |    arg_min(op, seq) AS first_op, arg_max(op, seq) AS last_op,
+        |    arg_max(coalesce(val_after, -1), seq) AS last_val_raw,
+        |    max(seq) AS last_seq, max(commit_ts) AS last_commit_ts,
+        |    count(*) AS n_events
+        |  FROM split GROUP BY 1, 2, 3
+        |)
+        |WHERE (CASE WHEN first_op = 'I' AND last_op = 'D' THEN NULL
+        |            WHEN last_op = 'D' THEN 'D'
+        |            WHEN first_op = 'I' THEN 'I'
+        |            WHEN first_op = 'D' THEN 'R'
+        |            ELSE 'U' END) IS NOT NULL""".stripMargin)) { (spark, dir) =>
+    Compaction.compact(Transforms.updateSplit(CdcStream.derive(spark, dir)))
+      .select("schema_name", "table_name", "pk", "net_op", "final_val",
+        "last_seq", "last_commit_ts", "n_events")
+  }
+
+  // C4 — txn grouping: histogram of txn sizes.
+  val txnSizes = GateQuery(
+    "q32_txn_sizes",
+    Some(cte +
+      """SELECT txn_rows, count(*) AS n_txns FROM (
+        |  SELECT commit_ts, schema_name, table_name, count(*) AS txn_rows
+        |  FROM cdc GROUP BY 1, 2, 3
+        |) GROUP BY txn_rows""".stripMargin)) { (spark, dir) =>
+    Compaction.txnSizes(CdcStream.derive(spark, dir))
+      .groupBy("txn_rows").agg(count(lit(1)).as("n_txns"))
+  }
+
+  // C3 — multi-row batching: batch sizes per (table, op).
+  val batching = GateQuery(
+    "q33_batching",
+    Some(cte +
+      """SELECT schema_name, table_name, op, batch_id, count(*) AS batch_rows FROM (
+        |  SELECT schema_name, table_name, op,
+        |    (row_number() OVER (PARTITION BY schema_name, table_name, op ORDER BY seq) - 1) // 32 AS batch_id
+        |  FROM cdc
+        |) GROUP BY 1, 2, 3, 4""".stripMargin)) { (spark, dir) =>
+    Compaction.batchIds(CdcStream.derive(spark, dir), maxRows = 32)
+      .groupBy("schema_name", "table_name", "op", "batch_id")
+      .agg(count(lit(1)).as("batch_rows"))
+  }
+
+  // F7 — safe mode rewrite inside the replay window.
+  val safeMode = GateQuery(
+    "q34_safe_mode",
+    Some(cte +
+      """SELECT CASE WHEN commit_ts <= 1001000 AND op IN ('I','U') THEN 'R' ELSE op END AS op,
+        |  count(*) AS cnt
+        |FROM cdc GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    Transforms.safeMode(CdcStream.derive(spark, dir), 1001000L)
+      .groupBy("op").agg(count(lit(1)).as("cnt"))
+  }
+
+  // R4 — causality slots: distribution over 16384 slots, bucketed for output.
+  val causality = GateQuery(
+    "q35_causality",
+    Some(cte +
+      s"""SELECT (${oracleHash32.format("pk")} % 16384) % 64 AS bucket,
+         |  count(*) AS cnt, count(DISTINCT pk) AS n_keys
+         |FROM cdc GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    CdcStream.derive(spark, dir)
+      .withColumn("bucket", Routing.causalitySlot(col("pk")) % 64)
+      .groupBy("bucket").agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("pk")).as("n_keys"))
+  }
+
+  def all: Seq[GateQuery] = Seq(
+    tableFilter, eventFilter, exprFilter, startTsFilter, bdrFilter,
+    checkpointFilter, router, extendColumns, topicRouter,
+    dispatchByTable, dispatchByTs, dispatchByIndexValue,
+    updateSplit, compaction, txnSizes, batching, safeMode, causality)
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.{CdcStream, Tables}
+
+/**
+ * Baseline analytics queries (SURVEY.md §2.9 A1-A6 shapes) over the TPC-H-ish
+ * tables. Aggregates use exact decimal arithmetic (then cast to double) so
+ * Spark and the DuckDB oracle agree bit-for-bit regardless of summation
+ * order — float sums are NOT associative, decimal sums are.
+ */
+object CoreQueries {
+
+  private def dec(c: String, p: Int, s: Int) = col(c).cast(DecimalType(p, s))
+
+  val pricing = GateQuery(
+    "q01_pricing_summary",
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |GROUP BY l_returnflag, l_linestatus""".stripMargin)) { (spark, dir) =>
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity", 18, 2)).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice", 18, 2)).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice", 18, 2) * (lit(1) - dec("l_discount", 18, 4)))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** A3 — distinct-ratio column stats (sync_diff split-column selection,
+    * reference sync_diff_inspector/utils/utils.go:1055-1090). Exact distinct
+    * counts only — approx sketches differ across engines. */
+  val distinctStats = GateQuery(
+    "q71_distinct_stats",
+    Some(CdcStream.sqlCte +
+      """SELECT schema_name, table_name,
+        |  count(*) AS cnt,
+        |  count(DISTINCT pk) AS n_keys,
+        |  count(DISTINCT commit_ts) AS n_txns
+        |FROM cdc GROUP BY schema_name, table_name""".stripMargin)) { (spark, dir) =>
+    CdcStream.derive(spark, dir)
+      .groupBy("schema_name", "table_name")
+      .agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("pk")).as("n_keys"),
+        countDistinct(col("commit_ts")).as("n_txns"))
+  }
+
+  /** A5/O1 — frontier aggregation: per-table resolved ts (max commit_ts seen)
+    * and the global checkpoint = min over tables (reference
+    * cdc/puller/frontier/frontier.go:40-160; owner checkpoint aggregation). */
+  val frontier = GateQuery(
+    "q70_frontier",
+    Some(CdcStream.sqlCte +
+      """, per_table AS (
+        |  SELECT schema_name, table_name, max(commit_ts) AS resolved_ts,
+        |         min(commit_ts) AS first_ts, count(*) AS cnt
+        |  FROM cdc GROUP BY schema_name, table_name
+        |)
+        |SELECT schema_name, table_name, resolved_ts, first_ts, cnt,
+        |       (SELECT min(resolved_ts) FROM per_table) AS global_checkpoint
+        |FROM per_table""".stripMargin)) { (spark, dir) =>
+    val perTable = CdcStream.derive(spark, dir)
+      .groupBy("schema_name", "table_name")
+      .agg(
+        max(col("commit_ts")).as("resolved_ts"),
+        min(col("commit_ts")).as("first_ts"),
+        count(lit(1)).as("cnt"))
+    perTable.crossJoin(
+      broadcast(perTable.agg(min(col("resolved_ts")).as("global_checkpoint"))))
+  }
+
+  /** W1-analog tumbling window aggregation over event time (Structured
+    * Streaming's windowed agg shape, run on the batch table). */
+  val tumblingWindow = GateQuery(
+    "q95_tumbling_window",
+    Some("""SELECT CAST(DATE '1970-01-01'
+           |    + CAST(epoch_ns(ts) // 86400000000000 AS INT) AS VARCHAR) AS day,
+           |  event_type AS etype, count(*) AS cnt,
+           |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           |FROM events GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    // ts arrives as nanos-since-epoch long (see Tables.load); the tumbling
+    // 1-day window is integer floor-division — the Structured Streaming
+    // window() equivalent for the batch gate.
+    Tables.load(spark, dir, "events")
+      .groupBy(
+        date_add(to_date(lit("1970-01-01")),
+          expr("ts DIV 86400000000000").cast("int")).cast("string").as("day"),
+        col("event_type").as("etype"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+  }
+
+  def all: Seq[GateQuery] = Seq(pricing, distinctStats, frontier, tumblingWindow)
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+import graft.diff.ChunkDiff
+
+/**
+ * Gate queries for the diff engine (SURVEY.md §2.13 V1-V4, §2.9 A1,
+ * §2.10 J4). The "target" side is a deterministic perturbation of lineitem
+ * (updates on orderkey%97, deletes on %101, inserts on %103) so both Spark
+ * and the DuckDB oracle can derive it independently.
+ */
+object DiffQueries {
+
+  /** Engine-portable canonical rendering of a lineitem row for digesting. */
+  private def canonical(df: DataFrame): Seq[Column] = Seq(
+    col("l_orderkey"), col("l_linenumber"),
+    col("l_quantity").cast(DecimalType(12, 2)).cast("string"),
+    col("l_extendedprice").cast(DecimalType(18, 2)).cast("string"),
+    col("l_returnflag"),
+    col("l_shipdate").cast("date").cast("string"))
+
+  private val oracleCanonical =
+    """l_orderkey || '|' || l_linenumber || '|' ||
+      |CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+      |CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+      |l_returnflag || '|' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR)"""
+      .stripMargin.replace("\n", " ")
+
+  private def oracleDigest(row: String) =
+    s"CAST(('0x' || substr(md5($row), 1, 15)) AS BIGINT)"
+
+  private val perturbedCte =
+    """WITH perturbed AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN l_orderkey % 97 = 0 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+      |    l_extendedprice, l_returnflag, l_shipdate
+      |  FROM lineitem WHERE l_orderkey % 101 <> 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber + 100, l_quantity, l_extendedprice,
+      |    l_returnflag, l_shipdate
+      |  FROM lineitem WHERE l_orderkey % 103 = 0
+      |)""".stripMargin
+
+  /** The deterministic perturbed copy (Spark side). */
+  def perturbed(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val updatedNotDeleted = li.filter(col("l_orderkey") % 101 =!= 0)
+      .withColumn("l_quantity",
+        when(col("l_orderkey") % 97 === 0, col("l_quantity") + 1)
+          .otherwise(col("l_quantity")))
+    val inserted = li.filter(col("l_orderkey") % 103 === 0)
+      .withColumn("l_linenumber", col("l_linenumber") + 100)
+    updatedNotDeleted.select(li.columns.map(col): _*)
+      .unionByName(inserted.select(li.columns.map(col): _*))
+  }
+
+  // A1/V2 — per-chunk count + order-insensitive checksum over 32 chunks.
+  val chunkChecksum = GateQuery(
+    "q50_chunk_checksum",
+    Some(
+      s"""SELECT chunk_id, count(*) AS cnt, bit_xor(row_digest) AS checksum,
+         |  min(l_orderkey) AS chunk_lo, max(l_orderkey) AS chunk_hi
+         |FROM (
+         |  SELECT l_orderkey,
+         |    ntile(32) OVER (ORDER BY l_orderkey, l_linenumber) AS chunk_id,
+         |    ${oracleDigest(oracleCanonical)} AS row_digest
+         |  FROM lineitem
+         |) GROUP BY chunk_id""".stripMargin)) { (spark, dir) =>
+    val li = Tables.load(spark, dir, "lineitem")
+    ChunkDiff.chunkChecksums(li, Seq(col("l_orderkey"), col("l_linenumber")),
+      32, canonical(li))
+  }
+
+  // J4/V3 — row-level diff classification, aggregated.
+  val rowDiff = GateQuery(
+    "q51_row_diff",
+    Some(perturbedCte +
+      s""", s AS (SELECT l_orderkey, l_linenumber,
+         |         ${oracleDigest(oracleCanonical)} AS s_digest FROM lineitem),
+         |  t AS (SELECT l_orderkey, l_linenumber,
+         |         ${oracleDigest(oracleCanonical)} AS t_digest FROM perturbed)
+         |SELECT diff_type, count(*) AS cnt, sum(l_orderkey) AS sum_okey,
+         |  sum(l_linenumber) AS sum_lnum
+         |FROM (
+         |  SELECT coalesce(s.l_orderkey, t.l_orderkey) AS l_orderkey,
+         |    coalesce(s.l_linenumber, t.l_linenumber) AS l_linenumber,
+         |    CASE WHEN t_digest IS NULL THEN 'missing'
+         |         WHEN s_digest IS NULL THEN 'extra'
+         |         WHEN s_digest <> t_digest THEN 'different' END AS diff_type
+         |  FROM s FULL OUTER JOIN t
+         |    ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+         |)
+         |WHERE diff_type IS NOT NULL
+         |GROUP BY diff_type""".stripMargin)) { (spark, dir) =>
+    val li = Tables.load(spark, dir, "lineitem")
+    ChunkDiff.rowDiff(li, perturbed(spark, dir),
+      Seq("l_orderkey", "l_linenumber"), canonical)
+      .groupBy("diff_type").agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("l_linenumber")).as("sum_lnum"))
+  }
+
+  // V4 — fix-SQL emission for every diff row.
+  val fixSql = GateQuery(
+    "q52_fix_sql",
+    Some(perturbedCte +
+      s""", s AS (SELECT l_orderkey, l_linenumber,
+         |         CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS qty,
+         |         ${oracleDigest(oracleCanonical)} AS s_digest FROM lineitem),
+         |  t AS (SELECT l_orderkey, l_linenumber,
+         |         CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS qty,
+         |         ${oracleDigest(oracleCanonical)} AS t_digest FROM perturbed)
+         |SELECT l_orderkey, l_linenumber, diff_type,
+         |  CASE WHEN diff_type = 'extra'
+         |       THEN 'DELETE FROM lineitem WHERE l_orderkey = ' || l_orderkey ||
+         |            ' AND l_linenumber = ' || l_linenumber || ';'
+         |       ELSE 'REPLACE INTO lineitem VALUES (' || l_orderkey || ', ' ||
+         |            l_linenumber || ', ' || qty || ');' END AS fix_sql
+         |FROM (
+         |  SELECT coalesce(s.l_orderkey, t.l_orderkey) AS l_orderkey,
+         |    coalesce(s.l_linenumber, t.l_linenumber) AS l_linenumber,
+         |    coalesce(s.qty, t.qty) AS qty,
+         |    CASE WHEN t_digest IS NULL THEN 'missing'
+         |         WHEN s_digest IS NULL THEN 'extra'
+         |         WHEN s_digest <> t_digest THEN 'different' END AS diff_type
+         |  FROM s FULL OUTER JOIN t
+         |    ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+         |)
+         |WHERE diff_type IS NOT NULL""".stripMargin)) { (spark, dir) =>
+    def side(df: DataFrame, digestName: String) =
+      df.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(DecimalType(12, 2)).cast("string").as("qty"),
+        ChunkDiff.rowDigest(canonical(df)).as(digestName))
+    val s = side(Tables.load(spark, dir, "lineitem"), "s_digest")
+      .withColumnRenamed("qty", "s_qty")
+    val t = side(perturbed(spark, dir), "t_digest")
+      .withColumnRenamed("qty", "t_qty")
+    s.join(t, Seq("l_orderkey", "l_linenumber"), "full_outer")
+      .withColumn("diff_type",
+        when(col("t_digest").isNull, "missing")
+          .when(col("s_digest").isNull, "extra")
+          .when(col("s_digest") =!= col("t_digest"), "different"))
+      .filter(col("diff_type").isNotNull)
+      .withColumn("qty", coalesce(col("s_qty"), col("t_qty")))
+      .withColumn("fix_sql",
+        when(col("diff_type") === "extra",
+          concat(lit("DELETE FROM lineitem WHERE l_orderkey = "), col("l_orderkey"),
+            lit(" AND l_linenumber = "), col("l_linenumber"), lit(";")))
+          .otherwise(concat(lit("REPLACE INTO lineitem VALUES ("), col("l_orderkey"),
+            lit(", "), col("l_linenumber"), lit(", "), col("qty"), lit(");"))))
+      .select("l_orderkey", "l_linenumber", "diff_type", "fix_sql")
+  }
+
+  def all: Seq[GateQuery] = Seq(chunkChecksum, rowDiff, fixSql)
+}

@@ -1,0 +1,14 @@
+#!/bin/bash
+# Dev-only fast runner: java against compiled classes (skips sbt startup).
+# Usage: tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/verify_out
+set -e
+cd "$(dirname "$0")/.."
+ADDOPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADDOPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*" "$@"
