@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Hashing
+
+/**
+ * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+ * SimHash, and n-gram Jaccard. Scale design (100 TB):
+ *
+ *  - Exact dedup = one hash aggregation on a text digest — map-side partial
+ *    aggregation collapses duplicate-heavy corpora before the shuffle.
+ *  - MinHash signatures and SimHash are map-only array expressions.
+ *  - LSH candidate generation shuffles by (band, signature) — each band
+ *    bucket is tiny, so the self-join explodes only true candidate groups,
+ *    never the full corpus. This is the standard shingle→minhash→band→
+ *    bucket-join pipeline, entirely in DataFrame ops (AQE handles the
+ *    skewed mega-bucket case).
+ *  - Jaccard verification touches only candidate pairs (joined back to the
+ *    shingle arrays), not the n² pair space.
+ */
+object Dedup {
+
+  /** Word n-gram shingles; documents shorter than n words collapse to one
+    * whole-text shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(text))
+  }
+
+  /** Exact-dup digest of normalized text (lower + collapsed whitespace). */
+  def exactKey(text: Column): Column =
+    Hashing.portableLong(regexp_replace(lower(text), "\\s+", " "))
+
+  /** MinHash signature: k seeded portable hashes, each min'd over the
+    * shingle set. Map-only. */
+  def minhash(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingleCol, s => Hashing.seeded(s, seed))))
+
+  /** LSH band signatures: split the k-length signature into `bands` groups
+    * of r = k/bands and hash each group. Row explodes to one row per band
+    * for the bucket join. */
+  def lshBands(sigCol: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        Hashing.portableLong(concat_ws(",",
+          transform(sequence(lit(0), lit(r - 1)),
+            i => element_at(sigCol, b * r + i + 1).cast("string")))).as("sig")))
+  }
+
+  /**
+   * Candidate pairs via LSH: explode bands, self-join on (band, sig),
+   * keep each unordered pair once. `df` must have columns (id, text).
+   */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      minhash(shingles(col(textCol), shingleN), k).as("sig"))
+    val banded = sig.select(col("id"),
+        explode(lshBands(col("sig"), k, bands)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.sig").as("band_sig"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle arrays. Integer
+    * set sizes + one double division — cross-engine deterministic. */
+  def jaccard(aShingles: Column, bShingles: Column): Column = {
+    val inter = size(array_intersect(array_distinct(aShingles), array_distinct(bShingles)))
+    val union = size(array_union(aShingles, bShingles))
+    inter.cast("double") / union.cast("double")
+  }
+
+  /**
+   * SimHash (width-`bits` locality-sensitive digest): per bit position b,
+   * sum +1/-1 over token hashes' bit b; bit set iff the sum is positive.
+   * Near-dup docs differ in few bits (small hamming distance). Map-only;
+   * the expression is generated per bit but evaluates one token-hash array.
+   */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val hashes = transform(TextOps.tokens(text), t => Hashing.portableLong(t))
+    (0 until bits).map { b =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(1) * 2 - 1))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** DuckDB SQL twins (keep in lockstep with the Column builders). */
+  object Sql {
+    def shingles(e: String, n: Int): String = {
+      val toks = TextOps.Sql.tokens.format(e)
+      s"CASE WHEN len($toks) >= $n THEN " +
+        s"[array_to_string(($toks)[i:i+${n - 1}], ' ') FOR i IN range(1, len($toks) - ${n - 2})] " +
+        s"ELSE [$e] END"
+    }
+    def exactKey(e: String): String =
+      Hashing.Sql.portableLong(s"regexp_replace(lower($e), '\\s+', ' ', 'g')")
+    def minhash(shinglesE: String, k: Int): String =
+      s"[list_min([${Hashing.Sql.seeded("s", "seed")} FOR s IN ($shinglesE)]) " +
+        s"FOR seed IN range(0, $k)]"
+    def jaccard(aE: String, bE: String): String =
+      s"CAST(len(list_intersect(list_distinct($aE), list_distinct($bE))) AS DOUBLE)" +
+        s" / CAST(len(list_distinct($aE || $bE)) AS DOUBLE)"
+    def simhash(e: String, bits: Int = 32): String = {
+      val hashes = s"[${Hashing.Sql.portableLong("t")} FOR t IN ${TextOps.Sql.tokens.format(e)}]"
+      (0 until bits).map { b =>
+        s"(CASE WHEN list_sum([((h >> $b) & 1) * 2 - 1 FOR h IN ($hashes)]) > 0 " +
+          s"THEN ${1L << b} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }
+  }
+}

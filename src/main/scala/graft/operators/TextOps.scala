@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Hashing
+
+/**
+ * Text-analysis operators for training-data pipelines: tokenization, token
+ * counting, quality scoring, language identification, and document
+ * fingerprinting. All are pure column expressions (higher-order array
+ * functions) — fully distributed, no UDFs, no driver-side loops; at 100 TB
+ * each is a single map-only pass over the documents table (no shuffle).
+ */
+object TextOps {
+
+  /** Whitespace tokenizer. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Word-boundary token count plus a BPE-ish subword estimate: words plus
+    * one extra unit per 4 chars beyond the first 4 of each word — a cheap
+    * deterministic proxy for BPE piece counts. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def bpeEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + lit(1L) + ((length(t) - 1) / lit(4)).cast("long"))
+
+  /**
+   * Quality score in [0,100]: combines type-token ratio (vocabulary
+   * diversity), mean word length, and a length band. Double arithmetic with
+   * a FIXED expression tree — every individual IEEE op (div/mul/add) is
+   * exactly rounded, so per-row scalar results are bit-identical across
+   * engines (unlike multi-row float aggregation, where order matters).
+   */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok      // 0..1
+    val meanLen = length(text).cast("double") / nTok
+    val lenBand = when(size(toks) >= 20 && size(toks) <= 200, 1d).otherwise(0d)
+    ttr * 50 + least(meanLen / 10, lit(1d)) * 30 + lenBand * 20
+  }
+
+  /** Marker stopwords per language (public-knowledge high-frequency words). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "a", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"))
+
+  /**
+   * N-gram-heuristic language ID: score each language by marker-token hits;
+   * highest score wins, ties broken by language-code order, zero hits →
+   * "und" (undetermined). One array pass per language — map-only.
+   */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+    }
+    // argmax with ties to first in LangMarkers order: strictly-greater chain.
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /**
+   * Rolling-hash document fingerprint: left fold h' = (h*31 + tokenHash) mod
+   * 2^50 over token hashes. Order-sensitive (unlike a bag-of-words hash) so
+   * token transpositions change the fingerprint; 2^50 headroom keeps
+   * h*31 + hash inside int64 for exact cross-engine arithmetic.
+   */
+  val FingerprintMod = 1L << 50
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31 + pmod(Hashing.portableLong(t), lit(FingerprintMod)),
+        lit(FingerprintMod)))
+
+  /** DuckDB twins (keep in lockstep). */
+  object Sql {
+    val tokens = "regexp_split_to_array(%s, '\\s+')"
+    def tokenCount(e: String) = s"len(${tokens.format(e)})"
+    def bpeEstimate(e: String) =
+      s"list_sum([1 + (len(t) - 1) // 4 FOR t IN ${tokens.format(e)}])"
+    def qualityScore(e: String): String = {
+      val toks = tokens.format(e)
+      s"""(CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) * 50
+         | + least((CAST(length($e) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) / 10, 1.0) * 30
+         | + (CASE WHEN len($toks) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END) * 20"""
+        .stripMargin.replace("\n", " ")
+    }
+    def langId(e: String): String = {
+      val toks = tokens.format(e)
+      val scores = LangMarkers.map { case (lang, markers) =>
+        val set = markers.map(m => s"'$m'").mkString(", ")
+        lang -> s"len(list_filter($toks, t -> t IN ($set)))"
+      }
+      val (bl0, bs0) = (s"'${scores.head._1}'", scores.head._2)
+      val (bestLang, bestScore) = scores.tail.foldLeft((bl0, bs0)) {
+        case ((bl, bs), (lang, s)) =>
+          (s"CASE WHEN $s > ($bs) THEN '$lang' ELSE $bl END", s"greatest($s, $bs)")
+      }
+      s"CASE WHEN ($bestScore) > 0 THEN $bestLang ELSE 'und' END"
+    }
+    def fingerprint(e: String): String = {
+      val tokHash = Hashing.Sql.portableLong("t") + s" % $FingerprintMod"
+      s"list_reduce(list_prepend(0, [($tokHash) FOR t IN ${tokens.format(e)}])," +
+        s" (h, x) -> (h * 31 + x) % $FingerprintMod)"
+    }
+  }
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Hashing
+
+/**
+ * Embedding similarity operators: brute-force cosine top-k (baseline) and
+ * hyperplane-LSH bucketed ANN (scale path).
+ *
+ * Scale design (100 TB): brute-force is O(Q×N) — fine when the query set is
+ * small and broadcast (`broadcast(queries)` turns it into a map-only pass
+ * over the corpus, no shuffle). The LSH path buckets vectors by random-
+ * hyperplane sign signatures, so candidate generation only joins within
+ * buckets (shuffle keyed by 16-bit signature ≈ 65k balanced partitionable
+ * buckets); multi-probe = also join neighboring signatures.
+ *
+ * All dot products fold sequentially over the array (zip_with + aggregate in
+ * doubles) — deterministic per row and codegen-friendly; no UDFs.
+ */
+object VectorOps {
+
+  /** Sequential-fold dot product of two float-array columns, in doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force cosine top-k: join a (small, broadcast) query set against
+   * the corpus, rank per query. Deterministic tie-break on neighbor id.
+   * Returns (query_id, rank, neighbor_id, cos).
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplane weight for (plane j, dim d):
+   * integer in [-1000, 1000] derived from the portable hash — identical in
+   * the oracle, and integer weights keep the projection sum exactly
+   * representable until the final comparison.
+   */
+  def hyperplaneWeight(j: Column, d: Column): Column =
+    pmod(Hashing.portableLong(concat(j.cast("string"), lit("_"), d.cast("string"))),
+      lit(2001L)) - 1000L
+
+  /** LSH signature: `planes` sign bits of integer-weight projections. */
+  def lshSignature(vec: Column, planes: Int): Column = {
+    (0 until planes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * hyperplaneWeight(lit(j), d).cast("double")),
+        lit(0d), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: exact cosine ranking restricted to same-signature
+    * candidates. Recall < 1 by construction; `planes` trades recall for
+    * bucket size. */
+  def lshTopK(df: DataFrame, queries: DataFrame, planes: Int, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigd = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    val sigq = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(sigq).join(sigd, Seq("sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /**
+   * Fixed-point (2^-20 resolution) vector quantization. Float sums across a
+   * shuffle are order-dependent and NOT reproducible; quantizing to integers
+   * first makes every downstream aggregate exact and portable. `floor` of a
+   * double is IEEE-exact, so quantization itself is deterministic too.
+   */
+  val QuantScale = 1L << 20
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * QuantScale).cast("long"))
+
+  /** Portable floor-division: both engines agree because (s - pmod(s,c)) is
+    * exactly divisible, and an integer-valued double casts exactly. */
+  def floorDiv(s: Column, c: Column): Column =
+    ((s - pmod(s, c)) / c).cast("long")
+
+  /**
+   * Exact per-group centroids over quantized vectors, the IVF building
+   * block: partition the corpus by assigned centroid, search only probed
+   * cells. One explode + one hash aggregation (map-side combinable).
+   * Returns (centroid_id, centroid: array<long>).
+   */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("centroid_id"),
+        posexplode(quantize(col(vecCol))).as(Seq("d", "q")))
+      .groupBy("centroid_id", "d")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("c", floorDiv(col("s"), col("cnt")))
+      .groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("pairs"))
+      .select(col("centroid_id"), transform(col("pairs"), p => p.getField("c")).as("centroid"))
+
+  /** Exact integer squared L2 distance between quantized vectors. */
+  def sqDistQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /**
+   * Nearest-centroid assignment (all-integer, deterministic): broadcast the
+   * tiny centroid table, compute exact distances, keep the argmin with
+   * centroid_id tie-break. Map-only over the corpus.
+   */
+  def assignCentroids(df: DataFrame, cents: DataFrame,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.withColumn("qv", quantize(col(vecCol)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("centroid_id"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("dist", sqDistQ(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "qv")
+  }
+
+  /** DuckDB SQL twins. */
+  object Sql {
+    def dot(aE: String, bE: String): String =
+      s"list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip($aE, $bE)])"
+    def norm(aE: String): String =
+      s"sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN $aE]))"
+    def cosine(aE: String, bE: String): String =
+      s"(${dot(aE, bE)}) / ((${norm(aE)}) * (${norm(bE)}))"
+    def hyperplaneWeight(jE: String, dE: String): String =
+      s"(${Hashing.Sql.portableLong(s"CAST($jE AS VARCHAR) || '_' || CAST($dE AS VARCHAR)")} % 2001) - 1000"
+    def lshSignature(vecE: String, planes: Int): String =
+      (0 until planes).map { j =>
+        val proj = s"list_sum([CAST(($vecE)[d + 1] AS DOUBLE) * CAST(${hyperplaneWeight(j.toString, "d")} AS DOUBLE) " +
+          s"FOR d IN range(0, len($vecE))])"
+        s"(CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+  }
+}

@@ -1,7 +1,180 @@
 package graft.queries
 
-/** Document pipeline gate queries (dedup/text analysis) — populated in the
-  * training-data wave. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, TextOps}
+
+/**
+ * Gate queries for the training-data document pipeline: text analysis
+ * (token stats, quality, language-ID, fingerprints) and deduplication
+ * (exact, MinHash+LSH, SimHash). The dedup corpora plant deterministic
+ * duplicates (exact copies at doc_id+200000 for doc_id%13=0; near-dups with
+ * one appended token at doc_id+100000 for doc_id%11=0) so both engines can
+ * derive identical inputs.
+ */
 object DocQueries {
-  def all: Seq[GateQuery] = Seq.empty
+
+  /** Corpus with planted exact + near duplicates (Spark side). */
+  def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents").select("doc_id", "text", "lang", "source")
+    val exact = d.filter(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000L)
+    val near = d.filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" graft near dup marker")))
+    d.unionByName(exact).unionByName(near)
+  }
+
+  /** DuckDB twin of [[corpus]] as a CTE named `corpus`. */
+  val corpusCte: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text, lang, source FROM documents WHERE doc_id % 13 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' graft near dup marker', lang, source
+      |  FROM documents WHERE doc_id % 11 = 0
+      |)""".stripMargin
+
+  // ---- text analysis -------------------------------------------------
+
+  val textStats = GateQuery(
+    "q60_text_stats",
+    Some(s"""SELECT lang, count(*) AS n_docs,
+            |  sum(${TextOps.Sql.tokenCount("text")}) AS sum_tokens,
+            |  sum(${TextOps.Sql.bpeEstimate("text")}) AS sum_bpe,
+            |  sum(CASE WHEN (${TextOps.Sql.qualityScore("text")}) >= 50 THEN 1 ELSE 0 END) AS n_quality
+            |FROM documents GROUP BY lang""".stripMargin)) { (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+        sum(TextOps.bpeEstimate(col("text"))).as("sum_bpe"),
+        sum(when(TextOps.qualityScore(col("text")) >= 50, 1L).otherwise(0L)).as("n_quality"))
+  }
+
+  val qualityHist = GateQuery(
+    "q61_quality_hist",
+    Some(s"""SELECT CAST(floor((${TextOps.Sql.qualityScore("text")}) / 10) AS BIGINT) AS bucket,
+            |  count(*) AS cnt
+            |FROM documents GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .groupBy(floor(TextOps.qualityScore(col("text")) / 10).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val langIdQ = GateQuery(
+    "q62_langid",
+    Some(s"""SELECT lang, ${TextOps.Sql.langId("text")} AS guess, count(*) AS cnt
+            |FROM documents GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("lang"), TextOps.langId(col("text")).as("guess"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val fingerprints = GateQuery(
+    "q63_fingerprint",
+    Some(s"""SELECT lang, count(*) AS cnt,
+            |  count(DISTINCT ${TextOps.Sql.fingerprint("text")}) AS n_fp,
+            |  sum((${TextOps.Sql.fingerprint("text")}) % 97) AS fp_check
+            |FROM documents GROUP BY lang""".stripMargin)) { (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("fp")).as("n_fp"),
+        sum(col("fp") % 97).as("fp_check"))
+  }
+
+  // ---- dedup ---------------------------------------------------------
+
+  val exactDedup = GateQuery(
+    "q64_exact_dedup",
+    Some(corpusCte +
+      s""", keyed AS (
+         |  SELECT source, doc_id, ${Dedup.Sql.exactKey("text")} AS k FROM corpus
+         |), kept AS (
+         |  SELECT source, k, min(doc_id) AS keeper, count(*) AS copies
+         |  FROM keyed GROUP BY source, k
+         |)
+         |SELECT source, count(*) AS n_unique, sum(copies) AS n_raw,
+         |  sum(copies - 1) AS n_removed, sum(keeper) AS keeper_check
+         |FROM kept GROUP BY source""".stripMargin)) { (spark, dir) =>
+    corpus(spark, dir)
+      .select(col("source"), col("doc_id"), Dedup.exactKey(col("text")).as("k"))
+      .groupBy("source", "k")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_unique"), sum(col("copies")).as("n_raw"),
+        sum(col("copies") - 1).as("n_removed"), sum(col("keeper")).as("keeper_check"))
+  }
+
+  // MinHash-LSH parameters shared by Spark and oracle.
+  private val ShingleN = 3
+  private val MinhashK = 12
+  private val Bands = 4
+  private val BandRows = MinhashK / Bands
+
+  val minhashLsh = GateQuery(
+    "q65_minhash_lsh",
+    Some {
+      val shingleE = Dedup.Sql.shingles("text", ShingleN)
+      val bandSig = (0 until BandRows)
+        .map(i => s"CAST(sig[band * $BandRows + ${i + 1}] AS VARCHAR)")
+        .mkString(" || ',' || ")
+      corpusCte +
+        s""", sigs AS (
+           |  SELECT doc_id, ${Dedup.Sql.minhash(shingleE, MinhashK)} AS sig,
+           |    list_distinct($shingleE) AS sh
+           |  FROM corpus
+           |), banded AS (
+           |  SELECT doc_id, sh, band, ${graft.core.Hashing.Sql.portableLong(bandSig)} AS band_sig
+           |  FROM sigs, range(0, $Bands) r(band)
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jac
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+           |)
+           |SELECT count(*) AS n_candidates,
+           |  sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS n_dups,
+           |  sum(CASE WHEN jac >= 0.5 THEN id_b - id_a ELSE 0 END) AS pair_check
+           |FROM pairs""".stripMargin
+    }) { (spark, dir) =>
+    val c = corpus(spark, dir)
+    val cands = Dedup.lshCandidates(c, "doc_id", "text", ShingleN, MinhashK, Bands)
+    val sh = c.select(col("doc_id"),
+      array_distinct(Dedup.shingles(col("text"), ShingleN)).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_dups"),
+        sum(when(col("jac") >= 0.5, col("id_b") - col("id_a")).otherwise(0L)).as("pair_check"))
+  }
+
+  private val SimhashBits = 32
+
+  val simhashQ = GateQuery(
+    "q66_simhash",
+    Some(corpusCte +
+      s""", sh AS (SELECT doc_id, ${Dedup.Sql.simhash("text", SimhashBits)} AS h FROM corpus)
+         |SELECT bit_count(CAST(xor(a.h, b.h) AS BIGINT)) AS hamming, count(*) AS cnt
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000
+         |GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    val sh = corpus(spark, dir)
+      .select(col("doc_id"), Dedup.simhash(col("text"), SimhashBits).as("h"))
+    sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 100000L)
+      .groupBy(Dedup.hamming(col("a.h"), col("b.h")).as("hamming"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  def all: Seq[GateQuery] =
+    Seq(textStats, qualityHist, langIdQ, fingerprints, exactDedup, minhashLsh, simhashQ)
 }

@@ -1,6 +1,107 @@
 package graft.queries
 
-/** Embedding similarity gate queries — populated in the training-data wave. */
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.VectorOps
+
+/**
+ * Gate queries for embedding similarity search: brute-force cosine top-k
+ * (baseline), hyperplane-LSH bucketed ANN (scale path), and fixed-point
+ * IVF centroid assignment. Cosine values are emitted as raw doubles — the
+ * per-row sequential fold is bit-identical across engines (verified), so
+ * exact hash comparison is safe.
+ */
 object EmbeddingQueries {
-  def all: Seq[GateQuery] = Seq.empty
+
+  private val QueryFilter = "vec_id % 50 = 0"
+
+  val knnBrute = GateQuery(
+    "q80_knn_brute",
+    Some {
+      val cos = VectorOps.Sql.cosine("q.embedding", "c.embedding")
+      s"""SELECT query_id, rank, neighbor_id, cos FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cos AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.${QueryFilter}
+         |) WHERE rank <= 5""".stripMargin
+    }) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    VectorOps.bruteForceTopK(e.filter(expr(QueryFilter)), e, 5)
+  }
+
+  private val Planes = 12
+
+  val lshAnn = GateQuery(
+    "q81_lsh_ann",
+    Some {
+      val sig = VectorOps.Sql.lshSignature("embedding", Planes)
+      val cos = VectorOps.Sql.cosine("q.embedding", "c.embedding")
+      s"""WITH sigs AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings)
+         |SELECT query_id, rank, neighbor_id, cos FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cos AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rank
+         |  FROM sigs q JOIN sigs c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+         |  WHERE q.${QueryFilter}
+         |) WHERE rank <= 3""".stripMargin
+    }) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    VectorOps.lshTopK(e, e.filter(expr(QueryFilter)), Planes, 3)
+  }
+
+  val lshBuckets = GateQuery(
+    "q82_lsh_buckets",
+    Some {
+      val sig = VectorOps.Sql.lshSignature("embedding", Planes)
+      s"""SELECT sig_pop, count(*) AS n_buckets, sum(cnt) AS n_vectors FROM (
+         |  SELECT $sig AS sig, bit_count(CAST($sig AS BIGINT)) AS sig_pop, count(*) AS cnt
+         |  FROM embeddings GROUP BY 1, 2
+         |) GROUP BY sig_pop""".stripMargin
+    }) { (spark, dir) =>
+    Tables.load(spark, dir, "embeddings")
+      .groupBy(VectorOps.lshSignature(col("embedding"), Planes).as("sig"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(bit_count(col("sig")).as("sig_pop"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("cnt")).as("n_vectors"))
+  }
+
+  val centroidAssign = GateQuery(
+    "q83_centroid_assign",
+    Some {
+      val scale = VectorOps.QuantScale
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    [CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT) FOR x IN embedding] AS qv
+         |  FROM embeddings
+         |), expl AS (
+         |  SELECT label,
+         |    unnest([{'d': i - 1, 'v': qv[i]} FOR i IN range(1, len(qv) + 1)]) AS u
+         |  FROM q
+         |), comp AS (
+         |  SELECT label AS centroid_id, u.d AS d, sum(u.v) AS s, count(*) AS cnt
+         |  FROM expl GROUP BY 1, 2
+         |), cents AS (
+         |  SELECT centroid_id,
+         |    list(CAST((s - ((s % cnt) + cnt) % cnt) / cnt AS BIGINT) ORDER BY d) AS centroid
+         |  FROM comp GROUP BY centroid_id
+         |), assigned AS (
+         |  SELECT vec_id, label, centroid_id,
+         |    list_sum([(q.qv[i] - c.centroid[i]) * (q.qv[i] - c.centroid[i])
+         |              FOR i IN range(1, len(q.qv) + 1)]) AS dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      list_sum([(q.qv[i] - c.centroid[i]) * (q.qv[i] - c.centroid[i])
+         |                FOR i IN range(1, len(q.qv) + 1)]), centroid_id) AS rn
+         |  FROM q, cents c
+         |)
+         |SELECT label, centroid_id AS assigned, count(*) AS cnt
+         |FROM assigned WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+    }) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    val cents = VectorOps.centroids(e, "label", "embedding")
+    VectorOps.assignCentroids(e, cents)
+      .groupBy(col("label"), col("centroid_id").as("assigned"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  def all: Seq[GateQuery] = Seq(knnBrute, lshAnn, lshBuckets, centroidAssign)
 }
