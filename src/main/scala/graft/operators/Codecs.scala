@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Wire-format encoders/decoders (SURVEY.md §2.7 E1-E8). tiflow implements
+ * each codec as a Go struct walking rows field-by-field
+ * (pkg/sink/codec/{open,canal,debezium,maxwell,csv}/...); Spark-first the
+ * envelope→message transform is ONE `to_json(struct(...))` column
+ * expression — codegen'd, vectorized, zero per-row interpretation — and
+ * decoding is `from_json`. Key order is the struct field order; null fields
+ * are emitted explicitly (`ignoreNullFields=false`) for cross-engine parity.
+ *
+ * Not ported: Craft (E8, tiflow's bespoke binary columnar frame — Spark's
+ * native columnar shuffle/parquet serve the same purpose) and Avro binary
+ * (needs the spark-avro module; [[avroSchema]] covers the schema-generation
+ * half of E3).
+ */
+object Codecs {
+
+  private val jsonOpts = Map("ignoreNullFields" -> "false")
+
+  private def payloadStruct(pk: Column, value: Column, etype: Column): Column =
+    struct(pk.as("pk"), value.as("val"), etype.as("etype"))
+
+  /** E2 — Canal-JSON envelope (reference
+    * pkg/sink/codec/canal/canal_json_row_event_encoder.go:83-380). `es` is
+    * the commit ts; `ts` is emission time in tiflow — pinned to commit ts
+    * here for determinism. */
+  def canalJson(df: DataFrame): Column = {
+    val canalType = when(col("op") === "I", "INSERT")
+      .when(col("op") === "U", "UPDATE").otherwise("DELETE")
+    // DELETE carries the before image in `data` (canal semantics);
+    // `old` is populated only for UPDATE.
+    val dataImg = when(col("op") === "D",
+      array(payloadStruct(col("pk"), col("val_before"), col("etype"))))
+      .otherwise(array(payloadStruct(col("pk"), col("val_after"), col("etype"))))
+    val oldImg = when(col("op") === "U",
+      array(payloadStruct(col("pk"), col("val_before"), col("etype"))))
+      .otherwise(lit(null).cast(ArrayType(new StructType()
+        .add("pk", LongType).add("val", DoubleType).add("etype", StringType))))
+    to_json(struct(
+      lit(0L).as("id"),
+      col("schema_name").as("database"),
+      col("table_name").as("table"),
+      array(lit("pk")).as("pkNames"),
+      lit(false).as("isDdl"),
+      canalType.as("type"),
+      col("commit_ts").as("es"),
+      col("commit_ts").as("ts"),
+      lit("").as("sql"),
+      struct(lit(-5).as("pk"), lit(8).as("val"), lit(12).as("etype")).as("sqlType"),
+      struct(lit("bigint").as("pk"), lit("double").as("val"),
+        lit("varchar").as("etype")).as("mysqlType"),
+      dataImg.as("data"),
+      oldImg.as("old")), jsonOpts)
+  }
+
+  /** E5 — Debezium-style envelope (reference
+    * pkg/sink/codec/debezium/codec.go). */
+  def debezium(df: DataFrame, connectorName: String = "graft"): Column = {
+    val op = when(col("op") === "I", "c").when(col("op") === "U", "u").otherwise("d")
+    val nullImg = lit(null).cast(new StructType()
+      .add("pk", LongType).add("val", DoubleType).add("etype", StringType))
+    to_json(struct(
+      when(col("op") =!= "I",
+        payloadStruct(col("pk"), col("val_before"), col("etype")))
+        .otherwise(nullImg).as("before"),
+      when(col("op") =!= "D",
+        payloadStruct(col("pk"), col("val_after"), col("etype")))
+        .otherwise(nullImg).as("after"),
+      struct(
+        lit(connectorName).as("name"),
+        col("commit_ts").as("ts_ms"),
+        col("schema_name").as("db"),
+        col("table_name").as("table")).as("source"),
+      op.as("op"),
+      col("commit_ts").as("ts_ms")), jsonOpts)
+  }
+
+  /** E6 — Maxwell envelope (reference
+    * pkg/sink/codec/maxwell/maxwell_message.go). */
+  def maxwell(df: DataFrame): Column = {
+    val mType = when(col("op") === "I", "insert")
+      .when(col("op") === "U", "update").otherwise("delete")
+    val nullImg = lit(null).cast(new StructType()
+      .add("pk", LongType).add("val", DoubleType).add("etype", StringType))
+    to_json(struct(
+      col("schema_name").as("database"),
+      col("table_name").as("table"),
+      mType.as("type"),
+      col("commit_ts").as("ts"),
+      col("start_ts").as("xid"),
+      when(col("op") === "D",
+        payloadStruct(col("pk"), col("val_before"), col("etype")))
+        .otherwise(payloadStruct(col("pk"), col("val_after"), col("etype"))).as("data"),
+      when(col("op") === "U",
+        payloadStruct(col("pk"), col("val_before"), col("etype")))
+        .otherwise(nullImg).as("old")), jsonOpts)
+  }
+
+  /** E1 — Open Protocol key/value pair (reference
+    * pkg/sink/codec/open/open_protocol_encoder.go:81-280). Emits two
+    * columns; `t`=1 is the row-message type. */
+  def openProtocolKey(df: DataFrame): Column =
+    to_json(struct(
+      col("commit_ts").as("ts"),
+      col("schema_name").as("scm"),
+      col("table_name").as("tbl"),
+      lit(1).as("t")), jsonOpts)
+
+  def openProtocolValue(df: DataFrame): Column = {
+    def img(value: Column) = struct(
+      struct(lit(8).as("t"), col("pk").as("v")).as("pk"),
+      struct(lit(5).as("t"), value.as("v")).as("val"),
+      struct(lit(15).as("t"), col("etype").as("v")).as("etype"))
+    val u = when(col("op") =!= "D", img(col("val_after")))
+      .otherwise(lit(null).cast(new StructType()
+        .add("pk", new StructType().add("t", IntegerType).add("v", LongType))
+        .add("val", new StructType().add("t", IntegerType).add("v", DoubleType))
+        .add("etype", new StructType().add("t", IntegerType).add("v", StringType))))
+    val d = when(col("op") === "D", img(col("val_before")))
+      .otherwise(lit(null).cast(new StructType()
+        .add("pk", new StructType().add("t", IntegerType).add("v", LongType))
+        .add("val", new StructType().add("t", IntegerType).add("v", DoubleType))
+        .add("etype", new StructType().add("t", IntegerType).add("v", StringType))))
+    to_json(struct(u.as("u"), d.as("d")), jsonOpts)
+  }
+
+  /**
+   * E4 — CSV line with the storage-sink meta columns (reference
+   * pkg/sink/codec/csv/csv_message.go:105-518): op flag, schema, table,
+   * commit ts, then payload. Strings are double-quoted with embedded quotes
+   * doubled; NULL renders as \N (MySQL convention).
+   */
+  def csvQuote(c: Column): Column =
+    when(c.isNull, "\\N")
+      .otherwise(concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\"")))
+
+  /** NULL numerics render as \N too — and must be pre-coalesced because
+    * concat_ws silently DROPS null slots, which would shift every later
+    * CSV column left. */
+  def csvNum(c: Column): Column =
+    when(c.isNull, "\\N").otherwise(c.cast("string"))
+
+  def csvLine(df: DataFrame): Column =
+    concat_ws(",",
+      csvQuote(col("op")),
+      csvQuote(col("schema_name")),
+      csvQuote(col("table_name")),
+      csvNum(col("commit_ts")),
+      csvNum(col("pk")),
+      csvNum(when(col("op") === "D", col("val_before")).otherwise(col("val_after"))),
+      csvQuote(col("etype")))
+
+  /** Canal-JSON decoder: the schema mirrors [[canalJson]]; round-trips
+    * every emitted field (reference decoder:
+    * pkg/sink/codec/canal/canal_json_decoder.go). */
+  val canalSchema: StructType = {
+    val img = ArrayType(new StructType()
+      .add("pk", LongType).add("val", DoubleType).add("etype", StringType))
+    new StructType()
+      .add("id", LongType).add("database", StringType).add("table", StringType)
+      .add("pkNames", ArrayType(StringType)).add("isDdl", BooleanType)
+      .add("type", StringType).add("es", LongType).add("ts", LongType)
+      .add("sql", StringType)
+      .add("sqlType", new StructType()
+        .add("pk", IntegerType).add("val", IntegerType).add("etype", IntegerType))
+      .add("mysqlType", new StructType()
+        .add("pk", StringType).add("val", StringType).add("etype", StringType))
+      .add("data", img).add("old", img)
+  }
+
+  def canalDecode(json: Column): Column = from_json(json, canalSchema)
+
+  /**
+   * E3 (schema half) — Avro record schema generated per (schema, table)
+   * version, mirroring columnToAvroSchema
+   * (pkg/sink/codec/avro/avro.go:645+): name/namespace from the table,
+   * one field per column with avro primitive mapping, nullable via union.
+   */
+  def avroSchema(database: String, table: String,
+                 fields: Seq[(String, String, Boolean)]): String = {
+    val fieldJson = fields.map { case (name, avroType, nullable) =>
+      val t = if (nullable) s"""["null","$avroType"]""" else s""""$avroType""""
+      s"""{"name":"$name","type":$t}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"$table","namespace":"$database","fields":[$fieldJson]}"""
+  }
+}

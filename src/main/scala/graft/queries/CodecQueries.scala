@@ -1,6 +1,173 @@
 package graft.queries
 
-/** Codec gate queries (SURVEY.md §2.7) — populated in the codec wave. */
+import org.apache.spark.sql.functions._
+import graft.core.CdcStream
+import graft.operators.Codecs
+
+/**
+ * Gate queries for the wire-format codecs (SURVEY.md §2.7). Each emits the
+ * encoded message string for a deterministic sample of the CDC stream; the
+ * oracle constructs the byte-identical string in DuckDB (`to_json` of
+ * `struct_pack` mirrors Spark's `to_json(struct(...))`: insertion-ordered
+ * keys, no whitespace, explicit nulls, shortest-round-trip doubles).
+ */
 object CodecQueries {
-  def all: Seq[GateQuery] = Seq.empty
+
+  private val cte = CdcStream.sqlCte
+  // Sample to keep gate outputs small; encoders themselves are full-stream.
+  private val SampleE = "seq % 37 = 0"
+  private val imgNullSql = "CAST(NULL AS STRUCT(pk BIGINT, val DOUBLE, etype VARCHAR)[])"
+  private def imgSql(valE: String) =
+    s"[struct_pack(pk := pk, val := CAST($valE AS DOUBLE), etype := etype)]"
+
+  val canal = GateQuery(
+    "q40_canal_json",
+    Some(cte +
+      s"""SELECT seq, to_json(struct_pack(
+         |  id := CAST(0 AS BIGINT),
+         |  "database" := schema_name,
+         |  "table" := table_name,
+         |  pkNames := ['pk'],
+         |  isDdl := false,
+         |  type := CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+         |  es := commit_ts,
+         |  ts := commit_ts,
+         |  sql := '',
+         |  sqlType := struct_pack(pk := -5, val := 8, etype := 12),
+         |  mysqlType := struct_pack(pk := 'bigint', val := 'double', etype := 'varchar'),
+         |  data := CASE WHEN op = 'D' THEN ${imgSql("val_before")}
+         |               ELSE ${imgSql("val_after")} END,
+         |  old := CASE WHEN op = 'U' THEN ${imgSql("val_before")}
+         |              ELSE $imgNullSql END
+         |)) AS msg
+         |FROM cdc WHERE $SampleE""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    df.select(col("seq"), Codecs.canalJson(df).as("msg"))
+  }
+
+  private val imgNullStructSql = "CAST(NULL AS STRUCT(pk BIGINT, val DOUBLE, etype VARCHAR))"
+  private def imgStructSql(valE: String) =
+    s"struct_pack(pk := pk, val := CAST($valE AS DOUBLE), etype := etype)"
+
+  val debezium = GateQuery(
+    "q41_debezium",
+    Some(cte +
+      s"""SELECT seq, to_json(struct_pack(
+         |  before := CASE WHEN op <> 'I' THEN ${imgStructSql("val_before")}
+         |                 ELSE $imgNullStructSql END,
+         |  after := CASE WHEN op <> 'D' THEN ${imgStructSql("val_after")}
+         |                ELSE $imgNullStructSql END,
+         |  source := struct_pack(name := 'graft', ts_ms := commit_ts,
+         |                        db := schema_name, "table" := table_name),
+         |  op := CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END,
+         |  ts_ms := commit_ts
+         |)) AS msg
+         |FROM cdc WHERE $SampleE""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    df.select(col("seq"), Codecs.debezium(df).as("msg"))
+  }
+
+  val maxwell = GateQuery(
+    "q42_maxwell",
+    Some(cte +
+      s"""SELECT seq, to_json(struct_pack(
+         |  "database" := schema_name,
+         |  "table" := table_name,
+         |  type := CASE op WHEN 'I' THEN 'insert' WHEN 'U' THEN 'update' ELSE 'delete' END,
+         |  ts := commit_ts,
+         |  xid := start_ts,
+         |  data := CASE WHEN op = 'D' THEN ${imgStructSql("val_before")}
+         |               ELSE ${imgStructSql("val_after")} END,
+         |  old := CASE WHEN op = 'U' THEN ${imgStructSql("val_before")}
+         |              ELSE $imgNullStructSql END
+         |)) AS msg
+         |FROM cdc WHERE $SampleE""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    df.select(col("seq"), Codecs.maxwell(df).as("msg"))
+  }
+
+  private val opImgNullSql =
+    "CAST(NULL AS STRUCT(pk STRUCT(t INT, v BIGINT), val STRUCT(t INT, v DOUBLE), etype STRUCT(t INT, v VARCHAR)))"
+  private def opImgSql(valE: String) =
+    s"""struct_pack(
+       |  pk := struct_pack(t := 8, v := pk),
+       |  val := struct_pack(t := 5, v := CAST($valE AS DOUBLE)),
+       |  etype := struct_pack(t := 15, v := etype))""".stripMargin
+
+  val openProtocol = GateQuery(
+    "q43_open_protocol",
+    Some(cte +
+      s"""SELECT seq,
+         |  to_json(struct_pack(ts := commit_ts, scm := schema_name,
+         |                      tbl := table_name, t := 1)) AS msg_key,
+         |  to_json(struct_pack(
+         |    u := CASE WHEN op <> 'D' THEN ${opImgSql("val_after")} ELSE $opImgNullSql END,
+         |    d := CASE WHEN op = 'D' THEN ${opImgSql("val_before")} ELSE $opImgNullSql END
+         |  )) AS msg_value
+         |FROM cdc WHERE $SampleE""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    df.select(col("seq"),
+      Codecs.openProtocolKey(df).as("msg_key"),
+      Codecs.openProtocolValue(df).as("msg_value"))
+  }
+
+  val csv = GateQuery(
+    "q44_csv",
+    Some(cte +
+      s"""SELECT seq,
+         |  concat_ws(',',
+         |    '"' || op || '"',
+         |    '"' || schema_name || '"',
+         |    '"' || table_name || '"',
+         |    CAST(commit_ts AS VARCHAR),
+         |    CAST(pk AS VARCHAR),
+         |    coalesce(CAST(CASE WHEN op = 'D' THEN val_before ELSE val_after END AS VARCHAR), '\\N'),
+         |    '"' || etype || '"') AS line
+         |FROM cdc WHERE $SampleE""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    df.select(col("seq"), Codecs.csvLine(df).as("line"))
+  }
+
+  /** Decoder round-trip: envelope → Canal-JSON → from_json → fields. The
+    * oracle is the PLAIN cdc stream — passing proves encode∘decode = id. */
+  val canalRoundtrip = GateQuery(
+    "q45_canal_roundtrip",
+    Some(cte +
+      s"""SELECT seq,
+         |  schema_name AS database_name, table_name AS tbl, commit_ts AS es,
+         |  CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END AS typ,
+         |  pk AS data_pk,
+         |  CASE WHEN op = 'D' THEN val_before ELSE val_after END AS data_val
+         |FROM cdc WHERE $SampleE""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    df.select(col("seq"), Codecs.canalDecode(Codecs.canalJson(df)).as("m"))
+      .select(col("seq"),
+        col("m.database").as("database_name"),
+        col("m.table").as("tbl"),
+        col("m.es").as("es"),
+        col("m.type").as("typ"),
+        element_at(col("m.data"), 1).getField("pk").as("data_pk"),
+        element_at(col("m.data"), 1).getField("val").as("data_val"))
+  }
+
+  /** E3 schema half — Avro schema generation per routed target table. */
+  val avroSchemas = GateQuery(
+    "q46_avro_schema",
+    Some(cte +
+      """SELECT DISTINCT schema_name, table_name,
+        |  '{"type":"record","name":"' || table_name || '","namespace":"' || schema_name ||
+        |  '","fields":[{"name":"pk","type":"long"},{"name":"val","type":["null","double"]},' ||
+        |  '{"name":"etype","type":["null","string"]}]}' AS avro_schema
+        |FROM cdc""".stripMargin)) { (spark, dir) =>
+    val fields = Seq(("pk", "long", false), ("val", "double", true), ("etype", "string", true))
+    CdcStream.derive(spark, dir)
+      .select("schema_name", "table_name").distinct()
+      .withColumn("avro_schema",
+        concat(lit("""{"type":"record","name":""""), col("table_name"),
+          lit("""","namespace":""""), col("schema_name"),
+          lit("\"," + """"fields":[{"name":"pk","type":"long"},{"name":"val","type":["null","double"]},{"name":"etype","type":["null","string"]}]}""")))
+  }
+
+  def all: Seq[GateQuery] = Seq(
+    canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas)
 }
