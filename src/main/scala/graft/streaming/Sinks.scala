@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * foreachBatch sinks (SURVEY.md §2.8). Each receives a compacted net-effect
+ * microbatch (net_op ∈ I/U/D/R per key) and applies it idempotently —
+ * replaying a batch after a restart converges to the same state, which is
+ * how Structured Streaming's at-least-once foreachBatch becomes effectively
+ * exactly-once (tiflow reaches the same place via checkpointTs + safe-mode
+ * REPLACE, dm/syncer/checkpoint.go:538-800).
+ */
+object Sinks {
+
+  /**
+   * K1-analog keyed state table on parquet: MERGE the batch into the state
+   * by key (delete on D, upsert otherwise). Production target is a format
+   * with native MERGE (Delta/Iceberg — transactional, partition-pruned);
+   * on plain parquet we read-merge-write versioned snapshots with an
+   * atomic pointer swap, which is the same algorithm minus file-level
+   * transactionality.
+   */
+  def parquetStateSink(spark: SparkSession, stateDir: String,
+                       keyCols: Seq[String] = Seq("schema_name", "table_name", "pk"))
+                      (batch: DataFrame, batchId: Long): Unit = {
+    val versionDir = s"$stateDir/v$batchId"
+    val ptr = Paths.get(s"$stateDir/CURRENT")
+    val current: Option[DataFrame] =
+      if (Files.exists(ptr))
+        Some(spark.read.parquet(s"$stateDir/${Files.readString(ptr).trim}"))
+      else None
+
+    val upserts = batch.filter(col("net_op") =!= "D")
+      .select(keyCols.map(col) :+ col("final_val") :+ col("last_commit_ts"): _*)
+    val merged = current match {
+      case None => upserts
+      case Some(cur) =>
+        // anti-join removes keys touched this batch (covers U and D), then
+        // the new images are appended — one shuffle on the key.
+        cur.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(upserts)
+    }
+    merged.write.mode(SaveMode.Overwrite).parquet(versionDir)
+    val tmp = Paths.get(s"$stateDir/CURRENT.tmp")
+    Files.writeString(tmp, s"v$batchId")
+    Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read the current materialized state. */
+  def readState(spark: SparkSession, stateDir: String): DataFrame = {
+    val ptr = Paths.get(s"$stateDir/CURRENT")
+    spark.read.parquet(s"$stateDir/${Files.readString(ptr).trim}")
+  }
+
+  /**
+   * K4 — cloud-storage sink: per-table files under
+   * {base}/{schema}/{table}/{date}/ in the chosen format (reference layout
+   * pkg/sink/cloudstorage/path.go:136-430). partitionBy gives the layout
+   * for free and keeps writes parallel per partition.
+   */
+  def storageSink(base: String, format: String = "parquet")
+                 (batch: DataFrame, batchId: Long): Unit =
+    batch
+      .withColumn("_date", lit("1970-01-01"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("schema_name", "table_name", "_date")
+      .format(format)
+      .save(base)
+
+  /**
+   * K1 — JDBC-shaped sink: partition by causality slot so same-key rows
+   * serialize while distinct keys parallelize (reference
+   * pkg/causality/conflict_detector.go via SURVEY R4), then generate
+   * multi-row SQL per bounded batch. Without a live MySQL the statements
+   * are written to per-partition .sql files — the full pipeline short of
+   * the socket.
+   */
+  def sqlFileSink(outDir: String, maxTxnRow: Int = SqlGen.DefaultMaxTxnRow,
+                  numPartitions: Int = 16)
+                 (batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.Routing
+    Files.createDirectories(Paths.get(outDir))
+    val parted = batch
+      .withColumn("slot", Routing.causalitySlot(col("pk")))
+      .repartition(numPartitions, col("slot"))
+      .sortWithinPartitions(col("last_commit_ts"), col("pk"))
+    parted.select("schema_name", "table_name", "pk", "net_op", "final_val")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val sqls = SqlGen.generate(rows, maxTxnRow)
+        if (sqls.nonEmpty) {
+          Files.writeString(
+            Paths.get(s"$outDir/batch${batchId}_p$pid.sql"),
+            sqls.mkString("\n") + "\n")
+        }
+        ()
+      }
+  }
+}
