@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.core.{CdcStream, Hashing, SchemaRegistry, Tables}
+import graft.operators.{Codecs, Multimodal, Transforms}
+
+/**
+ * Gate queries for schema versioning (J2/G1), the continuous validator
+ * (V5/J3), multimodal plumbing, claim-check large-message handling (C5),
+ * and column-shaping operators (D6/D8).
+ */
+object ExtraQueries {
+
+  private val cte = CdcStream.sqlCte
+
+  /** J2 — as-of schema binding: events bind to the version in force at
+    * their commit ts (3 deterministic versions per table). */
+  val schemaAsof = GateQuery(
+    "q72_schema_asof",
+    Some(cte +
+      """SELECT schema_name, table_name,
+        |  CASE WHEN commit_ts >= 1005000 THEN 3
+        |       WHEN commit_ts >= 1002000 THEN 2 ELSE 1 END AS schema_version,
+        |  count(*) AS cnt, min(commit_ts) AS min_ts, max(commit_ts) AS max_ts
+        |FROM cdc GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val base = new StructType().add("pk", LongType).add("val", DoubleType)
+    val versions = for {
+      s <- Seq("db_0", "db_1"); t <- Seq("tbl_0", "tbl_1", "tbl_2", "tbl_3")
+      (v, from) <- Seq((1, 0L), (2, 1002000L), (3, 1005000L))
+    } yield SchemaRegistry.TableVersion(s, t, v, from,
+      if (v == 1) base else base.add(s"c$v", StringType))
+    val intervals = SchemaRegistry.versionIntervals(spark, versions)
+    SchemaRegistry.bindSchemaVersion(CdcStream.derive(spark, dir), intervals)
+      .groupBy("schema_name", "table_name", "schema_version")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("commit_ts")).as("min_ts"), max(col("commit_ts")).as("max_ts"))
+  }
+
+  /**
+   * V5/J3 — continuous-validator core: expected row images (from the
+   * compacted change stream) batch-compared against the "downstream" state
+   * by PK. Downstream = deterministic perturbation (drops pk%151=0,
+   * corrupts val for pk%97=0), so both engines derive it independently.
+   * Verdicts mirror validate_worker.go:282-440: missing (expected but
+   * absent), mismatch (value differs), delete_leak (should be absent but
+   * present is not derivable without a target DB — covered by 'extra').
+   */
+  val validator = GateQuery(
+    "q53_validator",
+    Some(CdcQueries.splitCte +
+      """, expected AS (
+        |  SELECT schema_name, table_name, pk,
+        |    arg_max(coalesce(val_after, -1), seq) AS exp_val,
+        |    arg_min(op, seq) AS first_op, arg_max(op, seq) AS last_op
+        |  FROM split GROUP BY 1, 2, 3
+        |), live AS (
+        |  SELECT * FROM expected
+        |  WHERE NOT (first_op = 'I' AND last_op = 'D') AND last_op <> 'D'
+        |), target AS (
+        |  SELECT schema_name, table_name, pk,
+        |    CASE WHEN pk % 97 = 0 THEN exp_val + 1 ELSE exp_val END AS tgt_val
+        |  FROM live WHERE pk % 151 <> 0
+        |)
+        |SELECT l.schema_name, l.table_name,
+        |  sum(CASE WHEN t.pk IS NULL THEN 1 ELSE 0 END) AS n_missing,
+        |  sum(CASE WHEN t.pk IS NOT NULL AND l.exp_val <> t.tgt_val THEN 1 ELSE 0 END) AS n_mismatch,
+        |  sum(CASE WHEN t.pk IS NOT NULL AND l.exp_val = t.tgt_val THEN 1 ELSE 0 END) AS n_ok
+        |FROM live l LEFT JOIN target t
+        |  ON l.schema_name = t.schema_name AND l.table_name = t.table_name AND l.pk = t.pk
+        |GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    val split = Transforms.updateSplit(CdcStream.derive(spark, dir))
+    val expected = split.groupBy("schema_name", "table_name", "pk").agg(
+      max_by(coalesce(col("val_after"), lit(-1d)), col("seq")).as("exp_val"),
+      min_by(col("op"), col("seq")).as("first_op"),
+      max_by(col("op"), col("seq")).as("last_op"))
+    val live = expected.filter(
+      !(col("first_op") === "I" && col("last_op") === "D") && col("last_op") =!= "D")
+      .select("schema_name", "table_name", "pk", "exp_val")
+    val target = live.filter(col("pk") % 151 =!= 0)
+      .withColumn("tgt_val",
+        when(col("pk") % 97 === 0, col("exp_val") + 1).otherwise(col("exp_val")))
+      .select("schema_name", "table_name", "pk", "tgt_val")
+    live.join(target, Seq("schema_name", "table_name", "pk"), "left")
+      .groupBy("schema_name", "table_name")
+      .agg(
+        sum(when(col("tgt_val").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("tgt_val").isNotNull && col("exp_val") =!= col("tgt_val"), 1L)
+          .otherwise(0L)).as("n_mismatch"),
+        sum(when(col("tgt_val").isNotNull && col("exp_val") === col("tgt_val"), 1L)
+          .otherwise(0L)).as("n_ok"))
+  }
+
+  /** Multimodal — typed mapPartitions decode stub must equal the pure-SQL
+    * feature derivation (oracle). */
+  val mediaFeatures = GateQuery(
+    "q90_media_features",
+    Some("""SELECT doc_id AS media_id,
+           |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+           |  length(text) AS byte_len,
+           |  ascii(substr(text, 1, 1)) AS head_byte,
+           |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS phash,
+           |  [CAST(i * (length(text) // 4) AS BIGINT) FOR i IN range(0, 4)] AS frame_offsets
+           |FROM documents""".stripMargin)) { (spark, dir) =>
+    val media = Multimodal.mediaTable(Tables.load(spark, dir, "documents"))
+    Multimodal.decodeFeatures(spark, media).toDF()
+  }
+
+  /** C5 — claim-check / large-message handling: oversized encoded messages
+    * are replaced by a storage reference; small ones pass inline (reference
+    * pkg/sink/kafka/claimcheck/claim_check.go, handle-key-only downgrade
+    * open_protocol_encoder.go:43-80). */
+  val claimCheck = GateQuery(
+    "q47_claim_check",
+    Some(cte +
+      s"""SELECT is_claim, count(*) AS cnt, sum(msg_len) AS sum_len FROM (
+         |  SELECT length(msg) AS msg_len,
+         |    CASE WHEN length(msg) > 90 THEN 1 ELSE 0 END AS is_claim
+         |  FROM (
+         |    SELECT to_json(struct_pack(
+         |      u := CASE WHEN op <> 'D' THEN struct_pack(
+         |             pk := struct_pack(t := 8, v := pk),
+         |             val := struct_pack(t := 5, v := CAST(val_after AS DOUBLE)),
+         |             etype := struct_pack(t := 15, v := etype))
+         |           ELSE CAST(NULL AS STRUCT(pk STRUCT(t INT, v BIGINT),
+         |                  val STRUCT(t INT, v DOUBLE), etype STRUCT(t INT, v VARCHAR))) END,
+         |      d := CASE WHEN op = 'D' THEN struct_pack(
+         |             pk := struct_pack(t := 8, v := pk),
+         |             val := struct_pack(t := 5, v := CAST(val_before AS DOUBLE)),
+         |             etype := struct_pack(t := 15, v := etype))
+         |           ELSE CAST(NULL AS STRUCT(pk STRUCT(t INT, v BIGINT),
+         |                  val STRUCT(t INT, v DOUBLE), etype STRUCT(t INT, v VARCHAR))) END
+         |    )) AS msg FROM cdc
+         |  )
+         |) GROUP BY is_claim""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir)
+    val msg = Codecs.openProtocolValue(df)
+    df.select(length(msg).as("msg_len"),
+        when(length(msg) > 90, 1).otherwise(0).as("is_claim"))
+      .groupBy("is_claim")
+      .agg(count(lit(1)).as("cnt"), sum(col("msg_len")).as("sum_len"))
+  }
+
+  /** D6 — column selector: project away non-selected payload columns,
+    * envelope retained (columnselector/column_selector.go:25-140). */
+  val columnSelector = GateQuery(
+    "q36_column_selector",
+    Some(cte +
+      """SELECT schema_name, table_name, op, count(*) AS cnt, sum(pk) AS sum_pk
+        |FROM cdc GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
+    Transforms.columnSelector(CdcStream.derive(spark, dir), keep = Nil)
+      .groupBy("schema_name", "table_name", "op")
+      .agg(count(lit(1)).as("cnt"), sum(col("pk")).as("sum_pk"))
+  }
+
+  /** D8 — column value mapping: shard index embedded into bigint high bits
+    * (pkg/column-mapping/column.go:442-530 partitionID). */
+  val partitionId = GateQuery(
+    "q37_partition_id",
+    Some(cte +
+      """SELECT source_id, count(*) AS cnt,
+        |  min((CAST(source_id AS BIGINT) << 44) | pk) AS min_mapped,
+        |  max((CAST(source_id AS BIGINT) << 44) | pk) AS max_mapped
+        |FROM cdc GROUP BY source_id""".stripMargin)) { (spark, dir) =>
+    CdcStream.derive(spark, dir)
+      .withColumn("mapped",
+        Transforms.partitionId(0, col("pk"))
+          .bitwiseOR(shiftleft(col("source_id").cast(LongType), 44)))
+      .groupBy("source_id")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("mapped")).as("min_mapped"), max(col("mapped")).as("max_mapped"))
+  }
+
+  def all: Seq[GateQuery] = Seq(
+    schemaAsof, validator, mediaFeatures, claimCheck, columnSelector, partitionId)
+}

@@ -17,7 +17,8 @@ final case class GateQuery(
 object Gate {
   def all: Seq[GateQuery] =
     CoreQueries.all ++ CdcQueries.all ++ DiffQueries.all ++
-      CodecQueries.all ++ DocQueries.all ++ EmbeddingQueries.all
+      CodecQueries.all ++ DocQueries.all ++ EmbeddingQueries.all ++
+      ExtraQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
