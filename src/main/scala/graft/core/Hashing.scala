@@ -36,6 +36,16 @@ object Hashing {
   def seeded(c: Column, seed: Column): Column =
     portableLong(concat(c, lit("#"), seed.cast("string")))
 
+  /**
+   * Cheap seeded INTEGER re-hash of an already-hashed value — the (a·x+b)
+   * mod p universal family with seed-derived a, b. Turns "k seeded hashes
+   * of a string" into ONE md5 plus k integer mixes (12× fewer digest
+   * calls in MinHash); all arithmetic stays inside int64.
+   */
+  val MixP = 2147483647L // 2^31 - 1
+  def seededMix(h: Column, seed: Int): Column =
+    pmod(pmod(h, lit(MixP)) * lit(2L * seed + 3L) + lit(seed.toLong), lit(MixP))
+
   /** DuckDB SQL twins — keep in lockstep with the Column builders above. */
   object Sql {
     def portableLong(e: String): String =
@@ -44,5 +54,7 @@ object Hashing {
       s"((($e) % 2147483647) * 2654435761) % 4294967296"
     def seeded(e: String, seed: String): String =
       portableLong(s"($e) || '#' || CAST($seed AS VARCHAR)")
+    def seededMix(hE: String, seed: Int): String =
+      s"((($hE) % $MixP) * ${2L * seed + 3L} + $seed) % $MixP"
   }
 }

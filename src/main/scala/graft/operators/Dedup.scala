@@ -35,11 +35,35 @@ object Dedup {
   def exactKey(text: Column): Column =
     Hashing.portableLong(regexp_replace(lower(text), "\\s+", " "))
 
-  /** MinHash signature: k seeded portable hashes, each min'd over the
-    * shingle set. Map-only. */
-  def minhash(shingleCol: Column, k: Int): Column =
+  /** MinHash signature (column form): k seeded hashes min'd over the
+    * shingle set. Prefer [[minhashSignatures]] in pipelines — projection
+    * collapsing inlines `shingleCol` into every outer lambda, recomputing
+    * the digests k times when the expression falls out of codegen. */
+  def minhash(shingleCol: Column, k: Int): Column = {
+    val hashes = transform(shingleCol, s => Hashing.portableLong(s))
     transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingleCol, s => Hashing.seeded(s, seed))))
+      seed => array_min(transform(hashes,
+        h => pmod(pmod(h, lit(Hashing.MixP)) * (seed * 2 + 3) + seed.cast("long"),
+          lit(Hashing.MixP)))))
+  }
+
+  /**
+   * MinHash signatures, explode/aggregate form: one md5 per DISTINCT
+   * shingle, k integer-mix min-aggregates (order-independent), one shuffle
+   * on the doc id with map-side partial mins. This is the 100 TB shape —
+   * digest work is linear in corpus size, never multiplied by k.
+   */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, k: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
+      .withColumn("h", Hashing.portableLong(col("s")))
+    val mins = (0 until k).map(seed =>
+      min(Hashing.seededMix(col("h"), seed)).as(s"m$seed"))
+    exploded.groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH band signatures: split the k-length signature into `bands` groups
     * of r = k/bands and hash each group. Row explodes to one row per band
@@ -59,8 +83,7 @@ object Dedup {
    */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     shingleN: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
-      minhash(shingles(col(textCol), shingleN), k).as("sig"))
+    val sig = minhashSignatures(df, idCol, textCol, shingleN, k)
     val banded = sig.select(col("id"),
         explode(lshBands(col("sig"), k, bands)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.sig").as("band_sig"))
@@ -95,6 +118,27 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /**
+   * SimHash, explode/aggregate form (the 100 TB shape, same rationale as
+   * [[minhashSignatures]]): one md5 per token occurrence, `bits` integer
+   * sum-aggregates with map-side combine, bits reassembled post-agg.
+   * Returns (id, simhash).
+   */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 32): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("t"))
+      .withColumn("h", Hashing.portableLong(col("t")))
+    val sums = (0 until bits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b"))
+    exploded.groupBy("id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -108,9 +152,13 @@ object Dedup {
     }
     def exactKey(e: String): String =
       Hashing.Sql.portableLong(s"regexp_replace(lower($e), '\\s+', ' ', 'g')")
-    def minhash(shinglesE: String, k: Int): String =
-      s"[list_min([${Hashing.Sql.seeded("s", "seed")} FOR s IN ($shinglesE)]) " +
-        s"FOR seed IN range(0, $k)]"
+    def minhash(shinglesE: String, k: Int): String = {
+      val mins = (0 until k).map { seed =>
+        s"list_min([${Hashing.Sql.seededMix(Hashing.Sql.portableLong("s"), seed)} " +
+          s"FOR s IN ($shinglesE)])"
+      }
+      mins.mkString("[", ", ", "]")
+    }
     def jaccard(aE: String, bE: String): String =
       s"CAST(len(list_intersect(list_distinct($aE), list_distinct($bE))) AS DOUBLE)" +
         s" / CAST(len(list_distinct($aE || $bE)) AS DOUBLE)"

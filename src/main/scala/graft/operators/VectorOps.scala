@@ -38,10 +38,14 @@ object VectorOps {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms are per-vector, not per-pair: computed once on each side before
+    // the join (identical IEEE result, O(Q+N) instead of O(Q·N) sqrt work)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -50,21 +54,29 @@ object VectorOps {
   }
 
   /**
-   * Deterministic pseudo-random hyperplane weight for (plane j, dim d):
-   * integer in [-1000, 1000] derived from the portable hash — identical in
-   * the oracle, and integer weights keep the projection sum exactly
-   * representable until the final comparison.
+   * Deterministic pseudo-random hyperplane weights for (plane j, dim d):
+   * integers in [-1000, 1000] derived from the portable md5 hash of "j_d".
+   * Derived ONCE at plan-build time and embedded as literals — the md5s are
+   * constants per (plane, dim), so computing them per row (or per query in
+   * the oracle) would be pure waste. Same derivation on both engines.
    */
-  def hyperplaneWeight(j: Column, d: Column): Column =
-    pmod(Hashing.portableLong(concat(j.cast("string"), lit("_"), d.cast("string"))),
-      lit(2001L)) - 1000L
+  def hyperplaneWeights(planes: Int, dim: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { j =>
+      (0 until dim).map { d =>
+        val hex = md.digest(s"${j}_$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L - 1000L
+      }
+    }
+  }
 
-  /** LSH signature: `planes` sign bits of integer-weight projections. */
-  def lshSignature(vec: Column, planes: Int): Column = {
+  /** LSH signature: `planes` sign bits of literal-weight projections. */
+  def lshSignature(vec: Column, planes: Int, dim: Int): Column = {
+    val ws = hyperplaneWeights(planes, dim)
     (0 until planes).map { j =>
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * hyperplaneWeight(lit(j), d).cast("double")),
+        zip_with(vec, typedLit(ws(j)), (x, w) => x.cast("double") * w.cast("double")),
         lit(0d), (acc, x) => acc + x)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -73,18 +85,18 @@ object VectorOps {
   /** Bucketed ANN: exact cosine ranking restricted to same-signature
     * candidates. Recall < 1 by construction; `planes` trades recall for
     * bucket size. */
-  def lshTopK(df: DataFrame, queries: DataFrame, planes: Int, k: Int,
+  def lshTopK(df: DataFrame, queries: DataFrame, planes: Int, dim: Int, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sigd = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshSignature(col(vecCol), planes).as("sig"))
+      norm(col(vecCol)).as("cn"), lshSignature(col(vecCol), planes, dim).as("sig"))
     val sigq = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshSignature(col(vecCol), planes).as("sig"))
+      norm(col(vecCol)).as("qn"), lshSignature(col(vecCol), planes, dim).as("sig"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(sigq).join(sigd, Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -150,13 +162,14 @@ object VectorOps {
       s"sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN $aE]))"
     def cosine(aE: String, bE: String): String =
       s"(${dot(aE, bE)}) / ((${norm(aE)}) * (${norm(bE)}))"
-    def hyperplaneWeight(jE: String, dE: String): String =
-      s"(${Hashing.Sql.portableLong(s"CAST($jE AS VARCHAR) || '_' || CAST($dE AS VARCHAR)")} % 2001) - 1000"
-    def lshSignature(vecE: String, planes: Int): String =
+    def lshSignature(vecE: String, planes: Int, dim: Int): String = {
+      val ws = hyperplaneWeights(planes, dim)
       (0 until planes).map { j =>
-        val proj = s"list_sum([CAST(($vecE)[d + 1] AS DOUBLE) * CAST(${hyperplaneWeight(j.toString, "d")} AS DOUBLE) " +
-          s"FOR d IN range(0, len($vecE))])"
+        val wlist = ws(j).mkString("[", ", ", "]")
+        val proj = s"list_sum([CAST(($vecE)[i + 1] AS DOUBLE) * CAST(($wlist)[i + 1] AS DOUBLE) " +
+          s"FOR i IN range(0, $dim)])"
         s"(CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString("(", " + ", ")")
+    }
   }
 }

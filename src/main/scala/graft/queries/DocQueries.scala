@@ -168,9 +168,9 @@ object DocQueries {
          |SELECT bit_count(CAST(xor(a.h, b.h) AS BIGINT)) AS hamming, count(*) AS cnt
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000
          |GROUP BY 1""".stripMargin)) { (spark, dir) =>
-    val sh = corpus(spark, dir)
-      .select(col("doc_id"), Dedup.simhash(col("text"), SimhashBits).as("h"))
-    sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 100000L)
+    val sh = Dedup.simhashTable(corpus(spark, dir), "doc_id", "text", SimhashBits)
+      .withColumnRenamed("simhash", "h")
+    sh.as("a").join(sh.as("b"), col("b.id") === col("a.id") + 100000L)
       .groupBy(Dedup.hamming(col("a.h"), col("b.h")).as("hamming"))
       .agg(count(lit(1)).as("cnt"))
   }

@@ -35,7 +35,7 @@ object EmbeddingQueries {
   val lshAnn = GateQuery(
     "q81_lsh_ann",
     Some {
-      val sig = VectorOps.Sql.lshSignature("embedding", Planes)
+      val sig = VectorOps.Sql.lshSignature("embedding", Planes, 64)
       val cos = VectorOps.Sql.cosine("q.embedding", "c.embedding")
       s"""WITH sigs AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings)
          |SELECT query_id, rank, neighbor_id, cos FROM (
@@ -46,20 +46,20 @@ object EmbeddingQueries {
          |) WHERE rank <= 3""".stripMargin
     }) { (spark, dir) =>
     val e = Tables.load(spark, dir, "embeddings")
-    VectorOps.lshTopK(e, e.filter(expr(QueryFilter)), Planes, 3)
+    VectorOps.lshTopK(e, e.filter(expr(QueryFilter)), Planes, 64, 3)
   }
 
   val lshBuckets = GateQuery(
     "q82_lsh_buckets",
     Some {
-      val sig = VectorOps.Sql.lshSignature("embedding", Planes)
+      val sig = VectorOps.Sql.lshSignature("embedding", Planes, 64)
       s"""SELECT sig_pop, count(*) AS n_buckets, sum(cnt) AS n_vectors FROM (
          |  SELECT $sig AS sig, bit_count(CAST($sig AS BIGINT)) AS sig_pop, count(*) AS cnt
          |  FROM embeddings GROUP BY 1, 2
          |) GROUP BY sig_pop""".stripMargin
     }) { (spark, dir) =>
     Tables.load(spark, dir, "embeddings")
-      .groupBy(VectorOps.lshSignature(col("embedding"), Planes).as("sig"))
+      .groupBy(VectorOps.lshSignature(col("embedding"), Planes, 64).as("sig"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(bit_count(col("sig")).as("sig_pop"))
       .agg(count(lit(1)).as("n_buckets"), sum(col("cnt")).as("n_vectors"))
