@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{CdcStream, Tables}
+import graft.diff.Precheck
+import graft.streaming.ShardDdl
+
+/** Gate queries for shard-DDL coordination (G2) and the precheck suite (V6). */
+object DdlQueries {
+
+  private val cte = CdcStream.sqlCte
+
+  /** Deterministic DDL announcements: tbl_0/tbl_1 resolved by all 3 shards,
+    * tbl_2 stuck at 2/3, tbl_3 at 1/3. */
+  private val ddlRows = Seq(
+    ("tbl_0", 0, "add_col", 1001000L), ("tbl_0", 1, "add_col", 1001200L),
+    ("tbl_0", 2, "add_col", 1001400L),
+    ("tbl_1", 0, "add_col", 1002000L), ("tbl_1", 1, "add_col", 1002100L),
+    ("tbl_1", 2, "add_col", 1002200L),
+    ("tbl_2", 0, "add_col", 1003000L), ("tbl_2", 1, "add_col", 1003100L),
+    ("tbl_3", 0, "add_col", 1004000L))
+
+  private val ddlValuesSql = ddlRows
+    .map { case (t, s, d, ts) => s"('$t', $s, '$d', $ts)" }.mkString(", ")
+
+  val shardDdlGate = GateQuery(
+    "q38_shard_ddl_gate",
+    Some(cte +
+      s""", ddl(target_table, shard_id, ddl, commit_ts) AS (VALUES $ddlValuesSql),
+         |barriers AS (
+         |  SELECT target_table, ddl, count(DISTINCT shard_id) AS n_shards,
+         |    min(commit_ts) AS barrier_ts,
+         |    count(DISTINCT shard_id) >= 3 AS resolved
+         |  FROM ddl GROUP BY 1, 2
+         |), unresolved AS (
+         |  SELECT target_table, min(barrier_ts) AS gate_ts
+         |  FROM barriers WHERE NOT resolved GROUP BY 1
+         |)
+         |SELECT c.table_name,
+         |  sum(CASE WHEN u.gate_ts IS NULL OR c.commit_ts < u.gate_ts THEN 1 ELSE 0 END) AS n_pass,
+         |  sum(CASE WHEN u.gate_ts IS NOT NULL AND c.commit_ts >= u.gate_ts THEN 1 ELSE 0 END) AS n_hold
+         |FROM cdc c LEFT JOIN unresolved u ON u.target_table = c.table_name
+         |GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    val ddls = ddlRows.toDF("target_table", "shard_id", "ddl", "commit_ts")
+    val bars = ShardDdl.barriers(ddls, totalShards = 3)
+    val dml = CdcStream.derive(spark, dir)
+      .withColumn("target_table", col("table_name"))
+    ShardDdl.dmlGate(dml, bars)
+      .groupBy("table_name")
+      .agg(
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(!col("pass"), 1L).otherwise(0L)).as("n_hold"))
+  }
+
+  val precheck = GateQuery(
+    "q54_precheck",
+    Some("""WITH data_checks AS (
+           |  SELECT 'lineitem' AS table_name, count(*) AS n_rows,
+           |    sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |    count(DISTINCT (l_orderkey, l_linenumber)) AS n_distinct
+           |  FROM lineitem
+           |  UNION ALL
+           |  SELECT 'orders', count(*),
+           |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+           |    count(DISTINCT o_orderkey)
+           |  FROM orders
+           |)
+           |SELECT table_name, check_name, verdict FROM (
+           |  SELECT table_name, 'non_empty' AS check_name,
+           |    CASE WHEN n_rows > 0 THEN 'pass' ELSE 'fail' END AS verdict FROM data_checks
+           |  UNION ALL
+           |  SELECT table_name, 'pk_not_null',
+           |    CASE WHEN n_null = 0 THEN 'pass' ELSE 'fail' END FROM data_checks
+           |  UNION ALL
+           |  SELECT table_name, 'pk_unique',
+           |    CASE WHEN n_distinct = n_rows - n_null THEN 'pass' ELSE 'fail' END FROM data_checks
+           |  UNION ALL
+           |  SELECT t, c, 'pass' FROM (VALUES
+           |    ('lineitem', 'pk_present'), ('lineitem', 'types_supported'),
+           |    ('orders', 'pk_present'), ('orders', 'types_supported')) v(t, c)
+           |)""".stripMargin)) { (spark, dir) =>
+    Precheck.run(spark, Seq(
+      ("lineitem", Tables.load(spark, dir, "lineitem"), Seq("l_orderkey", "l_linenumber")),
+      ("orders", Tables.load(spark, dir, "orders"), Seq("o_orderkey"))))
+      .select("table_name", "check_name", "verdict")
+  }
+
+  def all: Seq[GateQuery] = Seq(shardDdlGate, precheck)
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Pessimistic shard-DDL coordination (SURVEY.md §2.12 G2; reference
+ * dm/syncer/sharding_group.go:96-370 TrySync, shardddl/pessimist.go).
+ *
+ * Shard-merge: N upstream shard tables route into one target table. When a
+ * DDL arrives from one shard, that shard's DMLs past the DDL ts must HOLD
+ * until every shard has announced the same DDL; then the DDL applies once
+ * and the group resumes. tiflow coordinates via etcd locks; Spark-first the
+ * coordinator is a `mapGroupsWithState` keyed by (target, ddl) and the DML
+ * gate is a deterministic filter against the barrier table.
+ */
+object ShardDdl {
+
+  final case class DdlEvent(target_table: String, shard_id: Int,
+                            ddl: String, commit_ts: Long)
+
+  final case class BarrierState(shardsSeen: Set[Int], firstTs: Long)
+
+  final case class ResolvedDdl(target_table: String, ddl: String,
+                               barrier_ts: Long, n_shards: Int)
+
+  /**
+   * Streaming coordinator: one state entry per in-flight (target, ddl);
+   * emits the resolved barrier exactly when the last shard reports
+   * (the "owner executes DDL once" moment) and clears the state.
+   */
+  def coordinate(spark: SparkSession, ddls: Dataset[DdlEvent],
+                 totalShards: Int): Dataset[ResolvedDdl] = {
+    import spark.implicits._
+    ddls.groupByKey(e => (e.target_table, e.ddl))
+      .mapGroupsWithState[BarrierState, Option[ResolvedDdl]](
+        GroupStateTimeout.NoTimeout) {
+        case ((target, ddl), events, state: GroupState[BarrierState]) =>
+          val prev = state.getOption.getOrElse(BarrierState(Set.empty, Long.MaxValue))
+          val evs = events.toSeq
+          val next = BarrierState(
+            prev.shardsSeen ++ evs.map(_.shard_id),
+            math.min(prev.firstTs, evs.map(_.commit_ts).min))
+          if (next.shardsSeen.size >= totalShards) {
+            state.remove()
+            Some(ResolvedDdl(target, ddl, next.firstTs, next.shardsSeen.size))
+          } else {
+            state.update(next)
+            None
+          }
+      }
+      .flatMap(_.toSeq)
+  }
+
+  /**
+   * Batch barrier computation (same semantics, one aggregation): a barrier
+   * is resolved iff all shards announced; barrier_ts = first announcement
+   * ts (DMLs beyond it were held on the announcing shards).
+   */
+  def barriers(ddls: DataFrame, totalShards: Int): DataFrame =
+    ddls.groupBy("target_table", "ddl")
+      .agg(
+        countDistinct(col("shard_id")).as("n_shards"),
+        min(col("commit_ts")).as("barrier_ts"))
+      .withColumn("resolved", col("n_shards") >= totalShards)
+
+  /**
+   * DML gate: rows pass while below the earliest UNRESOLVED barrier of
+   * their target table; rows at/after it hold for the next microbatch
+   * (reference: sharding_group gates each shard's stream the same way).
+   * Returns the input with a boolean `pass`.
+   */
+  def dmlGate(dml: DataFrame, barrierTable: DataFrame): DataFrame = {
+    val unresolved = barrierTable.filter(!col("resolved"))
+      .groupBy("target_table")
+      .agg(min(col("barrier_ts")).as("gate_ts"))
+    dml.join(broadcast(unresolved), Seq("target_table"), "left")
+      .withColumn("pass", col("gate_ts").isNull || col("commit_ts") < col("gate_ts"))
+      .drop("gate_ts")
+  }
+}
