@@ -1,21 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.operators.VectorOps
 /** Scratch main for ad-hoc debugging (not part of the engine). */
 object Dbg {
   def main(a: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]").getOrCreate()
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
-      .filter(col("vec_id").isin(0L, 1L))
-    val p = e.as("a").join(e.as("b"), col("a.vec_id") === 0 && col("b.vec_id") === 1)
-      .select(col("a.embedding").as("va"), col("b.embedding").as("vb"))
-    val row = p.select(
-      VectorOps.dot(col("va"), col("vb")).as("dot"),
-      VectorOps.cosine(col("va"), col("vb")).as("cos")).collect()(0)
-    println("SPARK dot = " + row.getDouble(0))
-    println("SPARK cos = " + row.getDouble(1))
+    val dir = "/root/testdata/sf0.01"
+    for (name <- Seq("q01_pricing_summary", "q51_row_diff", "q80_knn_brute",
+                     "q31_compaction", "q72_schema_asof")) {
+      println(s"===== $name =====")
+      println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).linesIterator
+        .filter(l => l.contains("Scan") || l.contains("Join") || l.contains("Exchange")
+          || l.contains("PushedFilters") || l.contains("ReadSchema")
+          || l.contains("WholeStageCodegen") || l.contains("Broadcast"))
+        .mkString("\n"))
+    }
     spark.stop()
   }
 }

@@ -33,6 +33,34 @@ object SchemaRegistry {
       if (f.name == from) f.copy(name = to) else f))
   }
 
+  /**
+   * G3 — optimistic shard-DDL schema join: shards may drift; the group's
+   * effective schema is the field-union, nullable where any shard lacks the
+   * column, CONFLICT when the same name carries different types (reference
+   * dm/pkg/shardddl/optimism — the "schema lattice" join). Field order:
+   * first-seen across shards, matching the reference's merge order.
+   */
+  final case class SchemaConflict(field: String, types: Seq[DataType])
+
+  def joinSchemas(shards: Seq[StructType]): Either[SchemaConflict, StructType] = {
+    val order = shards.flatMap(_.fieldNames).distinct
+    val byName = order.map { n =>
+      n -> shards.flatMap(_.fields.filter(_.name == n))
+    }
+    byName.collectFirst {
+      case (n, fs) if fs.map(_.dataType).distinct.size > 1 =>
+        SchemaConflict(n, fs.map(_.dataType).distinct)
+    } match {
+      case Some(c) => Left(c)
+      case None =>
+        Right(StructType(byName.map { case (n, fs) =>
+          val f = fs.head
+          // nullable if any shard misses the column or declares it nullable
+          f.copy(nullable = f.nullable || fs.size < shards.size)
+        }))
+    }
+  }
+
   /** Registry → DataFrame of version intervals [from, to) for the range
     * join; to = next version's from (open-ended tail). */
   def versionIntervals(spark: SparkSession, versions: Seq[TableVersion]): DataFrame = {

@@ -176,6 +176,45 @@ object Codecs {
   def canalDecode(json: Column): Column = from_json(json, canalSchema)
 
   /**
+   * E7 — Simple protocol (pkg/sink/codec/simple/encoder.go): JSON envelope
+   * with an explicit schema lifecycle — a BOOTSTRAP message carrying the
+   * table schema precedes row messages, which then reference it by
+   * (database, table, schemaVersion) instead of embedding types.
+   */
+  def simpleBootstrap(df: DataFrame, schemaVersion: Int): Column =
+    to_json(struct(
+      lit("BOOTSTRAP").as("type"),
+      col("schema_name").as("database"),
+      col("table_name").as("table"),
+      lit(schemaVersion).as("schemaVersion"),
+      array(
+        struct(lit("pk").as("name"), lit("BIGINT").as("dataType"),
+          lit(false).as("nullable")),
+        struct(lit("val").as("name"), lit("DOUBLE").as("dataType"),
+          lit(true).as("nullable")),
+        struct(lit("etype").as("name"), lit("VARCHAR").as("dataType"),
+          lit(true).as("nullable"))).as("columns")), jsonOpts)
+
+  def simpleRow(df: DataFrame, schemaVersion: Int): Column = {
+    val sType = when(col("op") === "I", "INSERT")
+      .when(col("op") === "U", "UPDATE").otherwise("DELETE")
+    val nullImg = lit(null).cast(new StructType()
+      .add("pk", LongType).add("val", DoubleType).add("etype", StringType))
+    to_json(struct(
+      sType.as("type"),
+      col("commit_ts").as("commitTs"),
+      col("schema_name").as("database"),
+      col("table_name").as("table"),
+      lit(schemaVersion).as("schemaVersion"),
+      when(col("op") =!= "D",
+        payloadStruct(col("pk"), col("val_after"), col("etype")))
+        .otherwise(nullImg).as("data"),
+      when(col("op") =!= "I",
+        payloadStruct(col("pk"), col("val_before"), col("etype")))
+        .otherwise(nullImg).as("old")), jsonOpts)
+  }
+
+  /**
    * E3 (schema half) — Avro record schema generated per (schema, table)
    * version, mirroring columnToAvroSchema
    * (pkg/sink/codec/avro/avro.go:645+): name/namespace from the table,

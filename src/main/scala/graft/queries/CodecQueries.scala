@@ -168,6 +168,46 @@ object CodecQueries {
           lit("\"," + """"fields":[{"name":"pk","type":"long"},{"name":"val","type":["null","double"]},{"name":"etype","type":["null","string"]}]}""")))
   }
 
+  /** E7 — Simple protocol: schema-lifecycle bootstrap + row messages. */
+  val simple = GateQuery(
+    "q48_simple",
+    Some(cte +
+      s"""SELECT seq, msg FROM (
+         |  SELECT DISTINCT -1 - dense_rank() OVER (ORDER BY schema_name, table_name) AS seq,
+         |    to_json(struct_pack(
+         |      type := 'BOOTSTRAP', "database" := schema_name, "table" := table_name,
+         |      schemaVersion := 1,
+         |      columns := [
+         |        struct_pack(name := 'pk', dataType := 'BIGINT', nullable := false),
+         |        struct_pack(name := 'val', dataType := 'DOUBLE', nullable := true),
+         |        struct_pack(name := 'etype', dataType := 'VARCHAR', nullable := true)]
+         |    )) AS msg
+         |  FROM cdc
+         |  UNION ALL
+         |  SELECT seq, to_json(struct_pack(
+         |    type := CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+         |    commitTs := commit_ts, "database" := schema_name, "table" := table_name,
+         |    schemaVersion := 1,
+         |    data := CASE WHEN op <> 'D' THEN ${imgStructSql("val_after")}
+         |                 ELSE $imgNullStructSql END,
+         |    old := CASE WHEN op <> 'I' THEN ${imgStructSql("val_before")}
+         |                ELSE $imgNullStructSql END
+         |  )) AS msg FROM cdc WHERE $SampleE
+         |)""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val df = CdcStream.derive(spark, dir)
+    val boot = df.select(col("schema_name"), col("table_name")).distinct()
+      .withColumn("seq",
+        lit(-1L) - dense_rank().over(
+          Window.orderBy(col("schema_name"), col("table_name"))))
+    val bootMsgs = boot.select(col("seq"),
+      Codecs.simpleBootstrap(boot, 1).as("msg"))
+    val sampled = df.filter(expr(SampleE))
+    bootMsgs.unionByName(
+      sampled.select(col("seq"), Codecs.simpleRow(sampled, 1).as("msg")))
+  }
+
   def all: Seq[GateQuery] = Seq(
-    canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas)
+    canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas,
+    simple)
 }

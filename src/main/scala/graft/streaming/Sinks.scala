@@ -25,26 +25,34 @@ object Sinks {
   def parquetStateSink(spark: SparkSession, stateDir: String,
                        keyCols: Seq[String] = Seq("schema_name", "table_name", "pk"))
                       (batch: DataFrame, batchId: Long): Unit = {
-    val versionDir = s"$stateDir/v$batchId"
     val ptr = Paths.get(s"$stateDir/CURRENT")
-    val current: Option[DataFrame] =
-      if (Files.exists(ptr))
-        Some(spark.read.parquet(s"$stateDir/${Files.readString(ptr).trim}"))
-      else None
+    // pointer format: "v<version> <lastAppliedBatchId>". Replays of an
+    // already-applied batch are skipped — that, not the write itself, is
+    // what turns at-least-once foreachBatch delivery into exactly-once.
+    val (curVersion, lastBatch): (Long, Long) =
+      if (Files.exists(ptr)) {
+        val parts = Files.readString(ptr).trim.split(' ')
+        (parts(0).stripPrefix("v").toLong, parts(1).toLong)
+      } else (-1L, Long.MinValue)
+    if (batchId == lastBatch) return
 
     val upserts = batch.filter(col("net_op") =!= "D")
       .select(keyCols.map(col) :+ col("final_val") :+ col("last_commit_ts"): _*)
-    val merged = current match {
-      case None => upserts
-      case Some(cur) =>
+    val merged =
+      if (curVersion < 0) upserts
+      else {
         // anti-join removes keys touched this batch (covers U and D), then
         // the new images are appended — one shuffle on the key.
-        cur.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+        spark.read.parquet(s"$stateDir/v$curVersion")
+          .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(upserts)
-    }
-    merged.write.mode(SaveMode.Overwrite).parquet(versionDir)
+      }
+    // always a FRESH version dir: the merge reads the current one lazily,
+    // so writing in place would destroy its own input mid-job
+    val next = curVersion + 1
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/v$next")
     val tmp = Paths.get(s"$stateDir/CURRENT.tmp")
-    Files.writeString(tmp, s"v$batchId")
+    Files.writeString(tmp, s"v$next $batchId")
     Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -52,7 +60,8 @@ object Sinks {
   /** Read the current materialized state. */
   def readState(spark: SparkSession, stateDir: String): DataFrame = {
     val ptr = Paths.get(s"$stateDir/CURRENT")
-    spark.read.parquet(s"$stateDir/${Files.readString(ptr).trim}")
+    val version = Files.readString(ptr).trim.split(' ')(0)
+    spark.read.parquet(s"$stateDir/$version")
   }
 
   /**
