@@ -207,7 +207,35 @@ object CodecQueries {
       sampled.select(col("seq"), Codecs.simpleRow(sampled, 1).as("msg")))
   }
 
+  /** K2 — complete Kafka record: topic (R2), partition (R3 index-value
+    * dispatch), key and value (E1) as the four sink columns Spark's Kafka
+    * writer consumes. The whole record is ONE projection — no per-row
+    * dispatch code. */
+  val kafkaRecord = GateQuery(
+    "q49_kafka_record",
+    Some(cte +
+      s"""SELECT seq,
+         |  'cdc.' || schema_name || '.' || table_name AS topic,
+         |  ${graft.core.Hashing.Sql.mix32("pk_after")} % 6 AS partition,
+         |  to_json(struct_pack(ts := commit_ts, scm := schema_name,
+         |                      tbl := table_name, t := 1)) AS key,
+         |  to_json(struct_pack(
+         |    u := CASE WHEN op <> 'D' THEN ${opImgSql("val_after")} ELSE $opImgNullSql END,
+         |    d := CASE WHEN op = 'D' THEN ${opImgSql("val_before")} ELSE $opImgNullSql END
+         |  )) AS value
+         |FROM cdc WHERE $SampleE""".stripMargin)) { (spark, dir) =>
+    import graft.operators.Routing
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+      .withColumn("target_schema", col("schema_name"))
+      .withColumn("target_table", col("table_name"))
+    df.select(col("seq"),
+      Routing.topic("cdc.", ".").as("topic"),
+      Routing.dispatchByIndexValue(6).as("partition"),
+      Codecs.openProtocolKey(df).as("key"),
+      Codecs.openProtocolValue(df).as("value"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas,
-    simple)
+    simple, kafkaRecord)
 }
