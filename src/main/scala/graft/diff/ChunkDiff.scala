@@ -33,9 +33,23 @@ object ChunkDiff {
     conv(substring(md5(concat_ws("|", canonicalCols: _*)), 1, 15), 16, 10)
       .cast("long")
 
-  /** V1 — deterministic chunking by ntile over the key order. */
+  /** V1 — deterministic chunking by ntile over the key order. Exact-size
+    * chunks and oracle-reproducible, but the global window serializes one
+    * partition — use [[withRangeChunk]] at scale. */
   def withChunk(df: DataFrame, orderKeys: Seq[Column], nChunks: Int): DataFrame =
     df.withColumn("chunk_id", ntile(nChunks).over(Window.orderBy(orderKeys: _*)))
+
+  /**
+   * V1 scale path: range-partition on the key (distributed sampling picks
+   * boundaries — the analog of the reference's stats-bucket splitter) and
+   * use the partition id as the chunk id. No global sort, no single-task
+   * stage; chunk sizes are approximate, which is fine for checksum compare
+   * (V2) — only chunk MEMBERSHIP must agree between the two sides, and the
+   * same boundaries can be reused by both via a join on chunk_id ranges.
+   */
+  def withRangeChunk(df: DataFrame, orderKeys: Seq[Column], nChunks: Int): DataFrame =
+    df.repartitionByRange(nChunks, orderKeys: _*)
+      .withColumn("chunk_id", spark_partition_id())
 
   /** V2 — per-chunk (count, checksum) digest. */
   def chunkChecksums(df: DataFrame, orderKeys: Seq[Column], nChunks: Int,
