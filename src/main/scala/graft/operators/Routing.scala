@@ -61,6 +61,28 @@ object Routing {
   def dispatchByColumns(n: Int, cols: Seq[Column]): Column =
     pmod(hash32(cols.reduce(_ * lit(31L) + _)), lit(n.toLong))
 
+  /**
+   * BYTE-EXACT tiflow partition parity. The reference's index-value
+   * dispatcher hashes with PositionInertia — XOR of CRC32-IEEE over each
+   * write group: crc32(schema ++ table) ^ crc32(colName ++ valueString) per
+   * handle-key column, then % partitionNum
+   * (pkg/hash/position_inertia.go:41-56, partition/index_value.go:45-67).
+   * Spark's built-in `crc32` is the same IEEE polynomial and codegen'd, so
+   * a migrating user's rows land on the SAME Kafka partitions they did
+   * under tiflow — no custom Expression needed.
+   *
+   * `keyCols` are (columnName, valueString) pairs; value rendering must
+   * match the reference's ColumnValueString (int64 → decimal string).
+   */
+  def dispatchTiflowCompat(n: Int, schema: Column, table: Column,
+                           keyCols: Seq[(String, Column)]): Column = {
+    val base = crc32(concat(schema, table).cast("binary"))
+    val mixed = keyCols.foldLeft(base) { case (acc, (name, value)) =>
+      acc.bitwiseXOR(crc32(concat(lit(name), value.cast("string")).cast("binary")))
+    }
+    pmod(mixed, lit(n.toLong))
+  }
+
   /** Engine-portable string→long hash: first 15 hex chars of md5 parsed
     * base-16 (both Spark `conv` and DuckDB hex-cast agree). */
   def md5Long(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
