@@ -172,6 +172,78 @@ object ExtraQueries {
         min(col("mapped")).as("min_mapped"), max(col("mapped")).as("max_mapped"))
   }
 
+  /** S2/J1 — 2PC prewrite×commit matching. The 2PC event stream derives
+    * deterministically from the cdc stream: every row expands to a
+    * prewrite + (commit | rollback-every-13th). Only committed prewrites
+    * survive the match. */
+  val twoPcMatch = GateQuery(
+    "q39_2pc_match",
+    Some(cte +
+      """, twopc AS (
+        |  SELECT 'P' AS kind, start_ts, pk AS key,
+        |         coalesce(val_after, -1) AS value, NULL::BIGINT AS commit_ts
+        |  FROM cdc
+        |  UNION ALL
+        |  SELECT CASE WHEN seq % 13 = 0 THEN 'R' ELSE 'C' END, start_ts, pk,
+        |         NULL, commit_ts
+        |  FROM cdc
+        |), pre AS (SELECT start_ts, key, value FROM twopc WHERE kind = 'P'),
+        |   com AS (SELECT start_ts, key, commit_ts FROM twopc WHERE kind = 'C'),
+        |   rb  AS (SELECT DISTINCT start_ts, key FROM twopc WHERE kind = 'R')
+        |SELECT count(*) AS n_matched,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val,
+        |  count(DISTINCT commit_ts) AS n_commit_ts
+        |FROM (
+        |  SELECT p.*, c.commit_ts FROM pre p
+        |  JOIN com c ON p.start_ts = c.start_ts AND p.key = c.key
+        |  WHERE NOT EXISTS (SELECT 1 FROM rb r
+        |                    WHERE r.start_ts = p.start_ts AND r.key = p.key)
+        |)""".stripMargin)) { (spark, dir) =>
+    import graft.operators.Matcher
+    val cdc = CdcStream.derive(spark, dir)
+    val pre = cdc.select(lit("P").as("kind"), col("start_ts"), col("pk").as("key"),
+      coalesce(col("val_after"), lit(-1d)).as("value"),
+      lit(null).cast(LongType).as("commit_ts"))
+    val comRb = cdc.select(
+      when(col("seq") % 13 === 0, "R").otherwise("C").as("kind"),
+      col("start_ts"), col("pk").as("key"),
+      lit(null).cast("double").as("value"), col("commit_ts"))
+    Matcher.matchBatch(pre.unionByName(comRb))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_val"),
+        countDistinct(col("commit_ts")).as("n_commit_ts"))
+  }
+
+  /** G4 — online-DDL ghost-table recognition and rename-back mapping. */
+  val onlineDdl = GateQuery(
+    "q27_online_ddl",
+    Some("""SELECT t AS table_name, kind, real_table, count(*) AS cnt FROM (
+           |  SELECT t,
+           |    CASE WHEN regexp_matches(t, '^_(.+)_gho$') THEN 'gho'
+           |         WHEN regexp_matches(t, '^_(.+)_ghc$') THEN 'ghc'
+           |         WHEN regexp_matches(t, '^_(.+)_del$') THEN 'del'
+           |         WHEN regexp_matches(t, '^_(.+)_new$') THEN 'new'
+           |         WHEN regexp_matches(t, '^_(.+)_old$') THEN 'old'
+           |         ELSE 'real' END AS kind,
+           |    CASE WHEN regexp_matches(t, '^_(.+)_(gho|ghc|del|new|old)$')
+           |         THEN regexp_extract(t, '^_(.+)_(gho|ghc|del|new|old)$', 1)
+           |         ELSE t END AS real_table
+           |  FROM (VALUES ('users'), ('_users_gho'), ('_users_ghc'), ('_users_del'),
+           |               ('_orders_new'), ('_orders_old'), ('order_new'), ('_a_b_gho')) v(t)
+           |) GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.Matcher
+    Seq("users", "_users_gho", "_users_ghc", "_users_del",
+      "_orders_new", "_orders_old", "order_new", "_a_b_gho")
+      .toDF("table_name")
+      .select(col("table_name"),
+        Matcher.ghostKind(col("table_name")).as("kind"),
+        Matcher.ghostToReal(col("table_name")).as("real_table"))
+      .groupBy("table_name", "kind", "real_table")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   def all: Seq[GateQuery] = Seq(
-    schemaAsof, validator, mediaFeatures, claimCheck, columnSelector, partitionId)
+    schemaAsof, validator, mediaFeatures, claimCheck, columnSelector,
+    partitionId, twoPcMatch, onlineDdl)
 }
