@@ -26,6 +26,13 @@ object TextOps {
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc + lit(1L) + ((length(t) - 1) / lit(4)).cast("long"))
 
+  /** BPE-ish regex tokenization: word runs, digit runs, and single
+    * punctuation marks each count as one piece (the GPT-2-style pre-token
+    * split, simplified to an engine-portable regex). */
+  val PieceRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def regexPieceCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PieceRegex), lit(0)))
+
   /**
    * Quality score in [0,100]: combines type-token ratio (vocabulary
    * diversity), mean word length, and a length band. Double arithmetic with
@@ -85,6 +92,8 @@ object TextOps {
     def tokenCount(e: String) = s"len(${tokens.format(e)})"
     def bpeEstimate(e: String) =
       s"list_sum([1 + (len(t) - 1) // 4 FOR t IN ${tokens.format(e)}])"
+    def regexPieceCount(e: String) =
+      s"len(regexp_extract_all($e, '$PieceRegex'))"
     def qualityScore(e: String): String = {
       val toks = tokens.format(e)
       s"""(CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) * 50

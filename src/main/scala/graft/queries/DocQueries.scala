@@ -44,6 +44,7 @@ object DocQueries {
     Some(s"""SELECT lang, count(*) AS n_docs,
             |  sum(${TextOps.Sql.tokenCount("text")}) AS sum_tokens,
             |  sum(${TextOps.Sql.bpeEstimate("text")}) AS sum_bpe,
+            |  sum(${TextOps.Sql.regexPieceCount("text")}) AS sum_pieces,
             |  sum(CASE WHEN (${TextOps.Sql.qualityScore("text")}) >= 50 THEN 1 ELSE 0 END) AS n_quality
             |FROM documents GROUP BY lang""".stripMargin)) { (spark, dir) =>
     Tables.load(spark, dir, "documents")
@@ -52,6 +53,7 @@ object DocQueries {
         count(lit(1)).as("n_docs"),
         sum(TextOps.tokenCount(col("text")).cast("long")).as("sum_tokens"),
         sum(TextOps.bpeEstimate(col("text"))).as("sum_bpe"),
+        sum(TextOps.regexPieceCount(col("text")).cast("long")).as("sum_pieces"),
         sum(when(TextOps.qualityScore(col("text")) >= 50, 1L).otherwise(0L)).as("n_quality"))
   }
 

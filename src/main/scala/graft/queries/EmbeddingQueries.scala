@@ -103,5 +103,41 @@ object EmbeddingQueries {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  def all: Seq[GateQuery] = Seq(knnBrute, lshAnn, lshBuckets, centroidAssign)
+  private val NearDupPlanes = 6
+
+  /** Embedding-cosine near-dup detection: LSH buckets generate candidate
+    * pairs, exact cosine ≥ threshold confirms — the vector analog of the
+    * MinHash pipeline (candidate generation never goes n²). */
+  val cosineNearDup = GateQuery(
+    "q84_cosine_neardup",
+    Some {
+      val sig = VectorOps.Sql.lshSignature("embedding", NearDupPlanes, 64)
+      val cos = VectorOps.Sql.cosine("a.embedding", "b.embedding")
+      s"""WITH sigs AS (SELECT vec_id, label, embedding, $sig AS sig FROM embeddings)
+         |SELECT same_label, count(*) AS n_pairs,
+         |  CAST(sum(CAST(cos AS DECIMAL(18,9))) AS DOUBLE) AS sum_cos
+         |FROM (
+         |  SELECT a.label = b.label AS same_label, $cos AS cos
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |)
+         |WHERE cos >= 0.3
+         |GROUP BY same_label""".stripMargin
+    }) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        VectorOps.lshSignature(col("embedding"), NearDupPlanes, 64).as("sig"),
+        VectorOps.norm(col("embedding")).as("n"))
+    e.as("a").join(e.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        VectorOps.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.n") * col("b.n")))
+      .filter(col("cos") >= 0.3)
+      .groupBy((col("a.label") === col("b.label")).as("same_label"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cos").cast("decimal(18,9)")).cast("double").as("sum_cos"))
+  }
+
+  def all: Seq[GateQuery] =
+    Seq(knnBrute, lshAnn, lshBuckets, centroidAssign, cosineNearDup)
 }
