@@ -71,13 +71,17 @@ object Sinks {
    * for free and keeps writes parallel per partition.
    */
   def storageSink(base: String, format: String = "parquet")
-                 (batch: DataFrame, batchId: Long): Unit =
+                 (batch: DataFrame, batchId: Long): Unit = {
+    val tsCol = if (batch.columns.contains("last_commit_ts")) "last_commit_ts"
+                else "commit_ts"
     batch
-      .withColumn("_date", lit("1970-01-01"))
+      .withColumn("_date",
+        date_format(timestamp_seconds(col(tsCol) / 1000), "yyyy-MM-dd"))
       .write.mode(SaveMode.Append)
       .partitionBy("schema_name", "table_name", "_date")
       .format(format)
       .save(base)
+  }
 
   /**
    * K1 — JDBC-shaped sink: partition by causality slot so same-key rows
