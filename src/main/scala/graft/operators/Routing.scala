@@ -44,14 +44,12 @@ object Routing {
     concat(lit(prefix), col("target_schema"), lit(mid), col("target_table"), lit(suffix))
 
   /**
-   * Deterministic 32-bit multiplicative hash used by all dispatchers.
-   * tiflow uses fnv/crc32 (dispatcher code cited above); we need a hash that
-   * BOTH Spark and the DuckDB oracle can evaluate identically, so we use
-   * Knuth's multiplicative constant over the key's long value. For string
-   * keys callers pre-hash to a long (e.g. via Checksums.hex15ToLong).
+   * Deterministic 32-bit multiplicative hash used by all dispatchers
+   * (Knuth mix over the key's long value — see [[graft.core.Hashing]]).
+   * For byte-exact parity with tiflow's own partition placement use
+   * [[dispatchTiflowCompat]] instead.
    */
-  def hash32(key: Column): Column =
-    pmod(pmod(key, lit(2147483647L)) * lit(2654435761L), lit(4294967296L))
+  def hash32(key: Column): Column = graft.core.Hashing.mix32(key)
 
   /** R3 dispatchers — partition index derivations. */
   def dispatchByTable(n: Int): Column =
@@ -83,9 +81,8 @@ object Routing {
     pmod(mixed, lit(n.toLong))
   }
 
-  /** Engine-portable string→long hash: first 15 hex chars of md5 parsed
-    * base-16 (both Spark `conv` and DuckDB hex-cast agree). */
-  def md5Long(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Engine-portable string→long hash (delegates to core.Hashing). */
+  def md5Long(c: Column): Column = graft.core.Hashing.portableLong(c)
 
   private def xxhashLess(a: Column, b: Column): Column = md5Long(concat_ws("\u0001", a, b))
 
