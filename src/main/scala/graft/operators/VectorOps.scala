@@ -154,6 +154,40 @@ object VectorOps {
       .drop("rn", "qv")
   }
 
+  /**
+   * IVF probe search: rank candidate cells per query by centroid distance,
+   * search only the `nProbe` nearest cells. With the corpus PARTITIONED by
+   * assigned centroid (the 100 TB layout: one directory per cell, partition
+   * pruning skips the rest), cost scales with probed cells, not corpus
+   * size. Exact integer cell ranking (quantized), exact cosine within
+   * cells.
+   */
+  def ivfSearch(corpusAssigned: DataFrame, queries: DataFrame, cents: DataFrame,
+                nProbe: Int, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"), quantize(col(vecCol)).as("qq"))
+    // probe list: nProbe nearest centroids per query (tiny cross join)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cdist", sqDistQ(col("qq"), col("centroid")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+    val c = corpusAssigned.select(col("centroid_id"),
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(c, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** DuckDB SQL twins. */
   object Sql {
     def dot(aE: String, bE: String): String =

@@ -138,6 +138,62 @@ object EmbeddingQueries {
         sum(col("cos").cast("decimal(18,9)")).cast("double").as("sum_cos"))
   }
 
+  /** IVF probe search: top-3 within the 3 nearest centroid cells. */
+  val ivfSearch = GateQuery(
+    "q85_ivf_search",
+    Some {
+      val scale = VectorOps.QuantScale
+      val cos = VectorOps.Sql.cosine("p.qv", "c.embedding")
+      s"""WITH q AS (
+         |  SELECT vec_id, label, embedding,
+         |    [CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT) FOR x IN embedding] AS qq
+         |  FROM embeddings
+         |), expl AS (
+         |  SELECT label,
+         |    unnest([{'d': i - 1, 'v': qq[i]} FOR i IN range(1, len(qq) + 1)]) AS u
+         |  FROM q
+         |), comp AS (
+         |  SELECT label AS centroid_id, u.d AS d, sum(u.v) AS s, count(*) AS cnt
+         |  FROM expl GROUP BY 1, 2
+         |), cents AS (
+         |  SELECT centroid_id,
+         |    list(CAST((s - ((s % cnt) + cnt) % cnt) / cnt AS BIGINT) ORDER BY d) AS centroid
+         |  FROM comp GROUP BY centroid_id
+         |), assigned AS (
+         |  SELECT vec_id, centroid_id AS cell FROM (
+         |    SELECT q.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum([(q.qq[i] - c.centroid[i]) * (q.qq[i] - c.centroid[i])
+         |                  FOR i IN range(1, len(q.qq) + 1)]), c.centroid_id) AS rn
+         |    FROM q, cents c
+         |  ) WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id AS query_id, qv, centroid_id FROM (
+         |    SELECT q.vec_id, q.embedding AS qv, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum([(q.qq[i] - c.centroid[i]) * (q.qq[i] - c.centroid[i])
+         |                  FOR i IN range(1, len(q.qq) + 1)]), c.centroid_id) AS prank
+         |    FROM q, cents c
+         |    WHERE q.${QueryFilter.replace("vec_id", "vec_id")}
+         |  ) WHERE prank <= 3
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id, $cos AS cos,
+         |    row_number() OVER (PARTITION BY p.query_id ORDER BY $cos DESC, c.vec_id) AS rank
+         |  FROM probes p
+         |  JOIN assigned a ON a.cell = p.centroid_id
+         |  JOIN q c ON c.vec_id = a.vec_id
+         |  WHERE c.vec_id <> p.query_id
+         |) WHERE rank <= 3""".stripMargin
+    }) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    val cents = VectorOps.centroids(e, "label", "embedding")
+    val assigned = VectorOps.assignCentroids(e, cents)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+    VectorOps.ivfSearch(assigned, e.filter(expr(QueryFilter)), cents,
+      nProbe = 3, k = 3)
+  }
+
   def all: Seq[GateQuery] =
-    Seq(knnBrute, lshAnn, lshBuckets, centroidAssign, cosineNearDup)
+    Seq(knnBrute, lshAnn, lshBuckets, centroidAssign, cosineNearDup, ivfSearch)
 }

@@ -64,6 +64,27 @@ object Sinks {
     spark.read.parquet(s"$stateDir/$version")
   }
 
+  /** Drop state versions older than the current minus `keep` (time-travel
+    * window); the pointer's version is never removed. */
+  def vacuumState(stateDir: String, keep: Int = 2): Unit = {
+    val ptr = Paths.get(s"$stateDir/CURRENT")
+    if (!Files.exists(ptr)) return
+    val cur = Files.readString(ptr).trim.split(' ')(0).stripPrefix("v").toLong
+    val dir = new java.io.File(stateDir)
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory && f.getName.startsWith("v")) {
+        val v = f.getName.stripPrefix("v").toLongOption
+        if (v.exists(_ < cur - keep)) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete(); ()
+          }
+          rm(f)
+        }
+      }
+    }
+  }
+
   /**
    * K4 — cloud-storage sink: per-table files under
    * {base}/{schema}/{table}/{date}/ in the chosen format (reference layout

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.streaming.Sinks
+
+/** Skew helpers and state vacuum. */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals plain aggregation") {
+    // one mega-key (90% of rows) + a tail
+    val df = ((1 to 900).map(_ => ("hot", 1L)) ++
+      (1 to 100).map(i => (s"k$i", i.toLong))).toDF("k", "v")
+    val salted = Skew.saltedAgg(df, Seq("k"), salts = 8,
+      partial = Seq(sum(col("v")).as("s"), count(lit(1)).as("c")),
+      fin = Seq(sum(col("s")).as("total"), sum(col("c")).as("cnt")))
+      .as[(String, Long, Long)].collect().map { case (k, s, c) => k -> ((s, c)) }.toMap
+    val plain = df.groupBy("k")
+      .agg(sum(col("v")).as("total"), count(lit(1)).as("cnt"))
+      .as[(String, Long, Long)].collect().map { case (k, s, c) => k -> ((s, c)) }.toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val big = ((1 to 500).map(_ => (1L, "x")) ++
+      (1 to 50).map(i => (i.toLong + 1, s"y$i"))).toDF("k", "payload")
+    val dim = (1 to 60).map(i => (i.toLong, s"dim$i")).toDF("k", "attr")
+    val a = Skew.saltedJoin(big, dim, "k", salts = 4)
+      .groupBy("k").agg(count(lit(1)).as("c"), countDistinct("attr").as("d"))
+      .as[(Long, Long, Long)].collect().toSet
+    val b = big.join(dim, Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"), countDistinct("attr").as("d"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("vacuum keeps the recent version window") {
+    val dir = Files.createTempDirectory("graft_vac").toString
+    val mk = (pk: Long, v: Double) => Seq(("db", "t", pk, "I", Some(v), 100L))
+      .toDF("schema_name", "table_name", "pk", "net_op", "final_val", "last_commit_ts")
+    for (b <- 0L to 4L) Sinks.parquetStateSink(spark, s"$dir/state")(mk(b, b * 1.0), b)
+    Sinks.vacuumState(s"$dir/state", keep = 1)
+    val versions = new java.io.File(s"$dir/state").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(versions == Set("v3", "v4"))
+    // state still readable and complete
+    assert(Sinks.readState(spark, s"$dir/state").count() == 5)
+  }
+}
