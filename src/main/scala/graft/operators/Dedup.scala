@@ -142,6 +142,36 @@ object Dedup {
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /**
+   * Duplicate clustering: connected components over the candidate-pair
+   * graph (LSH edges), so each near-dup GROUP keeps one canonical doc —
+   * the endgame of corpus dedup. Label propagation: every node adopts the
+   * min id reachable through its edges, iterated to fixpoint. Each round
+   * is one join + one aggregation (both shuffle on id); planted-dup chains
+   * converge in O(diameter) rounds. At 100 TB this is the standard
+   * large-graph CC pattern (alternating small/large-star joins).
+   */
+  def dupClusters(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val bidir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaEdges = bidir.join(labels, bidir("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** DuckDB SQL twins (keep in lockstep with the Column builders). */
   object Sql {
     def shingles(e: String, n: Int): String = {

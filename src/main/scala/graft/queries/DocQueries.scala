@@ -177,6 +177,62 @@ object DocQueries {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Dedup clustering: connected components over LSH candidate pairs with
+    * jaccard >= 0.5; output = cluster-size histogram + canonical-id check.
+    * Oracle computes components with a recursive CTE. */
+  val dupClusters = GateQuery(
+    "q67_dup_clusters",
+    Some {
+      val shingleE = Dedup.Sql.shingles("text", ShingleN)
+      val bandSig = (0 until BandRows)
+        .map(i => s"CAST(sig[band * $BandRows + ${i + 1}] AS VARCHAR)")
+        .mkString(" || ',' || ")
+      corpusCte +
+        s""", sigs AS (
+           |  SELECT doc_id, ${Dedup.Sql.minhash(shingleE, MinhashK)} AS sig,
+           |    list_distinct($shingleE) AS sh
+           |  FROM corpus
+           |), banded AS (
+           |  SELECT doc_id, sh, band, ${graft.core.Hashing.Sql.portableLong(bandSig)} AS band_sig
+           |  FROM sigs, range(0, $Bands) r(band)
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.5
+           |), edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION ALL SELECT id_b, id_a FROM pairs
+           |), cc AS (
+           |  WITH RECURSIVE reach(node, comp) AS (
+           |    SELECT doc_id, doc_id FROM corpus
+           |    UNION
+           |    SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+           |  )
+           |  SELECT node AS doc_id, min(comp) AS comp FROM reach GROUP BY node
+           |)
+           |SELECT cluster_size, count(*) AS n_clusters, sum(comp) AS comp_check
+           |FROM (SELECT comp, count(*) AS cluster_size FROM cc GROUP BY comp)
+           |GROUP BY cluster_size""".stripMargin
+    }) { (spark, dir) =>
+    val c = corpus(spark, dir)
+    val sh = c.select(col("doc_id"),
+      array_distinct(Dedup.shingles(col("text"), ShingleN)).as("sh"))
+    val cands = Dedup.lshCandidates(c, "doc_id", "text", ShingleN, MinhashK, Bands)
+      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .filter(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
+      .select("id_a", "id_b")
+    val labels = Dedup.dupClusters(c.select(col("doc_id").as("id")), cands)
+    labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"), sum(col("comp")).as("comp_check"))
+  }
+
   def all: Seq[GateQuery] =
-    Seq(textStats, qualityHist, langIdQ, fingerprints, exactDedup, minhashLsh, simhashQ)
+    Seq(textStats, qualityHist, langIdQ, fingerprints, exactDedup, minhashLsh,
+      simhashQ, dupClusters)
 }
