@@ -152,9 +152,16 @@ object Dedup {
    * large-graph CC pattern (alternating small/large-star joins).
    */
   def dupClusters(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge set once — the loop must iterate over a FIXED
+    // graph, not re-derive the candidate pipeline each round
     val bidir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .cache()
+    bidir.count()
+    var labels = nodes.select(col("id"), col("id").as("comp")).cache()
+    // labels only ever decrease, so sum(comp) is strictly monotone until
+    // the fixpoint — an O(rows) scan instead of a self-join per round
+    var prevSum = BigDecimal(labels.agg(sum(col("comp"))).collect()(0).getLong(0))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -163,12 +170,14 @@ object Dedup {
       val next = labels.unionByName(viaEdges)
         .groupBy("id").agg(min(col("comp")).as("comp"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
+      val nextSum = BigDecimal(next.agg(sum(col("comp"))).collect()(0).getLong(0))
+      labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
+    bidir.unpersist()
     labels
   }
 
