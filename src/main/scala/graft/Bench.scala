@@ -1,15 +1,43 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /**
  * Benchmark main (driver contract): runs every gate query on
- * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query wall seconds.
- * local[32] / 32 shuffle partitions per the target environment; a warm-up
- * query is executed first so the first timed query doesn't absorb JVM and
- * codegen startup.
+ * SPARK_GRAFT_SF_DIR plus a true Structured-Streaming ingest measurement,
+ * prints ONE JSON line with per-query wall seconds. local[32] / 32 shuffle
+ * partitions per the target environment; a warm-up query runs first so the
+ * first timed entry doesn't absorb JVM and codegen startup.
  */
 object Bench {
+
+  /** End-to-end streaming ingest: envelope rows through the changefeed
+    * pipeline (filter→route→split→compact per microbatch) from a file
+    * source across several batches into a noop-ish sink. Returns seconds.
+    * The reference's comparable headline is sink-flush rows/s. */
+  private def streamIngest(spark: SparkSession, sfDir: String): (Double, Long) = {
+    import graft.streaming.{Changefeed, ChangefeedSpec}
+    val base = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
+    // amplify 10× so per-batch work dominates fixed microbatch overhead —
+    // measures pipeline throughput, not trigger latency
+    val events = graft.core.CdcStream.derive(spark, sfDir)
+      .withColumn("rep", explode(sequence(lit(0L), lit(9L))))
+      .withColumn("seq", col("seq") * 10 + col("rep"))
+      .withColumn("pk", col("pk") * 10 + col("rep"))
+      .withColumn("pk_after", col("pk_after") * 10 + col("rep"))
+      .drop("rep")
+    val n = events.count()
+    events.repartitionByRange(8, col("seq")).write.parquet(s"$base/in")
+    val spec = ChangefeedSpec(id = "bench-ingest", checkpointDir = s"$base/ckpt")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 2).parquet(s"$base/in")
+    val t0 = System.nanoTime()
+    val q = Changefeed.start(spark, stream, spec) { (b, _) => b.write.format("noop").mode("overwrite").save() }
+    q.awaitTermination()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,14 +51,20 @@ object Bench {
 
     graft.core.Tables.load(spark, sfDir, "lineitem").count() // warm-up
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val gates = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val (ingestSec, ingestRows) =
+      try streamIngest(spark, sfDir) catch { case _: Throwable => (-1.0, 0L) }
+    val results = gates :+ ("s0_stream_ingest" -> ingestSec)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    System.err.println(
+      f"[bench] stream ingest: $ingestRows rows in $ingestSec%.2f s = ${ingestRows / math.max(ingestSec, 1e-9)}%.0f rows/s")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
