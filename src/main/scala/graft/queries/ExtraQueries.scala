@@ -243,7 +243,40 @@ object ExtraQueries {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** D3 (JSON branch) — tiflow maps the MySQL JSON type to a string column
+    * queried with path expressions (SURVEY.md §1.4 "JSON → StringType +
+    * get_json_object"). The JSON payload derives deterministically from the
+    * envelope; extraction must agree with DuckDB's json functions. */
+  val jsonOps = GateQuery(
+    "q28_json_ops",
+    Some(cte +
+      """SELECT etype_x, count(*) AS cnt, sum(pk_x) AS sum_pk,
+        |  count(DISTINCT nested_x) AS n_nested
+        |FROM (
+        |  SELECT
+        |    json_extract_string(doc, '$.etype') AS etype_x,
+        |    CAST(json_extract_string(doc, '$.pk') AS BIGINT) AS pk_x,
+        |    json_extract_string(doc, '$.meta.src') AS nested_x
+        |  FROM (
+        |    SELECT to_json(struct_pack(pk := pk, etype := etype,
+        |      meta := struct_pack(src := 'db_' || CAST(source_id AS VARCHAR)))) AS doc
+        |    FROM cdc
+        |  )
+        |) GROUP BY etype_x""".stripMargin)) { (spark, dir) =>
+    val doc = to_json(struct(col("pk"), col("etype"),
+      struct(concat(lit("db_"), col("source_id").cast("string")).as("src")).as("meta")))
+    CdcStream.derive(spark, dir)
+      .select(doc.as("doc"))
+      .select(
+        get_json_object(col("doc"), "$.etype").as("etype_x"),
+        get_json_object(col("doc"), "$.pk").cast(LongType).as("pk_x"),
+        get_json_object(col("doc"), "$.meta.src").as("nested_x"))
+      .groupBy("etype_x")
+      .agg(count(lit(1)).as("cnt"), sum(col("pk_x")).as("sum_pk"),
+        countDistinct(col("nested_x")).as("n_nested"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, claimCheck, columnSelector,
-    partitionId, twoPcMatch, onlineDdl)
+    partitionId, twoPcMatch, onlineDdl, jsonOps)
 }

@@ -53,6 +53,58 @@ object ShardDdl {
       .flatMap(_.toSeq)
   }
 
+  // ---- optimistic mode (SURVEY.md §2.12 G3; reference dm/syncer/optimist.go,
+  // dm/pkg/shardddl/optimism) -------------------------------------------
+
+  /** A shard announces its CURRENT full schema (name→type pairs) after
+    * applying a DDL locally. */
+  final case class ShardSchema(target_table: String, shard_id: Int,
+                               fields: Seq[(String, String)], commit_ts: Long)
+
+  /** Joined-group outcome after each announcement: the schema lattice join
+    * of every shard's current schema, or a conflict. */
+  final case class OptimisticUpdate(target_table: String, commit_ts: Long,
+                                    joined: Seq[(String, String)],
+                                    conflict: Option[String])
+
+  private def toStruct(fields: Seq[(String, String)]) =
+    org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.DataType.fromDDL(t))
+    })
+
+  /**
+   * Optimistic coordinator: no barrier — each announcement immediately
+   * recomputes the group's joined schema from every shard's latest. DMLs
+   * keep flowing under each shard's own schema; a type conflict surfaces
+   * as an error outcome (the reference pauses the conflicting shard).
+   */
+  def coordinateOptimistic(spark: SparkSession, announcements: Dataset[ShardSchema])
+      : Dataset[OptimisticUpdate] = {
+    import spark.implicits._
+    import graft.core.SchemaRegistry
+    announcements.groupByKey(_.target_table)
+      .flatMapGroupsWithState[Map[Int, Seq[(String, String)]], OptimisticUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (target, evs, state) =>
+          var shards = state.getOption.getOrElse(Map.empty)
+          val out = evs.toSeq.sortBy(_.commit_ts).map { e =>
+            shards = shards + (e.shard_id -> e.fields)
+            SchemaRegistry.joinSchemas(shards.values.toSeq.map(toStruct)) match {
+              case Right(joined) =>
+                OptimisticUpdate(target, e.commit_ts,
+                  joined.fields.toSeq.map(f => (f.name, f.dataType.sql)), None)
+              case Left(c) =>
+                OptimisticUpdate(target, e.commit_ts, Seq.empty,
+                  Some(s"column ${c.field}: ${c.types.map(_.sql).mkString(" vs ")}"))
+            }
+          }
+          state.update(shards)
+          out.iterator
+      }
+  }
+
   /**
    * Batch barrier computation (same semantics, one aggregation): a barrier
    * is resolved iff all shards announced; barrier_ts = first announcement

@@ -59,4 +59,35 @@ class ShardDdlSpec extends SparkSpec {
     drain()
     assert(buf.size == 1)
   }
+
+  test("optimistic mode: schemas join as shards drift; type clash conflicts") {
+    import graft.streaming.ShardDdl.{OptimisticUpdate, ShardSchema}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ShardSchema]
+    val ckpt = java.nio.file.Files.createTempDirectory("optddl").toString
+    val buf = collection.mutable.ArrayBuffer.empty[OptimisticUpdate]
+    def drain(): Unit = {
+      val q = ShardDdl.coordinateOptimistic(spark, mem.toDS())
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[OptimisticUpdate], _: Long) =>
+          buf ++= df.collect(); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    val base = Seq("pk" -> "BIGINT", "v" -> "DOUBLE")
+    mem.addData(ShardSchema("t", 0, base, 100))
+    mem.addData(ShardSchema("t", 1, base :+ ("c" -> "STRING"), 110))
+    drain()
+    // after shard 1 drifts, the joined schema carries the extra column
+    assert(buf.last.conflict.isEmpty)
+    assert(buf.last.joined.map(_._1) == Seq("pk", "v", "c"))
+
+    // shard 0 later declares c with a DIFFERENT type -> conflict
+    mem.addData(ShardSchema("t", 0, base :+ ("c" -> "BIGINT"), 120))
+    drain()
+    assert(buf.last.conflict.exists(_.contains("column c")))
+  }
 }
