@@ -51,6 +51,25 @@ object ChunkDiff {
     df.repartitionByRange(nChunks, orderKeys: _*)
       .withColumn("chunk_id", spark_partition_id())
 
+  /**
+   * A4 — stats-guided split points (the reference samples `ORDER BY rand()
+   * LIMIT n` keys, sync_diff_inspector/utils/utils.go:929-960; bucket
+   * splitter uses index stats). Spark's approxQuantile IS that sampler:
+   * returns nChunks-1 key boundaries usable as both-sides-identical range
+   * predicates — unlike [[withRangeChunk]]'s internal sampling, these
+   * boundaries can be SHARED across two tables being compared.
+   */
+  def splitPoints(df: DataFrame, keyCol: String, nChunks: Int,
+                  relErr: Double = 0.01): Array[Double] = {
+    val probs = (1 until nChunks).map(_.toDouble / nChunks).toArray
+    df.stat.approxQuantile(keyCol, probs, relErr)
+  }
+
+  /** Chunk id from shared split points: chunk = #boundaries below the key
+    * (one when/otherwise cascade — codegen'd, no shuffle). */
+  def chunkBySplitPoints(key: Column, points: Array[Double]): Column =
+    points.foldLeft(lit(0)) { (acc, p) => acc + when(key > p, 1).otherwise(0) }
+
   /** V2 — per-chunk (count, checksum) digest. */
   def chunkChecksums(df: DataFrame, orderKeys: Seq[Column], nChunks: Int,
                      canonicalCols: Seq[Column]): DataFrame =

@@ -276,7 +276,39 @@ object ExtraQueries {
         countDistinct(col("nested_x")).as("n_nested"))
   }
 
+  /** D3 (enum/set + decimal branches) — tiflow maps Enum/Set to their
+    * uint64 ordinal with the dictionary kept in table metadata
+    * (cdc/entry/mounter.go:772-841), and NewDecimal to a STRING to avoid
+    * precision loss. Ordinals come from a broadcast dictionary join;
+    * decimal rendering is the canonical fixed-scale string. */
+  val enumDict = GateQuery(
+    "q29_enum_decimal",
+    Some(cte +
+      """SELECT ord, etype, count(*) AS cnt,
+        |  min(CAST(CAST(coalesce(val_after, 0) AS DECIMAL(18,2)) AS VARCHAR)) AS min_dec,
+        |  max(CAST(CAST(coalesce(val_after, 0) AS DECIMAL(18,2)) AS VARCHAR)) AS max_dec
+        |FROM (
+        |  SELECT etype, val_after,
+        |    CASE etype WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'purchase' THEN 3
+        |               WHEN 'signup' THEN 4 WHEN 'view' THEN 5 ELSE 0 END AS ord
+        |  FROM cdc
+        |) GROUP BY ord, etype""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    // the Enum dictionary: ordinal per value, broadcast-joined like the
+    // reference's TableInfo-resident dictionary
+    val dict = Seq("click", "error", "purchase", "signup", "view")
+      .zipWithIndex.map { case (v, i) => (v, (i + 1).toLong) }
+      .toDF("etype", "ord")
+    CdcStream.derive(spark, dir)
+      .join(broadcast(dict), Seq("etype"), "left")
+      .withColumn("ord", coalesce(col("ord"), lit(0L)))
+      .groupBy("ord", "etype")
+      .agg(count(lit(1)).as("cnt"),
+        min(coalesce(col("val_after"), lit(0d)).cast("decimal(18,2)").cast("string")).as("min_dec"),
+        max(coalesce(col("val_after"), lit(0d)).cast("decimal(18,2)").cast("string")).as("max_dec"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, claimCheck, columnSelector,
-    partitionId, twoPcMatch, onlineDdl, jsonOps)
+    partitionId, twoPcMatch, onlineDdl, jsonOps, enumDict)
 }

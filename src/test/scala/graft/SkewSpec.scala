@@ -48,4 +48,26 @@ class SkewSpec extends SparkSpec {
     // state still readable and complete
     assert(Sinks.readState(spark, s"$dir/state").count() == 5)
   }
+
+  test("shared split points chunk both diff sides identically") {
+    import graft.diff.ChunkDiff
+    val li = graft.core.Tables.load(spark, sf, "lineitem")
+    val points = ChunkDiff.splitPoints(li, "l_orderkey", 8)
+    assert(points.length == 7 && points.sorted.sameElements(points))
+    val chunked = li.withColumn("chunk_id",
+      ChunkDiff.chunkBySplitPoints(col("l_orderkey"), points))
+    val sizes = chunked.groupBy("chunk_id").count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.keys.max <= 7 && sizes.values.sum == li.count())
+    // roughly balanced: no chunk more than 3x the ideal share
+    val ideal = li.count() / 8.0
+    assert(sizes.values.forall(_ < ideal * 3))
+    // the same points chunk a second (perturbed) side consistently:
+    // every l_orderkey maps to the same chunk on both sides by construction
+    val other = li.limit(1000).withColumn("chunk_id",
+      ChunkDiff.chunkBySplitPoints(col("l_orderkey"), points))
+    val joined = chunked.select("l_orderkey", "chunk_id").distinct()
+      .join(other.select(col("l_orderkey"), col("chunk_id").as("c2")).distinct(), "l_orderkey")
+    assert(joined.filter(col("chunk_id") =!= col("c2")).count() == 0)
+  }
 }
