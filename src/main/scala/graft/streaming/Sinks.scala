@@ -102,6 +102,18 @@ object Sinks {
       .partitionBy("schema_name", "table_name", "_date")
       .format(format)
       .save(base)
+    // schema sidecar per routed table (reference writes schema.json next to
+    // the data files, pkg/sink/cloudstorage/path.go schema path) — consumers
+    // discover column layout without opening data files
+    val payloadSchema = org.apache.spark.sql.types.StructType(
+      batch.schema.filterNot(f =>
+        Set("schema_name", "table_name", "_date").contains(f.name)))
+    batch.select("schema_name", "table_name").distinct().collect().foreach { r =>
+      val dir = Paths.get(s"$base/schema_name=${r.getString(0)}/table_name=${r.getString(1)}")
+      if (Files.exists(dir)) {
+        Files.writeString(dir.resolve("_schema.json"), payloadSchema.json)
+      }
+    }
   }
 
   /**

@@ -65,5 +65,14 @@ class FileSourceSpec extends SparkSpec {
     val reread = spark.read.parquet(s"$base/out")
     assert(reread.count() == 100)
     assert(reread.columns.contains("_date"))
+    // schema sidecar written next to each table's partitions
+    val sidecars = new java.io.File(s"$base/out").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(f => f.isDirectory)
+      .map(d => new java.io.File(d, "_schema.json"))
+    assert(sidecars.nonEmpty && sidecars.forall(_.exists()))
+    val parsed = org.apache.spark.sql.types.DataType.fromJson(
+      java.nio.file.Files.readString(sidecars.head.toPath))
+    assert(parsed.isInstanceOf[org.apache.spark.sql.types.StructType])
   }
 }
