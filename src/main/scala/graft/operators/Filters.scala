@@ -105,4 +105,14 @@ object Filters {
   def bdrFilter(df: DataFrame, dropSourceIds: Seq[Int]): DataFrame =
     if (dropSourceIds.isEmpty) df
     else df.filter(!col("source_id").isin(dropSourceIds: _*))
+
+  /** F2 (ignore-sql branch) / F5 — DDL statement filter: drop control-
+    * stream DDL whose SQL matches any ignore regex (reference
+    * pkg/binlog-filter/filter.go ignore-sql rules, e.g. ["^DROP"]). */
+  def ddlSqlFilter(ddl: DataFrame, ignoreRegexes: Seq[String],
+                   sqlCol: String = "ddl"): DataFrame =
+    if (ignoreRegexes.isEmpty) ddl
+    else ddl.filter(!ignoreRegexes
+      .map(r => col(sqlCol).rlike(r))
+      .reduce(_ || _))
 }

@@ -66,4 +66,21 @@ object SqlGen {
     flush()
     out.result()
   }
+
+  /**
+   * Multi-row UPDATE in the reference's CASE-WHEN form (GenUpdateSQL,
+   * pkg/sqlmodel/multirow.go:109; cap defaultMaxMultiUpdateRowCount=40):
+   * one statement updates many keys via per-column CASE chains. Used when
+   * the target lacks REPLACE or when preserving untouched columns matters.
+   */
+  def genMultiUpdate(table: String, keyCol: String, valueCol: String,
+                     rows: Seq[(Any, Any)], maxRows: Int = 40): Seq[String] =
+    rows.grouped(maxRows).map { group =>
+      val cases = group.map { case (k, v) =>
+        s"WHEN ${sqlLit(k)} THEN ${sqlLit(v)}"
+      }.mkString(" ")
+      val keys = group.map(r => sqlLit(r._1)).mkString(", ")
+      s"UPDATE $table SET `$valueCol` = CASE `$keyCol` $cases END " +
+        s"WHERE `$keyCol` IN ($keys);"
+    }.toSeq
 }

@@ -48,4 +48,24 @@ class SqlGenSpec extends SparkSpec {
     assert(sqls.length == 2)
     assert(sqls(0).contains("`db`.`t1`") && sqls(1).contains("`db`.`t2`"))
   }
+
+  test("multi-OR UPDATE renders the reference CASE-WHEN form") {
+    val sqls = SqlGen.genMultiUpdate("`db`.`t`", "pk", "v",
+      Seq((1L, 10.0), (2L, 20.0), (3L, null)))
+    assert(sqls == Seq(
+      "UPDATE `db`.`t` SET `v` = CASE `pk` WHEN 1 THEN 10.0 WHEN 2 THEN 20.0 WHEN 3 THEN NULL END WHERE `pk` IN (1, 2, 3);"))
+    assert(SqlGen.genMultiUpdate("t", "k", "v",
+      (1 to 90).map(i => (i, i)), maxRows = 40).length == 3)
+  }
+
+  test("DDL sql filter drops matching statements") {
+    import org.apache.spark.sql.functions.col
+    val ddls = Seq("DROP TABLE t1", "ALTER TABLE t1 ADD c INT",
+      "TRUNCATE TABLE t2", "CREATE INDEX i ON t1(c)")
+      .toDF("ddl")
+    val kept = graft.operators.Filters
+      .ddlSqlFilter(ddls, Seq("^DROP", "^TRUNCATE"))
+      .as[String].collect().toSet
+    assert(kept == Set("ALTER TABLE t1 ADD c INT", "CREATE INDEX i ON t1(c)"))
+  }
 }
