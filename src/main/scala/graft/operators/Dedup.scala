@@ -81,12 +81,28 @@ object Dedup {
    * Candidate pairs via LSH: explode bands, self-join on (band, sig),
    * keep each unordered pair once. `df` must have columns (id, text).
    */
+  /**
+   * @param maxBucket degenerate-bucket cap: a band bucket holding more than
+   *   this many docs (boilerplate/empty-text pathologies at corpus scale)
+   *   would explode the self-join quadratically; such buckets are dropped
+   *   (its members still pair through their other, more selective bands).
+   *   0 disables the cap.
+   */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
-                    shingleN: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
+                    shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+                    maxBucket: Int = 0): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, shingleN, k)
-    val banded = sig.select(col("id"),
+    val banded0 = sig.select(col("id"),
         explode(lshBands(col("sig"), k, bands)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.sig").as("band_sig"))
+    val banded =
+      if (maxBucket <= 0) banded0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        banded0.withColumn("_bsz",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("band_sig"))))
+          .filter(col("_bsz") <= maxBucket).drop("_bsz")
+      }
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_sig") === col("b.band_sig") &&
