@@ -238,7 +238,8 @@ object CdcQueries {
   val updateSplit = GateQuery(
     "q30_update_split",
     Some(splitCte +
-      """SELECT op, count(*) AS cnt, sum(pk) AS sum_pk, count(DISTINCT pk) AS n_keys
+      """SELECT op, count(*) AS cnt, CAST(sum(pk) AS BIGINT) AS sum_pk,
+        |  count(DISTINCT pk) AS n_keys
         |FROM split GROUP BY op""".stripMargin)) { (spark, dir) =>
     Transforms.updateSplit(CdcStream.derive(spark, dir))
       .groupBy("op").agg(

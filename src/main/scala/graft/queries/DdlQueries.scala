@@ -37,8 +37,8 @@ object DdlQueries {
          |  FROM barriers WHERE NOT resolved GROUP BY 1
          |)
          |SELECT c.table_name,
-         |  sum(CASE WHEN u.gate_ts IS NULL OR c.commit_ts < u.gate_ts THEN 1 ELSE 0 END) AS n_pass,
-         |  sum(CASE WHEN u.gate_ts IS NOT NULL AND c.commit_ts >= u.gate_ts THEN 1 ELSE 0 END) AS n_hold
+         |  CAST(sum(CASE WHEN u.gate_ts IS NULL OR c.commit_ts < u.gate_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN u.gate_ts IS NOT NULL AND c.commit_ts >= u.gate_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_hold
          |FROM cdc c LEFT JOIN unresolved u ON u.target_table = c.table_name
          |GROUP BY 1""".stripMargin)) { (spark, dir) =>
     import spark.implicits._

@@ -82,8 +82,9 @@ object DiffQueries {
          |         ${oracleDigest(oracleCanonical)} AS s_digest FROM lineitem),
          |  t AS (SELECT l_orderkey, l_linenumber,
          |         ${oracleDigest(oracleCanonical)} AS t_digest FROM perturbed)
-         |SELECT diff_type, count(*) AS cnt, sum(l_orderkey) AS sum_okey,
-         |  sum(l_linenumber) AS sum_lnum
+         |SELECT diff_type, count(*) AS cnt,
+         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+         |  CAST(sum(l_linenumber) AS BIGINT) AS sum_lnum
          |FROM (
          |  SELECT coalesce(s.l_orderkey, t.l_orderkey) AS l_orderkey,
          |    coalesce(s.l_linenumber, t.l_linenumber) AS l_linenumber,

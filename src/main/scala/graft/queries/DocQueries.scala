@@ -42,10 +42,10 @@ object DocQueries {
   val textStats = GateQuery(
     "q60_text_stats",
     Some(s"""SELECT lang, count(*) AS n_docs,
-            |  sum(${TextOps.Sql.tokenCount("text")}) AS sum_tokens,
-            |  sum(${TextOps.Sql.bpeEstimate("text")}) AS sum_bpe,
-            |  sum(${TextOps.Sql.regexPieceCount("text")}) AS sum_pieces,
-            |  sum(CASE WHEN (${TextOps.Sql.qualityScore("text")}) >= 50 THEN 1 ELSE 0 END) AS n_quality
+            |  CAST(sum(${TextOps.Sql.tokenCount("text")}) AS BIGINT) AS sum_tokens,
+            |  CAST(sum(${TextOps.Sql.bpeEstimate("text")}) AS BIGINT) AS sum_bpe,
+            |  CAST(sum(${TextOps.Sql.regexPieceCount("text")}) AS BIGINT) AS sum_pieces,
+            |  CAST(sum(CASE WHEN (${TextOps.Sql.qualityScore("text")}) >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
             |FROM documents GROUP BY lang""".stripMargin)) { (spark, dir) =>
     Tables.load(spark, dir, "documents")
       .groupBy("lang")
@@ -80,7 +80,7 @@ object DocQueries {
     "q63_fingerprint",
     Some(s"""SELECT lang, count(*) AS cnt,
             |  count(DISTINCT ${TextOps.Sql.fingerprint("text")}) AS n_fp,
-            |  sum((${TextOps.Sql.fingerprint("text")}) % 97) AS fp_check
+            |  CAST(sum((${TextOps.Sql.fingerprint("text")}) % 97) AS BIGINT) AS fp_check
             |FROM documents GROUP BY lang""".stripMargin)) { (spark, dir) =>
     Tables.load(spark, dir, "documents")
       .withColumn("fp", TextOps.fingerprint(col("text")))
@@ -101,8 +101,9 @@ object DocQueries {
          |  SELECT source, k, min(doc_id) AS keeper, count(*) AS copies
          |  FROM keyed GROUP BY source, k
          |)
-         |SELECT source, count(*) AS n_unique, sum(copies) AS n_raw,
-         |  sum(copies - 1) AS n_removed, sum(keeper) AS keeper_check
+         |SELECT source, count(*) AS n_unique, CAST(sum(copies) AS BIGINT) AS n_raw,
+         |  CAST(sum(copies - 1) AS BIGINT) AS n_removed,
+         |  CAST(sum(keeper) AS BIGINT) AS keeper_check
          |FROM kept GROUP BY source""".stripMargin)) { (spark, dir) =>
     corpus(spark, dir)
       .select(col("source"), col("doc_id"), Dedup.exactKey(col("text")).as("k"))
@@ -142,8 +143,8 @@ object DocQueries {
            |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
            |)
            |SELECT count(*) AS n_candidates,
-           |  sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS n_dups,
-           |  sum(CASE WHEN jac >= 0.5 THEN id_b - id_a ELSE 0 END) AS pair_check
+           |  CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           |  CAST(sum(CASE WHEN jac >= 0.5 THEN id_b - id_a ELSE 0 END) AS BIGINT) AS pair_check
            |FROM pairs""".stripMargin
     }) { (spark, dir) =>
     val c = corpus(spark, dir)
@@ -212,7 +213,8 @@ object DocQueries {
            |  )
            |  SELECT node AS doc_id, min(comp) AS comp FROM reach GROUP BY node
            |)
-           |SELECT cluster_size, count(*) AS n_clusters, sum(comp) AS comp_check
+           |SELECT cluster_size, count(*) AS n_clusters,
+           |  CAST(sum(comp) AS BIGINT) AS comp_check
            |FROM (SELECT comp, count(*) AS cluster_size FROM cc GROUP BY comp)
            |GROUP BY cluster_size""".stripMargin
     }) { (spark, dir) =>

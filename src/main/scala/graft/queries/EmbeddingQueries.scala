@@ -53,7 +53,8 @@ object EmbeddingQueries {
     "q82_lsh_buckets",
     Some {
       val sig = VectorOps.Sql.lshSignature("embedding", Planes, 64)
-      s"""SELECT sig_pop, count(*) AS n_buckets, sum(cnt) AS n_vectors FROM (
+      s"""SELECT sig_pop, count(*) AS n_buckets,
+         |  CAST(sum(cnt) AS BIGINT) AS n_vectors FROM (
          |  SELECT $sig AS sig, bit_count(CAST($sig AS BIGINT)) AS sig_pop, count(*) AS cnt
          |  FROM embeddings GROUP BY 1, 2
          |) GROUP BY sig_pop""".stripMargin

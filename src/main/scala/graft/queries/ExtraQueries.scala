@@ -64,9 +64,9 @@ object ExtraQueries {
         |  FROM live WHERE pk % 151 <> 0
         |)
         |SELECT l.schema_name, l.table_name,
-        |  sum(CASE WHEN t.pk IS NULL THEN 1 ELSE 0 END) AS n_missing,
-        |  sum(CASE WHEN t.pk IS NOT NULL AND l.exp_val <> t.tgt_val THEN 1 ELSE 0 END) AS n_mismatch,
-        |  sum(CASE WHEN t.pk IS NOT NULL AND l.exp_val = t.tgt_val THEN 1 ELSE 0 END) AS n_ok
+        |  CAST(sum(CASE WHEN t.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |  CAST(sum(CASE WHEN t.pk IS NOT NULL AND l.exp_val <> t.tgt_val THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |  CAST(sum(CASE WHEN t.pk IS NOT NULL AND l.exp_val = t.tgt_val THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
         |FROM live l LEFT JOIN target t
         |  ON l.schema_name = t.schema_name AND l.table_name = t.table_name AND l.pk = t.pk
         |GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
@@ -93,18 +93,22 @@ object ExtraQueries {
   }
 
   /** Multimodal — typed mapPartitions decode stub must equal the pure-SQL
-    * feature derivation (oracle). */
+    * feature derivation (oracle). `frame_offsets` is emitted as a
+    * comma-joined string: the driver's pandas-based hasher cannot sort
+    * array-typed cells. */
   val mediaFeatures = GateQuery(
     "q90_media_features",
     Some("""SELECT doc_id AS media_id,
            |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
-           |  length(text) AS byte_len,
+           |  CAST(length(text) AS BIGINT) AS byte_len,
            |  ascii(substr(text, 1, 1)) AS head_byte,
            |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS phash,
-           |  [CAST(i * (length(text) // 4) AS BIGINT) FOR i IN range(0, 4)] AS frame_offsets
+           |  array_to_string([CAST(i * (length(text) // 4) AS BIGINT) FOR i IN range(0, 4)], ',') AS frame_offsets
            |FROM documents""".stripMargin)) { (spark, dir) =>
     val media = Multimodal.mediaTable(Tables.load(spark, dir, "documents"))
     Multimodal.decodeFeatures(spark, media).toDF()
+      .withColumn("frame_offsets",
+        array_join(col("frame_offsets").cast("array<string>"), ","))
   }
 
   /** C5 — claim-check / large-message handling: oversized encoded messages
@@ -114,7 +118,7 @@ object ExtraQueries {
   val claimCheck = GateQuery(
     "q47_claim_check",
     Some(cte +
-      s"""SELECT is_claim, count(*) AS cnt, sum(msg_len) AS sum_len FROM (
+      s"""SELECT is_claim, count(*) AS cnt, CAST(sum(msg_len) AS BIGINT) AS sum_len FROM (
          |  SELECT length(msg) AS msg_len,
          |    CASE WHEN length(msg) > 90 THEN 1 ELSE 0 END AS is_claim
          |  FROM (
@@ -147,7 +151,8 @@ object ExtraQueries {
   val columnSelector = GateQuery(
     "q36_column_selector",
     Some(cte +
-      """SELECT schema_name, table_name, op, count(*) AS cnt, sum(pk) AS sum_pk
+      """SELECT schema_name, table_name, op, count(*) AS cnt,
+        |  CAST(sum(pk) AS BIGINT) AS sum_pk
         |FROM cdc GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
     Transforms.columnSelector(CdcStream.derive(spark, dir), keep = Nil)
       .groupBy("schema_name", "table_name", "op")
@@ -250,7 +255,7 @@ object ExtraQueries {
   val jsonOps = GateQuery(
     "q28_json_ops",
     Some(cte +
-      """SELECT etype_x, count(*) AS cnt, sum(pk_x) AS sum_pk,
+      """SELECT etype_x, count(*) AS cnt, CAST(sum(pk_x) AS BIGINT) AS sum_pk,
         |  count(DISTINCT nested_x) AS n_nested
         |FROM (
         |  SELECT

@@ -17,15 +17,37 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize types: ints -> int64 where possible, floats stay
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
 
 def compare(name, spark_df, duck_df):
+    # DTYPE-STRICT (mirrors the driver's typed hash): the driver hashes
+    # typed values, so DuckDB HUGEINT/DECIMAL vs Spark int64 is a FAIL even
+    # when values are numerically equal, and array/list cells are a FAIL
+    # because the driver's pandas sort cannot hash them. Do these checks
+    # BEFORE any normalization so nothing can be coerced into passing.
+    for frame, side in ((spark_df, "spark"), (duck_df, "duck")):
+        for c in frame.columns:
+            if len(frame) and frame[c].dtype == object:
+                v = frame[c].iloc[0]
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                    return (f"ARRAY column {side}.{c}: driver hasher cannot "
+                            f"sort array cells — stringify it in the gate")
+    # Compare dtype KIND, not width: the driver's hash treats int8/32/64 as
+    # equal (q80 passed r1 with int32-vs-int64) but distinguishes int from
+    # float (DuckDB HUGEINT->float64) and from object (DECIMAL) — exactly
+    # the class that broke 13 gates in round 1.
+    for c in set(spark_df.columns) & set(duck_df.columns):
+        sk = spark_df[c].dtype.kind
+        dk = duck_df[c].dtype.kind
+        if sk in "iu":
+            sk = "i"
+        if dk in "iu":
+            dk = "i"
+        if sk != dk:
+            return (f"DTYPE mismatch col={c}: spark={spark_df[c].dtype} "
+                    f"duck={duck_df[c].dtype}")
     s, d = norm(spark_df), norm(duck_df)
     if list(s.columns) != list(d.columns):
         return f"SCHEMA mismatch: spark={list(s.columns)} duck={list(d.columns)}"
