@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{AvroDecodeEnvelope, AvroDecodeKey, AvroEncodeEnvelope, AvroEncodeKey}
+
+/**
+ * SparkSessionExtensions installer for graft's custom Catalyst expressions,
+ * making them usable from SQL text as well as the typed Column API:
+ *
+ *   spark.sql.extensions=graft.GraftExtensions
+ *
+ *   SELECT avro_decode_envelope(msg, 1).pk FROM kafka_dump
+ *
+ * Each builder takes an optional trailing literal schema-registry id
+ * (default 1 for value messages, 2 for key messages — the ids a Confluent
+ * registry would assign the two subjects).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def schemaId(args: Seq[Expression], default: Int): Int =
+    if (args.size > 1) args(1).eval().asInstanceOf[Number].intValue() else default
+
+  private def fn(name: String, builder: Seq[Expression] => Expression)
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("avro_encode_envelope",
+      args => AvroEncodeEnvelope(args.head, schemaId(args, 1))))
+    ext.injectFunction(fn("avro_decode_envelope",
+      args => AvroDecodeEnvelope(args.head, schemaId(args, 1))))
+    ext.injectFunction(fn("avro_encode_key",
+      args => AvroEncodeKey(args.head, schemaId(args, 2))))
+    ext.injectFunction(fn("avro_decode_key",
+      args => AvroDecodeKey(args.head, schemaId(args, 2))))
+  }
+}

@@ -1,0 +1,197 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.functions.struct
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * E3 — Avro BINARY codec for the CDC envelope in the Confluent wire format
+ * (magic byte 0x00 + 4-byte big-endian schema id + Avro binary body),
+ * matching the semantics of the reference's Avro encoder
+ * (pkg/sink/codec/avro/avro.go:210-1050): the value message is the after
+ * image for INSERT/UPDATE and a nil tombstone for DELETE; the key message
+ * always carries the handle columns.
+ *
+ * The byte-level encoding comes from the Apache Avro library (on the Spark
+ * classpath) — authoritative, not hand-rolled — and is exposed as custom
+ * Catalyst expressions whose codegen is a single static call, so the encode
+ * stays inside whole-stage codegen. Per-thread encoder/decoder state is
+ * reused across rows (the same amortization the reference gets from its
+ * per-sink encoder instances).
+ */
+object AvroBinary {
+
+  /** Envelope value record — mirrors [[graft.operators.Codecs.avroSchema]]
+    * output for the canonical (pk, val, etype) payload. */
+  val ValueSchemaJson: String =
+    """{"type":"record","name":"Envelope","namespace":"graft",
+      |"fields":[{"name":"pk","type":"long"},
+      |{"name":"val","type":["null","double"]},
+      |{"name":"etype","type":["null","string"]}]}""".stripMargin.replace("\n", "")
+
+  /** Key record: handle column(s) only. */
+  val KeySchemaJson: String =
+    """{"type":"record","name":"EnvelopeKey","namespace":"graft",
+      |"fields":[{"name":"pk","type":"long"}]}""".stripMargin.replace("\n", "")
+
+  val envelopeType: StructType = new StructType()
+    .add("pk", LongType, nullable = false)
+    .add("val", DoubleType, nullable = true)
+    .add("etype", StringType, nullable = true)
+
+  private val valueSchema = new Schema.Parser().parse(ValueSchemaJson)
+  private val keySchema = new Schema.Parser().parse(KeySchemaJson)
+
+  /** Per-thread reusable codec state: output buffer, Avro encoder/decoder
+    * (both support in-place re-init), and datum reader/writers. */
+  private final class Ctx {
+    val out = new ByteArrayOutputStream(64)
+    var enc: BinaryEncoder = _
+    var dec: BinaryDecoder = _
+    val valueWriter = new GenericDatumWriter[GenericRecord](valueSchema)
+    val keyWriter = new GenericDatumWriter[GenericRecord](keySchema)
+    val valueReader = new GenericDatumReader[GenericRecord](valueSchema)
+    val keyReader = new GenericDatumReader[GenericRecord](keySchema)
+  }
+  private val tls = ThreadLocal.withInitial[Ctx](() => new Ctx)
+
+  private def frame(c: Ctx, schemaId: Int): Unit = {
+    c.out.reset()
+    c.out.write(0) // Confluent magic byte
+    c.out.write((schemaId >>> 24) & 0xff)
+    c.out.write((schemaId >>> 16) & 0xff)
+    c.out.write((schemaId >>> 8) & 0xff)
+    c.out.write(schemaId & 0xff)
+  }
+
+  /** Encode (pk, val, etype) as a framed Avro value message. Called from
+    * generated code — must stay a static-shaped, allocation-light method. */
+  def encodeValue(row: InternalRow, schemaId: Int): Array[Byte] = {
+    val c = tls.get()
+    frame(c, schemaId)
+    c.enc = EncoderFactory.get().binaryEncoder(c.out, c.enc)
+    val rec = new GenericData.Record(valueSchema)
+    rec.put(0, row.getLong(0))
+    rec.put(1, if (row.isNullAt(1)) null else java.lang.Double.valueOf(row.getDouble(1)))
+    rec.put(2, if (row.isNullAt(2)) null else row.getUTF8String(2).toString)
+    c.valueWriter.write(rec, c.enc)
+    c.enc.flush()
+    c.out.toByteArray
+  }
+
+  /** Decode a framed Avro value message back to (pk, val, etype); returns
+    * null on a foreign magic byte or schema id (schema-registry mismatch —
+    * the reference surfaces this as a decode error). */
+  def decodeValue(bytes: Array[Byte], schemaId: Int): InternalRow = {
+    if (!checkFrame(bytes, schemaId)) return null
+    val c = tls.get()
+    c.dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, c.dec)
+    val rec = c.valueReader.read(null, c.dec)
+    val v = rec.get(1)
+    val e = rec.get(2)
+    new GenericInternalRow(Array[Any](
+      rec.get(0).asInstanceOf[Long],
+      if (v == null) null else v.asInstanceOf[java.lang.Double].doubleValue(),
+      if (e == null) null else UTF8String.fromString(e.toString)))
+  }
+
+  def encodeKey(pk: Long, schemaId: Int): Array[Byte] = {
+    val c = tls.get()
+    frame(c, schemaId)
+    c.enc = EncoderFactory.get().binaryEncoder(c.out, c.enc)
+    val rec = new GenericData.Record(keySchema)
+    rec.put(0, pk)
+    c.keyWriter.write(rec, c.enc)
+    c.enc.flush()
+    c.out.toByteArray
+  }
+
+  /** Decode a framed key message to the handle value; MIN_VALUE on frame
+    * mismatch (kept primitive so codegen needs no boxing). */
+  def decodeKey(bytes: Array[Byte], schemaId: Int): Long = {
+    if (!checkFrame(bytes, schemaId)) return Long.MinValue
+    val c = tls.get()
+    c.dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, c.dec)
+    c.keyReader.read(null, c.dec).get(0).asInstanceOf[Long]
+  }
+
+  private def checkFrame(bytes: Array[Byte], schemaId: Int): Boolean =
+    bytes.length >= 5 && bytes(0) == 0 &&
+      (((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+        ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)) == schemaId
+
+  // ---- Column API ------------------------------------------------------
+
+  def encodeEnvelope(pk: Column, value: Column, etype: Column, schemaId: Int): Column =
+    ExpressionUtils.column(AvroEncodeEnvelope(
+      ExpressionUtils.expression(struct(pk.as("pk"), value.as("val"), etype.as("etype"))),
+      schemaId))
+
+  def decodeEnvelope(message: Column, schemaId: Int): Column =
+    ExpressionUtils.column(AvroDecodeEnvelope(
+      ExpressionUtils.expression(message), schemaId))
+
+  def encodeHandleKey(pk: Column, schemaId: Int): Column =
+    ExpressionUtils.column(AvroEncodeKey(ExpressionUtils.expression(pk), schemaId))
+
+  def decodeHandleKey(message: Column, schemaId: Int): Column =
+    ExpressionUtils.column(AvroDecodeKey(ExpressionUtils.expression(message), schemaId))
+}
+
+/** to Avro binary: struct(pk, val, etype) → framed bytes. */
+case class AvroEncodeEnvelope(child: Expression, schemaId: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    AvroBinary.encodeValue(input.asInstanceOf[InternalRow], schemaId)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AvroBinary.encodeValue($c, $schemaId)")
+  override protected def withNewChildInternal(newChild: Expression): AvroEncodeEnvelope =
+    copy(child = newChild)
+}
+
+/** from Avro binary: framed bytes → struct(pk, val, etype); null on a
+  * foreign frame. */
+case class AvroDecodeEnvelope(child: Expression, schemaId: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = AvroBinary.envelopeType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    AvroBinary.decodeValue(input.asInstanceOf[Array[Byte]], schemaId)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AvroBinary.decodeValue($c, $schemaId)")
+  override protected def withNewChildInternal(newChild: Expression): AvroDecodeEnvelope =
+    copy(child = newChild)
+}
+
+case class AvroEncodeKey(child: Expression, schemaId: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    AvroBinary.encodeKey(input.asInstanceOf[Long], schemaId)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AvroBinary.encodeKey($c, $schemaId)")
+  override protected def withNewChildInternal(newChild: Expression): AvroEncodeKey =
+    copy(child = newChild)
+}
+
+case class AvroDecodeKey(child: Expression, schemaId: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    AvroBinary.decodeKey(input.asInstanceOf[Array[Byte]], schemaId)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AvroBinary.decodeKey($c, $schemaId)")
+  override protected def withNewChildInternal(newChild: Expression): AvroDecodeKey =
+    copy(child = newChild)
+}

@@ -168,6 +168,59 @@ object CodecQueries {
           lit("\"," + """"fields":[{"name":"pk","type":"long"},{"name":"val","type":["null","double"]},{"name":"etype","type":["null","string"]}]}""")))
   }
 
+  /**
+   * E3 (binary half) — Avro BINARY round-trip in the Confluent wire format.
+   * The oracle cannot decode Avro, so the gate pins the codec two ways:
+   * (1) exact message BYTE LENGTHS, which the oracle derives from the Avro
+   * spec arithmetically (zigzag-varint widths + union branch bytes + IEEE
+   * doubles), and (2) a decode round-trip whose aggregates must equal the
+   * plain stream. DELETE emits a nil value (Kafka tombstone) and the key
+   * always carries the handle, per the reference's Avro sink semantics
+   * (pkg/sink/codec/avro/avro.go:210-1050).
+   */
+  private def varintLenSql(z: String): String =
+    // byte width of an unsigned LEB128 varint: k bytes iff z < 2^(7k)
+    (1 to 9).map(k => s"WHEN ($z) < ${1L << (7 * k)} THEN $k")
+      .mkString("CASE ", " ", " ELSE 10 END")
+
+  val avroBinary = GateQuery(
+    "q46b_avro_binary",
+    Some(cte +
+      s"""SELECT op, count(*) AS cnt,
+         |  CAST(sum(5 + ${varintLenSql("2*pk")}) AS BIGINT) AS sum_key_len,
+         |  CAST(coalesce(sum(CASE WHEN op <> 'D'
+         |    THEN 5 + ${varintLenSql("2*pk")}
+         |         + (CASE WHEN val_after IS NULL THEN 1 ELSE 9 END)
+         |         + 2 + strlen(etype) END), 0) AS BIGINT) AS sum_val_len,
+         |  CAST(count(*) AS BIGINT) AS n_key_ok,
+         |  CAST(count(*) AS BIGINT) AS n_roundtrip,
+         |  CAST(coalesce(sum(CASE WHEN op <> 'D'
+         |    THEN CAST(val_after AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS sum_val
+         |FROM cdc GROUP BY op""".stripMargin)) { (spark, dir) =>
+    import graft.functions.AvroBinary
+    val df = CdcStream.derive(spark, dir)
+    val enc = df.select(col("op"), col("pk"), col("val_after"), col("etype"),
+      AvroBinary.encodeHandleKey(col("pk"), 2).as("key_msg"),
+      when(col("op") =!= "D",
+        AvroBinary.encodeEnvelope(col("pk"), col("val_after"), col("etype"), 1))
+        .otherwise(lit(null).cast("binary")).as("value_msg"))
+    val dec = enc
+      .withColumn("dec_key", AvroBinary.decodeHandleKey(col("key_msg"), 2))
+      .withColumn("dec", AvroBinary.decodeEnvelope(col("value_msg"), 1))
+    dec.groupBy("op").agg(
+      count(lit(1)).as("cnt"),
+      sum(length(col("key_msg"))).as("sum_key_len"),
+      coalesce(sum(length(col("value_msg"))), lit(0L)).as("sum_val_len"),
+      sum(when(col("dec_key") === col("pk"), 1L).otherwise(0L)).as("n_key_ok"),
+      sum(when(
+        (col("op") === "D" && col("dec").isNull) ||
+          (col("dec.pk") === col("pk") &&
+            col("dec.val").eqNullSafe(col("val_after")) &&
+            col("dec.etype") === col("etype")), 1L).otherwise(0L)).as("n_roundtrip"),
+      coalesce(sum(col("dec.val").cast("decimal(18,6)")), lit(0).cast("decimal(18,6)"))
+        .cast("double").as("sum_val"))
+  }
+
   /** E7 — Simple protocol: schema-lifecycle bootstrap + row messages. */
   val simple = GateQuery(
     "q48_simple",
@@ -237,5 +290,5 @@ object CodecQueries {
 
   def all: Seq[GateQuery] = Seq(
     canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas,
-    simple, kafkaRecord)
+    avroBinary, simple, kafkaRecord)
 }
