@@ -25,12 +25,15 @@ object SchemaRegistry {
   final case class AddColumn(name: String, dataType: DataType) extends DdlAction
   final case class DropColumn(name: String) extends DdlAction
   final case class RenameColumn(from: String, to: String) extends DdlAction
+  final case class ModifyColumn(name: String, dataType: DataType) extends DdlAction
 
   def applyDdl(schema: StructType, action: DdlAction): StructType = action match {
     case AddColumn(n, t) => schema.add(n, t)
     case DropColumn(n) => StructType(schema.fields.filterNot(_.name == n))
     case RenameColumn(from, to) => StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
+    case ModifyColumn(n, t) => StructType(schema.fields.map(f =>
+      if (f.name == n) f.copy(dataType = t) else f))
   }
 
   /**

@@ -86,5 +86,45 @@ object DdlQueries {
       .select("table_name", "check_name", "verdict")
   }
 
-  def all: Seq[GateQuery] = Seq(shardDdlGate, precheck)
+  /**
+   * G1 — textual DDL end-to-end: raw `CREATE TABLE`/`ALTER TABLE` strings →
+   * [[graft.core.DdlParser]] → versioned registry → as-of bind of every
+   * event to the version in force at its commit ts. The third DDL is a
+   * multi-schema-change ALTER that SPLITS into two single-change versions
+   * at the same ts (reference splitDDLs, dm/syncer/ddl.go:223-414), so
+   * events at/after it bind to version 4 with 4 columns.
+   */
+  val ddlText = GateQuery(
+    "q73_ddl_text",
+    Some(cte +
+      """SELECT schema_name, table_name,
+        |  CASE WHEN commit_ts >= 1005000 THEN 4
+        |       WHEN commit_ts >= 1002000 THEN 2 ELSE 1 END AS schema_version,
+        |  CASE WHEN commit_ts >= 1005000 THEN 4
+        |       WHEN commit_ts >= 1002000 THEN 3 ELSE 2 END AS n_cols,
+        |  count(*) AS cnt, min(commit_ts) AS min_ts, max(commit_ts) AS max_ts
+        |FROM cdc GROUP BY 1, 2, 3, 4""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.core.{DdlParser, SchemaRegistry}
+    val ddls = for {
+      s <- Seq("db_0", "db_1"); t <- Seq("tbl_0", "tbl_1", "tbl_2", "tbl_3")
+      d <- Seq(
+        (s"CREATE TABLE $s.$t (pk BIGINT NOT NULL PRIMARY KEY, val DOUBLE)", 0L),
+        (s"ALTER TABLE $s.$t ADD COLUMN c2 VARCHAR(64)", 1002000L),
+        (s"ALTER TABLE `$s`.`$t` ADD COLUMN c3 DECIMAL(10,2), MODIFY COLUMN c2 TEXT",
+          1005000L))
+    } yield d
+    val versions = DdlParser.applyToRegistry(Nil, ddls)
+    val intervals = SchemaRegistry.versionIntervals(spark, versions)
+    val nCols = versions
+      .map(v => (v.schemaName, v.tableName, v.version, v.schema.fields.length))
+      .toDF("schema_name", "table_name", "schema_version", "n_cols")
+    SchemaRegistry.bindSchemaVersion(CdcStream.derive(spark, dir), intervals)
+      .join(broadcast(nCols), Seq("schema_name", "table_name", "schema_version"))
+      .groupBy("schema_name", "table_name", "schema_version", "n_cols")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("commit_ts")).as("min_ts"), max(col("commit_ts")).as("max_ts"))
+  }
+
+  def all: Seq[GateQuery] = Seq(shardDdlGate, precheck, ddlText)
 }
