@@ -14,73 +14,130 @@ import org.apache.spark.sql.functions._
  */
 object Sinks {
 
+  /** Pointer state for the bucketed sink: last applied batch, bucket
+    * count (frozen at table creation), and each bucket's live version. */
+  private final case class StatePointer(lastBatch: Long, numBuckets: Int,
+                                        versions: Map[Int, Long])
+
+  private def readPointer(ptr: java.nio.file.Path): Option[StatePointer] =
+    if (!Files.exists(ptr)) None
+    else {
+      val lines = Files.readString(ptr).trim.split('\n')
+      val head = lines.head.split(' ') // "batch <id> buckets <N>"
+      Some(StatePointer(head(1).toLong, head(3).toInt,
+        lines.tail.map { l =>
+          val p = l.split(' '); p(0).toInt -> p(1).toLong
+        }.toMap))
+    }
+
+  private def writePointer(stateDir: String, p: StatePointer): Unit = {
+    val body = (s"batch ${p.lastBatch} buckets ${p.numBuckets}" +:
+      p.versions.toSeq.sorted.map { case (b, v) => s"$b $v" }).mkString("\n")
+    val tmp = Paths.get(s"$stateDir/CURRENT.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, Paths.get(s"$stateDir/CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def rmTree(x: java.io.File): Unit = {
+    Option(x.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    x.delete(); ()
+  }
+
+  /** Bucket dirs holding at least one parquet file (a bucket whose keys
+    * were all deleted leaves an empty version dir). */
+  private def liveBucketPaths(stateDir: String, p: StatePointer): Seq[String] =
+    p.versions.toSeq.sorted.map { case (b, v) => s"$stateDir/b$b/v$v" }
+      .filter(d => Option(new java.io.File(d).listFiles())
+        .exists(_.exists(_.getName.endsWith(".parquet"))))
+
   /**
    * K1-analog keyed state table on parquet: MERGE the batch into the state
    * by key (delete on D, upsert otherwise). Production target is a format
    * with native MERGE (Delta/Iceberg — transactional, partition-pruned);
-   * on plain parquet we read-merge-write versioned snapshots with an
-   * atomic pointer swap, which is the same algorithm minus file-level
-   * transactionality.
+   * on plain parquet the state is HASH-BUCKETED by key and only the
+   * buckets a batch touches are re-merged and rewritten — per-batch I/O is
+   * O(touched buckets), not O(state), which is what survives a 100 TB
+   * materialized table. Each bucket is independently versioned; an atomic
+   * pointer swap publishes the batch.
    */
   def parquetStateSink(spark: SparkSession, stateDir: String,
-                       keyCols: Seq[String] = Seq("schema_name", "table_name", "pk"))
+                       keyCols: Seq[String] = Seq("schema_name", "table_name", "pk"),
+                       numBuckets: Int = 64)
                       (batch: DataFrame, batchId: Long): Unit = {
     val ptr = Paths.get(s"$stateDir/CURRENT")
-    // pointer format: "v<version> <lastAppliedBatchId>". Replays of an
-    // already-applied batch are skipped — that, not the write itself, is
-    // what turns at-least-once foreachBatch delivery into exactly-once.
-    val (curVersion, lastBatch): (Long, Long) =
-      if (Files.exists(ptr)) {
-        val parts = Files.readString(ptr).trim.split(' ')
-        (parts(0).stripPrefix("v").toLong, parts(1).toLong)
-      } else (-1L, Long.MinValue)
-    if (batchId == lastBatch) return
+    val cur = readPointer(ptr)
+    // Replays of an already-applied batch are skipped — that, not the
+    // write itself, turns at-least-once foreachBatch into exactly-once.
+    if (cur.exists(_.lastBatch == batchId)) return
+    val nb = cur.map(_.numBuckets).getOrElse(numBuckets)
+    val versions = cur.map(_.versions).getOrElse(Map.empty[Int, Long])
 
-    val upserts = batch.filter(col("net_op") =!= "D")
-      .select(keyCols.map(col) :+ col("final_val") :+ col("last_commit_ts"): _*)
+    def bucketOf = pmod(hash(keyCols.map(col): _*), lit(nb))
+    val keyed = batch.withColumn("_bucket", bucketOf)
+    // ≤ nb small ints — driver-safe
+    val touched = keyed.select("_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) { writePointer(stateDir, StatePointer(batchId, nb, versions)); return }
+
+    val upserts = keyed.filter(col("net_op") =!= "D")
+      .select(keyCols.map(col) ++ Seq(col("final_val"), col("last_commit_ts"),
+        col("_bucket")): _*)
+    val existing = touched.toSeq.flatMap(b => versions.get(b).map(v => s"$stateDir/b$b/v$v"))
+      .filter(d => Option(new java.io.File(d).listFiles())
+        .exists(_.exists(_.getName.endsWith(".parquet"))))
     val merged =
-      if (curVersion < 0) upserts
+      if (existing.isEmpty) upserts
       else {
-        // anti-join removes keys touched this batch (covers U and D), then
-        // the new images are appended — one shuffle on the key.
-        spark.read.parquet(s"$stateDir/v$curVersion")
+        // read ONLY the touched buckets' live state; anti-join removes keys
+        // replaced or deleted this batch, then the new images are appended
+        spark.read.parquet(existing: _*)
           .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .withColumn("_bucket", bucketOf)
           .unionByName(upserts)
       }
-    // always a FRESH version dir: the merge reads the current one lazily,
-    // so writing in place would destroy its own input mid-job
-    val next = curVersion + 1
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/v$next")
-    val tmp = Paths.get(s"$stateDir/CURRENT.tmp")
-    Files.writeString(tmp, s"v$next $batchId")
-    Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // stage partitioned by bucket, then publish each touched bucket as its
+    // next version (staging is a sibling dir: the merge reads the current
+    // versions lazily, so writing in place would destroy its own input)
+    val staging = s"$stateDir/.staging"
+    merged.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(staging)
+    val nextVersions = versions ++ touched.map { b =>
+      val next = versions.getOrElse(b, -1L) + 1
+      val dst = Paths.get(s"$stateDir/b$b/v$next")
+      Files.createDirectories(dst.getParent)
+      if (Files.exists(dst)) rmTree(dst.toFile) // leftover of a failed attempt
+      val src = Paths.get(s"$staging/_bucket=$b")
+      if (Files.exists(src)) Files.move(src, dst)
+      else Files.createDirectories(dst) // bucket fully deleted → empty state
+      b -> next
+    }
+    rmTree(new java.io.File(staging))
+    writePointer(stateDir, StatePointer(batchId, nb, nextVersions))
   }
 
-  /** Read the current materialized state. */
+  /** Read the current materialized state (union of live bucket versions). */
   def readState(spark: SparkSession, stateDir: String): DataFrame = {
-    val ptr = Paths.get(s"$stateDir/CURRENT")
-    val version = Files.readString(ptr).trim.split(' ')(0)
-    spark.read.parquet(s"$stateDir/$version")
+    val p = readPointer(Paths.get(s"$stateDir/CURRENT"))
+      .getOrElse(throw new IllegalStateException(s"no state at $stateDir"))
+    val paths = liveBucketPaths(stateDir, p)
+    if (paths.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(paths: _*)
   }
 
-  /** Drop state versions older than the current minus `keep` (time-travel
-    * window); the pointer's version is never removed. */
+  /** Per-bucket version map from the pointer (observability / tests). */
+  def stateVersions(stateDir: String): Map[Int, Long] =
+    readPointer(Paths.get(s"$stateDir/CURRENT")).map(_.versions).getOrElse(Map.empty)
+
+  /** Drop bucket versions older than that bucket's current minus `keep`
+    * (time-travel window); live versions are never removed. */
   def vacuumState(stateDir: String, keep: Int = 2): Unit = {
-    val ptr = Paths.get(s"$stateDir/CURRENT")
-    if (!Files.exists(ptr)) return
-    val cur = Files.readString(ptr).trim.split(' ')(0).stripPrefix("v").toLong
-    val dir = new java.io.File(stateDir)
-    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (f.isDirectory && f.getName.startsWith("v")) {
-        val v = f.getName.stripPrefix("v").toLongOption
-        if (v.exists(_ < cur - keep)) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-            x.delete(); ()
+    readPointer(Paths.get(s"$stateDir/CURRENT")).foreach { p =>
+      p.versions.foreach { case (b, cur) =>
+        Option(new java.io.File(s"$stateDir/b$b").listFiles())
+          .getOrElse(Array.empty).foreach { f =>
+            val v = f.getName.stripPrefix("v").toLongOption
+            if (f.isDirectory && v.exists(_ < cur - keep)) rmTree(f)
           }
-          rm(f)
-        }
       }
     }
   }

@@ -42,9 +42,12 @@ class SkewSpec extends SparkSpec {
       .toDF("schema_name", "table_name", "pk", "net_op", "final_val", "last_commit_ts")
     for (b <- 0L to 4L) Sinks.parquetStateSink(spark, s"$dir/state")(mk(b, b * 1.0), b)
     Sinks.vacuumState(s"$dir/state", keep = 1)
-    val versions = new java.io.File(s"$dir/state").listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
-    assert(versions == Set("v3", "v4"))
+    // bucketed layout: each bucket retains at most its live version + keep
+    val perBucket = new java.io.File(s"$dir/state").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .map(b => Option(b.listFiles()).getOrElse(Array.empty)
+        .count(v => v.isDirectory && v.getName.startsWith("v")))
+    assert(perBucket.nonEmpty && perBucket.forall(_ <= 2))
     // state still readable and complete
     assert(Sinks.readState(spark, s"$dir/state").count() == 5)
   }
