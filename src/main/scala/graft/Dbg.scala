@@ -4,11 +4,16 @@ import org.apache.spark.sql.SparkSession
 object Dbg {
   def main(a: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.entry(spark)
-    println(s"flagship rows = ${df.count()}")
-    df.show(5, false)
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names = if (a.nonEmpty) a.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      System.err.println(s"=== $n")
+      SparkEntry.queries(n)(spark, sfDir).count()
+    }
     spark.stop()
   }
 }

@@ -70,16 +70,44 @@ object ChunkDiff {
   def chunkBySplitPoints(key: Column, points: Array[Double]): Column =
     points.foldLeft(lit(0)) { (acc, p) => acc + when(key > p, 1).otherwise(0) }
 
-  /** V2 — per-chunk (count, checksum) digest. */
+  /** Key bounds for [[chunkByWidth]] — one distributed min/max agg; the two
+    * longs to the driver are the same metadata fetch the reference's split
+    * planner does before chunking. */
+  def widthBounds(df: DataFrame, keyCol: String): (Long, Long) = {
+    val r = df.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /**
+   * V1 scale path with ORACLE-REPRODUCIBLE boundaries: equal-width key
+   * ranges from the table's min/max. Pure per-row arithmetic — no window,
+   * no sort, no shuffle; both diff sides (and the oracle) assign identical
+   * chunk membership from the same two numbers. Exact integer division via
+   * (a - a%b)/b keeps it bit-stable across engines (exact while
+   * (hi-lo)*nChunks < 2^53 — holds far past 100 TB key spans).
+   */
+  def chunkByWidth(key: Column, lo: Long, hi: Long, nChunks: Int): Column = {
+    val span = lit(hi - lo + 1L)
+    val scaled = (key - lit(lo)) * nChunks
+    least(lit(nChunks - 1), ((scaled - scaled % span) / span).cast("int"))
+  }
+
+  /** V2 — per-chunk (count, checksum) digest over equal-width key chunks.
+    * One hash aggregation per side; fully parallel (the former ntile form
+    * moved every row through a single-task global window). */
   def chunkChecksums(df: DataFrame, orderKeys: Seq[Column], nChunks: Int,
-                     canonicalCols: Seq[Column]): DataFrame =
-    withChunk(df.withColumn("row_digest", rowDigest(canonicalCols)), orderKeys, nChunks)
+                     canonicalCols: Seq[Column]): DataFrame = {
+    val keyCol = orderKeys.head
+    val (lo, hi) = widthBounds(df, keyCol.toString())
+    df.withColumn("row_digest", rowDigest(canonicalCols))
+      .withColumn("chunk_id", chunkByWidth(keyCol, lo, hi, nChunks))
       .groupBy("chunk_id")
       .agg(
         count(lit(1)).as("cnt"),
         expr("bit_xor(row_digest)").as("checksum"),
-        min(orderKeys.head).as("chunk_lo"),
-        max(orderKeys.head).as("chunk_hi"))
+        min(keyCol).as("chunk_lo"),
+        max(keyCol).as("chunk_hi"))
+  }
 
   /**
    * J4/V3 — row-level diff via full-outer join on the key columns.

@@ -247,12 +247,16 @@ object CodecQueries {
          |                ELSE $imgNullStructSql END
          |  )) AS msg FROM cdc WHERE $SampleE
          |)""".stripMargin)) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val df = CdcStream.derive(spark, dir)
-    val boot = df.select(col("schema_name"), col("table_name")).distinct()
-      .withColumn("seq",
-        lit(-1L) - dense_rank().over(
-          Window.orderBy(col("schema_name"), col("table_name"))))
+    // bootstrap messages are a control-plane set (one per table): rank the
+    // distinct pairs on the driver rather than through a global window,
+    // which would single-partition the stage
+    val pairs = df.select("schema_name", "table_name").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    val boot = pairs.zipWithIndex
+      .map { case ((s, t), i) => (-1L - (i + 1), s, t) }.toSeq
+      .toDF("seq", "schema_name", "table_name")
     val bootMsgs = boot.select(col("seq"),
       Codecs.simpleBootstrap(boot, 1).as("msg"))
     val sampled = df.filter(expr(SampleE))

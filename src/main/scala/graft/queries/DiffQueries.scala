@@ -57,17 +57,21 @@ object DiffQueries {
       .unionByName(inserted.select(li.columns.map(col): _*))
   }
 
-  // A1/V2 — per-chunk count + order-insensitive checksum over 32 chunks.
+  // A1/V2 — per-chunk count + order-insensitive checksum over 32
+  // equal-width key chunks. The boundaries are pure arithmetic from the
+  // table's min/max key, so the oracle reproduces identical membership and
+  // the Spark side needs no global window (one hash agg, fully parallel).
   val chunkChecksum = GateQuery(
     "q50_chunk_checksum",
     Some(
-      s"""SELECT chunk_id, count(*) AS cnt, bit_xor(row_digest) AS checksum,
+      s"""WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem)
+         |SELECT chunk_id, count(*) AS cnt, bit_xor(row_digest) AS checksum,
          |  min(l_orderkey) AS chunk_lo, max(l_orderkey) AS chunk_hi
          |FROM (
          |  SELECT l_orderkey,
-         |    ntile(32) OVER (ORDER BY l_orderkey, l_linenumber) AS chunk_id,
+         |    CAST(least(31, ((l_orderkey - b.lo) * 32) // (b.hi - b.lo + 1)) AS INT) AS chunk_id,
          |    ${oracleDigest(oracleCanonical)} AS row_digest
-         |  FROM lineitem
+         |  FROM lineitem, b
          |) GROUP BY chunk_id""".stripMargin)) { (spark, dir) =>
     val li = Tables.load(spark, dir, "lineitem")
     ChunkDiff.chunkChecksums(li, Seq(col("l_orderkey"), col("l_linenumber")),
