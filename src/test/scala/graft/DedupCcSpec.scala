@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Star-contraction CC: correctness on adversarial shapes AND the round
+  * bound that motivates it — a diameter-63 chain must converge in ≤ 8
+  * alternating-star rounds, where plain label propagation needs 63. */
+class DedupCcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("64-node chain converges within 8 rounds to one component") {
+    val nodes = (0L until 64L).toDF("id")
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.dupClusters(nodes, edges, maxIter = 8)
+    assert(labels.filter(col("comp") === 0L).count() === 64)
+  }
+
+  test("disjoint components and isolated nodes label independently") {
+    val nodes = (0L until 10L).toDF("id")
+    // {0..3} via a zigzag, {5,6} a pair, {4,7,8,9} isolated
+    val edges = Seq((3L, 1L), (1L, 2L), (2L, 0L), (6L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(nodes, edges).as[(Long, Long)].collect().toMap
+    assert((0L to 3L).forall(got(_) == 0L))
+    assert(got(5L) == 5L && got(6L) == 5L)
+    assert(Seq(4L, 7L, 8L, 9L).forall(i => got(i) == i))
+  }
+
+  test("star form matches a union-find oracle on a pseudo-random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val pairs = Seq.fill(180)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val got = Dedup.dupClusters(
+      (0L until n.toLong).toDF("id"),
+      pairs.toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+    // canonicalize both labelings to min-of-component
+    val canon = expected.groupBy(_._2).flatMap { case (_, m) =>
+      val mn = m.keys.min; m.keys.map(_ -> mn)
+    }
+    assert(got === canon)
+  }
+}
