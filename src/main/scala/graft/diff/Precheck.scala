@@ -1,15 +1,22 @@
 package graft.diff
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /**
- * Precheck suite (SURVEY.md §2.13 V6; reference dm/checker/checker.go and
- * the dm/pkg/checker package): one-shot replication-readiness diagnostics over the
- * actual tables. Schema checks run on the driver against the catalog
- * StructType (no data pass); data checks are one aggregation per table.
- * Emits (table_name, check_name, verdict, detail).
+ * Precheck suite (SURVEY.md §2.13 V6; reference dm/checker/checker.go:84-400
+ * and dm/pkg/checker/): one-shot replication-readiness diagnostics over the
+ * actual tables, covering the offline-applicable checkers — table structure
+ * (TablesChecker: PK, types, name collisions, column bounds), primary-key
+ * sanity (primary_key.go), charset cleanliness, MySQL-range timestamps, and
+ * the shard-group checkers (ShardingTablesChecker schema consistency +
+ * auto-increment PK conflict). Connectivity/privilege/binlog-config
+ * checkers need a live server and are out of scope by SURVEY.
+ *
+ * Schema checks run on the driver against the catalog StructType (no data
+ * pass); data checks are ONE aggregation per table; shard checks are one
+ * aggregation per group. Emits (table_name, check_name, verdict, detail).
  */
 object Precheck {
 
@@ -20,6 +27,9 @@ object Precheck {
     LongType, FloatType, DoubleType, StringType, BinaryType, BooleanType,
     DateType, TimestampType, TimestampNTZType)
 
+  /** InnoDB practical column ceiling (the reference flags wide tables). */
+  val MaxColumns = 1017
+
   def schemaChecks(table: String, schema: StructType,
                    pkCols: Seq[String]): Seq[CheckResult] = {
     val hasPk = pkCols.nonEmpty && pkCols.forall(schema.fieldNames.contains)
@@ -27,26 +37,75 @@ object Precheck {
       supported.contains(f.dataType) ||
         f.dataType.isInstanceOf[DecimalType] ||
         f.dataType.isInstanceOf[ArrayType])
+    val pkFields = schema.fields.filter(f => pkCols.contains(f.name))
+    // declared-nullable PK is a warning, not a failure: parquet written
+    // without required-ness still replicates, but merge keys SHOULD be
+    // declared non-null (the reference warns on missing PK/UK similarly)
+    val nullablePk = pkFields.filter(_.nullable)
+    val floatPk = pkFields.filter(f =>
+      f.dataType == FloatType || f.dataType == DoubleType)
+    val lowered = schema.fieldNames.groupBy(_.toLowerCase).filter(_._2.length > 1)
+    val badDecimals = schema.fields.collect {
+      case StructField(n, d: DecimalType, _, _) if d.precision > 38 => n
+    }
     Seq(
       CheckResult(table, "pk_present",
         if (hasPk) "pass" else "fail",
         if (hasPk) pkCols.mkString(",") else s"missing: ${pkCols.mkString(",")}"),
       CheckResult(table, "types_supported",
         if (unsupported.isEmpty) "pass" else "fail",
-        if (unsupported.isEmpty) "" else unsupported.map(_.name).mkString(",")))
+        unsupported.map(_.name).mkString(",")),
+      CheckResult(table, "pk_schema_not_nullable",
+        if (nullablePk.isEmpty) "pass" else "warn",
+        nullablePk.map(_.name).mkString(",")),
+      CheckResult(table, "pk_type_sane",
+        if (floatPk.isEmpty) "pass" else "fail",
+        floatPk.map(_.name).mkString(",")),
+      CheckResult(table, "column_name_collision",
+        if (lowered.isEmpty) "pass" else "fail",
+        lowered.keys.mkString(",")),
+      CheckResult(table, "column_count_bound",
+        if (schema.fields.length <= MaxColumns) "pass" else "fail",
+        s"cols=${schema.fields.length}"),
+      CheckResult(table, "decimal_precision_bound",
+        if (badDecimals.isEmpty) "pass" else "fail",
+        badDecimals.mkString(",")))
   }
 
-  /** Data checks: non-empty, PK non-null, PK unique — one aggregation. */
+  /** MySQL TIMESTAMP range in epoch seconds: [1970-01-01, 2038-01-19). */
+  private val TsMaxEpoch = 2147483647L
+
+  /**
+   * Data checks in ONE aggregation: non-empty, PK non-null, PK unique,
+   * charset cleanliness (no U+FFFD mojibake in any string column), and
+   * MySQL-range timestamps.
+   */
   def dataChecks(spark: SparkSession, table: String, df: DataFrame,
                  pkCols: Seq[String]): DataFrame = {
     import spark.implicits._
     val pk = pkCols.map(col)
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    val tsCols = df.schema.fields
+      .filter(f => f.dataType == TimestampType || f.dataType == TimestampNTZType)
+      .map(_.name)
+    val anyBadUtf8: Column =
+      if (strCols.isEmpty) lit(0L)
+      else sum(when(strCols.map(c => col(c).contains("�")).reduce(_ || _), 1L)
+        .otherwise(0L))
+    val tsOutOfRange: Column =
+      if (tsCols.isEmpty) lit(0L)
+      else sum(when(tsCols.map(c =>
+          unix_timestamp(col(c)) < 0 || unix_timestamp(col(c)) > TsMaxEpoch)
+        .reduce(_ || _), 1L).otherwise(0L))
     val agg = df.agg(
       count(lit(1)).as("n_rows"),
       sum(when(pk.map(_.isNull).reduce(_ || _), 1L).otherwise(0L)).as("n_null_pk"),
-      countDistinct(pk.head, pk.tail: _*).as("n_distinct_pk")).collect()(0)
-    val (rows, nullPk, distinctPk) =
-      (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      countDistinct(pk.head, pk.tail: _*).as("n_distinct_pk"),
+      anyBadUtf8.as("n_bad_utf8"),
+      tsOutOfRange.as("n_ts_oob")).collect()(0)
+    val (rows, nullPk, distinctPk) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val badUtf8 = agg.getLong(3)
+    val tsOob = agg.getLong(4)
     Seq(
       CheckResult(table, "non_empty",
         if (rows > 0) "pass" else "fail", s"rows=$rows"),
@@ -54,16 +113,56 @@ object Precheck {
         if (nullPk == 0) "pass" else "fail", s"null_pk=$nullPk"),
       CheckResult(table, "pk_unique",
         if (distinctPk == rows - nullPk) "pass" else "fail",
-        s"distinct=$distinctPk")).toDF()
+        s"distinct=$distinctPk"),
+      CheckResult(table, "charset_clean",
+        if (badUtf8 == 0) "pass" else "fail", s"mojibake_rows=$badUtf8"),
+      CheckResult(table, "timestamp_range",
+        if (tsOob == 0) "pass" else "fail",
+        if (tsCols.isEmpty) "no timestamp columns" else s"oob_rows=$tsOob")
+    ).toDF()
   }
 
-  /** Full precheck over a set of tables with their PK definitions. */
-  def run(spark: SparkSession, tables: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+  /**
+   * Shard-group checks (reference ShardingTablesChecker /
+   * OptimisticShardingTablesChecker, table_structure.go:542-806 and the
+   * auto-increment PK conflict check): the shards merging into one target
+   * must agree on schema (field-union join without type conflicts) and
+   * must not collide on primary-key values.
+   */
+  def shardChecks(spark: SparkSession, table: String,
+                  shards: Seq[DataFrame], pkCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    import graft.core.SchemaRegistry
+    val joined = SchemaRegistry.joinSchemas(shards.map(_.schema))
+    val schemaRes = joined match {
+      case Right(_) => CheckResult(table, "shard_schema_consistent", "pass",
+        s"shards=${shards.length}")
+      case Left(c) => CheckResult(table, "shard_schema_consistent", "fail",
+        s"field ${c.field}: ${c.types.mkString(" vs ")}")
+    }
+    // one distributed agg: a pk value appearing in >1 shard = merge conflict
+    val tagged = shards.zipWithIndex.map { case (s, i) =>
+      s.select(pkCols.map(col) :+ lit(i).as("_shard"): _*).distinct()
+    }.reduce(_ unionByName _)
+    val conflicts = tagged.groupBy(pkCols.map(col): _*)
+      .agg(countDistinct(col("_shard")).as("n_shards"))
+      .filter(col("n_shards") > 1).count()
+    val pkRes = CheckResult(table, "auto_increment_conflict",
+      if (conflicts == 0) "pass" else "fail", s"colliding_keys=$conflicts")
+    Seq(schemaRes, pkRes).toDF()
+  }
+
+  /** Full precheck over a set of tables with their PK definitions, plus
+    * optional shard groups merging into one target table. */
+  def run(spark: SparkSession, tables: Seq[(String, DataFrame, Seq[String])],
+          shardGroups: Seq[(String, Seq[DataFrame], Seq[String])] = Nil): DataFrame = {
     import spark.implicits._
     val schema = tables.flatMap { case (name, df, pk) =>
       schemaChecks(name, df.schema, pk)
     }.toDF()
-    tables.map { case (name, df, pk) => dataChecks(spark, name, df, pk) }
+    val withData = tables.map { case (name, df, pk) => dataChecks(spark, name, df, pk) }
       .foldLeft(schema)(_ unionByName _)
+    shardGroups.map { case (name, shards, pk) => shardChecks(spark, name, shards, pk) }
+      .foldLeft(withData)(_ unionByName _)
   }
 }

@@ -58,13 +58,26 @@ object DdlQueries {
     Some("""WITH data_checks AS (
            |  SELECT 'lineitem' AS table_name, count(*) AS n_rows,
            |    sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL THEN 1 ELSE 0 END) AS n_null,
-           |    count(DISTINCT (l_orderkey, l_linenumber)) AS n_distinct
+           |    count(DISTINCT (l_orderkey, l_linenumber)) AS n_distinct,
+           |    sum(CASE WHEN strpos(l_returnflag, chr(65533)) > 0
+           |              OR strpos(l_linestatus, chr(65533)) > 0 THEN 1 ELSE 0 END) AS n_bad_utf8,
+           |    sum(CASE WHEN epoch(l_shipdate) < 0
+           |              OR epoch(l_shipdate) > 2147483647 THEN 1 ELSE 0 END) AS n_ts_oob
            |  FROM lineitem
            |  UNION ALL
            |  SELECT 'orders', count(*),
            |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
-           |    count(DISTINCT o_orderkey)
+           |    count(DISTINCT o_orderkey),
+           |    sum(CASE WHEN strpos(o_orderstatus, chr(65533)) > 0
+           |              OR strpos(o_orderpriority, chr(65533)) > 0 THEN 1 ELSE 0 END),
+           |    sum(CASE WHEN epoch(o_orderdate) < 0
+           |              OR epoch(o_orderdate) > 2147483647 THEN 1 ELSE 0 END)
            |  FROM orders
+           |), shard_conflicts AS (
+           |  SELECT count(*) AS n FROM (
+           |    SELECT o_orderkey FROM orders
+           |    GROUP BY o_orderkey HAVING count(DISTINCT o_orderkey % 2) > 1
+           |  )
            |)
            |SELECT table_name, check_name, verdict FROM (
            |  SELECT table_name, 'non_empty' AS check_name,
@@ -76,13 +89,43 @@ object DdlQueries {
            |  SELECT table_name, 'pk_unique',
            |    CASE WHEN n_distinct = n_rows - n_null THEN 'pass' ELSE 'fail' END FROM data_checks
            |  UNION ALL
-           |  SELECT t, c, 'pass' FROM (VALUES
-           |    ('lineitem', 'pk_present'), ('lineitem', 'types_supported'),
-           |    ('orders', 'pk_present'), ('orders', 'types_supported')) v(t, c)
+           |  SELECT table_name, 'charset_clean',
+           |    CASE WHEN n_bad_utf8 = 0 THEN 'pass' ELSE 'fail' END FROM data_checks
+           |  UNION ALL
+           |  SELECT table_name, 'timestamp_range',
+           |    CASE WHEN n_ts_oob = 0 THEN 'pass' ELSE 'fail' END FROM data_checks
+           |  UNION ALL
+           |  SELECT t, c, v FROM (VALUES
+           |    ('lineitem', 'pk_present', 'pass'),
+           |    ('lineitem', 'types_supported', 'pass'),
+           |    ('lineitem', 'pk_schema_not_nullable', 'warn'),
+           |    ('lineitem', 'pk_type_sane', 'pass'),
+           |    ('lineitem', 'column_name_collision', 'pass'),
+           |    ('lineitem', 'column_count_bound', 'pass'),
+           |    ('lineitem', 'decimal_precision_bound', 'pass'),
+           |    ('orders', 'pk_present', 'pass'),
+           |    ('orders', 'types_supported', 'pass'),
+           |    ('orders', 'pk_schema_not_nullable', 'warn'),
+           |    ('orders', 'pk_type_sane', 'pass'),
+           |    ('orders', 'column_name_collision', 'pass'),
+           |    ('orders', 'column_count_bound', 'pass'),
+           |    ('orders', 'decimal_precision_bound', 'pass'),
+           |    ('orders_sharded', 'shard_schema_consistent', 'pass')) v(t, c, v)
+           |  UNION ALL
+           |  SELECT 'orders_sharded', 'auto_increment_conflict',
+           |    CASE WHEN n = 0 THEN 'pass' ELSE 'fail' END FROM shard_conflicts
            |)""".stripMargin)) { (spark, dir) =>
-    Precheck.run(spark, Seq(
-      ("lineitem", Tables.load(spark, dir, "lineitem"), Seq("l_orderkey", "l_linenumber")),
-      ("orders", Tables.load(spark, dir, "orders"), Seq("o_orderkey"))))
+    val orders = Tables.load(spark, dir, "orders")
+    Precheck.run(spark,
+      Seq(
+        ("lineitem", Tables.load(spark, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber")),
+        ("orders", orders, Seq("o_orderkey"))),
+      shardGroups = Seq(
+        ("orders_sharded",
+          Seq(orders.filter(col("o_orderkey") % 2 === 0),
+            orders.filter(col("o_orderkey") % 2 === 1)),
+          Seq("o_orderkey"))))
       .select("table_name", "check_name", "verdict")
   }
 
