@@ -129,6 +129,40 @@ object Codecs {
     to_json(struct(u.as("u"), d.as("d")), jsonOpts)
   }
 
+  /** C5 (downgrade half) — handle-key-only value: the open-protocol image
+    * reduced to the handle columns (pk). */
+  def openProtocolHandleOnlyValue(df: DataFrame): Column = {
+    def img = struct(struct(lit(8).as("t"), col("pk").as("v")).as("pk"))
+    val nullImg = lit(null).cast(new StructType()
+      .add("pk", new StructType().add("t", IntegerType).add("v", LongType)))
+    to_json(struct(
+      when(col("op") =!= "D", img).otherwise(nullImg).as("u"),
+      when(col("op") === "D", img).otherwise(nullImg).as("d")), jsonOpts)
+  }
+
+  /**
+   * C5 — large-message handle-key-only downgrade (reference
+   * pkg/sink/codec/open/open_protocol_encoder.go:43-80,
+   * internal/message_key.go:32 `ohk`): when the full value message exceeds
+   * `maxBytes`, re-encode carrying ONLY the handle key columns and flag the
+   * message key with `"ohk":true` so consumers know to fetch the full row
+   * out of band. Returns (key, value) columns.
+   */
+  def openProtocolWithDowngrade(df: DataFrame, maxBytes: Int): (Column, Column) = {
+    val full = openProtocolValue(df)
+    val downgraded = length(full) > maxBytes
+    val key = when(downgraded,
+      to_json(struct(
+        col("commit_ts").as("ts"),
+        col("schema_name").as("scm"),
+        col("table_name").as("tbl"),
+        lit(1).as("t"),
+        lit(true).as("ohk")), jsonOpts))
+      .otherwise(openProtocolKey(df))
+    val value = when(downgraded, openProtocolHandleOnlyValue(df)).otherwise(full)
+    (key, value)
+  }
+
   /**
    * E4 — CSV line with the storage-sink meta columns (reference
    * pkg/sink/codec/csv/csv_message.go:105-518): op flag, schema, table,

@@ -146,6 +146,64 @@ object ExtraQueries {
       .agg(count(lit(1)).as("cnt"), sum(col("msg_len")).as("sum_len"))
   }
 
+  /**
+   * C5 (downgrade half) — handle-key-only fallback for oversized messages:
+   * values longer than the cap re-encode with only the handle column and
+   * the key gains `"ohk":true` (open_protocol_encoder.go:43-80). The gate
+   * groups by downgrade flag and pins counts and exact byte lengths of the
+   * FINAL key and value messages.
+   */
+  val handleKeyOnly = GateQuery(
+    "q47b_handle_key_only",
+    Some(cte +
+      s"""SELECT ohk, count(*) AS cnt,
+         |  CAST(sum(length(key_msg)) AS BIGINT) AS sum_key_len,
+         |  CAST(sum(length(val_msg)) AS BIGINT) AS sum_val_len
+         |FROM (
+         |  SELECT
+         |    CASE WHEN length(full_val) > 90 THEN 1 ELSE 0 END AS ohk,
+         |    CASE WHEN length(full_val) > 90 THEN to_json(struct_pack(
+         |           ts := commit_ts, scm := schema_name, tbl := table_name,
+         |           t := 1, ohk := true))
+         |         ELSE to_json(struct_pack(
+         |           ts := commit_ts, scm := schema_name, tbl := table_name,
+         |           t := 1)) END AS key_msg,
+         |    CASE WHEN length(full_val) > 90 THEN to_json(struct_pack(
+         |           u := CASE WHEN op <> 'D'
+         |                THEN struct_pack(pk := struct_pack(t := 8, v := pk))
+         |                ELSE CAST(NULL AS STRUCT(pk STRUCT(t INT, v BIGINT))) END,
+         |           d := CASE WHEN op = 'D'
+         |                THEN struct_pack(pk := struct_pack(t := 8, v := pk))
+         |                ELSE CAST(NULL AS STRUCT(pk STRUCT(t INT, v BIGINT))) END))
+         |         ELSE full_val END AS val_msg
+         |  FROM (
+         |    SELECT *, to_json(struct_pack(
+         |      u := CASE WHEN op <> 'D' THEN struct_pack(
+         |             pk := struct_pack(t := 8, v := pk),
+         |             val := struct_pack(t := 5, v := CAST(val_after AS DOUBLE)),
+         |             etype := struct_pack(t := 15, v := etype))
+         |           ELSE CAST(NULL AS STRUCT(pk STRUCT(t INT, v BIGINT),
+         |                  val STRUCT(t INT, v DOUBLE), etype STRUCT(t INT, v VARCHAR))) END,
+         |      d := CASE WHEN op = 'D' THEN struct_pack(
+         |             pk := struct_pack(t := 8, v := pk),
+         |             val := struct_pack(t := 5, v := CAST(val_before AS DOUBLE)),
+         |             etype := struct_pack(t := 15, v := etype))
+         |           ELSE CAST(NULL AS STRUCT(pk STRUCT(t INT, v BIGINT),
+         |                  val STRUCT(t INT, v DOUBLE), etype STRUCT(t INT, v VARCHAR))) END
+         |    )) AS full_val FROM cdc
+         |  )
+         |) GROUP BY ohk""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir)
+    val (key, value) = Codecs.openProtocolWithDowngrade(df, maxBytes = 90)
+    df.select(
+        when(length(Codecs.openProtocolValue(df)) > 90, 1).otherwise(0).as("ohk"),
+        key.as("key_msg"), value.as("val_msg"))
+      .groupBy("ohk")
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("key_msg"))).as("sum_key_len"),
+        sum(length(col("val_msg"))).as("sum_val_len"))
+  }
+
   /** D6 — column selector: project away non-selected payload columns,
     * envelope retained (columnselector/column_selector.go:25-140). */
   val columnSelector = GateQuery(
@@ -314,6 +372,6 @@ object ExtraQueries {
   }
 
   def all: Seq[GateQuery] = Seq(
-    schemaAsof, validator, mediaFeatures, claimCheck, columnSelector,
-    partitionId, twoPcMatch, onlineDdl, jsonOps, enumDict)
+    schemaAsof, validator, mediaFeatures, claimCheck, handleKeyOnly,
+    columnSelector, partitionId, twoPcMatch, onlineDdl, jsonOps, enumDict)
 }
