@@ -92,6 +92,20 @@ object ChunkDiff {
     least(lit(nChunks - 1), ((scaled - scaled % span) / span).cast("int"))
   }
 
+  /**
+   * V1 composite/string-key path (reference bucket splitter
+   * sync_diff_inspector/splitter/bucket.go:38-300 walks index stats over
+   * ARBITRARY index columns): when the chunk key is composite or
+   * non-numeric, width arithmetic doesn't apply — chunk membership comes
+   * from the portable row-key hash instead. Deterministic across engines,
+   * uniformly balanced regardless of key type or skew, and both diff sides
+   * agree with no shared state at all.
+   */
+  def chunkByKeyHash(keys: Seq[Column], nChunks: Int): Column =
+    pmod(graft.core.Hashing.portableLong(
+      concat_ws("|", keys.map(_.cast("string")): _*)), lit(nChunks.toLong))
+      .cast("int")
+
   /** V2 — per-chunk (count, checksum) digest over equal-width key chunks.
     * One hash aggregation per side; fully parallel (the former ntile form
     * moved every row through a single-task global window). */

@@ -78,6 +78,29 @@ object DiffQueries {
       32, canonical(li))
   }
 
+  // V1 composite/string-key chunking: the same checksum gate over a
+  // (string, numeric) composite key via the portable key hash — the path a
+  // table without a single numeric PK takes.
+  val chunkChecksumComposite = GateQuery(
+    "q50b_chunk_checksum_composite",
+    Some {
+      val keyHash = graft.core.Hashing.Sql.portableLong(
+        "l_returnflag || '|' || CAST(l_orderkey AS VARCHAR)")
+      s"""SELECT chunk_id, count(*) AS cnt, bit_xor(row_digest) AS checksum
+         |FROM (
+         |  SELECT CAST(($keyHash) % 16 AS INT) AS chunk_id,
+         |    ${oracleDigest(oracleCanonical)} AS row_digest
+         |  FROM lineitem
+         |) GROUP BY chunk_id""".stripMargin
+    }) { (spark, dir) =>
+    val li = Tables.load(spark, dir, "lineitem")
+    li.withColumn("row_digest", ChunkDiff.rowDigest(canonical(li)))
+      .withColumn("chunk_id",
+        ChunkDiff.chunkByKeyHash(Seq(col("l_returnflag"), col("l_orderkey")), 16))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("cnt"), expr("bit_xor(row_digest)").as("checksum"))
+  }
+
   // J4/V3 — row-level diff classification, aggregated.
   val rowDiff = GateQuery(
     "q51_row_diff",
@@ -160,5 +183,5 @@ object DiffQueries {
       .select("l_orderkey", "l_linenumber", "diff_type", "fix_sql")
   }
 
-  def all: Seq[GateQuery] = Seq(chunkChecksum, rowDiff, fixSql)
+  def all: Seq[GateQuery] = Seq(chunkChecksum, chunkChecksumComposite, rowDiff, fixSql)
 }
