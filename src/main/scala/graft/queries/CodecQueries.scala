@@ -4,6 +4,13 @@ import org.apache.spark.sql.functions._
 import graft.core.CdcStream
 import graft.operators.Codecs
 
+/** Typed envelope row for the Craft batch round-trip (top-level so Spark
+  * can derive its Encoder). */
+final case class CraftEnvRow(op: String, commit_ts: Long, schema_name: String,
+                             table_name: String, pk: Long,
+                             val_before: Option[Double],
+                             val_after: Option[Double], etype: String)
+
 /**
  * Gate queries for the wire-format codecs (SURVEY.md §2.7). Each emits the
  * encoded message string for a deterministic sample of the CDC stream; the
@@ -221,6 +228,80 @@ object CodecQueries {
         .cast("double").as("sum_val"))
   }
 
+  /**
+   * E8 — Craft batch round-trip: each partition's rows are encoded into ONE
+   * Craft message (columnar headers, shared term dictionary, column
+   * groups), decoded back, and the decoded stream must aggregate exactly
+   * like the plain stream. Exercises the full frame: delta chunks,
+   * dictionary sharing across events, null values, trailing size tables.
+   * (Real sinks cap events per message; one-per-partition maximizes
+   * dictionary/delta reuse for the test.)
+   */
+  val craftRoundtrip = GateQuery(
+    "q57_craft_roundtrip",
+    Some(cte +
+      """SELECT op, count(*) AS cnt, CAST(sum(pk) AS BIGINT) AS sum_pk,
+        |  CAST(coalesce(sum(CAST(CASE WHEN op = 'D' THEN val_before
+        |                             ELSE val_after END AS DECIMAL(18,6))), 0)
+        |       AS DOUBLE) AS sum_val,
+        |  count(DISTINCT etype) AS n_etypes,
+        |  min(commit_ts) AS min_ts, max(commit_ts) AS max_ts
+        |FROM cdc GROUP BY op""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.CraftCodec
+    import CraftCodec.{Col, Event, Group}
+    val rows = CdcStream.derive(spark, dir)
+      .select(col("op"), col("commit_ts"), col("schema_name"), col("table_name"),
+        col("pk"), col("val_before"), col("val_after"), col("etype"))
+      .as[CraftEnvRow]
+    val decoded = rows
+      .repartition(8, col("schema_name"), col("table_name"))
+      .mapPartitions { it =>
+        val evs = it.map { r =>
+          def image(v: Option[Double], ty: Int) = Group(ty, Seq(
+            Col("pk", CraftCodec.TypeLonglong, CraftCodec.FlagHandleKey,
+              Some(CraftCodec.longValue(r.pk))),
+            Col("val", CraftCodec.TypeDouble, 0L,
+              v.map(CraftCodec.doubleValue)),
+            Col("etype", CraftCodec.TypeVarchar, 0L,
+              Some(CraftCodec.stringValue(r.etype)))))
+          val groups = r.op match {
+            case "I" => Seq(image(r.val_after, CraftCodec.GroupNew))
+            case "D" => Seq(image(r.val_before, CraftCodec.GroupOld))
+            case _ => Seq(image(r.val_before, CraftCodec.GroupOld),
+              image(r.val_after, CraftCodec.GroupNew))
+          }
+          Event(r.commit_ts, CraftCodec.MsgRow, -1L,
+            Some(r.schema_name), Some(r.table_name), groups)
+        }.toSeq
+        if (evs.isEmpty) Iterator.empty
+        else CraftCodec.decodeMessage(CraftCodec.encodeMessage(evs)).iterator.map { e =>
+          val byTy = e.groups.map(g => g.ty -> g.cols).toMap
+          val op =
+            if (byTy.contains(CraftCodec.GroupNew) && byTy.contains(CraftCodec.GroupOld)) "U"
+            else if (byTy.contains(CraftCodec.GroupNew)) "I" else "D"
+          def colVal(g: Seq[Col], name: String): Option[Array[Byte]] =
+            g.find(_.name == name).flatMap(_.value)
+          val newG = byTy.getOrElse(CraftCodec.GroupNew, Nil)
+          val oldG = byTy.getOrElse(CraftCodec.GroupOld, Nil)
+          val img = if (op == "D") oldG else newG
+          CraftEnvRow(op, e.ts, e.schema.get, e.table.get,
+            colVal(img, "pk").map(CraftCodec.decodeLong).get,
+            colVal(oldG, "val").map(CraftCodec.decodeDouble),
+            colVal(newG, "val").map(CraftCodec.decodeDouble),
+            colVal(img, "etype").map(CraftCodec.decodeString).get)
+        }
+      }
+    decoded.toDF().groupBy("op").agg(
+      count(lit(1)).as("cnt"),
+      sum(col("pk")).as("sum_pk"),
+      coalesce(sum(when(col("op") === "D", col("val_before"))
+        .otherwise(col("val_after")).cast("decimal(18,6)")),
+        lit(0).cast("decimal(18,6)")).cast("double").as("sum_val"),
+      countDistinct(col("etype")).as("n_etypes"),
+      min(col("commit_ts")).as("min_ts"), max(col("commit_ts")).as("max_ts"))
+  }
+
   /** E7 — Simple protocol: schema-lifecycle bootstrap + row messages. */
   val simple = GateQuery(
     "q48_simple",
@@ -294,5 +375,5 @@ object CodecQueries {
 
   def all: Seq[GateQuery] = Seq(
     canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas,
-    avroBinary, simple, kafkaRecord)
+    avroBinary, craftRoundtrip, simple, kafkaRecord)
 }

@@ -204,6 +204,25 @@ object ExtraQueries {
         sum(length(col("val_msg"))).as("sum_val_len"))
   }
 
+  /** K4 — storage-sink layout: every row's target path under the
+    * {schema}/{table}/{date} tree (reference
+    * pkg/sink/cloudstorage/path.go:136-430); the gate pins path derivation
+    * and per-path row counts. */
+  val storageLayout = GateQuery(
+    "q55_storage_layout",
+    Some(cte +
+      """SELECT schema_name || '/' || table_name || '/' ||
+        |    strftime(to_timestamp(commit_ts / 1000), '%Y-%m-%d') AS path,
+        |  count(*) AS cnt, CAST(sum(pk) AS BIGINT) AS sum_pk
+        |FROM cdc GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    import graft.streaming.Sinks
+    CdcStream.derive(spark, dir)
+      .withColumn("path", Sinks.storagePath(
+        col("schema_name"), col("table_name"), col("commit_ts")))
+      .groupBy("path")
+      .agg(count(lit(1)).as("cnt"), sum(col("pk")).as("sum_pk"))
+  }
+
   /** D6 — column selector: project away non-selected payload columns,
     * envelope retained (columnselector/column_selector.go:25-140). */
   val columnSelector = GateQuery(
@@ -373,5 +392,6 @@ object ExtraQueries {
 
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, claimCheck, handleKeyOnly,
-    columnSelector, partitionId, twoPcMatch, onlineDdl, jsonOps, enumDict)
+    storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
+    jsonOps, enumDict)
 }

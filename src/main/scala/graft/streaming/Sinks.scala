@@ -148,13 +148,24 @@ object Sinks {
    * pkg/sink/cloudstorage/path.go:136-430). partitionBy gives the layout
    * for free and keeps writes parallel per partition.
    */
+  /** Date bucket of the storage layout (reference path.go uses the commit
+    * physical time's date). */
+  def storageDate(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    date_format(timestamp_seconds(ts / 1000), "yyyy-MM-dd")
+
+  /** Full relative path of a row in the storage-sink layout
+    * {schema}/{table}/{date} — shared by the sink and its gate. */
+  def storagePath(schema: org.apache.spark.sql.Column,
+                  table: org.apache.spark.sql.Column,
+                  ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws("/", schema, table, storageDate(ts))
+
   def storageSink(base: String, format: String = "parquet")
                  (batch: DataFrame, batchId: Long): Unit = {
     val tsCol = if (batch.columns.contains("last_commit_ts")) "last_commit_ts"
                 else "commit_ts"
     batch
-      .withColumn("_date",
-        date_format(timestamp_seconds(col(tsCol) / 1000), "yyyy-MM-dd"))
+      .withColumn("_date", storageDate(col(tsCol)))
       .write.mode(SaveMode.Append)
       .partitionBy("schema_name", "table_name", "_date")
       .format(format)
