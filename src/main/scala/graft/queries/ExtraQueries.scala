@@ -358,6 +358,43 @@ object ExtraQueries {
         countDistinct(col("nested_x")).as("n_nested"))
   }
 
+  /**
+   * D3 (JSON branch, Spark-4-native) — the same JSON capability through
+   * VariantType: the document parses ONCE into the binary variant encoding
+   * and every extraction reads the variant (no re-parsing per path, pushes
+   * through codegen) — the scale-preferred representation over q28's
+   * string + get_json_object. Same oracle: results must be identical
+   * whatever the internal representation.
+   */
+  val jsonVariant = GateQuery(
+    "q28b_json_variant",
+    Some(cte +
+      """SELECT etype_x, count(*) AS cnt, CAST(sum(pk_x) AS BIGINT) AS sum_pk,
+        |  count(DISTINCT nested_x) AS n_nested
+        |FROM (
+        |  SELECT
+        |    json_extract_string(doc, '$.etype') AS etype_x,
+        |    CAST(json_extract_string(doc, '$.pk') AS BIGINT) AS pk_x,
+        |    json_extract_string(doc, '$.meta.src') AS nested_x
+        |  FROM (
+        |    SELECT to_json(struct_pack(pk := pk, etype := etype,
+        |      meta := struct_pack(src := 'db_' || CAST(source_id AS VARCHAR)))) AS doc
+        |    FROM cdc
+        |  )
+        |) GROUP BY etype_x""".stripMargin)) { (spark, dir) =>
+    val doc = to_json(struct(col("pk"), col("etype"),
+      struct(concat(lit("db_"), col("source_id").cast("string")).as("src")).as("meta")))
+    CdcStream.derive(spark, dir)
+      .select(parse_json(doc).as("v"))
+      .select(
+        variant_get(col("v"), "$.etype", "string").as("etype_x"),
+        variant_get(col("v"), "$.pk", "long").as("pk_x"),
+        variant_get(col("v"), "$.meta.src", "string").as("nested_x"))
+      .groupBy("etype_x")
+      .agg(count(lit(1)).as("cnt"), sum(col("pk_x")).as("sum_pk"),
+        countDistinct(col("nested_x")).as("n_nested"))
+  }
+
   /** D3 (enum/set + decimal branches) — tiflow maps Enum/Set to their
     * uint64 ordinal with the dictionary kept in table metadata
     * (cdc/entry/mounter.go:772-841), and NewDecimal to a STRING to avoid
@@ -393,5 +430,5 @@ object ExtraQueries {
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, claimCheck, handleKeyOnly,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
-    jsonOps, enumDict)
+    jsonOps, jsonVariant, enumDict)
 }
