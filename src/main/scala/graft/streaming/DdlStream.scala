@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{DdlParser, SchemaRegistry}
+
+/**
+ * G1/S4/K6 — textual DDL in the CHANGE STREAM: the reference multiplexes
+ * DDL query events into the same stream as row events and applies each to
+ * its schema tracker at its commit ts (dm/syncer/ddl.go HandleQueryEvent;
+ * cdc DDL puller). Here DDL rows ride the envelope with `op = "G"` and the
+ * SQL text in `etype`; each microbatch peels them off, folds them into a
+ * PERSISTENT registry (survives restarts, replay-idempotent), and binds
+ * the batch's data rows to the schema version in force at their ts.
+ */
+object DdlStream {
+
+  /** Envelope op marking a DDL control row (SQL text in `etype`). */
+  val DdlOp = "G"
+
+  private def logPath(registryDir: String) = Paths.get(s"$registryDir/ddls.log")
+
+  /** Applied (ts, sql) log — tab-separated with URL-encoded SQL so any
+    * statement text round-trips on one line. */
+  def loadApplied(registryDir: String): Seq[(String, Long)] = {
+    val p = logPath(registryDir)
+    if (!Files.exists(p)) Nil
+    else Files.readAllLines(p).toArray(Array.empty[String]).toSeq.filter(_.nonEmpty).map { l =>
+      val Array(ts, sql) = l.split("\t", 2)
+      (java.net.URLDecoder.decode(sql, "UTF-8"), ts.toLong)
+    }
+  }
+
+  private def append(registryDir: String, ddls: Seq[(String, Long)]): Unit = {
+    Files.createDirectories(Paths.get(registryDir))
+    val body = ddls.map { case (sql, ts) =>
+      s"$ts\t${java.net.URLEncoder.encode(sql, "UTF-8")}"
+    }.mkString("", "\n", "\n")
+    Files.writeString(logPath(registryDir), body,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Current table versions from the whole applied-DDL history. */
+  def versions(registryDir: String,
+               defaultSchema: String = ""): Seq[SchemaRegistry.TableVersion] =
+    DdlParser.applyToRegistry(Nil, loadApplied(registryDir), defaultSchema)
+
+  /**
+   * Wrap a sink so each microbatch first applies its DDL control rows,
+   * then delivers data rows bound to their schema version. Batch replays
+   * re-apply nothing (the (ts, sql) pair set is the idempotence key, the
+   * same way the reference skips already-synced DDL locations).
+   */
+  def withTextDdl(spark: SparkSession, registryDir: String,
+                  defaultSchema: String = "")
+                 (sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      // compacted batches carry net_op and no control rows — DDL rows only
+      // exist pre-compaction in the raw envelope
+      val hasOp = batch.columns.contains("op")
+      val ddlRows =
+        if (!hasOp) Nil
+        else batch.filter(col("op") === DdlOp)
+          .select(col("etype"), col("commit_ts"))
+          .collect() // control-plane sized: a handful of DDLs per batch
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val seen = loadApplied(registryDir).toSet
+      val fresh = ddlRows.filterNot(seen.contains).distinct
+      if (fresh.nonEmpty) append(registryDir, fresh.sortBy(_._2))
+
+      val vs = versions(registryDir, defaultSchema)
+      val data = if (hasOp) batch.filter(col("op") =!= DdlOp) else batch
+      val bound =
+        if (vs.isEmpty) data.withColumn("schema_version", lit(null).cast("int"))
+        else {
+          // post-compaction batches carry last_commit_ts; bind on whichever
+          // event-time column the batch has
+          val withTs =
+            if (data.columns.contains("commit_ts")) data
+            else data.withColumn("commit_ts", col("last_commit_ts"))
+          val b = SchemaRegistry.bindSchemaVersion(withTs,
+            SchemaRegistry.versionIntervals(spark, vs))
+          if (data.columns.contains("commit_ts")) b else b.drop("commit_ts")
+        }
+      sink(bound, batchId)
+  }
+}
