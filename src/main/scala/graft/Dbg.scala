@@ -10,9 +10,11 @@ object Dbg {
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (a.nonEmpty) a.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val doExplain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
     names.foreach { n =>
       System.err.println(s"=== $n")
-      SparkEntry.queries(n)(spark, sfDir).count()
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (doExplain) df.explain("formatted") else df.count(): Unit
     }
     spark.stop()
   }

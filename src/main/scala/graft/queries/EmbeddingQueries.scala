@@ -139,6 +139,53 @@ object EmbeddingQueries {
         sum(col("cos").cast("decimal(18,9)")).cast("double").as("sum_cos"))
   }
 
+  /** Embedding-cosine dup CLUSTERS: the near-dup pairs (q84 pipeline)
+    * become edges and connected components give semantic dup groups — the
+    * vector analog of q67's MinHash clustering, sharing the same
+    * star-contraction CC operator. */
+  val embeddingDupClusters = GateQuery(
+    "q86_embedding_dup_clusters",
+    Some {
+      val sig = VectorOps.Sql.lshSignature("embedding", NearDupPlanes, 64)
+      val cos = VectorOps.Sql.cosine("a.embedding", "b.embedding")
+      s"""WITH sigs AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |  WHERE $cos >= 0.3
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), cc AS (
+         |  WITH RECURSIVE reach(node, comp) AS (
+         |    SELECT vec_id, vec_id FROM embeddings
+         |    UNION
+         |    SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+         |  )
+         |  SELECT node, min(comp) AS comp FROM reach GROUP BY node
+         |)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(comp) AS BIGINT) AS comp_check
+         |FROM (SELECT comp, count(*) AS cluster_size FROM cc GROUP BY comp)
+         |GROUP BY cluster_size""".stripMargin
+    }) { (spark, dir) =>
+    import graft.operators.Dedup
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.lshSignature(col("embedding"), NearDupPlanes, 64).as("sig"),
+        VectorOps.norm(col("embedding")).as("n"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .filter(VectorOps.dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.n") * col("b.n")) >= 0.3)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val labels = Dedup.dupClusters(
+      Tables.load(spark, dir, "embeddings").select(col("vec_id").as("id")), pairs)
+    labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"), sum(col("comp")).as("comp_check"))
+  }
+
   /** IVF probe search: top-3 within the 3 nearest centroid cells. */
   val ivfSearch = GateQuery(
     "q85_ivf_search",
@@ -196,5 +243,6 @@ object EmbeddingQueries {
   }
 
   def all: Seq[GateQuery] =
-    Seq(knnBrute, lshAnn, lshBuckets, centroidAssign, cosineNearDup, ivfSearch)
+    Seq(knnBrute, lshAnn, lshBuckets, centroidAssign, cosineNearDup,
+      embeddingDupClusters, ivfSearch)
 }
