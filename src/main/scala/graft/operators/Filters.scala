@@ -16,18 +16,54 @@ import org.apache.spark.sql.functions._
  */
 object Filters {
 
-  /** One allow/block rule over (schema, table), MySQL-wildcard syntax:
-    * `*` = any run, `?` = one char. A leading `!` on the pattern blocks. */
+  /** One allow/block rule over (schema, table), table-filter wildcard
+    * syntax: `*` = any run, `?` = one char, `[a-z]` / `[!a-z]` character
+    * classes (reference tidb-tools table-filter, used by
+    * pkg/filter/filter.go:100-165). */
   final case class TableRule(schemaPat: String, tablePat: String, allow: Boolean)
 
-  /** Compile a MySQL-style wildcard pattern to an anchored Java regex. */
-  def wildcardToRegex(pat: String): String =
-    "^" + pat.flatMap {
-      case '*' => ".*"
-      case '?' => "."
-      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
-      case c => c.toString
-    } + "$"
+  /** Compile a table-filter wildcard pattern to an anchored Java regex,
+    * including `[...]`/`[!...]` classes. */
+  def wildcardToRegex(pat: String): String = {
+    val out = new StringBuilder("^")
+    var i = 0
+    while (i < pat.length) {
+      pat.charAt(i) match {
+        case '*' => out ++= ".*"
+        case '?' => out += '.'
+        case '[' =>
+          // character class: passes through to regex, with `!` negation
+          val close = pat.indexOf(']', i + 1)
+          if (close < 0) { out ++= "\\["; }
+          else {
+            val body0 = pat.substring(i + 1, close)
+            val body = if (body0.startsWith("!")) "^" + body0.substring(1) else body0
+            out ++= s"[$body]"
+            i = close
+          }
+        case c if "\\.{}()+-^$|]".contains(c) => out ++= "\\" + c
+        case c => out += c
+      }
+      i += 1
+    }
+    out.append('$').result()
+  }
+
+  /**
+   * Parse textual table-filter rules (the reference's config surface:
+   * `["*.*", "!scm.tbl", "shard[0-9]+.t?"]` — a leading `!` makes the rule
+   * an exclusion, later rules override earlier). Rules without a dot apply
+   * to the schema with `*` tables.
+   */
+  def parseRules(rules: Seq[String]): Seq[TableRule] =
+    rules.map { raw =>
+      val (allow, body) =
+        if (raw.startsWith("!")) (false, raw.substring(1)) else (true, raw)
+      body.split("\\.", 2) match {
+        case Array(s, t) => TableRule(s.trim, t.trim, allow)
+        case Array(s) => TableRule(s.trim, "*", allow)
+      }
+    }
 
   /**
    * F1 — table filter. Last matching rule wins (tiflow's table-filter
