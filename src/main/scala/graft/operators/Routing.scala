@@ -43,6 +43,53 @@ object Routing {
   def topic(prefix: String, mid: String, suffix: String = ""): Column =
     concat(lit(prefix), col("target_schema"), lit(mid), col("target_table"), lit(suffix))
 
+  // -- full topic-expression semantics (expression.go:29-110) -------------
+
+  /** Kafka topic expression shape: [prefix]{schema}[middle][{table}][suffix]
+    * with literal runs restricted to [A-Za-z0-9._-]. */
+  private val TopicExprRe =
+    "^[A-Za-z0-9._\\-]*(\\{schema\\})?([A-Za-z0-9._\\-]*\\{table\\})?[A-Za-z0-9._\\-]*$".r
+  private val AvroTopicExprRe =
+    "^[A-Za-z0-9._\\-]*\\{schema\\}[A-Za-z0-9._\\-]*\\{table\\}[A-Za-z0-9._\\-]*$".r
+
+  /** Kafka's topic-name length ceiling. */
+  val KafkaTopicMaxLength = 249
+
+  def validateTopicExpression(expr: String): Boolean =
+    TopicExprRe.matches(expr)
+
+  /** Avro sinks REQUIRE both placeholders (subject naming). */
+  def validateTopicExpressionForAvro(expr: String): Boolean =
+    AvroTopicExprRe.matches(expr)
+
+  /**
+   * Substitute `{schema}`/`{table}` in a topic expression: characters
+   * outside [A-Za-z0-9._-] in the names become '_', the result truncates
+   * at Kafka's 249-char limit, and the invalid names "." / ".." map to
+   * "_" / "__" — byte-for-byte the reference's Substitute.
+   */
+  def topicFromExpression(expr: String,
+                          schema: Column = col("target_schema"),
+                          table: Column = col("target_table")): Column = {
+    require(validateTopicExpression(expr), s"invalid topic expression: $expr")
+    def sanitize(c: Column) = regexp_replace(c, "[^a-zA-Z0-9._\\-]", "_")
+    // split the expression into literal runs and placeholders, preserving order
+    val parts = "(\\{schema\\}|\\{table\\})".r.split(expr) // literals
+    val phs = "(\\{schema\\}|\\{table\\})".r.findAllIn(expr).toSeq
+    val cols = Seq.newBuilder[Column]
+    for (i <- parts.indices) {
+      if (parts(i).nonEmpty) cols += lit(parts(i))
+      if (i < phs.length)
+        cols += (if (phs(i) == "{schema}") sanitize(schema) else sanitize(table))
+    }
+    // trailing placeholder(s) when the expression ends with one
+    for (i <- parts.length until phs.length)
+      cols += (if (phs(i) == "{schema}") sanitize(schema) else sanitize(table))
+    val joined = concat(cols.result(): _*)
+    val trunc = substring(joined, 1, KafkaTopicMaxLength)
+    when(trunc === ".", "_").when(trunc === "..", "__").otherwise(trunc)
+  }
+
   /**
    * Deterministic 32-bit multiplicative hash used by all dispatchers
    * (Knuth mix over the key's long value — see [[graft.core.Hashing]]).
