@@ -58,6 +58,48 @@ object Codecs {
       oldImg.as("old")), jsonOpts)
   }
 
+  /** Canal event-type string for a parsed DDL statement (reference
+    * canal_json encoder's DDL type mapping). */
+  def canalDdlType(stmt: graft.core.DdlParser.Stmt): String = {
+    import graft.core.DdlParser._
+    stmt match {
+      case _: CreateTable | _: CreateDatabase => "CREATE"
+      case _: DropTable | _: DropDatabase => "ERASE"
+      case _: RenameTable => "RENAME"
+      case _: TruncateTable => "TRUNCATE"
+      case AlterIndex(_, _, true, _) => "CINDEX"
+      case AlterIndex(_, _, false, _) => "DINDEX"
+      case _: AlterTable => "ALTER"
+    }
+  }
+
+  /** E2 (DDL half) — Canal-JSON DDL message: `isDdl=true`, the classified
+    * type, and the (re-rendered) statement in `sql`; `data`/`old` are null
+    * (reference canal_json_row_event_encoder.go DDL branch). Expects
+    * columns (schema_name, table_name, commit_ts, ddl_type, ddl_sql). */
+  def canalJsonDdl(df: DataFrame): Column = {
+    val imgType = ArrayType(new StructType()
+      .add("pk", LongType).add("val", DoubleType).add("etype", StringType))
+    to_json(struct(
+      lit(0L).as("id"),
+      col("schema_name").as("database"),
+      col("table_name").as("table"),
+      lit(null).cast(ArrayType(StringType)).as("pkNames"),
+      lit(true).as("isDdl"),
+      col("ddl_type").as("type"),
+      col("commit_ts").as("es"),
+      col("commit_ts").as("ts"),
+      col("ddl_sql").as("sql"),
+      lit(null).cast(new StructType()
+        .add("pk", IntegerType).add("val", IntegerType).add("etype", IntegerType))
+        .as("sqlType"),
+      lit(null).cast(new StructType()
+        .add("pk", StringType).add("val", StringType).add("etype", StringType))
+        .as("mysqlType"),
+      lit(null).cast(imgType).as("data"),
+      lit(null).cast(imgType).as("old")), jsonOpts)
+  }
+
   /** E5 — Debezium-style envelope (reference
     * pkg/sink/codec/debezium/codec.go). */
   def debezium(df: DataFrame, connectorName: String = "graft"): Column = {
