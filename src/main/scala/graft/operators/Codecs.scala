@@ -231,6 +231,53 @@ object Codecs {
       csvNum(when(col("op") === "D", col("val_before")).otherwise(col("val_after"))),
       csvQuote(col("etype")))
 
+  /**
+   * E4 (config surface) — the reference's CSV options
+   * (pkg/config/sink.go:249-276: delimiter, quote — possibly empty for
+   * unquoted mode with backslash escaping — null literal, binary
+   * encoding). Mirrors csv_message.go:197-210: quotes double embedded
+   * quote chars; unquoted mode backslash-escapes delimiter/backslash/CR/LF.
+   */
+  final case class CsvConfig(delimiter: String = ",", quote: String = "\"",
+                             nullLiteral: String = "\\N",
+                             binaryBase64: Boolean = true)
+
+  def csvQuoteWith(cfg: CsvConfig)(c: Column): Column =
+    if (cfg.quote.nonEmpty)
+      when(c.isNull, cfg.nullLiteral)
+        .otherwise(concat(lit(cfg.quote),
+          regexp_replace(c, java.util.regex.Pattern.quote(cfg.quote),
+            cfg.quote + cfg.quote),
+          lit(cfg.quote)))
+    else {
+      // unquoted mode: escape backslash first, then delimiter and newlines
+      val esc = Seq("\\" -> "\\\\", cfg.delimiter -> ("\\" + cfg.delimiter),
+        "\r" -> "\\r", "\n" -> "\\n")
+        .foldLeft(c) { case (e, (from, to)) =>
+          regexp_replace(e, java.util.regex.Pattern.quote(from),
+            java.util.regex.Matcher.quoteReplacement(to))
+        }
+      when(c.isNull, cfg.nullLiteral).otherwise(esc)
+    }
+
+  def csvNumWith(cfg: CsvConfig)(c: Column): Column =
+    when(c.isNull, cfg.nullLiteral).otherwise(c.cast("string"))
+
+  def csvBinaryWith(cfg: CsvConfig)(c: Column): Column =
+    when(c.isNull, cfg.nullLiteral)
+      .otherwise(if (cfg.binaryBase64) base64(c) else lower(hex(c)))
+
+  def csvLineWith(df: DataFrame, cfg: CsvConfig): Column =
+    concat_ws(cfg.delimiter,
+      csvQuoteWith(cfg)(col("op")),
+      csvQuoteWith(cfg)(col("schema_name")),
+      csvQuoteWith(cfg)(col("table_name")),
+      csvNumWith(cfg)(col("commit_ts")),
+      csvNumWith(cfg)(col("pk")),
+      csvNumWith(cfg)(when(col("op") === "D", col("val_before"))
+        .otherwise(col("val_after"))),
+      csvQuoteWith(cfg)(col("etype")))
+
   /** Canal-JSON decoder: the schema mirrors [[canalJson]]; round-trips
     * every emitted field (reference decoder:
     * pkg/sink/codec/canal/canal_json_decoder.go). */

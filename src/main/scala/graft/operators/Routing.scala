@@ -62,6 +62,15 @@ object Routing {
   def validateTopicExpressionForAvro(expr: String): Boolean =
     AvroTopicExprRe.matches(expr)
 
+  private val PulsarTopicRe =
+    ("(^((persistent|non-persistent)://)[A-Za-z0-9{}._\\-]*/[A-Za-z0-9{}._\\-]*/[A-Za-z0-9{}._\\-]*$)|" +
+      "(^[A-Za-z0-9._\\-]*\\{schema\\}[A-Za-z0-9._\\-]*\\{table\\}[A-Za-z0-9._\\-]*)$").r
+
+  /** K3 — Pulsar topic form: full `persistent://tenant/ns/topic` URL or a
+    * `{schema}`/`{table}` expression (expression.go pulsarTopicNameRE). */
+  def validateTopicExpressionForPulsar(expr: String): Boolean =
+    PulsarTopicRe.matches(expr)
+
   /**
    * Substitute `{schema}`/`{table}` in a topic expression: characters
    * outside [A-Za-z0-9._-] in the names become '_', the result truncates
