@@ -180,10 +180,13 @@ object DdlParser {
     def after(prefix: String): String = clean.substring(prefix.length).trim
 
     if (up.startsWith("CREATE DATABASE") || up.startsWith("CREATE SCHEMA")) {
-      val rest = after("CREATE DATABASE").replaceAll("(?i)^IF NOT EXISTS", "").trim
+      // strip the keyword actually matched — DATABASE and SCHEMA differ in length
+      val rest = clean.replaceFirst("(?i)^CREATE\\s+(DATABASE|SCHEMA)", "")
+        .replaceAll("(?i)^\\s*IF NOT EXISTS", "").trim
       Seq(CreateDatabase(unquote(rest.split(ws).head)))
     } else if (up.startsWith("DROP DATABASE") || up.startsWith("DROP SCHEMA")) {
-      val rest = after("DROP DATABASE").replaceAll("(?i)^IF EXISTS", "").trim
+      val rest = clean.replaceFirst("(?i)^DROP\\s+(DATABASE|SCHEMA)", "")
+        .replaceAll("(?i)^\\s*IF EXISTS", "").trim
       Seq(DropDatabase(unquote(rest.split(ws).head)))
     } else if (up.startsWith("CREATE TABLE")) {
       val rest = after("CREATE TABLE").replaceAll("(?i)^IF NOT EXISTS", "").trim

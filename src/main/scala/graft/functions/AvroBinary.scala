@@ -117,7 +117,10 @@ object AvroBinary {
   }
 
   /** Decode a framed key message to the handle value; MIN_VALUE on frame
-    * mismatch (kept primitive so codegen needs no boxing). */
+    * mismatch (kept primitive so codegen needs no boxing). NOTE: unlike
+    * decodeValue, a mismatched frame here yields the Long.MinValue sentinel
+    * in BOTH interpreted and codegen paths — callers that need SQL NULL
+    * semantics must map the sentinel explicitly. */
   def decodeKey(bytes: Array[Byte], schemaId: Int): Long = {
     if (!checkFrame(bytes, schemaId)) return Long.MinValue
     val c = tls.get()
@@ -161,7 +164,9 @@ case class AvroEncodeEnvelope(child: Expression, schemaId: Int)
 }
 
 /** from Avro binary: framed bytes → struct(pk, val, etype); null on a
-  * foreign frame. */
+  * foreign frame. Codegen must propagate the null result into isNull —
+  * defineCodeGen would leave isNull=false with a null row and NPE
+  * downstream under whole-stage codegen. */
 case class AvroDecodeEnvelope(child: Expression, schemaId: Int)
     extends UnaryExpression {
   override def dataType: DataType = AvroBinary.envelopeType
@@ -169,7 +174,10 @@ case class AvroDecodeEnvelope(child: Expression, schemaId: Int)
   override protected def nullSafeEval(input: Any): Any =
     AvroBinary.decodeValue(input.asInstanceOf[Array[Byte]], schemaId)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.AvroBinary.decodeValue($c, $schemaId)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AvroBinary.decodeValue($c, $schemaId);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   override protected def withNewChildInternal(newChild: Expression): AvroDecodeEnvelope =
     copy(child = newChild)
 }

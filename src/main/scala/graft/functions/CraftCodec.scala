@@ -136,6 +136,7 @@ object CraftCodec {
   }
 
   private def putDeltaVarint(o: ByteArrayOutputStream, vs: Seq[Long]): Unit = {
+    if (vs.isEmpty) return // zero-length table: count precedes, no payload
     putVarint(o, vs.head)
     vs.sliding(2).foreach {
       case Seq(a, b) => putVarint(o, b - a)
@@ -206,7 +207,10 @@ object CraftCodec {
           putUvarint(o, qb.length.toLong)
           o.write(qb, 0, qb.length)
         case None =>
-          if (e.groups.nonEmpty) {
+          // decode consumes exactly one group-size table per MsgRow event,
+          // so a row event must always contribute one — even when empty —
+          // or groupTableIdx desyncs and corrupts every later row event.
+          if (e.ty == MsgRow || e.groups.nonEmpty) {
             val sizes = e.groups.map { g =>
               val gStart = o.size()
               o.write(g.ty)

@@ -15,7 +15,11 @@ object Metrics {
 
   /** Wrap a sink to record per-(table, op) row counts for every batch
     * before delivering it. Works on raw (op) and compacted (net_op)
-    * batches. One small aggregation per batch; append-only parquet. */
+    * batches. One small aggregation per batch; append-only parquet.
+    * At-least-once foreachBatch may replay a batch and append its counter
+    * rows twice — replayed rows are identical per (batch_id, table, op),
+    * so [[totals]] dedups on that key instead of paying a per-batch
+    * directory listing here. */
   def withDmlMetrics(spark: SparkSession, metricsDir: String)
                     (sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
@@ -33,9 +37,12 @@ object Metrics {
   def read(spark: SparkSession, metricsDir: String): DataFrame =
     spark.read.parquet(metricsDir)
 
-  /** Cumulative per-table/op totals (the dashboard series). */
+  /** Cumulative per-table/op totals (the dashboard series). One row per
+    * (batch_id, table, op) is counted even if an at-least-once replay
+    * appended the same counter row twice. */
   def totals(spark: SparkSession, metricsDir: String): DataFrame =
     read(spark, metricsDir)
+      .dropDuplicates("batch_id", "schema_name", "table_name", "op")
       .groupBy("schema_name", "table_name", "op")
       .agg(sum(col("n_rows")).as("total_rows"),
         max(col("batch_id")).as("last_batch"))

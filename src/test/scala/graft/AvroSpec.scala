@@ -59,6 +59,20 @@ class AvroSpec extends SparkSpec {
     assert(AvroBinary.decodeKey(AvroBinary.encodeKey(1L, 2), 3) === Long.MinValue)
   }
 
+  test("foreign frame yields SQL NULL under whole-stage codegen") {
+    import spark.implicits._
+    // decode with a mismatched schema id inside a DataFrame plan (codegen
+    // path): result must be NULL, not a non-null row that NPEs on access
+    val df = Seq((1L, 2.5d, "click")).toDF("pk", "v", "etype")
+    val out = df.select(
+      AvroBinary.decodeEnvelope(
+        AvroBinary.encodeEnvelope(col("pk"), col("v"), col("etype"), 1), 99).as("dec"))
+      .select(col("dec").isNull.as("is_null"), col("dec.pk").as("dec_pk"))
+      .collect()
+    assert(out.head.getBoolean(0))
+    assert(out.head.isNullAt(1))
+  }
+
   test("Column API round-trips through a DataFrame plan") {
     import spark.implicits._
     val df = Seq((1L, 2.5d, "click"), (2L, -1.0d, "view"))

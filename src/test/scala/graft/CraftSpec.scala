@@ -68,6 +68,17 @@ class CraftSpec extends AnyFunSuite {
     assert(decodeMessage(encodeMessage(Seq(ev))) === Seq(ev))
   }
 
+  test("MsgRow with empty groups does not desync later row events") {
+    val empty = Event(10L, MsgRow, -1L, Some("db"), Some("t"), Seq.empty)
+    val real = Event(11L, MsgRow, -1L, Some("db"), Some("t"),
+      Seq(Group(GroupNew, Seq(Col("pk", TypeLonglong, FlagHandleKey,
+        Some(longValue(7L)))))))
+    // the empty-group event must still contribute a group-size table, or
+    // decode reads `real`'s groups against the wrong table
+    val decoded = decodeMessage(encodeMessage(Seq(empty, real)))
+    assert(canon(decoded) === canon(Seq(empty, real)))
+  }
+
   test("mixed batch keeps per-event body boundaries") {
     val row = Event(10L, MsgRow, 0L, Some("s"), Some("t"),
       Seq(Group(GroupNew, Seq(Col("pk", TypeLonglong, FlagHandleKey,

@@ -82,6 +82,11 @@ class DdlParserSpec extends AnyFunSuite {
     assert(parse("TRUNCATE t", "d") === Seq(TruncateTable("d", "t")))
     assert(parse("CREATE DATABASE IF NOT EXISTS shop") === Seq(CreateDatabase("shop")))
     assert(parse("DROP DATABASE shop;") === Seq(DropDatabase("shop")))
+    // SCHEMA spelling must strip the matched keyword, not DATABASE's length
+    assert(parse("CREATE SCHEMA shop") === Seq(CreateDatabase("shop")))
+    assert(parse("CREATE SCHEMA IF NOT EXISTS shop") === Seq(CreateDatabase("shop")))
+    assert(parse("DROP SCHEMA shop") === Seq(DropDatabase("shop")))
+    assert(parse("DROP SCHEMA IF EXISTS `shop`") === Seq(DropDatabase("shop")))
   }
 
   test("comments and control chars are stripped (reference TrimCtrlChars)") {

@@ -30,8 +30,12 @@ def compare(name, spark_df, duck_df):
     for frame, side in ((spark_df, "spark"), (duck_df, "duck")):
         for c in frame.columns:
             if len(frame) and frame[c].dtype == object:
-                v = frame[c].iloc[0]
-                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                # scan the whole column: an array cell in ANY row (or after a
+                # null first row) still breaks the driver's pandas sort/hash
+                has_array = frame[c].map(
+                    lambda v: isinstance(v, (list, tuple))
+                    or type(v).__name__ == "ndarray").any()
+                if has_array:
                     return (f"ARRAY column {side}.{c}: driver hasher cannot "
                             f"sort array cells — stringify it in the gate")
     # Compare dtype KIND, not width: the driver's hash treats int8/32/64 as
