@@ -85,12 +85,15 @@ object Dedup {
    * @param maxBucket degenerate-bucket cap: a band bucket holding more than
    *   this many docs (boilerplate/empty-text pathologies at corpus scale)
    *   would explode the self-join quadratically; such buckets are dropped
-   *   (its members still pair through their other, more selective bands).
+   *   (its members still pair through their other, more selective bands;
+   *   identical-text floods are exact dups and belong to [[exactKey]] dedup,
+   *   which runs FIRST in the standard pipeline). Defaults ON — at corpus
+   *   scale one unguarded mega-bucket makes the self-join quadratic.
    *   0 disables the cap.
    */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     shingleN: Int = 3, k: Int = 12, bands: Int = 4,
-                    maxBucket: Int = 0): DataFrame = {
+                    maxBucket: Int = 500): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, shingleN, k)
     val banded0 = sig.select(col("id"),
         explode(lshBands(col("sig"), k, bands)).as("b"))

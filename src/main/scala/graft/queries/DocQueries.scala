@@ -119,6 +119,9 @@ object DocQueries {
   private val MinhashK = 12
   private val Bands = 4
   private val BandRows = MinhashK / Bands
+  // Degenerate-bucket cap (see Dedup.lshCandidates): ON in the job path so
+  // the gate exercises the exact production plan.
+  private val MaxBucket = 500
 
   /**
    * Shared LSH derivation — the dedup JOB shape: the signature/candidate
@@ -135,7 +138,8 @@ object DocQueries {
       val c = corpus(spark, dir)
       val sh = c.select(col("doc_id"),
         array_distinct(Dedup.shingles(col("text"), ShingleN)).as("sh"))
-      val scored = Dedup.lshCandidates(c, "doc_id", "text", ShingleN, MinhashK, Bands)
+      val scored = Dedup.lshCandidates(c, "doc_id", "text", ShingleN, MinhashK,
+          Bands, MaxBucket)
         .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn("jac",
@@ -161,6 +165,7 @@ object DocQueries {
            |), banded AS (
            |  SELECT doc_id, sh, band, ${graft.core.Hashing.Sql.portableLong(bandSig)} AS band_sig
            |  FROM sigs, range(0, $Bands) r(band)
+           |  QUALIFY count(*) OVER (PARTITION BY band, band_sig) <= $MaxBucket
            |), pairs AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -213,6 +218,7 @@ object DocQueries {
            |), banded AS (
            |  SELECT doc_id, sh, band, ${graft.core.Hashing.Sql.portableLong(bandSig)} AS band_sig
            |  FROM sigs, range(0, $Bands) r(band)
+           |  QUALIFY count(*) OVER (PARTITION BY band, band_sig) <= $MaxBucket
            |), pairs AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM banded a JOIN banded b

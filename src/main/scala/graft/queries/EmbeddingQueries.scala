@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.VectorOps
@@ -106,6 +107,33 @@ object EmbeddingQueries {
 
   private val NearDupPlanes = 6
 
+  /**
+   * Shared cosine-pair derivation — the near-dup JOB shape (mirrors
+   * DocQueries.scoredCandidates): LSH-bucketed candidate generation + exact
+   * cosine confirmation is computed ONCE and persisted; the pair-level gate
+   * (q84) and the clustering gate (q86) both consume it instead of each
+   * re-deriving the sig+join+filter pipeline.
+   */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def cosinePairs(spark: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate(dir, {
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          VectorOps.lshSignature(col("embedding"), NearDupPlanes, 64).as("sig"),
+          VectorOps.norm(col("embedding")).as("n"))
+      e.as("a").join(e.as("b"),
+          col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          VectorOps.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.n") * col("b.n")))
+        .filter(col("cos") >= 0.3)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          (col("a.label") === col("b.label")).as("same_label"), col("cos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Embedding-cosine near-dup detection: LSH buckets generate candidate
     * pairs, exact cosine ≥ threshold confirms — the vector analog of the
     * MinHash pipeline (candidate generation never goes n²). */
@@ -124,17 +152,8 @@ object EmbeddingQueries {
          |WHERE cos >= 0.3
          |GROUP BY same_label""".stripMargin
     }) { (spark, dir) =>
-    val e = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"),
-        VectorOps.lshSignature(col("embedding"), NearDupPlanes, 64).as("sig"),
-        VectorOps.norm(col("embedding")).as("n"))
-    e.as("a").join(e.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        VectorOps.dot(col("a.embedding"), col("b.embedding")) /
-          (col("a.n") * col("b.n")))
-      .filter(col("cos") >= 0.3)
-      .groupBy((col("a.label") === col("b.label")).as("same_label"))
+    cosinePairs(spark, dir)
+      .groupBy("same_label")
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("cos").cast("decimal(18,9)")).cast("double").as("sum_cos"))
   }
@@ -170,15 +189,7 @@ object EmbeddingQueries {
          |GROUP BY cluster_size""".stripMargin
     }) { (spark, dir) =>
     import graft.operators.Dedup
-    val e = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        VectorOps.lshSignature(col("embedding"), NearDupPlanes, 64).as("sig"),
-        VectorOps.norm(col("embedding")).as("n"))
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .filter(VectorOps.dot(col("a.embedding"), col("b.embedding")) /
-        (col("a.n") * col("b.n")) >= 0.3)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val pairs = cosinePairs(spark, dir).select("id_a", "id_b")
     val labels = Dedup.dupClusters(
       Tables.load(spark, dir, "embeddings").select(col("vec_id").as("id")), pairs)
     labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))

@@ -48,4 +48,25 @@ class DedupCcSpec extends SparkSpec {
     }
     assert(got === canon)
   }
+
+  test("degenerate LSH bucket is capped: candidates stay linear") {
+    // 1200 identical boilerplate docs (every band hashes them into ONE
+    // bucket → an uncapped self-join would emit ~720k pairs) + 2 genuine
+    // near-dups that share selective buckets.
+    val boiler = (0L until 1200L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val near = Seq(
+      (5000L, "completely distinct prose about spark dedup pipelines at scale"),
+      (5001L, "completely distinct prose about spark dedup pipelines at scale plus"))
+    val docs = (boiler ++ near).toDF("id", "text")
+    val cands = Dedup.lshCandidates(docs, "id", "text", shingleN = 3, k = 12,
+      bands = 4, maxBucket = 500)
+    val got = cands.as[(Long, Long)].collect().toSet
+    // the mega-bucket is dropped entirely; only the near-dup pair survives
+    assert(got === Set((5000L, 5001L)))
+    // and with the cap off the same input explodes quadratically
+    val uncapped = Dedup.lshCandidates(docs, "id", "text", shingleN = 3,
+      k = 12, bands = 4, maxBucket = 0)
+    assert(uncapped.count() > 500000L)
+  }
 }
