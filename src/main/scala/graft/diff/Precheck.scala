@@ -75,14 +75,24 @@ object Precheck {
   /** MySQL TIMESTAMP range in epoch seconds: [1970-01-01, 2038-01-19). */
   private val TsMaxEpoch = 2147483647L
 
+  /** One (check_name, verdict, detail) struct from boolean + detail exprs. */
+  private def checkStruct(name: String, pass: Column, detail: Column,
+                          failVerdict: String = "fail"): Column =
+    struct(lit(name).as("check_name"),
+      when(pass, "pass").otherwise(failVerdict).as("verdict"),
+      detail.as("detail"))
+
   /**
    * Data checks in ONE aggregation: non-empty, PK non-null, PK unique,
    * charset cleanliness (no U+FFFD mojibake in any string column), and
-   * MySQL-range timestamps.
+   * MySQL-range timestamps. LAZY — returns the check-row plan without
+   * running a job, so [[run]] can union every table's aggregation into a
+   * single Spark action (the reference runs checkers concurrently,
+   * dm/checker/checker.go:84-400; a driver-sequential job per table would
+   * serialize at fleet scale).
    */
   def dataChecks(spark: SparkSession, table: String, df: DataFrame,
                  pkCols: Seq[String]): DataFrame = {
-    import spark.implicits._
     val pk = pkCols.map(col)
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     val tsCols = df.schema.fields
@@ -102,24 +112,23 @@ object Precheck {
       sum(when(pk.map(_.isNull).reduce(_ || _), 1L).otherwise(0L)).as("n_null_pk"),
       countDistinct(pk.head, pk.tail: _*).as("n_distinct_pk"),
       anyBadUtf8.as("n_bad_utf8"),
-      tsOutOfRange.as("n_ts_oob")).collect()(0)
-    val (rows, nullPk, distinctPk) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-    val badUtf8 = agg.getLong(3)
-    val tsOob = agg.getLong(4)
-    Seq(
-      CheckResult(table, "non_empty",
-        if (rows > 0) "pass" else "fail", s"rows=$rows"),
-      CheckResult(table, "pk_not_null",
-        if (nullPk == 0) "pass" else "fail", s"null_pk=$nullPk"),
-      CheckResult(table, "pk_unique",
-        if (distinctPk == rows - nullPk) "pass" else "fail",
-        s"distinct=$distinctPk"),
-      CheckResult(table, "charset_clean",
-        if (badUtf8 == 0) "pass" else "fail", s"mojibake_rows=$badUtf8"),
-      CheckResult(table, "timestamp_range",
-        if (tsOob == 0) "pass" else "fail",
-        if (tsCols.isEmpty) "no timestamp columns" else s"oob_rows=$tsOob")
-    ).toDF()
+      tsOutOfRange.as("n_ts_oob"))
+    agg.select(explode(array(
+        checkStruct("non_empty", col("n_rows") > 0,
+          concat(lit("rows="), col("n_rows").cast("string"))),
+        checkStruct("pk_not_null", col("n_null_pk") === 0,
+          concat(lit("null_pk="), col("n_null_pk").cast("string"))),
+        checkStruct("pk_unique",
+          col("n_distinct_pk") === col("n_rows") - col("n_null_pk"),
+          concat(lit("distinct="), col("n_distinct_pk").cast("string"))),
+        checkStruct("charset_clean", col("n_bad_utf8") === 0,
+          concat(lit("mojibake_rows="), col("n_bad_utf8").cast("string"))),
+        checkStruct("timestamp_range", col("n_ts_oob") === 0,
+          if (tsCols.isEmpty) lit("no timestamp columns")
+          else concat(lit("oob_rows="), col("n_ts_oob").cast("string")))
+      )).as("c"))
+      .select(lit(table).as("table_name"), col("c.check_name").as("check_name"),
+        col("c.verdict").as("verdict"), col("c.detail").as("detail"))
   }
 
   /**
@@ -140,20 +149,29 @@ object Precheck {
       case Left(c) => CheckResult(table, "shard_schema_consistent", "fail",
         s"field ${c.field}: ${c.types.mkString(" vs ")}")
     }
-    // one distributed agg: a pk value appearing in >1 shard = merge conflict
+    // one distributed agg: a pk value appearing in >1 shard = merge
+    // conflict. Lazy like dataChecks — the count folds into run()'s one job.
     val tagged = shards.zipWithIndex.map { case (s, i) =>
       s.select(pkCols.map(col) :+ lit(i).as("_shard"): _*).distinct()
     }.reduce(_ unionByName _)
-    val conflicts = tagged.groupBy(pkCols.map(col): _*)
+    val pkRes = tagged.groupBy(pkCols.map(col): _*)
       .agg(countDistinct(col("_shard")).as("n_shards"))
-      .filter(col("n_shards") > 1).count()
-    val pkRes = CheckResult(table, "auto_increment_conflict",
-      if (conflicts == 0) "pass" else "fail", s"colliding_keys=$conflicts")
-    Seq(schemaRes, pkRes).toDF()
+      .agg(sum(when(col("n_shards") > 1, 1L).otherwise(0L)).as("n_conflicts"))
+      .select(lit(table).as("table_name"),
+        lit("auto_increment_conflict").as("check_name"),
+        when(coalesce(col("n_conflicts"), lit(0L)) === 0, "pass")
+          .otherwise("fail").as("verdict"),
+        concat(lit("colliding_keys="),
+          coalesce(col("n_conflicts"), lit(0L)).cast("string")).as("detail"))
+    Seq(schemaRes).toDF().unionByName(pkRes)
   }
 
   /** Full precheck over a set of tables with their PK definitions, plus
-    * optional shard groups merging into one target table. */
+    * optional shard groups merging into one target table. Schema checks are
+    * driver-side (catalog StructTypes, no data pass); every data/shard
+    * aggregation is a lazy one-row plan, so the whole suite materializes as
+    * ONE Spark action with the per-table aggs running as parallel stages —
+    * job count is O(1) in the number of tables. */
   def run(spark: SparkSession, tables: Seq[(String, DataFrame, Seq[String])],
           shardGroups: Seq[(String, Seq[DataFrame], Seq[String])] = Nil): DataFrame = {
     import spark.implicits._
