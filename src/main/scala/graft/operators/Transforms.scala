@@ -63,6 +63,40 @@ object Transforms {
     df.select(cols.map(col): _*)
   }
 
+  /** One index whose columns the selector must retain in full. */
+  final case class SelectorViolation(table: String, index: Seq[String],
+                                     dropped: Seq[String])
+
+  /**
+   * D6 guard — the reference REFUSES a selector that strips any column of a
+   * table's handle/unique index (columnselector/column_selector.go:139-230
+   * `VerifyTables`): without the full key the sink can no longer address
+   * the row, so a lossy selector must fail at config time, not at apply
+   * time. `tables` maps table name → its index column sets (from the schema
+   * registry / DDL index info). Envelope columns count as always-kept.
+   */
+  def verifyColumnSelector(keep: Seq[String],
+                           tables: Seq[(String, Seq[Seq[String]])]): Seq[SelectorViolation] = {
+    val kept = (EnvelopeCols ++ keep).toSet
+    for {
+      (t, indexes) <- tables
+      idx <- indexes
+      dropped = idx.filterNot(kept.contains)
+      if dropped.nonEmpty
+    } yield SelectorViolation(t, idx, dropped)
+  }
+
+  /** [[columnSelector]] with the index-safety guard applied first. */
+  def columnSelectorChecked(df: DataFrame, keep: Seq[String], table: String,
+                            indexes: Seq[Seq[String]]): DataFrame = {
+    val violations = verifyColumnSelector(keep, Seq(table -> indexes))
+    require(violations.isEmpty,
+      "column selector drops index columns: " + violations.map(v =>
+        s"${v.table}(${v.index.mkString(",")}) loses ${v.dropped.mkString(",")}")
+        .mkString("; "))
+    columnSelector(df, keep)
+  }
+
   /**
    * D8 — column value mapping (DM's deprecated column-mapping:
    * pkg/column-mapping/column.go:43-72): add prefix/suffix, and

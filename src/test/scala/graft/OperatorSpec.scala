@@ -137,4 +137,20 @@ class OperatorSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) < 8)
     assert(java.lang.Long.bitCount(h(1L) ^ h(4L)) > 4)
   }
+
+  test("column selector refuses to drop handle/index columns") {
+    val indexes = Seq(Seq("pk"), Seq("etype", "val_after"))
+    // dropping val_after breaks the (etype, val_after) unique index
+    val bad = Transforms.verifyColumnSelector(Seq("etype"),
+      Seq("tbl_0" -> indexes))
+    assert(bad.map(v => (v.table, v.dropped)) === Seq(("tbl_0", Seq("val_after"))))
+    intercept[IllegalArgumentException] {
+      Transforms.columnSelectorChecked(cdc, Seq("etype"), "tbl_0", indexes)
+    }
+    // keeping both index columns passes (pk is an always-kept envelope col)
+    val ok = Transforms.columnSelectorChecked(cdc, Seq("etype", "val_after"),
+      "tbl_0", indexes)
+    assert(ok.columns.contains("etype") && ok.columns.contains("val_after"))
+    assert(!ok.columns.contains("val_before"))
+  }
 }
