@@ -17,8 +17,8 @@ final case class GateQuery(
 object Gate {
   def all: Seq[GateQuery] =
     CoreQueries.all ++ CdcQueries.all ++ DiffQueries.all ++
-      CodecQueries.all ++ DocQueries.all ++ EmbeddingQueries.all ++
-      ExtraQueries.all ++ DdlQueries.all
+      CodecQueries.all ++ GenericCodecQueries.all ++ DocQueries.all ++
+      EmbeddingQueries.all ++ ExtraQueries.all ++ DdlQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
