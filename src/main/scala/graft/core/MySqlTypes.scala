@@ -161,6 +161,11 @@ object MySqlTypes {
   private def enumName(s: ColumnSpec, v: Column): Column =
     when(v.isNotNull, element_at(array(s.members.map(lit): _*), v.cast("int")))
 
+  /** RFC-4648 base64: Spark's base64() wraps long output in MIME CRLFs —
+    * strip to the single-line form every JSON codec (and DuckDB) uses. */
+  private[graft] def b64(c: Column): Column =
+    regexp_replace(base64(c), "[\\r\\n]", "")
+
   /**
    * Canal-JSON rendering (canal_entry.go formatValue:84-118): EVERY value
    * becomes a string — integers/ordinals via decimal formatting, floats by
@@ -183,7 +188,7 @@ object MySqlTypes {
    */
   def nativeValue(s: ColumnSpec, c: Column): Column = s.base match {
     case _ if s.isBool => when(c, 1L).when(!c, 0L) // NULL stays NULL
-    case b if blobBases(b) => base64(c)
+    case b if blobBases(b) => b64(c)
     case "float" => c.cast("double")
     case "date" | "datetime" | "timestamp" | "time" => c.cast("string")
     case "decimal" | "numeric" => c.cast(declDecimal(s)).cast("string") // exact
@@ -206,8 +211,8 @@ object MySqlTypes {
     case "float" => c.cast("double")
     case "enum" => enumName(s, c)
     case "set" => setNames(s, c)
-    case "bit" => base64(unhex(lpad(hex(c), 2, "0")))
-    case b if blobBases(b) => base64(c)
+    case "bit" => b64(unhex(lpad(hex(c), 2, "0")))
+    case b if blobBases(b) => b64(c)
     case _ => c
   }
 

@@ -206,6 +206,51 @@ object Codecs {
   }
 
   /**
+   * C5 (claim-check half) — the OTHER large-message path (reference
+   * pkg/sink/kafka/claimcheck/claim_check.go + open_protocol_encoder.go:
+   * 291-330): the oversized message's FULL (key, value) pair is wrapped as
+   * `{"key":…,"value":…}` with base64-encoded bytes (common/message.go
+   * ClaimCheckMessage — Go json.Marshal renders []byte as base64) and
+   * side-written to `<prefix>/<name>.json`; the Kafka record instead
+   * carries the handle-key-only value plus a key gaining
+   * `"ccl":"<location>"` (internal/message_key.go:35) so consumers fetch
+   * the full row out of band.
+   *
+   * DEVIATION: file names are content-addressed (md5 of key+value) instead
+   * of the reference's UUIDv4 — replayed at-least-once batches then
+   * overwrite their own objects idempotently, which UUIDs cannot.
+   *
+   * Returns (key, value, location, payload): location/payload are NULL for
+   * inline messages; [[graft.streaming.ClaimCheckSink]] performs the
+   * side-write.
+   */
+  def openProtocolWithClaimCheck(df: DataFrame, maxBytes: Int,
+                                 storagePrefix: String)
+      : (Column, Column, Column, Column) = {
+    val full = openProtocolValue(df)
+    val plainKey = openProtocolKey(df)
+    val big = length(full) > maxBytes
+    val fileName = concat(md5(concat(plainKey, full)), lit(".json"))
+    val location = concat(lit(storagePrefix.stripSuffix("/") + "/"), fileName)
+    val key = when(big,
+      to_json(struct(
+        col("commit_ts").as("ts"),
+        col("schema_name").as("scm"),
+        col("table_name").as("tbl"),
+        lit(1).as("t"),
+        location.as("ccl")), jsonOpts))
+      .otherwise(plainKey)
+    val value = when(big, openProtocolHandleOnlyValue(df)).otherwise(full)
+    // Spark's base64() wraps long output in MIME CRLFs; strip to the plain
+    // RFC 4648 form Go's json.Marshal (and DuckDB's to_base64) produce.
+    def b64(c: Column) = regexp_replace(base64(c), "[\\r\\n]", "")
+    val payload = when(big, concat(
+      lit("{\"key\":\""), b64(encode(plainKey, "UTF-8")),
+      lit("\",\"value\":\""), b64(encode(full, "UTF-8")), lit("\"}")))
+    (key, value, when(big, location), payload)
+  }
+
+  /**
    * E4 — CSV line with the storage-sink meta columns (reference
    * pkg/sink/codec/csv/csv_message.go:105-518): op flag, schema, table,
    * commit ts, then payload. Strings are double-quoted with embedded quotes
@@ -265,7 +310,8 @@ object Codecs {
 
   def csvBinaryWith(cfg: CsvConfig)(c: Column): Column =
     when(c.isNull, cfg.nullLiteral)
-      .otherwise(if (cfg.binaryBase64) base64(c) else lower(hex(c)))
+      .otherwise(if (cfg.binaryBase64) graft.core.MySqlTypes.b64(c)
+      else lower(hex(c)))
 
   def csvLineWith(df: DataFrame, cfg: CsvConfig): Column =
     concat_ws(cfg.delimiter,

@@ -204,6 +204,79 @@ object ExtraQueries {
         sum(length(col("val_msg"))).as("sum_val_len"))
   }
 
+  /**
+   * C5 (claim-check side-write) — the full claim-check path: oversized
+   * messages keep the handle-key-only value, the key gains the
+   * `"ccl":"<location>"` claim-check address, and the wrapped
+   * `{"key":…,"value":…}` payload (base64 bytes, common/message.go
+   * ClaimCheckMessage) is what lands in external storage. The gate pins
+   * counts, EXACT final key/value bytes, exact payload bytes, and that
+   * content-addressed locations are unique per distinct message.
+   */
+  val claimCheckWrite = GateQuery(
+    "q47c_claim_check_write",
+    Some(cte +
+      s"""SELECT is_claim, count(*) AS cnt,
+         |  CAST(sum(length(key_msg)) AS BIGINT) AS sum_key_len,
+         |  CAST(sum(length(val_msg)) AS BIGINT) AS sum_val_len,
+         |  CAST(coalesce(sum(length(payload)), 0) AS BIGINT) AS sum_payload_len,
+         |  count(DISTINCT loc) AS n_objects
+         |FROM (
+         |  SELECT
+         |    CASE WHEN length(full_val) > 90 THEN 1 ELSE 0 END AS is_claim,
+         |    CASE WHEN length(full_val) > 90 THEN to_json(struct_pack(
+         |           ts := commit_ts, scm := schema_name, tbl := table_name,
+         |           t := 1,
+         |           ccl := 'cc/' || md5(plain_key || full_val) || '.json'))
+         |         ELSE plain_key END AS key_msg,
+         |    CASE WHEN length(full_val) > 90 THEN to_json(struct_pack(
+         |           u := CASE WHEN op <> 'D'
+         |                THEN struct_pack(pk := struct_pack(t := 8, v := pk))
+         |                ELSE CAST(NULL AS STRUCT(pk STRUCT(t INT, v BIGINT))) END,
+         |           d := CASE WHEN op = 'D'
+         |                THEN struct_pack(pk := struct_pack(t := 8, v := pk))
+         |                ELSE CAST(NULL AS STRUCT(pk STRUCT(t INT, v BIGINT))) END))
+         |         ELSE full_val END AS val_msg,
+         |    CASE WHEN length(full_val) > 90
+         |         THEN 'cc/' || md5(plain_key || full_val) || '.json' END AS loc,
+         |    CASE WHEN length(full_val) > 90
+         |         THEN '{"key":"' || to_base64(encode(plain_key))
+         |           || '","value":"' || to_base64(encode(full_val)) || '"}' END AS payload
+         |  FROM (
+         |    SELECT *,
+         |      to_json(struct_pack(ts := commit_ts, scm := schema_name,
+         |                          tbl := table_name, t := 1)) AS plain_key,
+         |      to_json(struct_pack(
+         |      u := CASE WHEN op <> 'D' THEN struct_pack(
+         |             pk := struct_pack(t := 8, v := pk),
+         |             val := struct_pack(t := 5, v := CAST(val_after AS DOUBLE)),
+         |             etype := struct_pack(t := 15, v := etype))
+         |           ELSE CAST(NULL AS STRUCT(pk STRUCT(t INT, v BIGINT),
+         |                  val STRUCT(t INT, v DOUBLE), etype STRUCT(t INT, v VARCHAR))) END,
+         |      d := CASE WHEN op = 'D' THEN struct_pack(
+         |             pk := struct_pack(t := 8, v := pk),
+         |             val := struct_pack(t := 5, v := CAST(val_before AS DOUBLE)),
+         |             etype := struct_pack(t := 15, v := etype))
+         |           ELSE CAST(NULL AS STRUCT(pk STRUCT(t INT, v BIGINT),
+         |                  val STRUCT(t INT, v DOUBLE), etype STRUCT(t INT, v VARCHAR))) END
+         |    )) AS full_val FROM cdc
+         |  )
+         |) GROUP BY is_claim""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir)
+    val (key, value, loc, payload) =
+      Codecs.openProtocolWithClaimCheck(df, maxBytes = 90, storagePrefix = "cc")
+    df.select(
+        when(length(Codecs.openProtocolValue(df)) > 90, 1).otherwise(0).as("is_claim"),
+        key.as("key_msg"), value.as("val_msg"), loc.as("loc"),
+        payload.as("payload"))
+      .groupBy("is_claim")
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("key_msg"))).as("sum_key_len"),
+        sum(length(col("val_msg"))).as("sum_val_len"),
+        coalesce(sum(length(col("payload"))), lit(0L)).as("sum_payload_len"),
+        countDistinct(col("loc")).as("n_objects"))
+  }
+
   /** K4 — storage-sink layout: every row's target path under the
     * {schema}/{table}/{date} tree (reference
     * pkg/sink/cloudstorage/path.go:136-430); the gate pins path derivation
@@ -429,6 +502,7 @@ object ExtraQueries {
 
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, claimCheck, handleKeyOnly,
+    claimCheckWrite,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
     jsonOps, jsonVariant, enumDict)
 }
