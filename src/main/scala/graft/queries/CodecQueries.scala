@@ -373,7 +373,58 @@ object CodecQueries {
       Codecs.openProtocolValue(df).as("value"))
   }
 
+  /**
+   * D1 — TiKV row-format v2 binary decode (graft.functions.RowCodec): rows
+   * encode to v2 bytes and decode back through the Catalyst expressions.
+   * The oracle cannot parse the binary format, so (like q46b) it pins
+   * (1) EXACT message byte lengths derived arithmetically from the public
+   * design doc's layout (header 6B + ids + 2B end-offsets + minimal-width
+   * ints + 8B floats + raw strings) and (2) decode round-trip aggregates
+   * equal to the plain stream.
+   */
+  private def intLenSql(e: String): String =
+    s"CASE WHEN $e < 128 THEN 1 WHEN $e < 32768 THEN 2 " +
+      s"WHEN $e < 2147483648 THEN 4 ELSE 8 END"
+
+  val rowcodecV2 = GateQuery(
+    "q58_rowcodec_v2",
+    Some(cte +
+      s"""SELECT op, count(*) AS cnt,
+         |  CAST(sum(6 + 3
+         |    + 2 * (CASE WHEN v IS NULL THEN 2 ELSE 3 END)
+         |    + ${intLenSql("pk")}
+         |    + CASE WHEN v IS NULL THEN 0 ELSE 8 END
+         |    + strlen(etype)) AS BIGINT) AS sum_len,
+         |  CAST(count(*) AS BIGINT) AS n_roundtrip,
+         |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_val,
+         |  CAST(coalesce(sum(CAST(v AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_val
+         |FROM (
+         |  SELECT op, pk, etype,
+         |    CASE WHEN op = 'D' THEN val_before ELSE val_after END AS v
+         |  FROM cdc
+         |) GROUP BY op""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import graft.functions.RowCodec
+    val key = RowCodec.register(Seq(
+      ("pk", 1L, LongType), ("val", 2L, DoubleType), ("etype", 3L, StringType)))
+    val df = CdcStream.derive(spark, dir)
+      .withColumn("v", when(col("op") === "D", col("val_before"))
+        .otherwise(col("val_after")))
+    val enc = df.select(col("op"), col("pk"), col("v"), col("etype"),
+      RowCodec.encode(struct(col("pk"), col("v"), col("etype")), key).as("bytes"))
+    val dec = enc.withColumn("dec", RowCodec.decode(col("bytes"), key))
+    dec.groupBy("op").agg(
+      count(lit(1)).as("cnt"),
+      sum(length(col("bytes"))).as("sum_len"),
+      sum(when(col("dec.pk") === col("pk") &&
+        col("dec.val").eqNullSafe(col("v")) &&
+        col("dec.etype") === col("etype"), 1L).otherwise(0L)).as("n_roundtrip"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null_val"),
+      coalesce(sum(col("dec.val").cast("decimal(18,6)")),
+        lit(0).cast("decimal(18,6)")).cast("double").as("sum_val"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas,
-    avroBinary, craftRoundtrip, simple, kafkaRecord)
+    avroBinary, craftRoundtrip, simple, kafkaRecord, rowcodecV2)
 }
