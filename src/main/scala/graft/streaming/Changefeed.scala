@@ -28,7 +28,13 @@ final case class ChangefeedSpec(
     compact: Boolean = true,
     safeModeUntilTs: Option[Long] = None,
     checkpointDir: String,
-    maxEventsPerTrigger: Option[Long] = None)
+    maxEventsPerTrigger: Option[Long] = None,
+    // first-class runtime options mirroring the reference's ReplicaConfig
+    // surface (pkg/config/replica_config.go:45-110): per-table DML metrics
+    // and the textual-DDL control path, previously compose-only wrappers.
+    metricsDir: Option[String] = None,
+    textDdlRegistryDir: Option[String] = None,
+    textDdlDefaultSchema: String = "")
 
 object Changefeed {
 
@@ -55,22 +61,43 @@ object Changefeed {
   def start(spark: SparkSession, source: DataFrame, spec: ChangefeedSpec)
            (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val shaped = pipeline(source, spec)
+    // sink wrapping, innermost-out: the user sink receives schema-bound
+    // data rows (DDL applied first), and metrics record the batch as
+    // produced by the pipeline — the reference's sink-level DML counters.
+    var effectiveSink = sink
+    spec.textDdlRegistryDir.foreach { d =>
+      effectiveSink =
+        DdlStream.withTextDdl(spark, d, spec.textDdlDefaultSchema)(effectiveSink)
+    }
+    spec.metricsDir.foreach { d =>
+      effectiveSink = Metrics.withDmlMetrics(spark, d)(effectiveSink)
+    }
     shaped.writeStream
       .queryName(spec.id)
       .option("checkpointLocation", spec.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // DDL BARRIER (G5): when the textual-DDL path is on, control rows
+        // apply to the registry BEFORE data rows are shaped — compaction
+        // must never fold a DDL row, and data rows bind against the
+        // already-advanced registry in the same batch.
+        val data = spec.textDdlRegistryDir match {
+          case Some(d) if batch.columns.contains("op") =>
+            DdlStream.applyDdlRows(batch, d)
+            batch.filter(col("op") =!= DdlStream.DdlOp)
+          case _ => batch
+        }
         // Compaction keys on the ROUTED identity: after shard-merge several
         // source tables share one target, and net effects must fold across
         // them (dm shard-merge semantics). Renamed back so sinks see the
         // canonical envelope names.
         val b =
           if (spec.compact)
-            Compaction.compact(batch,
+            Compaction.compact(data,
                 keyCols = Seq("target_schema", "target_table", "pk"))
               .withColumnRenamed("target_schema", "schema_name")
               .withColumnRenamed("target_table", "table_name")
-          else batch
-        sink(b, batchId)
+          else data
+        effectiveSink(b, batchId)
       }
       .trigger(Trigger.AvailableNow())
       .start()

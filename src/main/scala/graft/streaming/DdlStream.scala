@@ -54,6 +54,20 @@ object DdlStream {
    * re-apply nothing (the (ts, sql) pair set is the idempotence key, the
    * same way the reference skips already-synced DDL locations).
    */
+  /** Apply a batch's DDL control rows to the registry, idempotently (the
+    * (ts, sql) pair set is the idempotence key — batch replays re-apply
+    * nothing). Control-plane sized driver collect. */
+  def applyDdlRows(batch: DataFrame, registryDir: String): Unit = {
+    if (!batch.columns.contains("op")) return
+    val ddlRows = batch.filter(col("op") === DdlOp)
+      .select(col("etype"), col("commit_ts"))
+      .collect() // control-plane sized: a handful of DDLs per batch
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val seen = loadApplied(registryDir).toSet
+    val fresh = ddlRows.filterNot(seen.contains).distinct
+    if (fresh.nonEmpty) append(registryDir, fresh.sortBy(_._2))
+  }
+
   def withTextDdl(spark: SparkSession, registryDir: String,
                   defaultSchema: String = "")
                  (sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
@@ -61,16 +75,7 @@ object DdlStream {
       // compacted batches carry net_op and no control rows — DDL rows only
       // exist pre-compaction in the raw envelope
       val hasOp = batch.columns.contains("op")
-      val ddlRows =
-        if (!hasOp) Nil
-        else batch.filter(col("op") === DdlOp)
-          .select(col("etype"), col("commit_ts"))
-          .collect() // control-plane sized: a handful of DDLs per batch
-          .map(r => (r.getString(0), r.getLong(1))).toSeq
-      val seen = loadApplied(registryDir).toSet
-      val fresh = ddlRows.filterNot(seen.contains).distinct
-      if (fresh.nonEmpty) append(registryDir, fresh.sortBy(_._2))
-
+      applyDdlRows(batch, registryDir)
       val vs = versions(registryDir, defaultSchema)
       val data = if (hasOp) batch.filter(col("op") =!= DdlOp) else batch
       val bound =

@@ -44,4 +44,37 @@ class ManagerSpec extends SparkSpec {
     assert(mgr.list().isEmpty)
     assert(mgr.status("cf1")("state") == "not-found")
   }
+
+  test("metricsDir and textDdlRegistryDir are first-class spec options") {
+    import graft.streaming.Metrics
+    val dir = Files.createTempDirectory("graft_mgr2").toString
+    val mgr = new ChangefeedManager(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    var bound: org.apache.spark.sql.DataFrame = null
+
+    def ddl(seq: Long, ts: Long, sql: String): Ev =
+      Ev(seq, "G", ts, ts - 1, 0, "db", "t", 0, 0, None, None, sql)
+    mem.addData(
+      ddl(0, 100,
+        "CREATE TABLE db.t (pk BIGINT NOT NULL PRIMARY KEY, val DOUBLE)"),
+      ev(1, 1, 10), // commit_ts 101 → binds version 1
+      ddl(5, 150, "ALTER TABLE db.t ADD COLUMN c2 VARCHAR(16)"),
+      Ev(6, "I", 151, 150, 0, "db", "t", 7, 7, None, Some(70), "e"))
+
+    mgr.create(ChangefeedSpec(id = "cf2", checkpointDir = s"$dir/ckpt",
+      metricsDir = Some(s"$dir/m"), textDdlRegistryDir = Some(s"$dir/reg")),
+      () => mem.toDF()) { (b, _) => bound = b.cache(); () }
+
+    // DDL rows applied to the registry, never compacted into state; data
+    // rows bind the version in force at their commit ts
+    val sv = bound.select("pk", "schema_version").as[(Long, Int)].collect().toMap
+    assert(sv == Map(1L -> 1, 7L -> 2))
+    // the metrics wrapper recorded the compacted batch at table×op grain
+    val totals = Metrics.totals(spark, s"$dir/m")
+      .select("schema_name", "table_name", "op", "total_rows")
+      .as[(String, String, String, Long)].collect().toSet
+    assert(totals == Set(("db", "t", "I", 2L)))
+    mgr.delete("cf2")
+  }
 }
