@@ -1,0 +1,215 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Filters
+
+/**
+ * L1 — REST lifecycle surface (SURVEY.md §2.14): the HTTP API every real
+ * operator uses to drive the system, mirroring the reference's OpenAPI v2
+ * route table (cdc/api/v2/api.go:39-110 — health/status, changefeed
+ * create/list/get/pause/resume/delete, per-feed /status and /synced).
+ *
+ * Spark-first mapping: the "owner" is the Spark driver, so the server is a
+ * thin JDK-HttpServer shim over [[ChangefeedManager]] — no gin/etcd
+ * machinery to port. Sources are REGISTERED by name (a changefeed body
+ * says `"source": "name"`) because a JSON body cannot carry a DataFrame;
+ * sink URIs are parsed into the real sink implementations the same way the
+ * reference parses `--sink-uri` schemes (cdc/api/v2/changefeed.go
+ * verifyCreateChangefeedConfig → sink factory):
+ *
+ *   - `storage://<dir>`   → [[Sinks.storageSink]] (date-partitioned files)
+ *   - `mysql://<dir>`     → [[Sinks.sqlFileSink]] (multi-row SQL, socket
+ *                           stubbed to .sql files per SURVEY K1)
+ *   - `state://<dir>`     → [[Sinks.parquetStateSink]] (bucketed table state)
+ *   - `blackhole://`      → drop (reference blackhole sink)
+ *
+ * JSON in/out via Jackson (already on the Spark classpath).
+ */
+final class ApiServer(spark: SparkSession,
+                      manager: ChangefeedManager,
+                      sources: Map[String, () => DataFrame],
+                      port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val started = System.currentTimeMillis()
+
+  def boundPort: Int = server.getAddress.getPort
+
+  // ---- JSON helpers ----------------------------------------------------
+
+  private def toJson(v: Any): Object = v match {
+    case m: Map[_, _] =>
+      val node = mapper.createObjectNode()
+      m.foreach { case (k, x) =>
+        node.putPOJO(k.toString, toJson(x))
+      }
+      node
+    case s: Seq[_] =>
+      val arr = mapper.createArrayNode()
+      s.foreach(x => arr.addPOJO(toJson(x)))
+      arr
+    case other => other.asInstanceOf[Object]
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: Any): Unit = {
+    val bytes = mapper.writeValueAsBytes(toJson(body))
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def error(ex: HttpExchange, code: Int, msg: String): Unit =
+    respond(ex, code, Map("error_msg" -> msg))
+
+  private def readBody(ex: HttpExchange): Map[String, Any] = {
+    val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    if (raw.isEmpty) Map.empty
+    else {
+      val node = mapper.readTree(raw)
+      import scala.jdk.CollectionConverters._
+      node.properties().asScala.map { e =>
+        val v = e.getValue
+        val x: Any =
+          if (v.isTextual) v.asText()
+          else if (v.isIntegralNumber) v.asLong()
+          else if (v.isBoolean) v.asBoolean()
+          else if (v.isArray) v.elements().asScala.map(_.asText()).toSeq
+          else v.toString
+        e.getKey -> x
+      }.toMap
+    }
+  }
+
+  // ---- sink-uri parsing (the reference's --sink-uri scheme switch) -----
+
+  private[streaming] def parseSinkUri(uri: String): (DataFrame, Long) => Unit = {
+    val (scheme, rest) = uri.split("://", 2) match {
+      case Array(s, r) => (s, r)
+      case _ => throw new IllegalArgumentException(s"malformed sink uri: $uri")
+    }
+    scheme match {
+      case "storage"   => Sinks.storageSink(rest) _
+      case "mysql"     => Sinks.sqlFileSink(rest) _
+      case "state"     => Sinks.parquetStateSink(spark, rest)
+      case "blackhole" => (_, _) => ()
+      case other => throw new IllegalArgumentException(s"unsupported sink scheme: $other")
+    }
+  }
+
+  // ---- route handlers --------------------------------------------------
+
+  private def feedState(id: String): Map[String, Any] = {
+    val st = manager.status(id)
+    val state =
+      if (st.get("state").contains("not-found")) "not-found"
+      else if (st.get("state").contains("paused")) "stopped"
+      else "normal" // reference states normal/stopped (model/changefeed.go)
+    Map("id" -> id, "state" -> state)
+  }
+
+  private def handleChangefeeds(ex: HttpExchange, tail: String): Unit = {
+    val method = ex.getRequestMethod
+    val parts = tail.split("/").filter(_.nonEmpty)
+    (method, parts.toList) match {
+      case ("GET", Nil) =>
+        val items = manager.list().map(feedState)
+        respond(ex, 200, Map("total" -> items.size, "items" -> items))
+      case ("POST", Nil) =>
+        val body = readBody(ex)
+        val id = body.get("changefeed_id").map(_.toString)
+          .getOrElse(return error(ex, 400, "changefeed_id is required"))
+        val srcName = body.get("source").map(_.toString)
+          .getOrElse(return error(ex, 400, "source is required"))
+        val source = sources.getOrElse(srcName,
+          return error(ex, 400, s"unknown source: $srcName"))
+        val sinkUri = body.get("sink_uri").map(_.toString)
+          .getOrElse(return error(ex, 400, "sink_uri is required"))
+        val ckpt = body.get("checkpoint_dir").map(_.toString)
+          .getOrElse(return error(ex, 400, "checkpoint_dir is required"))
+        val rules = body.get("table_filter") match {
+          case Some(pats: Seq[_]) => Filters.parseRules(pats.map(_.toString))
+          case _ => Seq(Filters.TableRule("*", "*", allow = true))
+        }
+        if (manager.list().contains(id))
+          return error(ex, 400, s"changefeed $id already exists")
+        try {
+          val spec = ChangefeedSpec(
+            id = id,
+            tableRules = rules,
+            checkpointDir = ckpt,
+            safeModeUntilTs = body.get("safe_mode_until_ts").map(_.asInstanceOf[Long]),
+            metricsDir = body.get("metrics_dir").map(_.toString))
+          manager.create(spec, source)(parseSinkUri(sinkUri))
+          respond(ex, 200, feedState(id) + ("sink_uri" -> sinkUri))
+        } catch {
+          case e: IllegalArgumentException => error(ex, 400, e.getMessage)
+        }
+      case ("GET", id :: Nil) =>
+        if (!manager.list().contains(id)) error(ex, 404, s"changefeed $id not found")
+        else respond(ex, 200, feedState(id))
+      case ("GET", id :: "status" :: Nil) =>
+        if (!manager.list().contains(id)) error(ex, 404, s"changefeed $id not found")
+        else respond(ex, 200, manager.status(id).map { case (k, v) => k -> v })
+      case ("GET", id :: "synced" :: Nil) =>
+        // AvailableNow feeds drain to the source end each resume: synced
+        // iff the feed exists and is not mid-batch (api.synced analog).
+        if (!manager.list().contains(id)) error(ex, 404, s"changefeed $id not found")
+        else {
+          val active = manager.status(id).get("isActive").contains(true)
+          respond(ex, 200, Map("synced" -> !active,
+            "info" -> (if (active) "processing" else "caught up")))
+        }
+      case ("POST", id :: "pause" :: Nil) =>
+        if (!manager.list().contains(id)) error(ex, 404, s"changefeed $id not found")
+        else { manager.pause(id); respond(ex, 200, Map.empty[String, Any]) }
+      case ("POST", id :: "resume" :: Nil) =>
+        if (!manager.list().contains(id)) error(ex, 404, s"changefeed $id not found")
+        else { manager.resume(id); respond(ex, 200, Map.empty[String, Any]) }
+      case ("DELETE", id :: Nil) =>
+        // DELETE is idempotent in the reference (removing a missing
+        // changefeed succeeds) — cdc/api/v2/changefeed.go deleteChangefeed.
+        manager.delete(id)
+        respond(ex, 200, Map.empty[String, Any])
+      case _ => error(ex, 404, s"no route: $method /api/v2/changefeeds/$tail")
+    }
+  }
+
+  private val handler = new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        val path = ex.getRequestURI.getPath
+        (ex.getRequestMethod, path) match {
+          case ("GET", "/api/v2/health") =>
+            respond(ex, 200, Map.empty[String, Any])
+          case ("GET", "/api/v2/status") =>
+            respond(ex, 200, Map(
+              "version" -> "graft-0.3",
+              "id" -> spark.sparkContext.applicationId,
+              "is_owner" -> true,
+              "liveness" -> 0,
+              "uptime_ms" -> (System.currentTimeMillis() - started)))
+          case (_, p) if p.startsWith("/api/v2/changefeeds") =>
+            handleChangefeeds(ex, p.stripPrefix("/api/v2/changefeeds"))
+          case (m, p) => error(ex, 404, s"no route: $m $p")
+        }
+      } catch {
+        case e: Exception => error(ex, 500, String.valueOf(e.getMessage))
+      }
+  }
+
+  def start(): ApiServer = {
+    server.createContext("/", handler)
+    server.setExecutor(null) // serial: lifecycle ops must not interleave
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+}

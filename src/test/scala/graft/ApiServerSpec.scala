@@ -1,0 +1,106 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{ApiServer, ChangefeedManager, Sinks}
+
+/** L1 REST surface: the full lifecycle (create → status → pause → resume →
+  * synced → delete) driven purely over HTTP against the route table of the
+  * reference's OpenAPI v2 (cdc/api/v2/api.go). */
+class ApiServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val http = HttpClient.newHttpClient()
+  private val mapper = new ObjectMapper()
+
+  private case class Ev(seq: Long, op: String, commit_ts: Long, start_ts: Long,
+                        source_id: Int, schema_name: String, table_name: String,
+                        pk: Long, pk_after: Long, val_before: Option[Double],
+                        val_after: Option[Double], etype: String)
+
+  private def ev(seq: Long, pk: Long, v: Double): Ev =
+    Ev(seq, "I", 100 + seq, 99 + seq, 0, "db", "t", pk, pk, None, Some(v), "e")
+
+  private def get(base: String, path: String): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(base: String, path: String, body: String = ""): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(URI.create(base + path))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def delete(base: String, path: String): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(URI.create(base + path)).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("full changefeed lifecycle over HTTP") {
+    val dir = Files.createTempDirectory("graft_api").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(ev(1, 1, 10), ev(2, 2, 20))
+
+    val srv = new ApiServer(spark, new ChangefeedManager(spark),
+      Map("mem" -> (() => mem.toDF()))).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      assert(get(base, "/api/v2/health")._1 == 200)
+      val (sc, sb) = get(base, "/api/v2/status")
+      assert(sc == 200 && mapper.readTree(sb).get("is_owner").asBoolean())
+
+      // empty list, then create
+      assert(mapper.readTree(get(base, "/api/v2/changefeeds")._2)
+        .get("total").asInt() == 0)
+      val createBody =
+        s"""{"changefeed_id":"cf-api","source":"mem",
+           |"sink_uri":"state://$dir/state",
+           |"checkpoint_dir":"$dir/ckpt"}""".stripMargin
+      val (cc, cb) = post(base, "/api/v2/changefeeds", createBody)
+      assert(cc == 200, cb)
+      assert(Sinks.readState(spark, s"$dir/state").count() == 2)
+
+      // validation errors
+      assert(post(base, "/api/v2/changefeeds", createBody)._1 == 400) // dup id
+      assert(post(base, "/api/v2/changefeeds",
+        """{"changefeed_id":"x","source":"nope","sink_uri":"blackhole://",
+          |"checkpoint_dir":"/tmp/x"}""".stripMargin)._1 == 400) // bad source
+      assert(post(base, "/api/v2/changefeeds",
+        """{"changefeed_id":"y","source":"mem","sink_uri":"ftp://z",
+          |"checkpoint_dir":"/tmp/y"}""".stripMargin)._1 == 400) // bad scheme
+
+      // list + get + status + synced
+      val listed = mapper.readTree(get(base, "/api/v2/changefeeds")._2)
+      assert(listed.get("total").asInt() == 1)
+      assert(listed.get("items").get(0).get("state").asText() == "normal")
+      assert(get(base, "/api/v2/changefeeds/cf-api")._1 == 200)
+      assert(get(base, "/api/v2/changefeeds/nope")._1 == 404)
+      assert(mapper.readTree(get(base, "/api/v2/changefeeds/cf-api/synced")._2)
+        .get("synced").asBoolean())
+
+      // pause → stopped; rows added while paused arrive after resume
+      assert(post(base, "/api/v2/changefeeds/cf-api/pause")._1 == 200)
+      assert(mapper.readTree(get(base, "/api/v2/changefeeds/cf-api")._2)
+        .get("state").asText() == "stopped")
+      mem.addData(ev(3, 3, 30))
+      assert(post(base, "/api/v2/changefeeds/cf-api/resume")._1 == 200)
+      val state = Sinks.readState(spark, s"$dir/state")
+        .select("pk", "final_val").as[(Long, Double)].collect().toMap
+      assert(state == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+
+      // delete is idempotent
+      assert(delete(base, "/api/v2/changefeeds/cf-api")._1 == 200)
+      assert(mapper.readTree(get(base, "/api/v2/changefeeds")._2)
+        .get("total").asInt() == 0)
+      assert(delete(base, "/api/v2/changefeeds/cf-api")._1 == 200)
+    } finally srv.stop()
+  }
+}
