@@ -22,11 +22,13 @@ object Routing {
                              targetSchema: String, targetTable: String)
 
   def route(df: DataFrame, rules: Seq[RouteRule]): DataFrame = {
+    // An empty target keeps the source name — a DM rule may set only
+    // target-schema (schema-routing), leaving the table name untouched.
     def chain(pick: RouteRule => String, default: Column): Column =
       rules.foldRight(default) { (r, acc) =>
         val m = col("schema_name").rlike(Filters.wildcardToRegex(r.schemaPat)) &&
           col("table_name").rlike(Filters.wildcardToRegex(r.tablePat))
-        when(m, lit(pick(r))).otherwise(acc)
+        when(m, if (pick(r).isEmpty) default else lit(pick(r))).otherwise(acc)
       }
     df.withColumn("target_schema", chain(_.targetSchema, col("schema_name")))
       .withColumn("target_table", chain(_.targetTable, col("table_name")))

@@ -87,22 +87,6 @@ final class ApiServer(spark: SparkSession,
     }
   }
 
-  // ---- sink-uri parsing (the reference's --sink-uri scheme switch) -----
-
-  private[streaming] def parseSinkUri(uri: String): (DataFrame, Long) => Unit = {
-    val (scheme, rest) = uri.split("://", 2) match {
-      case Array(s, r) => (s, r)
-      case _ => throw new IllegalArgumentException(s"malformed sink uri: $uri")
-    }
-    scheme match {
-      case "storage"   => Sinks.storageSink(rest) _
-      case "mysql"     => Sinks.sqlFileSink(rest) _
-      case "state"     => Sinks.parquetStateSink(spark, rest)
-      case "blackhole" => (_, _) => ()
-      case other => throw new IllegalArgumentException(s"unsupported sink scheme: $other")
-    }
-  }
-
   // ---- route handlers --------------------------------------------------
 
   private def feedState(id: String): Map[String, Any] = {
@@ -146,7 +130,7 @@ final class ApiServer(spark: SparkSession,
             checkpointDir = ckpt,
             safeModeUntilTs = body.get("safe_mode_until_ts").map(_.asInstanceOf[Long]),
             metricsDir = body.get("metrics_dir").map(_.toString))
-          manager.create(spec, source)(parseSinkUri(sinkUri))
+          manager.create(spec, source)(Sinks.forUri(spark, sinkUri))
           respond(ex, 200, feedState(id) + ("sink_uri" -> sinkUri))
         } catch {
           case e: IllegalArgumentException => error(ex, 400, e.getMessage)

@@ -14,6 +14,27 @@ import org.apache.spark.sql.functions._
  */
 object Sinks {
 
+  /**
+   * Sink-URI factory — the reference's `--sink-uri` scheme switch
+   * (cdc/api/v2/changefeed.go verifyCreateChangefeedConfig → sink factory).
+   * Schemes: `storage://dir` (date-partitioned files), `mysql://dir`
+   * (multi-row SQL, socket stubbed to .sql files per SURVEY K1),
+   * `state://dir` (bucketed table state), `blackhole://` (drop).
+   */
+  def forUri(spark: SparkSession, uri: String): (DataFrame, Long) => Unit = {
+    val (scheme, rest) = uri.split("://", 2) match {
+      case Array(s, r) => (s, r)
+      case _ => throw new IllegalArgumentException(s"malformed sink uri: $uri")
+    }
+    scheme match {
+      case "storage"   => storageSink(rest) _
+      case "mysql"     => sqlFileSink(rest) _
+      case "state"     => parquetStateSink(spark, rest)
+      case "blackhole" => (_, _) => ()
+      case other => throw new IllegalArgumentException(s"unsupported sink scheme: $other")
+    }
+  }
+
   /** Pointer state for the bucketed sink: last applied batch, bucket
     * count (frozen at table creation), and each bucket's live version. */
   private final case class StatePointer(lastBatch: Long, numBuckets: Int,
