@@ -102,6 +102,56 @@ object Routing {
   }
 
   /**
+   * K3 — Pulsar topic resolution: substitute `{schema}`/`{table}` and
+   * expand a short name with the default tenant/namespace, the way the
+   * reference's topic manager completes partial names from the sink URI
+   * (pkg/sink/pulsar/config.go, dispatcher/topic/expression.go
+   * PulsarValidate). Unlike Kafka there is no 249-char truncation.
+   */
+  def pulsarTopic(expr: String,
+                  tenant: String = "public", namespace: String = "default",
+                  schema: Column = col("target_schema"),
+                  table: Column = col("target_table")): Column = {
+    require(validateTopicExpressionForPulsar(expr), s"invalid pulsar topic: $expr")
+    val full =
+      if (expr.startsWith("persistent://") || expr.startsWith("non-persistent://")) expr
+      else s"persistent://$tenant/$namespace/$expr"
+    def sanitize(c: Column) = regexp_replace(c, "[^a-zA-Z0-9._\\-]", "_")
+    val parts = "(\\{schema\\}|\\{table\\})".r.split(full)
+    val phs = "(\\{schema\\}|\\{table\\})".r.findAllIn(full).toSeq
+    val cols = Seq.newBuilder[Column]
+    for (i <- parts.indices) {
+      if (parts(i).nonEmpty) cols += lit(parts(i))
+      if (i < phs.length)
+        cols += (if (phs(i) == "{schema}") sanitize(schema) else sanitize(table))
+    }
+    for (i <- parts.length until phs.length)
+      cols += (if (phs(i) == "{schema}") sanitize(schema) else sanitize(table))
+    concat(cols.result(): _*)
+  }
+
+  /**
+   * Partition KEYS (K3): Pulsar routes by message key, not partition
+   * number — the dispatchers' second return value
+   * (partition/table.go:39-45 → "schema.table",
+   * partition/index_value.go:86 → decimal string of the PositionInertia
+   * sum32, partition/key.go:35 → the configured constant).
+   */
+  def partitionKeyByTable(schema: Column = col("target_schema"),
+                          table: Column = col("target_table")): Column =
+    concat_ws(".", schema, table)
+
+  /** Index-value partition key, byte-exact with the reference: decimal
+    * rendering of the same crc32-XOR mix as [[dispatchTiflowCompat]]. */
+  def partitionKeyByIndexValue(schema: Column, table: Column,
+                               keyCols: Seq[(String, Column)]): Column = {
+    val base = crc32(concat(schema, table).cast("binary"))
+    keyCols.foldLeft(base) { case (acc, (name, value)) =>
+      acc.bitwiseXOR(crc32(concat(lit(name), value.cast("string")).cast("binary")))
+    }.cast("string")
+  }
+
+  /**
    * Deterministic 32-bit multiplicative hash used by all dispatchers
    * (Knuth mix over the key's long value — see [[graft.core.Hashing]]).
    * For byte-exact parity with tiflow's own partition placement use

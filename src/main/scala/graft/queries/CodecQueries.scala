@@ -373,6 +373,35 @@ object CodecQueries {
       Codecs.openProtocolValue(df).as("value"))
   }
 
+  /** K3 — complete Pulsar record: fully-qualified topic
+    * (persistent://tenant/ns/..., dispatcher/topic/expression.go
+    * PulsarValidate), message KEY instead of a partition number (Pulsar
+    * key-routes; cdc/sink/dmlsink/mq/dmlproducer/pulsar_dml_producer
+    * .go:151-154 sends {Payload, Key}), and the encoded payload. The key
+    * here is the table dispatcher's "schema.table" (partition/table.go);
+    * the index-value key form is covered byte-exactly by the crc32 parity
+    * spec (DuckDB has no crc32, so it cannot be oracle-gated). */
+  val pulsarRecord = GateQuery(
+    "q49b_pulsar_record",
+    Some(cte +
+      s"""SELECT seq,
+         |  'persistent://public/default/cdc_' || schema_name || '_' || table_name AS topic,
+         |  schema_name || '.' || table_name AS key,
+         |  to_json(struct_pack(
+         |    u := CASE WHEN op <> 'D' THEN ${opImgSql("val_after")} ELSE $opImgNullSql END,
+         |    d := CASE WHEN op = 'D' THEN ${opImgSql("val_before")} ELSE $opImgNullSql END
+         |  )) AS value
+         |FROM cdc WHERE $SampleE""".stripMargin)) { (spark, dir) =>
+    import graft.operators.Routing
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+      .withColumn("target_schema", col("schema_name"))
+      .withColumn("target_table", col("table_name"))
+    df.select(col("seq"),
+      Routing.pulsarTopic("cdc_{schema}_{table}").as("topic"),
+      Routing.partitionKeyByTable().as("key"),
+      Codecs.openProtocolValue(df).as("value"))
+  }
+
   /**
    * D1 — TiKV row-format v2 binary decode (graft.functions.RowCodec): rows
    * encode to v2 bytes and decode back through the Catalyst expressions.
@@ -426,5 +455,5 @@ object CodecQueries {
 
   def all: Seq[GateQuery] = Seq(
     canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas,
-    avroBinary, craftRoundtrip, simple, kafkaRecord, rowcodecV2)
+    avroBinary, craftRoundtrip, simple, kafkaRecord, pulsarRecord, rowcodecV2)
 }

@@ -44,6 +44,16 @@ class TiflowParitySpec extends SparkSpec {
     }
   }
 
+  test("partitionKeyByIndexValue renders the reference's decimal key string") {
+    // partition/index_value.go:86 — key = strconv.FormatInt(int64(sum32), 10)
+    val df = Seq(("db_0", "tbl_1", 42L)).toDF("s", "t", "pk")
+    val key = df.select(Routing.partitionKeyByIndexValue(
+      col("s"), col("t"), Seq("pk" -> col("pk"))).as("k")).head().getString(0)
+    val expected = positionInertia(Seq(
+      "db_0tbl_1".getBytes("UTF-8"), "pk42".getBytes("UTF-8"))).toString
+    assert(key == expected)
+  }
+
   test("multiple key columns XOR independently (order-insensitive)") {
     val df = Seq(("db", "t", 1L, "x")).toDF("s", "t", "pk", "name")
     val a = df.select(Routing.dispatchTiflowCompat(1000, col("s"), col("t"),

@@ -43,4 +43,22 @@ class TopicExprSpec extends SparkSpec {
       Routing.topicFromExpression("sp ace{schema}")
     }
   }
+
+  private def pulsar(expr: String, schema: String, table: String): String =
+    Seq((schema, table)).toDF("target_schema", "target_table")
+      .select(Routing.pulsarTopic(expr).as("t"))
+      .head().getString(0)
+
+  test("pulsar topics: short names expand, full URLs substitute, no 249 cap") {
+    assert(pulsar("cdc_{schema}_{table}", "shop", "orders")
+      === "persistent://public/default/cdc_shop_orders")
+    assert(pulsar("persistent://t1/ns/{schema}.{table}", "s", "a/b")
+      === "persistent://t1/ns/s.a_b")
+    // pulsar has no Kafka-style length truncation
+    assert(pulsar("{schema}_{table}", "a" * 200, "b" * 200).length
+      === "persistent://public/default/_".length + 400)
+    intercept[IllegalArgumentException] {
+      Routing.pulsarTopic("tenant/only-two/{schema}/parts{table}")
+    }
+  }
 }
