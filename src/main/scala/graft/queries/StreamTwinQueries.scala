@@ -161,5 +161,140 @@ object StreamTwinQueries {
     rows.toDF("table_name", "field", "dtype", "nullable", "status")
   }
 
-  def all: Seq[GateQuery] = Seq(checkpointResume, optimisticLattice)
+  // ---- shared SQL fragments for the W3/W4 twins ------------------------
+
+  /** DuckDB twin of Transforms.updateSplit over `src`. */
+  private def splitSql(src: String): String =
+    s"""SELECT seq * 2 + leg AS seq,
+       |    CASE WHEN leg = 1 THEN 'I'
+       |         WHEN op = 'U' AND pk <> pk_after THEN 'D'
+       |         ELSE op END AS op,
+       |    commit_ts, schema_name, table_name,
+       |    CASE WHEN leg = 1 THEN pk_after ELSE pk END AS pk,
+       |    CASE WHEN leg = 1 THEN val_after
+       |         WHEN op = 'U' AND pk <> pk_after THEN NULL
+       |         WHEN op = 'D' THEN NULL
+       |         ELSE val_after END AS val_after
+       |  FROM (SELECT *,
+       |          unnest(CASE WHEN op = 'U' AND pk <> pk_after
+       |                      THEN [0, 1] ELSE [0] END) AS leg
+       |        FROM $src)""".stripMargin
+
+  /** DuckDB twin of Compaction.compact over post-split `src`, keyed by
+    * `keys` (comma-separated column list). */
+  private def netSql(src: String, keys: String): String =
+    s"""SELECT * FROM (
+       |  SELECT $keys,
+       |    CASE WHEN first_op = 'I' AND last_op = 'D' THEN NULL
+       |         WHEN last_op = 'D' THEN 'D'
+       |         WHEN first_op = 'I' THEN 'I'
+       |         WHEN first_op = 'D' THEN 'R'
+       |         ELSE 'U' END AS net_op,
+       |    CASE WHEN last_op = 'D' THEN NULL ELSE last_val_raw END AS final_val
+       |  FROM (
+       |    SELECT $keys,
+       |      arg_min(op, seq) AS first_op, arg_max(op, seq) AS last_op,
+       |      arg_max(coalesce(val_after, -1), seq) AS last_val_raw
+       |    FROM $src GROUP BY $keys
+       |  )) WHERE net_op IS NOT NULL""".stripMargin
+
+  /**
+   * W4 — redo-log disaster recovery: WAL rows in (checkpointTs, resolvedTs]
+   * replay on top of the state materialized at the checkpoint
+   * (streaming.Redo.replay; reference applier pkg/applier/redo.go:162-420).
+   * Twin: stage-1 state at C, stage-2 net of the redo window, merged with
+   * the state sink's apply rule (touched keys replaced, deletes dropped) —
+   * which must equal the oracle's DIRECT compaction to R. The twin passing
+   * means crash recovery converges to the no-crash state.
+   */
+  private val CkptTs = 1001000L
+  private val ResolvedTs = 1002000L
+
+  val redoReplay = GateQuery(
+    "q76_redo_replay",
+    Some(cte +
+      s""", split AS (${splitSql(s"(SELECT * FROM cdc WHERE commit_ts <= $ResolvedTs)")}),
+         |net AS (${netSql("split", "schema_name, table_name, pk")}),
+         |state AS (
+         |  SELECT schema_name, table_name, count(*) AS n_live,
+         |    CAST(coalesce(sum(CAST(final_val AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_val
+         |  FROM net WHERE net_op <> 'D' GROUP BY 1, 2
+         |), redo AS (
+         |  SELECT schema_name, table_name, count(*) AS n_redo_rows
+         |  FROM split WHERE commit_ts > $CkptTs GROUP BY 1, 2
+         |)
+         |SELECT s.schema_name, s.table_name, r.n_redo_rows, s.n_live, s.sum_val
+         |FROM state s JOIN redo r
+         |  ON r.schema_name = s.schema_name AND r.table_name = s.table_name"""
+        .stripMargin)) { (spark, dir) =>
+    val keys = Seq("schema_name", "table_name", "pk")
+    val wal = Transforms.updateSplit(CdcStream.derive(spark, dir))
+      .filter(col("commit_ts") <= ResolvedTs)
+    val stage1 = Compaction.compact(wal.filter(col("commit_ts") <= CkptTs))
+    val redo = wal.filter(col("commit_ts") > CkptTs)
+    val stage2 = Compaction.compact(redo)
+    // the state sink's apply rule (Sinks.parquetStateSink): keys touched by
+    // the replayed batch are replaced, net deletes drop out
+    val merged = stage1.filter(col("net_op") =!= "D")
+      .join(stage2.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(stage2.filter(col("net_op") =!= "D"))
+    val state = merged.groupBy("schema_name", "table_name").agg(
+      count(lit(1)).as("n_live"),
+      coalesce(sum(col("final_val").cast("decimal(18,6)")),
+        lit(0).cast("decimal(18,6)")).cast("double").as("sum_val"))
+    val redoCount = redo.groupBy("schema_name", "table_name")
+      .agg(count(lit(1)).as("n_redo_rows"))
+    state.join(redoCount, Seq("schema_name", "table_name"))
+      .select("schema_name", "table_name", "n_redo_rows", "n_live", "sum_val")
+  }
+
+  /**
+   * W3 — syncpoint map: per syncpoint ts, the consistent as-of state a
+   * downstream reader sees when it queries at that point
+   * (cdc/syncpointstore/mysql_syncpoint_store.go:110-180 — the
+   * primary-ts → secondary-snapshot table). Twin: a broadcast list of
+   * syncpoint tss × the stream, net state per syncpoint via the same
+   * compaction algebra keyed by (sp_ts, table key). Monotonicity of
+   * n_applied across rows witnesses the map is usable for
+   * point-in-time recovery.
+   */
+  private val SyncTss = Seq(1000500L, 1001000L, 1001500L, 1002000L)
+
+  val syncpoints = GateQuery(
+    "q77_syncpoint",
+    Some(cte +
+      s""", sp AS (SELECT CAST(unnest([${SyncTss.mkString(", ")}]) AS BIGINT) AS sp_ts),
+         |split AS (${splitSql("cdc")}),
+         |j AS (
+         |  SELECT sp.sp_ts, s.* FROM split s JOIN sp ON s.commit_ts <= sp.sp_ts
+         |), net AS (${netSql("j", "sp_ts, schema_name, table_name, pk")}),
+         |state AS (
+         |  SELECT sp_ts, CAST(sum(CASE WHEN net_op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+         |    CAST(coalesce(sum(CASE WHEN net_op <> 'D'
+         |      THEN CAST(final_val AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS sum_val
+         |  FROM net GROUP BY 1
+         |), applied AS (
+         |  SELECT sp_ts, count(*) AS n_applied FROM j GROUP BY 1
+         |)
+         |SELECT s.sp_ts, a.n_applied, s.n_live, s.sum_val
+         |FROM state s JOIN applied a ON a.sp_ts = s.sp_ts""".stripMargin)) {
+    (spark, dir) =>
+    import spark.implicits._
+    val sps = SyncTss.toDF("sp_ts")
+    val wal = Transforms.updateSplit(CdcStream.derive(spark, dir))
+    val j = wal.join(broadcast(sps), col("commit_ts") <= col("sp_ts"))
+    val net = Compaction.compact(j,
+      keyCols = Seq("sp_ts", "schema_name", "table_name", "pk"))
+    val state = net.groupBy("sp_ts").agg(
+      sum(when(col("net_op") =!= "D", 1L).otherwise(0L)).as("n_live"),
+      coalesce(sum(when(col("net_op") =!= "D",
+        col("final_val").cast("decimal(18,6)"))), lit(0).cast("decimal(18,6)"))
+        .cast("double").as("sum_val"))
+    val applied = j.groupBy("sp_ts").agg(count(lit(1)).as("n_applied"))
+    state.join(applied, Seq("sp_ts"))
+      .select("sp_ts", "n_applied", "n_live", "sum_val")
+  }
+
+  def all: Seq[GateQuery] =
+    Seq(checkpointResume, optimisticLattice, redoReplay, syncpoints)
 }
