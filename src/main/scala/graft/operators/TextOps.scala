@@ -86,6 +86,57 @@ object TextOps {
       (acc, t) => pmod(acc * 31 + pmod(Hashing.portableLong(t), lit(FingerprintMod)),
         lit(FingerprintMod)))
 
+  /**
+   * Repetition signals (the Gopher paper's repetition filters; ccnet-style
+   * segment dedup). Three scale shapes:
+   *   - duplicate-token fraction: pure column expression, map-only;
+   *   - top n-gram fraction: explode → count — the same map-side-combinable
+   *     agg shape the MinHash pipeline uses, shuffle keyed (doc, gram);
+   *   - duplicate-segment stats: explode on a separator — degenerate to one
+   *     segment when the separator is absent, still correct.
+   */
+  def dupTokenFrac(text: Column): Column = {
+    val t = tokens(text)
+    lit(1d) - size(array_distinct(t)).cast("double") / size(t).cast("double")
+  }
+
+  /** Word n-grams as an array column (empty when the doc is shorter). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 2, "n-grams need n >= 2")
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
+      .otherwise(lit(Array.empty[String]))
+  }
+
+  /** Per-doc occurrence fraction of the most frequent word n-gram
+    * (docs shorter than n tokens drop out — no n-grams to measure). */
+  def topNgramFrac(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(wordNgrams(col("text"), n)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(
+        (max(col("cnt")).cast("double") / sum(col("cnt")).cast("double"))
+          .as("top_frac"))
+
+  /** Non-empty trimmed segments of a document (lines by default). */
+  def segments(text: Column, sep: String = "\n"): Column =
+    filter(transform(split(text, sep), s => trim(s)), s => length(s) > 0)
+
+  /** Per-doc duplicate-segment stats: segment count, fraction of segments
+    * that are repeats of another, fraction of characters inside repeated
+    * segments (the Gopher duplicate-line-fraction pair). */
+  def dupSegmentStats(df: DataFrame, idCol: String, sep: String = "\n"): DataFrame =
+    df.select(col(idCol), explode(segments(col("text"), sep)).as("seg"))
+      .groupBy(col(idCol), col("seg"))
+      .agg(count(lit(1)).as("cnt"), length(col("seg")).as("chars"))
+      .groupBy(col(idCol)).agg(
+        sum(col("cnt")).as("n_segments"),
+        (coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).cast("double") /
+          sum(col("cnt")).cast("double")).as("dup_seg_frac"),
+        (coalesce(sum(when(col("cnt") > 1, col("chars") * col("cnt"))), lit(0L)).cast("double") /
+          sum(col("chars") * col("cnt")).cast("double")).as("dup_char_frac"))
+
   /** DuckDB twins (keep in lockstep). */
   object Sql {
     val tokens = "regexp_split_to_array(%s, '\\s+')"
@@ -118,6 +169,10 @@ object TextOps {
       val tokHash = Hashing.Sql.portableLong("t") + s" % $FingerprintMod"
       s"list_reduce(list_prepend(0, [($tokHash) FOR t IN ${tokens.format(e)}])," +
         s" (h, x) -> (h * 31 + x) % $FingerprintMod)"
+    }
+    def dupTokenFrac(e: String): String = {
+      val toks = tokens.format(e)
+      s"(1.0 - CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE))"
     }
   }
 }

@@ -90,6 +90,47 @@ object DocQueries {
         sum(col("fp") % 97).as("fp_check"))
   }
 
+  /** Gopher-style repetition filters (q68): histogram of the duplicate-
+    * token fraction (map-only expr) and of the top-bigram / top-trigram
+    * occurrence fraction (explode/agg — the scale shape). Fractions are one
+    * exact-integer division per doc, so floor-bucketing is bit-identical
+    * cross-engine; only integer counts aggregate across docs. */
+  val repetition = GateQuery(
+    "q68_repetition",
+    Some {
+      def gramHist(n: Int, name: String): String = {
+        val idx = s"unnest(range(len(t) - ${n - 1})) AS i"
+        val gram = (0 until n).map(k => s"t[i + ${k + 1}]").mkString(" || ' ' || ")
+        s"""g$n AS (SELECT doc_id, $gram AS g
+           |  FROM (SELECT doc_id, t, $idx FROM toks)),
+           |c$n AS (SELECT doc_id, g, count(*) AS cnt FROM g$n GROUP BY 1, 2),
+           |f$n AS (SELECT doc_id, CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS frac
+           |  FROM c$n GROUP BY 1),
+           |h$n AS (SELECT '$name' AS metric, CAST(floor(frac * 20) AS BIGINT) AS bucket,
+           |  count(*) AS n_docs FROM f$n GROUP BY 1, 2)""".stripMargin
+      }
+      s"""WITH toks AS (SELECT doc_id, ${TextOps.Sql.tokens.format("text")} AS t FROM documents),
+         |hd AS (
+         |  SELECT 'dup_token' AS metric,
+         |    CAST(floor(${TextOps.Sql.dupTokenFrac("text")} * 20) AS BIGINT) AS bucket,
+         |    count(*) AS n_docs
+         |  FROM documents GROUP BY 1, 2
+         |),
+         |${gramHist(2, "top_bigram")},
+         |${gramHist(3, "top_trigram")}
+         |SELECT * FROM hd UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3"""
+        .stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    def hist(fracs: org.apache.spark.sql.DataFrame, fracCol: String, name: String) =
+      fracs.select(floor(col(fracCol) * 20).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("metric"), col("bucket"), col("n_docs"))
+    hist(docs.select(TextOps.dupTokenFrac(col("text")).as("f")), "f", "dup_token")
+      .unionByName(hist(TextOps.topNgramFrac(docs, "doc_id", 2), "top_frac", "top_bigram"))
+      .unionByName(hist(TextOps.topNgramFrac(docs, "doc_id", 3), "top_frac", "top_trigram"))
+  }
+
   // ---- dedup ---------------------------------------------------------
 
   val exactDedup = GateQuery(
@@ -252,6 +293,6 @@ object DocQueries {
   }
 
   def all: Seq[GateQuery] =
-    Seq(textStats, qualityHist, langIdQ, fingerprints, exactDedup, minhashLsh,
-      simhashQ, dupClusters)
+    Seq(textStats, qualityHist, langIdQ, fingerprints, repetition, exactDedup,
+      minhashLsh, simhashQ, dupClusters)
 }
