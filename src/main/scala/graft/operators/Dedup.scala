@@ -172,12 +172,44 @@ object Dedup {
    * propagation needs O(diameter). Each star op is one aggregation + one
    * join, both shuffling on the node id (AQE co-partitions them).
    */
-  def dupClusters(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClusters(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20,
+                  localEdgeThreshold: Long = 1000000L): DataFrame = {
     // each round references the previous frame several times (join + both
     // union directions), so lineage grows multiplicatively — localCheckpoint
     // TRUNCATES the plan per round (cache alone would not)
     var e = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    // ADAPTIVE SHORT-CIRCUIT: the candidate-pair graph is orders of
+    // magnitude smaller than the corpus (it exists only where LSH found
+    // collisions). When the deduped edge set fits trivially on the driver,
+    // α(E) union-find there beats O(log² n) distributed rounds of fixed
+    // job overhead; the labels broadcast back (small by the same argument).
+    // Past the threshold — the genuine 100 TB regime — the star-contraction
+    // loop below takes over. Same decision AQE makes join-side: plan by
+    // measured size, not hope.
+    val edgeCount = e.count()
+    if (edgeCount <= localEdgeThreshold) {
+      val parent = collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      e.select(col("u"), col("v")).collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.map(x => (x, find(x))).toSeq
+      if (labels.isEmpty) return nodes.select(col("id"), col("id").as("comp"))
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labelDf = labels.toDF("id", "p")
+      return nodes.select(col("id"))
+        .join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id"), least(col("id"), coalesce(col("p"), col("id"))).as("comp"))
+    }
     var prevSig: (Long, Long) = (-1L, -1L)
     var iter = 0
     var done = e.isEmpty

@@ -13,7 +13,7 @@ class DedupCcSpec extends SparkSpec {
   test("64-node chain converges within 8 rounds to one component") {
     val nodes = (0L until 64L).toDF("id")
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.dupClusters(nodes, edges, maxIter = 8)
+    val labels = Dedup.dupClusters(nodes, edges, maxIter = 8, localEdgeThreshold = 0)
     assert(labels.filter(col("comp") === 0L).count() === 64)
   }
 
@@ -41,12 +41,26 @@ class DedupCcSpec extends SparkSpec {
     val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
     val got = Dedup.dupClusters(
       (0L until n.toLong).toDF("id"),
-      pairs.toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+      pairs.toDF("id_a", "id_b"), localEdgeThreshold = 0).as[(Long, Long)].collect().toMap
     // canonicalize both labelings to min-of-component
     val canon = expected.groupBy(_._2).flatMap { case (_, m) =>
       val mn = m.keys.min; m.keys.map(_ -> mn)
     }
     assert(got === canon)
+  }
+
+  test("driver union-find short-circuit agrees with the distributed loop") {
+    val rnd = new scala.util.Random(11)
+    val n = 300
+    val pairs = Seq.fill(250)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = pairs.toDF("id_a", "id_b")
+    val local = Dedup.dupClusters(nodes, edges) // default threshold → driver path
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.dupClusters(nodes, edges, localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local === dist)
   }
 
   test("degenerate LSH bucket is capped: candidates stay linear") {
