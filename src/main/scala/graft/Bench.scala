@@ -52,13 +52,18 @@ object Bench {
 
     graft.core.Tables.load(spark, sfDir, "lineitem").count() // warm-up
 
-    val gates = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: restrict to named queries (local iteration; the
+    // driver always runs the full set with no args)
+    val sel = if (args.isEmpty) SparkEntry.queries
+              else SparkEntry.queries.filter(kv => args.contains(kv._1))
+    val gates = sel.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (ingestSec, ingestRows) =
-      try streamIngest(spark, sfDir) catch { case _: Throwable => (-1.0, 0L) }
+      if (args.nonEmpty) (0.0, 0L)
+      else try streamIngest(spark, sfDir) catch { case _: Throwable => (-1.0, 0L) }
     val results = gates :+ ("s0_stream_ingest" -> ingestSec)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -90,8 +90,8 @@ object TextOps {
    * Repetition signals (the Gopher paper's repetition filters; ccnet-style
    * segment dedup). Three scale shapes:
    *   - duplicate-token fraction: pure column expression, map-only;
-   *   - top n-gram fraction: explode → count — the same map-side-combinable
-   *     agg shape the MinHash pipeline uses, shuffle keyed (doc, gram);
+   *   - top n-gram fraction: sort-the-grams + longest-equal-run fold — also
+   *     map-only (per-doc statistics never shuffle their grams);
    *   - duplicate-segment stats: explode on a separator — degenerate to one
    *     segment when the separator is absent, still correct.
    */
@@ -110,14 +110,18 @@ object TextOps {
       .otherwise(lit(Array.empty[String]))
   }
 
+  /** Occurrence fraction of a doc's most frequent word n-gram — the
+    * codegen'd [[graft.functions.TextRuns]] kernel over the token array
+    * (token-hash combine + primitive sort + longest run, inside the row).
+    * NULL when the doc has fewer than n tokens. */
+  def topNgramFrac(text: Column, n: Int): Column =
+    graft.functions.TextRuns.topNgramFrac(tokens(text), n)
+
   /** Per-doc occurrence fraction of the most frequent word n-gram
     * (docs shorter than n tokens drop out — no n-grams to measure). */
   def topNgramFrac(df: DataFrame, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(wordNgrams(col("text"), n)).as("g"))
-      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col(idCol)).agg(
-        (max(col("cnt")).cast("double") / sum(col("cnt")).cast("double"))
-          .as("top_frac"))
+    df.select(col(idCol), topNgramFrac(col("text"), n).as("top_frac"))
+      .filter(col("top_frac").isNotNull)
 
   /** Non-empty trimmed segments of a document (lines by default). */
   def segments(text: Column, sep: String = "\n"): Column =

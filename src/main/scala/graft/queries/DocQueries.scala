@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.{Dedup, TextOps}
@@ -90,10 +90,12 @@ object DocQueries {
         sum(col("fp") % 97).as("fp_check"))
   }
 
-  /** Gopher-style repetition filters (q68): histogram of the duplicate-
-    * token fraction (map-only expr) and of the top-bigram / top-trigram
-    * occurrence fraction (explode/agg — the scale shape). Fractions are one
-    * exact-integer division per doc, so floor-bucketing is bit-identical
+  /** Gopher-style repetition filters (q68): histograms of the duplicate-
+    * token fraction and the top-bigram / top-trigram occurrence fraction.
+    * All three are map-only column expressions computed in ONE scan of the
+    * documents table (per-doc stats never shuffle their grams); the only
+    * exchange is the final tiny (metric, bucket) aggregation. Fractions are
+    * one exact-integer division per doc, so floor-bucketing is bit-identical
     * cross-engine; only integer counts aggregate across docs. */
   val repetition = GateQuery(
     "q68_repetition",
@@ -121,14 +123,18 @@ object DocQueries {
          |SELECT * FROM hd UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3"""
         .stripMargin
     }) { (spark, dir) =>
-    val docs = Tables.load(spark, dir, "documents")
-    def hist(fracs: org.apache.spark.sql.DataFrame, fracCol: String, name: String) =
-      fracs.select(floor(col(fracCol) * 20).cast("long").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
-        .select(lit(name).as("metric"), col("bucket"), col("n_docs"))
-    hist(docs.select(TextOps.dupTokenFrac(col("text")).as("f")), "f", "dup_token")
-      .unionByName(hist(TextOps.topNgramFrac(docs, "doc_id", 2), "top_frac", "top_bigram"))
-      .unionByName(hist(TextOps.topNgramFrac(docs, "doc_id", 3), "top_frac", "top_trigram"))
+    def bucket(frac: Column): Column = floor(frac * 20).cast("long")
+    Tables.load(spark, dir, "documents")
+      .select(explode(filter(array(
+        struct(lit("dup_token").as("metric"),
+          bucket(TextOps.dupTokenFrac(col("text"))).as("bucket")),
+        struct(lit("top_bigram").as("metric"),
+          bucket(TextOps.topNgramFrac(col("text"), 2)).as("bucket")),
+        struct(lit("top_trigram").as("metric"),
+          bucket(TextOps.topNgramFrac(col("text"), 3)).as("bucket"))),
+        s => s.getField("bucket").isNotNull)).as("mb"))
+      .groupBy(col("mb.metric").as("metric"), col("mb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
   }
 
   // ---- dedup ---------------------------------------------------------
