@@ -1,11 +1,14 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Repetition-statistics kernel (Gopher-style top n-gram fraction,
@@ -70,6 +73,142 @@ object TextRuns {
   /** Column builder: tokens array<string> → top n-gram fraction. */
   def topNgramFrac(tokens: Column, n: Int): Column =
     ExpressionUtils.column(TopNgramFrac(ExpressionUtils.expression(tokens), n))
+
+  // ------------------------------------------------------------------
+  // MinHash / SimHash kernels. Same VALUES as the Hashing.portableLong
+  // (md5) + seededMix column pipeline — the oracle twin SQL is unchanged —
+  // but computed inside the row: one digest per distinct shingle, k mixes
+  // in a tight loop, zero explode, zero shuffle. On a cluster the signature
+  // stage becomes a map-only pass over the corpus.
+  // ------------------------------------------------------------------
+
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val MixP = 2147483647L // 2^31 - 1, keep in lockstep with Hashing
+
+  /** 60-bit value of the first 15 hex chars of md5 — byte-identical to
+    * `conv(substring(md5(x),1,15),16,10)`: the first 8 digest bytes
+    * big-endian, dropping the 16th nibble. */
+  private def md5Long(bytes: Array[Byte]): Long = {
+    val d = Md5.get().digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Open-addressing long set (values are 60-bit, so Long.MinValue is a
+    * safe empty sentinel); avoids 10⁸-scale boxing in the shingle loop. */
+  private final class LongSet(expected: Int) {
+    private var cap = Integer.highestOneBit(math.max(expected * 2, 16) - 1) << 1
+    private var keys = new Array[Long](cap)
+    java.util.Arrays.fill(keys, Long.MinValue)
+    private var n = 0
+    def size: Int = n
+    /** true if newly added. */
+    def add(x: Long): Boolean = {
+      var i = (java.lang.Long.hashCode(x * -7046029254386353131L) & (cap - 1))
+      while (true) {
+        val k = keys(i)
+        if (k == x) return false
+        if (k == Long.MinValue) {
+          keys(i) = x; n += 1
+          if (n * 2 > cap) grow()
+          return true
+        }
+        i = (i + 1) & (cap - 1)
+      }
+      false
+    }
+    def toSortedArray: Array[Long] = {
+      val out = new Array[Long](n)
+      var i = 0; var j = 0
+      while (i < cap) { if (keys(i) != Long.MinValue) { out(j) = keys(i); j += 1 }; i += 1 }
+      java.util.Arrays.sort(out)
+      out
+    }
+    private def grow(): Unit = {
+      val old = keys
+      cap <<= 1
+      keys = new Array[Long](cap)
+      java.util.Arrays.fill(keys, Long.MinValue)
+      n = 0
+      var i = 0
+      while (i < old.length) { if (old(i) != Long.MinValue) add(old(i)); i += 1 }
+    }
+  }
+
+  /** MinHash signature + distinct-shingle hash set in one pass.
+    * Shingles: word n-grams joined by ' ' (whole text when < n tokens) —
+    * exactly [[graft.operators.Dedup.shingles]]. Returns
+    * struct(sig: array<long>(k), sh: array<long> sorted distinct hashes).
+    * Dedup-by-hash is exact for `sig` (re-processing an equal hash cannot
+    * change a min); for `sh` set sizes a 60-bit collision is ~m²/2⁶¹ per
+    * doc — negligible. */
+  def minhashAnalyze(text: UTF8String, n: Int, k: Int): InternalRow = {
+    val str = text.toString
+    val toks = Whitespace.split(str, -1)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val seen = new LongSet(math.max(toks.length, 8))
+    def acc(h: Long): Unit = if (seen.add(h)) {
+      val hp = h % MixP
+      var s = 0
+      while (s < k) {
+        val m = (hp * (2L * s + 3L) + s) % MixP
+        if (m < mins(s)) mins(s) = m
+        s += 1
+      }
+    }
+    if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        acc(md5Long(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        i += 1
+      }
+    } else acc(md5Long(text.getBytes))
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(mins), new GenericArrayData(seen.toSortedArray)))
+  }
+
+  /** SimHash over token-occurrence hashes (NOT distinct — each occurrence
+    * votes): bit b of the result is set iff Σ±1 over bit b of the token
+    * md5-hashes is positive. Values identical to the column form. */
+  def simhash(text: UTF8String, bits: Int): Long = {
+    val toks = Whitespace.split(text.toString, -1)
+    val sums = new Array[Int](bits)
+    var i = 0
+    while (i < toks.length) {
+      val h = md5Long(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (sums(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def minhashAnalyze(text: Column, n: Int, k: Int): Column =
+    ExpressionUtils.column(MinHashAnalyze(ExpressionUtils.expression(text), n, k))
+
+  def simhash64(text: Column, bits: Int): Column =
+    ExpressionUtils.column(Simhash64(ExpressionUtils.expression(text), bits))
 }
 
 /** array<string> tokens → double fraction; null when < n tokens. */
@@ -86,5 +225,32 @@ case class TopNgramFrac(child: Expression, n: Int) extends UnaryExpression {
       ${ev.value} = ${ev.isNull} ? -1.0 : r.doubleValue();
     """)
   override protected def withNewChildInternal(newChild: Expression): TopNgramFrac =
+    copy(child = newChild)
+}
+
+/** text → struct(sig array<long>(k), sh array<long>): MinHash signature +
+  * sorted distinct shingle hashes, one in-row pass. */
+case class MinHashAnalyze(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  require(n >= 1 && k >= 1)
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sh", ArrayType(LongType, containsNull = false), nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuns.minhashAnalyze(input.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.minhashAnalyze($c, $n, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashAnalyze =
+    copy(child = newChild)
+}
+
+/** text → long SimHash of token-occurrence hashes. */
+case class Simhash64(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 63)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuns.simhash(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.simhash($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
     copy(child = newChild)
 }

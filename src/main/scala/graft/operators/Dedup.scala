@@ -48,22 +48,27 @@ object Dedup {
   }
 
   /**
-   * MinHash signatures, explode/aggregate form: one md5 per DISTINCT
-   * shingle, k integer-mix min-aggregates (order-independent), one shuffle
-   * on the doc id with map-side partial mins. This is the 100 TB shape —
-   * digest work is linear in corpus size, never multiplied by k.
+   * MinHash signatures, kernel form: one md5 per DISTINCT shingle, k
+   * integer mixes in a tight in-row loop ([[graft.functions.TextRuns]]).
+   * Map-only — digest work is linear in corpus size, never multiplied by
+   * k, and the signature stage needs NO exchange at all (the earlier
+   * explode/aggregate form shuffled one row per doc through a partial-min
+   * agg; this one keeps the scan in a single codegen span).
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, k: Int): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
-      .withColumn("h", Hashing.portableLong(col("s")))
-    val mins = (0 until k).map(seed =>
-      min(Hashing.seededMix(col("h"), seed)).as(s"m$seed"))
-    exploded.groupBy("id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
+                        shingleN: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.TextRuns.minhashAnalyze(col(textCol), shingleN, k)
+        .getField("sig").as("sig"))
+
+  /** MinHash signature AND sorted distinct-shingle-hash set in one pass —
+    * the dedup-job shape: bands come from `sig`, Jaccard verification from
+    * `sh`, one digest pass serves both. */
+  def minhashAnalyzed(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.TextRuns.minhashAnalyze(col(textCol), shingleN, k).as("an"))
+      .select(col("id"), col("an.sig").as("sig"), col("an.sh").as("sh"))
 
   /** LSH band signatures: split the k-length signature into `bands` groups
     * of r = k/bands and hash each group. Row explodes to one row per band
@@ -138,25 +143,14 @@ object Dedup {
   }
 
   /**
-   * SimHash, explode/aggregate form (the 100 TB shape, same rationale as
-   * [[minhashSignatures]]): one md5 per token occurrence, `bits` integer
-   * sum-aggregates with map-side combine, bits reassembled post-agg.
-   * Returns (id, simhash).
+   * SimHash, kernel form (same rationale as [[minhashSignatures]]): one
+   * md5 per token occurrence, bit votes summed in-row — map-only, no
+   * explode, no shuffle. Returns (id, simhash).
    */
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
-                   bits: Int = 32): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-        explode(TextOps.tokens(col(textCol))).as("t"))
-      .withColumn("h", Hashing.portableLong(col("t")))
-    val sums = (0 until bits).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b"))
-    exploded.groupBy("id")
-      .agg(sums.head, sums.tail: _*)
-      .select(col("id"),
-        (0 until bits).map(b =>
-          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+                   bits: Int = 32): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.TextRuns.simhash64(col(textCol), bits).as("simhash"))
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
