@@ -182,6 +182,31 @@ object TextRuns {
       new GenericArrayData(mins), new GenericArrayData(seen.toSortedArray)))
   }
 
+  /** Sorted distinct word-n-gram hashes only — [[minhashAnalyze]] minus the
+    * signature mixes, for operators that need the gram SET (contamination
+    * overlap, Jaccard pre-pass) without MinHash. One in-row pass, zero
+    * explode of gram strings. */
+  def shingleHashSet(text: UTF8String, n: Int): ArrayData = {
+    val toks = Whitespace.split(text.toString, -1)
+    val seen = new LongSet(math.max(toks.length, 8))
+    if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(md5Long(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        i += 1
+      }
+    } else seen.add(md5Long(text.getBytes))
+    new GenericArrayData(seen.toSortedArray)
+  }
+
   /** SimHash over token-occurrence hashes (NOT distinct — each occurrence
     * votes): bit b of the result is set iff Σ±1 over bit b of the token
     * md5-hashes is positive. Values identical to the column form. */
@@ -206,6 +231,9 @@ object TextRuns {
 
   def minhashAnalyze(text: Column, n: Int, k: Int): Column =
     ExpressionUtils.column(MinHashAnalyze(ExpressionUtils.expression(text), n, k))
+
+  def shingleHashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), n))
 
   def simhash64(text: Column, bits: Int): Column =
     ExpressionUtils.column(Simhash64(ExpressionUtils.expression(text), bits))
@@ -240,6 +268,18 @@ case class MinHashAnalyze(child: Expression, n: Int, k: Int) extends UnaryExpres
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.minhashAnalyze($c, $n, $k)")
   override protected def withNewChildInternal(newChild: Expression): MinHashAnalyze =
+    copy(child = newChild)
+}
+
+/** text → array<long>: sorted distinct word-n-gram hashes, one in-row pass. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuns.shingleHashSet(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.shingleHashSet($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
 

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Hashing
+
+/**
+ * Training-data curation operators: the pipeline steps between "deduped
+ * corpus" and "training shards" — eval-set contamination checks,
+ * deterministic (reproducible) sampling, token-budget packing, PII
+ * scanning/redaction, and domain-mixture planning.
+ *
+ * Scale shapes (100 TB corpus):
+ *   - contamination: the eval set is small by construction (thousands of
+ *     docs) → its n-gram set broadcasts; the corpus side is ONE map-only
+ *     explode + broadcast hash join — no corpus shuffle.
+ *   - sampling: pure column predicate on a portable hash — map-only, no
+ *     shuffle, reproducible across runs/engines (no RNG state).
+ *   - packing: one window per hash-shard; shards bound the window state so
+ *     no global ordering exists anywhere.
+ *   - PII: per-row regexp extraction, map-only.
+ *   - mixture plan: one tiny per-domain aggregate joined back broadcast.
+ */
+object Curation {
+
+  // ---- eval-set contamination ---------------------------------------
+
+  /** Distinct word-n-gram hashes per document, exploded: (id, gh).
+    * Hash-first (integer join keys, not strings — at corpus scale the join
+    * key bytes dominate the shuffle/broadcast size) via the codegen'd
+    * [[graft.functions.TextRuns.shingleHashes]] kernel: gram strings are
+    * hashed inside the row and never materialize as columns. Safe because
+    * both join sides are ours — only the overlap COUNTS are
+    * oracle-compared (the oracle joins raw grams). */
+  def gramHashes(df: DataFrame, idCol: String, textCol: String, n: Int,
+      idAs: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+      explode(graft.functions.TextRuns.shingleHashes(col(textCol), n)).as("gh"))
+
+  /**
+   * Contamination check: which corpus documents share >= minShared distinct
+   * word n-grams with an eval-set document (train/test overlap, the
+   * GPT-3/PaLM decontamination shape). Returns one row per contaminated
+   * (eval_id, corp_id) pair with the shared-gram count.
+   *
+   * The eval side is broadcast — Spark's planner sees a small dimension and
+   * picks a broadcast hash join, so the 100 TB corpus side never shuffles.
+   */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int, minShared: Int): DataFrame = {
+    val ev = gramHashes(evalSet, idCol, textCol, n, "eval_id")
+    val co = gramHashes(corpus, idCol, textCol, n, "corp_id")
+    co.join(broadcast(ev), "gh")
+      .filter(col("corp_id") =!= col("eval_id"))
+      .groupBy("eval_id", "corp_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  // ---- deterministic sampling ---------------------------------------
+
+  /** Parts-per-million scale for sampling rates — integer arithmetic end
+    * to end so rates are exact cross-engine (no float rounding). */
+  val Ppm = 1000000L
+
+  /** Deterministic Bernoulli keep-predicate: hash(id) mod 1e6 < ratePpm.
+    * Reproducible (same rows survive every run, any engine), map-only. */
+  def sampleKeep(id: Column, ratePpm: Column): Column =
+    pmod(Hashing.portableLong(id), lit(Ppm)) < ratePpm
+
+  /**
+   * Stratified + quality-weighted sampling: per-stratum base rate (ppm),
+   * scaled down for rows that fail a quality predicate. The rate table is
+   * a literal CASE chain (folds into codegen), not a join.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, stratum: Column,
+      ratesPpm: Map[String, Long], defaultPpm: Long,
+      qualityOk: Column, lowQualityScalePct: Int): DataFrame = {
+    def chain(rates: Map[String, Long], dflt: Long) =
+      rates.foldLeft(lit(dflt)) { case (acc, (s, r)) =>
+        when(stratum === s, lit(r)).otherwise(acc)
+      }
+    // scale the low-quality rates at plan-build time — exact longs, no
+    // runtime division to keep portable
+    val scaled = ratesPpm.map { case (k, v) => k -> v * lowQualityScalePct / 100 }
+    val rate = when(qualityOk, chain(ratesPpm, defaultPpm))
+      .otherwise(chain(scaled, defaultPpm * lowQualityScalePct / 100))
+    df.withColumn("rate_ppm", rate)
+      .filter(sampleKeep(col(idCol), col("rate_ppm")))
+  }
+
+  // ---- token-budget packing -----------------------------------------
+
+  /**
+   * Pack documents into fixed token-budget bins ("sequence packing" for
+   * training shards): shard by id hash, order within a shard by id, and cut
+   * a new pack every `budget` cumulative tokens. The window partitions by
+   * shard — state per partition is bounded by shard size, so the operator
+   * scales by raising `shards`; there is no global ordering anywhere.
+   * Greedy contiguous fill: a doc goes to the pack where its prefix-sum
+   * lands (docs may straddle pack boundaries, as sequence packing does).
+   */
+  def packByTokenBudget(df: DataFrame, idCol: String, tokensCol: Column,
+      budget: Long, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(Hashing.portableLong(col(idCol)), lit(shards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", shard)
+      .withColumn("toks", tokensCol)
+      .withColumn("pack_id", {
+        val c = coalesce(sum(col("toks")).over(w), lit(0L))
+        // exact int64 floor-division (see mixturePlan)
+        ((c - pmod(c, lit(budget))) / budget).cast("long")
+      })
+  }
+
+  // ---- PII scan / redaction -----------------------------------------
+
+  /** Engine-portable PII patterns (RE2-safe: no lookaround, no backrefs —
+    * the subset Java regex and DuckDB/RE2 evaluate identically). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))))
+
+  /** Redact all three PII classes with typed placeholders. IP first: an
+    * IP is never inside an email/phone match, and placeholders contain no
+    * digits/@ so later passes cannot re-match earlier rewrites. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, Ipv4Re, "<IP>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  // ---- domain-mixture planning --------------------------------------
+
+  /**
+   * Mixture plan: given per-domain token counts and target weights (ppm),
+   * the deterministic sampling rate (ppm) that hits `budgetTokens * w` per
+   * domain, capped at 1e6 (can't up-sample without repetition). Integer
+   * arithmetic end to end. One tiny aggregate — broadcast the result back
+   * onto the corpus and feed [[sampleKeep]] to execute the plan.
+   */
+  def mixturePlan(df: DataFrame, domainCol: String, tokensCol: Column,
+      weightsPpm: Map[String, Long], budgetTokens: Column): DataFrame = {
+    val w = weightsPpm.foldLeft(lit(0L)) { case (acc, (d, p)) =>
+      when(col(domainCol) === d, lit(p)).otherwise(acc)
+    }
+    df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("tokens"))
+      .withColumn("w_ppm", w)
+      // rate = targetTokens / domainTokens where targetTokens =
+      // budget * w / 1e6, so rate_ppm = budget * w_ppm / tokens exactly.
+      // (budget * w_ppm stays in int64 up to ~9e12 budget tokens; past
+      // that, express the budget in kilotokens with w unchanged.)
+      // exact int64 floor-division: (a - a mod b) / b — the division is of
+      // an exact multiple, so the double result is the integer quotient
+      .withColumn("rate_ppm", least(lit(Ppm), {
+        val a = budgetTokens * col("w_ppm")
+        ((a - pmod(a, col("tokens"))) / col("tokens")).cast("long")
+      }))
+  }
+
+  /** DuckDB SQL twins — keep in lockstep with the Column builders. */
+  object Sql {
+    /** Oracle twin joins raw gram strings — equality semantics, no hash. */
+    def grams(e: String, n: Int): String =
+      s"list_distinct(${Dedup.Sql.shingles(e, n)})"
+    def sampleKeep(idE: String, ratePpmE: String): String =
+      s"(${Hashing.Sql.portableLong(idE)} % $Ppm) < ($ratePpmE)"
+    // NOTE: DuckDB regexp_* take the pattern with single backslashes and
+    // need the 'g' flag on replace (Spark replaces all matches by default).
+    def emailCount(e: String) = s"len(regexp_extract_all($e, '$EmailReSql'))"
+    def phoneCount(e: String) = s"len(regexp_extract_all($e, '$PhoneReSql'))"
+    def ipCount(e: String) = s"len(regexp_extract_all($e, '$Ipv4ReSql'))"
+    def redact(e: String): String =
+      s"regexp_replace(regexp_replace(regexp_replace($e, " +
+        s"'$Ipv4ReSql', '<IP>', 'g'), '$EmailReSql', '<EMAIL>', 'g'), " +
+        s"'$PhoneReSql', '<PHONE>', 'g')"
+    // Scala "\\d" is the two chars \d — already what DuckDB wants inside
+    // its single-quoted strings (no backslash escaping there).
+    private def EmailReSql = EmailRe
+    private def PhoneReSql = PhoneRe
+    private def Ipv4ReSql = Ipv4Re
+  }
+}

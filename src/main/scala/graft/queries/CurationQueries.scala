@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Hashing, Tables}
+import graft.operators.{Curation, TextOps}
+
+/**
+ * Gate queries for the training-data curation operators
+ * ([[graft.operators.Curation]]): eval-set contamination, deterministic
+ * stratified sampling, token-budget packing, PII scan/redaction, and
+ * domain-mixture planning. All derived inputs (eval set, planted PII) are
+ * deterministic functions of doc_id so the DuckDB oracle reproduces them.
+ */
+object CurationQueries {
+
+  // ---- q87: eval-set contamination ----------------------------------
+
+  private val ContamN = 8 // word n-gram size
+  private val MinShared = 2 // pairs sharing >= this many distinct grams
+
+  /** Train/test overlap: corpus docs (incl. the planted dups of the dedup
+    * corpus) sharing >= MinShared distinct 8-grams with an eval doc
+    * (doc_id % 23 = 0). Eval side broadcasts; corpus side never shuffles
+    * before the per-pair count. */
+  val contamination = GateQuery(
+    "q87_contamination",
+    Some(DocQueries.corpusCte +
+      s""", evg AS (
+         |  SELECT doc_id AS eval_id, unnest(${Curation.Sql.grams("text", ContamN)}) AS g
+         |  FROM documents WHERE doc_id % 23 = 0
+         |), cog AS (
+         |  SELECT doc_id AS corp_id, unnest(${Curation.Sql.grams("text", ContamN)}) AS g
+         |  FROM corpus
+         |), pairs AS (
+         |  SELECT eval_id, corp_id, count(*) AS shared
+         |  FROM cog JOIN evg USING (g)
+         |  WHERE corp_id <> eval_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT eval_id, count(*) AS n_contaminating,
+         |  CAST(max(shared) AS BIGINT) AS max_shared,
+         |  CAST(sum(corp_id) AS BIGINT) AS corp_check
+         |FROM pairs WHERE shared >= $MinShared GROUP BY eval_id""".stripMargin)) {
+    (spark, dir) =>
+    val evalSet = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 23 === 0)
+    Curation.contamination(DocQueries.corpus(spark, dir), evalSet,
+        "doc_id", "text", ContamN, MinShared)
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_contaminating"),
+        max(col("shared")).as("max_shared"),
+        sum(col("corp_id")).as("corp_check"))
+  }
+
+  // ---- q88: deterministic stratified sampling -----------------------
+
+  private val Rates = Map("en" -> 600000L, "de" -> 400000L)
+  private val DefaultRate = 250000L
+  private val LowQualityPct = 50
+  private val MinTokens = 30
+
+  val stratifiedSample = GateQuery(
+    "q88_stratified_sample",
+    Some {
+      val toks = TextOps.Sql.tokenCount("text")
+      def chain(en: Long, de: Long, dflt: Long) =
+        s"CASE lang WHEN 'en' THEN $en WHEN 'de' THEN $de ELSE $dflt END"
+      s"""WITH rated AS (
+         |  SELECT doc_id, lang, CAST($toks AS BIGINT) AS toks,
+         |    CASE WHEN ($toks) >= $MinTokens
+         |         THEN ${chain(600000, 400000, 250000)}
+         |         ELSE ${chain(300000, 200000, 125000)} END AS rate_ppm
+         |  FROM documents
+         |)
+         |SELECT lang, rate_ppm, count(*) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_check,
+         |  CAST(sum(toks) AS BIGINT) AS kept_tokens
+         |FROM rated
+         |WHERE ${Curation.Sql.sampleKeep("doc_id", "rate_ppm")}
+         |GROUP BY 1, 2""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("toks", TextOps.tokenCount(col("text")).cast("long"))
+    Curation.stratifiedSample(docs, "doc_id", col("lang"),
+        Rates, DefaultRate, col("toks") >= MinTokens, LowQualityPct)
+      .groupBy("lang", "rate_ppm")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("id_check"),
+        sum(col("toks")).as("kept_tokens"))
+  }
+
+  // ---- q89: token-budget packing ------------------------------------
+
+  private val PackBudget = 2000L
+  private val PackShards = 8
+
+  val tokenPacking = GateQuery(
+    "q89_token_packing",
+    Some {
+      val toks = TextOps.Sql.tokenCount("text")
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST($toks AS BIGINT) AS toks,
+         |    ${Hashing.Sql.portableLong("doc_id")} % $PackShards AS shard
+         |  FROM documents
+         |), p AS (
+         |  SELECT shard, toks,
+         |    coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // $PackBudget AS pack_id
+         |  FROM d
+         |)
+         |SELECT shard, count(*) AS n_docs,
+         |  count(DISTINCT pack_id) AS n_packs,
+         |  CAST(sum(toks) AS BIGINT) AS total_toks,
+         |  CAST(max(pack_id) AS BIGINT) AS last_pack
+         |FROM p GROUP BY shard""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    Curation.packByTokenBudget(docs, "doc_id",
+        TextOps.tokenCount(col("text")).cast("long"), PackBudget, PackShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("pack_id")).as("n_packs"),
+        sum(col("toks")).as("total_toks"),
+        max(col("pack_id")).as("last_pack"))
+  }
+
+  // ---- q91: PII scan + redaction ------------------------------------
+
+  /** Deterministic planted PII (base text is letters-only so every match
+    * is a plant): email on %7, phone on %11, IPv4 on %13. */
+  private val piiCorpusCte =
+    """WITH pii AS (
+      |  SELECT doc_id, lang, text
+      |    || CASE WHEN doc_id % 7 = 0
+      |            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |            ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0
+      |            THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      |            ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0
+      |            THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+      |                 || CAST(doc_id % 250 AS VARCHAR)
+      |            ELSE '' END AS text
+      |  FROM documents
+      |)""".stripMargin
+
+  val piiScan = GateQuery(
+    "q91_pii_scan",
+    Some(piiCorpusCte +
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(${Curation.Sql.emailCount("text")}) AS BIGINT) AS n_emails,
+         |  CAST(sum(${Curation.Sql.phoneCount("text")}) AS BIGINT) AS n_phones,
+         |  CAST(sum(${Curation.Sql.ipCount("text")}) AS BIGINT) AS n_ips,
+         |  CAST(sum(CASE WHEN ${Curation.Sql.emailCount("text")} = 0
+         |    AND ${Curation.Sql.phoneCount("text")} = 0
+         |    AND ${Curation.Sql.ipCount("text")} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |  CAST(sum(length(${Curation.Sql.redact("text")})) AS BIGINT) AS red_len,
+         |  CAST(sum(length(text)) AS BIGINT) AS orig_len
+         |FROM pii GROUP BY lang""".stripMargin)) { (spark, dir) =>
+    val withPii = Tables.load(spark, dir, "documents")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"))).otherwise(""),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0."), (col("doc_id") % 250).cast("string"))).otherwise("")))
+    val (em, ph, ip) = Curation.piiCounts(col("text"))
+    withPii
+      .withColumn("em", em).withColumn("ph", ph).withColumn("ip", ip)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("em").cast("long")).as("n_emails"),
+        sum(col("ph").cast("long")).as("n_phones"),
+        sum(col("ip").cast("long")).as("n_ips"),
+        sum(when(col("em") === 0 && col("ph") === 0 && col("ip") === 0, 1L)
+          .otherwise(0L)).as("n_clean"),
+        sum(length(Curation.redactPii(col("text"))).cast("long")).as("red_len"),
+        sum(length(col("text")).cast("long")).as("orig_len"))
+  }
+
+  // ---- q92: domain-mixture plan + execution -------------------------
+
+  private val MixWeights = Map(
+    "src0" -> 300000L, "src1" -> 200000L, "src2" -> 200000L,
+    "src3" -> 150000L, "src4" -> 150000L) // unlisted domains: weight 0
+  private val MixBudget = 20000L
+
+  val mixturePlan = GateQuery(
+    "q92_mixture_plan",
+    Some {
+      val toks = TextOps.Sql.tokenCount("text")
+      val wCase = "CASE source WHEN 'src0' THEN 300000 WHEN 'src1' THEN 200000" +
+        " WHEN 'src2' THEN 200000 WHEN 'src3' THEN 150000" +
+        " WHEN 'src4' THEN 150000 ELSE 0 END"
+      s"""WITH d AS (
+         |  SELECT doc_id, source, CAST($toks AS BIGINT) AS toks FROM documents
+         |), plan AS (
+         |  SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens,
+         |    CAST($wCase AS BIGINT) AS w_ppm,
+         |    least(${Curation.Ppm}, (CAST($MixBudget AS BIGINT) * ($wCase)) // CAST(sum(toks) AS BIGINT)) AS rate_ppm
+         |  FROM d GROUP BY source
+         |), applied AS (
+         |  SELECT d.source, count(*) AS n_kept, CAST(sum(d.toks) AS BIGINT) AS kept_tokens
+         |  FROM d JOIN plan ON d.source = plan.source
+         |  WHERE ${Curation.Sql.sampleKeep("d.doc_id", "plan.rate_ppm")}
+         |  GROUP BY d.source
+         |)
+         |SELECT plan.source, n_docs, tokens, w_ppm, rate_ppm,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  coalesce(kept_tokens, 0) AS kept_tokens
+         |FROM plan LEFT JOIN applied ON plan.source = applied.source""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("toks"))
+    val plan = Curation.mixturePlan(docs, "source", col("toks"),
+      MixWeights, lit(MixBudget))
+    val applied = docs
+      .join(broadcast(plan.select(col("source"), col("rate_ppm"))), "source")
+      .filter(Curation.sampleKeep(col("doc_id"), col("rate_ppm")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("kept_tokens"))
+    plan.join(applied, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tokens"), col("w_ppm"),
+        col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
+
+  def all: Seq[GateQuery] = Seq(contamination, stratifiedSample, tokenPacking,
+    piiScan, mixturePlan)
+}

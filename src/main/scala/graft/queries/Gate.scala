@@ -18,8 +18,8 @@ object Gate {
   def all: Seq[GateQuery] =
     CoreQueries.all ++ CdcQueries.all ++ DiffQueries.all ++
       CodecQueries.all ++ GenericCodecQueries.all ++ DocQueries.all ++
-      EmbeddingQueries.all ++ ExtraQueries.all ++ DdlQueries.all ++
-      StreamTwinQueries.all
+      CurationQueries.all ++ EmbeddingQueries.all ++ ExtraQueries.all ++
+      DdlQueries.all ++ StreamTwinQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

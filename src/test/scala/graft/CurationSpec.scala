@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Training-data curation operators: contamination, deterministic
+  * sampling, token-budget packing, PII redaction, mixture planning. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination finds planted overlap and nothing else") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      // doc 3 contains doc 1's first 9 tokens — shares 8-grams with it
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota other tail"),
+      (4L, "totally unrelated words that never repeat anything else here"))
+      .toDF("doc_id", "text")
+    val eval = corpus.filter(col("doc_id") === 1L)
+    val hits = Curation.contamination(corpus, eval, "doc_id", "text",
+        n = 8, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hits == Set((1L, 3L, 2L))) // grams at offsets 0 and 1 both match
+  }
+
+  test("deterministic sampling is reproducible and rate-monotone") {
+    val df = (0L until 2000L).toDF("doc_id")
+    def kept(ppm: Long) = df
+      .filter(Curation.sampleKeep(col("doc_id"), lit(ppm)))
+      .as[Long].collect().toSet
+    val half = kept(500000L)
+    assert(kept(500000L) == half) // same rows every run
+    assert(kept(250000L).subsetOf(half)) // lower rate nests inside higher
+    assert(math.abs(half.size - 1000) < 120) // ~Bernoulli(0.5)
+  }
+
+  test("stratified sample applies per-stratum and quality-scaled rates") {
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "zz", i % 4 == 0))
+      .toDF("doc_id", "lang", "good")
+    val out = Curation.stratifiedSample(df, "doc_id", col("lang"),
+      Map("en" -> 800000L), defaultPpm = 200000L,
+      qualityOk = col("good"), lowQualityScalePct = 50)
+    val rates = out.select("lang", "good", "rate_ppm").distinct()
+      .as[(String, Boolean, Long)].collect()
+      .map { case (l, g, r) => (l, g) -> r }.toMap
+    assert(rates((("en"), true)) == 800000L)
+    assert(rates((("en"), false)) == 400000L)
+    assert(rates((("zz"), false)) == 100000L)
+  }
+
+  test("token packing fills packs to budget within each shard") {
+    val df = (0L until 400L).map(i => (i, 10L + (i % 7))).toDF("doc_id", "n")
+    val packed = Curation.packByTokenBudget(df, "doc_id", col("n"),
+      budget = 100L, shards = 4)
+    // within a shard, pack_id is nondecreasing in doc_id and the tokens
+    // BEFORE each doc determine its pack
+    val rows = packed.select("shard", "doc_id", "toks", "pack_id")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).values
+    rows.foreach { shard =>
+      var cum = 0L
+      shard.sortBy(_._2).foreach { case (_, _, t, pack) =>
+        assert(pack == cum / 100L)
+        cum += t
+      }
+    }
+  }
+
+  test("PII redaction replaces all three classes, leaves clean text alone") {
+    val df = Seq(
+      "reach me at jo.doe+x@mail-site.org or 555-0134 from 10.2.0.77",
+      "no pii here just words").toDF("text")
+    val out = df.select(Curation.redactPii(col("text"))).as[String].collect()
+    assert(out(0) == "reach me at <EMAIL> or <PHONE> from <IP>")
+    assert(out(1) == "no pii here just words")
+    val (em, ph, ip) = Curation.piiCounts(col("text"))
+    val counts = df.select(em, ph, ip).as[(Int, Int, Int)].collect()
+    assert(counts(0) == ((1, 1, 1)) && counts(1) == ((0, 0, 0)))
+  }
+
+  test("mixture plan hits target token shares, capped at 1e6 ppm") {
+    val df = Seq.tabulate(300)(i =>
+      (i.toLong, if (i < 200) "big" else "small", 100L)).toDF("doc_id", "src", "toks")
+    // big: 20000 tokens, small: 10000 tokens; budget 10000 split 50/50
+    val plan = Curation.mixturePlan(df, "src", col("toks"),
+        Map("big" -> 500000L, "small" -> 500000L), lit(10000L))
+      .select("src", "rate_ppm").as[(String, Long)].collect().toMap
+    assert(plan("big") == 250000L) // 5000/20000
+    assert(plan("small") == 500000L) // 5000/10000
+    val capped = Curation.mixturePlan(df, "src", col("toks"),
+        Map("big" -> 500000L, "small" -> 500000L), lit(100000L))
+      .select("src", "rate_ppm").as[(String, Long)].collect().toMap
+    assert(capped("small") == 1000000L) // can't exceed 1: capped
+  }
+}
