@@ -59,14 +59,24 @@ object TextOps {
   /**
    * N-gram-heuristic language ID: score each language by marker-token hits;
    * highest score wins, ties broken by language-code order, zero hits →
-   * "und" (undetermined). One array pass per language — map-only.
+   * "und" (undetermined). ONE tokenization + ONE array traversal for all
+   * languages: per-language hit counts pack into 16-bit lanes of a single
+   * long accumulator (marker hits per doc are far below 2^16). Higher-order
+   * array functions are interpreted (no codegen), so the naive
+   * one-filter-per-language form re-evaluates the split+filter subtree per
+   * language and per argmax comparison; this packed form does the array
+   * work exactly once per row.
    */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+    val packed = aggregate(tokens(text), lit(0L), (acc, t) =>
+      acc + LangMarkers.zipWithIndex.map { case ((_, markers), i) =>
+        when(t.isin(markers.map(lit(_)): _*), lit(1L << (i * 16))).otherwise(0L)
+      }.reduce(_ + _))
+    val scored = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> shiftright(packed, i * 16).bitwiseAND(0xffffL)
     }
-    // argmax with ties to first in LangMarkers order: strictly-greater chain.
+    // argmax with ties to first in LangMarkers order: strictly-greater chain
+    // over the four small extracted counters (cheap scalar exprs).
     val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
       case ((bl, bs), (lang, s)) =>
         (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
