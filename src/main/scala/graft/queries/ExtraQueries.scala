@@ -500,9 +500,59 @@ object ExtraQueries {
         max(coalesce(col("val_after"), lit(0d)).cast("decimal(18,2)").cast("string")).as("max_dec"))
   }
 
+  /**
+   * GTID-set algebra (DM replication progress — dm/pkg/gtid/gtid.go):
+   * per-source transaction ids with per-source gaps merge to canonical
+   * disjoint intervals (gaps-and-islands), render to the MySQL canonical
+   * string form, and the Spark side then PARSES its own rendered string
+   * back to answer a membership probe — exercising merge, render, parse,
+   * and contains in one gate. Txn 100 is kept by u0 (100%5=0) and u1
+   * (100%6=4) but dropped by u2 (100%7=2), so the probe differentiates.
+   */
+  val gtidSets = GateQuery(
+    "q56_gtid_sets",
+    Some(cte +
+      s""", txns AS (
+         |  SELECT DISTINCT 'u' || CAST(source_id AS VARCHAR) AS uuid,
+         |    seq // 4 AS txn
+         |  FROM cdc WHERE (seq // 4) % (source_id + 5) <> 2
+         |), isl AS (
+         |  SELECT uuid, txn,
+         |    txn - row_number() OVER (PARTITION BY uuid ORDER BY txn) AS grp
+         |  FROM txns
+         |), merged AS (
+         |  SELECT uuid, min(txn) AS s, max(txn) AS e
+         |  FROM isl GROUP BY uuid, grp
+         |)
+         |SELECT uuid, count(*) AS n_intervals,
+         |  CAST(sum(e - s + 1) AS BIGINT) AS n_txns,
+         |  uuid || ':' || string_agg(
+         |    CASE WHEN s = e THEN CAST(s AS VARCHAR)
+         |         ELSE CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR) END,
+         |    ':' ORDER BY s) AS gtid_block,
+         |  CAST(max(CASE WHEN s <= 100 AND e >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS has_100
+         |FROM merged GROUP BY uuid""".stripMargin)) { (spark, dir) =>
+    import graft.operators.Gtid
+    val txns = CdcStream.derive(spark, dir)
+      .select(concat(lit("u"), col("source_id")).as("uuid"),
+        expr("seq DIV 4").as("txn"))
+      .filter(col("txn") % (col("uuid").substr(2, 8).cast("int") + 5) =!= 2)
+    val merged = Gtid.mergeIntervals(txns)
+    merged.groupBy("uuid")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("end") - col("start") + 1).as("n_txns"),
+        collect_list(struct(col("start"), col("end"))).as("ivs"))
+      .withColumn("gtid_block",
+        concat(col("uuid"), lit(":"), Gtid.renderIntervals(col("ivs"))))
+      .withColumn("has_100",
+        Gtid.containsTxn(col("gtid_block"), col("uuid"), lit(100L)).cast("long"))
+      .select("uuid", "n_intervals", "n_txns", "gtid_block", "has_100")
+  }
+
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, claimCheck, handleKeyOnly,
     claimCheckWrite,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
-    jsonOps, jsonVariant, enumDict)
+    jsonOps, jsonVariant, enumDict, gtidSets)
 }
