@@ -18,7 +18,8 @@ object Gate {
   def all: Seq[GateQuery] =
     CoreQueries.all ++ CdcQueries.all ++ DiffQueries.all ++
       CodecQueries.all ++ GenericCodecQueries.all ++ DocQueries.all ++
-      CurationQueries.all ++ EmbeddingQueries.all ++ ExtraQueries.all ++
+      CurationQueries.all ++ LmQueries.all ++ EmbeddingQueries.all ++
+      ExtraQueries.all ++
       DdlQueries.all ++ StreamTwinQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
