@@ -119,6 +119,48 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Incremental dedup: match a NEW batch of documents against a PERSISTED
+   * MinHash index of the existing corpus. `index` carries (id, sig, sh) —
+   * the stored output of [[minhashAnalyzed]]; on a cluster this is a
+   * parquet table bucketed by band hash, built once and appended to, so
+   * arriving batches never re-read or re-hash existing text. Only the new
+   * batch computes signatures; its exploded bands BROADCAST against the
+   * index's band buckets (a batch is small against a 100 TB index), and
+   * Jaccard verification touches only the candidates' stored shingle
+   * sets. Returns (new_id, old_id, jac_pct) with jac_pct the integer
+   * floor(100·|∩|/|∪|) — all-integer, cross-engine exact.
+   *
+   * @param maxBucket degenerate-bucket cap applied to the INDEX side (in
+   *   prod it is enforced once at index build); 0 disables.
+   */
+  def incrementalMatches(index: DataFrame, newAnalyzed: DataFrame,
+                         k: Int, bands: Int, maxBucket: Int = 500): DataFrame = {
+    def banded(df: DataFrame, as: String): DataFrame =
+      df.select(col("id").as(as), explode(lshBands(col("sig"), k, bands)).as("b"))
+        .select(col(as), col("b.band").as("band"), col("b.sig").as("band_sig"))
+    val ib0 = banded(index, "old_id")
+    val ib =
+      if (maxBucket <= 0) ib0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        ib0.withColumn("_bsz",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("band_sig"))))
+          .filter(col("_bsz") <= maxBucket).drop("_bsz")
+      }
+    val nb = banded(newAnalyzed, "new_id")
+    val cand = broadcast(nb).join(ib, Seq("band", "band_sig"))
+      .select("new_id", "old_id").distinct()
+    cand
+      .join(broadcast(newAnalyzed.select(col("id").as("new_id"), col("sh").as("nsh"))),
+        Seq("new_id"))
+      .join(index.select(col("id").as("old_id"), col("sh").as("ish")), Seq("old_id"))
+      .withColumn("jac_pct", VectorOps.floorDiv(
+        lit(100L) * size(array_intersect(col("nsh"), col("ish"))).cast("long"),
+        size(array_union(col("nsh"), col("ish"))).cast("long")))
+      .select("new_id", "old_id", "jac_pct")
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle arrays. Integer
     * set sizes + one double division — cross-engine deterministic. */
   def jaccard(aShingles: Column, bShingles: Column): Column = {

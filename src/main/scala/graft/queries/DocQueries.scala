@@ -319,7 +319,95 @@ object DocQueries {
       .agg(count(lit(1)).as("n_clusters"), sum(col("comp")).as("comp_check"))
   }
 
+  /**
+   * q94: incremental dedup — a new batch of documents (the planted dups
+   * plus token-reversed "novel" docs) matched against a persisted MinHash
+   * index of the base corpus (doc_id < 100000). Only the new batch is
+   * hashed; the index side replays its STORED signatures. Per new doc with
+   * >= 1 LSH candidate: candidate count, accepted-match count
+   * (jac_pct >= 50), and the best match decoded from an integer max key
+   * (jac desc, old_id asc) — no window, no floats.
+   */
+  val incrementalDedup = GateQuery(
+    "q94_incremental_dedup",
+    Some {
+      val shingleE = Dedup.Sql.shingles("text", ShingleN)
+      val bandSig = (0 until BandRows)
+        .map(i => s"CAST(sig[band * $BandRows + ${i + 1}] AS VARCHAR)")
+        .mkString(" || ',' || ")
+      corpusCte +
+        s""", idx AS (
+           |  SELECT doc_id, ${Dedup.Sql.minhash(shingleE, MinhashK)} AS sig,
+           |    list_distinct($shingleE) AS sh
+           |  FROM corpus WHERE doc_id < 100000
+           |), newb AS (
+           |  SELECT doc_id, text FROM corpus WHERE doc_id >= 100000
+           |  UNION ALL
+           |  SELECT doc_id + 300000,
+           |    array_to_string(list_reverse(${TextOps.Sql.tokens.format("text")}), ' ')
+           |  FROM documents WHERE doc_id % 7 = 0
+           |), nsig AS (
+           |  SELECT doc_id, ${Dedup.Sql.minhash(shingleE, MinhashK)} AS sig,
+           |    list_distinct($shingleE) AS sh
+           |  FROM newb
+           |), ibanded AS (
+           |  SELECT doc_id, band, ${graft.core.Hashing.Sql.portableLong(bandSig)} AS band_sig
+           |  FROM idx, range(0, $Bands) r(band)
+           |  QUALIFY count(*) OVER (PARTITION BY band, band_sig) <= $MaxBucket
+           |), nbanded AS (
+           |  SELECT doc_id, band, ${graft.core.Hashing.Sql.portableLong(bandSig)} AS band_sig
+           |  FROM nsig, range(0, $Bands) r(band)
+           |), cand AS (
+           |  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS old_id
+           |  FROM nbanded n JOIN ibanded i USING (band, band_sig)
+           |), scored AS (
+           |  SELECT new_id, old_id,
+           |    (100 * len(list_intersect(n.sh, i.sh)))
+           |      // len(list_distinct(n.sh || i.sh)) AS jac_pct
+           |  FROM cand
+           |  JOIN nsig n ON cand.new_id = n.doc_id
+           |  JOIN idx i ON cand.old_id = i.doc_id
+           |)
+           |SELECT new_id, count(*) AS n_cand,
+           |  CAST(sum(CASE WHEN jac_pct >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           |  CAST(CASE WHEN max(CASE WHEN jac_pct >= 50
+           |      THEN jac_pct * 1000000 + (999999 - old_id) ELSE -1 END) < 0 THEN -1
+           |    ELSE 999999 - (max(CASE WHEN jac_pct >= 50
+           |      THEN jac_pct * 1000000 + (999999 - old_id) ELSE -1 END) % 1000000)
+           |    END AS BIGINT) AS best_old,
+           |  CAST(CASE WHEN max(CASE WHEN jac_pct >= 50
+           |      THEN jac_pct * 1000000 + (999999 - old_id) ELSE -1 END) < 0 THEN -1
+           |    ELSE max(CASE WHEN jac_pct >= 50
+           |      THEN jac_pct * 1000000 + (999999 - old_id) ELSE -1 END) // 1000000
+           |    END AS BIGINT) AS best_jac
+           |FROM scored GROUP BY new_id""".stripMargin
+    }) { (spark, dir) =>
+    import graft.operators.VectorOps.floorDiv
+    val c = corpus(spark, dir)
+    val idx = Dedup.minhashAnalyzed(c.filter(col("doc_id") < 100000L),
+      "doc_id", "text", ShingleN, MinhashK)
+    val fresh = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), "\\s+"))).as("text"))
+    val nb = c.filter(col("doc_id") >= 100000L).select("doc_id", "text")
+      .unionByName(fresh)
+    val na = Dedup.minhashAnalyzed(nb, "doc_id", "text", ShingleN, MinhashK)
+    val matchKey = when(col("jac_pct") >= 50L,
+      col("jac_pct") * 1000000L + (lit(999999L) - col("old_id"))).otherwise(-1L)
+    Dedup.incrementalMatches(idx, na, MinhashK, Bands, MaxBucket)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("jac_pct") >= 50L, 1L).otherwise(0L)).as("n_match"),
+        max(matchKey).as("_bk"))
+      .withColumn("best_old", when(col("_bk") < 0, -1L)
+        .otherwise(lit(999999L) - pmod(col("_bk"), lit(1000000L))))
+      .withColumn("best_jac", when(col("_bk") < 0, -1L)
+        .otherwise(floorDiv(col("_bk"), lit(1000000L))))
+      .drop("_bk")
+  }
+
   def all: Seq[GateQuery] =
     Seq(textStats, qualityHist, langIdQ, fingerprints, repetition, exactDedup,
-      minhashLsh, simhashQ, dupClusters)
+      minhashLsh, simhashQ, dupClusters, incrementalDedup)
 }
