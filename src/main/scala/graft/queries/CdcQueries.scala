@@ -329,9 +329,60 @@ object CdcQueries {
         countDistinct(col("pk")).as("n_keys"))
   }
 
+  /**
+   * q97: storage sink → storage CONSUMER round trip (reference
+   * cmd/storage-consumer). The split change stream is WRITTEN through the
+   * cloud-storage sink's {schema}/{table}/{date} parquet layout, read
+   * back by [[graft.streaming.StorageConsumer]] (schema from the
+   * _schema.json sidecars, identities from partition directories), and
+   * replayed to net state with the standard compaction — the oracle
+   * computes the same state directly from the stream, so any loss or
+   * corruption in the file round trip fails the gate.
+   */
+  val storageConsumer = GateQuery(
+    "q97_storage_consumer",
+    Some(splitCte +
+      """, agg AS (
+        |  SELECT schema_name, table_name, pk,
+        |    arg_min(op, seq) AS first_op, arg_max(op, seq) AS last_op,
+        |    max(seq) AS last_seq, max(commit_ts) AS last_commit_ts
+        |  FROM split GROUP BY 1, 2, 3
+        |), comp AS (
+        |  SELECT * FROM (
+        |    SELECT schema_name, table_name, pk, last_seq, last_commit_ts,
+        |      CASE WHEN first_op = 'I' AND last_op = 'D' THEN NULL
+        |           WHEN last_op = 'D' THEN 'D'
+        |           WHEN first_op = 'I' THEN 'I'
+        |           WHEN first_op = 'D' THEN 'R'
+        |           ELSE 'U' END AS net_op
+        |    FROM agg
+        |  ) WHERE net_op IS NOT NULL
+        |)
+        |SELECT schema_name, table_name, net_op, count(*) AS n_keys,
+        |  CAST(sum(pk) AS BIGINT) AS sum_pk,
+        |  CAST(sum(last_seq) AS BIGINT) AS seq_check,
+        |  CAST(max(last_commit_ts) AS BIGINT) AS max_ts
+        |FROM comp GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
+    import graft.streaming.{Sinks, StorageConsumer}
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_storage_rt_${new java.io.File(dir).getName}"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    Sinks.storageSink(base)(
+      Transforms.updateSplit(CdcStream.derive(spark, dir)), 0L)
+    Compaction.compact(StorageConsumer.read(spark, base))
+      .groupBy("schema_name", "table_name", "net_op")
+      .agg(count(lit(1)).as("n_keys"), sum(col("pk")).as("sum_pk"),
+        sum(col("last_seq")).as("seq_check"),
+        max(col("last_commit_ts")).as("max_ts"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     tableFilter, eventFilter, exprFilter, startTsFilter, bdrFilter,
     checkpointFilter, router, extendColumns, topicRouter,
     dispatchByTable, dispatchByTs, dispatchByIndexValue,
-    updateSplit, compaction, txnSizes, batching, safeMode, causality)
+    updateSplit, compaction, txnSizes, batching, safeMode, causality,
+    storageConsumer)
 }

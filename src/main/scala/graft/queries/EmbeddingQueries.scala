@@ -253,7 +253,42 @@ object EmbeddingQueries {
       nProbe = 3, k = 3)
   }
 
+  /**
+   * q96: int8-quantized brute-force top-k — the memory-bandwidth scale
+   * path. Vectors quantize once to signed bytes (4× smaller than float32
+   * at rest and in cache; the quantized corpus is what a 100 TB ANN scan
+   * reads), and ranking is EXACT integer dot-product arithmetic, so the
+   * oracle reproduces every score and the tie-break ordering bit-for-bit.
+   */
+  val int8Knn = GateQuery(
+    "q96_int8_knn",
+    Some {
+      val qv = VectorOps.Sql.quantizeInt8("embedding")
+      val dq = VectorOps.Sql.dotQ("q.qq", "c.qq")
+      s"""WITH qt AS (SELECT vec_id, $qv AS qq FROM embeddings)
+         |SELECT query_id, rank, neighbor_id, dotq FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dq AS dotq,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $dq DESC, c.vec_id) AS rank
+         |  FROM qt q JOIN qt c ON q.vec_id <> c.vec_id
+         |  WHERE q.${QueryFilter}
+         |) WHERE rank <= 5""".stripMargin
+    }) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, dir, "embeddings")
+    val qt = e.select(col("vec_id"), VectorOps.quantizeInt8(col("embedding")).as("qq"))
+    val q = qt.filter(expr(QueryFilter))
+      .select(col("vec_id").as("query_id"), col("qq").as("q_qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dotq").desc, col("neighbor_id"))
+    broadcast(q).join(qt.select(col("vec_id").as("neighbor_id"), col("qq")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("dotq", VectorOps.dotQ(col("q_qq"), col("qq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "dotq")
+  }
+
   def all: Seq[GateQuery] =
     Seq(knnBrute, lshAnn, lshBuckets, centroidAssign, cosineNearDup,
-      embeddingDupClusters, ivfSearch)
+      embeddingDupClusters, ivfSearch, int8Knn)
 }

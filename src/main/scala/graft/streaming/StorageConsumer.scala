@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+
+/**
+ * Storage-sink CONSUMER: the read side of [[Sinks.storageSink]]'s
+ * {base}/{schema}/{table}/{date}/ layout (reference component
+ * cmd/storage-consumer — replays cloud-storage sink output into a
+ * downstream; layout pkg/sink/cloudstorage/path.go:136-430).
+ *
+ * Schema discovery uses the `_schema.json` sidecars the sink writes next
+ * to each table's files — a consumer never opens data files to learn the
+ * column layout (the reference consumer reads schema.json the same way).
+ * Table/schema/date come back as partition columns from the directory
+ * names; a user-supplied schema keeps Spark's own partition inference
+ * out of the picture so types are stable across engines and runs.
+ *
+ * Scale shape: the layout IS a partitioned parquet table, so a consumer
+ * on a 1000-executor cluster gets partition pruning (one table / one day
+ * = one directory subtree) and parallel file splits for free; replay to
+ * state is the same one-shuffle compaction the engine uses everywhere.
+ */
+object StorageConsumer {
+
+  /** Find one `_schema.json` sidecar per (schema, table) under `base`. */
+  def sidecars(base: String): Map[(String, String), StructType] = {
+    val root = Paths.get(base)
+    if (!Files.exists(root)) return Map.empty
+    val out = scala.collection.mutable.Map.empty[(String, String), StructType]
+    Files.walk(root).iterator().asScala
+      .filter(p => p.getFileName.toString == "_schema.json")
+      .foreach { p: Path =>
+        val table = p.getParent
+        val schema = table.getParent
+        val key = (schema.getFileName.toString.stripPrefix("schema_name="),
+          table.getFileName.toString.stripPrefix("table_name="))
+        out(key) = DataType.fromJson(Files.readString(p)).asInstanceOf[StructType]
+      }
+    out.toMap
+  }
+
+  /**
+   * Read the full layout back into envelope rows. Payload columns come
+   * from the sidecar schemas (they agree across tables for one
+   * changefeed); `schema_name`, `table_name`, `_date` are recovered from
+   * the partition directories as strings.
+   */
+  def read(spark: SparkSession, base: String): DataFrame = {
+    val payloads = sidecars(base)
+    require(payloads.nonEmpty, s"no _schema.json sidecars under $base")
+    val payload = payloads.values.head
+    val full = StructType(payload.fields ++ Seq(
+      StructField("schema_name", StringType), StructField("table_name", StringType),
+      StructField("_date", StringType)))
+    spark.read.schema(full).parquet(base)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.CdcStream
+import graft.operators.{Compaction, Transforms, VectorOps}
+import graft.streaming.{Sinks, StorageConsumer}
+
+/** Storage sink → consumer round trip, and int8 quantized ranking. */
+class StorageConsumerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("consumer reads back exactly what the sink wrote") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sc_spec").toString
+    val events = Transforms.updateSplit(CdcStream.derive(spark, sf))
+    Sinks.storageSink(base)(events, 0L)
+
+    val sidecars = StorageConsumer.sidecars(base)
+    assert(sidecars.nonEmpty, "sink must write _schema.json sidecars")
+    assert(sidecars.values.forall(s =>
+      !s.fieldNames.contains("schema_name") && s.fieldNames.contains("pk")),
+      "sidecar is the payload schema, partition identities excluded")
+
+    val back = StorageConsumer.read(spark, base)
+    assert(back.count() == events.count())
+    // state replayed from the files equals state compacted from the stream
+    val viaFiles = Compaction.compact(back)
+      .select("schema_name", "table_name", "pk", "net_op")
+      .as[(String, String, Long, String)].collect().toSet
+    val direct = Compaction.compact(events)
+      .select("schema_name", "table_name", "pk", "net_op")
+      .as[(String, String, Long, String)].collect().toSet
+    assert(viaFiles == direct)
+  }
+
+  test("int8 quantization stays in byte range and preserves self-rank") {
+    val e = graft.core.Tables.load(spark, sf, "embeddings").limit(50)
+      .select(col("vec_id"), VectorOps.quantizeInt8(col("embedding")).as("q"))
+    val bounds = e.select(array_min(col("q")).as("lo"), array_max(col("q")).as("hi"))
+      .agg(min("lo"), max("hi")).as[(Long, Long)].head()
+    assert(bounds._1 >= -127L && bounds._2 <= 127L, s"int8 range: $bounds")
+    // a vector's quantized dot with itself beats its dot with any other
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        VectorOps.dotQ(col("a.q"), col("b.q")).as("d"))
+      .as[(Long, Long, Long)].collect()
+    val self = pairs.filter(p => p._1 == p._2).map(p => p._1 -> p._3).toMap
+    pairs.filter(p => p._1 != p._2).foreach { case (ia, ib, d) =>
+      assert(d <= self(ia), s"self-dot must dominate: $ia vs $ib")
+    }
+  }
+}
