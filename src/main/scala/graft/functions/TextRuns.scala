@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -229,6 +229,32 @@ object TextRuns {
     out
   }
 
+  /** Per-position word bigram pairs struct(w1, "w1 w2") in ONE tokenization
+    * pass — the LM-scoring gram extractor. The naive column form
+    * (`transform(sequence(...), i => element_at(split(text), i) ...)`)
+    * re-evaluates `split` once per position (O(L²) per doc — measured 29 %
+    * of a full bench run at sf0.1); here the row is tokenized exactly once
+    * and the pair array built in a tight loop. Tokenization is
+    * `\s+`-split with limit -1, byte-identical to
+    * [[graft.operators.TextOps.tokens]] / the oracle twin. */
+  def gramPairArray(text: UTF8String): ArrayData = {
+    val toks = Whitespace.split(text.toString, -1)
+    val total = toks.length - 1
+    if (total <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](total)
+    var i = 0
+    while (i < total) {
+      out(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(toks(i)),
+        UTF8String.fromString(toks(i) + " " + toks(i + 1))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def gramPairs(text: Column): Column =
+    ExpressionUtils.column(GramPairs(ExpressionUtils.expression(text)))
+
   def minhashAnalyze(text: Column, n: Int, k: Int): Column =
     ExpressionUtils.column(MinHashAnalyze(ExpressionUtils.expression(text), n, k))
 
@@ -280,6 +306,20 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.shingleHashSet($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** text → array<struct(w1 string, g string)>: per-position word bigrams,
+  * one tokenization pass per row (empty array below 2 tokens). */
+case class GramPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("g", StringType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuns.gramPairArray(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.gramPairArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): GramPairs =
     copy(child = newChild)
 }
 

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape (100 TB corpus):
  *   - the LM is built ONCE from a bounded slice and thresholded, so both
- *     LM tables broadcast; the corpus side is one map-only gram explode +
+ *     LM tables broadcast; the corpus side is one map-only gram-kernel
+ *     pass (each row tokenized exactly once, inside whole-stage codegen) +
  *     two broadcast hash joins — the corpus never shuffles gram strings.
  *   - the only exchange is the final (doc_id → bits) partial-aggregated
  *     groupBy, integer payload.
@@ -48,14 +49,14 @@ object TextLm {
     e * 16L + element_at(table, (m - 15L).cast("int"))
   }
 
-  /** Per-position word bigrams: (w1, "w1 w2") for docs with >= 2 tokens.
-    * Occurrence grain (NOT distinct) — LM counts are true frequencies. */
-  private def gramPairs(text: Column): Column = {
-    val t = TextOps.tokens(text)
-    transform(sequence(lit(1), size(t) - 1),
-      i => struct(element_at(t, i).as("w1"),
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1)).as("g")))
-  }
+  /** Per-position word bigrams: struct(w1, "w1 w2"); empty array below two
+    * tokens. Occurrence grain (NOT distinct) — LM counts are true
+    * frequencies. Delegates to the codegen'd one-pass kernel
+    * [[graft.functions.TextRuns.gramPairs]]: the earlier
+    * `transform(sequence(...), element_at(tokens, i))` form re-evaluated
+    * `split` at every position (O(L²) per doc). */
+  private def gramPairs(text: Column): Column =
+    graft.functions.TextRuns.gramPairs(text)
 
   /** Unigram occurrence counts over the held-in slice: (w, cu). */
   def unigramLm(held: DataFrame, textCol: String, minCount: Long): DataFrame =
@@ -66,8 +67,7 @@ object TextLm {
   /** Bigram occurrence counts over the held-in slice: (g, cb). The
     * threshold bounds the broadcast size (prod would add a top-K cap). */
   def bigramLm(held: DataFrame, textCol: String, minCount: Long): DataFrame =
-    held.filter(size(TextOps.tokens(col(textCol))) >= 2)
-      .select(explode(gramPairs(col(textCol))).as("p"))
+    held.select(explode(gramPairs(col(textCol))).as("p"))
       .select(col("p.g").as("g"))
       .groupBy("g").agg(count(lit(1)).as("cb"))
       .filter(col("cb") >= minCount)
@@ -78,13 +78,19 @@ object TextLm {
    * i.e. −log2 of the add-smoothed conditional probability. Returns doc
    * grain (id, n_grams, bits) for docs with at least one bigram. Both LM
    * joins are broadcast; unseen grams coalesce to count 0.
+   *
+   * INVARIANT: callers must build `uni`/`bi` with uniMinCount <= biMinCount
+   * (as [[unigramLm]]/[[bigramLm]] from the same held-in slice then
+   * guarantee cu + V >= cb + 1, so `bits` is non-negative). Violating it
+   * can push l2q16's argument to 0/negative, where the fixed-point log2
+   * (and DuckDB's `//` on negatives) silently diverge between engines.
    */
   def scoreDocs(corpus: DataFrame, uni: DataFrame, bi: DataFrame,
                 idCol: String, textCol: String,
                 keepCols: Seq[String] = Nil): DataFrame = {
     val vocab = uni.agg(count(lit(1)).as("v"))
     val keyCols = (idCol +: keepCols).map(col)
-    corpus.filter(size(TextOps.tokens(col(textCol))) >= 2)
+    corpus
       .select(keyCols :+ explode(gramPairs(col(textCol))).as("p"): _*)
       .select(keyCols :+ col("p.w1").as("w1") :+ col("p.g").as("g"): _*)
       .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"), "left")
