@@ -123,7 +123,10 @@ object VectorOps {
    */
   def quantizeInt8(vec: Column): Column = {
     val n = norm(vec)
-    transform(vec, x => floor(x.cast("double") * 127d / n).cast("long"))
+    // Zero-norm guard: x/0 would give NaN→null here but a CAST error in
+    // the DuckDB twin — map degenerate vectors to all-zeros in BOTH.
+    transform(vec, x => when(n === 0d, lit(0L))
+      .otherwise(floor(x.cast("double") * 127d / n).cast("long")))
   }
 
   /** Exact integer dot product of quantized vectors. */
@@ -215,7 +218,7 @@ object VectorOps {
     def cosine(aE: String, bE: String): String =
       s"(${dot(aE, bE)}) / ((${norm(aE)}) * (${norm(bE)}))"
     def quantizeInt8(vecE: String): String =
-      s"[CAST(floor(CAST(x AS DOUBLE) * 127 / (${norm(vecE)})) AS BIGINT) FOR x IN $vecE]"
+      s"[CAST(floor(coalesce(CAST(x AS DOUBLE) * 127 / NULLIF(${norm(vecE)}, 0), 0)) AS BIGINT) FOR x IN $vecE]"
     def dotQ(aE: String, bE: String): String =
       s"CAST(list_sum([x[1] * x[2] FOR x IN list_zip($aE, $bE)]) AS BIGINT)"
     def lshSignature(vecE: String, planes: Int, dim: Int): String = {

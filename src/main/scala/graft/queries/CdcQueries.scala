@@ -364,8 +364,13 @@ object CdcQueries {
         |  CAST(max(last_commit_ts) AS BIGINT) AS max_ts
         |FROM comp GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
     import graft.streaming.{Sinks, StorageConsumer}
+    // Key the scratch dir by absolute-path hash + PID so concurrent gate
+    // processes on same-named scale dirs (bench + correctness both at
+    // sf0.001) can't delete each other's files mid-read.
+    val abs = new java.io.File(dir).getAbsolutePath
     val base = System.getProperty("java.io.tmpdir") +
-      s"/graft_storage_rt_${new java.io.File(dir).getName}"
+      s"/graft_storage_rt_${new java.io.File(dir).getName}_" +
+      Integer.toHexString(abs.hashCode) + "_" + ProcessHandle.current.pid
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
     }

@@ -31,15 +31,18 @@ object StorageConsumer {
     val root = Paths.get(base)
     if (!Files.exists(root)) return Map.empty
     val out = scala.collection.mutable.Map.empty[(String, String), StructType]
-    Files.walk(root).iterator().asScala
-      .filter(p => p.getFileName.toString == "_schema.json")
-      .foreach { p: Path =>
-        val table = p.getParent
-        val schema = table.getParent
-        val key = (schema.getFileName.toString.stripPrefix("schema_name="),
-          table.getFileName.toString.stripPrefix("table_name="))
-        out(key) = DataType.fromJson(Files.readString(p)).asInstanceOf[StructType]
-      }
+    val walk = Files.walk(root) // walk holds directory handles — must close
+    try {
+      walk.iterator().asScala
+        .filter(p => p.getFileName.toString == "_schema.json")
+        .foreach { p: Path =>
+          val table = p.getParent
+          val schema = table.getParent
+          val key = (schema.getFileName.toString.stripPrefix("schema_name="),
+            table.getFileName.toString.stripPrefix("table_name="))
+          out(key) = DataType.fromJson(Files.readString(p)).asInstanceOf[StructType]
+        }
+    } finally walk.close()
     out.toMap
   }
 
@@ -52,6 +55,12 @@ object StorageConsumer {
   def read(spark: SparkSession, base: String): DataFrame = {
     val payloads = sidecars(base)
     require(payloads.nonEmpty, s"no _schema.json sidecars under $base")
+    // One changefeed ⇒ one payload schema. Reading heterogeneous tables
+    // with a single schema would silently null/misread columns, so fail
+    // loudly instead (a mixed layout needs per-table reads + union).
+    require(payloads.values.toSet.size == 1,
+      s"sidecar schemas disagree under $base: " +
+        payloads.map { case (k, v) => s"$k=${v.simpleString}" }.mkString("; "))
     val payload = payloads.values.head
     val full = StructType(payload.fields ++ Seq(
       StructField("schema_name", StringType), StructField("table_name", StringType),
