@@ -13,10 +13,10 @@ import org.apache.spark.sql.types._
  * decoding is `from_json`. Key order is the struct field order; null fields
  * are emitted explicitly (`ignoreNullFields=false`) for cross-engine parity.
  *
- * Not ported: Craft (E8, tiflow's bespoke binary columnar frame — Spark's
- * native columnar shuffle/parquet serve the same purpose) and Avro binary
- * (needs the spark-avro module; [[avroSchema]] covers the schema-generation
- * half of E3).
+ * Craft (E8) lives in [[graft.functions.CraftCodec]] (binary frame needs a
+ * byte-level kernel, not JSON columns); Avro binary (E3) in
+ * [[graft.functions.AvroBinary]]. [[avroSchema]] covers E3's
+ * schema-generation half.
  */
 object Codecs {
 
@@ -381,6 +381,159 @@ object Codecs {
       when(col("op") =!= "I",
         payloadStruct(col("pk"), col("val_before"), col("etype")))
         .otherwise(nullImg).as("old")), jsonOpts)
+  }
+
+  // ------------------------------------------------------------------
+  // Decoders (consumer side). The reference ships a RowEventDecoder per
+  // encoder (pkg/sink/codec/debezium/decoder.go, maxwell has none upstream
+  // but the mq_protocol_tests replay framework covers it,
+  // open/open_protocol_decoder.go, csv/csv_decoder.go, simple/decoder.go);
+  // Spark-first each is a from_json with the encoder's mirror schema (or a
+  // codegen'd regexp parse for CSV) — a consumer migrating between
+  // protocols round-trips through the same envelope.
+  // ------------------------------------------------------------------
+
+  private val imgStructType = new StructType()
+    .add("pk", LongType).add("val", DoubleType).add("etype", StringType)
+
+  /** E5 decoder — mirror of [[debezium]] (reference
+    * pkg/sink/codec/debezium/decoder.go). op is fully recoverable
+    * (c/u/d); before/after images map back to val_before/val_after. */
+  val debeziumSchema: StructType = new StructType()
+    .add("before", imgStructType).add("after", imgStructType)
+    .add("source", new StructType()
+      .add("name", StringType).add("ts_ms", LongType)
+      .add("db", StringType).add("table", StringType))
+    .add("op", StringType).add("ts_ms", LongType)
+
+  def debeziumDecode(json: Column): Column = from_json(json, debeziumSchema)
+
+  /** Decoded Debezium message → canonical envelope struct
+    * (op, commit_ts, schema_name, table_name, pk, val_before, val_after,
+    * etype) — the RowChangedEvent reconstruction the reference decoder
+    * performs field-by-field. */
+  def debeziumToEnvelope(m: Column): Column = struct(
+    when(m.getField("op") === "c", "I")
+      .when(m.getField("op") === "u", "U").otherwise("D").as("op"),
+    m.getField("source").getField("ts_ms").as("commit_ts"),
+    m.getField("source").getField("db").as("schema_name"),
+    m.getField("source").getField("table").as("table_name"),
+    coalesce(m.getField("after").getField("pk"),
+      m.getField("before").getField("pk")).as("pk"),
+    m.getField("before").getField("val").as("val_before"),
+    m.getField("after").getField("val").as("val_after"),
+    coalesce(m.getField("after").getField("etype"),
+      m.getField("before").getField("etype")).as("etype"))
+
+  /** E6 decoder — mirror of [[maxwell]]. insert/update/delete recover
+    * I/U/D; `data` is the delete image for deletes (maxwell semantics). */
+  val maxwellSchema: StructType = new StructType()
+    .add("database", StringType).add("table", StringType)
+    .add("type", StringType).add("ts", LongType).add("xid", LongType)
+    .add("data", imgStructType).add("old", imgStructType)
+
+  def maxwellDecode(json: Column): Column = from_json(json, maxwellSchema)
+
+  def maxwellToEnvelope(m: Column): Column = struct(
+    when(m.getField("type") === "insert", "I")
+      .when(m.getField("type") === "update", "U").otherwise("D").as("op"),
+    m.getField("ts").as("commit_ts"),
+    m.getField("xid").as("start_ts"),
+    m.getField("database").as("schema_name"),
+    m.getField("table").as("table_name"),
+    m.getField("data").getField("pk").as("pk"),
+    when(m.getField("type") === "delete", m.getField("data").getField("val"))
+      .otherwise(m.getField("old").getField("val")).as("val_before"),
+    when(m.getField("type") === "delete",
+      lit(null).cast(DoubleType))
+      .otherwise(m.getField("data").getField("val")).as("val_after"),
+    m.getField("data").getField("etype").as("etype"))
+
+  /** E1 decoder — mirror of [[openProtocolKey]]/[[openProtocolValue]]
+    * (reference pkg/sink/codec/open/open_protocol_decoder.go). The
+    * encoder runs in old-value-disabled mode (no "p" pre-image block), so
+    * like the reference decoder in that mode, a u-only message decodes as
+    * an upsert ("I") and a d message as a delete — U is not
+    * distinguishable on the wire by design. */
+  val openKeySchema: StructType = new StructType()
+    .add("ts", LongType).add("scm", StringType).add("tbl", StringType)
+    .add("t", IntegerType).add("ohk", BooleanType).add("ccl", StringType)
+
+  private val openImgType = new StructType()
+    .add("pk", new StructType().add("t", IntegerType).add("v", LongType))
+    .add("val", new StructType().add("t", IntegerType).add("v", DoubleType))
+    .add("etype", new StructType().add("t", IntegerType).add("v", StringType))
+
+  val openValueSchema: StructType =
+    new StructType().add("u", openImgType).add("d", openImgType)
+
+  def openDecodeKey(json: Column): Column = from_json(json, openKeySchema)
+  def openDecodeValue(json: Column): Column = from_json(json, openValueSchema)
+
+  def openToEnvelope(key: Column, value: Column): Column = {
+    val img = coalesce(value.getField("d"), value.getField("u"))
+    struct(
+      when(value.getField("d").isNotNull, "D").otherwise("I").as("op"),
+      key.getField("ts").as("commit_ts"),
+      key.getField("scm").as("schema_name"),
+      key.getField("tbl").as("tbl_name"),
+      img.getField("pk").getField("v").as("pk"),
+      img.getField("val").getField("v").as("val"),
+      img.getField("etype").getField("v").as("etype"))
+  }
+
+  /** E7 decoder — mirror of [[simpleRow]] (reference
+    * pkg/sink/codec/simple/decoder.go). data+old ⇒ U, data-only ⇒ I,
+    * old-only ⇒ D — op is fully recoverable. BOOTSTRAP messages decode
+    * with row fields null (consumers dispatch on `type`). */
+  val simpleSchema: StructType = new StructType()
+    .add("type", StringType).add("commitTs", LongType)
+    .add("database", StringType).add("table", StringType)
+    .add("schemaVersion", IntegerType)
+    .add("data", imgStructType).add("old", imgStructType)
+
+  def simpleDecode(json: Column): Column = from_json(json, simpleSchema)
+
+  def simpleToEnvelope(m: Column): Column = struct(
+    when(m.getField("data").isNotNull && m.getField("old").isNotNull, "U")
+      .when(m.getField("data").isNotNull, "I").otherwise("D").as("op"),
+    m.getField("commitTs").as("commit_ts"),
+    m.getField("database").as("schema_name"),
+    m.getField("table").as("table_name"),
+    coalesce(m.getField("data").getField("pk"),
+      m.getField("old").getField("pk")).as("pk"),
+    m.getField("old").getField("val").as("val_before"),
+    m.getField("data").getField("val").as("val_after"),
+    coalesce(m.getField("data").getField("etype"),
+      m.getField("old").getField("etype")).as("etype"))
+
+  /** E4 decoder — parse a [[csvLine]] back to envelope fields (reference
+    * pkg/sink/codec/csv/csv_decoder.go). One codegen'd regexp match per
+    * field over the whole line: quoted fields admit embedded (doubled)
+    * quotes and commas; numeric/null fields are unquoted; `\N` is NULL.
+    * Map-only and linear — no per-row CSV-reader object. */
+  private val CsvQ = "\"((?:[^\"]|\"\")*)\""            // quoted capture
+  private val CsvLineRe =
+    s"^$CsvQ,$CsvQ,$CsvQ,(-?\\d+),(-?\\d+),([^,]*),(?:$CsvQ|(\\\\N))$$"
+
+  private def csvUnquote(g: Column): Column =
+    regexp_replace(g, "\"\"", "\"")
+
+  def csvDecode(line: Column): Column = {
+    def grp(i: Int) = regexp_extract(line, CsvLineRe, i)
+    val valRaw = grp(6)
+    val etypeQ = grp(7)
+    val etypeNull = grp(8)
+    struct(
+      csvUnquote(grp(1)).as("op"),
+      csvUnquote(grp(2)).as("schema_name"),
+      csvUnquote(grp(3)).as("table_name"),
+      grp(4).cast(LongType).as("commit_ts"),
+      grp(5).cast(LongType).as("pk"),
+      when(valRaw === "\\N", lit(null).cast(DoubleType))
+        .otherwise(valRaw.cast(DoubleType)).as("val"),
+      when(etypeNull === "\\N", lit(null).cast(StringType))
+        .otherwise(csvUnquote(etypeQ)).as("etype"))
   }
 
   /**

@@ -453,7 +453,97 @@ object CodecQueries {
         lit(0).cast("decimal(18,6)")).cast("double").as("sum_val"))
   }
 
+  // ---- decoder round trips (the consumer-migration matrix; reference
+  // RowEventDecoder mirrors + tests/mq_protocol_tests replay shape). Each
+  // oracle is the PLAIN cdc stream — green proves encode∘decode = id on
+  // every field the wire format carries.
+
+  val debeziumRoundtrip = GateQuery(
+    "q41c_debezium_roundtrip",
+    Some(cte +
+      s"""SELECT seq, op, commit_ts, schema_name, table_name, pk,
+         |  val_before, val_after, etype
+         |FROM cdc WHERE $SampleE""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    df.select(col("seq"),
+      Codecs.debeziumToEnvelope(
+        Codecs.debeziumDecode(Codecs.debezium(df))).as("e"))
+      .select(col("seq"), col("e.op").as("op"), col("e.commit_ts").as("commit_ts"),
+        col("e.schema_name").as("schema_name"), col("e.table_name").as("table_name"),
+        col("e.pk").as("pk"), col("e.val_before").as("val_before"),
+        col("e.val_after").as("val_after"), col("e.etype").as("etype"))
+  }
+
+  val maxwellRoundtrip = GateQuery(
+    "q42c_maxwell_roundtrip",
+    Some(cte +
+      s"""SELECT seq, op, commit_ts, start_ts, schema_name, table_name, pk,
+         |  val_before, val_after, etype
+         |FROM cdc WHERE $SampleE""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    df.select(col("seq"),
+      Codecs.maxwellToEnvelope(
+        Codecs.maxwellDecode(Codecs.maxwell(df))).as("e"))
+      .select(col("seq"), col("e.op").as("op"), col("e.commit_ts").as("commit_ts"),
+        col("e.start_ts").as("start_ts"),
+        col("e.schema_name").as("schema_name"), col("e.table_name").as("table_name"),
+        col("e.pk").as("pk"), col("e.val_before").as("val_before"),
+        col("e.val_after").as("val_after"), col("e.etype").as("etype"))
+  }
+
+  /** The encoder runs old-value-disabled (no "p" block), so the decoded op
+    * is upsert-or-delete — exactly what the reference decoder yields in
+    * that mode; the oracle collapses I/U accordingly. */
+  val openRoundtrip = GateQuery(
+    "q43c_open_roundtrip",
+    Some(cte +
+      s"""SELECT seq, CASE WHEN op = 'D' THEN 'D' ELSE 'I' END AS op,
+         |  commit_ts, schema_name, table_name AS tbl_name, pk,
+         |  CASE WHEN op = 'D' THEN val_before ELSE val_after END AS val, etype
+         |FROM cdc WHERE $SampleE""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    df.select(col("seq"),
+      Codecs.openToEnvelope(
+        Codecs.openDecodeKey(Codecs.openProtocolKey(df)),
+        Codecs.openDecodeValue(Codecs.openProtocolValue(df))).as("e"))
+      .select(col("seq"), col("e.op").as("op"), col("e.commit_ts").as("commit_ts"),
+        col("e.schema_name").as("schema_name"), col("e.tbl_name").as("tbl_name"),
+        col("e.pk").as("pk"), col("e.val").as("val"), col("e.etype").as("etype"))
+  }
+
+  val csvRoundtrip = GateQuery(
+    "q44c_csv_roundtrip",
+    Some(cte +
+      s"""SELECT seq, op, schema_name, table_name, commit_ts, pk,
+         |  CASE WHEN op = 'D' THEN val_before ELSE val_after END AS val, etype
+         |FROM cdc WHERE $SampleE""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    df.select(col("seq"), Codecs.csvDecode(Codecs.csvLine(df)).as("e"))
+      .select(col("seq"), col("e.op").as("op"),
+        col("e.schema_name").as("schema_name"), col("e.table_name").as("table_name"),
+        col("e.commit_ts").as("commit_ts"), col("e.pk").as("pk"),
+        col("e.val").as("val"), col("e.etype").as("etype"))
+  }
+
+  val simpleRoundtrip = GateQuery(
+    "q48c_simple_roundtrip",
+    Some(cte +
+      s"""SELECT seq, op, commit_ts, schema_name, table_name, pk,
+         |  val_before, val_after, etype
+         |FROM cdc WHERE $SampleE""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    df.select(col("seq"),
+      Codecs.simpleToEnvelope(
+        Codecs.simpleDecode(Codecs.simpleRow(df, 1))).as("e"))
+      .select(col("seq"), col("e.op").as("op"), col("e.commit_ts").as("commit_ts"),
+        col("e.schema_name").as("schema_name"), col("e.table_name").as("table_name"),
+        col("e.pk").as("pk"), col("e.val_before").as("val_before"),
+        col("e.val_after").as("val_after"), col("e.etype").as("etype"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas,
-    avroBinary, craftRoundtrip, simple, kafkaRecord, pulsarRecord, rowcodecV2)
+    avroBinary, craftRoundtrip, simple, kafkaRecord, pulsarRecord, rowcodecV2,
+    debeziumRoundtrip, maxwellRoundtrip, openRoundtrip, csvRoundtrip,
+    simpleRoundtrip)
 }
