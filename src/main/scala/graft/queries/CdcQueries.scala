@@ -384,10 +384,64 @@ object CdcQueries {
         max(col("last_commit_ts")).as("max_ts"))
   }
 
+  /**
+   * q98: K1 end-to-end — the compacted stream is rendered to causality-
+   * partitioned multi-row SQL files ([[graft.streaming.Sinks.sqlFileSink]]),
+   * the files are EXECUTED against a live embedded SQL engine
+   * ([[graft.streaming.SqlApply]], Derby + MySQL-dialect adapter), and the
+   * resulting downstream table state must equal the net state the oracle
+   * computes directly from the stream — the reference integration suite's
+   * check_sync_diff property (sync then diff downstream vs upstream).
+   * Any rendering bug (quoting, value formatting, batching, apply order)
+   * corrupts the applied state and fails the gate.
+   */
+  val sqlApply = GateQuery(
+    "q98_sql_apply",
+    Some(splitCte +
+      """, agg AS (
+        |  SELECT schema_name, table_name, pk,
+        |    arg_min(op, seq) AS first_op, arg_max(op, seq) AS last_op,
+        |    arg_max(coalesce(val_after, -1), seq) AS last_val_raw
+        |  FROM split GROUP BY 1, 2, 3
+        |), comp AS (
+        |  SELECT schema_name, table_name, pk,
+        |    CASE WHEN first_op = 'I' AND last_op = 'D' THEN NULL
+        |         WHEN last_op = 'D' THEN 'D'
+        |         WHEN first_op = 'I' THEN 'I'
+        |         WHEN first_op = 'D' THEN 'R'
+        |         ELSE 'U' END AS net_op,
+        |    last_val_raw AS final_val
+        |  FROM agg
+        |)
+        |SELECT schema_name, table_name, count(*) AS n_rows,
+        |  CAST(sum(pk) AS BIGINT) AS sum_pk,
+        |  count(DISTINCT pk) AS n_keys,
+        |  CAST(sum(CAST(final_val AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+        |FROM comp WHERE net_op IS NOT NULL AND net_op <> 'D'
+        |GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    import graft.streaming.{Sinks, SqlApply}
+    val comp = Compaction.compact(Transforms.updateSplit(CdcStream.derive(spark, dir)))
+    val abs = new java.io.File(dir).getAbsolutePath
+    val tag = Integer.toHexString(abs.hashCode) + "_" + ProcessHandle.current.pid
+    val sqlDir = System.getProperty("java.io.tmpdir") + s"/graft_sql_apply_$tag"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(sqlDir))
+    Sinks.sqlFileSink(sqlDir)(comp, 0L)
+    val tables = comp.select("schema_name", "table_name").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    SqlApply.applyAndReadState(spark, sqlDir, tables, dbName = s"graft_apply_$tag")
+      .groupBy("schema_name", "table_name")
+      .agg(count(lit(1)).as("n_rows"), sum(col("pk")).as("sum_pk"),
+        countDistinct(col("pk")).as("n_keys"),
+        sum(col("final_val").cast("decimal(18,6)")).cast("double").as("sum_val"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     tableFilter, eventFilter, exprFilter, startTsFilter, bdrFilter,
     checkpointFilter, router, extendColumns, topicRouter,
     dispatchByTable, dispatchByTs, dispatchByIndexValue,
     updateSplit, compaction, txnSizes, batching, safeMode, causality,
-    storageConsumer)
+    storageConsumer, sqlApply)
 }

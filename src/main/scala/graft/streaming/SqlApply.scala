@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.sql.{Connection, DriverManager}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+/**
+ * Executable downstream apply for the MySQL txn sink (K1): replay the SQL
+ * files [[Sinks.sqlFileSink]] renders against a LIVE embedded SQL engine
+ * and read the resulting table state back, closing the loop the
+ * reference's integration suite checks end-to-end
+ * (tests/integration_tests/_utils/check_sync_diff: sync, then diff the
+ * downstream DB against upstream).
+ *
+ * The engine is Apache Derby (the one embedded JDBC database on the Spark
+ * classpath — no MySQL socket exists in this environment, a documented
+ * non-goal). A thin dialect adapter translates the generated MySQL-isms,
+ * exactly what a real consumer applying CDC SQL to a non-MySQL store
+ * does:
+ *   - backtick identifier quotes → SQL-standard double quotes;
+ *   - `REPLACE INTO t (pk, …) VALUES …` → DELETE existing keys + INSERT
+ *     (REPLACE's documented semantics) inside the same transaction.
+ * INSERT / DELETE statements run unchanged.
+ *
+ * Files apply in sorted-name order, one transaction per file. Order
+ * BETWEEN files is immaterial by construction: the sink partitions rows
+ * by causality slot, so all statements touching a key live in one file —
+ * the same argument that lets the reference's MySQL sink apply worker
+ * queues concurrently (causality.go). Within a file, statement order is
+ * the rendered order (commit_ts, pk).
+ *
+ * Scale shape: this is the TEST HARNESS side of K1 — the downstream
+ * database plays the oracle's role. The engine-side work (render,
+ * causality partition, batch) is distributed in the sink; verifying a
+ * production 100 TB apply uses the ChunkDiff operators (V1-V4) against
+ * the downstream, not a driver read-back.
+ */
+object SqlApply {
+
+  /** Parse the (pk, …) tuples of a multi-VALUES statement tail. Values in
+    * generated SQL are numeric/NULL/'quoted' scalars, so a paren scan that
+    * only respects quotes is exact. */
+  private def firstFieldOfTuples(valuesTail: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    val s = valuesTail
+    while (i < s.length) {
+      if (s.charAt(i) == '(') {
+        val j = i + 1
+        var k = j
+        var inQ = false
+        while (k < s.length && (inQ || (s.charAt(k) != ',' && s.charAt(k) != ')'))) {
+          if (s.charAt(k) == '\'') inQ = !inQ
+          k += 1
+        }
+        out += s.substring(j, k).trim
+        // skip to the tuple's closing paren
+        var depth = 1
+        i = k
+        while (i < s.length && depth > 0) {
+          val c = s.charAt(i)
+          if (c == '\'') { i += 1; while (i < s.length && s.charAt(i) != '\'') i += 1 }
+          else if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          i += 1
+        }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  private val ReplaceRe =
+    """(?s)^REPLACE INTO (\S+) \(([^)]*)\) VALUES (.*)$""".r
+
+  /** MySQL-dialect statement (no trailing `;`) → Derby statements. */
+  def toDerby(stmt: String): Seq[String] = {
+    val std = stmt.replace('`', '"')
+    std match {
+      case ReplaceRe(table, cols, values) =>
+        val keyCol = cols.split(",")(0).trim
+        val keys = firstFieldOfTuples(values)
+        Seq(
+          s"DELETE FROM $table WHERE $keyCol IN (${keys.mkString(", ")})",
+          s"INSERT INTO $table ($cols) VALUES $values")
+      case other => Seq(other)
+    }
+  }
+
+  private def withConnection[A](dbName: String)(f: Connection => A): A = {
+    // keep derby.log out of the repo working dir
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+    val conn = DriverManager.getConnection(s"jdbc:derby:memory:$dbName;create=true")
+    try f(conn)
+    finally {
+      conn.close()
+      // drop the in-memory database so repeated gate runs start clean
+      try DriverManager.getConnection(s"jdbc:derby:memory:$dbName;drop=true")
+      catch { case _: java.sql.SQLException => () } // 08006 = success
+    }
+  }
+
+  /**
+   * Apply every `*.sql` file under `sqlDir` to a fresh in-memory Derby
+   * database holding `(pk BIGINT PRIMARY KEY, final_val DOUBLE)` tables
+   * for each (schema, table) pair, then return the full downstream state
+   * as a DataFrame (schema_name, table_name, pk, final_val).
+   */
+  def applyAndReadState(spark: SparkSession, sqlDir: String,
+                        tables: Seq[(String, String)],
+                        dbName: String = "graft_apply"): DataFrame = {
+    val stateRows = withConnection(dbName) { conn =>
+      val st = conn.createStatement()
+      tables.map(_._1).distinct.foreach { s =>
+        try st.executeUpdate(s"""CREATE SCHEMA "$s"""")
+        catch { case _: java.sql.SQLException => () } // exists
+      }
+      tables.foreach { case (s, t) =>
+        st.executeUpdate(
+          s"""CREATE TABLE "$s"."$t" ("pk" BIGINT PRIMARY KEY, "final_val" DOUBLE)""")
+      }
+      val files = {
+        val dir = Paths.get(sqlDir)
+        val listing = Files.list(dir)
+        try listing.iterator().asScala.toVector finally listing.close()
+      }
+      conn.setAutoCommit(false)
+      files.filter(_.getFileName.toString.endsWith(".sql")).sortBy(_.toString)
+        .foreach { p: Path =>
+          Files.readAllLines(p).asScala
+            .map(_.trim).filter(_.nonEmpty)
+            .flatMap(line => toDerby(line.stripSuffix(";")))
+            .foreach(st.executeUpdate)
+          conn.commit() // one txn per rendered file, like one sink flush
+        }
+      val rows = Vector.newBuilder[Row]
+      tables.foreach { case (s, t) =>
+        val rs = st.executeQuery(s"""SELECT "pk", "final_val" FROM "$s"."$t"""")
+        while (rs.next()) {
+          val v = rs.getDouble(2)
+          rows += Row(s, t, rs.getLong(1), if (rs.wasNull()) null else v)
+        }
+        rs.close()
+      }
+      st.close()
+      conn.commit() // read-back opened a txn under autoCommit=false
+      rows.result()
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(stateRows, 4),
+      StructType(Seq(
+        StructField("schema_name", StringType, nullable = false),
+        StructField("table_name", StringType, nullable = false),
+        StructField("pk", LongType, nullable = false),
+        StructField("final_val", DoubleType, nullable = true))))
+  }
+}
