@@ -453,6 +453,56 @@ object CodecQueries {
         lit(0).cast("decimal(18,6)")).cast("double").as("sum_val"))
   }
 
+  /**
+   * E3 registry — schema evolution across versions: two schemas register
+   * under one subject (v2 adds a nullable column), each row is framed
+   * with the id in force at its commit ts (the q72 as-of boundary), and
+   * the consumer dispatches per message by frame id — decode with the
+   * wrong id returns null (the registry-mismatch contract), so
+   * n_roundtrip pins that every message carries exactly the right id.
+   */
+  val avroEvolution = GateQuery(
+    "q46c_avro_evolution",
+    Some(cte +
+      """SELECT CASE WHEN commit_ts < 1002000 THEN 1 ELSE 2 END AS schema_id,
+        |  count(*) AS cnt, CAST(count(*) AS BIGINT) AS n_roundtrip,
+        |  CAST(sum(pk) AS BIGINT) AS sum_pk,
+        |  min(commit_ts) AS min_ts, max(commit_ts) AS max_ts
+        |FROM cdc WHERE op <> 'D' GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    import graft.core.AvroSchemaRegistry
+    import graft.functions.AvroBinary
+    val reg = new AvroSchemaRegistry()
+    val base = Seq(("pk", "long", false), ("val", "double", true),
+      ("etype", "string", true))
+    val v1 = reg.register("events-value",
+      Codecs.avroSchema("db", "events", base))
+    val v2 = reg.register("events-value",
+      Codecs.avroSchema("db", "events", base :+ ("c2", "string", true)))
+    // idempotent re-registration must return the original id
+    require(reg.register("events-value",
+      Codecs.avroSchema("db", "events", base)).id == v1.id)
+    val df = CdcStream.derive(spark, dir).filter(col("op") =!= "D")
+    val enc = df.select(col("pk"), col("val_after"), col("commit_ts"),
+      when(col("commit_ts") < 1002000L,
+        AvroBinary.encodeEnvelope(col("pk"), col("val_after"), col("etype"), v1.id))
+        .otherwise(
+          AvroBinary.encodeEnvelope(col("pk"), col("val_after"), col("etype"), v2.id))
+        .as("msg"))
+    val dec = enc
+      .withColumn("dec1", AvroBinary.decodeEnvelope(col("msg"), v1.id))
+      .withColumn("dec2", AvroBinary.decodeEnvelope(col("msg"), v2.id))
+      .withColumn("schema_id",
+        when(col("dec1").isNotNull, v1.id).otherwise(v2.id))
+      .withColumn("dec", coalesce(col("dec1"), col("dec2")))
+    dec.groupBy("schema_id").agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("dec.pk") === col("pk") &&
+        col("dec.val").eqNullSafe(col("val_after")), 1L).otherwise(0L))
+        .as("n_roundtrip"),
+      sum(col("pk")).as("sum_pk"),
+      min(col("commit_ts")).as("min_ts"), max(col("commit_ts")).as("max_ts"))
+  }
+
   // ---- decoder round trips (the consumer-migration matrix; reference
   // RowEventDecoder mirrors + tests/mq_protocol_tests replay shape). Each
   // oracle is the PLAIN cdc stream — green proves encode∘decode = id on
@@ -545,5 +595,5 @@ object CodecQueries {
     canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas,
     avroBinary, craftRoundtrip, simple, kafkaRecord, pulsarRecord, rowcodecV2,
     debeziumRoundtrip, maxwellRoundtrip, openRoundtrip, csvRoundtrip,
-    simpleRoundtrip)
+    simpleRoundtrip, avroEvolution)
 }

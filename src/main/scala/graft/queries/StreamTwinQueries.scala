@@ -295,6 +295,83 @@ object StreamTwinQueries {
       .select("sp_ts", "n_applied", "n_live", "sum_val")
   }
 
+  /**
+   * G5 — DDL barrier (control-before-rows): deterministic DDL
+   * announcements split each table's stream into schema epochs; every
+   * row's epoch is the count of its table's DDLs at or below its commit
+   * ts, and the epoch's opening barrier ts lower-bounds all its rows
+   * (min_ts >= barrier_ts is pinned by the hash). Twin of the streaming
+   * path's apply-DDLs-then-rows microbatch ordering
+   * ([[graft.streaming.DdlStream.withTextDdl]]).
+   */
+  private val BarrierDdls = Seq(
+    ("tbl_0", 1001500L), ("tbl_0", 1003000L),
+    ("tbl_1", 1002500L), ("tbl_2", 1004000L))
+  private val barrierValuesSql =
+    BarrierDdls.map { case (t, ts) => s"('$t', $ts)" }.mkString(", ")
+
+  val ddlBarrier = GateQuery(
+    "q99_ddl_barrier",
+    Some(cte +
+      s""", ddl(table_name, ddl_ts) AS (VALUES $barrierValuesSql)
+         |SELECT table_name, epoch, barrier_ts, count(*) AS n_rows,
+         |  min(commit_ts) AS min_ts, max(commit_ts) AS max_ts,
+         |  CAST(sum(pk) AS BIGINT) AS sum_pk
+         |FROM (
+         |  SELECT c.*,
+         |    (SELECT count(*) FROM ddl d
+         |     WHERE d.table_name = c.table_name AND d.ddl_ts <= c.commit_ts) AS epoch,
+         |    coalesce((SELECT max(ddl_ts) FROM ddl d
+         |     WHERE d.table_name = c.table_name AND d.ddl_ts <= c.commit_ts), 0) AS barrier_ts
+         |  FROM cdc c
+         |)
+         |GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    val ddls = BarrierDdls.toDF("table_name", "ddl_ts")
+    graft.streaming.DdlStream.barrierEpochs(CdcStream.derive(spark, dir), ddls)
+      .groupBy("table_name", "epoch", "barrier_ts")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("commit_ts")).as("min_ts"), max(col("commit_ts")).as("max_ts"),
+        sum(col("pk")).as("sum_pk"))
+  }
+
+  /**
+   * K7 — sink progress / checkpoint = min flushed: each table has flushed
+   * a deterministic prefix of its events (seq at or below 7/10 of its max
+   * seq); the changefeed checkpoint is the minimum per-table flushed
+   * watermark, and n_safe counts the events at or below it. Twin of the
+   * table-sink progress tracking behind
+   * [[graft.streaming.Sinks.parquetStateSink]]'s batch pointer.
+   */
+  val sinkProgress = GateQuery(
+    "q100_sink_progress",
+    Some(cte +
+      """, marked AS (
+        |  SELECT *, (max(seq) OVER (PARTITION BY schema_name, table_name) * 7) // 10 AS flush_cap
+        |  FROM cdc
+        |), pt AS (
+        |  SELECT schema_name, table_name,
+        |    CAST(sum(CASE WHEN seq <= flush_cap THEN 1 ELSE 0 END) AS BIGINT) AS n_flushed,
+        |    max(CASE WHEN seq <= flush_cap THEN commit_ts END) AS flushed_ts
+        |  FROM marked GROUP BY 1, 2
+        |), cp AS (SELECT min(flushed_ts) AS checkpoint_ts FROM pt)
+        |SELECT p.schema_name, p.table_name, p.n_flushed, p.flushed_ts,
+        |  cp.checkpoint_ts,
+        |  CAST((SELECT count(*) FROM cdc c
+        |        WHERE c.schema_name = p.schema_name
+        |          AND c.table_name = p.table_name
+        |          AND c.commit_ts <= cp.checkpoint_ts) AS BIGINT) AS n_safe
+        |FROM pt p CROSS JOIN cp""".stripMargin)) { (spark, dir) =>
+    val events = CdcStream.derive(spark, dir)
+    val caps = events.groupBy("schema_name", "table_name")
+      .agg(expr("max(seq) * 7 div 10").as("flush_cap"))
+    val marked = events.join(broadcast(caps), Seq("schema_name", "table_name"))
+    graft.streaming.Sinks.sinkProgress(marked, col("seq") <= col("flush_cap"))
+      .select("schema_name", "table_name", "n_flushed", "flushed_ts",
+        "checkpoint_ts", "n_safe")
+  }
+
   def all: Seq[GateQuery] =
-    Seq(checkpointResume, optimisticLattice, redoReplay, syncpoints)
+    Seq(checkpointResume, optimisticLattice, redoReplay, syncpoints,
+      ddlBarrier, sinkProgress)
 }

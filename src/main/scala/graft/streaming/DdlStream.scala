@@ -54,6 +54,38 @@ object DdlStream {
    * re-apply nothing (the (ts, sql) pair set is the idempotence key, the
    * same way the reference skips already-synced DDL locations).
    */
+  /**
+   * G5 — DDL barrier algebra (batch twin of the foreachBatch
+   * control-before-rows ordering; reference cdc/owner/ddl_manager +
+   * barrier ts in cdc/processor): a DDL at ts T applies after every row
+   * with commit_ts < T and before every row with commit_ts >= T, so each
+   * row belongs to exactly one schema EPOCH — the count of its table's
+   * DDLs at or below its commit ts — and `barrier_ts` (the epoch's
+   * opening DDL ts, 0 for the initial epoch) is a lower bound on every
+   * row ts in the epoch.
+   *
+   * Scale shape: the DDL set is control-plane data (collected, sorted,
+   * folded into a literal per-table array), so epoch assignment is a pure
+   * map-only column expression over the row stream — no join, no shuffle;
+   * the arrays are a handful of longs so the interpreted higher-order
+   * filter is negligible.
+   */
+  def barrierEpochs(rows: DataFrame, ddls: DataFrame): DataFrame = {
+    val byTable: Map[String, Seq[Long]] = ddls.select("table_name", "ddl_ts")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toSeq.sorted).toMap
+    val emptyArr = array().cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false))
+    val tsArr = byTable.toSeq.sortBy(_._1).foldLeft(emptyArr) {
+      case (acc, (t, tss)) =>
+        when(col("table_name") === t, array(tss.map(lit): _*)).otherwise(acc)
+    }
+    val passed = filter(tsArr, ts => ts <= col("commit_ts"))
+    rows
+      .withColumn("epoch", size(passed).cast("long"))
+      .withColumn("barrier_ts", coalesce(array_max(passed), lit(0L)))
+  }
+
   /** Apply a batch's DDL control rows to the registry, idempotently (the
     * (ts, sql) pair set is the idempotence key — batch replays re-apply
     * nothing). Control-plane sized driver collect. */

@@ -145,6 +145,35 @@ object Sinks {
     else spark.read.parquet(paths: _*)
   }
 
+  /**
+   * K7 — sink-progress algebra (batch twin of the table-sink progress
+   * tracker; reference cdc/processor/sinkmanager: each table sink
+   * advances a flushed resolved-ts, and the changefeed CHECKPOINT is the
+   * MIN across tables — no event at or below it can be unflushed).
+   * `flushed` marks events the sink has already flushed. Returns one row
+   * per (schema, table): flushed count, the table's flushed watermark,
+   * the global checkpoint, and `n_safe` — events at or below the
+   * checkpoint, i.e. covered by the exactly-once guarantee.
+   *
+   * Scale shape: two partial-aggregated groupBys over the stream plus a
+   * one-row checkpoint broadcast back — the per-table progress table is
+   * control-plane sized, exactly the reference's in-memory progress map.
+   */
+  def sinkProgress(events: DataFrame, flushed: org.apache.spark.sql.Column): DataFrame = {
+    val pt = events.withColumn("_f", flushed)
+      .groupBy("schema_name", "table_name")
+      .agg(sum(when(col("_f"), 1L).otherwise(0L)).as("n_flushed"),
+        max(when(col("_f"), col("commit_ts"))).as("flushed_ts"))
+    val cp = pt.agg(min(col("flushed_ts")).as("checkpoint_ts"))
+    val safe = events.crossJoin(broadcast(cp))
+      .filter(col("commit_ts") <= col("checkpoint_ts"))
+      .groupBy("schema_name", "table_name")
+      .agg(count(lit(1)).as("n_safe"))
+    pt.crossJoin(broadcast(cp))
+      .join(safe, Seq("schema_name", "table_name"), "left")
+      .withColumn("n_safe", coalesce(col("n_safe"), lit(0L)))
+  }
+
   /** Per-bucket version map from the pointer (observability / tests). */
   def stateVersions(stateDir: String): Map[Int, Long] =
     readPointer(Paths.get(s"$stateDir/CURRENT")).map(_.versions).getOrElse(Map.empty)
