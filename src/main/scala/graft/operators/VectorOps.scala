@@ -181,6 +181,58 @@ object VectorOps {
   }
 
   /**
+   * K-means Lloyd iterations over quantized vectors — the clustering
+   * stage of semantic dedup (SemDeDup: cluster the corpus, then near-dup
+   * only within clusters) and of IVF index training. Deterministic and
+   * engine-exact end to end: seeds are the k smallest-id vectors, all
+   * distances are exact integer squared-L2 over quantized vectors, means
+   * use portable floor division, and argmin ties break on centroid id.
+   * Clusters that lose every member disappear (no re-seeding) so both
+   * engines agree on the surviving set.
+   *
+   * Scale shape: centroids are control-plane data (k·d longs) — each
+   * round is ONE map-only assignment pass (centroid literals folded into
+   * the plan, no join/shuffle on the corpus) plus one partial-aggregated
+   * groupBy for the means; the corpus itself never shuffles. The
+   * interpreted k·d argmin per row is fine for k in the hundreds; beyond
+   * that the assignment belongs in a codegen'd kernel (TextRuns pattern).
+   *
+   * Returns the final assignment (idCol, centroid_id, dist) against the
+   * centroids after `iters` recompute rounds.
+   */
+  def kmeans(df: DataFrame, k: Int, iters: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2 && iters >= 0)
+    val q = df.select(col(idCol), col(vecCol)).withColumn("qv", quantize(col(vecCol)))
+    val seeds: Seq[(Long, Seq[Long])] = q.orderBy(col(idCol)).limit(k)
+      .select(col("qv")).collect()
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0)) }.toSeq
+
+    def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+      val ds = cents.map { case (cid, c) =>
+        struct(sqDistQ(col("qv"), array(c.map(lit): _*)).as("dist"),
+          lit(cid).as("cid"))
+      }
+      // bind the k distance structs once per row; least() is lexicographic
+      // (dist, then cid) so ties are deterministic
+      q.withColumn("best", least(ds: _*))
+        .select(col(idCol), col(vecCol),
+          col("best.cid").as("centroid_id"), col("best.dist").as("dist"))
+    }
+
+    var cents = seeds
+    var round = 0
+    while (round < iters) {
+      cents = centroids(assign(cents).select(col("centroid_id"), col(vecCol)),
+          "centroid_id", vecCol)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+        .sortBy(_._1)
+      round += 1
+    }
+    assign(cents).drop(vecCol)
+  }
+
+  /**
    * IVF probe search: rank candidate cells per query by centroid distance,
    * search only the `nProbe` nearest cells. With the corpus PARTITIONED by
    * assigned centroid (the 100 TB layout: one directory per cell, partition

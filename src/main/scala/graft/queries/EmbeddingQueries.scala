@@ -288,7 +288,68 @@ object EmbeddingQueries {
       .select("query_id", "rank", "neighbor_id", "dotq")
   }
 
+  /**
+   * q102 — k-means Lloyd iterations (the SemDeDup clustering stage / IVF
+   * training): deterministic smallest-id seeds, one full refinement round
+   * (assign → integer-mean recompute → re-assign), exact integer
+   * distances throughout. The oracle unrolls the same round in SQL, so
+   * every vector's final cluster and distance must match bit-for-bit.
+   */
+  val kmeansIter = GateQuery(
+    "q102_kmeans",
+    Some {
+      val scale = VectorOps.QuantScale
+      val dist = (qv: String, c: String) =>
+        s"list_sum([($qv[i] - $c[i]) * ($qv[i] - $c[i]) FOR i IN range(1, len($qv) + 1)])"
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    [CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT) FOR x IN embedding] AS qv
+         |  FROM embeddings
+         |), c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         |    qv AS cent
+         |  FROM q ORDER BY vec_id LIMIT 4
+         |), a0 AS (
+         |  SELECT vec_id, qv, cid FROM (
+         |    SELECT q.vec_id, q.qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dist("q.qv", "c.cent")}, c.cid) AS rn
+         |    FROM q, c0 c
+         |  ) WHERE rn = 1
+         |), e1 AS (
+         |  SELECT cid,
+         |    unnest([{'d': i - 1, 'v': qv[i]} FOR i IN range(1, len(qv) + 1)]) AS u
+         |  FROM a0
+         |), m1 AS (
+         |  SELECT cid, u.d AS d, sum(u.v) AS s, count(*) AS cnt
+         |  FROM e1 GROUP BY 1, 2
+         |), c1 AS (
+         |  SELECT cid,
+         |    list(CAST((s - ((s % cnt) + cnt) % cnt) / cnt AS BIGINT) ORDER BY d) AS cent
+         |  FROM m1 GROUP BY cid
+         |), a1 AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT q.vec_id, c.cid, ${dist("q.qv", "c.cent")} AS dist,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dist("q.qv", "c.cent")}, c.cid) AS rn
+         |    FROM q, c1 c
+         |  ) WHERE rn = 1
+         |)
+         |SELECT cid AS centroid_id, count(*) AS n_vecs,
+         |  CAST(sum(dist // $scale) AS BIGINT) AS sum_dist_u,
+         |  min(vec_id) AS min_vec
+         |FROM a1 GROUP BY 1""".stripMargin
+    }) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    VectorOps.kmeans(e, k = 4, iters = 1)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(VectorOps.floorDiv(col("dist"), lit(VectorOps.QuantScale)))
+          .as("sum_dist_u"),
+        min(col("vec_id")).as("min_vec"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(knnBrute, lshAnn, lshBuckets, centroidAssign, cosineNearDup,
-      embeddingDupClusters, ivfSearch, int8Knn)
+      embeddingDupClusters, ivfSearch, int8Knn, kmeansIter)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{TextLm, TextOps}
+import graft.operators.{TextLm, TextOps, TfIdf}
 
 /**
  * Gate for the n-gram LM perplexity filter (CCNet-style corpus quality
@@ -64,5 +64,55 @@ object LmQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("bits")).as("sum_bits"))
   }
 
-  def all: Seq[GateQuery] = Seq(lmPerplexity)
+  private val MinDf = 3L // DF table threshold: bounds the broadcast
+
+  /**
+   * Corpus-global TF-IDF weighting (q101): document-frequency table over
+   * the whole corpus (thresholded → broadcast), integer-exact IDF via the
+   * fixed-point log2 (idf_q16 = l2q16(N) − l2q16(df)), per-doc tf·idf
+   * sums histogrammed by whole-bit average weight. The "global term
+   * statistics" stage of a curation pipeline.
+   */
+  val tfidf = GateQuery(
+    "q101_tfidf",
+    Some {
+      val toks = TextOps.Sql.tokens.format("text")
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, $toks AS t FROM documents
+         |), df AS (
+         |  SELECT w, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, w
+         |        FROM (SELECT doc_id, unnest(t) AS w FROM toks))
+         |  GROUP BY 1 HAVING count(*) >= $MinDf
+         |), nd AS (
+         |  SELECT count(*) AS nd FROM documents
+         |), tf AS (
+         |  SELECT doc_id, lang, len(t) AS n_tokens, w, count(*) AS tf
+         |  FROM (SELECT doc_id, lang, t, unnest(t) AS w FROM toks)
+         |  GROUP BY 1, 2, 3, 4
+         |), scored AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    sum(CASE WHEN df.df IS NOT NULL THEN 1 ELSE 0 END) AS n_scored,
+         |    sum(CASE WHEN df.df IS NOT NULL
+         |        THEN tf * (${TextLm.Sql.l2q16("(nd)")} - ${TextLm.Sql.l2q16("(df)")})
+         |        ELSE 0 END) AS tfidf
+         |  FROM tf LEFT JOIN df USING (w) CROSS JOIN nd
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT lang, CAST((tfidf // n_tokens) // 16 AS BIGINT) AS twb,
+         |  count(*) AS n_docs,
+         |  CAST(sum(tfidf) AS BIGINT) AS sum_tfidf,
+         |  CAST(sum(n_scored) AS BIGINT) AS sum_scored
+         |FROM scored GROUP BY 1, 2""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "lang", "text")
+    val dft = TfIdf.docFreq(docs, "text", MinDf)
+    TfIdf.scoreDocs(docs, dft, "doc_id", "text", keepCols = Seq("lang"))
+      .groupBy(col("lang"),
+        TfIdf.weightBucket(col("tfidf_q16"), col("n_tokens")).as("twb"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tfidf_q16")).as("sum_tfidf"),
+        sum(col("n_scored")).as("sum_scored"))
+  }
+
+  def all: Seq[GateQuery] = Seq(lmPerplexity, tfidf)
 }
