@@ -402,7 +402,7 @@ object CdcQueries {
         |  SELECT schema_name, table_name, pk,
         |    arg_min(op, seq) AS first_op, arg_max(op, seq) AS last_op,
         |    arg_max(coalesce(val_after, -1), seq) AS last_val_raw
-        |  FROM split GROUP BY 1, 2, 3
+        |  FROM split WHERE pk % 19 = 0 GROUP BY 1, 2, 3
         |), comp AS (
         |  SELECT schema_name, table_name, pk,
         |    CASE WHEN first_op = 'I' AND last_op = 'D' THEN NULL
@@ -420,7 +420,21 @@ object CdcQueries {
         |FROM comp WHERE net_op IS NOT NULL AND net_op <> 'D'
         |GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
     import graft.streaming.{Sinks, SqlApply}
-    val comp = Compaction.compact(Transforms.updateSplit(CdcStream.derive(spark, dir)))
+    // Gate on a deterministic key-complete sample (post-split pk % 19):
+    // every surviving key keeps its FULL event history, so the rendered
+    // INSERT/REPLACE/DELETE sequences are realistic while the embedded
+    // single-threaded apply stays gate-sized. The engine-side render path
+    // is volume-independent (distributed foreachPartition).
+    // persisted: the render write and the table-list collect both consume
+    // it — without this the whole derive→split→compact pipeline runs twice
+    // prefilter is a superset of the post-split filter (split pk is the
+    // source row's pk or pk_after), so only ~5% of the stream reaches the
+    // split explode + compact shuffle; the post-split filter is exact
+    val comp = Compaction.compact(
+      Transforms.updateSplit(
+        CdcStream.derive(spark, dir)
+          .filter(col("pk") % 19 === 0 || col("pk_after") % 19 === 0))
+        .filter(col("pk") % 19 === 0)).persist()
     val abs = new java.io.File(dir).getAbsolutePath
     val tag = Integer.toHexString(abs.hashCode) + "_" + ProcessHandle.current.pid
     val sqlDir = System.getProperty("java.io.tmpdir") + s"/graft_sql_apply_$tag"
@@ -431,6 +445,7 @@ object CdcQueries {
     Sinks.sqlFileSink(sqlDir)(comp, 0L)
     val tables = comp.select("schema_name", "table_name").distinct().collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    comp.unpersist()
     SqlApply.applyAndReadState(spark, sqlDir, tables, dbName = s"graft_apply_$tag")
       .groupBy("schema_name", "table_name")
       .agg(count(lit(1)).as("n_rows"), sum(col("pk")).as("sum_pk"),

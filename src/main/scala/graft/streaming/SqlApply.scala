@@ -112,6 +112,7 @@ object SqlApply {
   def applyAndReadState(spark: SparkSession, sqlDir: String,
                         tables: Seq[(String, String)],
                         dbName: String = "graft_apply"): DataFrame = {
+    val t0 = System.nanoTime()
     val stateRows = withConnection(dbName) { conn =>
       val st = conn.createStatement()
       tables.map(_._1).distinct.foreach { s =>
@@ -130,11 +131,14 @@ object SqlApply {
       conn.setAutoCommit(false)
       files.filter(_.getFileName.toString.endsWith(".sql")).sortBy(_.toString)
         .foreach { p: Path =>
+          // one JDBC batch + one txn per rendered file (one sink flush);
+          // executeBatch preserves statement order per the JDBC spec
           Files.readAllLines(p).asScala
             .map(_.trim).filter(_.nonEmpty)
             .flatMap(line => toDerby(line.stripSuffix(";")))
-            .foreach(st.executeUpdate)
-          conn.commit() // one txn per rendered file, like one sink flush
+            .foreach(st.addBatch)
+          st.executeBatch()
+          conn.commit()
         }
       val rows = Vector.newBuilder[Row]
       tables.foreach { case (s, t) =>
@@ -149,6 +153,8 @@ object SqlApply {
       conn.commit() // read-back opened a txn under autoCommit=false
       rows.result()
     }
+    System.err.println(
+      f"[sqlapply] ${stateRows.size} state rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.createDataFrame(
       spark.sparkContext.parallelize(stateRows, 4),
       StructType(Seq(
