@@ -255,6 +255,31 @@ object TextRuns {
   def gramPairs(text: Column): Column =
     ExpressionUtils.column(GramPairs(ExpressionUtils.expression(text)))
 
+  /** Distinct tokens with their in-doc occurrence counts in ONE
+    * tokenization pass: array<struct(w string, tf long)>, sorted by w.
+    * Replaces the explode-all-occurrences → groupBy((doc, token)) shape —
+    * at corpus scale that shuffles every token occurrence; this emits one
+    * row per DISTINCT token straight into the (broadcast) DF join. */
+  def tokenTfArray(text: UTF8String): ArrayData = {
+    val toks = Whitespace.split(text.toString, -1)
+    val m = new java.util.TreeMap[String, Long]()
+    var i = 0
+    while (i < toks.length) { m.merge(toks(i), 1L, (a, b) => a + b); i += 1 }
+    val out = new Array[Any](m.size())
+    var j = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(e.getKey), e.getValue))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def tokenTf(text: Column): Column =
+    ExpressionUtils.column(TokenTf(ExpressionUtils.expression(text)))
+
   def minhashAnalyze(text: Column, n: Int, k: Int): Column =
     ExpressionUtils.column(MinHashAnalyze(ExpressionUtils.expression(text), n, k))
 
@@ -320,6 +345,20 @@ case class GramPairs(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.gramPairArray($c)")
   override protected def withNewChildInternal(newChild: Expression): GramPairs =
+    copy(child = newChild)
+}
+
+/** text → array<struct(w string, tf long)>: distinct tokens with in-doc
+  * counts, sorted by token, one tokenization pass per row. */
+case class TokenTf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuns.tokenTfArray(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.tokenTfArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenTf =
     copy(child = newChild)
 }
 

@@ -40,11 +40,14 @@ object TfIdf {
                 keepCols: Seq[String] = Nil): DataFrame = {
     val keyCols = (idCol +: keepCols).map(col)
     val nd = corpus.agg(count(lit(1)).as("nd")) // one row, broadcast
+    // tf per distinct token computed IN the row (one tokenization pass,
+    // graft.functions.TextRuns.tokenTf) — the explode-then-groupBy form
+    // would shuffle every token occurrence at corpus scale
     val tf = corpus
       .select(keyCols :+ size(TextOps.tokens(col(textCol))).as("n_tokens")
-        :+ explode(TextOps.tokens(col(textCol))).as("w"): _*)
-      .groupBy((idCol +: keepCols :+ "n_tokens" :+ "w").map(col): _*)
-      .agg(count(lit(1)).as("tf"))
+        :+ explode(graft.functions.TextRuns.tokenTf(col(textCol))).as("p"): _*)
+      .select(keyCols :+ col("n_tokens") :+ col("p.w").as("w")
+        :+ col("p.tf").as("tf"): _*)
     tf.join(broadcast(df), Seq("w"), "left")
       .crossJoin(broadcast(nd))
       .withColumn("wscore",
