@@ -197,8 +197,10 @@ object VectorOps {
    * interpreted k·d argmin per row is fine for k in the hundreds; beyond
    * that the assignment belongs in a codegen'd kernel (TextRuns pattern).
    *
-   * Returns the final assignment (idCol, centroid_id, dist) against the
-   * centroids after `iters` recompute rounds.
+   * Returns the final assignment (idCol, vecCol, centroid_id, dist)
+   * against the centroids after `iters` recompute rounds — the vector
+   * rides along so downstream within-cluster work (SemDeDup pair
+   * generation, IVF cell search) needs no join back.
    */
   def kmeans(df: DataFrame, k: Int, iters: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -229,7 +231,7 @@ object VectorOps {
         .sortBy(_._1)
       round += 1
     }
-    assign(cents).drop(vecCol)
+    assign(cents)
   }
 
   /**

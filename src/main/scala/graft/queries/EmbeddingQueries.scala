@@ -295,9 +295,10 @@ object EmbeddingQueries {
    * distances throughout. The oracle unrolls the same round in SQL, so
    * every vector's final cluster and distance must match bit-for-bit.
    */
-  val kmeansIter = GateQuery(
-    "q102_kmeans",
-    Some {
+  /** Shared oracle CTE chain for one k=4 Lloyd round: seeds c0 → assign
+    * a0 → integer-mean recompute c1 → final assignment a1(vec_id, cid,
+    * dist). Consumed by q102 (cluster shape) and q103 (semantic dedup). */
+  private val kmeansCteSql: String = {
       val scale = VectorOps.QuantScale
       val dist = (qv: String, c: String) =>
         s"list_sum([($qv[i] - $c[i]) * ($qv[i] - $c[i]) FOR i IN range(1, len($qv) + 1)])"
@@ -334,12 +335,17 @@ object EmbeddingQueries {
          |        ORDER BY ${dist("q.qv", "c.cent")}, c.cid) AS rn
          |    FROM q, c1 c
          |  ) WHERE rn = 1
-         |)
+         |)""".stripMargin
+  }
+
+  val kmeansIter = GateQuery(
+    "q102_kmeans",
+    Some(kmeansCteSql +
+      s"""
          |SELECT cid AS centroid_id, count(*) AS n_vecs,
-         |  CAST(sum(dist // $scale) AS BIGINT) AS sum_dist_u,
+         |  CAST(sum(dist // ${VectorOps.QuantScale}) AS BIGINT) AS sum_dist_u,
          |  min(vec_id) AS min_vec
-         |FROM a1 GROUP BY 1""".stripMargin
-    }) { (spark, dir) =>
+         |FROM a1 GROUP BY 1""".stripMargin)) { (spark, dir) =>
     val e = Tables.load(spark, dir, "embeddings")
     VectorOps.kmeans(e, k = 4, iters = 1)
       .groupBy("centroid_id")
@@ -349,7 +355,54 @@ object EmbeddingQueries {
         min(col("vec_id")).as("min_vec"))
   }
 
+  /**
+   * q103 — semantic dedup (SemDeDup): cluster the corpus (k-means), then
+   * find near-duplicates ONLY within (cluster × LSH bucket) — two
+   * independent pruning keys compose, so candidate generation stays far
+   * from n² even inside big clusters; exact cosine confirms. At 100 TB
+   * the corpus is partitioned by cluster id and each pair join touches
+   * one cell.
+   */
+  val semanticDedup = GateQuery(
+    "q103_semantic_dedup",
+    Some {
+      val sig = VectorOps.Sql.lshSignature("e.embedding", NearDupPlanes, 64)
+      val cos = VectorOps.Sql.cosine("a.embedding", "b.embedding")
+      kmeansCteSql +
+        s""", members AS (
+           |  SELECT a1.cid, a1.vec_id, e.embedding, $sig AS sig
+           |  FROM a1 JOIN embeddings e USING (vec_id)
+           |)
+           |SELECT cid AS centroid_id, count(*) AS n_pairs,
+           |  CAST(sum(CAST(cos AS DECIMAL(18,9))) AS DOUBLE) AS sum_cos,
+           |  min(id_a) AS min_a, max(id_b) AS max_b
+           |FROM (
+           |  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos
+           |  FROM members a JOIN members b
+           |    ON a.cid = b.cid AND a.sig = b.sig AND a.vec_id < b.vec_id
+           |)
+           |WHERE cos >= 0.3
+           |GROUP BY 1""".stripMargin
+    }) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    val m = VectorOps.kmeans(e, k = 4, iters = 1)
+      .withColumn("sig", VectorOps.lshSignature(col("embedding"), NearDupPlanes, 64))
+      .withColumn("n", VectorOps.norm(col("embedding")))
+      .select("centroid_id", "vec_id", "embedding", "sig", "n")
+    m.as("a").join(m.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        VectorOps.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.n") * col("b.n")))
+      .filter(col("cos") >= 0.3)
+      .groupBy(col("a.centroid_id").as("centroid_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cos").cast("decimal(18,9)")).cast("double").as("sum_cos"),
+        min(col("a.vec_id")).as("min_a"), max(col("b.vec_id")).as("max_b"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(knnBrute, lshAnn, lshBuckets, centroidAssign, cosineNearDup,
-      embeddingDupClusters, ivfSearch, int8Knn, kmeansIter)
+      embeddingDupClusters, ivfSearch, int8Knn, kmeansIter, semanticDedup)
 }
