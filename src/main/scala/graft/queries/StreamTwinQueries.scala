@@ -371,7 +371,63 @@ object StreamTwinQueries {
         "checkpoint_ts", "n_safe")
   }
 
+  /**
+   * W6 — late-data drop (batch twin of Structured Streaming's watermark):
+   * event times are deterministically jittered against arrival order, the
+   * watermark in force DURING a microbatch is the max event time of all
+   * COMPLETED batches minus the delay (exactly how SS advances watermarks
+   * between triggers), and rows below it are late. The per-batch max
+   * table is control-plane sized, so the running-max window runs over
+   * hundreds of rows, not the stream.
+   */
+  private val WmBatch = 500L
+  private val WmDelay = 300L
+
+  val lateData = GateQuery(
+    "q104_late_data",
+    Some(cte +
+      s""", ev AS (
+         |  SELECT *, commit_ts + (pk % 7) * 100 - 300 AS et,
+         |    commit_ts // $WmBatch AS batch_id
+         |  FROM cdc
+         |), bmax AS (
+         |  SELECT batch_id, max(et) AS bmax FROM ev GROUP BY 1
+         |), wm AS (
+         |  SELECT batch_id,
+         |    max(bmax) OVER (ORDER BY batch_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - $WmDelay AS wm
+         |  FROM bmax
+         |)
+         |SELECT schema_name, table_name, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN et < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         |  CAST(sum(CASE WHEN et < wm THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+         |  min(CASE WHEN et < wm THEN NULL ELSE et END) AS min_kept_et,
+         |  max(CASE WHEN et < wm THEN NULL ELSE et END) AS max_kept_et
+         |FROM ev JOIN wm USING (batch_id)
+         |GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = CdcStream.derive(spark, dir)
+      .withColumn("et", col("commit_ts") + (col("pk") % 7) * 100 - 300)
+      .withColumn("batch_id",
+        graft.operators.VectorOps.floorDiv(col("commit_ts"), lit(WmBatch)))
+    val bmax = ev.groupBy("batch_id").agg(max(col("et")).as("bmax"))
+    // single-partition window is fine: one row per microbatch (control
+    // plane), not per event
+    val wm = bmax.withColumn("wm",
+      max(col("bmax")).over(Window.orderBy("batch_id")
+        .rowsBetween(Window.unboundedPreceding, -1)) - WmDelay)
+      .select("batch_id", "wm")
+    val late = col("et") < col("wm")
+    ev.join(broadcast(wm), Seq("batch_id"))
+      .groupBy("schema_name", "table_name")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(late, 1L).otherwise(0L)).as("n_late"),
+        sum(when(late, 0L).otherwise(1L)).as("n_kept"),
+        min(when(late, lit(null)).otherwise(col("et"))).as("min_kept_et"),
+        max(when(late, lit(null)).otherwise(col("et"))).as("max_kept_et"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(checkpointResume, optimisticLattice, redoReplay, syncpoints,
-      ddlBarrier, sinkProgress)
+      ddlBarrier, sinkProgress, lateData)
 }
