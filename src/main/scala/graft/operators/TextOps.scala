@@ -151,6 +151,21 @@ object TextOps {
         (coalesce(sum(when(col("cnt") > 1, col("chars") * col("cnt"))), lit(0L)).cast("double") /
           sum(col("chars") * col("cnt")).cast("double")).as("dup_char_frac"))
 
+  /**
+   * Hashed-feature linear classifier SERVING — the model-based quality
+   * filter stage (fastText-shape): each token maps to an integer weight
+   * in [-10, 10] via a seeded portable hash (the feature-hashing trick;
+   * a trained model supplies the same token→weight map as a broadcast
+   * lookup or a literal array indexed by bucket), and the document score
+   * is the fold of its token weights. Map-only, in-row, no join or
+   * shuffle anywhere — the serving plan is identical whichever weight
+   * source is plugged in. At 100 TB the per-token md5 moves into a
+   * codegen'd kernel (TextRuns pattern); values here stay oracle-portable.
+   */
+  def linearScore(text: Column, seed: Int): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + pmod(Hashing.seeded(t, lit(seed)), lit(21L)) - 10L)
+
   /** DuckDB twins (keep in lockstep). */
   object Sql {
     val tokens = "regexp_split_to_array(%s, '\\s+')"
@@ -187,6 +202,10 @@ object TextOps {
     def dupTokenFrac(e: String): String = {
       val toks = tokens.format(e)
       s"(1.0 - CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE))"
+    }
+    def linearScore(e: String, seed: Int): String = {
+      val h = Hashing.Sql.seeded("t", seed.toString)
+      s"list_sum([(($h) % 21) - 10 FOR t IN ${tokens.format(e)}])"
     }
   }
 }

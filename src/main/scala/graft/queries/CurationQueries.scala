@@ -232,6 +232,31 @@ object CurationQueries {
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
 
+  // ---- q105: model-based quality classifier -------------------------
+
+  private val ClsSeed = 3
+
+  /** Hashed-feature linear classifier serving ([[TextOps.linearScore]]):
+    * per-doc integer score folded in-row from token weights, keep/drop at
+    * score >= 0 — the fastText-style model filter stage with the weight
+    * lookup swapped for a portable hash so the oracle reproduces every
+    * score exactly. */
+  val qualityClassifier = GateQuery(
+    "q105_quality_classifier",
+    Some {
+      val score = TextOps.Sql.linearScore("text", ClsSeed)
+      s"""SELECT lang, keep, count(*) AS n_docs,
+         |  CAST(sum(score) AS BIGINT) AS sum_score
+         |FROM (SELECT lang, $score AS score, ($score) >= 0 AS keep
+         |      FROM documents)
+         |GROUP BY 1, 2""".stripMargin
+    }) { (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), TextOps.linearScore(col("text"), ClsSeed).as("score"))
+      .groupBy(col("lang"), (col("score") >= 0).as("keep"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
+  }
+
   def all: Seq[GateQuery] = Seq(contamination, stratifiedSample, tokenPacking,
-    piiScan, mixturePlan)
+    piiScan, mixturePlan, qualityClassifier)
 }
