@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+import graft.streaming.{DdlStream, Sinks}
+
+/** Unit semantics for the round-6 operators: k-means Lloyd iterations,
+  * DDL-barrier epochs, and sink-progress checkpoint algebra. */
+class KmeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeans separates two obvious groups and is deterministic") {
+    // two tight groups around (0,0,...) and (10,10,...)
+    val vecs = (0L to 5L).map { i =>
+      val base = if (i < 3) 0.0 else 10.0
+      (i, Array.fill(4)(base + i * 0.01f).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = VectorOps.kmeans(vecs, k = 2, iters = 2)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(got(0L) == got(1L) && got(1L) == got(2L))
+    assert(got(3L) == got(4L) && got(4L) == got(5L))
+    assert(got(0L) != got(3L))
+    // second run: identical assignment (deterministic seeds/ties/means)
+    val again = VectorOps.kmeans(vecs, k = 2, iters = 2)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
+
+  test("barrierEpochs: epoch counts DDLs at or below the row ts") {
+    val rows = Seq(
+      ("t1", 100L), ("t1", 150L), ("t1", 200L), ("t1", 250L),
+      ("t2", 120L)).toDF("table_name", "commit_ts")
+    val ddls = Seq(("t1", 150L), ("t1", 240L)).toDF("table_name", "ddl_ts")
+    val got = DdlStream.barrierEpochs(rows, ddls)
+      .select("table_name", "commit_ts", "epoch", "barrier_ts")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("t1", 100L, 0L, 0L),   // before any DDL
+      ("t1", 150L, 1L, 150L), // at the barrier → after it applies
+      ("t1", 200L, 1L, 150L),
+      ("t1", 250L, 2L, 240L),
+      ("t2", 120L, 0L, 0L)))  // no DDLs for t2
+  }
+
+  test("sinkProgress: checkpoint is the min flushed watermark across tables") {
+    val ev = Seq(
+      ("db", "a", 10L, true), ("db", "a", 20L, true), ("db", "a", 30L, false),
+      ("db", "b", 12L, true), ("db", "b", 40L, false))
+      .toDF("schema_name", "table_name", "commit_ts", "f")
+    val got = Sinks.sinkProgress(ev, col("f"))
+      .select("table_name", "n_flushed", "flushed_ts", "checkpoint_ts", "n_safe")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // flushed: a→20, b→12; checkpoint = min = 12; safe: ts <= 12
+    assert(got == Set(("a", 2L, 20L, 12L, 1L), ("b", 1L, 12L, 12L, 1L)))
+  }
+}
