@@ -235,6 +235,78 @@ object VectorOps {
   }
 
   /**
+   * Product quantization (PQ) — the billion-vector compression layout
+   * (IVF+PQ): the vector splits into `m` subspaces; each subspace has a
+   * small codebook and stores only the nearest codeword's id (log2(k)
+   * bits per subspace instead of 4 bytes per float). Codebooks are
+   * control-plane data (m·k·subDim longs) folded into the plan as
+   * literals, so ENCODING is one map-only pass — no join, no shuffle.
+   * Search uses asymmetric distance computation (ADC): the query
+   * precomputes its distance to every codeword (m·k values) and a doc's
+   * distance is m table lookups by code — never touching the original
+   * vectors.
+   *
+   * `codebooks(s)(j)` = quantized codeword j of subspace s. Training is
+   * [[kmeans]] per subspace slice (or any offline trainer); encode/search
+   * only consume the table. Deterministic: integer distances, code ties
+   * break low.
+   */
+  def pqEncode(df: DataFrame, codebooks: Seq[Seq[Seq[Long]]], subDim: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = df.withColumn("qv", quantize(col(vecCol)))
+    val codes = codebooks.zipWithIndex.map { case (book, s) =>
+      val sub = slice(col("qv"), s * subDim + 1, subDim)
+      val ds = book.zipWithIndex.map { case (cw, j) =>
+        struct(sqDistQ(sub, array(cw.map(lit): _*)).as("dist"),
+          lit(j.toLong).as("code"))
+      }
+      least(ds: _*).getField("code")
+    }
+    q.select(col(idCol), col(vecCol), array(codes: _*).as("codes"))
+  }
+
+  /**
+   * PQ-ADC top-k: per query, distance to a doc = Σ over subspaces of the
+   * query's precomputed distance to the doc's codeword. Queries are few
+   * (broadcast); the corpus side reads only the code arrays.
+   */
+  def pqSearch(encoded: DataFrame, queries: DataFrame,
+               codebooks: Seq[Seq[Seq[Long]]], subDim: Int, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qq = queries.withColumn("qq", quantize(col(vecCol)))
+    val dtabs = codebooks.zipWithIndex.map { case (book, s) =>
+      val sub = slice(col("qq"), s * subDim + 1, subDim)
+      array(book.map(cw => sqDistQ(sub, array(cw.map(lit): _*))): _*).as(s"dt$s")
+    }
+    val qside = qq.select(col(idCol).as("query_id") +: dtabs: _*)
+    val adc = codebooks.indices.map { s =>
+      element_at(col(s"dt$s"), element_at(col("codes"), s + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    encoded.select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(qside))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc")
+  }
+
+  /** Deterministic codebook stand-in for gates: subspace slices of the k
+    * smallest-id quantized vectors (the kmeans seed rule — a production
+    * pipeline trains per-subspace [[kmeans]] offline and plugs the result
+    * in here unchanged). */
+  def seedCodebooks(df: DataFrame, m: Int, k: Int, subDim: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Long]]] = {
+    val seeds = df.orderBy(col(idCol)).limit(k)
+      .select(quantize(col(vecCol)).as("qv")).collect()
+      .map(_.getSeq[Long](0).toSeq).toSeq
+    (0 until m).map(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+  }
+
+  /**
    * IVF probe search: rank candidate cells per query by centroid distance,
    * search only the `nProbe` nearest cells. With the corpus PARTITIONED by
    * assigned centroid (the 100 TB layout: one directory per cell, partition

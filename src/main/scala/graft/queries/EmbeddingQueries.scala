@@ -402,7 +402,64 @@ object EmbeddingQueries {
         min(col("a.vec_id")).as("min_a"), max(col("b.vec_id")).as("max_b"))
   }
 
+  /**
+   * q106 — product quantization + ADC search (the IVF-PQ compression
+   * layout): docs store only m=4 codeword ids (codebooks = subspace
+   * slices of the deterministic seed vectors), queries precompute m·k
+   * codeword distances, and ranking uses table lookups only — the
+   * original vectors never participate in search. Exact integer
+   * arithmetic end to end; the oracle derives codebooks, codes, and ADC
+   * ranks independently and every (query, rank, neighbor, distance) must
+   * match.
+   */
+  val pqAdc = GateQuery(
+    "q106_pq_adc",
+    Some {
+      val scale = VectorOps.QuantScale
+      val sub = "qv[(s * 16 + 1):((s + 1) * 16)]"
+      def d16(a: String, b: String) =
+        s"list_sum([($a[(s * 16 + i)] - $b[i]) * ($a[(s * 16 + i)] - $b[i]) FOR i IN range(1, 17)])"
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    [CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT) FOR x IN embedding] AS qv
+         |  FROM embeddings
+         |), seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, qv
+         |  FROM q ORDER BY vec_id LIMIT 4
+         |), sub AS (
+         |  SELECT ss.s, seeds.code, $sub AS cw
+         |  FROM seeds, (SELECT unnest([0, 1, 2, 3]) AS s) ss
+         |), dcodes AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT d.vec_id, sub.s, sub.code,
+         |      row_number() OVER (PARTITION BY d.vec_id, sub.s
+         |        ORDER BY ${d16("d.qv", "sub.cw")}, sub.code) AS rn
+         |    FROM q d, sub
+         |  ) WHERE rn = 1
+         |), qs AS (
+         |  SELECT vec_id AS query_id, qv FROM q WHERE $QueryFilter
+         |), qdt AS (
+         |  SELECT query_id, sub.s, sub.code, ${d16("qs.qv", "sub.cw")} AS d
+         |  FROM qs, sub
+         |), adc AS (
+         |  SELECT query_id, vec_id AS neighbor_id, CAST(sum(d) AS BIGINT) AS adc
+         |  FROM dcodes JOIN qdt USING (s, code)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, rank, neighbor_id, adc FROM (
+         |  SELECT query_id, neighbor_id, adc,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+         |  FROM adc WHERE query_id <> neighbor_id
+         |) WHERE rank <= 3""".stripMargin
+    }) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    val books = VectorOps.seedCodebooks(e, m = 4, k = 4, subDim = 16)
+    val enc = VectorOps.pqEncode(e, books, subDim = 16)
+    VectorOps.pqSearch(enc, e.filter(expr(QueryFilter)), books, subDim = 16, k = 3)
+  }
+
   def all: Seq[GateQuery] =
     Seq(knnBrute, lshAnn, lshBuckets, centroidAssign, cosineNearDup,
-      embeddingDupClusters, ivfSearch, int8Knn, kmeansIter, semanticDedup)
+      embeddingDupClusters, ivfSearch, int8Knn, kmeansIter, semanticDedup,
+      pqAdc)
 }
