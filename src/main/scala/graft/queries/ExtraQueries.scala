@@ -550,9 +550,48 @@ object ExtraQueries {
       .select("uuid", "n_intervals", "n_txns", "gtid_block", "has_100")
   }
 
+  /**
+   * q107 — skew mitigation is RESULT-INVARIANT: a 70 %-hot key joins
+   * through [[graft.operators.Skew.saltedJoin]] (dim exploded salts×,
+   * shuffle keys become (key, salt)) and aggregates through
+   * [[graft.operators.Skew.saltedAgg]] (two-phase partial fold), and the
+   * result must equal the plain join + groupBy the oracle computes — the
+   * salts are random per run, so only a semantics-preserving rewrite
+   * passes the hash check.
+   */
+  val saltedJoin = GateQuery(
+    "q107_salted_join",
+    Some(cte +
+      """, fact AS (
+        |  SELECT *, CASE WHEN pk % 10 < 7 THEN 0 ELSE pk % 100 END AS hot_key
+        |  FROM cdc
+        |), dim AS (
+        |  SELECT k AS hot_key, k * 7 + 1 AS attr
+        |  FROM (SELECT unnest(range(0, 100)) AS k)
+        |)
+        |SELECT hot_key % 10 AS kb, count(*) AS cnt,
+        |  CAST(sum(pk) AS BIGINT) AS sum_pk,
+        |  CAST(sum(attr) AS BIGINT) AS sum_attr
+        |FROM fact JOIN dim USING (hot_key)
+        |GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    import graft.operators.Skew
+    val fact = CdcStream.derive(spark, dir)
+      .withColumn("hot_key",
+        when(col("pk") % 10 < 7, 0L).otherwise(col("pk") % 100))
+    val dim = spark.range(100)
+      .select(col("id").as("hot_key"), (col("id") * 7 + 1).as("attr"))
+    val joined = Skew.saltedJoin(fact, dim, "hot_key", salts = 8)
+      .withColumn("kb", col("hot_key") % 10)
+    Skew.saltedAgg(joined, Seq("kb"), salts = 8,
+      partial = Seq(count(lit(1)).as("c"), sum(col("pk")).as("sp"),
+        sum(col("attr")).as("sa")),
+      fin = Seq(sum(col("c")).as("cnt"), sum(col("sp")).as("sum_pk"),
+        sum(col("sa")).as("sum_attr")))
+  }
+
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, claimCheck, handleKeyOnly,
     claimCheckWrite,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
-    jsonOps, jsonVariant, enumDict, gtidSets)
+    jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin)
 }
