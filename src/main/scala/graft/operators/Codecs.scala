@@ -508,33 +508,17 @@ object Codecs {
       m.getField("old").getField("etype")).as("etype"))
 
   /** E4 decoder — parse a [[csvLine]] back to envelope fields (reference
-    * pkg/sink/codec/csv/csv_decoder.go). One codegen'd regexp match per
-    * field over the whole line: quoted fields admit embedded (doubled)
-    * quotes and commas; numeric/null fields are unquoted; `\N` is NULL.
-    * Map-only and linear — no per-row CSV-reader object. */
-  private val CsvQ = "\"((?:[^\"]|\"\")*)\""            // quoted capture
-  private val CsvLineRe =
-    s"^$CsvQ,$CsvQ,$CsvQ,(-?\\d+),(-?\\d+),([^,]*),(?:$CsvQ|(\\\\N))$$"
+    * pkg/sink/codec/csv/csv_decoder.go): ONE `from_csv` parse per line
+    * (quote-doubling via escape='"', `\N` as the null literal), matching
+    * the encoder's quoting exactly. Map-only and linear. */
+  val csvDecodeSchema: StructType = new StructType()
+    .add("op", StringType).add("schema_name", StringType)
+    .add("table_name", StringType).add("commit_ts", LongType)
+    .add("pk", LongType).add("val", DoubleType).add("etype", StringType)
 
-  private def csvUnquote(g: Column): Column =
-    regexp_replace(g, "\"\"", "\"")
-
-  def csvDecode(line: Column): Column = {
-    def grp(i: Int) = regexp_extract(line, CsvLineRe, i)
-    val valRaw = grp(6)
-    val etypeQ = grp(7)
-    val etypeNull = grp(8)
-    struct(
-      csvUnquote(grp(1)).as("op"),
-      csvUnquote(grp(2)).as("schema_name"),
-      csvUnquote(grp(3)).as("table_name"),
-      grp(4).cast(LongType).as("commit_ts"),
-      grp(5).cast(LongType).as("pk"),
-      when(valRaw === "\\N", lit(null).cast(DoubleType))
-        .otherwise(valRaw.cast(DoubleType)).as("val"),
-      when(etypeNull === "\\N", lit(null).cast(StringType))
-        .otherwise(csvUnquote(etypeQ)).as("etype"))
-  }
+  def csvDecode(line: Column): Column =
+    from_csv(line, csvDecodeSchema, Map(
+      "sep" -> ",", "quote" -> "\"", "escape" -> "\"", "nullValue" -> "\\N"))
 
   /**
    * E3 (schema half) — Avro record schema generated per (schema, table)

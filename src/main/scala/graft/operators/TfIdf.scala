@@ -42,10 +42,14 @@ object TfIdf {
     val nd = corpus.agg(count(lit(1)).as("nd")) // one row, broadcast
     // tf per distinct token computed IN the row (one tokenization pass,
     // graft.functions.TextRuns.tokenTf) — the explode-then-groupBy form
-    // would shuffle every token occurrence at corpus scale
+    // would shuffle every token occurrence at corpus scale; n_tokens folds
+    // from the pair array rather than re-splitting the text
     val tf = corpus
-      .select(keyCols :+ size(TextOps.tokens(col(textCol))).as("n_tokens")
-        :+ explode(graft.functions.TextRuns.tokenTf(col(textCol))).as("p"): _*)
+      .withColumn("_tfp", graft.functions.TextRuns.tokenTf(col(textCol)))
+      .select(keyCols
+        :+ aggregate(col("_tfp"), lit(0L),
+          (acc, p) => acc + p.getField("tf")).as("n_tokens")
+        :+ explode(col("_tfp")).as("p"): _*)
       .select(keyCols :+ col("n_tokens") :+ col("p.w").as("w")
         :+ col("p.tf").as("tf"): _*)
     tf.join(broadcast(df), Seq("w"), "left")

@@ -163,6 +163,11 @@ object VectorOps {
   def sqDistQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
 
+  /** least() requires >= 2 args; degenerate single-candidate sets (all
+    * clusters collapsed to one, single-codeword codebooks) are legal. */
+  private def leastOf(ds: Seq[Column]): Column =
+    if (ds.sizeIs == 1) ds.head else least(ds: _*)
+
   /**
    * Nearest-centroid assignment (all-integer, deterministic): broadcast the
    * tiny centroid table, compute exact distances, keep the argmin with
@@ -217,7 +222,7 @@ object VectorOps {
       }
       // bind the k distance structs once per row; least() is lexicographic
       // (dist, then cid) so ties are deterministic
-      q.withColumn("best", least(ds: _*))
+      q.withColumn("best", leastOf(ds))
         .select(col(idCol), col(vecCol),
           col("best.cid").as("centroid_id"), col("best.dist").as("dist"))
     }
@@ -260,7 +265,7 @@ object VectorOps {
         struct(sqDistQ(sub, array(cw.map(lit): _*)).as("dist"),
           lit(j.toLong).as("code"))
       }
-      least(ds: _*).getField("code")
+      leastOf(ds).getField("code")
     }
     q.select(col(idCol), col(vecCol), array(codes: _*).as("codes"))
   }
@@ -348,8 +353,12 @@ object VectorOps {
       s"sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN $aE]))"
     def cosine(aE: String, bE: String): String =
       s"(${dot(aE, bE)}) / ((${norm(aE)}) * (${norm(bE)}))"
+    // zero-norm guard on the NORM only — NULL elements must stay NULL in
+    // both engines (a blanket coalesce would turn them into 0 here while
+    // Spark's otherwise-branch propagates the null)
     def quantizeInt8(vecE: String): String =
-      s"[CAST(floor(coalesce(CAST(x AS DOUBLE) * 127 / NULLIF(${norm(vecE)}, 0), 0)) AS BIGINT) FOR x IN $vecE]"
+      s"[CASE WHEN (${norm(vecE)}) = 0 THEN 0 " +
+        s"ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / (${norm(vecE)})) AS BIGINT) END FOR x IN $vecE]"
     def dotQ(aE: String, bE: String): String =
       s"CAST(list_sum([x[1] * x[2] FOR x IN list_zip($aE, $bE)]) AS BIGINT)"
     def lshSignature(vecE: String, planes: Int, dim: Int): String = {

@@ -367,6 +367,7 @@ object CdcQueries {
     // Key the scratch dir by absolute-path hash + PID so concurrent gate
     // processes on same-named scale dirs (bench + correctness both at
     // sf0.001) can't delete each other's files mid-read.
+    Gate.sweepStaleScratch("graft_storage_rt_")
     val abs = new java.io.File(dir).getAbsolutePath
     val base = System.getProperty("java.io.tmpdir") +
       s"/graft_storage_rt_${new java.io.File(dir).getName}_" +
@@ -420,6 +421,7 @@ object CdcQueries {
         |FROM comp WHERE net_op IS NOT NULL AND net_op <> 'D'
         |GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
     import graft.streaming.{Sinks, SqlApply}
+    Gate.sweepStaleScratch("graft_sql_apply_")
     // Gate on a deterministic key-complete sample (post-split pk % 19):
     // every surviving key keeps its FULL event history, so the rendered
     // INSERT/REPLACE/DELETE sequences are realistic while the embedded

@@ -15,6 +15,30 @@ final case class GateQuery(
     val run: (SparkSession, String) => DataFrame)
 
 object Gate {
+
+  /**
+   * Remove stale PID-keyed scratch dirs of FINISHED gate processes under
+   * java.io.tmpdir (dirs are named `<prefix>..._<pid>` so concurrent live
+   * runs never collide — but without this sweep every bench/verify
+   * invocation would leak its predecessor's tree). A dir is removed only
+   * when its embedded PID is not alive.
+   */
+  def sweepStaleScratch(prefix: String): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Option(tmp.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .foreach { f =>
+        val pid = f.getName.substring(f.getName.lastIndexOf('_') + 1).toLongOption
+        val alive = pid.exists(p =>
+          p == ProcessHandle.current.pid ||
+            ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+        if (!alive) rm(f)
+      }
+  }
+
   def all: Seq[GateQuery] =
     CoreQueries.all ++ CdcQueries.all ++ DiffQueries.all ++
       CodecQueries.all ++ GenericCodecQueries.all ++ DocQueries.all ++

@@ -354,7 +354,11 @@ object StreamTwinQueries {
         |    CAST(sum(CASE WHEN seq <= flush_cap THEN 1 ELSE 0 END) AS BIGINT) AS n_flushed,
         |    max(CASE WHEN seq <= flush_cap THEN commit_ts END) AS flushed_ts
         |  FROM marked GROUP BY 1, 2
-        |), cp AS (SELECT min(flushed_ts) AS checkpoint_ts FROM pt)
+        |), cp AS (
+        |  SELECT CASE WHEN sum(CASE WHEN flushed_ts IS NULL THEN 1 ELSE 0 END) > 0
+        |              THEN NULL ELSE min(flushed_ts) END AS checkpoint_ts
+        |  FROM pt
+        |)
         |SELECT p.schema_name, p.table_name, p.n_flushed, p.flushed_ts,
         |  cp.checkpoint_ts,
         |  CAST((SELECT count(*) FROM cdc c

@@ -76,10 +76,16 @@ object DdlStream {
       .view.mapValues(_.map(_.getLong(1)).toSeq.sorted).toMap
     val emptyArr = array().cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.LongType, containsNull = false))
-    val tsArr = byTable.toSeq.sortBy(_._1).foldLeft(emptyArr) {
-      case (acc, (t, tss)) =>
-        when(col("table_name") === t, array(tss.map(lit): _*)).otherwise(acc)
-    }
+    // flat map-literal lookup — a per-table when() chain would nest one
+    // CaseWhen PER TABLE and blow analysis/codegen on a changefeed with
+    // thousands of tables
+    val sorted = byTable.toSeq.sortBy(_._1)
+    val tsArr =
+      if (sorted.isEmpty) emptyArr
+      else coalesce(element_at(
+        map(sorted.flatMap { case (t, tss) =>
+          Seq(lit(t), array(tss.map(lit): _*))
+        }: _*), col("table_name")), emptyArr)
     val passed = filter(tsArr, ts => ts <= col("commit_ts"))
     rows
       .withColumn("epoch", size(passed).cast("long"))

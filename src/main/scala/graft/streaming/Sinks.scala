@@ -164,7 +164,13 @@ object Sinks {
       .groupBy("schema_name", "table_name")
       .agg(sum(when(col("_f"), 1L).otherwise(0L)).as("n_flushed"),
         max(when(col("_f"), col("commit_ts"))).as("flushed_ts"))
-    val cp = pt.agg(min(col("flushed_ts")).as("checkpoint_ts"))
+    // a table with NOTHING flushed pins the checkpoint to null (nothing is
+    // safe) — a bare min() would skip its NULL watermark and falsely mark
+    // other tables' events as covered
+    val cp = pt.agg(
+      when(sum(when(col("flushed_ts").isNull, 1L).otherwise(0L)) > 0,
+        lit(null).cast("long"))
+        .otherwise(min(col("flushed_ts"))).as("checkpoint_ts"))
     val safe = events.crossJoin(broadcast(cp))
       .filter(col("commit_ts") <= col("checkpoint_ts"))
       .groupBy("schema_name", "table_name")

@@ -75,9 +75,26 @@ object SqlApply {
   private val ReplaceRe =
     """(?s)^REPLACE INTO (\S+) \(([^)]*)\) VALUES (.*)$""".r
 
+  /** Backtick → standard-quote identifier translation that leaves
+    * single-quoted string literals untouched (a value containing a
+    * backtick must survive byte-identical). */
+  private def requoteIdentifiers(stmt: String): String = {
+    val sb = new java.lang.StringBuilder(stmt.length)
+    var inStr = false
+    var i = 0
+    while (i < stmt.length) {
+      val ch = stmt.charAt(i)
+      if (ch == '\'') { inStr = !inStr; sb.append(ch) }
+      else if (ch == '`' && !inStr) sb.append('"')
+      else sb.append(ch)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** MySQL-dialect statement (no trailing `;`) → Derby statements. */
   def toDerby(stmt: String): Seq[String] = {
-    val std = stmt.replace('`', '"')
+    val std = requoteIdentifiers(stmt)
     std match {
       case ReplaceRe(table, cols, values) =>
         val keyCol = cols.split(",")(0).trim

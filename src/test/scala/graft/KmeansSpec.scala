@@ -42,6 +42,28 @@ class KmeansSpec extends SparkSpec {
       ("t2", 120L, 0L, 0L)))  // no DDLs for t2
   }
 
+  test("kmeans survives total cluster collapse (identical vectors)") {
+    val vecs = (0L to 3L).map(i => (i, Array.fill(4)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.kmeans(vecs, k = 2, iters = 1)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    // all vectors tie → everything lands in cid 0, cid 1 disappears,
+    // and the final assign over ONE surviving centroid must not crash
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("sinkProgress: an entirely-unflushed table pins the checkpoint to null") {
+    val ev = Seq(
+      ("db", "a", 10L, true), ("db", "a", 20L, true),
+      ("db", "b", 5L, false))
+      .toDF("schema_name", "table_name", "commit_ts", "f")
+    val got = Sinks.sinkProgress(ev, col("f"))
+      .select("table_name", "n_safe").as[(String, Long)].collect().toMap
+    // nothing is covered by the guarantee while b has flushed nothing —
+    // a bare min() would skip b's NULL watermark and claim a's events safe
+    assert(got == Map("a" -> 0L, "b" -> 0L))
+  }
+
   test("sinkProgress: checkpoint is the min flushed watermark across tables") {
     val ev = Seq(
       ("db", "a", 10L, true), ("db", "a", 20L, true), ("db", "a", 30L, false),

@@ -16,6 +16,11 @@ class SqlApplySpec extends SparkSpec {
       Seq("DELETE FROM \"db\".\"t\" WHERE \"pk\" IN (1, 2)"))
   }
 
+  test("backticks inside string literals survive untouched") {
+    assert(SqlApply.toDerby("INSERT INTO `db`.`t` (`pk`, `v`) VALUES (1, 'a`b')") ==
+      Seq("INSERT INTO \"db\".\"t\" (\"pk\", \"v\") VALUES (1, 'a`b')"))
+  }
+
   test("REPLACE translates to DELETE-existing-keys + INSERT") {
     val got = SqlApply.toDerby(
       "REPLACE INTO `db`.`t` (`pk`, `final_val`) VALUES (7, 0.25), (9, NULL)")
