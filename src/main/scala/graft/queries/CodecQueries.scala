@@ -591,9 +591,55 @@ object CodecQueries {
         col("e.val_after").as("val_after"), col("e.etype").as("etype"))
   }
 
+  /**
+   * E1 batch framing end to end (q108): key/value pairs pack into
+   * BatchVersion1 wire frames (16 pairs per message) per deterministic
+   * slot, the frames decode back to pairs, and the pairs decode back to
+   * envelope rows — the full consumer path for a batched Kafka topic.
+   * n_frames = ceil(n/16) per slot witnesses the framing actually split;
+   * the aggregates witness nothing was lost or reordered across the
+   * byte round trip.
+   */
+  val openBatchRoundtrip = GateQuery(
+    "q108_open_batch",
+    Some(cte +
+      s"""SELECT pk % 4 AS slot, count(*) AS n_msgs,
+         |  CAST((count(*) + 15) // 16 AS BIGINT) AS n_frames,
+         |  CAST(sum(pk) AS BIGINT) AS sum_pk,
+         |  CAST(coalesce(sum(CAST(CASE WHEN op = 'D' THEN val_before
+         |                          ELSE val_after END AS DECIMAL(18,6))), 0)
+         |       AS DOUBLE) AS sum_val
+         |FROM cdc WHERE $SampleE GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.OpenBatch
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    val pairs = df.select((col("pk") % 4).as("slot"), col("seq"),
+        Codecs.openProtocolKey(df).as("k"), Codecs.openProtocolValue(df).as("v"))
+      .as[(Long, Long, String, String)]
+    val rebuilt = pairs.groupByKey(_._1).flatMapGroups { (slot, it) =>
+      val sorted = it.toSeq.sortBy(_._2)
+      OpenBatch.encode(sorted.iterator.map(r =>
+          (r._3.getBytes("UTF-8"), r._4.getBytes("UTF-8"))), maxBatchSize = 16)
+        .zipWithIndex.flatMap { case ((mk, mv), fi) =>
+          OpenBatch.decode(mk, mv).iterator.map { case (k, v) =>
+            (slot, fi.toLong, new String(k, "UTF-8"), new String(v, "UTF-8"))
+          }
+        }
+    }.toDF("slot", "frame", "k", "v")
+    rebuilt
+      .withColumn("e", Codecs.openToEnvelope(
+        Codecs.openDecodeKey(col("k")), Codecs.openDecodeValue(col("v"))))
+      .groupBy("slot")
+      .agg(count(lit(1)).as("n_msgs"),
+        (countDistinct(col("frame"))).as("n_frames"),
+        sum(col("e.pk")).as("sum_pk"),
+        coalesce(sum(col("e.val").cast("decimal(18,6)")),
+          lit(0).cast("decimal(18,6)")).cast("double").as("sum_val"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas,
     avroBinary, craftRoundtrip, simple, kafkaRecord, pulsarRecord, rowcodecV2,
     debeziumRoundtrip, maxwellRoundtrip, openRoundtrip, csvRoundtrip,
-    simpleRoundtrip, avroEvolution)
+    simpleRoundtrip, avroEvolution, openBatchRoundtrip)
 }
