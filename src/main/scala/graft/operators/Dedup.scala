@@ -161,6 +161,25 @@ object Dedup {
       .select("new_id", "old_id", "jac_pct")
   }
 
+  /**
+   * Index MAINTENANCE — the other half of the incremental-dedup loop:
+   * admit the non-duplicate slice of a new analyzed batch into the
+   * persisted index. Duplicates (any match at or above `minJacPct`) are
+   * dropped; everything else appends its already-computed (id, sig, sh)
+   * row, so the updated index is byte-identical to one built from
+   * scratch over (existing ∪ admitted) — analysis is deterministic and
+   * no existing row is touched. Anti-join on the matched ids + append:
+   * at 100 TB this is a partition append to the bucketed index table,
+   * never a rewrite.
+   */
+  def admitToIndex(index: DataFrame, newAnalyzed: DataFrame,
+                   matches: DataFrame, minJacPct: Long): DataFrame =
+    index.unionByName(
+      newAnalyzed.join(
+        matches.filter(col("jac_pct") >= minJacPct)
+          .select(col("new_id").as("id")).distinct(),
+        Seq("id"), "left_anti"))
+
   /** Exact n-gram Jaccard similarity between two shingle arrays. Integer
     * set sizes + one double division — cross-engine deterministic. */
   def jaccard(aShingles: Column, bShingles: Column): Column = {

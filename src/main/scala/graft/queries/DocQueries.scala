@@ -328,9 +328,11 @@ object DocQueries {
    * (jac_pct >= 50), and the best match decoded from an integer max key
    * (jac desc, old_id asc) — no window, no floats.
    */
-  val incrementalDedup = GateQuery(
-    "q94_incremental_dedup",
-    Some {
+  /** Shared oracle chain for the incremental-dedup pair of gates: the
+    * persisted index, the new batch, LSH banding on both sides, candidate
+    * pairs, and integer-Jaccard scoring. q94 reads `scored`; q109 also
+    * reads `idx`/`nsig` to rebuild the admitted index. */
+  private val incrementalCte: String = {
       val shingleE = Dedup.Sql.shingles("text", ShingleN)
       val bandSig = (0 until BandRows)
         .map(i => s"CAST(sig[band * $BandRows + ${i + 1}] AS VARCHAR)")
@@ -367,7 +369,30 @@ object DocQueries {
            |  FROM cand
            |  JOIN nsig n ON cand.new_id = n.doc_id
            |  JOIN idx i ON cand.old_id = i.doc_id
-           |)
+           |)""".stripMargin
+  }
+
+  /** Shared Spark-side derivation for the incremental pair: the persisted
+    * index (base corpus) and the analyzed new batch (planted dups +
+    * token-reversed novel docs). */
+  private def incrementalParts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val c = corpus(spark, dir)
+    val idx = Dedup.minhashAnalyzed(c.filter(col("doc_id") < 100000L),
+      "doc_id", "text", ShingleN, MinhashK)
+    val fresh = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), "\\s+"))).as("text"))
+    val nb = c.filter(col("doc_id") >= 100000L).select("doc_id", "text")
+      .unionByName(fresh)
+    (idx, Dedup.minhashAnalyzed(nb, "doc_id", "text", ShingleN, MinhashK))
+  }
+
+  val incrementalDedup = GateQuery(
+    "q94_incremental_dedup",
+    Some(incrementalCte +
+      s"""
            |SELECT new_id, count(*) AS n_cand,
            |  CAST(sum(CASE WHEN jac_pct >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
            |  CAST(CASE WHEN max(CASE WHEN jac_pct >= 50
@@ -380,19 +405,9 @@ object DocQueries {
            |    ELSE max(CASE WHEN jac_pct >= 50
            |      THEN jac_pct * 1000000 + (999999 - old_id) ELSE -1 END) // 1000000
            |    END AS BIGINT) AS best_jac
-           |FROM scored GROUP BY new_id""".stripMargin
-    }) { (spark, dir) =>
+           |FROM scored GROUP BY new_id""".stripMargin)) { (spark, dir) =>
     import graft.operators.VectorOps.floorDiv
-    val c = corpus(spark, dir)
-    val idx = Dedup.minhashAnalyzed(c.filter(col("doc_id") < 100000L),
-      "doc_id", "text", ShingleN, MinhashK)
-    val fresh = Tables.load(spark, dir, "documents")
-      .filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 300000L).as("doc_id"),
-        concat_ws(" ", reverse(split(col("text"), "\\s+"))).as("text"))
-    val nb = c.filter(col("doc_id") >= 100000L).select("doc_id", "text")
-      .unionByName(fresh)
-    val na = Dedup.minhashAnalyzed(nb, "doc_id", "text", ShingleN, MinhashK)
+    val (idx, na) = incrementalParts(spark, dir)
     val matchKey = when(col("jac_pct") >= 50L,
       col("jac_pct") * 1000000L + (lit(999999L) - col("old_id"))).otherwise(-1L)
     Dedup.incrementalMatches(idx, na, MinhashK, Bands, MaxBucket)
@@ -407,7 +422,40 @@ object DocQueries {
       .drop("_bk")
   }
 
+  /**
+   * q109 — index maintenance, the other half of the incremental loop:
+   * non-duplicate new docs (no accepted match) ADMIT their analyzed rows
+   * into the persisted index ([[Dedup.admitToIndex]] — anti-join +
+   * append, never a rewrite). The oracle rebuilds the admitted index
+   * independently, so the stored signatures/shingle sets must be exactly
+   * what a from-scratch build over (existing ∪ admitted) produces.
+   */
+  val indexAdmit = GateQuery(
+    "q109_index_admit",
+    Some(incrementalCte +
+      s"""
+         |, matched AS (SELECT DISTINCT new_id FROM scored WHERE jac_pct >= 50)
+         |, idx2 AS (
+         |  SELECT doc_id, sig, sh FROM idx
+         |  UNION ALL
+         |  SELECT doc_id, sig, sh FROM nsig
+         |  WHERE doc_id NOT IN (SELECT new_id FROM matched)
+         |)
+         |SELECT count(*) AS n_docs, count(DISTINCT doc_id) AS n_ids,
+         |  CAST(sum(sig[1]) AS BIGINT) AS sum_sig1,
+         |  CAST(sum(len(sh)) AS BIGINT) AS sum_sh,
+         |  max(doc_id) AS max_doc
+         |FROM idx2""".stripMargin)) { (spark, dir) =>
+    val (idx, na) = incrementalParts(spark, dir)
+    val matches = Dedup.incrementalMatches(idx, na, MinhashK, Bands, MaxBucket)
+    Dedup.admitToIndex(idx, na, matches, 50L)
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("id")).as("n_ids"),
+        sum(element_at(col("sig"), 1)).as("sum_sig1"),
+        sum(size(col("sh")).cast("long")).as("sum_sh"),
+        max(col("id")).as("max_doc"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(textStats, qualityHist, langIdQ, fingerprints, repetition, exactDedup,
-      minhashLsh, simhashQ, dupClusters, incrementalDedup)
+      minhashLsh, simhashQ, dupClusters, incrementalDedup, indexAdmit)
 }
