@@ -372,22 +372,35 @@ object DocQueries {
            |)""".stripMargin
   }
 
-  /** Shared Spark-side derivation for the incremental pair: the persisted
-    * index (base corpus) and the analyzed new batch (planted dups +
-    * token-reversed novel docs). */
+  /** Shared Spark-side derivation for the incremental pair (q94 + q109):
+    * the persisted index (base corpus), the analyzed new batch (planted
+    * dups + token-reversed novel docs), and the match table. Persisted
+    * per dir — the index/batch analysis is the expensive one-time build
+    * and both gates consume it (the q84/q86 job-sharing pattern). */
+  private val incrementalCache = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
   private def incrementalParts(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val c = corpus(spark, dir)
-    val idx = Dedup.minhashAnalyzed(c.filter(col("doc_id") < 100000L),
-      "doc_id", "text", ShingleN, MinhashK)
-    val fresh = Tables.load(spark, dir, "documents")
-      .filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 300000L).as("doc_id"),
-        concat_ws(" ", reverse(split(col("text"), "\\s+"))).as("text"))
-    val nb = c.filter(col("doc_id") >= 100000L).select("doc_id", "text")
-      .unionByName(fresh)
-    (idx, Dedup.minhashAnalyzed(nb, "doc_id", "text", ShingleN, MinhashK))
-  }
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    incrementalCache.getOrElseUpdate(dir, {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val c = corpus(spark, dir)
+      val idx = Dedup.minhashAnalyzed(c.filter(col("doc_id") < 100000L),
+        "doc_id", "text", ShingleN, MinhashK).persist(lvl)
+      val fresh = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), "\\s+"))).as("text"))
+      val nb = c.filter(col("doc_id") >= 100000L).select("doc_id", "text")
+        .unionByName(fresh)
+      val na = Dedup.minhashAnalyzed(nb, "doc_id", "text", ShingleN, MinhashK)
+        .persist(lvl)
+      val matches = Dedup.incrementalMatches(idx, na, MinhashK, Bands, MaxBucket)
+        .persist(lvl)
+      (idx, na, matches)
+    })
 
   val incrementalDedup = GateQuery(
     "q94_incremental_dedup",
@@ -407,10 +420,10 @@ object DocQueries {
            |    END AS BIGINT) AS best_jac
            |FROM scored GROUP BY new_id""".stripMargin)) { (spark, dir) =>
     import graft.operators.VectorOps.floorDiv
-    val (idx, na) = incrementalParts(spark, dir)
+    val (_, _, matches) = incrementalParts(spark, dir)
     val matchKey = when(col("jac_pct") >= 50L,
       col("jac_pct") * 1000000L + (lit(999999L) - col("old_id"))).otherwise(-1L)
-    Dedup.incrementalMatches(idx, na, MinhashK, Bands, MaxBucket)
+    matches
       .groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_cand"),
         sum(when(col("jac_pct") >= 50L, 1L).otherwise(0L)).as("n_match"),
@@ -446,8 +459,7 @@ object DocQueries {
          |  CAST(sum(len(sh)) AS BIGINT) AS sum_sh,
          |  max(doc_id) AS max_doc
          |FROM idx2""".stripMargin)) { (spark, dir) =>
-    val (idx, na) = incrementalParts(spark, dir)
-    val matches = Dedup.incrementalMatches(idx, na, MinhashK, Bands, MaxBucket)
+    val (idx, na, matches) = incrementalParts(spark, dir)
     Dedup.admitToIndex(idx, na, matches, 50L)
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("id")).as("n_ids"),
         sum(element_at(col("sig"), 1)).as("sum_sig1"),
