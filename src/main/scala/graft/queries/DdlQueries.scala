@@ -169,5 +169,67 @@ object DdlQueries {
         min(col("commit_ts")).as("min_ts"), max(col("commit_ts")).as("max_ts"))
   }
 
-  def all: Seq[GateQuery] = Seq(shardDdlGate, precheck, ddlText)
+  /**
+   * F5 — DDL allow-list + ignore-regex filter (q110): a deterministic DDL
+   * corpus classifies through the REAL parser
+   * ([[graft.core.DdlParser.parse]] → canal event-type), then the
+   * allow-set and the ignore-SQL regexes
+   * ([[graft.operators.Filters.ddlSqlFilter]]) decide what passes. The
+   * oracle classifies the same statements with INDEPENDENT SQL regexes,
+   * so parser kind assignment and filter semantics are both pinned.
+   */
+  private val DdlCorpus = Seq(
+    "CREATE TABLE db.t1 (id BIGINT, v DOUBLE)",
+    "CREATE DATABASE db2",
+    "DROP TABLE db.t1",
+    "DROP DATABASE db2",
+    "ALTER TABLE db.t1 ADD COLUMN c INT",
+    "ALTER TABLE db.t1 DROP COLUMN c",
+    "ALTER TABLE db.t1 MODIFY COLUMN v BIGINT",
+    "ALTER TABLE db._t1_gho ADD COLUMN g INT",
+    "RENAME TABLE db.t1 TO db.t2",
+    "TRUNCATE TABLE db.t2",
+    "ALTER TABLE db.t1 ADD INDEX idx_v (v)",
+    "ALTER TABLE db.t1 DROP INDEX idx_v")
+  private val AllowKinds = Seq("CREATE", "ALTER", "RENAME", "CINDEX")
+  private val IgnoreRes = Seq("_gho")
+
+  val ddlAllowList = GateQuery(
+    "q110_ddl_allowlist",
+    Some {
+      val values = DdlCorpus.map(s => s"('${s.replace("'", "''")}')").mkString(", ")
+      val allowIn = AllowKinds.map(k => s"'$k'").mkString(", ")
+      s"""WITH ddl(sql) AS (VALUES $values),
+         |cls AS (
+         |  SELECT sql,
+         |    CASE WHEN regexp_matches(sql, '(?i)^CREATE (TABLE|DATABASE)') THEN 'CREATE'
+         |         WHEN regexp_matches(sql, '(?i)^DROP (TABLE|DATABASE)') THEN 'ERASE'
+         |         WHEN regexp_matches(sql, '(?i)^RENAME TABLE') THEN 'RENAME'
+         |         WHEN regexp_matches(sql, '(?i)^TRUNCATE') THEN 'TRUNCATE'
+         |         WHEN regexp_matches(sql, '(?i)^ALTER TABLE .* ADD INDEX') THEN 'CINDEX'
+         |         WHEN regexp_matches(sql, '(?i)^ALTER TABLE .* DROP INDEX') THEN 'DINDEX'
+         |         ELSE 'ALTER' END AS kind
+         |  FROM ddl
+         |)
+         |SELECT kind, count(*) AS n_stmts,
+         |  CAST(sum(CASE WHEN kind IN ($allowIn)
+         |                 AND NOT regexp_matches(sql, '_gho')
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+         |FROM cls GROUP BY 1""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    import graft.core.DdlParser
+    import graft.operators.{Codecs, Filters}
+    val rows = DdlCorpus.flatMap { sql =>
+      DdlParser.parse(sql, "db").map(st => (sql, Codecs.canalDdlType(st)))
+    }.toDF("ddl", "kind")
+    val passed = Filters.ddlSqlFilter(
+        rows.filter(col("kind").isin(AllowKinds: _*)), IgnoreRes)
+      .groupBy("kind").agg(count(lit(1)).as("n_passed"))
+    rows.groupBy("kind").agg(count(lit(1)).as("n_stmts"))
+      .join(passed, Seq("kind"), "left")
+      .withColumn("n_passed", coalesce(col("n_passed"), lit(0L)))
+  }
+
+  def all: Seq[GateQuery] = Seq(shardDdlGate, precheck, ddlText, ddlAllowList)
 }
