@@ -431,7 +431,61 @@ object StreamTwinQueries {
         max(when(late, lit(null)).otherwise(col("et"))).as("max_kept_et"))
   }
 
+  /**
+   * W4/K1 composition — the redo APPLIER (q111; reference pkg/applier,
+   * `cdc redo apply`): checkpoint state seeds a live embedded database,
+   * the redo window renders to causality-partitioned SQL and EXECUTES on
+   * top of it in SAFE MODE (net inserts re-render as REPLACE — the
+   * applier cannot know whether a key already landed before the crash,
+   * exactly the reference's forced safe-mode window), and the resulting
+   * downstream table state must equal direct compaction to the resolved
+   * ts. q76 proves the merge ALGEBRA; this proves the executable path.
+   * Sampled by key (pk % 19, both engines) to keep the single-threaded
+   * embedded apply gate-sized.
+   */
+  val redoApply = GateQuery(
+    "q111_redo_apply",
+    Some(cte +
+      s""", split AS (${splitSql(s"(SELECT * FROM cdc WHERE commit_ts <= $ResolvedTs)")}),
+         |sampled AS (SELECT * FROM split WHERE pk % 19 = 0),
+         |net AS (${netSql("sampled", "schema_name, table_name, pk")})
+         |SELECT schema_name, table_name, count(*) AS n_live,
+         |  CAST(sum(pk) AS BIGINT) AS sum_pk,
+         |  CAST(coalesce(sum(CAST(final_val AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_val
+         |FROM net WHERE net_op <> 'D' GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    import graft.streaming.{Sinks, SqlApply}
+    Gate.sweepStaleScratch("graft_redo_apply_")
+    val wal = Transforms.updateSplit(
+        CdcStream.derive(spark, dir)
+          .filter(col("pk") % 19 === 0 || col("pk_after") % 19 === 0))
+      .filter(col("pk") % 19 === 0 && col("commit_ts") <= ResolvedTs)
+      .persist()
+    val stage1 = Compaction.compact(wal.filter(col("commit_ts") <= CkptTs))
+    // safe mode: the applier re-renders net inserts as REPLACE
+    val redo = Compaction.compact(wal.filter(col("commit_ts") > CkptTs))
+      .withColumn("net_op",
+        when(col("net_op") === "I", "R").otherwise(col("net_op")))
+    val abs = new java.io.File(dir).getAbsolutePath
+    val tag = Integer.toHexString(abs.hashCode) + "_" + ProcessHandle.current.pid
+    val sqlDir = System.getProperty("java.io.tmpdir") + s"/graft_redo_apply_$tag"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(sqlDir))
+    Sinks.sqlFileSink(sqlDir)(stage1, 0L) // seed = checkpoint state
+    Sinks.sqlFileSink(sqlDir)(redo, 1L)   // then the redo window, safe mode
+    val tables = wal.select("schema_name", "table_name").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    wal.unpersist()
+    SqlApply.applyAndReadState(spark, sqlDir, tables,
+        dbName = s"graft_redo_$tag")
+      .groupBy("schema_name", "table_name")
+      .agg(count(lit(1)).as("n_live"), sum(col("pk")).as("sum_pk"),
+        coalesce(sum(col("final_val").cast("decimal(18,6)")),
+          lit(0).cast("decimal(18,6)")).cast("double").as("sum_val"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(checkpointResume, optimisticLattice, redoReplay, syncpoints,
-      ddlBarrier, sinkProgress, lateData)
+      ddlBarrier, sinkProgress, lateData, redoApply)
 }
