@@ -520,6 +520,55 @@ object Codecs {
     from_csv(line, csvDecodeSchema, Map(
       "sep" -> ",", "quote" -> "\"", "escape" -> "\"", "nullValue" -> "\\N"))
 
+  // ------------------------------------------------------------------
+  // Row integrity (reference pkg/integrity: integrity.check-level =
+  // "correctness" appends a row checksum to encoded events — canal-json
+  // carries it in the `_tidb` extension block, avro/open in a checksum
+  // field — and consumers recompute it over the decoded columns to catch
+  // wire/middleware corruption). Checksum here is the engine's portable
+  // 60-bit digest folded to 32 bits (the reference uses CRC32 over
+  // little-endian column encodings; DuckDB lacks crc32, so the oracle
+  // twin keeps cross-engine verifiability — a documented deviation).
+  // ------------------------------------------------------------------
+
+  /** Row checksum over the carried image, [0, 2^32). Fields join on an
+    * explicit separator (unambiguous concatenation) with a null marker. */
+  def rowChecksum(pk: Column, value: Column, etype: Column): Column =
+    pmod(graft.core.Hashing.portableLong(
+      concat_ws("|", pk.cast("string"),
+        coalesce(value.cast("string"), lit("\\N")),
+        coalesce(etype, lit("\\N")))), lit(4294967296L))
+
+  /** Canal-JSON with the `_tidb` integrity extension block. */
+  def canalJsonIntegrity(df: DataFrame): Column = {
+    val img = when(col("op") === "D", col("val_before")).otherwise(col("val_after"))
+    to_json(struct(
+      col("schema_name").as("database"),
+      col("table_name").as("table"),
+      when(col("op") === "I", "INSERT").when(col("op") === "U", "UPDATE")
+        .otherwise("DELETE").as("type"),
+      col("commit_ts").as("es"),
+      payloadStruct(col("pk"), img, col("etype")).as("data"),
+      struct(col("commit_ts").as("commitTs"),
+        rowChecksum(col("pk"), img, col("etype")).as("checksum"))
+        .as("_tidb")), jsonOpts)
+  }
+
+  val canalIntegritySchema: StructType = new StructType()
+    .add("database", StringType).add("table", StringType)
+    .add("type", StringType).add("es", LongType)
+    .add("data", imgStructType)
+    .add("_tidb", new StructType()
+      .add("commitTs", LongType).add("checksum", LongType))
+
+  /** Consumer-side verification: recompute the checksum over the DECODED
+    * columns and compare with the carried one — false flags corruption. */
+  def verifyIntegrity(decoded: Column): Column =
+    rowChecksum(decoded.getField("data").getField("pk"),
+      decoded.getField("data").getField("val"),
+      decoded.getField("data").getField("etype")) ===
+      decoded.getField("_tidb").getField("checksum")
+
   /**
    * E3 (schema half) — Avro record schema generated per (schema, table)
    * version, mirroring columnToAvroSchema

@@ -637,9 +637,45 @@ object CodecQueries {
           lit(0).cast("decimal(18,6)")).cast("double").as("sum_val"))
   }
 
+  /**
+   * Row integrity end to end (q112; reference pkg/integrity
+   * check-level=correctness): every message carries a row checksum in the
+   * canal `_tidb` extension block; the consumer recomputes it over the
+   * DECODED columns. A deterministic subset of messages (pk % 97 = 0 with
+   * a non-null image) is corrupted in flight (a digit prepended to the
+   * carried value), and the verifier must flag exactly those — the
+   * oracle derives the expected clean/corrupt counts independently from
+   * the plain stream.
+   */
+  val integrity = GateQuery(
+    "q112_integrity",
+    Some(cte +
+      s"""SELECT op, count(*) AS n_msgs,
+         |  CAST(sum(CASE WHEN pk % 97 = 0 AND
+         |      (CASE WHEN op = 'D' THEN val_before ELSE val_after END) IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+         |  CAST(sum(CASE WHEN pk % 97 = 0 AND
+         |      (CASE WHEN op = 'D' THEN val_before ELSE val_after END) IS NOT NULL
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS n_verified
+         |FROM cdc WHERE $SampleE GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    val img = when(col("op") === "D", col("val_before")).otherwise(col("val_after"))
+    val corruptible = col("pk") % 97 === 0 && img.isNotNull
+    val wire = df.select(col("op"),
+      when(corruptible,
+        // in-flight corruption: prepend a digit to the carried value
+        regexp_replace(Codecs.canalJsonIntegrity(df), "\"val\":", "\"val\":9"))
+        .otherwise(Codecs.canalJsonIntegrity(df)).as("msg"))
+    val dec = wire.withColumn("m", from_json(col("msg"), Codecs.canalIntegritySchema))
+      .withColumn("ok", Codecs.verifyIntegrity(col("m")))
+    dec.groupBy("op").agg(count(lit(1)).as("n_msgs"),
+      sum(when(!col("ok"), 1L).otherwise(0L)).as("n_corrupt"),
+      sum(when(col("ok"), 1L).otherwise(0L)).as("n_verified"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas,
     avroBinary, craftRoundtrip, simple, kafkaRecord, pulsarRecord, rowcodecV2,
     debeziumRoundtrip, maxwellRoundtrip, openRoundtrip, csvRoundtrip,
-    simpleRoundtrip, avroEvolution, openBatchRoundtrip)
+    simpleRoundtrip, avroEvolution, openBatchRoundtrip, integrity)
 }
