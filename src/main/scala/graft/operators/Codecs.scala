@@ -531,13 +531,17 @@ object Codecs {
   // twin keeps cross-engine verifiability — a documented deviation).
   // ------------------------------------------------------------------
 
-  /** Row checksum over the carried image, [0, 2^32). Fields join on an
-    * explicit separator (unambiguous concatenation) with a null marker. */
+  /** Row checksum over the carried image, [0, 2^32). Each field renders
+    * with a presence prefix — "0" for NULL, "1"+value otherwise — so a
+    * NULL can never collide with any literal string (including "\N") and
+    * a nulled-out field always changes the digest input. */
+  private def checksumField(c: Column): Column =
+    when(c.isNull, "0").otherwise(concat(lit("1"), c.cast("string")))
+
   def rowChecksum(pk: Column, value: Column, etype: Column): Column =
     pmod(graft.core.Hashing.portableLong(
-      concat_ws("|", pk.cast("string"),
-        coalesce(value.cast("string"), lit("\\N")),
-        coalesce(etype, lit("\\N")))), lit(4294967296L))
+      concat_ws("|", checksumField(pk), checksumField(value),
+        checksumField(etype))), lit(4294967296L))
 
   /** Canal-JSON with the `_tidb` integrity extension block. */
   def canalJsonIntegrity(df: DataFrame): Column = {
@@ -562,12 +566,17 @@ object Codecs {
       .add("commitTs", LongType).add("checksum", LongType))
 
   /** Consumer-side verification: recompute the checksum over the DECODED
-    * columns and compare with the carried one — false flags corruption. */
+    * columns and compare with the carried one — false flags corruption.
+    * Messages so garbled they fail to parse (null decode / missing
+    * checksum) verify FALSE, never null — a quarantine filter must catch
+    * them, not pass them through. */
   def verifyIntegrity(decoded: Column): Column =
-    rowChecksum(decoded.getField("data").getField("pk"),
-      decoded.getField("data").getField("val"),
-      decoded.getField("data").getField("etype")) ===
-      decoded.getField("_tidb").getField("checksum")
+    coalesce(
+      rowChecksum(decoded.getField("data").getField("pk"),
+        decoded.getField("data").getField("val"),
+        decoded.getField("data").getField("etype")) ===
+        decoded.getField("_tidb").getField("checksum"),
+      lit(false))
 
   /**
    * E3 (schema half) — Avro record schema generated per (schema, table)

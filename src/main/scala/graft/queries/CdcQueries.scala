@@ -364,18 +364,10 @@ object CdcQueries {
         |  CAST(max(last_commit_ts) AS BIGINT) AS max_ts
         |FROM comp GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
     import graft.streaming.{Sinks, StorageConsumer}
-    // Key the scratch dir by absolute-path hash + PID so concurrent gate
-    // processes on same-named scale dirs (bench + correctness both at
-    // sf0.001) can't delete each other's files mid-read.
-    Gate.sweepStaleScratch("graft_storage_rt_")
-    val abs = new java.io.File(dir).getAbsolutePath
-    val base = System.getProperty("java.io.tmpdir") +
-      s"/graft_storage_rt_${new java.io.File(dir).getName}_" +
-      Integer.toHexString(abs.hashCode) + "_" + ProcessHandle.current.pid
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    // Scratch keyed by scale-dir hash + PID so concurrent gate processes
+    // (bench + correctness on the same sf) can't delete each other's
+    // files mid-read.
+    val (base, _) = Gate.freshScratch("graft_storage_rt_", dir)
     Sinks.storageSink(base)(
       Transforms.updateSplit(CdcStream.derive(spark, dir)), 0L)
     Compaction.compact(StorageConsumer.read(spark, base))
@@ -421,7 +413,6 @@ object CdcQueries {
         |FROM comp WHERE net_op IS NOT NULL AND net_op <> 'D'
         |GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
     import graft.streaming.{Sinks, SqlApply}
-    Gate.sweepStaleScratch("graft_sql_apply_")
     // Gate on a deterministic key-complete sample (post-split pk % 19):
     // every surviving key keeps its FULL event history, so the rendered
     // INSERT/REPLACE/DELETE sequences are realistic while the embedded
@@ -437,13 +428,7 @@ object CdcQueries {
         CdcStream.derive(spark, dir)
           .filter(col("pk") % 19 === 0 || col("pk_after") % 19 === 0))
         .filter(col("pk") % 19 === 0)).persist()
-    val abs = new java.io.File(dir).getAbsolutePath
-    val tag = Integer.toHexString(abs.hashCode) + "_" + ProcessHandle.current.pid
-    val sqlDir = System.getProperty("java.io.tmpdir") + s"/graft_sql_apply_$tag"
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(sqlDir))
+    val (sqlDir, tag) = Gate.freshScratch("graft_sql_apply_", dir)
     Sinks.sqlFileSink(sqlDir)(comp, 0L)
     val tables = comp.select("schema_name", "table_name").distinct().collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq.sorted

@@ -25,9 +25,6 @@ object Gate {
    */
   def sweepStaleScratch(prefix: String): Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
     Option(tmp.listFiles).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(prefix))
       .foreach { f =>
@@ -35,8 +32,25 @@ object Gate {
         val alive = pid.exists(p =>
           p == ProcessHandle.current.pid ||
             ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
-        if (!alive) rm(f)
+        if (!alive) deleteTree(f)
       }
+  }
+
+  def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteTree)); f.delete(); ()
+  }
+
+  /** Fresh per-(scale-dir, process) scratch dir under tmpdir: sweeps
+    * finished peers' leftovers, clears any prior dir of this process, and
+    * returns (path, tag) — the shared scaffold of every gate that renders
+    * files or opens an embedded database. */
+  def freshScratch(prefix: String, dir: String): (String, String) = {
+    sweepStaleScratch(prefix)
+    val abs = new java.io.File(dir).getAbsolutePath
+    val tag = Integer.toHexString(abs.hashCode) + "_" + ProcessHandle.current.pid
+    val path = System.getProperty("java.io.tmpdir") + s"/$prefix$tag"
+    deleteTree(new java.io.File(path))
+    (path, tag)
   }
 
   def all: Seq[GateQuery] =

@@ -454,7 +454,6 @@ object StreamTwinQueries {
          |  CAST(coalesce(sum(CAST(final_val AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_val
          |FROM net WHERE net_op <> 'D' GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
     import graft.streaming.{Sinks, SqlApply}
-    Gate.sweepStaleScratch("graft_redo_apply_")
     val wal = Transforms.updateSplit(
         CdcStream.derive(spark, dir)
           .filter(col("pk") % 19 === 0 || col("pk_after") % 19 === 0))
@@ -465,13 +464,7 @@ object StreamTwinQueries {
     val redo = Compaction.compact(wal.filter(col("commit_ts") > CkptTs))
       .withColumn("net_op",
         when(col("net_op") === "I", "R").otherwise(col("net_op")))
-    val abs = new java.io.File(dir).getAbsolutePath
-    val tag = Integer.toHexString(abs.hashCode) + "_" + ProcessHandle.current.pid
-    val sqlDir = System.getProperty("java.io.tmpdir") + s"/graft_redo_apply_$tag"
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(sqlDir))
+    val (sqlDir, tag) = Gate.freshScratch("graft_redo_apply_", dir)
     Sinks.sqlFileSink(sqlDir)(stage1, 0L) // seed = checkpoint state
     Sinks.sqlFileSink(sqlDir)(redo, 1L)   // then the redo window, safe mode
     val tables = wal.select("schema_name", "table_name").distinct().collect()

@@ -39,18 +39,18 @@ class DecoderPropertySpec extends SparkSpec {
         Codecs.simpleToEnvelope(Codecs.simpleDecode(Codecs.simpleRow(df, 1))).as("sp"))
     for (e <- Seq("dz", "mx", "sp")) {
       val bad = dec.filter(
-        col(s"$e.op") =!= col("op") ||
-          col(s"$e.commit_ts") =!= col("commit_ts") ||
-          col(s"$e.schema_name") =!= col("schema_name") ||
-          col(s"$e.table_name") =!= col("table_name") ||
-          col(s"$e.pk") =!= col("pk") ||
+        !col(s"$e.op").eqNullSafe(col("op")) ||
+          !col(s"$e.commit_ts").eqNullSafe(col("commit_ts")) ||
+          !col(s"$e.schema_name").eqNullSafe(col("schema_name")) ||
+          !col(s"$e.table_name").eqNullSafe(col("table_name")) ||
+          !col(s"$e.pk").eqNullSafe(col("pk")) ||
           !col(s"$e.val_before").eqNullSafe(col("val_before")) ||
           !col(s"$e.val_after").eqNullSafe(col("val_after")) ||
-          col(s"$e.etype") =!= col("etype")).count()
+          !col(s"$e.etype").eqNullSafe(col("etype"))).count()
       assert(bad == 0, s"decoder $e diverged on ${bad} rows")
     }
     // maxwell additionally carries the txn id
-    assert(dec.filter(col("mx.start_ts") =!= col("start_ts")).count() == 0)
+    assert(dec.filter(!col("mx.start_ts").eqNullSafe(col("start_ts"))).count() == 0)
   }
 
   test("csv round-trips random envelopes exactly (incl. embedded newlines)") {
@@ -61,13 +61,13 @@ class DecoderPropertySpec extends SparkSpec {
       col("etype"),
       Codecs.csvDecode(Codecs.csvLine(df)).as("e"))
     val bad = dec.filter(
-      col("e.op") =!= col("op") ||
-        col("e.schema_name") =!= col("schema_name") ||
-        col("e.table_name") =!= col("table_name") ||
-        col("e.commit_ts") =!= col("commit_ts") ||
-        col("e.pk") =!= col("pk") ||
+      !col("e.op").eqNullSafe(col("op")) ||
+        !col("e.schema_name").eqNullSafe(col("schema_name")) ||
+        !col("e.table_name").eqNullSafe(col("table_name")) ||
+        !col("e.commit_ts").eqNullSafe(col("commit_ts")) ||
+        !col("e.pk").eqNullSafe(col("pk")) ||
         !col("e.val").eqNullSafe(col("val")) ||
-        col("e.etype") =!= col("etype")).count()
+        !col("e.etype").eqNullSafe(col("etype"))).count()
     assert(bad == 0, s"csv decoder diverged on $bad rows")
   }
 
@@ -81,13 +81,13 @@ class DecoderPropertySpec extends SparkSpec {
         Codecs.openDecodeKey(Codecs.openProtocolKey(df)),
         Codecs.openDecodeValue(Codecs.openProtocolValue(df))).as("e"))
     val bad = dec.filter(
-      col("e.op") =!= when(col("op") === "D", "D").otherwise("I") ||
-        col("e.commit_ts") =!= col("commit_ts") ||
-        col("e.schema_name") =!= col("schema_name") ||
-        col("e.tbl_name") =!= col("table_name") ||
-        col("e.pk") =!= col("pk") ||
+      !col("e.op").eqNullSafe(when(col("op") === "D", "D").otherwise("I")) ||
+        !col("e.commit_ts").eqNullSafe(col("commit_ts")) ||
+        !col("e.schema_name").eqNullSafe(col("schema_name")) ||
+        !col("e.tbl_name").eqNullSafe(col("table_name")) ||
+        !col("e.pk").eqNullSafe(col("pk")) ||
         !col("e.val").eqNullSafe(col("val")) ||
-        col("e.etype") =!= col("etype")).count()
+        !col("e.etype").eqNullSafe(col("etype"))).count()
     assert(bad == 0, s"open decoder diverged on $bad rows")
   }
 }
