@@ -115,6 +115,39 @@ object Curation {
       })
   }
 
+  // ---- context-window chunking --------------------------------------
+
+  /**
+   * Split documents into fixed token windows with overlap — the
+   * context-window chunking stage between "clean corpus" and "training
+   * sequences" (and the retrieval-index prep shape). Chunk i covers
+   * tokens [i·stride, i·stride + window); the last window truncates at
+   * the document end; docs at or under one window stay whole. Map-only:
+   * tokenize once per row, explode over computed chunk indices — no
+   * shuffle, parallel in documents.
+   *
+   * Returns one row per chunk: original columns + (chunk_idx,
+   * chunk_tokens, chunk_text).
+   */
+  def chunkDocs(df: DataFrame, textCol: String,
+                window: Int, overlap: Int): DataFrame = {
+    require(window > overlap && overlap >= 0)
+    val stride = window - overlap
+    val extra = col("n_tok") - window
+    df.withColumn("_t", TextOps.tokens(col(textCol)))
+      .withColumn("n_tok", size(col("_t")))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= window, 1L)
+          .otherwise(lit(1L) + VectorOps.floorDiv(
+            extra + stride - 1, lit(stride.toLong))))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("_ct",
+        slice(col("_t"), col("chunk_idx").cast("int") * stride + 1, lit(window)))
+      .withColumn("chunk_tokens", size(col("_ct")).cast("long"))
+      .withColumn("chunk_text", array_join(col("_ct"), " "))
+      .drop("_t", "_ct", "n_chunks")
+  }
+
   // ---- PII scan / redaction -----------------------------------------
 
   /** Engine-portable PII patterns (RE2-safe: no lookaround, no backrefs —

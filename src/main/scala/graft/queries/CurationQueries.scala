@@ -257,6 +257,84 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
   }
 
+  // ---- q113: context-window chunking --------------------------------
+
+  private val ChunkW = 40
+  private val ChunkO = 10
+
+  /** Fixed-window token chunking with overlap ([[Curation.chunkDocs]]):
+    * per-lang chunk counts, covered token totals (overlap counts twice by
+    * design), and a portable fingerprint over every chunk's exact text —
+    * any off-by-one in window/stride/tail handling breaks the hash. */
+  val docChunking = GateQuery(
+    "q113_doc_chunking",
+    Some {
+      val toks = TextOps.Sql.tokens.format("text")
+      val stride = ChunkW - ChunkO
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $toks AS t, len($toks) AS n_tok FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang, t, n_tok,
+         |    CASE WHEN n_tok <= $ChunkW THEN 1
+         |         ELSE 1 + (n_tok - $ChunkW + $stride - 1) // $stride END AS n_chunks
+         |  FROM t
+         |), ch AS (
+         |  SELECT doc_id, lang,
+         |    len(t[ci * $stride + 1 : least(ci * $stride + $ChunkW, n_tok)]) AS chunk_tokens,
+         |    array_to_string(t[ci * $stride + 1 : least(ci * $stride + $ChunkW, n_tok)], ' ') AS chunk_text
+         |  FROM (SELECT *, unnest(range(n_chunks)) AS ci FROM c)
+         |)
+         |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+         |  CAST(sum(chunk_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(${Hashing.Sql.portableLong("chunk_text")} % 1000000007) AS BIGINT) AS fp_check
+         |FROM ch GROUP BY 1""".stripMargin
+    }) { (spark, dir) =>
+    Curation.chunkDocs(
+        Tables.load(spark, dir, "documents").select("doc_id", "lang", "text"),
+        "text", ChunkW, ChunkO)
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("sum_tokens"),
+        sum(pmod(Hashing.portableLong(col("chunk_text")), lit(1000000007L)))
+          .as("fp_check"))
+  }
+
+  /**
+   * q114 — corpus composition report: the per-(lang, source) dashboard a
+   * data team watches — document and token counts, quality-band and
+   * repetition-flag tallies, and language-ID disagreement with the stored
+   * lang label. ONE map-only pass composing the per-row signals
+   * (tokenCount, qualityScore, dupTokenFrac, langId) + one partial
+   * aggregated groupBy; at 100 TB this is the cheapest full-corpus job
+   * in the suite.
+   */
+  val corpusReport = GateQuery(
+    "q114_corpus_report",
+    Some {
+      val toks = TextOps.Sql.tokenCount("text")
+      val q = TextOps.Sql.qualityScore("text")
+      val dup = TextOps.Sql.dupTokenFrac("text")
+      val lid = TextOps.Sql.langId("text")
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum($toks) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(CASE WHEN ($q) >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_high,
+         |  CAST(sum(CASE WHEN ($dup) > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+         |  CAST(sum(CASE WHEN ($lid) <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_mismatch
+         |FROM documents GROUP BY 1, 2""".stripMargin
+    }) { (spark, dir) =>
+    val d = Tables.load(spark, dir, "documents")
+    d.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextOps.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+      sum(when(TextOps.qualityScore(col("text")) >= 50, 1L).otherwise(0L))
+        .as("n_quality_high"),
+      sum(when(TextOps.dupTokenFrac(col("text")) > 0.5, 1L).otherwise(0L))
+        .as("n_repetitive"),
+      sum(when(TextOps.langId(col("text")) =!= col("lang"), 1L).otherwise(0L))
+        .as("n_lang_mismatch"))
+  }
+
   def all: Seq[GateQuery] = Seq(contamination, stratifiedSample, tokenPacking,
-    piiScan, mixturePlan, qualityClassifier)
+    piiScan, mixturePlan, qualityClassifier, docChunking, corpusReport)
 }
