@@ -115,6 +115,29 @@ object Curation {
       })
   }
 
+  // ---- corpus-wide boilerplate grams --------------------------------
+
+  /**
+   * Boilerplate detection (the RefinedWeb/CCNet "remove lines shared by
+   * many pages" stage, at gram grain since the corpus has no line
+   * structure): an n-gram appearing in at least `minDocs` DISTINCT
+   * documents is boilerplate; each document reports what fraction of its
+   * distinct grams are boilerplate. Two passes: the doc-frequency table
+   * (hash-keyed, map-side combinable, thresholded → broadcast) and one
+   * map-only join back — gram strings never shuffle (in-row hash kernel).
+   * Returns (idAs, n_grams, n_boiler).
+   */
+  def boilerplateGrams(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, minDocs: Long, idAs: String): DataFrame = {
+    val grams = gramHashes(df, idCol, textCol, n, idAs)
+    val frequent = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+    grams.join(broadcast(frequent), Seq("gh"), "left")
+      .groupBy(idAs)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+  }
+
   // ---- context-window chunking --------------------------------------
 
   /**

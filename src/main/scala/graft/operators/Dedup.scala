@@ -217,6 +217,39 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /**
+   * SimHash banded near-dup candidates — the simhash JOIN path: split the
+   * `bits`-wide simhash into `bands` equal chunks; documents sharing any
+   * (band, chunk) bucket are candidates (pigeonhole guarantee: any pair
+   * within `bands − 1` differing bits shares at least one band), and
+   * exact hamming distance at or under `maxHam` confirms. Candidate
+   * generation is a bucket join on small integer keys — never all-pairs —
+   * the same scale shape as MinHash LSH with cheaper signatures.
+   * Returns (id_a, id_b, hamming).
+   */
+  def simhashCandidates(sh: DataFrame, bits: Int, bands: Int,
+                        maxHam: Int): DataFrame = {
+    require(bands >= 1 && bits % bands == 0)
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val banded = sh.select(col("id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * w).bitwiseAND(lit(mask)).as("chunk"))
+      }: _*)).as("bc"))
+      .select(col("id"), col("simhash"),
+        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", hamming(col("ha"), col("hb")))
+      .filter(col("hamming") <= maxHam)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /**
    * Duplicate clustering: connected components over the candidate-pair
    * graph (LSH edges), so each near-dup GROUP keeps one canonical doc —
    * the endgame of corpus dedup. Alternating LARGE-STAR/SMALL-STAR

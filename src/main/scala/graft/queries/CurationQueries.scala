@@ -335,6 +335,42 @@ object CurationQueries {
         .as("n_lang_mismatch"))
   }
 
+  // ---- q115: corpus-wide boilerplate grams --------------------------
+
+  private val BoilerN = 3
+  private val BoilerMinDocs = 3L
+
+  /** Boilerplate-gram detection ([[Curation.boilerplateGrams]]): per-doc
+    * boilerplate-fraction histogram by lang — grams shared by >= minDocs
+    * DISTINCT documents flag as boilerplate. */
+  val boilerplate = GateQuery(
+    "q115_boilerplate",
+    Some {
+      val grams = Curation.Sql.grams("text", BoilerN)
+      s"""WITH g AS (
+         |  SELECT doc_id, lang, unnest(list_distinct($grams)) AS gr FROM documents
+         |), freq AS (
+         |  SELECT gr, count(*) AS df FROM g GROUP BY 1 HAVING count(*) >= $BoilerMinDocs
+         |), per_doc AS (
+         |  SELECT doc_id, lang, count(*) AS n_grams,
+         |    sum(CASE WHEN freq.gr IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+         |  FROM g LEFT JOIN freq USING (gr)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT lang, CAST((100 * n_boiler) // n_grams AS BIGINT) AS boiler_pct,
+         |  count(*) AS n_docs, CAST(sum(n_grams) AS BIGINT) AS sum_grams
+         |FROM per_doc GROUP BY 1, 2""".stripMargin
+    }) { (spark, dir) =>
+    val d = Tables.load(spark, dir, "documents")
+    Curation.boilerplateGrams(d, "doc_id", "text", BoilerN, BoilerMinDocs, "doc_id")
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang"),
+        graft.operators.VectorOps.floorDiv(lit(100L) * col("n_boiler"),
+          col("n_grams")).as("boiler_pct"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("sum_grams"))
+  }
+
   def all: Seq[GateQuery] = Seq(contamination, stratifiedSample, tokenPacking,
-    piiScan, mixturePlan, qualityClassifier, docChunking, corpusReport)
+    piiScan, mixturePlan, qualityClassifier, docChunking, corpusReport,
+    boilerplate)
 }

@@ -467,7 +467,43 @@ object DocQueries {
         max(col("id")).as("max_doc"))
   }
 
+  private val ShBands = 4
+  private val ShMaxHam = 6
+
+  /**
+   * q116 — SimHash banded near-dup JOIN ([[Dedup.simhashCandidates]]):
+   * candidates from shared 8-bit simhash bands (bucket join on integer
+   * keys, never all-pairs), exact hamming ≤ threshold confirms. The
+   * hamming histogram over confirmed pairs pins band splitting, bucket
+   * join, dedup across bands, and the distance check.
+   */
+  val simhashNearDup = GateQuery(
+    "q116_simhash_neardup",
+    Some(corpusCte +
+      s""", sh AS (SELECT doc_id, ${Dedup.Sql.simhash("text", SimhashBits)} AS h FROM corpus),
+         |banded AS (
+         |  SELECT doc_id, h, band, (h >> (band * ${SimhashBits / ShBands}))
+         |    & ${(1L << (SimhashBits / ShBands)) - 1} AS chunk
+         |  FROM sh, range(0, $ShBands) r(band)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.h AS ha, b.h AS hb
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |)
+         |SELECT bit_count(CAST(xor(ha, hb) AS BIGINT)) AS hamming,
+         |  count(*) AS n_pairs, CAST(sum(id_a + id_b) AS BIGINT) AS id_check
+         |FROM cand
+         |WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= $ShMaxHam
+         |GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    val sh = Dedup.simhashTable(corpus(spark, dir), "doc_id", "text", SimhashBits)
+    Dedup.simhashCandidates(sh, SimhashBits, ShBands, ShMaxHam)
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a") + col("id_b")).as("id_check"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(textStats, qualityHist, langIdQ, fingerprints, repetition, exactDedup,
-      minhashLsh, simhashQ, dupClusters, incrementalDedup, indexAdmit)
+      minhashLsh, simhashQ, dupClusters, incrementalDedup, indexAdmit,
+      simhashNearDup)
 }
