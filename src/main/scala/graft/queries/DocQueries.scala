@@ -271,9 +271,11 @@ object DocQueries {
   /** Dedup clustering: connected components over LSH candidate pairs with
     * jaccard >= 0.5; output = cluster-size histogram + canonical-id check.
     * Oracle computes components with a recursive CTE. */
-  val dupClusters = GateQuery(
-    "q67_dup_clusters",
-    Some {
+  /** Shared oracle chain for clustering gates: LSH candidates → verified
+    * pairs → recursive-CTE connected components cc(doc_id, comp) with
+    * comp = min reachable id. q67 reads cluster sizes; q117 selects
+    * survivors. */
+  private val ccCte: String = {
       val shingleE = Dedup.Sql.shingles("text", ShingleN)
       val bandSig = (0 until BandRows)
         .map(i => s"CAST(sig[band * $BandRows + ${i + 1}] AS VARCHAR)")
@@ -303,12 +305,17 @@ object DocQueries {
            |    SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
            |  )
            |  SELECT node AS doc_id, min(comp) AS comp FROM reach GROUP BY node
-           |)
-           |SELECT cluster_size, count(*) AS n_clusters,
-           |  CAST(sum(comp) AS BIGINT) AS comp_check
-           |FROM (SELECT comp, count(*) AS cluster_size FROM cc GROUP BY comp)
-           |GROUP BY cluster_size""".stripMargin
-    }) { (spark, dir) =>
+           |)""".stripMargin
+  }
+
+  val dupClusters = GateQuery(
+    "q67_dup_clusters",
+    Some(ccCte +
+      s"""
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(comp) AS BIGINT) AS comp_check
+         |FROM (SELECT comp, count(*) AS cluster_size FROM cc GROUP BY comp)
+         |GROUP BY cluster_size""".stripMargin)) { (spark, dir) =>
     val c = corpus(spark, dir)
     val cands = scoredCandidates(spark, dir)
       .filter(col("jac") >= 0.5)
@@ -467,6 +474,34 @@ object DocQueries {
         max(col("id")).as("max_doc"))
   }
 
+  /**
+   * q117 — dedup REMOVAL policy, the output step of the dedup story:
+   * each duplicate cluster keeps its canonical document (the minimum id —
+   * the component label itself) and drops the rest; the gate pins the
+   * surviving corpus (counts, id checks, kept token volume) and the
+   * removed mass. Survivor selection is a map-only predicate on the
+   * cluster labels (id = comp) — no extra shuffle beyond the clustering.
+   */
+  val dedupKeep = GateQuery(
+    "q117_dedup_keep",
+    Some(ccCte +
+      s"""
+         |SELECT CASE WHEN doc_id = comp THEN 1 ELSE 0 END AS kept,
+         |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_check,
+         |  CAST(sum(len(${TextOps.Sql.tokens.format("text")})) AS BIGINT) AS sum_tokens
+         |FROM cc JOIN corpus USING (doc_id)
+         |GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    val c = corpus(spark, dir)
+    val cands = scoredCandidates(spark, dir)
+      .filter(col("jac") >= 0.5)
+      .select("id_a", "id_b")
+    val labels = Dedup.dupClusters(c.select(col("doc_id").as("id")), cands)
+    labels.join(c, col("id") === col("doc_id"))
+      .groupBy(when(col("id") === col("comp"), 1).otherwise(0).as("kept"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_check"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("sum_tokens"))
+  }
+
   private val ShBands = 4
   private val ShMaxHam = 6
 
@@ -505,5 +540,5 @@ object DocQueries {
   def all: Seq[GateQuery] =
     Seq(textStats, qualityHist, langIdQ, fingerprints, repetition, exactDedup,
       minhashLsh, simhashQ, dupClusters, incrementalDedup, indexAdmit,
-      simhashNearDup)
+      simhashNearDup, dedupKeep)
 }
