@@ -201,5 +201,82 @@ object DiffQueries {
       .select("l_orderkey", "l_linenumber", "diff_type", "fix_sql")
   }
 
-  def all: Seq[GateQuery] = Seq(chunkChecksum, chunkChecksumComposite, rowDiff, fixSql)
+  private val FixSample = 51L
+
+  /**
+   * q118 — fix-SQL APPLIED, tables converge (the sync_diff end-game the
+   * reference's integration suite checks: run the diff, apply the fix
+   * SQL, re-diff shows zero): the perturbed downstream (projected to the
+   * repaired columns) seeds a live embedded database, the diff's fix
+   * statements execute on it (key-implicit REPLACE resolved against the
+   * composite primary key, DELETE as-is), and the resulting table must
+   * equal the upstream — the oracle reads upstream directly. Sampled by
+   * order key to keep the single-threaded apply gate-sized; the diff
+   * table itself is the q51/q52 shared build.
+   */
+  val fixApply = GateQuery(
+    "q118_fix_apply",
+    Some(
+      s"""WITH up AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    max(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+         |  FROM lineitem WHERE l_orderkey % $FixSample = 0 GROUP BY 1, 2
+         |)
+         |SELECT count(*) AS n_rows, CAST(sum(qty) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+         |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+         |FROM up""".stripMargin)) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.SqlApply
+    // sync-diff presumes a unique key; the synthetic lineitem carries a
+    // few duplicate (orderkey, linenumber) pairs, so both sides diff a
+    // deduped per-key projection (max quantity — deterministic)
+    def side(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("l_orderkey") % FixSample === 0)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(max(col("l_quantity").cast(DecimalType(12, 2))).as("qd"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("qd").cast("string").as("qty"))
+    val up = side(Tables.load(spark, dir, "lineitem"))
+    val down = side(perturbed(spark, dir))
+    // seed = the downstream state; unquoted identifiers throughout (the
+    // rendered fix SQL uses bare column names — Derby uppercases both
+    // sides consistently only if the DDL is unquoted too)
+    val seedSql = down.as[(Long, Long, String)].collect().grouped(256).map { g =>
+      "INSERT INTO diff.lineitem VALUES " +
+        g.map { case (ok, ln, q) => s"($ok, $ln, $q)" }.mkString(", ")
+    }.toSeq
+    val fixes = up.select(col("l_orderkey"), col("l_linenumber"),
+        col("qty").as("s_qty"))
+      .join(down.select(col("l_orderkey"), col("l_linenumber"),
+        col("qty").as("t_qty")), Seq("l_orderkey", "l_linenumber"), "full_outer")
+      .filter(col("t_qty").isNull || col("s_qty").isNull ||
+        col("s_qty") =!= col("t_qty"))
+      .withColumn("fix_sql",
+        when(col("s_qty").isNull, // extra downstream row
+          concat(lit("DELETE FROM lineitem WHERE l_orderkey = "), col("l_orderkey"),
+            lit(" AND l_linenumber = "), col("l_linenumber"), lit(";")))
+          .otherwise(concat(lit("REPLACE INTO lineitem VALUES ("), col("l_orderkey"),
+            lit(", "), col("l_linenumber"), lit(", "), col("s_qty"), lit(");"))))
+      .select("fix_sql").as[String].collect()
+      // fix SQL targets the bare table name; qualify for the embedded DB
+      .map(_.replace("lineitem", "diff.lineitem").stripSuffix(";"))
+      .flatMap(SqlApply.toDerbyKeyed(_, Seq("l_orderkey", "l_linenumber")))
+    val state = SqlApply.applyBatch(
+      s"graft_fix_${ProcessHandle.current.pid}",
+      Seq("CREATE SCHEMA diff",
+        """CREATE TABLE diff.lineitem (l_orderkey BIGINT,
+          |l_linenumber BIGINT, qty DECIMAL(12,2),
+          |PRIMARY KEY (l_orderkey, l_linenumber))""".stripMargin),
+      seedSql.toSeq ++ fixes)(
+      "SELECT COUNT(*), SUM(qty), SUM(l_orderkey), SUM(l_linenumber) FROM diff.lineitem") { rs =>
+      (rs.getLong(1), rs.getBigDecimal(2).doubleValue(),
+        rs.getLong(3), rs.getLong(4))
+    }
+    state.toSeq.toDF("n_rows", "sum_qty", "sum_ok", "sum_ln")
+  }
+
+  def all: Seq[GateQuery] =
+    Seq(chunkChecksum, chunkChecksumComposite, rowDiff, fixSql, fixApply)
 }

@@ -74,6 +74,84 @@ object SqlApply {
 
   private val ReplaceRe =
     """(?s)^REPLACE INTO (\S+) \(([^)]*)\) VALUES (.*)$""".r
+  private val KeyedReplaceRe =
+    """(?s)^REPLACE INTO (\S+) VALUES (.*)$""".r
+
+  /** Leading `k` fields of every tuple in a VALUES tail (quote-aware). */
+  private def leadFieldsOfTuples(valuesTail: String, k: Int): Seq[Seq[String]] = {
+    val out = Seq.newBuilder[Seq[String]]
+    var i = 0
+    val s = valuesTail
+    while (i < s.length) {
+      if (s.charAt(i) == '(') {
+        var j = i + 1
+        val fields = Seq.newBuilder[String]
+        var n = 0
+        var depth = 1
+        var start = j
+        var inQ = false
+        while (j < s.length && depth > 0) {
+          val c = s.charAt(j)
+          if (c == '\'') inQ = !inQ
+          else if (!inQ && c == '(') depth += 1
+          else if (!inQ && c == ')') depth -= 1
+          else if (!inQ && c == ',' && depth == 1) {
+            if (n < k) { fields += s.substring(start, j).trim; n += 1 }
+            start = j + 1
+          }
+          j += 1
+        }
+        if (n < k) fields += s.substring(start, j - 1).trim
+        out += fields.result()
+        i = j
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /**
+   * Key-IMPLICIT `REPLACE INTO t VALUES (...)` (the fix-SQL form — MySQL
+   * resolves the key from the table's primary key, so the statement
+   * carries no column list): the caller supplies the key column names,
+   * whose values are the leading tuple fields by fix-SQL construction.
+   */
+  def toDerbyKeyed(stmt: String, keyCols: Seq[String]): Seq[String] = {
+    val std = requoteIdentifiers(stmt)
+    std match {
+      case KeyedReplaceRe(table, values) =>
+        val deletes = leadFieldsOfTuples(values, keyCols.size).map { keys =>
+          val preds = keyCols.zip(keys)
+            .map { case (c, v) => s"""$c = $v""" }.mkString(" AND ")
+          s"DELETE FROM $table WHERE $preds"
+        }
+        deletes :+ s"INSERT INTO $table VALUES $values"
+      case _ => toDerby(stmt)
+    }
+  }
+
+  /**
+   * Generic embedded-engine apply for non-envelope gates: run setup DDL,
+   * execute the statements (one JDBC batch, one transaction), evaluate
+   * `readSql`, and map its rows out. Table schemas belong to the caller.
+   */
+  def applyBatch[A](dbName: String, setup: Seq[String],
+                    statements: Seq[String])(readSql: String)(
+      map: java.sql.ResultSet => A): Vector[A] =
+    withConnection(dbName) { conn =>
+      val st = conn.createStatement()
+      setup.foreach(st.executeUpdate)
+      conn.setAutoCommit(false)
+      statements.foreach(st.addBatch)
+      st.executeBatch()
+      conn.commit()
+      val rs = st.executeQuery(readSql)
+      val out = Vector.newBuilder[A]
+      while (rs.next()) out += map(rs)
+      rs.close()
+      st.close()
+      conn.commit()
+      out.result()
+    }
 
   /** Backtick → standard-quote identifier translation that leaves
     * single-quoted string literals untouched (a value containing a
@@ -113,6 +191,10 @@ object SqlApply {
     val conn = DriverManager.getConnection(s"jdbc:derby:memory:$dbName;create=true")
     try f(conn)
     finally {
+      // roll back any open txn so close() can't mask the real failure
+      // with "transaction is still active"
+      try { if (!conn.getAutoCommit) conn.rollback() }
+      catch { case _: java.sql.SQLException => () }
       conn.close()
       // drop the in-memory database so repeated gate runs start clean
       try DriverManager.getConnection(s"jdbc:derby:memory:$dbName;drop=true")
