@@ -201,7 +201,7 @@ object DiffQueries {
       .select("l_orderkey", "l_linenumber", "diff_type", "fix_sql")
   }
 
-  private val FixSample = 51L
+  private val FixSample = 153L
 
   /**
    * q118 — fix-SQL APPLIED, tables converge (the sync_diff end-game the
