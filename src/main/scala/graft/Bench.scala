@@ -76,13 +76,17 @@ object Bench {
     // Full-name per-query timings go to a sidecar file; the stdout line uses
     // the short qNN tokens so the whole JSON fits in the driver's bounded
     // output capture (full names overflowed it in rounds 1-4 -> parsed:null).
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rows_per_sec":${ingestRows / math.max(ingestSec, 1e-9)}%.0f,"queries":$fullQs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      fullLine.getBytes("UTF-8")) catch { case _: Throwable => }
+    // Only FULL runs write the sidecar — a filtered local run must not
+    // stomp the suite-wide record.
+    if (args.isEmpty) {
+      val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val fullLine =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","rows_per_sec":${ingestRows / math.max(ingestSec, 1e-9)}%.0f,"queries":$fullQs,"sf":"$sfDir"}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        fullLine.getBytes("UTF-8")) catch { case _: Throwable => }
+    }
 
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f" }.mkString("{", ",", "}")

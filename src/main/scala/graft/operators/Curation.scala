@@ -150,7 +150,8 @@ object Curation {
    * shuffle, parallel in documents.
    *
    * Returns one row per chunk: original columns + (chunk_idx,
-   * chunk_tokens, chunk_text).
+   * chunk_tokens, chunk_text). Caller columns with those three names (or
+   * the internal n_tok) are replaced.
    */
   def chunkDocs(df: DataFrame, textCol: String,
                 window: Int, overlap: Int): DataFrame = {
@@ -168,7 +169,7 @@ object Curation {
         slice(col("_t"), col("chunk_idx").cast("int") * stride + 1, lit(window)))
       .withColumn("chunk_tokens", size(col("_ct")).cast("long"))
       .withColumn("chunk_text", array_join(col("_ct"), " "))
-      .drop("_t", "_ct", "n_chunks")
+      .drop("_t", "_ct", "n_chunks", "n_tok")
   }
 
   // ---- PII scan / redaction -----------------------------------------

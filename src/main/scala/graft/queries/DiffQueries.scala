@@ -193,13 +193,19 @@ object DiffQueries {
          |WHERE diff_type IS NOT NULL""".stripMargin)) { (spark, dir) =>
     classifiedDiff(spark, dir)
       .withColumn("fix_sql",
-        when(col("diff_type") === "extra",
-          concat(lit("DELETE FROM lineitem WHERE l_orderkey = "), col("l_orderkey"),
-            lit(" AND l_linenumber = "), col("l_linenumber"), lit(";")))
-          .otherwise(concat(lit("REPLACE INTO lineitem VALUES ("), col("l_orderkey"),
-            lit(", "), col("l_linenumber"), lit(", "), col("qty"), lit(");"))))
+        renderFixSql(col("diff_type") === "extra", col("qty")))
       .select("l_orderkey", "l_linenumber", "diff_type", "fix_sql")
   }
+
+  /** Render one row's repair statement — DELETE for downstream-extra rows,
+    * key-implicit REPLACE otherwise (shared by q52 and q118 so the fix-SQL
+    * format lives in one place). */
+  private def renderFixSql(extra: Column, qty: Column): Column =
+    when(extra,
+      concat(lit("DELETE FROM lineitem WHERE l_orderkey = "), col("l_orderkey"),
+        lit(" AND l_linenumber = "), col("l_linenumber"), lit(";")))
+      .otherwise(concat(lit("REPLACE INTO lineitem VALUES ("), col("l_orderkey"),
+        lit(", "), col("l_linenumber"), lit(", "), qty, lit(");")))
 
   private val FixSample = 153L
 
@@ -211,8 +217,9 @@ object DiffQueries {
    * statements execute on it (key-implicit REPLACE resolved against the
    * composite primary key, DELETE as-is), and the resulting table must
    * equal the upstream — the oracle reads upstream directly. Sampled by
-   * order key to keep the single-threaded apply gate-sized; the diff
-   * table itself is the q51/q52 shared build.
+   * order key to keep the single-threaded apply gate-sized. (The diff is
+   * recomputed over the DEDUPED per-key projection rather than reusing
+   * the q51/q52 digest diff — see the duplicate-key note below.)
    */
   val fixApply = GateQuery(
     "q118_fix_apply",
@@ -238,8 +245,9 @@ object DiffQueries {
       .agg(max(col("l_quantity").cast(DecimalType(12, 2))).as("qd"))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("qd").cast("string").as("qty"))
-    val up = side(Tables.load(spark, dir, "lineitem"))
-    val down = side(perturbed(spark, dir))
+    // both sides feed two actions (seed collect, fixes collect) — persist
+    val up = side(Tables.load(spark, dir, "lineitem")).persist()
+    val down = side(perturbed(spark, dir)).persist()
     // seed = the downstream state; unquoted identifiers throughout (the
     // rendered fix SQL uses bare column names — Derby uppercases both
     // sides consistently only if the DDL is unquoted too)
@@ -253,16 +261,12 @@ object DiffQueries {
         col("qty").as("t_qty")), Seq("l_orderkey", "l_linenumber"), "full_outer")
       .filter(col("t_qty").isNull || col("s_qty").isNull ||
         col("s_qty") =!= col("t_qty"))
-      .withColumn("fix_sql",
-        when(col("s_qty").isNull, // extra downstream row
-          concat(lit("DELETE FROM lineitem WHERE l_orderkey = "), col("l_orderkey"),
-            lit(" AND l_linenumber = "), col("l_linenumber"), lit(";")))
-          .otherwise(concat(lit("REPLACE INTO lineitem VALUES ("), col("l_orderkey"),
-            lit(", "), col("l_linenumber"), lit(", "), col("s_qty"), lit(");"))))
+      .withColumn("fix_sql", renderFixSql(col("s_qty").isNull, col("s_qty")))
       .select("fix_sql").as[String].collect()
       // fix SQL targets the bare table name; qualify for the embedded DB
       .map(_.replace("lineitem", "diff.lineitem").stripSuffix(";"))
       .flatMap(SqlApply.toDerbyKeyed(_, Seq("l_orderkey", "l_linenumber")))
+    up.unpersist(); down.unpersist()
     val state = SqlApply.applyBatch(
       s"graft_fix_${ProcessHandle.current.pid}",
       Seq("CREATE SCHEMA diff",
@@ -271,7 +275,9 @@ object DiffQueries {
           |PRIMARY KEY (l_orderkey, l_linenumber))""".stripMargin),
       seedSql.toSeq ++ fixes)(
       "SELECT COUNT(*), SUM(qty), SUM(l_orderkey), SUM(l_linenumber) FROM diff.lineitem") { rs =>
-      (rs.getLong(1), rs.getBigDecimal(2).doubleValue(),
+      // SUM over an empty table is SQL NULL — surface 0, not an NPE
+      (rs.getLong(1),
+        Option(rs.getBigDecimal(2)).map(_.doubleValue).getOrElse(0.0),
         rs.getLong(3), rs.getLong(4))
     }
     state.toSeq.toDF("n_rows", "sum_qty", "sum_ok", "sum_ln")

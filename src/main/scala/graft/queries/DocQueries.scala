@@ -503,14 +503,18 @@ object DocQueries {
   }
 
   private val ShBands = 4
-  private val ShMaxHam = 6
+  // at most bands − 1 for COMPLETE recall: a pair within 3 differing bits
+  // must share one of the 4 bands (pigeonhole); above that the bucket
+  // join can miss pairs whose diffs spread across every band
+  private val ShMaxHam = ShBands - 1
 
   /**
    * q116 — SimHash banded near-dup JOIN ([[Dedup.simhashCandidates]]):
    * candidates from shared 8-bit simhash bands (bucket join on integer
-   * keys, never all-pairs), exact hamming ≤ threshold confirms. The
-   * hamming histogram over confirmed pairs pins band splitting, bucket
-   * join, dedup across bands, and the distance check.
+   * keys, never all-pairs), exact hamming ≤ bands−1 confirms — the
+   * threshold where the pigeonhole guarantee makes the candidate set
+   * COMPLETE. The hamming histogram pins band splitting, bucket join,
+   * dedup across bands, and the distance check.
    */
   val simhashNearDup = GateQuery(
     "q116_simhash_neardup",
