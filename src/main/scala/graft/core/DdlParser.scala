@@ -263,7 +263,17 @@ object DdlParser {
       val name = "\\(".r.findFirstMatchIn(spec).map(_ => {
         val pre = spec.substring(0, spec.indexOf('(')).trim
         unquote(pre.split(ws).lastOption.getOrElse("idx"))
-      }).getOrElse("idx")
+      }).getOrElse {
+        // no column list (e.g. a re-rendered `ADD INDEX \`name\``): the
+        // trailing token is the index name unless it is just the keyword
+        val toks = spec.split(ws)
+        val last = toks.last
+        if (toks.length >= 3 &&
+            !Set("KEY", "INDEX", "PRIMARY", "UNIQUE", "CONSTRAINT", "FOREIGN")
+              .contains(last.toUpperCase))
+          unquote(last)
+        else "idx"
+      }
       Seq(AlterIndex(schema, table, addIndex = true, name))
     } else if (up.startsWith("DROP COLUMN")) {
       Seq(AlterTable(schema, table, DropColumn(unquote(afterKw(2)))))

@@ -231,5 +231,54 @@ object DdlQueries {
       .withColumn("n_passed", coalesce(col("n_passed"), lit(0L)))
   }
 
-  def all: Seq[GateQuery] = Seq(shardDdlGate, precheck, ddlText, ddlAllowList)
+  /**
+   * K6/G1 — DDL re-render fixpoint (q119): the DDL sink re-renders parsed
+   * statements downstream (`DdlParser.toSql`); for every corpus statement
+   * the render must be STABLE (toSql∘parse is a fixpoint: re-parsing the
+   * rendered text and rendering again reproduces it byte-for-byte) and
+   * kind-preserving (the re-parse classifies identically). The oracle
+   * independently classifies the original statements and asserts every
+   * one is stable — an unstable or kind-shifting renderer breaks the
+   * count columns.
+   */
+  val ddlRenderFixpoint = GateQuery(
+    "q119_ddl_render",
+    Some {
+      val values = DdlCorpus.map(s => s"('${s.replace("'", "''")}')").mkString(", ")
+      s"""WITH ddl(sql) AS (VALUES $values),
+         |cls AS (
+         |  SELECT sql,
+         |    CASE WHEN regexp_matches(sql, '(?i)^CREATE (TABLE|DATABASE)') THEN 'CREATE'
+         |         WHEN regexp_matches(sql, '(?i)^DROP (TABLE|DATABASE)') THEN 'ERASE'
+         |         WHEN regexp_matches(sql, '(?i)^RENAME TABLE') THEN 'RENAME'
+         |         WHEN regexp_matches(sql, '(?i)^TRUNCATE') THEN 'TRUNCATE'
+         |         WHEN regexp_matches(sql, '(?i)^ALTER TABLE .* ADD INDEX') THEN 'CINDEX'
+         |         WHEN regexp_matches(sql, '(?i)^ALTER TABLE .* DROP INDEX') THEN 'DINDEX'
+         |         ELSE 'ALTER' END AS kind
+         |  FROM ddl
+         |)
+         |SELECT kind, count(*) AS n_stmts, count(*) AS n_stable,
+         |  count(*) AS n_kind_kept
+         |FROM cls GROUP BY 1""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    import graft.core.DdlParser
+    import graft.operators.Codecs
+    val rows = DdlCorpus.flatMap { sql =>
+      DdlParser.parse(sql, "db").map { st =>
+        val r1 = DdlParser.toSql(st)
+        val reparsed = DdlParser.parse(r1, "db")
+        val stable = reparsed.size == 1 && DdlParser.toSql(reparsed.head) == r1
+        val kindKept = reparsed.size == 1 &&
+          Codecs.canalDdlType(reparsed.head) == Codecs.canalDdlType(st)
+        (Codecs.canalDdlType(st), stable, kindKept)
+      }
+    }.toDF("kind", "stable", "kind_kept")
+    rows.groupBy("kind").agg(count(lit(1)).as("n_stmts"),
+      sum(when(col("stable"), 1L).otherwise(0L)).as("n_stable"),
+      sum(when(col("kind_kept"), 1L).otherwise(0L)).as("n_kind_kept"))
+  }
+
+  def all: Seq[GateQuery] =
+    Seq(shardDdlGate, precheck, ddlText, ddlAllowList, ddlRenderFixpoint)
 }
