@@ -539,9 +539,13 @@ object Codecs {
     when(c.isNull, "0").otherwise(concat(lit("1"), c.cast("string")))
 
   def rowChecksum(pk: Column, value: Column, etype: Column): Column =
+    checksumOverValues(Seq(pk, value, etype))
+
+  /** Digest over any field list with presence prefixes (the generic form —
+    * [[GenericCodecs]] drives it from a ColumnSpec schema). */
+  private[operators] def checksumOverValues(vals: Seq[Column]): Column =
     pmod(graft.core.Hashing.portableLong(
-      concat_ws("|", checksumField(pk), checksumField(value),
-        checksumField(etype))), lit(4294967296L))
+      concat_ws("|", vals.map(checksumField): _*)), lit(4294967296L))
 
   /** Canal-JSON with the `_tidb` integrity extension block. */
   def canalJsonIntegrity(df: DataFrame): Column = {

@@ -31,6 +31,23 @@ object GenericCodecs {
   private def eff(s: ColumnSpec): Column =
     when(col("op") === "D", b(s)).otherwise(a(s))
 
+  // ---- wire integrity (schema-generic) --------------------------------
+
+  /** Generic row checksum: digest over the presence-prefixed CANAL-
+    * rendered values (all strings), so a consumer can recompute it from
+    * the decoded message alone — no type metadata needed at verify time. */
+  def rowChecksum(specs: Seq[ColumnSpec], v: ColumnSpec => Column): Column =
+    Codecs.checksumOverValues(specs.map(s => MySqlTypes.canalValue(s, v(s))))
+
+  /** Consumer-side verification over the decoded all-string data struct;
+    * unparseable messages verify FALSE, never null. */
+  def verifyIntegrity(decodedData: Column, checksum: Column,
+                      specs: Seq[ColumnSpec]): Column =
+    coalesce(
+      Codecs.checksumOverValues(specs.map(s => decodedData.getField(s.name)))
+        === checksum,
+      lit(false))
+
   // ---- E2: Canal-JSON -------------------------------------------------
 
   /** Generic Canal-JSON row message (canal_json_row_event_encoder.go:83-380

@@ -216,6 +216,46 @@ object GenericCodecQueries {
         .select(col("seq"), GenericCodecs.simpleRow(specs, 1).as("msg")))
   }
 
+  /**
+   * q112b — wire integrity over the FULL 19-column mixed-type schema:
+   * the checksum digests the canal-rendered (all-string) values, so the
+   * consumer recomputes it from the decoded message with no type
+   * metadata; a deterministic subset corrupts in flight (digit injected
+   * into the id value) and must be flagged exactly. Generic twin of the
+   * fixed-envelope q112.
+   */
+  val integrityGeneric = GateQuery(
+    "q112b_generic_integrity",
+    Some(cte +
+      s"""SELECT op, count(*) AS n_msgs,
+         |  CAST(sum(CASE WHEN (${effE(specs.head)}) % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+         |  CAST(sum(CASE WHEN (${effE(specs.head)}) % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_verified
+         |FROM wide WHERE $Sample GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val df = WideCdc.derive(spark, dir).filter(expr(Sample))
+    def eff(s: ColumnSpec) =
+      when(col("op") === "D", col("b_" + s.name)).otherwise(col("a_" + s.name))
+    val msg = to_json(struct(
+      struct(specs.map(s => MySqlTypes.canalValue(s, eff(s)).as(s.name)): _*)
+        .as("data"),
+      GenericCodecs.rowChecksum(specs, eff).as("checksum")))
+    val corruptible = eff(specs.head) % 97 === 0 // id: handle, never null
+    val wire = df.select(col("op"),
+      when(corruptible, regexp_replace(msg, "\"id\":\"", "\"id\":\"9"))
+        .otherwise(msg).as("msg"))
+    val schema = new StructType()
+      .add("data", specs.foldLeft(new StructType())((t, s) =>
+        t.add(s.name, StringType)))
+      .add("checksum", LongType)
+    wire.withColumn("m", from_json(col("msg"), schema))
+      .withColumn("ok", GenericCodecs.verifyIntegrity(
+        col("m.data"), col("m.checksum"), specs))
+      .groupBy("op")
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(when(!col("ok"), 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_verified"))
+  }
+
   def all: Seq[GateQuery] = Seq(canalGeneric, openGeneric, maxwellGeneric,
-    csvGeneric, debeziumSchemaGate, simpleGeneric)
+    csvGeneric, debeziumSchemaGate, simpleGeneric, integrityGeneric)
 }
