@@ -59,7 +59,8 @@ object DdlParser {
   /** Index changes don't alter the row schema; parsed + classified so
     * filters and sinks can route them. */
   final case class AlterIndex(schema: String, table: String, addIndex: Boolean,
-                              indexName: String) extends Stmt {
+                              indexName: String,
+                              keyParts: Seq[String] = Nil) extends Stmt {
     val eventType = if (addIndex) "create index" else "drop index"
   }
 
@@ -74,6 +75,17 @@ object DdlParser {
     if (t.length >= 2 && t.head == '`' && t.last == '`')
       t.substring(1, t.length - 1).replace("``", "`")
     else t
+  }
+
+  private val IndexKeywords =
+    Set("KEY", "INDEX", "PRIMARY", "UNIQUE", "CONSTRAINT", "FOREIGN")
+
+  /** Index name from a raw token, guarding against capturing a bare
+    * keyword (`ADD PRIMARY KEY (...)` carries no name — MySQL calls the
+    * primary index PRIMARY). */
+  private def idxName(raw: String, dflt: String): String = {
+    val u = unquote(raw)
+    if (IndexKeywords.contains(u.toUpperCase)) dflt else u
   }
 
   /** Split `db.tbl` / `` `db`.`tbl` `` / `tbl` against a default schema. */
@@ -260,27 +272,29 @@ object DdlParser {
     } else if (up.startsWith("ADD PRIMARY") || up.startsWith("ADD INDEX") ||
                up.startsWith("ADD KEY") || up.startsWith("ADD UNIQUE") ||
                up.startsWith("ADD CONSTRAINT") || up.startsWith("ADD FOREIGN")) {
+      // MySQL names the primary index PRIMARY; bare keywords never name
+      val dflt = if (up.startsWith("ADD PRIMARY")) "PRIMARY" else "idx"
       val name = "\\(".r.findFirstMatchIn(spec).map(_ => {
         val pre = spec.substring(0, spec.indexOf('(')).trim
-        unquote(pre.split(ws).lastOption.getOrElse("idx"))
+        idxName(pre.split(ws).lastOption.getOrElse(dflt), dflt)
       }).getOrElse {
-        // no column list (e.g. a re-rendered `ADD INDEX \`name\``): the
-        // trailing token is the index name unless it is just the keyword
+        // no column list (e.g. a re-rendered `ADD INDEX \`name\``)
         val toks = spec.split(ws)
-        val last = toks.last
-        if (toks.length >= 3 &&
-            !Set("KEY", "INDEX", "PRIMARY", "UNIQUE", "CONSTRAINT", "FOREIGN")
-              .contains(last.toUpperCase))
-          unquote(last)
-        else "idx"
+        if (toks.length >= 3) idxName(toks.last, dflt) else dflt
       }
-      Seq(AlterIndex(schema, table, addIndex = true, name))
+      val keyParts = "\\(".r.findFirstMatchIn(spec).map { _ =>
+        splitTopLevel(
+          spec.substring(spec.indexOf('(') + 1, spec.lastIndexOf(')')), ',')
+          .map(unquote).toSeq
+      }.getOrElse(Nil)
+      Seq(AlterIndex(schema, table, addIndex = true, name, keyParts))
     } else if (up.startsWith("DROP COLUMN")) {
       Seq(AlterTable(schema, table, DropColumn(unquote(afterKw(2)))))
     } else if (up.startsWith("DROP PRIMARY") || up.startsWith("DROP INDEX") ||
                up.startsWith("DROP KEY") || up.startsWith("DROP FOREIGN")) {
+      val dflt = if (up.startsWith("DROP PRIMARY")) "PRIMARY" else "idx"
       Seq(AlterIndex(schema, table, addIndex = false,
-        unquote(spec.split(ws).last)))
+        idxName(spec.split(ws).last, dflt)))
     } else if (up.startsWith("DROP")) {
       Seq(AlterTable(schema, table, DropColumn(unquote(afterKw(1)))))
     } else if (up.startsWith("RENAME COLUMN")) {
@@ -342,6 +356,8 @@ object DdlParser {
     * reference emits the rewritten DDL text). */
   def toSql(stmt: Stmt): String = {
     def q(s: String, t: String) = s"`$s`.`$t`"
+    def keyPartsSql(ks: Seq[String]): String =
+      if (ks.isEmpty) "" else ks.map(k => s"`$k`").mkString(" (", ", ", ")")
     def typ(d: DataType): String = d match {
       case BooleanType => "BOOLEAN"
       case IntegerType => "INT"
@@ -375,8 +391,14 @@ object DdlParser {
         s"ALTER TABLE ${q(s, t)} RENAME COLUMN `$f` TO `$to`"
       case AlterTable(s, t, ModifyColumn(n, d)) =>
         s"ALTER TABLE ${q(s, t)} MODIFY COLUMN `$n` ${typ(d)}"
-      case AlterIndex(s, t, true, n) => s"ALTER TABLE ${q(s, t)} ADD INDEX `$n`"
-      case AlterIndex(s, t, false, n) => s"ALTER TABLE ${q(s, t)} DROP INDEX `$n`"
+      case AlterIndex(s, t, true, "PRIMARY", ks) =>
+        s"ALTER TABLE ${q(s, t)} ADD PRIMARY KEY${keyPartsSql(ks)}"
+      case AlterIndex(s, t, true, n, ks) =>
+        s"ALTER TABLE ${q(s, t)} ADD INDEX `$n`${keyPartsSql(ks)}"
+      case AlterIndex(s, t, false, "PRIMARY", _) =>
+        s"ALTER TABLE ${q(s, t)} DROP PRIMARY KEY"
+      case AlterIndex(s, t, false, n, _) =>
+        s"ALTER TABLE ${q(s, t)} DROP INDEX `$n`"
     }
   }
 

@@ -67,8 +67,8 @@ object Codecs {
       case _: DropTable | _: DropDatabase => "ERASE"
       case _: RenameTable => "RENAME"
       case _: TruncateTable => "TRUNCATE"
-      case AlterIndex(_, _, true, _) => "CINDEX"
-      case AlterIndex(_, _, false, _) => "DINDEX"
+      case AlterIndex(_, _, true, _, _) => "CINDEX"
+      case AlterIndex(_, _, false, _, _) => "DINDEX"
       case _: AlterTable => "ALTER"
     }
   }

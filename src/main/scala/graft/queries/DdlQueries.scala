@@ -190,27 +190,32 @@ object DdlQueries {
     "RENAME TABLE db.t1 TO db.t2",
     "TRUNCATE TABLE db.t2",
     "ALTER TABLE db.t1 ADD INDEX idx_v (v)",
-    "ALTER TABLE db.t1 DROP INDEX idx_v")
+    "ALTER TABLE db.t1 DROP INDEX idx_v",
+    "ALTER TABLE db.t1 ADD PRIMARY KEY (id)",
+    "ALTER TABLE db.t1 DROP PRIMARY KEY")
   private val AllowKinds = Seq("CREATE", "ALTER", "RENAME", "CINDEX")
   private val IgnoreRes = Seq("_gho")
+
+  /** Shared oracle fragments for the DDL gates: the corpus as a VALUES
+    * list and the independent SQL-regex kind classification (kept in ONE
+    * place so q110 and q119 cannot drift). */
+  private val corpusValuesSql =
+    DdlCorpus.map(s => s"('${s.replace("'", "''")}')").mkString(", ")
+  private val kindCaseSql =
+    """CASE WHEN regexp_matches(sql, '(?i)^CREATE (TABLE|DATABASE)') THEN 'CREATE'
+      |     WHEN regexp_matches(sql, '(?i)^DROP (TABLE|DATABASE)') THEN 'ERASE'
+      |     WHEN regexp_matches(sql, '(?i)^RENAME TABLE') THEN 'RENAME'
+      |     WHEN regexp_matches(sql, '(?i)^TRUNCATE') THEN 'TRUNCATE'
+      |     WHEN regexp_matches(sql, '(?i)^ALTER TABLE .* ADD (INDEX|PRIMARY KEY)') THEN 'CINDEX'
+      |     WHEN regexp_matches(sql, '(?i)^ALTER TABLE .* DROP (INDEX|PRIMARY KEY)') THEN 'DINDEX'
+      |     ELSE 'ALTER' END""".stripMargin
 
   val ddlAllowList = GateQuery(
     "q110_ddl_allowlist",
     Some {
-      val values = DdlCorpus.map(s => s"('${s.replace("'", "''")}')").mkString(", ")
       val allowIn = AllowKinds.map(k => s"'$k'").mkString(", ")
-      s"""WITH ddl(sql) AS (VALUES $values),
-         |cls AS (
-         |  SELECT sql,
-         |    CASE WHEN regexp_matches(sql, '(?i)^CREATE (TABLE|DATABASE)') THEN 'CREATE'
-         |         WHEN regexp_matches(sql, '(?i)^DROP (TABLE|DATABASE)') THEN 'ERASE'
-         |         WHEN regexp_matches(sql, '(?i)^RENAME TABLE') THEN 'RENAME'
-         |         WHEN regexp_matches(sql, '(?i)^TRUNCATE') THEN 'TRUNCATE'
-         |         WHEN regexp_matches(sql, '(?i)^ALTER TABLE .* ADD INDEX') THEN 'CINDEX'
-         |         WHEN regexp_matches(sql, '(?i)^ALTER TABLE .* DROP INDEX') THEN 'DINDEX'
-         |         ELSE 'ALTER' END AS kind
-         |  FROM ddl
-         |)
+      s"""WITH ddl(sql) AS (VALUES $corpusValuesSql),
+         |cls AS (SELECT sql, $kindCaseSql AS kind FROM ddl)
          |SELECT kind, count(*) AS n_stmts,
          |  CAST(sum(CASE WHEN kind IN ($allowIn)
          |                 AND NOT regexp_matches(sql, '_gho')
@@ -243,24 +248,12 @@ object DdlQueries {
    */
   val ddlRenderFixpoint = GateQuery(
     "q119_ddl_render",
-    Some {
-      val values = DdlCorpus.map(s => s"('${s.replace("'", "''")}')").mkString(", ")
-      s"""WITH ddl(sql) AS (VALUES $values),
-         |cls AS (
-         |  SELECT sql,
-         |    CASE WHEN regexp_matches(sql, '(?i)^CREATE (TABLE|DATABASE)') THEN 'CREATE'
-         |         WHEN regexp_matches(sql, '(?i)^DROP (TABLE|DATABASE)') THEN 'ERASE'
-         |         WHEN regexp_matches(sql, '(?i)^RENAME TABLE') THEN 'RENAME'
-         |         WHEN regexp_matches(sql, '(?i)^TRUNCATE') THEN 'TRUNCATE'
-         |         WHEN regexp_matches(sql, '(?i)^ALTER TABLE .* ADD INDEX') THEN 'CINDEX'
-         |         WHEN regexp_matches(sql, '(?i)^ALTER TABLE .* DROP INDEX') THEN 'DINDEX'
-         |         ELSE 'ALTER' END AS kind
-         |  FROM ddl
-         |)
+    Some(
+      s"""WITH ddl(sql) AS (VALUES $corpusValuesSql),
+         |cls AS (SELECT sql, $kindCaseSql AS kind FROM ddl)
          |SELECT kind, count(*) AS n_stmts, count(*) AS n_stable,
          |  count(*) AS n_kind_kept
-         |FROM cls GROUP BY 1""".stripMargin
-    }) { (spark, dir) =>
+         |FROM cls GROUP BY 1""".stripMargin)) { (spark, dir) =>
     import spark.implicits._
     import graft.core.DdlParser
     import graft.operators.Codecs

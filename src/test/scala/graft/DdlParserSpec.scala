@@ -65,8 +65,18 @@ class DdlParserSpec extends AnyFunSuite {
     assert(parse("ALTER TABLE d.t RENAME TO d2.t2") ===
       Seq(RenameTable("d", "t", "d2", "t2")))
     assert(parse("ALTER TABLE t ADD INDEX idx_a (a), DROP INDEX idx_b", "d") === Seq(
-      AlterIndex("d", "t", addIndex = true, "idx_a"),
+      AlterIndex("d", "t", addIndex = true, "idx_a", Seq("a")),
       AlterIndex("d", "t", addIndex = false, "idx_b")))
+    // PRIMARY KEY carries no name: MySQL's canonical index name applies,
+    // the render is valid MySQL, and both forms are toSql∘parse fixpoints
+    assert(parse("ALTER TABLE t ADD PRIMARY KEY (a, b)", "d") === Seq(
+      AlterIndex("d", "t", addIndex = true, "PRIMARY", Seq("a", "b"))))
+    assert(parse("ALTER TABLE t DROP PRIMARY KEY", "d") === Seq(
+      AlterIndex("d", "t", addIndex = false, "PRIMARY")))
+    assert(toSql(parse("ALTER TABLE t ADD PRIMARY KEY (a)", "d").head) ===
+      "ALTER TABLE `d`.`t` ADD PRIMARY KEY (`a`)")
+    assert(toSql(parse("ALTER TABLE t ADD INDEX idx_a (a)", "d").head) ===
+      "ALTER TABLE `d`.`t` ADD INDEX `idx_a` (`a`)")
   }
 
   test("RENAME TABLE with multiple pairs; DROP TABLE with multiple targets") {
