@@ -88,6 +88,31 @@ object DdlParser {
     if (IndexKeywords.contains(u.toUpperCase)) dflt else u
   }
 
+  /** Contents of the first balanced `(...)` group, quote-aware. */
+  private def firstParenGroup(s: String): Option[String] = {
+    val start = s.indexOf('(')
+    if (start < 0) None
+    else {
+      var depth = 0
+      var quote: Char = 0
+      var i = start
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else c match {
+          case '`' | '\'' | '"' => quote = c
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) return Some(s.substring(start + 1, i))
+          case _ =>
+        }
+        i += 1
+      }
+      None
+    }
+  }
+
   /** Split `db.tbl` / `` `db`.`tbl` `` / `tbl` against a default schema. */
   private def qualified(name: String, defaultSchema: String): (String, String) = {
     val parts = splitTopLevel(name.trim, '.')
@@ -274,19 +299,28 @@ object DdlParser {
                up.startsWith("ADD CONSTRAINT") || up.startsWith("ADD FOREIGN")) {
       // MySQL names the primary index PRIMARY; bare keywords never name
       val dflt = if (up.startsWith("ADD PRIMARY")) "PRIMARY" else "idx"
-      val name = "\\(".r.findFirstMatchIn(spec).map(_ => {
+      // `ADD CONSTRAINT <name> ...` names the constraint right after the
+      // keyword; otherwise the name (if any) is the last token before '('.
+      val constraintName =
+        if (up.startsWith("ADD CONSTRAINT")) {
+          val toks = spec.split(ws)
+          if (toks.length >= 3) Some(idxName(toks(2), dflt)) else None
+        } else None
+      val name = constraintName.getOrElse("\\(".r.findFirstMatchIn(spec).map(_ => {
         val pre = spec.substring(0, spec.indexOf('(')).trim
         idxName(pre.split(ws).lastOption.getOrElse(dflt), dflt)
       }).getOrElse {
         // no column list (e.g. a re-rendered `ADD INDEX \`name\``)
         val toks = spec.split(ws)
         if (toks.length >= 3) idxName(toks.last, dflt) else dflt
-      }
-      val keyParts = "\\(".r.findFirstMatchIn(spec).map { _ =>
-        splitTopLevel(
-          spec.substring(spec.indexOf('(') + 1, spec.lastIndexOf(')')), ',')
-          .map(unquote).toSeq
-      }.getOrElse(Nil)
+      })
+      // Only the FIRST balanced paren group holds key parts: for
+      // `ADD CONSTRAINT ... FOREIGN KEY (a) REFERENCES p (id)` the naive
+      // first-'('..last-')' span would capture `a) REFERENCES p (id` and
+      // re-render malformed SQL.
+      val keyParts = firstParenGroup(spec)
+        .map(g => splitTopLevel(g, ',').map(unquote).toSeq)
+        .getOrElse(Nil)
       Seq(AlterIndex(schema, table, addIndex = true, name, keyParts))
     } else if (up.startsWith("DROP COLUMN")) {
       Seq(AlterTable(schema, table, DropColumn(unquote(afterKw(2)))))

@@ -385,13 +385,19 @@ object DocQueries {
     * per dir — the index/batch analysis is the expensive one-time build
     * and both gates consume it (the q84/q86 job-sharing pattern). */
   private val incrementalCache = scala.collection.concurrent.TrieMap
-    .empty[String, (org.apache.spark.sql.DataFrame,
-      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (org.apache.spark.sql.DataFrame,
+       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
 
   private def incrementalParts(spark: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
-        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    incrementalCache.getOrElseUpdate(dir, {
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // keyed by (session, dir): a cached plan bound to a stopped session
+    // (repeated programmatic runs in one JVM) must not be reused; drop any
+    // entries whose owning session has stopped so they can be rebuilt.
+    incrementalCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(incrementalCache.remove)
+    incrementalCache.getOrElseUpdate((spark, dir), {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val c = corpus(spark, dir)
       val idx = Dedup.minhashAnalyzed(c.filter(col("doc_id") < 100000L),
@@ -408,6 +414,7 @@ object DocQueries {
         .persist(lvl)
       (idx, na, matches)
     })
+  }
 
   val incrementalDedup = GateQuery(
     "q94_incremental_dedup",

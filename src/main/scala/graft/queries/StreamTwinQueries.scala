@@ -349,11 +349,18 @@ object StreamTwinQueries {
       """, marked AS (
         |  SELECT *, (max(seq) OVER (PARTITION BY schema_name, table_name) * 7) // 10 AS flush_cap
         |  FROM cdc
-        |), pt AS (
+        |), pt0 AS (
         |  SELECT schema_name, table_name,
         |    CAST(sum(CASE WHEN seq <= flush_cap THEN 1 ELSE 0 END) AS BIGINT) AS n_flushed,
-        |    max(CASE WHEN seq <= flush_cap THEN commit_ts END) AS flushed_ts
+        |    max(CASE WHEN seq <= flush_cap THEN commit_ts END) AS max_flushed,
+        |    min(CASE WHEN seq > flush_cap THEN commit_ts END) AS first_unflushed
         |  FROM marked GROUP BY 1, 2
+        |), pt AS (
+        |  SELECT schema_name, table_name, n_flushed,
+        |    CASE WHEN max_flushed IS NULL THEN NULL
+        |         WHEN first_unflushed IS NULL THEN max_flushed
+        |         ELSE least(max_flushed, first_unflushed - 1) END AS flushed_ts
+        |  FROM pt0
         |), cp AS (
         |  SELECT CASE WHEN sum(CASE WHEN flushed_ts IS NULL THEN 1 ELSE 0 END) > 0
         |              THEN NULL ELSE min(flushed_ts) END AS checkpoint_ts

@@ -160,10 +160,21 @@ object Sinks {
    * control-plane sized, exactly the reference's in-memory progress map.
    */
   def sinkProgress(events: DataFrame, flushed: org.apache.spark.sql.Column): DataFrame = {
+    // The per-table watermark must have NO unflushed event at or below it.
+    // A bare max(flushed commit_ts) is only valid when the flush set is a
+    // ts-prefix; if an unflushed event sits at ts=X while a later (or
+    // ts-tied) event is flushed, the watermark has to stop strictly below
+    // X. Single pass: min(max flushed ts, first unflushed ts - 1).
     val pt = events.withColumn("_f", flushed)
       .groupBy("schema_name", "table_name")
       .agg(sum(when(col("_f"), 1L).otherwise(0L)).as("n_flushed"),
-        max(when(col("_f"), col("commit_ts"))).as("flushed_ts"))
+        max(when(col("_f"), col("commit_ts"))).as("_max_flushed"),
+        min(when(!col("_f"), col("commit_ts"))).as("_first_unflushed"))
+      .withColumn("flushed_ts",
+        when(col("_max_flushed").isNull, lit(null).cast("long"))
+          .when(col("_first_unflushed").isNull, col("_max_flushed"))
+          .otherwise(least(col("_max_flushed"), col("_first_unflushed") - 1)))
+      .drop("_max_flushed", "_first_unflushed")
     // a table with NOTHING flushed pins the checkpoint to null (nothing is
     // safe) — a bare min() would skip its NULL watermark and falsely mark
     // other tables' events as covered

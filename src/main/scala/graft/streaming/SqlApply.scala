@@ -228,7 +228,16 @@ object SqlApply {
         try listing.iterator().asScala.toVector finally listing.close()
       }
       conn.setAutoCommit(false)
-      files.filter(_.getFileName.toString.endsWith(".sql")).sortBy(_.toString)
+      // Sort by NUMERIC (batchId, partition) parsed from batch<N>_p<P>.sql —
+      // lexicographic path order would apply batch10 before batch2.
+      def numericKey(p: Path): (Long, Long, String) = {
+        val n = p.getFileName.toString
+        "batch(\\d+)_p(\\d+)".r.findFirstMatchIn(n) match {
+          case Some(m) => (m.group(1).toLong, m.group(2).toLong, n)
+          case None => (Long.MaxValue, Long.MaxValue, n)
+        }
+      }
+      files.filter(_.getFileName.toString.endsWith(".sql")).sortBy(numericKey)
         .foreach { p: Path =>
           // one JDBC batch + one txn per rendered file (one sink flush);
           // executeBatch preserves statement order per the JDBC spec

@@ -143,6 +143,23 @@ class DdlParserSpec extends AnyFunSuite {
     assert(vs2.last.tableName === "t_new" && vs2.last.version === 5)
   }
 
+  test("FOREIGN KEY / CONSTRAINT specs: key parts stop at the first balanced group") {
+    // ADVICE r6 (medium): first-'('..last-')' captured `a) REFERENCES p (id`
+    // and re-rendered malformed SQL for FK constraints.
+    val Seq(fk: AlterIndex) = parse(
+      "ALTER TABLE d.t ADD CONSTRAINT `fk_x` FOREIGN KEY (a) REFERENCES p (id)")
+    assert(fk.indexName === "fk_x" && fk.keyParts === Seq("a"))
+    val rendered = toSql(fk)
+    assert(rendered.contains("(`a`)") && !rendered.contains("REFERENCES"))
+    assert(parse(rendered).head.isInstanceOf[AlterIndex]) // round-trips clean
+    val Seq(uq: AlterIndex) = parse(
+      "ALTER TABLE d.t ADD CONSTRAINT uq_ab UNIQUE (a, b)")
+    assert(uq.indexName === "uq_ab" && uq.keyParts === Seq("a", "b"))
+    val Seq(anon: AlterIndex) = parse(
+      "ALTER TABLE d.t ADD FOREIGN KEY (a) REFERENCES p (id)")
+    assert(anon.keyParts === Seq("a"))
+  }
+
   test("event-type classification matches the reference allow-list names") {
     assert(parse("ALTER TABLE t ADD c INT", "d").head.eventType === "add column")
     assert(parse("DROP TABLE t", "d").head.eventType === "drop table")

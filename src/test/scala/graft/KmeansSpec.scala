@@ -75,4 +75,20 @@ class KmeansSpec extends SparkSpec {
     // flushed: a→20, b→12; checkpoint = min = 12; safe: ts <= 12
     assert(got == Set(("a", 2L, 20L, 12L, 1L), ("b", 1L, 12L, 12L, 1L)))
   }
+
+  test("sinkProgress: a non-prefix flush set cannot advance past the hole") {
+    // ADVICE r6: table flushed ts=30 but NOT ts=20 — max(flushed ts) would
+    // falsely mark the unflushed ts=20 event as covered. The watermark must
+    // stop strictly below the first unflushed event.
+    val ev = Seq(
+      ("db", "a", 10L, true), ("db", "a", 20L, false), ("db", "a", 30L, true),
+      ("db", "b", 25L, true))
+      .toDF("schema_name", "table_name", "commit_ts", "f")
+    val got = Sinks.sinkProgress(ev, col("f"))
+      .select("table_name", "n_flushed", "flushed_ts", "checkpoint_ts", "n_safe")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // a's watermark = min(30, 20-1) = 19; checkpoint = min(19, 25) = 19;
+    // only a's ts=10 is safe
+    assert(got == Set(("a", 2L, 19L, 19L, 1L), ("b", 1L, 25L, 19L, 0L)))
+  }
 }
