@@ -111,6 +111,40 @@ object ExtraQueries {
         array_join(col("frame_offsets").cast("array<string>"), ","))
   }
 
+  /** REAL image decode: PNG fixtures are encoded on the executors from a
+    * closed-form pixel function of the id, decoded back with
+    * `javax.imageio` ([[graft.operators.Multimodal.decodeImageFeatures]]),
+    * and the decoded luma statistics must equal the oracle's independent
+    * recomputation of the SAME closed form (PNG is lossless — one flipped
+    * pixel anywhere fails the hash). Every 7th document to keep the
+    * fixture set ~71 images at gate scale. */
+  val imageDecode = GateQuery(
+    "q120_image_decode",
+    Some("""WITH ids AS (
+           |  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           |  FROM documents WHERE doc_id % 7 = 0
+           |), pix AS (
+           |  SELECT media_id, w, h,
+           |    (299 * ((media_id + 3*x.x + 7*y.y) % 256)
+           |     + 587 * ((2*media_id + 5*x.x + y.y) % 256)
+           |     + 114 * ((3*media_id + x.x + 11*y.y) % 256)) // 1000 AS luma,
+           |    ((media_id + 3*x.x + 7*y.y) % 256)
+           |     + ((2*media_id + 5*x.x + y.y) % 256)
+           |     + ((3*media_id + x.x + 11*y.y) % 256) AS psum
+           |  FROM ids, range(0, 17) x(x), range(0, 15) y(y)
+           |  WHERE x.x < w AND y.y < h
+           |)
+           |SELECT media_id, CAST(max(w) AS INT) AS width,
+           |  CAST(max(h) AS INT) AS height, CAST(3 AS INT) AS channels,
+           |  CAST(sum(luma) // count(*) AS BIGINT) AS mean_luma,
+           |  CAST(sum(CASE WHEN luma < 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark,
+           |  CAST(sum(CASE WHEN luma >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright,
+           |  CAST(sum(psum) AS BIGINT) AS pix_sum
+           |FROM pix GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    val ids = Tables.load(spark, dir, "documents").filter(col("doc_id") % 7 === 0)
+    Multimodal.decodeImageFeatures(spark, Multimodal.pngTable(spark, ids)).toDF()
+  }
+
   /** C5 — claim-check / large-message handling: oversized encoded messages
     * are replaced by a storage reference; small ones pass inline (reference
     * pkg/sink/kafka/claimcheck/claim_check.go, handle-key-only downgrade
@@ -590,7 +624,7 @@ object ExtraQueries {
   }
 
   def all: Seq[GateQuery] = Seq(
-    schemaAsof, validator, mediaFeatures, claimCheck, handleKeyOnly,
+    schemaAsof, validator, mediaFeatures, imageDecode, claimCheck, handleKeyOnly,
     claimCheckWrite,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
     jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin)
