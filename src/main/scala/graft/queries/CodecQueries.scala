@@ -591,6 +591,42 @@ object CodecQueries {
         col("e.val_after").as("val_after"), col("e.etype").as("etype"))
   }
 
+  /** E7 avro wire form (reference pkg/sink/codec/simple/avro.go +
+    * marshaller.go): the q48 stream marshalled as Avro binary against a
+    * registry-held union schema, framed with the registry's id, decoded
+    * back — encode∘decode = id on every envelope field, completing the
+    * simple protocol's encoder-variant matrix (JSON q48/q48c, Avro here).
+    * Decoding against a WRONG registry id must yield NULL, pinned by
+    * n_foreign = 0. */
+  val simpleAvroRoundtrip = GateQuery(
+    "q121_simple_avro",
+    Some(cte +
+      s"""SELECT seq, op, commit_ts, schema_name, table_name, pk,
+         |  val_before, val_after, etype, 0 AS n_foreign
+         |FROM cdc WHERE $SampleE""".stripMargin)) { (spark, dir) =>
+    import graft.core.AvroSchemaRegistry
+    import graft.functions.SimpleAvro
+    val reg = new AvroSchemaRegistry()
+    val rid = reg.register("events-simple-value", SimpleAvro.MessageSchemaJson)
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    val wire = df.select(col("seq"),
+      SimpleAvro.encodeDmlColumn(df, schemaVersion = 1, schemaId = rid.id).as("msg"))
+    wire.select(col("seq"),
+        SimpleAvro.decodeColumn(col("msg"), rid.id).as("m"),
+        SimpleAvro.decodeColumn(col("msg"), rid.id + 999).as("foreign"))
+      .select(col("seq"),
+        when(col("m.mtype") === "INSERT", "I")
+          .when(col("m.mtype") === "UPDATE", "U").otherwise("D").as("op"),
+        col("m.commit_ts").as("commit_ts"),
+        col("m.database").as("schema_name"),
+        col("m.tbl").as("table_name"),
+        coalesce(col("m.data.pk"), col("m.old.pk")).as("pk"),
+        col("m.old.val").as("val_before"),
+        col("m.data.val").as("val_after"),
+        coalesce(col("m.data.etype"), col("m.old.etype")).as("etype"),
+        when(col("foreign").isNull, 0).otherwise(1).as("n_foreign"))
+  }
+
   /**
    * E1 batch framing end to end (q108): key/value pairs pack into
    * BatchVersion1 wire frames (16 pairs per message) per deterministic
@@ -677,5 +713,6 @@ object CodecQueries {
     canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas,
     avroBinary, craftRoundtrip, simple, kafkaRecord, pulsarRecord, rowcodecV2,
     debeziumRoundtrip, maxwellRoundtrip, openRoundtrip, csvRoundtrip,
-    simpleRoundtrip, avroEvolution, openBatchRoundtrip, integrity)
+    simpleRoundtrip, simpleAvroRoundtrip, avroEvolution, openBatchRoundtrip,
+    integrity)
 }

@@ -102,4 +102,27 @@ class AvroSpec extends SparkSpec {
         |FROM avro_in""".stripMargin).head()
     assert(r.getLong(0) === 9L && r.getLong(1) === 9L)
   }
+
+  test("simple-avro: watermark and bootstrap messages round-trip") {
+    import graft.functions.SimpleAvro
+    val wm = SimpleAvro.decode(SimpleAvro.encodeWatermark(1002500L, 7), 7)
+    assert(wm.getUTF8String(0).toString === "WATERMARK")
+    assert(wm.getLong(1) === 1002500L)
+    assert(wm.isNullAt(2) && wm.isNullAt(6)) // no table, no images
+    val bs = SimpleAvro.decode(SimpleAvro.encodeBootstrap(
+      "db", "events", 3,
+      Seq(("pk", "BIGINT", false), ("val", "DOUBLE", true),
+        ("etype", "VARCHAR", true)), 7), 7)
+    assert(bs.getUTF8String(0).toString === "BOOTSTRAP")
+    assert(bs.getUTF8String(2).toString === "db")
+    assert(bs.getUTF8String(3).toString === "events")
+    assert(bs.getInt(4) === 3 && bs.getInt(5) === 3)
+  }
+
+  test("simple-avro: foreign registry id decodes to null, not garbage") {
+    import graft.functions.SimpleAvro
+    val bytes = SimpleAvro.encodeWatermark(5L, 12)
+    assert(SimpleAvro.decode(bytes, 13) == null)
+    assert(SimpleAvro.decode(Array[Byte](1, 2), 12) == null)
+  }
 }
