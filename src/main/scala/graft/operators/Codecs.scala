@@ -100,6 +100,121 @@ object Codecs {
       lit(null).cast(imgType).as("old")), jsonOpts)
   }
 
+  /** Debezium schema-change type for a parsed DDL statement (reference
+    * pkg/sink/codec/debezium/codec.go EncodeDDLEvent's changeType switch:
+    * creates → CREATE, alters/renames/index changes → ALTER,
+    * drops/truncates → DROP). */
+  def debeziumDdlType(stmt: graft.core.DdlParser.Stmt): String = {
+    import graft.core.DdlParser._
+    stmt match {
+      case _: CreateTable | _: CreateDatabase => "CREATE"
+      case _: AlterTable | _: RenameTable => "ALTER"
+      case AlterIndex(_, _, true, _, _) => "ALTER" // add index / add pk
+      // the reference's switch is asymmetric: ActionDropIndex → DROP but
+      // ActionDropPrimaryKey → ALTER
+      case AlterIndex(_, _, false, name, _) =>
+        if (name == "PRIMARY") "ALTER" else "DROP"
+      case _: DropTable | _: DropDatabase | _: TruncateTable => "DROP"
+    }
+  }
+
+  /** E5 (DDL half) — Debezium schema-change message pair (reference
+    * EncodeDDLEvent, pkg/sink/codec/debezium/codec.go:1154+): the key
+    * carries the database name; the value carries source metadata, the DDL
+    * text, and a `tableChanges` entry classified CREATE/ALTER/DROP —
+    * empty for TRUNCATE and database-level statements, and for a RENAME
+    * the change id concatenates old and new identifiers. Deterministic:
+    * ts_ms fields carry the commit ts (no wall clock in a gate-checked
+    * render). Expects (schema_name, table_name, commit_ts, change_type,
+    * ddl_sql, to_schema, to_table, no_changes); table_name null for
+    * database-level statements, to_schema/to_table null except RENAME.
+    * Returns (key_json, value_json). */
+  def debeziumDdl(df: DataFrame, clusterId: String = "graft"): (Column, Column) = {
+    val key = to_json(struct(
+      struct(col("schema_name").as("databaseName")).as("payload"),
+      struct(lit("struct").as("type"),
+        lit("io.debezium.connector.mysql.SchemaChangeKey").as("name"),
+        lit(false).as("optional"), lit(1).as("version")).as("schema")), jsonOpts)
+    val changeId = when(col("to_table").isNotNull,
+        concat(lit("\""), col("schema_name"), lit("\".\""), col("table_name"),
+          lit("\",\""), col("to_schema"), lit("\".\""), col("to_table"), lit("\"")))
+      .otherwise(concat(lit("\""), col("schema_name"), lit("\".\""),
+        col("table_name"), lit("\"")))
+    val changes = when(col("table_name").isNull || col("no_changes"),
+        array().cast(ArrayType(new StructType()
+          .add("type", StringType).add("id", StringType))))
+      .otherwise(array(struct(col("change_type").as("type"), changeId.as("id"))))
+    val value = to_json(struct(struct(
+      struct(
+        lit("2.4.0.Final").as("version"), lit("graft").as("connector"),
+        lit(clusterId).as("name"), col("commit_ts").as("ts_ms"),
+        lit("false").as("snapshot"),
+        coalesce(col("schema_name"), lit("")).as("db"),
+        coalesce(col("table_name"), lit("")).as("table"),
+        lit(0L).as("server_id"), lit(null).cast(StringType).as("gtid"),
+        lit("").as("file"), lit(0L).as("pos"), lit(0L).as("row"),
+        lit(0L).as("thread"), lit(null).cast(StringType).as("query"),
+        col("commit_ts").as("commit_ts"), lit(clusterId).as("cluster_id"))
+        .as("source"),
+      col("commit_ts").as("ts_ms"),
+      col("schema_name").as("databaseName"),
+      lit(null).cast(StringType).as("schemaName"),
+      col("ddl_sql").as("ddl"),
+      changes.as("tableChanges")).as("payload")), jsonOpts)
+    (key, value)
+  }
+
+  /** Maxwell DDL type for a parsed statement (reference
+    * pkg/sink/codec/maxwell/maxwell_message.go ddlToMaxwellType: create /
+    * drop table, the alter action range — including rename and truncate —
+    * and database-level create/drop). */
+  def maxwellDdlType(stmt: graft.core.DdlParser.Stmt): String = {
+    import graft.core.DdlParser._
+    stmt match {
+      case _: CreateTable => "table-create"
+      case _: DropTable => "table-drop"
+      case _: AlterTable | _: AlterIndex | _: RenameTable |
+           _: TruncateTable => "table-alter"
+      case _: CreateDatabase => "database-create"
+      case _: DropDatabase => "database-drop"
+    }
+  }
+
+  /** Maxwell column-type name for a Spark type (reference
+    * columnToMaxwellType, maxwell_message.go). */
+  def maxwellColType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case BooleanType | IntegerType => "int"
+    case LongType => "bigint"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case _: DecimalType => "decimal"
+    case TimestampType => "datetime"
+    case DateType => "date"
+    case _ => "string"
+  }
+
+  /** E6 (DDL half) — Maxwell DDL message (reference ddlMaxwellMessage,
+    * maxwell_message.go:174+): classified type, the statement text, and
+    * `old`/`def` table structures whose column lists come from the schema
+    * registry versions in force before/after the DDL (the reference builds
+    * them from PreTableInfo/TableInfo). Expects (schema_name, table_name,
+    * commit_ts, ddl_kind, ddl_sql, def_cols, old_cols) where the col lists
+    * are array<struct<name,type>>. */
+  def maxwellDdl(df: DataFrame): Column = {
+    val tblStruct = (cols: Column) => struct(
+      col("schema_name").as("database"), col("table_name").as("table"),
+      cols.as("columns"),
+      lit(null).cast(ArrayType(StringType)).as("primary-key"))
+    to_json(struct(
+      col("ddl_kind").as("type"),
+      col("schema_name").as("database"),
+      col("table_name").as("table"),
+      tblStruct(col("old_cols")).as("old"),
+      tblStruct(col("def_cols")).as("def"),
+      col("commit_ts").as("ts"),
+      col("ddl_sql").as("sql")), jsonOpts)
+  }
+
   /** E5 — Debezium-style envelope (reference
     * pkg/sink/codec/debezium/codec.go). */
   def debezium(df: DataFrame, connectorName: String = "graft"): Column = {

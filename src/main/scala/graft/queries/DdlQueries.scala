@@ -272,6 +272,169 @@ object DdlQueries {
       sum(when(col("kind_kept"), 1L).otherwise(0L)).as("n_kind_kept"))
   }
 
+  /**
+   * E5 (DDL half) — Debezium schema-change envelopes (q122; reference
+   * EncodeDDLEvent, pkg/sink/codec/debezium/codec.go:1154+): every corpus
+   * statement renders to a (key, value) message pair, the value is decoded
+   * BACK from JSON, and the gate groups on the decoded `tableChanges`
+   * classification — CREATE/ALTER/DROP per the reference's switch (DROP
+   * INDEX → DROP but DROP PRIMARY KEY → ALTER), NONE for truncate and
+   * database-level statements, rename ids concatenating old and new
+   * identifiers. The oracle classifies the same statements with
+   * independent SQL regexes.
+   */
+  val debeziumDdl = GateQuery(
+    "q122_debezium_ddl",
+    Some {
+      s"""WITH ddl(sql) AS (VALUES $corpusValuesSql),
+         |cls AS (SELECT sql,
+         |  CASE WHEN regexp_matches(sql, '(?i)^(CREATE|DROP) DATABASE')
+         |         OR regexp_matches(sql, '(?i)^TRUNCATE') THEN 'NONE'
+         |       WHEN regexp_matches(sql, '(?i)^CREATE TABLE') THEN 'CREATE'
+         |       WHEN regexp_matches(sql, '(?i)^(DROP TABLE|ALTER TABLE .* DROP INDEX)') THEN 'DROP'
+         |       ELSE 'ALTER' END AS kind FROM ddl)
+         |SELECT kind, count(*) AS n_msgs,
+         |  CAST(sum(CASE WHEN kind = 'NONE' THEN 0 ELSE 1 END) AS BIGINT) AS n_with_changes,
+         |  CAST(sum(CASE WHEN regexp_matches(sql, '(?i)^RENAME') THEN 1 ELSE 0 END) AS BIGINT) AS n_rename_ids,
+         |  CAST(count(*) AS BIGINT) AS n_sql_echoed,
+         |  CAST(count(*) AS BIGINT) AS n_key_db_match
+         |FROM cls GROUP BY 1""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    import graft.core.DdlParser
+    import graft.core.DdlParser._
+    import graft.operators.Codecs
+    val rows = DdlCorpus.flatMap { sql =>
+      DdlParser.parse(sql, "db").map { st =>
+        val (schema, table, toS, toT) = st match {
+          case s: CreateTable => (s.schema, s.table, null, null)
+          case s: DropTable => (s.schema, s.table, null, null)
+          case s: TruncateTable => (s.schema, s.table, null, null)
+          case s: AlterTable => (s.schema, s.table, null, null)
+          case s: AlterIndex => (s.schema, s.table, null, null)
+          case s: RenameTable => (s.schema, s.table, s.toSchema, s.toTable)
+          case s: CreateDatabase => (s.schema, null, null, null)
+          case s: DropDatabase => (s.schema, null, null, null)
+        }
+        val noChanges = st.isInstanceOf[TruncateTable]
+        (schema, table, 1001000L, Codecs.debeziumDdlType(st), sql, toS, toT,
+          noChanges)
+      }
+    }.toDF("schema_name", "table_name", "commit_ts", "change_type", "ddl_sql",
+      "to_schema", "to_table", "no_changes")
+    val (k, v) = Codecs.debeziumDdl(rows)
+    val valueSchema = new org.apache.spark.sql.types.StructType()
+      .add("payload", new org.apache.spark.sql.types.StructType()
+        .add("databaseName", org.apache.spark.sql.types.StringType)
+        .add("ddl", org.apache.spark.sql.types.StringType)
+        .add("tableChanges", org.apache.spark.sql.types.ArrayType(
+          new org.apache.spark.sql.types.StructType()
+            .add("type", org.apache.spark.sql.types.StringType)
+            .add("id", org.apache.spark.sql.types.StringType))))
+    val keySchema = new org.apache.spark.sql.types.StructType()
+      .add("payload", new org.apache.spark.sql.types.StructType()
+        .add("databaseName", org.apache.spark.sql.types.StringType))
+    rows.select(col("ddl_sql"), from_json(k, keySchema).as("km"),
+        from_json(v, valueSchema).as("m"))
+      .select(
+        coalesce(try_element_at(col("m.payload.tableChanges"), lit(1))("type"),
+          lit("NONE")).as("kind"),
+        (size(col("m.payload.tableChanges")) > 0).as("with_changes"),
+        try_element_at(col("m.payload.tableChanges"), lit(1))("id").contains(",")
+          .as("rename_id"),
+        (col("m.payload.ddl") === col("ddl_sql")).as("sql_echoed"),
+        (col("km.payload.databaseName") === col("m.payload.databaseName"))
+          .as("key_db_match"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(when(col("with_changes"), 1L).otherwise(0L)).as("n_with_changes"),
+        sum(when(coalesce(col("rename_id"), lit(false)), 1L).otherwise(0L))
+          .as("n_rename_ids"),
+        sum(when(col("sql_echoed"), 1L).otherwise(0L)).as("n_sql_echoed"),
+        sum(when(col("key_db_match"), 1L).otherwise(0L)).as("n_key_db_match"))
+  }
+
+  /**
+   * E6 (DDL half) — Maxwell DDL messages (q123; reference
+   * ddlMaxwellMessage, maxwell_message.go:174+): the q73 DDL sequence
+   * folds through the registry so each (split) statement knows its
+   * before/after column lists, renders as a Maxwell message with
+   * `old`/`def` table structures, and is decoded back; the gate pins the
+   * classified type, the old/def column counts along the schema
+   * evolution (2→3→4 columns), and the column-type names (pk stays
+   * `bigint` in every def).
+   */
+  val maxwellDdl = GateQuery(
+    "q123_maxwell_ddl",
+    Some("""SELECT * FROM (VALUES
+           |  ('table-create', 2, 0, CAST(8 AS BIGINT), CAST(8 AS BIGINT)),
+           |  ('table-alter', 3, 2, CAST(8 AS BIGINT), CAST(8 AS BIGINT)),
+           |  ('table-alter', 4, 3, CAST(8 AS BIGINT), CAST(8 AS BIGINT)),
+           |  ('table-alter', 4, 4, CAST(8 AS BIGINT), CAST(8 AS BIGINT)))
+           |v(mtype, n_def, n_old, n_msgs, n_pk_bigint)""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.core.{DdlParser, SchemaRegistry}
+    import graft.core.DdlParser.{AlterTable, CreateTable}
+    import graft.operators.Codecs
+    val rows = for {
+      s <- Seq("db_0", "db_1"); t <- Seq("tbl_0", "tbl_1", "tbl_2", "tbl_3")
+      texts = Seq(
+        (s"CREATE TABLE $s.$t (pk BIGINT NOT NULL PRIMARY KEY, val DOUBLE)", 0L),
+        (s"ALTER TABLE $s.$t ADD COLUMN c2 VARCHAR(64)", 1002000L),
+        (s"ALTER TABLE $s.$t ADD COLUMN c3 DECIMAL(10,2), MODIFY COLUMN c2 TEXT",
+          1005000L))
+      row <- {
+        // fold the parsed statements into running (name, maxwell-type)
+        // column lists: old = before the statement, def = after
+        var cols = Vector.empty[(String, String)]
+        texts.flatMap { case (sql, ts) =>
+          DdlParser.parse(sql).map { st =>
+            val old = cols
+            st match {
+              case ct: CreateTable =>
+                cols = ct.columns.map(c =>
+                  (c.name, Codecs.maxwellColType(c.dataType))).toVector
+              case AlterTable(_, _, SchemaRegistry.AddColumn(n, dt)) =>
+                cols = cols :+ ((n, Codecs.maxwellColType(dt)))
+              case AlterTable(_, _, SchemaRegistry.ModifyColumn(n, dt)) =>
+                cols = cols.map { case (cn, ct0) =>
+                  if (cn == n) (cn, Codecs.maxwellColType(dt)) else (cn, ct0) }
+              case other => throw new IllegalStateException(other.toString)
+            }
+            (s, t, ts, Codecs.maxwellDdlType(st), DdlParser.toSql(st),
+              cols.map { case (n, ty) => (n, ty) }, old)
+          }
+        }
+      }
+    } yield row
+    val df = rows.toDF("schema_name", "table_name", "commit_ts", "ddl_kind",
+        "ddl_sql", "def_cols", "old_cols")
+      .withColumn("def_cols", col("def_cols").cast(
+        "array<struct<name:string,type:string>>"))
+      .withColumn("old_cols", col("old_cols").cast(
+        "array<struct<name:string,type:string>>"))
+    val msgSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      """type STRING, `database` STRING, `table` STRING,
+        |old STRUCT<`database`: STRING, `table`: STRING,
+        |  columns: ARRAY<STRUCT<name: STRING, type: STRING>>,
+        |  `primary-key`: ARRAY<STRING>>,
+        |def STRUCT<`database`: STRING, `table`: STRING,
+        |  columns: ARRAY<STRUCT<name: STRING, type: STRING>>,
+        |  `primary-key`: ARRAY<STRING>>,
+        |ts BIGINT, sql STRING""".stripMargin.replace("\n", " "))
+    df.select(from_json(Codecs.maxwellDdl(df), msgSchema).as("m"))
+      .select(col("m.type").as("mtype"),
+        size(col("m.def.columns")).as("n_def"),
+        coalesce(size(col("m.old.columns")), lit(0)).as("n_old"),
+        exists(col("m.def.columns"),
+          c => c("name") === "pk" && c("type") === "bigint").as("pk_bigint"))
+      .withColumn("n_old", when(col("n_old") < 0, 0).otherwise(col("n_old")))
+      .groupBy("mtype", "n_def", "n_old")
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(when(col("pk_bigint"), 1L).otherwise(0L)).as("n_pk_bigint"))
+  }
+
   def all: Seq[GateQuery] =
-    Seq(shardDdlGate, precheck, ddlText, ddlAllowList, ddlRenderFixpoint)
+    Seq(shardDdlGate, precheck, ddlText, ddlAllowList, ddlRenderFixpoint,
+      debeziumDdl, maxwellDdl)
 }
