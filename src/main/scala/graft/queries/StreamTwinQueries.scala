@@ -485,7 +485,104 @@ object StreamTwinQueries {
           lit(0).cast("decimal(18,6)")).cast("double").as("sum_val"))
   }
 
+  /**
+   * A7 — per-table DML metrics (q124; reference table-sink counters behind
+   * the Grafana series, cdc sink metrics / dm syncer metrics): the stream
+   * splits into 4 deterministic ts-range batches, each runs through the
+   * REAL [[graft.streaming.Metrics.withDmlMetrics]] wrapper (one counter
+   * row per batch × table × op appended to the metrics table), batch 0 is
+   * REPLAYED once (at-least-once delivery), and [[Metrics.totals]] must
+   * still equal the plain per-(table, op) counts — the replayed counter
+   * rows dedup on (batch_id, table, op).
+   */
+  val dmlMetrics = GateQuery(
+    "q124_dml_metrics",
+    Some(cte +
+      """, b AS (SELECT min(commit_ts) AS lo, max(commit_ts) AS hi FROM cdc)
+        |SELECT schema_name, table_name, op,
+        |  CAST(count(*) AS BIGINT) AS total_rows,
+        |  CAST(max((commit_ts - lo) * 4 // (hi - lo + 1)) AS BIGINT) AS last_batch
+        |FROM cdc, b GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
+    import graft.streaming.Metrics
+    val ev = CdcStream.derive(spark, dir)
+    val r = ev.agg(min(col("commit_ts")), max(col("commit_ts"))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val withB = ev.withColumn("batch_id",
+      expr(s"(commit_ts - $lo) * 4 div ${hi - lo + 1}")).persist()
+    val (metricsDir, _) = Gate.freshScratch("graft_metrics_", dir)
+    val sink = Metrics.withDmlMetrics(spark, metricsDir)((_, _) => ())
+    (0L to 3L).foreach { b =>
+      sink(withB.filter(col("batch_id") === b).drop("batch_id"), b)
+    }
+    // at-least-once: redeliver batch 0 whole; totals must not change
+    sink(withB.filter(col("batch_id") === 0L).drop("batch_id"), 0L)
+    withB.unpersist()
+    Metrics.totals(spark, metricsDir)
+      .select("schema_name", "table_name", "op", "total_rows", "last_batch")
+  }
+
+  /**
+   * L1 — changefeed CRUD lifecycle (q125; reference cdc/api/v2 create /
+   * pause / resume / delete / status): a REAL ChangefeedManager drives a
+   * file-source changefeed through the full lifecycle — create drains the
+   * first half of the stream, pause stops the query (checkpoint retained),
+   * rows arriving while paused are delivered EXACTLY ONCE on resume, and
+   * delete forgets the feed. Each phase pins (manager state, rows
+   * delivered in that phase); the oracle recomputes the half-split counts
+   * from the plain stream.
+   */
+  val changefeedCrud = GateQuery(
+    "q125_changefeed_crud",
+    Some(cte +
+      """, b AS (SELECT (min(commit_ts) + max(commit_ts)) // 2 AS mid FROM cdc)
+        |SELECT '1_created' AS phase, 'created' AS state,
+        |  CAST(count(*) AS BIGINT) AS n_rows FROM cdc, b WHERE commit_ts <= mid
+        |UNION ALL SELECT '2_paused', 'paused', CAST(0 AS BIGINT)
+        |UNION ALL SELECT '3_resumed', 'created', CAST(count(*) AS BIGINT)
+        |  FROM cdc, b WHERE commit_ts > mid
+        |UNION ALL SELECT '4_deleted', 'not-found', CAST(0 AS BIGINT)"""
+        .stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.{ChangefeedManager, ChangefeedSpec}
+    val ev = CdcStream.derive(spark, dir)
+    val r = ev.agg(min(col("commit_ts")), max(col("commit_ts"))).head()
+    val mid = (r.getLong(0) + r.getLong(1)) / 2
+    val (base, _) = Gate.freshScratch("graft_cf_crud_", dir)
+    // phase input 1: first half of the stream lands in the source dir
+    ev.filter(col("commit_ts") <= mid)
+      .write.mode("append").parquet(s"$base/in")
+    val mgr = new ChangefeedManager(spark)
+    val outDir = s"$base/out"
+    def delivered(): Long =
+      try spark.read.parquet(outDir).count() catch { case _: Throwable => 0L }
+    val spec = ChangefeedSpec(id = "cf_gate", checkpointDir = s"$base/ckpt",
+      splitUpdates = false, compact = false)
+    mgr.create(spec, () => spark.readStream.schema(ev.schema)
+      .parquet(s"$base/in")) { (b, _) =>
+      b.write.mode("append").parquet(outDir)
+    }
+    val n1 = delivered()
+    val state1 = mgr.status("cf_gate")("state").toString
+    mgr.pause("cf_gate")
+    val statePaused = mgr.status("cf_gate")("state").toString
+    // rows arriving while paused: second half appended to the source dir
+    ev.filter(col("commit_ts") > mid)
+      .write.mode("append").parquet(s"$base/in")
+    mgr.resume("cf_gate")
+    val n3 = delivered() - n1
+    val state3 = mgr.status("cf_gate")("state").toString
+    mgr.delete("cf_gate")
+    val stateDeleted = mgr.status("cf_gate")("state").toString
+    Seq(
+      ("1_created", state1, n1),
+      ("2_paused", statePaused, 0L),
+      ("3_resumed", state3, n3),
+      ("4_deleted", stateDeleted, 0L))
+      .toDF("phase", "state", "n_rows")
+  }
+
   def all: Seq[GateQuery] =
     Seq(checkpointResume, optimisticLattice, redoReplay, syncpoints,
-      ddlBarrier, sinkProgress, lateData, redoApply)
+      ddlBarrier, sinkProgress, lateData, redoApply, dmlMetrics,
+      changefeedCrud)
 }
