@@ -378,6 +378,46 @@ object CdcQueries {
   }
 
   /**
+   * q126: storage consumer under SCHEMA DRIFT (reference consumer re-reads
+   * schema.json per table version, pkg/sink/cloudstorage/path.go:136-430):
+   * the first half of the stream is written as table version 1, a
+   * mid-stream column-add bumps to version 2 (new `extra_tag` column, new
+   * sidecar, new path subtree), and ONE versioned consume must read both —
+   * old rows surface NULL for the added column, new rows carry it. The
+   * oracle recomputes the half-split and the added column's values from
+   * the plain stream.
+   */
+  val storageSchemaDrift = GateQuery(
+    "q126_storage_drift",
+    Some(splitCte +
+      """, b AS (SELECT (min(commit_ts) + max(commit_ts)) // 2 AS mid FROM split)
+        |SELECT 1 AS sv, count(*) AS n_rows, count(*) AS n_extra_null,
+        |  CAST(0 AS BIGINT) AS sum_extra, CAST(sum(pk) AS BIGINT) AS sum_pk
+        |FROM split, b WHERE commit_ts <= mid
+        |UNION ALL
+        |SELECT 2, count(*), 0, CAST(sum(pk % 5) AS BIGINT),
+        |  CAST(sum(pk) AS BIGINT)
+        |FROM split, b WHERE commit_ts > mid""".stripMargin)) { (spark, dir) =>
+    import graft.streaming.{Sinks, StorageConsumer}
+    val ev = Transforms.updateSplit(CdcStream.derive(spark, dir))
+    val r = ev.agg(min(col("commit_ts")), max(col("commit_ts"))).head()
+    val mid = (r.getLong(0) + r.getLong(1)) / 2
+    val (base, _) = Gate.freshScratch("graft_storage_drift_", dir)
+    Sinks.storageSink(base, schemaVersion = Some(1))(
+      ev.filter(col("commit_ts") <= mid), 0L)
+    // mid-stream DDL: ADD COLUMN extra_tag → version bump, new sidecar
+    Sinks.storageSink(base, schemaVersion = Some(2))(
+      ev.filter(col("commit_ts") > mid)
+        .withColumn("extra_tag", col("pk") % 5), 1L)
+    StorageConsumer.readVersioned(spark, base)
+      .groupBy(col("_sv").cast("int").as("sv"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("extra_tag").isNull, 1L).otherwise(0L)).as("n_extra_null"),
+        coalesce(sum(col("extra_tag")), lit(0L)).as("sum_extra"),
+        sum(col("pk")).as("sum_pk"))
+  }
+
+  /**
    * q98: K1 end-to-end — the compacted stream is rendered to causality-
    * partitioned multi-row SQL files ([[graft.streaming.Sinks.sqlFileSink]]),
    * the files are EXECUTED against a live embedded SQL engine
@@ -445,5 +485,5 @@ object CdcQueries {
     checkpointFilter, router, extendColumns, topicRouter,
     dispatchByTable, dispatchByTs, dispatchByIndexValue,
     updateSplit, compaction, txnSizes, batching, safeMode, causality,
-    storageConsumer, sqlApply)
+    storageConsumer, storageSchemaDrift, sqlApply)
 }

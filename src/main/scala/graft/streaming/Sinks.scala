@@ -227,14 +227,24 @@ object Sinks {
                   ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat_ws("/", schema, table, storageDate(ts))
 
-  def storageSink(base: String, format: String = "parquet")
+  def storageSink(base: String, format: String = "parquet",
+                  schemaVersion: Option[Int] = None)
                  (batch: DataFrame, batchId: Long): Unit = {
     val tsCol = if (batch.columns.contains("last_commit_ts")) "last_commit_ts"
                 else "commit_ts"
-    batch
+    // With a schemaVersion, the table version becomes a path segment —
+    // the reference nests data under {schema}/{table}/{version}/ and
+    // re-reads schema.json per version (pkg/sink/cloudstorage/path.go
+    // :136-430) so a mid-stream DDL bumps the version and new files land
+    // under the new subtree while a consumer can still read the old one.
+    val versioned = schemaVersion
+      .map(v => batch.withColumn("_sv", lit(v))).getOrElse(batch)
+    val partCols = Seq("schema_name", "table_name") ++
+      schemaVersion.map(_ => "_sv").toSeq :+ "_date"
+    versioned
       .withColumn("_date", storageDate(col(tsCol)))
       .write.mode(SaveMode.Append)
-      .partitionBy("schema_name", "table_name", "_date")
+      .partitionBy(partCols: _*)
       .format(format)
       .save(base)
     // schema sidecar per routed table (reference writes schema.json next to
@@ -242,11 +252,13 @@ object Sinks {
     // discover column layout without opening data files
     val payloadSchema = org.apache.spark.sql.types.StructType(
       batch.schema.filterNot(f =>
-        Set("schema_name", "table_name", "_date").contains(f.name)))
+        Set("schema_name", "table_name", "_date", "_sv").contains(f.name)))
+    val sidecarName = schemaVersion
+      .map(v => s"_schema_v$v.json").getOrElse("_schema.json")
     batch.select("schema_name", "table_name").distinct().collect().foreach { r =>
       val dir = Paths.get(s"$base/schema_name=${r.getString(0)}/table_name=${r.getString(1)}")
       if (Files.exists(dir)) {
-        Files.writeString(dir.resolve("_schema.json"), payloadSchema.json)
+        Files.writeString(dir.resolve(sidecarName), payloadSchema.json)
       }
     }
   }

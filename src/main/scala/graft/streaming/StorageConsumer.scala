@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /**
@@ -66,5 +67,60 @@ object StorageConsumer {
       StructField("schema_name", StringType), StructField("table_name", StringType),
       StructField("_date", StringType)))
     spark.read.schema(full).parquet(base)
+  }
+
+  // ---- registry-driven schema drift ------------------------------------
+
+  private val VersionedSidecarRe = "_schema_v(\\d+)\\.json".r
+
+  /** All versioned sidecars under `base`: (schema, table, version) →
+    * payload schema. Written by [[Sinks.storageSink]] with a
+    * `schemaVersion`, one per version bump. */
+  def versionedSidecars(base: String): Map[(String, String, Int), StructType] = {
+    val root = Paths.get(base)
+    if (!Files.exists(root)) return Map.empty
+    val out = scala.collection.mutable.Map.empty[(String, String, Int), StructType]
+    val walk = Files.walk(root)
+    try {
+      walk.iterator().asScala.foreach { p: Path =>
+        p.getFileName.toString match {
+          case VersionedSidecarRe(v) =>
+            val table = p.getParent
+            val schema = table.getParent
+            out((schema.getFileName.toString.stripPrefix("schema_name="),
+              table.getFileName.toString.stripPrefix("table_name="),
+              v.toInt)) =
+              DataType.fromJson(Files.readString(p)).asInstanceOf[StructType]
+          case _ =>
+        }
+      }
+    } finally walk.close()
+    out.toMap
+  }
+
+  /**
+   * Read a layout whose schema CHANGED mid-stream: each table version is
+   * read with ITS OWN sidecar schema (the reference consumer re-reads
+   * schema.json per version, pkg/sink/cloudstorage/path.go:136-430) and
+   * the versions are aligned by name — rows written before a column-add
+   * surface NULL for the added column. The `_sv` path segment is a
+   * partition column, so each per-version read prunes to its own subtree;
+   * the union is a plan-level concat, not a shuffle.
+   */
+  def readVersioned(spark: SparkSession, base: String): DataFrame = {
+    val scs = versionedSidecars(base)
+    require(scs.nonEmpty, s"no versioned _schema_v*.json sidecars under $base")
+    val byVersion = scs.groupBy(_._1._3).toSeq.sortBy(_._1)
+    byVersion.map { case (v, m) =>
+      val payloads = m.values.toSet
+      require(payloads.size == 1,
+        s"sidecar schemas disagree for version $v under $base: " +
+          m.map { case (k, s) => s"$k=${s.simpleString}" }.mkString("; "))
+      val full = StructType(payloads.head.fields ++ Seq(
+        StructField("schema_name", StringType),
+        StructField("table_name", StringType),
+        StructField("_sv", StringType), StructField("_date", StringType)))
+      spark.read.schema(full).parquet(base).filter(col("_sv") === v.toString)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }
