@@ -13,13 +13,27 @@ import graft.core.Hashing
  * (width, height, channels, integer luma stats) with JVM-native
  * `javax.imageio` — no extra dependency — and is oracle-gated against the
  * closed-form pixel derivation of [[syntheticPng]] (PNG is lossless, so
- * the decoder must recover the exact encoded pixels). AUDIO/VIDEO feature
- * extraction remains a clearly-marked deterministic stand-in (no codec
- * libraries in this environment), but everything Spark-side is real and
- * tested: the envelope schema, the binary column, deterministic
- * partitioning, the mapPartitions batch shape (the Scala analog of
- * `mapInPandas`: one iterator per partition so decoder/model init
- * amortizes across the batch), and the feature schema.
+ * the decoder must recover the exact encoded pixels).
+ *
+ * AUDIO decode is REAL: [[decodeAudioFeatures]] parses WAV containers with
+ * JVM-native `javax.sound.sampled` (format fields from the decoder, PCM
+ * frames from the stream) into integer sample statistics, oracle-gated
+ * against the closed-form sample function of [[syntheticWav]] (PCM is
+ * lossless).
+ *
+ * VIDEO frame sampling is REAL in shape and in per-frame decode:
+ * [[sampleVideoFrames]] walks a length-prefixed frame container, strides
+ * over frames (decode every k-th — the standard sampling pattern for
+ * vision-model ingest), and ImageIO-decodes only the selected frames.
+ * Only the *container* is a local format ([[syntheticVideo]]): no
+ * inter-frame video codec ships with the JVM, so frames are stored as
+ * whole PNGs — the sampling logic, selective decode, and per-frame
+ * feature math are the real thing and oracle-gated.
+ *
+ * Everything Spark-side is shared and real: the envelope schema, the
+ * binary column, deterministic partitioning, the mapPartitions batch
+ * shape (the Scala analog of `mapInPandas`: one iterator per partition so
+ * decoder/model init amortizes across the batch), and the feature schema.
  */
 object Multimodal {
 
@@ -177,6 +191,187 @@ object Multimodal {
           ImageFeatures(r.media_id, w, h,
             img.getColorModel.getNumComponents,
             lumaSum / (w.toLong * h), dark, bright, pixSum)
+        }
+      }
+  }
+
+  // ---- real audio decode (JVM-native javax.sound.sampled; no extra deps) --
+
+  final case class AudioRow(media_id: Long, payload: Array[Byte])
+
+  /** Decoded audio features: container format fields straight from the
+    * decoder plus integer sample statistics (sum |s|, sum s², sign-change
+    * count) so an oracle can recompute them exactly. */
+  final case class AudioFeatures(media_id: Long, sample_rate: Int,
+                                 channels: Int, bits: Int, n_frames: Long,
+                                 sum_abs: Long, sum_sq: Long, zero_cross: Long)
+
+  /** Deterministic 16-bit mono 8 kHz PCM clip for id: n = 240 + (id % 64)
+    * frames, sample(i) = ((id·31 + i·17) mod 65536) − 32768 — a closed form
+    * the decode gate's oracle recomputes. Encoded into a WAV container by
+    * `javax.sound.sampled.AudioSystem` (PCM is lossless, so decode must
+    * recover these exact samples). */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 240 + (id % 64).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 31 + i * 17) % 65536) - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** WAV fixture table, encoded on the executors (mapPartitions, mirroring
+    * [[pngTable]]). */
+  def wavTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => AudioRow(id, syntheticWav(id))))
+      .toDF()
+  }
+
+  /**
+   * REAL audio decode: WAV bytes → (sample rate, channels, bit depth,
+   * frame count, integer sample stats) via `javax.sound.sampled`. The
+   * container header is parsed by the platform decoder (format fields are
+   * read from `AudioFormat`, not assumed), PCM frames come from the
+   * decoded stream. `zero_cross` counts sign boundaries ((s≥0) flips
+   * between consecutive samples) — the classic cheap speech/music/noise
+   * discriminator. Map-only; same scale shape as [[decodeImageFeatures]].
+   * Throws on undecodable or non-16-bit-LE payloads — corrupt media
+   * should be quarantined upstream, not silently dropped here.
+   */
+  def decodeAudioFeatures(spark: SparkSession, audio: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    audio.select(col("media_id"), col("payload")).as[AudioRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"unsupported audio format for media_id=${r.media_id}: $fmt")
+          val data = ais.readAllBytes()
+          val ch = fmt.getChannels
+          val n = data.length / (2 * ch)
+          var sumAbs = 0L
+          var sumSq = 0L
+          var zc = 0L
+          var prevNonNeg = false
+          var i = 0
+          while (i < n * ch) {
+            val s = (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+            sumAbs += math.abs(s.toLong)
+            sumSq += s.toLong * s
+            val nonNeg = s >= 0
+            if (i > 0 && nonNeg != prevNonNeg) zc += 1
+            prevNonNeg = nonNeg
+            i += 1
+          }
+          AudioFeatures(r.media_id, fmt.getSampleRate.toInt, ch,
+            fmt.getSampleSizeInBits, n.toLong, sumAbs, sumSq, zc)
+        }
+      }
+  }
+
+  // ---- real video frame sampling (length-prefixed PNG-frame container) --
+
+  final case class VideoRow(media_id: Long, payload: Array[Byte])
+
+  final case class FrameFeatures(media_id: Long, frame_idx: Int, width: Int,
+                                 height: Int, mean_luma: Long, pix_sum: Long)
+
+  private val VideoMagic = 0x47465631 // "GFV1"
+
+  /** Synthetic "video" for id: a GFV1 container — int32 magic, int32 frame
+    * count n = 3 + (id % 4), then per frame an int32 byte length followed
+    * by a whole PNG whose pixels follow [[syntheticPng]]'s closed form
+    * with frame id = id·100 + f. (No inter-frame codec ships with the
+    * JVM; the container/stride/selective-decode mechanics are the part
+    * under test.) */
+  def syntheticVideo(id: Long): Array[Byte] = {
+    val n = 3 + (id % 4).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeInt(VideoMagic)
+    dos.writeInt(n)
+    var f = 0
+    while (f < n) {
+      val png = syntheticPng(id * 100 + f)
+      dos.writeInt(png.length)
+      dos.write(png)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Video fixture table, encoded on the executors. */
+  def videoTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => VideoRow(id, syntheticVideo(id))))
+      .toDF()
+  }
+
+  /**
+   * REAL frame sampling: walk the container index, decode ONLY every
+   * `stride`-th frame (skipped frames are skipped at the byte level —
+   * never decoded, the point of sampled ingest), and emit per-frame luma
+   * features from the actual `ImageIO` decode. Map-only, no shuffle; one
+   * input row fans out to ceil(n/stride) feature rows.
+   */
+  def sampleVideoFrames(spark: SparkSession, videos: DataFrame,
+                        stride: Int = 2): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    videos.select(col("media_id"), col("payload")).as[VideoRow]
+      .flatMap { r =>
+        val dis = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(dis.readInt() == VideoMagic,
+          s"bad container magic for media_id=${r.media_id}")
+        val n = dis.readInt()
+        (0 until n).flatMap { f =>
+          val len = dis.readInt()
+          if (f % stride != 0) { dis.skipBytes(len); None }
+          else {
+            val buf = new Array[Byte](len)
+            dis.readFully(buf)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(buf))
+            require(img != null,
+              s"undecodable frame $f for media_id=${r.media_id}")
+            val w = img.getWidth
+            val h = img.getHeight
+            var lumaSum = 0L
+            var pixSum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val rr = (rgb >> 16) & 0xff
+                val gg = (rgb >> 8) & 0xff
+                val bb = rgb & 0xff
+                lumaSum += (299 * rr + 587 * gg + 114 * bb) / 1000
+                pixSum += rr + gg + bb
+                x += 1
+              }
+              y += 1
+            }
+            Some(FrameFeatures(r.media_id, f, w, h,
+              lumaSum / (w.toLong * h), pixSum))
+          }
         }
       }
   }

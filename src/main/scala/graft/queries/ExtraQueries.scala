@@ -145,6 +145,77 @@ object ExtraQueries {
     Multimodal.decodeImageFeatures(spark, Multimodal.pngTable(spark, ids)).toDF()
   }
 
+  /** REAL audio decode: WAV fixtures are encoded on the executors from a
+    * closed-form PCM sample function of the id, decoded back with
+    * `javax.sound.sampled` ([[graft.operators.Multimodal.decodeAudioFeatures]]
+    * — format fields read from the decoder, not assumed), and the decoded
+    * integer sample statistics must equal the oracle's independent
+    * recomputation of the SAME closed form (PCM is lossless — one flipped
+    * sample anywhere fails the hash). Every 5th document → ~100 clips at
+    * gate scale. */
+  val audioDecode = GateQuery(
+    "q127_audio_decode",
+    Some("""WITH ids AS (
+           |  SELECT doc_id AS media_id, 240 + doc_id % 64 AS n
+           |  FROM documents WHERE doc_id % 5 = 0
+           |), samp AS (
+           |  SELECT media_id, n, i.i AS i,
+           |    ((media_id * 31 + i.i * 17) % 65536) - 32768 AS s
+           |  FROM ids, range(0, 304) i(i) WHERE i.i < n
+           |), lagd AS (
+           |  SELECT media_id, n, s,
+           |    lag(s) OVER (PARTITION BY media_id ORDER BY i) AS ps
+           |  FROM samp
+           |)
+           |SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+           |  CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits,
+           |  CAST(max(n) AS BIGINT) AS n_frames,
+           |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           |  CAST(sum(CASE WHEN ps IS NOT NULL AND ((s >= 0) <> (ps >= 0))
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+           |FROM lagd GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    val ids = Tables.load(spark, dir, "documents").filter(col("doc_id") % 5 === 0)
+    Multimodal.decodeAudioFeatures(spark, Multimodal.wavTable(spark, ids)).toDF()
+  }
+
+  /** REAL video frame sampling: GFV1 containers (length-prefixed PNG
+    * frames, closed-form pixels per frame) are built on the executors,
+    * then [[graft.operators.Multimodal.sampleVideoFrames]] strides the
+    * index decoding ONLY every 2nd frame; per-frame decoded luma stats
+    * must equal the oracle's recomputation for exactly the sampled frame
+    * indices (a stride bug changes the row set, a decode bug changes the
+    * values). Every 19th document → ~26 containers at gate scale. */
+  val videoFrames = GateQuery(
+    "q128_video_frames",
+    Some("""WITH ids AS (
+           |  SELECT doc_id AS media_id, 3 + doc_id % 4 AS nf
+           |  FROM documents WHERE doc_id % 19 = 0
+           |), frames AS (
+           |  SELECT media_id, f.f AS frame_idx, media_id * 100 + f.f AS fid,
+           |    8 + (media_id * 100 + f.f) % 9 AS w,
+           |    8 + (media_id * 100 + f.f) % 7 AS h
+           |  FROM ids, range(0, 7) f(f) WHERE f.f < nf AND f.f % 2 = 0
+           |), pix AS (
+           |  SELECT media_id, frame_idx, w, h,
+           |    (299 * ((fid + 3*x.x + 7*y.y) % 256)
+           |     + 587 * ((2*fid + 5*x.x + y.y) % 256)
+           |     + 114 * ((3*fid + x.x + 11*y.y) % 256)) // 1000 AS luma,
+           |    ((fid + 3*x.x + 7*y.y) % 256)
+           |     + ((2*fid + 5*x.x + y.y) % 256)
+           |     + ((3*fid + x.x + 11*y.y) % 256) AS psum
+           |  FROM frames, range(0, 17) x(x), range(0, 15) y(y)
+           |  WHERE x.x < w AND y.y < h
+           |)
+           |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           |  CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+           |  CAST(sum(luma) // count(*) AS BIGINT) AS mean_luma,
+           |  CAST(sum(psum) AS BIGINT) AS pix_sum
+           |FROM pix GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    val ids = Tables.load(spark, dir, "documents").filter(col("doc_id") % 19 === 0)
+    Multimodal.sampleVideoFrames(spark, Multimodal.videoTable(spark, ids)).toDF()
+  }
+
   /** C5 — claim-check / large-message handling: oversized encoded messages
     * are replaced by a storage reference; small ones pass inline (reference
     * pkg/sink/kafka/claimcheck/claim_check.go, handle-key-only downgrade
@@ -624,7 +695,8 @@ object ExtraQueries {
   }
 
   def all: Seq[GateQuery] = Seq(
-    schemaAsof, validator, mediaFeatures, imageDecode, claimCheck, handleKeyOnly,
+    schemaAsof, validator, mediaFeatures, imageDecode, audioDecode, videoFrames,
+    claimCheck, handleKeyOnly,
     claimCheckWrite,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
     jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin)

@@ -10,8 +10,9 @@ import graft.operators.Multimodal
  * column-expression twin computes — proving the Spark-side plumbing
  * (schema, partitioning, batch shape) is faithful regardless of which
  * engine path runs. Image decode is REAL (javax.imageio, lossless PNG
- * round trip pinned below); audio/video feature extraction stays a
- * declared stand-in (no codec libraries in this environment).
+ * round trip pinned below), audio decode is REAL (javax.sound.sampled WAV
+ * round trip), and video frame sampling strides a frame container decoding
+ * only the selected frames (skipped frames are proven never decoded).
  */
 class MultimodalSpec extends SparkSpec {
 
@@ -74,6 +75,56 @@ class MultimodalSpec extends SparkSpec {
     val got = Multimodal.decodeImageFeatures(spark, df).collect().head
     assert(got.media_id === 7L && got.width === 12 && got.height === 5)
     assert(got.channels === 3)
+  }
+
+  test("real WAV decode recovers exact encoded samples (hand-computed cases)") {
+    import spark.implicits._
+    // ids 0 and 9: recompute the closed form directly and demand the full
+    // AudioSystem round trip (header parse + PCM read) reproduce it
+    for (id <- Seq(0L, 9L)) {
+      val n = 240 + (id % 64).toInt
+      var sumAbs = 0L; var sumSq = 0L; var zc = 0L; var prev = 0
+      for (i <- 0 until n) {
+        val s = (((id * 31 + i * 17) % 65536) - 32768).toInt
+        sumAbs += math.abs(s.toLong); sumSq += s.toLong * s
+        if (i > 0 && (s >= 0) != (prev >= 0)) zc += 1
+        prev = s
+      }
+      val got = Multimodal.decodeAudioFeatures(
+        spark, Multimodal.wavTable(spark, Seq(id).toDF("doc_id"))).collect().head
+      assert(got.sample_rate === 8000 && got.channels === 1 && got.bits === 16)
+      assert(got.n_frames === n.toLong, s"id=$id")
+      assert(got.sum_abs === sumAbs && got.sum_sq === sumSq, s"id=$id")
+      assert(got.zero_cross === zc, s"id=$id")
+    }
+  }
+
+  test("video sampling decodes only selected frames: corrupt skipped frame is never touched") {
+    import spark.implicits._
+    // container with 3 frames where frame 1 (odd, skipped at stride=2) is
+    // garbage: stride sampling must succeed BECAUSE it never decodes it,
+    // and must emit exactly frames 0 and 2
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeInt(0x47465631); dos.writeInt(3)
+    val f0 = Multimodal.syntheticPng(500L); dos.writeInt(f0.length); dos.write(f0)
+    val junk = Array.fill[Byte](37)(0x5a); dos.writeInt(junk.length); dos.write(junk)
+    val f2 = Multimodal.syntheticPng(502L); dos.writeInt(f2.length); dos.write(f2)
+    val df = Seq((5L, bos.toByteArray)).toDF("media_id", "payload")
+    val got = Multimodal.sampleVideoFrames(spark, df, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq === Seq(0, 2))
+    // frame features equal a direct single-image decode of the same pixels
+    for ((fr, fid) <- got.zip(Seq(500L, 502L))) {
+      val direct = Multimodal.decodeImageFeatures(
+        spark, Multimodal.pngTable(spark, Seq(fid).toDF("doc_id"))).collect().head
+      assert(fr.width === direct.width && fr.height === direct.height)
+      assert(fr.mean_luma === direct.mean_luma && fr.pix_sum === direct.pix_sum)
+    }
+    // stride=1 DOES decode the corrupt frame and must fail loudly
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleVideoFrames(spark, df, stride = 1).collect()
+    }
   }
 
   test("undecodable payload fails loudly, not silently") {
