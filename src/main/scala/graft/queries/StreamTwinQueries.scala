@@ -581,8 +581,97 @@ object StreamTwinQueries {
       .toDF("phase", "state", "n_rows")
   }
 
+  /**
+   * L2 — DM task lifecycle (q129; reference dmctl start-task / pause-task /
+   * resume-task / stop-task / query-status, dm/master/server.go): a REAL
+   * [[graft.streaming.DmTaskManager]] runs a task parsed from the
+   * reference's task-YAML shape in `all` mode — full snapshot load (rows
+   * ≤ mid through the same rule pipeline) PLUS the changefeed from the
+   * `meta.binlog-pos` resume point — with a block-allow-list that drops
+   * one table. Pause retains the checkpoint; rows arriving while paused
+   * deliver exactly once on resume; stop-task FORGETS the task (unlike
+   * pause). Each phase pins (stage, rows delivered in that phase); the
+   * oracle recomputes the windowed counts from the plain stream
+   * (key-changing updates weigh 2: update-split emits delete+insert pairs
+   * only when pk changes).
+   */
+  val dmLifecycle = GateQuery(
+    "q129_dm_lifecycle",
+    Some(cte +
+      """, b AS (SELECT (min(commit_ts) + max(commit_ts)) // 2 AS mid,
+        |  ((min(commit_ts) + max(commit_ts)) // 2 + max(commit_ts)) // 2 AS q3
+        |  FROM cdc)
+        |SELECT '1_started' AS phase, 'Running' AS stage,
+        |  CAST(sum(CASE WHEN op = 'U' AND pk <> pk_after THEN 2 ELSE 1 END)
+        |    AS BIGINT) AS n_rows
+        |  FROM cdc, b WHERE table_name <> 'tbl_0' AND commit_ts <= q3
+        |UNION ALL SELECT '2_paused', 'Paused', CAST(0 AS BIGINT)
+        |UNION ALL SELECT '3_resumed', 'Running',
+        |  CAST(sum(CASE WHEN op = 'U' AND pk <> pk_after THEN 2 ELSE 1 END)
+        |    AS BIGINT)
+        |  FROM cdc, b WHERE table_name <> 'tbl_0' AND commit_ts > q3
+        |UNION ALL SELECT '4_stopped', 'not-found', CAST(0 AS BIGINT)"""
+        .stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.DmTaskManager
+    val ev = CdcStream.derive(spark, dir)
+    val r = ev.agg(min(col("commit_ts")), max(col("commit_ts"))).head()
+    val mid = (r.getLong(0) + r.getLong(1)) / 2
+    val q3 = (mid + r.getLong(1)) / 2
+    val (base, _) = Gate.freshScratch("graft_dm_gate_", dir)
+    val yaml =
+      s"""name: dm-gate
+         |task-mode: all
+         |target-database:
+         |  sink-uri: "storage://$base/out"
+         |mysql-instances:
+         |  - source-id: "src-1"
+         |    block-allow-list: "ba"
+         |    meta:
+         |      binlog-pos: $mid
+         |block-allow-list:
+         |  ba:
+         |    ignore-tables:
+         |      - db-name: "*"
+         |        tbl-name: "tbl_0"
+         |syncers:
+         |  s1:
+         |    compact: false
+         |""".stripMargin
+    // snapshot = rows at-or-before the resume point; the stream dir holds
+    // (mid, q3] at start — binlog-pos keeps the two from overlapping
+    ev.filter(col("commit_ts") > mid && col("commit_ts") <= q3)
+      .write.mode("append").parquet(s"$base/in")
+    val mgr = new DmTaskManager(spark, s"$base/ckpt")
+    def delivered(): Long =
+      try spark.read.parquet(s"$base/out").count() catch { case _: Throwable => 0L }
+    val name = mgr.startTask(yaml,
+      snapshotSources = Map("src-1" -> (() => ev.filter(col("commit_ts") <= mid))),
+      streamSources = Map("src-1" -> (() => spark.readStream.schema(ev.schema)
+        .parquet(s"$base/in"))))
+    val n1 = delivered()
+    val stage1 = mgr.queryStatus(name).head("stage")
+    mgr.pauseTask(name)
+    val stagePaused = mgr.queryStatus(name).head("stage")
+    // rows arriving while the task is paused
+    ev.filter(col("commit_ts") > q3).write.mode("append").parquet(s"$base/in")
+    mgr.resumeTask(name)
+    val n3 = delivered() - n1
+    val stage3 = mgr.queryStatus(name).head("stage")
+    mgr.stopTask(name)
+    val stageStopped =
+      try mgr.queryStatus(name).head("stage")
+      catch { case _: NoSuchElementException => "not-found" }
+    Seq(
+      ("1_started", stage1, n1),
+      ("2_paused", stagePaused, 0L),
+      ("3_resumed", stage3, n3),
+      ("4_stopped", stageStopped, 0L))
+      .toDF("phase", "stage", "n_rows")
+  }
+
   def all: Seq[GateQuery] =
     Seq(checkpointResume, optimisticLattice, redoReplay, syncpoints,
       ddlBarrier, sinkProgress, lateData, redoApply, dmlMetrics,
-      changefeedCrud)
+      changefeedCrud, dmLifecycle)
 }
