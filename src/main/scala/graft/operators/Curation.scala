@@ -224,6 +224,62 @@ object Curation {
       }))
   }
 
+  // ---- tokenizer-merge induction (BPE-style) ------------------------
+
+  /**
+   * Distributed tokenizer-merge induction (BPE-style at word grain): each
+   * round counts adjacent token pairs across the whole corpus, takes the
+   * most frequent pair (ties broken lexicographically so training is
+   * deterministic), and fuses its occurrences with '_'. Returns the
+   * training log: (round, learned pair, its count, corpus tokens after
+   * the merge) — the vocabulary-build trace a tokenizer job emits.
+   *
+   * Scale shape (the part that matters at 100 TB): each round is ONE
+   * partial-aggregated pair-count shuffle (map-side combine means only
+   * distinct pairs per partition reach the exchange), a driver argmax of
+   * exactly one row, and a map-only merge application — the corpus text
+   * itself never shuffles, and rounds iterate on a persisted, bounded
+   * lineage. At full scale the pair strings would hash through the
+   * `TextRuns.gramPairArray` kernel (count hashed, resolve the winning
+   * string with one filtered pass); string keys are kept here for oracle
+   * parity.
+   *
+   * Merge application is non-overlapping left-to-right over the rendered
+   * text (boundary-space grain): in a chain `p q p q` one pass fuses only
+   * the first occurrence, because the shared boundary space is consumed —
+   * the next round's re-count picks the rest up. This per-pass policy is
+   * deterministic, identical across engines, and converges to the same
+   * vocabulary; token-exact greedy differs only on these boundary chains.
+   */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): Seq[(Int, String, Long, Long)] = {
+    var cur = docs.select(col(textCol).as("text")).persist()
+    val out = Seq.newBuilder[(Int, String, Long, Long)]
+    for (r <- 1 to rounds) {
+      val t = split(col("text"), " ")
+      val pairCol = zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val top = cur.select(explode(pairCol).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1).head()
+      val (pair, cnt) = (top.getString(0), top.getLong(1))
+      // guard before splicing into SQL text: merged tokens stay word-like
+      require(pair.matches("[A-Za-z0-9_]+ [A-Za-z0-9_]+"),
+        s"round $r learned a non-word pair: '$pair'")
+      val merged = pair.replace(' ', '_')
+      val next = cur.withColumn("text",
+        expr(s"trim(replace(concat(' ', text, ' '), ' $pair ', ' $merged '))"))
+        .persist()
+      val tokensAfter = next.agg(
+        sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+      cur.unpersist()
+      cur = next
+      out += ((r, pair, cnt, tokensAfter))
+    }
+    cur.unpersist()
+    out.result()
+  }
+
   /** DuckDB SQL twins — keep in lockstep with the Column builders. */
   object Sql {
     /** Oracle twin joins raw gram strings — equality semantics, no hash. */

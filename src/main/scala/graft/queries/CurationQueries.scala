@@ -370,7 +370,53 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("sum_grams"))
   }
 
+  // ---- q130: tokenizer-merge induction (BPE-style) -------------------
+
+  /**
+   * Distributed BPE-style merge training over the corpus
+   * ([[Curation.bpeMerges]]): three rounds of count-pairs → argmax →
+   * fuse. The gate pins the full training log — learned pair, its count,
+   * and the corpus token total after each merge — so a wrong tie-break, a
+   * miscount, or a merge touching the wrong occurrences all fail. The
+   * oracle replays the identical three rounds in SQL (same lexicographic
+   * tie-break, same left-to-right boundary-space merge application).
+   */
+  val bpeMerges = GateQuery(
+    "q130_bpe_merges", {
+      // one round of the oracle chain: d<r-1> -> p<r>/t<r>/d<r>
+      def round(r: Int): String = {
+        val (prev, p, t, d) = (s"d${r - 1}", s"p$r", s"t$r", s"d$r")
+        s"""$p AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, count(*) AS c
+           |  FROM (SELECT string_split(text, ' ') AS toks FROM $prev),
+           |       range(1, 256) r(i)
+           |  WHERE i < len(toks) GROUP BY 1),
+           |$t AS (SELECT pair, c FROM $p ORDER BY c DESC, pair LIMIT 1),
+           |$d AS (SELECT trim(replace(' ' || text || ' ',
+           |    ' ' || (SELECT pair FROM $t) || ' ',
+           |    ' ' || replace((SELECT pair FROM $t), ' ', '_') || ' '))
+           |  AS text FROM $prev),""".stripMargin
+      }
+      def row(r: Int): String =
+        s"""SELECT CAST($r AS INT) AS round, (SELECT pair FROM t$r) AS pair,
+           |  (SELECT CAST(c AS BIGINT) FROM t$r) AS pair_count,
+           |  (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+           |   FROM d$r) AS tokens_after""".stripMargin
+      Some(
+        s"""WITH d0 AS (SELECT text FROM documents),
+           |${round(1)}
+           |${round(2)}
+           |${round(3)}
+           |dummy AS (SELECT 1)
+           |${row(1)}
+           |UNION ALL ${row(2)}
+           |UNION ALL ${row(3)}""".stripMargin)
+    }) { (spark, dir) =>
+    import spark.implicits._
+    Curation.bpeMerges(Tables.load(spark, dir, "documents"), "text", rounds = 3)
+      .toDF("round", "pair", "pair_count", "tokens_after")
+  }
+
   def all: Seq[GateQuery] = Seq(contamination, stratifiedSample, tokenPacking,
     piiScan, mixturePlan, qualityClassifier, docChunking, corpusReport,
-    boilerplate)
+    boilerplate, bpeMerges)
 }

@@ -92,4 +92,21 @@ class CurationSpec extends SparkSpec {
       .select("src", "rate_ppm").as[(String, Long)].collect().toMap
     assert(capped("small") == 1000000L) // can't exceed 1: capped
   }
+
+  test("bpe merges: deterministic argmax, tie-break, boundary-chain policy") {
+    // "b c" occurs 3x (most frequent), and doc 1 is the documented
+    // boundary-chain case: one pass fuses only the FIRST "b c" in
+    // "b c b c a" (the shared boundary space is consumed), so
+    // tokens_after = 4 + 3 = 7, and round 2's re-count sees the leftover
+    // "b c" — which then ties with "a a" on count 1... the lexicographic
+    // tie-break makes "a a" win round 2 deterministically.
+    val docs = Seq("b c b c a", "b c a a").toDF("text")
+    val log = Curation.bpeMerges(docs, "text", rounds = 2)
+    assert(log(0) == ((1, "b c", 3L, 7L)))
+    // round 2 candidates on ["b_c b c a", "b_c a a"]: pairs
+    // (b_c,b) 1, (b,c) 1, (c,a) 1, (b_c,a) 1, (a,a) 1 — all tied at 1,
+    // "a a" is lexicographically least
+    assert(log(1)._2 == "a a" && log(1)._3 == 1L)
+    assert(log(1)._4 == 6L) // one fuse in doc 2
+  }
 }
