@@ -670,8 +670,107 @@ object StreamTwinQueries {
       .toDF("phase", "stage", "n_rows")
   }
 
+  /**
+   * L2 — handle-error (q131; reference dmctl handle-error skip/replace,
+   * dm/syncer err-operator): a poison event makes the downstream apply
+   * throw, which pauses the subtask with the error recorded (batch rolls
+   * back — nothing delivered). `handle-error skip` drops the event from
+   * the source and resume drains cleanly; a SECOND poison pauses the task
+   * again, and `handle-error replace` rewrites the event's value (the
+   * engine analog of "apply these statements instead"), after which the
+   * rewritten row — and only it — carries the replacement value
+   * downstream. The checkpoint is untouched throughout, so the failed
+   * batch replays through the wrapped source and committed batches never
+   * replay.
+   */
+  private val FixedVal = 424242.5
+
+  val handleError = GateQuery(
+    "q131_handle_error",
+    Some(cte +
+      s""", b AS (SELECT (min(commit_ts) + max(commit_ts)) // 2 AS mid FROM cdc),
+         |px AS (SELECT min(CASE WHEN commit_ts <= mid THEN seq END) AS p1,
+         |              min(CASE WHEN commit_ts > mid THEN seq END) AS p2
+         |       FROM cdc, b WHERE op = 'I'),
+         |w1 AS (SELECT sum(CASE WHEN op = 'U' AND pk <> pk_after THEN 2 ELSE 1 END) AS w
+         |       FROM cdc, b, px WHERE commit_ts <= mid AND seq <> px.p1),
+         |w2 AS (SELECT sum(CASE WHEN op = 'U' AND pk <> pk_after THEN 2 ELSE 1 END) AS w
+         |       FROM cdc, b WHERE commit_ts > mid)
+         |SELECT '1_start_failed' AS phase, 'Paused' AS stage, 'yes' AS has_error,
+         |  CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_fixed
+         |UNION ALL SELECT '2_skip_resumed', 'Running', 'no',
+         |  (SELECT CAST(w AS BIGINT) FROM w1), CAST(0 AS BIGINT)
+         |UNION ALL SELECT '3_poison_again', 'Paused', 'yes',
+         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |UNION ALL SELECT '4_replace_resumed', 'Running', 'no',
+         |  (SELECT CAST(w AS BIGINT) FROM w2), CAST(1 AS BIGINT)"""
+        .stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.DmTaskManager
+    val ev = CdcStream.derive(spark, dir)
+    val r = ev.agg(min(col("commit_ts")), max(col("commit_ts"))).head()
+    val mid = (r.getLong(0) + r.getLong(1)) / 2
+    val inserts = ev.filter(col("op") === "I")
+    val p1 = inserts.filter(col("commit_ts") <= mid).agg(min("seq")).head().getLong(0)
+    val p2 = inserts.filter(col("commit_ts") > mid).agg(min("seq")).head().getLong(0)
+    val (base, _) = Gate.freshScratch("graft_dm_err_", dir)
+    // poison sink: refuses the two marked events unless carrying the fix
+    // value (seq doubles through update-split: insert legs keep 2*seq)
+    val poisonSink: (org.apache.spark.sql.DataFrame, Long) => Unit = { (b, _) =>
+      val bad = b.filter(col("seq").isin(2 * p1, 2 * p2) &&
+        !(col("val_after") <=> lit(FixedVal))).count()
+      if (bad > 0) throw new RuntimeException("poison event")
+      b.write.mode("append").parquet(s"$base/out")
+    }
+    def delivered(): Long =
+      try spark.read.parquet(s"$base/out").count() catch { case _: Throwable => 0L }
+    ev.filter(col("commit_ts") <= mid).write.mode("append").parquet(s"$base/in")
+    val mgr = new DmTaskManager(spark, s"$base/ckpt")
+    val name = mgr.startTask(
+      s"""name: dm-err
+         |task-mode: incremental
+         |mysql-instances:
+         |  - source-id: "src-1"
+         |syncers:
+         |  s1:
+         |    compact: false
+         |""".stripMargin,
+      streamSources = Map("src-1" -> (() => spark.readStream.schema(ev.schema)
+        .parquet(s"$base/in"))),
+      sinkOverride = Some(poisonSink))
+    def status(): (String, String) = {
+      val st = mgr.queryStatus(name).head
+      (st("stage"), if (st("error").nonEmpty) "yes" else "no")
+    }
+    val (st1, er1) = status()
+    val n1 = delivered()
+    mgr.handleError(name, "src-1", "skip", Seq(p1))
+    mgr.resumeTask(name)
+    val (st2, er2) = status()
+    val n2 = delivered() - n1
+    mgr.pauseTask(name)
+    ev.filter(col("commit_ts") > mid).write.mode("append").parquet(s"$base/in")
+    mgr.resumeTask(name)
+    val (st3, er3) = status()
+    val n3 = delivered() - n1 - n2
+    mgr.handleError(name, "src-1", "replace", Seq(p2),
+      replaceValues = Map("val_after" -> lit(FixedVal)))
+    mgr.resumeTask(name)
+    val (st4, er4) = status()
+    val n4 = delivered() - n1 - n2 - n3
+    val nFixed = spark.read.parquet(s"$base/out")
+      .filter(col("seq") === 2 * p2 && col("val_after") === FixedVal).count()
+    mgr.stopTask(name)
+    Seq(
+      ("1_start_failed", st1, er1, n1, 0L),
+      ("2_skip_resumed", st2, er2, n2, 0L),
+      ("3_poison_again", st3, er3, n3, 0L),
+      ("4_replace_resumed", st4, er4, n4, nFixed))
+      .toDF("phase", "stage", "has_error", "n_rows", "n_fixed")
+  }
+
   def all: Seq[GateQuery] =
     Seq(checkpointResume, optimisticLattice, redoReplay, syncpoints,
       ddlBarrier, sinkProgress, lateData, redoApply, dmlMetrics,
-      changefeedCrud, dmLifecycle)
+      changefeedCrud, dmLifecycle, handleError)
 }

@@ -46,6 +46,17 @@ final class ChangefeedManager(spark: SparkSession) {
       }
     }
 
+  /** Replace a paused changefeed's source thunk (error-handling surfaces:
+    * DM's handle-error swaps in a skip/replace-wrapped source, then resume
+    * rebuilds the query from it; the checkpoint is untouched, so already-
+    * committed batches never replay). */
+  def swapSource(id: String, source: () => DataFrame): Unit =
+    feeds.get(id).foreach { e =>
+      require(!e.query.exists(_.isActive), s"changefeed $id must be paused")
+      feeds.put(id, e.copy(source = source))
+      ()
+    }
+
   /** Delete: stop and forget (checkpoint dir is the caller's to clean). */
   def delete(id: String): Unit = {
     pause(id)

@@ -182,8 +182,11 @@ object DmTask {
 final class DmTaskManager(spark: SparkSession, checkpointRoot: String) {
   import DmTask._
 
-  private final case class SubTask(inst: InstanceConfig, var stage: Stage)
-  private final case class Task(cfg: TaskConfig, subs: Seq[SubTask])
+  private final case class SubTask(inst: InstanceConfig, var stage: Stage,
+                                   var streamSrc: Option[() => DataFrame] = None,
+                                   var lastError: Option[String] = None)
+  private final case class Task(cfg: TaskConfig, subs: Seq[SubTask],
+                                sink: (DataFrame, Long) => Unit)
 
   private val tasks = collection.concurrent.TrieMap.empty[String, Task]
   private val feeds = new ChangefeedManager(spark)
@@ -195,44 +198,64 @@ final class DmTaskManager(spark: SparkSession, checkpointRoot: String) {
     * worker is handed both a dump and a binlog connection). */
   def startTask(yamlText: String,
                 snapshotSources: Map[String, () => DataFrame] = Map.empty,
-                streamSources: Map[String, () => DataFrame] = Map.empty): String = {
+                streamSources: Map[String, () => DataFrame] = Map.empty,
+                sinkOverride: Option[(DataFrame, Long) => Unit] = None): String = {
     val cfg = parse(yamlText)
     require(!tasks.contains(cfg.name), s"task ${cfg.name} already exists")
-    val sink = Sinks.forUri(spark, cfg.sinkUri)
+    // sinkOverride: embedding hook for custom downstream apply (tests,
+    // fault-injecting harnesses); production tasks resolve the task YAML's
+    // sink-uri.
+    val sink = sinkOverride.getOrElse(Sinks.forUri(spark, cfg.sinkUri))
 
     val subs = cfg.instances.map { inst =>
       val st = SubTask(inst, New)
-      if (cfg.taskMode == "full" || cfg.taskMode == "all") {
-        // dump+load as ONE distributed batch job through the same pipeline
-        val snap = snapshotSources.getOrElse(inst.sourceId,
-          throw new IllegalArgumentException(s"no snapshot source for ${inst.sourceId}"))
-        val spec = specFor(cfg, inst, checkpointRoot)
-        sink(Changefeed.pipeline(snap(), spec)
-          .transform(d => if (cfg.compact)
-            graft.operators.Compaction.compact(d,
-                keyCols = Seq("target_schema", "target_table", "pk"))
-              .withColumnRenamed("target_schema", "schema_name")
-              .withColumnRenamed("target_table", "table_name")
-            else d), -1L)
-      }
-      if (cfg.taskMode == "incremental" || cfg.taskMode == "all") {
-        val raw = streamSources.getOrElse(inst.sourceId,
-          throw new IllegalArgumentException(s"no stream source for ${inst.sourceId}"))
-        // meta.binlog-pos = resume point: events at-or-before it are
-        // already in the snapshot (dm/config/task.go Meta)
-        val src = inst.startFromTs match {
-          case Some(ts) => () => raw().filter(col("commit_ts") > ts)
-          case None => raw
+      try {
+        if (cfg.taskMode == "full" || cfg.taskMode == "all") {
+          // dump+load as ONE distributed batch job through the same pipeline
+          val snap = snapshotSources.getOrElse(inst.sourceId,
+            throw new IllegalArgumentException(s"no snapshot source for ${inst.sourceId}"))
+          val spec = specFor(cfg, inst, checkpointRoot)
+          sink(Changefeed.pipeline(snap(), spec)
+            .transform(d => if (cfg.compact)
+              graft.operators.Compaction.compact(d,
+                  keyCols = Seq("target_schema", "target_table", "pk"))
+                .withColumnRenamed("target_schema", "schema_name")
+                .withColumnRenamed("target_table", "table_name")
+              else d), -1L)
         }
-        feeds.create(specFor(cfg, inst, checkpointRoot), src)(sink)
-        st.stage = Running
-      } else {
-        st.stage = Finished // full-only task completes with the load
+        if (cfg.taskMode == "incremental" || cfg.taskMode == "all") {
+          val raw = streamSources.getOrElse(inst.sourceId,
+            throw new IllegalArgumentException(s"no stream source for ${inst.sourceId}"))
+          // meta.binlog-pos = resume point: events at-or-before it are
+          // already in the snapshot (dm/config/task.go Meta)
+          val src = inst.startFromTs match {
+            case Some(ts) => () => raw().filter(col("commit_ts") > ts)
+            case None => raw
+          }
+          st.streamSrc = Some(src)
+          feeds.create(specFor(cfg, inst, checkpointRoot), src)(sink)
+          st.stage = Running
+        } else {
+          st.stage = Finished // full-only task completes with the load
+        }
+      } catch {
+        // a failing unit pauses its subtask with the error recorded —
+        // dmctl query-status surfaces it, handle-error + resume recover
+        // (dm/worker subtask error → stage Paused with Result.Errors)
+        case e: Throwable =>
+          st.stage = Paused
+          st.lastError = Some(rootMessage(e))
       }
       st
     }
-    tasks.put(cfg.name, Task(cfg, subs))
+    tasks.put(cfg.name, Task(cfg, subs, sink))
     cfg.name
+  }
+
+  private def rootMessage(e: Throwable): String = {
+    var c = e
+    while (c.getCause != null && c.getCause != c) c = c.getCause
+    Option(c.getMessage).getOrElse(c.getClass.getSimpleName)
   }
 
   private def task(name: String): Task =
@@ -252,10 +275,63 @@ final class DmTaskManager(spark: SparkSession, checkpointRoot: String) {
       feeds.pause(s"$name/${s.inst.sourceId}")
     }
 
-  def resumeTask(name: String): Unit =
-    transition(name, Set(Paused), Running) { s =>
-      feeds.resume(s"$name/${s.inst.sourceId}")
+  /** resume-task: a subtask that fails again while draining STAYS Paused
+    * with the new error recorded (dmctl resume-task reports the failure;
+    * query-status carries it) — it does not throw out of the manager. */
+  def resumeTask(name: String): Unit = {
+    val t = task(name)
+    val movable = t.subs.filter(_.stage == Paused)
+    require(movable.nonEmpty, s"task $name: no paused subtask to resume")
+    movable.foreach { s =>
+      try {
+        feeds.resume(s"$name/${s.inst.sourceId}")
+        s.stage = Running
+        s.lastError = None
+      } catch {
+        case e: Throwable => s.lastError = Some(rootMessage(e))
+      }
     }
+  }
+
+  /**
+   * handle-error (dmctl, dm/syncer/err-operator): recover a subtask that
+   * paused on a failing event. `skip` drops the named events from the
+   * source; `replace` rewrites their columns with the supplied values
+   * (the engine analog of "apply these statements instead of the binlog
+   * event"). The wrapped source is swapped into the paused changefeed —
+   * the checkpoint is untouched, so the failed (uncommitted) batch
+   * replays through the new source on the next resume; committed batches
+   * never replay. Resume is explicit, as with dmctl.
+   */
+  def handleError(name: String, sourceId: String, action: String,
+                  seqs: Seq[Long],
+                  replaceValues: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
+    val t = task(name)
+    val s = t.subs.find(_.inst.sourceId == sourceId).getOrElse(
+      throw new NoSuchElementException(s"subtask $sourceId not found in $name"))
+    require(s.stage == Paused, s"handle-error applies to a PAUSED subtask; " +
+      s"$sourceId is ${s.stage.name}")
+    val orig = s.streamSrc.getOrElse(
+      throw new IllegalStateException(s"subtask $sourceId has no stream unit"))
+    val matches = col("seq").isin(seqs: _*)
+    val wrapped: () => DataFrame = action match {
+      case "skip" => () => orig().filter(!matches)
+      case "replace" =>
+        require(replaceValues.nonEmpty, "replace needs replacement values")
+        () => {
+          val d = orig()
+          d.select(d.columns.toSeq.map { c =>
+            replaceValues.get(c)
+              .map(v => when(matches, v).otherwise(col(c)).as(c))
+              .getOrElse(col(c))
+          }: _*)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown handle-error action: $other")
+    }
+    s.streamSrc = Some(wrapped)
+    feeds.swapSource(s"$name/${s.inst.sourceId}", wrapped)
+  }
 
   /** stop-task tears the subtasks down; unlike pause, the task is removed
     * (dm stop-task semantics — a stopped task must be re-started). */
@@ -274,7 +350,8 @@ final class DmTaskManager(spark: SparkSession, checkpointRoot: String) {
       "task" -> name,
       "source" -> s.inst.sourceId,
       "taskMode" -> t.cfg.taskMode,
-      "stage" -> s.stage.name))
+      "stage" -> s.stage.name,
+      "error" -> s.lastError.getOrElse("")))
   }
 
   def list(): Seq[String] = tasks.keys.toSeq.sorted

@@ -134,6 +134,51 @@ class DmTaskSpec extends SparkSpec {
     intercept[NoSuchElementException](mgr.queryStatus(name))
   }
 
+  test("handle-error: skip and replace recover a paused subtask") {
+    val dir = Files.createTempDirectory("graft_dmh").toString
+    val mgr = new DmTaskManager(spark, s"$dir/ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    // refuses events with source seq 13 or 21 (insert legs surface as
+    // 2*seq after update-split) unless carrying the fix value 0.0
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = { (b, _) =>
+      val rows = b.select("seq", "val_after").as[(Long, Option[Double])].collect()
+      if (rows.exists { case (s, v) => (s == 26L || s == 42L) && !v.contains(0.0) })
+        throw new RuntimeException("poison")
+      out ++= rows.map { case (s, v) => (s, v.getOrElse(-1d)) }
+    }
+    mem.addData(ev(1, "db", "t", 1, 10), ev(13, "db", "t", 2, 5), ev(2, "db", "t", 3, 30))
+    val y = "name: herr\ntask-mode: incremental\nmysql-instances:\n" +
+      "  - source-id: \"s\"\nsyncers:\n  s1:\n    compact: false\n"
+    mgr.startTask(y, streamSources = Map("s" -> (() => mem.toDF())),
+      sinkOverride = Some(sink))
+    // the poisoned first drain pauses the subtask with the error recorded
+    // and delivers nothing (the batch rolled back)
+    val st1 = mgr.queryStatus("herr").head
+    assert(st1("stage") == "Paused" && st1("error").nonEmpty && out.isEmpty)
+    intercept[IllegalArgumentException](
+      mgr.handleError("herr", "s", "replace", Seq(13))) // replace needs values
+    mgr.handleError("herr", "s", "skip", Seq(13))
+    mgr.resumeTask(name = "herr")
+    assert(mgr.queryStatus("herr").head("stage") == "Running")
+    assert(out.map(_._1).sorted == Seq(2L, 4L)) // 13 skipped, batch replayed
+    // handle-error is a paused-subtask verb
+    intercept[IllegalArgumentException](mgr.handleError("herr", "s", "skip", Seq(1)))
+    // second poison: pauses again on resume; replace rewrites it through
+    mem.addData(ev(21, "db", "t", 4, 7))
+    mgr.pauseTask("herr")
+    mgr.resumeTask("herr")
+    val st3 = mgr.queryStatus("herr").head
+    assert(st3("stage") == "Paused" && st3("error").nonEmpty)
+    mgr.handleError("herr", "s", "replace", Seq(21),
+      replaceValues = Map("val_after" -> org.apache.spark.sql.functions.lit(0.0)))
+    mgr.resumeTask("herr")
+    assert(mgr.queryStatus("herr").head("stage") == "Running")
+    assert(out.contains((42L, 0.0))) // rewritten event delivered with the fix
+    mgr.stopTask("herr")
+  }
+
   test("full-mode task finishes immediately; bad mode rejected") {
     val dir = Files.createTempDirectory("graft_dmf").toString
     val mgr = new DmTaskManager(spark, s"$dir/ckpt")
