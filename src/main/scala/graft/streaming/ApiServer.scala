@@ -165,6 +165,33 @@ final class ApiServer(spark: SparkSession,
     }
   }
 
+  /** POST /verify_table (cdc/api/v2/changefeed.go verifyTable): report
+    * which tables a filter config selects and which of those are
+    * INELIGIBLE for replication. The reference's eligibility rule is "has
+    * a handle key"; in the envelope model that is a non-null pk on every
+    * event of the table. */
+  private def handleVerifyTable(ex: HttpExchange): Unit = {
+    import org.apache.spark.sql.functions._
+    val body = readBody(ex)
+    val srcName = body.get("source").map(_.toString)
+      .getOrElse(return error(ex, 400, "source is required"))
+    val source = sources.getOrElse(srcName,
+      return error(ex, 400, s"unknown source: $srcName"))
+    val rules = body.get("table_filter") match {
+      case Some(pats: Seq[_]) => Filters.parseRules(pats.map(_.toString))
+      case _ => Seq(Filters.TableRule("*", "*", allow = true))
+    }
+    val selected = Filters.tableFilter(source(), rules)
+      .groupBy("schema_name", "table_name")
+      .agg(sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_no_key"))
+      .collect() // one row per selected table — control-plane sized
+    def names(p: org.apache.spark.sql.Row => Boolean) = selected.filter(p)
+      .map(r => s"${r.getString(0)}.${r.getString(1)}").sorted.toSeq
+    respond(ex, 200, Map(
+      "eligible_tables" -> names(_.getLong(2) == 0L),
+      "ineligible_tables" -> names(_.getLong(2) > 0L)))
+  }
+
   private val handler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
@@ -179,6 +206,8 @@ final class ApiServer(spark: SparkSession,
               "is_owner" -> true,
               "liveness" -> 0,
               "uptime_ms" -> (System.currentTimeMillis() - started)))
+          case ("POST", "/api/v2/verify_table") =>
+            handleVerifyTable(ex)
           case (_, p) if p.startsWith("/api/v2/changefeeds") =>
             handleChangefeeds(ex, p.stripPrefix("/api/v2/changefeeds"))
           case (m, p) => error(ex, 404, s"no route: $m $p")

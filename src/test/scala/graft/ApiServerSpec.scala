@@ -103,4 +103,27 @@ class ApiServerSpec extends SparkSpec {
       assert(delete(base, "/api/v2/changefeeds/cf-api")._1 == 200)
     } finally srv.stop()
   }
+
+  test("verify_table: filter-selected tables split by handle-key eligibility") {
+    // db.bad has a null-pk event (no handle key) → ineligible; db.skip is
+    // filtered out entirely; db.t is eligible
+    val df = Seq(
+      ("db", "t", Option(1L)),
+      ("db", "skip", Option(2L)),
+      ("db", "bad", Option.empty[Long]))
+      .toDF("schema_name", "table_name", "pk")
+    val srv = new ApiServer(spark, new ChangefeedManager(spark),
+      Map("mem" -> (() => df))).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      val (code, body) = post(base, "/api/v2/verify_table",
+        """{"source":"mem","table_filter":["db.t","db.bad"]}""")
+      assert(code == 200, body)
+      val node = mapper.readTree(body)
+      assert(node.get("eligible_tables").get(0).asText() == "db.t")
+      assert(node.get("eligible_tables").size() == 1)
+      assert(node.get("ineligible_tables").get(0).asText() == "db.bad")
+      assert(post(base, "/api/v2/verify_table", """{"source":"nope"}""")._1 == 400)
+    } finally srv.stop()
+  }
 }
