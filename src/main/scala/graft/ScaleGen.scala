@@ -52,7 +52,7 @@ object ScaleGen {
     amplify("documents", Seq("doc_id"), (d, i) =>
       if (i == 0) d
       else d.withColumn("text", concat(lit(s"c$i "), col("text")))
-        .withColumn("n_chars", col("n_chars") + lit(3L)))
+        .withColumn("n_chars", col("n_chars") + lit(s"c$i ".length.toLong)))
     amplify("embeddings", Seq("vec_id"))
     amplify("lineitem", Seq("l_orderkey"))
     amplify("orders", Seq("o_orderkey"))

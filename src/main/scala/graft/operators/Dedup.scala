@@ -225,7 +225,34 @@ object Dedup {
    * generation is a bucket join on small integer keys — never all-pairs —
    * the same scale shape as MinHash LSH with cheaper signatures.
    * Returns (id_a, id_b, hamming).
+   *
+   * Size the bands with [[simhashBandPlan]]. Note the OUTPUT shape is the
+   * other scale knob: on a dup-dense corpus the true pair list itself is
+   * Ω(Σ group²) — a 100-way duplicate group has 4,950 pairs (measured:
+   * the 100× corpus holds 1.22e9 genuine pairs). Downstream should
+   * consume [[dupClusters]] labels + the q117 removal predicate (linear
+   * in group size), not materialized pair lists.
    */
+  /**
+   * Band plan for a corpus of n docs: completeness for hamming ≤ maxHam
+   * needs bands = maxHam + 1 (pigeonhole), and the band width is the knob
+   * that keeps the bucket join LINEAR as the corpus grows — buckets per
+   * band number 2^w, so expected occupancy is n/2^w and candidate pairs
+   * per band grow ~n²/2^w; holding occupancy near a constant (~16) needs
+   * w ≈ log2(n/16). 8-bit bands are right at 10⁴-10⁵ docs and start
+   * going quadratic past ~10⁶ (measured: see NOTES 100× table); corpus
+   * scale wants 16-bit bands on a 64-bit simhash. Width is capped so
+   * bands·w ≤ 64.
+   */
+  def simhashBandPlan(n: Long, maxHam: Int): (Int, Int) = {
+    require(maxHam >= 0 && maxHam <= 7, s"maxHam out of range: $maxHam")
+    val bands = maxHam + 1
+    val occ = math.max(1L, n / 16)
+    val log2ceil = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, occ - 1))
+    val w = math.min(64 / bands, math.max(8, log2ceil))
+    (bands * w, bands)
+  }
+
   def simhashCandidates(sh: DataFrame, bits: Int, bands: Int,
                         maxHam: Int): DataFrame = {
     require(bands >= 1 && bits % bands == 0)

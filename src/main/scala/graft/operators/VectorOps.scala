@@ -311,13 +311,23 @@ object VectorOps {
     (0 until m).map(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
   }
 
+  /** Cell count for an n-vector corpus: the FAISS-style nlist ≈ √n rule.
+    * Per-query probe cost is nProbe·n/nlist, so a FIXED cell count makes
+    * probe cost grow linearly with the corpus (measured super-linear
+    * total at the 100× point — NOTES) while √n cells keep it at
+    * nProbe·√n. Training √n centroids is a one-off [[kmeans]] job. */
+  def recommendedCells(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   /**
    * IVF probe search: rank candidate cells per query by centroid distance,
    * search only the `nProbe` nearest cells. With the corpus PARTITIONED by
    * assigned centroid (the 100 TB layout: one directory per cell, partition
    * pruning skips the rest), cost scales with probed cells, not corpus
    * size. Exact integer cell ranking (quantized), exact cosine within
-   * cells.
+   * cells. Size `cents` with [[recommendedCells]] — per-query cost is
+   * nProbe·n/nlist, so the cell count must grow with the corpus (√n keeps
+   * a probe at nProbe·√n vectors no matter the scale).
    */
   def ivfSearch(corpusAssigned: DataFrame, queries: DataFrame, cents: DataFrame,
                 nProbe: Int, k: Int,

@@ -361,7 +361,11 @@ object EmbeddingQueries {
    * independent pruning keys compose, so candidate generation stays far
    * from n² even inside big clusters; exact cosine confirms. At 100 TB
    * the corpus is partitioned by cluster id and each pair join touches
-   * one cell.
+   * one cell. Both pruning keys are SCALE KNOBS: per-bucket pairs grow as
+   * (n/(k·2^planes))², so the cluster count follows the IVF rule
+   * (k ∝ √n, [[graft.operators.VectorOps.recommendedCells]]) and the
+   * plane count grows with log₂(n) — the gate's fixed (k, planes) pins
+   * semantics at gate scale, not the production sizing.
    */
   val semanticDedup = GateQuery(
     "q103_semantic_dedup",

@@ -48,4 +48,14 @@ class ChunkingSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 0L)))
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("simhashBandPlan scales band width with corpus size, capped at 64 bits") {
+    // pigeonhole: bands = maxHam + 1 always
+    assert(Dedup.simhashBandPlan(50000, 3) == ((48, 4)))   // w=12: log2(50k/16)
+    assert(Dedup.simhashBandPlan(5000000, 3) == ((64, 4))) // w capped at 16
+    assert(Dedup.simhashBandPlan(1000, 3) == ((32, 4)))    // floor w=8
+    assert(Dedup.simhashBandPlan(5000000, 7) == ((64, 8))) // 8 bands cap w=8
+    val (bits, bands) = Dedup.simhashBandPlan(100000, 1)
+    assert(bands == 2 && bits <= 64 && bits % bands == 0)
+  }
 }
