@@ -197,13 +197,12 @@ object EmbeddingQueries {
       .agg(count(lit(1)).as("n_clusters"), sum(col("comp")).as("comp_check"))
   }
 
-  /** IVF probe search: top-3 within the 3 nearest centroid cells. */
-  val ivfSearch = GateQuery(
-    "q85_ivf_search",
-    Some {
-      val scale = VectorOps.QuantScale
-      val cos = VectorOps.Sql.cosine("p.qv", "c.embedding")
-      s"""WITH q AS (
+  /** Shared oracle CTE chain for the IVF probe path (q85, q132): quantized
+    * vectors → per-label integer centroids → cell assignment → per-query
+    * probe list. */
+  private def ivfCtes: String = {
+    val scale = VectorOps.QuantScale
+    s"""WITH q AS (
          |  SELECT vec_id, label, embedding,
          |    [CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT) FOR x IN embedding] AS qq
          |  FROM embeddings
@@ -235,16 +234,26 @@ object EmbeddingQueries {
          |    FROM q, cents c
          |    WHERE q.${QueryFilter.replace("vec_id", "vec_id")}
          |  ) WHERE prank <= 3
-         |)
-         |SELECT query_id, rank, neighbor_id, cos FROM (
-         |  SELECT p.query_id, c.vec_id AS neighbor_id, $cos AS cos,
-         |    row_number() OVER (PARTITION BY p.query_id ORDER BY $cos DESC, c.vec_id) AS rank
-         |  FROM probes p
-         |  JOIN assigned a ON a.cell = p.centroid_id
-         |  JOIN q c ON c.vec_id = a.vec_id
-         |  WHERE c.vec_id <> p.query_id
-         |) WHERE rank <= 3""".stripMargin
-    }) { (spark, dir) =>
+         |)""".stripMargin
+  }
+
+  /** The IVF top-3 select over [[ivfCtes]]'s tables. */
+  private def ivfTop(cols: String): String = {
+    val cos = VectorOps.Sql.cosine("p.qv", "c.embedding")
+    s"""SELECT $cols FROM (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id, $cos AS cos,
+       |    row_number() OVER (PARTITION BY p.query_id ORDER BY $cos DESC, c.vec_id) AS rank
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.centroid_id
+       |  JOIN q c ON c.vec_id = a.vec_id
+       |  WHERE c.vec_id <> p.query_id
+       |) WHERE rank <= 3""".stripMargin
+  }
+
+  /** IVF probe search: top-3 within the 3 nearest centroid cells. */
+  val ivfSearch = GateQuery(
+    "q85_ivf_search",
+    Some(ivfCtes + "\n" + ivfTop("query_id, rank, neighbor_id, cos"))) { (spark, dir) =>
     val e = Tables.load(spark, dir, "embeddings")
     val cents = VectorOps.centroids(e, "label", "embedding")
     val assigned = VectorOps.assignCentroids(e, cents)
@@ -462,8 +471,59 @@ object EmbeddingQueries {
     VectorOps.pqSearch(enc, e.filter(expr(QueryFilter)), books, subDim = 16, k = 3)
   }
 
+  /**
+   * q132 — ANN recall evaluation: the quality harness every approximate
+   * index needs before it replaces the exact path. Exact recall@3 of the
+   * IVF probe search (q85 configuration) against brute-force ground truth
+   * on the same query set, reported as a per-hit-count histogram — a
+   * wrong probe list, a distance bug, or a tie-break drift all move rows
+   * between buckets. At 100 TB ground truth comes from exactly this
+   * shape: brute force over a SAMPLED query set (the filter) while the
+   * index answers from its cells; the comparison is two already-computed
+   * top-k tables joined on (query, neighbor) — negligible next to either
+   * search.
+   */
+  val annRecall = GateQuery(
+    "q132_ann_recall",
+    Some(ivfCtes +
+      s""", ivf AS (
+         |${ivfTop("query_id, neighbor_id")}
+         |), truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT tq.vec_id AS query_id, tc.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY tq.vec_id ORDER BY
+         |        ${VectorOps.Sql.cosine("tq.embedding", "tc.embedding")} DESC,
+         |        tc.vec_id) AS rank
+         |    FROM embeddings tq JOIN embeddings tc ON tq.vec_id <> tc.vec_id
+         |    WHERE tq.${QueryFilter}
+         |  ) WHERE rank <= 3
+         |), hits AS (
+         |  SELECT t.query_id,
+         |    sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |  FROM truth t LEFT JOIN ivf i
+         |    ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+         |  GROUP BY 1
+         |)
+         |SELECT CAST(n_hit AS BIGINT) AS recall_hits,
+         |  count(*) AS n_queries FROM hits GROUP BY 1""".stripMargin)) {
+    (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    val queries = e.filter(expr(QueryFilter))
+    val truth = VectorOps.bruteForceTopK(queries, e, 3)
+      .select("query_id", "neighbor_id")
+    val cents = VectorOps.centroids(e, "label", "embedding")
+    val assigned = VectorOps.assignCentroids(e, cents)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+    val ivf = VectorOps.ivfSearch(assigned, queries, cents, nProbe = 3, k = 3)
+      .select("query_id", "neighbor_id").withColumn("hit", lit(1))
+    truth.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0)).cast("long")).as("recall_hits"))
+      .groupBy("recall_hits").agg(count(lit(1)).as("n_queries"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(knnBrute, lshAnn, lshBuckets, centroidAssign, cosineNearDup,
       embeddingDupClusters, ivfSearch, int8Knn, kmeansIter, semanticDedup,
-      pqAdc)
+      pqAdc, annRecall)
 }
