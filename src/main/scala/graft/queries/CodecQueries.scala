@@ -709,10 +709,48 @@ object CodecQueries {
       sum(when(col("ok"), 1L).otherwise(0L)).as("n_verified"))
   }
 
+  /**
+   * E2 (protobuf wire form) — the ORIGINAL `protocol=canal` binary
+   * protocol: every sampled envelope row encodes to a protobuf Entry
+   * ([[graft.functions.CanalProto]], hand-rolled varint/length-delimited
+   * framing against the reference's EntryProtocol.proto field numbers)
+   * and decodes back; the decoded header fields, event type, image
+   * values, and per-image column counts must equal the oracle's direct
+   * envelope derivation (insert = after-only, delete = before-only,
+   * update = both with the NEW key in the after image). A golden spec
+   * pins hand-assembled wire bytes so the encoding is protobuf, not
+   * merely self-inverse.
+   */
+  val canalProtoRoundtrip = GateQuery(
+    "q133_canal_proto",
+    Some(cte +
+      s"""SELECT seq, schema_name, table_name AS tbl, commit_ts AS execute_time,
+         |  CAST(CASE op WHEN 'I' THEN 1 WHEN 'U' THEN 2 ELSE 3 END AS INT)
+         |    AS event_type,
+         |  false AS is_ddl,
+         |  CASE WHEN op = 'D' THEN pk ELSE pk_after END AS pk,
+         |  CASE WHEN op = 'I' THEN NULL ELSE val_before END AS val_before,
+         |  CASE WHEN op = 'D' THEN NULL ELSE val_after END AS val_after,
+         |  etype,
+         |  CAST(CASE WHEN op = 'I' THEN 0 ELSE 3 END AS INT) AS n_before,
+         |  CAST(CASE WHEN op = 'D' THEN 0 ELSE 3 END AS INT) AS n_after
+         |FROM cdc WHERE $SampleE""".stripMargin)) { (spark, dir) =>
+    import graft.functions.CanalProto
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    df.select(col("seq"),
+        CanalProto.decodeColumn(CanalProto.encodeDmlColumn(df)).as("e"))
+      .select(col("seq"), col("e.schema_name").as("schema_name"),
+        col("e.tbl").as("tbl"), col("e.execute_time").as("execute_time"),
+        col("e.event_type").as("event_type"), col("e.is_ddl").as("is_ddl"),
+        col("e.pk").as("pk"), col("e.val_before").as("val_before"),
+        col("e.val_after").as("val_after"), col("e.etype").as("etype"),
+        col("e.n_before").as("n_before"), col("e.n_after").as("n_after"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas,
     avroBinary, craftRoundtrip, simple, kafkaRecord, pulsarRecord, rowcodecV2,
     debeziumRoundtrip, maxwellRoundtrip, openRoundtrip, csvRoundtrip,
     simpleRoundtrip, simpleAvroRoundtrip, avroEvolution, openBatchRoundtrip,
-    integrity)
+    integrity, canalProtoRoundtrip)
 }
