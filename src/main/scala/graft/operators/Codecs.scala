@@ -180,6 +180,60 @@ object Codecs {
     }
   }
 
+  /** Simple-protocol DDL type taxonomy (reference
+    * pkg/sink/codec/simple/message.go getDDLType:78-99 — index DDL splits
+    * into CINDEX/DINDEX, drop table is ERASE, database-level and anything
+    * unclassified is QUERY). */
+  def simpleDdlType(stmt: graft.core.DdlParser.Stmt): String = {
+    import graft.core.DdlParser._
+    stmt match {
+      case _: CreateTable => "CREATE"
+      case _: RenameTable => "RENAME"
+      case ai: AlterIndex => if (ai.addIndex) "CINDEX" else "DINDEX"
+      case _: DropTable => "ERASE"
+      case _: TruncateTable => "TRUNCATE"
+      case _: AlterTable => "ALTER"
+      case _ => "QUERY"
+    }
+  }
+
+  /** Simple-protocol column dataType name for a Spark type (the MySQL
+    * type names the simple TableSchema carries). */
+  def simpleColType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "FLOAT"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case TimestampType => "DATETIME"
+    case DateType => "DATE"
+    case _ => "VARCHAR"
+  }
+
+  /** E7 (DDL half) — simple-protocol DDL message (reference
+    * simple/message.go newDDLMessage:524-547 + encoder.go): version, the
+    * classified type, commitTs, the SQL text, and tableSchema /
+    * preTableSchema built from the registry columns in force after/before
+    * the DDL. A dropped table has no post-schema (ERASE renders
+    * `tableSchema` absent); a created table has no pre-schema — the
+    * reference's nil TableInfo/PreTableInfo cases. Expects (schema_name,
+    * table_name, commit_ts, ddl_kind, ddl_sql, def_cols, old_cols) where
+    * the col arrays are struct(name, dataType, nullable). */
+  def simpleDdl(df: DataFrame): Column = {
+    def ts(colsCol: Column) = struct(
+      col("schema_name").as("database"),
+      col("table_name").as("table"),
+      colsCol.as("columns"))
+    to_json(struct(
+      lit(1).as("version"),
+      col("ddl_kind").as("type"),
+      col("commit_ts").as("commitTs"),
+      col("ddl_sql").as("sql"),
+      when(size(col("def_cols")) > 0, ts(col("def_cols"))).as("tableSchema"),
+      when(size(col("old_cols")) > 0, ts(col("old_cols")))
+        .as("preTableSchema")), jsonOpts)
+  }
+
   /** Maxwell column-type name for a Spark type (reference
     * columnToMaxwellType, maxwell_message.go). */
   def maxwellColType(dt: org.apache.spark.sql.types.DataType): String = dt match {

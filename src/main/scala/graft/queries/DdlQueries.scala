@@ -434,7 +434,86 @@ object DdlQueries {
         sum(when(col("pk_bigint"), 1L).otherwise(0L)).as("n_pk_bigint"))
   }
 
+  /**
+   * E7 (DDL half) — simple-protocol DDL messages (q134; reference
+   * simple/message.go newDDLMessage + getDDLType): a six-statement
+   * lifecycle per table (create → add column → add index → drop index →
+   * truncate → drop) folds through the registry, renders as simple DDL
+   * messages, and is decoded back; the gate pins the classified type
+   * taxonomy (CREATE/ALTER/CINDEX/DINDEX/TRUNCATE/ERASE), the
+   * post/pre schema column counts along the evolution (a dropped table
+   * has no post-schema, a created one no pre-schema), and that `pk`
+   * stays BIGINT in every present schema.
+   */
+  val simpleDdl = GateQuery(
+    "q134_simple_ddl",
+    Some("""SELECT * FROM (VALUES
+           |  ('ALTER', 3, 2, true, CAST(8 AS BIGINT)),
+           |  ('CINDEX', 3, 3, true, CAST(8 AS BIGINT)),
+           |  ('CREATE', 2, 0, true, CAST(8 AS BIGINT)),
+           |  ('DINDEX', 3, 3, true, CAST(8 AS BIGINT)),
+           |  ('ERASE', 0, 3, false, CAST(8 AS BIGINT)),
+           |  ('TRUNCATE', 3, 3, true, CAST(8 AS BIGINT)))
+           |v(mtype, n_schema, n_pre, pk_bigint, n_msgs)""".stripMargin)) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.core.DdlParser
+    import graft.core.DdlParser.{AlterTable, CreateTable, DropTable}
+    import graft.core.SchemaRegistry.AddColumn
+    import graft.operators.Codecs
+    val rows = for {
+      s <- Seq("db_0", "db_1"); t <- Seq("tbl_0", "tbl_1", "tbl_2", "tbl_3")
+      texts = Seq(
+        (s"CREATE TABLE $s.$t (pk BIGINT NOT NULL PRIMARY KEY, val DOUBLE)", 0L),
+        (s"ALTER TABLE $s.$t ADD COLUMN c2 VARCHAR(64)", 1002000L),
+        (s"ALTER TABLE $s.$t ADD INDEX idx_val (val)", 1003000L),
+        (s"ALTER TABLE $s.$t DROP INDEX idx_val", 1004000L),
+        (s"TRUNCATE TABLE $s.$t", 1005000L),
+        (s"DROP TABLE $s.$t", 1006000L))
+      row <- {
+        var cols = Vector.empty[(String, String, Boolean)]
+        texts.flatMap { case (sql, ts) =>
+          DdlParser.parse(sql).map { st =>
+            val old = cols
+            st match {
+              case ct: CreateTable =>
+                cols = ct.columns.map(c => (c.name,
+                  Codecs.simpleColType(c.dataType), c.nullable)).toVector
+              case AlterTable(_, _, AddColumn(n, dt)) =>
+                cols = cols :+ ((n, Codecs.simpleColType(dt), true))
+              case _: DropTable => cols = Vector.empty
+              case _ => () // index/truncate: row schema unchanged
+            }
+            (s, t, ts, Codecs.simpleDdlType(st), DdlParser.toSql(st), cols, old)
+          }
+        }
+      }
+    } yield row
+    val colsType = "array<struct<name:string,dataType:string,nullable:boolean>>"
+    val df = rows.toDF("schema_name", "table_name", "commit_ts", "ddl_kind",
+        "ddl_sql", "def_cols", "old_cols")
+      .withColumn("def_cols", col("def_cols").cast(colsType))
+      .withColumn("old_cols", col("old_cols").cast(colsType))
+    val schemaStruct = "STRUCT<`database`: STRING, `table`: STRING, " +
+      "columns: ARRAY<STRUCT<name: STRING, dataType: STRING, nullable: BOOLEAN>>>"
+    val msgSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      s"version INT, type STRING, commitTs BIGINT, sql STRING, " +
+        s"tableSchema $schemaStruct, preTableSchema $schemaStruct")
+    df.select(from_json(Codecs.simpleDdl(df), msgSchema).as("m"))
+      .filter(col("m.version") === 1) // every message carries the version
+      .select(col("m.type").as("mtype"),
+        coalesce(size(col("m.tableSchema.columns")), lit(0)).as("n_schema"),
+        coalesce(size(col("m.preTableSchema.columns")), lit(0)).as("n_pre"),
+        coalesce(exists(col("m.tableSchema.columns"),
+          c => c("name") === "pk" && c("dataType") === "BIGINT"), lit(false))
+          .as("pk_bigint"))
+      .withColumn("n_schema", when(col("n_schema") < 0, 0).otherwise(col("n_schema")))
+      .withColumn("n_pre", when(col("n_pre") < 0, 0).otherwise(col("n_pre")))
+      .groupBy("mtype", "n_schema", "n_pre", "pk_bigint")
+      .agg(count(lit(1)).as("n_msgs"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(shardDdlGate, precheck, ddlText, ddlAllowList, ddlRenderFixpoint,
-      debeziumDdl, maxwellDdl)
+      debeziumDdl, maxwellDdl, simpleDdl)
 }
