@@ -234,6 +234,48 @@ object Codecs {
         .as("preTableSchema")), jsonOpts)
   }
 
+  /** TiDB DDL action code for a parsed statement (the public
+    * parser/model ActionType enumeration the open protocol's DDL value
+    * carries verbatim: CreateSchema=1, DropSchema=2, CreateTable=3,
+    * DropTable=4, AddColumn=5, DropColumn=6, AddIndex=7, DropIndex=8,
+    * TruncateTable=11, ModifyColumn=12, RenameTable=14). Column rename
+    * rides the modify-column code — the row-schema effect is the same. */
+  def tidbActionType(stmt: graft.core.DdlParser.Stmt): Int = {
+    import graft.core.DdlParser._
+    import graft.core.SchemaRegistry
+    stmt match {
+      case _: CreateDatabase => 1
+      case _: DropDatabase => 2
+      case _: CreateTable => 3
+      case _: DropTable => 4
+      case AlterTable(_, _, _: SchemaRegistry.AddColumn) => 5
+      case AlterTable(_, _, _: SchemaRegistry.DropColumn) => 6
+      case ai: AlterIndex => if (ai.addIndex) 7 else 8
+      case _: TruncateTable => 11
+      case _: AlterTable => 12 // modify / rename column
+      case _: RenameTable => 14
+    }
+  }
+
+  /** E1 (DDL half) — open-protocol DDL message key (reference
+    * open_protocol_message.go ddlEventToMsg:235-247: ts/schema/table with
+    * type=2 = MessageTypeDDL from cdc/model/sink.go:41-52). Expects
+    * (schema_name, table_name, commit_ts). */
+  def openDdlKey(df: DataFrame): Column =
+    to_json(struct(
+      col("commit_ts").as("ts"),
+      col("schema_name").as("scm"),
+      col("table_name").as("tbl"),
+      lit(2).as("t")), jsonOpts)
+
+  /** Open-protocol DDL message value: `{"q": sql, "t": actionType}`
+    * (messageDDL, open_protocol_message.go:101-113). Expects (ddl_sql,
+    * action_type). */
+  def openDdlValue(df: DataFrame): Column =
+    to_json(struct(
+      col("ddl_sql").as("q"),
+      col("action_type").as("t")), jsonOpts)
+
   /** Maxwell column-type name for a Spark type (reference
     * columnToMaxwellType, maxwell_message.go). */
   def maxwellColType(dt: org.apache.spark.sql.types.DataType): String = dt match {

@@ -513,7 +513,56 @@ object DdlQueries {
       .agg(count(lit(1)).as("n_msgs"))
   }
 
+  /**
+   * E1 (DDL half) — open-protocol DDL messages (q135; reference
+   * ddlEventToMsg/msgToDDLEvent, open_protocol_message.go:101-113 +
+   * 235-260): each statement of the lifecycle corpus renders as the
+   * key/value pair (key type=2, value = `{"q": sql, "t": actionType}`)
+   * and decodes back the way the reference's consumer rebuilds a
+   * DDLEvent. The gate pins the TiDB action-code taxonomy, that every
+   * key is MessageTypeDDL, and that the SQL text survives the round trip
+   * byte-for-byte.
+   */
+  val openDdl = GateQuery(
+    "q135_open_ddl",
+    Some("""SELECT * FROM (VALUES
+           |  (3, 2, true, CAST(8 AS BIGINT)),
+           |  (5, 2, true, CAST(8 AS BIGINT)),
+           |  (7, 2, true, CAST(8 AS BIGINT)),
+           |  (8, 2, true, CAST(8 AS BIGINT)),
+           |  (11, 2, true, CAST(8 AS BIGINT)),
+           |  (4, 2, true, CAST(8 AS BIGINT)))
+           |v(action_type, key_type, sql_match, n_msgs)""".stripMargin)) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.core.DdlParser
+    import graft.operators.Codecs
+    val rows = for {
+      s <- Seq("db_0", "db_1"); t <- Seq("tbl_0", "tbl_1", "tbl_2", "tbl_3")
+      sql <- Seq(
+        s"CREATE TABLE $s.$t (pk BIGINT NOT NULL PRIMARY KEY, val DOUBLE)",
+        s"ALTER TABLE $s.$t ADD COLUMN c2 VARCHAR(64)",
+        s"ALTER TABLE $s.$t ADD INDEX idx_val (val)",
+        s"ALTER TABLE $s.$t DROP INDEX idx_val",
+        s"TRUNCATE TABLE $s.$t",
+        s"DROP TABLE $s.$t")
+      st <- DdlParser.parse(sql)
+    } yield (s, t, 1002000L, Codecs.tidbActionType(st), DdlParser.toSql(st))
+    val df = rows.toDF("schema_name", "table_name", "commit_ts",
+      "action_type", "ddl_sql")
+    val keySchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts BIGINT, scm STRING, tbl STRING, t INT")
+    val valSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "q STRING, t INT")
+    df.select(col("ddl_sql"),
+        from_json(Codecs.openDdlKey(df), keySchema).as("k"),
+        from_json(Codecs.openDdlValue(df), valSchema).as("v"))
+      .groupBy(col("v.t").as("action_type"), col("k.t").as("key_type"),
+        (col("v.q") === col("ddl_sql")).as("sql_match"))
+      .agg(count(lit(1)).as("n_msgs"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(shardDdlGate, precheck, ddlText, ddlAllowList, ddlRenderFixpoint,
-      debeziumDdl, maxwellDdl, simpleDdl)
+      debeziumDdl, maxwellDdl, simpleDdl, openDdl)
 }
