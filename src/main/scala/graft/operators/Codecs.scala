@@ -257,6 +257,28 @@ object Codecs {
     }
   }
 
+  /** Canal-JSON watermark message (reference canal_json_row_event_encoder
+    * .go:335-357 newJSONMessageForDML watermark path: a data-less
+    * JSONMessage with type=TIDB_WATERMARK and the ts in the `_tidb`
+    * extension block — only emitted with the TiDB extension enabled).
+    * Expects a `wm_ts` column. */
+  def canalJsonWatermark(df: DataFrame): Column =
+    to_json(struct(
+      lit(0L).as("id"),
+      lit(false).as("isDdl"),
+      lit("TIDB_WATERMARK").as("type"),
+      col("wm_ts").as("es"),
+      struct(col("wm_ts").as("watermarkTs")).as("_tidb")), jsonOpts)
+
+  /** Open-protocol resolved (checkpoint) message key: `{ts, t: 3}` —
+    * MessageTypeResolved (reference open_protocol_message.go
+    * newResolvedMessage:115-120, cdc/model/sink.go:41-52). Value is
+    * empty for resolved messages. Expects a `wm_ts` column. */
+  def openResolvedKey(df: DataFrame): Column =
+    to_json(struct(
+      col("wm_ts").as("ts"),
+      lit(3).as("t")), jsonOpts)
+
   /** E1 (DDL half) — open-protocol DDL message key (reference
     * open_protocol_message.go ddlEventToMsg:235-247: ts/schema/table with
     * type=2 = MessageTypeDDL from cdc/model/sink.go:41-52). Expects

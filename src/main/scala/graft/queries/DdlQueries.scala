@@ -562,7 +562,44 @@ object DdlQueries {
       .agg(count(lit(1)).as("n_msgs"))
   }
 
+  /**
+   * Watermark / resolved-ts control messages (q136): the per-table
+   * resolved frontier (the q70 aggregation) renders as BOTH remaining
+   * control-message envelopes — canal-JSON's data-less TIDB_WATERMARK
+   * with the ts in the `_tidb` extension block, and the open protocol's
+   * resolved key `{ts, t:3}` — and decodes back; the gate pins the
+   * decoded watermark against the oracle's own frontier. With q121
+   * (simple WATERMARK in Avro), checkpoint messages now exist for every
+   * protocol that defines them.
+   */
+  val watermarkMessages = GateQuery(
+    "q136_watermark_msgs",
+    Some(CdcStream.sqlCte +
+      """SELECT schema_name, table_name, max(commit_ts) AS wm,
+        |  'TIDB_WATERMARK' AS mtype, false AS is_ddl,
+        |  CAST(3 AS INT) AS open_t
+        |FROM cdc GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    import graft.operators.Codecs
+    val frontier = graft.core.CdcStream.derive(spark, dir)
+      .groupBy("schema_name", "table_name")
+      .agg(max(col("commit_ts")).as("wm_ts"))
+    val canalSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, isDdl BOOLEAN, type STRING, es BIGINT, " +
+        "`_tidb` STRUCT<watermarkTs: BIGINT>")
+    val keySchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts BIGINT, t INT")
+    frontier.select(col("schema_name"), col("table_name"),
+        from_json(Codecs.canalJsonWatermark(frontier), canalSchema).as("c"),
+        from_json(Codecs.openResolvedKey(frontier), keySchema).as("k"))
+      .select(col("schema_name"), col("table_name"),
+        col("c._tidb.watermarkTs").as("wm"),
+        col("c.type").as("mtype"), col("c.isDdl").as("is_ddl"),
+        col("k.t").as("open_t"))
+      // both renderings must carry the SAME ts
+      .filter(col("wm") === col("k.ts") && col("wm") === col("c.es"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(shardDdlGate, precheck, ddlText, ddlAllowList, ddlRenderFixpoint,
-      debeziumDdl, maxwellDdl, simpleDdl, openDdl)
+      debeziumDdl, maxwellDdl, simpleDdl, openDdl, watermarkMessages)
 }
