@@ -747,10 +747,103 @@ object CodecQueries {
         col("e.n_before").as("n_before"), col("e.n_after").as("n_after"))
   }
 
+  /**
+   * The MQ CONSUMER loop, end to end (q137; reference cmd/kafka-consumer:
+   * consume partition-ordered batched frames, decode, and apply to a live
+   * MySQL downstream): a post-split key-complete sample dispatches to
+   * slots (a key's events stay in ONE slot — Kafka's per-partition
+   * ordering contract), frames per slot in stream order (the q108 wire
+   * path), then the consumer unframes IN ORDER, decodes to upsert/delete
+   * events (old-value-disabled open protocol), folds the per-key net
+   * state by wire order, renders safe-mode SQL, and EXECUTES it on a live
+   * embedded engine. The applied table state must equal the oracle's
+   * direct per-key fold of the same stream — the check_sync_diff property
+   * for the MQ path, closing the same loop q98 (SQL files), q97
+   * (storage), and q118 (diff) close for theirs.
+   */
+  val mqConsumer = GateQuery(
+    "q137_mq_consumer",
+    Some(cte +
+      """, pre AS (SELECT * FROM cdc WHERE pk % 23 = 0 OR pk_after % 23 = 0),
+        |split AS (
+        |  SELECT seq * 2 + leg AS seq,
+        |    CASE WHEN leg = 1 THEN 'I'
+        |         WHEN op = 'U' AND pk <> pk_after THEN 'D'
+        |         ELSE op END AS op,
+        |    commit_ts, schema_name, table_name,
+        |    CASE WHEN leg = 1 THEN pk_after ELSE pk END AS pk,
+        |    CASE WHEN leg = 1 THEN val_after
+        |         WHEN op = 'U' AND pk <> pk_after THEN NULL
+        |         WHEN op = 'D' THEN NULL
+        |         ELSE val_after END AS val_after
+        |  FROM (SELECT *,
+        |          unnest(CASE WHEN op = 'U' AND pk <> pk_after
+        |                      THEN [0, 1] ELSE [0] END) AS leg
+        |        FROM pre)
+        |), sampled AS (SELECT * FROM split WHERE pk % 23 = 0),
+        |agg AS (
+        |  SELECT schema_name, table_name, pk,
+        |    arg_max(op, seq) AS last_op,
+        |    arg_max(coalesce(val_after, -1), seq) AS last_val
+        |  FROM sampled GROUP BY 1, 2, 3
+        |)
+        |SELECT schema_name, table_name, count(*) AS n_rows,
+        |  CAST(sum(pk) AS BIGINT) AS sum_pk,
+        |  CAST(sum(CAST(last_val AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+        |FROM agg WHERE last_op <> 'D' GROUP BY 1, 2""".stripMargin)) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.OpenBatch
+    import graft.operators.Transforms
+    import graft.streaming.{Sinks, SqlApply}
+    val ev = Transforms.updateSplit(
+        CdcStream.derive(spark, dir)
+          .filter(col("pk") % 23 === 0 || col("pk_after") % 23 === 0))
+      .filter(col("pk") % 23 === 0)
+    // producer: pairs → per-slot frames in stream order (a key's events
+    // never cross slots, so per-slot order IS per-key order)
+    val pairs = ev.select((col("pk") % 4).as("slot"), col("seq"),
+        Codecs.openProtocolKey(ev).as("k"), Codecs.openProtocolValue(ev).as("v"))
+      .as[(Long, Long, String, String)]
+    val rebuilt = pairs.groupByKey(_._1).flatMapGroups { (slot, it) =>
+      val sorted = it.toSeq.sortBy(_._2)
+      OpenBatch.encode(sorted.iterator.map(r =>
+          (r._3.getBytes("UTF-8"), r._4.getBytes("UTF-8"))), maxBatchSize = 16)
+        .iterator.flatMap { case (mk, mv) => OpenBatch.decode(mk, mv) }
+        .zipWithIndex.map { case ((k, v), ord) =>
+          (slot, ord.toLong, new String(k, "UTF-8"), new String(v, "UTF-8")) }
+    }.toDF("slot", "ord", "k", "v")
+    // consumer: decode, fold net state per key by WIRE order, render+apply
+    val dec = rebuilt.withColumn("e", Codecs.openToEnvelope(
+        Codecs.openDecodeKey(col("k")), Codecs.openDecodeValue(col("v"))))
+      .select(col("ord"), col("e.*"))
+    val net = dec.groupBy(col("schema_name"), col("tbl_name").as("table_name"),
+        col("pk"))
+      .agg(max_by(col("op"), col("ord")).as("last_op"),
+        max_by(coalesce(col("val"), lit(-1d)), col("ord")).as("last_val"),
+        max(col("commit_ts")).as("last_commit_ts"))
+      .withColumn("net_op",
+        when(col("last_op") === "D", "D").otherwise("R")) // upsert ⇒ REPLACE
+      .withColumn("final_val",
+        when(col("net_op") === "D", lit(null).cast("double"))
+          .otherwise(col("last_val")))
+      .persist()
+    val (sqlDir, tag) = Gate.freshScratch("graft_mq_consume_", dir)
+    Sinks.sqlFileSink(sqlDir)(net, 0L)
+    val tables = net.select("schema_name", "table_name").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    net.unpersist()
+    SqlApply.applyAndReadState(spark, sqlDir, tables,
+        dbName = s"graft_mq_$tag")
+      .groupBy("schema_name", "table_name")
+      .agg(count(lit(1)).as("n_rows"), sum(col("pk")).as("sum_pk"),
+        sum(col("final_val").cast("decimal(18,6)")).cast("double").as("sum_val"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas,
     avroBinary, craftRoundtrip, simple, kafkaRecord, pulsarRecord, rowcodecV2,
     debeziumRoundtrip, maxwellRoundtrip, openRoundtrip, csvRoundtrip,
     simpleRoundtrip, simpleAvroRoundtrip, avroEvolution, openBatchRoundtrip,
-    integrity, canalProtoRoundtrip)
+    integrity, canalProtoRoundtrip, mqConsumer)
 }
