@@ -216,6 +216,48 @@ object ExtraQueries {
     Multimodal.sampleVideoFrames(spark, Multimodal.videoTable(spark, ids)).toDF()
   }
 
+  /**
+   * L2 (load unit) — chunked full load with per-chunk checkpoint RESUME
+   * (q138; reference dm/loader/checkpoint.go): pass 1 completes three
+   * chunks and then "crashes" mid-chunk-3 (half its rows on disk, no
+   * checkpoint marker); pass 2 resumes, skips the three checkpointed
+   * chunks, and rewrites the partial chunk from scratch plus the rest.
+   * The gate reads the assembled table back per chunk: the pass
+   * assignment pins that resume did ONLY the remaining work, and the
+   * per-chunk counts/key sums pin that the crash-mid-chunk rewrite never
+   * double-loaded a row — the loader restart contract, exactly-once per
+   * chunk.
+   */
+  val chunkedLoad = GateQuery(
+    "q138_chunked_load",
+    Some("""WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+           |  FROM orders),
+           |c AS (
+           |  SELECT least(7, ((o_orderkey - lo) * 8) // (hi - lo + 1)) AS chunk,
+           |    o_orderkey FROM orders, b
+           |)
+           |SELECT CAST(chunk AS INT) AS chunk,
+           |  CAST(CASE WHEN chunk < 3 THEN 1 ELSE 2 END AS INT) AS pass,
+           |  count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+           |FROM c GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.Loader
+    val src = Tables.load(spark, dir, "orders")
+    val (base, _) = graft.queries.Gate.freshScratch("graft_load_", dir)
+    val dest = s"$base/load"
+    val pass1 = Loader.loadChunks(spark, src, "o_orderkey", nChunks = 8,
+      destDir = dest, completeAtMost = 3, partialNext = true)
+    val pass2 = Loader.loadChunks(spark, src, "o_orderkey", nChunks = 8,
+      destDir = dest)
+    val passOf = (pass1.map(_ -> 1) ++ pass2.map(_ -> 2)).toMap
+    val passDf = passOf.toSeq.toDF("chunk", "pass")
+    Loader.readLoaded(spark, dest, nChunks = 8)
+      .groupBy(col("_chunk").as("chunk"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"))
+      .join(passDf, "chunk")
+      .select("chunk", "pass", "n_rows", "sum_key")
+  }
+
   /** C5 — claim-check / large-message handling: oversized encoded messages
     * are replaced by a storage reference; small ones pass inline (reference
     * pkg/sink/kafka/claimcheck/claim_check.go, handle-key-only downgrade
@@ -696,7 +738,7 @@ object ExtraQueries {
 
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, imageDecode, audioDecode, videoFrames,
-    claimCheck, handleKeyOnly,
+    chunkedLoad, claimCheck, handleKeyOnly,
     claimCheckWrite,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
     jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin)
