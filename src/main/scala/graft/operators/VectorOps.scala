@@ -198,9 +198,11 @@ object VectorOps {
    * Scale shape: centroids are control-plane data (k·d longs) — each
    * round is ONE map-only assignment pass (centroid literals folded into
    * the plan, no join/shuffle on the corpus) plus one partial-aggregated
-   * groupBy for the means; the corpus itself never shuffles. The
-   * interpreted k·d argmin per row is fine for k in the hundreds; beyond
-   * that the assignment belongs in a codegen'd kernel (TextRuns pattern).
+   * groupBy for the means; the corpus itself never shuffles. Past
+   * `literalMaxK` centroids (the √n-scale regime [[recommendedCells]]
+   * implies) the assignment switches to a broadcast-centroid join with a
+   * map-side-combinable struct-min argmin — same results, codegen-safe at
+   * any k; a spec pins both paths equal.
    *
    * Returns the final assignment (idCol, vecCol, centroid_id, dist)
    * against the centroids after `iters` recompute rounds — the vector
@@ -208,24 +210,48 @@ object VectorOps {
    * generation, IVF cell search) needs no join back.
    */
   def kmeans(df: DataFrame, k: Int, iters: Int,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             literalMaxK: Int = 64): DataFrame = {
     require(k >= 2 && iters >= 0)
+    val spark = df.sparkSession
     val q = df.select(col(idCol), col(vecCol)).withColumn("qv", quantize(col(vecCol)))
     val seeds: Seq[(Long, Seq[Long])] = q.orderBy(col(idCol)).limit(k)
       .select(col("qv")).collect()
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0)) }.toSeq
 
-    def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    // Two assignment strategies, identical results (integer distances,
+    // (dist, cid) tie-break):
+    //  - k ≤ literalMaxK: centroids fold into the plan as literals — one
+    //    map-only pass, no join at all.
+    //  - k > literalMaxK (the √n-scale regime recommendedCells implies):
+    //    literal folding would blow past codegen method limits, so
+    //    centroids broadcast as a table and the argmin is a map-side-
+    //    combinable min(struct(dist, cid, vec)) hash agg — the corpus
+    //    still never shuffles more than one pre-aggregated row per id.
+    def assignLit(cents: Seq[(Long, Seq[Long])]): DataFrame = {
       val ds = cents.map { case (cid, c) =>
         struct(sqDistQ(col("qv"), array(c.map(lit): _*)).as("dist"),
           lit(cid).as("cid"))
       }
-      // bind the k distance structs once per row; least() is lexicographic
-      // (dist, then cid) so ties are deterministic
       q.withColumn("best", leastOf(ds))
         .select(col(idCol), col(vecCol),
           col("best.cid").as("centroid_id"), col("best.dist").as("dist"))
     }
+    def assignJoin(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+      import spark.implicits._
+      val cdf = cents.toDF("centroid_id", "centroid")
+      q.crossJoin(broadcast(cdf))
+        .withColumn("dist", sqDistQ(col("qv"), col("centroid")))
+        // (dist, cid) is unique per candidate, so the struct min is
+        // deterministic and the vector rides along without being compared
+        .groupBy(col(idCol))
+        .agg(min(struct(col("dist"), col("centroid_id"),
+          col(vecCol).as("v"))).as("best"))
+        .select(col(idCol), col("best.v").as(vecCol),
+          col("best.centroid_id").as("centroid_id"), col("best.dist").as("dist"))
+    }
+    def assign(cents: Seq[(Long, Seq[Long])]): DataFrame =
+      if (k <= literalMaxK) assignLit(cents) else assignJoin(cents)
 
     var cents = seeds
     var round = 0

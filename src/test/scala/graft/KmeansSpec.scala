@@ -42,6 +42,22 @@ class KmeansSpec extends SparkSpec {
       ("t2", 120L, 0L, 0L)))  // no DDLs for t2
   }
 
+  test("kmeans join-assignment path (large k) equals the literal path exactly") {
+    // 40 vectors, k=6: forcing literalMaxK=2 routes every assignment
+    // through the broadcast-join argmin — (id, centroid, dist) must match
+    // the literal-folded plan row for row, including tie-breaks
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val lit0 = VectorOps.kmeans(vecs, k = 6, iters = 2)
+      .select("vec_id", "centroid_id", "dist")
+      .as[(Long, Long, Long)].collect().toSet
+    val join0 = VectorOps.kmeans(vecs, k = 6, iters = 2, literalMaxK = 2)
+      .select("vec_id", "centroid_id", "dist")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(join0 == lit0)
+  }
+
   test("kmeans survives total cluster collapse (identical vectors)") {
     val vecs = (0L to 3L).map(i => (i, Array.fill(4)(1.0f)))
       .toDF("vec_id", "embedding")
