@@ -769,8 +769,62 @@ object StreamTwinQueries {
       .toDF("phase", "stage", "has_error", "n_rows", "n_fixed")
   }
 
+  /**
+   * S6 — relay log (q139; reference dm/relay: rotating binlog files,
+   * relay.meta position, local_reader start-offset, purger): four
+   * ts-quarter batches write through the REAL relay sink with rotation
+   * after every batch, so segments align with batches deterministically.
+   * The gate then pins: the full read-back, a position-pruned read from
+   * mid (whole sealed segments skipped before any row is scanned), an
+   * idempotent REPLAY of the last batch (relay.meta dedup — counts must
+   * not move), and a purge at mid (sealed segments at-or-below the
+   * watermark deleted; everything after mid still readable).
+   */
+  val relayLog = GateQuery(
+    "q139_relay_log",
+    Some(cte +
+      """, b AS (SELECT (min(commit_ts) + max(commit_ts)) // 2 AS mid FROM cdc)
+        |SELECT '1_full' AS phase, count(*) AS n_rows,
+        |  CAST(sum(pk) AS BIGINT) AS sum_pk FROM cdc
+        |UNION ALL SELECT '2_from_mid', count(*), CAST(sum(pk) AS BIGINT)
+        |  FROM cdc, b WHERE commit_ts > mid
+        |UNION ALL SELECT '3_replay', count(*), CAST(sum(pk) AS BIGINT) FROM cdc
+        |UNION ALL SELECT '4_purged', count(*), CAST(sum(pk) AS BIGINT)
+        |  FROM cdc, b WHERE commit_ts > mid""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.Relay
+    val ev = CdcStream.derive(spark, dir)
+    val r = ev.agg(min(col("commit_ts")), max(col("commit_ts"))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val mid = (lo + hi) / 2
+    val (p25, p75) = ((lo + mid) / 2, (mid + hi) / 2)
+    val (base, _) = Gate.freshScratch("graft_relay_gate_", dir)
+    val relayDir = s"$base/relay"
+    val bounds = Seq((Long.MinValue, p25), (p25, mid), (mid, p75),
+      (p75, Long.MaxValue))
+    bounds.zipWithIndex.foreach { case ((a, b2), i) =>
+      Relay.relaySink(spark, relayDir, rotateRows = 1)(
+        ev.filter(col("commit_ts") > a && col("commit_ts") <= b2), i.toLong)
+    }
+    def stats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val s = df.agg(count(lit(1)), coalesce(sum(col("pk")), lit(0L))).head()
+      (s.getLong(0), s.getLong(1))
+    }
+    val full = stats(Relay.readRelay(spark, relayDir))
+    val fromMid = stats(Relay.readRelay(spark, relayDir, fromTs = mid))
+    // replay of the last durable batch: relay.meta dedup must skip it
+    Relay.relaySink(spark, relayDir, rotateRows = 1)(
+      ev.filter(col("commit_ts") > p75), 3L)
+    val replayed = stats(Relay.readRelay(spark, relayDir))
+    Relay.purgeRelay(relayDir, beforeTs = mid)
+    val purged = stats(Relay.readRelay(spark, relayDir))
+    Seq(("1_full", full._1, full._2), ("2_from_mid", fromMid._1, fromMid._2),
+      ("3_replay", replayed._1, replayed._2), ("4_purged", purged._1, purged._2))
+      .toDF("phase", "n_rows", "sum_pk")
+  }
+
   def all: Seq[GateQuery] =
     Seq(checkpointResume, optimisticLattice, redoReplay, syncpoints,
       ddlBarrier, sinkProgress, lateData, redoApply, dmlMetrics,
-      changefeedCrud, dmLifecycle, handleError)
+      changefeedCrud, dmLifecycle, handleError, relayLog)
 }
