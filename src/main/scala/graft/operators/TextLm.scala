@@ -40,6 +40,16 @@ object TextLm {
     * INTEGER (the one division is by a power of two with an exact double
     * representation and a quotient < 32), so both engines produce the
     * identical value for every x without evaluating any transcendental. */
+  /** Driver-side integer twin of [[l2q16]] — same formula, same table,
+    * bit-identical; used when a trained model's weights are finalized on
+    * collected control-plane counts. */
+  def l2q16Long(x: Long): Long = {
+    require(x >= 1, s"l2q16 domain: $x")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val m = ((x * 16) >> e).toInt
+    e.toLong * 16 + MantissaQ16(m - 16)
+  }
+
   def l2q16(x: Column): Column = {
     val e = (length(bin(x.cast("long"))) - 1).cast("long")
     val p2 = pow(lit(2.0), e.cast("double")).cast("long")

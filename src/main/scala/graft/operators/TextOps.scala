@@ -162,6 +162,56 @@ object TextOps {
    * source is plugged in. At 100 TB the per-token md5 moves into a
    * codegen'd kernel (TextRuns pattern); values here stay oracle-portable.
    */
+  /**
+   * Naive-Bayes classifier TRAINING in the engine — the other half of the
+   * [[linearScore]] serving path (fastText-shape: hashed-token features,
+   * linear scores): per-class bucket counts come from ONE partial-
+   * aggregated explode+groupBy over the corpus (token occurrences combine
+   * map-side; only `buckets` rows reach the driver — control-plane
+   * sized), and the multinomial NB weights are Laplace-smoothed
+   * class-conditional log-odds in EXACT fixed-point log2
+   * ([[TextLm.l2q16Long]]): training never touches a float, so the
+   * trained model is bit-identical across engines and runs. Returns
+   * (per-bucket weights ×16 fixed point, prior bias). Buckets unseen in
+   * training still get the smoothing-only weight — absence is evidence
+   * too.
+   */
+  def nbTrain(df: DataFrame, textCol: String, label: Column,
+              buckets: Int): (Seq[Long], Long) = {
+    import graft.operators.{TextLm => Lm}
+    val counts = df
+      .select(label.as("y"), explode(tokens(col(textCol))).as("tk"))
+      .select(col("y"),
+        pmod(Hashing.portableLong(col("tk")), lit(buckets.toLong)).as("b"))
+      .groupBy("b")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("n0"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val t1 = counts.valuesIterator.map(_._1).sum + buckets
+    val t0 = counts.valuesIterator.map(_._2).sum + buckets
+    val w = (0 until buckets).map { b =>
+      val (n1, n0) = counts.getOrElse(b, (0L, 0L))
+      (Lm.l2q16Long(n1 + 1) - Lm.l2q16Long(t1)) -
+        (Lm.l2q16Long(n0 + 1) - Lm.l2q16Long(t0))
+    }
+    val d = df.agg(sum(when(label, 1L).otherwise(0L)),
+      sum(when(!label, 1L).otherwise(0L))).head()
+    (w, Lm.l2q16Long(d.getLong(0)) - Lm.l2q16Long(d.getLong(1)))
+  }
+
+  /** Serve a trained NB model in-row: weights fold into the plan as a
+    * literal array, the score is one `aggregate` pass over the tokens —
+    * no join, no shuffle, the [[linearScore]] plan shape with trained
+    * weights plugged in. Positive score ⇒ class 1. */
+  def nbScore(text: Column, weights: Seq[Long], bias: Long,
+              buckets: Int): Column = {
+    val wArr = array(weights.map(lit): _*)
+    aggregate(tokens(text), lit(bias), (acc, t) =>
+      acc + element_at(wArr,
+        (pmod(Hashing.portableLong(t), lit(buckets.toLong)) + 1L).cast("int")))
+  }
+
   def linearScore(text: Column, seed: Int): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc + pmod(Hashing.seeded(t, lit(seed)), lit(21L)) - 10L)

@@ -370,6 +370,69 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("sum_grams"))
   }
 
+  // ---- q140: naive-Bayes classifier trained IN the engine -------------
+
+  /**
+   * Model-based filtering, TRAINED end to end in the engine (q140): a
+   * hashed-feature multinomial naive-Bayes language detector learns from
+   * the corpus's own labels (y = lang == 'en') via one partial-aggregated
+   * bucket-count pass, weights finalize as Laplace-smoothed log-odds in
+   * exact fixed-point log2, and serving folds them back as a plan-literal
+   * array ([[TextOps.nbTrain]]/[[TextOps.nbScore]]). The oracle REPLAYS
+   * THE ENTIRE TRAINING in SQL — counts, smoothing, fixed-point weights,
+   * prior — and the confusion matrix plus the exact integer score sums
+   * must match bit-for-bit: training determinism, not just serving
+   * parity, is what's gated (the synthetic corpus carries little real
+   * class signal — ~61% accuracy vs a 56% majority prior at gate scale;
+   * a spec plants an unambiguous token signal and demands perfect
+   * held-out classification to prove the learner LEARNS).
+   */
+  private val NbBuckets = 256
+
+  val nbClassifier = GateQuery(
+    "q140_nb_classifier", {
+      val h = Hashing.Sql.portableLong("tk")
+      def l2(e: String) = graft.operators.TextLm.Sql.l2q16(e)
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, (lang = 'en') AS y,
+           |    unnest(string_split(text, ' ')) AS tk
+           |  FROM documents
+           |), tb AS (SELECT doc_id, y, ($h) % $NbBuckets AS b FROM tok),
+           |counts AS (
+           |  SELECT b, sum(CASE WHEN y THEN 1 ELSE 0 END) AS n1,
+           |    sum(CASE WHEN y THEN 0 ELSE 1 END) AS n0
+           |  FROM tb GROUP BY b
+           |), tot AS (
+           |  SELECT sum(n1) + $NbBuckets AS t1, sum(n0) + $NbBuckets AS t0
+           |  FROM counts
+           |), w AS (
+           |  SELECT b,
+           |    (${l2("(n1 + 1)")} - ${l2("((SELECT t1 FROM tot))")})
+           |      - (${l2("(n0 + 1)")} - ${l2("((SELECT t0 FROM tot))")}) AS w
+           |  FROM counts
+           |), prior AS (
+           |  SELECT ${l2("((SELECT count(*) FROM documents WHERE lang = 'en'))")}
+           |    - ${l2("((SELECT count(*) FROM documents WHERE lang <> 'en'))")}
+           |    AS bias
+           |), scored AS (
+           |  SELECT tb.doc_id, tb.y AS actual,
+           |    (SELECT bias FROM prior) + sum(w.w) AS score
+           |  FROM tb JOIN w USING (b) GROUP BY 1, 2
+           |)
+           |SELECT actual, score > 0 AS predicted, count(*) AS n_docs,
+           |  CAST(sum(score) AS BIGINT) AS sum_score
+           |FROM scored GROUP BY 1, 2""".stripMargin)
+    }) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val y = col("lang") === "en"
+    val (w, bias) = TextOps.nbTrain(docs, "text", y, NbBuckets)
+    docs.select(y.as("actual"),
+        TextOps.nbScore(col("text"), w, bias, NbBuckets).as("score"))
+      .groupBy(col("actual"), (col("score") > 0).as("predicted"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
+  }
+
   // ---- q130: tokenizer-merge induction (BPE-style) -------------------
 
   /**
@@ -418,5 +481,5 @@ object CurationQueries {
 
   def all: Seq[GateQuery] = Seq(contamination, stratifiedSample, tokenPacking,
     piiScan, mixturePlan, qualityClassifier, docChunking, corpusReport,
-    boilerplate, bpeMerges)
+    boilerplate, bpeMerges, nbClassifier)
 }

@@ -93,6 +93,27 @@ class CurationSpec extends SparkSpec {
     assert(capped("small") == 1000000L) // can't exceed 1: capped
   }
 
+  test("nb classifier learns a planted signal and classifies held-out docs") {
+    import graft.operators.TextOps
+    // class-1 docs always contain "zebra", class-0 never do; train on 40,
+    // serve 10 HELD-OUT docs — the learned weights must classify all 10
+    val train = (0 until 40).map { i =>
+      val y = i % 2 == 0
+      (i.toLong, if (y) s"common w$i zebra filler" else s"common w$i plain filler", y)
+    }.toDF("doc_id", "text", "y")
+    val (w, bias) = TextOps.nbTrain(train, "text", $"y", buckets = 64)
+    val heldOut = (100 until 110).map { i =>
+      val y = i % 2 == 0
+      (if (y) s"new w$i zebra thing" else s"new w$i plain thing", y)
+    }.toDF("text", "y")
+    val scored = heldOut.select($"y",
+      (TextOps.nbScore($"text", w, bias, 64) > 0).as("pred")).collect()
+    assert(scored.forall(r => r.getBoolean(0) == r.getBoolean(1)),
+      scored.mkString(","))
+    // determinism: retraining yields the identical model
+    assert(TextOps.nbTrain(train, "text", $"y", buckets = 64) == ((w, bias)))
+  }
+
   test("bpe merges: deterministic argmax, tie-break, boundary-chain policy") {
     // "b c" occurs 3x (most frequent), and doc 1 is the documented
     // boundary-chain case: one pass fuses only the FIRST "b c" in
