@@ -313,6 +313,7 @@ final class DmTaskManager(spark: SparkSession, checkpointRoot: String) {
       s"$sourceId is ${s.stage.name}")
     val orig = s.streamSrc.getOrElse(
       throw new IllegalStateException(s"subtask $sourceId has no stream unit"))
+    require(seqs.nonEmpty, "handle-error needs the failing event seq(s)")
     val matches = col("seq").isin(seqs: _*)
     val wrapped: () => DataFrame = action match {
       case "skip" => () => orig().filter(!matches)

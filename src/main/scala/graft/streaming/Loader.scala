@@ -68,9 +68,11 @@ object Loader {
   /** The loaded table: every CHECKPOINTED chunk, tagged with its id.
     * Partial (marker-less) chunk dirs are invisible — exactly the
     * reference's restart contract. */
-  def readLoaded(spark: SparkSession, destDir: String, nChunks: Int): DataFrame =
-    loadedChunks(destDir, nChunks)
-      .map(c => spark.read.parquet(chunkDir(destDir, c))
+  def readLoaded(spark: SparkSession, destDir: String, nChunks: Int): DataFrame = {
+    val done = loadedChunks(destDir, nChunks)
+    require(done.nonEmpty, s"no checkpointed chunks under $destDir")
+    done.map(c => spark.read.parquet(chunkDir(destDir, c))
         .withColumn("_chunk", lit(c)))
       .reduce(_.unionByName(_))
+  }
 }
