@@ -280,6 +280,94 @@ object Curation {
     out.result()
   }
 
+  // ---- cross-doc passage dedup --------------------------------------
+
+  /**
+   * Passage-level (substring) duplication stats: for every document, how
+   * many of its distinct `w`-token windows also appear in OTHER documents,
+   * and how many of those it does not "own" (owner = the smallest doc id
+   * containing the window — the canonical copy a remove-duplicated-spans
+   * pass would keep). This is the n-gram-window approximation of
+   * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better"): any cross-doc repeat of
+   * >= w consecutive tokens is caught by construction, because it
+   * contains a full w-token window.
+   *
+   * Scale shape (100 TB): windows hash in-row (codegen'd
+   * [[graft.functions.TextRuns.shingleHashes]] — 8-byte keys, the gram
+   * strings never leave the row), so the only wide data is (gh, doc_id)
+   * pairs. One partial-aggregated shuffle builds the ownership table
+   * (HAVING >= 2 docs shrinks it to just duplicated windows — on real
+   * corpora a small fraction), and the join back is on the same `gh` key,
+   * so the exchange is reused, not repeated. Docs shorter than `w` tokens
+   * degrade to whole-text exact-dup detection (the shingle kernel's
+   * documented fallback). Returns per-doc (n_passages, n_dup, n_foreign);
+   * feed `n_foreign = 0` as the keep-predicate to drop non-canonical
+   * copies, or join spans back for surgical passage removal.
+   */
+  def passageStats(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val g = gramHashes(df, idCol, textCol, w, idCol)
+    val owners = g.groupBy("gh")
+      .agg(count(lit(1)).as("df_docs"), min(col(idCol)).as("owner"))
+      .filter(col("df_docs") >= 2)
+    g.join(owners, Seq("gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("df_docs").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("df_docs").isNotNull && col("owner") =!= col(idCol), 1L)
+          .otherwise(0L)).as("n_foreign"))
+  }
+
+  // ---- deterministic epoch shuffle / sharding -----------------------
+
+  /**
+   * Deterministic training-order shuffle: every row gets a seeded portable
+   * hash as its order key, a shard from that key, and a position within
+   * its shard. Same epoch -> identical order on any engine, any run; a
+   * new epoch re-permutes globally with zero coordination (no RNG state,
+   * no global sort). This is the "global shuffle" step a training-data
+   * writer runs before emitting shards.
+   *
+   * Scale shape: `Window.partitionBy(shard).orderBy(okey)` IS the scale
+   * plan — hash-partition by shard then sort within partition. Production
+   * sets nShards to the output file count (10^3-10^4 at 100 TB), so
+   * parallelism equals shard count and no global ordering structure ever
+   * exists; each task streams its sorted shard straight to one file.
+   */
+  def epochShuffle(df: DataFrame, idCol: String, nShards: Int,
+      epoch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("okey", Hashing.seeded(col(idCol).cast("string"), lit(epoch)))
+      .withColumn("shard", pmod(col("okey"), lit(nShards.toLong)))
+    keyed.withColumn("pos", row_number()
+      .over(Window.partitionBy(col("shard")).orderBy(col("okey"), col(idCol)))
+      .cast("long"))
+  }
+
+  // ---- per-source repetition caps -----------------------------------
+
+  /**
+   * Per-source document cap (Gopher/RefinedWeb-style repetition control):
+   * keep at most `cap` documents per source, preferring higher integer
+   * quality (floor of the quality score — floor, not cast: DuckDB CAST
+   * rounds doubles where Spark truncates) and breaking ties by id so the
+   * cut is total-ordered and reproducible. One hash-partitioned window
+   * per source — the 100 TB shape, since sources are numerous and the
+   * per-source state is just a counter.
+   */
+  def sourceCap(df: DataFrame, idCol: String, sourceCol: String,
+      quality: Column, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("qual_i", floor(quality).cast("long"))
+      .withColumn("src_rank", row_number()
+        .over(Window.partitionBy(col(sourceCol))
+          .orderBy(col("qual_i").desc, col(idCol)))
+        .cast("long"))
+      .filter(col("src_rank") <= cap)
+  }
+
   /** DuckDB SQL twins — keep in lockstep with the Column builders. */
   object Sql {
     /** Oracle twin joins raw gram strings — equality semantics, no hash. */

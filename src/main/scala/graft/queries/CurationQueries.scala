@@ -479,7 +479,132 @@ object CurationQueries {
       .toDF("round", "pair", "pair_count", "tokens_after")
   }
 
+  // ---- q141: cross-doc passage dedup ---------------------------------
+
+  private val PassageW = 12 // tokens per passage window
+
+  /**
+   * Passage-level substring dedup ([[Curation.passageStats]]): per-doc
+   * counts of 12-token windows duplicated across documents, and of
+   * windows the doc does not own (owner = min doc_id). Runs on the
+   * planted-dup corpus so exact copies (every window duplicated) and
+   * near-dups (all but the trailing windows) both appear; only docs
+   * touched by duplication are emitted. The oracle joins raw gram
+   * strings where the engine joins in-row hashes — counts must agree.
+   */
+  val passageDedup = GateQuery(
+    "q141_passage_dedup",
+    Some(DocQueries.corpusCte +
+      s""", g AS (
+         |  SELECT doc_id, unnest(${Curation.Sql.grams("text", PassageW)}) AS gr
+         |  FROM corpus
+         |), own AS (
+         |  SELECT gr, count(*) AS df_docs, min(doc_id) AS owner
+         |  FROM g GROUP BY 1 HAVING count(*) >= 2
+         |), per AS (
+         |  SELECT g.doc_id, count(*) AS n_passages,
+         |    sum(CASE WHEN own.gr IS NOT NULL THEN 1 ELSE 0 END) AS n_dup,
+         |    sum(CASE WHEN own.gr IS NOT NULL AND own.owner <> g.doc_id
+         |             THEN 1 ELSE 0 END) AS n_foreign
+         |  FROM g LEFT JOIN own USING (gr) GROUP BY 1
+         |)
+         |SELECT doc_id, CAST(n_passages AS BIGINT) AS n_passages,
+         |  CAST(n_dup AS BIGINT) AS n_dup,
+         |  CAST(n_foreign AS BIGINT) AS n_foreign
+         |FROM per WHERE n_dup > 0""".stripMargin)) { (spark, dir) =>
+    Curation.passageStats(DocQueries.corpus(spark, dir),
+        "doc_id", "text", PassageW)
+      .filter(col("n_dup") > 0)
+  }
+
+  // ---- q142: deterministic epoch shuffle ------------------------------
+
+  private val ShuffleShards = 8
+
+  /**
+   * Deterministic training-order shuffle ([[Curation.epochShuffle]]) over
+   * two epochs: per (epoch, shard) the doc count, the first/last doc in
+   * shuffle order, and a position-weighted checksum that pins the ENTIRE
+   * within-shard order (any transposition changes sum(pos * doc_id)).
+   * Epoch 2 must re-permute: same membership universe, different order —
+   * both pinned by the oracle replaying the seeded hash.
+   */
+  val epochShuffle = GateQuery(
+    "q142_epoch_shuffle",
+    Some {
+      def epochCte(e: Int) =
+        s"""SELECT $e AS epoch, doc_id,
+           |  ${Hashing.Sql.seeded("CAST(doc_id AS VARCHAR)", e.toString)} AS okey
+           |FROM documents""".stripMargin
+      s"""WITH keyed AS (
+         |  ${epochCte(1)}
+         |  UNION ALL
+         |  ${epochCte(2)}
+         |), pos AS (
+         |  SELECT epoch, doc_id, okey % $ShuffleShards AS shard,
+         |    row_number() OVER (PARTITION BY epoch, okey % $ShuffleShards
+         |                       ORDER BY okey, doc_id) AS pos
+         |  FROM keyed
+         |)
+         |SELECT epoch, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+         |  arg_min(doc_id, pos) AS first_doc, arg_max(doc_id, pos) AS last_doc,
+         |  CAST(sum(pos * doc_id) AS BIGINT) AS order_check
+         |FROM pos GROUP BY 1, 2""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    def ep(e: Int) =
+      Curation.epochShuffle(docs, "doc_id", ShuffleShards, e)
+        .withColumn("epoch", lit(e))
+    ep(1).unionByName(ep(2))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("pos")).as("first_doc"),
+        max_by(col("doc_id"), col("pos")).as("last_doc"),
+        sum(col("pos") * col("doc_id")).as("order_check"))
+  }
+
+  // ---- q143: per-source repetition caps --------------------------------
+
+  private val SourceCapN = 15
+
+  /**
+   * Per-source document caps ([[Curation.sourceCap]]): keep the 15
+   * highest-integer-quality docs per source (ties by doc_id). Per source:
+   * total vs kept counts, kept-id checksum, and the kept quality mass —
+   * a wrong comparator, an off-by-one at the cap, or a float-rounding
+   * divergence (floor vs CAST) each break a different column.
+   */
+  val sourceCaps = GateQuery(
+    "q143_source_caps",
+    Some {
+      val q = TextOps.Sql.qualityScore("text")
+      s"""WITH ranked AS (
+         |  SELECT source, doc_id, CAST(floor($q) AS BIGINT) AS qual_i,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY CAST(floor($q) AS BIGINT) DESC, doc_id)
+         |      AS src_rank,
+         |    count(*) OVER (PARTITION BY source) AS n_total
+         |  FROM documents
+         |)
+         |SELECT source, CAST(max(n_total) AS BIGINT) AS n_total,
+         |  count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_check,
+         |  CAST(sum(qual_i) AS BIGINT) AS kept_quality
+         |FROM ranked WHERE src_rank <= $SourceCapN GROUP BY 1""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val totals = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+    Curation.sourceCap(docs, "doc_id", "source",
+        TextOps.qualityScore(col("text")), SourceCapN)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_check"),
+        sum(col("qual_i")).as("kept_quality"))
+      .join(totals, "source")
+      .select(col("source"), col("n_total"), col("n_kept"),
+        col("id_check"), col("kept_quality"))
+  }
+
   def all: Seq[GateQuery] = Seq(contamination, stratifiedSample, tokenPacking,
     piiScan, mixturePlan, qualityClassifier, docChunking, corpusReport,
-    boilerplate, bpeMerges, nbClassifier)
+    boilerplate, bpeMerges, nbClassifier, passageDedup, epochShuffle,
+    sourceCaps)
 }

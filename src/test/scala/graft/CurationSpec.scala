@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Curation
+import graft.operators.{Curation, TextOps}
 
 /** Training-data curation operators: contamination, deterministic
   * sampling, token-budget packing, PII redaction, mixture planning. */
@@ -129,5 +129,58 @@ class CurationSpec extends SparkSpec {
     // "a a" is lexicographically least
     assert(log(1)._2 == "a a" && log(1)._3 == 1L)
     assert(log(1)._4 == 6L) // one fuse in doc 2
+  }
+
+  test("passage stats: shared windows counted, canonical copy owns them") {
+    // doc 1 and doc 3 share one exact 3-token run ("x y z"); doc 2 is an
+    // exact copy of doc 1 (every window duplicated, none owned).
+    val docs = Seq(
+      (1L, "x y z p q r"),
+      (2L, "x y z p q r"),
+      (3L, "a b x y z c"))
+      .toDF("doc_id", "text")
+    val rows = Curation.passageStats(docs, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1: 4 windows, one ("x y z") also in docs 2+3 — plus ALL 4 are
+    // in doc 2; owner of every duplicated window is doc 1 itself
+    assert(rows(1L) == ((4L, 4L, 0L)))
+    // doc 2: identical 4 windows, owns none
+    assert(rows(2L) == ((4L, 4L, 4L)))
+    // doc 3: 4 windows, only "x y z" duplicated, owned by doc 1
+    assert(rows(3L) == ((4L, 1L, 1L)))
+    assert(rows.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("epoch shuffle: reproducible within epoch, re-permuted across") {
+    val docs = (1L to 200L).toDF("doc_id")
+    def order(e: Int) =
+      Curation.epochShuffle(docs, "doc_id", nShards = 4, epoch = e)
+        .select("shard", "pos", "doc_id")
+        .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val e1a = order(1)
+    assert(e1a == order(1)) // bit-identical re-run
+    val e2 = order(2)
+    assert(e1a != e2) // epoch re-permutes
+    assert(e1a.map(_._3).sorted == e2.map(_._3).sorted) // same membership
+    // positions are 1..n contiguous per shard
+    e1a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2) == (1L to rows.size).toSeq)
+    }
+  }
+
+  test("source cap keeps exactly cap docs, highest quality first") {
+    val good = (0 to 25).map(j => s"token$j").mkString(" ")
+    val junk = Seq.fill(12)("spam").mkString(" ") // low distinct ratio, <20 toks
+    val docs = Seq.tabulate(10) { i =>
+      (i.toLong, if (i < 6) "a" else "b", if (i == 6) junk else good)
+    }.toDF("doc_id", "source", "text")
+    val kept = Curation.sourceCap(docs, "doc_id", "source",
+        TextOps.qualityScore(col("text")), cap = 3)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    // a: 6 tied docs -> id tie-break keeps the first three
+    assert(kept.filter(_._1 == "a").map(_._2) == Set(0L, 1L, 2L))
+    // b: 4 docs, the junk doc ranks last and is the one cut
+    assert(kept.filter(_._1 == "b").map(_._2) == Set(7L, 8L, 9L))
   }
 }
