@@ -296,10 +296,13 @@ object Curation {
    * Scale shape (100 TB): windows hash in-row (codegen'd
    * [[graft.functions.TextRuns.shingleHashes]] — 8-byte keys, the gram
    * strings never leave the row), so the only wide data is (gh, doc_id)
-   * pairs. One partial-aggregated shuffle builds the ownership table
-   * (HAVING >= 2 docs shrinks it to just duplicated windows — on real
-   * corpora a small fraction), and the join back is on the same `gh` key,
-   * so the exchange is reused, not repeated. Docs shorter than `w` tokens
+   * pairs. One partial-aggregated shuffle builds the ownership table, and
+   * the `>= 2 docs` filter shrinks it to just the duplicated windows —
+   * on real corpora a small fraction, so AQE broadcasts it and the
+   * corpus probe side NEVER shuffles (the observed plan: one exchange
+   * total). On a dup-dense corpus the broadcast falls back to a
+   * sort-merge join on the same `gh` key, where the ownership exchange
+   * is reused for the probe. Docs shorter than `w` tokens
    * degrade to whole-text exact-dup detection (the shingle kernel's
    * documented fallback). Returns per-doc (n_passages, n_dup, n_foreign);
    * feed `n_foreign = 0` as the keep-predicate to drop non-canonical
