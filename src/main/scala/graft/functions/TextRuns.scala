@@ -286,6 +286,42 @@ object TextRuns {
   def shingleHashes(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), n))
 
+  /**
+   * Token-grain content-defined chunking in ONE in-row pass: a chunk
+   * boundary closes after any token whose portable hash ≡ 0 (mod b), so
+   * boundaries are a function of CONTENT, not position — insert a prefix
+   * and every chunk after the first boundary is byte-identical (the
+   * shift-resistance that fixed windows lack; the rolling-hash cut rule
+   * of LBFS/FastCDC at token grain). Expected chunk length = b tokens.
+   * Returns array<struct(ch: long, n_tok: long)> in document order; the
+   * chunk text itself never leaves the row.
+   */
+  def cdcChunkArray(text: UTF8String, b: Int): ArrayData = {
+    val toks = Whitespace.split(text.toString, -1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length / b + 2)
+    val sb = new java.lang.StringBuilder
+    var nTok = 0L
+    def flush(): Unit = if (nTok > 0) {
+      out += new GenericInternalRow(Array[Any](
+        md5Long(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        nTok))
+      sb.setLength(0); nTok = 0
+    }
+    var i = 0
+    while (i < toks.length) {
+      if (nTok > 0) sb.append(' ')
+      sb.append(toks(i)); nTok += 1
+      if (md5Long(toks(i).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)) % b == 0) flush()
+      i += 1
+    }
+    flush()
+    new GenericArrayData(out.toArray)
+  }
+
+  def cdcChunks(text: Column, b: Int): Column =
+    ExpressionUtils.column(CdcChunks(ExpressionUtils.expression(text), b))
+
   def simhash64(text: Column, bits: Int): Column =
     ExpressionUtils.column(Simhash64(ExpressionUtils.expression(text), bits))
 }
@@ -359,6 +395,21 @@ case class TokenTf(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.tokenTfArray($c)")
   override protected def withNewChildInternal(newChild: Expression): TokenTf =
+    copy(child = newChild)
+}
+
+/** text → array<struct(ch long, n_tok long)>: content-defined chunks,
+  * one tokenization pass per row; boundary = token hash ≡ 0 (mod b). */
+case class CdcChunks(child: Expression, b: Int) extends UnaryExpression {
+  require(b >= 2, "expected chunk length must be >= 2 tokens")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ch", LongType, nullable = false),
+    StructField("n_tok", LongType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuns.cdcChunkArray(input.asInstanceOf[UTF8String], b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.cdcChunkArray($c, $b)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
     copy(child = newChild)
 }
 

@@ -322,6 +322,45 @@ object Curation {
           .otherwise(0L)).as("n_foreign"))
   }
 
+  /**
+   * Content-defined-chunk duplication stats — [[passageStats]]'s
+   * shift-resistant sibling. Fixed `w`-token windows detect any repeat,
+   * but a chunk-STORE (dedup at rest, delta sync) wants stable chunk
+   * identities under edits; token-grain CDC boundaries
+   * ([[graft.functions.TextRuns.cdcChunkArray]]: cut after tokens whose
+   * hash ≡ 0 mod b) move with the content, so inserting a prefix leaves
+   * every chunk after the first boundary identical. Per doc: total chunk
+   * count, distinct >=minTok-token chunks duplicated cross-doc, and how
+   * many of those the doc doesn't own (owner = min id). `minTok` stands
+   * in for FastCDC's min-size normalization — it keeps one-token chunks
+   * (boundary runs) from reading as duplication; the stateless cut rule
+   * itself is what stays oracle-replayable.
+   *
+   * Scale shape: identical to [[passageStats]] — chunks hash in-row, the
+   * duplicated-chunk table is the small side (broadcast, or SMJ with a
+   * reused exchange when dup-dense), the corpus never shuffles raw text.
+   */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+      b: Int, minTok: Int): DataFrame = {
+    val chunks = df.select(col(idCol),
+        explode(graft.functions.TextRuns.cdcChunks(col(textCol), b)).as("c"))
+      .select(col(idCol), col("c.ch").as("ch"), col("c.n_tok").as("n_tok"))
+    val eligible = chunks.filter(col("n_tok") >= minTok)
+      .select(col(idCol), col("ch")).distinct()
+    val owners = eligible.groupBy("ch")
+      .agg(count(lit(1)).as("df_docs"), min(col(idCol)).as("owner"))
+      .filter(col("df_docs") >= 2)
+    val dupPerDoc = eligible.join(owners, Seq("ch"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup"),
+        sum(when(col("owner") =!= col(idCol), 1L).otherwise(0L)).as("n_foreign"))
+    chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+      .join(dupPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_foreign"), lit(0L)).as("n_foreign"))
+  }
+
   // ---- deterministic epoch shuffle / sharding -----------------------
 
   /**

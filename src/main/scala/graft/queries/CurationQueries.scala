@@ -603,8 +603,75 @@ object CurationQueries {
         col("id_check"), col("kept_quality"))
   }
 
+  // ---- q144: content-defined chunk dedup -------------------------------
+
+  private val CdcB = 8 // expected chunk length (tokens)
+  private val CdcMinTok = 3 // chunks shorter than this don't count as dups
+
+  /**
+   * Content-defined chunking ([[Curation.cdcChunkStats]]) on a corpus
+   * with planted exact copies AND prefix-shifted copies ('graftprefix '
+   * prepended). The prefix family is the point: fixed windows all shift,
+   * but CDC boundaries re-synchronize at the first cut, so shifted docs
+   * still show duplicated chunks — the oracle replays tokenization,
+   * boundary rule, chunk assembly, and ownership in SQL.
+   */
+  val cdcChunks = GateQuery(
+    "q144_cdc_chunks",
+    Some {
+      val toks = TextOps.Sql.tokens.format("text")
+      val bnd = s"CASE WHEN (${Hashing.Sql.portableLong("tk")}) % $CdcB = 0" +
+        " THEN 1 ELSE 0 END"
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 13 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 300000, 'graftprefix ' || text FROM documents
+         |  WHERE doc_id % 7 = 0
+         |), tok AS (
+         |  SELECT doc_id, i, toks[i] AS tk
+         |  FROM (SELECT doc_id, $toks AS toks FROM corpus), range(1, 512) r(i)
+         |  WHERE i <= len(toks)
+         |), pos AS (
+         |  SELECT doc_id, i, tk,
+         |    coalesce(sum($bnd) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+         |  FROM tok
+         |), chunks AS (
+         |  SELECT doc_id, chunk_id, string_agg(tk, ' ' ORDER BY i) AS ctext,
+         |    count(*) AS n_tok
+         |  FROM pos GROUP BY 1, 2
+         |), elig AS (
+         |  SELECT DISTINCT doc_id, ctext FROM chunks WHERE n_tok >= $CdcMinTok
+         |), own AS (
+         |  SELECT ctext, min(doc_id) AS owner
+         |  FROM elig GROUP BY 1 HAVING count(*) >= 2
+         |), dup AS (
+         |  SELECT elig.doc_id, count(*) AS n_dup,
+         |    sum(CASE WHEN own.owner <> elig.doc_id THEN 1 ELSE 0 END) AS n_foreign
+         |  FROM elig JOIN own USING (ctext) GROUP BY 1
+         |), base AS (
+         |  SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1
+         |)
+         |SELECT base.doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  CAST(n_dup AS BIGINT) AS n_dup,
+         |  CAST(n_foreign AS BIGINT) AS n_foreign
+         |FROM base JOIN dup ON base.doc_id = dup.doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val d = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(lit("graftprefix "), col("text")).as("text")))
+    Curation.cdcChunkStats(corpus, "doc_id", "text", CdcB, CdcMinTok)
+      .filter(col("n_dup") > 0)
+  }
+
   def all: Seq[GateQuery] = Seq(contamination, stratifiedSample, tokenPacking,
     piiScan, mixturePlan, qualityClassifier, docChunking, corpusReport,
     boilerplate, bpeMerges, nbClassifier, passageDedup, epochShuffle,
-    sourceCaps)
+    sourceCaps, cdcChunks)
 }

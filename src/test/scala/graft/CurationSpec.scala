@@ -169,6 +169,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("cdc chunking re-synchronizes after a prefix edit; fixed windows don't") {
+    import graft.functions.TextRuns
+    val base = (1 to 60).map(j => s"tok$j").mkString(" ")
+    def chunks(s: String): Seq[(Long, Long)] =
+      Seq(s).toDF("text")
+        .select(explode(TextRuns.cdcChunks(col("text"), 8)).as("c"))
+        .select("c.ch", "c.n_tok").as[(Long, Long)].collect().toSeq
+    val orig = chunks(base)
+    val shifted = chunks("inserted prefix words " + base)
+    // token counts conserved
+    assert(orig.map(_._2).sum == 60L && shifted.map(_._2).sum == 63L)
+    // every original chunk except the FIRST survives the prefix edit
+    // byte-identical (boundaries depend on content, not position)
+    assert(orig.tail.toSet.subsetOf(shifted.toSet))
+    assert(!shifted.toSet.contains(orig.head))
+    // determinism: same text, same chunk stream
+    assert(chunks(base) == orig)
+    // stats operator: the shifted doc shares all post-boundary chunks
+    val df = Seq((1L, base), (2L, "inserted prefix words " + base))
+      .toDF("doc_id", "text")
+    val st = Curation.cdcChunkStats(df, "doc_id", "text", b = 8, minTok = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val sharedElig = orig.tail.count(_._2 >= 3)
+    assert(st(1L)._2 >= sharedElig && st(2L)._3 == st(2L)._2) // doc 2 owns nothing
+  }
+
   test("source cap keeps exactly cap docs, highest quality first") {
     val good = (0 to 25).map(j => s"token$j").mkString(" ")
     val junk = Seq.fill(12)("spam").mkString(" ") // low distinct ratio, <20 toks
