@@ -674,6 +674,57 @@ object CodecQueries {
   }
 
   /**
+   * Per-message payload compression (q145; reference pkg/compression +
+   * pkg/sink/codec/common/compress.go, applied by every MQ encoder when
+   * large-message-handle compression is set, e.g.
+   * open_protocol_encoder.go:58 / open_protocol_decoder.go:147): the
+   * open-protocol value bytes run encode→compress→decompress→decode
+   * through all three reference codecs (none, snappy block format, lz4
+   * frame format) and the decoded envelopes must agree with the plain
+   * stream for every codec. n_rewritten witnesses that snappy/lz4
+   * actually transformed every payload (headers guarantee wire ≠ plain)
+   * while `none` passed bytes through untouched — three genuinely
+   * different byte paths, one oracle-pinned result.
+   */
+  val compressedMessages = GateQuery(
+    "q145_compressed_msgs",
+    Some(cte +
+      s"""SELECT codec, count(*) AS n_msgs,
+         |  CAST(CASE codec WHEN 'none' THEN 0 ELSE count(*) END AS BIGINT)
+         |    AS n_rewritten,
+         |  CAST(sum(pk) AS BIGINT) AS sum_pk,
+         |  CAST(coalesce(sum(CAST(CASE WHEN op = 'D' THEN val_before
+         |                          ELSE val_after END AS DECIMAL(18,6))), 0)
+         |       AS DOUBLE) AS sum_val
+         |FROM cdc CROSS JOIN (SELECT unnest(['lz4','none','snappy']) AS codec) c
+         |WHERE $SampleE GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    import graft.functions.MessageCompress
+    val df = CdcStream.derive(spark, dir).filter(expr(SampleE))
+    val plain = df.select(
+      Codecs.openProtocolKey(df).as("k"),
+      Codecs.openProtocolValue(df).cast("binary").as("v"))
+    val branches = Seq(MessageCompress.None, MessageCompress.Snappy,
+        MessageCompress.Lz4).map { cc =>
+      plain
+        .withColumn("wire", MessageCompress.compressBytes(col("v"), cc))
+        .select(lit(cc).as("codec"),
+          col("k"),
+          (col("wire") =!= col("v")).as("rewritten"),
+          MessageCompress.decompressBytes(col("wire"), cc)
+            .cast("string").as("vj"))
+    }
+    branches.reduce(_ unionByName _)
+      .withColumn("e", Codecs.openToEnvelope(
+        Codecs.openDecodeKey(col("k")), Codecs.openDecodeValue(col("vj"))))
+      .groupBy("codec")
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(when(col("rewritten"), 1L).otherwise(0L)).as("n_rewritten"),
+        sum(col("e.pk")).as("sum_pk"),
+        coalesce(sum(col("e.val").cast("decimal(18,6)")),
+          lit(0).cast("decimal(18,6)")).cast("double").as("sum_val"))
+  }
+
+  /**
    * Row integrity end to end (q112; reference pkg/integrity
    * check-level=correctness): every message carries a row checksum in the
    * canal `_tidb` extension block; the consumer recomputes it over the
@@ -845,5 +896,5 @@ object CodecQueries {
     avroBinary, craftRoundtrip, simple, kafkaRecord, pulsarRecord, rowcodecV2,
     debeziumRoundtrip, maxwellRoundtrip, openRoundtrip, csvRoundtrip,
     simpleRoundtrip, simpleAvroRoundtrip, avroEvolution, openBatchRoundtrip,
-    integrity, canalProtoRoundtrip, mqConsumer)
+    integrity, canalProtoRoundtrip, mqConsumer, compressedMessages)
 }
