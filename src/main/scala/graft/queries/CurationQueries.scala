@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.core.{Hashing, Tables}
-import graft.operators.{Curation, TextOps}
+import graft.operators.{Curation, Dedup, TextOps}
 
 /**
  * Gate queries for the training-data curation operators
@@ -670,8 +671,131 @@ object CurationQueries {
       .filter(col("n_dup") > 0)
   }
 
+  // ---- q146: the full curation pipeline, one gate ----------------------
+
+  private val PipeQualityMin = 40.0
+  private val PipeDupFracMax = 0.2
+  private val PipeSamplePpm = 700000L
+
+  /**
+   * The whole curation DAG composed end to end — the C4/Gopher-style
+   * production shape a corpus actually runs, chaining six already-gated
+   * operators: language-ID gate → quality floor → repetition cap → exact
+   * dedup (canonical = min id per normalized-text key) → eval-set
+   * decontamination → deterministic sample. One row per stage pins
+   * (docs_in, docs_out, id_check): the id_check makes every intermediate
+   * survivor SET exact, not just its size, so a bug anywhere in the chain
+   * (filter semantics, dedup tie-break, contamination threshold, sample
+   * hash) moves some stage's row.
+   *
+   * Scale shape: stages 1-3 and 6 are flags in ONE map pass (each doc
+   * tokenizes a bounded number of times, never shuffles); stage 4 is the
+   * one hash-partition window on the dedup key; stage 5 broadcasts the
+   * eval side like q87. The attrition report itself is a single partial
+   * agg of the flag columns — adding the report costs nothing beyond the
+   * operators it audits.
+   */
+  val pipeline = GateQuery(
+    "q146_pipeline",
+    Some {
+      val toks = TextOps.Sql
+      s"""WITH s0 AS (
+         |  SELECT doc_id, text FROM documents
+         |), s1 AS (
+         |  SELECT * FROM s0 WHERE (${toks.langId("text")}) <> 'und'
+         |), s2 AS (
+         |  SELECT * FROM s1 WHERE (${toks.qualityScore("text")}) >= $PipeQualityMin
+         |), s3 AS (
+         |  SELECT doc_id, text, ${Dedup.Sql.exactKey("text")} AS k
+         |  FROM s2 WHERE (${toks.dupTokenFrac("text")}) <= $PipeDupFracMax
+         |), m AS (
+         |  SELECT k, min(doc_id) AS mid FROM s3 GROUP BY 1
+         |), s4 AS (
+         |  SELECT s3.doc_id, s3.text FROM s3
+         |  JOIN m ON s3.k = m.k AND s3.doc_id = m.mid
+         |), evg AS (
+         |  SELECT doc_id AS eval_id, unnest(${Curation.Sql.grams("text", ContamN)}) AS g
+         |  FROM s0 WHERE doc_id % 23 = 0
+         |), cog AS (
+         |  SELECT doc_id AS corp_id, unnest(${Curation.Sql.grams("text", ContamN)}) AS g
+         |  FROM s4
+         |), bad AS (
+         |  SELECT DISTINCT corp_id FROM (
+         |    SELECT eval_id, corp_id, count(*) AS shared
+         |    FROM cog JOIN evg USING (g)
+         |    WHERE corp_id <> eval_id GROUP BY 1, 2)
+         |  WHERE shared >= $MinShared
+         |), s5 AS (
+         |  SELECT * FROM s4 WHERE doc_id NOT IN (SELECT corp_id FROM bad)
+         |), s6 AS (
+         |  SELECT * FROM s5 WHERE ${Curation.Sql.sampleKeep("doc_id", PipeSamplePpm.toString)}
+         |), c AS (
+         |  SELECT (SELECT count(*) FROM s0) AS c0,
+         |    (SELECT count(*) FROM s1) AS c1,
+         |    (SELECT coalesce(sum(doc_id), 0) FROM s1) AS i1,
+         |    (SELECT count(*) FROM s2) AS c2,
+         |    (SELECT coalesce(sum(doc_id), 0) FROM s2) AS i2,
+         |    (SELECT count(*) FROM s3) AS c3,
+         |    (SELECT coalesce(sum(doc_id), 0) FROM s3) AS i3,
+         |    (SELECT count(*) FROM s4) AS c4,
+         |    (SELECT coalesce(sum(doc_id), 0) FROM s4) AS i4,
+         |    (SELECT count(*) FROM s5) AS c5,
+         |    (SELECT coalesce(sum(doc_id), 0) FROM s5) AS i5,
+         |    (SELECT count(*) FROM s6) AS c6,
+         |    (SELECT coalesce(sum(doc_id), 0) FROM s6) AS i6
+         |)
+         |SELECT ord, stage, CAST(n_in AS BIGINT) AS n_in,
+         |  CAST(n_out AS BIGINT) AS n_out, CAST(id_check AS BIGINT) AS id_check
+         |FROM (
+         |  SELECT 1 AS ord, 'langid' AS stage, c0 AS n_in, c1 AS n_out, i1 AS id_check FROM c
+         |  UNION ALL SELECT 2, 'quality', c1, c2, i2 FROM c
+         |  UNION ALL SELECT 3, 'repetition', c2, c3, i3 FROM c
+         |  UNION ALL SELECT 4, 'exact_dedup', c3, c4, i4 FROM c
+         |  UNION ALL SELECT 5, 'decontam', c4, c5, i5 FROM c
+         |  UNION ALL SELECT 6, 'sample', c5, c6, i6 FROM c)""".stripMargin
+    }) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val flagged = docs
+      .withColumn("s1", TextOps.langId(col("text")) =!= "und")
+      .withColumn("s2", col("s1") &&
+        TextOps.qualityScore(col("text")) >= PipeQualityMin)
+      .withColumn("s3", col("s2") &&
+        TextOps.dupTokenFrac(col("text")) <= PipeDupFracMax)
+      .withColumn("k", Dedup.exactKey(col("text")))
+    val deduped = flagged.withColumn("s4", col("s3") &&
+      col("doc_id") === min(when(col("s3"), col("doc_id")))
+        .over(Window.partitionBy("k")))
+    val evalSet = docs.filter(col("doc_id") % 23 === 0)
+    val bad = Curation.contamination(deduped.filter(col("s4")), evalSet,
+        "doc_id", "text", ContamN, MinShared)
+      .select(col("corp_id").as("doc_id")).distinct()
+      .withColumn("contam", lit(true))
+    val full = deduped.join(broadcast(bad), Seq("doc_id"), "left")
+      .withColumn("s5", col("s4") && col("contam").isNull)
+      .withColumn("s6", col("s5") &&
+        Curation.sampleKeep(col("doc_id"), lit(PipeSamplePpm)))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def ids(c: Column) = coalesce(sum(when(c, col("doc_id"))), lit(0L))
+    full.agg(
+        count(lit(1)).as("c0"),
+        cnt(col("s1")).as("c1"), ids(col("s1")).as("i1"),
+        cnt(col("s2")).as("c2"), ids(col("s2")).as("i2"),
+        cnt(col("s3")).as("c3"), ids(col("s3")).as("i3"),
+        cnt(col("s4")).as("c4"), ids(col("s4")).as("i4"),
+        cnt(col("s5")).as("c5"), ids(col("s5")).as("i5"),
+        cnt(col("s6")).as("c6"), ids(col("s6")).as("i6"))
+      .selectExpr("""stack(6,
+        1, 'langid',      c0, c1, i1,
+        2, 'quality',     c1, c2, i2,
+        3, 'repetition',  c2, c3, i3,
+        4, 'exact_dedup', c3, c4, i4,
+        5, 'decontam',    c4, c5, i5,
+        6, 'sample',      c5, c6, i6) AS (ord, stage, n_in, n_out, id_check)""")
+  }
+
   def all: Seq[GateQuery] = Seq(contamination, stratifiedSample, tokenPacking,
     piiScan, mixturePlan, qualityClassifier, docChunking, corpusReport,
     boilerplate, bpeMerges, nbClassifier, passageDedup, epochShuffle,
-    sourceCaps, cdcChunks)
+    sourceCaps, cdcChunks, pipeline)
 }
