@@ -823,8 +823,92 @@ object StreamTwinQueries {
       .toDF("phase", "n_rows", "sum_pk")
   }
 
+  // ---- q147: S3 multiplexing puller twin --------------------------------
+
+  private val MuxBatchTs = 100L
+  private val MuxSample = "seq % 7 = 0"
+  private val MuxDupEvery = 11L // entries re-delivered one round later
+  private val MuxLagRegion = 3L // forwards resolved only on even rounds
+
+  /**
+   * S3 — the multiplexing puller's merge algebra as a batch twin
+   * ([[graft.operators.Multiplex.progress]]; reference
+   * cdc/puller/multiplexing_puller.go). Four region streams (pk % 4)
+   * deliver the CDC sample in commit-ts rounds; every 11th entry is
+   * RE-delivered by its region one round later (the post-error re-scan),
+   * and region 3 forwards its resolved-ts only on even rounds (the
+   * lagging-region case). The gate pins, per round: raw/accepted/dup
+   * counts (first delivery wins), how many regions forwarded, the span
+   * frontier (min over per-region running-max watermarks, 0 until all
+   * regions initialize), and whether the frontier advanced — the rounds
+   * that emit a resolved event downstream. The oracle replays the whole
+   * delivery/dedup/frontier fold in SQL.
+   */
+  val multiplex = GateQuery(
+    "q147_multiplex",
+    Some(cte +
+      s""", ev AS (
+         |  SELECT seq, pk % 4 AS region, commit_ts // $MuxBatchTs AS batch,
+         |    commit_ts AS ts
+         |  FROM cdc WHERE $MuxSample
+         |), deliv AS (
+         |  SELECT region, batch, seq, ts FROM ev
+         |  UNION ALL
+         |  SELECT region, batch + 1, seq, ts FROM ev WHERE seq % $MuxDupEvery = 0
+         |), d AS (
+         |  SELECT *,
+         |    NOT (region = $MuxLagRegion AND batch % 2 = 1) AS fwd,
+         |    row_number() OVER (PARTITION BY seq ORDER BY batch, region) AS rn
+         |  FROM deliv
+         |), pb AS (
+         |  SELECT batch, count(*) AS n_raw,
+         |    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_accepted,
+         |    sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM d GROUP BY 1
+         |), f AS (
+         |  SELECT region, batch, max(ts) AS rts FROM d WHERE fwd GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT r.region, b.batch
+         |  FROM (SELECT DISTINCT region FROM deliv) r
+         |  CROSS JOIN (SELECT DISTINCT batch FROM deliv) b
+         |), carried AS (
+         |  SELECT grid.region, grid.batch, f.rts,
+         |    max(f.rts) OVER (PARTITION BY grid.region ORDER BY grid.batch
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+         |  FROM grid LEFT JOIN f USING (region, batch)
+         |), fr AS (
+         |  SELECT batch,
+         |    sum(CASE WHEN rts IS NOT NULL THEN 1 ELSE 0 END) AS n_fwd,
+         |    CASE WHEN sum(CASE WHEN wm IS NULL THEN 1 ELSE 0 END) > 0 THEN 0
+         |         ELSE min(wm) END AS frontier_ts
+         |  FROM carried GROUP BY 1
+         |)
+         |SELECT CAST(pb.batch AS BIGINT) AS batch,
+         |  CAST(n_raw AS BIGINT) AS n_raw,
+         |  CAST(n_accepted AS BIGINT) AS n_accepted,
+         |  CAST(n_dup AS BIGINT) AS n_dup,
+         |  CAST(n_fwd AS BIGINT) AS n_fwd,
+         |  CAST(frontier_ts AS BIGINT) AS frontier_ts,
+         |  CAST(CASE WHEN frontier_ts >
+         |      coalesce(lag(frontier_ts) OVER (ORDER BY pb.batch), 0)
+         |    THEN 1 ELSE 0 END AS INT) AS advanced
+         |FROM pb JOIN fr ON pb.batch = fr.batch""".stripMargin)) {
+    (spark, dir) =>
+    import graft.operators.Multiplex
+    val ev = CdcStream.derive(spark, dir).filter(expr(MuxSample))
+      .select(col("seq"), (col("pk") % 4).as("region"),
+        expr(s"commit_ts DIV $MuxBatchTs").as("batch"),
+        col("commit_ts").as("ts"))
+    val deliveries = ev.unionByName(
+        ev.filter(col("seq") % MuxDupEvery === 0)
+          .withColumn("batch", col("batch") + 1))
+      .withColumn("fwd",
+        !(col("region") === MuxLagRegion && col("batch") % 2 === 1))
+    Multiplex.progress(deliveries)
+  }
+
   def all: Seq[GateQuery] =
     Seq(checkpointResume, optimisticLattice, redoReplay, syncpoints,
       ddlBarrier, sinkProgress, lateData, redoApply, dmlMetrics,
-      changefeedCrud, dmLifecycle, handleError, relayLog)
+      changefeedCrud, dmLifecycle, handleError, relayLog, multiplex)
 }
