@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{Hashing, Tables}
 import graft.operators.{TextLm, TextOps, TfIdf}
 
 /**
@@ -114,5 +114,72 @@ object LmQueries {
         sum(col("n_scored")).as("sum_scored"))
   }
 
-  def all: Seq[GateQuery] = Seq(lmPerplexity, tfidf)
+  // ---- q148: count-min sketch term counts ------------------------------
+
+  private val CmsDepth = 4
+  private val CmsWidth = 64 // well below vocab: real collisions at every sf
+  private val QueryDocs = 211L // query set: tokens of doc_id % 211 = 0 docs
+
+  /**
+   * Count-min sketch term statistics ([[graft.operators.Sketches]]): the
+   * whole corpus folds into a depth×width counter table (the 100 TB shape —
+   * partial agg bounds the shuffle at depth×width rows per partition,
+   * the sketch broadcasts to estimators), then a deterministic query set
+   * (every token of the doc_id % 211 docs) is point-estimated against
+   * it. The gate pins, per query token, the exact corpus count AND the
+   * sketch estimate — the oracle replays every counter, so a collision's
+   * exact overestimate is reproduced bit-for-bit, and `overcount`
+   * being ≥ 0 everywhere witnesses the CMS one-sided guarantee on real
+   * collisions (width is chosen below vocab size so they genuinely
+   * happen).
+   */
+  val cmsTermCounts = GateQuery(
+    "q148_cms_terms",
+    Some {
+      val toks = TextOps.Sql.tokens.format("text")
+      val p = Hashing.MixP
+      def jb(hE: String) =
+        s"((($hE) % $p) * (2 * j + 3) + j) % $p % $CmsWidth"
+      s"""WITH tok AS (
+         |  SELECT unnest($toks) AS t FROM documents
+         |), th AS (
+         |  SELECT t, ${Hashing.Sql.portableLong("t")} AS h FROM tok
+         |), js AS (
+         |  SELECT unnest([${(0 until CmsDepth).mkString(", ")}]) AS j
+         |), cms AS (
+         |  SELECT j, ${jb("h")} AS bucket, count(*) AS cnt
+         |  FROM th CROSS JOIN js GROUP BY 1, 2
+         |), q AS (
+         |  SELECT DISTINCT unnest($toks) AS t
+         |  FROM documents WHERE doc_id % $QueryDocs = 0
+         |), qh AS (
+         |  SELECT t, ${Hashing.Sql.portableLong("t")} AS h FROM q
+         |), est AS (
+         |  SELECT t, min(coalesce(cnt, 0)) AS est_cnt
+         |  FROM (SELECT t, j, ${jb("h")} AS bucket FROM qh CROSS JOIN js) qb
+         |  LEFT JOIN cms USING (j, bucket) GROUP BY 1
+         |), exact AS (
+         |  SELECT tok.t, count(*) AS exact_cnt
+         |  FROM tok JOIN q ON tok.t = q.t GROUP BY 1
+         |)
+         |SELECT est.t AS token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+         |  CAST(est_cnt AS BIGINT) AS est_cnt,
+         |  CAST(est_cnt - exact_cnt AS BIGINT) AS overcount
+         |FROM est JOIN exact ON est.t = exact.t""".stripMargin
+    }) { (spark, dir) =>
+    import graft.operators.Sketches
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val cms = Sketches.cmsBuild(docs, "text", CmsDepth, CmsWidth)
+    val queries = docs.filter(col("doc_id") % QueryDocs === 0)
+      .select(explode(TextOps.tokens(col("text"))).as("token")).distinct()
+    val exact = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .join(broadcast(queries), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+    Sketches.cmsEstimate(cms, queries, "token", CmsDepth, CmsWidth)
+      .join(exact, Seq("token"))
+      .select(col("token"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("overcount"))
+  }
+
+  def all: Seq[GateQuery] = Seq(lmPerplexity, tfidf, cmsTermCounts)
 }
