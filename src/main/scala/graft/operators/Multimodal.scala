@@ -195,6 +195,67 @@ object Multimodal {
       }
   }
 
+  /** Features of a nearest-neighbor resize: the sampled-pixel statistics
+    * pin WHICH source pixels the sampling map chose (not just that a
+    * decode happened), and the two corner lumas pin orientation. */
+  final case class ResizedFeatures(media_id: Long, out_w: Int, out_h: Int,
+                                   mean_luma: Long, pix_sum: Long,
+                                   tl_luma: Long, br_luma: Long)
+
+  /**
+   * REAL image resize: decode, then nearest-neighbor downscale to
+   * (outW × outH) — output pixel (x', y') samples source pixel
+   * (⌊x'·w/outW⌋, ⌊y'·h/outH⌋). Nearest-neighbor is chosen deliberately:
+   * its sampling map is integer arithmetic, so an oracle can recompute
+   * the exact resized statistics from the source's closed form (an
+   * area-averaging or bicubic kernel would be float-rounding-dependent
+   * and unpinnable cross-engine). Same map-only scale shape as
+   * [[decodeImageFeatures]] — resize happens where the bytes already
+   * are; only fixed-size features leave the executor.
+   */
+  def resizeImageFeatures(spark: SparkSession, images: DataFrame,
+      outW: Int, outH: Int): Dataset[ResizedFeatures] = {
+    import spark.implicits._
+    require(outW >= 1 && outH >= 1)
+    images.select(col("media_id"), col("payload")).as[ImageRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"undecodable payload for media_id=${r.media_id}")
+          val w = img.getWidth
+          val h = img.getHeight
+          def lumaAt(sx: Int, sy: Int): Long = {
+            val rgb = img.getRGB(sx, sy)
+            (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+          }
+          var lumaSum = 0L
+          var pixSum = 0L
+          var y2 = 0
+          while (y2 < outH) {
+            val sy = y2 * h / outH
+            var x2 = 0
+            while (x2 < outW) {
+              val sx = x2 * w / outW
+              val rgb = img.getRGB(sx, sy)
+              val rr = (rgb >> 16) & 0xff
+              val gg = (rgb >> 8) & 0xff
+              val bb = rgb & 0xff
+              lumaSum += (299L * rr + 587L * gg + 114L * bb) / 1000L
+              pixSum += rr + gg + bb
+              x2 += 1
+            }
+            y2 += 1
+          }
+          ResizedFeatures(r.media_id, outW, outH,
+            lumaSum / (outW.toLong * outH),
+            pixSum, lumaAt(0, 0),
+            lumaAt((outW - 1) * w / outW, (outH - 1) * h / outH))
+        }
+      }
+  }
+
   // ---- real audio decode (JVM-native javax.sound.sampled; no extra deps) --
 
   final case class AudioRow(media_id: Long, payload: Array[Byte])

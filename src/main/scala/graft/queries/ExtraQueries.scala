@@ -145,6 +145,43 @@ object ExtraQueries {
     Multimodal.decodeImageFeatures(spark, Multimodal.pngTable(spark, ids)).toDF()
   }
 
+  /** REAL image resize: the q120 PNG fixtures are decoded and nearest-
+    * neighbor downscaled to 4×3 ([[graft.operators.Multimodal.resizeImageFeatures]]);
+    * the sampled-pixel statistics (mean luma, channel sum, both corner
+    * lumas) must equal the oracle's independent evaluation of the SAME
+    * closed-form source at the SAME integer sampling positions
+    * (⌊x'·w/4⌋, ⌊y'·h/3⌋) — a wrong sampling map, axis swap, or
+    * off-by-one moves some image's row. */
+  val imageResize = GateQuery(
+    "q149_image_resize",
+    Some("""WITH ids AS (
+           |  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           |  FROM documents WHERE doc_id % 7 = 0
+           |), pos AS (
+           |  SELECT media_id, w, h, (x.x * w) // 4 AS sx, (y.y * h) // 3 AS sy
+           |  FROM ids, range(0, 4) x(x), range(0, 3) y(y)
+           |), pix AS (
+           |  SELECT media_id, w, h, sx, sy,
+           |    (299 * ((media_id + 3*sx + 7*sy) % 256)
+           |     + 587 * ((2*media_id + 5*sx + sy) % 256)
+           |     + 114 * ((3*media_id + sx + 11*sy) % 256)) // 1000 AS luma,
+           |    ((media_id + 3*sx + 7*sy) % 256)
+           |     + ((2*media_id + 5*sx + sy) % 256)
+           |     + ((3*media_id + sx + 11*sy) % 256) AS psum
+           |  FROM pos
+           |)
+           |SELECT media_id, CAST(4 AS INT) AS out_w, CAST(3 AS INT) AS out_h,
+           |  CAST(sum(luma) // 12 AS BIGINT) AS mean_luma,
+           |  CAST(sum(psum) AS BIGINT) AS pix_sum,
+           |  CAST(max(CASE WHEN sx = 0 AND sy = 0 THEN luma END) AS BIGINT) AS tl_luma,
+           |  CAST(max(CASE WHEN sx = (3 * w) // 4 AND sy = (2 * h) // 3
+           |           THEN luma END) AS BIGINT) AS br_luma
+           |FROM pix GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    val ids = Tables.load(spark, dir, "documents").filter(col("doc_id") % 7 === 0)
+    Multimodal.resizeImageFeatures(
+      spark, Multimodal.pngTable(spark, ids), 4, 3).toDF()
+  }
+
   /** REAL audio decode: WAV fixtures are encoded on the executors from a
     * closed-form PCM sample function of the id, decoded back with
     * `javax.sound.sampled` ([[graft.operators.Multimodal.decodeAudioFeatures]]
@@ -737,7 +774,8 @@ object ExtraQueries {
   }
 
   def all: Seq[GateQuery] = Seq(
-    schemaAsof, validator, mediaFeatures, imageDecode, audioDecode, videoFrames,
+    schemaAsof, validator, mediaFeatures, imageDecode, imageResize,
+    audioDecode, videoFrames,
     chunkedLoad, claimCheck, handleKeyOnly,
     claimCheckWrite,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
