@@ -74,20 +74,41 @@ object Bench {
     val sel = if (args.isEmpty) SparkEntry.queries
               else SparkEntry.queries.filter(kv => args.contains(kv._1))
 
-    // Driver-heavy gates (embedded-Derby applies, driver-side index/CC
-    // verification loops) churn the driver heap; run them in a FINAL phase
-    // with a GC settle between gates, so their collection pauses are never
-    // billed to whichever map-only gate runs next (r6's ~19 s of phantom
-    // "regressions" on q11-q28/q73-q77 was exactly this attribution bug).
-    val heavy = Set("q98_sql_apply", "q109_index_admit", "q111_redo_apply",
-      "q117_dedup_keep", "q118_fix_apply")
+    // Driver-heavy gates (StreamingQuery lifecycles, embedded-Derby applies,
+    // checkpoint-dir writers, driver-side index/CC verification loops) churn
+    // the driver heap; run them in a FINAL phase with a GC settle between
+    // gates, so their collection pauses are never billed to whichever
+    // map-only gate runs next (r6's ~19 s of phantom "regressions" on
+    // q11-q28/q73-q77, and r7's 2-5x inflation on q57-q65/q94, were exactly
+    // this attribution bug). Classification lives ON the gate (GateQuery
+    // .heavy, declared where the behavior is) so a new lifecycle gate can't
+    // be forgotten here; a StreamingQueryListener cross-checks the tags at
+    // runtime and flags any untagged gate that starts a stream.
+    val heavy = graft.queries.Gate.all.filter(_.heavy).map(_.name).toSet
+    val streamStarts = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = {
+          streamStarts.incrementAndGet(); ()
+        }
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
     def gcSettle(): Unit = { System.gc(); Thread.sleep(300); System.gc() }
     def run(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
             settleAfterEach: Boolean) =
       entries.map { case (name, fn) =>
+        val starts0 = streamStarts.get()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
+        if (!settleAfterEach && streamStarts.get() != starts0)
+          System.err.println(
+            s"[bench] WARN: pure-phase gate $name started a StreamingQuery —" +
+              " tag it heavy = true at its GateQuery definition")
         if (settleAfterEach) gcSettle()
         name -> sec
       }

@@ -241,15 +241,18 @@ object Dedup {
    * per band grow ~n²/2^w; holding occupancy near a constant (~16) needs
    * w ≈ log2(n/16). 8-bit bands are right at 10⁴-10⁵ docs and start
    * going quadratic past ~10⁶ (measured: see NOTES 100× table); corpus
-   * scale wants 16-bit bands on a 64-bit simhash. Width is capped so
-   * bands·w ≤ 64.
+   * scale wants 15-bit bands on the 60-bit simhash. Width is capped so
+   * bands·w ≤ 60: the signature kernel ([[graft.functions.TextRuns]]
+   * simhash64) derives each plane from md5Long's 60 meaningful bits, so a
+   * 64-bit plan would both trip the kernel's bits ≤ 63 require and spend
+   * band width on degenerate always-zero planes.
    */
   def simhashBandPlan(n: Long, maxHam: Int): (Int, Int) = {
     require(maxHam >= 0 && maxHam <= 7, s"maxHam out of range: $maxHam")
     val bands = maxHam + 1
     val occ = math.max(1L, n / 16)
     val log2ceil = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, occ - 1))
-    val w = math.min(64 / bands, math.max(8, log2ceil))
+    val w = math.min(60 / bands, math.max(8, log2ceil))
     (bands * w, bands)
   }
 

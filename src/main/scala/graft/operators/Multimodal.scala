@@ -306,8 +306,9 @@ object Multimodal {
    * container header is parsed by the platform decoder (format fields are
    * read from `AudioFormat`, not assumed), PCM frames come from the
    * decoded stream. `zero_cross` counts sign boundaries ((s≥0) flips
-   * between consecutive samples) — the classic cheap speech/music/noise
-   * discriminator. Map-only; same scale shape as [[decodeImageFeatures]].
+   * between consecutive samples OF THE SAME CHANNEL, summed over channels)
+   * — the classic cheap speech/music/noise discriminator. Map-only; same
+   * scale shape as [[decodeImageFeatures]].
    * Throws on undecodable or non-16-bit-LE payloads — corrupt media
    * should be quarantined upstream, not silently dropped here.
    */
@@ -325,19 +326,33 @@ object Multimodal {
           val data = ais.readAllBytes()
           val ch = fmt.getChannels
           val n = data.length / (2 * ch)
+          @inline def sample(j: Int): Int =
+            (data(2 * j + 1) << 8) | (data(2 * j) & 0xff)
           var sumAbs = 0L
           var sumSq = 0L
-          var zc = 0L
-          var prevNonNeg = false
           var i = 0
           while (i < n * ch) {
-            val s = (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+            val s = sample(i)
             sumAbs += math.abs(s.toLong)
             sumSq += s.toLong * s
-            val nonNeg = s >= 0
-            if (i > 0 && nonNeg != prevNonNeg) zc += 1
-            prevNonNeg = nonNeg
             i += 1
+          }
+          // zero-cross per CHANNEL: PCM frames interleave channels, so the
+          // walk strides by `ch` — a sign difference between adjacent
+          // samples of different channels is not a crossing. Totals sum
+          // across channels (mono is unchanged: stride 1).
+          var zc = 0L
+          var c = 0
+          while (c < ch) {
+            var f = 1
+            var prevNonNeg = n > 0 && sample(c) >= 0
+            while (f < n) {
+              val nonNeg = sample(f * ch + c) >= 0
+              if (nonNeg != prevNonNeg) zc += 1
+              prevNonNeg = nonNeg
+              f += 1
+            }
+            c += 1
           }
           AudioFeatures(r.media_id, fmt.getSampleRate.toInt, ch,
             fmt.getSampleSizeInBits, n.toLong, sumAbs, sumSq, zc)

@@ -397,7 +397,7 @@ object CdcQueries {
         |UNION ALL
         |SELECT 2, count(*), 0, CAST(sum(pk % 5) AS BIGINT),
         |  CAST(sum(pk) AS BIGINT)
-        |FROM split, b WHERE commit_ts > mid""".stripMargin)) { (spark, dir) =>
+        |FROM split, b WHERE commit_ts > mid""".stripMargin), heavy = true) { (spark, dir) =>
     import graft.streaming.{Sinks, StorageConsumer}
     val ev = Transforms.updateSplit(CdcStream.derive(spark, dir))
     val r = ev.agg(min(col("commit_ts")), max(col("commit_ts"))).head()
@@ -451,7 +451,7 @@ object CdcQueries {
         |  count(DISTINCT pk) AS n_keys,
         |  CAST(sum(CAST(final_val AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
         |FROM comp WHERE net_op IS NOT NULL AND net_op <> 'D'
-        |GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+        |GROUP BY 1, 2""".stripMargin), heavy = true) { (spark, dir) =>
     import graft.streaming.{Sinks, SqlApply}
     // Gate on a deterministic key-complete sample (post-split pk % 19):
     // every surviving key keeps its FULL event history, so the rendered

@@ -841,7 +841,7 @@ object CodecQueries {
         |SELECT schema_name, table_name, count(*) AS n_rows,
         |  CAST(sum(pk) AS BIGINT) AS sum_pk,
         |  CAST(sum(CAST(last_val AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
-        |FROM agg WHERE last_op <> 'D' GROUP BY 1, 2""".stripMargin)) {
+        |FROM agg WHERE last_op <> 'D' GROUP BY 1, 2""".stripMargin), heavy = true) {
     (spark, dir) =>
     import spark.implicits._
     import graft.functions.OpenBatch

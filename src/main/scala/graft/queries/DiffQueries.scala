@@ -114,7 +114,7 @@ object DiffQueries {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def classifiedDiff(spark: SparkSession, dir: String): DataFrame =
-    diffCache.getOrElseUpdate(dir, {
+    diffCache.getOrElseUpdate(dir, Gate.timedBuild(s"diff table ($dir)") {
       import org.apache.spark.storage.StorageLevel
       def side(df: DataFrame, digestName: String, qtyName: String) =
         df.select(col("l_orderkey"), col("l_linenumber"),
@@ -232,7 +232,7 @@ object DiffQueries {
          |SELECT count(*) AS n_rows, CAST(sum(qty) AS DOUBLE) AS sum_qty,
          |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
          |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
-         |FROM up""".stripMargin)) {
+         |FROM up""".stripMargin), heavy = true) {
     (spark, dir) =>
     import spark.implicits._
     import graft.streaming.SqlApply

@@ -181,7 +181,7 @@ object DocQueries {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def scoredCandidates(spark: SparkSession, dir: String): DataFrame =
-    lshCache.getOrElseUpdate(dir, {
+    lshCache.getOrElseUpdate(dir, Gate.timedBuild(s"LSH candidate table ($dir)") {
       import org.apache.spark.storage.StorageLevel
       // ONE kernel pass computes both the signature (→ bands) and the
       // distinct-shingle hash set (→ Jaccard); persisted so the band join
@@ -472,7 +472,7 @@ object DocQueries {
          |  CAST(sum(sig[1]) AS BIGINT) AS sum_sig1,
          |  CAST(sum(len(sh)) AS BIGINT) AS sum_sh,
          |  max(doc_id) AS max_doc
-         |FROM idx2""".stripMargin)) { (spark, dir) =>
+         |FROM idx2""".stripMargin), heavy = true) { (spark, dir) =>
     val (idx, na, matches) = incrementalParts(spark, dir)
     Dedup.admitToIndex(idx, na, matches, 50L)
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("id")).as("n_ids"),
@@ -497,7 +497,7 @@ object DocQueries {
          |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_check,
          |  CAST(sum(len(${TextOps.Sql.tokens.format("text")})) AS BIGINT) AS sum_tokens
          |FROM cc JOIN corpus USING (doc_id)
-         |GROUP BY 1""".stripMargin)) { (spark, dir) =>
+         |GROUP BY 1""".stripMargin), heavy = true) { (spark, dir) =>
     val c = corpus(spark, dir)
     val cands = scoredCandidates(spark, dir)
       .filter(col("jac") >= 0.5)

@@ -276,7 +276,7 @@ object ExtraQueries {
            |SELECT CAST(chunk AS INT) AS chunk,
            |  CAST(CASE WHEN chunk < 3 THEN 1 ELSE 2 END AS INT) AS pass,
            |  count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
-           |FROM c GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+           |FROM c GROUP BY 1, 2""".stripMargin), heavy = true) { (spark, dir) =>
     import spark.implicits._
     import graft.streaming.Loader
     val src = Tables.load(spark, dir, "orders")

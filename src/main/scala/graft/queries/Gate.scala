@@ -8,10 +8,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * MUST match between the two — the driver sorts columns by name and hashes
  * values. Results must be deterministic across engines: integer/decimal
  * arithmetic only in derived values; raw doubles may pass through untouched.
+ *
+ * `heavy` classifies the gate BY BEHAVIOR for Bench's phased run: set it at
+ * the definition of any gate that starts a StreamingQuery, opens an embedded
+ * Derby database, writes checkpoint dirs, or loops driver-side — such gates
+ * churn the driver heap and run in Bench's final phase with GC settles, so
+ * their collection pauses are never billed to a neighboring map-only gate.
+ * Bench cross-checks the tag at runtime (a StreamingQueryListener flags any
+ * untagged gate that starts a stream), so a forgotten tag is loud.
  */
 final case class GateQuery(
     name: String,
-    oracle: Option[String])(
+    oracle: Option[String],
+    heavy: Boolean = false)(
     val run: (SparkSession, String) => DataFrame)
 
 object Gate {
@@ -51,6 +60,18 @@ object Gate {
     val path = System.getProperty("java.io.tmpdir") + s"/$prefix$tag"
     deleteTree(new java.io.File(path))
     (path, tag)
+  }
+
+  /** Time a shared-table build and emit it as its own `[bench]` line item,
+    * so the cost of a cached intermediate (LSH signature/candidate table,
+    * the diff table) is attributed explicitly instead of billed to whichever
+    * consuming gate happens to run first. */
+  def timedBuild[T](what: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    System.err.println(
+      f"[bench] built shared $what in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
   }
 
   def all: Seq[GateQuery] =

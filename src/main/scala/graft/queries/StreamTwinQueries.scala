@@ -459,7 +459,7 @@ object StreamTwinQueries {
          |SELECT schema_name, table_name, count(*) AS n_live,
          |  CAST(sum(pk) AS BIGINT) AS sum_pk,
          |  CAST(coalesce(sum(CAST(final_val AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_val
-         |FROM net WHERE net_op <> 'D' GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+         |FROM net WHERE net_op <> 'D' GROUP BY 1, 2""".stripMargin), heavy = true) { (spark, dir) =>
     import graft.streaming.{Sinks, SqlApply}
     val wal = Transforms.updateSplit(
         CdcStream.derive(spark, dir)
@@ -502,7 +502,7 @@ object StreamTwinQueries {
         |SELECT schema_name, table_name, op,
         |  CAST(count(*) AS BIGINT) AS total_rows,
         |  CAST(max((commit_ts - lo) * 4 // (hi - lo + 1)) AS BIGINT) AS last_batch
-        |FROM cdc, b GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
+        |FROM cdc, b GROUP BY 1, 2, 3""".stripMargin), heavy = true) { (spark, dir) =>
     import graft.streaming.Metrics
     val ev = CdcStream.derive(spark, dir)
     val r = ev.agg(min(col("commit_ts")), max(col("commit_ts"))).head()
@@ -541,7 +541,7 @@ object StreamTwinQueries {
         |UNION ALL SELECT '3_resumed', 'created', CAST(count(*) AS BIGINT)
         |  FROM cdc, b WHERE commit_ts > mid
         |UNION ALL SELECT '4_deleted', 'not-found', CAST(0 AS BIGINT)"""
-        .stripMargin)) { (spark, dir) =>
+        .stripMargin), heavy = true) { (spark, dir) =>
     import spark.implicits._
     import graft.streaming.{ChangefeedManager, ChangefeedSpec}
     val ev = CdcStream.derive(spark, dir)
@@ -611,7 +611,7 @@ object StreamTwinQueries {
         |    AS BIGINT)
         |  FROM cdc, b WHERE table_name <> 'tbl_0' AND commit_ts > q3
         |UNION ALL SELECT '4_stopped', 'not-found', CAST(0 AS BIGINT)"""
-        .stripMargin)) { (spark, dir) =>
+        .stripMargin), heavy = true) { (spark, dir) =>
     import spark.implicits._
     import graft.streaming.DmTaskManager
     val ev = CdcStream.derive(spark, dir)
@@ -704,7 +704,7 @@ object StreamTwinQueries {
          |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          |UNION ALL SELECT '4_replace_resumed', 'Running', 'no',
          |  (SELECT CAST(w AS BIGINT) FROM w2), CAST(1 AS BIGINT)"""
-        .stripMargin)) { (spark, dir) =>
+        .stripMargin), heavy = true) { (spark, dir) =>
     import spark.implicits._
     import graft.streaming.DmTaskManager
     val ev = CdcStream.derive(spark, dir)
@@ -790,7 +790,7 @@ object StreamTwinQueries {
         |  FROM cdc, b WHERE commit_ts > mid
         |UNION ALL SELECT '3_replay', count(*), CAST(sum(pk) AS BIGINT) FROM cdc
         |UNION ALL SELECT '4_purged', count(*), CAST(sum(pk) AS BIGINT)
-        |  FROM cdc, b WHERE commit_ts > mid""".stripMargin)) { (spark, dir) =>
+        |  FROM cdc, b WHERE commit_ts > mid""".stripMargin), heavy = true) { (spark, dir) =>
     import spark.implicits._
     import graft.streaming.Relay
     val ev = CdcStream.derive(spark, dir)

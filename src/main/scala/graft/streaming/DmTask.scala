@@ -241,8 +241,10 @@ final class DmTaskManager(spark: SparkSession, checkpointRoot: String) {
       } catch {
         // a failing unit pauses its subtask with the error recorded —
         // dmctl query-status surfaces it, handle-error + resume recover
-        // (dm/worker subtask error → stage Paused with Result.Errors)
-        case e: Throwable =>
+        // (dm/worker subtask error → stage Paused with Result.Errors).
+        // NonFatal only: an OOM/LinkageError must propagate, not be
+        // recorded as a recoverable 'Paused' subtask.
+        case scala.util.control.NonFatal(e) =>
           st.stage = Paused
           st.lastError = Some(rootMessage(e))
       }
@@ -288,7 +290,7 @@ final class DmTaskManager(spark: SparkSession, checkpointRoot: String) {
         s.stage = Running
         s.lastError = None
       } catch {
-        case e: Throwable => s.lastError = Some(rootMessage(e))
+        case scala.util.control.NonFatal(e) => s.lastError = Some(rootMessage(e))
       }
     }
   }

@@ -99,28 +99,30 @@ object StorageConsumer {
   }
 
   /**
-   * Read a layout whose schema CHANGED mid-stream: each table version is
-   * read with ITS OWN sidecar schema (the reference consumer re-reads
-   * schema.json per version, pkg/sink/cloudstorage/path.go:136-430) and
-   * the versions are aligned by name — rows written before a column-add
-   * surface NULL for the added column. The `_sv` path segment is a
-   * partition column, so each per-version read prunes to its own subtree;
-   * the union is a plan-level concat, not a shuffle.
+   * Read a layout whose schema CHANGED mid-stream: each (table, version)
+   * subtree is read with ITS OWN sidecar schema — the reference's model is
+   * a schema.json per table version (the consumer re-reads it per version,
+   * pkg/sink/cloudstorage/path.go:136-430), so two tables may diverge
+   * structurally at the same version number and still read cleanly.
+   * Versions align by column NAME in the union — rows written before a
+   * column-add surface NULL for the added column. Each per-(table,
+   * version) read prunes to its own directory subtree (`basePath` keeps
+   * the partition columns); the union is a plan-level concat, not a
+   * shuffle, so the scan count grows with table-versions while bytes read
+   * stay exactly the layout's.
    */
   def readVersioned(spark: SparkSession, base: String): DataFrame = {
     val scs = versionedSidecars(base)
     require(scs.nonEmpty, s"no versioned _schema_v*.json sidecars under $base")
-    val byVersion = scs.groupBy(_._1._3).toSeq.sortBy(_._1)
-    byVersion.map { case (v, m) =>
-      val payloads = m.values.toSet
-      require(payloads.size == 1,
-        s"sidecar schemas disagree for version $v under $base: " +
-          m.map { case (k, s) => s"$k=${s.simpleString}" }.mkString("; "))
-      val full = StructType(payloads.head.fields ++ Seq(
-        StructField("schema_name", StringType),
-        StructField("table_name", StringType),
-        StructField("_sv", StringType), StructField("_date", StringType)))
-      spark.read.schema(full).parquet(base).filter(col("_sv") === v.toString)
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    scs.toSeq.sortBy { case ((s, t, v), _) => (s, t, v) }
+      .map { case ((s, t, v), payload) =>
+        val full = StructType(payload.fields ++ Seq(
+          StructField("schema_name", StringType),
+          StructField("table_name", StringType),
+          StructField("_sv", StringType), StructField("_date", StringType)))
+        spark.read.schema(full).option("basePath", base)
+          .parquet(s"$base/schema_name=$s/table_name=$t")
+          .filter(col("_sv") === v.toString)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }

@@ -49,13 +49,19 @@ class ChunkingSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
-  test("simhashBandPlan scales band width with corpus size, capped at 64 bits") {
-    // pigeonhole: bands = maxHam + 1 always
+  test("simhashBandPlan scales band width with corpus size, capped at 60 bits") {
+    // pigeonhole: bands = maxHam + 1 always; total never exceeds the
+    // kernel's 60 meaningful signature bits (md5Long planes)
     assert(Dedup.simhashBandPlan(50000, 3) == ((48, 4)))   // w=12: log2(50k/16)
-    assert(Dedup.simhashBandPlan(5000000, 3) == ((64, 4))) // w capped at 16
+    assert(Dedup.simhashBandPlan(5000000, 3) == ((60, 4))) // w capped at 15
     assert(Dedup.simhashBandPlan(1000, 3) == ((32, 4)))    // floor w=8
-    assert(Dedup.simhashBandPlan(5000000, 7) == ((64, 8))) // 8 bands cap w=8
+    assert(Dedup.simhashBandPlan(5000000, 7) == ((56, 8))) // 8 bands cap w=7
     val (bits, bands) = Dedup.simhashBandPlan(100000, 1)
-    assert(bands == 2 && bits <= 64 && bits % bands == 0)
+    assert(bands == 2 && bits <= 60 && bits % bands == 0)
+    // every plan the planner can emit is accepted by the signature kernel
+    for (mh <- 0 to 7; n <- Seq(100L, 100000L, 100000000L, 5000000000L)) {
+      val (b, nb) = Dedup.simhashBandPlan(n, mh)
+      assert(b <= 60 && b % nb == 0, s"plan ($b, $nb) for n=$n maxHam=$mh")
+    }
   }
 }

@@ -99,6 +99,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("stereo WAV zero-cross strides by channel: interleaving never counts as a crossing") {
+    import spark.implicits._
+    // 2-channel clip where ch0 alternates sign every frame (n-1 crossings)
+    // and ch1 stays positive (0 crossings). An interleaved walk would see a
+    // sign flip at nearly every adjacent SAMPLE (ch0 +, ch1 +, ch0 -, ...);
+    // the per-channel walk must report exactly n-1.
+    val n = 100
+    val pcm = new Array[Byte](n * 2 * 2)
+    for (f <- 0 until n) {
+      val s0 = if (f % 2 == 0) 1000 else -1000
+      val s1 = 500
+      pcm(4 * f) = (s0 & 0xff).toByte; pcm(4 * f + 1) = ((s0 >> 8) & 0xff).toByte
+      pcm(4 * f + 2) = (s1 & 0xff).toByte; pcm(4 * f + 3) = ((s1 >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((42L, bos.toByteArray)).toDF("media_id", "payload")
+    val got = Multimodal.decodeAudioFeatures(spark, df).collect().head
+    assert(got.channels === 2 && got.n_frames === n.toLong)
+    assert(got.zero_cross === (n - 1).toLong)
+    assert(got.sum_abs === n.toLong * 1000 + n.toLong * 500)
+  }
+
   test("video sampling decodes only selected frames: corrupt skipped frame is never touched") {
     import spark.implicits._
     // container with 3 frames where frame 1 (odd, skipped at stride=2) is

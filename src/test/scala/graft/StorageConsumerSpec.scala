@@ -33,6 +33,28 @@ class StorageConsumerSpec extends SparkSpec {
     assert(viaFiles == direct)
   }
 
+  test("versioned consumer reads per-(table,version) sidecars: tables may diverge at one version") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sc_diverge").toString
+    // two tables, SAME version number, structurally different payloads —
+    // the reference model is a schema.json per {table, version}, so this
+    // layout must read cleanly (t1 rows surface NULL for t2-only columns)
+    val t1 = Seq((1L, 1700000000000L, "a")).toDF("pk", "commit_ts", "val_after")
+      .withColumn("schema_name", lit("s")).withColumn("table_name", lit("t1"))
+    val t2 = Seq((2L, 1700000000000L, "b", 7L))
+      .toDF("pk", "commit_ts", "val_after", "extra")
+      .withColumn("schema_name", lit("s")).withColumn("table_name", lit("t2"))
+    Sinks.storageSink(base, schemaVersion = Some(1))(t1, 0L)
+    Sinks.storageSink(base, schemaVersion = Some(1))(t2, 1L)
+
+    val back = StorageConsumer.readVersioned(spark, base)
+    assert(back.count() == 2)
+    assert(back.columns.contains("extra"))
+    assert(back.filter(col("table_name") === "t1").select("extra").head().isNullAt(0))
+    assert(back.filter(col("table_name") === "t2")
+      .select("pk", "extra").as[(Long, Long)].head() == ((2L, 7L)))
+  }
+
   test("int8 quantization stays in byte range and preserves self-rank") {
     val e = graft.core.Tables.load(spark, sf, "embeddings").limit(50)
       .select(col("vec_id"), VectorOps.quantizeInt8(col("embedding")).as("q"))
