@@ -133,6 +133,66 @@ object AvroBinary {
       (((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
         ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)) == schemaId
 
+  // ---- Glue wire format --------------------------------------------------
+  // 18-byte header (glue_schema_registry.go:326-345, mirroring AWS's
+  // AWSSchemaRegistryConstants): [0]=3 header version, [1]=0 no compression,
+  // [2..17]=the schema VERSION's UUID big-endian; Avro binary body follows.
+
+  private val GlueHeaderVersion: Byte = 3
+  private val GlueNoCompression: Byte = 0
+  private val GlueHeaderLen = 18
+
+  private def glueFrame(c: Ctx, idHi: Long, idLo: Long): Unit = {
+    c.out.reset()
+    c.out.write(GlueHeaderVersion)
+    c.out.write(GlueNoCompression)
+    var i = 7
+    while (i >= 0) { c.out.write(((idHi >>> (8 * i)) & 0xff).toInt); i -= 1 }
+    i = 7
+    while (i >= 0) { c.out.write(((idLo >>> (8 * i)) & 0xff).toInt); i -= 1 }
+  }
+
+  private def checkGlueFrame(bytes: Array[Byte], idHi: Long, idLo: Long): Boolean = {
+    if (bytes.length < GlueHeaderLen || bytes(0) != GlueHeaderVersion ||
+      bytes(1) != GlueNoCompression) return false
+    var hi = 0L; var lo = 0L; var i = 0
+    while (i < 8) { hi = (hi << 8) | (bytes(2 + i) & 0xffL); i += 1 }
+    i = 0
+    while (i < 8) { lo = (lo << 8) | (bytes(10 + i) & 0xffL); i += 1 }
+    hi == idHi && lo == idLo
+  }
+
+  /** Encode (pk, val, etype) as a Glue-framed Avro value message. */
+  def encodeValueGlue(row: InternalRow, idHi: Long, idLo: Long): Array[Byte] = {
+    val c = tls.get()
+    glueFrame(c, idHi, idLo)
+    c.enc = EncoderFactory.get().binaryEncoder(c.out, c.enc)
+    val rec = new GenericData.Record(valueSchema)
+    rec.put(0, row.getLong(0))
+    rec.put(1, if (row.isNullAt(1)) null else java.lang.Double.valueOf(row.getDouble(1)))
+    rec.put(2, if (row.isNullAt(2)) null else row.getUTF8String(2).toString)
+    c.valueWriter.write(rec, c.enc)
+    c.enc.flush()
+    c.out.toByteArray
+  }
+
+  /** Decode a Glue-framed value message; null unless the header carries
+    * EXACTLY the given schema-version UUID (the registry-dispatch contract —
+    * consumers look the UUID up before choosing a reader schema). */
+  def decodeValueGlue(bytes: Array[Byte], idHi: Long, idLo: Long): InternalRow = {
+    if (!checkGlueFrame(bytes, idHi, idLo)) return null
+    val c = tls.get()
+    c.dec = DecoderFactory.get().binaryDecoder(
+      bytes, GlueHeaderLen, bytes.length - GlueHeaderLen, c.dec)
+    val rec = c.valueReader.read(null, c.dec)
+    val v = rec.get(1)
+    val e = rec.get(2)
+    new GenericInternalRow(Array[Any](
+      rec.get(0).asInstanceOf[Long],
+      if (v == null) null else v.asInstanceOf[java.lang.Double].doubleValue(),
+      if (e == null) null else UTF8String.fromString(e.toString)))
+  }
+
   // ---- Column API ------------------------------------------------------
 
   def encodeEnvelope(pk: Column, value: Column, etype: Column, schemaId: Int): Column =
@@ -149,6 +209,17 @@ object AvroBinary {
 
   def decodeHandleKey(message: Column, schemaId: Int): Column =
     ExpressionUtils.column(AvroDecodeKey(ExpressionUtils.expression(message), schemaId))
+
+  def encodeEnvelopeGlue(pk: Column, value: Column, etype: Column,
+                         versionId: java.util.UUID): Column =
+    ExpressionUtils.column(GlueEncodeEnvelope(
+      ExpressionUtils.expression(struct(pk.as("pk"), value.as("val"), etype.as("etype"))),
+      versionId.getMostSignificantBits, versionId.getLeastSignificantBits))
+
+  def decodeEnvelopeGlue(message: Column, versionId: java.util.UUID): Column =
+    ExpressionUtils.column(GlueDecodeEnvelope(
+      ExpressionUtils.expression(message),
+      versionId.getMostSignificantBits, versionId.getLeastSignificantBits))
 }
 
 /** to Avro binary: struct(pk, val, etype) → framed bytes. */
@@ -190,6 +261,37 @@ case class AvroEncodeKey(child: Expression, schemaId: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.AvroBinary.encodeKey($c, $schemaId)")
   override protected def withNewChildInternal(newChild: Expression): AvroEncodeKey =
+    copy(child = newChild)
+}
+
+/** to Glue-framed Avro binary: struct(pk, val, etype) → 18B header + body.
+  * The UUID rides as two long literals so codegen folds it into the call. */
+case class GlueEncodeEnvelope(child: Expression, idHi: Long, idLo: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    AvroBinary.encodeValueGlue(input.asInstanceOf[InternalRow], idHi, idLo)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.AvroBinary.encodeValueGlue($c, ${idHi}L, ${idLo}L)")
+  override protected def withNewChildInternal(newChild: Expression): GlueEncodeEnvelope =
+    copy(child = newChild)
+}
+
+/** from Glue-framed Avro binary; null on a foreign header/version UUID
+  * (same isNull-propagation requirement as AvroDecodeEnvelope). */
+case class GlueDecodeEnvelope(child: Expression, idHi: Long, idLo: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = AvroBinary.envelopeType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    AvroBinary.decodeValueGlue(input.asInstanceOf[Array[Byte]], idHi, idLo)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AvroBinary.decodeValueGlue($c, ${idHi}L, ${idLo}L);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): GlueDecodeEnvelope =
     copy(child = newChild)
 }
 

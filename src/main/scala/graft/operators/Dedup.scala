@@ -19,6 +19,10 @@ import graft.core.Hashing
  *  - Jaccard verification touches only candidate pairs (joined back to the
  *    shingle arrays), not the n² pair space.
  */
+/** Band-bucket member for the labels-not-pairs local verify (top-level so
+  * Spark derives its Encoder). */
+final case class LshBucketMember(id: Long, sh: Seq[Long])
+
 object Dedup {
 
   /** Word n-gram shingles; documents shorter than n words collapse to one
@@ -367,6 +371,108 @@ object Dedup {
     nodes.select(col("id"))
       .join(parents.withColumnRenamed("u", "id"), Seq("id"), "left")
       .select(col("id"), least(col("id"), coalesce(col("p"), col("id"))).as("comp"))
+  }
+
+  /**
+   * Production dedup path for dup-DENSE corpora: cluster labels straight
+   * from band buckets, never materializing the global candidate-pair list.
+   * The pair-based path ([[lshCandidates]] → verify → [[dupClusters]])
+   * emits a quadratic clique per bucket — the measured 100× blow-up on a
+   * dup-dense corpus was 1.22e9 pairs for star-shaped duplication that
+   * only needed linear edges. Here each (band, band_sig) bucket runs a
+   * LOCAL union-find over Jaccard-VERIFIED pairs (with a
+   * skip-if-already-connected check, so a bucket of m near-identical docs
+   * costs m−1 verifications, not m²/2) and emits one star edge per member
+   * to its local component's min id.
+   *
+   * Connectivity proof of q67-parity: the global verified-pair graph is
+   * the union over buckets of each bucket's verified edges; a bucket's
+   * local components partition exactly those edges, and the emitted star
+   * connects precisely the members of each local component — so the union
+   * of bucket stars has the same connected components as the union of
+   * verified cliques, and [[dupClusters]] over the stars yields identical
+   * labels. Edge volume is bounded by the BANDED row count (n × bands),
+   * never by pair density.
+   *
+   * Scale shape: one shuffle on (band, band_sig) carrying (id, sh) — the
+   * same columns the pair path ships to its two verification joins — then
+   * per-bucket work bounded by `maxBucket`, then the star CC. Raw text
+   * never shuffles.
+   */
+  def lshClusterLabels(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+                       maxBucket: Int = 500, minJac: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val an = minhashAnalyzed(df, idCol, textCol, shingleN, k)
+    val banded0 = an.select(col("id"), col("sh"),
+        explode(lshBands(col("sig"), k, bands)).as("b"))
+      .select(col("id"), col("sh"),
+        col("b.band").as("band"), col("b.sig").as("band_sig"))
+    val banded =
+      if (maxBucket <= 0) banded0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        banded0.withColumn("_bsz",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("band_sig"))))
+          .filter(col("_bsz") <= maxBucket).drop("_bsz")
+      }
+    val starEdges = banded
+      .groupBy("band", "band_sig")
+      .agg(collect_list(struct(col("id").as("id"), col("sh").as("sh"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(col("ms"))
+      .as[Seq[LshBucketMember]]
+      .flatMap(ms => localVerifiedStars(ms, minJac))
+      .toDF("id_a", "id_b")
+      .distinct()
+    dupClusters(df.select(col(idCol).as("id")), starEdges)
+  }
+
+  /** Local (per-bucket) verified union-find → star edges to each
+    * component's min id. Members arrive with SORTED distinct shingle
+    * hashes, so Jaccard is a merge-count; pairs already connected are
+    * skipped before any shingle work. */
+  private[operators] def localVerifiedStars(
+      ms: Seq[LshBucketMember], minJac: Double): Iterator[(Long, Long)] = {
+    val arr = ms.sortBy(_.id).toArray
+    val n = arr.length
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def jacOk(a: Array[Long], b: Array[Long]): Boolean = {
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      val union = a.length + b.length - inter
+      union > 0 && inter.toDouble / union.toDouble >= minJac
+    }
+    val shs = arr.map(_.sh.toArray)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj && jacOk(shs(i), shs(j)))
+          parent(math.max(ri, rj)) = math.min(ri, rj)
+        j += 1
+      }
+      i += 1
+    }
+    // arr is id-sorted and unions keep the min index as root, so a
+    // component's root index holds its min id
+    (0 until n).iterator.flatMap { x =>
+      val r = find(x)
+      if (r == x) Iterator.empty else Iterator((arr(r).id, arr(x).id))
+    }
   }
 
   /** DuckDB SQL twins (keep in lockstep with the Column builders). */

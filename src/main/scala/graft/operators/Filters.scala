@@ -119,6 +119,55 @@ object Filters {
     df.filter(!skip)
   }
 
+  /**
+   * F3, update-image split — the reference evaluates FOUR expressions per
+   * rule, each written against the TABLE's columns and bound to a row
+   * image: ignore-insert (new image), ignore-delete (old image), and for
+   * UPDATE two separate expressions against the before and after images
+   * (pkg/filter/expr_filter.go:93-124 parses IgnoreUpdateOldValueExpr /
+   * IgnoreUpdateNewValueExpr independently; dm/syncer/expr_filter_group.go
+   * applies old-OR-new). tiflow binds the parsed expression to a column
+   * layout per image; here the same rebinding is a Catalyst transform —
+   * the user writes `val > 100` against the table schema, and the valued
+   * column is re-pointed at `val_before` or `val_after` in the envelope.
+   * An expression left empty never skips; null evaluates to no-skip.
+   */
+  final case class ImageExprRule(ignoreInsert: String = "",
+                                 ignoreDelete: String = "",
+                                 ignoreUpdateOld: String = "",
+                                 ignoreUpdateNew: String = "")
+
+  /** Rebind table-schema attribute names in a user expression to envelope
+    * columns of one image (old: val→val_before, new: val→val_after). */
+  private def bindImage(sql: String, mapping: Map[String, String]): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // parse eagerly (expr() defers to a lazy SqlExpression node the
+    // transform below could not see into), then re-point attributes
+    val rebound = CatalystSqlParser.parseExpression(sql).transform {
+      case a: UnresolvedAttribute if mapping.contains(a.name) =>
+        UnresolvedAttribute.quoted(mapping(a.name))
+    }
+    ColumnBridge.column(rebound)
+  }
+
+  private val OldImage = Map("val" -> "val_before")
+  private val NewImage = Map("val" -> "val_after")
+
+  def exprFilterImages(df: DataFrame, rules: Seq[ImageExprRule]): DataFrame = {
+    def pred(sql: String, img: Map[String, String]): Column =
+      if (sql.isEmpty) lit(false) else coalesce(bindImage(sql, img), lit(false))
+    val skip = rules.foldLeft(lit(false)) { (acc, r) =>
+      acc ||
+        (col("op") === "I" && pred(r.ignoreInsert, NewImage)) ||
+        (col("op") === "D" && pred(r.ignoreDelete, OldImage)) ||
+        (col("op") === "U" &&
+          (pred(r.ignoreUpdateOld, OldImage) || pred(r.ignoreUpdateNew, NewImage)))
+    }
+    df.filter(!skip)
+  }
+
   /** F4 — drop txns whose start_ts is in an ignore list (error recovery;
     * reference pkg/filter/filter.go:246-254). */
   def startTsFilter(df: DataFrame, ignored: Seq[Long]): DataFrame =

@@ -74,6 +74,41 @@ object CdcQueries {
           .cast("double").as("sum_after"))
   }
 
+  // F3, update-image split (q12b) — four per-image expressions, each
+  // written against the TABLE schema (`val`, `etype`), with UPDATE rows
+  // testing the before image and after image under SEPARATE rules
+  // (reference IgnoreUpdateOldValueExpr / IgnoreUpdateNewValueExpr,
+  // pkg/filter/expr_filter.go:93-124). The oracle re-expresses each
+  // binding explicitly (old→val_before, new→val_after), so green pins the
+  // rebinding itself: swap the images and counts shift.
+  private val imageExprRules = Seq(
+    Filters.ImageExprRule(
+      ignoreInsert = "val > 150 AND etype = 'click'",
+      ignoreDelete = "val < 5",
+      ignoreUpdateOld = "val < 20",
+      ignoreUpdateNew = "val > 180"))
+
+  val exprFilterImages = GateQuery(
+    "q12b_expr_filter_images",
+    Some(cte +
+      """SELECT op, count(*) AS cnt,
+        |  CAST(sum(CAST(coalesce(val_before, -1) AS DECIMAL(18,6))) AS DOUBLE) AS sum_before,
+        |  CAST(sum(CAST(coalesce(val_after, -1) AS DECIMAL(18,6))) AS DOUBLE) AS sum_after
+        |FROM cdc
+        |WHERE NOT ((op = 'I' AND coalesce(val_after > 150 AND etype = 'click', FALSE))
+        |        OR (op = 'D' AND coalesce(val_before < 5, FALSE))
+        |        OR (op = 'U' AND (coalesce(val_before < 20, FALSE)
+        |                       OR coalesce(val_after > 180, FALSE))))
+        |GROUP BY op""".stripMargin)) { (spark, dir) =>
+    Filters.exprFilterImages(CdcStream.derive(spark, dir), imageExprRules)
+      .groupBy("op").agg(
+        count(lit(1)).as("cnt"),
+        sum(coalesce(col("val_before"), lit(-1d)).cast(DecimalType(18, 6)))
+          .cast("double").as("sum_before"),
+        sum(coalesce(col("val_after"), lit(-1d)).cast(DecimalType(18, 6)))
+          .cast("double").as("sum_after"))
+  }
+
   // F4 — start-ts ignore list.
   private val ignoredStartTs = Seq(1000006L, 1000249L, 1001238L)
 
@@ -481,7 +516,8 @@ object CdcQueries {
   }
 
   def all: Seq[GateQuery] = Seq(
-    tableFilter, eventFilter, exprFilter, startTsFilter, bdrFilter,
+    tableFilter, eventFilter, exprFilter, exprFilterImages, startTsFilter,
+    bdrFilter,
     checkpointFilter, router, extendColumns, topicRouter,
     dispatchByTable, dispatchByTs, dispatchByIndexValue,
     updateSplit, compaction, txnSizes, batching, safeMode, causality,

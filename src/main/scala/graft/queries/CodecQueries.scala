@@ -503,6 +503,74 @@ object CodecQueries {
       min(col("commit_ts")).as("min_ts"), max(col("commit_ts")).as("max_ts"))
   }
 
+  /**
+   * E3 registry, Glue variant — the reference's second registry contract
+   * (pkg/sink/codec/avro/glue_schema_registry.go:96-124,257-345): schema
+   * VERSIONS are identified by UUIDs, the wire header is 18 bytes
+   * [3, 0, 16-byte version UUID] instead of Confluent's 5, and consumers
+   * dispatch by the UUID in the header. Two versions register under one
+   * schema name ((Create|RegisterSchemaVersion) semantics, idempotent on
+   * re-register), each row frames with the version in force at its commit
+   * ts, and the gate pins (1) EXACT message byte lengths — 18-byte header +
+   * Avro body widths the oracle derives arithmetically, the proof the Glue
+   * layout (not Confluent's) is on the wire — and (2) per-version decode
+   * dispatch: decode with the wrong UUID returns null.
+   */
+  val avroGlue = GateQuery(
+    "q46d_avro_glue",
+    Some(cte +
+      s"""SELECT CASE WHEN commit_ts < 1002000 THEN 1 ELSE 2 END AS schema_version,
+         |  count(*) AS cnt,
+         |  CAST(sum(18 + ${varintLenSql("2*pk")}
+         |    + (CASE WHEN val_after IS NULL THEN 1 ELSE 9 END)
+         |    + 2 + strlen(etype)) AS BIGINT) AS sum_len,
+         |  CAST(count(*) AS BIGINT) AS n_roundtrip,
+         |  CAST(sum(pk) AS BIGINT) AS sum_pk,
+         |  min(commit_ts) AS min_ts, max(commit_ts) AS max_ts
+         |FROM cdc WHERE op <> 'D' GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    import graft.core.GlueSchemaRegistry
+    import graft.functions.AvroBinary
+    val reg = new GlueSchemaRegistry("graft-registry")
+    val base = Seq(("pk", "long", false), ("val", "double", true),
+      ("etype", "string", true))
+    val v1 = reg.register("db.events",
+      Codecs.avroSchema("db", "events", base))
+    val v2 = reg.register("db.events",
+      Codecs.avroSchema("db", "events", base :+ ("c2", "string", true)))
+    require(v1.versionNumber == 1 && v2.versionNumber == 2 &&
+      v1.versionId != v2.versionId)
+    // re-registering an existing definition is idempotent (Glue
+    // RegisterSchemaVersion returns the version already holding it)
+    require(reg.register("db.events",
+      Codecs.avroSchema("db", "events", base)).versionId == v1.versionId)
+    // the header UUID must resolve back through the registry
+    require(reg.byId(v2.versionId).contains(v2) &&
+      reg.latest("db.events").contains(v2))
+    val df = CdcStream.derive(spark, dir).filter(col("op") =!= "D")
+    val enc = df.select(col("pk"), col("val_after"), col("commit_ts"),
+      when(col("commit_ts") < 1002000L,
+        AvroBinary.encodeEnvelopeGlue(col("pk"), col("val_after"), col("etype"),
+          v1.versionId))
+        .otherwise(
+          AvroBinary.encodeEnvelopeGlue(col("pk"), col("val_after"), col("etype"),
+            v2.versionId))
+        .as("msg"))
+    val dec = enc
+      .withColumn("dec1", AvroBinary.decodeEnvelopeGlue(col("msg"), v1.versionId))
+      .withColumn("dec2", AvroBinary.decodeEnvelopeGlue(col("msg"), v2.versionId))
+      .withColumn("schema_version",
+        when(col("dec1").isNotNull, 1).otherwise(2))
+      .withColumn("dec", coalesce(col("dec1"), col("dec2")))
+    dec.groupBy("schema_version").agg(
+      count(lit(1)).as("cnt"),
+      sum(length(col("msg"))).as("sum_len"),
+      sum(when(col("dec.pk") === col("pk") &&
+        col("dec.val").eqNullSafe(col("val_after")), 1L).otherwise(0L))
+        .as("n_roundtrip"),
+      sum(col("pk")).as("sum_pk"),
+      min(col("commit_ts")).as("min_ts"), max(col("commit_ts")).as("max_ts"))
+  }
+
   // ---- decoder round trips (the consumer-migration matrix; reference
   // RowEventDecoder mirrors + tests/mq_protocol_tests replay shape). Each
   // oracle is the PLAIN cdc stream — green proves encode∘decode = id on
@@ -895,6 +963,7 @@ object CodecQueries {
     canal, debezium, maxwell, openProtocol, csv, canalRoundtrip, avroSchemas,
     avroBinary, craftRoundtrip, simple, kafkaRecord, pulsarRecord, rowcodecV2,
     debeziumRoundtrip, maxwellRoundtrip, openRoundtrip, csvRoundtrip,
-    simpleRoundtrip, simpleAvroRoundtrip, avroEvolution, openBatchRoundtrip,
+    simpleRoundtrip, simpleAvroRoundtrip, avroEvolution, avroGlue,
+    openBatchRoundtrip,
     integrity, canalProtoRoundtrip, mqConsumer, compressedMessages)
 }

@@ -327,6 +327,31 @@ object DocQueries {
   }
 
   /**
+   * q150: the labels-NOT-pairs production path (Dedup.lshClusterLabels) —
+   * cluster labels straight from band buckets via per-bucket verified
+   * union-find + star edges, never materializing the global pair list
+   * (the measured 100× bottleneck: 1.22e9 pairs on a dup-dense corpus).
+   * The oracle is the SAME recursive-CTE clustering as q67, so green here
+   * pins label-for-label equality with the pair-based path — the
+   * connectivity-equivalence argument in the operator's scaladoc, checked
+   * by the driver.
+   */
+  val dupLabelsNoPairs = GateQuery(
+    "q150_labels_nopairs",
+    Some(ccCte +
+      s"""
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(comp) AS BIGINT) AS comp_check
+         |FROM (SELECT comp, count(*) AS cluster_size FROM cc GROUP BY comp)
+         |GROUP BY cluster_size""".stripMargin)) { (spark, dir) =>
+    val labels = Dedup.lshClusterLabels(corpus(spark, dir), "doc_id", "text",
+      ShingleN, MinhashK, Bands, MaxBucket, 0.5)
+    labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"), sum(col("comp")).as("comp_check"))
+  }
+
+  /**
    * q94: incremental dedup — a new batch of documents (the planted dups
    * plus token-reversed "novel" docs) matched against a persisted MinHash
    * index of the base corpus (doc_id < 100000). Only the new batch is
@@ -550,6 +575,6 @@ object DocQueries {
 
   def all: Seq[GateQuery] =
     Seq(textStats, qualityHist, langIdQ, fingerprints, repetition, exactDedup,
-      minhashLsh, simhashQ, dupClusters, incrementalDedup, indexAdmit,
-      simhashNearDup, dedupKeep)
+      minhashLsh, simhashQ, dupClusters, dupLabelsNoPairs, incrementalDedup,
+      indexAdmit, simhashNearDup, dedupKeep)
 }

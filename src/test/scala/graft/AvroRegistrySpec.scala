@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.core.AvroSchemaRegistry
+import graft.core.{AvroSchemaRegistry, GlueSchemaRegistry}
 
 /** Registry semantics (reference schema_manager.go contract): monotone
   * global ids, per-subject versions, idempotent registration, lookup by
@@ -39,5 +39,36 @@ class AvroRegistrySpec extends AnyFunSuite {
     assert(reopened.latest("t-value").contains(r2))
     // new registrations continue the id sequence, never reuse
     assert(reopened.register("u-value", s1).id == r2.id + 1)
+  }
+
+  test("glue: per-schema version chain with UUID version ids, idempotent") {
+    val reg = new GlueSchemaRegistry("test-registry")
+    val v1 = reg.register("db.t", s1)
+    val v2 = reg.register("db.t", s2)
+    val o1 = reg.register("db.other", s1)
+    assert(v1.versionNumber == 1 && v2.versionNumber == 2)
+    assert(o1.versionNumber == 1) // versions are per-schema, not global
+    // every version gets a distinct UUID; same definition in another
+    // schema gets its own UUID too (ids are version identities, not
+    // content hashes shared across schemas)
+    assert(Set(v1.versionId, v2.versionId, o1.versionId).size == 3)
+    // idempotent: re-registering an existing definition returns it
+    assert(reg.register("db.t", s1) == v1)
+    assert(reg.byId(v2.versionId).contains(v2))
+    assert(reg.latest("db.t").contains(v2))
+    assert(reg.lookup("db.t", 1).contains(v1))
+  }
+
+  test("glue: registrations survive a restart and UUIDs are stable") {
+    val dir = Files.createTempDirectory("graft_glue_reg").toString
+    val reg = new GlueSchemaRegistry("r1", Some(dir))
+    val v1 = reg.register("db.t", s1)
+    val reopened = new GlueSchemaRegistry("r1", Some(dir))
+    assert(reopened.byId(v1.versionId).contains(v1))
+    assert(reopened.register("db.t", s1) == v1)
+    // a different registry name yields different version ids for the
+    // same schema (Glue ids are scoped to the registry)
+    val other = new GlueSchemaRegistry("r2")
+    assert(other.register("db.t", s1).versionId != v1.versionId)
   }
 }

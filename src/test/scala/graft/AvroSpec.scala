@@ -125,4 +125,27 @@ class AvroSpec extends SparkSpec {
     assert(SimpleAvro.decode(bytes, 13) == null)
     assert(SimpleAvro.decode(Array[Byte](1, 2), 12) == null)
   }
+
+  test("glue framing golden bytes: [3, 0, 16-byte version UUID] + same body") {
+    // glue_schema_registry.go:330-345 — header version 3, compression 0,
+    // then the schema-version UUID big-endian; body identical to Confluent's
+    val id = java.util.UUID.fromString("00112233-4455-6677-8899-aabbccddeeff")
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      3L, 1.5d, org.apache.spark.unsafe.types.UTF8String.fromString("ab"))
+    val msg = AvroBinary.encodeValueGlue(row,
+      id.getMostSignificantBits, id.getLeastSignificantBits)
+    assert(hex(msg) ===
+      "0300" + "00112233445566778899aabbccddeeff" +
+        "06" + "02" + "000000000000f83f" + "02" + "04" + "6162")
+    val dec = AvroBinary.decodeValueGlue(msg,
+      id.getMostSignificantBits, id.getLeastSignificantBits)
+    assert(dec.getLong(0) === 3L && dec.getDouble(1) === 1.5d)
+    // wrong UUID, wrong header version, short message: all rejected
+    assert(AvroBinary.decodeValueGlue(msg, 1L, 2L) == null)
+    val broken = msg.clone(); broken(0) = 0
+    assert(AvroBinary.decodeValueGlue(broken,
+      id.getMostSignificantBits, id.getLeastSignificantBits) == null)
+    assert(AvroBinary.decodeValueGlue(Array[Byte](3, 0),
+      id.getMostSignificantBits, id.getLeastSignificantBits) == null)
+  }
 }

@@ -63,6 +63,45 @@ class DedupCcSpec extends SparkSpec {
     assert(local === dist)
   }
 
+  test("labels-not-pairs path matches the pair-based labels exactly") {
+    // a corpus with planted near-dup families of different shapes: exact
+    // copies, a one-token-edit chain (connectivity through the middle
+    // member — the case a naive bucket-star WITHOUT per-bucket verified
+    // union-find would over-merge), and unrelated docs
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base),                      // exact dups
+      (3L, base + " lambda"), (4L, base + " mu"),  // near base
+      (10L, "one two three four five six seven eight nine ten"),
+      (11L, "one two three four five six seven eight nine eleven"),
+      (20L, "totally different text about distributed query engines rock"),
+      (30L, "unique singleton document mentioning nothing shared at all"))
+      .toDF("id", "text")
+    val pairPath = {
+      val an = Dedup.minhashAnalyzed(docs, "id", "text", 3, 12)
+      val cands = Dedup.lshCandidates(docs, "id", "text", 3, 12, 4, 500)
+      val sh = an.select(col("id"), col("sh"))
+      val verified = cands
+        .join(sh.toDF("id_a", "sh_a"), "id_a")
+        .join(sh.toDF("id_b", "sh_b"), "id_b")
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
+        .select("id_a", "id_b")
+      Dedup.dupClusters(docs.select(col("id")), verified)
+        .as[(Long, Long)].collect().toMap
+    }
+    val labelPath = Dedup.lshClusterLabels(docs, "id", "text", 3, 12, 4, 500, 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(labelPath === pairPath)
+    // and the edge volume is linear: a bucket of m dups emits m-1 star
+    // edges, not m(m-1)/2 pairs
+    val many = (0L until 200L).map(i => (i, base)) :+ (999L -> "lone wolf text")
+    val manyDf = many.toDF("id", "text")
+    val labels = Dedup.lshClusterLabels(manyDf, "id", "text", 3, 12, 4, 500, 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert((0L until 200L).forall(labels(_) == 0L) && labels(999L) == 999L)
+  }
+
   test("degenerate LSH bucket is capped: candidates stay linear") {
     // 1200 identical boilerplate docs (every band hashes them into ONE
     // bucket → an uncapped self-join would emit ~720k pairs) + 2 genuine

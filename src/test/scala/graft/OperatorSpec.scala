@@ -29,6 +29,32 @@ class OperatorSpec extends SparkSpec {
     assert(Filters.wildcardToRegex("a.b") == "^a\\.b$")
   }
 
+  test("image expr filter: update old/new expressions bind to distinct images") {
+    val in = Seq(
+      // op, val_before, val_after — rules: ignoreUpdateOld "val < 20",
+      // ignoreUpdateNew "val > 180"
+      (1L, "U", Some(10.0), Some(50.0)),  // old image trips the OLD rule
+      (2L, "U", Some(50.0), Some(200.0)), // new image trips the NEW rule
+      (3L, "U", Some(50.0), Some(50.0)),  // neither → kept
+      (4L, "U", Some(200.0), Some(10.0)), // values swapped: NEITHER rule
+                                          // fires iff binding is per-image
+      (5L, "I", None, Some(200.0)),       // insert rule absent → kept
+      (6L, "D", Some(1.0), None))         // delete: old image < 5 → dropped
+      .toDF("seq", "op", "val_before", "val_after")
+    val rules = Seq(Filters.ImageExprRule(
+      ignoreDelete = "val < 5",
+      ignoreUpdateOld = "val < 20", ignoreUpdateNew = "val > 180"))
+    val kept = Filters.exprFilterImages(in, rules)
+      .select("seq").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L))
+    // null images never skip (tiflow null = no-skip contract)
+    val withNull = Seq((7L, "U", None: Option[Double], Some(300.0)))
+      .toDF("seq", "op", "val_before", "val_after")
+    assert(Filters.exprFilterImages(withNull,
+      Seq(Filters.ImageExprRule(ignoreUpdateOld = "val < 20")))
+      .count() == 1)
+  }
+
   test("update split: key-churn updates become D+I, others pass through") {
     val in = Seq(
       (1L, "U", 10L, 9L, 0, "s", "t", 5L, 5L, Some(1.0), Some(2.0), "e"),
