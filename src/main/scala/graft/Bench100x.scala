@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, VectorOps}
+
+/**
+ * The 100× scale-regression bench (VERDICT r7 item 7): measures the heavy
+ * gate family on a `ScaleGen`-amplified corpus and emits ONE JSON line, so
+ * the scale signal is a tracked per-round artifact (BENCH_100x.json) like
+ * the sf0.1 one, instead of a hand-run table in NOTES.md.
+ *
+ * Two groups:
+ *  - gate-config entries run the REAL gate plans unchanged (q01, q93,
+ *    q74, q101, q51, q65, q67, q150) — their ratios vs BENCH_100x of the
+ *    previous round are the regression signal;
+ *  - `_knob` entries run the scale-knob configs the gates pin only at
+ *    gate scale (q85 with √n IVF cells via [[VectorOps.recommendedCells]],
+ *    q103 with √n clusters + widened LSH planes, q116 with the
+ *    [[Dedup.simhashBandPlan]] width) — these are the numbers that must
+ *    stay near-linear as K grows.
+ *
+ * q150 vs (q65 + q67) is the labels-not-pairs check: the pair-based path
+ * pays for the materialized candidate list (1.22e9 pairs at 100× on the
+ * dup-dense corpus — NOTES), the labels path must not.
+ *
+ * Usage: tools/run.sh graft.Bench100x <scaledDir> [gate,...]
+ * (generate the dir once with `tools/run.sh graft.ScaleGen
+ * /root/testdata/sf0.1 /tmp/graft_sf10 100`).
+ */
+object Bench100x {
+
+  /** The √n-cell index, built ONCE the production way — centroids train on
+    * a bounded SAMPLE (the FAISS practice: ~40-50 vectors per cell, never
+    * the full corpus), then one full-corpus assignment pass — and shared
+    * by the IVF-search and SemDeDup entries (one index serves both).
+    * `q85_ivf_index` times this build as its own line item so the search
+    * numbers measure the recurring per-query cost, not the amortized
+    * one-off. */
+  private var ivfIndex: Option[(DataFrame, DataFrame)] = None
+  private def buildIvfIndex(dir: String, spark: SparkSession): (DataFrame, DataFrame) =
+    ivfIndex.getOrElse {
+      val e = Tables.load(spark, dir, "embeddings")
+      val n = e.count()
+      val k = VectorOps.recommendedCells(n)
+      val sampleEvery = math.max(1L, n / (50L * k))
+      val trained = VectorOps.kmeans(
+        e.filter(col("vec_id") % sampleEvery === 0), k, iters = 2)
+      val cents = VectorOps.centroids(
+        trained.select(col("centroid_id"), col("embedding")),
+        "centroid_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = VectorOps.assignCentroids(e, cents)
+        .select(col("centroid_id"), col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assigned.count()
+      val built = (assigned, cents)
+      ivfIndex = Some(built)
+      built
+    }
+
+  private def knobGates(dir: String, spark: SparkSession)
+      : Seq[(String, () => DataFrame)] = Seq(
+    "q85_ivf_index" -> { () =>
+      val (assigned, _) = buildIvfIndex(dir, spark)
+      assigned.groupBy("centroid_id").agg(count(lit(1)).as("n"))
+    },
+    "q85_ivf_knob" -> { () =>
+      val (assigned, cents) = buildIvfIndex(dir, spark)
+      val e = Tables.load(spark, dir, "embeddings")
+      VectorOps.ivfSearch(assigned, e.filter(expr("vec_id % 50 = 0")), cents,
+        nProbe = 3, k = 3)
+    },
+    "q103_semdedup_knob" -> { () =>
+      val e = Tables.load(spark, dir, "embeddings")
+      val n = e.count()
+      // planes ∝ log2: per-bucket pairs grow as (n/(k·2^planes))²
+      val planes = math.min(16,
+        math.max(6, 64 - java.lang.Long.numberOfLeadingZeros(n / 1000 + 1)))
+      val (assigned, _) = buildIvfIndex(dir, spark)
+      val members = assigned
+        .select(col("centroid_id"), col("vec_id"), col("embedding"),
+          VectorOps.lshSignature(col("embedding"), planes, 64).as("sig"))
+      members.as("a").join(members.as("b"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col("a.sig") === col("b.sig") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          VectorOps.cosine(col("a.embedding"), col("b.embedding")))
+        .filter(col("cos") >= 0.3)
+        .groupBy(col("a.centroid_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    "q116_simhash_knob" -> { () =>
+      val docs = Tables.load(spark, dir, "documents")
+      val n = docs.count()
+      val (bits, bands) = Dedup.simhashBandPlan(n, maxHam = 3)
+      val sh = Dedup.simhashTable(docs, "doc_id", "text", bits)
+      Dedup.simhashCandidates(sh, bits, bands, maxHam = 3)
+        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    })
+
+  private val GateSet = Seq("q01_pricing_summary", "q93_lm_perplexity",
+    "q74_checkpoint_resume", "q101_tfidf", "q51_row_diff", "q65_minhash_lsh",
+    "q67_dup_clusters", "q150_labels_nopairs")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse(
+      System.getProperty("java.io.tmpdir") + "/graft_sf10")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val entries: Seq[(String, () => DataFrame)] =
+      GateSet.map(n => n -> (() => SparkEntry.queries(n)(spark, dir))) ++
+        knobGates(dir, spark)
+    val only = args.lift(1).map(_.split(',').toSet)
+    val sel = entries.filter(e => only.forall(_.contains(e._1)))
+
+    val times = sel.map { case (name, mk) =>
+      System.gc(); Thread.sleep(300); System.gc()
+      val t0 = System.nanoTime()
+      val rows = mk().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench100x] $name%-22s $secs%8.2f s  ($rows rows)")
+      name -> secs
+    }
+    val qjson = times.map { case (n, s) => s""""$n":${f"$s%.2f"}""" }
+      .mkString(",")
+    println(s"""{"metric":"bench100x","unit":"sec","dir":"$dir",""" +
+      s""""value":${f"${times.map(_._2).sum}%.2f"},"queries":{$qjson}}""")
+    spark.stop()
+  }
+}

@@ -17,11 +17,26 @@ import org.apache.spark.sql.types._
  * Schema checks run on the driver against the catalog StructType (no data
  * pass); data checks are ONE aggregation per table; shard checks are one
  * aggregation per group. Emits (table_name, check_name, verdict, detail).
+ *
+ * The server-CONFIG checkers (version / server_id / binlog enable / format /
+ * row_image — dm/pkg/checker/mysql_server.go, binlog.go) need only the
+ * source's variable snapshot, not a live connection: the task spec carries
+ * it as [[Precheck.SourceMeta]] and [[serverChecks]] replays the reference's
+ * acceptance logic offline (same severities: version/server_id warn,
+ * binlog misconfig fails).
  */
 object Precheck {
 
   final case class CheckResult(table_name: String, check_name: String,
                                verdict: String, detail: String)
+
+  /** Source server variable snapshot carried by the task spec — the five
+    * variables the reference's server checkers SHOW from a live conn. */
+  final case class SourceMeta(version: String = "8.0.36-log",
+                              serverId: Long = 1L,
+                              logBin: String = "ON",
+                              binlogFormat: String = "ROW",
+                              binlogRowImage: String = "FULL")
 
   private val supported: Set[DataType] = Set(ByteType, ShortType, IntegerType,
     LongType, FloatType, DoubleType, StringType, BinaryType, BooleanType,
@@ -166,6 +181,67 @@ object Precheck {
     Seq(schemaRes).toDF().unionByName(pkRes)
   }
 
+  /** Leading numeric triple of a MySQL-ish version string
+    * ("8.0.36-log" → (8,0,36)); unparseable segments read as 0. */
+  private[diff] def parseVersion(v: String): (Int, Int, Int) = {
+    val nums = v.takeWhile(c => c.isDigit || c == '.').split('.')
+      .map(s => s.toIntOption.getOrElse(0)).padTo(3, 0)
+    (nums(0), nums(1), nums(2))
+  }
+
+  private def geq(a: (Int, Int, Int), b: (Int, Int, Int)): Boolean =
+    Ordering[(Int, Int, Int)].gteq(a, b)
+
+  /**
+   * Server-config checkers over the task spec's variable snapshot —
+   * reference semantics checker by checker:
+   *  - mysql_version (mysql_server.go:51-113): MariaDB → warn
+   *    (experimental), TiDB → warn (unsupported upstream), else the
+   *    supported window is [5.6.0, 8.5.0) with out-of-window a warn.
+   *  - mysql_server_id (mysql_server.go:116-158): 0/unset warns
+   *    (master/slave switchover hazard).
+   *  - mysql_binlog_enable (binlog.go:41-77): log_bin must be ON → fail.
+   *  - mysql_binlog_format (binlog.go:82-119): must be ROW → fail.
+   *  - mysql_binlog_row_image (binlog.go:129-190): must be FULL, but the
+   *    variable only exists from MySQL 5.6.2 / MariaDB 10.1.6 — older
+   *    servers always use full images, so the check passes vacuously.
+   */
+  def serverChecks(source: String, meta: SourceMeta): Seq[CheckResult] = {
+    val ver = parseVersion(meta.version)
+    val isMaria = meta.version.toLowerCase.contains("mariadb")
+    val isTidb = meta.version.toLowerCase.contains("tidb")
+    val versionCheck =
+      if (isMaria)
+        CheckResult(source, "mysql_version", "warn", "mariadb_experimental")
+      else if (isTidb)
+        CheckResult(source, "mysql_version", "warn", "tidb_unsupported_upstream")
+      else if (!geq(ver, (5, 6, 0)))
+        CheckResult(source, "mysql_version", "warn",
+          s"version=${meta.version} below 5.6.0")
+      else if (geq(ver, (8, 5, 0)))
+        CheckResult(source, "mysql_version", "warn",
+          s"version=${meta.version} at/above 8.5.0")
+      else CheckResult(source, "mysql_version", "pass", s"version=${meta.version}")
+    val rowImageRequired =
+      if (isMaria) geq(ver, (10, 1, 6)) else geq(ver, (5, 6, 2))
+    Seq(
+      versionCheck,
+      CheckResult(source, "mysql_server_id",
+        if (meta.serverId > 0) "pass" else "warn",
+        s"server_id=${meta.serverId}"),
+      CheckResult(source, "mysql_binlog_enable",
+        if (meta.logBin.equalsIgnoreCase("ON")) "pass" else "fail",
+        s"log_bin=${meta.logBin}"),
+      CheckResult(source, "mysql_binlog_format",
+        if (meta.binlogFormat.equalsIgnoreCase("ROW")) "pass" else "fail",
+        s"binlog_format=${meta.binlogFormat}"),
+      CheckResult(source, "mysql_binlog_row_image",
+        if (!rowImageRequired || meta.binlogRowImage.equalsIgnoreCase("FULL"))
+          "pass"
+        else "fail",
+        s"binlog_row_image=${meta.binlogRowImage}"))
+  }
+
   /** Full precheck over a set of tables with their PK definitions, plus
     * optional shard groups merging into one target table. Schema checks are
     * driver-side (catalog StructTypes, no data pass); every data/shard
@@ -173,11 +249,12 @@ object Precheck {
     * ONE Spark action with the per-table aggs running as parallel stages —
     * job count is O(1) in the number of tables. */
   def run(spark: SparkSession, tables: Seq[(String, DataFrame, Seq[String])],
-          shardGroups: Seq[(String, Seq[DataFrame], Seq[String])] = Nil): DataFrame = {
+          shardGroups: Seq[(String, Seq[DataFrame], Seq[String])] = Nil,
+          sources: Seq[(String, SourceMeta)] = Nil): DataFrame = {
     import spark.implicits._
-    val schema = tables.flatMap { case (name, df, pk) =>
+    val schema = (tables.flatMap { case (name, df, pk) =>
       schemaChecks(name, df.schema, pk)
-    }.toDF()
+    } ++ sources.flatMap { case (name, meta) => serverChecks(name, meta) }).toDF()
     val withData = tables.map { case (name, df, pk) => dataChecks(spark, name, df, pk) }
       .foldLeft(schema)(_ unionByName _)
     shardGroups.map { case (name, shards, pk) => shardChecks(spark, name, shards, pk) }

@@ -23,6 +23,10 @@ import graft.core.Hashing
   * Spark derives its Encoder). */
 final case class LshBucketMember(id: Long, sh: Seq[Long])
 
+/** Band-bucket member with an index/new-batch side tag, for incremental
+  * label admission. */
+final case class LshAdmitMember(id: Long, sh: Seq[Long], is_new: Boolean)
+
 object Dedup {
 
   /** Word n-gram shingles; documents shorter than n words collapse to one
@@ -399,25 +403,28 @@ object Dedup {
    * per-bucket work bounded by `maxBucket`, then the star CC. Raw text
    * never shuffles.
    */
-  def lshClusterLabels(df: DataFrame, idCol: String, textCol: String,
-                       shingleN: Int = 3, k: Int = 12, bands: Int = 4,
-                       maxBucket: Int = 500, minJac: Double = 0.5): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val an = minhashAnalyzed(df, idCol, textCol, shingleN, k)
+  /** Banded (id, sh, band, band_sig) table from [[minhashAnalyzed]] output,
+    * with the degenerate-bucket cap (0 disables) — the shared first stage
+    * of the labels-not-pairs and incremental-admission paths. */
+  def bandedTable(an: DataFrame, k: Int, bands: Int, maxBucket: Int): DataFrame = {
     val banded0 = an.select(col("id"), col("sh"),
         explode(lshBands(col("sig"), k, bands)).as("b"))
       .select(col("id"), col("sh"),
         col("b.band").as("band"), col("b.sig").as("band_sig"))
-    val banded =
-      if (maxBucket <= 0) banded0
-      else {
-        import org.apache.spark.sql.expressions.Window
-        banded0.withColumn("_bsz",
-            count(lit(1)).over(Window.partitionBy(col("band"), col("band_sig"))))
-          .filter(col("_bsz") <= maxBucket).drop("_bsz")
-      }
-    val starEdges = banded
+    if (maxBucket <= 0) banded0
+    else {
+      import org.apache.spark.sql.expressions.Window
+      banded0.withColumn("_bsz",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("band_sig"))))
+        .filter(col("_bsz") <= maxBucket).drop("_bsz")
+    }
+  }
+
+  /** Per-bucket verified star edges (see [[lshClusterLabels]]). */
+  def bucketStars(banded: DataFrame, minJac: Double): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
       .groupBy("band", "band_sig")
       .agg(collect_list(struct(col("id").as("id"), col("sh").as("sh"))).as("ms"))
       .filter(size(col("ms")) > 1)
@@ -426,7 +433,53 @@ object Dedup {
       .flatMap(ms => localVerifiedStars(ms, minJac))
       .toDF("id_a", "id_b")
       .distinct()
+  }
+
+  def lshClusterLabels(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+                       maxBucket: Int = 500, minJac: Double = 0.5): DataFrame = {
+    val an = minhashAnalyzed(df, idCol, textCol, shingleN, k)
+    val starEdges = bucketStars(bandedTable(an, k, bands, maxBucket), minJac)
     dupClusters(df.select(col(idCol).as("id")), starEdges)
+  }
+
+  /**
+   * Incremental admission for the labels path: edges a NEW batch adds to
+   * an existing cluster labeling, without re-verifying the index against
+   * itself. Buckets untouched by the batch contribute nothing; within a
+   * touched bucket only NEW-involving pairs verify (new×old and new×new —
+   * the old members' mutual connectivity is already carried by the
+   * persisted [[bucketStars]] edges), and each local component emits star
+   * edges. CC over (old stars ∪ these edges) equals CC over the full
+   * recompute's verified graph: a new doc that bridges two old clusters
+   * contributes verified edges to members of both, and the bridge rides
+   * the star.
+   *
+   * Scale shape: the new batch's bands broadcast against the index's
+   * banded table (a batch is small against a 100 TB index — the
+   * [[incrementalMatches]] argument); per-bucket work is bounded by
+   * (new-in-bucket × bucket size) with the index side capped at build.
+   */
+  def admitEdges(indexBanded: DataFrame, newBanded: DataFrame,
+                 minJac: Double = 0.5): DataFrame = {
+    val spark = indexBanded.sparkSession
+    import spark.implicits._
+    val touched = broadcast(newBanded.select("band", "band_sig").distinct())
+    val tagged = indexBanded.join(touched, Seq("band", "band_sig"))
+      .select(col("id"), col("sh"), col("band"), col("band_sig"),
+        lit(false).as("is_new"))
+      .unionByName(newBanded.select(col("id"), col("sh"), col("band"),
+        col("band_sig"), lit(true).as("is_new")))
+    tagged
+      .groupBy("band", "band_sig")
+      .agg(collect_list(struct(col("id").as("id"), col("sh").as("sh"),
+        col("is_new").as("is_new"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(col("ms"))
+      .as[Seq[LshAdmitMember]]
+      .flatMap(ms => localAdmitStars(ms, minJac))
+      .toDF("id_a", "id_b")
+      .distinct()
   }
 
   /** Local (per-bucket) verified union-find → star edges to each
@@ -434,8 +487,26 @@ object Dedup {
     * hashes, so Jaccard is a merge-count; pairs already connected are
     * skipped before any shingle work. */
   private[operators] def localVerifiedStars(
-      ms: Seq[LshBucketMember], minJac: Double): Iterator[(Long, Long)] = {
-    val arr = ms.sortBy(_.id).toArray
+      ms: Seq[LshBucketMember], minJac: Double): Iterator[(Long, Long)] =
+    localStars(ms.map(m => (m.id, m.sh)), minJac, (_, _) => true)
+
+  /** Admission variant: only NEW-involving pairs are eligible to verify. */
+  private[operators] def localAdmitStars(
+      ms: Seq[LshAdmitMember], minJac: Double): Iterator[(Long, Long)] = {
+    val sorted = ms.sortBy(_.id)
+    val isNew = sorted.map(_.is_new).toArray
+    localStars(sorted.map(m => (m.id, m.sh)), minJac,
+      (i, j) => isNew(i) || isNew(j))
+  }
+
+  /** Local (per-bucket) verified union-find → star edges to each
+    * component's min id. Members arrive with SORTED distinct shingle
+    * hashes, so Jaccard is a merge-count; pairs already connected (or not
+    * `eligible`) are skipped before any shingle work. `eligible` indexes
+    * into the id-sorted member order. */
+  private def localStars(members: Seq[(Long, Seq[Long])], minJac: Double,
+                         eligible: (Int, Int) => Boolean): Iterator[(Long, Long)] = {
+    val arr = members.sortBy(_._1).toArray
     val n = arr.length
     val parent = Array.tabulate(n)(identity)
     def find(x: Int): Int = {
@@ -455,14 +526,16 @@ object Dedup {
       val union = a.length + b.length - inter
       union > 0 && inter.toDouble / union.toDouble >= minJac
     }
-    val shs = arr.map(_.sh.toArray)
+    val shs = arr.map(_._2.toArray)
     var i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
-        val (ri, rj) = (find(i), find(j))
-        if (ri != rj && jacOk(shs(i), shs(j)))
-          parent(math.max(ri, rj)) = math.min(ri, rj)
+        if (eligible(i, j)) {
+          val (ri, rj) = (find(i), find(j))
+          if (ri != rj && jacOk(shs(i), shs(j)))
+            parent(math.max(ri, rj)) = math.min(ri, rj)
+        }
         j += 1
       }
       i += 1
@@ -471,8 +544,34 @@ object Dedup {
     // component's root index holds its min id
     (0 until n).iterator.flatMap { x =>
       val r = find(x)
-      if (r == x) Iterator.empty else Iterator((arr(r).id, arr(x).id))
+      if (r == x) Iterator.empty else Iterator((arr(r)._1, arr(x)._1))
     }
+  }
+
+  /**
+   * Priority-aware removal policy: within each duplicate cluster keep the
+   * member with the highest `priority` (curated > crawled), ties broken
+   * by smallest id. The (priority desc, id asc) order folds into ONE
+   * integer max key — priority·2³⁰ + (2³⁰−1−id) — so survivor selection
+   * is a partial-aggregable groupBy on the cluster label (map-side
+   * combine collapses big clusters before the shuffle) and the tiny
+   * survivor table broadcasts back onto the corpus; no window function
+   * ever sees the full corpus. Requires ids and priorities < 2³⁰.
+   *
+   * Returns the labeled corpus with an integer `kept` flag (1 = survivor).
+   */
+  def keepByPriority(labels: DataFrame, docs: DataFrame, idCol: String,
+                     priority: Column): DataFrame = {
+    val Big = 1073741824L // 2^30
+    val withP = labels.join(docs, labels("id") === docs(idCol))
+      .drop(idCol)
+      .withColumn("_prio", priority.cast("long"))
+    val best = withP.groupBy("comp")
+      .agg(max(col("_prio") * Big + (lit(Big - 1) - col("id"))).as("_bk"))
+      .select(col("comp"), (lit(Big - 1) - pmod(col("_bk"), lit(Big))).as("_keep_id"))
+    withP.join(broadcast(best), "comp")
+      .withColumn("kept", (col("id") === col("_keep_id")).cast("int"))
+      .drop("_bk", "_keep_id", "_prio")
   }
 
   /** DuckDB SQL twins (keep in lockstep with the Column builders). */

@@ -110,7 +110,17 @@ object DdlQueries {
            |    ('orders', 'column_name_collision', 'pass'),
            |    ('orders', 'column_count_bound', 'pass'),
            |    ('orders', 'decimal_precision_bound', 'pass'),
-           |    ('orders_sharded', 'shard_schema_consistent', 'pass')) v(t, c, v)
+           |    ('orders_sharded', 'shard_schema_consistent', 'pass'),
+           |    ('source_1', 'mysql_version', 'pass'),
+           |    ('source_1', 'mysql_server_id', 'pass'),
+           |    ('source_1', 'mysql_binlog_enable', 'pass'),
+           |    ('source_1', 'mysql_binlog_format', 'pass'),
+           |    ('source_1', 'mysql_binlog_row_image', 'pass'),
+           |    ('source_2', 'mysql_version', 'warn'),
+           |    ('source_2', 'mysql_server_id', 'warn'),
+           |    ('source_2', 'mysql_binlog_enable', 'fail'),
+           |    ('source_2', 'mysql_binlog_format', 'fail'),
+           |    ('source_2', 'mysql_binlog_row_image', 'pass')) v(t, c, v)
            |  UNION ALL
            |  SELECT 'orders_sharded', 'auto_increment_conflict',
            |    CASE WHEN n = 0 THEN 'pass' ELSE 'fail' END FROM shard_conflicts
@@ -125,7 +135,17 @@ object DdlQueries {
         ("orders_sharded",
           Seq(orders.filter(col("o_orderkey") % 2 === 0),
             orders.filter(col("o_orderkey") % 2 === 1)),
-          Seq("o_orderkey"))))
+          Seq("o_orderkey"))),
+      // server-config checkers over the task spec's variable snapshots:
+      // source_1 healthy; source_2 a misconfigured old MariaDB — version
+      // warns (experimental), server_id unset warns, binlog off/STATEMENT
+      // fail, and row_image passes VACUOUSLY (10.1.2 < 10.1.6, the
+      // variable does not exist yet — reference binlog.go:129-190)
+      sources = Seq(
+        ("source_1", Precheck.SourceMeta()),
+        ("source_2", Precheck.SourceMeta(version = "10.1.2-MariaDB",
+          serverId = 0L, logBin = "OFF", binlogFormat = "STATEMENT",
+          binlogRowImage = "MINIMAL"))))
       .select("table_name", "check_name", "verdict")
   }
 

@@ -507,6 +507,71 @@ object DocQueries {
   }
 
   /**
+   * q151 — incremental LABEL admission, the labels-not-pairs path in the
+   * streaming-index regime ([[Dedup.admitEdges]]): the persisted index
+   * carries its [[Dedup.bucketStars]] edge set; a new batch adds only
+   * NEW-involving verified edges from the buckets it touches (broadcast
+   * of the batch's bands against the index, old-old pairs never
+   * re-verify), and CC over (old stars ∪ new edges) must equal the full
+   * recompute over the combined corpus. The oracle builds that full
+   * recompute independently: old-old, new-old, and new-new verified pair
+   * sets unioned into one recursive-CTE clustering — green pins the
+   * bridge case (a new doc joining two old clusters merges them).
+   */
+  val incrementalLabels = GateQuery(
+    "q151_incremental_labels",
+    Some(incrementalCte +
+      s"""
+         |, oo AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ibanded a JOIN ibanded b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |  JOIN idx ia ON ia.doc_id = a.doc_id
+         |  JOIN idx ib ON ib.doc_id = b.doc_id
+         |  WHERE (100 * len(list_intersect(ia.sh, ib.sh)))
+         |      // len(list_distinct(ia.sh || ib.sh)) >= 50
+         |), nn AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM nbanded a JOIN nbanded b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |  JOIN nsig xa ON xa.doc_id = a.doc_id
+         |  JOIN nsig xb ON xb.doc_id = b.doc_id
+         |  WHERE (100 * len(list_intersect(xa.sh, xb.sh)))
+         |      // len(list_distinct(xa.sh || xb.sh)) >= 50
+         |), noe AS (
+         |  SELECT old_id AS id_a, new_id AS id_b FROM scored WHERE jac_pct >= 50
+         |), alledges AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |    SELECT * FROM oo UNION ALL SELECT * FROM nn UNION ALL SELECT * FROM noe)
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM alledges
+         |  UNION ALL SELECT id_b, id_a FROM alledges
+         |), cc AS (
+         |  WITH RECURSIVE reach(node, comp) AS (
+         |    SELECT doc_id, doc_id FROM (
+         |      SELECT doc_id FROM idx UNION ALL SELECT doc_id FROM nsig)
+         |    UNION
+         |    SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+         |  )
+         |  SELECT node AS doc_id, min(comp) AS comp FROM reach GROUP BY node
+         |)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(comp) AS BIGINT) AS comp_check
+         |FROM (SELECT comp, count(*) AS cluster_size FROM cc GROUP BY comp)
+         |GROUP BY cluster_size""".stripMargin), heavy = true) { (spark, dir) =>
+    val (idx, na, _) = incrementalParts(spark, dir)
+    val ib = Dedup.bandedTable(idx, MinhashK, Bands, MaxBucket)
+    val nb = Dedup.bandedTable(na, MinhashK, Bands, 0)
+    val oldStars = Dedup.bucketStars(ib, 0.5)
+    val newEdges = Dedup.admitEdges(ib, nb, 0.5)
+    val nodes = idx.select("id").unionByName(na.select("id"))
+    Dedup.dupClusters(nodes, oldStars.unionByName(newEdges))
+      .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"), sum(col("comp")).as("comp_check"))
+  }
+
+  /**
    * q117 — dedup REMOVAL policy, the output step of the dedup story:
    * each duplicate cluster keeps its canonical document (the minimum id —
    * the component label itself) and drops the rest; the gate pins the
@@ -573,8 +638,88 @@ object DocQueries {
         sum(col("id_a") + col("id_b")).as("id_check"))
   }
 
+  /**
+   * q152 — PRIORITY-aware removal policy, the production form of q117:
+   * within each duplicate cluster keep the doc from the highest-priority
+   * SOURCE (curated > crawled), ties broken by smallest id — the
+   * canonical-by-quality rule every corpus build applies rather than
+   * min-id. Priority here derives deterministically from the source name
+   * (srcN → N % 5). Selection is one integer arg-max per cluster
+   * ([[Dedup.keepByPriority]]): priority·2³⁰ + (2³⁰−1−id) folds the
+   * (priority desc, id asc) order into one max, so the per-cluster
+   * reduction is a partial-aggregable groupBy — no window over the
+   * corpus, and the survivor table broadcasts back.
+   */
+  val priorityKeep = GateQuery(
+    "q152_priority_keep",
+    Some(ccCte +
+      s"""
+         |, prio AS (
+         |  SELECT c.doc_id, c.comp, d.source,
+         |    (CAST(substr(d.source, 4) AS BIGINT) % 5) AS p
+         |  FROM cc c JOIN corpus d USING (doc_id)
+         |), best AS (
+         |  SELECT comp,
+         |    1073741823 - (max(p * 1073741824 + (1073741823 - doc_id))
+         |      % 1073741824) AS keep_id
+         |  FROM prio GROUP BY comp
+         |)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN doc_id = keep_id THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_check
+         |FROM prio JOIN best USING (comp)
+         |GROUP BY source""".stripMargin), heavy = true) { (spark, dir) =>
+    val c = corpus(spark, dir)
+    val cands = scoredCandidates(spark, dir)
+      .filter(col("jac") >= 0.5)
+      .select("id_a", "id_b")
+    val labels = Dedup.dupClusters(c.select(col("doc_id").as("id")), cands)
+    val prio = substring(col("source"), 4, 10).cast("long") % 5
+    Dedup.keepByPriority(labels, c, "doc_id", prio)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        sum(when(col("kept") === 1, col("id")).otherwise(0L))
+          .as("kept_id_check"))
+  }
+
+  /**
+   * q153 — deterministic train/val/test split by portable hash: the
+   * assignment must be a pure function of the doc id (stable across
+   * engines, runs, and corpus growth — adding docs never reassigns old
+   * ones), so both engines hash `split:<id>` through the shared portable
+   * kernel and bucket 80/10/10. Map-only; the gate pins membership (id
+   * checksums per split), not just sizes.
+   */
+  val hashSplit = GateQuery(
+    "q153_hash_split",
+    Some(corpusCte +
+      s"""
+         |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_check,
+         |  CAST(sum(len(${TextOps.Sql.tokens.format("text")})) AS BIGINT) AS sum_tokens
+         |FROM (
+         |  SELECT doc_id, text,
+         |    ((${graft.core.Hashing.Sql.portableLong("'split:' || CAST(doc_id AS VARCHAR)")}
+         |      % 100) + 100) % 100 AS b
+         |  FROM corpus
+         |)
+         |GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    val b = pmod(graft.core.Hashing.portableLong(
+      concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+    corpus(spark, dir)
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_check"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("sum_tokens"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(textStats, qualityHist, langIdQ, fingerprints, repetition, exactDedup,
       minhashLsh, simhashQ, dupClusters, dupLabelsNoPairs, incrementalDedup,
-      indexAdmit, simhashNearDup, dedupKeep)
+      indexAdmit, incrementalLabels, simhashNearDup, dedupKeep, priorityKeep,
+      hashSplit)
 }

@@ -102,6 +102,54 @@ class DedupCcSpec extends SparkSpec {
     assert((0L until 200L).forall(labels(_) == 0L) && labels(999L) == 999L)
   }
 
+  test("incremental label admission: a new doc bridges two old clusters") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten eleven twelve"
+    val oldDocs = Seq((1L, a), (2L, a), (10L, b), (11L, b)).toDF("id", "text")
+    // the bridge shares enough shingles with BOTH families to verify: it
+    // is a's text followed by b's text (jaccard vs each ≈ 0.45... use
+    // a+a-prefix? keep it simple: bridge = a ++ b has jac(a)=10/21 < 0.5)
+    // so instead admit two new docs, one near-dup of each family, plus an
+    // exact copy of a - and check labels match the full recompute
+    val newDocs = Seq((100L, a), (101L, b + " thirteen")).toDF("id", "text")
+    val an = Dedup.minhashAnalyzed(oldDocs, "id", "text", 3, 12)
+    val nb = Dedup.minhashAnalyzed(newDocs, "id", "text", 3, 12)
+    val ib = Dedup.bandedTable(an, 12, 4, 500)
+    val nbb = Dedup.bandedTable(nb, 12, 4, 0)
+    val oldStars = Dedup.bucketStars(ib, 0.5)
+    val newEdges = Dedup.admitEdges(ib, nbb, 0.5)
+    val nodes = an.select("id").unionByName(nb.select("id"))
+    val incLabels = Dedup.dupClusters(nodes, oldStars.unionByName(newEdges))
+      .as[(Long, Long)].collect().toMap
+    // full recompute over the combined corpus must agree
+    val full = Dedup.lshClusterLabels(oldDocs.unionByName(newDocs),
+      "id", "text", 3, 12, 4, 500, 0.5).as[(Long, Long)].collect().toMap
+    assert(incLabels === full)
+    assert(incLabels(100L) == 1L && incLabels(2L) == 1L) // joined a-family
+    assert(incLabels(101L) == 10L)                       // joined b-family
+    // old-old pairs are never re-VERIFIED (only new-involving pairs run
+    // Jaccard), but an emitted star edge MAY link two old members whose
+    // connectivity flows through the new doc (1 - 100 - 2 compresses to
+    // root-1 stars (1,2),(1,100)); both docs 1 and 2 share a component
+    // with an admitted doc, which is the only way old ids appear
+    val emitted = newEdges.as[(Long, Long)].collect().toSet
+    val compOfEmitted = emitted.flatMap(e => Seq(e._1, e._2)).map(incLabels)
+    assert(compOfEmitted.forall(c =>
+      incLabels.exists { case (id, cc) => cc == c && id >= 100L }))
+  }
+
+  test("priority keep: highest source priority wins, ties break to min id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("id", "comp")
+    val docs = Seq((1L, 0L), (2L, 2L), (3L, 2L), (10L, 1L), (11L, 1L),
+      (20L, 0L)).toDF("doc_id", "p")
+    val kept = Dedup.keepByPriority(labels, docs, "doc_id", col("p"))
+      .filter(col("kept") === 1).select("id").as[Long].collect().toSet
+    // comp 1: ids 2,3 share top priority 2 → min id 2; comp 10: tie on
+    // priority 1 → min id 10; singleton keeps itself
+    assert(kept === Set(2L, 10L, 20L))
+  }
+
   test("degenerate LSH bucket is capped: candidates stay linear") {
     // 1200 identical boilerplate docs (every band hashes them into ONE
     // bucket → an uncapped self-join would emit ~720k pairs) + 2 genuine

@@ -1,0 +1,59 @@
+package graft
+
+/**
+ * Plan-SHAPE regression gates: the five load-bearing physical-plan
+ * properties behind the per-round scale audit, asserted in CI so a future
+ * change that un-pushes a filter, drops a map-side limit, or degrades a
+ * broadcast join to a sort-merge join fails `sbt test` instead of waiting
+ * for a judge pass. Checks run on the PRE-execution adaptive plan (the
+ * statically chosen shape); counts are exact so any added shuffle is loud.
+ */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Shuffle exchanges only (BroadcastExchange is data movement we WANT). */
+  private def shuffles(plan: String): Int =
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+
+  private def count(plan: String, token: String): Int =
+    token.r.findAllIn(plan).size
+
+  test("q143: rank limit runs map-side (partial WindowGroupLimit below the exchange)") {
+    val p = planOf("q143_source_caps")
+    // partial + final = 2; a regression to post-shuffle-only limiting
+    // leaves 1 and ships every row of every source through the shuffle
+    assert(count(p, "WindowGroupLimit") == 2, s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
+  test("q141: dup table broadcasts; corpus aggregates partially before its shuffle") {
+    val p = planOf("q141_passage_dedup")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    // two shuffles: the passage-hash partial-agg pair and the dup-table
+    // build - raw text reaches neither
+    assert(shuffles(p) == 2, s"got ${shuffles(p)} shuffles; plan:\n$p")
+  }
+
+  test("q101: tf-idf joins its small doc-frequency tables by broadcast only") {
+    val p = planOf("q101_tfidf")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(shuffles(p) == 4, s"got ${shuffles(p)} shuffles; plan:\n$p")
+  }
+
+  test("q93: LM perplexity keeps every gram table broadcast-joined") {
+    val p = planOf("q93_lm_perplexity")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(shuffles(p) == 6, s"got ${shuffles(p)} shuffles; plan:\n$p")
+  }
+
+  test("q85: IVF centroids broadcast to the probe side; top-k limits map-side") {
+    val p = planOf("q85_ivf_search")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    // three window top-k stages, each with partial+final WindowGroupLimit
+    assert(count(p, "WindowGroupLimit") == 6, s"plan:\n$p")
+  }
+}

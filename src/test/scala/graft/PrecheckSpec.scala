@@ -36,6 +36,38 @@ class PrecheckSpec extends SparkSpec {
     assert(verdictOf(res, "non_empty") === "pass")
   }
 
+  test("server checkers replay the reference acceptance logic offline") {
+    import graft.diff.Precheck.SourceMeta
+    def v(meta: SourceMeta, name: String): String =
+      Precheck.serverChecks("s", meta).find(_.check_name == name).get.verdict
+    // healthy modern MySQL: everything passes
+    val ok = SourceMeta()
+    assert(Precheck.serverChecks("s", ok).forall(_.verdict == "pass"))
+    // version window [5.6.0, 8.5.0): below warns, at/above warns
+    assert(v(ok.copy(version = "5.5.62-log"), "mysql_version") === "warn")
+    assert(v(ok.copy(version = "8.5.0"), "mysql_version") === "warn")
+    assert(v(ok.copy(version = "5.6.0"), "mysql_version") === "pass")
+    // MariaDB and TiDB upstreams warn regardless of number
+    assert(v(ok.copy(version = "10.6.1-MariaDB"), "mysql_version") === "warn")
+    assert(v(ok.copy(version = "8.0.11-TiDB-v7.1.0"), "mysql_version") === "warn")
+    // server_id unset warns; binlog off / non-ROW / non-FULL fail
+    assert(v(ok.copy(serverId = 0), "mysql_server_id") === "warn")
+    assert(v(ok.copy(logBin = "OFF"), "mysql_binlog_enable") === "fail")
+    assert(v(ok.copy(binlogFormat = "MIXED"), "mysql_binlog_format") === "fail")
+    assert(v(ok.copy(binlogRowImage = "MINIMAL"), "mysql_binlog_row_image") === "fail")
+    // row_image is vacuous below 5.6.2 (MySQL) / 10.1.6 (MariaDB) - the
+    // variable does not exist and full images are implied
+    assert(v(ok.copy(version = "5.6.1", binlogRowImage = "MINIMAL"),
+      "mysql_binlog_row_image") === "pass")
+    assert(v(ok.copy(version = "10.1.2-MariaDB", binlogRowImage = "MINIMAL"),
+      "mysql_binlog_row_image") === "pass")
+    assert(v(ok.copy(version = "10.1.6-MariaDB", binlogRowImage = "MINIMAL"),
+      "mysql_binlog_row_image") === "fail")
+    // case-insensitive variable values, like SHOW VARIABLES
+    assert(v(ok.copy(logBin = "on", binlogFormat = "row"),
+      "mysql_binlog_enable") === "pass")
+  }
+
   test("shard checkers trip on schema conflict and pk collisions") {
     val a = Seq((1L, "x")).toDF("pk", "v")
     val b = Seq((1L, 2.0)).toDF("pk", "v") // same field, different type

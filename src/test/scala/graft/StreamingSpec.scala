@@ -6,6 +6,11 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.operators.Filters
 import graft.streaming._
 
+/** Region delivery row for the live multiplexing test (top-level so Spark
+  * derives its Encoder). */
+final case class MuxDelivery(region: Int, batch: Long, seq: Long, ts: Long,
+                             fwd: Boolean)
+
 /** End-to-end changefeed runtime specs: stream → pipeline → state sink. */
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -65,6 +70,76 @@ class StreamingSpec extends SparkSpec {
     assert(seen.filter(col("net_op") === "D").count() == 0)
     assert(seen.select("table_name").distinct().as[String].collect().toSeq == Seq("merged"))
     assert(seen.count() == 2)
+  }
+
+  test("live multiplexed changefeed: two region streams merge through the puller semantics") {
+    // S3's one remaining streaming-native surface: a REAL StreamingQuery
+    // over the union of two independent region delivery streams, consumed
+    // as one changefeed with the multiplexing puller's runtime behavior -
+    // first-delivery dedup against accumulated state, per-region
+    // running-max watermarks, min-frontier, and advance-only emission.
+    // Every consumed quantity is then replayed through the batch algebra
+    // (Multiplex.progress, the q147 contract) and must agree exactly.
+    implicit val sqlCtx = spark.sqlContext
+    val r1 = MemoryStream[MuxDelivery]
+    val r2 = MemoryStream[MuxDelivery]
+    val merged = r1.toDF().unionByName(r2.toDF())
+
+    val log = scala.collection.mutable.ArrayBuffer.empty[MuxDelivery]
+    val seen = scala.collection.mutable.Set.empty[Long]
+    var consumed = 0L                 // entries actually handed downstream
+    var frontier = 0L
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = merged.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.collect().map(r => MuxDelivery(r.getInt(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getBoolean(4)))
+          .sortBy(d => (d.batch, d.region, d.seq))
+        rows.foreach { d =>
+          log += d
+          if (seen.add(d.seq)) consumed += 1 // first delivery wins
+        }
+        // recompute the span frontier over the log-to-date; emit a
+        // resolved event downstream only on a strict advance
+        val f = graft.operators.Multiplex.progress(log.toSeq.toDF())
+          .agg(max(col("frontier_ts"))).head().getLong(0)
+        if (f > frontier) { frontier = f; emissions += f }
+        ()
+      }
+      .start()
+
+    def round(ds: MuxDelivery*): Unit = {
+      ds.filter(_.region == 1).foreach(d => r1.addData(d))
+      ds.filter(_.region == 2).foreach(d => r2.addData(d))
+      q.processAllAvailable()
+    }
+    // round 1: both regions deliver; region 2 does NOT forward → frontier 0
+    round(MuxDelivery(1, 1, 10, 105, fwd = true),
+      MuxDelivery(2, 1, 20, 103, fwd = false))
+    assert(frontier == 0L && emissions.isEmpty)
+    // round 2: region 1 re-delivers seq 10 (post-error re-scan; must not
+    // re-consume); region 2 initializes → frontier = min(105, 104)
+    round(MuxDelivery(1, 2, 10, 105, fwd = true),
+      MuxDelivery(2, 2, 21, 104, fwd = true))
+    assert(frontier == 104L && emissions == Seq(104L))
+    // round 3: region 2 silent → carries 104, no advance, no emission
+    round(MuxDelivery(1, 3, 11, 110, fwd = true))
+    assert(frontier == 104L && emissions == Seq(104L))
+    // round 4: region 2 catches up past region 1's watermark
+    round(MuxDelivery(2, 4, 22, 120, fwd = true))
+    assert(frontier == 110L && emissions == Seq(104L, 110L))
+    q.stop()
+
+    assert(consumed == 5 && log.size == 6) // 6 deliveries, 1 dup dropped
+    // the live run must agree with the batch twin on every round
+    val twin = graft.operators.Multiplex.progress(log.toSeq.toDF())
+      .orderBy("batch")
+      .select("batch", "n_accepted", "n_dup", "frontier_ts", "advanced")
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq
+    assert(twin == Seq((1L, 2L, 0L, 0L, 0), (2L, 1L, 1L, 104L, 1),
+      (3L, 1L, 0L, 104L, 0), (4L, 1L, 0L, 110L, 1)))
+    assert(twin.filter(_._5 == 1).map(_._4) == emissions.toSeq)
   }
 
   test("idempotent replay: re-applying a batch converges to same state") {
