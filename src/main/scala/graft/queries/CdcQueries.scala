@@ -453,6 +453,60 @@ object CdcQueries {
   }
 
   /**
+   * q154: K4 — the storage sink's CANONICAL path contract
+   * ([[graft.streaming.StorageLayout]]; reference
+   * pkg/sink/cloudstorage/path.go:113-460): data files at
+   * `<schema>/<table>/<version>/<date>/CDC%06d.csv` with the file
+   * counter scoped per (version, date) — a date roll RESETS it — and
+   * `meta/CDC.index` in every data dir naming the LAST file (the
+   * consumer's resume cursor). The schema version is the q73 as-of
+   * boundary; the flush wall-clock derives from the commit ts spread
+   * over several days so the gate exercises the reset. Per data dir the
+   * gate pins the exact dir string, file count (indices are dense 1..n,
+   * so count + last name pin every file name), row count, seq bounds,
+   * and the index file's path and content.
+   */
+  val storageLayout = GateQuery(
+    "q154_storage_layout",
+    Some(cte +
+      """, planned AS (
+        |  SELECT schema_name, table_name, seq,
+        |    CASE WHEN commit_ts >= 1005000 THEN 4
+        |         WHEN commit_ts >= 1002000 THEN 2 ELSE 1 END AS sv,
+        |    strftime(make_timestamp(commit_ts * 4 * 1000000), '%Y-%m-%d') AS d,
+        |    row_number() OVER (
+        |      PARTITION BY schema_name, table_name,
+        |        CASE WHEN commit_ts >= 1005000 THEN 4
+        |             WHEN commit_ts >= 1002000 THEN 2 ELSE 1 END,
+        |        strftime(make_timestamp(commit_ts * 4 * 1000000), '%Y-%m-%d')
+        |      ORDER BY commit_ts, seq) AS rn
+        |  FROM cdc
+        |), files AS (
+        |  SELECT schema_name || '/' || table_name || '/' || sv || '/' || d AS data_dir,
+        |    (rn - 1) // 500 + 1 AS file_idx, seq
+        |  FROM planned
+        |)
+        |SELECT data_dir,
+        |  count(DISTINCT file_idx) AS n_files, count(*) AS n_rows,
+        |  min(seq) AS min_seq, max(seq) AS max_seq,
+        |  data_dir || '/meta/CDC.index' AS index_path,
+        |  printf('CDC%06d.csv', max(file_idx)) AS index_content
+        |FROM files GROUP BY data_dir""".stripMargin)) { (spark, dir) =>
+    import graft.streaming.StorageLayout
+    val df = CdcStream.derive(spark, dir)
+    val sv = when(col("commit_ts") >= 1005000L, 4L)
+      .when(col("commit_ts") >= 1002000L, 2L).otherwise(1L)
+    val plan = StorageLayout.filePlan(df, sv, col("commit_ts") * 4, "day",
+      fileIndexWidth = 6, extension = ".csv", rowsPerFile = 500L)
+    val idx = StorageLayout.indexFiles(plan, 6, ".csv")
+    plan.groupBy("data_dir")
+      .agg(countDistinct(col("file_idx")).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        min(col("seq")).as("min_seq"), max(col("seq")).as("max_seq"))
+      .join(idx, Seq("data_dir"))
+  }
+
+  /**
    * q98: K1 end-to-end — the compacted stream is rendered to causality-
    * partitioned multi-row SQL files ([[graft.streaming.Sinks.sqlFileSink]]),
    * the files are EXECUTED against a live embedded SQL engine
@@ -521,5 +575,5 @@ object CdcQueries {
     checkpointFilter, router, extendColumns, topicRouter,
     dispatchByTable, dispatchByTs, dispatchByIndexValue,
     updateSplit, compaction, txnSizes, batching, safeMode, causality,
-    storageConsumer, storageSchemaDrift, sqlApply)
+    storageConsumer, storageSchemaDrift, storageLayout, sqlApply)
 }

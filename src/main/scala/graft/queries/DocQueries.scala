@@ -717,9 +717,82 @@ object DocQueries {
         sum(size(TextOps.tokens(col("text"))).cast("long")).as("sum_tokens"))
   }
 
+  /**
+   * q155 — dedup RECALL harness, the evaluation gate that legitimizes the
+   * LSH configuration the whole dedup suite runs on (k=12, bands=4,
+   * jac ≥ 0.5) — the dedup analog of q132's ANN recall. Ground truth is
+   * BRUTE-FORCE integer Jaccard over every pair of a deterministic corpus
+   * slice (sliced on the BASE id so planted dup families stay together); the prediction is same-cluster membership from the
+   * labels-not-pairs path over the FULL corpus. The gate pins truth/
+   * predicted/hit counts and integer recall/precision — banding misses
+   * (sig collisions that never shared a band) lower recall, transitive
+   * cluster merges lower pairwise precision, and either drifting under a
+   * parameter change fails the gate.
+   */
+  private val RecallSliceMod = 7
+  val dedupRecall = GateQuery(
+    "q155_dedup_recall",
+    Some {
+      val shingleE = Dedup.Sql.shingles("text", ShingleN)
+      ccCte +
+        s"""
+           |, slice AS (
+           |  SELECT doc_id, list_distinct($shingleE) AS sh
+           |  FROM corpus WHERE (doc_id % 100000) % $RecallSliceMod = 0
+           |), truth AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM slice a JOIN slice b ON a.doc_id < b.doc_id
+           |  WHERE (100 * len(list_intersect(a.sh, b.sh)))
+           |      // len(list_distinct(a.sh || b.sh)) >= 50
+           |), pred AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM cc a JOIN cc b
+           |    ON a.comp = b.comp AND a.doc_id < b.doc_id
+           |  WHERE (a.doc_id % 100000) % $RecallSliceMod = 0
+           |    AND (b.doc_id % 100000) % $RecallSliceMod = 0
+           |)
+           |SELECT
+           |  (SELECT count(*) FROM slice) AS n_slice,
+           |  (SELECT count(*) FROM truth) AS n_truth,
+           |  (SELECT count(*) FROM pred) AS n_pred,
+           |  (SELECT count(*) FROM truth JOIN pred USING (id_a, id_b)) AS n_hit,
+           |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN -1
+           |    ELSE (100 * (SELECT count(*) FROM truth JOIN pred USING (id_a, id_b)))
+           |      // (SELECT count(*) FROM truth) END AS recall_pct,
+           |  CASE WHEN (SELECT count(*) FROM pred) = 0 THEN -1
+           |    ELSE (100 * (SELECT count(*) FROM truth JOIN pred USING (id_a, id_b)))
+           |      // (SELECT count(*) FROM pred) END AS precision_pct""".stripMargin
+    }, heavy = true) { (spark, dir) =>
+    val c = corpus(spark, dir)
+    val labels = Dedup.lshClusterLabels(c, "doc_id", "text",
+      ShingleN, MinhashK, Bands, MaxBucket, 0.5)
+    val slice = Dedup.minhashAnalyzed(
+        c.filter(col("doc_id") % 100000 % RecallSliceMod === 0), "doc_id", "text",
+        ShingleN, MinhashK)
+      .select(col("id"), col("sh"))
+    val truth = slice.as("a").join(slice.as("b"), col("a.id") < col("b.id"))
+      .filter(((lit(100) * size(array_intersect(col("a.sh"), col("b.sh")))) /
+        size(array_union(col("a.sh"), col("b.sh")))).cast("long") >= 50L)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val sliceLabels = labels.filter(col("id") % 100000 % RecallSliceMod === 0)
+    val pred = sliceLabels.as("a").join(sliceLabels.as("b"),
+        col("a.comp") === col("b.comp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val nSlice = slice.count()
+    val nTruth = truth.count()
+    val nPred = pred.count()
+    val nHit = truth.join(pred, Seq("id_a", "id_b")).count()
+    import spark.implicits._
+    Seq((nSlice, nTruth, nPred, nHit,
+      if (nTruth == 0) -1L else 100L * nHit / nTruth,
+      if (nPred == 0) -1L else 100L * nHit / nPred))
+      .toDF("n_slice", "n_truth", "n_pred", "n_hit", "recall_pct",
+        "precision_pct")
+  }
+
   def all: Seq[GateQuery] =
     Seq(textStats, qualityHist, langIdQ, fingerprints, repetition, exactDedup,
       minhashLsh, simhashQ, dupClusters, dupLabelsNoPairs, incrementalDedup,
       indexAdmit, incrementalLabels, simhashNearDup, dedupKeep, priorityKeep,
-      hashSplit)
+      hashSplit, dedupRecall)
 }

@@ -71,4 +71,42 @@ class StorageConsumerSpec extends SparkSpec {
       assert(d <= self(ia), s"self-dot must dominate: $ia vs $ib")
     }
   }
+
+  test("storage layout: separator variants, counter reset, index cursor") {
+    import graft.streaming.StorageLayout
+    // two days of events for one table: 3 rows day 1, 2 rows day 2
+    val day = 86400L
+    val ev = Seq(
+      (1L, "db", "t", day + 10), (2L, "db", "t", day + 20),
+      (3L, "db", "t", day + 30),
+      (4L, "db", "t", 2 * day + 10), (5L, "db", "t", 2 * day + 20))
+      .toDF("seq", "schema_name", "table_name", "commit_ts")
+    val plan = StorageLayout.filePlan(ev, lit(5L), col("commit_ts"), "day",
+      fileIndexWidth = 6, extension = ".csv", rowsPerFile = 2L)
+    val got = plan.select("seq", "data_path").as[(Long, String)]
+      .collect().toMap
+    // day 1: rows 1-2 → CDC000001, row 3 → CDC000002; day 2 RESETS to 1
+    assert(got(1L) == "db/t/5/1970-01-02/CDC000001.csv")
+    assert(got(3L) == "db/t/5/1970-01-02/CDC000002.csv")
+    assert(got(4L) == "db/t/5/1970-01-03/CDC000001.csv")
+    // index cursor names the LAST file per dir
+    val idx = StorageLayout.indexFiles(plan, 6, ".csv")
+      .select("index_path", "index_content").as[(String, String)]
+      .collect().toMap
+    assert(idx("db/t/5/1970-01-02/meta/CDC.index") == "CDC000002.csv")
+    assert(idx("db/t/5/1970-01-03/meta/CDC.index") == "CDC000001.csv")
+    // separator variants change only the date segment; "none" drops it
+    def pathOf(sep: String): String =
+      StorageLayout.filePlan(ev.filter(col("seq") === 1), lit(5L),
+        col("commit_ts"), sep, 6, ".parquet", 2L)
+        .select("data_path").as[String].head()
+    assert(pathOf("year") == "db/t/5/1970/CDC000001.parquet")
+    assert(pathOf("month") == "db/t/5/1970-01/CDC000001.parquet")
+    assert(pathOf("none") == "db/t/5/CDC000001.parquet")
+    // schema sidecar: crc32 checksum zero-padded to 10 digits
+    val sp = ev.limit(1).select(StorageLayout.schemaFilePath(
+      col("schema_name"), col("table_name"), lit(5L),
+      lit("""{"cols":[1]}""")).as("p")).as[String].head()
+    assert(sp.matches("db/t/meta/schema_5_\\d{10}\\.json"), sp)
+  }
 }
