@@ -336,6 +336,27 @@ object DocQueries {
    * connectivity-equivalence argument in the operator's scaladoc, checked
    * by the driver.
    */
+  /** Shared labels-not-pairs table (the q150 production path): built once
+    * per (session, dir) and persisted — q150 reads the cluster-size
+    * histogram, q155 the recall harness's predicted-pair side. Same
+    * job-sharing pattern as [[scoredCandidates]]/[[incrementalParts]];
+    * the build logs as its own `[bench]` line item. */
+  private val labelsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    labelsCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(labelsCache.remove)
+    labelsCache.getOrElseUpdate((spark, dir),
+      Gate.timedBuild(s"labels-not-pairs table ($dir)") {
+        val l = Dedup.lshClusterLabels(corpus(spark, dir), "doc_id", "text",
+            ShingleN, MinhashK, Bands, MaxBucket, 0.5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        l.count()
+        l
+      })
+  }
+
   val dupLabelsNoPairs = GateQuery(
     "q150_labels_nopairs",
     Some(ccCte +
@@ -344,9 +365,8 @@ object DocQueries {
          |  CAST(sum(comp) AS BIGINT) AS comp_check
          |FROM (SELECT comp, count(*) AS cluster_size FROM cc GROUP BY comp)
          |GROUP BY cluster_size""".stripMargin)) { (spark, dir) =>
-    val labels = Dedup.lshClusterLabels(corpus(spark, dir), "doc_id", "text",
-      ShingleN, MinhashK, Bands, MaxBucket, 0.5)
-    labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    clusterLabels(spark, dir)
+      .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"), sum(col("comp")).as("comp_check"))
   }
@@ -721,13 +741,24 @@ object DocQueries {
    * q155 — dedup RECALL harness, the evaluation gate that legitimizes the
    * LSH configuration the whole dedup suite runs on (k=12, bands=4,
    * jac ≥ 0.5) — the dedup analog of q132's ANN recall. Ground truth is
-   * BRUTE-FORCE integer Jaccard over every pair of a deterministic corpus
-   * slice (sliced on the BASE id so planted dup families stay together); the prediction is same-cluster membership from the
-   * labels-not-pairs path over the FULL corpus. The gate pins truth/
-   * predicted/hit counts and integer recall/precision — banding misses
-   * (sig collisions that never shared a band) lower recall, transitive
-   * cluster merges lower pairwise precision, and either drifting under a
-   * parameter change fails the gate.
+   * EXACT integer Jaccard over every pair of a deterministic corpus
+   * slice (sliced on the BASE id so planted dup families stay together);
+   * the prediction is same-cluster membership from the labels-not-pairs
+   * path over the FULL corpus. The gate pins truth/predicted/hit counts
+   * and integer recall/precision — banding misses (sig collisions that
+   * never shared a band) lower recall, transitive cluster merges lower
+   * pairwise precision, and either drifting under a parameter change
+   * fails the gate.
+   *
+   * The Spark truth side is an INVERTED-INDEX join, not an all-pairs
+   * nested loop: explode the distinct shingle-hash sets, equi-join on the
+   * hash, and the per-pair match count IS |A∩B| (|A∪B| = |A|+|B|−|∩|).
+   * A pair sharing zero shingles has Jaccard 0 < 0.5, so restricting to
+   * pairs with ≥1 shared hash loses nothing — the result is exactly the
+   * brute-force answer (the DuckDB oracle stays all-pairs, deliberately,
+   * as the independent check), but the work is Σ df² over shingle hashes
+   * instead of O(slice²·|sh|): ~19 s → ~1 s at sf0.1, and the same shape
+   * that survives a 100× slice where all-pairs would not.
    */
   private val RecallSliceMod = 7
   val dedupRecall = GateQuery(
@@ -764,24 +795,35 @@ object DocQueries {
            |      // (SELECT count(*) FROM pred) END AS precision_pct""".stripMargin
     }, heavy = true) { (spark, dir) =>
     val c = corpus(spark, dir)
-    val labels = Dedup.lshClusterLabels(c, "doc_id", "text",
-      ShingleN, MinhashK, Bands, MaxBucket, 0.5)
+    val labels = clusterLabels(spark, dir)
     val slice = Dedup.minhashAnalyzed(
         c.filter(col("doc_id") % 100000 % RecallSliceMod === 0), "doc_id", "text",
         ShingleN, MinhashK)
       .select(col("id"), col("sh"))
-    val truth = slice.as("a").join(slice.as("b"), col("a.id") < col("b.id"))
-      .filter(((lit(100) * size(array_intersect(col("a.sh"), col("b.sh")))) /
-        size(array_union(col("a.sh"), col("b.sh")))).cast("long") >= 50L)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // inverted index: one row per (doc, distinct shingle hash); the pair
+    // match count is |A∩B| exactly because `sh` is already distinct
+    val ex = slice.select(col("id"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("h"))
+    val truth = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .agg(count(lit(1)).as("i"))
+      .filter(((lit(100) * col("i")) /
+        (col("na") + col("nb") - col("i"))).cast("long") >= 50L)
+      .select(col("id_a"), col("id_b"))
+      .persist()
     val sliceLabels = labels.filter(col("id") % 100000 % RecallSliceMod === 0)
     val pred = sliceLabels.as("a").join(sliceLabels.as("b"),
         col("a.comp") === col("b.comp") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .persist()
     val nSlice = slice.count()
     val nTruth = truth.count()
     val nPred = pred.count()
     val nHit = truth.join(pred, Seq("id_a", "id_b")).count()
+    truth.unpersist()
+    pred.unpersist()
     import spark.implicits._
     Seq((nSlice, nTruth, nPred, nHit,
       if (nTruth == 0) -1L else 100L * nHit / nTruth,
