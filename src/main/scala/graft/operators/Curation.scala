@@ -224,6 +224,41 @@ object Curation {
       }))
   }
 
+  /** Exact integer square root of a nonnegative int64 column:
+    * floor(sqrt(x)) from the IEEE double sqrt with a ±1 correction — the
+    * correctly-rounded double sqrt of an exactly-representable x (< 2^52
+    * here) is within one of the true floor, so one up- then one
+    * down-adjustment makes the result exact and engine-independent. */
+  def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val s1 = when((s0 + 1) * (s0 + 1) <= x, s0 + 1).otherwise(s0)
+    when(s1 * s1 > x, s1 - 1).otherwise(s1)
+  }
+
+  /**
+   * Temperature-flattened mixture (τ = 1/2): per-domain sampling weight ∝
+   * share^τ — the multilingual-corpus rebalancing rule (XLM-R's α-sampling
+   * shape): rare domains are up-weighted relative to their raw share,
+   * dominant ones flattened. share^(1/2) is computed EXACTLY in ppm via
+   * [[isqrt]] (sqrt(share_ppm/10⁶) in ppm = isqrt(share_ppm·10⁶)), then
+   * renormalized to ppm by integer division — no float pow anywhere, so
+   * the plan is bit-identical cross-engine. Two tiny aggregates
+   * (per-domain, then totals) broadcast back; the corpus never shuffles.
+   */
+  def temperatureMixture(df: DataFrame, domainCol: String,
+      tokensCol: Column): DataFrame = {
+    val per = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("_tot"))
+    val shared = per.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("tokens * 1000000 DIV _tot"))
+      .withColumn("w_sqrt", isqrt(col("share_ppm") * lit(Ppm)))
+    val wtot = shared.agg(sum(col("w_sqrt")).as("_wtot"))
+    shared.crossJoin(broadcast(wtot))
+      .withColumn("temp_ppm", expr("w_sqrt * 1000000 DIV _wtot"))
+      .drop("_tot", "_wtot")
+  }
+
   // ---- tokenizer-merge induction (BPE-style) ------------------------
 
   /**
@@ -417,6 +452,13 @@ object Curation {
       s"list_distinct(${Dedup.Sql.shingles(e, n)})"
     def sampleKeep(idE: String, ratePpmE: String): String =
       s"(${Hashing.Sql.portableLong(idE)} % $Ppm) < ($ratePpmE)"
+    /** Twin of [[Curation.isqrt]] — repeats the operand textually (fine
+      * for the tiny per-domain aggregates it serves). */
+    def isqrt(e: String): String = {
+      val s0 = s"CAST(floor(sqrt(CAST(($e) AS DOUBLE))) AS BIGINT)"
+      val s1 = s"(CASE WHEN ($s0 + 1) * ($s0 + 1) <= ($e) THEN $s0 + 1 ELSE $s0 END)"
+      s"(CASE WHEN $s1 * $s1 > ($e) THEN $s1 - 1 ELSE $s1 END)"
+    }
     // NOTE: DuckDB regexp_* take the pattern with single backslashes and
     // need the 'g' flag on replace (Spark replaces all matches by default).
     def emailCount(e: String) = s"len(regexp_extract_all($e, '$EmailReSql'))"

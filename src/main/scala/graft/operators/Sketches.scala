@@ -59,4 +59,107 @@ object Sketches {
       .groupBy(tokenCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
+
+  // ---- HyperLogLog distinct-count sketch -----------------------------
+
+  /**
+   * HyperLogLog register table over a pre-hashed key column (Flajolet et
+   * al., "HyperLogLog: the analysis of a near-optimal cardinality
+   * estimation algorithm", AofA 2007): bucket = low p bits of the hash,
+   * rho = position of the first 1-bit in the next `wBits` bits
+   * (1..wBits+1), register = max rho per bucket. One row per NON-EMPTY
+   * bucket; absent buckets are register 0. Callers hash whatever key
+   * domain they count (tokens, n-grams, URLs) with [[Hashing.portableLong]].
+   *
+   * Scale shape: the explode partial-aggregates map-side, so the shuffle
+   * carries at most 2^p rows per map partition however large the corpus —
+   * distinct counting over 100 TB becomes a 2^p-row exchange (Spark's own
+   * approx_count_distinct is the same sketch; this one is hash-portable so
+   * the oracle replays every register, and registers from disjoint corpus
+   * shards merge by max — the streaming/union form).
+   *
+   * rho is computed through `bin()` (minimal-length binary string, both
+   * engines): for s > 0 in a wBits-bit field, rho = wBits − bitlen(s) + 1,
+   * and s = 0 means all wBits bits are zero → rho = wBits + 1. Pure
+   * integers — no log2 floats anywhere.
+   */
+  def hllRegisters(hashed: DataFrame, hCol: String, p: Int, wBits: Int): DataFrame = {
+    require(p >= 4 && p <= 16 && wBits >= 8 && wBits <= 32)
+    val m = 1L << p
+    hashed
+      .select(col(hCol).as("h"))
+      .select(pmod(col("h"), lit(m)).as("b"),
+        pmod(expr(s"h DIV $m"), lit(1L << wBits)).as("s"))
+      .select(col("b"),
+        when(col("s") === 0L, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(bin(col("s")))).as("rho"))
+      .groupBy("b")
+      .agg(max(col("rho")).cast("long").as("reg"))
+  }
+
+  /**
+   * All-integer HLL estimate from a register table: the raw HLL estimator
+   * E = α_m · m² / Σ 2^(−reg) computed in exact integer arithmetic —
+   * Σ 2^(−reg) is held as S = Σ 2^(R − reg) over all m registers
+   * (R = wBits+1 ≥ any register, missing registers contribute 2^R), so
+   * E = α_ppm · m² · 2^R / S / 10⁶ with integer divisions. Deterministic
+   * in any engine; the small-range linear-counting correction is a
+   * production concern (it needs ln) and deliberately outside the gate.
+   * Returns one row: (n_buckets_hit, max_reg, reg_check, est_distinct).
+   */
+  def hllEstimate(regs: DataFrame, p: Int, wBits: Int, alphaPpm: Long): DataFrame = {
+    val m = 1L << p
+    val r = wBits + 1
+    val pow2R = 1L << r
+    // α_ppm·m²·2^R precomputed exactly (throws on int64 overflow rather
+    // than silently wrapping — keeps the integer estimator honest)
+    val numer = Math.multiplyExact(Math.multiplyExact(alphaPpm, m * m), pow2R)
+    regs
+      .agg(count(lit(1)).as("n_buckets_hit"),
+        max(col("reg")).as("max_reg"),
+        sum((col("b") + 1L) * col("reg")).as("reg_check"),
+        sum(expr(s"CAST(power(2, $r - reg) AS BIGINT)")).as("s_hit"))
+      .withColumn("s_total",
+        col("s_hit") + (lit(m) - col("n_buckets_hit")) * lit(pow2R))
+      .withColumn("est_distinct",
+        expr(s"${numer}L DIV s_total DIV 1000000"))
+      .select("n_buckets_hit", "max_reg", "reg_check", "est_distinct")
+  }
+
+  // ---- Bloom filter --------------------------------------------------
+
+  /**
+   * Bloom-filter bit set over a long key column (Bloom, CACM 1970; the
+   * membership structure CCNet-style pipelines use for cross-batch URL /
+   * document-key dedup): k seeded integer mixes of the already-hashed key,
+   * each mod m, bit set = the distinct position list. The "bit array" is a
+   * table of SET positions (≤ m rows) — it broadcasts to probes, merges
+   * across shards by union, and the oracle replays every bit.
+   */
+  def bloomBits(keys: DataFrame, keyCol: String, m: Long, k: Int): DataFrame = {
+    require(m >= 2 && k >= 1 && k <= 16)
+    keys.select(explode(array((0 until k).map { j =>
+        pmod(Hashing.seededMix(col(keyCol), j), lit(m))
+      }: _*)).as("pos"))
+      .distinct()
+  }
+
+  /**
+   * Probe the filter: per probe row, nset = how many of its k positions
+   * are set; `maybe_seen` (the Bloom answer) ⇔ nset = k. No false
+   * negatives by construction; false positives are exactly the
+   * maybe_seen ∧ ¬truly-seen rows, which the gate counts. Bits broadcast;
+   * the probe side never shuffles more than (id, key, k positions).
+   */
+  def bloomProbe(bits: DataFrame, probe: DataFrame, idCol: String,
+      keyCol: String, m: Long, k: Int): DataFrame = {
+    probe.select(col(idCol), col(keyCol),
+        explode(array((0 until k).map { j =>
+          pmod(Hashing.seededMix(col(keyCol), j), lit(m))
+        }: _*)).as("pos"))
+      .join(broadcast(bits.withColumn("_set", lit(1L))), Seq("pos"), "left")
+      .groupBy(col(idCol), col(keyCol))
+      .agg(sum(coalesce(col("_set"), lit(0L))).as("nset"))
+      .withColumn("maybe_seen", (col("nset") === k.toLong).cast("int"))
+  }
 }

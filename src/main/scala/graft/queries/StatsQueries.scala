@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Hashing, Tables}
+import graft.operators.{Curation, Dedup, Sketches, TextOps}
+
+/**
+ * Corpus-statistics gates: the sketch/report layer a 100 TB curation
+ * pipeline runs beside the filters — cardinality sketches (HyperLogLog),
+ * membership filters (Bloom), classifier threshold calibration (PR sweep),
+ * temperature-flattened mixture planning, and vocabulary-coverage curves
+ * for tokenizer sizing. Every gate is exact-integer end to end so the
+ * DuckDB oracle replays registers/bits/curves bit-for-bit.
+ */
+object StatsQueries {
+
+  private val SqlToks = TextOps.Sql.tokens
+
+  // ---- q156: HyperLogLog distinct-token sketch -----------------------
+
+  private val HllP = 8 // 2^8 = 256 registers
+  private val HllW = 24 // rho domain: 24 suffix bits
+  private val HllAlphaPpm = 718272L // α_256 = 0.7213/(1+1.079/256), in ppm
+  private val HllNumer = // α_ppm · m² · 2^(w+1), exact
+    Math.multiplyExact(Math.multiplyExact(HllAlphaPpm, 256L * 256L), 1L << 25)
+
+  /**
+   * q156 — HyperLogLog distinct n-gram estimate next to the exact count —
+   * the LM-sizing statistic ("how many distinct trigrams does this corpus
+   * contain") that is itself a big-data problem at 100 TB. The register
+   * table is 2^p rows however large the corpus (partial agg bounds the
+   * shuffle like q148's CMS); the estimate is the raw HLL harmonic mean
+   * computed in EXACT integer arithmetic (see [[Sketches.hllEstimate]]),
+   * so the oracle replays every register AND the estimate itself. The
+   * exact distinct count rides along as the sketch's accuracy witness
+   * (expected |est−exact|/exact ≈ 1.04/√256 ≈ 6.5 %); `reg_check` pins
+   * all 256 registers, not just the summary. The trigram domain is
+   * deliberate: the synthetic corpus has a ~31-word vocabulary, so
+   * unigrams sit in HLL's small-range regime where the raw estimator is
+   * biased (that regime belongs to linear counting) — trigrams put the
+   * gate where the sketch actually operates.
+   */
+  val hllDistinct = GateQuery(
+    "q156_hll_distinct",
+    Some(s"""WITH toks AS (
+            |  SELECT ${Hashing.Sql.portableLong("g")} AS h
+            |  FROM (SELECT unnest(${Dedup.Sql.shingles("text", 3)}) AS g FROM documents)
+            |), mapped AS (
+            |  SELECT h % 256 AS b, (h // 256) % 16777216 AS s FROM toks
+            |), regs AS (
+            |  SELECT b, max(CASE WHEN s = 0 THEN 25
+            |                     ELSE 25 - length(bin(s)) END) AS reg
+            |  FROM mapped GROUP BY b
+            |), agg AS (
+            |  SELECT count(*) AS n_buckets_hit,
+            |    CAST(max(reg) AS BIGINT) AS max_reg,
+            |    CAST(sum((b + 1) * reg) AS BIGINT) AS reg_check,
+            |    CAST(sum(CAST(power(2, 25 - reg) AS BIGINT)) AS BIGINT) AS s_hit
+            |  FROM regs
+            |)
+            |SELECT (SELECT count(*) FROM toks) AS n_grams,
+            |  (SELECT count(DISTINCT h) FROM toks) AS n_exact,
+            |  n_buckets_hit, max_reg, reg_check,
+            |  CAST($HllNumer // (s_hit + (256 - n_buckets_hit) * 33554432)
+            |    // 1000000 AS BIGINT) AS est_distinct
+            |FROM agg""".stripMargin)) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val hashed = docs
+      .select(explode(Dedup.shingles(col("text"), 3)).as("g"))
+      .select(Hashing.portableLong(col("g")).as("h"))
+    val regs = Sketches.hllRegisters(hashed, "h", HllP, HllW)
+    val est = Sketches.hllEstimate(regs, HllP, HllW, HllAlphaPpm)
+    val exact = hashed
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("h")).as("n_exact"))
+    exact.crossJoin(est)
+  }
+
+  // ---- q157: Bloom-filter cross-batch membership ---------------------
+
+  private val BloomK = 3
+
+  /**
+   * q157 — Bloom-filter membership for cross-batch exact dedup (the CCNet
+   * URL-filter shape): the base corpus's normalized-text keys populate a
+   * bit set sized FROM the measured base cardinality (m = 4·n_distinct,
+   * the production sizing step — deliberately tight so the gate shows
+   * real false positives), and the incoming batch (planted exact dups +
+   * near-dups) probes it. Pins: every true dup flagged (n_false_neg = 0 —
+   * the no-false-negative guarantee, in data), the EXACT false-positive
+   * set (deterministic hashes ⇒ the oracle reproduces each collision),
+   * and the bit count. Bits broadcast; probes never shuffle.
+   */
+  val bloomMembership = GateQuery(
+    "q157_bloom_membership",
+    Some {
+      val keyE = Dedup.Sql.exactKey("text")
+      val posE = // ((key % P) * (2j+3) + j) % P % m — seededMix with j a column
+        s"((((key % ${Hashing.MixP}) * (2 * j + 3) + j) % ${Hashing.MixP})" +
+          s" % (SELECT m FROM mb))"
+      DocQueries.corpusCte +
+        s""", basek AS (
+           |  SELECT DISTINCT $keyE AS key FROM corpus WHERE doc_id < 100000
+           |), mb AS (SELECT 4 * count(*) AS m FROM basek
+           |), bits AS (
+           |  SELECT DISTINCT $posE AS pos
+           |  FROM basek, range(0, $BloomK) r(j)
+           |), probe AS (
+           |  SELECT doc_id AS id, $keyE AS key FROM corpus WHERE doc_id >= 100000
+           |), probed AS (
+           |  SELECT id, key,
+           |    CAST(sum(CASE WHEN pos IN (SELECT pos FROM bits) THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS nset
+           |  FROM (SELECT id, key, $posE AS pos
+           |        FROM probe, range(0, $BloomK) r(j))
+           |  GROUP BY id, key
+           |), judged AS (
+           |  SELECT id, CASE WHEN nset = $BloomK THEN 1 ELSE 0 END AS maybe_seen,
+           |    CASE WHEN key IN (SELECT key FROM basek) THEN 1 ELSE 0 END AS truly
+           |  FROM probed
+           |)
+           |SELECT count(*) AS n_probe,
+           |  CAST(sum(maybe_seen) AS BIGINT) AS n_flagged,
+           |  CAST(sum(CASE WHEN maybe_seen = 1 AND truly = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+           |  CAST(sum(CASE WHEN maybe_seen = 1 AND truly = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           |  CAST(sum(CASE WHEN maybe_seen = 0 AND truly = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+           |  CAST(sum(CASE WHEN maybe_seen = 1 THEN id ELSE 0 END) AS BIGINT) AS flagged_id_check,
+           |  (SELECT count(*) FROM bits) AS n_bits_set,
+           |  (SELECT m FROM mb) AS m_bits
+           |FROM judged""".stripMargin
+    }) { (spark, dir) =>
+    val c = DocQueries.corpus(spark, dir)
+    val baseKeys = c.filter(col("doc_id") < 100000L)
+      .select(Dedup.exactKey(col("text")).as("key")).distinct()
+      .persist()
+    val nBase = baseKeys.count() // the bloom sizing step (control-plane scalar)
+    val m = 4L * nBase
+    val bits = Sketches.bloomBits(baseKeys, "key", m, BloomK).persist()
+    val probe = c.filter(col("doc_id") >= 100000L)
+      .select(col("doc_id").as("id"), Dedup.exactKey(col("text")).as("key"))
+    val judged = Sketches.bloomProbe(bits, probe, "id", "key", m, BloomK)
+      .join(broadcast(baseKeys.withColumn("_in", lit(1))), Seq("key"), "left")
+      .withColumn("truly", coalesce(col("_in"), lit(0)))
+    val out = judged.agg(
+        count(lit(1)).as("n_probe"),
+        sum(col("maybe_seen").cast("long")).as("n_flagged"),
+        sum(when(col("maybe_seen") === 1 && col("truly") === 1, 1L)
+          .otherwise(0L)).as("n_true_dup"),
+        sum(when(col("maybe_seen") === 1 && col("truly") === 0, 1L)
+          .otherwise(0L)).as("n_false_pos"),
+        sum(when(col("maybe_seen") === 0 && col("truly") === 1, 1L)
+          .otherwise(0L)).as("n_false_neg"),
+        sum(when(col("maybe_seen") === 1, col("id")).otherwise(0L))
+          .as("flagged_id_check"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+      .withColumn("m_bits", lit(m))
+    val r = out.collect() // materialize before unpersisting the shared inputs
+    baseKeys.unpersist()
+    bits.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(r.toIndexedSeq, 1), out.schema)
+  }
+
+  // ---- q158: classifier threshold sweep (PR curve) -------------------
+
+  private val ClsSeed = 3 // same hashed-feature family as q105
+
+  /**
+   * q158 — precision/recall threshold sweep for the hashed-feature
+   * classifier (q105's serving path): per-token-normalized score vs the
+   * heuristic quality label, swept over 11 thresholds. The corpus
+   * collapses to a (score, label) histogram FIRST (one partial-agg
+   * shuffle, ≤ ~200 distinct normalized scores), so the 11-way sweep
+   * never rescans the data — the calibration shape at 100 TB. Counts and
+   * ppm ratios are exact integers; -1 marks undefined precision.
+   */
+  val prCurve = GateQuery(
+    "q158_pr_curve",
+    Some {
+      val ls = TextOps.Sql.linearScore("text", ClsSeed)
+      val nt = TextOps.Sql.tokenCount("text")
+      s"""WITH scored AS (
+         |  SELECT (100 * ($ls)) // ($nt) AS snorm,
+         |    CASE WHEN (${TextOps.Sql.qualityScore("text")}) >= 50 THEN 1 ELSE 0 END AS label
+         |  FROM documents
+         |), hist AS (
+         |  SELECT snorm, label, count(*) AS n FROM scored GROUP BY 1, 2
+         |), sweep AS (
+         |  SELECT t,
+         |    CAST(sum(CASE WHEN snorm >= t AND label = 1 THEN n ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN snorm >= t AND label = 0 THEN n ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN snorm < t AND label = 1 THEN n ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN snorm < t AND label = 0 THEN n ELSE 0 END) AS BIGINT) AS tn
+         |  FROM hist, range(-100, 101, 20) r(t)
+         |  GROUP BY t
+         |)
+         |SELECT t, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN -1 ELSE (tp * 1000000) // (tp + fp) END AS precision_ppm,
+         |  CASE WHEN tp + fn = 0 THEN -1 ELSE (tp * 1000000) // (tp + fn) END AS recall_ppm
+         |FROM sweep""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val scored = Tables.load(spark, dir, "documents")
+      .withColumn("score", TextOps.linearScore(col("text"), ClsSeed))
+      .withColumn("ntok", TextOps.tokenCount(col("text")).cast("long"))
+      .select(expr("(100 * score) DIV ntok").as("snorm"),
+        when(TextOps.qualityScore(col("text")) >= 50, 1).otherwise(0).as("label"))
+      .groupBy("snorm", "label")
+      .agg(count(lit(1)).as("n"))
+    val thresholds = (-100 to 100 by 20).toDF("t")
+    scored.crossJoin(broadcast(thresholds))
+      .groupBy("t")
+      .agg(
+        sum(when(col("snorm") >= col("t") && col("label") === 1, col("n"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("snorm") >= col("t") && col("label") === 0, col("n"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("snorm") < col("t") && col("label") === 1, col("n"))
+          .otherwise(0L)).as("fn"),
+        sum(when(col("snorm") < col("t") && col("label") === 0, col("n"))
+          .otherwise(0L)).as("tn"))
+      .withColumn("precision_ppm", when(col("tp") + col("fp") === 0, -1L)
+        .otherwise(expr("(tp * 1000000) DIV (tp + fp)")))
+      .withColumn("recall_ppm", when(col("tp") + col("fn") === 0, -1L)
+        .otherwise(expr("(tp * 1000000) DIV (tp + fn)")))
+  }
+
+  // ---- q159: temperature-flattened mixture ---------------------------
+
+  /**
+   * q159 — temperature-scaled (τ = 1/2) domain mixture over `source`:
+   * [[Curation.temperatureMixture]]'s exact-integer share^½ reweighting.
+   * The gate pins raw shares, the isqrt weights, and the renormalized
+   * ppm rates — a drifting isqrt correction or normalization order fails
+   * it. Complements q92's explicit-weight plan (the two mixture modes a
+   * training-data pipeline actually uses).
+   */
+  val temperatureMix = GateQuery(
+    "q159_temperature_mix",
+    Some {
+      val nt = TextOps.Sql.tokenCount("text")
+      s"""WITH d AS (
+         |  SELECT source, CAST($nt AS BIGINT) AS toks FROM documents
+         |), per AS (
+         |  SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens
+         |  FROM d GROUP BY source
+         |), sh AS (
+         |  SELECT source, n_docs, tokens,
+         |    (tokens * 1000000) // (SELECT CAST(sum(tokens) AS BIGINT) FROM per) AS share_ppm
+         |  FROM per
+         |), w AS (
+         |  SELECT source, n_docs, tokens, share_ppm,
+         |    ${Curation.Sql.isqrt("share_ppm * 1000000")} AS w_sqrt
+         |  FROM sh
+         |)
+         |SELECT source, n_docs, tokens, share_ppm, w_sqrt,
+         |  (w_sqrt * 1000000) // (SELECT CAST(sum(w_sqrt) AS BIGINT) FROM w) AS temp_ppm
+         |FROM w""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), TextOps.tokenCount(col("text")).cast("long").as("toks"))
+    Curation.temperatureMixture(docs, "source", col("toks"))
+      .select("source", "n_docs", "tokens", "share_ppm", "w_sqrt", "temp_ppm")
+  }
+
+  // ---- q160: vocabulary coverage curve -------------------------------
+
+  /**
+   * q160 — gram-coverage curve for tokenizer / phrase-table sizing: what
+   * fraction of trigram OCCURRENCES do the top-V trigrams cover, for
+   * V ∈ {100, 1000, 10000}? One corpus-scale shuffle (the gram-count
+   * partial agg); the rank/coverage arithmetic runs over the GRAM table
+   * (≪ corpus — this is the plan even at 100 TB, where the gram
+   * vocabulary is millions against trillions of occurrences). Rank ties
+   * break (count desc, gram asc) so the curve is deterministic; coverage
+   * is exact ppm. Trigrams, not unigrams, for the same small-vocabulary
+   * reason as q156.
+   */
+  val vocabCoverage = GateQuery(
+    "q160_vocab_coverage",
+    Some(s"""WITH toks AS (
+            |  SELECT unnest(${Dedup.Sql.shingles("text", 3)}) AS t FROM documents
+            |), vocab AS (
+            |  SELECT t, count(*) AS cnt FROM toks GROUP BY t
+            |), ranked AS (
+            |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rk FROM vocab
+            |)
+            |SELECT v, (SELECT count(*) FROM vocab) AS n_vocab,
+            |  CAST(sum(CASE WHEN rk <= v THEN cnt ELSE 0 END) AS BIGINT) AS covered,
+            |  (CAST(sum(CASE WHEN rk <= v THEN cnt ELSE 0 END) AS BIGINT) * 1000000)
+            |    // (SELECT CAST(sum(cnt) AS BIGINT) FROM vocab) AS coverage_ppm
+            |FROM ranked, (SELECT unnest([100, 1000, 10000]) AS v) u
+            |GROUP BY v""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(Dedup.shingles(col("text"), 3)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    // the rank runs over the vocab table, not the corpus — single-partition
+    // window is deliberate (vocab ≪ corpus at any scale we target here;
+    // at larger vocabs this becomes an orderBy + zipWithIndex shape)
+    val ranked = vocab
+      .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("t"))))
+    val totals = vocab.agg(count(lit(1)).as("n_vocab"), sum(col("cnt")).as("_tot"))
+    ranked.crossJoin(broadcast(Seq(100, 1000, 10000).toDF("v")))
+      .groupBy("v")
+      .agg(sum(when(col("rk") <= col("v"), col("cnt")).otherwise(0L)).as("covered"))
+      .crossJoin(broadcast(totals))
+      .withColumn("coverage_ppm", expr("(covered * 1000000) DIV _tot"))
+      .select("v", "n_vocab", "covered", "coverage_ppm")
+  }
+
+  def all: Seq[GateQuery] =
+    Seq(hllDistinct, bloomMembership, prCurve, temperatureMix, vocabCoverage)
+}

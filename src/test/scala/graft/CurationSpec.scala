@@ -210,4 +210,40 @@ class CurationSpec extends SparkSpec {
     // b: 4 docs, the junk doc ranks last and is the one cut
     assert(kept.filter(_._1 == "b").map(_._2) == Set(7L, 8L, 9L))
   }
+
+  test("isqrt is exact at perfect squares and their neighbors") {
+    // every boundary where floor(sqrt) changes, plus the ppm-scale domain
+    val squares = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 15L, 16L, 24L, 25L,
+      999999L, 1000000L, 1000001L) ++
+      Seq(1000L, 31623L, 999999L, 1000000L).flatMap { k =>
+        Seq(k * k - 1, k * k, k * k + 1)
+      }
+    val got = squares.toDF("x")
+      .select(col("x"), Curation.isqrt(col("x")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    squares.foreach { x =>
+      val expect = math.sqrt(x.toDouble).toLong match {
+        case s if (s + 1) * (s + 1) <= x => s + 1
+        case s if s * s > x => s - 1
+        case s => s
+      }
+      assert(got(x) == expect && got(x) * got(x) <= x &&
+        (got(x) + 1) * (got(x) + 1) > x, s"isqrt($x) = ${got(x)}")
+    }
+  }
+
+  test("temperature mixture flattens: rare domains gain share, dominant lose") {
+    val docs = (1 to 900).map(i => (s"big", 100L)) ++
+      (1 to 100).map(_ => (s"small", 100L))
+    val plan = Curation.temperatureMixture(
+        docs.toDF("source", "toks"), "source", col("toks"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("share_ppm"), r.getAs[Long]("temp_ppm"))).toMap
+    val (bigShare, bigTemp) = plan("big")
+    val (smallShare, smallTemp) = plan("small")
+    assert(bigShare == 900000L && smallShare == 100000L)
+    assert(bigTemp < bigShare && smallTemp > smallShare) // flattening
+    // sqrt ratio: temp weights should be ~3:1 (sqrt(9):1), not 9:1
+    assert(bigTemp.toDouble / smallTemp > 2.8 && bigTemp.toDouble / smallTemp < 3.2)
+  }
 }
