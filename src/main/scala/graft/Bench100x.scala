@@ -104,7 +104,12 @@ object Bench100x {
 
   private val GateSet = Seq("q01_pricing_summary", "q93_lm_perplexity",
     "q74_checkpoint_resume", "q101_tfidf", "q51_row_diff", "q65_minhash_lsh",
-    "q67_dup_clusters", "q150_labels_nopairs")
+    "q67_dup_clusters", "q150_labels_nopairs",
+    // r9 additions: the recall harness (inverted-index truth side — the
+    // all-pairs form this replaced would not survive this corpus), and the
+    // two bounded-state sketches whose whole point is scale (HLL's shuffle
+    // is 256 rows here regardless of corpus size; Bloom bits stay ≤ m).
+    "q155_dedup_recall", "q156_hll_distinct", "q157_bloom_membership")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(

@@ -145,6 +145,27 @@ object ChunkDiff {
   }
 
   /**
+   * Ignore-columns support (reference sync_diff_inspector config
+   * `ignore-columns`, sync_diff_inspector/source/common/table_diff.go —
+   * columns excluded from both the checksum and the row compare, used when
+   * a column is expected to diverge: timestamps, generated columns,
+   * replica-local counters). Rows differing ONLY in ignored columns
+   * compare equal. Canonical columns are passed NAMED so the exclusion is
+   * by config string, exactly like the reference's per-table column list.
+   */
+  def canonicalIgnoring(named: Seq[(String, Column)],
+      ignore: Set[String]): Seq[Column] =
+    named.collect { case (n, c) if !ignore.contains(n) => c }
+
+  /** [[rowDiff]] with the reference's ignore-columns semantics applied to
+    * both sides' digests. */
+  def rowDiffIgnoring(source: DataFrame, target: DataFrame,
+      keyCols: Seq[String], namedCanonical: DataFrame => Seq[(String, Column)],
+      ignore: Set[String]): DataFrame =
+    rowDiff(source, target, keyCols,
+      df => canonicalIgnoring(namedCanonical(df), ignore))
+
+  /**
    * V4 — fix-SQL generation: REPLACE for missing/different, DELETE for
    * extra (reference sync_diff_inspector/diff/diff.go:792-890). Pure string
    * building from typed columns; values must be rendered engine-portably by

@@ -14,13 +14,17 @@ import graft.diff.ChunkDiff
  */
 object DiffQueries {
 
-  /** Engine-portable canonical rendering of a lineitem row for digesting. */
-  private def canonical(df: DataFrame): Seq[Column] = Seq(
-    col("l_orderkey"), col("l_linenumber"),
-    col("l_quantity").cast(DecimalType(12, 2)).cast("string"),
-    col("l_extendedprice").cast(DecimalType(18, 2)).cast("string"),
-    col("l_returnflag"),
-    col("l_shipdate").cast("date").cast("string"))
+  /** Engine-portable canonical rendering of a lineitem row for digesting,
+    * NAMED so ignore-columns (q161) can exclude by config string. */
+  private def namedCanonical(df: DataFrame): Seq[(String, Column)] = Seq(
+    "l_orderkey" -> col("l_orderkey"),
+    "l_linenumber" -> col("l_linenumber"),
+    "l_quantity" -> col("l_quantity").cast(DecimalType(12, 2)).cast("string"),
+    "l_extendedprice" -> col("l_extendedprice").cast(DecimalType(18, 2)).cast("string"),
+    "l_returnflag" -> col("l_returnflag"),
+    "l_shipdate" -> col("l_shipdate").cast("date").cast("string"))
+
+  private def canonical(df: DataFrame): Seq[Column] = namedCanonical(df).map(_._2)
 
   private val oracleCanonical =
     """l_orderkey || '|' || l_linenumber || '|' ||
@@ -283,6 +287,99 @@ object DiffQueries {
     state.toSeq.toDF("n_rows", "sum_qty", "sum_ok", "sum_ln")
   }
 
+  /**
+   * q161 — sync_diff `ignore-columns` semantics
+   * ([[ChunkDiff.canonicalIgnoring]], reference per-table config): the
+   * target gets a SECOND perturbation (price bump on %89) on top of the
+   * standard one (quantity on %97), then one full-outer join carries BOTH
+   * digests per side — the full compare and the compare ignoring
+   * `l_extendedprice`. Rows differing only in the ignored column must
+   * compare equal (ign_different < full_different by exactly the
+   * price-only rows, pinned by id-checksums), while missing/extra are
+   * identical across modes (key presence is not a column property). One
+   * shuffle pair for both modes — ignore-columns is a digest projection,
+   * never a second diff run.
+   */
+  val diffIgnoreColumns = GateQuery(
+    "q161_diff_ignore_columns",
+    Some {
+      val oracleCanonicalIgn =
+        """l_orderkey || '|' || l_linenumber || '|' ||
+          |CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+          |l_returnflag || '|' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR)"""
+          .stripMargin.replace("\n", " ")
+      perturbedCte +
+        s""", p2 AS (
+           |  SELECT l_orderkey, l_linenumber, l_quantity,
+           |    CASE WHEN l_orderkey % 89 = 0 THEN l_extendedprice + 10
+           |         ELSE l_extendedprice END AS l_extendedprice,
+           |    l_returnflag, l_shipdate
+           |  FROM perturbed
+           |), s AS (
+           |  SELECT l_orderkey, l_linenumber,
+           |    ${oracleDigest(oracleCanonical)} AS s_full,
+           |    ${oracleDigest(oracleCanonicalIgn)} AS s_ign
+           |  FROM lineitem
+           |), t AS (
+           |  SELECT l_orderkey, l_linenumber,
+           |    ${oracleDigest(oracleCanonical)} AS t_full,
+           |    ${oracleDigest(oracleCanonicalIgn)} AS t_ign
+           |  FROM p2
+           |), j AS (
+           |  SELECT coalesce(s.l_orderkey, t.l_orderkey) AS okey,
+           |    CASE WHEN t_full IS NULL THEN 'missing'
+           |         WHEN s_full IS NULL THEN 'extra'
+           |         WHEN s_full <> t_full THEN 'different' END AS ft,
+           |    CASE WHEN t_ign IS NULL THEN 'missing'
+           |         WHEN s_ign IS NULL THEN 'extra'
+           |         WHEN s_ign <> t_ign THEN 'different' END AS it
+           |  FROM s FULL OUTER JOIN t
+           |    ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+           |)
+           |SELECT
+           |  CAST(sum(CASE WHEN ft = 'missing' THEN 1 ELSE 0 END) AS BIGINT) AS full_missing,
+           |  CAST(sum(CASE WHEN ft = 'extra' THEN 1 ELSE 0 END) AS BIGINT) AS full_extra,
+           |  CAST(sum(CASE WHEN ft = 'different' THEN 1 ELSE 0 END) AS BIGINT) AS full_different,
+           |  CAST(sum(CASE WHEN it = 'missing' THEN 1 ELSE 0 END) AS BIGINT) AS ign_missing,
+           |  CAST(sum(CASE WHEN it = 'extra' THEN 1 ELSE 0 END) AS BIGINT) AS ign_extra,
+           |  CAST(sum(CASE WHEN it = 'different' THEN 1 ELSE 0 END) AS BIGINT) AS ign_different,
+           |  CAST(sum(CASE WHEN ft = 'different' THEN okey ELSE 0 END) AS BIGINT) AS full_diff_check,
+           |  CAST(sum(CASE WHEN it = 'different' THEN okey ELSE 0 END) AS BIGINT) AS ign_diff_check
+           |FROM j""".stripMargin
+    }) { (spark, dir) =>
+    val ignore = Set("l_extendedprice")
+    val pricePerturbed = perturbed(spark, dir)
+      .withColumn("l_extendedprice",
+        when(col("l_orderkey") % 89 === 0, col("l_extendedprice") + 10)
+          .otherwise(col("l_extendedprice")))
+    def side(df: DataFrame, p: String) = df.select(
+      col("l_orderkey"), col("l_linenumber"),
+      ChunkDiff.rowDigest(canonical(df)).as(s"${p}_full"),
+      ChunkDiff.rowDigest(
+        ChunkDiff.canonicalIgnoring(namedCanonical(df), ignore)).as(s"${p}_ign"))
+    def cls(sd: String, td: String) =
+      when(col(td).isNull, "missing")
+        .when(col(sd).isNull, "extra")
+        .when(col(sd) =!= col(td), "different")
+    side(Tables.load(spark, dir, "lineitem"), "s")
+      .join(side(pricePerturbed, "t"), Seq("l_orderkey", "l_linenumber"),
+        "full_outer")
+      .withColumn("ft", cls("s_full", "t_full"))
+      .withColumn("it", cls("s_ign", "t_ign"))
+      .agg(
+        sum(when(col("ft") === "missing", 1L).otherwise(0L)).as("full_missing"),
+        sum(when(col("ft") === "extra", 1L).otherwise(0L)).as("full_extra"),
+        sum(when(col("ft") === "different", 1L).otherwise(0L)).as("full_different"),
+        sum(when(col("it") === "missing", 1L).otherwise(0L)).as("ign_missing"),
+        sum(when(col("it") === "extra", 1L).otherwise(0L)).as("ign_extra"),
+        sum(when(col("it") === "different", 1L).otherwise(0L)).as("ign_different"),
+        sum(when(col("ft") === "different", col("l_orderkey")).otherwise(0L))
+          .as("full_diff_check"),
+        sum(when(col("it") === "different", col("l_orderkey")).otherwise(0L))
+          .as("ign_diff_check"))
+  }
+
   def all: Seq[GateQuery] =
-    Seq(chunkChecksum, chunkChecksumComposite, rowDiff, fixSql, fixApply)
+    Seq(chunkChecksum, chunkChecksumComposite, rowDiff, fixSql, fixApply,
+      diffIgnoreColumns)
 }

@@ -757,19 +757,33 @@ object DocQueries {
    * pairs with ≥1 shared hash loses nothing — the result is exactly the
    * brute-force answer (the DuckDB oracle stays all-pairs, deliberately,
    * as the independent check), but the work is Σ df² over shingle hashes
-   * instead of O(slice²·|sh|): ~19 s → ~1 s at sf0.1, and the same shape
-   * that survives a 100× slice where all-pairs would not.
+   * instead of O(slice²·|sh|): ~19 s → ~1 s at sf0.1.
+   *
+   * The slice modulus GROWS with the corpus (max(7, n/1000), identical
+   * arithmetic in both engines) so the evaluation slice stays ~1000 docs
+   * at any scale — ground-truth recall evaluation is a bounded-sample
+   * exercise, not a corpus-scale one. The 100× run without this cap hit
+   * 424 s: on that corpus the ~27 k-trigram shingle space saturates
+   * (per-hash df ≈ 10³), and Σ df² degenerates toward all-pairs no matter
+   * how the truth join is indexed. Capping the slice bounds df within the
+   * slice; statistical power is the same (recall estimates on ~500 k
+   * pairs), and the driver-scale gates (sf0.01/sf0.1) keep mod = 7, so
+   * oracle values are unchanged there.
    */
   private val RecallSliceMod = 7
+  private val RecallSliceTarget = 1000L
   val dedupRecall = GateQuery(
     "q155_dedup_recall",
     Some {
       val shingleE = Dedup.Sql.shingles("text", ShingleN)
       ccCte +
         s"""
-           |, slice AS (
+           |, smod AS (
+           |  SELECT greatest($RecallSliceMod, count(*) // $RecallSliceTarget) AS md
+           |  FROM corpus
+           |), slice AS (
            |  SELECT doc_id, list_distinct($shingleE) AS sh
-           |  FROM corpus WHERE (doc_id % 100000) % $RecallSliceMod = 0
+           |  FROM corpus WHERE (doc_id % 100000) % (SELECT md FROM smod) = 0
            |), truth AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM slice a JOIN slice b ON a.doc_id < b.doc_id
@@ -779,8 +793,8 @@ object DocQueries {
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM cc a JOIN cc b
            |    ON a.comp = b.comp AND a.doc_id < b.doc_id
-           |  WHERE (a.doc_id % 100000) % $RecallSliceMod = 0
-           |    AND (b.doc_id % 100000) % $RecallSliceMod = 0
+           |  WHERE (a.doc_id % 100000) % (SELECT md FROM smod) = 0
+           |    AND (b.doc_id % 100000) % (SELECT md FROM smod) = 0
            |)
            |SELECT
            |  (SELECT count(*) FROM slice) AS n_slice,
@@ -796,8 +810,10 @@ object DocQueries {
     }, heavy = true) { (spark, dir) =>
     val c = corpus(spark, dir)
     val labels = clusterLabels(spark, dir)
+    // slice modulus scales with corpus size (the bounded-sample rule above)
+    val sliceMod = math.max(RecallSliceMod.toLong, c.count() / RecallSliceTarget)
     val slice = Dedup.minhashAnalyzed(
-        c.filter(col("doc_id") % 100000 % RecallSliceMod === 0), "doc_id", "text",
+        c.filter(col("doc_id") % 100000 % sliceMod === 0), "doc_id", "text",
         ShingleN, MinhashK)
       .select(col("id"), col("sh"))
     // inverted index: one row per (doc, distinct shingle hash); the pair
@@ -813,7 +829,7 @@ object DocQueries {
         (col("na") + col("nb") - col("i"))).cast("long") >= 50L)
       .select(col("id_a"), col("id_b"))
       .persist()
-    val sliceLabels = labels.filter(col("id") % 100000 % RecallSliceMod === 0)
+    val sliceLabels = labels.filter(col("id") % 100000 % sliceMod === 0)
     val pred = sliceLabels.as("a").join(sliceLabels.as("b"),
         col("a.comp") === col("b.comp") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -301,11 +301,14 @@ object StatsQueries {
     // at larger vocabs this becomes an orderBy + zipWithIndex shape)
     val ranked = vocab
       .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("t"))))
-    val totals = vocab.agg(count(lit(1)).as("n_vocab"), sum(col("cnt")).as("_tot"))
+    // vocab size and total mass fold into the SAME aggregation (count/sum
+    // per v-group are both over the whole gram table) — a separate totals
+    // subtree would recompute the corpus gram-agg a second time
     ranked.crossJoin(broadcast(Seq(100, 1000, 10000).toDF("v")))
       .groupBy("v")
-      .agg(sum(when(col("rk") <= col("v"), col("cnt")).otherwise(0L)).as("covered"))
-      .crossJoin(broadcast(totals))
+      .agg(sum(when(col("rk") <= col("v"), col("cnt")).otherwise(0L)).as("covered"),
+        count(lit(1)).as("n_vocab"),
+        sum(col("cnt")).as("_tot"))
       .withColumn("coverage_ppm", expr("(covered * 1000000) DIV _tot"))
       .select("v", "n_vocab", "covered", "coverage_ppm")
   }

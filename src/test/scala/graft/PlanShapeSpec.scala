@@ -56,4 +56,49 @@ class PlanShapeSpec extends SparkSpec {
     // three window top-k stages, each with partial+final WindowGroupLimit
     assert(count(p, "WindowGroupLimit") == 6, s"plan:\n$p")
   }
+
+  test("q156: HLL keeps both aggregate chains partial-agg'd; summaries broadcast") {
+    val p = planOf("q156_hll_distinct")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    // register agg + estimate agg + the exact-distinct expand pair — the
+    // register exchange carries <= 2^p rows per map partition; a regression
+    // that shuffles raw gram hashes adds an exchange and fails here
+    assert(shuffles(p) == 4, s"got ${shuffles(p)} shuffles; plan:\n$p")
+  }
+
+  test("q158: PR sweep aggregates the histogram BEFORE the threshold fan-out") {
+    val p = planOf("q158_pr_curve")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    // exactly two shuffles: the (score,label) histogram partial agg and the
+    // 11-row sweep agg; thresholds broadcast. A regression that sweeps the
+    // raw corpus 11x adds corpus-scale exchanges and fails here
+    assert(shuffles(p) == 2, s"got ${shuffles(p)} shuffles; plan:\n$p")
+  }
+
+  test("q160: coverage ranks the gram table, never reshuffling the corpus") {
+    val p = planOf("q160_vocab_coverage")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    // gram-count partial agg + the vocab-table window exchange; the final
+    // 3-row agg rides the window's single partition and the V-values side
+    // broadcasts. The corpus-scale gram agg appears ONCE — a split totals
+    // subtree would double-scan it
+    assert(shuffles(p) == 2, s"got ${shuffles(p)} shuffles; plan:\n$p")
+    assert(count(p, "Scan parquet") == 1, s"plan:\n$p")
+  }
+
+  test("bloom probe joins the bit table by broadcast, never sort-merge") {
+    import org.apache.spark.sql.functions._
+    import graft.core.Hashing
+    import graft.operators.Sketches
+    import spark.implicits._
+    val base = (1 to 100).map(i => s"k$i").toDF("k")
+      .select(Hashing.portableLong(col("k")).as("key"))
+    val bits = Sketches.bloomBits(base, "key", 1024L, 3)
+    val probe = (1 to 50).map(i => (i.toLong, s"p$i")).toDF("id", "raw")
+      .select(col("id"), Hashing.portableLong(col("raw")).as("key"))
+    val p = Sketches.bloomProbe(bits, probe, "id", "key", 1024L, 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"plan:\n$p")
+  }
 }
