@@ -100,7 +100,12 @@ object Bench {
     def gcSettle(): Unit = { System.gc(); Thread.sleep(300); System.gc() }
     def run(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
             settleAfterEach: Boolean) =
-      entries.map { case (name, fn) =>
+      entries.zipWithIndex.map { case ((name, fn), i) =>
+        // periodic settle in the pure phase too (between gates, unbilled):
+        // ~140 map-only gates accumulate enough young-gen garbage that a
+        // collection lands mid-gate 2-5x inflating whichever one draws it
+        // (r8: q130 6.3 s in-suite vs 2.65 isolated, q28b 5.7 vs 1.3)
+        if (!settleAfterEach && i % 25 == 0 && i > 0) gcSettle()
         val starts0 = streamStarts.get()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
