@@ -166,6 +166,21 @@ object ChunkDiff {
       df => canonicalIgnoring(namedCanonical(df), ignore))
 
   /**
+   * Per-table `range` config (reference sync_diff_inspector config
+   * `[[table-config]] range = "..."` — an arbitrary SQL predicate applied
+   * to BOTH sides before chunking / checksums / row compare, used to diff
+   * a slice of a huge table or to align sides with different retention).
+   * The predicate string goes through Catalyst `expr`, so bound predicates
+   * reach the parquet scan as pushed filters (at 100 TB the range is the
+   * difference between scanning a partition and scanning the table).
+   * Side-asymmetric membership is intentional and matches the reference:
+   * a row whose perturbed value crosses the range boundary appears on one
+   * side only and classifies as missing/extra.
+   */
+  def withRange(df: DataFrame, rangeSql: String): DataFrame =
+    df.filter(expr(rangeSql))
+
+  /**
    * V4 — fix-SQL generation: REPLACE for missing/different, DELETE for
    * extra (reference sync_diff_inspector/diff/diff.go:792-890). Pure string
    * building from typed columns; values must be rendered engine-portably by

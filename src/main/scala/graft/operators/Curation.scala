@@ -446,10 +446,34 @@ object Curation {
   }
 
   /** DuckDB SQL twins — keep in lockstep with the Column builders. */
+  /**
+   * Tokenizer-merge APPLICATION (BPE encode): fold a rank-ordered merge
+   * list over the text, each pass fusing non-overlapping left-to-right
+   * occurrences of `"w1 w2"` into `w1_w2` with the same boundary-space
+   * policy as [[bpeMerges]] (the shared space is consumed, so chains fuse
+   * alternately — deterministic and identical cross-engine because both
+   * engines' `replace` is left-to-right non-overlapping). A rank-i rule
+   * may reference tokens fused by ranks < i (standard BPE chaining: rule
+   * order is the order the vocabulary was learned). Map-only: encoding
+   * happens where the text lives, nothing shuffles.
+   */
+  def applyMerges(text: Column, merges: Seq[String]): Column =
+    merges.foldLeft(text) { (t, pair) =>
+      require(pair.matches("[A-Za-z0-9_]+ [A-Za-z0-9_]+"),
+        s"merge rule must be two word-like tokens: '$pair'")
+      trim(replace(concat(lit(" "), t, lit(" ")),
+        lit(s" $pair "), lit(s" ${pair.replace(' ', '_')} ")))
+    }
+
   object Sql {
     /** Oracle twin joins raw gram strings — equality semantics, no hash. */
     def grams(e: String, n: Int): String =
       s"list_distinct(${Dedup.Sql.shingles(e, n)})"
+    /** Twin of [[Curation.applyMerges]], same fold in DuckDB text. */
+    def applyMerges(e: String, merges: Seq[String]): String =
+      merges.foldLeft(e) { (t, pair) =>
+        s"trim(replace(' ' || $t || ' ', ' $pair ', ' ${pair.replace(' ', '_')} '))"
+      }
     def sampleKeep(idE: String, ratePpmE: String): String =
       s"(${Hashing.Sql.portableLong(idE)} % $Ppm) < ($ratePpmE)"
     /** Twin of [[Curation.isqrt]] — repeats the operand textually (fine

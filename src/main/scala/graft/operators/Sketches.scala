@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.Hashing
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -161,5 +161,48 @@ object Sketches {
       .groupBy(col(idCol), col(keyCol))
       .agg(sum(coalesce(col("_set"), lit(0L))).as("nset"))
       .withColumn("maybe_seen", (col("nset") === k.toLong).cast("int"))
+  }
+
+  /**
+   * Mergeable equi-width histogram — the portable quantile sketch. The
+   * corpus folds to (bin = value DIV binW, n) in one partial-aggregated
+   * pass (per-partition state is bounded by the bin count, and two shards'
+   * histograms merge by adding counts — the same mergeability contract as
+   * the CMS/HLL sketches above); every downstream quantile read runs over
+   * the tiny bin table. This is `approxQuantile`'s deterministic twin:
+   * identical answers on every engine and run, with error bounded by the
+   * bin width instead of a sampling guarantee.
+   */
+  def histogram(df: DataFrame, value: Column, binW: Long): DataFrame = {
+    require(binW >= 1)
+    df.select(VectorOps.floorDiv(value.cast("long"), lit(binW)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * Quantile read-out: for each requested percentile p (integer percent),
+   * the smallest bin whose cumulative count reaches ceil(p·N/100), its
+   * cumulative count, and the bin's inclusive upper bound b·w + w − 1 (the
+   * conservative estimate: the true p-quantile is ≤ est, and ≥ est − w + 1).
+   * The cumulative window runs over the BIN table, not the corpus —
+   * single-partition by design, like the q160 vocab rank.
+   */
+  def histQuantiles(hist: DataFrame, binW: Long, percents: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val cum = hist.withColumn("cum",
+      sum(col("n")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = hist.agg(sum(col("n")).as("n_total"))
+    cum.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(percents.toDF("p")))
+      .filter(col("cum") * 100L >= col("p") * col("n_total")) // cum ≥ ceil(pN/100)
+      .groupBy("p")
+      .agg(min(col("bin")).as("bin"),
+        min_by(col("cum"), col("bin")).as("cum_le"),
+        first(col("n_total")).as("n_total"))
+      .withColumn("est_upper", col("bin") * binW + (binW - 1L))
+      .select("p", "bin", "cum_le", "est_upper", "n_total")
   }
 }

@@ -66,4 +66,69 @@ object TfIdf {
   /** Whole-bit average weight bucket: (tfidf // n_tokens) // 16. */
   def weightBucket(tfidf: Column, nTokens: Column): Column =
     VectorOps.floorDiv(VectorOps.floorDiv(tfidf, nTokens), lit(16L))
+
+  /**
+   * BM25 top-k retrieval (Okapi, k1 = 1.2, b = 0.75) for a fixed query
+   * term set — the ranking stage of retrieval-based decontamination and
+   * RAG-corpus indexing. Exact integer arithmetic throughout: with
+   * k1 = 12/10 and b = 3/4 the per-term contribution folds to
+   *
+   *   idf_q16(t) · 22 · tf · avgdl  DIV  (10·avgdl·tf + 3·avgdl + 9·dl)
+   *
+   * (k1+1 = 22/10; k1·(1−b+b·dl/avgdl) = (3·avgdl+9·dl)/(10·avgdl); the
+   * 10·avgdl numerator/denominator pair cancels the rationals), with
+   * idf_q16 = l2q16(N) − l2q16(df) — no float anywhere, so DuckDB replays
+   * every score bit-for-bit.
+   *
+   * Scale shape (100 TB corpus): the query-term statistics (df per term,
+   * N, Σdl) fold into ONE slim partial-aggregated pass — per-term tf is
+   * computed in the row from the single-tokenization [[graft.functions.TextRuns.tokenTf]]
+   * pair array, so token occurrences never shuffle; the resulting
+   * (term, idf) model is a handful of scalars served as plan literals
+   * (the q140 NB pattern), scoring is map-only, and the top-k is
+   * TakeOrdered (no global sort exchange). Reference capability class:
+   * per-row transforms over a broadcast model (pkg/filter expression
+   * stages); ranking semantics per the public Okapi BM25 formulation.
+   */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int): DataFrame = {
+    val withTf = corpus
+      .withColumn("_tfp", graft.functions.TextRuns.tokenTf(col(textCol)))
+      .select(col(idCol) +:
+        aggregate(col("_tfp"), lit(0L),
+          (acc, p) => acc + p.getField("tf")).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          coalesce(
+            try_element_at(filter(col("_tfp"),
+              p => p.getField("w") === lit(t)), lit(1)).getField("tf"),
+            lit(0L)).as(s"_tf$i")
+        }: _*)
+    // control-plane scalars: one slim agg row → (df per term, N, Σdl);
+    // the corpus never shuffles (partial-agg all the way down)
+    val statsRow = withTf.agg(
+      count(lit(1)).as("nd"),
+      sum(col("dl")).as("sumdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i")): _*)
+      .collect()(0)
+    val nd = statsRow.getAs[Long]("nd")
+    val avgdl = statsRow.getAs[Long]("sumdl") / nd // floor: deterministic
+    val idf = terms.indices.map { i =>
+      val df = statsRow.getAs[Long](s"_df$i")
+      if (df == 0L) 0L else TextLm.l2q16Long(nd) - TextLm.l2q16Long(df)
+    }
+    val score = terms.indices.map { i =>
+      val tf = col(s"_tf$i")
+      when(tf > 0,
+        VectorOps.floorDiv(lit(idf(i) * 22L * avgdl) * tf,
+          lit(10L * avgdl) * tf + lit(3L * avgdl) + lit(9L) * col("dl")))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val nHit = terms.indices.map(i =>
+      when(col(s"_tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    withTf
+      .select(col(idCol), col("dl"), nHit.as("n_hit"), score.as("score_q16"))
+      .orderBy(col("score_q16").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -569,11 +569,108 @@ object CdcQueries {
         sum(col("final_val").cast("decimal(18,6)")).cast("double").as("sum_val"))
   }
 
+  /**
+   * q165 — force-replicate: a PK-less table's change stream
+   * ([[ForceReplicate]]). Images are derived deterministically from the
+   * envelope (a two-column row (grp, v) with NULLs in v), every UPDATE
+   * splits into DELETE(old)+INSERT(new) — no key to update in place — and
+   * the gate pins, per distinct row-VALUE (the multiset identity):
+   * insert/delete instance counts, the algebraic net, the `applied` count
+   * a sequential `DELETE … LIMIT 1` executor reaches (no-op deletes lift
+   * it above net — the reference's exact MySQL behavior), a digest over
+   * every rendered SQL statement byte-for-byte (all-column WHERE,
+   * `IS NULL` for nulls, ` LIMIT 1` — dml.go whereSlice/prepareDelete),
+   * and the count of IS-NULL WHERE legs. One exchange on the row-value;
+   * rendering is map-only.
+   */
+  val forceReplicate = GateQuery(
+    "q165_force_replicate",
+    Some {
+      val dig = "CAST(('0x' || substr(md5(sql), 1, 15)) AS BIGINT)"
+      cte +
+        s""", base AS (
+           |  SELECT seq, op,
+           |    'g' || CAST(pk % 5 AS VARCHAR) AS grp,
+           |    CASE WHEN pk % 7 = 0 THEN NULL ELSE pk % 13 END AS v_old,
+           |    CASE WHEN pk % 7 = 0 THEN 0 ELSE pk % 13 + 1 END AS v_new
+           |  FROM cdc WHERE table_name = 'tbl_1'
+           |), evs AS (
+           |  SELECT seq * 2 + part AS ord,
+           |    CASE WHEN op = 'U' AND part = 0 THEN 'D'
+           |         WHEN op = 'U' THEN 'I' ELSE op END AS op,
+           |    grp,
+           |    CASE WHEN op = 'U' AND part = 1 THEN v_new ELSE v_old END AS v
+           |  FROM base, (SELECT unnest([0, 1]) AS part) p
+           |  WHERE part = 0 OR op = 'U'
+           |), rendered AS (
+           |  SELECT ord, op, grp, v,
+           |    CASE WHEN op = 'I' THEN 1 ELSE -1 END AS delta,
+           |    CASE WHEN op = 'D' THEN
+           |      'DELETE FROM `dw`.`t` WHERE `grp` = ''' || grp || ''' AND ' ||
+           |      (CASE WHEN v IS NULL THEN '`v` IS NULL'
+           |            ELSE '`v` = ' || CAST(v AS VARCHAR) END) || ' LIMIT 1;'
+           |    ELSE
+           |      'INSERT INTO `dw`.`t` (`grp`, `v`) VALUES (''' || grp || ''', ' ||
+           |      coalesce(CAST(v AS VARCHAR), 'NULL') || ');'
+           |    END AS sql
+           |  FROM evs
+           |), pre AS (
+           |  SELECT *, sum(delta) OVER (PARTITION BY grp, v ORDER BY ord
+           |    ROWS UNBOUNDED PRECEDING) AS prefix
+           |  FROM rendered
+           |)
+           |SELECT grp, v,
+           |  CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+           |  CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+           |  CAST(sum(delta) AS BIGINT) AS net,
+           |  CAST(sum(delta) - least(min(prefix), 0) AS BIGINT) AS applied,
+           |  CAST(bit_xor($dig) AS BIGINT) AS sql_check,
+           |  CAST(sum(CASE WHEN op = 'D' AND v IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_isnull_where
+           |FROM pre GROUP BY grp, v""".stripMargin
+    }) { (spark, dir) =>
+    val env = CdcStream.derive(spark, dir).filter(col("table_name") === "tbl_1")
+    val base = env.select(
+      col("seq"), col("op"),
+      concat(lit("g"), (col("pk") % 5).cast("string")).as("grp"),
+      when(col("pk") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("pk") % 13).as("v_old"),
+      when(col("pk") % 7 === 0, lit(0L)).otherwise(col("pk") % 13 + 1).as("v_new"))
+    val evs = base
+      .withColumn("part", explode(
+        when(col("op") === "U", array(lit(0), lit(1))).otherwise(array(lit(0)))))
+      .select(
+        (col("seq") * 2 + col("part")).as("ord"),
+        when(col("op") === "U" && col("part") === 0, "D")
+          .when(col("op") === "U", "I").otherwise(col("op")).as("op"),
+        col("grp"),
+        when(col("op") === "U" && col("part") === 1, col("v_new"))
+          .otherwise(col("v_old")).as("v"))
+    val fields: Seq[ForceReplicate.Field] = Seq(
+      ("grp", col("grp"), concat(lit("'"), col("grp"), lit("'"))),
+      ("v", col("v"), col("v").cast("string")))
+    val rendered = evs.withColumn("sql",
+        when(col("op") === "D", ForceReplicate.deleteSql("`dw`.`t`", fields))
+          .otherwise(ForceReplicate.insertSql("`dw`.`t`", fields)))
+      .withColumn("dig",
+        conv(substring(md5(col("sql")), 1, 15), 16, 10).cast("long"))
+    val sqlPins = rendered.groupBy(col("grp"), coalesce(col("v"), lit(-999L)).as("_vk"))
+      .agg(expr("bit_xor(dig)").as("sql_check"),
+        sum(when(col("op") === "D" && col("v").isNull, 1L).otherwise(0L))
+          .as("n_isnull_where"))
+    ForceReplicate.multisetApply(evs, Seq("grp", "v"), col("ord"))
+      .withColumn("_vk", coalesce(col("v"), lit(-999L)))
+      .join(sqlPins, Seq("grp", "_vk"))
+      .select("grp", "v", "n_ins", "n_del", "net", "applied",
+        "sql_check", "n_isnull_where")
+  }
+
   def all: Seq[GateQuery] = Seq(
     tableFilter, eventFilter, exprFilter, exprFilterImages, startTsFilter,
     bdrFilter,
     checkpointFilter, router, extendColumns, topicRouter,
     dispatchByTable, dispatchByTs, dispatchByIndexValue,
     updateSplit, compaction, txnSizes, batching, safeMode, causality,
-    storageConsumer, storageSchemaDrift, storageLayout, sqlApply)
+    storageConsumer, storageSchemaDrift, storageLayout, sqlApply,
+    forceReplicate)
 }

@@ -794,8 +794,147 @@ object CurationQueries {
         6, 'sample',      c5, c6, i6) AS (ord, stage, n_in, n_out, id_check)""")
   }
 
+  // ---- q166: BPE merge application (tokenizer encode) -----------------
+
+  /** Rank-ordered merge vocabulary: rank 2 chains on rank 1's fused token
+    * — the standard BPE property that rule i may reference the output of
+    * rules < i. */
+  private val EncMerges = Seq("a a", "a_a the", "table hash")
+
+  /**
+   * q166 — tokenizer ENCODE ([[Curation.applyMerges]]): the applying half
+   * of the q130 induction story. The learned (here: literal, rank-ordered,
+   * chained) merge list folds over every document map-only; the gate pins,
+   * per rank, the fused token's occurrence count in the FINAL encoded
+   * corpus (so rank-2 consuming rank-1 outputs is visible), plus the
+   * corpus token counts before/after and a bit_xor fingerprint of every
+   * encoded text — byte-exact encode or nothing. Both engines run the
+   * identical replace fold ([[Curation.Sql.applyMerges]]).
+   */
+  val bpeEncode = GateQuery(
+    "q166_bpe_encode",
+    Some {
+      val enc = Curation.Sql.applyMerges("text", EncMerges)
+      val fusedVals = EncMerges.zipWithIndex.map { case (p, i) =>
+        s"(${i + 1}, '${p.replace(' ', '_')}')"
+      }.mkString(", ")
+      val fusedList = EncMerges.map(p => s"'${p.replace(' ', '_')}'").mkString(", ")
+      s"""WITH enc AS (
+         |  SELECT doc_id, text, $enc AS enc FROM documents
+         |), tot AS (
+         |  SELECT
+         |    CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS toks_before,
+         |    CAST(sum(len(string_split(enc, ' '))) AS BIGINT) AS toks_after,
+         |    CAST(bit_xor(${Hashing.Sql.portableLong("enc")}) AS BIGINT) AS enc_check
+         |  FROM enc
+         |), occ AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n_occ
+         |  FROM (SELECT unnest(string_split(enc, ' ')) AS w FROM enc)
+         |  WHERE w IN ($fusedList) GROUP BY w
+         |)
+         |SELECT rank, fused, coalesce(n_occ, 0) AS n_occ,
+         |  toks_before, toks_after, enc_check
+         |FROM (VALUES $fusedVals) m(rank, fused)
+         |LEFT JOIN occ ON fused = w CROSS JOIN tot""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val fused = EncMerges.map(_.replace(' ', '_'))
+    val enc = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        Curation.applyMerges(col("text"), EncMerges).as("enc"))
+      .persist()
+    val tot = enc
+      .withColumn("_ec", Hashing.portableLong(col("enc")))
+      .agg(
+        sum(size(split(col("text"), "\\s+")).cast("long")).as("toks_before"),
+        sum(size(split(col("enc"), " ")).cast("long")).as("toks_after"),
+        expr("bit_xor(_ec)").as("enc_check"))
+    val occ = enc.select(explode(split(col("enc"), " ")).as("w"))
+      .filter(col("w").isin(fused: _*))
+      .groupBy("w").agg(count(lit(1)).as("n_occ"))
+    val ranks = fused.zipWithIndex.map { case (f, i) => (i + 1, f) }
+      .toDF("rank", "fused")
+    val out = ranks
+      .join(occ, ranks("fused") === occ("w"), "left")
+      .select(col("rank"), col("fused"), coalesce(col("n_occ"), lit(0L)).as("n_occ"))
+      .crossJoin(broadcast(tot))
+    val r = out.collect() // materialize before unpersist
+    enc.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(r.toIndexedSeq, 1), out.schema)
+  }
+
+  // ---- q167: DSIR importance-weighted selection -----------------------
+
+  private val DsirB = 64 // hashed feature buckets (fixed-width model)
+  private val DsirOff = 1024L // positivity offset for the floor-div bucket
+
+  /**
+   * q167 — importance-weighted data selection over hashed unigram buckets
+   * ([[graft.operators.Dsir]], the DSIR shape): the `src0` slice is the
+   * target-distribution sample, the whole corpus is raw; λ per bucket is
+   * the exact fixed-point smoothed log ratio, each document scores
+   * Σ tf·λ in one broadcast-join pass, and the gate pins the raw-score
+   * weight-bucket histogram (wb = ⌊score/16⌋ + 1024 — the offset keeps
+   * the floor division in positive territory where Spark's DIV and
+   * DuckDB's // agree), doc counts, exact score sums and id checks.
+   * wb ≥ 1024 ⇔ more target-like than raw — the selection predicate is a
+   * map-only filter on this histogram's axis.
+   */
+  val dsirSelect = GateQuery(
+    "q167_dsir_select",
+    Some {
+      import graft.operators.{Dsir, TextLm}
+      val l2 = (e: String) => TextLm.Sql.l2q16(e)
+      s"""WITH tc AS (${Dsir.Sql.bucketCounts("documents WHERE source = 'src0'", DsirB)}),
+         |rc AS (${Dsir.Sql.bucketCounts("documents", DsirB)}),
+         |fullb AS (
+         |  SELECT r.range AS bucket, coalesce(tc.n, 0) AS nt, coalesce(rc.n, 0) AS nr
+         |  FROM range(0, $DsirB) r
+         |  LEFT JOIN tc ON tc.bucket = r.range
+         |  LEFT JOIN rc ON rc.bucket = r.range
+         |), tot AS (
+         |  SELECT CAST(sum(nt) AS BIGINT) AS snt, CAST(sum(nr) AS BIGINT) AS snr
+         |  FROM fullb
+         |), lam AS (
+         |  SELECT bucket,
+         |    (${l2("(nt + 1)")} - ${l2(s"(snt + $DsirB)")})
+         |      - (${l2("(nr + 1)")} - ${l2(s"(snr + $DsirB)")}) AS lam_q16
+         |  FROM fullb CROSS JOIN tot
+         |), toks AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+         |), tf AS (
+         |  SELECT doc_id, any_value(n_tokens) AS n_tokens,
+         |    ${graft.core.Hashing.Sql.portableLong("w")} % $DsirB AS bucket,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, len(t) AS n_tokens, unnest(t) AS w FROM toks)
+         |  GROUP BY doc_id, 3
+         |), scored AS (
+         |  SELECT doc_id, any_value(n_tokens) AS n_tokens,
+         |    CAST(sum(tf * lam_q16) AS BIGINT) AS score
+         |  FROM tf JOIN lam USING (bucket) GROUP BY doc_id
+         |)
+         |SELECT (score + ${DsirOff * 16}) // 16 AS wb,
+         |  count(*) AS n_docs,
+         |  CAST(sum(score) AS BIGINT) AS sum_score,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_check
+         |FROM scored GROUP BY 1""".stripMargin
+    }) { (spark, dir) =>
+    import graft.operators.{Dsir, VectorOps}
+    val docs = Tables.load(spark, dir, "documents")
+    val lam = Dsir.bucketLogRatio(
+      docs.filter(col("source") === "src0"), docs, "text", DsirB)
+    Dsir.scoreDocs(docs, lam, "doc_id", "text", DsirB)
+      .withColumn("wb", VectorOps.floorDiv(
+        col("score_q16") + lit(DsirOff * 16L), lit(16L)))
+      .groupBy("wb")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score_q16")).as("sum_score"),
+        sum(col("doc_id")).as("id_check"))
+  }
+
   def all: Seq[GateQuery] = Seq(contamination, stratifiedSample, tokenPacking,
     piiScan, mixturePlan, qualityClassifier, docChunking, corpusReport,
     boilerplate, bpeMerges, nbClassifier, passageDedup, epochShuffle,
-    sourceCaps, cdcChunks, pipeline)
+    sourceCaps, cdcChunks, pipeline, bpeEncode, dsirSelect)
 }

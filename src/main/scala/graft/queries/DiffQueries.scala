@@ -379,7 +379,62 @@ object DiffQueries {
           .as("ign_diff_check"))
   }
 
+  /** sync-diff per-table `range` predicate, q163. */
+  private val RangeSql =
+    "l_orderkey BETWEEN 2000 AND 15000 AND l_quantity > 5"
+
+  /**
+   * q163 — per-table `range` config ([[ChunkDiff.withRange]], reference
+   * sync_diff_inspector `[[table-config]] range`): the same predicate
+   * string filters BOTH sides before the compare, so rows outside the
+   * range never classify even when they differ, and the bound predicates
+   * reach the parquet scans as pushed filters (PlanShapeSpec asserts it).
+   * The quantity term makes boundary-crossing real: a %97-perturbed row
+   * with base quantity 5 is outside the source range but inside the
+   * target's (5 → 6), so it classifies `extra` — the side-asymmetric
+   * membership the reference's per-side WHERE produces. The gate pins the
+   * per-class counts/key-checks plus both sides' in-range row counts.
+   */
+  val diffRange = GateQuery(
+    "q163_diff_range",
+    Some(perturbedCte +
+      s""", s AS (SELECT l_orderkey, l_linenumber,
+         |         ${oracleDigest(oracleCanonical)} AS s_digest
+         |       FROM lineitem WHERE $RangeSql),
+         |  t AS (SELECT l_orderkey, l_linenumber,
+         |         ${oracleDigest(oracleCanonical)} AS t_digest
+         |       FROM perturbed WHERE $RangeSql),
+         |  sides AS (SELECT (SELECT count(*) FROM s) AS src_rows,
+         |                   (SELECT count(*) FROM t) AS tgt_rows)
+         |SELECT diff_type, count(*) AS cnt,
+         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+         |  CAST(sum(l_linenumber) AS BIGINT) AS sum_lnum,
+         |  src_rows, tgt_rows
+         |FROM (
+         |  SELECT coalesce(s.l_orderkey, t.l_orderkey) AS l_orderkey,
+         |    coalesce(s.l_linenumber, t.l_linenumber) AS l_linenumber,
+         |    CASE WHEN t_digest IS NULL THEN 'missing'
+         |         WHEN s_digest IS NULL THEN 'extra'
+         |         WHEN s_digest <> t_digest THEN 'different' END AS diff_type
+         |  FROM s FULL OUTER JOIN t
+         |    ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+         |) CROSS JOIN sides
+         |WHERE diff_type IS NOT NULL
+         |GROUP BY diff_type, src_rows, tgt_rows""".stripMargin)) { (spark, dir) =>
+    val s = ChunkDiff.withRange(Tables.load(spark, dir, "lineitem"), RangeSql)
+    val t = ChunkDiff.withRange(perturbed(spark, dir), RangeSql)
+    val counts = ChunkDiff
+      .rowDiff(s, t, Seq("l_orderkey", "l_linenumber"), df => canonical(df))
+      .groupBy("diff_type").agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("l_linenumber")).as("sum_lnum"))
+    val sides = s.agg(count(lit(1)).as("src_rows"))
+      .crossJoin(t.agg(count(lit(1)).as("tgt_rows")))
+    counts.crossJoin(broadcast(sides))
+  }
+
   def all: Seq[GateQuery] =
     Seq(chunkChecksum, chunkChecksumComposite, rowDiff, fixSql, fixApply,
-      diffIgnoreColumns)
+      diffIgnoreColumns, diffRange)
 }

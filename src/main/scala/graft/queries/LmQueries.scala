@@ -181,5 +181,58 @@ object LmQueries {
         (col("est_cnt") - col("exact_cnt")).as("overcount"))
   }
 
-  def all: Seq[GateQuery] = Seq(lmPerplexity, tfidf, cmsTermCounts)
+  // ---- q162: BM25 top-k retrieval --------------------------------------
+
+  private val Bm25Terms = Seq("spark", "vector", "customer", "merge", "slow")
+  private val Bm25K = 10
+
+  /**
+   * BM25 top-k retrieval (q162): Okapi ranking (k1 = 1.2, b = 0.75) of the
+   * whole corpus against a fixed query-term set — retrieval-based
+   * decontamination / RAG-index scoring as an engine operator
+   * ([[TfIdf.bm25TopK]]). Exact-integer score (rationals folded, idf via
+   * fixed-point log2) so the oracle replays every score; the gate pins the
+   * full top-10 (id, dl, n_hit, score) ranking. Plan: one slim
+   * partial-aggregated stats pass (df/N/Σdl — the model, served back as
+   * plan literals), one map-only scoring pass, TakeOrdered top-k; token
+   * occurrences never shuffle, no global sort.
+   */
+  val bm25TopK = GateQuery(
+    "q162_bm25",
+    Some {
+      val toks = TextOps.Sql.tokens.format("text")
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toks AS t FROM documents
+         |), d AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+         |), tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+         |  WHERE w IN ($termList)
+         |  GROUP BY 1, 2
+         |), consts AS (
+         |  SELECT (SELECT count(*) FROM d) AS nd,
+         |    CAST((SELECT sum(dl) FROM d) // (SELECT count(*) FROM d) AS BIGINT) AS avgdl
+         |), idf AS (
+         |  SELECT w, ${TextLm.Sql.l2q16("(nd)")} - ${TextLm.Sql.l2q16("(df)")} AS idf
+         |  FROM (SELECT w, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN consts
+         |), scored AS (
+         |  SELECT d.doc_id, d.dl,
+         |    CAST(count(s.w) AS BIGINT) AS n_hit,
+         |    CAST(coalesce(sum((s.idf * 22 * c.avgdl * s.tf)
+         |      // (10 * c.avgdl * s.tf + 3 * c.avgdl + 9 * d.dl)), 0) AS BIGINT) AS score_q16
+         |  FROM d CROSS JOIN consts c
+         |  LEFT JOIN (SELECT tf.doc_id, tf.w, tf.tf, idf.idf
+         |             FROM tf JOIN idf USING (w)) s ON d.doc_id = s.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id, dl, n_hit, score_q16 FROM scored
+         |ORDER BY score_q16 DESC, doc_id LIMIT $Bm25K""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    TfIdf.bm25TopK(docs, "doc_id", "text", Bm25Terms, Bm25K)
+  }
+
+  def all: Seq[GateQuery] = Seq(lmPerplexity, tfidf, cmsTermCounts, bm25TopK)
 }

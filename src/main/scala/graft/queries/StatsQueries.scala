@@ -313,6 +313,50 @@ object StatsQueries {
       .select("v", "n_vocab", "covered", "coverage_ppm")
   }
 
+  // ---- q164: mergeable histogram quantiles ---------------------------
+
+  private val HistBinW = 8L
+  private val HistPercents = Seq(25, 50, 75, 90, 99)
+
+  /**
+   * q164 — mergeable equi-width histogram quantiles over per-document
+   * token counts ([[Sketches.histogram]]/[[Sketches.histQuantiles]]):
+   * `approxQuantile`'s deterministic twin, the corpus-length distribution
+   * read every curation run needs (sequence-length planning, truncation
+   * budgets). One bounded partial-agg pass builds the bin table (shards
+   * merge by adding counts — the sketch mergeability contract); the
+   * percentile read-out runs entirely over the bins. The gate pins, per
+   * percentile, the chosen bin, its cumulative count, the conservative
+   * upper-bound estimate, and N — exact integers, every bin replayed.
+   */
+  val histQuantiles = GateQuery(
+    "q164_quantile_hist",
+    Some {
+      val nt = TextOps.Sql.tokenCount("text")
+      s"""WITH hist AS (
+         |  SELECT CAST($nt AS BIGINT) // $HistBinW AS bin, count(*) AS n
+         |  FROM documents GROUP BY 1
+         |), cum AS (
+         |  SELECT bin, CAST(sum(n) OVER (ORDER BY bin
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM hist
+         |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM hist)
+         |SELECT p, min(bin) AS bin,
+         |  CAST(arg_min(cum, bin) AS BIGINT) AS cum_le,
+         |  CAST(min(bin) * $HistBinW + ${HistBinW - 1} AS BIGINT) AS est_upper,
+         |  n_total
+         |FROM cum CROSS JOIN tot
+         |CROSS JOIN (SELECT unnest([${HistPercents.mkString(", ")}]) AS p) u
+         |WHERE cum * 100 >= p * n_total
+         |GROUP BY p, n_total""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val hist = Sketches.histogram(
+      docs, TextOps.tokenCount(col("text")).cast("long"), HistBinW)
+    Sketches.histQuantiles(hist, HistBinW, HistPercents)
+  }
+
   def all: Seq[GateQuery] =
-    Seq(hllDistinct, bloomMembership, prCurve, temperatureMix, vocabCoverage)
+    Seq(hllDistinct, bloomMembership, prCurve, temperatureMix, vocabCoverage,
+      histQuantiles)
 }

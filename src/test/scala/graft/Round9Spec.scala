@@ -1,0 +1,162 @@
+package graft
+
+import graft.diff.ChunkDiff
+import graft.operators.{ForceReplicate, Sketches, TextLm, TfIdf}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-9 operators: BM25 ranking, histogram quantiles,
+  * force-replicate (PK-less) multiset apply + SQL forms, diff range. */
+class Round9Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- BM25 ----------------------------------------------------------
+
+  test("bm25 ranks an exact-match doc above a diluted one, hand-checked") {
+    // d1: "cat" once in 2 tokens; d2: "cat" once in 8 tokens; d3: no hit.
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, "cat a b c d e f g"),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val out = TfIdf.bm25TopK(docs, "doc_id", "text", Seq("cat"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // N=3, df=2 → idf_q16 = l2q16(3) − l2q16(2); avgdl = 13/3 = 4
+    val idf = TextLm.l2q16Long(3) - TextLm.l2q16Long(2)
+    def score(dl: Long) = (idf * 22 * 4) / (10 * 4 + 3 * 4 + 9 * dl)
+    assert(out.head == ((1L, score(2))))
+    assert(out(1) == ((2L, score(8))))
+    assert(out(2) == ((3L, 0L))) // no hit scores zero, still ranked
+    assert(score(2) > score(8))  // length normalization is live
+  }
+
+  test("bm25 repeated term saturates (diminishing, monotone in tf)") {
+    val docs = Seq(
+      (1L, "cat cat cat cat"),
+      (2L, "cat cat dog dog"),
+      (3L, "cat dog dog dog"),
+      (4L, "dog dog dog dog")).toDF("doc_id", "text") // df < N → idf > 0
+    val s = TfIdf.bm25TopK(docs, "doc_id", "text", Seq("cat"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(s(1L) > s(2L) && s(2L) > s(3L))
+    // saturation: tf 1→2 gains more than tf 2→4 per added occurrence
+    assert((s(2L) - s(3L)) > (s(1L) - s(2L)) / 2)
+  }
+
+  // ---- histogram quantiles -------------------------------------------
+
+  test("histQuantiles picks the ceil-rank bin with exact cumulative") {
+    // values 0..99, bin width 10 → bins 0..9 with 10 each
+    val df = (0 until 100).map(_.toLong).toDF("v")
+    val hist = Sketches.histogram(df, col("v"), 10L)
+    val q = Sketches.histQuantiles(hist, 10L, Seq(25, 50, 99, 100))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(q(25) == ((2L, 30L, 29L)))  // cum 30 ≥ 25; upper bound 29
+    assert(q(50) == ((4L, 50L, 49L)))  // cum 50 ≥ 50 exactly
+    assert(q(99) == ((9L, 100L, 99L)))
+    assert(q(100) == ((9L, 100L, 99L)))
+  }
+
+  test("histogram shards merge by adding counts (mergeability contract)") {
+    val a = Seq(1L, 5L, 9L).toDF("v")
+    val b = Seq(2L, 5L, 19L).toDF("v")
+    val merged = Sketches.histogram(a.union(b), col("v"), 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sumOfParts = (Sketches.histogram(a, col("v"), 10L) union
+        Sketches.histogram(b, col("v"), 10L))
+      .groupBy("bin").agg(sum("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == sumOfParts)
+  }
+
+  // ---- force-replicate ------------------------------------------------
+
+  test("multiset applied lifts above net exactly by the no-op delete depth") {
+    // value X: D (no-op), I, I, D → net 0, applied 1
+    // value Y: I, D, D, I    → net 0, applied 1 (second D is the no-op)
+    // value Z: I, I          → net 2, applied 2
+    val evs = Seq(
+      (1L, "D", "X"), (2L, "I", "X"), (3L, "I", "X"), (4L, "D", "X"),
+      (1L, "I", "Y"), (2L, "D", "Y"), (3L, "D", "Y"), (4L, "I", "Y"),
+      (1L, "I", "Z"), (2L, "I", "Z")).toDF("ord", "op", "v")
+    val out = ForceReplicate.multisetApply(evs.toDF(), Seq("v"), col("ord"))
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out("X") == ((0L, 1L)))
+    assert(out("Y") == ((0L, 1L)))
+    assert(out("Z") == ((2L, 2L)))
+  }
+
+  test("delete SQL uses all columns, IS NULL for nulls, and LIMIT 1") {
+    val rows = Seq(("g1", Some(5L)), ("g2", None)).toDF("grp", "v")
+    val fields: Seq[ForceReplicate.Field] = Seq(
+      ("grp", col("grp"), concat(lit("'"), col("grp"), lit("'"))),
+      ("v", col("v"), col("v").cast("string")))
+    val sqls = rows.select(ForceReplicate.deleteSql("`d`.`t`", fields))
+      .as[String].collect()
+    assert(sqls(0) == "DELETE FROM `d`.`t` WHERE `grp` = 'g1' AND `v` = 5 LIMIT 1;")
+    assert(sqls(1) == "DELETE FROM `d`.`t` WHERE `grp` = 'g2' AND `v` IS NULL LIMIT 1;")
+    val ins = rows.select(ForceReplicate.insertSql("`d`.`t`", fields))
+      .as[String].collect()
+    assert(ins(0) == "INSERT INTO `d`.`t` (`grp`, `v`) VALUES ('g1', 5);")
+    assert(ins(1) == "INSERT INTO `d`.`t` (`grp`, `v`) VALUES ('g2', NULL);")
+  }
+
+  // ---- BPE encode -----------------------------------------------------
+
+  test("applyMerges chains ranks and consumes boundary spaces greedily") {
+    import graft.operators.Curation
+    val out = Seq("a a the x a a a table hash")
+      .toDF("text")
+      .select(Curation.applyMerges(col("text"),
+        Seq("a a", "a_a the", "table hash")))
+      .as[String].collect().head
+    // pass1: "a a"→a_a twice? "a a the x a a a ..." → first "a a" fuses;
+    // then "a a" in the tail: boundary space consumed → only one fuse there
+    // pass2 fuses "a_a the"; rank-3 independent
+    assert(out == "a_a_the x a_a a table_hash")
+  }
+
+  test("applyMerges rejects non-word merge rules (SQL-splice guard)") {
+    import graft.operators.Curation
+    intercept[IllegalArgumentException] {
+      Curation.applyMerges(col("text"), Seq("a' b"))
+    }
+  }
+
+  // ---- DSIR importance weighting --------------------------------------
+
+  test("dsir weights target-like docs above anti-target ones") {
+    import graft.operators.Dsir
+    // target loves "cat", raw is dominated by "dog"
+    val target = Seq("cat cat cat cat cat cat").toDF("text")
+    val raw = Seq(
+      (1L, "cat cat cat cat"),
+      (2L, "dog dog dog dog"),
+      (3L, "cat cat dog dog")).toDF("doc_id", "text")
+    val lam = Dsir.bucketLogRatio(target, raw, "text", 64)
+    val s = Dsir.scoreDocs(raw, lam, "doc_id", "text", 64)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("score_q16")).toMap
+    assert(s(1L) > s(3L) && s(3L) > s(2L))
+    assert(s(1L) > 0 && s(2L) < 0) // sign = more/less target-like than raw
+  }
+
+  test("dsir lambda table covers every bucket exactly once") {
+    import graft.operators.Dsir
+    val lam = Dsir.bucketLogRatio(
+      Seq("x").toDF("text"), Seq("y").toDF("text"), "text", 32).collect()
+    assert(lam.length == 32)
+    assert(lam.map(_.getLong(0)).sorted.toSeq == (0L until 32L))
+  }
+
+  // ---- diff range -----------------------------------------------------
+
+  test("withRange excludes out-of-range diffs; boundary crossers classify") {
+    val src = Seq((1L, 10L), (2L, 5L), (3L, 7L)).toDF("k", "q")
+    // k=1 differs but is outside range; k=2 crosses the q>5 boundary
+    val tgt = Seq((1L, 99L), (2L, 6L), (3L, 7L)).toDF("k", "q")
+    val range = "k >= 2 AND q > 5"
+    val diff = ChunkDiff.rowDiff(
+      ChunkDiff.withRange(src, range), ChunkDiff.withRange(tgt, range),
+      Seq("k"), df => Seq(col("k"), col("q").cast("string")))
+      .select("k", "diff_type").as[(Long, String)].collect().toSet
+    assert(diff == Set((2L, "extra"))) // k=1 never compared; k=3 equal
+  }
+}
