@@ -207,6 +207,33 @@ object TextRuns {
     new GenericArrayData(seen.toSortedArray)
   }
 
+  /** Word-n-gram hashes IN DOCUMENT ORDER (duplicates kept) — the
+    * positional sibling of [[shingleHashSet]] for span-grain operators:
+    * element i is the hash of the window starting at token i, so
+    * posexplode yields true window-start positions. Same per-window hash
+    * (md5Long over the space-joined gram) and the same short-text
+    * fallback (one whole-text hash). */
+  def shingleHashSeq(text: UTF8String, n: Int): ArrayData = {
+    val toks = Whitespace.split(text.toString, -1)
+    if (toks.length >= n) {
+      val out = new Array[Long](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = md5Long(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else new GenericArrayData(Array(md5Long(text.getBytes)))
+  }
+
   /** SimHash over token-occurrence hashes (NOT distinct — each occurrence
     * votes): bit b of the result is set iff Σ±1 over bit b of the token
     * md5-hashes is positive. Values identical to the column form. */
@@ -285,6 +312,9 @@ object TextRuns {
 
   def shingleHashes(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), n))
+
+  def shingleHashSeq(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashSeq(ExpressionUtils.expression(text), n))
 
   /**
    * Token-grain content-defined chunking in ONE in-row pass: a chunk
@@ -367,6 +397,19 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.shingleHashSet($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** text → array<long>: word-n-gram hashes in DOCUMENT order (positional
+  * sibling of [[ShingleHashes]]; duplicates kept). */
+case class ShingleHashSeq(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuns.shingleHashSeq(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.shingleHashSeq($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSeq =
     copy(child = newChild)
 }
 

@@ -465,6 +465,78 @@ object Curation {
         lit(s" $pair "), lit(s" ${pair.replace(' ', '_')} ")))
     }
 
+  /**
+   * Duplicated-substring SPANS — the transform half of exact substring
+   * dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+   * Models Better", public): every w-token window occurring ≥ 2 times in
+   * the corpus marks its token range as duplicated; overlapping ranges
+   * merge into maximal spans. Returns one row per span:
+   * (id, s, e, n_windows, span_tokens) with s/e the first/last dup-window
+   * START position and span_tokens = e − s + w the excisable token count.
+   * Adjacent-but-disjoint coverage (next start = prev end + w) stays two
+   * spans — coverage is identical either way, the count convention is
+   * pinned by spec + oracle.
+   *
+   * Scale shape: windows hash in-row with positions
+   * ([[graft.functions.TextRuns.shingleHashSeq]] + posexplode — 8-byte
+   * keys, gram text never leaves the row); the ≥2-occurrence table is the
+   * small join side; islands/merging are per-doc windows over ONLY the
+   * duplicated positions (a small fraction of the corpus), partitioned by
+   * doc — no global window anywhere.
+   */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(col(idCol),
+      posexplode(graft.functions.TextRuns.shingleHashSeq(col(textCol), w)))
+      .toDF(idCol, "pos", "gh")
+    val owners = g.groupBy("gh").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2).select("gh")
+    val dupw = g.join(owners, Seq("gh"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val islands = dupw
+      .withColumn("_grp", col("pos") - row_number().over(byPos))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
+        count(lit(1)).as("n_windows"))
+    val byS = Window.partitionBy(col(idCol)).orderBy(col("s"))
+    islands
+      .withColumn("_pmax",
+        max(col("e")).over(byS.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col("s") > col("_pmax") + (w - 1), 1L)
+          .otherwise(0L))
+      .withColumn("_span", sum(col("_new"))
+        .over(byS.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_span"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"),
+        sum(col("n_windows")).as("n_windows"))
+      .withColumn("span_tokens", col("e") - col("s") + w)
+      .drop("_span")
+  }
+
+  /**
+   * Span EXCISION: drop every token covered by a [[dupSpans]] row
+   * (positions [s, e+w−1]) and re-assemble the survivors in order. A doc
+   * whose text is fully covered survives with empty text. The range
+   * anti-join runs on the doc id (co-partitioned; spans per doc are few),
+   * re-assembly sorts only each doc's own surviving tokens in the row.
+   */
+  def exciseSpans(df: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(split(col(textCol), "\\s+"))).toDF(idCol, "tpos", "tok")
+    val surv = toks.join(spans.select(col(idCol).as("_sid"), col("s"), col("e")),
+        toks(idCol) === col("_sid") && col("tpos") >= col("s")
+          && col("tpos") <= col("e") + (w - 1), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("tpos"), col("tok")))),
+        p => p.getField("tok"))).as("surviving"))
+    df.select(col(idCol)).join(surv, Seq(idCol), "left")
+      .withColumn("surviving", coalesce(col("surviving"), lit("")))
+  }
+
   object Sql {
     /** Oracle twin joins raw gram strings — equality semantics, no hash. */
     def grams(e: String, n: Int): String =

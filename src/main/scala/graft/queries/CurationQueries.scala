@@ -933,8 +933,95 @@ object CurationQueries {
         sum(col("doc_id")).as("id_check"))
   }
 
+  // ---- q168: duplicated-substring span excision -----------------------
+
+  private val SpanW = 8 // window width = minimum excisable substring length
+
+  /**
+   * q168 — exact substring dedup as a TRANSFORM ([[Curation.dupSpans]] +
+   * [[Curation.exciseSpans]], the Lee et al. 2021 shape): w-token windows
+   * occurring ≥ 2 times anywhere in the corpus mark token ranges,
+   * overlapping ranges merge into maximal spans, and the covered tokens
+   * are excised. Per affected document the gate pins span count, dup
+   * window count, covered-token count, the doc's token count, and a
+   * portable hash of the SURVIVING text — the excision is byte-exact or
+   * nothing (fully-covered exact copies survive as the empty string).
+   * The oracle replays windows→ownership→islands→interval-merge→excision
+   * entirely in SQL.
+   */
+  val spanExcision = GateQuery(
+    "q168_span_excision",
+    Some(DocQueries.corpusCte +
+      s""", t AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM corpus
+         |), g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(tk[i + 1 : i + $SpanW], ' ') AS gr
+         |  FROM t, unnest(range(len(tk) - $SpanW + 1)) r(i)
+         |  WHERE len(tk) >= $SpanW
+         |  UNION ALL
+         |  SELECT doc_id, 0, array_to_string(tk, ' ') FROM t WHERE len(tk) < $SpanW
+         |), dw AS (
+         |  SELECT g.doc_id, g.pos FROM g
+         |  JOIN (SELECT gr FROM g GROUP BY gr HAVING count(*) >= 2) o USING (gr)
+         |), isl AS (
+         |  SELECT doc_id, grp, min(pos) AS s, max(pos) AS e, count(*) AS nw
+         |  FROM (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM dw)
+         |  GROUP BY 1, 2
+         |), mrk AS (
+         |  SELECT doc_id, s, e, nw,
+         |    CASE WHEN pmax IS NULL OR s > pmax + ${SpanW - 1} THEN 1 ELSE 0 END AS news
+         |  FROM (SELECT doc_id, s, e, nw,
+         |          max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |        FROM isl)
+         |), spans AS (
+         |  SELECT doc_id, spanid, min(s) AS s, max(e) AS e,
+         |    CAST(sum(nw) AS BIGINT) AS nw, max(e) - min(s) + $SpanW AS span_tokens
+         |  FROM (SELECT *, sum(news) OVER (PARTITION BY doc_id ORDER BY s
+         |          ROWS UNBOUNDED PRECEDING) AS spanid FROM mrk)
+         |  GROUP BY 1, 2
+         |), per AS (
+         |  SELECT doc_id, count(*) AS n_spans, CAST(sum(nw) AS BIGINT) AS dup_windows,
+         |    CAST(sum(span_tokens) AS BIGINT) AS covered
+         |  FROM spans GROUP BY 1
+         |), toks AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS tpos, tk[i + 1] AS tok
+         |  FROM t, unnest(range(len(tk))) r(i)
+         |), surv AS (
+         |  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.tpos) AS surviving
+         |  FROM toks p
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans sp WHERE sp.doc_id = p.doc_id
+         |    AND p.tpos BETWEEN sp.s AND sp.e + ${SpanW - 1})
+         |  GROUP BY 1
+         |)
+         |SELECT per.doc_id, CAST(n_spans AS BIGINT) AS n_spans, dup_windows,
+         |  covered, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  ${Hashing.Sql.portableLong("coalesce(surviving, '')")} AS surv_fp
+         |FROM per JOIN t USING (doc_id) LEFT JOIN surv USING (doc_id)""".stripMargin)) {
+    (spark, dir) =>
+    val c = DocQueries.corpus(spark, dir).persist()
+    val spans = Curation.dupSpans(c, "doc_id", "text", SpanW).persist()
+    val per = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("n_windows")).as("dup_windows"),
+        sum(col("span_tokens")).as("covered"))
+    val surv = Curation.exciseSpans(c, spans, "doc_id", "text", SpanW)
+    val out = per
+      .join(c.select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens")), Seq("doc_id"))
+      .join(surv, Seq("doc_id"))
+      .withColumn("surv_fp", Hashing.portableLong(col("surviving")))
+      .select("doc_id", "n_spans", "dup_windows", "covered", "n_tokens", "surv_fp")
+    val r = out.collect()
+    spans.unpersist(); c.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(r.toIndexedSeq, 1), out.schema)
+  }
+
   def all: Seq[GateQuery] = Seq(contamination, stratifiedSample, tokenPacking,
     piiScan, mixturePlan, qualityClassifier, docChunking, corpusReport,
     boilerplate, bpeMerges, nbClassifier, passageDedup, epochShuffle,
-    sourceCaps, cdcChunks, pipeline, bpeEncode, dsirSelect)
+    sourceCaps, cdcChunks, pipeline, bpeEncode, dsirSelect, spanExcision)
 }

@@ -86,6 +86,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Scan parquet") == 1, s"plan:\n$p")
   }
 
+  test("q162: BM25 scoring is map-only with a TakeOrdered top-k (no sort exchange)") {
+    val p = planOf("q162_bm25")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    // the model is plan literals: the scoring subtree has NO join and NO
+    // aggregation exchange — zero shuffles, or someone reintroduced a
+    // corpus-scale stats join into the serving path
+    assert(shuffles(p) == 0, s"got ${shuffles(p)} shuffles; plan:\n$p")
+  }
+
+  test("q163: the range predicate reaches both parquet scans pushed") {
+    import graft.diff.ChunkDiff
+    import graft.core.Tables
+    val p = ChunkDiff.withRange(Tables.load(spark, sf, "lineitem"),
+        "l_orderkey BETWEEN 2000 AND 15000 AND l_quantity > 5")
+      .queryExecution.executedPlan.toString
+    // the toString elides the tail of long filter lists — assert the
+    // stable prefix (both bounds present implies the list reached the scan)
+    assert(p.contains("GreaterThanOrEqual(l_orderkey,2000)"), s"plan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), IsNotNull(l_quantity)"),
+      s"plan:\n$p")
+  }
+
+  test("q167: DSIR scoring joins the lambda table by broadcast only") {
+    val p = planOf("q167_dsir_select")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
   test("bloom probe joins the bit table by broadcast, never sort-merge") {
     import org.apache.spark.sql.functions._
     import graft.core.Hashing

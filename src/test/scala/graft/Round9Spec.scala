@@ -146,6 +146,126 @@ class Round9Spec extends SparkSpec {
     assert(lam.map(_.getLong(0)).sorted.toSeq == (0L until 32L))
   }
 
+  // ---- duplicated-substring span excision ------------------------------
+
+  test("dupSpans merges overlapping windows; exciseSpans removes exactly them") {
+    import graft.operators.Curation
+    // doc 1 and 2 share the 8-token run "a b c d e f g h" twice in doc 1
+    // (positions 0 and 10), once in doc 2; doc 3 is clean.
+    val shared = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"$shared x y $shared z"),
+      (2L, s"p q $shared r s t u v w"),
+      (3L, "k l m n o kk ll mm nn oo")).toDF("id", "text")
+    val spans = Curation.dupSpans(docs, "id", "text", 8)
+      .orderBy("id", "s")
+      .select("id", "s", "e", "n_windows", "span_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 1: windows at 0 and 10 — gap 10 > w-1? 10 - 0 = 10 > 7 → two spans
+    // doc 2: one window at 2
+    assert(spans == Seq((1L, 0L, 0L, 1L, 8L), (1L, 10L, 10L, 1L, 8L),
+      (2L, 2L, 2L, 1L, 8L)))
+  }
+
+  test("exciseSpans drops covered tokens, keeps order, empty when fully covered") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "a b c d e f g h x y a b c d e f g h z"),
+      (2L, "p q a b c d e f g h r s t u v w")).toDF("id", "text")
+    val spans = Curation.dupSpans(docs, "id", "text", 8)
+    val surv = Curation.exciseSpans(docs, spans, "id", "text", 8)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(surv == Seq((1L, "x y z"), (2L, "p q r s t u v w")))
+    // fully-covered doc: two identical 8-token docs
+    val dup = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("id", "text")
+    val s2 = Curation.exciseSpans(dup, Curation.dupSpans(dup, "id", "text", 8),
+      "id", "text", 8).orderBy("id").as[(Long, String)].collect().toSeq
+    assert(s2 == Seq((1L, ""), (2L, "")))
+  }
+
+  test("dupSpans interval-merge bridges gaps smaller than the window") {
+    import graft.operators.Curation
+    // doc 1 repeats two overlapping-coverage runs: windows at 0 and 4
+    // (gap 4 < w=8) must merge into ONE span covering tokens 0..11
+    val r1 = "a b c d e f g h"          // window at 0 (shared with doc 2)
+    val mid = "m1 m2 m3 m4"
+    val r2 = "q r s t u v w x"          // window at 4+... construct precisely:
+    // doc1 tokens: a b c d q r s t u v w x  → windows: [a..t]? simpler:
+    // make doc1 = "a b c d e f g h i j k l" and doc2/doc3 share windows
+    // starting at 0 and 4 respectively
+    val doc1 = "a b c d e f g h i j k l"
+    val w0 = "a b c d e f g h"          // positions 0..7
+    val w4 = "e f g h i j k l"          // positions 4..11
+    val docs = Seq((1L, doc1), (2L, s"zz $w0 yy"), (3L, s"xx $w4 ww"))
+      .toDF("id", "text")
+    val spans = Curation.dupSpans(docs, "id", "text", 8)
+      .filter(col("id") === 1L)
+      .select("s", "e", "n_windows", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((0L, 4L, 2L, 12L))) // merged: covers tokens 0..11
+  }
+
+  // ---- streaming incremental dedup ------------------------------------
+
+  test("streaming incremental dedup loop equals the sequential batch algebra") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (n3, k, bands, minJac) = (3, 12, 4, 60L)
+
+    def uniq(i: Int) = (0 until 20).map(j => s"w${i}_$j").mkString(" ")
+    def nearDup(base: String) = base.split(" ").dropRight(1).mkString(" ") + " changed"
+    val d1 = uniq(1); val d2 = uniq(2); val d4 = uniq(4)
+    // cross-batch plants: d3 ~ d1 (flag), d5 ~ d4 (flag), d6 ~ d2 (flag)
+    val batches = Seq(
+      Seq(1L -> d1, 2L -> d2),
+      Seq(3L -> nearDup(d1), 4L -> d4),
+      Seq(5L -> nearDup(d4), 6L -> nearDup(d2)))
+
+    def analyzed(rows: Seq[(Long, String)]): DataFrame =
+      Dedup.minhashAnalyzed(rows.toDF("id", "text"), "id", "text", n3, k)
+
+    // sequential batch twin: same operators, driver loop
+    var twinIndex = analyzed(batches.head)
+    val twinFlagged = scala.collection.mutable.Set.empty[Long]
+    batches.tail.foreach { b =>
+      val an = analyzed(b)
+      val m = Dedup.incrementalMatches(twinIndex, an, k, bands)
+      twinFlagged ++= m.filter(col("jac_pct") >= minJac)
+        .select("new_id").as[Long].collect()
+      twinIndex = Dedup.admitToIndex(twinIndex, an, m, minJac).localCheckpoint(true)
+    }
+
+    // live loop: one StreamingQuery, three real microbatches, index carried
+    // across foreachBatch invocations exactly as a production job would
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    var liveIndex: DataFrame = null
+    val liveFlagged = scala.collection.mutable.Set.empty[Long]
+    val q = mem.toDF().toDF("id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val an = Dedup.minhashAnalyzed(batch, "id", "text", n3, k)
+        if (liveIndex == null) liveIndex = an.localCheckpoint(true)
+        else {
+          val m = Dedup.incrementalMatches(liveIndex, an, k, bands)
+          liveFlagged ++= m.filter(col("jac_pct") >= minJac)
+            .select("new_id").as[Long].collect()
+          liveIndex = Dedup.admitToIndex(liveIndex, an, m, minJac)
+            .localCheckpoint(true)
+        }
+        ()
+      }
+      .start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    assert(liveFlagged == twinFlagged && twinFlagged == Set(3L, 5L, 6L))
+    val liveIds = liveIndex.select("id").as[Long].collect().sorted.toSeq
+    val twinIds = twinIndex.select("id").as[Long].collect().sorted.toSeq
+    assert(liveIds == twinIds && liveIds == Seq(1L, 2L, 4L))
+  }
+
   // ---- diff range -----------------------------------------------------
 
   test("withRange excludes out-of-range diffs; boundary crossers classify") {
