@@ -109,7 +109,12 @@ object Bench100x {
     // all-pairs form this replaced would not survive this corpus), and the
     // two bounded-state sketches whose whole point is scale (HLL's shuffle
     // is 256 rows here regardless of corpus size; Bloom bits stay ≤ m).
-    "q155_dedup_recall", "q156_hll_distinct", "q157_bloom_membership")
+    "q155_dedup_recall", "q156_hll_distinct", "q157_bloom_membership",
+    // r9 additions: BM25 (map-only + TakeOrdered — must stay ~linear),
+    // DSIR (two bounded bucket aggs + broadcast scoring), and substring
+    // span excision (the ownership/anti-join regime on a dup-dense corpus
+    // is exactly what this gate stresses at 100×)
+    "q162_bm25", "q167_dsir_select", "q168_span_excision")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(

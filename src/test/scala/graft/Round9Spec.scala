@@ -206,6 +206,45 @@ class Round9Spec extends SparkSpec {
     assert(spans == Seq((0L, 4L, 2L, 12L))) // merged: covers tokens 0..11
   }
 
+  test("span excision ≡ brute-force covered-set reference on random corpora") {
+    import graft.operators.Curation
+    val w = 3
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "b", "c", "d") // tiny vocab → dup windows happen
+    for (trial <- 1 to 5) {
+      val docs = (1L to 12L).map { id =>
+        id -> (0 until (w + rnd.nextInt(15)))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      // brute force: global window occurrence counts → covered positions
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val winCount = collection.mutable.Map.empty[String, Int]
+      toks.values.foreach { ts =>
+        ts.sliding(w).foreach(win =>
+          winCount(win.mkString(" ")) = winCount.getOrElse(win.mkString(" "), 0) + 1)
+      }
+      val expect = toks.map { case (id, ts) =>
+        val covered = Array.fill(ts.length)(false)
+        ts.sliding(w).zipWithIndex.foreach { case (win, p) =>
+          if (winCount(win.mkString(" ")) >= 2)
+            (p until p + w).foreach(covered(_) = true)
+        }
+        id -> (covered.count(identity),
+          ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }.mkString(" "))
+      }
+      val df = docs.toDF("id", "text")
+      val spans = Curation.dupSpans(df, "id", "text", w)
+      val got = Curation.exciseSpans(df, spans, "id", "text", w)
+        .as[(Long, String)].collect().toMap
+      val cov = spans.groupBy("id").agg(sum("span_tokens").as("c"))
+        .as[(Long, Long)].collect().toMap
+      expect.foreach { case (id, (nCov, surviving)) =>
+        assert(got(id) == surviving, s"trial $trial doc $id: '${got(id)}' vs '$surviving'")
+        assert(cov.getOrElse(id, 0L) == nCov.toLong, s"trial $trial doc $id coverage")
+      }
+    }
+  }
+
   // ---- streaming incremental dedup ------------------------------------
 
   test("streaming incremental dedup loop equals the sequential batch algebra") {
