@@ -76,4 +76,44 @@ object Compaction {
       .orderBy(col("seq"))
     df.withColumn("batch_id", ((row_number().over(w) - 1) / maxRows).cast("long"))
   }
+
+  /** One transaction's row count in commit order (input to
+    * [[atomicBatchIds]]). */
+  final case class TxnSize(schema_name: String, table_name: String,
+      commit_ts: Long, n_rows: Long)
+
+  /**
+   * `transaction-atomicity = table` batching (reference pkg/config/
+   * sink.go:103-112 `AtomicityLevel.ShouldSplitTxn` and the advancer's
+   * no-split emit condition, cdc/processor/sinkmanager/
+   * table_sink_advancer.go:332-344): when splitting is OFF, a batch may
+   * only close at a TRANSACTION boundary — it accumulates whole txns and
+   * closes once the committed size reaches the cap, so a batch can
+   * overshoot `maxRows` to keep a txn intact (the `none` level is
+   * [[batchIds]]' row-grain split). Greedy sequential fold per table:
+   * corpus rows collapse to txn sizes first (one partial agg), then the
+   * per-table fold runs distributed via `flatMapSortedGroups` — each
+   * group's state is two longs, tables process in parallel, and the txn
+   * table is corpus-rows/avg-txn-size smaller than the stream.
+   * Returns (schema_name, table_name, commit_ts, n_rows, batch_id).
+   */
+  def atomicBatchIds(txns: DataFrame, maxRows: Long): DataFrame = {
+    val spark = txns.sparkSession
+    import spark.implicits._
+    txns.select(col("schema_name"), col("table_name"),
+        col("commit_ts").cast("long"), col("n_rows").cast("long"))
+      .as[TxnSize]
+      .groupByKey(t => (t.schema_name, t.table_name))
+      .flatMapSortedGroups($"commit_ts") { case (_, it) =>
+        var batch = 0L
+        var acc = 0L
+        it.map { t =>
+          val out = (t.schema_name, t.table_name, t.commit_ts, t.n_rows, batch)
+          acc += t.n_rows
+          if (acc >= maxRows) { batch += 1; acc = 0 }
+          out
+        }
+      }
+      .toDF("schema_name", "table_name", "commit_ts", "n_rows", "batch_id")
+  }
 }

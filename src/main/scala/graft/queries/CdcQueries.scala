@@ -665,6 +665,78 @@ object CdcQueries {
         "sql_check", "n_isnull_where")
   }
 
+  private val AtomCap = 12L // atomic-batch close threshold (rows)
+
+  /**
+   * q169 — `transaction-atomicity = table` ([[Compaction.atomicBatchIds]]):
+   * with txn splitting OFF, batches close only at transaction boundaries
+   * and may overshoot the row cap to keep a txn whole. The gate pins, per
+   * table: the atomic batch count, the max batch size (its excess over the
+   * cap witnesses the no-split overshoot), the `none`-level split count
+   * (⌈rows/cap⌉) alongside for contrast, and an assignment checksum over
+   * every (txn → batch) decision — the oracle replays the greedy fold with
+   * a recursive CTE, so one txn landing in a different batch fails the
+   * hash. Corpus rows collapse to txn sizes first; the fold itself runs
+   * over the tiny txn table, per-table in parallel.
+   */
+  val txnAtomicity = GateQuery(
+    "q169_txn_atomicity",
+    Some(cte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", txns AS (
+         |  SELECT schema_name, table_name, commit_ts,
+         |    CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM cdc GROUP BY 1, 2, 3
+         |), numbered AS (
+         |  SELECT *, row_number() OVER (PARTITION BY schema_name, table_name
+         |    ORDER BY commit_ts) AS i
+         |  FROM txns
+         |), rec AS (
+         |  SELECT schema_name, table_name, i, commit_ts, n_rows,
+         |    CAST(0 AS BIGINT) AS batch_id,
+         |    CASE WHEN n_rows >= $AtomCap THEN CAST(0 AS BIGINT)
+         |         ELSE n_rows END AS acc_after,
+         |    CASE WHEN n_rows >= $AtomCap THEN CAST(1 AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS next_batch
+         |  FROM numbered WHERE i = 1
+         |  UNION ALL
+         |  SELECT n.schema_name, n.table_name, n.i, n.commit_ts, n.n_rows,
+         |    r.next_batch,
+         |    CASE WHEN r.acc_after + n.n_rows >= $AtomCap THEN 0
+         |         ELSE r.acc_after + n.n_rows END,
+         |    CASE WHEN r.acc_after + n.n_rows >= $AtomCap THEN r.next_batch + 1
+         |         ELSE r.next_batch END
+         |  FROM rec r JOIN numbered n
+         |    ON n.schema_name = r.schema_name AND n.table_name = r.table_name
+         |   AND n.i = r.i + 1
+         |), perb AS (
+         |  SELECT schema_name, table_name, batch_id, count(*) AS nt,
+         |    CAST(sum(n_rows) AS BIGINT) AS rb,
+         |    CAST(sum(batch_id * (commit_ts % 997)) AS BIGINT) AS ac
+         |  FROM rec GROUP BY 1, 2, 3
+         |)
+         |SELECT schema_name, table_name, count(*) AS atomic_batches,
+         |  max(rb) AS max_batch_rows,
+         |  CAST(sum(rb) AS BIGINT) AS total_rows,
+         |  CAST(sum(nt) AS BIGINT) AS n_txns,
+         |  (CAST(sum(rb) AS BIGINT) + ${AtomCap - 1}) // $AtomCap AS split_batches,
+         |  CAST(sum(ac) AS BIGINT) AS assign_check
+         |FROM perb GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    val txns = CdcStream.derive(spark, dir)
+      .groupBy("schema_name", "table_name", "commit_ts")
+      .agg(count(lit(1)).as("n_rows"))
+    Compaction.atomicBatchIds(txns, AtomCap)
+      .groupBy("schema_name", "table_name", "batch_id")
+      .agg(count(lit(1)).as("nt"), sum(col("n_rows")).as("rb"),
+        sum(col("batch_id") * (col("commit_ts") % 997)).as("ac"))
+      .groupBy("schema_name", "table_name")
+      .agg(count(lit(1)).as("atomic_batches"),
+        max(col("rb")).as("max_batch_rows"),
+        sum(col("rb")).as("total_rows"),
+        sum(col("nt")).as("n_txns"),
+        expr(s"(sum(rb) + ${AtomCap - 1}) DIV $AtomCap").as("split_batches"),
+        sum(col("ac")).as("assign_check"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     tableFilter, eventFilter, exprFilter, exprFilterImages, startTsFilter,
     bdrFilter,
@@ -672,5 +744,5 @@ object CdcQueries {
     dispatchByTable, dispatchByTs, dispatchByIndexValue,
     updateSplit, compaction, txnSizes, batching, safeMode, causality,
     storageConsumer, storageSchemaDrift, storageLayout, sqlApply,
-    forceReplicate)
+    forceReplicate, txnAtomicity)
 }

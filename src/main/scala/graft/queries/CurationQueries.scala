@@ -1014,10 +1014,13 @@ object CurationQueries {
       .join(surv, Seq("doc_id"))
       .withColumn("surv_fp", Hashing.portableLong(col("surviving")))
       .select("doc_id", "n_spans", "dup_windows", "covered", "n_tokens", "surv_fp")
-    val r = out.collect()
+      .persist()
+    // materialize executor-side before unpersisting the inputs (a collect
+    // here would ship every affected doc through the driver — 700 k rows
+    // at the 100× point); the persisted result is 6 longs/row, negligible
+    out.count()
     spans.unpersist(); c.unpersist()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(r.toIndexedSeq, 1), out.schema)
+    out
   }
 
   def all: Seq[GateQuery] = Seq(contamination, stratifiedSample, tokenPacking,

@@ -99,6 +99,31 @@ class Round9Spec extends SparkSpec {
     assert(ins(1) == "INSERT INTO `d`.`t` (`grp`, `v`) VALUES ('g2', NULL);")
   }
 
+  // ---- transaction-atomicity batching ---------------------------------
+
+  test("atomicBatchIds closes only at txn boundaries and may overshoot the cap") {
+    import graft.operators.Compaction
+    // txns in commit order: 5, 4, 6 (closes at 15 ≥ 10), 9, 2 (closes at 11), 3
+    val txns = Seq(
+      ("s", "t", 1L, 5L), ("s", "t", 2L, 4L), ("s", "t", 3L, 6L),
+      ("s", "t", 4L, 9L), ("s", "t", 5L, 2L), ("s", "t", 6L, 3L))
+      .toDF("schema_name", "table_name", "commit_ts", "n_rows")
+    val got = Compaction.atomicBatchIds(txns, 10L)
+      .orderBy("commit_ts")
+      .select("commit_ts", "batch_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 2L))
+    // batch 0 = 15 rows (overshoot to keep txn 3 whole), batch 1 = 11
+  }
+
+  test("a single oversized txn gets its own batch, unsplit") {
+    import graft.operators.Compaction
+    val txns = Seq(("s", "t", 1L, 25L), ("s", "t", 2L, 1L))
+      .toDF("schema_name", "table_name", "commit_ts", "n_rows")
+    val got = Compaction.atomicBatchIds(txns, 10L)
+      .orderBy("commit_ts").select("batch_id").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L)) // 25-row txn alone in batch 0, never split
+  }
+
   // ---- BPE encode -----------------------------------------------------
 
   test("applyMerges chains ranks and consumes boundary spaces greedily") {
