@@ -541,9 +541,13 @@ object Curation {
     /** Oracle twin joins raw gram strings — equality semantics, no hash. */
     def grams(e: String, n: Int): String =
       s"list_distinct(${Dedup.Sql.shingles(e, n)})"
-    /** Twin of [[Curation.applyMerges]], same fold in DuckDB text. */
+    /** Twin of [[Curation.applyMerges]], same fold in DuckDB text — and
+      * the same word-like guard: the pair splices into SQL text here, so
+      * the validation is load-bearing, not cosmetic. */
     def applyMerges(e: String, merges: Seq[String]): String =
       merges.foldLeft(e) { (t, pair) =>
+        require(pair.matches("[A-Za-z0-9_]+ [A-Za-z0-9_]+"),
+          s"merge rule must be two word-like tokens: '$pair'")
         s"trim(replace(' ' || $t || ' ', ' $pair ', ' ${pair.replace(' ', '_')} '))"
       }
     def sampleKeep(idE: String, ratePpmE: String): String =

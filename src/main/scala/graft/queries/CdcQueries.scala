@@ -636,6 +636,8 @@ object CdcQueries {
       when(col("pk") % 7 === 0, lit(null).cast("long"))
         .otherwise(col("pk") % 13).as("v_old"),
       when(col("pk") % 7 === 0, lit(0L)).otherwise(col("pk") % 13 + 1).as("v_new"))
+    // persisted: both the multiset fold and the SQL-render branch consume
+    // it — without this the events scan + U-split explode run twice
     val evs = base
       .withColumn("part", explode(
         when(col("op") === "U", array(lit(0), lit(1))).otherwise(array(lit(0)))))
@@ -646,6 +648,7 @@ object CdcQueries {
         col("grp"),
         when(col("op") === "U" && col("part") === 1, col("v_new"))
           .otherwise(col("v_old")).as("v"))
+      .persist()
     val fields: Seq[ForceReplicate.Field] = Seq(
       ("grp", col("grp"), concat(lit("'"), col("grp"), lit("'"))),
       ("v", col("v"), col("v").cast("string")))
@@ -658,11 +661,15 @@ object CdcQueries {
       .agg(expr("bit_xor(dig)").as("sql_check"),
         sum(when(col("op") === "D" && col("v").isNull, 1L).otherwise(0L))
           .as("n_isnull_where"))
-    ForceReplicate.multisetApply(evs, Seq("grp", "v"), col("ord"))
+    val out = ForceReplicate.multisetApply(evs, Seq("grp", "v"), col("ord"))
       .withColumn("_vk", coalesce(col("v"), lit(-999L)))
       .join(sqlPins, Seq("grp", "_vk"))
       .select("grp", "v", "n_ins", "n_del", "net", "applied",
         "sql_check", "n_isnull_where")
+      .persist()
+    out.count() // materialize before releasing the shared event table
+    evs.unpersist()
+    out
   }
 
   private val AtomCap = 12L // atomic-batch close threshold (rows)

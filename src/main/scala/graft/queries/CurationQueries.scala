@@ -920,13 +920,15 @@ object CurationQueries {
          |  CAST(sum(doc_id) AS BIGINT) AS id_check
          |FROM scored GROUP BY 1""".stripMargin
     }) { (spark, dir) =>
-    import graft.operators.{Dsir, VectorOps}
+    import graft.operators.Dsir
     val docs = Tables.load(spark, dir, "documents")
     val lam = Dsir.bucketLogRatio(
       docs.filter(col("source") === "src0"), docs, "text", DsirB)
+    // DIV (truncating), NOT floorDiv: DuckDB's `//` truncates toward zero,
+    // so the truncating pair agrees for ALL values — flooring would
+    // diverge for any score below the −offset line
     Dsir.scoreDocs(docs, lam, "doc_id", "text", DsirB)
-      .withColumn("wb", VectorOps.floorDiv(
-        col("score_q16") + lit(DsirOff * 16L), lit(16L)))
+      .withColumn("wb", expr(s"(score_q16 + ${DsirOff * 16L}) DIV 16"))
       .groupBy("wb")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("score_q16")).as("sum_score"),
@@ -953,14 +955,16 @@ object CurationQueries {
     "q168_span_excision",
     Some(DocQueries.corpusCte +
       s""", t AS (
-         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM corpus
+         |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM corpus
          |), g AS (
          |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
          |    array_to_string(tk[i + 1 : i + $SpanW], ' ') AS gr
          |  FROM t, unnest(range(len(tk) - $SpanW + 1)) r(i)
          |  WHERE len(tk) >= $SpanW
          |  UNION ALL
-         |  SELECT doc_id, 0, array_to_string(tk, ' ') FROM t WHERE len(tk) < $SpanW
+         |  -- short-doc fallback identity is the RAW text (the kernel hashes
+         |  -- text bytes, not the token join — Dedup.shingles convention)
+         |  SELECT doc_id, 0, text FROM t WHERE len(tk) < $SpanW
          |), dw AS (
          |  SELECT g.doc_id, g.pos FROM g
          |  JOIN (SELECT gr FROM g GROUP BY gr HAVING count(*) >= 2) o USING (gr)

@@ -344,6 +344,18 @@ object DocQueries {
   private val labelsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Corpus row count, a per-(session, dir) constant — cached so sizing
+    * rules (q155's slice modulus) don't re-scan the 3-way union corpus
+    * on every invocation. */
+  private val corpusCountCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Long]
+
+  private def corpusCount(spark: SparkSession, dir: String): Long = {
+    corpusCountCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(corpusCountCache.remove)
+    corpusCountCache.getOrElseUpdate((spark, dir), corpus(spark, dir).count())
+  }
+
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     labelsCache.keys.filter(_._1.sparkContext.isStopped)
       .foreach(labelsCache.remove)
@@ -811,7 +823,8 @@ object DocQueries {
     val c = corpus(spark, dir)
     val labels = clusterLabels(spark, dir)
     // slice modulus scales with corpus size (the bounded-sample rule above)
-    val sliceMod = math.max(RecallSliceMod.toLong, c.count() / RecallSliceTarget)
+    val sliceMod = math.max(RecallSliceMod.toLong,
+      corpusCount(spark, dir) / RecallSliceTarget)
     val slice = Dedup.minhashAnalyzed(
         c.filter(col("doc_id") % 100000 % sliceMod === 0), "doc_id", "text",
         ShingleN, MinhashK)

@@ -332,6 +332,29 @@ class Round9Spec extends SparkSpec {
 
   // ---- diff range -----------------------------------------------------
 
+  test("rowDiffIgnoring: rows differing only in an ignored column compare equal") {
+    val src = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "v", "ts")
+    val tgt = Seq((1L, "a", 99L), (2L, "B", 20L), (3L, "c", 30L))
+      .toDF("k", "v", "ts")
+    def named(df: org.apache.spark.sql.DataFrame) = Seq(
+      "k" -> col("k").cast("string"), "v" -> col("v"),
+      "ts" -> col("ts").cast("string"))
+    val ign = ChunkDiff.rowDiffIgnoring(src, tgt, Seq("k"), named, Set("ts"))
+      .select("k", "diff_type").as[(Long, String)].collect().toSet
+    assert(ign == Set((2L, "different"))) // k=1's ts-only change is invisible
+    val full = ChunkDiff.rowDiff(src, tgt, Seq("k"), df => named(df).map(_._2))
+      .select("k", "diff_type").as[(Long, String)].collect().toSet
+    assert(full == Set((1L, "different"), (2L, "different")))
+  }
+
+  test("Sql.applyMerges rejects non-word rules like its Column twin") {
+    import graft.operators.Curation
+    intercept[IllegalArgumentException] {
+      Curation.Sql.applyMerges("text", Seq("a' b"))
+    }
+  }
+
   test("withRange excludes out-of-range diffs; boundary crossers classify") {
     val src = Seq((1L, 10L), (2L, 5L), (3L, 7L)).toDF("k", "q")
     // k=1 differs but is outside range; k=2 crosses the q>5 boundary
