@@ -133,6 +133,18 @@ object Bench100x {
     val only = args.lift(1).map(_.split(',').toSet)
     val sel = entries.filter(e => only.forall(_.contains(e._1)))
 
+    // Warm-up (same rationale as Bench's): compile the scan + shuffle/agg
+    // whole-stage-codegen paths and fault in parquet footers BEFORE any
+    // timed gate, so the first gate doesn't absorb ~2-4 s of one-off JIT —
+    // the reason isolated single-gate runs read high vs in-suite (NOTES r9)
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 97 === 0)
+      .groupBy("l_returnflag").agg(count(lit(1))).count()
+    Tables.load(spark, dir, "documents")
+      .select(sum(length(col("text")))).count()
+    spark.range(1000000).select((col("id") % 7).as("k"))
+      .dropDuplicates("k").groupBy("k").agg(count(lit(1))).count()
+
     val times = sel.map { case (name, mk) =>
       System.gc(); Thread.sleep(300); System.gc()
       val t0 = System.nanoTime()

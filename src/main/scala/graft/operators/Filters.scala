@@ -200,4 +200,150 @@ object Filters {
     else ddl.filter(!ignoreRegexes
       .map(r => col(sqlCol).rlike(r))
       .reduce(_ || _))
+
+  // ---- DM binlog event filter (pkg/binlog-filter/filter.go) ----------
+
+  /** One rule of DM's binlog event filter: schema/table wildcard scope,
+    * an event-type list (with the group entries `all`, `all dml`,
+    * `all ddl`, `none`, `none dml`, `none ddl`,
+    * `incompatible ddl changes`), optional SQL regexes (OR-joined,
+    * case-insensitive — filter.go:219), and an action. `Do` is a
+    * whitelist (a matching-scope event NOT in the list is ignored),
+    * `Ignore` drops listed events, `Error` surfaces them. */
+  final case class BinlogEventRule(schemaPat: String, tablePat: String,
+      events: Seq[String], sqlPatterns: Seq[String], action: String) {
+    require(Seq("Do", "Ignore", "Error").contains(action),
+      s"action must be Do/Ignore/Error: $action")
+  }
+
+  /** ClassifyEvent's compatible-DDL set (filter.go:127-145); DML is
+    * insert/update/delete; every other known DDL type classifies
+    * `incompatible ddl` (filter.go:146-196). */
+  val BinlogDmlEvents: Seq[String] = Seq("insert", "update", "delete")
+  val BinlogCompatibleDdl: Seq[String] = Seq(
+    "create database", "alter database", "alter schema", "create table",
+    "create index", "create view", "drop view", "alter table",
+    "create schema", "add table partition")
+
+  /** dml / ddl / incompatible ddl from the event-type string. */
+  def binlogEventClass(ev: Column): Column =
+    when(ev.isin(BinlogDmlEvents: _*), "dml")
+      .when(ev.isin(BinlogCompatibleDdl: _*), "ddl")
+      .otherwise("incompatible ddl")
+
+  /** matchEvent (filter.go:394-435): entries evaluate IN ORDER and the
+    * first decisive one wins — `["none", "insert"]` matches nothing
+    * because `none` terminates before `insert` is consulted. */
+  private def matchEventCol(tp: Column, ev: Column, entries: Seq[String]): Column =
+    entries.foldRight(lit(false)) { (e, rest) =>
+      e match {
+        case "all" => lit(true)
+        case "none" => lit(false)
+        case "all ddl" =>
+          when(tp.isin("ddl", "incompatible ddl"), lit(true)).otherwise(rest)
+        case "none ddl" =>
+          when(tp.isin("ddl", "incompatible ddl"), lit(false)).otherwise(rest)
+        case "all dml" => when(tp === "dml", lit(true)).otherwise(rest)
+        case "none dml" => when(tp === "dml", lit(false)).otherwise(rest)
+        case "incompatible ddl changes" =>
+          when(tp === "incompatible ddl", lit(true)).otherwise(rest)
+        case specific => when(ev === specific, lit(true)).otherwise(rest)
+      }
+    }
+
+  /**
+   * The Filter method's decision (filter.go:325-392) as one column:
+   * rules apply in config order; per rule the EVENT block decides first
+   * (matched+Ignore → Ignore, matched+Error → Error, unmatched+Do →
+   * Ignore — so a `Do` rule with an empty event list ignores every
+   * classified event, exactly as the reference code does), then the SQL
+   * block (only when the raw query is non-empty AND the rule has
+   * patterns), else the next rule; no rule deciding → Do.
+   */
+  def binlogEventDecision(schemaCol: Column, tableCol: Column, evCol: Column,
+      sqlCol: Column, rules: Seq[BinlogEventRule]): Column = {
+    val tp = binlogEventClass(evCol)
+    rules.foldRight(lit("Do")) { (r, rest) =>
+      val tm = schemaCol.rlike(wildcardToRegex(r.schemaPat)) &&
+        tableCol.rlike(wildcardToRegex(r.tablePat))
+      val m = matchEventCol(tp, evCol, r.events)
+      val evD = r.action match {
+        case "Ignore" => when(m, "Ignore")
+        case "Error" => when(m, "Error")
+        case "Do" => when(!m, "Ignore")
+      }
+      val sqlD =
+        if (r.sqlPatterns.isEmpty) lit(null).cast("string")
+        else {
+          val re = "(?i)" + r.sqlPatterns.mkString("|")
+          r.action match {
+            case "Ignore" => when(length(sqlCol) > 0 && sqlCol.rlike(re), "Ignore")
+            case "Error" => when(length(sqlCol) > 0 && sqlCol.rlike(re), "Error")
+            case "Do" => when(length(sqlCol) > 0 && !sqlCol.rlike(re), "Ignore")
+          }
+        }
+      when(tm, coalesce(evD, sqlD, rest)).otherwise(rest)
+    }
+  }
+
+  /** DuckDB SQL twin of [[binlogEventDecision]] — generated from the SAME
+    * rule objects so engine and oracle cannot drift. Expression arguments
+    * must be parenthesized column references. */
+  object BinlogSql {
+    private def esc(s: String) = s.replace("'", "''")
+
+    def eventClass(evE: String): String = {
+      val dml = BinlogDmlEvents.map(e => s"'$e'").mkString(", ")
+      val ddl = BinlogCompatibleDdl.map(e => s"'$e'").mkString(", ")
+      s"(CASE WHEN $evE IN ($dml) THEN 'dml' " +
+        s"WHEN $evE IN ($ddl) THEN 'ddl' ELSE 'incompatible ddl' END)"
+    }
+
+    private def matchEvent(tpE: String, evE: String, entries: Seq[String]): String =
+      entries.foldRight("FALSE") { (e, rest) =>
+        e match {
+          case "all" => "TRUE"
+          case "none" => "FALSE"
+          case "all ddl" =>
+            s"(CASE WHEN $tpE IN ('ddl', 'incompatible ddl') THEN TRUE ELSE $rest END)"
+          case "none ddl" =>
+            s"(CASE WHEN $tpE IN ('ddl', 'incompatible ddl') THEN FALSE ELSE $rest END)"
+          case "all dml" => s"(CASE WHEN $tpE = 'dml' THEN TRUE ELSE $rest END)"
+          case "none dml" => s"(CASE WHEN $tpE = 'dml' THEN FALSE ELSE $rest END)"
+          case "incompatible ddl changes" =>
+            s"(CASE WHEN $tpE = 'incompatible ddl' THEN TRUE ELSE $rest END)"
+          case specific => s"(CASE WHEN $evE = '${esc(specific)}' THEN TRUE ELSE $rest END)"
+        }
+      }
+
+    def decision(schemaE: String, tableE: String, evE: String, sqlE: String,
+        rules: Seq[BinlogEventRule]): String = {
+      val tpE = eventClass(evE)
+      rules.foldRight("'Do'") { (r, rest) =>
+        val tm = s"(regexp_matches($schemaE, '${esc(wildcardToRegex(r.schemaPat))}')" +
+          s" AND regexp_matches($tableE, '${esc(wildcardToRegex(r.tablePat))}'))"
+        val m = matchEvent(tpE, evE, r.events)
+        val evD = r.action match {
+          case "Ignore" => s"(CASE WHEN $m THEN 'Ignore' END)"
+          case "Error" => s"(CASE WHEN $m THEN 'Error' END)"
+          case "Do" => s"(CASE WHEN NOT $m THEN 'Ignore' END)"
+        }
+        val sqlD =
+          if (r.sqlPatterns.isEmpty) "NULL"
+          else {
+            val re = esc("(?i)" + r.sqlPatterns.mkString("|"))
+            val hasQ = s"length($sqlE) > 0"
+            r.action match {
+              case "Ignore" =>
+                s"(CASE WHEN $hasQ AND regexp_matches($sqlE, '$re') THEN 'Ignore' END)"
+              case "Error" =>
+                s"(CASE WHEN $hasQ AND regexp_matches($sqlE, '$re') THEN 'Error' END)"
+              case "Do" =>
+                s"(CASE WHEN $hasQ AND NOT regexp_matches($sqlE, '$re') THEN 'Ignore' END)"
+            }
+          }
+        s"(CASE WHEN $tm THEN coalesce($evD, $sqlD, $rest) ELSE $rest END)"
+      }
+    }
+  }
 }

@@ -744,6 +744,104 @@ object CdcQueries {
         sum(col("ac")).as("assign_check"))
   }
 
+  // ---- q170: DM binlog event filter -----------------------------------
+
+  /** DDL events for the binlog filter: (schema, table, sql). */
+  private val BfDdl = Seq(
+    ("db", "t1", "CREATE TABLE db.t1 (id BIGINT, v DOUBLE)"),
+    ("db2", "", "CREATE DATABASE db2"),
+    ("db", "t1", "DROP TABLE db.t1"),
+    ("db2", "", "DROP DATABASE db2"),
+    ("db", "t1", "ALTER TABLE db.t1 ADD COLUMN c INT"),
+    ("db", "t1", "ALTER TABLE db.t1 ADD INDEX idx_v (v)"),
+    ("db", "t1", "ALTER TABLE db.t1 DROP INDEX idx_v"),
+    ("db", "t1", "ALTER TABLE db.t1 ADD PRIMARY KEY (id)"),
+    ("db", "t2", "RENAME TABLE db.t1 TO db.t2"),
+    ("db", "t2", "TRUNCATE TABLE db.t2"))
+
+  /** SQL-text → reference event type, first match wins (shared by both
+    * engines so the gate tests the FILTER, not a parser). */
+  private val BfEvMap = Seq(
+    ("^CREATE TABLE", "create table"),
+    ("^CREATE DATABASE", "create database"),
+    ("^DROP TABLE", "drop table"),
+    ("^DROP DATABASE", "drop database"),
+    ("ADD INDEX", "create index"),
+    ("DROP INDEX", "drop index"),
+    ("ADD PRIMARY KEY", "add primary key"),
+    ("^RENAME", "rename table"),
+    ("^TRUNCATE", "truncate table"),
+    ("^ALTER TABLE", "alter table"))
+
+  private val BfRules = Seq(
+    Filters.BinlogEventRule("db_0", "*", Seq("delete"), Nil, "Ignore"),
+    Filters.BinlogEventRule("db_1", "tbl_1", Seq("insert"), Nil, "Do"),
+    Filters.BinlogEventRule("db", "*", Nil,
+      Seq("^DROP TABLE", "TRUNCATE"), "Ignore"),
+    Filters.BinlogEventRule("db", "t1",
+      Seq("create index", "drop index"), Nil, "Error"),
+    Filters.BinlogEventRule("db2", "*", Seq("none"), Nil, "Ignore"))
+
+  /**
+   * q170 — DM's binlog event filter ([[Filters.binlogEventDecision]],
+   * reference pkg/binlog-filter/filter.go): per-scope rules with the full
+   * event-group taxonomy (`all dml`, `none`, specific DDL kinds), SQL
+   * regexes, and Do/Ignore/Error actions, applied over a mixed DML + DDL
+   * event stream. The rule set exercises the semantic corners: `Do` as a
+   * whitelist (non-insert DML on db_1.tbl_1 ignores), an event-less
+   * Ignore rule falling through its event block to the SQL patterns,
+   * Error surfacing only on the LISTED kinds (add-primary-key classifies
+   * `incompatible ddl` but isn't listed → falls through to Do), and
+   * `none` terminating the entry scan without forcing a decision. The
+   * oracle's CASE chain is GENERATED from the same rule objects
+   * ([[Filters.BinlogSql.decision]]) so engine and oracle cannot drift.
+   */
+  val binlogEventFilter = GateQuery(
+    "q170_binlog_event_filter",
+    Some {
+      val ddlVals = BfDdl.map { case (s, t, q) =>
+        s"('$s', '$t', '${q.replace("'", "''")}')"
+      }.mkString(", ")
+      val evCase = BfEvMap.foldRight("NULL") { case ((re, ev), rest) =>
+        s"(CASE WHEN regexp_matches(sql, '$re') THEN '$ev' ELSE $rest END)"
+      }
+      val dec = Filters.BinlogSql.decision(
+        "schema_name", "table_name", "ev", "sql", BfRules)
+      cte +
+        s""", dml AS (
+           |  SELECT schema_name, table_name,
+           |    CASE op WHEN 'I' THEN 'insert' WHEN 'U' THEN 'update'
+           |            ELSE 'delete' END AS ev,
+           |    '' AS sql
+           |  FROM cdc
+           |), ddl AS (
+           |  SELECT schema_name, table_name, $evCase AS ev, sql
+           |  FROM (VALUES $ddlVals) d(schema_name, table_name, sql)
+           |), evs AS (
+           |  SELECT * FROM dml UNION ALL SELECT * FROM ddl
+           |)
+           |SELECT schema_name, table_name, ev, $dec AS decision,
+           |  count(*) AS cnt
+           |FROM evs GROUP BY 1, 2, 3, 4""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val dml = CdcStream.derive(spark, dir).select(
+      col("schema_name"), col("table_name"),
+      when(col("op") === "I", "insert").when(col("op") === "U", "update")
+        .otherwise("delete").as("ev"),
+      lit("").as("sql"))
+    val evCase = BfEvMap.foldRight(lit(null).cast("string")) {
+      case ((re, ev), rest) => when(col("sql").rlike(re), ev).otherwise(rest)
+    }
+    val ddl = BfDdl.toDF("schema_name", "table_name", "sql")
+      .select(col("schema_name"), col("table_name"), evCase.as("ev"), col("sql"))
+    dml.unionByName(ddl)
+      .withColumn("decision", Filters.binlogEventDecision(
+        col("schema_name"), col("table_name"), col("ev"), col("sql"), BfRules))
+      .groupBy("schema_name", "table_name", "ev", "decision")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     tableFilter, eventFilter, exprFilter, exprFilterImages, startTsFilter,
     bdrFilter,
@@ -751,5 +849,5 @@ object CdcQueries {
     dispatchByTable, dispatchByTs, dispatchByIndexValue,
     updateSplit, compaction, txnSizes, batching, safeMode, causality,
     storageConsumer, storageSchemaDrift, storageLayout, sqlApply,
-    forceReplicate, txnAtomicity)
+    forceReplicate, txnAtomicity, binlogEventFilter)
 }

@@ -99,6 +99,53 @@ class Round9Spec extends SparkSpec {
     assert(ins(1) == "INSERT INTO `d`.`t` (`grp`, `v`) VALUES ('g2', NULL);")
   }
 
+  // ---- DM binlog event filter -----------------------------------------
+
+  test("binlog filter: Do whitelists, empty-events Do ignores everything") {
+    import graft.operators.Filters
+    def decide(rules: Seq[Filters.BinlogEventRule],
+               rows: Seq[(String, String, String, String)]): Seq[String] =
+      rows.toDF("s", "t", "ev", "q")
+        .select(Filters.binlogEventDecision(col("s"), col("t"), col("ev"),
+          col("q"), rules)).as[String].collect().toSeq
+    val doInsert = Seq(Filters.BinlogEventRule("d", "*", Seq("insert"), Nil, "Do"))
+    assert(decide(doInsert, Seq(
+      ("d", "t", "insert", ""), ("d", "t", "delete", ""),
+      ("x", "t", "delete", ""))) == Seq("Do", "Ignore", "Do"))
+    // empty event list + Do = nothing ever matches -> everything ignored
+    // (the reference code path: unmatched && Do -> Ignore, before SQL)
+    val doNothing = Seq(Filters.BinlogEventRule("d", "*", Nil, Nil, "Do"))
+    assert(decide(doNothing, Seq(("d", "t", "insert", ""))) == Seq("Ignore"))
+  }
+
+  test("binlog filter: entry order is sequential — none terminates the scan") {
+    import graft.operators.Filters
+    def one(events: Seq[String], ev: String): String =
+      Seq(("d", "t", ev, "")).toDF("s", "t", "ev", "q")
+        .select(Filters.binlogEventDecision(col("s"), col("t"), col("ev"),
+          col("q"),
+          Seq(Filters.BinlogEventRule("d", "*", events, Nil, "Ignore"))))
+        .as[String].collect().head
+    assert(one(Seq("none", "insert"), "insert") == "Do")  // none wins first
+    assert(one(Seq("insert", "none"), "insert") == "Ignore")
+    assert(one(Seq("all dml"), "truncate table") == "Do") // group scoped to dml
+    assert(one(Seq("incompatible ddl changes"), "truncate table") == "Ignore")
+    assert(one(Seq("incompatible ddl changes"), "create table") == "Do")
+  }
+
+  test("binlog filter: sql patterns decide only when the event block didn't") {
+    import graft.operators.Filters
+    val r = Seq(Filters.BinlogEventRule("d", "*", Nil, Seq("^DROP"), "Ignore"))
+    val got = Seq(
+      ("d", "t", "drop table", "DROP TABLE d.t"),
+      ("d", "t", "create table", "CREATE TABLE d.t (i INT)"),
+      ("d", "t", "insert", "")) // no raw query -> sql block skipped -> Do
+      .toDF("s", "t", "ev", "q")
+      .select(Filters.binlogEventDecision(col("s"), col("t"), col("ev"),
+        col("q"), r)).as[String].collect().toSeq
+    assert(got == Seq("Ignore", "Do", "Do"))
+  }
+
   // ---- transaction-atomicity batching ---------------------------------
 
   test("atomicBatchIds closes only at txn boundaries and may overshoot the cap") {
