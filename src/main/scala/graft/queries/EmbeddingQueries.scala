@@ -522,8 +522,72 @@ object EmbeddingQueries {
       .groupBy("recall_hits").agg(count(lit(1)).as("n_queries"))
   }
 
+  // ---- q171: hard-negative mining -------------------------------------
+
+  /** Positive cutoff in int8-dot units (≈ cos 0.30 · 127² — the q84
+    * near-dup regime): candidates at or above it are positives/dups and
+    * excluded from the negative pool. */
+  private val HardNegThr = 4800L
+
+  /**
+   * q171 — hard-negative mining for retrieval training (the DPR/ANCE
+   * data-prep shape): per query, the top-3 most-similar candidates BELOW
+   * the positive threshold — similar enough to be hard, not so similar
+   * they're duplicates/positives. Runs on the int8-quantized corpus
+   * (q96's exact-integer dot), so ranking and the exclusion boundary are
+   * bit-exact cross-engine; each output row carries the query's excluded
+   * positive count (witnesses the exclusion actually bit). At corpus
+   * scale candidate generation swaps to the IVF probe path (q85) with
+   * the same selection algebra — the gate pins that algebra on the exact
+   * path.
+   */
+  val hardNegatives = GateQuery(
+    "q171_hard_negatives",
+    Some {
+      val qv = VectorOps.Sql.quantizeInt8("embedding")
+      val dq = VectorOps.Sql.dotQ("q.qq", "c.qq")
+      s"""WITH qt AS (SELECT vec_id, $qv AS qq FROM embeddings),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dq AS dotq
+         |  FROM qt q JOIN qt c ON q.vec_id <> c.vec_id
+         |  WHERE q.$QueryFilter
+         |), ex AS (
+         |  SELECT query_id,
+         |    CAST(sum(CASE WHEN dotq >= $HardNegThr THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos_excluded
+         |  FROM cand GROUP BY 1
+         |)
+         |SELECT query_id, rank, neighbor_id, dotq, n_pos_excluded FROM (
+         |  SELECT query_id, neighbor_id, dotq,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dotq DESC, neighbor_id) AS rank
+         |  FROM cand WHERE dotq < $HardNegThr
+         |) r JOIN ex USING (query_id) WHERE rank <= 3""".stripMargin
+    }) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, dir, "embeddings")
+    val qt = e.select(col("vec_id"), VectorOps.quantizeInt8(col("embedding")).as("qq"))
+    val q = qt.filter(expr(QueryFilter))
+      .select(col("vec_id").as("query_id"), col("qq").as("q_qq"))
+    val cand = broadcast(q)
+      .join(qt.select(col("vec_id").as("neighbor_id"), col("qq")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("dotq", VectorOps.dotQ(col("q_qq"), col("qq")))
+      .select("query_id", "neighbor_id", "dotq")
+    val ex = cand.groupBy("query_id")
+      .agg(sum(when(col("dotq") >= HardNegThr, 1L).otherwise(0L))
+        .as("n_pos_excluded"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dotq").desc, col("neighbor_id"))
+    cand.filter(col("dotq") < HardNegThr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .join(broadcast(ex), Seq("query_id"))
+      .select("query_id", "rank", "neighbor_id", "dotq", "n_pos_excluded")
+  }
+
   def all: Seq[GateQuery] =
     Seq(knnBrute, lshAnn, lshBuckets, centroidAssign, cosineNearDup,
       embeddingDupClusters, ivfSearch, int8Knn, kmeansIter, semanticDedup,
-      pqAdc, annRecall)
+      pqAdc, annRecall, hardNegatives)
 }
