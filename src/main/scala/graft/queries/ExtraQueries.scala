@@ -773,11 +773,105 @@ object ExtraQueries {
         sum(col("sa")).as("sum_attr")))
   }
 
+  // ---- q172: mydumper/dumpling dump-format round trip ------------------
+
+  private val DumpRowsPerFile = 500
+  private val DumpMetaText =
+    """Started dump at: 2024-01-01 00:00:00
+      |SHOW MASTER STATUS:
+      |	Log: mysql-bin.000003
+      |	Pos: 193
+      |	GTID: 3ccc4298-0000-0000-0000-000000000000:1-29
+      |
+      |SHOW MASTER STATUS: /* AFTER CONNECTION POOL ESTABLISHED */
+      |	Log: mysql-bin.000003
+      |	Pos: 451
+      |	GTID: 3ccc4298-0000-0000-0000-000000000000:1-32
+      |
+      |Finished dump at: 2024-01-01 00:00:10
+      |""".stripMargin
+
+  /**
+   * q172 — the dumpling/mydumper dump DIRECTORY format DM's load unit
+   * consumes ([[graft.streaming.DumpFormat]]): a lineitem slice renders
+   * to `metadata` + schema file + one multi-row INSERT per data file
+   * (quote-escaped string literals included), then the PRODUCTION reader
+   * parses it back distributed and the metadata parser recovers BOTH
+   * binlog locations (the main one and the after-connection-pool one DM
+   * resumes from — dm/pkg/dumpling/utils.go ParseMetaData). The gate pins
+   * per-file row counts, key sums, exact decimal cents, and a quote-
+   * escape-sensitive comment digest ('' → ' must unescape byte-exactly),
+   * plus every recovered metadata field; the oracle rebuilds the file
+   * assignment from lineitem with the same ordering rule.
+   */
+  val dumpLoad = GateQuery(
+    "q172_dump_load",
+    Some {
+      val cmtHash = Hashing.Sql.portableLong("'x''' || l_returnflag")
+      s"""WITH sliced AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         |    l_returnflag,
+         |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+         |  FROM lineitem WHERE l_orderkey <= 2000
+         |)
+         |SELECT rn // $DumpRowsPerFile AS file_seq,
+         |  count(*) AS n_rows,
+         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  CAST(bit_xor($cmtHash) AS BIGINT) AS cmt_check,
+         |  'mysql-bin.000003' AS log_file, CAST(193 AS BIGINT) AS pos,
+         |  '3ccc4298-0000-0000-0000-000000000000:1-29' AS gtid,
+         |  CAST(451 AS BIGINT) AS pos2,
+         |  '3ccc4298-0000-0000-0000-000000000000:1-32' AS gtid2
+         |FROM sliced GROUP BY 1""".stripMargin
+    }) { (spark, dir) =>
+    import graft.streaming.DumpFormat
+    val (scratch, _) = Gate.freshScratch("graft_dump_", dir)
+    // fixture: render the dump the way the upstream tool would
+    val slice = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey") <= 2000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(12,2)").cast("string").as("qty"),
+        col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .collect() // bounded fixture slice; production path is the READER
+    val files = slice.zipWithIndex
+      .map { case (r, i) =>
+        val flag = r.getString(3)
+        val cmtLit = "x'" + flag // contains a quote → '' escaping exercised
+        (i / DumpRowsPerFile,
+          s"(${r.getLong(0)}, ${r.getInt(1)}, '${r.getString(2)}', " +
+            s"'$flag', '${cmtLit.replace("'", "''")}')")
+      }
+      .groupBy(_._1).toSeq
+      .map { case (seq, rows) => (seq, rows.map(_._2).toSeq) }
+    DumpFormat.writeDump(scratch, "db", "lineitem",
+      "CREATE TABLE db.lineitem (k BIGINT, n INT, q DECIMAL(12,2), f VARCHAR(1), c VARCHAR(2))",
+      DumpMetaText, files)
+    // production side: metadata + distributed data-file parse
+    val meta = DumpFormat.parseMetaData(DumpMetaText)
+    DumpFormat.readDumpTable(spark, scratch, "db", "lineitem", nCols = 5)
+      .select(col("file_seq"),
+        col("c0").cast("long").as("okey"),
+        (col("c2").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        Hashing.portableLong(col("c4")).as("cmt_h"))
+      .groupBy("file_seq")
+      .agg(count(lit(1)).as("n_rows"), sum(col("okey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"),
+        expr("bit_xor(cmt_h)").as("cmt_check"))
+      .withColumn("log_file", lit(meta.logFile))
+      .withColumn("pos", lit(meta.pos))
+      .withColumn("gtid", lit(meta.gtid))
+      .withColumn("pos2", lit(meta.pos2))
+      .withColumn("gtid2", lit(meta.gtid2))
+  }
+
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, imageDecode, imageResize,
     audioDecode, videoFrames,
     chunkedLoad, claimCheck, handleKeyOnly,
     claimCheckWrite,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
-    jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin)
+    jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin, dumpLoad)
 }

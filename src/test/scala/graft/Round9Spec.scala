@@ -99,6 +99,42 @@ class Round9Spec extends SparkSpec {
     assert(ins(1) == "INSERT INTO `d`.`t` (`grp`, `v`) VALUES ('g2', NULL);")
   }
 
+  // ---- dumpling dump format -------------------------------------------
+
+  test("dump metadata: GTID continuation lines, slave-status skip, location2") {
+    import graft.streaming.DumpFormat
+    val meta = DumpFormat.parseMetaData(
+      """Started dump at: 2024-01-01 00:00:00
+        |SHOW SLAVE STATUS:
+        |	Host: upstream
+        |	Log: should-be-skipped.000001
+        |
+        |SHOW MASTER STATUS:
+        |	Log: mysql-bin.000011
+        |	Pos: 5213
+        |	GTID: aaaa-bbbb:1-5,
+        |cccc-dddd:1-9
+        |
+        |Finished dump at: 2024-01-01 00:00:09
+        |""".stripMargin)
+    assert(meta.logFile == "mysql-bin.000011" && meta.pos == 5213L)
+    assert(meta.gtid == "aaaa-bbbb:1-5,cccc-dddd:1-9") // continuation joined
+    assert(!meta.hasLocation2)
+    intercept[IllegalArgumentException] {
+      DumpFormat.parseMetaData("Started dump at: x\nFinished dump at: y\n")
+    }
+  }
+
+  test("insert-values parser: quotes, escaped quotes, commas in strings, NULL") {
+    import graft.streaming.DumpFormat
+    val rows = DumpFormat.parseInsertValues(
+      "INSERT INTO `t` VALUES (1, 'a,b', 'it''s', NULL, 2.50),\n" +
+        "(2, '', 'x(y)', 'NULL', 3)")
+    assert(rows == Seq(
+      Seq("1", "a,b", "it's", null, "2.50"),
+      Seq("2", "", "x(y)", "NULL", "3"))) // quoted 'NULL' stays a string
+  }
+
   // ---- DM binlog event filter -----------------------------------------
 
   test("binlog filter: Do whitelists, empty-events Do ignores everything") {
