@@ -325,6 +325,91 @@ object VectorOps {
       .select("query_id", "rank", "neighbor_id", "adc")
   }
 
+  /** Residual of a quantized vector against its assigned coarse
+    * centroid (cell literals folded into the plan — cells are
+    * control-plane data at any corpus size). */
+  def residual(qv: Column, cellCol: Column,
+               cents: Seq[(Long, Seq[Long])]): Column = {
+    val centArr = cents.foldRight(lit(null).cast("array<bigint>")) {
+      case ((id, c), rest) =>
+        when(cellCol === id, array(c.map(lit): _*)).otherwise(rest)
+    }
+    zip_with(qv, centArr, (x, y) => x - y)
+  }
+
+  /**
+   * RESIDUAL product quantization — IVF-PQ proper: codes quantize the
+   * residual x − centroid(cell), not the raw vector, which is what makes
+   * small codebooks accurate (residuals cluster near the origin; the
+   * FAISS IVF-PQ layout). `assigned` must carry (id, vec, centroid_id);
+   * codebooks live in RESIDUAL space. Encoding stays one map-only pass —
+   * cells and codebooks are plan literals.
+   */
+  def pqEncodeResidual(assigned: DataFrame, cents: Seq[(Long, Seq[Long])],
+      codebooks: Seq[Seq[Seq[Long]]], subDim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val r = assigned
+      .withColumn("rv", residual(quantize(col(vecCol)), col("centroid_id"), cents))
+    val codes = codebooks.zipWithIndex.map { case (book, s) =>
+      val sub = slice(col("rv"), s * subDim + 1, subDim)
+      val ds = book.zipWithIndex.map { case (cw, j) =>
+        struct(sqDistQ(sub, array(cw.map(lit): _*)).as("dist"),
+          lit(j.toLong).as("code"))
+      }
+      leastOf(ds).getField("code")
+    }
+    r.select(col(idCol), col("centroid_id"), array(codes: _*).as("codes"))
+  }
+
+  /**
+   * IVF-PQ search: per query, probe the `nProbe` nearest cells; within a
+   * probed cell the query's RESIDUAL against that cell's centroid builds
+   * the ADC table (the per-cell tables are the structural difference from
+   * flat PQ — q106), and a doc's distance is m lookups by its code.
+   * Queries × probed cells broadcast; the corpus side reads only
+   * (cell, codes).
+   */
+  def pqSearchResidual(encoded: DataFrame, queries: DataFrame,
+      cents: Seq[(Long, Seq[Long])], codebooks: Seq[Seq[Seq[Long]]],
+      subDim: Int, nProbe: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val cellsDf = cents.map(_._1).toDF("cell")
+    val qq = queries.withColumn("qv", quantize(col(vecCol)))
+      .select(col(idCol).as("query_id"), col("qv"))
+    val centArr = cents.foldRight(lit(null).cast("array<bigint>")) {
+      case ((id, c), rest) =>
+        when(col("cell") === id, array(c.map(lit): _*)).otherwise(rest)
+    }
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probes = qq.crossJoin(broadcast(cellsDf))
+      .withColumn("cdist", sqDistQ(col("qv"), centArr))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .withColumn("rv", zip_with(col("qv"), centArr, (x, y) => x - y))
+    val dtabs = codebooks.zipWithIndex.map { case (book, s) =>
+      val sub = slice(col("rv"), s * subDim + 1, subDim)
+      array(book.map(cw => sqDistQ(sub, array(cw.map(lit): _*))): _*).as(s"dt$s")
+    }
+    val qside = probes.select(col("query_id") +: col("cell") +: dtabs: _*)
+    val adc = codebooks.indices.map { s =>
+      element_at(col(s"dt$s"), element_at(col("codes"), s + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    encoded.select(col(idCol).as("neighbor_id"),
+        col("centroid_id").as("cell"), col("codes"))
+      .join(broadcast(qside), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cell", "adc")
+  }
+
   /** Deterministic codebook stand-in for gates: subspace slices of the k
     * smallest-id quantized vectors (the kmeans seed rule — a production
     * pipeline trains per-subspace [[kmeans]] offline and plugs the result

@@ -586,8 +586,100 @@ object EmbeddingQueries {
       .select("query_id", "rank", "neighbor_id", "dotq", "n_pos_excluded")
   }
 
+  // ---- q173: residual IVF-PQ ------------------------------------------
+
+  /**
+   * q173 — IVF-PQ proper ([[VectorOps.pqEncodeResidual]]/
+   * [[VectorOps.pqSearchResidual]]): the q102 coarse quantizer assigns
+   * every vector to a cell, codes quantize the RESIDUAL x − centroid
+   * (what makes 4-codeword books accurate — residuals cluster near the
+   * origin), and search probes the nProbe=2 nearest cells with a
+   * PER-CELL ADC table built from the query's residual against that
+   * cell's centroid — the structural difference from flat PQ (q106).
+   * Exact integer arithmetic end to end; the oracle re-derives the
+   * coarse quantizer (the shared q102 CTE chain), the residual
+   * codebooks, every doc's codes, the probe set, and every ADC rank.
+   */
+  val ivfPq = GateQuery(
+    "q173_ivf_pq",
+    Some {
+      def d16(a: String, b: String) =
+        s"list_sum([($a[(s * 16 + i)] - $b[i]) * ($a[(s * 16 + i)] - $b[i]) FOR i IN range(1, 17)])"
+      val dfull = (a: String, b: String) =>
+        s"list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) FOR i IN range(1, len($a) + 1)])"
+      kmeansCteSql +
+        s""", av AS (
+           |  SELECT a1.vec_id, a1.cid, q.qv FROM a1 JOIN q USING (vec_id)
+           |), resd AS (
+           |  SELECT av.vec_id, av.cid,
+           |    [av.qv[i] - c.cent[i] FOR i IN range(1, len(av.qv) + 1)] AS rv
+           |  FROM av JOIN c1 c ON c.cid = av.cid
+           |), cw AS (
+           |  SELECT ss.s,
+           |    CAST(row_number() OVER (PARTITION BY ss.s ORDER BY r.vec_id) - 1
+           |      AS BIGINT) AS code,
+           |    r.rv[(ss.s * 16 + 1):((ss.s + 1) * 16)] AS cw
+           |  FROM (SELECT vec_id, rv FROM resd ORDER BY vec_id LIMIT 4) r,
+           |       (SELECT unnest([0, 1, 2, 3]) AS s) ss
+           |), dcodes AS (
+           |  SELECT vec_id, cid, s, code FROM (
+           |    SELECT d.vec_id, d.cid, cw.s, cw.code,
+           |      row_number() OVER (PARTITION BY d.vec_id, cw.s
+           |        ORDER BY ${d16("d.rv", "cw.cw")}, cw.code) AS rn
+           |    FROM resd d, cw
+           |  ) WHERE rn = 1
+           |), qs AS (
+           |  SELECT vec_id AS query_id, qv FROM q WHERE $QueryFilter
+           |), probes AS (
+           |  SELECT query_id, cid, qv FROM (
+           |    SELECT qs.query_id, c.cid, qs.qv,
+           |      row_number() OVER (PARTITION BY qs.query_id
+           |        ORDER BY ${dfull("qs.qv", "c.cent")}, c.cid) AS rn
+           |    FROM qs, c1 c
+           |  ) WHERE rn <= 2
+           |), qres AS (
+           |  SELECT p.query_id, p.cid,
+           |    [p.qv[i] - c.cent[i] FOR i IN range(1, len(p.qv) + 1)] AS rv
+           |  FROM probes p JOIN c1 c USING (cid)
+           |), qdt AS (
+           |  SELECT query_id, qres.cid, cw.s, cw.code,
+           |    ${d16("qres.rv", "cw.cw")} AS d
+           |  FROM qres, cw
+           |), adc AS (
+           |  SELECT qdt.query_id, dc.vec_id AS neighbor_id, dc.cid AS cell,
+           |    CAST(sum(d) AS BIGINT) AS adc
+           |  FROM dcodes dc JOIN qdt
+           |    ON qdt.cid = dc.cid AND qdt.s = dc.s AND qdt.code = dc.code
+           |  GROUP BY 1, 2, 3
+           |)
+           |SELECT query_id, rank, neighbor_id, cell, adc FROM (
+           |  SELECT query_id, neighbor_id, cell, adc,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY adc, neighbor_id) AS rank
+           |  FROM adc WHERE query_id <> neighbor_id
+           |) WHERE rank <= 3""".stripMargin
+    }) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    // coarse quantizer = the q102 chain: seeds → a0 → integer-mean c1
+    val a0 = VectorOps.kmeans(e, k = 4, iters = 0)
+    val c1 = VectorOps.centroids(
+      a0.select(col("centroid_id"), col("embedding")), "centroid_id", "embedding")
+    val cents = c1.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+    val a1 = VectorOps.assignCentroids(e, c1)
+    // residual codebooks: residuals of the 4 smallest ids, engine-exact
+    val baseRes = a1.orderBy("vec_id").limit(4)
+      .select(VectorOps.residual(VectorOps.quantize(col("embedding")),
+        col("centroid_id"), cents).as("rv"))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    val books = (0 until 4).map(s => baseRes.map(_.slice(s * 16, (s + 1) * 16)))
+    val enc = VectorOps.pqEncodeResidual(a1, cents, books, subDim = 16)
+    VectorOps.pqSearchResidual(enc, e.filter(expr(QueryFilter)), cents, books,
+      subDim = 16, nProbe = 2, k = 3)
+  }
+
   def all: Seq[GateQuery] =
     Seq(knnBrute, lshAnn, lshBuckets, centroidAssign, cosineNearDup,
       embeddingDupClusters, ivfSearch, int8Knn, kmeansIter, semanticDedup,
-      pqAdc, annRecall, hardNegatives)
+      pqAdc, annRecall, hardNegatives, ivfPq)
 }

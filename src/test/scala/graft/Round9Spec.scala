@@ -99,6 +99,43 @@ class Round9Spec extends SparkSpec {
     assert(ins(1) == "INSERT INTO `d`.`t` (`grp`, `v`) VALUES ('g2', NULL);")
   }
 
+  // ---- residual IVF-PQ -------------------------------------------------
+
+  test("ivf-pq: results only come from probed cells; codes cover every doc") {
+    import graft.operators.VectorOps
+    val rnd = new scala.util.Random(11)
+    // two well-separated 8-dim clusters around +10 and -10
+    val vecs = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) 10.0 else -10.0
+      (i, (0 until 8).map(d => base + rnd.nextGaussian() * 0.5).toArray)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val a0 = VectorOps.kmeans(e, k = 2, iters = 0)
+    val c1 = VectorOps.centroids(
+      a0.select(col("centroid_id"), col("embedding")), "centroid_id", "embedding")
+    val cents = c1.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+    val a1 = VectorOps.assignCentroids(e, c1)
+    val baseRes = a1.orderBy("vec_id").limit(2)
+      .select(VectorOps.residual(VectorOps.quantize(col("embedding")),
+        col("centroid_id"), cents).as("rv"))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    val books = (0 until 4).map(s => baseRes.map(_.slice(s * 2, (s + 1) * 2)))
+    val enc = VectorOps.pqEncodeResidual(a1, cents, books, subDim = 2)
+    assert(enc.count() == 20)
+    assert(enc.select(size(col("codes"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(4))
+    // nProbe = 1: every neighbor must share the query's OWN cell (the
+    // nearest cell to a cluster member is its cluster)
+    val res = VectorOps.pqSearchResidual(enc,
+      e.filter(col("vec_id") < 4), cents, books, subDim = 2, nProbe = 1, k = 3)
+    val own = a1.select(col("vec_id").as("query_id"),
+      col("centroid_id").as("own_cell"))
+    val joined = res.join(own, Seq("query_id"))
+      .filter(col("cell") =!= col("own_cell")).count()
+    assert(joined == 0)
+  }
+
   // ---- dumpling dump format -------------------------------------------
 
   test("dump metadata: GTID continuation lines, slave-status skip, location2") {
