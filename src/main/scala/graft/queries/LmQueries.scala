@@ -16,44 +16,51 @@ object LmQueries {
   private val UniMin = 2L // vocab: drop hapax tokens
   private val BiMin = 3L  // LM grams: bounds the broadcast table
 
+  /** Shared oracle chain: bigram-LM per-document scores, ending in
+    * `doc(doc_id, lang, n_grams, bits)` — consumed by q93's histogram
+    * and q174's perplexity-bucket pipeline (kept in ONE place so the two
+    * cannot drift). */
+  private val lmDocCteSql: String = {
+    val toks = TextOps.Sql.tokens.format("text")
+    s"""WITH htoks AS (
+       |  SELECT $toks AS t FROM documents WHERE doc_id % 2 = 0
+       |), uni AS (
+       |  SELECT w, count(*) AS cu
+       |  FROM (SELECT unnest(t) AS w FROM htoks)
+       |  GROUP BY 1 HAVING count(*) >= $UniMin
+       |), bi AS (
+       |  SELECT g, count(*) AS cb
+       |  FROM (SELECT ${TextLm.Sql.gramG} AS g
+       |        FROM (SELECT t, unnest(range(len(t) - 1)) AS i FROM htoks))
+       |  GROUP BY 1 HAVING count(*) >= $BiMin
+       |), vv AS (
+       |  SELECT count(*) AS v FROM uni
+       |), pos AS (
+       |  SELECT doc_id, lang, ${TextLm.Sql.gramW1} AS w1, ${TextLm.Sql.gramG} AS g
+       |  FROM (SELECT doc_id, lang, t, unnest(range(len(t) - 1)) AS i
+       |        FROM (SELECT doc_id, lang, $toks AS t FROM documents)
+       |        WHERE len(t) >= 2)
+       |), scored AS (
+       |  SELECT doc_id, lang,
+       |    ${TextLm.Sql.l2q16("(coalesce(cu, 0) + v)")} -
+       |    ${TextLm.Sql.l2q16("(coalesce(cb, 0) + 1)")} AS bits
+       |  FROM pos
+       |  LEFT JOIN uni ON pos.w1 = uni.w
+       |  LEFT JOIN bi USING (g)
+       |  CROSS JOIN vv
+       |), doc AS (
+       |  SELECT doc_id, lang, count(*) AS n_grams, sum(bits) AS bits
+       |  FROM scored GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
   val lmPerplexity = GateQuery(
     "q93_lm_perplexity",
-    Some {
-      val toks = TextOps.Sql.tokens.format("text")
-      s"""WITH htoks AS (
-         |  SELECT $toks AS t FROM documents WHERE doc_id % 2 = 0
-         |), uni AS (
-         |  SELECT w, count(*) AS cu
-         |  FROM (SELECT unnest(t) AS w FROM htoks)
-         |  GROUP BY 1 HAVING count(*) >= $UniMin
-         |), bi AS (
-         |  SELECT g, count(*) AS cb
-         |  FROM (SELECT ${TextLm.Sql.gramG} AS g
-         |        FROM (SELECT t, unnest(range(len(t) - 1)) AS i FROM htoks))
-         |  GROUP BY 1 HAVING count(*) >= $BiMin
-         |), vv AS (
-         |  SELECT count(*) AS v FROM uni
-         |), pos AS (
-         |  SELECT doc_id, lang, ${TextLm.Sql.gramW1} AS w1, ${TextLm.Sql.gramG} AS g
-         |  FROM (SELECT doc_id, lang, t, unnest(range(len(t) - 1)) AS i
-         |        FROM (SELECT doc_id, lang, $toks AS t FROM documents)
-         |        WHERE len(t) >= 2)
-         |), scored AS (
-         |  SELECT doc_id, lang,
-         |    ${TextLm.Sql.l2q16("(coalesce(cu, 0) + v)")} -
-         |    ${TextLm.Sql.l2q16("(coalesce(cb, 0) + 1)")} AS bits
-         |  FROM pos
-         |  LEFT JOIN uni ON pos.w1 = uni.w
-         |  LEFT JOIN bi USING (g)
-         |  CROSS JOIN vv
-         |), doc AS (
-         |  SELECT doc_id, lang, count(*) AS n_grams, sum(bits) AS bits
-         |  FROM scored GROUP BY 1, 2
-         |)
+    Some(lmDocCteSql +
+      s"""
          |SELECT lang, CAST((bits // n_grams) // 16 AS BIGINT) AS bpt,
          |  count(*) AS n_docs, CAST(sum(bits) AS BIGINT) AS sum_bits
-         |FROM doc GROUP BY 1, 2""".stripMargin
-    }) { (spark, dir) =>
+         |FROM doc GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "lang", "text")
     val held = docs.filter(col("doc_id") % 2 === 0)
     val uni = TextLm.unigramLm(held, "text", UniMin)
@@ -234,5 +241,89 @@ object LmQueries {
     TfIdf.bm25TopK(docs, "doc_id", "text", Bm25Terms, Bm25K)
   }
 
-  def all: Seq[GateQuery] = Seq(lmPerplexity, tfidf, cmsTermCounts, bm25TopK)
+  // ---- q174: CCNet perplexity buckets ---------------------------------
+
+  private val BucketRatePpm = Map("head" -> 1000000L, "middle" -> 500000L,
+    "tail" -> 100000L)
+
+  /**
+   * q174 — CCNet's headline design, end to end: score every document
+   * with the bigram LM (q93's chain), cut the corpus into head/middle/
+   * tail perplexity buckets at the 33rd/66th percentiles, and sample
+   * each bucket at its own rate (head kept, middle 50 %, tail 10 % —
+   * the CCNet quality-stratified keep). The percentile cuts come from
+   * the MERGEABLE histogram sketch (q164's operator) — the production
+   * path at 100 TB, where an exact rank over the corpus would be a
+   * global sort; cut bins are control-plane scalars served back as plan
+   * literals. Per (lang, bucket) the gate pins doc counts, exact bit
+   * sums, kept counts and kept-id checks — bucket boundary, sampling
+   * hash and LM scores all bit-exact.
+   */
+  val ccnetBuckets = GateQuery(
+    "q174_ccnet_buckets",
+    Some {
+      val keepE = graft.operators.Curation.Sql.sampleKeep("doc_id",
+        "CASE bucket WHEN 'head' THEN 1000000 WHEN 'middle' THEN 500000 " +
+          "ELSE 100000 END")
+      lmDocCteSql +
+        s""", bpt AS (
+           |  SELECT doc_id, lang, bits, bits // n_grams AS bin
+           |  FROM doc
+           |), hist AS (
+           |  SELECT bin, count(*) AS n FROM bpt GROUP BY 1
+           |), cum AS (
+           |  SELECT bin, CAST(sum(n) OVER (ORDER BY bin
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM hist
+           |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM hist
+           |), cuts AS (
+           |  SELECT
+           |    (SELECT min(bin) FROM cum CROSS JOIN tot
+           |     WHERE cum * 100 >= 33 * nt) AS b33,
+           |    (SELECT min(bin) FROM cum CROSS JOIN tot
+           |     WHERE cum * 100 >= 66 * nt) AS b66
+           |), bucketed AS (
+           |  SELECT doc_id, lang, bits,
+           |    CASE WHEN bin <= b33 THEN 'head'
+           |         WHEN bin <= b66 THEN 'middle' ELSE 'tail' END AS bucket
+           |  FROM bpt CROSS JOIN cuts
+           |)
+           |SELECT lang, bucket, count(*) AS n_docs,
+           |  CAST(sum(bits) AS BIGINT) AS sum_bits,
+           |  CAST(sum(CASE WHEN $keepE THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN $keepE THEN doc_id ELSE 0 END) AS BIGINT) AS kept_check
+           |FROM bucketed GROUP BY 1, 2""".stripMargin
+    }) { (spark, dir) =>
+    import graft.operators.{Curation, Sketches, VectorOps}
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "lang", "text")
+    val held = docs.filter(col("doc_id") % 2 === 0)
+    val uni = TextLm.unigramLm(held, "text", UniMin)
+    val bi = TextLm.bigramLm(held, "text", BiMin)
+    val doc = TextLm.scoreDocs(docs, uni, bi, "doc_id", "text",
+        keepCols = Seq("lang"))
+      .withColumn("bin", VectorOps.floorDiv(col("bits"), col("n_grams")))
+      .persist()
+    val hist = doc.groupBy("bin").agg(count(lit(1)).as("n"))
+    val cuts = Sketches.histQuantiles(hist, 1L, Seq(33, 66))
+      .select("p", "bin").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (b33, b66) = (cuts(33), cuts(66))
+    val bucket = when(col("bin") <= b33, "head")
+      .when(col("bin") <= b66, "middle").otherwise("tail")
+    val rate = when(col("bucket") === "head", BucketRatePpm("head"))
+      .when(col("bucket") === "middle", BucketRatePpm("middle"))
+      .otherwise(BucketRatePpm("tail"))
+    val out = doc.withColumn("bucket", bucket)
+      .withColumn("keep", Curation.sampleKeep(col("doc_id"), rate))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("bits")).as("sum_bits"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_check"))
+      .persist()
+    out.count()
+    doc.unpersist()
+    out
+  }
+
+  def all: Seq[GateQuery] =
+    Seq(lmPerplexity, tfidf, cmsTermCounts, bm25TopK, ccnetBuckets)
 }
