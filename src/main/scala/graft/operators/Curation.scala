@@ -465,6 +465,33 @@ object Curation {
         lit(s" $pair "), lit(s" ${pair.replace(' ', '_')} ")))
     }
 
+  /** Gaps-and-islands + interval merge over duplicated window START
+    * positions → maximal spans (shared by both excision policies). */
+  private def spansFromDupPositions(dupw: DataFrame, idCol: String,
+      w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val islands = dupw
+      .withColumn("_grp", col("pos") - row_number().over(byPos))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
+        count(lit(1)).as("n_windows"))
+    val byS = Window.partitionBy(col(idCol)).orderBy(col("s"))
+    islands
+      .withColumn("_pmax",
+        max(col("e")).over(byS.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col("s") > col("_pmax") + (w - 1), 1L)
+          .otherwise(0L))
+      .withColumn("_span", sum(col("_new"))
+        .over(byS.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_span"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"),
+        sum(col("n_windows")).as("n_windows"))
+      .withColumn("span_tokens", col("e") - col("s") + w)
+      .drop("_span")
+  }
+
   /**
    * Duplicated-substring SPANS — the transform half of exact substring
    * dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
@@ -486,33 +513,39 @@ object Curation {
    */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = df.select(col(idCol),
       posexplode(graft.functions.TextRuns.shingleHashSeq(col(textCol), w)))
       .toDF(idCol, "pos", "gh")
     val owners = g.groupBy("gh").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2).select("gh")
+    spansFromDupPositions(
+      g.join(owners, Seq("gh")).select(col(idCol), col("pos")), idCol, w)
+  }
+
+  /**
+   * [[dupSpans]] with the KEEP-FIRST policy — the transform Lee et al.
+   * actually apply: each duplicated window's canonical occurrence (min
+   * (doc, pos) corpus-wide) keeps its text; only FOREIGN occurrences mark
+   * spans for excision. A second in-doc repeat is foreign to the first,
+   * so self-repeats still dedupe. Same island/merge machinery; the
+   * ownership argmin is one partial-aggregated pass over the window
+   * table (8-byte keys, text never shuffles).
+   */
+  def dupSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val g = df.select(col(idCol),
+      posexplode(graft.functions.TextRuns.shingleHashSeq(col(textCol), w)))
+      .toDF(idCol, "pos", "gh")
+    val owners = g.groupBy("gh")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col(idCol), col("pos"))).as("own"))
+      .filter(col("n_occ") >= 2)
+      .select(col("gh"), col("own").getField(idCol).as("_oid"),
+        col("own").getField("pos").as("_opos"))
     val dupw = g.join(owners, Seq("gh"))
-    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val islands = dupw
-      .withColumn("_grp", col("pos") - row_number().over(byPos))
-      .groupBy(col(idCol), col("_grp"))
-      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
-        count(lit(1)).as("n_windows"))
-    val byS = Window.partitionBy(col(idCol)).orderBy(col("s"))
-    islands
-      .withColumn("_pmax",
-        max(col("e")).over(byS.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("_new",
-        when(col("_pmax").isNull || col("s") > col("_pmax") + (w - 1), 1L)
-          .otherwise(0L))
-      .withColumn("_span", sum(col("_new"))
-        .over(byS.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col(idCol), col("_span"))
-      .agg(min(col("s")).as("s"), max(col("e")).as("e"),
-        sum(col("n_windows")).as("n_windows"))
-      .withColumn("span_tokens", col("e") - col("s") + w)
-      .drop("_span")
+      .filter(!(col(idCol) === col("_oid") && col("pos") === col("_opos")))
+      .select(col(idCol), col("pos"))
+    spansFromDupPositions(dupw, idCol, w)
   }
 
   /**

@@ -1027,8 +1027,96 @@ object CurationQueries {
     out
   }
 
+  /**
+   * q175 — keep-first substring excision ([[Curation.dupSpansKeepFirst]]):
+   * the policy Lee et al. actually apply — each duplicated window's
+   * canonical occurrence (min (doc, pos) corpus-wide) KEEPS its text and
+   * only foreign occurrences excise, so exactly one copy of every
+   * duplicated substring survives the corpus (q168's symmetric variant
+   * removes all copies). A second in-doc repeat is foreign to the first,
+   * so self-repeats still dedupe. The gate pins the same per-doc span
+   * stats and surviving-text fingerprints as q168 over the SAME corpus —
+   * exact-copy plants now keep the original byte-identical and excise
+   * the clone; the oracle adds the ownership argmin to the q168 chain.
+   */
+  val spanKeepFirst = GateQuery(
+    "q175_span_keep_first",
+    Some(DocQueries.corpusCte +
+      s""", t AS (
+         |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM corpus
+         |), g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(tk[i + 1 : i + $SpanW], ' ') AS gr
+         |  FROM t, unnest(range(len(tk) - $SpanW + 1)) r(i)
+         |  WHERE len(tk) >= $SpanW
+         |  UNION ALL
+         |  SELECT doc_id, 0, text FROM t WHERE len(tk) < $SpanW
+         |), own AS (
+         |  SELECT gr, count(*) AS n_occ,
+         |    min(doc_id * 10000000 + pos) AS okey
+         |  FROM g GROUP BY gr HAVING count(*) >= 2
+         |), dw AS (
+         |  SELECT g.doc_id, g.pos FROM g JOIN own USING (gr)
+         |  WHERE g.doc_id * 10000000 + g.pos <> own.okey
+         |), isl AS (
+         |  SELECT doc_id, grp, min(pos) AS s, max(pos) AS e, count(*) AS nw
+         |  FROM (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM dw)
+         |  GROUP BY 1, 2
+         |), mrk AS (
+         |  SELECT doc_id, s, e, nw,
+         |    CASE WHEN pmax IS NULL OR s > pmax + ${SpanW - 1} THEN 1 ELSE 0 END AS news
+         |  FROM (SELECT doc_id, s, e, nw,
+         |          max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |        FROM isl)
+         |), spans AS (
+         |  SELECT doc_id, spanid, min(s) AS s, max(e) AS e,
+         |    CAST(sum(nw) AS BIGINT) AS nw, max(e) - min(s) + $SpanW AS span_tokens
+         |  FROM (SELECT *, sum(news) OVER (PARTITION BY doc_id ORDER BY s
+         |          ROWS UNBOUNDED PRECEDING) AS spanid FROM mrk)
+         |  GROUP BY 1, 2
+         |), per AS (
+         |  SELECT doc_id, count(*) AS n_spans, CAST(sum(nw) AS BIGINT) AS dup_windows,
+         |    CAST(sum(span_tokens) AS BIGINT) AS covered
+         |  FROM spans GROUP BY 1
+         |), toks AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS tpos, tk[i + 1] AS tok
+         |  FROM t, unnest(range(len(tk))) r(i)
+         |), surv AS (
+         |  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.tpos) AS surviving
+         |  FROM toks p
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans sp WHERE sp.doc_id = p.doc_id
+         |    AND p.tpos BETWEEN sp.s AND sp.e + ${SpanW - 1})
+         |  GROUP BY 1
+         |)
+         |SELECT per.doc_id, CAST(n_spans AS BIGINT) AS n_spans, dup_windows,
+         |  covered, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  ${Hashing.Sql.portableLong("coalesce(surviving, '')")} AS surv_fp
+         |FROM per JOIN t USING (doc_id) LEFT JOIN surv USING (doc_id)""".stripMargin)) {
+    (spark, dir) =>
+    val c = DocQueries.corpus(spark, dir).persist()
+    val spans = Curation.dupSpansKeepFirst(c, "doc_id", "text", SpanW).persist()
+    val per = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("n_windows")).as("dup_windows"),
+        sum(col("span_tokens")).as("covered"))
+    val surv = Curation.exciseSpans(c, spans, "doc_id", "text", SpanW)
+    val out = per
+      .join(c.select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens")), Seq("doc_id"))
+      .join(surv, Seq("doc_id"))
+      .withColumn("surv_fp", Hashing.portableLong(col("surviving")))
+      .select("doc_id", "n_spans", "dup_windows", "covered", "n_tokens", "surv_fp")
+      .persist()
+    out.count()
+    spans.unpersist(); c.unpersist()
+    out
+  }
+
   def all: Seq[GateQuery] = Seq(contamination, stratifiedSample, tokenPacking,
     piiScan, mixturePlan, qualityClassifier, docChunking, corpusReport,
     boilerplate, bpeMerges, nbClassifier, passageDedup, epochShuffle,
-    sourceCaps, cdcChunks, pipeline, bpeEncode, dsirSelect, spanExcision)
+    sourceCaps, cdcChunks, pipeline, bpeEncode, dsirSelect, spanExcision,
+    spanKeepFirst)
 }

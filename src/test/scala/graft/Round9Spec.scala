@@ -351,6 +351,30 @@ class Round9Spec extends SparkSpec {
     assert(spans == Seq((0L, 4L, 2L, 12L))) // merged: covers tokens 0..11
   }
 
+  test("keep-first excision: the canonical copy survives intact, clones excise") {
+    import graft.operators.Curation
+    val shared = "a b c d e f g h"
+    val selfRep = "p q r s t u v w"
+    val docs = Seq(
+      (1L, s"$shared tail one"),     // corpus-wide owner: keeps everything
+      (2L, s"head $shared"),         // clone: loses the shared run
+      (3L, s"$selfRep $selfRep"))    // self-repeat, first occurrence owns
+      .toDF("id", "text")
+    val spans = Curation.dupSpansKeepFirst(docs, "id", "text", 8)
+    val surv = Curation.exciseSpans(docs, spans, "id", "text", 8)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(surv(0) == ((1L, s"$shared tail one"))) // byte-identical
+    assert(surv(1) == ((2L, "head")))
+    assert(surv(2) == ((3L, selfRep))) // second in-doc copy excised
+    // ownership is CORPUS-wide: if another doc owns the run, BOTH of a
+    // later doc's copies are foreign and the whole doc can excise away
+    val docs2 = Seq((1L, shared), (2L, s"$shared $shared")).toDF("id", "text")
+    val surv2 = Curation.exciseSpans(docs2,
+      Curation.dupSpansKeepFirst(docs2, "id", "text", 8), "id", "text", 8)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(surv2 == Seq((1L, shared), (2L, "")))
+  }
+
   test("span excision ≡ brute-force covered-set reference on random corpora") {
     import graft.operators.Curation
     val w = 3
