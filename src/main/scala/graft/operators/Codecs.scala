@@ -439,6 +439,30 @@ object Codecs {
   }
 
   /**
+   * Upstream snapshot service for consumer-side handle-key-only
+   * reassembly (reference canal_json_decoder.go:244-300 queries TiDB at
+   * commitTs / commitTs−1; here the envelope's own version chain IS the
+   * snapshot source): committed state per (pk, commit_ts) is the LAST
+   * event in that ts (later seq shadows earlier — the multi-version
+   * collapse a real snapshot read performs), `v` is its after image
+   * (NULL once deleted), and `v_prev` is the prior chain state — the
+   * commitTs−1 snapshot. Two window passes over the envelope; the as-of
+   * lookup then degenerates to key-equality join on (pk, ts).
+   */
+  def snapshotChain(env: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wTs = Window.partitionBy(col("pk"), col("commit_ts"))
+      .orderBy(col("seq").desc)
+    val wChain = Window.partitionBy(col("pk")).orderBy(col("commit_ts"))
+    env
+      .withColumn("rn", row_number().over(wTs)).filter(col("rn") === 1)
+      .withColumn("v", when(col("op") === "D", lit(null).cast("double"))
+        .otherwise(col("val_after")))
+      .withColumn("v_prev", lag(col("v"), 1).over(wChain))
+      .select(col("pk"), col("commit_ts").as("ts"), col("v"), col("v_prev"))
+  }
+
+  /**
    * C5 (claim-check half) — the OTHER large-message path (reference
    * pkg/sink/kafka/claimcheck/claim_check.go + open_protocol_encoder.go:
    * 291-330): the oversized message's FULL (key, value) pair is wrapped as

@@ -118,6 +118,93 @@ object TextLm {
   def bptBucket(bits: Column, nGrams: Column): Column =
     VectorOps.floorDiv(VectorOps.floorDiv(bits, nGrams), lit(16L))
 
+  // ---- Kneser-Ney smoothing (the KenLM/CCNet production smoother) -----
+
+  /**
+   * Kneser-Ney statistics from a held-in slice (the tables interpolated KN
+   * needs beyond raw bigram counts — Kneser & Ney 1995; the smoother KenLM
+   * ships and CCNet's quality LM uses in production):
+   *   - `bi`   (g → cb): bigram occurrence counts, thresholded at
+   *     `biMinCount` like [[bigramLm]] (bounds the broadcast; a dropped
+   *     bigram backs off to the continuation term, in BOTH engines).
+   *   - `ctx`  (w1 → cv, n1v): per context, total outgoing bigram
+   *     occurrences and DISTINCT continuations N1+(v·). UNthresholded —
+   *     vocab-bounded, so it broadcasts at any corpus size.
+   *   - `cont` (w2 → ncw): distinct predecessors N1+(·w). Unthresholded.
+   *   - `bu` (1 row): B + U where B = distinct bigram types and U =
+   *     distinct held tokens — the +U widens the continuation denominator
+   *     so unseen words get mass 1/(B+U) instead of log(0).
+   *
+   * One shuffle over the held slice builds everything (pairs aggregate);
+   * the corpus side never shuffles.
+   */
+  def knStats(held: DataFrame, textCol: String, biMinCount: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val pairs = held.select(explode(gramPairs(col(textCol))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.g").as("g"))
+      .withColumn("w2", element_at(split(col("g"), " "), 2))
+    val biFull = pairs.groupBy("g").agg(count(lit(1)).as("cb"))
+    val bi = biFull.filter(col("cb") >= biMinCount)
+    val ctx = pairs.groupBy("w1")
+      .agg(count(lit(1)).as("cv"), countDistinct(col("w2")).as("n1v"))
+    val cont = pairs.groupBy("w2").agg(countDistinct(col("w1")).as("ncw"))
+    val b = biFull.agg(count(lit(1)).as("b"))
+    val u = held.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("u"))
+    val bu = b.crossJoin(u).select((col("b") + col("u")).as("bu"))
+    (bi, ctx, cont, bu)
+  }
+
+  /**
+   * Score documents with interpolated Kneser-Ney (discount d = 3/4 held
+   * EXACTLY as a rational — never a float):
+   *
+   *   P(w|v) = (max(c(vw)−d, 0) + d·N1+(v·)·Pcont(w)) / c(v),
+   *   Pcont(w) = (N1+(·w)+1) / (B+U)
+   *
+   * folded over the common denominator 4·c(v)·(B+U) into ONE integer
+   * quotient per position:
+   *
+   *   num = max(4·c(vw)−3, 0)·(B+U) + 3·N1+(v·)·(N1+(·w)+1)
+   *   den = 4·c(v)·(B+U)
+   *   bits_q16 = l2q16(den) − l2q16(num)
+   *
+   * Unseen contexts (c(v) = 0) back off to the continuation distribution
+   * alone: bits = l2q16(B+U) − l2q16(N1+(·w)+1). num ≥ 3 whenever the
+   * context is seen (N1+(v·) ≥ 1 then), so l2q16 never leaves its domain.
+   * All four model tables broadcast; scoring is map-only. Returns doc
+   * grain (id, keepCols, n_grams, bits).
+   *
+   * Scale note (100 TB): den = 4·cv·(B+U) must stay < 2^63 — fine to
+   * ~1e12-occurrence contexts against a ~1e9 type pool; past that, split
+   * the log as l2q16(4·cv) + l2q16(B+U) (costs ≤ 2/16 bit of floor error
+   * per term, breaks nothing else).
+   */
+  def knScoreDocs(corpus: DataFrame, bi: DataFrame, ctx: DataFrame,
+                  cont: DataFrame, bu: DataFrame,
+                  idCol: String, textCol: String,
+                  keepCols: Seq[String] = Nil): DataFrame = {
+    val keyCols = (idCol +: keepCols).map(col)
+    val cb0 = coalesce(col("cb"), lit(0L))
+    val ncw0 = coalesce(col("ncw"), lit(0L))
+    val seen =
+      l2q16(lit(4L) * col("cv") * col("bu")) -
+        l2q16(greatest(lit(4L) * cb0 - 3L, lit(0L)) * col("bu") +
+          lit(3L) * col("n1v") * (ncw0 + 1L))
+    val unseenCtx = l2q16(col("bu")) - l2q16(ncw0 + 1L)
+    corpus
+      .select(keyCols :+ explode(gramPairs(col(textCol))).as("p"): _*)
+      .select(keyCols :+ col("p.w1").as("w1") :+ col("p.g").as("g"): _*)
+      .withColumn("w2", element_at(split(col("g"), " "), 2))
+      .join(broadcast(bi), Seq("g"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(broadcast(cont), Seq("w2"), "left")
+      .crossJoin(broadcast(bu))
+      .withColumn("bits", when(col("cv").isNull, unseenCtx).otherwise(seen))
+      .groupBy(idCol, keepCols: _*)
+      .agg(count(lit(1)).as("n_grams"), sum(col("bits")).as("bits"))
+  }
+
   /** DuckDB SQL twins — keep in lockstep with the Column builders. */
   object Sql {
     private val Table = "[0,1,2,3,5,6,7,8,9,10,11,12,12,13,14,15]"

@@ -131,4 +131,41 @@ object TfIdf {
       .orderBy(col("score_q16").desc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * Class-based TF-IDF (the BERTopic c-TF-IDF formulation): treat each
+   * cluster as one pseudo-document and surface its most characteristic
+   * terms, W(t,c) = tf(t,c) · log(1 + A/f(t)) with A = average tokens per
+   * class and f(t) = corpus frequency — in exact fixed point,
+   * score_q16 = tf_c · (l2q16(f + A) − l2q16(f)). The "name the clusters"
+   * stage after k-means/dedup grouping.
+   *
+   * Scale shape: ONE corpus shuffle (the partial-aggregated
+   * (class, term) count); f(t) and A derive from that bounded gram table
+   * (Σ over classes — the corpus is never re-read), and the per-class
+   * top-k window runs over vocab×classes rows, ≪ corpus at any scale.
+   * Returns (classCol, rank, term, tf_c, score_q16), rank 1..topK by
+   * (score desc, term asc).
+   */
+  def cTfIdf(docs: DataFrame, classCol: String, textCol: String,
+             topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ctf = docs
+      .select(col(classCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(classCol, "term").agg(count(lit(1)).as("tf_c"))
+    val ft = ctf.groupBy("term").agg(sum(col("tf_c")).as("f"))
+    val consts = ctf.agg(
+      VectorOps.floorDiv(sum(col("tf_c")),
+        countDistinct(col(classCol))).as("a"))
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(col("score_q16").desc, col("term"))
+    ctf.join(ft, Seq("term"))
+      .crossJoin(broadcast(consts))
+      .withColumn("score_q16",
+        col("tf_c") * (TextLm.l2q16(col("f") + col("a")) - TextLm.l2q16(col("f"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(classCol), col("rank"), col("term"), col("tf_c"),
+        col("score_q16"))
+  }
 }

@@ -861,9 +861,67 @@ object DocQueries {
         "precision_pct")
   }
 
+  // ---- q179: c-TF-IDF cluster keywords --------------------------------
+
+  private val CtfTopK = 5
+
+  /**
+   * q179 — c-TF-IDF cluster keywords ([[graft.operators.TfIdf.cTfIdf]],
+   * the BERTopic formulation): each embedding-space cluster (the
+   * `label` column — at scale, the q102 k-means assignment) is treated
+   * as one pseudo-document and its top-5 most characteristic terms are
+   * surfaced by tf_c · (l2q16(f + A) − l2q16(f)) in exact fixed point —
+   * the "name the clusters" reporting stage after semantic grouping.
+   * Plan: the docs⋈labels join is id-to-id (at scale the label comes
+   * from a map-only broadcast-centroid assignment, no join at all), then
+   * ONE corpus shuffle (partial-aggregated (class, term) counts); corpus
+   * frequency f and the per-class average A derive from that bounded
+   * gram table, and the top-k window ranks vocab×classes rows, never
+   * the corpus.
+   */
+  val cTfIdfKeywords = GateQuery(
+    "q179_ctfidf_keywords",
+    Some {
+      val toks = TextOps.Sql.tokens.format("text")
+      import graft.operators.TextLm
+      s"""WITH lab AS (
+         |  SELECT vec_id AS doc_id, label FROM embeddings
+         |), toks AS (
+         |  SELECT label, unnest($toks) AS term
+         |  FROM documents JOIN lab USING (doc_id)
+         |), ctf AS (
+         |  SELECT label, term, count(*) AS tf_c FROM toks GROUP BY 1, 2
+         |), ft AS (
+         |  SELECT term, CAST(sum(tf_c) AS BIGINT) AS f FROM ctf GROUP BY 1
+         |), consts AS (
+         |  SELECT CAST((SELECT sum(tf_c) FROM ctf)
+         |    // (SELECT count(DISTINCT label) FROM ctf) AS BIGINT) AS a
+         |), scored AS (
+         |  SELECT label, term, tf_c,
+         |    tf_c * (${TextLm.Sql.l2q16("(f + a)")} - ${TextLm.Sql.l2q16("(f)")})
+         |      AS score_q16
+         |  FROM ctf JOIN ft USING (term) CROSS JOIN consts
+         |), ranked AS (
+         |  SELECT label, term, tf_c, score_q16,
+         |    CAST(row_number() OVER (PARTITION BY label
+         |      ORDER BY score_q16 DESC, term) AS INT) AS rank
+         |  FROM scored
+         |)
+         |SELECT label, rank, term, CAST(tf_c AS BIGINT) AS tf_c,
+         |  CAST(score_q16 AS BIGINT) AS score_q16
+         |FROM ranked WHERE rank <= $CtfTopK""".stripMargin
+    }) { (spark, dir) =>
+    import graft.operators.TfIdf
+    val labels = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label"))
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      .join(labels, Seq("doc_id"))
+    TfIdf.cTfIdf(docs, "label", "text", CtfTopK)
+  }
+
   def all: Seq[GateQuery] =
     Seq(textStats, qualityHist, langIdQ, fingerprints, repetition, exactDedup,
       minhashLsh, simhashQ, dupClusters, dupLabelsNoPairs, incrementalDedup,
       indexAdmit, incrementalLabels, simhashNearDup, dedupKeep, priorityKeep,
-      hashSplit, dedupRecall)
+      hashSplit, dedupRecall, cTfIdfKeywords)
 }

@@ -678,8 +678,212 @@ object EmbeddingQueries {
       subDim = 16, nProbe = 2, k = 3)
   }
 
+  // ---- q176: reciprocal-rank fusion -----------------------------------
+
+  private val RrfDepth = 20
+  private val RrfTopK = 3
+
+  /**
+   * q176 — hybrid retrieval by reciprocal-rank fusion
+   * ([[graft.operators.Retrieval.rrfFuse]], Cormack et al. 2009): per
+   * query, a DENSE ranking (exact int8 dots — at scale the q85 IVF probe)
+   * and a LEXICAL ranking (integer token-Jaccard ppm — at scale the q162
+   * BM25 index) each contribute their top-20; candidates fuse by
+   * Σ 1000000 // (60 + rank) over the union and the gate pins the fused
+   * top-3 with both source ranks (0 = absent from that list). Everything
+   * after candidate generation touches only queries × depth rows.
+   */
+  val rrfFusion = GateQuery(
+    "q176_rrf_fusion",
+    Some {
+      val qv = VectorOps.Sql.quantizeInt8("embedding")
+      val dq = VectorOps.Sql.dotQ("q.qq", "c.qq")
+      val toks = graft.operators.TextOps.Sql.tokens.format("text")
+      s"""WITH qt AS (SELECT vec_id, $qv AS qq FROM embeddings),
+         |dcand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dq AS dotq
+         |  FROM qt q JOIN qt c ON q.vec_id <> c.vec_id
+         |  WHERE q.$QueryFilter
+         |), dr AS (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dotq DESC, neighbor_id) AS r
+         |  FROM dcand
+         |), drk AS (SELECT * FROM dr WHERE r <= $RrfDepth),
+         |dt AS (SELECT doc_id, list_distinct($toks) AS ts FROM documents),
+         |lcand AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         |    1000000 * len(list_intersect(q.ts, c.ts))
+         |      // len(list_distinct(q.ts || c.ts)) AS jac
+         |  FROM dt q JOIN dt c ON q.doc_id <> c.doc_id
+         |  WHERE q.doc_id % 50 = 0
+         |), lr AS (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY jac DESC, neighbor_id) AS r
+         |  FROM lcand
+         |), lrk AS (SELECT * FROM lr WHERE r <= $RrfDepth),
+         |fused AS (
+         |  SELECT coalesce(d.query_id, l.query_id) AS query_id,
+         |    coalesce(d.neighbor_id, l.neighbor_id) AS neighbor_id,
+         |    (CASE WHEN d.r IS NULL THEN 0 ELSE 1000000 // (60 + d.r) END) +
+         |    (CASE WHEN l.r IS NULL THEN 0 ELSE 1000000 // (60 + l.r) END)
+         |      AS rrf_ppm,
+         |    coalesce(d.r, 0) AS r_a, coalesce(l.r, 0) AS r_b
+         |  FROM drk d FULL JOIN lrk l
+         |    ON d.query_id = l.query_id AND d.neighbor_id = l.neighbor_id
+         |)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+         |  CAST(r_a AS BIGINT) AS r_a, CAST(r_b AS BIGINT) AS r_b
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY rrf_ppm DESC, neighbor_id)
+         |        AS rank FROM fused)
+         |WHERE rank <= $RrfTopK""".stripMargin
+    }) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Retrieval, TextOps}
+    val e = Tables.load(spark, dir, "embeddings")
+    val qt = e.select(col("vec_id"), VectorOps.quantizeInt8(col("embedding")).as("qq"))
+    val dq = qt.filter(expr(QueryFilter))
+      .select(col("vec_id").as("query_id"), col("qq").as("q_qq"))
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("dotq").desc, col("neighbor_id"))
+    val drk = broadcast(dq)
+      .join(qt.select(col("vec_id").as("neighbor_id"), col("qq")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("dotq", VectorOps.dotQ(col("q_qq"), col("qq")))
+      .withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= RrfDepth)
+      .select("query_id", "neighbor_id", "rank")
+    val dt = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("ts"))
+    val ql = dt.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"), col("ts").as("q_ts"))
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("jac").desc, col("neighbor_id"))
+    val lrk = broadcast(ql)
+      .join(dt.select(col("doc_id").as("neighbor_id"), col("ts")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("jac", VectorOps.floorDiv(
+        lit(1000000L) * size(array_intersect(col("q_ts"), col("ts"))),
+        size(array_union(col("q_ts"), col("ts"))).cast("long")))
+      .withColumn("rank", row_number().over(wl))
+      .filter(col("rank") <= RrfDepth)
+      .select("query_id", "neighbor_id", "rank")
+    Retrieval.rrfFuse(drk, lrk, RrfTopK)
+  }
+
+  // ---- q177: maximal-marginal-relevance selection ---------------------
+
+  private val MmrPool = 8
+  private val MmrK = 3
+
+  /**
+   * q177 — MMR diversified selection
+   * ([[graft.operators.Retrieval.mmrSelect]], Carbonell & Goldstein
+   * 1998): per query take the dense top-8 pool, then greedily pick 3
+   * maximizing λ·rel − (1−λ)·max-sim-to-selected with λ = 7/10 held as
+   * an exact rational (the common denominator cancels in the argmax) —
+   * the standard redundancy-penalized selection for RAG context packing
+   * and eval-set construction. Pool relevances and pairwise sims are
+   * exact int8 dots; the oracle replays all three greedy steps. Every
+   * post-pool join is queries × pool² rows, corpus-independent.
+   */
+  val mmrSelect = GateQuery(
+    "q177_mmr_select",
+    Some {
+      val qv = VectorOps.Sql.quantizeInt8("embedding")
+      val dq = VectorOps.Sql.dotQ("q.qq", "c.qq")
+      val sq = VectorOps.Sql.dotQ("x.qq", "y.qq")
+      s"""WITH qt AS (SELECT vec_id, $qv AS qq FROM embeddings),
+         |dcand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dq AS dotq
+         |  FROM qt q JOIN qt c ON q.vec_id <> c.vec_id
+         |  WHERE q.$QueryFilter
+         |), pool AS (
+         |  SELECT query_id, neighbor_id AS doc_id, dotq AS rel
+         |  FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dotq DESC, neighbor_id) AS r
+         |    FROM dcand)
+         |  WHERE r <= $MmrPool
+         |), sims AS (
+         |  SELECT p1.query_id, p1.doc_id AS a, p2.doc_id AS b, $sq AS sim
+         |  FROM pool p1 JOIN pool p2
+         |    ON p1.query_id = p2.query_id AND p1.doc_id <> p2.doc_id
+         |  JOIN qt x ON x.vec_id = p1.doc_id
+         |  JOIN qt y ON y.vec_id = p2.doc_id
+         |), sel1 AS (
+         |  SELECT query_id, doc_id, m FROM (
+         |    SELECT query_id, doc_id, 7 * rel AS m, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY 7 * rel DESC, doc_id) AS rn
+         |    FROM pool) WHERE rn = 1
+         |), c2 AS (
+         |  SELECT p.query_id, p.doc_id, 7 * p.rel - 3 * s.sim AS m
+         |  FROM pool p
+         |  JOIN sel1 ON sel1.query_id = p.query_id AND p.doc_id <> sel1.doc_id
+         |  JOIN sims s ON s.query_id = p.query_id AND s.a = p.doc_id
+         |    AND s.b = sel1.doc_id
+         |), sel2 AS (
+         |  SELECT query_id, doc_id, m FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY m DESC, doc_id) AS rn
+         |    FROM c2) WHERE rn = 1
+         |), c3 AS (
+         |  SELECT p.query_id, p.doc_id, 7 * p.rel - 3 * max(s.sim) AS m
+         |  FROM pool p
+         |  JOIN sel1 ON sel1.query_id = p.query_id
+         |  JOIN sel2 ON sel2.query_id = p.query_id
+         |  JOIN sims s ON s.query_id = p.query_id AND s.a = p.doc_id
+         |    AND (s.b = sel1.doc_id OR s.b = sel2.doc_id)
+         |  WHERE p.doc_id <> sel1.doc_id AND p.doc_id <> sel2.doc_id
+         |  GROUP BY p.query_id, p.doc_id, p.rel
+         |), sel3 AS (
+         |  SELECT query_id, doc_id, m FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY m DESC, doc_id) AS rn
+         |    FROM c3) WHERE rn = 1
+         |)
+         |SELECT query_id, 1 AS pick, doc_id, CAST(m AS BIGINT) AS mmr_q FROM sel1
+         |UNION ALL
+         |SELECT query_id, 2 AS pick, doc_id, CAST(m AS BIGINT) AS mmr_q FROM sel2
+         |UNION ALL
+         |SELECT query_id, 3 AS pick, doc_id, CAST(m AS BIGINT) AS mmr_q FROM sel3
+         |""".stripMargin
+    }) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Retrieval
+    val e = Tables.load(spark, dir, "embeddings")
+    val qt = e.select(col("vec_id"), VectorOps.quantizeInt8(col("embedding")).as("qq"))
+    val dq = qt.filter(expr(QueryFilter))
+      .select(col("vec_id").as("query_id"), col("qq").as("q_qq"))
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("dotq").desc, col("neighbor_id"))
+    val pool = broadcast(dq)
+      .join(qt.select(col("vec_id").as("neighbor_id"), col("qq")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("dotq", VectorOps.dotQ(col("q_qq"), col("qq")))
+      .withColumn("r", row_number().over(wd))
+      .filter(col("r") <= MmrPool)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("dotq").as("rel"))
+      .persist()
+    val mem = pool.select("query_id", "doc_id")
+      .join(qt.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+    val sims = mem.select(col("query_id"), col("doc_id").as("a"), col("qq").as("qa"))
+      .join(mem.select(col("query_id"), col("doc_id").as("b"), col("qq").as("qb")),
+        Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim", VectorOps.dotQ(col("qa"), col("qb")))
+      .select("query_id", "a", "b", "sim")
+      .persist()
+    val out = Retrieval.mmrSelect(pool, sims, MmrK, lamNum = 7L, lamDen = 10L)
+      .persist()
+    out.count()
+    pool.unpersist(); sims.unpersist()
+    out
+  }
+
   def all: Seq[GateQuery] =
     Seq(knnBrute, lshAnn, lshBuckets, centroidAssign, cosineNearDup,
       embeddingDupClusters, ivfSearch, int8Knn, kmeansIter, semanticDedup,
-      pqAdc, annRecall, hardNegatives, ivfPq)
+      pqAdc, annRecall, hardNegatives, ivfPq, rrfFusion, mmrSelect)
 }

@@ -867,11 +867,112 @@ object ExtraQueries {
       .withColumn("gtid2", lit(meta.gtid2))
   }
 
+  /**
+   * q180 — CONSUMER-side handle-key-only reassembly (reference
+   * canal_json_decoder.go:244-300 `assembleHandleKeyOnlyRowChangedEvent`):
+   * a downgraded message carries only the handle key, so the consumer
+   * recovers the full row from an upstream snapshot — data at commitTs
+   * for upserts, at commitTs−1 for deletes, and the reassembled UPDATE
+   * additionally GAINS an old image from the commitTs−1 snapshot. The
+   * snapshot service is modeled as the envelope's own version chain
+   * (committed state per (pk, commit_ts) = last event in the ts; the
+   * prior state is the chain's lag) — an as-of join, the J2 shape. The
+   * Spark side decodes the REAL q47b wire messages (the consumer path:
+   * nothing but bytes in), the oracle replays flag + chain + recovery;
+   * the gate pins per (kind, ohk) counts, pk sums, null-image counts and
+   * decimal-exact value sums. Plan: decode is map-only; the chain is one
+   * window pass; the as-of join is key-equality (pk, ts) — no range scan.
+   */
+  val handleKeyReassemble = GateQuery(
+    "q180_handle_key_reassemble",
+    Some(cte +
+      s""", enc AS (
+         |  SELECT seq, op, commit_ts, pk, val_before, val_after,
+         |    CASE WHEN length(to_json(struct_pack(
+         |      u := CASE WHEN op <> 'D' THEN struct_pack(
+         |             pk := struct_pack(t := 8, v := pk),
+         |             val := struct_pack(t := 5, v := CAST(val_after AS DOUBLE)),
+         |             etype := struct_pack(t := 15, v := etype))
+         |           ELSE CAST(NULL AS STRUCT(pk STRUCT(t INT, v BIGINT),
+         |                  val STRUCT(t INT, v DOUBLE), etype STRUCT(t INT, v VARCHAR))) END,
+         |      d := CASE WHEN op = 'D' THEN struct_pack(
+         |             pk := struct_pack(t := 8, v := pk),
+         |             val := struct_pack(t := 5, v := CAST(val_before AS DOUBLE)),
+         |             etype := struct_pack(t := 15, v := etype))
+         |           ELSE CAST(NULL AS STRUCT(pk STRUCT(t INT, v BIGINT),
+         |                  val STRUCT(t INT, v DOUBLE), etype STRUCT(t INT, v VARCHAR))) END
+         |    ))) > 90 THEN 1 ELSE 0 END AS ohk
+         |  FROM cdc
+         |), chain AS (
+         |  SELECT pk, commit_ts,
+         |    CASE WHEN op = 'D' THEN NULL ELSE val_after END AS v
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY pk, commit_ts ORDER BY seq DESC) AS rn
+         |        FROM cdc)
+         |  WHERE rn = 1
+         |), chain2 AS (
+         |  SELECT pk, commit_ts, v,
+         |    lag(v) OVER (PARTITION BY pk ORDER BY commit_ts) AS v_prev
+         |  FROM chain
+         |), re AS (
+         |  SELECT CASE WHEN e.op = 'D' THEN 'd' ELSE 'u' END AS kind, e.ohk,
+         |    e.pk,
+         |    CASE WHEN e.ohk = 0 THEN
+         |           (CASE WHEN e.op = 'D' THEN e.val_before ELSE e.val_after END)
+         |         WHEN e.op <> 'D' THEN c.v ELSE c.v_prev END AS data,
+         |    CASE WHEN e.ohk = 1 AND e.op <> 'D' THEN c.v_prev
+         |         ELSE NULL END AS old
+         |  FROM enc e JOIN chain2 c
+         |    ON e.pk = c.pk AND e.commit_ts = c.commit_ts
+         |)
+         |SELECT kind, ohk, count(*) AS n, CAST(sum(pk) AS BIGINT) AS sum_pk,
+         |  CAST(sum(CASE WHEN data IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_data_null,
+         |  CAST(coalesce(sum(CAST(data AS DECIMAL(18,6))), 0) AS DOUBLE)
+         |    AS sum_data,
+         |  CAST(sum(CASE WHEN old IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_old_null,
+         |  CAST(coalesce(sum(CAST(old AS DECIMAL(18,6))), 0) AS DOUBLE)
+         |    AS sum_old
+         |FROM re GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    val env = CdcStream.derive(spark, dir)
+    val (key, value) = Codecs.openProtocolWithDowngrade(env, 90)
+    val msgs = env.select(key.as("key_msg"), value.as("val_msg"))
+    val k = Codecs.openDecodeKey(col("key_msg"))
+    val v = Codecs.openDecodeValue(col("val_msg"))
+    val dec = msgs.select(
+      k.getField("ts").as("ts"),
+      coalesce(k.getField("ohk"), lit(false)).cast("int").as("ohk"),
+      when(v.getField("d").isNotNull, "d").otherwise("u").as("kind"),
+      coalesce(v.getField("u").getField("pk").getField("v"),
+        v.getField("d").getField("pk").getField("v")).as("pk"),
+      coalesce(v.getField("u").getField("val").getField("v"),
+        v.getField("d").getField("val").getField("v")).as("inline_val"))
+    val chain = Codecs.snapshotChain(env)
+    val zeroDec = lit(0).cast("decimal(18,6)")
+    dec.join(chain, Seq("pk", "ts"))
+      .withColumn("data",
+        when(col("ohk") === 0, col("inline_val"))
+          .when(col("kind") === "u", col("v"))
+          .otherwise(col("v_prev")))
+      .withColumn("old",
+        when(col("ohk") === 1 && col("kind") === "u", col("v_prev"))
+          .otherwise(lit(null).cast("double")))
+      .groupBy("kind", "ohk")
+      .agg(count(lit(1)).as("n"), sum(col("pk")).as("sum_pk"),
+        sum(when(col("data").isNull, 1L).otherwise(0L)).as("n_data_null"),
+        coalesce(sum(col("data").cast("decimal(18,6)")), zeroDec)
+          .cast("double").as("sum_data"),
+        sum(when(col("old").isNull, 1L).otherwise(0L)).as("n_old_null"),
+        coalesce(sum(col("old").cast("decimal(18,6)")), zeroDec)
+          .cast("double").as("sum_old"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, imageDecode, imageResize,
     audioDecode, videoFrames,
     chunkedLoad, claimCheck, handleKeyOnly,
-    claimCheckWrite,
+    claimCheckWrite, handleKeyReassemble,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
     jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin, dumpLoad)
 }

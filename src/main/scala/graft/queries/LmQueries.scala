@@ -324,6 +324,75 @@ object LmQueries {
     out
   }
 
+  // ---- q178: Kneser-Ney smoothed LM -----------------------------------
+
+  /**
+   * q178 — interpolated Kneser-Ney bigram LM ([[TextLm.knStats]] /
+   * [[TextLm.knScoreDocs]]): the production smoother behind KenLM and
+   * CCNet's quality LM, trained in-engine from the held-in half and
+   * scoring every document with discount d = 3/4 held exactly as a
+   * rational — per position ONE integer quotient
+   * (max(4·c(vw)−3,0)·(B+U) + 3·N1+(v·)·(N1+(·w)+1)) / (4·c(v)·(B+U)),
+   * unseen contexts backing off to the continuation distribution. The
+   * gate pins doc-grain (n_grams, bits) for the whole corpus — every
+   * continuation count, discount and backoff bit-exact cross-engine.
+   * Plan: one held-slice shuffle trains all four model tables (vocab-
+   * bounded → broadcast); scoring is map-only + broadcast joins; the
+   * only corpus exchange is the final per-doc partial agg.
+   */
+  val knLm = GateQuery(
+    "q178_kneser_ney",
+    Some {
+      val toks = TextOps.Sql.tokens.format("text")
+      s"""WITH htoks AS (
+         |  SELECT $toks AS t FROM documents WHERE doc_id % 2 = 0
+         |), pairs AS (
+         |  SELECT ${TextLm.Sql.gramW1} AS w1, t[i + 2] AS w2,
+         |    ${TextLm.Sql.gramG} AS g
+         |  FROM (SELECT t, unnest(range(len(t) - 1)) AS i FROM htoks)
+         |), bif AS (
+         |  SELECT g, count(*) AS cb FROM pairs GROUP BY 1
+         |), bi AS (
+         |  SELECT g, cb FROM bif WHERE cb >= $BiMin
+         |), ctx AS (
+         |  SELECT w1, count(*) AS cv, count(DISTINCT w2) AS n1v
+         |  FROM pairs GROUP BY 1
+         |), cont AS (
+         |  SELECT w2, count(DISTINCT w1) AS ncw FROM pairs GROUP BY 1
+         |), bu AS (
+         |  SELECT (SELECT count(*) FROM bif) +
+         |    (SELECT count(DISTINCT w)
+         |     FROM (SELECT unnest(t) AS w FROM htoks)) AS bu
+         |), pos AS (
+         |  SELECT doc_id, lang, ${TextLm.Sql.gramW1} AS w1, t[i + 2] AS w2,
+         |    ${TextLm.Sql.gramG} AS g
+         |  FROM (SELECT doc_id, lang, t, unnest(range(len(t) - 1)) AS i
+         |        FROM (SELECT doc_id, lang, $toks AS t FROM documents)
+         |        WHERE len(t) >= 2)
+         |), terms AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN cv IS NULL THEN bu ELSE 4 * cv * bu END AS den,
+         |    CASE WHEN cv IS NULL THEN coalesce(ncw, 0) + 1
+         |         ELSE greatest(4 * coalesce(cb, 0) - 3, 0) * bu
+         |              + 3 * n1v * (coalesce(ncw, 0) + 1) END AS num
+         |  FROM pos LEFT JOIN bi USING (g) LEFT JOIN ctx USING (w1)
+         |  LEFT JOIN cont USING (w2) CROSS JOIN bu
+         |), scored AS (
+         |  SELECT doc_id, lang,
+         |    ${TextLm.Sql.l2q16("(den)")} - ${TextLm.Sql.l2q16("(num)")} AS bits
+         |  FROM terms
+         |)
+         |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(bits) AS BIGINT) AS bits
+         |FROM scored GROUP BY 1, 2""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "lang", "text")
+    val held = docs.filter(col("doc_id") % 2 === 0)
+    val (bi, ctx, cont, bu) = TextLm.knStats(held, "text", BiMin)
+    TextLm.knScoreDocs(docs, bi, ctx, cont, bu, "doc_id", "text",
+      keepCols = Seq("lang"))
+  }
+
   def all: Seq[GateQuery] =
-    Seq(lmPerplexity, tfidf, cmsTermCounts, bm25TopK, ccnetBuckets)
+    Seq(lmPerplexity, tfidf, cmsTermCounts, bm25TopK, ccnetBuckets, knLm)
 }

@@ -1,0 +1,138 @@
+package graft
+
+import graft.operators.{Codecs, Retrieval, TextLm, TfIdf}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-9 second-batch operators: Kneser-Ney smoothing,
+  * c-TF-IDF cluster keywords, RRF fusion, MMR selection, and the
+  * handle-key-only snapshot chain. */
+class Round10Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Kneser-Ney ----------------------------------------------------
+
+  /** Held corpus "a b a b a c": cb = {ab:2, ba:2, ac:1};
+    * ctx a=(cv 3, n1v 2), b=(cv 2, n1v 1); cont a=1, b=1, c=1;
+    * B = 3 bigram types, U = 3 tokens → B+U = 6. */
+  private def knTiny(biMin: Long) = {
+    val held = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    TextLm.knStats(held, "text", biMin)
+  }
+
+  test("kneser-ney seen-context position matches the hand-derived rational") {
+    val (bi, ctx, cont, bu) = knTiny(1L)
+    val doc = Seq((1L, "a b")).toDF("doc_id", "text")
+    val r = TextLm.knScoreDocs(doc, bi, ctx, cont, bu, "doc_id", "text")
+      .collect().head
+    // position (a,b): num = max(4·2−3,0)·6 + 3·2·(1+1) = 30+12 = 42;
+    // den = 4·3·6 = 72
+    assert(r.getAs[Long]("n_grams") == 1L)
+    assert(r.getAs[Long]("bits") ==
+      TextLm.l2q16Long(72) - TextLm.l2q16Long(42))
+  }
+
+  test("kneser-ney unseen context backs off to the continuation distribution") {
+    val (bi, ctx, cont, bu) = knTiny(1L)
+    val doc = Seq((1L, "z b")).toDF("doc_id", "text")
+    val r = TextLm.knScoreDocs(doc, bi, ctx, cont, bu, "doc_id", "text")
+      .collect().head
+    // context z unseen: bits = l2q16(B+U) − l2q16(ncw(b)+1) = l2q16(6)−l2q16(2)
+    assert(r.getAs[Long]("bits") ==
+      TextLm.l2q16Long(6) - TextLm.l2q16Long(2))
+  }
+
+  test("kneser-ney thresholded bigram falls to the continuation term only") {
+    val (bi, ctx, cont, bu) = knTiny(2L) // drops "a c" (cb = 1)
+    val doc = Seq((1L, "a c")).toDF("doc_id", "text")
+    val r = TextLm.knScoreDocs(doc, bi, ctx, cont, bu, "doc_id", "text")
+      .collect().head
+    // cb dropped → num = 0·6 + 3·n1v(a)·(ncw(c)+1) = 3·2·2 = 12; den = 72
+    assert(r.getAs[Long]("bits") ==
+      TextLm.l2q16Long(72) - TextLm.l2q16Long(12))
+  }
+
+  test("kneser-ney frequent bigram costs fewer bits than an unseen one") {
+    val (bi, ctx, cont, bu) = knTiny(1L)
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val m = TextLm.knScoreDocs(docs, bi, ctx, cont, bu, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bits")).toMap
+    assert(m(1L) < m(2L)) // seen "a b" beats unseen "b c"
+  }
+
+  // ---- c-TF-IDF ------------------------------------------------------
+
+  test("c-tf-idf surfaces the class-distinctive term over the shared one") {
+    // class 0: "x x y"; class 1: "y z" → f: x=2, y=2, z=1; A = 5 // 2 = 2
+    val docs = Seq((0, "x x y"), (1, "y z")).toDF("label", "text")
+    val out = TfIdf.cTfIdf(docs, "label", "text", 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getAs[Long]("score_q16")))
+    def s(tf: Long, f: Long) =
+      tf * (TextLm.l2q16Long(f + 2) - TextLm.l2q16Long(f))
+    val c0 = out.filter(_._1 == 0).sortBy(_._2)
+    val c1 = out.filter(_._1 == 1).sortBy(_._2)
+    assert(c0.head._3 == "x" && c0.head._4 == s(2, 2))
+    // z (rare corpus-wide) outranks y (shared) in class 1
+    assert(c1.head._3 == "z" && c1.head._4 == s(1, 1))
+    assert(c1(1)._3 == "y" && c1(1)._4 == s(1, 2))
+  }
+
+  // ---- RRF fusion ----------------------------------------------------
+
+  test("rrf: a both-list candidate outranks a single-list rank-1") {
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val out = Retrieval.rrfFuse(a, b, 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getAs[Long]("rrf_ppm"),
+        r.getAs[Long]("r_a"), r.getAs[Long]("r_b"))).sortBy(_._1)
+    // 20 appears in both (ranks 2+1) → 1e6//62 + 1e6//61 = 16129+16393
+    assert(out.head == ((1, 20L, 16129L + 16393L, 2L, 1L)))
+    // 10 and 30 each single-list rank 1 / rank 2; absent rank reports 0
+    assert(out(1) == ((2, 10L, 16393L, 1L, 0L)))
+    assert(out(2) == ((3, 30L, 16129L, 0L, 2L)))
+  }
+
+  // ---- MMR selection -------------------------------------------------
+
+  test("mmr: redundancy penalty overturns the pure-relevance order") {
+    // A(100) ~ B(99) near-dups (sim 95); C(80) diverse (sim 10)
+    val pool = Seq((1L, 100L, 100L), (1L, 101L, 99L), (1L, 102L, 80L))
+      .toDF("query_id", "doc_id", "rel")
+    val sims = (for {
+      (x, y, s) <- Seq((100L, 101L, 95L), (100L, 102L, 10L), (101L, 102L, 10L))
+      p <- Seq((x, y, s), (y, x, s))
+    } yield (1L, p._1, p._2, p._3)).toDF("query_id", "a", "b", "sim")
+    val out = Retrieval.mmrSelect(pool, sims, 3, 7L, 10L)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((1, 100L, 700L)))           // argmax 7·rel
+    assert(out(1) == ((2, 102L, 7 * 80 - 3 * 10))) // C beats shadowed B
+    assert(out(2) == ((3, 101L, 7 * 99 - 3 * 95))) // B last, max-sim to A
+  }
+
+  test("mmr first pick ties break by doc id") {
+    val pool = Seq((1L, 7L, 50L), (1L, 3L, 50L)).toDF("query_id", "doc_id", "rel")
+    val sims = Seq((1L, 7L, 3L, 0L), (1L, 3L, 7L, 0L))
+      .toDF("query_id", "a", "b", "sim")
+    val out = Retrieval.mmrSelect(pool, sims, 2, 7L, 10L)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(out(0) == ((1, 3L)) && out(1) == ((2, 7L)))
+  }
+
+  // ---- handle-key snapshot chain -------------------------------------
+
+  test("snapshot chain: same-ts shadowing, delete tombstone, lag state") {
+    val env = Seq(
+      (1L, "I", 10L, 100L, Option(1.0)),
+      (2L, "U", 11L, 100L, Option(2.0)),
+      (3L, "U", 11L, 100L, Option(3.0)), // same ts, higher seq shadows
+      (4L, "D", 12L, 100L, Option(9.9))
+    ).toDF("seq", "op", "commit_ts", "pk", "val_after")
+    val chain = Codecs.snapshotChain(env).collect()
+      .map(r => (r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+      .sortBy(_._1)
+    assert(chain(0) == ((10L, Some(1.0), None)))       // first state, no prior
+    assert(chain(1) == ((11L, Some(3.0), Some(1.0))))  // seq 3 shadows seq 2
+    assert(chain(2) == ((12L, None, Some(3.0))))       // delete → NULL state
+  }
+}
