@@ -148,18 +148,35 @@ object TfIdf {
    * (score desc, term asc).
    */
   def cTfIdf(docs: DataFrame, classCol: String, textCol: String,
-             topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ctf = docs
+             topK: Int): DataFrame =
+    cTfIdfFromCounts(classTermCounts(docs, classCol, textCol), classCol, topK)
+
+  /** The ONE corpus-scale pass of c-TF-IDF: partial-aggregated
+    * (class, term) occurrence counts. Callers persist this (it is
+    * vocab × classes — bounded at any corpus size) so the scoring stage
+    * derives f(t), A and the ranking from it without re-reading the
+    * corpus. */
+  def classTermCounts(docs: DataFrame, classCol: String,
+                      textCol: String): DataFrame =
+    docs
       .select(col(classCol), explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy(classCol, "term").agg(count(lit(1)).as("tf_c"))
+
+  /** Scoring/ranking half of [[cTfIdf]] over an (optionally persisted)
+    * [[classTermCounts]] table: f(t) = Σ_c tf_c and A = Σtf // classes
+    * come from the counts table itself, the f-table joins back by
+    * BROADCAST (vocab-bounded), and the per-class top-k window ranks
+    * vocab × classes rows — the corpus is never touched here. */
+  def cTfIdfFromCounts(ctf: DataFrame, classCol: String,
+                       topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ft = ctf.groupBy("term").agg(sum(col("tf_c")).as("f"))
     val consts = ctf.agg(
       VectorOps.floorDiv(sum(col("tf_c")),
         countDistinct(col(classCol))).as("a"))
     val w = Window.partitionBy(col(classCol))
       .orderBy(col("score_q16").desc, col("term"))
-    ctf.join(ft, Seq("term"))
+    ctf.join(broadcast(ft), Seq("term"))
       .crossJoin(broadcast(consts))
       .withColumn("score_q16",
         col("tf_c") * (TextLm.l2q16(col("f") + col("a")) - TextLm.l2q16(col("f"))))

@@ -916,7 +916,11 @@ object DocQueries {
       .select(col("vec_id").as("doc_id"), col("label"))
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
       .join(labels, Seq("doc_id"))
-    TfIdf.cTfIdf(docs, "label", "text", CtfTopK)
+    val ctf = TfIdf.classTermCounts(docs, "label", "text").persist()
+    val out = TfIdf.cTfIdfFromCounts(ctf, "label", CtfTopK).persist()
+    out.count()
+    ctf.unpersist()
+    out
   }
 
   def all: Seq[GateQuery] =

@@ -115,6 +115,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
   }
 
+  /** Distinct shuffle exchanges by plan id — the toString re-renders a
+    * shared/cached subtree at every consumer, so raw token counts
+    * overcount; plan ids dedupe them. */
+  private def distinctShuffles(plan: String): Int =
+    "(?<!Broadcast)Exchange\\w* \\S[^\\n]*?plan_id=(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
+
+  test("q178: KN scoring keeps all four model tables broadcast-joined") {
+    val p = planOf("q178_kneser_ney")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    // ten exchanges, ALL on the bounded held-slice model side (bi/ctx/
+    // cont agg pairs + the two scalar aggs) plus the final per-doc agg;
+    // the corpus gram stream itself never exchanges — a regression that
+    // shuffle-joins a model table adds a SortMergeJoin and fails above
+    assert(distinctShuffles(p) == 10, s"got ${distinctShuffles(p)}; plan:\n$p")
+  }
+
+  test("q179: c-tf-idf scores from the CACHED counts table, broadcast f-join") {
+    val p = planOf("q179_ctfidf_keywords")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"plan:\n$p") // ctf built once
+    // the recurring stage over a persisted counts table: f agg + the
+    // countDistinct expand pair + singleton const + the top-k window
+    import graft.operators.TfIdf
+    import spark.implicits._
+    val ctf = TfIdf.classTermCounts(
+      Seq((0, "x y"), (1, "y z")).toDF("label", "text"), "label", "text")
+      .persist()
+    ctf.count()
+    val p2 = TfIdf.cTfIdfFromCounts(ctf, "label", 2)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("SortMergeJoin"), s"plan:\n$p2")
+    assert(distinctShuffles(p2) == 6, s"got ${distinctShuffles(p2)}; plan:\n$p2")
+    ctf.unpersist()
+  }
+
   test("bloom probe joins the bit table by broadcast, never sort-merge") {
     import org.apache.spark.sql.functions._
     import graft.core.Hashing
