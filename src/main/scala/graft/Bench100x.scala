@@ -114,7 +114,15 @@ object Bench100x {
     // DSIR (two bounded bucket aggs + broadcast scoring), and substring
     // span excision (the ownership/anti-join regime on a dup-dense corpus
     // is exactly what this gate stresses at 100×)
-    "q162_bm25", "q167_dsir_select", "q168_span_excision")
+    "q162_bm25", "q167_dsir_select", "q168_span_excision",
+    // round-9 continuation: Kneser-Ney (four broadcast model tables off
+    // the held slice, map-only scoring — the q93 regime with richer
+    // stats), winnowing overlap (in-row fingerprints + a df-capped
+    // bucket join on a dup-dense corpus — the bucket cap is what's being
+    // stressed), c-TF-IDF (ONE corpus shuffle then vocab-bounded work),
+    // and session windows (native session_window over the events table)
+    "q178_kneser_ney", "q182_winnow_overlap", "q179_ctfidf_keywords",
+    "q183_session_window")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(

@@ -100,6 +100,38 @@ object TextRuns {
     v >>> 4
   }
 
+  /**
+   * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+   * the MOSS algorithm): over the positional n-gram hashes h[0..], slide
+   * a window of `w` consecutive hashes and keep each window's minimum —
+   * any shared substring of ≥ n+w−1 tokens is then GUARANTEED to share a
+   * fingerprint (the local-selection property MinHash sampling lacks).
+   * Returns the selected hashes as a SORTED DISTINCT array (set
+   * semantics; document density 2/(w+1)). Short docs (< w windows)
+   * winnow the whole hash sequence as one window; sub-n-gram docs
+   * inherit [[shingleHashSeq]]'s whole-text fallback. One in-row pass,
+   * O(len·w) with tiny w — the text never leaves the row.
+   */
+  def winnowHashes(text: UTF8String, n: Int, w: Int): ArrayData = {
+    val h = shingleHashSeq(text, n).toLongArray()
+    val m = math.max(h.length - w + 1, 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < m) {
+      var mn = Long.MaxValue
+      var j = i
+      val end = math.min(i + w, h.length)
+      while (j < end) { if (h(j) < mn) mn = h(j); j += 1 }
+      set.add(mn)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Open-addressing long set (values are 60-bit, so Long.MinValue is a
     * safe empty sentinel); avoids 10⁸-scale boxing in the shingle loop. */
   private final class LongSet(expected: Int) {
@@ -316,6 +348,9 @@ object TextRuns {
   def shingleHashSeq(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashSeq(ExpressionUtils.expression(text), n))
 
+  def winnowHashes(text: Column, n: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowHashes(ExpressionUtils.expression(text), n, w))
+
   /**
    * Token-grain content-defined chunking in ONE in-row pass: a chunk
    * boundary closes after any token whose portable hash ≡ 0 (mod b), so
@@ -410,6 +445,20 @@ case class ShingleHashSeq(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.shingleHashSeq($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashSeq =
+    copy(child = newChild)
+}
+
+/** text → sorted distinct array<long> of winnowing-selected n-gram hashes
+  * (window w) — see [[TextRuns.winnowHashes]]. */
+case class WinnowHashes(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  require(n >= 1 && w >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuns.winnowHashes(input.asInstanceOf[UTF8String], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.winnowHashes($c, $n, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
     copy(child = newChild)
 }
 

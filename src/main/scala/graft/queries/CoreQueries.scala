@@ -98,5 +98,47 @@ object CoreQueries {
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
   }
 
-  def all: Seq[GateQuery] = Seq(pricing, distinctStats, frontier, tumblingWindow)
+  private val SessGapNs = 28_800_000_000_000L // 8 h — median user gap ~7.3 h
+
+  /**
+   * q183 — gap-based session windows ([[graft.operators.Sessions]]): the
+   * W-family windowing mode frontiers can't express, grouped by Spark's
+   * NATIVE `session_window` in batch mode (a silence STRICTLY exceeding
+   * 8 h closes the session; an event at exactly start + gap still
+   * joins — Spark's boundary semantics, spec-pinned). The oracle replays the sessions as gaps-and-islands at
+   * microsecond grain (the precision session_window actually compares
+   * at). Pins per (user, session ordinal): event count, exact start/end
+   * nanos and the decimal-exact value sum.
+   */
+  val sessionWindows = GateQuery(
+    "q183_session_window",
+    Some(
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ns(ts) AS ns, epoch_us(ts) AS us, value
+         |  FROM events
+         |), marked AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL
+         |      OR us - prev_us > ${SessGapNs / 1000} THEN 1 ELSE 0 END AS news
+         |  FROM (SELECT *, lag(us) OVER (
+         |          PARTITION BY user_id ORDER BY us) AS prev_us FROM e)
+         |), sessed AS (
+         |  SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY us
+         |    ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM marked
+         |)
+         |SELECT user_id, CAST(sess AS INT) AS sess, count(*) AS n_events,
+         |  min(ns) AS start_ns, max(ns) AS end_ns,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM sessed GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    import graft.operators.Sessions
+    Sessions.sessionize(Tables.load(spark, dir, "events"),
+        col("user_id"), col("ts"), SessGapNs,
+        aggs = Seq(sum(col("value").cast(DecimalType(18, 6)))
+          .cast("double").as("sum_value")))
+      .select(col("k").as("user_id"), col("sess"), col("n_events"),
+        col("start_ns"), col("end_ns"), col("sum_value"))
+  }
+
+  def all: Seq[GateQuery] =
+    Seq(pricing, distinctStats, frontier, tumblingWindow, sessionWindows)
 }

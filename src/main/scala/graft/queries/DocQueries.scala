@@ -861,6 +861,90 @@ object DocQueries {
         "precision_pct")
   }
 
+  // ---- q182: winnowing fingerprint overlap ----------------------------
+
+  private val WinK = 3       // n-gram width
+  private val WinW = 4       // winnowing window (density 2/(w+1))
+  private val WinCap = 8     // fingerprint df cap — the LSH bucket-cap rule
+  private val WinShared = 5  // report pairs sharing >= this many fps
+
+  /**
+   * q182 — winnowing fingerprint overlap
+   * ([[graft.functions.TextRuns.winnowHashes]], Schleimer et al. 2003 —
+   * the MOSS detector): each doc keeps the min hash of every w-window of
+   * its positional 3-gram hashes, so any shared run of ≥ n+w−1 tokens
+   * provably shares a fingerprint (the LOCAL guarantee MinHash sampling
+   * lacks — q65 samples globally, this pins matches positionally).
+   * Docs sharing ≥ 5 fingerprints (df-capped at 8, the q65 degenerate-
+   * bucket rule, so stop-gram buckets never explode) are reported with
+   * their overlap percentage — the plagiarism/near-dup report shape.
+   * Plan: fingerprints are one in-row codegen'd pass; the pair join is
+   * bucketed by fingerprint with bounded buckets; pct ranks the pair
+   * table, never the corpus.
+   */
+  val winnowOverlap = GateQuery(
+    "q182_winnow_overlap",
+    Some {
+      val pl = graft.core.Hashing.Sql.portableLong _
+      corpusCte +
+        s""", t AS (
+           |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk
+           |  FROM corpus
+           |), hh AS (
+           |  SELECT doc_id, CASE WHEN len(tk) >= $WinK
+           |    THEN [${pl("array_to_string(tk[i + 1 : i + " + WinK + "], ' ')")}
+           |          FOR i IN range(len(tk) - ${WinK - 1})]
+           |    ELSE [${pl("text")}] END AS hs
+           |  FROM t
+           |), fp AS (
+           |  SELECT doc_id, list_sort(list_distinct(
+           |    [list_min(hs[j + 1 : j + $WinW])
+           |     FOR j IN range(greatest(len(hs) - ${WinW - 1}, 1))])) AS fps
+           |  FROM hh
+           |), ex AS (
+           |  SELECT doc_id, unnest(fps) AS f FROM fp
+           |), nf AS (
+           |  SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp FROM fp
+           |), rare AS (
+           |  SELECT f FROM ex GROUP BY 1 HAVING count(*) <= $WinCap
+           |), pairs AS (
+           |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+           |  FROM ex a JOIN rare USING (f) JOIN ex b USING (f)
+           |  WHERE a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING count(*) >= $WinShared
+           |)
+           |SELECT a, b, CAST(shared AS BIGINT) AS shared,
+           |  CAST(100 * shared // least(na.n_fp, nb.n_fp) AS BIGINT) AS pct
+           |FROM pairs JOIN nf na ON na.doc_id = a
+           |JOIN nf nb ON nb.doc_id = b""".stripMargin
+    }) { (spark, dir) =>
+    import graft.functions.TextRuns
+    import graft.operators.VectorOps
+    val c = corpus(spark, dir)
+    val fp = c.select(col("doc_id"),
+        TextRuns.winnowHashes(col("text"), WinK, WinW).as("fps"))
+      .persist()
+    val ex = fp.select(col("doc_id"), explode(col("fps")).as("f"))
+    val nf = fp.select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"))
+    val rare = ex.groupBy("f").agg(count(lit(1)).as("dfq"))
+      .filter(col("dfq") <= WinCap).select("f")
+    val exr = ex.join(rare, Seq("f"))
+    val out = exr.select(col("f"), col("doc_id").as("a"))
+      .join(exr.select(col("f"), col("doc_id").as("b")), Seq("f"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinShared)
+      .join(nf.select(col("doc_id").as("a"), col("n_fp").as("na")), Seq("a"))
+      .join(nf.select(col("doc_id").as("b"), col("n_fp").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), col("shared"),
+        VectorOps.floorDiv(lit(100L) * col("shared"),
+          least(col("na"), col("nb"))).as("pct"))
+      .persist()
+    out.count()
+    fp.unpersist()
+    out
+  }
+
   // ---- q179: c-TF-IDF cluster keywords --------------------------------
 
   private val CtfTopK = 5
@@ -927,5 +1011,5 @@ object DocQueries {
     Seq(textStats, qualityHist, langIdQ, fingerprints, repetition, exactDedup,
       minhashLsh, simhashQ, dupClusters, dupLabelsNoPairs, incrementalDedup,
       indexAdmit, incrementalLabels, simhashNearDup, dedupKeep, priorityKeep,
-      hashSplit, dedupRecall, cTfIdfKeywords)
+      hashSplit, dedupRecall, cTfIdfKeywords, winnowOverlap)
 }

@@ -356,7 +356,77 @@ object StatsQueries {
     Sketches.histQuantiles(hist, HistBinW, HistPercents)
   }
 
+  // ---- q181: CMS heavy hitters ----------------------------------------
+
+  private val HhDepth = 4
+  private val HhWidth = 16 // << vocab: forces real collisions → real FPs
+
+  /**
+   * q181 — heavy hitters through the count-min sketch (the CMS+threshold
+   * selection of Cormode & Muthukrishnan 2005, §4): report every token
+   * whose SKETCH estimate reaches T = total // 100. Because est ≥ exact
+   * always (q148's one-sided guarantee), every true ≥ T token is
+   * reported — NO false negative is possible by construction — while
+   * collisions (width 16 ≪ vocab) can and here DO promote sub-threshold
+   * tokens into the report; `is_true_hh` pins exactly which rows are
+   * that one-sided error. Scale shape: the sketch build bounds its
+   * shuffle at depth × width rows/partition; the candidate set is the
+   * DISTINCT-token table (vocab-bounded, one partial-agg pass — at
+   * 100 TB the only corpus-scale work); estimation joins the
+   * BROADCAST sketch.
+   */
+  val cmsHeavyHitters = GateQuery(
+    "q181_cms_heavy_hitters",
+    Some {
+      val toks = SqlToks.format("text")
+      val jb = (h: String) =>
+        s"(((($h) % ${Hashing.MixP}) * (2 * j + 3) + j) % ${Hashing.MixP}) % $HhWidth"
+      s"""WITH tok AS (
+         |  SELECT unnest($toks) AS t FROM documents
+         |), exact AS (
+         |  SELECT t, count(*) AS exact_cnt FROM tok GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(exact_cnt) // 100 AS BIGINT) AS thr FROM exact
+         |), th AS (
+         |  SELECT t, ${Hashing.Sql.portableLong("t")} AS h FROM tok
+         |), js AS (
+         |  SELECT unnest([${(0 until HhDepth).mkString(", ")}]) AS j
+         |), cms AS (
+         |  SELECT j, ${jb("h")} AS bucket, count(*) AS cnt
+         |  FROM th CROSS JOIN js GROUP BY 1, 2
+         |), est AS (
+         |  SELECT t, min(coalesce(cnt, 0)) AS est_cnt
+         |  FROM (SELECT t, j, ${jb(Hashing.Sql.portableLong("t"))} AS bucket
+         |        FROM exact CROSS JOIN js) qb
+         |  LEFT JOIN cms USING (j, bucket) GROUP BY 1
+         |)
+         |SELECT est.t AS token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+         |  CAST(est_cnt AS BIGINT) AS est_cnt,
+         |  CASE WHEN exact_cnt >= thr THEN 1 ELSE 0 END AS is_true_hh
+         |FROM est JOIN exact USING (t) CROSS JOIN tot
+         |WHERE est_cnt >= thr""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val cms = Sketches.cmsBuild(docs, "text", HhDepth, HhWidth)
+    val exact = docs
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .persist()
+    val thr = exact.agg(sum(col("exact_cnt")).as("n")).collect()(0)
+      .getLong(0) / 100L // control-plane scalar, like q162's model stats
+    val out = Sketches.cmsEstimate(cms, exact.select("token"), "token",
+        HhDepth, HhWidth)
+      .join(exact, Seq("token"))
+      .filter(col("est_cnt") >= thr)
+      .select(col("token"), col("exact_cnt"), col("est_cnt"),
+        when(col("exact_cnt") >= thr, 1).otherwise(0).as("is_true_hh"))
+      .persist()
+    out.count()
+    exact.unpersist()
+    out
+  }
+
   def all: Seq[GateQuery] =
     Seq(hllDistinct, bloomMembership, prCurve, temperatureMix, vocabCoverage,
-      histQuantiles)
+      histQuantiles, cmsHeavyHitters)
 }

@@ -119,6 +119,77 @@ class Round10Spec extends SparkSpec {
     assert(out(0) == ((1, 3L)) && out(1) == ((2, 7L)))
   }
 
+  // ---- winnowing -----------------------------------------------------
+
+  test("winnowing selects per-window minima, sorted distinct") {
+    import graft.core.Hashing
+    import graft.functions.TextRuns
+    val text = "a b c d e f"
+    // reference hashes via the oracle-portable column hash
+    val h = Seq("a b", "b c", "c d", "d e", "e f")
+      .toDF("g").select(Hashing.portableLong(col("g")))
+      .collect().map(_.getLong(0))
+    val expect = (0 to 3).map(i => math.min(h(i), h(i + 1))).distinct.sorted
+    val got = Seq(text).toDF("text")
+      .select(TextRuns.winnowHashes(col("text"), 2, 2).as("fp"))
+      .collect().head.getSeq[Long](0)
+    assert(got == expect)
+  }
+
+  test("winnowing guarantee: a shared n+w-1 token run shares a fingerprint") {
+    import graft.functions.TextRuns
+    val rnd = new scala.util.Random(7)
+    def words(k: Int) = Seq.fill(k)("w" + rnd.nextInt(1000)).mkString(" ")
+    val shared = words(6) // n=3, w=4 → any shared run of >= 6 tokens
+    val docs = (1 to 5).map(i => (i.toLong, s"${words(10)} $shared ${words(10)}"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextRuns.winnowHashes(col("text"), 3, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    for (a <- 1 to 5; b <- (a + 1) to 5)
+      assert(docs(a.toLong).intersect(docs(b.toLong)).nonEmpty,
+        s"docs $a/$b share a 6-token run but no fingerprint")
+  }
+
+  test("winnowing short-doc fallback: fewer windows than w still fingerprints") {
+    import graft.functions.TextRuns
+    val got = Seq("a b c", "x").toDF("text")
+      .select(TextRuns.winnowHashes(col("text"), 3, 4).as("fp"))
+      .collect().map(_.getSeq[Long](0))
+    assert(got(0).size == 1) // one 3-gram → one whole-sequence window
+    assert(got(1).size == 1) // sub-n-gram → whole-text fallback hash
+  }
+
+  // ---- session windows -----------------------------------------------
+
+  test("sessionize boundary: exactly-gap joins, gap+1us opens a new session") {
+    import graft.operators.Sessions
+    val us = 1000L // ns per us
+    val gap = 10_000_000L * us // 10 s in ns
+    val events = Seq(
+      (1L, 0L * us), (1L, 10_000_000L * us),  // exactly gap → SAME session
+      (1L, 20_000_001L * us),                 // gap + 1 us → new session
+      (2L, 0L * us)
+    ).toDF("user_id", "ts")
+    val out = Sessions.sessionize(events, col("user_id"), col("ts"), gap)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("sess"),
+        r.getAs[Long]("n_events"))).sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq((1L, 1, 2L), (1L, 2, 1L), (2L, 1, 1L)))
+  }
+
+  // ---- CMS heavy hitters ---------------------------------------------
+
+  test("cms heavy hitters: estimate >= exact makes the report complete") {
+    import graft.operators.Sketches
+    val docs = Seq((1L, ("hot " * 50) + "a b c d e f g h")).toDF("doc_id", "text")
+    val cms = Sketches.cmsBuild(docs, "text", 2, 4) // tiny: forced collisions
+    val cand = Seq("hot", "a", "zz").toDF("token")
+    val est = Sketches.cmsEstimate(cms, cand, "token", 2, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("hot") >= 50L) // one-sided: never under
+    assert(est("a") >= 1L)
+    assert(est("zz") >= 0L)   // unseen may only collide upward
+  }
+
   // ---- handle-key snapshot chain -------------------------------------
 
   test("snapshot chain: same-ts shadowing, delete tombstone, lag state") {
