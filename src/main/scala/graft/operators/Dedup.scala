@@ -574,6 +574,60 @@ object Dedup {
       .drop("_bk", "_keep_id", "_prio")
   }
 
+  /**
+   * EXACT set-similarity self-join by prefix filtering (the
+   * PPJoin/AllPairs family — Bayardo et al. 2007, Xiao et al. 2008):
+   * every pair with shingle-set Jaccard ≥ tNum/tDen is found with NO
+   * approximation. The guarantee: order each doc's shingles by (global
+   * df asc, value asc); if jac(A,B) ≥ t, the two docs MUST share a
+   * shingle among their first |s| − ceil(t·|s|) + 1 (the prefix —
+   * pigeonhole over the consistent global order), so bucketing on prefix
+   * shingles alone is candidate-complete. Candidates then verify with
+   * the exact integer test tDen·|A∩B| ≥ tNum·|A∪B|.
+   *
+   * The exact complement to the approximate tiers: q65 (MinHash LSH)
+   * trades recall for fewer buckets, q182 (winnowing) pins positional
+   * runs — this one misses NOTHING above t, at the cost of bucketing on
+   * rare shingles (prefix size ≈ (1−t)·|s|+1, so high thresholds stay
+   * cheap). Plan: one (id, shingle) shuffle ranks prefixes (df joins the
+   * bounded shingle-vocab table), the candidate join buckets on prefix
+   * shingles only, verification touches candidate pairs' in-row sets.
+   * Returns (a, b, inter, union, jac_ppm).
+   */
+  def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, tNum: Long, tDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tNum > 0 && tNum <= tDen)
+    val sh = docs.select(col(idCol).as("id"),
+      graft.functions.TextRuns.shingleHashes(col(textCol), n).as("sh"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
+    val wSize = Window.partitionBy(col("id"))
+    // prefix length = sz − ceil(t·sz) + 1, all integer
+    val ceilT = VectorOps.floorDiv(
+      lit(tNum) * col("sz") + (tDen - 1L), lit(tDen))
+    val pref = ex.join(dfTab, Seq("s"))
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("sz", count(lit(1)).over(wSize))
+      .filter(col("rnk") <= col("sz") - ceilT + 1L)
+      .select(col("id"), col("s"))
+    val cand = pref.select(col("s"), col("id").as("a"))
+      .join(pref.select(col("s"), col("id").as("b")), Seq("s"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
+    val uni = size(array_union(col("sha"), col("shb"))).cast("long")
+    cand
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("inter", inter).withColumn("uni", uni)
+      .filter(lit(tDen) * col("inter") >= lit(tNum) * col("uni"))
+      .select(col("a"), col("b"), col("inter"), col("uni"),
+        VectorOps.floorDiv(lit(1000000L) * col("inter"), col("uni"))
+          .as("jac_ppm"))
+  }
+
   /** DuckDB SQL twins (keep in lockstep with the Column builders). */
   object Sql {
     def shingles(e: String, n: Int): String = {

@@ -945,6 +945,64 @@ object DocQueries {
     out
   }
 
+  // ---- q184: exact similarity join by prefix filtering ----------------
+
+  private val PfN = 3          // shingle width
+  private val PfTNum = 4L      // threshold t = 4/5
+  private val PfTDen = 5L
+
+  /**
+   * q184 — EXACT set-similarity self-join
+   * ([[Dedup.prefixFilterJoin]], the PPJoin/AllPairs prefix-filtering
+   * family): every doc pair with shingle-Jaccard ≥ 4/5, with NO
+   * approximation — the exact complement to MinHash-LSH (q65, trades
+   * recall) and winnowing (q182, positional). Candidate completeness is
+   * the pigeonhole over the global (df, value) shingle order: similar
+   * pairs MUST collide inside their (1−t)·|s|+1 prefixes; verification
+   * is the integer cross-multiplication 5·|∩| ≥ 4·|∪|. The oracle
+   * replays ranking, prefixes, bucketing and verification; a Round10Spec
+   * property test checks output equality against brute-force all-pairs
+   * on random corpora. Plan: one (id, shingle) shuffle ranks prefixes,
+   * the candidate join buckets on RARE shingles only, verification
+   * touches candidates' in-row sets.
+   */
+  val prefixFilterPairs = GateQuery(
+    "q184_prefix_filter_join",
+    Some {
+      val pl = graft.core.Hashing.Sql.portableLong _
+      val ceilT = s"((${PfTNum} * sz + ${PfTDen - 1}) // ${PfTDen})"
+      corpusCte +
+        s""", shs AS (
+           |  SELECT doc_id AS id, list_sort(list_distinct(
+           |    [${pl("s")} FOR s IN ${Dedup.Sql.shingles("text", PfN)}])) AS sh
+           |  FROM corpus
+           |), ex AS (
+           |  SELECT id, unnest(sh) AS s FROM shs
+           |), dft AS (
+           |  SELECT s, count(*) AS df FROM ex GROUP BY 1
+           |), rnk AS (
+           |  SELECT id, s,
+           |    row_number() OVER (PARTITION BY id ORDER BY df, s) AS rnk,
+           |    count(*) OVER (PARTITION BY id) AS sz
+           |  FROM ex JOIN dft USING (s)
+           |), pref AS (
+           |  SELECT id, s FROM rnk WHERE rnk <= sz - $ceilT + 1
+           |), cand AS (
+           |  SELECT DISTINCT a.id AS a, b.id AS b
+           |  FROM pref a JOIN pref b USING (s) WHERE a.id < b.id
+           |), ver AS (
+           |  SELECT a, b,
+           |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+           |    CAST(len(list_distinct(x.sh || y.sh)) AS BIGINT) AS uni
+           |  FROM cand JOIN shs x ON x.id = a JOIN shs y ON y.id = b
+           |)
+           |SELECT a, b, inter, uni, 1000000 * inter // uni AS jac_ppm
+           |FROM ver WHERE $PfTDen * inter >= $PfTNum * uni""".stripMargin
+    }) { (spark, dir) =>
+    Dedup.prefixFilterJoin(corpus(spark, dir), "doc_id", "text",
+      PfN, PfTNum, PfTDen)
+  }
+
   // ---- q179: c-TF-IDF cluster keywords --------------------------------
 
   private val CtfTopK = 5
@@ -1011,5 +1069,5 @@ object DocQueries {
     Seq(textStats, qualityHist, langIdQ, fingerprints, repetition, exactDedup,
       minhashLsh, simhashQ, dupClusters, dupLabelsNoPairs, incrementalDedup,
       indexAdmit, incrementalLabels, simhashNearDup, dedupKeep, priorityKeep,
-      hashSplit, dedupRecall, cTfIdfKeywords, winnowOverlap)
+      hashSplit, dedupRecall, cTfIdfKeywords, winnowOverlap, prefixFilterPairs)
 }

@@ -190,6 +190,35 @@ class Round10Spec extends SparkSpec {
     assert(est("zz") >= 0L)   // unseen may only collide upward
   }
 
+  // ---- prefix-filter exact similarity join ---------------------------
+
+  test("prefix-filter join equals brute-force all-pairs on random corpora") {
+    import graft.operators.Dedup
+    import graft.functions.TextRuns
+    val rnd = new scala.util.Random(11)
+    // word-soup docs with planted high-overlap pairs at several ratios
+    def words(k: Int) = Seq.fill(k)("t" + rnd.nextInt(40)).mkString(" ")
+    val bases = (0 until 12).map(i => (i.toLong, words(25)))
+    val variants = bases.collect { case (id, t) if id % 3 == 0 =>
+      (id + 100L, t + " " + words(rnd.nextInt(4)))    // near-identical
+    }
+    val docs = (bases ++ variants).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 4L, 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over in-row shingle sets
+    val sets = docs
+      .select(col("doc_id"), TextRuns.shingleHashes(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).intersect(sets(b)).size
+      uni = sets(a).union(sets(b)).size
+      if 5L * inter >= 4L * uni
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "fixture must plant at least one qualifying pair")
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   // ---- handle-key snapshot chain -------------------------------------
 
   test("snapshot chain: same-ts shadowing, delete tombstone, lag state") {

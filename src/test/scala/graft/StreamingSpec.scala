@@ -11,6 +11,9 @@ import graft.streaming._
 final case class MuxDelivery(region: Int, batch: Long, seq: Long, ts: Long,
                              fwd: Boolean)
 
+/** Session-window event (micros since epoch) for the live session test. */
+final case class SessEv(user: Long, tsUs: Long)
+
 /** End-to-end changefeed runtime specs: stream → pipeline → state sink. */
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -140,6 +143,43 @@ class StreamingSpec extends SparkSpec {
     assert(twin == Seq((1L, 2L, 0L, 0L, 0), (2L, 1L, 1L, 104L, 1),
       (3L, 1L, 0L, 104L, 0), (4L, 1L, 0L, 110L, 1)))
     assert(twin.filter(_._5 == 1).map(_._4) == emissions.toSeq)
+  }
+
+  test("session_window runs streaming-native; closed sessions equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessEv]
+    val gapUs = 10_000_000L // 10 s
+    val agg = mem.toDF()
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", "0 seconds")
+      .groupBy(col("user"),
+        session_window(col("ets"), s"$gapUs microseconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tsUs")).as("start_us"), max(col("tsUs")).as("end_us"))
+    val q = agg.writeStream.format("memory").queryName("sess_live")
+      .outputMode("append").start()
+    // main events: user 1 = two sessions (0-5s, then 30s); user 2 = one
+    val main = Seq(
+      SessEv(1L, 0L), SessEv(1L, 5_000_000L), SessEv(1L, 30_000_000L),
+      SessEv(2L, 1_000_000L))
+    mem.addData(main: _*)
+    q.processAllAvailable()
+    // two watermark-advancing flush batches close every main session
+    mem.addData(SessEv(99L, 3_600_000_000L)); q.processAllAvailable()
+    mem.addData(SessEv(99L, 7_200_000_000L)); q.processAllAvailable()
+    q.stop()
+    val live = spark.table("sess_live")
+      .filter(col("user") =!= 99L)
+      .select("user", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the batch twin over the same events (ns grain = us·1000)
+    val twin = graft.operators.Sessions.sessionize(
+        main.toDF(), col("user"), col("tsUs") * 1000L, gapUs * 1000L)
+      .select(col("k"), col("n_events"),
+        (col("start_ns") / 1000L).cast("long"),
+        (col("end_ns") / 1000L).cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(live == twin && live.size == 3)
   }
 
   test("idempotent replay: re-applying a batch converges to same state") {
