@@ -163,6 +163,49 @@ object VectorOps {
   def sqDistQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
 
+  // ---- incremental (mini-batch) k-means state ------------------------
+
+  /**
+   * Per-centroid RUNNING STATE from an assignment — the mergeable form
+   * behind mini-batch/streaming k-means (Sculley 2010, web-scale
+   * k-means, held as batch sums): (centroid_id, sums per dim, count).
+   * Unlike [[centroids]] this keeps the raw sums so states from
+   * successive batches MERGE by addition — the commutative-monoid
+   * property that lets 1000 workers fold their shards independently.
+   */
+  def centroidSums(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("centroid_id"),
+        posexplode(quantize(col(vecCol))).as(Seq("d", "q")))
+      .groupBy("centroid_id", "d")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("d"), col("s")))).as("pairs"),
+        min(col("cnt")).as("cnt"))
+      .select(col("centroid_id"),
+        transform(col("pairs"), p => p.getField("s")).as("sums"), col("cnt"))
+
+  /** Merge two centroid states by adding sums and counts (a centroid
+    * absent from one side passes through). Both inputs are k rows —
+    * control-plane sized at any corpus scale. */
+  def mergeStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .select(col("centroid_id"), posexplode(col("sums")).as(Seq("d", "s")),
+        col("cnt"))
+      .groupBy("centroid_id", "d")
+      // cnt repeats per dim within one side; sum of the per-side minima =
+      // per-(cid, d) total count, identical across d
+      .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
+      .groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("d"), col("s")))).as("pairs"),
+        min(col("cnt")).as("cnt"))
+      .select(col("centroid_id"),
+        transform(col("pairs"), p => p.getField("s")).as("sums"), col("cnt"))
+
+  /** Serving centroids from a state: element-wise floor(sums/cnt). */
+  def stateCentroids(state: DataFrame): DataFrame =
+    state.select(col("centroid_id"),
+      transform(col("sums"), s => floorDiv(s, col("cnt"))).as("centroid"))
+
   /** least() requires >= 2 args; degenerate single-candidate sets (all
     * clusters collapsed to one, single-codeword codebooks) are legal. */
   private def leastOf(ds: Seq[Column]): Column =

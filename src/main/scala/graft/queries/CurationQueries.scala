@@ -1114,9 +1114,82 @@ object CurationQueries {
     out
   }
 
+  // ---- q185: length-bucketed batching (padding efficiency) -----------
+
+  private val PadMaxLen = 128L // truncation cap
+  private val PadBatch = 32L   // docs per batch
+  private val PadShards = 8L   // per-worker batch formation
+
+  /**
+   * q185 — length-bucketed batching (HF `group_by_length` / the
+   * length-sorted batching every trainer's data loader does): documents
+   * form fixed-size batches and pad to the batch max; sorting by length
+   * inside each shard packs like-sized docs together and the gate pins
+   * exactly how much padding that saves vs arrival order. Batches form
+   * PER SHARD (doc_id mod 8 — per-worker batch formation, the 100 TB
+   * shape: each worker sorts and batches ITS partition, no global sort;
+   * q142's shard-partitioned-sort writer plan). Lengths truncate at 128.
+   * Output per mode: batch count, real tokens, padded slots, and the
+   * waste ratio in ppm — all exact integers.
+   */
+  val paddingEfficiency = GateQuery(
+    "q185_padding_efficiency",
+    Some {
+      val tc = TextOps.Sql.tokenCount("text")
+      def modeCte(mode: String, orderKey: String) =
+        s"""${mode}_b AS (
+           |  SELECT shard, least($tc, $PadMaxLen) AS len,
+           |    (row_number() OVER (PARTITION BY shard ORDER BY $orderKey)
+           |      - 1) // $PadBatch AS b
+           |  FROM (SELECT doc_id % $PadShards AS shard, doc_id, text
+           |        FROM documents)
+           |), ${mode}_g AS (
+           |  SELECT shard, b, count(*) AS n, CAST(sum(len) AS BIGINT) AS toks,
+           |    count(*) * max(len) AS padded
+           |  FROM ${mode}_b GROUP BY 1, 2
+           |)""".stripMargin
+      s"""WITH ${modeCte("arr", "doc_id")},
+         |${modeCte("srt", "least($TC, $ML), doc_id"
+          .replace("$TC", tc).replace("$ML", PadMaxLen.toString))}
+         |SELECT mode, count(*) AS n_batches,
+         |  CAST(sum(toks) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(padded) AS BIGINT) AS sum_padded,
+         |  CAST(1000000 * (sum(padded) - sum(toks)) // sum(padded) AS BIGINT)
+         |    AS waste_ppm
+         |FROM (SELECT 'arrival' AS mode, * FROM arr_g
+         |      UNION ALL SELECT 'sorted', * FROM srt_g)
+         |GROUP BY 1""".stripMargin
+    }) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.VectorOps
+    val base = Tables.load(spark, dir, "documents")
+      .select((col("doc_id") % PadShards).as("shard"), col("doc_id"),
+        least(TextOps.tokenCount(col("text")).cast("long"),
+          lit(PadMaxLen)).as("len"))
+    def agg(mode: String, w: org.apache.spark.sql.expressions.WindowSpec) =
+      base
+        .withColumn("b", VectorOps.floorDiv(
+          row_number().over(w).cast("long") - 1L, lit(PadBatch)))
+        .groupBy("shard", "b")
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("toks"),
+          (count(lit(1)) * max(col("len"))).as("padded"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("toks")).as("sum_tokens"),
+          sum(col("padded")).as("sum_padded"))
+        .select(lit(mode).as("mode"), col("n_batches"), col("sum_tokens"),
+          col("sum_padded"),
+          VectorOps.floorDiv(
+            lit(1000000L) * (col("sum_padded") - col("sum_tokens")),
+            col("sum_padded")).as("waste_ppm"))
+    val arrival = agg("arrival",
+      Window.partitionBy(col("shard")).orderBy(col("doc_id")))
+    val sorted = agg("sorted",
+      Window.partitionBy(col("shard")).orderBy(col("len"), col("doc_id")))
+    arrival.unionByName(sorted)
+  }
+
   def all: Seq[GateQuery] = Seq(contamination, stratifiedSample, tokenPacking,
     piiScan, mixturePlan, qualityClassifier, docChunking, corpusReport,
     boilerplate, bpeMerges, nbClassifier, passageDedup, epochShuffle,
     sourceCaps, cdcChunks, pipeline, bpeEncode, dsirSelect, spanExcision,
-    spanKeepFirst)
+    spanKeepFirst, paddingEfficiency)
 }

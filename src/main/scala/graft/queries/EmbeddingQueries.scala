@@ -699,6 +699,7 @@ object EmbeddingQueries {
       val qv = VectorOps.Sql.quantizeInt8("embedding")
       val dq = VectorOps.Sql.dotQ("q.qq", "c.qq")
       val toks = graft.operators.TextOps.Sql.tokens.format("text")
+      val pl = graft.core.Hashing.Sql.portableLong _
       s"""WITH qt AS (SELECT vec_id, $qv AS qq FROM embeddings),
          |dcand AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $dq AS dotq
@@ -709,11 +710,12 @@ object EmbeddingQueries {
          |    PARTITION BY query_id ORDER BY dotq DESC, neighbor_id) AS r
          |  FROM dcand
          |), drk AS (SELECT * FROM dr WHERE r <= $RrfDepth),
-         |dt AS (SELECT doc_id, list_distinct($toks) AS ts FROM documents),
+         |dt AS (SELECT doc_id,
+         |  list_distinct([${pl("t")} FOR t IN $toks]) AS ts FROM documents),
          |lcand AS (
          |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
          |    1000000 * len(list_intersect(q.ts, c.ts))
-         |      // len(list_distinct(q.ts || c.ts)) AS jac
+         |      // (len(q.ts) + len(c.ts) - len(list_intersect(q.ts, c.ts))) AS jac
          |  FROM dt q JOIN dt c ON q.doc_id <> c.doc_id
          |  WHERE q.doc_id % 50 = 0
          |), lr AS (
@@ -738,7 +740,7 @@ object EmbeddingQueries {
          |        PARTITION BY query_id ORDER BY rrf_ppm DESC, neighbor_id)
          |        AS rank FROM fused)
          |WHERE rank <= $RrfTopK""".stripMargin
-    }) { (spark, dir) =>
+    }, heavy = true) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     import graft.operators.{Retrieval, TextOps}
     val e = Tables.load(spark, dir, "embeddings")
@@ -754,8 +756,12 @@ object EmbeddingQueries {
       .withColumn("rank", row_number().over(wd))
       .filter(col("rank") <= RrfDepth)
       .select("query_id", "neighbor_id", "rank")
+    // token sets as 60-bit hashes: the per-pair intersect then runs over
+    // long arrays (one md5 per token per doc, never per pair)
     val dt = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("ts"))
+      .select(col("doc_id"), array_distinct(transform(
+        TextOps.tokens(col("text")),
+        t => graft.core.Hashing.portableLong(t))).as("ts"))
     val ql = dt.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("query_id"), col("ts").as("q_ts"))
     val wl = Window.partitionBy(col("query_id"))
@@ -763,9 +769,11 @@ object EmbeddingQueries {
     val lrk = broadcast(ql)
       .join(dt.select(col("doc_id").as("neighbor_id"), col("ts")),
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("jac", VectorOps.floorDiv(
-        lit(1000000L) * size(array_intersect(col("q_ts"), col("ts"))),
-        size(array_union(col("q_ts"), col("ts"))).cast("long")))
+      // |A∪B| = |A|+|B|−|∩| over the pre-distinct arrays: one
+      // array_intersect per pair instead of intersect + a built union array
+      .withColumn("_in", size(array_intersect(col("q_ts"), col("ts"))).cast("long"))
+      .withColumn("jac", VectorOps.floorDiv(lit(1000000L) * col("_in"),
+        size(col("q_ts")) + size(col("ts")) - col("_in")))
       .withColumn("rank", row_number().over(wl))
       .filter(col("rank") <= RrfDepth)
       .select("query_id", "neighbor_id", "rank")
@@ -848,7 +856,7 @@ object EmbeddingQueries {
          |UNION ALL
          |SELECT query_id, 3 AS pick, doc_id, CAST(m AS BIGINT) AS mmr_q FROM sel3
          |""".stripMargin
-    }) { (spark, dir) =>
+    }, heavy = true) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Retrieval
     val e = Tables.load(spark, dir, "embeddings")
@@ -882,8 +890,124 @@ object EmbeddingQueries {
     out
   }
 
+  // ---- q186: incremental (mini-batch) k-means -------------------------
+
+  /**
+   * q186 — incremental k-means by mergeable batch sums
+   * ([[VectorOps.centroidSums]]/[[VectorOps.mergeStates]]/
+   * [[VectorOps.stateCentroids]], the Sculley 2010 web-scale k-means
+   * update held as exact sums): the model trains on batch 1 (even ids:
+   * seed → assign → state), then batch 2 (odd ids) ASSIGNS TO THE
+   * CURRENT centroids and folds its sums in — no re-read, no re-assign
+   * of batch 1, the streaming/append path IVF index maintenance needs.
+   * Because the state is a commutative monoid (sums + counts), shard
+   * states fold independently at any parallelism. The gate pins per
+   * centroid: batch-1 count, batch-2 count, the UPDATED centroid vector
+   * (exact floor(sums/cnt)) and batch-2 distance mass; the oracle
+   * replays seeds, both assignments and the merge bit-for-bit.
+   */
+  val kmeansIncrement = GateQuery(
+    "q186_kmeans_increment",
+    Some {
+      val scale = VectorOps.QuantScale
+      val dist = (qv: String, c: String) =>
+        s"list_sum([($qv[i] - $c[i]) * ($qv[i] - $c[i]) FOR i IN range(1, len($qv) + 1)])"
+      val fdiv = "CAST((s - ((s % cnt) + cnt) % cnt) / cnt AS BIGINT)"
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    [CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT) FOR x IN embedding] AS qv
+         |  FROM embeddings
+         |), b1 AS (SELECT * FROM q WHERE vec_id % 2 = 0
+         |), b2 AS (SELECT * FROM q WHERE vec_id % 2 = 1
+         |), c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         |    qv AS cent
+         |  FROM b1 ORDER BY vec_id LIMIT 4
+         |), a0 AS (
+         |  SELECT vec_id, qv, cid FROM (
+         |    SELECT b.vec_id, b.qv, c.cid,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${dist("b.qv", "c.cent")}, c.cid) AS rn
+         |    FROM b1 b, c0 c
+         |  ) WHERE rn = 1
+         |), s1 AS (
+         |  SELECT cid, u.d AS d, sum(u.v) AS s, count(*) AS cnt
+         |  FROM (SELECT cid,
+         |          unnest([{'d': i - 1, 'v': qv[i]} FOR i IN range(1, len(qv) + 1)]) AS u
+         |        FROM a0)
+         |  GROUP BY 1, 2
+         |), c1 AS (
+         |  SELECT cid, list($fdiv ORDER BY d) AS cent FROM s1 GROUP BY cid
+         |), a2 AS (
+         |  SELECT vec_id, qv, cid, dist FROM (
+         |    SELECT b.vec_id, b.qv, c.cid, ${dist("b.qv", "c.cent")} AS dist,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${dist("b.qv", "c.cent")}, c.cid) AS rn
+         |    FROM b2 b, c1 c
+         |  ) WHERE rn = 1
+         |), s2 AS (
+         |  SELECT cid, u.d AS d, sum(u.v) AS s, count(*) AS cnt
+         |  FROM (SELECT cid,
+         |          unnest([{'d': i - 1, 'v': qv[i]} FOR i IN range(1, len(qv) + 1)]) AS u
+         |        FROM a2)
+         |  GROUP BY 1, 2
+         |), sm AS (
+         |  SELECT cid, d, sum(s) AS s, sum(cnt) AS cnt
+         |  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+         |  GROUP BY 1, 2
+         |), c2 AS (
+         |  SELECT cid, list($fdiv ORDER BY d) AS cent, min(cnt) AS cnt
+         |  FROM sm GROUP BY cid
+         |), n1 AS (SELECT cid, min(cnt) AS n_old FROM s1 GROUP BY cid
+         |), n2 AS (
+         |  SELECT cid, count(*) AS n_new,
+         |    CAST(sum(dist // $scale) AS BIGINT) AS sum_dist_u
+         |  FROM a2 GROUP BY cid
+         |)
+         |SELECT c2.cid AS centroid_id,
+         |  CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+         |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+         |  array_to_string(c2.cent, ',') AS cent_str,
+         |  CAST(coalesce(sum_dist_u, 0) AS BIGINT) AS sum_dist_u
+         |FROM c2 LEFT JOIN n1 USING (cid) LEFT JOIN n2 USING (cid)""".stripMargin
+    }, heavy = true) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, dir, "embeddings")
+    val b1 = e.filter(col("vec_id") % 2 === 0)
+    val b2 = e.filter(col("vec_id") % 2 === 1)
+    val c0 = b1.orderBy("vec_id").limit(4)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+      .select(col("cid").as("centroid_id"),
+        VectorOps.quantize(col("embedding")).as("centroid"))
+    val a0 = VectorOps.assignCentroids(b1, c0)
+    val st1 = VectorOps.centroidSums(a0, "centroid_id", "embedding").persist()
+    val a2 = VectorOps.assignCentroids(b2, VectorOps.stateCentroids(st1))
+      .persist()
+    val st2 = VectorOps.mergeStates(st1,
+      VectorOps.centroidSums(a2, "centroid_id", "embedding"))
+    val n2 = a2.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_new"),
+        sum(VectorOps.floorDiv(col("dist"), lit(VectorOps.QuantScale)))
+          .as("sum_dist_u"))
+    val out = VectorOps.stateCentroids(st2)
+      .join(st1.select(col("centroid_id"), col("cnt").as("n_old")),
+        Seq("centroid_id"), "left")
+      .join(n2, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        concat_ws(",", col("centroid")).as("cent_str"),
+        coalesce(col("sum_dist_u"), lit(0L)).as("sum_dist_u"))
+      .persist()
+    out.count()
+    st1.unpersist(); a2.unpersist()
+    out
+  }
+
   def all: Seq[GateQuery] =
     Seq(knnBrute, lshAnn, lshBuckets, centroidAssign, cosineNearDup,
       embeddingDupClusters, ivfSearch, int8Knn, kmeansIter, semanticDedup,
-      pqAdc, annRecall, hardNegatives, ivfPq, rrfFusion, mmrSelect)
+      pqAdc, annRecall, hardNegatives, ivfPq, rrfFusion, mmrSelect,
+      kmeansIncrement)
 }

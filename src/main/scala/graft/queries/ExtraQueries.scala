@@ -934,7 +934,7 @@ object ExtraQueries {
          |    AS n_old_null,
          |  CAST(coalesce(sum(CAST(old AS DECIMAL(18,6))), 0) AS DOUBLE)
          |    AS sum_old
-         |FROM re GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+         |FROM re GROUP BY 1, 2""".stripMargin), heavy = true) { (spark, dir) =>
     val env = CdcStream.derive(spark, dir)
     val (key, value) = Codecs.openProtocolWithDowngrade(env, 90)
     val msgs = env.select(key.as("key_msg"), value.as("val_msg"))

@@ -219,6 +219,39 @@ class Round10Spec extends SparkSpec {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  // ---- padding efficiency --------------------------------------------
+
+  test("length-bucketed batching never pads more than arrival order") {
+    val out = SparkEntry.queries("q185_padding_efficiency")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("waste_ppm")).toMap
+    assert(out("sorted") <= out("arrival"))
+    assert(out("arrival") > 0L) // the gate corpus has real length variance
+  }
+
+  // ---- incremental k-means state -------------------------------------
+
+  test("centroid states merge as a monoid: shards fold to the full-batch state") {
+    import graft.operators.VectorOps
+    val mk = (id: Long, v: Seq[Double], c: Long) => (id, v.toArray, c)
+    val a = Seq(mk(1, Seq(1.0, 2.0), 0L), mk(2, Seq(3.0, 4.0), 1L))
+      .toDF("vec_id", "embedding", "centroid_id")
+    val b = Seq(mk(3, Seq(5.0, 6.0), 0L)).toDF("vec_id", "embedding", "centroid_id")
+    def stateOf(df: org.apache.spark.sql.DataFrame) =
+      VectorOps.centroidSums(df, "centroid_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getAs[Long]("cnt"))).toSet
+    val merged = rows(VectorOps.mergeStates(stateOf(a), stateOf(b)))
+    val full = rows(stateOf(a.unionByName(b)))
+    assert(merged == full)
+    // serving centroids: exact floor(sums/cnt)
+    val cents = VectorOps.stateCentroids(
+        VectorOps.mergeStates(stateOf(a), stateOf(b)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val q = VectorOps.QuantScale
+    assert(cents(0L) == Seq((1 * q + 5 * q) / 2, (2 * q + 6 * q) / 2))
+    assert(cents(1L) == Seq(3 * q, 4 * q))
+  }
+
   // ---- handle-key snapshot chain -------------------------------------
 
   test("snapshot chain: same-ts shadowing, delete tombstone, lag state") {
