@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (new FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // custom logical operator: AS-OF JOIN (graft.plans.AsOfJoin) rewrites
+    // to the single-shuffle union-window plan during resolution
+    ext.injectResolutionRule(_ => graft.plans.RewriteAsOfJoin)
     ext.injectFunction(fn("avro_encode_envelope",
       args => AvroEncodeEnvelope(args.head, schemaId(args, 1))))
     ext.injectFunction(fn("avro_decode_envelope",

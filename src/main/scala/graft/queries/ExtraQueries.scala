@@ -968,11 +968,56 @@ object ExtraQueries {
           .cast("double").as("sum_old"))
   }
 
+  /**
+   * q187 — the NATIVE as-of join ([[graft.plans.AsOfJoin]], the custom
+   * Catalyst logical operator + rewrite rule installed by
+   * `GraftExtensions`): events bind to the schema version in force at
+   * their commit ts through the plan node itself, and the ORACLE is
+   * DuckDB's own `ASOF LEFT JOIN` — two independent native as-of
+   * implementations must agree row-for-row. Version 1 starts ABOVE the
+   * earliest commit ts, so the left-outer band (no version in force,
+   * version −1) is non-empty in data; the inclusive bound and
+   * latest-wins are Round10Spec-pinned. Plan: the rewrite is the
+   * union-window form — ONE shuffle by key, NO join operator anywhere
+   * (PlanShapeSpec), vs the |events|·|versions| fan-out a range join
+   * would plan.
+   */
+  val asofNative = GateQuery(
+    "q187_asof_native",
+    Some(cte +
+      s""", vers AS (
+         |  SELECT schema_name || '.' || table_name AS vkey, v, from_ts
+         |  FROM (SELECT DISTINCT schema_name, table_name FROM cdc),
+         |       (VALUES (1, 1000500), (2, 1002000), (3, 1005000)) AS t(v, from_ts)
+         |)
+         |SELECT e.schema_name, e.table_name,
+         |  CAST(coalesce(v.v, -1) AS INT) AS version,
+         |  count(*) AS cnt, CAST(sum(e.pk) AS BIGINT) AS sum_pk
+         |FROM (SELECT *, schema_name || '.' || table_name AS ekey FROM cdc) e
+         |ASOF LEFT JOIN vers v
+         |  ON e.ekey = v.vkey AND e.commit_ts >= v.from_ts
+         |GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    val env = CdcStream.derive(spark, dir)
+      .withColumn("ekey", concat_ws(".", col("schema_name"), col("table_name")))
+    val vers = env.select("schema_name", "table_name").distinct()
+      .crossJoin(Seq((1, 1000500L), (2, 1002000L), (3, 1005000L))
+        .toDF("v", "from_ts"))
+      .select(concat_ws(".", col("schema_name"), col("table_name")).as("vkey"),
+        col("v"), col("from_ts"))
+    graft.plans.AsOf.join(spark, env, vers, "ekey", "vkey",
+        "commit_ts", "from_ts")
+      .groupBy(col("schema_name"), col("table_name"),
+        coalesce(col("v"), lit(-1)).as("version"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pk")).as("sum_pk"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, imageDecode, imageResize,
     audioDecode, videoFrames,
     chunkedLoad, claimCheck, handleKeyOnly,
     claimCheckWrite, handleKeyReassemble,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
-    jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin, dumpLoad)
+    jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin, dumpLoad,
+    asofNative)
 }

@@ -151,6 +151,18 @@ class PlanShapeSpec extends SparkSpec {
     ctf.unpersist()
   }
 
+  test("q187: the native as-of rewrite plans NO join — one union-window pass") {
+    val p = planOf("q187_asof_native")
+    // the whole point of the custom operator: a range join would fan out
+    // |events| x |versions-per-key|; the rewrite is union + window + agg.
+    // The ONLY join in the gate plan is the 3-row version-table build
+    // (distinct tables x version constants) feeding the as-of's right side
+    assert(count(p, "Join") == 1, s"plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(p.contains("Window"), s"plan:\n$p")
+  }
+
   test("bloom probe joins the bit table by broadcast, never sort-merge") {
     import org.apache.spark.sql.functions._
     import graft.core.Hashing

@@ -252,6 +252,29 @@ class Round10Spec extends SparkSpec {
     assert(cents(1L) == Seq(3 * q, 4 * q))
   }
 
+  // ---- native AS-OF JOIN (custom logical plan) -----------------------
+
+  test("asof join: inclusive boundary, latest-wins, no-prior-version null") {
+    import graft.plans.AsOf
+    val events = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 9L, "c"),
+        (2L, 50L, "d"), (3L, 7L, "e"))
+      .toDF("k", "ts", "tag")
+    val versions = Seq((1L, 6L, "v1"), (1L, 10L, "v2"), (2L, 60L, "v9"))
+      .toDF("vk", "vts", "ver")
+    val out = AsOf.join(spark, events, versions, "k", "vk", "ts", "vts")
+      .collect().map(r => r.getString(2) -> Option(r.get(5))).toMap
+    assert(out("a") == None)        // ts 5 < first version (6)
+    assert(out("c") == Some("v1"))  // 9: v1 in force
+    assert(out("b") == Some("v2"))  // ts == version ts binds INCLUSIVE
+    assert(out("d") == None)        // key 2's only version is later (60)
+    assert(out("e") == None)        // key 3 has no versions at all
+    // the plan is the union-window rewrite: no join operator anywhere
+    val p = AsOf.join(spark, events, versions, "k", "vk", "ts", "vts")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"plan:\n$p")
+    assert(p.contains("Window"), s"plan:\n$p")
+  }
+
   // ---- handle-key snapshot chain -------------------------------------
 
   test("snapshot chain: same-ts shadowing, delete tombstone, lag state") {
