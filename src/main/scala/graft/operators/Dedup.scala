@@ -628,6 +628,54 @@ object Dedup {
           .as("jac_ppm"))
   }
 
+  /**
+   * DIRECTED set-containment self-join by asymmetric prefix filtering
+   * (the JOSIE/quote-detection shape): every ordered pair (a, b), a ≠ b,
+   * with C(a→b) = |Sa∩Sb| / |Sa| ≥ tNum/tDen — "a's shingles are
+   * t-contained in b" — found exactly. The asymmetric prefix principle:
+   * order a's shingles by global (df, value); if C(a→b) ≥ t then a's
+   * first |Sa| − ⌈t·|Sa|⌉ + 1 shingles must hit Sb (pigeonhole — more
+   * than (1−t)·|Sa| misses are impossible), so candidates join the
+   * QUERY-side prefix against the corpus-wide posting list, and only
+   * the query side shrinks with t. Verification is the integer test
+   * tDen·|∩| ≥ tNum·|Sa|. Unlike [[prefixFilterJoin]] (symmetric
+   * Jaccard) this finds strict-superset relations Jaccard misses: a
+   * short doc fully quoted inside a long one has C = 1 but tiny
+   * Jaccard. Returns (a, b, inter, size_a, cont_ppm).
+   */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, tNum: Long, tDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tNum > 0 && tNum <= tDen)
+    val sh = docs.select(col(idCol).as("id"),
+      graft.functions.TextRuns.shingleHashes(col(textCol), n).as("sh"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
+    val wSize = Window.partitionBy(col("id"))
+    val ceilT = VectorOps.floorDiv(
+      lit(tNum) * col("sz") + (tDen - 1L), lit(tDen))
+    val pref = ex.join(dfTab, Seq("s"))
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("sz", count(lit(1)).over(wSize))
+      .filter(col("rnk") <= col("sz") - ceilT + 1L)
+      .select(col("id"), col("s"))
+    val cand = pref.select(col("s"), col("id").as("a"))
+      .join(ex.select(col("s"), col("id").as("b")), Seq("s"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
+    cand
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("inter", inter)
+      .withColumn("size_a", size(col("sha")).cast("long"))
+      .filter(lit(tDen) * col("inter") >= lit(tNum) * col("size_a"))
+      .select(col("a"), col("b"), col("inter"), col("size_a"),
+        VectorOps.floorDiv(lit(1000000L) * col("inter"), col("size_a"))
+          .as("cont_ppm"))
+  }
+
   /** DuckDB SQL twins (keep in lockstep with the Column builders). */
   object Sql {
     def shingles(e: String, n: Int): String = {

@@ -18,7 +18,10 @@ import org.apache.spark.sql.graftbridge.PlanBridge
  * timestamp ≤ the left timestamp (inclusive); left rows with no prior
  * right row keep NULL right columns (left-outer as-of). Callers must
  * keep right's (key, ts) unique — duplicate version rows at one ts have
- * no defined winner.
+ * no defined winner — and must not as-of-join a plan to ITSELF without
+ * re-aliasing one side first (the rewrite keeps attribute ids, so a
+ * self-join would carry duplicate ids into the union, like any raw
+ * Catalyst binary node built from one analyzed subtree).
  *
  * WHY a plan rewrite instead of a join: the naive formulation is a
  * range join (`l.key = r.key AND r.ts <= l.ts` + argmax), which Spark

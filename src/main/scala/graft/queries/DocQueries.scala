@@ -1003,6 +1003,61 @@ object DocQueries {
       PfN, PfTNum, PfTDen)
   }
 
+  // ---- q188: directed containment join --------------------------------
+
+  private val CjN = 3
+  private val CjTNum = 49L // t = 49/50 = 0.98: base→near qualifies (1.0),
+  private val CjTDen = 50L // near→base (~0.95) does NOT — direction matters
+
+  /**
+   * q188 — DIRECTED containment join ([[Dedup.containmentJoin]], the
+   * JOSIE/quote-detection shape): ordered pairs with
+   * |Sa∩Sb| / |Sa| ≥ 49/50. On the planted corpus the relation is
+   * visibly ASYMMETRIC: every base doc is fully contained in its
+   * near-dup (C = 1, the appended marker only grows Sb) while the
+   * reverse direction sits at ~0.95 and fails the bar — the
+   * strict-superset case symmetric Jaccard (q184) cannot separate.
+   * Candidates join only the query-side prefix (the |Sa|−⌈t·|Sa|⌉+1
+   * globally-rarest shingles — 3 per doc at this t) against the posting
+   * list; the oracle replays ordering, prefixes and verification.
+   */
+  val containmentPairs = GateQuery(
+    "q188_containment_join",
+    Some {
+      val pl = graft.core.Hashing.Sql.portableLong _
+      val ceilT = s"((${CjTNum} * sz + ${CjTDen - 1}) // ${CjTDen})"
+      corpusCte +
+        s""", shs AS (
+           |  SELECT doc_id AS id, list_sort(list_distinct(
+           |    [${pl("s")} FOR s IN ${Dedup.Sql.shingles("text", CjN)}])) AS sh
+           |  FROM corpus
+           |), ex AS (
+           |  SELECT id, unnest(sh) AS s FROM shs
+           |), dft AS (
+           |  SELECT s, count(*) AS df FROM ex GROUP BY 1
+           |), rnk AS (
+           |  SELECT id, s,
+           |    row_number() OVER (PARTITION BY id ORDER BY df, s) AS rnk,
+           |    count(*) OVER (PARTITION BY id) AS sz
+           |  FROM ex JOIN dft USING (s)
+           |), pref AS (
+           |  SELECT id, s FROM rnk WHERE rnk <= sz - $ceilT + 1
+           |), cand AS (
+           |  SELECT DISTINCT p.id AS a, e.id AS b
+           |  FROM pref p JOIN ex e USING (s) WHERE p.id <> e.id
+           |), ver AS (
+           |  SELECT a, b,
+           |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+           |    CAST(len(x.sh) AS BIGINT) AS size_a
+           |  FROM cand JOIN shs x ON x.id = a JOIN shs y ON y.id = b
+           |)
+           |SELECT a, b, inter, size_a, 1000000 * inter // size_a AS cont_ppm
+           |FROM ver WHERE $CjTDen * inter >= $CjTNum * size_a""".stripMargin
+    }) { (spark, dir) =>
+    Dedup.containmentJoin(corpus(spark, dir), "doc_id", "text",
+      CjN, CjTNum, CjTDen)
+  }
+
   // ---- q179: c-TF-IDF cluster keywords --------------------------------
 
   private val CtfTopK = 5
@@ -1069,5 +1124,6 @@ object DocQueries {
     Seq(textStats, qualityHist, langIdQ, fingerprints, repetition, exactDedup,
       minhashLsh, simhashQ, dupClusters, dupLabelsNoPairs, incrementalDedup,
       indexAdmit, incrementalLabels, simhashNearDup, dedupKeep, priorityKeep,
-      hashSplit, dedupRecall, cTfIdfKeywords, winnowOverlap, prefixFilterPairs)
+      hashSplit, dedupRecall, cTfIdfKeywords, winnowOverlap, prefixFilterPairs,
+      containmentPairs)
 }

@@ -938,16 +938,18 @@ object ExtraQueries {
     val env = CdcStream.derive(spark, dir)
     val (key, value) = Codecs.openProtocolWithDowngrade(env, 90)
     val msgs = env.select(key.as("key_msg"), value.as("val_msg"))
-    val k = Codecs.openDecodeKey(col("key_msg"))
-    val v = Codecs.openDecodeValue(col("val_msg"))
-    val dec = msgs.select(
-      k.getField("ts").as("ts"),
-      coalesce(k.getField("ohk"), lit(false)).cast("int").as("ohk"),
-      when(v.getField("d").isNotNull, "d").otherwise("u").as("kind"),
-      coalesce(v.getField("u").getField("pk").getField("v"),
-        v.getField("d").getField("pk").getField("v")).as("pk"),
-      coalesce(v.getField("u").getField("val").getField("v"),
-        v.getField("d").getField("val").getField("v")).as("inline_val"))
+    // parse each JSON message ONCE into a struct column, then project
+    // fields — referencing from_json(...) per output column would
+    // re-parse the message for every field
+    val parsed = msgs.select(
+      Codecs.openDecodeKey(col("key_msg")).as("k"),
+      Codecs.openDecodeValue(col("val_msg")).as("v"))
+    val dec = parsed.select(
+      col("k.ts").as("ts"),
+      coalesce(col("k.ohk"), lit(false)).cast("int").as("ohk"),
+      when(col("v.d").isNotNull, "d").otherwise("u").as("kind"),
+      coalesce(col("v.u.pk.v"), col("v.d.pk.v")).as("pk"),
+      coalesce(col("v.u.val.v"), col("v.d.val.v")).as("inline_val"))
     val chain = Codecs.snapshotChain(env)
     val zeroDec = lit(0).cast("decimal(18,6)")
     dec.join(chain, Seq("pk", "ts"))

@@ -163,6 +163,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), s"plan:\n$p")
   }
 
+  test("bucketed tables co-locate: the fact-fact join plans ZERO shuffles") {
+    // the 100 TB fact-fact join story: pre-bucket both tables on the join
+    // key and the join needs NO exchange at all — each task zips bucket i
+    // with bucket i. (Broadcast disabled so the small fixture doesn't take
+    // the broadcast path the real fact-fact case can't use.)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS bkt LOCATION '$dir'")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      (1 to 1000).map(i => (i.toLong, i * 2L)).toDF("k", "va")
+        .write.bucketBy(8, "k").sortBy("k").saveAsTable("bkt.ta")
+      (1 to 1000).map(i => (i.toLong, i * 3L)).toDF("k", "vb")
+        .write.bucketBy(8, "k").sortBy("k").saveAsTable("bkt.tb")
+      val p = spark.table("bkt.ta").join(spark.table("bkt.tb"), "k")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(shuffles(p) == 0, s"got ${shuffles(p)} shuffles; plan:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"plan:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+      graft.queries.Gate.deleteTree(new java.io.File(dir))
+    }
+  }
+
   test("bloom probe joins the bit table by broadcast, never sort-merge") {
     import org.apache.spark.sql.functions._
     import graft.core.Hashing

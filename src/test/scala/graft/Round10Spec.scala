@@ -275,6 +275,32 @@ class Round10Spec extends SparkSpec {
     assert(p.contains("Window"), s"plan:\n$p")
   }
 
+  // ---- containment join ----------------------------------------------
+
+  test("containment join is directed: quoted-in ≠ quotes; equals brute force") {
+    import graft.operators.Dedup
+    import graft.functions.TextRuns
+    val rnd = new scala.util.Random(13)
+    def words(k: Int) = Seq.fill(k)("c" + rnd.nextInt(50)).mkString(" ")
+    val base = words(20)
+    val docs = Seq(
+      (1L, base),                       // fully quoted inside 2
+      (2L, base + " " + words(10)),     // superset of 1
+      (3L, words(20))).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(docs, "doc_id", "text", 3, 9L, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = docs
+      .select(col("doc_id"), TextRuns.shingleHashes(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      if 10L * sets(a).intersect(sets(b)).size >= 9L * sets(a).size
+    } yield (a, b)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(got.contains((1L, 2L)))  // the quoted doc IS contained
+    assert(!got.contains((2L, 1L))) // the superset is NOT (direction!)
+  }
+
   // ---- handle-key snapshot chain -------------------------------------
 
   test("snapshot chain: same-ts shadowing, delete tombstone, lag state") {
