@@ -139,6 +139,39 @@ object CoreQueries {
         col("start_ns"), col("end_ns"), col("sum_value"))
   }
 
+  /**
+   * q190 — SLIDING windows (length 2 d, slide 1 d), grouped by Spark's
+   * NATIVE `window()` in batch mode — completes the W-family window
+   * triple (tumbling q95, session q183, sliding here). Every event
+   * lands in exactly two epoch-aligned windows; the oracle expands each
+   * event into both window starts by integer arithmetic and must match
+   * count-for-count and decimal-sum-for-sum.
+   */
+  val slidingWindows = GateQuery(
+    "q190_sliding_window",
+    Some(
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, event_type AS etype, value FROM events
+        |), ex AS (
+        |  SELECT unnest([(us // 86400000000) * 86400000000 - 86400000000,
+        |                 (us // 86400000000) * 86400000000]) AS win_us,
+        |    etype, value
+        |  FROM e
+        |)
+        |SELECT win_us, etype, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM ex GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .groupBy(
+        window(timestamp_micros(expr("ts DIV 1000")), "2 days", "1 day").as("w"),
+        col("event_type").as("etype"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("etype"),
+        col("cnt"), col("sum_value"))
+  }
+
   def all: Seq[GateQuery] =
-    Seq(pricing, distinctStats, frontier, tumblingWindow, sessionWindows)
+    Seq(pricing, distinctStats, frontier, tumblingWindow, sessionWindows,
+      slidingWindows)
 }

@@ -1014,6 +1014,57 @@ object ExtraQueries {
       .agg(count(lit(1)).as("cnt"), sum(col("pk")).as("sum_pk"))
   }
 
+  /**
+   * q189 — SCD Type-2 history ([[graft.operators.Scd.type2]]): the
+   * warehouse-side dimension-history materialization of the change
+   * stream — each I/U image opens a version valid from its commit ts,
+   * the next event for the key closes it (update supersedes, delete
+   * terminates), the last stays open unless deleted. One window pass,
+   * no join, no state loop. The gate pins per table: version counts,
+   * open-version counts, exact from/to ts sums (open = −1), the open
+   * keys' checksum and their decimal-exact value sum — so every
+   * version boundary and every chain termination is bit-checked.
+   */
+  val scdHistory = GateQuery(
+    "q189_scd2_history",
+    Some(cte +
+      s""", led AS (
+         |  SELECT schema_name, table_name, pk, op, commit_ts, seq, val_after,
+         |    lead(commit_ts) OVER (PARTITION BY schema_name, table_name, pk
+         |      ORDER BY commit_ts, seq) AS next_ts
+         |  FROM cdc
+         |), ver AS (
+         |  SELECT schema_name, table_name, pk, commit_ts AS valid_from,
+         |    next_ts AS valid_to, next_ts IS NULL AS is_current, val_after
+         |  FROM led WHERE op <> 'D'
+         |)
+         |SELECT schema_name, table_name, count(*) AS n_versions,
+         |  CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_current,
+         |  CAST(sum(valid_from) AS BIGINT) AS sum_from,
+         |  CAST(sum(coalesce(valid_to, -1)) AS BIGINT) AS sum_to,
+         |  CAST(sum(CASE WHEN is_current THEN pk ELSE 0 END) AS BIGINT)
+         |    AS current_pk_check,
+         |  CAST(coalesce(sum(CASE WHEN is_current
+         |    THEN CAST(val_after AS DECIMAL(18,6)) END), 0) AS DOUBLE)
+         |    AS sum_current_val
+         |FROM ver GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    import graft.operators.Scd
+    val hist = Scd.type2(CdcStream.derive(spark, dir),
+      Seq("schema_name", "table_name", "pk"), "commit_ts", "seq", "op",
+      Seq("val_after"))
+    hist.groupBy("schema_name", "table_name")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+        sum(col("valid_from")).as("sum_from"),
+        sum(coalesce(col("valid_to"), lit(-1L))).as("sum_to"),
+        sum(when(col("is_current"), col("pk")).otherwise(0L))
+          .as("current_pk_check"),
+        coalesce(sum(when(col("is_current"),
+            col("val_after").cast("decimal(18,6)"))),
+          lit(0).cast("decimal(18,6)")).cast("double").as("sum_current_val"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, imageDecode, imageResize,
     audioDecode, videoFrames,
@@ -1021,5 +1072,5 @@ object ExtraQueries {
     claimCheckWrite, handleKeyReassemble,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
     jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin, dumpLoad,
-    asofNative)
+    asofNative, scdHistory)
 }

@@ -301,6 +301,30 @@ class Round10Spec extends SparkSpec {
     assert(!got.contains((2L, 1L))) // the superset is NOT (direction!)
   }
 
+  // ---- SCD Type-2 history --------------------------------------------
+
+  test("scd2: update supersedes, delete terminates, re-insert reopens") {
+    import graft.operators.Scd
+    val env = Seq(
+      (1L, "I", 10L, 1L, Option(1.0)),
+      (2L, "U", 20L, 1L, Option(2.0)),  // closes v1 at 20, opens v2
+      (3L, "D", 30L, 1L, None),         // terminates v2 at 30
+      (4L, "I", 40L, 1L, Option(4.0)),  // REOPENS after the delete
+      (5L, "I", 15L, 2L, Option(9.0))   // never touched again: open
+    ).toDF("seq", "op", "commit_ts", "pk", "val_after")
+    val hist = Scd.type2(env, Seq("pk"), "commit_ts", "seq", "op",
+        Seq("val_after"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(hist.toSeq == Seq(
+      (1L, 10L, Some(20L), false),  // v1 closed by the update
+      (1L, 20L, Some(30L), false),  // v2 terminated by the delete
+      (1L, 40L, None, true),        // the re-insert is current
+      (2L, 15L, None, true)))
+    // the delete-to-reinsert gap (30..40) is covered by NO version
+  }
+
   // ---- handle-key snapshot chain -------------------------------------
 
   test("snapshot chain: same-ts shadowing, delete tombstone, lag state") {
