@@ -40,4 +40,38 @@ object Scd {
           col("_next_ts").isNull.as("is_current")) ++
         valCols.map(col): _*)
   }
+
+  /**
+   * INCREMENTAL maintenance — the append path at scale: closed versions
+   * are immutable and never re-read; only the OPEN rows (≤ one per live
+   * key) replay as pseudo-insert events alongside the new batch, and
+   * the same lead algebra re-derives their close ts. Keys untouched by
+   * the batch keep their open row unchanged; `type2Increment(hist, b)`
+   * equals `type2(full ∪ b)` row-for-row (Round10Spec pins it).
+   *
+   * At 100 TB: `hist` is the bucketed state table; the open slice is
+   * O(live keys) and the batch is small — the union-window runs over
+   * open ∪ batch only, one shuffle by key.
+   *
+   * PRECONDITION: batches arrive in commit order per key (every batch
+   * event's ts ≥ its key's open valid_from). An out-of-order event that
+   * belongs BETWEEN two already-closed versions would require rewriting
+   * closed history — that is a redo/backfill (W4), not an append.
+   */
+  def type2Increment(hist: DataFrame, batch: DataFrame,
+                     keyCols: Seq[String], tsCol: String, seqCol: String,
+                     opCol: String, valCols: Seq[String]): DataFrame = {
+    val closed = hist.filter(!col("is_current"))
+    // open versions as pseudo events: op I at valid_from, seq −1 so a
+    // same-ts batch event sorts after (supersedes) it
+    val pseudo = hist.filter(col("is_current"))
+      .select(keyCols.map(col) ++
+        Seq(col("valid_from").as(tsCol), lit(-1L).as(seqCol),
+          lit("I").as(opCol)) ++ valCols.map(col): _*)
+    closed.unionByName(
+      type2(pseudo.unionByName(
+          batch.select(keyCols.map(col) ++ Seq(col(tsCol), col(seqCol),
+            col(opCol)) ++ valCols.map(col): _*)),
+        keyCols, tsCol, seqCol, opCol, valCols))
+  }
 }

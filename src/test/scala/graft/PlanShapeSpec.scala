@@ -163,6 +163,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), s"plan:\n$p")
   }
 
+  test("dynamic partition pruning: the dim filter reaches the fact scan") {
+    // the star-join 100 TB lever: a selective dimension predicate prunes
+    // fact PARTITIONS at runtime. Write a partitioned fact, join through
+    // the partition column with a filtered dim, and the fact scan must
+    // carry a dynamicpruning subquery instead of reading every partition.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val prevStats =
+      spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    try {
+      // tiny CI fixtures fail DPP's benefit heuristic on stats alone;
+      // disabling the stats estimate keeps the structural check about the
+      // PATTERN (join through a partition column with a filtered dim)
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      spark.range(200000).selectExpr("id AS v", "CAST(id % 10 AS INT) AS part")
+        .write.partitionBy("part").parquet(s"$dir/fact")
+      (0 until 10).map(i => (i, s"n$i")).toDF("part", "name")
+        .write.parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+      import org.apache.spark.sql.functions.col
+      val p = fact.join(dim.filter(col("name") === "n3"), "part")
+        .queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("dynamicpruning"), s"plan:\n$p")
+    } finally {
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", prevStats)
+      graft.queries.Gate.deleteTree(new java.io.File(dir))
+    }
+  }
+
   test("bucketed tables co-locate: the fact-fact join plans ZERO shuffles") {
     // the 100 TB fact-fact join story: pre-bucket both tables on the join
     // key and the join needs NO exchange at all — each task zips bucket i

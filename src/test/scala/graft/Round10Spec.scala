@@ -325,6 +325,31 @@ class Round10Spec extends SparkSpec {
     // the delete-to-reinsert gap (30..40) is covered by NO version
   }
 
+  test("scd2 incremental: open rows + batch replay equals full recompute") {
+    import graft.operators.Scd
+    val keys = Seq("pk"); val vals = Seq("val_after")
+    def t2(df: org.apache.spark.sql.DataFrame) =
+      Scd.type2(df, keys, "commit_ts", "seq", "op", vals)
+    val b1 = Seq(
+      (1L, "I", 10L, 1L, Option(1.0)), (2L, "U", 20L, 1L, Option(2.0)),
+      (3L, "I", 15L, 2L, Option(9.0)), (4L, "I", 11L, 3L, Option(5.0)),
+      (5L, "D", 12L, 3L, None)
+    ).toDF("seq", "op", "commit_ts", "pk", "val_after")
+    val b2 = Seq(
+      (6L, "U", 30L, 1L, Option(3.0)),  // closes pk 1's open version
+      (7L, "I", 40L, 4L, Option(7.0))   // brand-new key
+    ).toDF("seq", "op", "commit_ts", "pk", "val_after")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)),
+        r.getBoolean(3), r.getDouble(4))).toSet
+    val inc = rows(Scd.type2Increment(t2(b1), b2, keys,
+      "commit_ts", "seq", "op", vals))
+    val full = rows(t2(b1.unionByName(b2)))
+    assert(inc == full)
+    // pk 2 untouched by the batch: still open; pk 3's termination stayed
+    assert(inc.exists(r => r._1 == 2L && r._4))
+  }
+
   // ---- handle-key snapshot chain -------------------------------------
 
   test("snapshot chain: same-ts shadowing, delete tombstone, lag state") {
