@@ -592,7 +592,15 @@ object Dedup {
    * cheap). Plan: one (id, shingle) shuffle ranks prefixes (df joins the
    * bounded shingle-vocab table), the candidate join buckets on prefix
    * shingles only, verification touches candidate pairs' in-row sets.
-   * Returns (a, b, inter, union, jac_ppm).
+   * Returns (a, b, inter, uni, jac_ppm).
+   *
+   * DUP-DENSE CAUTION (the q65/q150 lesson, measured at the 100× point):
+   * the TRUE pair list on a dup-dense corpus is Ω(Σ group²) — a 100-copy
+   * group contributes 4,950 pairs no matter how exactly they're found.
+   * When consuming dedup decisions (not the pair report), run exact
+   * dedup FIRST (`exactKey`), then feed these verified pairs into
+   * [[dupClusters]]/`lshClusterLabels`-style star edges instead of
+   * materializing the full pair table.
    */
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, tNum: Long, tDen: Long): DataFrame = {

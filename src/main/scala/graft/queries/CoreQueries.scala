@@ -171,7 +171,53 @@ object CoreQueries {
         col("cnt"), col("sum_value"))
   }
 
+  private val IntervalUs = 28_800_000_000L // 8 h attribution window
+
+  /**
+   * q191 — event-time INTERVAL JOIN (the Flink interval join /
+   * Structured Streaming stream-stream time-bounded join, batch twin):
+   * per user, each click attributes the purchases landing in
+   * [click, click + 8 h) — equi-key join with a range residual, the
+   * shape SS executes with dual watermark-bounded state. LEFT-outer so
+   * unattributed clicks stay visible; per cohort the gate pins row
+   * counts, unmatched counts and the exact µs lag mass. StreamingSpec
+   * runs the same join STREAMING-NATIVE (two MemoryStreams, watermarked,
+   * inner time-bounded) and pins equality with this algebra.
+   */
+  val intervalJoin = GateQuery(
+    "q191_interval_join",
+    Some(
+      s"""WITH c AS (
+         |  SELECT user_id, epoch_us(ts) AS cus FROM events
+         |  WHERE event_type = 'click'
+         |), p AS (
+         |  SELECT user_id AS pu, epoch_us(ts) AS pus FROM events
+         |  WHERE event_type = 'purchase'
+         |), j AS (
+         |  SELECT c.user_id, c.cus, p.pus
+         |  FROM c LEFT JOIN p ON c.user_id = p.pu
+         |    AND p.pus >= c.cus AND p.pus < c.cus + $IntervalUs
+         |)
+         |SELECT CAST(user_id % 10 AS BIGINT) AS cohort, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN pus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unmatched,
+         |  CAST(coalesce(sum(pus - cus), 0) AS BIGINT) AS sum_lag_us
+         |FROM j GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_type"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cus"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("us").as("pus"))
+    c.join(p, col("user_id") === col("pu") && col("pus") >= col("cus") &&
+        col("pus") < col("cus") + IntervalUs, "left")
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("pus").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        coalesce(sum(col("pus") - col("cus")), lit(0L)).as("sum_lag_us"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(pricing, distinctStats, frontier, tumblingWindow, sessionWindows,
-      slidingWindows)
+      slidingWindows, intervalJoin)
 }

@@ -182,6 +182,35 @@ class StreamingSpec extends SparkSpec {
     assert(live == twin && live.size == 3)
   }
 
+  test("stream-stream interval join runs native and matches the batch algebra") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[SessEv]
+    val buys = MemoryStream[SessEv]
+    val c = clicks.toDF().select(col("user").as("cu"),
+        timestamp_micros(col("tsUs")).as("cts"), col("tsUs").as("cus"))
+      .withWatermark("cts", "1 hour")
+    val b = buys.toDF().select(col("user").as("bu"),
+        timestamp_micros(col("tsUs")).as("bts"), col("tsUs").as("bus"))
+      .withWatermark("bts", "1 hour")
+    val q = c.join(b, expr(
+        "cu = bu AND bts >= cts AND bts < cts + interval 10 seconds"))
+      .writeStream.format("memory").queryName("ssj_live")
+      .outputMode("append").start()
+    // base the fixture away from epoch 0: Spark's INITIAL watermark is
+    // 1970-01-01, and an event AT the watermark is dropped as late
+    val base = 1_700_000_000_000_000L
+    clicks.addData(SessEv(1L, base), SessEv(1L, base + 50_000_000L),
+      SessEv(2L, base))
+    buys.addData(SessEv(1L, base + 5_000_000L), SessEv(1L, base + 52_000_000L),
+      SessEv(2L, base + 30_000_000L)) // user 2: outside the 10 s bound
+    q.processAllAvailable()
+    q.stop()
+    val live = spark.table("ssj_live").select("cu", "cus", "bus")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(live == Set((1L, base, base + 5_000_000L),
+      (1L, base + 50_000_000L, base + 52_000_000L)))
+  }
+
   test("idempotent replay: re-applying a batch converges to same state") {
     val dir = Files.createTempDirectory("graft_cf3").toString
     val batch = Seq(
