@@ -426,7 +426,73 @@ object StatsQueries {
     out
   }
 
+  // ---- q192: population-stability drift report ------------------------
+
+  private val PsiBinW = 8L // token-count bucket width
+
+  /**
+   * q192 — population-stability index between two corpus slices (the
+   * standard PSI drift monitor every production data pipeline runs
+   * between yesterday's and today's feed), in exact fixed point: per
+   * token-count bucket, slice shares in ppm (floor division) and the
+   * PSI term (p−q)·(log2(p+1)−log2(q+1)) in q16 — log2 instead of ln
+   * scales the index by a constant without touching its ordering or
+   * zero point, and every step is integer so the oracle replays each
+   * bucket's term bit-for-bit (the +1 dodges empty-bucket log(0) on
+   * BOTH sides symmetrically). Scale shape: docs collapse to a
+   * (slice, bucket) histogram FIRST — one partial-agg shuffle — and the
+   * PSI arithmetic runs over the bounded bucket table.
+   */
+  val psiDrift = GateQuery(
+    "q192_psi_drift",
+    Some {
+      val tc = TextOps.Sql.tokenCount("text")
+      import graft.operators.TextLm
+      s"""WITH d AS (
+         |  SELECT doc_id % 2 AS slice, ($tc) // $PsiBinW AS bucket
+         |  FROM documents
+         |), h AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         |    CAST(sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+         |  FROM d GROUP BY 1
+         |), n AS (
+         |  SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+         |    CAST(sum(cnt_b) AS BIGINT) AS nb FROM h
+         |), ppm AS (
+         |  SELECT bucket, cnt_a, cnt_b,
+         |    1000000 * cnt_a // na AS p_ppm,
+         |    1000000 * cnt_b // nb AS q_ppm
+         |  FROM h CROSS JOIN n
+         |)
+         |SELECT bucket, cnt_a, cnt_b, p_ppm, q_ppm,
+         |  (p_ppm - q_ppm) *
+         |    (${TextLm.Sql.l2q16("(p_ppm + 1)")} -
+         |     ${TextLm.Sql.l2q16("(q_ppm + 1)")}) AS psi_q16
+         |FROM ppm""".stripMargin
+    }) { (spark, dir) =>
+    import graft.operators.{TextLm, VectorOps}
+    val h = Tables.load(spark, dir, "documents")
+      .select((col("doc_id") % 2).as("slice"),
+        VectorOps.floorDiv(TextOps.tokenCount(col("text")).cast("long"),
+          lit(PsiBinW)).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("slice") === 0, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("slice") === 1, 1L).otherwise(0L)).as("cnt_b"))
+    val n = h.agg(sum(col("cnt_a")).as("na"), sum(col("cnt_b")).as("nb"))
+    h.crossJoin(broadcast(n))
+      .withColumn("p_ppm",
+        VectorOps.floorDiv(lit(1000000L) * col("cnt_a"), col("na")))
+      .withColumn("q_ppm",
+        VectorOps.floorDiv(lit(1000000L) * col("cnt_b"), col("nb")))
+      .select(col("bucket"), col("cnt_a"), col("cnt_b"), col("p_ppm"),
+        col("q_ppm"),
+        ((col("p_ppm") - col("q_ppm")) *
+          (TextLm.l2q16(col("p_ppm") + 1L) - TextLm.l2q16(col("q_ppm") + 1L)))
+          .as("psi_q16"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(hllDistinct, bloomMembership, prCurve, temperatureMix, vocabCoverage,
-      histQuantiles, cmsHeavyHitters)
+      histQuantiles, cmsHeavyHitters, psiDrift)
 }

@@ -350,6 +350,27 @@ class Round10Spec extends SparkSpec {
     assert(inc.exists(r => r._1 == 2L && r._4))
   }
 
+  // ---- PSI drift -----------------------------------------------------
+
+  test("psi: identical slices score zero, drift terms carry the right sign") {
+    import graft.operators.TextLm
+    // replicate the gate's per-bucket term on hand values
+    def term(pPpm: Long, qPpm: Long): Long =
+      (pPpm - qPpm) * (TextLm.l2q16Long(pPpm + 1) - TextLm.l2q16Long(qPpm + 1))
+    assert(term(500000, 500000) == 0L)       // no drift, no signal
+    assert(term(600000, 400000) > 0L)        // mass moved IN: positive
+    assert(term(400000, 600000) > 0L)        // mass moved OUT: also positive
+    assert(term(0, 0) == 0L)                 // empty bucket both sides
+    // the q192 gate itself on the smoke corpus: every bucket's term is
+    // the product of same-signed factors — PSI is non-negative per bucket
+    val out = SparkEntry.queries("q192_psi_drift")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("psi_q16") >= 0L,
+        s"negative PSI term in bucket ${r.get(0)}")
+    }
+  }
+
   // ---- handle-key snapshot chain -------------------------------------
 
   test("snapshot chain: same-ts shadowing, delete tombstone, lag state") {
