@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Keyless point-in-interval (range) join at scale.
+ *
+ * Spark plans `points JOIN intervals ON p >= s AND p < e` — no equi
+ * condition — as BroadcastNestedLoopJoin (or CartesianProduct when neither
+ * side fits a broadcast): O(|P|·|I|) comparisons no matter how selective
+ * the ranges are. That shape shows up constantly downstream of a CDC feed
+ * (event-to-maintenance-window attribution, IP-to-geo lookup, validity
+ * windows without a shard key) and is the canonical 100 TB cliff: a 1e9 ×
+ * 1e6 nested loop never finishes, while the same join touches only a few
+ * candidate pairs per time bin.
+ *
+ * [[pointInInterval]] rewrites it to the binned form (the public
+ * "range join optimization"): each interval explodes onto the fixed-width
+ * bins it covers, each point maps to exactly ONE bin, and the join becomes
+ * an equi-join on bin id with the original range predicate as residual.
+ * Because a point's bin is unique, a qualifying (point, interval) pair
+ * meets in exactly one bin — no post-join dedup. Catalyst then plans a
+ * plain shuffled equi-join: partial pruning, AQE, and broadcast of a small
+ * exploded side all apply. PlanShapeSpec pins the absence of
+ * BroadcastNestedLoopJoin/CartesianProduct from the rewritten plan.
+ *
+ * Cost model: shuffled rows = |P| + Σ_i (⌈len_i/binSize⌉ + 1); candidate
+ * pairs per bin = points_in_bin × intervals_overlapping_bin. `binSize`
+ * near the median interval length keeps the expansion factor ≤ ~2-3 while
+ * bins stay selective; [[recommendedBinSize]] reads that knob off the
+ * data (the q85 `recommendedCells` pattern: a measured rule, not a
+ * constant).
+ *
+ * Reference context: tiflow's joins are all keyed (capability classes
+ * J1-J5); this operator is the warehouse-side shape those feeds get
+ * queried with once landed.
+ */
+object Ranges {
+
+  /**
+   * Join `points` to every interval of `intervals` with
+   * `start <= point < end`, via bin-equi-join + residual. Both inputs are
+   * returned with all their columns; each qualifying pair appears exactly
+   * once. Domain: values must be non-negative longs (event-time µs/ns);
+   * empty intervals (end <= start) match nothing by construction.
+   */
+  def pointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binSize: Long): DataFrame = {
+    require(binSize > 0, s"binSize must be positive: $binSize")
+    val p = points.withColumn("_g_bin", col(pointCol).divLong(binSize))
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("_g_ivbin", explode(sequence(
+        col(startCol).divLong(binSize), (col(endCol) - 1L).divLong(binSize))))
+    p.join(iv,
+        p("_g_bin") === iv("_g_ivbin") &&
+          col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("_g_bin", "_g_ivbin")
+  }
+
+  /** Exact long floor-division for the non-negative event-time domain.
+    * Column./ on longs returns double (precision loss past 2^53 — real for
+    * nanosecond timestamps), so this builds the SQL `DIV` (IntegralDivide)
+    * Catalyst expression directly. Truncation toward zero equals floor on
+    * the non-negative domain. */
+  private implicit final class DivOps(private val c: Column) {
+    def divLong(d: Long): Column = {
+      import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(
+        IntegralDivide(ColumnBridge.expression(c), Literal(d), evalMode =
+          org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+    }
+  }
+
+  /**
+   * Bin-size knob: the median interval length, snapped DOWN to a
+   * power-of-two multiple of `quantum` (so bins align across runs and the
+   * expansion factor stays ≤ 3 for half the intervals, ≤ ⌈len/median⌉+1
+   * for the rest). Uses approxQuantile — a recommendation input, not a
+   * gated result.
+   */
+  def recommendedBinSize(intervals: DataFrame, startCol: String,
+      endCol: String, quantum: Long = 1000L): Long = {
+    val lens = intervals.select((col(endCol) - col(startCol)).cast("double").as("len"))
+    val med = lens.stat.approxQuantile("len", Array(0.5), 0.01).head.max(quantum.toDouble)
+    var b = quantum
+    while (b * 2 <= med) b *= 2
+    b
+  }
+}

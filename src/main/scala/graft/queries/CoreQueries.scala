@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.{CdcStream, Tables}
@@ -217,7 +218,65 @@ object CoreQueries {
         coalesce(sum(col("pus") - col("cus")), lit(0L)).as("sum_lag_us"))
   }
 
+  private val RangeBinUs = 3_600_000_000L // 1 h bins ≈ median window length
+
+  /**
+   * q193 — KEYLESS range join ([[graft.operators.Ranges.pointInInterval]]):
+   * global maintenance windows (no shard key) derived from sampled purchase
+   * events attribute every click/view landing inside them. The naive plan
+   * is BroadcastNestedLoopJoin — O(|P|·|I|) compares; the binned rewrite
+   * meets each qualifying pair in exactly one 1-hour bin and runs as a
+   * plain equi-join (PlanShapeSpec pins no-BNLJ/no-cartesian). Per window
+   * the gate pins the exact point count, total µs lag mass and the XOR
+   * fingerprint of matched event ids; windows that match nothing stay
+   * visible with zeros.
+   */
+  val rangeJoin = GateQuery(
+    "q193_range_join",
+    Some(
+      s"""WITH p AS (
+         |  SELECT event_id AS pid, epoch_us(ts) AS pus FROM events
+         |  WHERE event_type IN ('click', 'view')
+         |), iv AS (
+         |  SELECT event_id AS interval_id, epoch_us(ts) AS s_us,
+         |    epoch_us(ts) + (user_id % 5 + 1) * 3600000000 AS e_us
+         |  FROM events WHERE event_type = 'purchase' AND event_id % 37 = 0
+         |), j AS (
+         |  SELECT iv.interval_id, p.pid, p.pus - iv.s_us AS lag_us
+         |  FROM iv LEFT JOIN p ON p.pus >= iv.s_us AND p.pus < iv.e_us
+         |)
+         |SELECT interval_id, CAST(count(pid) AS BIGINT) AS n_pts,
+         |  CAST(coalesce(sum(lag_us), 0) AS BIGINT) AS sum_lag_us,
+         |  CAST(coalesce(bit_xor(pid), 0) AS BIGINT) AS xor_pts
+         |FROM j GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    val (points, intervals) = rangeJoinInputs(spark, dir)
+    val joined = graft.operators.Ranges.pointInInterval(
+      points, "pus", intervals, "s_us", "e_us", RangeBinUs)
+    val perIv = joined.groupBy("interval_id")
+      .agg(count(lit(1)).as("n_pts"), sum(col("pus") - col("s_us")).as("sum_lag_us"),
+        expr("bit_xor(pid)").as("xor_pts"))
+    intervals.select("interval_id").join(perIv, Seq("interval_id"), "left")
+      .select(col("interval_id"), coalesce(col("n_pts"), lit(0L)).as("n_pts"),
+        coalesce(col("sum_lag_us"), lit(0L)).as("sum_lag_us"),
+        coalesce(col("xor_pts"), lit(0L)).as("xor_pts"))
+  }
+
+  /** Shared by the gate and PlanShapeSpec: (points, global intervals)
+    * off the events table, times in µs. */
+  def rangeJoinInputs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_id"), expr("ts DIV 1000").as("us"),
+        col("user_id"), col("event_type"))
+    val points = e.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id").as("pid"), col("us").as("pus"))
+    val intervals = e
+      .filter(col("event_type") === "purchase" && col("event_id") % 37 === 0)
+      .select(col("event_id").as("interval_id"), col("us").as("s_us"),
+        (col("us") + (col("user_id") % 5 + 1) * 3_600_000_000L).as("e_us"))
+    (points, intervals)
+  }
+
   def all: Seq[GateQuery] =
     Seq(pricing, distinctStats, frontier, tumblingWindow, sessionWindows,
-      slidingWindows, intervalJoin)
+      slidingWindows, intervalJoin, rangeJoin)
 }

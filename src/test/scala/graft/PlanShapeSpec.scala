@@ -222,6 +222,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q193: the binned range join plans an EQUI join — no nested loop, no cartesian") {
+    val p = planOf("q193_range_join")
+    // the whole point of the rewrite: the keyless range predicate must NOT
+    // surface as an O(|P|·|I|) nested-loop/cartesian anywhere in the plan
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    // and the bin-key equi join is really there
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), s"plan:\n$p")
+    // the naive formulation of the SAME inputs degenerates to a nested loop
+    // — the anti-plan this operator exists to avoid
+    val (points, intervals) = graft.queries.CoreQueries.rangeJoinInputs(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val naive = points.join(intervals,
+      col("pus") >= col("s_us") && col("pus") < col("e_us"))
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("BroadcastNestedLoopJoin") ||
+      naive.contains("CartesianProduct"), s"plan:\n$naive")
+  }
+
   test("bloom probe joins the bit table by broadcast, never sort-merge") {
     import org.apache.spark.sql.functions._
     import graft.core.Hashing

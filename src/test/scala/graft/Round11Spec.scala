@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Ranges
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-10 operators: the keyless binned range join and
+  * the data-layout / sampling / curation tier that follows it. */
+class Round11Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- binned range join --------------------------------------------
+
+  test("range join equals brute force on a seeded random workload") {
+    val rnd = new scala.util.Random(421L)
+    val points = Seq.tabulate(400)(i => (i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("pid", "p")
+    val intervals = Seq.tabulate(60) { i =>
+      val s = rnd.nextInt(10000).toLong
+      (1000L + i, s, s + rnd.nextInt(900).toLong) // includes empty (len 0)
+    }.toDF("iid", "s", "e")
+    for (bin <- Seq(1L, 7L, 64L, 1000L, 100000L)) {
+      val got = Ranges.pointInInterval(points, "p", intervals, "s", "e", bin)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val want = points.join(intervals,
+          col("p") >= col("s") && col("p") < col("e"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got == want, s"bin=$bin: ${got.size} vs ${want.size}")
+      // exactly-once: no dedup hidden inside
+      val n = Ranges.pointInInterval(points, "p", intervals, "s", "e", bin).count()
+      assert(n == got.size.toLong, s"bin=$bin produced duplicate pairs")
+    }
+  }
+
+  test("range join boundaries: start inclusive, end exclusive, empty interval") {
+    val points = Seq((1L, 10L), (2L, 19L), (3L, 20L), (4L, 9L)).toDF("pid", "p")
+    val intervals = Seq((100L, 10L, 20L), (101L, 15L, 15L)).toDF("iid", "s", "e")
+    val got = Ranges.pointInInterval(points, "p", intervals, "s", "e", 4L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (2L, 100L)))
+  }
+
+  test("recommendedBinSize snaps the median length down to a power of two") {
+    val iv = Seq.tabulate(101)(i => (i.toLong, 0L, 1000L + i.toLong))
+      .toDF("iid", "s", "e") // median length 1050
+    val b = Ranges.recommendedBinSize(iv, "s", "e", quantum = 1L)
+    assert(b == 1024L, s"got $b")
+  }
+}
