@@ -78,7 +78,7 @@ object Gate {
     CoreQueries.all ++ CdcQueries.all ++ DiffQueries.all ++
       CodecQueries.all ++ GenericCodecQueries.all ++ DocQueries.all ++
       CurationQueries.all ++ LmQueries.all ++ EmbeddingQueries.all ++
-      StatsQueries.all ++ ExtraQueries.all ++
+      StatsQueries.all ++ ExtraQueries.all ++ ScaleQueries.all ++
       DdlQueries.all ++ StreamTwinQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

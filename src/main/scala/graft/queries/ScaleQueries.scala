@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Layout
+
+/**
+ * Gates for the storage-layout / sampling / skew tier — operators whose
+ * entire reason to exist is the 100 TB story: what gets pruned before the
+ * scan, what gets sampled instead of read, and where the shuffle keys
+ * concentrate.
+ */
+object ScaleQueries {
+
+  private val ZBits = 10
+  private val ZFiles = 64
+  // box predicate in quantized coords: a 1/8 × 1/4 rectangle
+  private val Bx0 = 256L; private val Bx1 = 383L
+  private val By0 = 512L; private val By1 = 767L
+
+  /** DuckDB twin of [[Layout.zValue2]] over quantized cols `xq`/`yq`. */
+  private def zSql(xq: String, yq: String): String =
+    s"list_sum([ (($xq >> i) & 1) * (1::BIGINT << (2*i)) + " +
+      s"(($yq >> i) & 1) * (1::BIGINT << (2*i + 1)) for i in range($ZBits) ])"
+
+  /**
+   * q194 — Z-ORDER layout vs linear sort, measured as min/max file
+   * skipping ([[Layout.skippingReport]]): lineitem laid out as 64
+   * equal files by (a) the Morton curve over quantized (l_partkey,
+   * l_suppkey) and (b) the l_partkey-linear sort; a 2-dim box predicate
+   * then prunes files on per-file min/max stats. The gate pins, per
+   * layout, exactly how many files the box query skips and how many rows
+   * survive to be scanned — the storage-side answer to "does this still
+   * work at 100 TB". The production writer ([[Layout.writeZOrdered]])
+   * range-shuffles on the z-value; Round11Spec checks real written files
+   * prune the same way.
+   */
+  val zorderLayout = GateQuery(
+    "q194_zorder_layout",
+    Some(
+      s"""WITH src AS (
+         |  SELECT l_partkey AS x, l_suppkey AS y FROM lineitem
+         |), mx AS (
+         |  SELECT max(x) AS mxx, max(y) AS mxy FROM src
+         |), q AS (
+         |  SELECT (x * ${(1L << ZBits) - 1}) // mxx AS xq,
+         |         (y * ${(1L << ZBits) - 1}) // mxy AS yq
+         |  FROM src, mx
+         |), z AS (
+         |  SELECT xq, yq, ${zSql("xq", "yq")} AS zv FROM q
+         |), lay AS (
+         |  SELECT xq, yq,
+         |    ntile($ZFiles) OVER (ORDER BY zv, xq, yq) AS fz,
+         |    ntile($ZFiles) OVER (ORDER BY xq, yq) AS fl
+         |  FROM z
+         |), stats AS (
+         |  SELECT 'zorder' AS layout, fz AS fid, count(*) AS n_rows,
+         |    sum(CASE WHEN xq BETWEEN $Bx0 AND $Bx1
+         |             AND yq BETWEEN $By0 AND $By1 THEN 1 ELSE 0 END) AS n_box,
+         |    min(xq) AS min_x, max(xq) AS max_x,
+         |    min(yq) AS min_y, max(yq) AS max_y
+         |  FROM lay GROUP BY fz
+         |  UNION ALL
+         |  SELECT 'linear', fl, count(*),
+         |    sum(CASE WHEN xq BETWEEN $Bx0 AND $Bx1
+         |             AND yq BETWEEN $By0 AND $By1 THEN 1 ELSE 0 END),
+         |    min(xq), max(xq), min(yq), max(yq)
+         |  FROM lay GROUP BY fl
+         |), flagged AS (
+         |  SELECT layout, n_rows, n_box,
+         |    CASE WHEN max_x < $Bx0 OR min_x > $Bx1
+         |         OR max_y < $By0 OR min_y > $By1 THEN 1 ELSE 0 END AS skipped
+         |  FROM stats
+         |)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(skipped) AS BIGINT) AS files_skipped,
+         |  CAST(sum(CASE WHEN skipped = 0 THEN n_rows ELSE 0 END) AS BIGINT)
+         |    AS rows_scanned,
+         |  CAST(sum(n_box) AS BIGINT) AS rows_matched
+         |FROM flagged GROUP BY layout""".stripMargin)) { (spark, dir) =>
+    Layout.skippingReport(
+      Tables.load(spark, dir, "lineitem"), "l_partkey", "l_suppkey",
+      ZBits, ZFiles, Bx0, Bx1, By0, By1)
+  }
+
+  def all: Seq[GateQuery] = Seq(zorderLayout)
+}

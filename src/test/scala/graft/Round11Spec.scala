@@ -39,6 +39,34 @@ class Round11Spec extends SparkSpec {
     assert(got == Set((1L, 100L), (2L, 100L)))
   }
 
+  // ---- z-order layout -----------------------------------------------
+
+  test("writeZOrdered real parquet files prune a 2-dim box on min/max stats") {
+    import graft.operators.Layout
+    val (dir, _) = graft.queries.Gate.freshScratch("graft_zorder_", sf)
+    val li = graft.core.Tables.load(spark, sf, "lineitem")
+    Layout.writeZOrdered(li, "l_partkey", "l_suppkey", 10, 16, s"$dir/z")
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == li.count()) // layout rewrites lose nothing
+    // per real file: min/max of both dims; box = middle of each domain
+    val stats = back
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"), min("l_partkey").as("nx"),
+        max("l_partkey").as("xx"), min("l_suppkey").as("ny"),
+        max("l_suppkey").as("xy"))
+      .collect()
+    assert(stats.length == 16, s"got ${stats.length} files")
+    val (bx0, bx1, by0, by1) = (500L, 900L, 25L, 50L)
+    val skipped = stats.count { r =>
+      r.getAs[Long]("xx") < bx0 || r.getAs[Long]("nx") > bx1 ||
+        r.getAs[Long]("xy") < by0 || r.getAs[Long]("ny") > by1
+    }
+    // the z-curve gives every file a bounded rectangle: a quarter-domain
+    // box must prune a majority of the 16 files
+    assert(skipped >= 8, s"only $skipped of 16 files skipped")
+    graft.queries.Gate.deleteTree(new java.io.File(dir))
+  }
+
   test("recommendedBinSize snaps the median length down to a power of two") {
     val iv = Seq.tabulate(101)(i => (i.toLong, 0L, 1000L + i.toLong))
       .toDF("iid", "s", "e") // median length 1050
