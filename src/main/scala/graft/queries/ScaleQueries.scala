@@ -83,5 +83,38 @@ object ScaleQueries {
       ZBits, ZFiles, Bx0, Bx1, By0, By1)
   }
 
-  def all: Seq[GateQuery] = Seq(zorderLayout)
+  /**
+   * q195 — weighted sampling WITHOUT replacement
+   * ([[graft.operators.Sampling.weightedSampleK]], Efraimidis–Spirakis):
+   * 100 documents drawn with inclusion pressure ∝ n_chars, priorities in
+   * exact fixed point (portable seeded hash → quantized −log2), selection
+   * = the k smallest (priority, id) via TakeOrderedAndProject — the
+   * no-shuffle way to subsample a 100 TB corpus. Oracle replays hash,
+   * log table and division bit-for-bit.
+   */
+  val weightedSample = GateQuery(
+    "q195_weighted_sample",
+    Some {
+      val u = graft.operators.Sampling.Sql.u("doc_id", 195)
+      val l2 = graft.operators.Sampling.Sql.l2q8("(u)")
+      s"""WITH base AS (
+         |  SELECT doc_id, greatest(n_chars, 1) AS w, ($u) AS u
+         |  FROM documents
+         |), pri AS (
+         |  SELECT doc_id, w,
+         |    CAST(((5120 - $l2) * 65536) // w AS BIGINT) AS priority_q
+         |  FROM base
+         |)
+         |SELECT doc_id, CAST(w AS BIGINT) AS w, priority_q
+         |FROM pri ORDER BY priority_q, doc_id LIMIT 100""".stripMargin
+    }) { (spark, dir) =>
+    graft.operators.Sampling.weightedSampleK(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", 100, 195)
+      .select(col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).as("w"), col("priority_q"))
+  }
+
+  def all: Seq[GateQuery] = Seq(zorderLayout, weightedSample)
 }

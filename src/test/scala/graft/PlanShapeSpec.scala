@@ -241,6 +241,12 @@ class PlanShapeSpec extends SparkSpec {
       naive.contains("CartesianProduct"), s"plan:\n$naive")
   }
 
+  test("q195: weighted sampling is one map pass + TakeOrdered — zero shuffles") {
+    val p = planOf("q195_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    assert(shuffles(p) == 0, s"got ${shuffles(p)} shuffles; plan:\n$p")
+  }
+
   test("bloom probe joins the bit table by broadcast, never sort-merge") {
     import org.apache.spark.sql.functions._
     import graft.core.Hashing

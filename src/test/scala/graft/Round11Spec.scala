@@ -67,6 +67,54 @@ class Round11Spec extends SparkSpec {
     graft.queries.Gate.deleteTree(new java.io.File(dir))
   }
 
+  // ---- weighted sampling --------------------------------------------
+
+  test("l2q8 mantissa table is exact and the column twin matches the long twin") {
+    import graft.operators.Sampling
+    // exact table: floor(256·log2(m/256)) strictly between the bounds
+    for (i <- Seq(0, 1, 100, 254, 255)) {
+      val k = Sampling.MantissaQ8(i)
+      val m = BigInt(i + 256)
+      assert(m.pow(256) >= (BigInt(256).pow(256) << k.toInt))
+      assert(m.pow(256) < (BigInt(256).pow(256) << (k.toInt + 1)))
+    }
+    // driver twin of the COLUMN formula (mantissa truncated to 8 bits
+    // before the table lookup — both engines share this quantization)
+    def viaTable(x: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      e.toLong * 256 + Sampling.MantissaQ8((((x * 256) >> e) - 256).toInt)
+    }
+    val xs = (Seq(1L, 2L, 3L, 255L, 256L, 257L, 65535L, 65536L, 1048576L) ++
+      Seq.tabulate(50)(i => 1L + i * 20101L)).distinct
+    val got = xs.toDF("x").select(Sampling.l2q8(col("x")).as("l"))
+      .as[Long].collect()
+    assert(got.toSeq == xs.map(viaTable))
+    // within one quantum of the exact log, and monotone (sampling order
+    // is preserved by the quantization)
+    for (x <- xs) assert((Sampling.l2q8Long(x) - viaTable(x)).abs <= 1L)
+    val dense = (1L to 4096L) ++ xs
+    assert(dense.sorted.map(viaTable) == dense.map(viaTable).sorted)
+  }
+
+  test("weighted sampling overrepresents heavy rows and stays deterministic") {
+    import graft.operators.Sampling
+    val df = Seq.tabulate(2000) { i =>
+      (i.toLong, if (i < 200) 500L else 1L) // 10% heavy, 500x weight
+    }.toDF("id", "w")
+    val s1 = Sampling.weightedSampleK(df, "id", "w", 200, 7)
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.weightedSampleK(df, "id", "w", 200, 7)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2) // same seed → same draw
+    val heavy = s1.count(_ < 200L)
+    // E[heavy] ≈ 186 of 200 under A-ES with these odds; far from the 20
+    // a uniform draw would give
+    assert(heavy > 120, s"heavy rows drawn: $heavy")
+    val s3 = Sampling.weightedSampleK(df, "id", "w", 200, 8)
+      .select("id").as[Long].collect().toSet
+    assert(s3 != s1) // seed moves the draw
+  }
+
   test("recommendedBinSize snaps the median length down to a power of two") {
     val iv = Seq.tabulate(101)(i => (i.toLong, 0L, 1000L + i.toLong))
       .toDF("iid", "s", "e") // median length 1050
