@@ -116,5 +116,96 @@ object ScaleQueries {
         greatest(col("n_chars"), lit(1L)).as("w"), col("priority_q"))
   }
 
-  def all: Seq[GateQuery] = Seq(zorderLayout, weightedSample)
+  /**
+   * q196 — URL canonicalization + registered-domain rollup
+   * ([[graft.operators.UrlOps]]): deterministic raw crawl URLs (case
+   * noise, www, default/explicit ports, tracking params, unsorted query,
+   * trailing slash, fragments — all driven off doc_id) collapse to
+   * canonical keys; per registered domain the gate pins doc count,
+   * UNIQUE canonical urls (the url-level dedup story: different raw
+   * strings, same page) and the XOR hash of every canonical string —
+   * byte-for-byte agreement with DuckDB's independent replay of the
+   * whole rule set.
+   */
+  val urlCanon = GateQuery(
+    "q196_url_canon",
+    Some {
+      val re = "'^([A-Za-z]+)://([^/?#]+)([^?#]*)\\??([^#]*)'"
+      val pl = graft.core.Hashing.Sql.portableLong("cu")
+      s"""WITH raw AS (
+         |  SELECT (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'https'
+         |            ELSE 'Http' END) || '://' ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 8 < 4 THEN 'cdn.' ELSE '' END) ||
+         |    source || '.CoM' ||
+         |    (CASE WHEN doc_id % 5 = 0 THEN
+         |       (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END)
+         |     WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
+         |    '/p/' || (doc_id % 50) ||
+         |    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+         |    (CASE doc_id % 3
+         |     WHEN 0 THEN '?utm_source=x&id=' || (doc_id % 25)
+         |     WHEN 1 THEN '?id=' || (doc_id % 25) || '&utm_campaign=z&b=2'
+         |     ELSE '' END) ||
+         |    (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url
+         |  FROM documents
+         |), parts AS (
+         |  SELECT lower(regexp_extract(url, $re, 1)) AS sch,
+         |    regexp_replace(lower(regexp_extract(url, $re, 2)),
+         |      '^www\\.', '') AS h1,
+         |    regexp_replace(regexp_extract(url, $re, 3), '/+$$', '') AS p1,
+         |    regexp_extract(url, $re, 4) AS q0
+         |  FROM raw
+         |), canon AS (
+         |  SELECT
+         |    CASE WHEN sch = 'https' THEN regexp_replace(h1, ':443$$', '')
+         |         WHEN sch = 'http' THEN regexp_replace(h1, ':80$$', '')
+         |         ELSE h1 END AS hc,
+         |    sch, CASE WHEN p1 = '' THEN '/' ELSE p1 END AS pc,
+         |    array_to_string(list_sort([x FOR x IN str_split(q0, '&')
+         |      IF NOT starts_with(x, 'utm_')
+         |         AND NOT starts_with(x, 'gclid=')]), '&') AS qc
+         |  FROM parts
+         |), cu AS (
+         |  SELECT hc, sch || '://' || hc || pc ||
+         |    (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS cu
+         |  FROM canon
+         |)
+         |SELECT regexp_extract(regexp_replace(hc, ':[0-9]+$$', ''),
+         |    '([^.]+\\.[^.]+)$$', 1) AS registered_domain,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT cu) AS BIGINT) AS n_unique_urls,
+         |  CAST(coalesce(bit_xor($pl), 0) AS BIGINT) AS xor_url
+         |FROM cu GROUP BY 1""".stripMargin
+    }) { (spark, dir) =>
+    import graft.operators.UrlOps
+    val d = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 3 === 0, "HTTPS").when(id % 3 === 1, "https").otherwise("Http"),
+      lit("://"),
+      when(id % 4 === 0, "WWW.").otherwise(""),
+      when(id % 8 < 4, "cdn.").otherwise(""),
+      col("source"), lit(".CoM"),
+      when(id % 5 === 0, when(id % 3 === 0, ":443").otherwise(":80"))
+        .when(id % 7 === 0, ":8080").otherwise(""),
+      lit("/p/"), (id % 50).cast("string"),
+      when(id % 2 === 0, "/").otherwise(""),
+      when(id % 3 === 0, concat(lit("?utm_source=x&id="), (id % 25).cast("string")))
+        .when(id % 3 === 1,
+          concat(lit("?id="), (id % 25).cast("string"), lit("&utm_campaign=z&b=2")))
+        .otherwise(""),
+      when(id % 6 === 0, "#top").otherwise(""))
+    d.select(url.as("url"))
+      .select(UrlOps.canonicalUrl(col("url")).as("cu"),
+        UrlOps.registeredDomain(col("url")).as("registered_domain"))
+      .groupBy("registered_domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cu")).as("n_unique_urls"),
+        coalesce(expr("bit_xor(" +
+          "cast(conv(substring(md5(cast(cu as string)),1,15),16,10) as bigint))"),
+          lit(0L)).as("xor_url"))
+  }
+
+  def all: Seq[GateQuery] = Seq(zorderLayout, weightedSample, urlCanon)
 }

@@ -115,6 +115,30 @@ class Round11Spec extends SparkSpec {
     assert(s3 != s1) // seed moves the draw
   }
 
+  // ---- url canonicalization -----------------------------------------
+
+  test("url canonicalization: ports, www, trackers, sorting, slash, fragment") {
+    import graft.operators.UrlOps
+    val cases = Seq(
+      // default port strips only under its own scheme
+      "HTTPS://WWW.A.Com:443/x/" -> "https://a.com/x",
+      "http://a.com:443/x" -> "http://a.com:443/x",
+      "http://A.COM:80" -> "http://a.com/",
+      "https://a.com:8443/x" -> "https://a.com:8443/x",
+      // tracker params drop, the rest sort; fragment drops
+      "https://a.com/p?utm_source=s&b=2&a=1#frag" -> "https://a.com/p?a=1&b=2",
+      "https://a.com/p?gclid=xyz" -> "https://a.com/p",
+      // multiple trailing slashes; root path survives
+      "https://a.com/x///" -> "https://a.com/x",
+      "https://a.com///" -> "https://a.com/")
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlOps.canonicalUrl(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2), got.zip(cases).filter(c => c._1 != c._2._2))
+    val dom = Seq("https://www.cdn.x.srcA.CoM:443/p")
+      .toDF("u").select(UrlOps.registeredDomain(col("u"))).as[String].head()
+    assert(dom == "srca.com")
+  }
+
   test("recommendedBinSize snaps the median length down to a power of two") {
     val iv = Seq.tabulate(101)(i => (i.toLong, 0L, 1000L + i.toLong))
       .toDF("iid", "s", "e") // median length 1050
