@@ -40,4 +40,34 @@ object Skew {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     bigSalted.join(dimExploded, Seq(key, "_salt")).drop("_salt")
   }
+
+  /**
+   * Skew DIAGNOSIS — the report that feeds [[saltedAgg]]/[[saltedJoin]]
+   * their `salts` knob instead of a guess: per key, exact row count,
+   * parts-per-million share, and the recommended salt factor
+   * ⌈n_rows · P / total⌉ (the number of average-sized reducer shares the
+   * key's rows occupy). A key is flagged hot when its rows exceed
+   * `factor` × the average partition share (n · P > factor · total —
+   * pure integer comparison). One partial-agg shuffle bounded by key
+   * cardinality; for open-domain keys at 100 TB the same report runs off
+   * the count-min path (q148) — low-cardinality group-bys, the classic
+   * skew cliff, are exact here.
+   */
+  def skewPlan(df: DataFrame, keyCol: String, nPartitions: Int,
+               factor: Int = 2): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def idiv(n: Column, d: Column): Column = ColumnBridge.column(
+      IntegralDivide(ColumnBridge.expression(n), ColumnBridge.expression(d),
+        EvalMode.LEGACY))
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum("n_rows").as("_total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n_rows") * nPartitions > lit(factor.toLong) * col("_total"))
+      .select(col("key"), col("n_rows"),
+        idiv(col("n_rows") * 1000000L, col("_total")).as("share_ppm"),
+        idiv(col("n_rows") * nPartitions + col("_total") - 1L, col("_total"))
+          .as("salts"))
+  }
 }

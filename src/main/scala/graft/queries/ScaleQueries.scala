@@ -207,5 +207,29 @@ object ScaleQueries {
           lit(0L)).as("xor_url"))
   }
 
-  def all: Seq[GateQuery] = Seq(zorderLayout, weightedSample, urlCanon)
+  /**
+   * q197 — skew diagnosis ([[graft.operators.Skew.skewPlan]]): the
+   * low-cardinality group-by key (event_type, 5 values vs 32 reducers —
+   * the classic skew cliff) diagnosed into an exact salting plan: every
+   * hot key's row count, ppm share, and the ⌈n·P/total⌉ salt factor that
+   * [[graft.operators.Skew.saltedAgg]] consumes. SkewSpec pins that
+   * aggregating WITH the recommended salts reproduces the exact counts.
+   */
+  val skewPlanGate = GateQuery(
+    "q197_skew_plan",
+    Some(
+      """WITH c AS (
+        |  SELECT event_type AS key, count(*) AS n_rows FROM events GROUP BY 1
+        |), t AS (SELECT sum(n_rows) AS total FROM c)
+        |SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST((n_rows * 1000000) // total AS BIGINT) AS share_ppm,
+        |  CAST((n_rows * 32 + total - 1) // total AS BIGINT) AS salts
+        |FROM c, t WHERE n_rows * 32 > 2 * total""".stripMargin)) {
+    (spark, dir) =>
+    graft.operators.Skew.skewPlan(
+      Tables.load(spark, dir, "events"), "event_type", 32, 2)
+  }
+
+  def all: Seq[GateQuery] = Seq(zorderLayout, weightedSample, urlCanon,
+    skewPlanGate)
 }

@@ -36,6 +36,28 @@ class SkewSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("skewPlan flags exactly the over-threshold keys; its salts keep aggs exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1 mega-key (600 rows), 1 warm key (90), 310 singletons; P=8, f=2
+    val rows = Seq.fill(600)("hot") ++ Seq.fill(90)("warm") ++
+      (1 to 310).map(i => s"k$i")
+    val df = rows.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val plan = Skew.skewPlan(df, "k", 8, 2).collect()
+    // total=1000, avg share=125, threshold 2x=250: only "hot" qualifies
+    assert(plan.map(_.getAs[String]("key")).toSeq == Seq("hot"))
+    val hot = plan.head
+    assert(hot.getAs[Long]("n_rows") == 600L)
+    assert(hot.getAs[Long]("share_ppm") == 600000L)
+    assert(hot.getAs[Long]("salts") == 5L) // ceil(600*8/1000)
+    // mitigation with the recommended factor stays exact
+    val salted = Skew.saltedAgg(df, Seq("k"), 5,
+      Seq(count(lit(1)).as("c"), sum("v").as("s")),
+      Seq(sum("c").as("n"), sum("s").as("sv")))
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("vacuum keeps the recent version window") {
     val dir = Files.createTempDirectory("graft_vac").toString
     val mk = (pk: Long, v: Double) => Seq(("db", "t", pk, "I", Some(v), 100L))
