@@ -212,6 +212,49 @@ object VectorOps {
     if (ds.sizeIs == 1) ds.head else least(ds: _*)
 
   /**
+   * k-CENTER coreset selection (farthest-first traversal, the Gonzalez
+   * 2-approximation): pick the point farthest from the already-selected
+   * set, k times — the diversity-maximizing data-selection stage
+   * (coreset subsampling for training, seed selection for clustering).
+   * Returns (sel_rank, vec_id, d2_sel) where d2_sel is the point's exact
+   * squared distance to the selected set at the moment it was chosen —
+   * a non-increasing sequence whose last value bounds the covering
+   * radius (every corpus point is within √d2_sel(k) · 2 of a center).
+   *
+   * Scale shape: the corpus never moves — each of the k rounds is one
+   * broadcast map pass (≤ k literal centers in the expression) + a 1-row
+   * TakeOrdered argmax to the driver; ties break to the smaller id so
+   * the selection replays exactly in any engine. Recompute-per-round
+   * keeps it stateless at O(k²·n) integer dots; big-k pipelines keep a
+   * running-min column instead (the q186 incremental pattern, with
+   * localCheckpoint per round).
+   */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val spark = df.sparkSession
+    val q = df.select(col(idCol).cast("long").as("id"),
+      quantizeInt8(col(vecCol)).as("qv")).persist()
+    try {
+      q.count() // materialize once; k rounds reuse the quantized corpus
+      val first = q.orderBy("id").limit(1).collect().head
+      var sel = Vector((first.getLong(0), first.getSeq[Long](1).toSeq, 0L))
+      while (sel.size < k) {
+        val centers = array(sel.map { case (_, v, _) =>
+          array(v.map(lit(_)): _*) }: _*)
+        val md = array_min(transform(centers, c => sqDistQ(col("qv"), c)))
+        val next = q.select(col("id"), col("qv"), md.as("md"))
+          .orderBy(desc("md"), asc("id")).limit(1).collect().head
+        sel = sel :+ ((next.getLong(0), next.getSeq[Long](1).toSeq,
+          next.getLong(2)))
+      }
+      import spark.implicits._
+      sel.zipWithIndex.map { case ((id, _, d2), i) =>
+        (i + 1L, id, d2) }.toDF("sel_rank", "vec_id", "d2_sel")
+    } finally { q.unpersist(); () }
+  }
+
+  /**
    * Nearest-centroid assignment (all-integer, deterministic): broadcast the
    * tiny centroid table, compute exact distances, keep the argmin with
    * centroid_id tie-break. Map-only over the corpus.

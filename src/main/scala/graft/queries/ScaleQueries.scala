@@ -230,6 +230,47 @@ object ScaleQueries {
       Tables.load(spark, dir, "events"), "event_type", 32, 2)
   }
 
+  private val KCenters = 8
+
+  /**
+   * q198 — k-center coreset selection
+   * ([[graft.operators.VectorOps.kCenterGreedy]]): 8 farthest-first
+   * centers over the embeddings table, exact int8 squared-L2, ties to the
+   * smaller id. The oracle replays every greedy round independently
+   * (generated stage-per-round SQL — select s_i, then argmax of
+   * min-distance against it), so engine and oracle agree on the entire
+   * selection PATH, not just the final set.
+   */
+  val kCenter = GateQuery(
+    "q198_kcenter_coreset",
+    Some {
+      val qv = graft.operators.VectorOps.Sql.quantizeInt8("embedding")
+      def dist(a: String, b: String) =
+        s"CAST(list_sum([ (z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip($a, $b)]) AS BIGINT)"
+      val stages = (2 to KCenters).map { i =>
+        s"""p$i AS (
+           |  SELECT p.vec_id, min(${dist("p.qv", "c.qv")}) AS md
+           |  FROM q p JOIN q c ON c.vec_id IN (SELECT vec_id FROM s${i - 1})
+           |  GROUP BY p.vec_id ORDER BY md DESC, p.vec_id LIMIT 1
+           |), s$i AS (
+           |  SELECT vec_id FROM s${i - 1} UNION ALL SELECT vec_id FROM p$i
+           |)""".stripMargin
+      }.mkString(", ")
+      val out = (2 to KCenters).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS sel_rank, vec_id, md AS d2_sel FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""WITH q AS (
+         |  SELECT vec_id, $qv AS qv FROM embeddings
+         |), s1 AS (SELECT vec_id FROM q ORDER BY vec_id LIMIT 1),
+         |$stages
+         |SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,
+         |  CAST(0 AS BIGINT) AS d2_sel FROM s1
+         |UNION ALL $out""".stripMargin
+    }) { (spark, dir) =>
+    graft.operators.VectorOps.kCenterGreedy(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", KCenters)
+  }
+
   def all: Seq[GateQuery] = Seq(zorderLayout, weightedSample, urlCanon,
-    skewPlanGate)
+    skewPlanGate, kCenter)
 }

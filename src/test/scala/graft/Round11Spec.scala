@@ -139,6 +139,23 @@ class Round11Spec extends SparkSpec {
     assert(dom == "srca.com")
   }
 
+  // ---- k-center coreset ---------------------------------------------
+
+  test("k-center greedy picks the hand-derived farthest-first path") {
+    import graft.operators.VectorOps
+    // unit directions: quantized (127,0), (0,127), (89,89), (-127,0)
+    val s2 = (1.0 / math.sqrt(2)).toFloat
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(s2, s2)), (4L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val got = VectorOps.kCenterGreedy(df, "vec_id", "embedding", 3)
+      .orderBy("sel_rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    // start at min id; then the antipode (254² = 64516); then the
+    // orthogonal axis (127²+127² = 32258) — d2_sel non-increasing
+    assert(got == Seq((1L, 1L, 0L), (2L, 4L, 64516L), (3L, 2L, 32258L)))
+  }
+
   test("recommendedBinSize snaps the median length down to a power of two") {
     val iv = Seq.tabulate(101)(i => (i.toLong, 0L, 1000L + i.toLong))
       .toDF("iid", "s", "e") // median length 1050
