@@ -685,6 +685,42 @@ object Dedup {
   }
 
   /** DuckDB SQL twins (keep in lockstep with the Column builders). */
+  /**
+   * Batch twin of Structured Streaming's `dropDuplicatesWithinWatermark`:
+   * per key (events ordered by event time, id tie-break), the FIRST event
+   * is kept and anchors a suppression window of `delta` — later events
+   * inside it drop WITHOUT extending it (dropped duplicates don't keep
+   * state alive); the first event at or past anchor+delta is kept and
+   * becomes the new anchor. That anchor-chain is exactly the state SS
+   * holds per key with a `delta` watermark gap: StreamingSpec runs the
+   * real streaming operator over the same events and pins equality with
+   * this fold.
+   *
+   * Scale shape: one shuffle by key, per-group state is one long, groups
+   * stream through `flatMapSortedGroups` (spill-safe sorted iterators) —
+   * the same shape SS uses for its dedup state store. Returns the kept
+   * (key, ts, id) rows; join back on id for full payloads.
+   */
+  def dedupWithinDelta(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      idCol: String, delta: Long): DataFrame = {
+    require(delta > 0, s"delta: $delta")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(concat_ws("\u0001", keyCols.map(col): _*).as("k"),
+        col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"ts", $"id") { case (_, it) =>
+        var anchor = Long.MinValue
+        it.flatMap { case (k, ts, id) =>
+          if (anchor == Long.MinValue || ts >= anchor + delta) {
+            anchor = ts; Some((k, ts, id))
+          } else None
+        }
+      }
+      .toDF("k", "ts", "id")
+  }
+
   object Sql {
     def shingles(e: String, n: Int): String = {
       val toks = TextOps.Sql.tokens.format(e)

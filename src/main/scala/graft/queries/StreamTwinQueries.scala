@@ -907,8 +907,57 @@ object StreamTwinQueries {
     Multiplex.progress(deliveries)
   }
 
+  private val DedupDeltaUs = 345_600_000_000L // 4-day suppression window
+
+  /**
+   * q199 — `dropDuplicatesWithinWatermark` batch twin
+   * ([[graft.operators.Dedup.dedupWithinDelta]]): per (user, event type)
+   * the first event anchors a 4-day suppression window; events inside it
+   * drop without extending it, the first event past it re-anchors — the
+   * exact per-key state SS holds under a 4-day watermark gap.
+   * StreamingSpec runs the REAL streaming operator over the same events
+   * and pins equality with this fold; the oracle walks every per-key
+   * chain through an indexed recursive CTE.
+   */
+  val watermarkDedup = GateQuery(
+    "q199_watermark_dedup",
+    Some(
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY epoch_us(ts), event_id) AS i
+         |  FROM events
+         |), rec AS (
+         |  SELECT user_id, event_type, event_id, us, i,
+         |    1 AS kept, us AS anchor
+         |  FROM e WHERE i = 1
+         |  UNION ALL
+         |  SELECT n.user_id, n.event_type, n.event_id, n.us, n.i,
+         |    CASE WHEN n.us >= r.anchor + $DedupDeltaUs THEN 1 ELSE 0 END,
+         |    CASE WHEN n.us >= r.anchor + $DedupDeltaUs THEN n.us
+         |         ELSE r.anchor END
+         |  FROM rec r JOIN e n ON n.user_id = r.user_id
+         |    AND n.event_type = r.event_type AND n.i = r.i + 1
+         |)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(bit_xor(event_id) AS BIGINT) AS xor_kept
+         |FROM rec WHERE kept = 1 GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    import graft.core.Tables
+    import graft.operators.Dedup
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"), col("event_id"))
+    val kept = Dedup.dedupWithinDelta(
+      e, Seq("user_id", "event_type"), "us", "event_id", DedupDeltaUs)
+    e.select(col("event_id").as("id"), col("event_type"))
+      .join(kept.select("id"), "id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), expr("bit_xor(id)").as("xor_kept"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(checkpointResume, optimisticLattice, redoReplay, syncpoints,
       ddlBarrier, sinkProgress, lateData, redoApply, dmlMetrics,
-      changefeedCrud, dmLifecycle, handleError, relayLog, multiplex)
+      changefeedCrud, dmLifecycle, handleError, relayLog, multiplex,
+      watermarkDedup)
 }

@@ -211,6 +211,41 @@ class StreamingSpec extends SparkSpec {
       (1L, base + 50_000_000L, base + 52_000_000L)))
   }
 
+  test("dropDuplicatesWithinWatermark matches the batch anchor-chain twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessEv]
+    val deduped = mem.toDF()
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", "5 seconds")
+      .dropDuplicatesWithinWatermark("user")
+    val q = deduped.writeStream.format("memory").queryName("ddw_live")
+      .outputMode("append").start()
+    val base = 1_700_000_000_000_000L
+    // dup inside the 5 s window in-batch; a second key interleaved
+    val evs1 = Seq(SessEv(1L, base), SessEv(1L, base + 2_000_000L),
+      SessEv(2L, base + 1_000_000L))
+    mem.addData(evs1: _*)
+    q.processAllAvailable()
+    // watermark flush past base+5s evicts the anchors (live state expiry
+    // = the twin's anchor+delta rule once the watermark has moved)
+    mem.addData(SessEv(99L, base + 20_000_000L)); q.processAllAvailable()
+    // re-anchor above the watermark, with a fresh in-window dup
+    val evs2 = Seq(SessEv(1L, base + 30_000_000L),
+      SessEv(1L, base + 31_000_000L))
+    mem.addData(evs2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val live = spark.table("ddw_live").filter(col("user") =!= 99L)
+      .select("user", "tsUs").as[(Long, Long)].collect().toSet
+    val twin = graft.operators.Dedup.dedupWithinDelta(
+        (evs1 ++ evs2).toDF(), Seq("user"), "tsUs", "tsUs", 5_000_000L)
+      .select(col("k").cast("long"), col("ts"))
+      .as[(Long, Long)].collect().toSet
+    assert(live == twin &&
+      live == Set((1L, base), (2L, base + 1_000_000L),
+        (1L, base + 30_000_000L)))
+  }
+
   test("idempotent replay: re-applying a batch converges to same state") {
     val dir = Files.createTempDirectory("graft_cf3").toString
     val batch = Seq(
