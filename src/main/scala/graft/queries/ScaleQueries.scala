@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.operators.Layout
 
@@ -271,6 +272,76 @@ object ScaleQueries {
       Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", KCenters)
   }
 
+  /**
+   * q200 — conditional MERGE INTO ([[graft.operators.Merge.merge]]):
+   * a derived source batch (rewritten keys → inserts, price bumps →
+   * guarded updates, stale −50 rows → update guard HOLDS THE TARGET,
+   * every-9th key → delete) applies onto the orders snapshot through
+   * first-match-wins clauses in ONE full-outer join pass. The gate pins
+   * the merged table's row count, exact price mass, per-status counts
+   * and key XOR against DuckDB's replay of the clause cascade.
+   */
+  val mergeInto = GateQuery(
+    "q200_merge_into",
+    Some(
+      """WITH t AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+        |  FROM orders
+        |), s AS (
+        |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_orderkey + 10000000
+        |              ELSE o_orderkey END AS k,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 100
+        |         ELSE o_totalprice - 50 END AS p,
+        |    'M' AS st
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), j AS (
+        |  SELECT t.k AS tk, t.p AS tp, t.st AS tst,
+        |         s.k AS sk, s.p AS sp, s.st AS sst
+        |  FROM t FULL OUTER JOIN s ON t.k = s.k
+        |), r AS (
+        |  SELECT
+        |    CASE WHEN sk IS NULL THEN tk
+        |         WHEN tk IS NULL THEN (CASE WHEN sk % 2 = 1 THEN sk END)
+        |         WHEN sk % 9 = 0 THEN NULL
+        |         WHEN sp > tp THEN sk ELSE tk END AS k,
+        |    CASE WHEN sk IS NULL THEN tp
+        |         WHEN tk IS NULL THEN (CASE WHEN sk % 2 = 1 THEN sp END)
+        |         WHEN sk % 9 = 0 THEN NULL
+        |         WHEN sp > tp THEN sp ELSE tp END AS p,
+        |    CASE WHEN sk IS NULL THEN tst
+        |         WHEN tk IS NULL THEN (CASE WHEN sk % 2 = 1 THEN sst END)
+        |         WHEN sk % 9 = 0 THEN NULL
+        |         WHEN sp > tp THEN sst ELSE tst END AS st
+        |  FROM j
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CASE WHEN st = 'M' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_merged,
+        |  CAST(bit_xor(k) AS BIGINT) AS xor_keys
+        |FROM r WHERE k IS NOT NULL""".stripMargin)) { (spark, dir) =>
+    import graft.operators.Merge
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val src = o.filter(col("o_orderkey") % 3 === 0)
+      .select(
+        when(col("o_orderkey") % 5 === 0, col("o_orderkey") + 10000000L)
+          .otherwise(col("o_orderkey")).as("o_orderkey"),
+        when(col("o_orderkey") % 2 === 0, col("o_totalprice") + 100d)
+          .otherwise(col("o_totalprice") - 50d).as("o_totalprice"),
+        lit("M").as("o_orderstatus"))
+    Merge.merge(o, src, Seq("o_orderkey"),
+        updateCond = col("s.o_totalprice") > col("t.o_totalprice"),
+        deleteCond = pmod(col("s.o_orderkey"), lit(9)) === 0,
+        insertCond = pmod(col("s.o_orderkey"), lit(2)) === 1)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_price"),
+        sum(when(col("o_orderstatus") === "M", 1L).otherwise(0L))
+          .as("n_merged"),
+        expr("bit_xor(o_orderkey)").as("xor_keys"))
+  }
+
   def all: Seq[GateQuery] = Seq(zorderLayout, weightedSample, urlCanon,
-    skewPlanGate, kCenter)
+    skewPlanGate, kCenter, mergeInto)
 }

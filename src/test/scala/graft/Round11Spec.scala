@@ -156,6 +156,27 @@ class Round11Spec extends SparkSpec {
     assert(got == Seq((1L, 1L, 0L), (2L, 4L, 64516L), (3L, 2L, 32258L)))
   }
 
+  // ---- conditional merge --------------------------------------------
+
+  test("merge clause matrix: guard holds stale rows, delete wins, insert filters") {
+    import graft.operators.Merge
+    val target = Seq((1L, 10L, "T"), (2L, 20L, "T"), (3L, 30L, "T"),
+      (4L, 40L, "T")).toDF("k", "v", "tag")
+    val source = Seq((1L, 11L, "S"), (2L, 19L, "S"), (3L, 99L, "S"),
+      (5L, 50L, "S"), (6L, 60L, "S")).toDF("k", "v", "tag")
+    val got = Merge.merge(target, source, Seq("k"),
+        updateCond = col("s.v") > col("t.v"),
+        deleteCond = col("s.k") === 3L,
+        insertCond = col("s.k") === 5L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 11L, "S"), // matched, guard passes → source row
+      (2L, 20L, "T"), // matched, STALE source → target held
+      // 3 deleted (delete precedes the update clause: 99 > 30 is true)
+      (4L, 40L, "T"), // target-only passthrough
+      (5L, 50L, "S"))) // insert allowed; 6 filtered by insertCond
+  }
+
   test("recommendedBinSize snaps the median length down to a power of two") {
     val iv = Seq.tabulate(101)(i => (i.toLong, 0L, 1000L + i.toLong))
       .toDF("iid", "s", "e") // median length 1050
