@@ -342,6 +342,55 @@ object ScaleQueries {
         expr("bit_xor(o_orderkey)").as("xor_keys"))
   }
 
+  /**
+   * q201 — incremental aggregate-view maintenance
+   * ([[graft.operators.Ivm]]): a (count, sum) view grouped by
+   * (returnflag, linestatus) is built on a base slice, then maintained
+   * under a derived changelog (inserts, deletes, in-place quantity
+   * updates) WITHOUT re-reading the base — state ⊎ signed delta, one
+   * bounded shuffle. The oracle rebuilds the final table from scratch
+   * and aggregates it: maintained state must be bit-equal to the full
+   * recompute, exact-decimal sums included.
+   */
+  val ivmMaintain = GateQuery(
+    "q201_ivm_maintain",
+    Some(
+      """WITH fin AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CASE WHEN l_orderkey % 7 = 3 THEN l_quantity + 5
+        |         ELSE l_quantity END AS q
+        |  FROM lineitem WHERE l_linenumber <= 4 AND l_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT l_returnflag, l_linestatus, l_quantity
+        |  FROM lineitem WHERE l_linenumber >= 5
+        |)
+        |SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM fin GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    import graft.operators.Ivm
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val kc = keys.map(col)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity"))
+    val base = li.filter(col("l_linenumber") <= 4)
+    val state0 = Ivm.aggState(base, keys, "l_quantity")
+    val nul = lit(null).cast("double")
+    val ins = li.filter(col("l_linenumber") >= 5)
+      .select(lit("i").as("op") +: kc :+ nul.as("val_before")
+        :+ col("l_quantity").as("val_after"): _*)
+    val del = base.filter(col("l_orderkey") % 7 === 0)
+      .select(lit("d").as("op") +: kc :+ col("l_quantity").as("val_before")
+        :+ nul.as("val_after"): _*)
+    val upd = base.filter(col("l_orderkey") % 7 === 3)
+      .select(lit("u").as("op") +: kc :+ col("l_quantity").as("val_before")
+        :+ (col("l_quantity") + 5d).as("val_after"): _*)
+    val log = ins.unionByName(del).unionByName(upd)
+    Ivm.applyDelta(state0, Ivm.deltaState(log, keys), keys)
+      .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+        col("sum_v").cast("double").as("sum_qty"))
+  }
+
   def all: Seq[GateQuery] = Seq(zorderLayout, weightedSample, urlCanon,
-    skewPlanGate, kCenter, mergeInto)
+    skewPlanGate, kCenter, mergeInto, ivmMaintain)
 }

@@ -206,6 +206,28 @@ class Round11Spec extends SparkSpec {
     assert(got == Seq((1L, 1L, 0L), (2L, 4L, 64516L), (3L, 2L, 32258L)))
   }
 
+  // ---- incremental view maintenance ---------------------------------
+
+  test("ivm: vanishing groups disappear; key-moving updates apply pre-split") {
+    import graft.operators.Ivm
+    val base = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0)).toDF("k", "v")
+    val state0 = Ivm.aggState(base, Seq("k"), "v")
+    // delete all of A; move B's row to C as the split d+i pair
+    val log = Seq(
+      ("d", "A", Some(1.0), None), ("d", "A", Some(2.0), None),
+      ("d", "B", Some(3.0), None), ("i", "C", None, Some(3.0)))
+      .toDF("op", "k", "val_before", "val_after")
+    val got = Ivm.applyDelta(state0, Ivm.deltaState(log, Seq("k")), Seq("k"))
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("C", 1L, 3.0)))
+    // equals the from-scratch rebuild of the final table
+    val rebuilt = Ivm.aggState(Seq(("C", 3.0)).toDF("k", "v"), Seq("k"), "v")
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == rebuilt)
+  }
+
   // ---- conditional merge --------------------------------------------
 
   test("merge clause matrix: guard holds stale rows, delete wins, insert filters") {
