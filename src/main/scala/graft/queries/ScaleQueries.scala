@@ -391,6 +391,57 @@ object ScaleQueries {
         col("sum_v").cast("double").as("sum_qty"))
   }
 
+  private val TsStepUs = 7_200_000_000L // 2 h resample grid
+
+  /**
+   * q202 — time-series resample + forward-fill
+   * ([[graft.operators.Timeseries.resampleFfill]]): each event type's
+   * irregular value stream lands on a dense 2-hour grid, last
+   * observation per bucket (ts then id — the CDC commit-order tie rule),
+   * gaps carried forward, leading gaps NULL. Values are selected, never
+   * summed, so doubles stay bit-exact; the gate pins every grid cell —
+   * fill value and gap flag — against DuckDB's replay.
+   */
+  val resample = GateQuery(
+    "q202_resample_ffill",
+    Some(
+      s"""WITH bounds AS (
+         |  SELECT (min(epoch_us(ts)) // $TsStepUs) * $TsStepUs AS s,
+         |         max(epoch_us(ts)) + 1 AS e
+         |  FROM events
+         |), a AS (
+         |  SELECT event_type AS k,
+         |    (epoch_us(ts) - (SELECT s FROM bounds)) // $TsStepUs AS b,
+         |    value AS v,
+         |    row_number() OVER (
+         |      PARTITION BY event_type,
+         |        (epoch_us(ts) - (SELECT s FROM bounds)) // $TsStepUs
+         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |  FROM events
+         |), al AS (SELECT k, b, v FROM a WHERE rn = 1),
+         |grid AS (
+         |  SELECT k, unnest(range(0,
+         |    (SELECT (e - 1 - s) // $TsStepUs + 1 FROM bounds))) AS b
+         |  FROM (SELECT DISTINCT event_type AS k FROM events)
+         |), j AS (
+         |  SELECT g.k, g.b, al.v FROM grid g
+         |  LEFT JOIN al ON al.k = g.k AND al.b = g.b
+         |)
+         |SELECT k, b * $TsStepUs + (SELECT s FROM bounds) AS bucket_us,
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+         |  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+         |FROM j""".stripMargin)) { (spark, dir) =>
+    import graft.operators.Timeseries
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"), expr("ts DIV 1000").as("us"),
+        col("event_id"), col("value"))
+    val b = e.agg(min("us"), max("us")).head()
+    val start = b.getLong(0) / TsStepUs * TsStepUs
+    Timeseries.resampleFfill(e, "event_type", "us", "event_id", "value",
+      TsStepUs, start, b.getLong(1) + 1)
+  }
+
   def all: Seq[GateQuery] = Seq(zorderLayout, weightedSample, urlCanon,
-    skewPlanGate, kCenter, mergeInto, ivmMaintain)
+    skewPlanGate, kCenter, mergeInto, ivmMaintain, resample)
 }

@@ -228,6 +228,27 @@ class Round11Spec extends SparkSpec {
     assert(got == rebuilt)
   }
 
+  // ---- time-series resample -----------------------------------------
+
+  test("resampleFfill: in-bucket last wins by (ts,id), gaps carry, leading stays null") {
+    import graft.operators.Timeseries
+    val df = Seq(
+      // key a: bucket1 has ties at ts=15 → id 7 wins; bucket2 empty;
+      // bucket3 observed
+      ("a", 15L, 6L, 1.5), ("a", 15L, 7L, 2.5), ("a", 33L, 8L, 9.0),
+      // key b: first observation in bucket 2 → buckets 0,1 stay null
+      ("b", 25L, 9L, 4.0))
+      .toDF("k", "us", "id", "v")
+    val got = Timeseries.resampleFfill(df, "k", "us", "id", "v", 10L, 0L, 40L)
+      .orderBy("k", "bucket_us")
+      .as[(String, Long, Option[Double], Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 0L, None, 1L), ("a", 10L, Some(2.5), 0L),
+      ("a", 20L, Some(2.5), 1L), ("a", 30L, Some(9.0), 0L),
+      ("b", 0L, None, 1L), ("b", 10L, None, 1L),
+      ("b", 20L, Some(4.0), 0L), ("b", 30L, Some(4.0), 1L)))
+  }
+
   // ---- conditional merge --------------------------------------------
 
   test("merge clause matrix: guard holds stale rows, delete wins, insert filters") {
