@@ -442,6 +442,55 @@ object ScaleQueries {
       TsStepUs, start, b.getLong(1) + 1)
   }
 
+  /**
+   * q203 — ROLLUP with grouping ids: the corpus report in one pass at
+   * every aggregation level (source×lang, per-source subtotal, grand
+   * total) — Spark's `rollup` plans a single expand+agg, the oracle is
+   * the ANSI GROUP BY ROLLUP twin; grouping_id bitmasks match across
+   * engines (lang is the LSB).
+   */
+  val rollupReport = GateQuery(
+    "q203_rollup_report",
+    Some(
+      """SELECT coalesce(source, 'ALL') AS source,
+        |  coalesce(lang, 'ALL') AS lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(grouping(source, lang) AS BIGINT) AS gid
+        |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin)) {
+    (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("sum_chars"), col("gid"))
+  }
+
+  /**
+   * q204 — PIVOT to a wide per-source language matrix: Spark's `pivot`
+   * with an explicit value list (the 5 fixed langs) plans one expand-free
+   * pivot agg; the oracle is the conditional-aggregation twin with
+   * byte-identical column names.
+   */
+  val pivotMatrix = GateQuery(
+    "q204_pivot_langs",
+    Some {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val cols = langs.map(l =>
+        s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS $l")
+        .mkString(", ")
+      s"SELECT source, $cols FROM documents GROUP BY source"
+    }) { (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+
   def all: Seq[GateQuery] = Seq(zorderLayout, weightedSample, urlCanon,
-    skewPlanGate, kCenter, mergeInto, ivmMaintain, resample)
+    skewPlanGate, kCenter, mergeInto, ivmMaintain, resample, rollupReport,
+    pivotMatrix)
 }
