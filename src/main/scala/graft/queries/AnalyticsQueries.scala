@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/**
+ * Warehouse analytics over the landed tables — the query patterns a
+ * consumer of the CDC/curation pipelines actually runs day-to-day:
+ * optimizer statistics, referential-integrity audits, funnel and
+ * retention analyses. All exact-arithmetic, all one-or-two bounded
+ * shuffles; each gate's oracle replays the full computation.
+ */
+object AnalyticsQueries {
+
+  /**
+   * q205 — table statistics collection (the ANALYZE TABLE shape that
+   * feeds broadcast/join-order decisions): per column, null count, exact
+   * NDV, min/max — all four columns in ONE aggregation pass, unpivoted
+   * to long form. Production swaps exact NDV for approx_count_distinct
+   * (HLL, the q156 path) — exact here so the oracle can pin it.
+   */
+  val tableStats = GateQuery(
+    "q205_table_stats",
+    Some {
+      val cols = Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+           |  CAST(min($c) AS DOUBLE) AS min_d, CAST(max($c) AS DOUBLE) AS max_d
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    }) { (spark, dir) =>
+    val cols = Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val li = Tables.load(spark, dir, "lineitem")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_ndv"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"${c}_nn").as("n_nulls"), col(s"${c}_ndv").as("ndv"),
+          col(s"${c}_min").as("min_d"), col(s"${c}_max").as("max_d"))
+      }: _*)).as("s"))
+      .select("s.*")
+  }
+
+  /**
+   * q206 — referential-integrity audit (the sync-diff-adjacent data-
+   * quality check): per FK edge, child rows, orphan children (anti-join
+   * against the parent) and childless parents — two broadcast-friendly
+   * anti-join counts per edge, no row ever leaves its partition twice.
+   */
+  val fkAudit = GateQuery(
+    "q206_fk_audit",
+    Some(
+      """SELECT 'lineitem.l_orderkey->orders' AS fk,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |      WHERE l.l_orderkey = o.o_orderkey)) AS n_childless
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey = o.o_custkey)),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey))""".stripMargin)) {
+    (spark, dir) =>
+    def edge(fk: String, child: org.apache.spark.sql.DataFrame, ck: String,
+        parent: org.apache.spark.sql.DataFrame, pk: String) = {
+      val nChild = child.count()
+      val nOrphan = child.join(parent, child(ck) === parent(pk), "left_anti")
+        .count()
+      val nChildless = parent.join(child, child(ck) === parent(pk),
+        "left_anti").count()
+      (fk, nChild, nOrphan, nChildless)
+    }
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    import spark.implicits._
+    Seq(
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+      edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"))
+      .toDF("fk", "n_child", "n_orphan", "n_childless")
+  }
+
+  /**
+   * q207 — funnel analysis (signup → view → click → purchase): per user
+   * a sequential automaton over the time-ordered event stream advances a
+   * stage exactly when the NEXT stage's event type arrives — one
+   * `flatMapSortedGroups` pass, two ints of state per user. The oracle
+   * replays every automaton step through an indexed recursive CTE. The
+   * conversion histogram (users per max stage reached) is the gate.
+   */
+  val funnel = GateQuery(
+    "q207_funnel",
+    Some(
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS i
+        |  FROM events
+        |  WHERE epoch_us(ts) < (SELECT min(epoch_us(ts)) FROM events)
+        |    + 360000000000
+        |), n AS (SELECT user_id, max(i) AS mx FROM e GROUP BY 1),
+        |rec AS (
+        |  SELECT e.user_id, e.i,
+        |    CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END AS stage
+        |  FROM e WHERE e.i = 1
+        |  UNION ALL
+        |  SELECT x.user_id, x.i,
+        |    CASE WHEN r.stage = 0 AND x.event_type = 'signup' THEN 1
+        |         WHEN r.stage = 1 AND x.event_type = 'view' THEN 2
+        |         WHEN r.stage = 2 AND x.event_type = 'click' THEN 3
+        |         WHEN r.stage = 3 AND x.event_type = 'purchase' THEN 4
+        |         ELSE r.stage END
+        |  FROM rec r JOIN e x ON x.user_id = r.user_id AND x.i = r.i + 1
+        |), fin AS (
+        |  SELECT r.user_id, r.stage FROM rec r JOIN n ON n.user_id = r.user_id
+        |  WHERE r.i = n.mx
+        |)
+        |SELECT CAST(stage AS BIGINT) AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM fin GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    val stages = Map("signup" -> 1, "view" -> 2, "click" -> 3, "purchase" -> 4)
+    val all = Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_id"),
+        col("event_type"))
+    // first-100h slice: early enough that the stage histogram spreads
+    val cut = all.agg(min("us")).head().getLong(0) + 360_000_000_000L
+    all.filter(col("us") < cut)
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"us", $"event_id") { case (user, it) =>
+        var stage = 0
+        it.foreach { case (_, _, _, et) =>
+          if (stages.get(et).contains(stage + 1)) stage += 1
+        }
+        Iterator.single((user, stage.toLong))
+      }
+      .toDF("user_id", "stage")
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
+
+  /**
+   * q208 — retention cohorts: users grouped by first-seen week, the
+   * classic (cohort, week-offset) → active-users triangle. Two bounded
+   * aggregations: first-seen per user (broadcast back — |users| rows),
+   * then distinct (user, week) activity. Exact epoch-week arithmetic.
+   */
+  val retention = GateQuery(
+    "q208_retention",
+    Some(
+      """WITH f AS (
+        |  SELECT user_id, min(epoch_us(ts)) // 604800000000 AS w0
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT e.user_id, f.w0,
+        |    epoch_us(e.ts) // 604800000000 - f.w0 AS off
+        |  FROM events e JOIN f ON f.user_id = e.user_id
+        |)
+        |SELECT w0 AS cohort_week, CAST(off AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM a GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    val WeekUs = 604_800_000_000L
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("ts DIV 1000").as("us"))
+    val div = (c: org.apache.spark.sql.Column) =>
+      ((c - pmod(c, lit(WeekUs))) / WeekUs).cast("long")
+    val first = e.groupBy("user_id").agg(div(min(col("us"))).as("w0"))
+    e.join(broadcast(first), "user_id")
+      .select(col("user_id"), col("w0"), (div(col("us")) - col("w0")).as("off"))
+      .distinct()
+      .groupBy(col("w0").as("cohort_week"), col("off").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  def all: Seq[GateQuery] = Seq(tableStats, fkAudit, funnel, retention)
+}

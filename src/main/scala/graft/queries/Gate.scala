@@ -79,6 +79,7 @@ object Gate {
       CodecQueries.all ++ GenericCodecQueries.all ++ DocQueries.all ++
       CurationQueries.all ++ LmQueries.all ++ EmbeddingQueries.all ++
       StatsQueries.all ++ ExtraQueries.all ++ ScaleQueries.all ++
+      AnalyticsQueries.all ++
       DdlQueries.all ++ StreamTwinQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

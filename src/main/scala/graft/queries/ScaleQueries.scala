@@ -244,7 +244,8 @@ object ScaleQueries {
    */
   val kCenter = GateQuery(
     "q198_kcenter_coreset",
-    Some {
+    heavy = true, // k driver-side argmax rounds over a persisted corpus
+    oracle = Some {
       val qv = graft.operators.VectorOps.Sql.quantizeInt8("embedding")
       def dist(a: String, b: String) =
         s"CAST(list_sum([ (z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip($a, $b)]) AS BIGINT)"
