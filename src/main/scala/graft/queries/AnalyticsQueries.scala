@@ -187,5 +187,51 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_active"))
   }
 
-  def all: Seq[GateQuery] = Seq(tableStats, fkAudit, funnel, retention)
+  /**
+   * q209 — edit-distance-verified near-dup pairs: the exact-verify tier
+   * between SimHash/MinHash (bit/set similarity) and PPJoin (token-set
+   * exact): candidate pairs from cheap blocking (language × 64-char
+   * length bucket — the standard blocking recall tradeoff; MinHash is
+   * the recall path), then Levenshtein over the 120-char prefix as the
+   * verifier. Both engines implement the identical unit-cost DP, so the
+   * distance itself is oracle-pinned, not just the counts. Per language:
+   * candidates checked, pairs within τ=20, and the minimum distance.
+   */
+  val editDistDedup = GateQuery(
+    "q209_editdist_pairs",
+    Some(
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars // 64 AS blk,
+        |    substr(text, 1, 120) AS t
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.lang, levenshtein(a.t, b.t) AS lev
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk
+        |    AND a.doc_id < b.doc_id
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_checked,
+        |  CAST(sum(CASE WHEN lev <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_neardup,
+        |  CAST(coalesce(min(lev), -1) AS BIGINT) AS min_lev
+        |FROM p GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        ((col("n_chars") - pmod(col("n_chars"), lit(64L))) / 64L)
+          .cast("long").as("blk"),
+        substring(col("text"), 1, 120).as("t"))
+    val a = d.select(col("doc_id").as("aid"), col("lang"), col("blk"),
+      col("t").as("ta"))
+    val b = d.select(col("doc_id").as("bid"), col("lang").as("lb"),
+      col("blk").as("bb"), col("t").as("tb"))
+    a.join(b, col("lang") === col("lb") && col("blk") === col("bb") &&
+        col("aid") < col("bid"))
+      .select(col("lang"), levenshtein(col("ta"), col("tb")).as("lev"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("lev") <= 20, 1L).otherwise(0L)).as("n_neardup"),
+        coalesce(min(col("lev")), lit(-1L)).as("min_lev"))
+  }
+
+  def all: Seq[GateQuery] = Seq(tableStats, fkAudit, funnel, retention,
+    editDistDedup)
 }
