@@ -100,6 +100,26 @@ object Bench100x {
       val sh = Dedup.simhashTable(docs, "doc_id", "text", bits)
       Dedup.simhashCandidates(sh, bits, bands, maxHam = 3)
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    },
+    // round-10: the PRODUCTION z-order writer (range shuffle — the gate's
+    // ntile twin is deliberately not run here: a single-task global window
+    // is the anti-plan the writer exists to avoid). Writes the 100×
+    // lineitem z-clustered, then audits per-file pruning off the footers.
+    "q194_zorder_writer" -> { () =>
+      import graft.operators.Layout
+      val out = System.getProperty("java.io.tmpdir") +
+        s"/graft_zw_${ProcessHandle.current.pid}"
+      Layout.writeZOrdered(Tables.load(spark, dir, "lineitem"),
+        "l_partkey", "l_suppkey", 10, 256, out)
+      val stats = spark.read.parquet(out)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_partkey").as("nx"), max("l_partkey").as("xx"),
+          min("l_suppkey").as("ny"), max("l_suppkey").as("xy"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("xx") < 500L || col("nx") > 900L ||
+            col("xy") < 25L || col("ny") > 50L, 1L).otherwise(0L))
+            .as("files_skipped"))
+      stats
     })
 
   private val GateSet = Seq("q01_pricing_summary", "q93_lm_perplexity",
@@ -122,7 +142,15 @@ object Bench100x {
     // stressed), c-TF-IDF (ONE corpus shuffle then vocab-bounded work),
     // and session windows (native session_window over the events table)
     "q178_kneser_ney", "q182_winnow_overlap", "q179_ctfidf_keywords",
-    "q183_session_window")
+    "q183_session_window",
+    // round-10: the binned range join (10M points × ~54k global windows —
+    // the naive BNLJ form would do ~5e11 comparisons and is deliberately
+    // absent), no-shuffle weighted sampling, the anchor-chain dedup fold,
+    // IVM state maintenance, grid resample, the funnel automaton, the
+    // retention triangle, and k-center selection over 500k vectors
+    "q193_range_join", "q195_weighted_sample", "q199_watermark_dedup",
+    "q201_ivm_maintain", "q202_resample_ffill", "q207_funnel",
+    "q208_retention", "q198_kcenter_coreset")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(
