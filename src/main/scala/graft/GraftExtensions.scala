@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.functions.{AvroDecodeEnvelope, AvroDecodeKey, AvroEncodeEnvelope, AvroEncodeKey}
 
@@ -42,5 +42,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => AvroEncodeKey(args.head, schemaId(args, 2))))
     ext.injectFunction(fn("avro_decode_key",
       args => AvroDecodeKey(args.head, schemaId(args, 2))))
+    // graft's codegen'd text kernels surfaced to SQL text — these are
+    // REAL Catalyst Expression classes (injectFunction substitutes the
+    // builder's result verbatim, so only concrete expressions qualify;
+    // Column-composed operators like UrlOps stay typed-API-only, their
+    // trees carry lazily-resolved function nodes the analyzer has
+    // already passed by substitution time).
+    def intArg(args: Seq[Expression], i: Int, default: Int): Int =
+      if (args.size > i) args(i).eval().asInstanceOf[Number].intValue()
+      else default
+    ext.injectFunction(fn("graft_shingle_hashes", args =>
+      graft.functions.ShingleHashes(args.head, intArg(args, 1, 3))))
+    ext.injectFunction(fn("graft_winnow", args =>
+      graft.functions.WinnowHashes(args.head, intArg(args, 1, 3),
+        intArg(args, 2, 4))))
+    ext.injectFunction(fn("graft_simhash", args =>
+      graft.functions.Simhash64(args.head, intArg(args, 1, 32))))
+    ext.injectFunction(fn("graft_token_tf", args =>
+      graft.functions.TokenTf(args.head)))
+    ext.injectFunction(fn("graft_top_ngram_frac", args =>
+      // kernel takes a token ARRAY — tokenize with the concrete split
+      // expression (TextOps.tokens' \s+ rule)
+      graft.functions.TopNgramFrac(
+        org.apache.spark.sql.catalyst.expressions.StringSplit(
+          args.head, Literal("\\s+"), Literal(-1)),
+        intArg(args, 1, 2))))
   }
 }

@@ -206,6 +206,27 @@ class Round11Spec extends SparkSpec {
     assert(got == Seq((1L, 1L, 0L), (2L, 4L, 64516L), (3L, 2L, 32258L)))
   }
 
+  // ---- SQL-surface registration -------------------------------------
+
+  test("graft text kernels answer from SQL text identically to the Column API") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions._
+    Seq(("the cat sat on the mat the cat sat", 0))
+      .toDF("t", "z").createOrReplaceTempView("g_sqlfn")
+    val viaSql = spark.sql(
+      """SELECT graft_simhash(t) AS sh, graft_shingle_hashes(t, 3) AS shg,
+        |  graft_winnow(t, 3, 4) AS wn, graft_token_tf(t) AS tf,
+        |  graft_top_ngram_frac(t, 2) AS fr
+        |FROM g_sqlfn""".stripMargin).collect().head
+    val t = col("t")
+    val viaApi = spark.table("g_sqlfn").select(
+      TextRuns.simhash64(t, 32), TextRuns.shingleHashes(t, 3),
+      TextRuns.winnowHashes(t, 3, 4), TextRuns.tokenTf(t),
+      TextRuns.topNgramFrac(split(t, "\\s+"), 2)).collect().head
+    assert(viaSql.toSeq == viaApi.toSeq)
+    assert(viaSql.getAs[Long]("sh") != 0L)
+  }
+
   // ---- incremental view maintenance ---------------------------------
 
   test("ivm: vanishing groups disappear; key-moving updates apply pre-split") {
