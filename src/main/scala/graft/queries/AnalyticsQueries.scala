@@ -232,6 +232,54 @@ object AnalyticsQueries {
         coalesce(min(col("lev")), lit(-1L)).as("min_lev"))
   }
 
+  private val PrIters = 3
+
+  /**
+   * q210 — exact fixed-point PageRank ([[graft.operators.Graphs]]): the
+   * supplier co-occurrence graph (consecutive line numbers within an
+   * order → directed edge, multi-edges kept) ranked through 3 damped
+   * iterations in pure ppm integers — per-edge integral-division
+   * contributions, so the oracle's generated stage-per-iteration CTE
+   * replays every rank bit-for-bit. The domain-centrality shape of
+   * web-corpus weighting, one destination-keyed shuffle per round.
+   */
+  val pageRank = GateQuery(
+    "q210_pagerank",
+    Some {
+      def stage(i: Int): String =
+        s"""p$i AS (
+           |  SELECT n.node,
+           |    150000 + (850000 * coalesce(m.s, 0)) // 1000000 AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst, sum(p.pr // d.deg) AS s
+           |    FROM e JOIN p${i - 1} p ON p.node = e.src
+           |    JOIN deg d ON d.src = e.src GROUP BY 1
+           |  ) m ON m.dst = n.node
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |   AND b.l_linenumber = a.l_linenumber + 1
+         |), nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+         |), deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         |${(1 to PrIters).map(stage).mkString(", ")}
+         |SELECT node, CAST(pr AS BIGINT) AS pr_ppm FROM p$PrIters""".stripMargin
+    }) { (spark, dir) =>
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+    val a = li.select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      col("l_suppkey").as("src"))
+    val b = li.select(col("l_orderkey").as("ok2"),
+      col("l_linenumber").as("ln2"), col("l_suppkey").as("dst"))
+    val edges = a.join(b, col("ok") === col("ok2") &&
+      col("ln2") === col("ln") + 1)
+    graft.operators.Graphs.pageRank(edges, "src", "dst", PrIters)
+  }
+
   def all: Seq[GateQuery] = Seq(tableStats, fkAudit, funnel, retention,
-    editDistDedup)
+    editDistDedup, pageRank)
 }

@@ -227,6 +227,20 @@ class Round11Spec extends SparkSpec {
     assert(viaSql.getAs[Long]("sh") != 0L)
   }
 
+  // ---- pagerank -------------------------------------------------------
+
+  test("pagerank: one damped iteration matches the hand-computed ppm ranks") {
+    import graft.operators.Graphs
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = Graphs.pageRank(edges, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    // A splits 10^6 across 2 edges (500000 each), B forwards 10^6 whole
+    assert(got == Map(
+      1L -> 150000L,                       // no in-edges: (1-d) only
+      2L -> 575000L,                       // 150000 + 850000·500000÷10^6
+      3L -> 1425000L))                     // 150000 + 850000·1500000÷10^6
+  }
+
   // ---- incremental view maintenance ---------------------------------
 
   test("ivm: vanishing groups disappear; key-moving updates apply pre-split") {
