@@ -98,6 +98,24 @@ object Bench {
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       })
     def gcSettle(): Unit = { System.gc(); Thread.sleep(300); System.gc() }
+    // Shuffle-volume attribution: aggregate stage shuffle write bytes per
+    // gate (listener drained at each boundary so async events land on the
+    // right gate). "Is there a shuffle here that becomes the bottleneck at
+    // 100×" answered by measurement — the per-gate MB ship in BENCH_FULL.
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleWrite.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    })
+    def drain(): Unit =
+      try org.apache.spark.graftbridge.SparkInternals
+        .waitListenerEmpty(spark.sparkContext)
+      catch { case _: Throwable => () }
+    val shuffleByGate = scala.collection.mutable.Map.empty[String, Long]
     def run(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
             settleAfterEach: Boolean) =
       entries.zipWithIndex.map { case ((name, fn), i) =>
@@ -107,9 +125,11 @@ object Bench {
         // (r8: q130 6.3 s in-suite vs 2.65 isolated, q28b 5.7 vs 1.3)
         if (!settleAfterEach && i % 25 == 0 && i > 0) gcSettle()
         val starts0 = streamStarts.get()
+        drain(); val sh0 = shuffleWrite.get()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
+        drain(); shuffleByGate(name) = shuffleWrite.get() - sh0
         if (!settleAfterEach && streamStarts.get() != starts0)
           System.err.println(
             s"[bench] WARN: pure-phase gate $name started a StreamingQuery —" +
@@ -135,8 +155,13 @@ object Bench {
     if (args.isEmpty) {
       val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
+      // parallel map: per-gate shuffle WRITE volume in MB (3 decimals) —
+      // the "would this shuffle survive 100×" evidence next to the seconds
+      val shQs = results.collect { case (k, _) if shuffleByGate.contains(k) =>
+        "\"" + k + "\":" + f"${shuffleByGate(k) / 1048576.0}%.3f"
+      }.mkString("{", ",", "}")
       val fullLine =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","rows_per_sec":${ingestRows / math.max(ingestSec, 1e-9)}%.0f,"queries":$fullQs,"sf":"$sfDir"}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","rows_per_sec":${ingestRows / math.max(ingestSec, 1e-9)}%.0f,"queries":$fullQs,"shuffle_mb":$shQs,"sf":"$sfDir"}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
         fullLine.getBytes("UTF-8")) catch { case _: Throwable => }
