@@ -76,6 +76,33 @@ object Ranges {
   }
 
   /**
+   * Keyless interval × interval OVERLAP join (`a.s < b.e AND b.s < a.e`,
+   * half-open), the genomics/session-alignment sibling of
+   * [[pointInInterval]] and the same BNLJ cliff. Both sides explode onto
+   * their bins; a qualifying pair shares at least one bin, and the
+   * exactly-once rule is the standard first-shared-bin predicate: emit
+   * only where the join bin equals max(first bin of a, first bin of b).
+   * Cost: shuffled rows = Σ(len/bin + 2) over BOTH sides; the residual
+   * overlap predicate keeps exactness for every bin size.
+   */
+  def intervalOverlap(left: DataFrame, ls: String, le: String,
+      right: DataFrame, rs: String, re: String, binSize: Long): DataFrame = {
+    require(binSize > 0, s"binSize must be positive: $binSize")
+    val a = left.filter(col(le) > col(ls))
+      .withColumn("_g_abin", explode(sequence(
+        col(ls).divLong(binSize), (col(le) - 1L).divLong(binSize))))
+    val b = right.filter(col(re) > col(rs))
+      .withColumn("_g_bbin", explode(sequence(
+        col(rs).divLong(binSize), (col(re) - 1L).divLong(binSize))))
+    a.join(b,
+        a("_g_abin") === b("_g_bbin") &&
+          col(ls) < col(re) && col(rs) < col(le) &&
+          a("_g_abin") === greatest(
+            col(ls).divLong(binSize), col(rs).divLong(binSize)))
+      .drop("_g_abin", "_g_bbin")
+  }
+
+  /**
    * Bin-size knob: the median interval length, snapped DOWN to a
    * power-of-two multiple of `quantum` (so bins align across runs and the
    * expansion factor stays ≤ 3 for half the intervals, ≤ ⌈len/median⌉+1

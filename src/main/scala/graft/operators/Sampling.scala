@@ -60,19 +60,41 @@ object Sampling {
    * ((l2q8(M) − l2q8(u)) · 2^16) div w and keeps the k smallest
    * (priority, id). One map pass + top-k; no shuffle.
    */
-  def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
-      k: Int, seed: Int): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide, Literal}
+  /** The A-ES priority: ((l2q8(M) − l2q8(u)) · 2^16) div max(w, 1) with
+    * u = seeded hash of the id — shared by the global and per-group
+    * samplers. */
+  def priorityQ(id: Column, weight: Column, seed: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide}
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val u = pmod(Hashing.seeded(col(idCol), lit(seed)), lit(M)) + 1L
-    val w = greatest(col(weightCol).cast("long"), lit(1L))
+    val u = pmod(Hashing.seeded(id, lit(seed)), lit(M)) + 1L
+    val w = greatest(weight.cast("long"), lit(1L))
     val num = (lit(256L * 20L) - l2q8(u)) * 65536L
-    val pr = ColumnBridge.column(IntegralDivide(
+    ColumnBridge.column(IntegralDivide(
       ColumnBridge.expression(num), ColumnBridge.expression(w),
       EvalMode.LEGACY))
-    df.withColumn("priority_q", pr)
+  }
+
+  def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Int): DataFrame =
+    df.withColumn("priority_q", priorityQ(col(idCol), col(weightCol), seed))
       .orderBy(col("priority_q"), col(idCol))
       .limit(k)
+
+  /**
+   * Stratified variant: k rows PER GROUP, same priority algebra. The
+   * per-group rank runs as a window over (priority, id) — Spark's
+   * `WindowGroupLimit` pushes the `rank <= k` limit MAP-SIDE below the
+   * exchange (PlanShapeSpec pins it), so at 100 TB each partition ships
+   * at most k rows per group it holds, not its whole slice.
+   */
+  def weightedSampleKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int, seed: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("priority_q", priorityQ(col(idCol), col(weightCol), seed))
+      .withColumn("_g_rn", row_number().over(Window.partitionBy(col(groupCol))
+        .orderBy(col("priority_q"), col(idCol))))
+      .filter(col("_g_rn") <= k)
+      .drop("_g_rn")
   }
 
   /** DuckDB twins — keep in lockstep with the builders above. */

@@ -276,7 +276,57 @@ object CoreQueries {
     (points, intervals)
   }
 
+  /**
+   * q211 — keyless interval OVERLAP join
+   * ([[graft.operators.Ranges.intervalOverlap]]): two derived global
+   * interval sets (purchase windows × error windows, no shard key)
+   * joined on `a.s < b.e AND b.s < a.e` via the binned rewrite with the
+   * first-shared-bin exactly-once rule — the interval×interval sibling
+   * of q193's point×interval cliff. The gate pins pair count, the exact
+   * overlap mass Σ(min(ends)−max(starts)) and a pair-key XOR.
+   */
+  val overlapJoin = GateQuery(
+    "q211_overlap_join",
+    Some(
+      s"""WITH a AS (
+         |  SELECT event_id AS aid, epoch_us(ts) AS as_,
+         |    epoch_us(ts) + (user_id % 5 + 1) * 3600000000 AS ae
+         |  FROM events WHERE event_type = 'purchase' AND event_id % 23 = 0
+         |), b AS (
+         |  SELECT event_id AS bid, epoch_us(ts) AS bs,
+         |    epoch_us(ts) + (user_id % 3 + 1) * 3600000000 AS be
+         |  FROM events WHERE event_type = 'error' AND event_id % 17 = 0
+         |), j AS (
+         |  SELECT aid, bid,
+         |    least(ae, be) - greatest(as_, bs) AS ov
+         |  FROM a JOIN b ON as_ < be AND bs < ae
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(sum(ov), 0) AS BIGINT) AS sum_overlap_us,
+         |  CAST(coalesce(bit_xor(aid * 1000003 + bid), 0) AS BIGINT)
+         |    AS xor_pair
+         |FROM j""".stripMargin)) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_id"), expr("ts DIV 1000").as("us"),
+        col("user_id"), col("event_type"))
+    val a = e.filter(col("event_type") === "purchase" &&
+        col("event_id") % 23 === 0)
+      .select(col("event_id").as("aid"), col("us").as("as_"),
+        (col("us") + (col("user_id") % 5 + 1) * 3_600_000_000L).as("ae"))
+    val b = e.filter(col("event_type") === "error" &&
+        col("event_id") % 17 === 0)
+      .select(col("event_id").as("bid"), col("us").as("bs"),
+        (col("us") + (col("user_id") % 3 + 1) * 3_600_000_000L).as("be"))
+    graft.operators.Ranges.intervalOverlap(a, "as_", "ae", b, "bs", "be",
+        RangeBinUs)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(least(col("ae"), col("be")) -
+          greatest(col("as_"), col("bs"))), lit(0L)).as("sum_overlap_us"),
+        coalesce(expr("bit_xor(aid * 1000003 + bid)"), lit(0L))
+          .as("xor_pair"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(pricing, distinctStats, frontier, tumblingWindow, sessionWindows,
-      slidingWindows, intervalJoin, rangeJoin)
+      slidingWindows, intervalJoin, rangeJoin, overlapJoin)
 }

@@ -491,7 +491,41 @@ object ScaleQueries {
       .na.fill(0L)
   }
 
+  /**
+   * q212 — stratified weighted sampling
+   * ([[graft.operators.Sampling.weightedSampleKPerGroup]]): 10 docs per
+   * language, inclusion ∝ n_chars, the same exact A-ES priority algebra
+   * as q195 ranked per group — `WindowGroupLimit` pushes the limit
+   * map-side (PlanShapeSpec), so each partition ships ≤ k rows per
+   * group at any corpus size.
+   */
+  val stratifiedSample = GateQuery(
+    "q212_stratified_sample",
+    Some {
+      val u = graft.operators.Sampling.Sql.u("doc_id", 212)
+      val l2 = graft.operators.Sampling.Sql.l2q8("(u)")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, greatest(n_chars, 1) AS w, ($u) AS u
+         |  FROM documents
+         |), pri AS (
+         |  SELECT doc_id, lang, w,
+         |    CAST(((5120 - $l2) * 65536) // w AS BIGINT) AS priority_q,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ((5120 - $l2) * 65536) // w, doc_id) AS rn
+         |  FROM base
+         |)
+         |SELECT lang, doc_id, CAST(w AS BIGINT) AS w, priority_q
+         |FROM pri WHERE rn <= 10""".stripMargin
+    }) { (spark, dir) =>
+    graft.operators.Sampling.weightedSampleKPerGroup(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      "lang", "doc_id", "n_chars", 10, 212)
+      .select(col("lang"), col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).as("w"), col("priority_q"))
+  }
+
   def all: Seq[GateQuery] = Seq(zorderLayout, weightedSample, urlCanon,
     skewPlanGate, kCenter, mergeInto, ivmMaintain, resample, rollupReport,
-    pivotMatrix)
+    pivotMatrix, stratifiedSample)
 }

@@ -247,6 +247,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p) == 0, s"got ${shuffles(p)} shuffles; plan:\n$p")
   }
 
+  test("q212: the per-group sample limit runs map-side (partial WindowGroupLimit)") {
+    val p = planOf("q212_stratified_sample")
+    assert(count(p, "WindowGroupLimit") == 2, s"plan:\n$p") // partial+final
+    assert(shuffles(p) == 1, s"got ${shuffles(p)} shuffles; plan:\n$p")
+  }
+
   test("bloom probe joins the bit table by broadcast, never sort-merge") {
     import org.apache.spark.sql.functions._
     import graft.core.Hashing

@@ -31,6 +31,24 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("interval overlap join equals brute force; each pair exactly once") {
+    val rnd = new scala.util.Random(423L)
+    def ivs(n: Int, idBase: Long) = Seq.tabulate(n) { i =>
+      val s = rnd.nextInt(3000).toLong
+      (idBase + i, s, s + rnd.nextInt(500).toLong)
+    }
+    val a = ivs(80, 0L).toDF("aid", "as", "ae")
+    val b = ivs(60, 1000L).toDF("bid", "bs", "be")
+    for (bin <- Seq(1L, 13L, 256L, 10000L)) {
+      val df = Ranges.intervalOverlap(a, "as", "ae", b, "bs", "be", bin)
+      val got = df.select("aid", "bid").as[(Long, Long)].collect()
+      val want = a.join(b, col("as") < col("be") && col("bs") < col("ae"))
+        .select("aid", "bid").as[(Long, Long)].collect().toSet
+      assert(got.toSet == want, s"bin=$bin: ${got.length} vs ${want.size}")
+      assert(got.length == got.toSet.size, s"bin=$bin duplicated a pair")
+    }
+  }
+
   test("range join boundaries: start inclusive, end exclusive, empty interval") {
     val points = Seq((1L, 10L), (2L, 19L), (3L, 20L), (4L, 9L)).toDF("pid", "p")
     val intervals = Seq((100L, 10L, 20L), (101L, 15L, 15L)).toDF("iid", "s", "e")
