@@ -27,6 +27,40 @@ object Sessions {
    * sessions ordered by start time. `gapNs` must be microsecond-aligned
    * (session_window takes an interval; ts is nanos-since-epoch).
    */
+  /**
+   * Gap + MAX-DURATION sessionization (the Flink session-with-max shape
+   * Spark's native `session_window` lacks): a session closes when the
+   * idle gap exceeds `gapUs` OR when the next event would land at or
+   * past sessionStart + `capUs` — runaway sessions (bots, replays) are
+   * force-split at the cap. Sequential per-key fold via
+   * `flatMapSortedGroups` (two longs of state); ties break by id.
+   * Returns every event tagged (k, ts, id, sess) with sess numbered
+   * from 1 per key in time order.
+   */
+  def sessionizeCapped(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, gapUs: Long, capUs: Long): DataFrame = {
+    require(gapUs > 0 && capUs > 0, s"gap=$gapUs cap=$capUs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("k"),
+        col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"ts", $"id") { case (_, it) =>
+        var sess = 0L
+        var start = Long.MinValue
+        var last = Long.MinValue
+        it.map { case (k, ts, id) =>
+          if (sess == 0L || ts - last > gapUs || ts - start >= capUs) {
+            sess += 1; start = ts
+          }
+          last = ts
+          (k, ts, id, sess)
+        }
+      }
+      .toDF("k", "ts", "id", "sess")
+  }
+
   def sessionize(df: DataFrame, key: Column, tsNs: Column, gapNs: Long,
                  aggs: Seq[Column] = Nil): DataFrame = {
     require(gapNs % 1000L == 0, s"gap must be whole microseconds: $gapNs")

@@ -280,6 +280,111 @@ object AnalyticsQueries {
     graft.operators.Graphs.pageRank(edges, "src", "dst", PrIters)
   }
 
+  private val SessGapUs = 86_400_000_000L // 24 h idle gap
+  private val SessCapUs = 259_200_000_000L // 72 h max duration
+
+  /**
+   * q213 — gap + MAX-DURATION sessionization
+   * ([[graft.operators.Sessions.sessionizeCapped]]), the Flink
+   * session-with-max shape Spark's native session_window lacks: a
+   * session closes on idle > 24 h OR at the 72 h cap (runaway sessions
+   * force-split). Sequential per-user fold, two longs of state; the
+   * oracle replays every split decision through an indexed recursive
+   * CTE carrying (sess, start, prev).
+   */
+  val cappedSessions = GateQuery(
+    "q213_capped_sessions",
+    Some(
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS i
+         |  FROM events
+         |), rec AS (
+         |  SELECT user_id, i, us, CAST(1 AS BIGINT) AS sess, us AS start
+         |  FROM e WHERE i = 1
+         |  UNION ALL
+         |  SELECT n.user_id, n.i, n.us,
+         |    CASE WHEN n.us - r.us > $SessGapUs
+         |           OR n.us - r.start >= $SessCapUs
+         |         THEN r.sess + 1 ELSE r.sess END,
+         |    CASE WHEN n.us - r.us > $SessGapUs
+         |           OR n.us - r.start >= $SessCapUs
+         |         THEN n.us ELSE r.start END
+         |  FROM rec r JOIN e n ON n.user_id = r.user_id AND n.i = r.i + 1
+         |), s AS (
+         |  SELECT user_id, sess, count(*) AS ne FROM rec GROUP BY 1, 2
+         |)
+         |SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+         |  CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(ne) AS BIGINT) AS n_events,
+         |  CAST(max(ne) AS BIGINT) AS max_sess_events
+         |FROM s GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_id"))
+    graft.operators.Sessions.sessionizeCapped(
+        e, "user_id", "us", "event_id", SessGapUs, SessCapUs)
+      .groupBy("k", "sess").agg(count(lit(1)).as("ne"))
+      .groupBy((col("k") % 10).as("cohort"))
+      .agg(count(lit(1)).as("n_sessions"), sum("ne").as("n_events"),
+        max("ne").as("max_sess_events"))
+  }
+
+  /**
+   * q214 — exact correlation components: Pearson r per return flag from
+   * five EXACT decimal sums (n, Σx, Σy, Σxy, Σx², Σy²) — float
+   * summation order never touches the aggregates, the one float
+   * division happens once per GROUP over identical exact inputs with an
+   * identical expression tree, so even the correlation itself is
+   * bit-reproducible cross-engine. The mergeable-components form is how
+   * corr/cov run at 100 TB (partial-agg combinable; `corr()` builtins
+   * float-drift under reordering).
+   */
+  val corrComponents = GateQuery(
+    "q214_corr_exact",
+    Some(
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |        CAST(l_quantity AS DECIMAL(18,2))) AS sx2,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(18,2))) AS sy2
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(sx AS DOUBLE) AS sum_x, CAST(sy AS DOUBLE) AS sum_y,
+        |  CAST(sxy AS DOUBLE) AS sum_xy,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_r
+        |FROM a""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(18, 2)
+    val x = col("l_quantity").cast(d)
+    val y = col("l_extendedprice").cast(d)
+    val a = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sx2"), sum(y * y).as("sy2"))
+    val (nD, sxD, syD, sxyD, sx2D, sy2D) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sx2").cast("double"),
+      col("sy2").cast("double"))
+    a.select(col("l_returnflag"), col("n"), sxD.as("sum_x"), syD.as("sum_y"),
+      sxyD.as("sum_xy"),
+      ((nD * sxyD - sxD * syD) /
+        (sqrt(nD * sx2D - sxD * sxD) * sqrt(nD * sy2D - syD * syD)))
+        .as("corr_r"))
+  }
+
   def all: Seq[GateQuery] = Seq(tableStats, fkAudit, funnel, retention,
-    editDistDedup, pageRank)
+    editDistDedup, pageRank, cappedSessions, corrComponents)
 }

@@ -245,6 +245,21 @@ class Round11Spec extends SparkSpec {
     assert(viaSql.getAs[Long]("sh") != 0L)
   }
 
+  // ---- capped sessions ------------------------------------------------
+
+  test("capped sessions: the duration cap splits even when the gap is small") {
+    import graft.operators.Sessions
+    val df = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 20L, 3L), (1L, 24L, 4L),
+      (1L, 26L, 5L), (1L, 50L, 6L)).toDF("u", "us", "id")
+    val got = Sessions.sessionizeCapped(df, "u", "us", "id", gapUs = 15L,
+        capUs = 25L)
+      .orderBy("ts").select("ts", "sess").as[(Long, Long)].collect().toSeq
+    // ts 26: gap only 2 but duration 26 >= cap 25 → new session;
+    // ts 50: gap 24 > 15 → new session
+    assert(got == Seq((0L, 1L), (10L, 1L), (20L, 1L), (24L, 1L),
+      (26L, 2L), (50L, 3L)))
+  }
+
   // ---- pagerank -------------------------------------------------------
 
   test("pagerank: one damped iteration matches the hand-computed ppm ranks") {
