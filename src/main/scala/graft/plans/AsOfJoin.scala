@@ -42,7 +42,8 @@ import org.apache.spark.sql.graftbridge.PlanBridge
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    forward: Boolean = false) extends BinaryNode {
   require(leftKey.dataType == rightKey.dataType,
     s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
   require(leftTs.dataType == rightTs.dataType,
@@ -80,7 +81,12 @@ object RewriteAsOfJoin extends Rule[LogicalPlan] {
     val ut = un.output(1)
     val uRights = un.output.slice(2 + lAtts.size, 2 + lAtts.size + rAtts.size)
     val uSide = un.output.last
-    val order = Seq(SortOrder(ut, Ascending), SortOrder(uSide, Ascending))
+    // FORWARD direction = the same single-shuffle scan run in reverse
+    // time order: the carried right image becomes the nearest version AT
+    // OR AFTER the event. Side still ascends so an equal-ts right row
+    // precedes the event in scan order — the inclusive bound either way.
+    val tsDir = if (j.forward) Descending else Ascending
+    val order = Seq(SortOrder(ut, tsDir), SortOrder(uSide, Ascending))
     val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
     val spec = WindowSpecDefinition(Seq(uk), order, frame)
     // carried right images keep their ORIGINAL exprIds
@@ -106,7 +112,8 @@ object AsOf {
     * both sides' columns come back, right's nullable. */
   def join(spark: SparkSession, left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
-           leftTs: String, rightTs: String): DataFrame = {
+           leftTs: String, rightTs: String,
+           forward: Boolean = false): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -115,6 +122,6 @@ object AsOf {
           s"no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
     PlanBridge.ofRows(spark,
       AsOfJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTs), attr(rp, rightTs)))
+        attr(lp, leftTs), attr(rp, rightTs), forward))
   }
 }

@@ -1015,6 +1015,45 @@ object ExtraQueries {
   }
 
   /**
+   * q215 — native FORWARD as-of join ([[graft.plans.AsOfJoin]] with
+   * `forward = true`): each event picks the NEAREST version AT OR AFTER
+   * its timestamp (the "next scheduled change" / lead-version lookup) —
+   * the same single-shuffle union-window plan as q187 run in reverse
+   * time order, still no join operator in the plan. Oracle = DuckDB's
+   * own forward `ASOF LEFT JOIN ... ON e.ts <= v.ts`: two independent
+   * native forward implementations agreeing row-for-row.
+   */
+  val asofForward = GateQuery(
+    "q215_asof_forward",
+    Some(cte +
+      s""", vers AS (
+         |  SELECT schema_name || '.' || table_name AS vkey, v, from_ts
+         |  FROM (SELECT DISTINCT schema_name, table_name FROM cdc),
+         |       (VALUES (1, 1000500), (2, 1002000), (3, 1005000)) AS t(v, from_ts)
+         |)
+         |SELECT e.schema_name, e.table_name,
+         |  CAST(coalesce(v.v, -1) AS INT) AS version,
+         |  count(*) AS cnt, CAST(sum(e.pk) AS BIGINT) AS sum_pk
+         |FROM (SELECT *, schema_name || '.' || table_name AS ekey FROM cdc) e
+         |ASOF LEFT JOIN vers v
+         |  ON e.ekey = v.vkey AND e.commit_ts <= v.from_ts
+         |GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    val env = CdcStream.derive(spark, dir)
+      .withColumn("ekey", concat_ws(".", col("schema_name"), col("table_name")))
+    val vers = env.select("schema_name", "table_name").distinct()
+      .crossJoin(Seq((1, 1000500L), (2, 1002000L), (3, 1005000L))
+        .toDF("v", "from_ts"))
+      .select(concat_ws(".", col("schema_name"), col("table_name")).as("vkey"),
+        col("v"), col("from_ts"))
+    graft.plans.AsOf.join(spark, env, vers, "ekey", "vkey",
+        "commit_ts", "from_ts", forward = true)
+      .groupBy(col("schema_name"), col("table_name"),
+        coalesce(col("v"), lit(-1)).as("version"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pk")).as("sum_pk"))
+  }
+
+  /**
    * q189 — SCD Type-2 history ([[graft.operators.Scd.type2]]): the
    * warehouse-side dimension-history materialization of the change
    * stream — each I/U image opens a version valid from its commit ts,
@@ -1072,5 +1111,5 @@ object ExtraQueries {
     claimCheckWrite, handleKeyReassemble,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
     jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin, dumpLoad,
-    asofNative, scdHistory)
+    asofNative, asofForward, scdHistory)
 }

@@ -245,6 +245,25 @@ class Round11Spec extends SparkSpec {
     assert(viaSql.getAs[Long]("sh") != 0L)
   }
 
+  // ---- forward as-of ---------------------------------------------------
+
+  test("forward as-of: inclusive bound, nearest-following, none-after null") {
+    val e = Seq((1L, 5L), (1L, 10L), (1L, 50L)).toDF("k", "ts")
+    val v = Seq((1L, 10L, 100L), (1L, 20L, 200L)).toDF("vk", "vts", "value")
+    val got = graft.plans.AsOf.join(spark, e, v, "k", "vk", "ts", "vts",
+        forward = true)
+      .orderBy("ts").select("ts", "vts", "value")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (5L, Some(10L), Some(100L)),   // nearest following
+      (10L, Some(10L), Some(100L)),  // AT the version ts: inclusive
+      (50L, None, None)))            // nothing after
+    // and the plan still contains no join operator
+    val p = graft.plans.AsOf.join(spark, e, v, "k", "vk", "ts", "vts",
+      forward = true).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"plan:\n$p")
+  }
+
   // ---- capped sessions ------------------------------------------------
 
   test("capped sessions: the duration cap splits even when the gap is small") {
