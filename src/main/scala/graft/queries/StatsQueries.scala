@@ -492,7 +492,71 @@ object StatsQueries {
           .as("psi_q16"))
   }
 
+  /**
+   * q216 — HLL SET ALGEBRA: distinct-trigram overlap between two corpus
+   * slices estimated from sketches alone — union registers merge by max
+   * (the mergeability that makes the sketch shippable), intersection by
+   * inclusion–exclusion est_a + est_b − est_union. At 100 TB this is
+   * "how much vocabulary do two feeds share" from three 256-row
+   * register tables instead of a distinct-join; the exact counts ride
+   * along as the accuracy witness, and every register of all THREE
+   * sketches replays in the oracle.
+   */
+  val hllSetOps = GateQuery(
+    "q216_hll_setops",
+    Some {
+      def toks(where: String) =
+        s"""SELECT ${Hashing.Sql.portableLong("g")} AS h FROM
+           |  (SELECT unnest(${Dedup.Sql.shingles("text", 3)}) AS g
+           |   FROM documents WHERE $where)""".stripMargin
+      def regs(t: String) =
+        s"""SELECT h % 256 AS b,
+           |  max(CASE WHEN (h // 256) % 16777216 = 0 THEN 25
+           |      ELSE 25 - length(bin((h // 256) % 16777216)) END) AS reg
+           |FROM $t GROUP BY 1""".stripMargin
+      def est(r: String) =
+        s"""SELECT CAST($HllNumer //
+           |  (sum(CAST(power(2, 25 - reg) AS BIGINT))
+           |    + (256 - count(*)) * 33554432) // 1000000 AS BIGINT) AS v
+           |FROM $r""".stripMargin
+      s"""WITH ta AS (${toks("lang = 'en'")}),
+         |tb AS (${toks("n_chars >= 200")}),
+         |ra AS (${regs("ta")}), rb AS (${regs("tb")}),
+         |ru AS (SELECT b, max(reg) AS reg FROM
+         |  (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+         |ea AS (${est("ra")}), eb AS (${est("rb")}), eu AS (${est("ru")})
+         |SELECT (SELECT v FROM ea) AS est_a, (SELECT v FROM eb) AS est_b,
+         |  (SELECT v FROM eu) AS est_union,
+         |  (SELECT v FROM ea) + (SELECT v FROM eb) - (SELECT v FROM eu)
+         |    AS est_inter,
+         |  (SELECT count(DISTINCT h) FROM ta) AS exact_a,
+         |  (SELECT count(DISTINCT h) FROM tb) AS exact_b,
+         |  (SELECT count(*) FROM (SELECT DISTINCT h FROM ta) x
+         |    JOIN (SELECT DISTINCT h FROM tb) y USING (h)) AS exact_inter
+         |""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    def hashes(cond: org.apache.spark.sql.Column) = docs.filter(cond)
+      .select(explode(Dedup.shingles(col("text"), 3)).as("g"))
+      .select(Hashing.portableLong(col("g")).as("h"))
+    val (ha, hb) = (hashes(col("lang") === "en"), hashes(col("n_chars") >= 200))
+    val (ra, rb) = (Sketches.hllRegisters(ha, "h", HllP, HllW),
+      Sketches.hllRegisters(hb, "h", HllP, HllW))
+    val ru = ra.unionAll(rb).groupBy("b").agg(max("reg").as("reg"))
+    def est(r: org.apache.spark.sql.DataFrame, as: String) =
+      Sketches.hllEstimate(r, HllP, HllW, HllAlphaPpm)
+        .select(col("est_distinct").as(as))
+    val da = ha.distinct(); val db = hb.distinct()
+    est(ra, "est_a").crossJoin(est(rb, "est_b"))
+      .crossJoin(est(ru, "est_union"))
+      .withColumn("est_inter",
+        col("est_a") + col("est_b") - col("est_union"))
+      .crossJoin(da.agg(count(lit(1)).as("exact_a")))
+      .crossJoin(db.agg(count(lit(1)).as("exact_b")))
+      .crossJoin(da.join(db, "h").agg(count(lit(1)).as("exact_inter")))
+  }
+
   def all: Seq[GateQuery] =
     Seq(hllDistinct, bloomMembership, prCurve, temperatureMix, vocabCoverage,
-      histQuantiles, cmsHeavyHitters, psiDrift)
+      histQuantiles, cmsHeavyHitters, psiDrift, hllSetOps)
 }
