@@ -1054,6 +1054,75 @@ object ExtraQueries {
   }
 
   /**
+   * q217 — NEAREST-version join: backward and forward native as-of
+   * composed per event, whichever version is temporally closer wins
+   * (ties to backward — the committed past beats the scheduled future);
+   * the late-arriving-dimension reconciliation shape. Two single-shuffle
+   * as-of passes + one seq-keyed join; the gate pins the per-version
+   * groups AND the forward-pick count so the direction arbitration
+   * itself is oracle-checked (DuckDB runs both of ITS native ASOF
+   * directions and the same arbitration).
+   */
+  val asofNearest = GateQuery(
+    "q217_asof_nearest",
+    Some(cte +
+      s""", vers AS (
+         |  SELECT schema_name || '.' || table_name AS vkey, v, from_ts
+         |  FROM (SELECT DISTINCT schema_name, table_name FROM cdc),
+         |       (VALUES (1, 1000500), (2, 1002000), (3, 1005000)) AS t(v, from_ts)
+         |), e AS (SELECT *, schema_name || '.' || table_name AS ekey FROM cdc),
+         |back AS (
+         |  SELECT e.seq, e.schema_name, e.table_name, e.pk, e.commit_ts,
+         |    v.v AS bv, v.from_ts AS bts
+         |  FROM e ASOF LEFT JOIN vers v
+         |    ON e.ekey = v.vkey AND e.commit_ts >= v.from_ts
+         |), fwd AS (
+         |  SELECT e.seq, v.v AS fv, v.from_ts AS fts
+         |  FROM e ASOF LEFT JOIN vers v
+         |    ON e.ekey = v.vkey AND e.commit_ts <= v.from_ts
+         |), j AS (
+         |  SELECT b.schema_name, b.table_name, b.pk,
+         |    CASE WHEN b.bts IS NULL THEN TRUE WHEN f.fts IS NULL THEN FALSE
+         |         ELSE (f.fts - b.commit_ts) < (b.commit_ts - b.bts) END AS pf,
+         |    b.bv, f.fv
+         |  FROM back b JOIN fwd f USING (seq)
+         |)
+         |SELECT schema_name, table_name,
+         |  CAST(coalesce(CASE WHEN pf THEN fv ELSE bv END, -1) AS INT)
+         |    AS version,
+         |  count(*) AS cnt, CAST(sum(pk) AS BIGINT) AS sum_pk,
+         |  CAST(sum(CASE WHEN pf THEN 1 ELSE 0 END) AS BIGINT) AS n_forward
+         |FROM j GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    val env = CdcStream.derive(spark, dir)
+      .withColumn("ekey", concat_ws(".", col("schema_name"), col("table_name")))
+    val vers = env.select("schema_name", "table_name").distinct()
+      .crossJoin(Seq((1, 1000500L), (2, 1002000L), (3, 1005000L))
+        .toDF("v", "from_ts"))
+      .select(concat_ws(".", col("schema_name"), col("table_name")).as("vkey"),
+        col("v"), col("from_ts"))
+    val back = graft.plans.AsOf.join(spark, env, vers, "ekey", "vkey",
+        "commit_ts", "from_ts")
+      .select(col("seq").as("bseq"), col("schema_name"), col("table_name"),
+        col("pk"), col("commit_ts"), col("v").as("bv"),
+        col("from_ts").as("bts"))
+    val fwd = graft.plans.AsOf.join(spark, env, vers, "ekey", "vkey",
+        "commit_ts", "from_ts", forward = true)
+      .select(col("seq").as("fseq"), col("v").as("fv"),
+        col("from_ts").as("fts"))
+    back.join(fwd, col("bseq") === col("fseq"))
+      .withColumn("pf", when(col("bts").isNull, lit(true))
+        .when(col("fts").isNull, lit(false))
+        .otherwise((col("fts") - col("commit_ts")) <
+          (col("commit_ts") - col("bts"))))
+      .groupBy(col("schema_name"), col("table_name"),
+        coalesce(when(col("pf"), col("fv")).otherwise(col("bv")), lit(-1))
+          .as("version"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pk")).as("sum_pk"),
+        sum(when(col("pf"), 1L).otherwise(0L)).as("n_forward"))
+  }
+
+  /**
    * q189 — SCD Type-2 history ([[graft.operators.Scd.type2]]): the
    * warehouse-side dimension-history materialization of the change
    * stream — each I/U image opens a version valid from its commit ts,
@@ -1111,5 +1180,5 @@ object ExtraQueries {
     claimCheckWrite, handleKeyReassemble,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
     jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin, dumpLoad,
-    asofNative, asofForward, scdHistory)
+    asofNative, asofForward, asofNearest, scdHistory)
 }
