@@ -258,4 +258,48 @@ object TextOps {
       s"list_sum([(($h) % 21) - 10 FOR t IN ${tokens.format(e)}])"
     }
   }
+  // ---- stable vocabulary ids -----------------------------------------
+
+  /**
+   * Deterministic dense id assignment over a corpus's distinct tokens
+   * (vocabulary building — the embedding-row / feature-index primitive):
+   * ids are 1-based dense ranks in lexicographic token order, so any
+   * engine reproduces the exact mapping with no RNG and no
+   * zipWithIndex partition-order dependence. The ranking window runs
+   * over the DISTINCT-TOKEN table (vocab-bounded, ≪ corpus — the same
+   * bounded-table exemption as the q160 gram ranking), never the corpus.
+   */
+  def vocabIds(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .withColumn("id", row_number().over(Window.orderBy(col("token")))
+        .cast("long"))
+  }
+
+  /**
+   * Incremental admission (the q109/q151 index-admission shape for
+   * vocabularies): existing (token, id) rows are IMMUTABLE — a batch
+   * admits only unseen tokens, which take dense ids after the current
+   * max in lexicographic order among themselves. Embedding row i keeps
+   * meaning row i across vocabulary growth. Returns
+   * (token, id, is_new).
+   */
+  def vocabAdmit(vocab: DataFrame, batch: DataFrame, textCol: String)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = vocab.agg(coalesce(max(col("id")), lit(0L)).as("_mx"))
+    val fresh = batch.select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .join(vocab.select(col("token").as("_t")), col("token") === col("_t"),
+        "left_anti")
+      .crossJoin(broadcast(maxId))
+      .withColumn("id", col("_mx") +
+        row_number().over(Window.orderBy(col("token"))).cast("long"))
+      .select(col("token"), col("id"), lit(true).as("is_new"))
+    vocab.select(col("token"), col("id"), lit(false).as("is_new"))
+      .unionByName(fresh)
+  }
 }

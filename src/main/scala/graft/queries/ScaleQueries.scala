@@ -525,7 +525,44 @@ object ScaleQueries {
         greatest(col("n_chars"), lit(1L)).as("w"), col("priority_q"))
   }
 
+  /**
+   * q218 — stable vocabulary ids ([[graft.operators.TextOps.vocabIds]] /
+   * `vocabAdmit`): dense 1-based ids in lexicographic order over the
+   * even-doc half's tokens, then the odd half admits — existing ids
+   * IMMUTABLE (embedding row i keeps meaning row i), unseen tokens take
+   * dense ids after the max. The gate pins the full mapping and the
+   * is_new partition; the oracle derives both halves independently.
+   */
+  val vocabStable = GateQuery(
+    "q218_vocab_ids",
+    Some(
+      """WITH t0 AS (
+        |  SELECT DISTINCT unnest(str_split_regex(text, '\s+')) AS token
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), v0 AS (
+        |  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT)
+        |    AS id FROM t0 WHERE token <> ''
+        |), t1 AS (
+        |  SELECT DISTINCT unnest(str_split_regex(text, '\s+')) AS token
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), fresh AS (
+        |  SELECT token FROM t1 WHERE token <> ''
+        |    AND token NOT IN (SELECT token FROM v0)
+        |)
+        |SELECT token, id, FALSE AS is_new FROM v0
+        |UNION ALL
+        |SELECT token,
+        |  (SELECT coalesce(max(id), 0) FROM v0)
+        |    + CAST(row_number() OVER (ORDER BY token) AS BIGINT),
+        |  TRUE
+        |FROM fresh""".stripMargin)) { (spark, dir) =>
+    import graft.operators.TextOps
+    val docs = Tables.load(spark, dir, "documents")
+    val v0 = TextOps.vocabIds(docs.filter(col("doc_id") % 2 === 0), "text")
+    TextOps.vocabAdmit(v0, docs.filter(col("doc_id") % 2 === 1), "text")
+  }
+
   def all: Seq[GateQuery] = Seq(zorderLayout, weightedSample, urlCanon,
     skewPlanGate, kCenter, mergeInto, ivmMaintain, resample, rollupReport,
-    pivotMatrix, stratifiedSample)
+    pivotMatrix, stratifiedSample, vocabStable)
 }

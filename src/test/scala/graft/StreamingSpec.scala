@@ -246,6 +246,38 @@ class StreamingSpec extends SparkSpec {
         (1L, base + 30_000_000L)))
   }
 
+  test("incremental view maintenance runs streaming-native across microbatches") {
+    import graft.operators.Ivm
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Option[Double], Option[Double])]
+    val keys = Seq("k")
+    // state starts from a base snapshot; each microbatch folds its delta
+    var state = Ivm.aggState(
+      Seq(("A", 1.0), ("A", 2.0), ("B", 5.0)).toDF("k", "v"), keys, "v")
+      .localCheckpoint(true)
+    val q = mem.toDF().toDF("op", "k", "val_before", "val_after")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = Ivm.applyDelta(state, Ivm.deltaState(batch, keys), keys)
+          .localCheckpoint(true)
+        ()
+      }.start()
+    mem.addData(("i", "C", None, Some(7.0)), ("d", "A", Some(1.0), None))
+    q.processAllAvailable()
+    mem.addData(("u", "B", Some(5.0), Some(6.0)))
+    q.processAllAvailable()
+    mem.addData(("d", "A", Some(2.0), None)) // A vanishes mid-stream
+    q.processAllAvailable()
+    q.stop()
+    val got = state.select(col("k"), col("cnt"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    val rebuilt = Ivm.aggState(
+        Seq(("B", 6.0), ("C", 7.0)).toDF("k", "v"), keys, "v")
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == rebuilt && got == Set(("B", 1L, 6.0), ("C", 1L, 7.0)))
+  }
+
   test("idempotent replay: re-applying a batch converges to same state") {
     val dir = Files.createTempDirectory("graft_cf3").toString
     val batch = Seq(
