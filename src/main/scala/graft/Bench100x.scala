@@ -107,8 +107,9 @@ object Bench100x {
     // lineitem z-clustered, then audits per-file pruning off the footers.
     "q194_zorder_writer" -> { () =>
       import graft.operators.Layout
-      val out = System.getProperty("java.io.tmpdir") +
-        s"/graft_zw_${ProcessHandle.current.pid}"
+      // freshScratch sweeps dead runs' GB-scale copies and keys by PID
+      val (out0, _) = graft.queries.Gate.freshScratch("graft_zw_", dir)
+      val out = s"$out0/z"
       Layout.writeZOrdered(Tables.load(spark, dir, "lineitem"),
         "l_partkey", "l_suppkey", 10, 256, out)
       val stats = spark.read.parquet(out)

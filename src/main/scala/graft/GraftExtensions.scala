@@ -49,8 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // trees carry lazily-resolved function nodes the analyzer has
     // already passed by substitution time).
     def intArg(args: Seq[Expression], i: Int, default: Int): Int =
-      if (args.size > i) args(i).eval().asInstanceOf[Number].intValue()
-      else default
+      if (args.size <= i) default
+      else {
+        val a = args(i)
+        require(a.foldable, s"graft function argument ${i + 1} must be an integer literal, got: $a")
+        val v = a.eval()
+        require(v != null, s"graft function argument ${i + 1} must not be NULL")
+        v.asInstanceOf[Number].intValue()
+      }
     ext.injectFunction(fn("graft_shingle_hashes", args =>
       graft.functions.ShingleHashes(args.head, intArg(args, 1, 3))))
     ext.injectFunction(fn("graft_winnow", args =>

@@ -28,12 +28,7 @@ object Graphs {
 
   val Ppm = 1_000_000L
 
-  private def idiv(n: Column, d: Column): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(IntegralDivide(ColumnBridge.expression(n),
-      ColumnBridge.expression(d), EvalMode.LEGACY))
-  }
+  private def idiv(n: Column, d: Column): Column = graft.core.Exact.idiv(n, d)
 
   /**
    * `iters` rounds of exact-ppm PageRank over `edges` (src, dst) with

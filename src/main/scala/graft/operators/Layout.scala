@@ -39,14 +39,9 @@ object Layout {
 
   /** Quantize a non-negative value with known max onto [0, 2^bits):
     * exact integer (v · (2^bits − 1)) div max — replayable in any engine. */
-  def quantize(v: Column, maxV: Column, bits: Int): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val num = (v.cast("long") * ((1L << bits) - 1))
-    ColumnBridge.column(IntegralDivide(
-      ColumnBridge.expression(num),
-      ColumnBridge.expression(maxV.cast("long")), EvalMode.LEGACY))
-  }
+  def quantize(v: Column, maxV: Column, bits: Int): Column =
+    graft.core.Exact.idiv(v.cast("long") * ((1L << bits) - 1),
+      maxV.cast("long"))
 
   /** Production writer: z-cluster `df` on (x, y) into `nFiles` parquet
     * files under `path`. Range-partitions by z-value (sampled bounds — a

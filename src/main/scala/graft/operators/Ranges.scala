@@ -47,32 +47,39 @@ object Ranges {
    */
   def pointInInterval(points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      binSize: Long): DataFrame = {
+      binSize: Long, maxBinsPerInterval: Long = MaxBinsDefault): DataFrame = {
     require(binSize > 0, s"binSize must be positive: $binSize")
     val p = points.withColumn("_g_bin", col(pointCol).divLong(binSize))
     val iv = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("_g_ivbin", explode(sequence(
-        col(startCol).divLong(binSize), (col(endCol) - 1L).divLong(binSize))))
+        col(startCol).divLong(binSize),
+        guardedStop(col(startCol), col(endCol), binSize,
+          maxBinsPerInterval))))
     p.join(iv,
         p("_g_bin") === iv("_g_ivbin") &&
           col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_g_bin", "_g_ivbin")
   }
 
-  /** Exact long floor-division for the non-negative event-time domain.
-    * Column./ on longs returns double (precision loss past 2^53 — real for
-    * nanosecond timestamps), so this builds the SQL `DIV` (IntegralDivide)
-    * Catalyst expression directly. Truncation toward zero equals floor on
-    * the non-negative domain. */
   private implicit final class DivOps(private val c: Column) {
-    def divLong(d: Long): Column = {
-      import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
-      import org.apache.spark.sql.graftbridge.ColumnBridge
-      ColumnBridge.column(
-        IntegralDivide(ColumnBridge.expression(c), Literal(d), evalMode =
-          org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
-    }
+    def divLong(d: Long): Column = graft.core.Exact.divLong(c, d)
+  }
+
+  /** Explosion cap: an open-validity sentinel end (Long.MaxValue — the
+    * SCD2 "current row" encoding) would explode onto billions of bins and
+    * kill the job with an opaque Sequence error; fail FAST per offending
+    * row with an actionable message instead (clamping would silently drop
+    * matches). */
+  val MaxBinsDefault = 1L << 20
+  private def guardedStop(s: Column, e: Column, binSize: Long,
+      maxBins: Long): Column = {
+    val stop = (e - 1L).divLong(binSize)
+    when(stop - s.divLong(binSize) <= maxBins, stop)
+      .otherwise(raise_error(lit(
+        s"range join: interval spans more than $maxBins bins of $binSize" +
+          " — cap sentinel end values (e.g. least(end, horizon)) before" +
+          " joining, or raise maxBinsPerInterval")))
   }
 
   /**
@@ -90,10 +97,12 @@ object Ranges {
     require(binSize > 0, s"binSize must be positive: $binSize")
     val a = left.filter(col(le) > col(ls))
       .withColumn("_g_abin", explode(sequence(
-        col(ls).divLong(binSize), (col(le) - 1L).divLong(binSize))))
+        col(ls).divLong(binSize),
+        guardedStop(col(ls), col(le), binSize, MaxBinsDefault))))
     val b = right.filter(col(re) > col(rs))
       .withColumn("_g_bbin", explode(sequence(
-        col(rs).divLong(binSize), (col(re) - 1L).divLong(binSize))))
+        col(rs).divLong(binSize),
+        guardedStop(col(rs), col(re), binSize, MaxBinsDefault))))
     a.join(b,
         a("_g_abin") === b("_g_bbin") &&
           col(ls) < col(re) && col(rs) < col(le) &&

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.core.Hashing
+import graft.core.{Exact, Hashing}
 
 /**
  * Weighted sampling WITHOUT replacement in one distributed pass — the
@@ -54,26 +54,18 @@ object Sampling {
     e * 256L + element_at(table, (m - 255L).cast("int"))
   }
 
-  /**
-   * Draw `k` rows of `df` without replacement, with per-row inclusion
-   * pressure ∝ `weight` (clamped to ≥ 1): appends `priority_q` =
-   * ((l2q8(M) − l2q8(u)) · 2^16) div w and keeps the k smallest
-   * (priority, id). One map pass + top-k; no shuffle.
-   */
   /** The A-ES priority: ((l2q8(M) − l2q8(u)) · 2^16) div max(w, 1) with
     * u = seeded hash of the id — shared by the global and per-group
     * samplers. */
   def priorityQ(id: Column, weight: Column, seed: Int): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
     val u = pmod(Hashing.seeded(id, lit(seed)), lit(M)) + 1L
     val w = greatest(weight.cast("long"), lit(1L))
-    val num = (lit(256L * 20L) - l2q8(u)) * 65536L
-    ColumnBridge.column(IntegralDivide(
-      ColumnBridge.expression(num), ColumnBridge.expression(w),
-      EvalMode.LEGACY))
+    Exact.idiv((lit(256L * 20L) - l2q8(u)) * 65536L, w)
   }
 
+  /** Draw `k` rows of `df` without replacement, inclusion pressure ∝
+    * weight (clamped ≥ 1): the k smallest (priority, id) via one map
+    * pass + TakeOrdered top-k; no shuffle. */
   def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
       k: Int, seed: Int): DataFrame =
     df.withColumn("priority_q", priorityQ(col(idCol), col(weightCol), seed))

@@ -55,11 +55,7 @@ object Skew {
    */
   def skewPlan(df: DataFrame, keyCol: String, nPartitions: Int,
                factor: Int = 2): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    def idiv(n: Column, d: Column): Column = ColumnBridge.column(
-      IntegralDivide(ColumnBridge.expression(n), ColumnBridge.expression(d),
-        EvalMode.LEGACY))
+    import graft.core.Exact.idiv
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n_rows"))
     val total = counts.agg(sum("n_rows").as("_total"))

@@ -58,12 +58,6 @@ object Timeseries {
   }
 
   private implicit final class DivOps(private val c: Column) {
-    /** Exact long floor-div (non-negative domain). */
-    def divLongBy(d: Long): Column = {
-      import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide, Literal}
-      import org.apache.spark.sql.graftbridge.ColumnBridge
-      ColumnBridge.column(IntegralDivide(
-        ColumnBridge.expression(c), Literal(d), EvalMode.LEGACY))
-    }
+    def divLongBy(d: Long): Column = graft.core.Exact.divLong(c, d)
   }
 }

@@ -26,42 +26,57 @@ import org.apache.spark.sql.functions._
  */
 object UrlOps {
 
-  private val UrlRe = "^([A-Za-z]+)://([^/?#]+)([^?#]*)\\??([^#]*)"
+  private val UrlRe = "^([A-Za-z]+)://([^/?#]+)([^?#]*)\\??([^#]*)(#.*)?$"
 
-  private def scheme(url: Column) = lower(regexp_extract(url, UrlRe, 1))
-  private def rawHost(url: Column) = lower(regexp_extract(url, UrlRe, 2))
+  /** ONE regex pass per row: rewrite the url into its four
+    * \u0001-delimited capture groups and bind the split result once as a
+    * lambda variable (the quantizeInt8 bind-once pattern) — the naive
+    * composition re-ran the extraction ~10× per row on the map-only hot
+    * path. Unmatched strings degrade to garbage-in-garbage-out exactly
+    * as the per-group extraction did. */
+  private def withParts(url: Column)(build: Column => Column): Column =
+    element_at(
+      transform(
+        array(split(regexp_replace(url, UrlRe,
+          "$1\u0001$2\u0001$3\u0001$4"), "\u0001")),
+        build),
+      1)
 
-  /** Lowercased host(:port) with `www.` and the scheme-default port
-    * stripped. */
-  def canonicalHost(url: Column): Column = {
-    val h = regexp_replace(rawHost(url), "^www\\.", "")
-    when(scheme(url) === "https", regexp_replace(h, ":443$", ""))
-      .when(scheme(url) === "http", regexp_replace(h, ":80$", ""))
+  private def scheme(p: Column) = lower(element_at(p, 1))
+  private def rawHost(p: Column) = lower(element_at(p, 2))
+
+  private def hostOf(p: Column): Column = {
+    val h = regexp_replace(rawHost(p), "^www\\.", "")
+    when(scheme(p) === "https", regexp_replace(h, ":443$", ""))
+      .when(scheme(p) === "http", regexp_replace(h, ":80$", ""))
       .otherwise(h)
   }
 
-  /** Path with trailing slashes trimmed; empty → "/". */
-  private def canonicalPath(url: Column): Column = {
-    val p = regexp_replace(regexp_extract(url, UrlRe, 3), "/+$", "")
-    when(p === "", "/").otherwise(p)
+  private def pathOf(p: Column): Column = {
+    val t = regexp_replace(element_at(p, 3), "/+$", "")
+    when(t === "", "/").otherwise(t)
   }
 
-  /** Query with tracking params dropped and the rest sorted; "" if none. */
-  private def canonicalQuery(url: Column): Column = {
-    val kept = filter(split(regexp_extract(url, UrlRe, 4), "&"),
-      p => !startswith(p, lit("utm_")) && !startswith(p, lit("gclid=")))
+  private def queryOf(p: Column): Column = {
+    val kept = filter(split(element_at(p, 4), "&"),
+      x => !startswith(x, lit("utm_")) && !startswith(x, lit("gclid=")))
     array_join(array_sort(kept), "&")
   }
 
+  /** Lowercased host(:port) with `www.` and the scheme-default port
+    * stripped. */
+  def canonicalHost(url: Column): Column = withParts(url)(hostOf)
+
   /** The canonical form — equal strings ⇔ same page under the rules. */
-  def canonicalUrl(url: Column): Column = {
-    val q = canonicalQuery(url)
-    concat(scheme(url), lit("://"), canonicalHost(url), canonicalPath(url),
+  def canonicalUrl(url: Column): Column = withParts(url) { p =>
+    val q = queryOf(p)
+    concat(scheme(p), lit("://"), hostOf(p), pathOf(p),
       when(q === "", "").otherwise(concat(lit("?"), q)))
   }
 
   /** Last two labels of the port-less canonical host. */
-  def registeredDomain(url: Column): Column =
-    regexp_extract(regexp_replace(canonicalHost(url), ":[0-9]+$", ""),
+  def registeredDomain(url: Column): Column = withParts(url) { p =>
+    regexp_extract(regexp_replace(hostOf(p), ":[0-9]+$", ""),
       "([^.]+\\.[^.]+)$", 1)
+  }
 }

@@ -239,13 +239,18 @@ object VectorOps {
       q.count() // materialize once; k rounds reuse the quantized corpus
       val first = q.orderBy("id").limit(1).collect().head
       var sel = Vector((first.getLong(0), first.getSeq[Long](1).toSeq, 0L))
-      while (sel.size < k) {
+      var saturated = false
+      while (sel.size < k && !saturated) {
         val centers = array(sel.map { case (_, v, _) =>
           array(v.map(lit(_)): _*) }: _*)
         val md = array_min(transform(centers, c => sqDistQ(col("qv"), c)))
         val next = q.select(col("id"), col("qv"), md.as("md"))
           .orderBy(desc("md"), asc("id")).limit(1).collect().head
-        sel = sel :+ ((next.getLong(0), next.getSeq[Long](1).toSeq,
+        // max min-distance 0 ⇒ every remaining point duplicates a selected
+        // center: stop instead of silently re-emitting duplicate seeds
+        // (the result then has < k rows — distinct vectors ran out)
+        if (next.getLong(2) == 0L) saturated = true
+        else sel = sel :+ ((next.getLong(0), next.getSeq[Long](1).toSeq,
           next.getLong(2)))
       }
       import spark.implicits._

@@ -35,13 +35,22 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   val BinSizeKey = "spark.graft.rangeJoin.binSize"
+  val MaxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
+  val DefaultMaxBins = 1L << 20
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val bin = conf.getConfString(BinSizeKey, "0").toLong
+    // malformed knob → rule no-ops with a log line; the blast radius of a
+    // typo'd conf must be the knob, not every query in the session
+    val bin = conf.getConfString(BinSizeKey, "0").toLongOption.getOrElse {
+      logWarning(s"$BinSizeKey is not a long; range-join rewrite disabled")
+      0L
+    }
+    val maxBins = conf.getConfString(MaxBinsKey, DefaultMaxBins.toString)
+      .toLongOption.getOrElse(DefaultMaxBins)
     if (bin <= 0) plan
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _) if j.resolved =>
-        rewrite(j, cond, bin).getOrElse(j)
+        rewrite(j, cond, bin, maxBins).getOrElse(j)
     }
   }
 
@@ -61,7 +70,7 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
   private def toLong(e: Expression): Expression =
     if (e.dataType == LongType) e else Cast(e, LongType)
 
-  private def rewrite(j: Join, cond: Expression, bin: Long)
+  private def rewrite(j: Join, cond: Expression, bin: Long, maxBins: Long)
   : Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     if (conjuncts.size != 2) return None
@@ -89,9 +98,22 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
         // of the four operator combos, so dropping them is semantics-free
         val guarded = Filter(GreaterThanOrEqual(toLong(e), toLong(s)), bPlan)
         val ivBin = AttributeReference("_g_ivbin", LongType, nullable = true)()
+        // Span guard: an open-validity sentinel end (e = Long.MaxValue,
+        // the SCD2 "current row" encoding) would explode onto billions of
+        // bins and kill the job with an opaque Sequence error. Fail FAST
+        // per offending row with an actionable message naming the knobs
+        // instead — clamping would silently drop matches.
+        val stop = If(
+          LessThanOrEqual(Subtract(div(e), div(s)), Literal(maxBins)),
+          div(e),
+          Cast(new RaiseError(Literal(
+            s"range-join rewrite: interval spans more than $maxBins bins " +
+              s"of $bin ($MaxBinsKey / $BinSizeKey); cap sentinel end " +
+              "values (e.g. least(end, horizon)) before joining")),
+            org.apache.spark.sql.types.LongType))
         // Sequence is TimeZoneAware — without an explicit zone it would
         // re-enter the optimizer unresolved (no re-resolution runs there)
-        val seq = Sequence(div(s), div(e), None,
+        val seq = Sequence(div(s), stop, None,
           Some(conf.sessionLocalTimeZone))
         val gen = Generate(Explode(seq),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,

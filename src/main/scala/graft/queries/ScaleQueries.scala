@@ -200,12 +200,13 @@ object ScaleQueries {
     d.select(url.as("url"))
       .select(UrlOps.canonicalUrl(col("url")).as("cu"),
         UrlOps.registeredDomain(col("url")).as("registered_domain"))
+      // hash through the SHARED portable builder, pre-projected so the
+      // bit_xor aggregate can reference it by name
+      .withColumn("_h", graft.core.Hashing.portableLong(col("cu")))
       .groupBy("registered_domain")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("cu")).as("n_unique_urls"),
-        coalesce(expr("bit_xor(" +
-          "cast(conv(substring(md5(cast(cu as string)),1,15),16,10) as bigint))"),
-          lit(0L)).as("xor_url"))
+        coalesce(expr("bit_xor(_h)"), lit(0L)).as("xor_url"))
   }
 
   /**

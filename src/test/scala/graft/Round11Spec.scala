@@ -49,6 +49,36 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("range join fails FAST with an actionable message on sentinel-wide intervals") {
+    val points = Seq((1L, 10L)).toDF("pid", "p")
+    val wide = Seq((9L, 0L, Long.MaxValue)).toDF("iid", "s", "e")
+    val err = intercept[Exception] {
+      Ranges.pointInInterval(points, "p", wide, "s", "e", 1000L).count()
+    }
+    // the opaque billion-element Sequence failure is replaced by guidance
+    assert(err.getMessage.contains("cap sentinel end values"),
+      err.getMessage)
+    // and the optimizer rule guards the same way
+    import graft.plans.RewriteRangeJoin.BinSizeKey
+    spark.conf.set(BinSizeKey, "1000")
+    try {
+      val err2 = intercept[Exception] {
+        points.join(wide, col("p") >= col("s") && col("p") < col("e")).count()
+      }
+      assert(err2.getMessage.contains("cap sentinel end values"),
+        err2.getMessage)
+    } finally spark.conf.unset(BinSizeKey)
+  }
+
+  test("k-center stops early instead of emitting duplicate seeds") {
+    import graft.operators.VectorOps
+    val df = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 0f))).toDF("vec_id", "embedding") // 2 distinct dirs
+    val got = VectorOps.kCenterGreedy(df, "vec_id", "embedding", 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 2L)) // distinct vectors ran out at 2
+  }
+
   test("range join boundaries: start inclusive, end exclusive, empty interval") {
     val points = Seq((1L, 10L), (2L, 19L), (3L, 20L), (4L, 9L)).toDF("pid", "p")
     val intervals = Seq((100L, 10L, 20L), (101L, 15L, 15L)).toDF("iid", "s", "e")
