@@ -28,14 +28,21 @@ import org.apache.spark.sql.functions._
  */
 object Layout {
 
-  /** Morton z-value of two already-quantized dims in [0, 2^bits). */
-  def zValue2(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits: $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+  /** Morton z-value of k already-quantized dims in [0, 2^bits) —
+    * k·bits ≤ 62 so the interleaved value fits a long. Static
+    * k·bits-term codegen'd expression, no UDF. */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty && bits >= 1 && dims.size * bits <= 62,
+      s"dims=${dims.size} bits=$bits")
+    val k = dims.size
+    (for { i <- 0 until bits; (d, j) <- dims.zipWithIndex } yield
+      shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_ + _)
   }
+
+  /** Morton z-value of two already-quantized dims in [0, 2^bits). */
+  def zValue2(x: Column, y: Column, bits: Int): Column =
+    zValueN(Seq(x, y), bits)
 
   /** Quantize a non-negative value with known max onto [0, 2^bits):
     * exact integer (v · (2^bits − 1)) div max — replayable in any engine. */

@@ -165,6 +165,21 @@ class Round11Spec extends SparkSpec {
     graft.queries.Gate.deleteTree(new java.io.File(dir))
   }
 
+  test("zValueN interleaves k dims; 2-dim case equals the original zValue2") {
+    import graft.operators.Layout
+    // 3 dims, 2 bits: (x1 y1 z1 x0 y0 z0) for x=0b01, y=0b11, z=0b10
+    // → bits: x0=1,y0=1,z0=0,x1=0,y1=1,z1=1 → 1+2+0+0+16+32 = 51
+    val r = Seq((1L, 3L, 2L)).toDF("x", "y", "z")
+      .select(Layout.zValueN(Seq(col("x"), col("y"), col("z")), 2))
+      .as[Long].head()
+    assert(r == 51L)
+    val both = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValue2(col("x"), col("y"), 10),
+        Layout.zValueN(Seq(col("x"), col("y")), 10))
+      .as[(Long, Long)].head()
+    assert(both._1 == both._2 && both._1 == 27L)
+  }
+
   // ---- weighted sampling --------------------------------------------
 
   test("l2q8 mantissa table is exact and the column twin matches the long twin") {
