@@ -324,6 +324,90 @@ class Round11Spec extends SparkSpec {
       (26L, 2L), (50L, 3L)))
   }
 
+  // ---- randomized reference-fold properties ---------------------------
+
+  test("dedupWithinDelta equals the reference fold on random event streams") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(424L)
+    val evs = Seq.tabulate(400)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val got = Dedup.dedupWithinDelta(
+        evs.toDF("k", "ts", "id"), Seq("k"), "ts", "id", 37L)
+      .select("ts", "id").as[(Long, Long)].collect().toSet
+    val want = evs.groupBy(_._1).values.flatMap { g =>
+      var anchor = Long.MinValue
+      g.sortBy(e => (e._2, e._3)).flatMap { case (_, ts, id) =>
+        if (anchor == Long.MinValue || ts >= anchor + 37L) {
+          anchor = ts; Some((ts, id))
+        } else None
+      }
+    }.toSet
+    assert(got == want, s"${got.size} vs ${want.size}")
+  }
+
+  test("sessionizeCapped equals the reference fold on random event streams") {
+    import graft.operators.Sessions
+    val rnd = new scala.util.Random(425L)
+    val evs = Seq.tabulate(400)(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(2000).toLong, i.toLong))
+    val got = Sessions.sessionizeCapped(
+        evs.toDF("k", "ts", "id"), "k", "ts", "id", gapUs = 25L, capUs = 90L)
+      .select("k", "ts", "id", "sess")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+      var sess = 0L; var start = Long.MinValue; var last = Long.MinValue
+      g.sortBy(e => (e._2, e._3)).map { case (_, ts, id) =>
+        if (sess == 0L || ts - last > 25L || ts - start >= 90L) {
+          sess += 1; start = ts
+        }
+        last = ts
+        (k, ts, id, sess)
+      }
+    }.toSet
+    assert(got == want, s"${got.size} vs ${want.size}")
+  }
+
+  test("ivm maintenance equals rebuild under a random mutation stream") {
+    import graft.operators.Ivm
+    val rnd = new scala.util.Random(426L)
+    val keys = Seq("a", "b", "c", "d")
+    var current = Seq.tabulate(40)(i =>
+      (keys(rnd.nextInt(4)), (rnd.nextInt(100) + 1).toDouble))
+    val base = current
+    val log = scala.collection.mutable.Buffer
+      .empty[(String, String, Option[Double], Option[Double])]
+    for (_ <- 1 to 120) {
+      rnd.nextInt(3) match {
+        case 0 => // insert
+          val r = (keys(rnd.nextInt(4)), (rnd.nextInt(100) + 1).toDouble)
+          current = current :+ r
+          log += (("i", r._1, None, Some(r._2)))
+        case 1 if current.nonEmpty => // delete a live row
+          val i = rnd.nextInt(current.size)
+          val r = current(i)
+          current = current.patch(i, Nil, 1)
+          log += (("d", r._1, Some(r._2), None))
+        case 2 if current.nonEmpty => // in-place value update
+          val i = rnd.nextInt(current.size)
+          val (k, v) = current(i)
+          val v2 = (rnd.nextInt(100) + 1).toDouble
+          current = current.patch(i, Seq((k, v2)), 1)
+          log += (("u", k, Some(v), Some(v2)))
+        case _ => ()
+      }
+    }
+    val state0 = Ivm.aggState(base.toDF("k", "v"), Seq("k"), "v")
+    val maintained = Ivm.applyDelta(state0,
+        Ivm.deltaState(log.toSeq.toDF("op", "k", "val_before", "val_after"),
+          Seq("k")), Seq("k"))
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    val rebuilt = Ivm.aggState(current.toDF("k", "v"), Seq("k"), "v")
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(maintained == rebuilt)
+  }
+
   // ---- pagerank -------------------------------------------------------
 
   test("pagerank: one damped iteration matches the hand-computed ppm ranks") {
