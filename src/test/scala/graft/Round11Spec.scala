@@ -408,6 +408,35 @@ class Round11Spec extends SparkSpec {
     assert(maintained == rebuilt)
   }
 
+  test("merge equals the clause-cascade interpreter on random snapshots") {
+    import graft.operators.Merge
+    val rnd = new scala.util.Random(427L)
+    val target = rnd.shuffle((0L to 30L).toList).take(20)
+      .map(k => (k, rnd.nextInt(100).toLong, "T"))
+    val source = rnd.shuffle((0L to 40L).toList).take(25)
+      .map(k => (k, rnd.nextInt(100).toLong, "S"))
+    val got = Merge.merge(
+        target.toDF("k", "v", "tag"), source.toDF("k", "v", "tag"), Seq("k"),
+        updateCond = col("s.v") > col("t.v"),
+        deleteCond = col("s.k") % 7 === 0,
+        insertCond = col("s.k") % 2 === 0)
+      .as[(Long, Long, String)].collect().toSet
+    val tMap = target.map(r => r._1 -> r).toMap
+    val sMap = source.map(r => r._1 -> r).toMap
+    val want = (tMap.keySet ++ sMap.keySet).flatMap { k =>
+      (tMap.get(k), sMap.get(k)) match {
+        case (Some(t), None) => Some(t)
+        case (None, Some(s)) => if (s._1 % 2 == 0) Some(s) else None
+        case (Some(t), Some(s)) =>
+          if (s._1 % 7 == 0) None
+          else if (s._2 > t._2) Some(s)
+          else Some(t)
+        case _ => None
+      }
+    }
+    assert(got == want, s"${got.size} vs ${want.size}")
+  }
+
   // ---- pagerank -------------------------------------------------------
 
   test("pagerank: one damped iteration matches the hand-computed ppm ranks") {
