@@ -74,4 +74,16 @@ object Scd {
             col(opCol)) ++ valCols.map(col): _*)),
         keyCols, tsCol, seqCol, opCol, valCols))
   }
+  /**
+   * Time-travel read over a Type-2 history: the table AS OF `atTs` is the
+   * version row whose validity interval covers the instant —
+   * `valid_from <= atTs < valid_to` (open versions cover everything from
+   * valid_from on). Keys deleted before `atTs` simply have no covering
+   * version. A map-only filter over the history — at 100 TB the history
+   * is the partitioned/bucketed state table and snapshot reads prune to
+   * the covering slice.
+   */
+  def asOf(hist: DataFrame, atTs: Long): DataFrame =
+    hist.filter(col("valid_from") <= atTs &&
+      (col("valid_to").isNull || col("valid_to") > atTs))
 }

@@ -1173,6 +1173,51 @@ object ExtraQueries {
           lit(0).cast("decimal(18,6)")).cast("double").as("sum_current_val"))
   }
 
+  private val TravelTs = 1003000L
+
+  /**
+   * q219 — TIME-TRAVEL read ([[graft.operators.Scd.asOf]]): the table
+   * AS OF an instant, reconstructed from the q189 Type-2 history — the
+   * version row covering `TravelTs` per key (deleted-before keys have
+   * none). Completes the SCD2 story: build (q189), incrementally
+   * maintain (Scd.type2Increment), read as of any instant (here). Gate
+   * pins per table: snapshot row count, pk XOR and the decimal-exact
+   * value sum at the instant.
+   */
+  val timeTravel = GateQuery(
+    "q219_time_travel",
+    Some(cte +
+      s""", led AS (
+         |  SELECT schema_name, table_name, pk, op, commit_ts, seq, val_after,
+         |    lead(commit_ts) OVER (PARTITION BY schema_name, table_name, pk
+         |      ORDER BY commit_ts, seq) AS next_ts
+         |  FROM cdc
+         |), ver AS (
+         |  SELECT schema_name, table_name, pk, commit_ts AS valid_from,
+         |    next_ts AS valid_to, val_after
+         |  FROM led WHERE op <> 'D'
+         |), snap AS (
+         |  SELECT * FROM ver
+         |  WHERE valid_from <= $TravelTs
+         |    AND (valid_to IS NULL OR valid_to > $TravelTs)
+         |)
+         |SELECT schema_name, table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(coalesce(bit_xor(pk), 0) AS BIGINT) AS xor_pk,
+         |  CAST(coalesce(sum(CAST(val_after AS DECIMAL(18,6))), 0) AS DOUBLE)
+         |    AS sum_val
+         |FROM snap GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    import graft.operators.Scd
+    val hist = Scd.type2(CdcStream.derive(spark, dir),
+      Seq("schema_name", "table_name", "pk"), "commit_ts", "seq", "op",
+      Seq("val_after"))
+    Scd.asOf(hist, TravelTs)
+      .groupBy("schema_name", "table_name")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(pk)"), lit(0L)).as("xor_pk"),
+        coalesce(sum(col("val_after").cast("decimal(18,6)")),
+          lit(0).cast("decimal(18,6)")).cast("double").as("sum_val"))
+  }
+
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, imageDecode, imageResize,
     audioDecode, videoFrames,
@@ -1180,5 +1225,5 @@ object ExtraQueries {
     claimCheckWrite, handleKeyReassemble,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
     jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin, dumpLoad,
-    asofNative, asofForward, asofNearest, scdHistory)
+    asofNative, asofForward, asofNearest, scdHistory, timeTravel)
 }
