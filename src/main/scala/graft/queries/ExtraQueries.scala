@@ -1218,6 +1218,118 @@ object ExtraQueries {
           lit(0).cast("decimal(18,6)")).cast("double").as("sum_val"))
   }
 
+  private val WhT0 = 1002000L
+
+  /**
+   * q220 — the WAREHOUSE pipeline end to end (the q146 capstone for the
+   * round-10 tier): one table's change stream → snapshot at T0 (last
+   * non-delete image per key) → net batch of the post-T0 tail → guarded
+   * MERGE into the snapshot → independently, the SCD2 history read AS OF
+   * the final instant. Five stages, each pinned (rows, pk XOR,
+   * decimal-exact value sum); the 'merged' and 'scd_asof' rows must be
+   * IDENTICAL — two different operator paths (merge-apply vs
+   * history-reconstruction) agreeing on the final state, checked in
+   * data, with the oracle re-deriving every stage from scratch.
+   */
+  val warehousePipeline = GateQuery(
+    "q220_warehouse_pipeline",
+    Some(cte +
+      s""", e AS (
+         |  SELECT pk, op, commit_ts, seq, val_after FROM cdc
+         |  WHERE schema_name = 'db_0' AND table_name = 'tbl_0'
+         |), snap0 AS (
+         |  SELECT pk, val_after AS v, commit_ts AS ts FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY pk
+         |      ORDER BY commit_ts DESC, seq DESC) AS rn
+         |    FROM e WHERE commit_ts <= $WhT0)
+         |  WHERE rn = 1 AND op <> 'D'
+         |), batch AS (
+         |  SELECT pk, op, val_after AS v, commit_ts AS ts FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY pk
+         |      ORDER BY commit_ts DESC, seq DESC) AS rn
+         |    FROM e WHERE commit_ts > $WhT0)
+         |  WHERE rn = 1
+         |), mrows AS (
+         |  SELECT coalesce(s.pk, b.pk) AS pk,
+         |    CASE WHEN b.pk IS NULL THEN s.v
+         |         WHEN s.pk IS NULL THEN b.v
+         |         WHEN b.ts > s.ts THEN b.v ELSE s.v END AS v
+         |  FROM snap0 s FULL OUTER JOIN batch b ON s.pk = b.pk
+         |  WHERE b.pk IS NULL OR b.op <> 'D'
+         |), led AS (
+         |  SELECT pk, op, commit_ts, seq, val_after,
+         |    lead(commit_ts) OVER (PARTITION BY pk
+         |      ORDER BY commit_ts, seq) AS next_ts
+         |  FROM e
+         |), mx AS (SELECT max(commit_ts) AS m FROM e),
+         |asofv AS (
+         |  SELECT pk, val_after AS v FROM led, mx
+         |  WHERE op <> 'D' AND commit_ts <= m
+         |    AND (next_ts IS NULL OR next_ts > m)
+         |), stagerows AS (
+         |  SELECT 'a_changes' AS stage, count(*) AS n,
+         |    coalesce(bit_xor(pk), 0) AS x,
+         |    coalesce(sum(CAST(coalesce(val_after, 0) AS DECIMAL(18,6))), 0)
+         |      AS sv
+         |  FROM e
+         |  UNION ALL SELECT 'b_snap0', count(*), coalesce(bit_xor(pk), 0),
+         |    coalesce(sum(CAST(coalesce(v, 0) AS DECIMAL(18,6))), 0)
+         |  FROM snap0
+         |  UNION ALL SELECT 'c_batch_net', count(*), coalesce(bit_xor(pk), 0),
+         |    coalesce(sum(CAST(coalesce(v, 0) AS DECIMAL(18,6))), 0)
+         |  FROM batch
+         |  UNION ALL SELECT 'd_merged', count(*), coalesce(bit_xor(pk), 0),
+         |    coalesce(sum(CAST(coalesce(v, 0) AS DECIMAL(18,6))), 0)
+         |  FROM mrows
+         |  UNION ALL SELECT 'e_scd_asof', count(*), coalesce(bit_xor(pk), 0),
+         |    coalesce(sum(CAST(coalesce(v, 0) AS DECIMAL(18,6))), 0)
+         |  FROM asofv
+         |)
+         |SELECT stage, CAST(n AS BIGINT) AS n_rows, CAST(x AS BIGINT)
+         |  AS xor_pk, CAST(sv AS DOUBLE) AS sum_val
+         |FROM stagerows""".stripMargin)) { (spark, dir) =>
+    import graft.operators.{Merge, Scd}
+    val e = CdcStream.derive(spark, dir)
+      .filter(col("schema_name") === "db_0" && col("table_name") === "tbl_0")
+      .select(col("pk"), col("op"), col("commit_ts"), col("seq"),
+        col("val_after"))
+    def lastPer(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("pk").agg(
+        max_by(col("op"), struct(col("commit_ts"), col("seq"))).as("op"),
+        max_by(col("val_after"), struct(col("commit_ts"), col("seq")))
+          .as("v"),
+        max(col("commit_ts")).as("ts"))
+    val snap0 = lastPer(e.filter(col("commit_ts") <= WhT0))
+      .filter(col("op") =!= "D")
+      .select(col("pk"), col("v"), col("ts"), lit("I").as("op"))
+    val batch = lastPer(e.filter(col("commit_ts") > WhT0))
+      .select(col("pk"), col("v"), col("ts"), col("op"))
+    val merged = Merge.merge(snap0, batch, Seq("pk"),
+      updateCond = col("s.ts") > col("t.ts"),
+      deleteCond = col("s.op") === "D",
+      insertCond = col("s.op") =!= "D")
+    val hist = Scd.type2(e.withColumn("k", col("pk")), Seq("k"),
+      "commit_ts", "seq", "op", Seq("pk", "val_after"))
+    val maxTs = e.agg(max("commit_ts")).head().getLong(0)
+    val snapAsOf = Scd.asOf(hist, maxTs)
+      .select(col("pk"), col("val_after").as("v"))
+    def stage(name: String, df: org.apache.spark.sql.DataFrame,
+        vCol: org.apache.spark.sql.Column) =
+      df.withColumn("_v", vCol)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(pk)"), lit(0L)).as("xor_pk"),
+          coalesce(sum(coalesce(col("_v"), lit(0d))
+            .cast("decimal(18,6)")), lit(0).cast("decimal(18,6)"))
+            .cast("double").as("sum_val"))
+        .select(lit(name).as("stage"), col("n_rows"), col("xor_pk"),
+          col("sum_val"))
+    stage("a_changes", e, col("val_after"))
+      .unionByName(stage("b_snap0", snap0, col("v")))
+      .unionByName(stage("c_batch_net", batch, col("v")))
+      .unionByName(stage("d_merged", merged, col("v")))
+      .unionByName(stage("e_scd_asof", snapAsOf, col("v")))
+  }
+
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, imageDecode, imageResize,
     audioDecode, videoFrames,
@@ -1225,5 +1337,6 @@ object ExtraQueries {
     claimCheckWrite, handleKeyReassemble,
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
     jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin, dumpLoad,
-    asofNative, asofForward, asofNearest, scdHistory, timeTravel)
+    asofNative, asofForward, asofNearest, scdHistory, timeTravel,
+    warehousePipeline)
 }
