@@ -178,6 +178,9 @@ object DdlParser {
            "longblob" | "bit" => BinaryType
       case "date" => DateType
       case "datetime" | "timestamp" => TimestampType
+      // TiDB v8 VECTOR column (mysql.TypeTiDBVectorFloat32) — the mounter
+      // yields a dense float32 array (cdc/entry/mounter.go:832-834).
+      case "vector" => ArrayType(FloatType)
       case other => throw ParseError(mysqlType, s"unknown type '$other'")
     }
   }

@@ -85,6 +85,7 @@ object MySqlTypes {
     case "set" => -7 // bitmask → BIT
     case "bit" => -7
     case "json" => 12
+    case "vector" => 12 // TiDBVectorFloat32 renders as VARCHAR (java.go:146)
     case _ => 12
   }
 
@@ -132,6 +133,7 @@ object MySqlTypes {
     case "set" => 248
     case "bit" => 16
     case "json" => 245
+    case "vector" => 225 // mysql.TypeTiDBVectorFloat32 (0xE1)
     case _ => 15
   }
 
@@ -167,6 +169,26 @@ object MySqlTypes {
     regexp_replace(base64(c), "[\\r\\n]", "")
 
   /**
+   * TiDB `VectorFloat32.String()` form for an `array<float>` column:
+   * `[e1,e2,...]`, each element the shortest decimal that round-trips
+   * float32, rendered WITHOUT exponent (Go `strconv.FormatFloat('f',-1,32)`)
+   * — `[1,2,3,4,5]`, `[1.1,-2,3.33]` (canal_entry_test.go:106). Every codec
+   * renders vectors through this one string form (canal_entry.go:112,
+   * debezium/codec.go:831, csv_message.go:366, internal/column.go:65).
+   *
+   * Both Spark and DuckDB cast float→string as shortest-round-trip decimal,
+   * identical digits; the `\.0$` strip turns their whole-number `7.0` into
+   * Go's `7`. Domain: plain-decimal range (|v| in [1e-3, 1e7) or 0) — both
+   * engines switch to exponent notation outside it, Go never does.
+   * NULL vector stays NULL; elements of a TiDB vector are never NULL.
+   */
+  private[graft] def vecString(c: Column): Column =
+    concat(lit("["),
+      array_join(transform(c, x =>
+        regexp_replace(x.cast("string"), "\\.0$", "")), ","),
+      lit("]"))
+
+  /**
    * Canal-JSON rendering (canal_entry.go formatValue:84-118): EVERY value
    * becomes a string — integers/ordinals via decimal formatting, floats by
    * shortest-round-trip, binary via ISO-8859-1 byte-to-char decode, bool
@@ -176,6 +198,7 @@ object MySqlTypes {
     case _ if s.isBool => when(c, "1").when(!c, "0") // NULL stays NULL
     case b if blobBases(b) => decode(c, "ISO-8859-1")
     case "decimal" | "numeric" => c.cast(declDecimal(s)).cast("string")
+    case "vector" => vecString(c) // canal_entry.go:112 v.String()
     case _ => c.cast("string") // numbers, dates, ordinals, text
   }
 
@@ -192,6 +215,7 @@ object MySqlTypes {
     case "float" => c.cast("double")
     case "date" | "datetime" | "timestamp" | "time" => c.cast("string")
     case "decimal" | "numeric" => c.cast(declDecimal(s)).cast("string") // exact
+    case "vector" => vecString(c) // internal/column.go:64-65 String()
     case _ => c
   }
 
@@ -213,6 +237,7 @@ object MySqlTypes {
     case "set" => setNames(s, c)
     case "bit" => b64(unhex(lpad(hex(c), 2, "0")))
     case b if blobBases(b) => b64(c)
+    case "vector" => vecString(c) // debezium/codec.go:823-831 String()
     case _ => c
   }
 
@@ -241,6 +266,8 @@ object MySqlTypes {
           .map(_.group(1)).getOrElse("1")
         ("bytes", Some("io.debezium.data.Bits"), Some(s"""{"length":"$len"}"""))
       case "json" => ("string", Some("io.debezium.data.Json"), None)
+      case "vector" => // debezium/codec.go:456-459
+        ("string", Some("io.debezium.data.TiDBVectorFloat32"), None)
       case b if blobBases(b) => ("bytes", None, None)
       case _ => ("string", None, None)
     }
@@ -286,11 +313,18 @@ object MySqlTypes {
       s"DECIMAL(${d.precision},${d.scale})"
     }
 
+    /** DuckDB twin of [[MySqlTypes.vecString]] — same shortest-round-trip
+      * digits, same `\.0$` strip; `||` propagates a NULL list to NULL. */
+    private[graft] def vecString(e: String): String =
+      s"('[' || array_to_string(list_transform($e, x -> " +
+        """regexp_replace(CAST(x AS VARCHAR), '\.0$', '')), ',') || ']')"""
+
     def canalValue(s: ColumnSpec, e: String): String = s.base match {
       case _ if s.isBool => s"CASE WHEN $e THEN '1' WHEN NOT $e THEN '0' END"
       case b if blobBases(b) => s"decode($e)"
       case "decimal" | "numeric" =>
         s"CAST(CAST($e AS ${declDecimalSql(s)}) AS VARCHAR)"
+      case "vector" => vecString(e)
       case _ => s"CAST($e AS VARCHAR)"
     }
 
@@ -301,6 +335,7 @@ object MySqlTypes {
       case "date" | "datetime" | "timestamp" | "time" => s"CAST($e AS VARCHAR)"
       case "decimal" | "numeric" =>
         s"CAST(CAST($e AS ${declDecimalSql(s)}) AS VARCHAR)"
+      case "vector" => vecString(e)
       case _ => e
     }
 
@@ -313,6 +348,7 @@ object MySqlTypes {
       case "set" => setNames(s, e)
       case "bit" => s"to_base64(from_hex(lpad(to_hex($e), 2, '0')))"
       case b if blobBases(b) => s"to_base64($e)"
+      case "vector" => vecString(e)
       case _ => e
     }
   }

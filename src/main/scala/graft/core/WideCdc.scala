@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /**
- * A WIDE mixed-type CDC envelope for the schema-generic codec layer: 19
+ * A WIDE mixed-type CDC envelope for the schema-generic codec layer: 20
  * columns covering the MySQL type matrix (integer family, bool, unsigned
  * with promotion-range values, decimal, float/double, char/varchar, date,
- * datetime, blob, enum/set ordinals, bit, year, json). Before/after images
+ * datetime, blob, enum/set ordinals, bit, year, json, vector). Before/after images
  * are flat columns prefixed `b_`/`a_` (tiflow's PreColumns/Columns,
  * cdc/model/sink.go:347-391); the whole image is NULL for the missing side
  * of I/D.
@@ -47,7 +47,8 @@ object WideCdc {
     ColumnSpec("flags", "set('red','green','blue')", members = SetMembers),
     ColumnSpec("bits", "bit(8)"),
     ColumnSpec("yr", "year"),
-    ColumnSpec("meta", "json"))
+    ColumnSpec("meta", "json"),
+    ColumnSpec("vec", "vector(4)")) // TiDB v8 VECTOR → array<float>
 
   /** Prime shift producing the before image from the same formulas. */
   private val BeforeShift = 7919L
@@ -77,6 +78,9 @@ object WideCdc {
       case "bits" => b % 256L
       case "yr" => (lit(1990L) + b % 40L).cast("int")
       case "meta" => concat(lit("{\"k\":"), (b % 5L).cast("string"), lit("}"))
+      // quarters in [-50, 49.75]: exactly representable, plain-decimal band
+      case "vec" => transform(sequence(lit(0L), lit(3L)),
+        i => (((b + i * 37L) % 400L).cast("double") / 4 - 50).cast("float"))
     }
 
   // ---- per-column value derivations (DuckDB) --------------------------
@@ -103,6 +107,8 @@ object WideCdc {
       case "bits" => s"$b % 256"
       case "yr" => s"CAST(1990 + $b % 40 AS INT)"
       case "meta" => """'{"k":' || CAST(""" + b + """ % 5 AS VARCHAR) || '}'"""
+      case "vec" =>
+        s"list_transform(range(0,4), i -> CAST(CAST(($b + i*37) % 400 AS DOUBLE)/4 - 50 AS REAL))"
     }
 
   /** Rolling per-column NULL plant: nullable column #i is NULL when

@@ -76,6 +76,215 @@ object GenericCodecs {
       when(col("op") === "U", img(b)).as("old")), jsonOpts)
   }
 
+  // ---- column-pruning encoder options ---------------------------------
+
+  /**
+   * The reference's column-pruning codec options
+   * (pkg/sink/codec/common/config.go:78,95,256-268):
+   *  - `only-output-updated-columns` — on UPDATE, drop from the OLD image
+   *    every column whose value null-safe-equals the new image
+   *    (canal_json_row_event_encoder.go:543-556 shouldIgnoreColumn /
+   *    open_protocol_message.go:83-99 dropNotUpdatedColumns; equality is
+   *    IsColumnValueEqual, encoder.go:76-91 — nil==nil is equal);
+   *  - `delete-only-output-handle-key-columns` — on DELETE, emit only the
+   *    handle-key columns (canal_json_row_event_encoder.go:92-94,
+   *    open_protocol_message.go:142-145);
+   *  - `output-old-value` (open protocol) — emit the `p` pre-image block
+   *    on UPDATE (open_protocol_message.go:149-152).
+   */
+  final case class CodecOpts(
+      onlyOutputUpdatedColumns: Boolean = false,
+      deleteOnlyHandleKeyColumns: Boolean = false,
+      openOutputOldValue: Boolean = false)
+
+  object CodecOpts {
+    /** Reference config-combination rules, enforced at build time like
+      * common/config.go / pkg/config/sink.go:
+      * delete-only-output-handle-key-columns is rejected with
+      * force-replicate (config.go:265-268) and with the CSV protocol
+      * (sink.go:787-790); canal-json `content-compatible` implies
+      * only-output-updated-columns (config.go:270-274). */
+    def validate(opts: CodecOpts, protocol: String,
+                 forceReplicate: Boolean = false): CodecOpts = {
+      require(!(opts.deleteOnlyHandleKeyColumns && forceReplicate),
+        "force-replicate must be disabled when " +
+          "\"delete-only-output-handle-key-columns\" is true")
+      require(!(opts.deleteOnlyHandleKeyColumns && protocol == "csv"),
+        "CSV protocol requires old value to be enabled: do not set " +
+          "`delete-only-output-handle-key-columns` to true")
+      opts
+    }
+    def contentCompatible(opts: CodecOpts): CodecOpts =
+      opts.copy(onlyOutputUpdatedColumns = true)
+  }
+
+  /**
+   * Large-message handling config (pkg/config/large_message.go:30-37) with
+   * the reference's AdjustAndValidate rules (:47-92): the option must be
+   * none/handle-key-only/claim-check; compression must be supported;
+   * canal-json requires enable-tidb-extension; claim-check requires a
+   * storage URI; and `claim-check-raw-value` is REJECTED for the open
+   * protocol (:84-87 — raw side-files drop the key, which open's decoder
+   * needs).
+   */
+  final case class LargeMessageHandle(
+      option: String = "none",
+      compression: String = "none",
+      claimCheckStorageUri: String = "",
+      claimCheckRawValue: Boolean = false) {
+    def validate(protocol: String, enableTiDBExtension: Boolean = true)
+        : LargeMessageHandle = {
+      require(Seq("none", "handle-key-only", "claim-check").contains(option),
+        s"unknown large message handle option: $option")
+      require(graft.functions.MessageCompress.supported(compression),
+        s"large message handle compression is not supported, got $compression")
+      if (option != "none") {
+        protocol match {
+          case "open" | "simple" =>
+          case "canal-json" => require(enableTiDBExtension,
+            s"large message handle is set to $option, protocol is canal-json, " +
+              "but enable-tidb-extension is false")
+          case other => require(false,
+            s"large message handle is set to $option, protocol is $other, " +
+              "it's not supported")
+        }
+        if (option == "claim-check") {
+          require(claimCheckStorageUri.nonEmpty,
+            "large message handle is set to claim-check, but the " +
+              "claim-check-storage-uri is empty")
+          require(!(claimCheckRawValue && protocol == "open"),
+            "large message handle is set to claim-check, raw value is not " +
+              "supported for the open protocol")
+        }
+      }
+      this
+    }
+  }
+
+  /** `"name":<json value>` fragment for one column — to_json handles the
+    * escaping and the explicit-null rendering; the braces strip leaves a
+    * raw object member ready for concat assembly. */
+  private def jsonMember(name: String, v: Column): Column =
+    regexp_replace(to_json(struct(v.as(name)), jsonOpts), "^\\{|\\}$", "")
+
+  /**
+   * Canal-JSON with the pruning options: same member order as [[canalJson]]
+   * but `data`/`old` assemble per-row — on UPDATE with
+   * `only-output-updated-columns`, `old` carries EXACTLY the columns whose
+   * before value differs (null-safely) from the after value; on DELETE with
+   * `delete-only-output-handle-key-columns`, `data` carries only the handle
+   * keys. The consumer overlays `old` onto `data` to recover the pre-image
+   * (the reference's lossy contract — unchanged columns are not repeated).
+   */
+  def canalJsonWith(specs: Seq[ColumnSpec], opts: CodecOpts): Column = {
+    val hs = specs.filter(_.isHandle)
+    def fullImg(ss: Seq[ColumnSpec], v: ColumnSpec => Column): Column = to_json(
+      array(struct(ss.map(s => MySqlTypes.canalValue(s, v(s)).as(s.name)): _*)),
+      jsonOpts)
+    // onlyHandleKey (D + delete-only-output-handle-key-columns, encoder
+    // :92-94) restricts data AND the sqlType/mysqlType maps (:172)
+    val header =
+      if (opts.deleteOnlyHandleKeyColumns)
+        when(col("op") === "D", canalHeader(specs, hs))
+          .otherwise(canalHeader(specs, specs))
+      else canalHeader(specs, specs)
+    val deleteImg =
+      if (opts.deleteOnlyHandleKeyColumns) fullImg(hs, b) else fullImg(specs, b)
+    val data = when(col("op") === "D", deleteImg).otherwise(fullImg(specs, a))
+    val old =
+      if (!opts.onlyOutputUpdatedColumns)
+        when(col("op") === "U", fullImg(specs, b)).otherwise("null")
+      else {
+        // shouldIgnoreColumn: same schema ⇒ types equal; drop iff the raw
+        // values are null-safe-equal (IsColumnValueEqual)
+        val frags = specs.map(s =>
+          when(!(a(s) <=> b(s)), jsonMember(s.name, MySqlTypes.canalValue(s, b(s)))))
+        when(col("op") === "U",
+          concat(lit("[{"), concat_ws(",", frags: _*), lit("}]")))
+          .otherwise("null")
+      }
+    concat(regexp_replace(header, "\\}$", ""),
+      lit(",\"data\":"), data, lit(",\"old\":"), old, lit("}"))
+  }
+
+  /** Canal-JSON header object (id..mysqlType) with the sqlType/mysqlType
+    * maps over `mapSpecs` — the full list normally, the handle keys under
+    * onlyHandleKey (encoder :172); pkNames always the handle list. */
+  private def canalHeader(specs: Seq[ColumnSpec],
+                          mapSpecs: Seq[ColumnSpec]): Column = {
+    val canalType = when(col("op") === "I", "INSERT")
+      .when(col("op") === "U", "UPDATE").otherwise("DELETE")
+    to_json(struct(
+      lit(0L).as("id"),
+      col("schema_name").as("database"),
+      col("table_name").as("table"),
+      array(specs.filter(_.isHandle).map(s => lit(s.name)): _*).as("pkNames"),
+      lit(false).as("isDdl"),
+      canalType.as("type"),
+      col("commit_ts").as("es"),
+      col("commit_ts").as("ts"),
+      lit("").as("sql"),
+      struct(mapSpecs.map(s => MySqlTypes.javaSqlTypeCol(s, eff(s)).as(s.name)): _*)
+        .as("sqlType"),
+      struct(mapSpecs.map(s => lit(s.mysqlType).as(s.name)): _*).as("mysqlType")),
+      jsonOpts)
+  }
+
+  /**
+   * Canal-JSON claim-check (canal_json_row_event_encoder.go:445-470 +
+   * pkg/sink/kafka/claimcheck/claim_check.go:85-104): the FULL message
+   * (with the `_tidb` extension's commitTs, required by validate) is
+   * side-written when oversized; the in-stream replacement is the
+   * handle-key-only message (images AND sqlType/mysqlType maps restricted,
+   * newJSONMessageForDML with messageTooLarge=true) whose `_tidb` block
+   * carries `claimCheckLocation`. The side payload is the wrapped
+   * `{"key":null,"value":"<b64>"}` ClaimCheckMessage (common/message.go —
+   * canal messages have a nil key) by default, or with
+   * `claim-check-raw-value` the full message bytes VERBATIM
+   * (claim_check.go:86-95; decoders branch on the mode,
+   * canal_json_decoder.go:183-189).
+   *
+   * DEVIATION (same as the open-protocol path): content-addressed file
+   * names (md5 of the full message) instead of UUIDv4 — idempotent under
+   * at-least-once replay.
+   *
+   * Returns (message, location, payload); location/payload NULL for
+   * inline-sized messages.
+   */
+  def canalJsonClaimCheck(specs: Seq[ColumnSpec], maxBytes: Int,
+                          handle: LargeMessageHandle)
+      : (Column, Column, Column) = {
+    require(handle.option == "claim-check",
+      s"canalJsonClaimCheck requires the claim-check option, got ${handle.option}")
+    handle.validate("canal-json", enableTiDBExtension = true)
+    val hs = specs.filter(_.isHandle)
+    def withExt(msg: Column, ext: Column): Column =
+      concat(regexp_replace(msg, "\\}$", ""), lit(",\"_tidb\":"), ext, lit("}"))
+    val full = withExt(canalJsonWith(specs, CodecOpts()),
+      to_json(struct(col("commit_ts").as("commitTs"))))
+    val big = length(full) > maxBytes
+    val location = concat(
+      lit(handle.claimCheckStorageUri.stripSuffix("/") + "/"),
+      md5(full), lit(".json"))
+    // handle-key-only in-stream message: hs images/maps on every op
+    val hImg = to_json(
+      array(struct(hs.map(s => MySqlTypes.canalValue(s, eff(s)).as(s.name)): _*)),
+      jsonOpts)
+    val hOld = when(col("op") === "U", to_json(
+      array(struct(hs.map(s => MySqlTypes.canalValue(s, b(s)).as(s.name)): _*)),
+      jsonOpts)).otherwise("null")
+    val inStream = withExt(
+      concat(regexp_replace(canalHeader(specs, hs), "\\}$", ""),
+        lit(",\"data\":"), hImg, lit(",\"old\":"), hOld, lit("}")),
+      to_json(struct(col("commit_ts").as("commitTs"),
+        location.as("claimCheckLocation"))))
+    val payload =
+      if (handle.claimCheckRawValue) when(big, full)
+      else when(big, concat(lit("{\"key\":null,\"value\":\""),
+        MySqlTypes.b64(encode(full, "UTF-8")), lit("\"}")))
+    (when(big, inStream).otherwise(full), when(big, location), payload)
+  }
+
   // ---- E1: Open Protocol ----------------------------------------------
 
   /** Generic Open-Protocol value: per-column `{t, h?, f, v}` wrappers
@@ -94,6 +303,45 @@ object GenericCodecs {
     to_json(struct(
       when(col("op") =!= "D", img(a)).as("u"),
       when(col("op") === "D", img(b)).as("d")), jsonOpts)
+  }
+
+  /**
+   * Open Protocol with the pruning options (open_protocol_message.go:
+   * 130-167): `output-old-value` emits the `p` pre-image block on UPDATE;
+   * `only-output-updated-columns` then drops from `p` every column whose
+   * value null-safe-equals the new image (dropNotUpdatedColumns:83-99 —
+   * the UPDATE `u` block stays full); `delete-only-output-handle-key-
+   * columns` restricts the `d` block to handle keys (:142-145). Member
+   * order u, p, d follows the reference struct (:53-57); absent images
+   * render as explicit nulls, consistent with [[openProtocolValue]].
+   */
+  def openProtocolValueWith(specs: Seq[ColumnSpec], opts: CodecOpts): Column = {
+    def colStruct(s: ColumnSpec, v: Column): Column = {
+      val fields = Seq(lit(MySqlTypes.mysqlTypeCode(s)).as("t")) ++
+        (if (s.isHandle) Seq(lit(true).as("h")) else Nil) ++
+        Seq(lit(MySqlTypes.columnFlags(s)).as("f"),
+          MySqlTypes.nativeValue(s, v).as("v"))
+      struct(fields: _*)
+    }
+    def img(ss: Seq[ColumnSpec], v: ColumnSpec => Column): Column =
+      to_json(struct(ss.map(s => colStruct(s, v(s)).as(s.name)): _*), jsonOpts)
+    val u = when(col("op") =!= "D", img(specs, a)).otherwise("null")
+    val p =
+      if (!opts.openOutputOldValue) lit("null")
+      else if (!opts.onlyOutputUpdatedColumns)
+        when(col("op") === "U", img(specs, b)).otherwise("null")
+      else {
+        val frags = specs.map(s =>
+          when(!(a(s) <=> b(s)), jsonMember(s.name, colStruct(s, b(s)))))
+        when(col("op") === "U",
+          concat(lit("{"), concat_ws(",", frags: _*), lit("}")))
+          .otherwise("null")
+      }
+    val dImg =
+      if (opts.deleteOnlyHandleKeyColumns) img(specs.filter(_.isHandle), b)
+      else img(specs, b)
+    val d = when(col("op") === "D", dImg).otherwise("null")
+    concat(lit("{\"u\":"), u, lit(",\"p\":"), p, lit(",\"d\":"), d, lit("}"))
   }
 
   // ---- E6: Maxwell ----------------------------------------------------
@@ -129,6 +377,8 @@ object GenericCodecs {
       case "char" | "varchar" | "tinytext" | "text" | "mediumtext" |
            "longtext" | "json" | "date" | "datetime" | "timestamp" | "time" =>
         Codecs.csvQuoteWith(cfg)(c.cast("string"))
+      case "vector" => // csv_message.go:366-370: vec.String(), quoted form
+        Codecs.csvQuoteWith(cfg)(MySqlTypes.canalValue(s, c))
       case "decimal" | "numeric" =>
         Codecs.csvNumWith(cfg)(MySqlTypes.canalValue(s, c)) // declared (p,s)
       case _ => Codecs.csvNumWith(cfg)(c) // ints, float/double, ordinals

@@ -5,7 +5,7 @@ import graft.core.{ColumnSpec, MySqlTypes, WideCdc}
 import graft.operators.{Codecs, GenericCodecs}
 
 /**
- * Gate queries for the schema-GENERIC codec layer: a 19-column mixed-type
+ * Gate queries for the schema-GENERIC codec layer: a 20-column mixed-type
  * table ([[WideCdc]]) flows through Canal-JSON, Open Protocol, CSV,
  * Maxwell, Debezium (payload + Connect schema block) and the Simple
  * protocol with NO codec code knowing the schema — encoders and the DuckDB
@@ -120,6 +120,8 @@ object GenericCodecQueries {
       s"CASE WHEN $e IS NULL THEN '\\N' ELSE to_base64($e) END"
     else if (quotedBases(s.base))
       s"""CASE WHEN $e IS NULL THEN '\\N' ELSE '"' || replace(CAST($e AS VARCHAR), '"', '""') || '"' END"""
+    else if (s.base == "vector")
+      s"""CASE WHEN $e IS NULL THEN '\\N' ELSE '"' || replace(${MySqlTypes.Sql.canalValue(s, e)}, '"', '""') || '"' END"""
     else if (s.base == "decimal" || s.base == "numeric")
       s"coalesce(${MySqlTypes.Sql.canalValue(s, e)}, '\\N')"
     else s"coalesce(CAST($e AS VARCHAR), '\\N')"
@@ -256,6 +258,225 @@ object GenericCodecQueries {
         sum(when(col("ok"), 1L).otherwise(0L)).as("n_verified"))
   }
 
+  // ---- q221: vector column encode∘decode = id per format --------------
+
+  /**
+   * q221 — the TiDB VECTOR column (`vec vector(4)`, mysql.TypeTiDBVectorFloat32)
+   * round-trips every generic format: encode the wide row, DECODE the
+   * message (from_json / cell extraction), parse the `[e1,e2,...]` string
+   * back to `array<float>`, and require exact equality with the source
+   * image — shortest-round-trip rendering (mounter.go:832-834 →
+   * canal_entry.go:112 / internal/column.go:65 / debezium/codec.go:831 /
+   * csv_message.go:366) makes string→float32 lossless by construction.
+   * Output pins per-format×op message and match counts; a lossy renderer
+   * (e.g. cast to double, exponent form) would break n_match = n.
+   */
+  val vectorRoundtrip = GateQuery(
+    "q221_vector_roundtrip",
+    Some(cte +
+      s"""SELECT f.format, w.op, count(*) AS n, count(*) AS n_match
+         |FROM wide w CROSS JOIN (
+         |  SELECT unnest(['canal','csv','debezium','maxwell','open','simple']) AS format) f
+         |WHERE $Sample GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Column, DataFrame}
+    val df = WideCdc.derive(spark, dir).filter(expr(Sample))
+    val a = col("a_vec"); val b = col("b_vec")
+    val effV = when(col("op") === "D", b).otherwise(a)
+    // `[e1,e2,...]` → array<float>; exact because the rendering is the
+    // shortest decimal that round-trips float32.
+    def parseVec(s: Column): Column = when(s.isNotNull,
+      transform(split(regexp_replace(s, "^\\[|\\]$", ""), ","),
+        x => x.cast("float")))
+    def strField(names: String*): StructType =
+      names.foldLeft(new StructType())((t, n) => t.add(n, StringType))
+    def ok(parsed: Column, src: Column): Column = parsed <=> src
+    // one (format, matched) pair per encoded+decoded message
+    def gate(format: String, checks: Column*): DataFrame =
+      df.select(lit(format).as("format"), col("op"),
+        checks.reduce(_ && _).as("m"))
+    val canal = {
+      val sch = new StructType()
+        .add("data", ArrayType(strField("vec")))
+        .add("old", ArrayType(strField("vec")))
+      val m = from_json(GenericCodecs.canalJson(specs), sch)
+      gate("canal",
+        ok(parseVec(element_at(m.getField("data"), 1).getField("vec")), effV),
+        ok(parseVec(element_at(m.getField("old"), 1).getField("vec")),
+          when(col("op") === "U", b)))
+    }
+    val open = {
+      val vw = new StructType().add("vec",
+        new StructType().add("v", StringType))
+      val sch = new StructType().add("u", vw).add("d", vw)
+      val m = from_json(GenericCodecs.openProtocolValue(specs), sch)
+      gate("open",
+        ok(parseVec(m.getField("u").getField("vec").getField("v")),
+          when(col("op") =!= "D", a)),
+        ok(parseVec(m.getField("d").getField("vec").getField("v")),
+          when(col("op") === "D", b)))
+    }
+    val maxwell = {
+      val sch = new StructType().add("data", strField("vec"))
+        .add("old", strField("vec"))
+      val m = from_json(GenericCodecs.maxwell(specs), sch)
+      gate("maxwell",
+        ok(parseVec(m.getField("data").getField("vec")), effV),
+        ok(parseVec(m.getField("old").getField("vec")),
+          when(col("op") === "U", b)))
+    }
+    val dbz = {
+      val sch = new StructType().add("payload", new StructType()
+        .add("before", strField("vec")).add("after", strField("vec")))
+      val m = from_json(GenericCodecs.debezium(specs), sch).getField("payload")
+      gate("debezium",
+        ok(parseVec(m.getField("before").getField("vec")),
+          when(col("op") =!= "I", b)),
+        ok(parseVec(m.getField("after").getField("vec")),
+          when(col("op") =!= "D", a)))
+    }
+    val csv = {
+      // the vector is the line's only bracketed cell — extract its quoted
+      // form; no match (NULL plant rendered as \N) → NULL
+      val cell = regexp_extract(GenericCodecs.csvLine(specs),
+        "\"(\\[[^\\]]*\\])\"", 1)
+      gate("csv", ok(parseVec(nullif(cell, lit(""))), effV))
+    }
+    val simple = {
+      val sch = new StructType().add("data", strField("vec"))
+        .add("old", strField("vec"))
+      val m = from_json(GenericCodecs.simpleRow(specs, 1), sch)
+      gate("simple",
+        ok(parseVec(m.getField("data").getField("vec")),
+          when(col("op") =!= "D", a)),
+        ok(parseVec(m.getField("old").getField("vec")),
+          when(col("op") =!= "I", b)))
+    }
+    Seq(canal, open, maxwell, dbz, csv, simple).reduce(_.unionByName(_))
+      .groupBy("format", "op")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_match"))
+  }
+
+  // ---- q222/q223: only-output-updated-columns -------------------------
+
+  // Sparse-update twin of `wide`: UPDATE rows keep the before image EQUAL
+  // to the after image except on a rolling ~25% column subset — the shape
+  // `only-output-updated-columns` exists for. Column i of row seq is a
+  // candidate change iff (seq + 3i) % 4 = 0; actual emission is decided by
+  // null-safe VALUE inequality (IsColumnValueEqual, encoder.go:76-91), so
+  // coincidentally-equal candidates (e.g. `code`, both NULL plants) still
+  // prune — the oracle recomputes that rule from the images, not the flag.
+  private def sparseChanged(i: Int) = s"(seq + ${3 * i}) % 4 = 0"
+
+  private def sparseWide(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val df0 = WideCdc.derive(spark, dir).filter(expr(Sample))
+    val head = Seq("seq", "op", "commit_ts", "start_ts", "schema_name",
+      "table_name").map(col)
+    val imgs = specs.zipWithIndex.flatMap { case (s, i) =>
+      Seq(col("a_" + s.name),
+        when(col("op") === "U" && !expr(sparseChanged(i)), col("a_" + s.name))
+          .otherwise(col("b_" + s.name)).as("b_" + s.name))
+    }
+    df0.select(head ++ imgs: _*)
+  }
+
+  /** DuckDB twin of [[sparseWide]] as a CTE named `sparse`. */
+  private val sparseCte: String = cte + ", sparse AS (\n  SELECT " +
+    "seq, op, commit_ts, start_ts, schema_name, table_name,\n  " +
+    specs.zipWithIndex.flatMap { case (s, i) =>
+      Seq(aE(s),
+        s"CASE WHEN op = 'U' AND NOT (${sparseChanged(i)}) THEN ${aE(s)} " +
+          s"ELSE ${bE(s)} END AS ${bE(s)}")
+    }.mkString(",\n  ") + s"\n  FROM wide WHERE $Sample\n)"
+
+  /** Sorted comma-joined names of columns whose modified before image
+    * null-safe-differs from the after image (the emitted OLD set). */
+  private val changedColsSql: String =
+    "array_to_string(list_sort(list_filter([" +
+      specs.map(s =>
+        s"CASE WHEN NOT (${aE(s)} IS NOT DISTINCT FROM ${bE(s)}) THEN '${s.name}' END")
+        .mkString(", ") + "], x -> x IS NOT NULL)), ',')"
+
+  /**
+   * q222 — canal-JSON `only-output-updated-columns` +
+   * `delete-only-output-handle-key-columns`
+   * (canal_json_row_event_encoder.go:231-247,92-94): an UPDATE touching k
+   * of 20 columns emits EXACTLY those k in `old` (pinned by name list), a
+   * DELETE emits only the handle key in `data`, and overlaying the decoded
+   * `old` onto `data` recovers the full pre-image (the lossy contract —
+   * verified Spark-side against the true before image, pinned as a count).
+   */
+  val canalUpdatedColumns = GateQuery(
+    "q222_canal_updated_columns",
+    Some(sparseCte +
+      s"""SELECT seq, op,
+         |  CAST(CASE WHEN op = 'D' THEN ${specs.count(_.isHandle)}
+         |       ELSE ${specs.size} END AS BIGINT) AS n_data,
+         |  CASE WHEN op = 'U' THEN $changedColsSql END AS old_cols,
+         |  true AS recovered
+         |FROM sparse""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val df = sparseWide(spark, dir)
+    val opts = GenericCodecs.CodecOpts.validate(
+      GenericCodecs.CodecOpts(onlyOutputUpdatedColumns = true,
+        deleteOnlyHandleKeyColumns = true), "canal-json")
+    val msg = GenericCodecs.canalJsonWith(specs, opts)
+    val sch = new StructType()
+      .add("data", ArrayType(MapType(StringType, StringType)))
+      .add("old", ArrayType(MapType(StringType, StringType)))
+    val m = from_json(msg, sch)
+    val dataM = element_at(m.getField("data"), 1)
+    val oldM = element_at(m.getField("old"), 1)
+    // lossy-contract recovery: pre[col] = old[col] if emitted else data[col]
+    val recovered = specs.map { s =>
+      val rec = when(map_contains_key(oldM, s.name), element_at(oldM, s.name))
+        .otherwise(element_at(dataM, s.name))
+      rec <=> MySqlTypes.canalValue(s, col("b_" + s.name))
+    }.reduce(_ && _)
+    df.select(col("seq"), col("op"),
+      size(map_keys(dataM)).cast("long").as("n_data"),
+      when(col("op") === "U",
+        array_join(array_sort(map_keys(oldM)), ",")).as("old_cols"),
+      when(col("op") === "U", recovered).otherwise(true).as("recovered"))
+  }
+
+  /**
+   * q223 — open protocol `output-old-value` + `only-output-updated-columns`
+   * + `delete-only-output-handle-key-columns`
+   * (open_protocol_message.go:130-167, dropNotUpdatedColumns:83-99): the
+   * UPDATE `u` block stays FULL, the `p` pre-image block carries exactly
+   * the changed columns, the DELETE `d` block only the handle key.
+   */
+  val openUpdatedColumns = GateQuery(
+    "q223_open_updated_columns",
+    Some(sparseCte +
+      s"""SELECT seq, op,
+         |  CAST(CASE WHEN op <> 'D' THEN ${specs.size} END AS BIGINT) AS n_u,
+         |  CASE WHEN op = 'U' THEN $changedColsSql END AS p_cols,
+         |  CAST(CASE WHEN op = 'D' THEN ${specs.count(_.isHandle)} END AS BIGINT) AS n_d
+         |FROM sparse""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val df = sparseWide(spark, dir)
+    val opts = GenericCodecs.CodecOpts.validate(
+      GenericCodecs.CodecOpts(onlyOutputUpdatedColumns = true,
+        deleteOnlyHandleKeyColumns = true, openOutputOldValue = true), "open")
+    val msg = GenericCodecs.openProtocolValueWith(specs, opts)
+    val colT = new StructType().add("t", LongType)
+    val sch = new StructType()
+      .add("u", MapType(StringType, colT))
+      .add("p", MapType(StringType, colT))
+      .add("d", MapType(StringType, colT))
+    val m = from_json(msg, sch)
+    df.select(col("seq"), col("op"),
+      size(map_keys(m.getField("u"))).cast("long").as("n_u"),
+      when(col("op") === "U",
+        array_join(array_sort(map_keys(m.getField("p"))), ",")).as("p_cols"),
+      size(map_keys(m.getField("d"))).cast("long").as("n_d"))
+  }
+
   def all: Seq[GateQuery] = Seq(canalGeneric, openGeneric, maxwellGeneric,
-    csvGeneric, debeziumSchemaGate, simpleGeneric, integrityGeneric)
+    csvGeneric, debeziumSchemaGate, simpleGeneric, integrityGeneric,
+    vectorRoundtrip, canalUpdatedColumns, openUpdatedColumns)
 }
