@@ -116,6 +116,11 @@ object Bench {
         .waitListenerEmpty(spark.sparkContext)
       catch { case _: Throwable => () }
     val shuffleByGate = scala.collection.mutable.Map.empty[String, Long]
+    val failedGates = scala.collection.mutable.ArrayBuffer.empty[String]
+    // The q60-q68 LLM-tier block sits right where the pure phase's driver
+    // churn peaks; three rounds of phantom 2-5x inflation (q65/q66 in-suite
+    // vs isolated) trace to collections landing there — settle right before
+    // it so the block starts from a clean heap.
     def run(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
             settleAfterEach: Boolean) =
       entries.zipWithIndex.map { case ((name, fn), i) =>
@@ -123,11 +128,18 @@ object Bench {
         // ~140 map-only gates accumulate enough young-gen garbage that a
         // collection lands mid-gate 2-5x inflating whichever one draws it
         // (r8: q130 6.3 s in-suite vs 2.65 isolated, q28b 5.7 vs 1.3)
-        if (!settleAfterEach && i % 25 == 0 && i > 0) gcSettle()
+        if (!settleAfterEach &&
+            ((i % 25 == 0 && i > 0) || name.startsWith("q60"))) gcSettle()
         val starts0 = streamStarts.get()
         drain(); val sh0 = shuffleWrite.get()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // LOUD failure: a crashing gate must not hide behind a small wall
+        // time — record it and print the cause; the JSON carries "failed"
+        try { fn(spark, sfDir).count(); () } catch {
+          case e: Throwable =>
+            failedGates += name
+            System.err.println(s"[bench] FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         drain(); shuffleByGate(name) = shuffleWrite.get() - sh0
         if (!settleAfterEach && streamStarts.get() != starts0)
@@ -161,7 +173,7 @@ object Bench {
         "\"" + k + "\":" + f"${shuffleByGate(k) / 1048576.0}%.3f"
       }.mkString("{", ",", "}")
       val fullLine =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","rows_per_sec":${ingestRows / math.max(ingestSec, 1e-9)}%.0f,"queries":$fullQs,"shuffle_mb":$shQs,"sf":"$sfDir"}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","rows_per_sec":${ingestRows / math.max(ingestSec, 1e-9)}%.0f,"failed":${failedGates.size},"queries":$fullQs,"shuffle_mb":$shQs,"sf":"$sfDir"}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
         fullLine.getBytes("UTF-8")) catch { case _: Throwable => }
@@ -171,7 +183,7 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     System.err.println(
       f"[bench] stream ingest: $ingestRows rows in $ingestSec%.2f s = ${ingestRows / math.max(ingestSec, 1e-9)}%.0f rows/s")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","failed":${failedGates.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

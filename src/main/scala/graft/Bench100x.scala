@@ -151,7 +151,15 @@ object Bench100x {
     // retention triangle, and k-center selection over 500k vectors
     "q193_range_join", "q195_weighted_sample", "q199_watermark_dedup",
     "q201_ivm_maintain", "q202_resample_ffill", "q207_funnel",
-    "q208_retention", "q198_kcenter_coreset")
+    "q208_retention", "q198_kcenter_coreset",
+    // round-11: the warehouse tier at 100× — the native as-of join's
+    // single-shuffle union-window claim (backward + forward), the SCD2
+    // history build and its time-travel read, conditional MERGE, and the
+    // q220 capstone where the merge-apply and history-read paths must
+    // agree; measured here WITH per-entry shuffle_mb so "one shuffle" is
+    // a number, not scaladoc
+    "q187_asof_native", "q215_asof_forward", "q189_scd2_history",
+    "q219_time_travel", "q200_merge_into", "q220_warehouse_pipeline")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(
@@ -182,18 +190,40 @@ object Bench100x {
     spark.range(1000000).select((col("id") % 7).as("k"))
       .dropDuplicates("k").groupBy("k").agg(count(lit(1))).count()
 
+    // per-entry shuffle WRITE volume (same listener + drain discipline as
+    // Bench): the scale claims ("one shuffle", "map-only") become numbers
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleWrite.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    })
+    def drain(): Unit =
+      try org.apache.spark.graftbridge.SparkInternals
+        .waitListenerEmpty(spark.sparkContext)
+      catch { case _: Throwable => () }
+
     val times = sel.map { case (name, mk) =>
       System.gc(); Thread.sleep(300); System.gc()
+      drain(); val sh0 = shuffleWrite.get()
       val t0 = System.nanoTime()
       val rows = mk().count()
       val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench100x] $name%-22s $secs%8.2f s  ($rows rows)")
-      name -> secs
+      drain(); val shMb = (shuffleWrite.get() - sh0) / 1048576.0
+      System.err.println(
+        f"[bench100x] $name%-22s $secs%8.2f s  $shMb%9.1f MB shuffle  ($rows rows)")
+      (name, secs, shMb)
     }
-    val qjson = times.map { case (n, s) => s""""$n":${f"$s%.2f"}""" }
+    val qjson = times.map { case (n, s, _) => s""""$n":${f"$s%.2f"}""" }
+      .mkString(",")
+    val shjson = times.map { case (n, _, m) => s""""$n":${f"$m%.3f"}""" }
       .mkString(",")
     println(s"""{"metric":"bench100x","unit":"sec","dir":"$dir",""" +
-      s""""value":${f"${times.map(_._2).sum}%.2f"},"queries":{$qjson}}""")
+      s""""value":${f"${times.map(_._2).sum}%.2f"},"queries":{$qjson},""" +
+      s""""shuffle_mb":{$shjson}}""")
     spark.stop()
   }
 }

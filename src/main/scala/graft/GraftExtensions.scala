@@ -55,7 +55,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(a.foldable, s"graft function argument ${i + 1} must be an integer literal, got: $a")
         val v = a.eval()
         require(v != null, s"graft function argument ${i + 1} must not be NULL")
-        v.asInstanceOf[Number].intValue()
+        v match { // typed literals only — a '3' string must fail actionably
+          case n: java.lang.Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"requirement failed: graft function argument ${i + 1} must be " +
+              s"an integer literal, got ${other.getClass.getSimpleName}: $other")
+        }
       }
     ext.injectFunction(fn("graft_shingle_hashes", args =>
       graft.functions.ShingleHashes(args.head, intArg(args, 1, 3))))

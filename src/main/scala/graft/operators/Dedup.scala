@@ -706,7 +706,13 @@ object Dedup {
     require(delta > 0, s"delta: $delta")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(concat_ws("\u0001", keyCols.map(col): _*).as("k"),
+    // NULL-safe key encoding: concat_ws silently DROPS null slots, so key
+    // tuples like ("a", NULL) and ("a\u0001") would collide into one
+    // suppression chain and wrongly drop events — tag every part with a
+    // present/null marker byte first so each slot always contributes.
+    val keyParts = keyCols.map(c =>
+      when(col(c).isNull, "\u0000").otherwise(concat(lit("\u0002"), col(c))))
+    df.select(concat_ws("\u0001", keyParts: _*).as("k"),
         col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)

@@ -251,6 +251,18 @@ object GenericCodecs {
    * Returns (message, location, payload); location/payload NULL for
    * inline-sized messages.
    */
+  /** `,"_tidb":<ext>` appended to a canal message — the TiDB extension
+    * block (encoder :256-279). */
+  private def withExt(msg: Column, ext: Column): Column =
+    concat(regexp_replace(msg, "\\}$", ""), lit(",\"_tidb\":"), ext, lit("}"))
+
+  /** Canal-JSON with the `_tidb` extension carrying commitTs — the
+    * enable-tidb-extension form every large-message mode requires. */
+  def canalJsonTidb(specs: Seq[ColumnSpec],
+                    opts: CodecOpts = CodecOpts()): Column =
+    withExt(canalJsonWith(specs, opts),
+      to_json(struct(col("commit_ts").as("commitTs"))))
+
   def canalJsonClaimCheck(specs: Seq[ColumnSpec], maxBytes: Int,
                           handle: LargeMessageHandle)
       : (Column, Column, Column) = {
@@ -258,10 +270,7 @@ object GenericCodecs {
       s"canalJsonClaimCheck requires the claim-check option, got ${handle.option}")
     handle.validate("canal-json", enableTiDBExtension = true)
     val hs = specs.filter(_.isHandle)
-    def withExt(msg: Column, ext: Column): Column =
-      concat(regexp_replace(msg, "\\}$", ""), lit(",\"_tidb\":"), ext, lit("}"))
-    val full = withExt(canalJsonWith(specs, CodecOpts()),
-      to_json(struct(col("commit_ts").as("commitTs"))))
+    val full = canalJsonTidb(specs)
     val big = length(full) > maxBytes
     val location = concat(
       lit(handle.claimCheckStorageUri.stripSuffix("/") + "/"),

@@ -45,7 +45,7 @@ object Graphs {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     try {
       var pr = nodes.select(col("node"), lit(Ppm).as("pr_ppm"))
-      for (_ <- 0 until iters) {
+      for (i <- 1 to iters) {
         val contrib = e.join(pr, e("src") === pr("node"))
           .join(outdeg, "src")
           .select(col("dst"), idiv(col("pr_ppm"), col("deg")).as("c"))
@@ -55,6 +55,9 @@ object Graphs {
             (lit(Ppm - dPpm) +
               idiv(lit(dPpm) * coalesce(col("in_mass"), lit(0L)), lit(Ppm)))
               .as("pr_ppm"))
+        // cut the lineage every ~10 rounds — without this, long runs grow a
+        // quadratic plan (analyzer/codegen blowup + re-evaluation per action)
+        if (i % 10 == 0 && i < iters) pr = pr.localCheckpoint(true)
       }
       // materialize before releasing the cached inputs
       pr.localCheckpoint(true)

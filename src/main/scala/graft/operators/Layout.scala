@@ -45,10 +45,19 @@ object Layout {
     zValueN(Seq(x, y), bits)
 
   /** Quantize a non-negative value with known max onto [0, 2^bits):
-    * exact integer (v · (2^bits − 1)) div max — replayable in any engine. */
-  def quantize(v: Column, maxV: Column, bits: Int): Column =
-    graft.core.Exact.idiv(v.cast("long") * ((1L << bits) - 1),
-      maxV.cast("long"))
+    * exact integer (v · (2^bits − 1)) div max — replayable in any engine.
+    * Fails fast (the Ranges guardedStop pattern) when v · (2^bits − 1)
+    * would overflow int64 — e.g. nanosecond timestamps with bits ≥ 16 —
+    * instead of silently wrapping into a garbage file layout. */
+  def quantize(v: Column, maxV: Column, bits: Int): Column = {
+    val scale = (1L << bits) - 1
+    val maxSafe = Long.MaxValue / scale
+    val safeV = when(v.cast("long").between(0L, maxSafe), v.cast("long"))
+      .otherwise(raise_error(lit(
+        s"quantize: value outside [0, $maxSafe] for bits=$bits — the scale " +
+          "product would overflow int64; reduce bits or pre-scale the dimension")))
+    graft.core.Exact.idiv(safeV * scale, maxV.cast("long"))
+  }
 
   /** Production writer: z-cluster `df` on (x, y) into `nFiles` parquet
     * files under `path`. Range-partitions by z-value (sampled bounds — a

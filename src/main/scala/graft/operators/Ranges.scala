@@ -49,6 +49,7 @@ object Ranges {
       intervals: DataFrame, startCol: String, endCol: String,
       binSize: Long, maxBinsPerInterval: Long = MaxBinsDefault): DataFrame = {
     require(binSize > 0, s"binSize must be positive: $binSize")
+    requireDisjoint(points, intervals)
     val p = points.withColumn("_g_bin", col(pointCol).divLong(binSize))
     val iv = intervals
       .filter(col(endCol) > col(startCol))
@@ -64,6 +65,18 @@ object Ranges {
 
   private implicit final class DivOps(private val c: Column) {
     def divLong(d: Long): Column = graft.core.Exact.divLong(c, d)
+  }
+
+  /** The residual predicates resolve user columns by bare name across the
+    * join, so a shared column name (both sides carrying "ts") would bind
+    * ambiguously or to the wrong side — require disjoint schemas up front
+    * (the Merge input-validation pattern) instead of failing downstream. */
+  private def requireDisjoint(l: DataFrame, r: DataFrame): Unit = {
+    val shared = l.columns.map(_.toLowerCase).toSet
+      .intersect(r.columns.map(_.toLowerCase).toSet)
+    require(shared.isEmpty,
+      s"range join inputs must have disjoint column names; shared: " +
+        s"${shared.toSeq.sorted.mkString(", ")} — rename one side first")
   }
 
   /** Explosion cap: an open-validity sentinel end (Long.MaxValue — the
@@ -95,6 +108,7 @@ object Ranges {
   def intervalOverlap(left: DataFrame, ls: String, le: String,
       right: DataFrame, rs: String, re: String, binSize: Long): DataFrame = {
     require(binSize > 0, s"binSize must be positive: $binSize")
+    requireDisjoint(left, right)
     val a = left.filter(col(le) > col(ls))
       .withColumn("_g_abin", explode(sequence(
         col(ls).divLong(binSize),

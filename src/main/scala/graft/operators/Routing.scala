@@ -167,6 +167,35 @@ object Routing {
   def dispatchByColumns(n: Int, cols: Seq[Column]): Column =
     pmod(hash32(cols.reduce(_ * lit(31L) + _)), lit(n.toLong))
 
+  /** R3 — explicit-key dispatcher (partition/key.go:22-37): every matched
+    * event carries the CONFIGURED literal as its partition key, partition
+    * index 0 — the broker's own key-hash routing takes over. */
+  def dispatchByKey(partitionKey: String): (Column, Column) =
+    (lit(0L), lit(partitionKey))
+
+  /**
+   * Partition-rule resolution (event_router.go getPartitionDispatcher:
+   * 213-239): named rules map to their dispatchers — "default" delegates
+   * to the table dispatcher (partition/default.go:34-37), "rowid" is the
+   * deprecated alias of index-value. Any OTHER string is a constant
+   * partition KEY under a Pulsar-scheme sink (NewKeyDispatcher), and
+   * falls back to the default dispatcher elsewhere (the reference warns).
+   * Returns (partition index, optional constant message key).
+   */
+  def resolvePartitionRule(rule: String, scheme: String, n: Int,
+                           columns: Seq[Column] = Nil)
+      : (Column, Option[Column]) =
+    rule.toLowerCase match {
+      case "default" | "table" => (dispatchByTable(n), None)
+      case "ts" => (dispatchByTs(n), None)
+      case "index-value" | "rowid" => (dispatchByIndexValue(n), None)
+      case "columns" => (dispatchByColumns(n, columns), None)
+      case other if scheme.toLowerCase.startsWith("pulsar") =>
+        val (part, key) = dispatchByKey(other)
+        (part, Some(key))
+      case _ => (dispatchByTable(n), None)
+    }
+
   /**
    * BYTE-EXACT tiflow partition parity. The reference's index-value
    * dispatcher hashes with PositionInertia — XOR of CRC32-IEEE over each

@@ -246,6 +246,37 @@ object CdcQueries {
         countDistinct(col("pk_after")).as("n_keys"))
   }
 
+  /**
+   * q225 — explicit-key dispatcher completing the R3 matrix
+   * (partition/key.go:22-37 via event_router.go:213-239): the same
+   * unrecognized rule string "route-42" becomes a CONSTANT partition key
+   * (partition 0) under a pulsar:// sink, and falls back to the default
+   * (= table, partition/default.go:34-37) dispatcher under kafka://.
+   */
+  val dispatchByKeyGate = GateQuery(
+    "q225_dispatch_key",
+    Some(cte +
+      s"""SELECT scheme, part, key, count(*) AS cnt FROM (
+         |  SELECT 'pulsar' AS scheme, CAST(0 AS BIGINT) AS part,
+         |    'route-42' AS key FROM cdc
+         |  UNION ALL
+         |  SELECT 'kafka' AS scheme,
+         |    ${oracleHash32.format(oracleMd5Long("schema_name || chr(1) || table_name"))} % 6 AS part,
+         |    CAST(NULL AS VARCHAR) AS key FROM cdc
+         |) GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
+    val df = CdcStream.derive(spark, dir)
+      .withColumn("target_schema", col("schema_name"))
+      .withColumn("target_table", col("table_name"))
+    def leg(scheme: String) = {
+      val (part, key) = Routing.resolvePartitionRule("route-42", scheme, 6)
+      df.select(lit(scheme.takeWhile(_ != ':')).as("scheme"),
+        part.cast("long").as("part"),
+        key.getOrElse(lit(null).cast("string")).as("key"))
+    }
+    leg("pulsar://broker:6650").unionByName(leg("kafka://broker:9092"))
+      .groupBy("scheme", "part", "key").agg(count(lit(1)).as("cnt"))
+  }
+
   // Shared oracle SQL for the post-update-split stream (C1). Mirrors
   // Transforms.updateSplit including the seq rescale to 2*seq+leg.
   private[queries] val splitCte = cte +
@@ -846,7 +877,7 @@ object CdcQueries {
     tableFilter, eventFilter, exprFilter, exprFilterImages, startTsFilter,
     bdrFilter,
     checkpointFilter, router, extendColumns, topicRouter,
-    dispatchByTable, dispatchByTs, dispatchByIndexValue,
+    dispatchByTable, dispatchByTs, dispatchByIndexValue, dispatchByKeyGate,
     updateSplit, compaction, txnSizes, batching, safeMode, causality,
     storageConsumer, storageSchemaDrift, storageLayout, sqlApply,
     forceReplicate, txnAtomicity, binlogEventFilter)

@@ -28,30 +28,36 @@ object GenericCodecQueries {
 
   // ---- q40b: Canal-JSON -----------------------------------------------
 
-  private def canalImgSql(v: ColumnSpec => String): String =
-    "[struct_pack(" + specs.map(s =>
+  private def canalImgSql(ss: Seq[ColumnSpec], v: ColumnSpec => String): String =
+    "[struct_pack(" + ss.map(s =>
       s"${s.name} := ${MySqlTypes.Sql.canalValue(s, v(s))}").mkString(", ") + ")]"
+
+  /** Full canal-JSON message expression over image columns `ss` (the
+    * handle subset under onlyHandleKey — maps restrict too, encoder :172);
+    * `data`/`old` select per op like the Spark encoder. */
+  private def canalMsgSql(ss: Seq[ColumnSpec]): String =
+    s"""to_json(struct_pack(
+       |  id := CAST(0 AS BIGINT),
+       |  "database" := schema_name,
+       |  "table" := table_name,
+       |  pkNames := [${specs.filter(_.isHandle).map(s => lit1(s.name)).mkString(", ")}],
+       |  isDdl := false,
+       |  type := CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+       |  es := commit_ts,
+       |  ts := commit_ts,
+       |  sql := '',
+       |  sqlType := struct_pack(${ss.map(s =>
+            s"${s.name} := ${MySqlTypes.Sql.javaSqlType(s, effE(s))}").mkString(", ")}),
+       |  mysqlType := struct_pack(${ss.map(s =>
+            s"${s.name} := ${lit1(s.mysqlType)}").mkString(", ")}),
+       |  data := CASE WHEN op = 'D' THEN ${canalImgSql(ss, bE)} ELSE ${canalImgSql(ss, aE)} END,
+       |  old := CASE WHEN op = 'U' THEN ${canalImgSql(ss, bE)} END
+       |))""".stripMargin
 
   val canalGeneric = GateQuery(
     "q40b_canal_generic",
     Some(cte +
-      s"""SELECT seq, to_json(struct_pack(
-         |  id := CAST(0 AS BIGINT),
-         |  "database" := schema_name,
-         |  "table" := table_name,
-         |  pkNames := [${specs.filter(_.isHandle).map(s => lit1(s.name)).mkString(", ")}],
-         |  isDdl := false,
-         |  type := CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
-         |  es := commit_ts,
-         |  ts := commit_ts,
-         |  sql := '',
-         |  sqlType := struct_pack(${specs.map(s =>
-              s"${s.name} := ${MySqlTypes.Sql.javaSqlType(s, effE(s))}").mkString(", ")}),
-         |  mysqlType := struct_pack(${specs.map(s =>
-              s"${s.name} := ${lit1(s.mysqlType)}").mkString(", ")}),
-         |  data := CASE WHEN op = 'D' THEN ${canalImgSql(bE)} ELSE ${canalImgSql(aE)} END,
-         |  old := CASE WHEN op = 'U' THEN ${canalImgSql(bE)} END
-         |)) AS msg
+      s"""SELECT seq, ${canalMsgSql(specs)} AS msg
          |FROM wide WHERE $Sample""".stripMargin)) { (spark, dir) =>
     WideCdc.derive(spark, dir).filter(expr(Sample))
       .select(col("seq"), GenericCodecs.canalJson(specs).as("msg"))
@@ -476,7 +482,91 @@ object GenericCodecQueries {
       size(map_keys(m.getField("d"))).cast("long").as("n_d"))
   }
 
+  // ---- q224: claim-check, wrapped vs raw-value ------------------------
+
+  /** Claim-check size threshold: splits the wide canal+ext messages (the
+    * fatter UPDATE double-image messages go to storage, single-image
+    * I/D mostly stay inline — both classes non-empty at every SF). */
+  private val CcMax = 1400
+
+  private def extSql(msgE: String, extE: String): String =
+    s"""(regexp_replace($msgE, '\\}$$', '') || ',"_tidb":' || $extE || '}')"""
+
+  /**
+   * q224 — canal-JSON claim-check in BOTH side-file modes
+   * (claim_check.go:85-104, canal_json_decoder.go:177-204): oversized
+   * messages are replaced in-stream by the handle-key-only message whose
+   * `_tidb` block carries `claimCheckLocation`; the side payload is the
+   * wrapped `{"key":null,"value":"<b64>"}` ClaimCheckMessage by default or
+   * the message bytes VERBATIM under `claim-check-raw-value`. The gate
+   * runs both modes, pins per-mode×class counts, in-stream/payload byte
+   * lengths and object counts against the oracle, and verifies Spark-side
+   * that the CONSUMER recovery (raw: read file as message; wrapped:
+   * unwrap + base64-decode) reproduces the full message byte-identically.
+   */
+  val claimCheckRaw = GateQuery(
+    "q224_claim_check_raw",
+    Some(cte +
+      s"""SELECT mode, is_claim, count(*) AS cnt,
+         |  CAST(sum(length(msg)) AS BIGINT) AS sum_msg_len,
+         |  CAST(coalesce(sum(length(payload)), 0) AS BIGINT) AS sum_payload_len,
+         |  count(DISTINCT loc) AS n_objects,
+         |  CAST(sum(is_claim) AS BIGINT) AS n_roundtrip
+         |FROM (
+         |  SELECT m.mode,
+         |    CASE WHEN big THEN 1 ELSE 0 END AS is_claim,
+         |    CASE WHEN big THEN instream ELSE full_msg END AS msg,
+         |    CASE WHEN big THEN
+         |      CASE WHEN m.mode = 'raw' THEN full_msg
+         |           ELSE '{"key":null,"value":"' || to_base64(encode(full_msg)) || '"}' END
+         |    END AS payload,
+         |    CASE WHEN big THEN loc END AS loc
+         |  FROM (
+         |    SELECT *,
+         |      ${extSql("instream0",
+              "to_json(struct_pack(commitTs := commit_ts, claimCheckLocation := loc))")} AS instream
+         |    FROM (
+         |      SELECT *, length(full_msg) > $CcMax AS big,
+         |        'cc/' || md5(full_msg) || '.json' AS loc,
+         |        ${canalMsgSql(specs.filter(_.isHandle)).replace("\n", "\n      ")} AS instream0
+         |      FROM (
+         |        SELECT *, ${extSql(canalMsgSql(specs).replace("\n", "\n        "),
+                  "to_json(struct_pack(commitTs := commit_ts))")} AS full_msg
+         |        FROM wide WHERE $Sample)
+         |    )
+         |  ) CROSS JOIN (SELECT unnest(['raw', 'wrapped']) AS mode) m
+         |) GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val df = WideCdc.derive(spark, dir).filter(expr(Sample))
+    val full = GenericCodecs.canalJsonTidb(specs)
+    def run(mode: String): DataFrame = {
+      val handle = GenericCodecs.LargeMessageHandle("claim-check",
+        claimCheckStorageUri = "cc", claimCheckRawValue = mode == "raw")
+      val (msg, loc, pay) = GenericCodecs.canalJsonClaimCheck(specs, CcMax, handle)
+      // consumer recovery (canal_json_decoder.go:183-189): raw mode reads
+      // the side file AS the message; wrapped unmarshals and b64-decodes
+      val recovered =
+        if (mode == "raw") pay
+        else decode(unbase64(from_json(pay,
+          new StructType().add("key", StringType).add("value", StringType))
+          .getField("value")), "UTF-8")
+      df.select(lit(mode).as("mode"),
+        when(loc.isNotNull, 1).otherwise(0).as("is_claim"),
+        msg.as("msg"), pay.as("payload"), loc.as("loc"),
+        (recovered <=> full).as("rt"))
+    }
+    run("raw").unionByName(run("wrapped"))
+      .groupBy("mode", "is_claim")
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("msg"))).as("sum_msg_len"),
+        coalesce(sum(length(col("payload"))), lit(0L)).as("sum_payload_len"),
+        countDistinct(col("loc")).as("n_objects"),
+        sum(when(col("rt") && col("is_claim") === 1, 1L).otherwise(0L))
+          .as("n_roundtrip"))
+  }
+
   def all: Seq[GateQuery] = Seq(canalGeneric, openGeneric, maxwellGeneric,
     csvGeneric, debeziumSchemaGate, simpleGeneric, integrityGeneric,
-    vectorRoundtrip, canalUpdatedColumns, openUpdatedColumns)
+    vectorRoundtrip, canalUpdatedColumns, openUpdatedColumns, claimCheckRaw)
 }
