@@ -72,17 +72,26 @@ object Filters {
    * rule is an allow; callers can prepend `TableRule("*","*",true)`).
    */
   def tableFilterPredicate(rules: Seq[TableRule],
-                           schemaCol: Column, tableCol: Column): Column = {
+                           schemaCol: Column, tableCol: Column,
+                           caseSensitive: Boolean = true): Column = {
+    // DM's `case-sensitive` flag (dm/config/subtask.go:105, tidb-tools
+    // filter.New): when false — the DM DEFAULT — both the rule patterns
+    // and the incoming names case-fold before matching.
+    val (sc, tc) =
+      if (caseSensitive) (schemaCol, tableCol)
+      else (lower(schemaCol), lower(tableCol))
+    def rx(p: String) = wildcardToRegex(if (caseSensitive) p else p.toLowerCase)
     val matchNone = lit(false)
     rules.foldLeft(matchNone) { (acc, r) =>
-      val m = schemaCol.rlike(wildcardToRegex(r.schemaPat)) &&
-        tableCol.rlike(wildcardToRegex(r.tablePat))
+      val m = sc.rlike(rx(r.schemaPat)) && tc.rlike(rx(r.tablePat))
       when(m, lit(r.allow)).otherwise(acc)
     }
   }
 
-  def tableFilter(df: DataFrame, rules: Seq[TableRule]): DataFrame =
-    df.filter(tableFilterPredicate(rules, col("schema_name"), col("table_name")))
+  def tableFilter(df: DataFrame, rules: Seq[TableRule],
+                  caseSensitive: Boolean = true): DataFrame =
+    df.filter(tableFilterPredicate(rules, col("schema_name"),
+      col("table_name"), caseSensitive))
 
   /** F2 — event-type filter: drop listed DML op types for matching tables. */
   final case class EventRule(schemaPat: String, tablePat: String,

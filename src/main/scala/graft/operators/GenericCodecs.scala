@@ -465,6 +465,60 @@ object GenericCodecs {
       lit("}"))
   }
 
+  /**
+   * Debezium with the two sink options (pkg/config/sink.go:259,
+   * debezium/codec.go:1025-1048):
+   *  - `debezium.output-old-value=false` — UPDATE omits the `before`
+   *    field entirely (:1039-1041);
+   *  - `debezium-disable-schema=true` — the Connect `schema` half is
+   *    omitted, the message is `{"payload":…}` only (:1048, and the
+   *    reference decoder REJECTS schema-less messages, decoder.go:143-145).
+   *
+   * Field presence follows the reference writer exactly (:1025-1045):
+   * INSERT has no `before` member at all, DELETE writes an explicit
+   * `"after":null` — unlike [[debezium]], whose fixed envelope renders
+   * both images with explicit nulls (the q41b-pinned form).
+   */
+  def debeziumWith(specs: Seq[ColumnSpec], clusterId: String = "graft",
+                   outputOldValue: Boolean = true,
+                   disableSchema: Boolean = false): Column = {
+    def img(v: ColumnSpec => Column): Column = to_json(
+      struct(specs.map(s => MySqlTypes.debeziumValue(s, v(s)).as(s.name)): _*),
+      jsonOpts)
+    val head = to_json(struct(
+      sourceStruct(clusterId).as("source"),
+      col("commit_ts").as("ts_ms"),
+      lit(null).cast("string").as("transaction"),
+      when(col("op") === "I", "c").when(col("op") === "U", "u").otherwise("d")
+        .as("op")), jsonOpts)
+    val beforeFrag =
+      (if (outputOldValue) when(col("op") =!= "I", concat(lit(",\"before\":"), img(b)))
+       else when(col("op") === "D", concat(lit(",\"before\":"), img(b))))
+        .otherwise("")
+    val afterFrag = when(col("op") === "D", ",\"after\":null")
+      .otherwise(concat(lit(",\"after\":"), img(a)))
+    val payload = concat(regexp_replace(head, "\\}$", ""),
+      beforeFrag, afterFrag, lit("}"))
+    if (disableSchema) concat(lit("{\"payload\":"), payload, lit("}"))
+    else {
+      val topicName = concat(lit(clusterId + "."), col("schema_name"),
+        lit("."), col("table_name"))
+      val fieldsJson = connectFields(specs)
+      def imageSchema(field: String): Column = concat(
+        lit(s"""{"type":"struct","optional":true,"fields":$fieldsJson,"name":""""),
+        topicName, lit(s""".Value","field":"$field"}"""))
+      val sourceSchema =
+        """{"type":"struct","optional":false,"name":"io.debezium.connector.mysql.Source","field":"source"}"""
+      val schemaJson = concat(
+        lit("""{"type":"struct","optional":false,"name":""""),
+        topicName,
+        lit(s""".Envelope","fields":[$sourceSchema,{"type":"int64","optional":true,"field":"ts_ms"},{"type":"string","optional":true,"field":"transaction"},{"type":"string","optional":false,"field":"op"},"""),
+        imageSchema("before"), lit(","), imageSchema("after"), lit("]}"))
+      concat(lit("{\"payload\":"), payload, lit(",\"schema\":"), schemaJson,
+        lit("}"))
+    }
+  }
+
   // ---- E7: Simple protocol -------------------------------------------
 
   /** Generic BOOTSTRAP message: the column list derives from the specs. */

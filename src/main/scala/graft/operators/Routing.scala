@@ -21,13 +21,22 @@ object Routing {
   final case class RouteRule(schemaPat: String, tablePat: String,
                              targetSchema: String, targetTable: String)
 
-  def route(df: DataFrame, rules: Seq[RouteRule]): DataFrame = {
+  def route(df: DataFrame, rules: Seq[RouteRule],
+            caseSensitive: Boolean = true): DataFrame = {
+    // DM's `case-sensitive` flag reaches the router too
+    // (dm/config/subtask.go:439 regexprrouter.NewRegExprRouter): when
+    // false, patterns and incoming names case-fold before matching —
+    // target names stay as configured.
+    val (sc, tc) =
+      if (caseSensitive) (col("schema_name"), col("table_name"))
+      else (lower(col("schema_name")), lower(col("table_name")))
+    def rx(p: String) =
+      Filters.wildcardToRegex(if (caseSensitive) p else p.toLowerCase)
     // An empty target keeps the source name — a DM rule may set only
     // target-schema (schema-routing), leaving the table name untouched.
     def chain(pick: RouteRule => String, default: Column): Column =
       rules.foldRight(default) { (r, acc) =>
-        val m = col("schema_name").rlike(Filters.wildcardToRegex(r.schemaPat)) &&
-          col("table_name").rlike(Filters.wildcardToRegex(r.tablePat))
+        val m = sc.rlike(rx(r.schemaPat)) && tc.rlike(rx(r.tablePat))
         when(m, if (pick(r).isEmpty) default else lit(pick(r))).otherwise(acc)
       }
     df.withColumn("target_schema", chain(_.targetSchema, col("schema_name")))

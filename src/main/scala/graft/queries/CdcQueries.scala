@@ -247,6 +247,48 @@ object CdcQueries {
   }
 
   /**
+   * q227 — DM `case-sensitive: false` (the DM DEFAULT,
+   * dm/config/subtask.go:105,436-439 feeding tidb-tools filter.New and
+   * regexprrouter): a mixed-case source stream (every even seq uppercases
+   * its schema/table) flows through the SAME lowercase filter+route rules
+   * under both settings — insensitive matches everything and routes
+   * uniformly; sensitive drops/leaves the uppercased half.
+   */
+  val caseSensitivity = GateQuery(
+    "q227_case_sensitivity",
+    Some(cte +
+      s"""SELECT mode, target_schema, matched, count(*) AS cnt FROM (
+         |  SELECT m.mode,
+         |    CASE WHEN m.mode = 'insensitive' OR seq % 2 <> 0 THEN 'dw'
+         |         ELSE CASE WHEN seq % 2 = 0 THEN upper(schema_name) ELSE schema_name END
+         |    END AS target_schema,
+         |    (m.mode = 'insensitive' OR seq % 2 <> 0) AND table_name = 'tbl_2' AS matched
+         |  FROM cdc CROSS JOIN (SELECT unnest(['sensitive', 'insensitive']) AS mode) m
+         |) GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.DataFrame
+    val mixed = CdcStream.derive(spark, dir)
+      .withColumn("schema_name",
+        when(col("seq") % 2 === 0, upper(col("schema_name")))
+          .otherwise(col("schema_name")))
+      .withColumn("table_name",
+        when(col("seq") % 2 === 0, upper(col("table_name")))
+          .otherwise(col("table_name")))
+    val rules = Seq(Routing.RouteRule("db_*", "*", "dw", ""))
+    val filt = Seq(Filters.TableRule("db_*", "tbl_2", allow = true))
+    def leg(mode: String): DataFrame = {
+      val cs = mode == "sensitive"
+      Routing.route(mixed, rules, caseSensitive = cs)
+        .withColumn("matched",
+          Filters.tableFilterPredicate(filt, col("schema_name"),
+            col("table_name"), caseSensitive = cs))
+        .select(lit(mode).as("mode"), col("target_schema"), col("matched"))
+    }
+    leg("sensitive").unionByName(leg("insensitive"))
+      .groupBy("mode", "target_schema", "matched")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
    * q225 — explicit-key dispatcher completing the R3 matrix
    * (partition/key.go:22-37 via event_router.go:213-239): the same
    * unrecognized rule string "route-42" becomes a CONSTANT partition key
@@ -878,6 +920,7 @@ object CdcQueries {
     bdrFilter,
     checkpointFilter, router, extendColumns, topicRouter,
     dispatchByTable, dispatchByTs, dispatchByIndexValue, dispatchByKeyGate,
+    caseSensitivity,
     updateSplit, compaction, txnSizes, batching, safeMode, causality,
     storageConsumer, storageSchemaDrift, storageLayout, sqlApply,
     forceReplicate, txnAtomicity, binlogEventFilter)

@@ -566,7 +566,49 @@ object GenericCodecQueries {
           .as("n_roundtrip"))
   }
 
+  // ---- q226: debezium output-old-value / disable-schema ---------------
+
+  /**
+   * q226 — the Debezium sink options (codec.go:1025-1048, sink.go:259):
+   * with `output-old-value=false` an UPDATE omits `before` entirely; with
+   * `debezium-disable-schema` the Connect schema half disappears. The gate
+   * runs both old-value settings under disable-schema and pins the
+   * per-op field-presence matrix (reference writer: INSERT never has
+   * `before`, DELETE writes an explicit `"after":null`).
+   */
+  val debeziumOptions = GateQuery(
+    "q226_debezium_options",
+    Some(cte +
+      s"""SELECT cfg, op, count(*) AS n,
+         |  CAST(0 AS BIGINT) AS n_schema,
+         |  CAST(sum(CASE WHEN op = 'D' OR (cfg = 'old' AND op = 'U')
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+         |  count(*) AS n_after,
+         |  CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_after_null
+         |FROM wide CROSS JOIN (SELECT unnest(['old', 'noold']) AS cfg)
+         |WHERE $Sample GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.DataFrame
+    val df = WideCdc.derive(spark, dir).filter(expr(Sample))
+    def leg(cfg: String): DataFrame = {
+      val msg = GenericCodecs.debeziumWith(specs,
+        outputOldValue = cfg == "old", disableSchema = true)
+      df.select(lit(cfg).as("cfg"), col("op"),
+        (instr(msg, "\"schema\":") > 0).as("hs"),
+        (instr(msg, "\"before\":") > 0).as("hb"),
+        (instr(msg, "\"after\":") > 0).as("ha"),
+        (instr(msg, "\"after\":null") > 0).as("han"))
+    }
+    leg("old").unionByName(leg("noold"))
+      .groupBy("cfg", "op")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("hs"), 1L).otherwise(0L)).as("n_schema"),
+        sum(when(col("hb"), 1L).otherwise(0L)).as("n_before"),
+        sum(when(col("ha"), 1L).otherwise(0L)).as("n_after"),
+        sum(when(col("han"), 1L).otherwise(0L)).as("n_after_null"))
+  }
+
   def all: Seq[GateQuery] = Seq(canalGeneric, openGeneric, maxwellGeneric,
     csvGeneric, debeziumSchemaGate, simpleGeneric, integrityGeneric,
-    vectorRoundtrip, canalUpdatedColumns, openUpdatedColumns, claimCheckRaw)
+    vectorRoundtrip, canalUpdatedColumns, openUpdatedColumns, claimCheckRaw,
+    debeziumOptions)
 }

@@ -115,6 +115,40 @@ class VectorCodecSpec extends SparkSpec {
     assert(msg.contains("\"u\":{\"id\":") && msg.contains("\"emb\":"), msg)
   }
 
+  test("randomized: emitted old set equals the reference fold (200 rows)") {
+    // seeded random images with NULL-dense columns; expected emitted set
+    // computed by an independent Scala fold of IsColumnValueEqual
+    val rnd = new scala.util.Random(1107L)
+    def optVec(): Option[Seq[Float]] =
+      if (rnd.nextInt(4) == 0) None
+      else Some(Seq.fill(2)(rnd.nextInt(8) / 4.0f))
+    def optQty(): Option[Int] =
+      if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(3))
+    val rows = Seq.tabulate(200) { i =>
+      (i.toLong, optVec(), optVec(), optQty(), optQty())
+    }
+    val expected = rows.map { case (id, aV, bV, aQ, bQ) =>
+      val changed = Seq(
+        // id equal on both sides by construction — never emitted
+        if (aV != bV) Some("emb") else None,
+        if (aQ != bQ) Some("qty") else None).flatten
+      id -> changed.sorted.mkString(",")
+    }.toMap
+    val df = rows.map { case (id, aV, bV, aQ, bQ) =>
+      ("U", 100L, 99L, "db", "t", id, id, aV, bV, aQ, bQ)
+    }.toDF("op", "commit_ts", "start_ts", "schema_name", "table_name",
+      "a_id", "b_id", "a_emb", "b_emb", "a_qty", "b_qty")
+    val msg = GenericCodecs.canalJsonWith(specs,
+      CodecOpts(onlyOutputUpdatedColumns = true))
+    val sch = new StructType().add("old",
+      ArrayType(MapType(StringType, StringType)))
+    val got = df.select(col("a_id"),
+        array_join(array_sort(map_keys(
+          element_at(from_json(msg, sch).getField("old"), 1))), ",").as("ks"))
+      .as[(Long, String)].collect().toMap
+    assert(got === expected)
+  }
+
   test("config combination rules reject like the reference") {
     // config.go:265-268
     intercept[IllegalArgumentException] {
