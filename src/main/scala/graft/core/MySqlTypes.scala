@@ -280,6 +280,18 @@ object MySqlTypes {
     * (pkg/sink/codec/simple/encoder.go schema lifecycle). */
   def simpleDataType(s: ColumnSpec): String = s.mysqlType.toUpperCase
 
+  /**
+   * Canal `mysqlType` map entry (utils/mysql_types.go GetMySQLType:25-33):
+   * with `content-compatible` (fullType) the FULL declared type
+   * ("varchar(32)", "decimal(12,2)" — GetTypeDesc); the reference DEFAULT
+   * is the bare base name + unsigned suffix (TypeToStr +
+   * withUnsigned4MySQLType — "varchar", "int unsigned", "enum").
+   * Zerofill is not modeled ([[ColumnSpec]] carries no zerofill flag).
+   */
+  def mysqlTypeName(s: ColumnSpec, fullType: Boolean): String =
+    if (fullType) s.mysqlType
+    else s.base + (if (s.unsigned) " unsigned" else "")
+
   // ---- DuckDB twins ---------------------------------------------------
 
   /** DuckDB SQL renderings — keep branch-for-branch with the Column

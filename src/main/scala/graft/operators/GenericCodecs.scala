@@ -95,7 +95,11 @@ object GenericCodecs {
   final case class CodecOpts(
       onlyOutputUpdatedColumns: Boolean = false,
       deleteOnlyHandleKeyColumns: Boolean = false,
-      openOutputOldValue: Boolean = false)
+      openOutputOldValue: Boolean = false,
+      // canal `content-compatible` type rendering (GetMySQLType fullType):
+      // true = full declared types — the repo-wide pinned form; false =
+      // the reference DEFAULT's bare names ("varchar", "int unsigned")
+      fullTypeNames: Boolean = true)
 
   object CodecOpts {
     /** Reference config-combination rules, enforced at build time like
@@ -114,8 +118,10 @@ object GenericCodecs {
           "`delete-only-output-handle-key-columns` to true")
       opts
     }
+    /** canal-json `content-compatible` implies only-output-updated-columns
+      * (config.go:270-274) and full type descriptions (GetMySQLType). */
     def contentCompatible(opts: CodecOpts): CodecOpts =
-      opts.copy(onlyOutputUpdatedColumns = true)
+      opts.copy(onlyOutputUpdatedColumns = true, fullTypeNames = true)
   }
 
   /**
@@ -185,9 +191,9 @@ object GenericCodecs {
     // :92-94) restricts data AND the sqlType/mysqlType maps (:172)
     val header =
       if (opts.deleteOnlyHandleKeyColumns)
-        when(col("op") === "D", canalHeader(specs, hs))
-          .otherwise(canalHeader(specs, specs))
-      else canalHeader(specs, specs)
+        when(col("op") === "D", canalHeader(specs, hs, opts.fullTypeNames))
+          .otherwise(canalHeader(specs, specs, opts.fullTypeNames))
+      else canalHeader(specs, specs, opts.fullTypeNames)
     val deleteImg =
       if (opts.deleteOnlyHandleKeyColumns) fullImg(hs, b) else fullImg(specs, b)
     val data = when(col("op") === "D", deleteImg).otherwise(fullImg(specs, a))
@@ -211,7 +217,8 @@ object GenericCodecs {
     * maps over `mapSpecs` — the full list normally, the handle keys under
     * onlyHandleKey (encoder :172); pkNames always the handle list. */
   private def canalHeader(specs: Seq[ColumnSpec],
-                          mapSpecs: Seq[ColumnSpec]): Column = {
+                          mapSpecs: Seq[ColumnSpec],
+                          fullTypeNames: Boolean = true): Column = {
     val canalType = when(col("op") === "I", "INSERT")
       .when(col("op") === "U", "UPDATE").otherwise("DELETE")
     to_json(struct(
@@ -226,7 +233,9 @@ object GenericCodecs {
       lit("").as("sql"),
       struct(mapSpecs.map(s => MySqlTypes.javaSqlTypeCol(s, eff(s)).as(s.name)): _*)
         .as("sqlType"),
-      struct(mapSpecs.map(s => lit(s.mysqlType).as(s.name)): _*).as("mysqlType")),
+      struct(mapSpecs.map(s =>
+        lit(MySqlTypes.mysqlTypeName(s, fullTypeNames)).as(s.name)): _*)
+        .as("mysqlType")),
       jsonOpts)
   }
 
@@ -517,6 +526,128 @@ object GenericCodecs {
       concat(lit("{\"payload\":"), payload, lit(",\"schema\":"), schemaJson,
         lit("}"))
     }
+  }
+
+  // ---- E3: Avro schema generation with handling modes -----------------
+
+  /** Avro value-handling modes (common/config.go:55-56,118-119 defaults
+    * precise/long; avro.go:698-724 decimal, :833-840 unsigned bigint). */
+  final case class AvroOpts(
+      decimalHandlingMode: String = "precise", // "precise" | "string"
+      bigintUnsignedHandlingMode: String = "long") { // "long" | "string"
+    require(Seq("precise", "string").contains(decimalHandlingMode),
+      s"avro-decimal-handling-mode: $decimalHandlingMode")
+    require(Seq("long", "string").contains(bigintUnsignedHandlingMode),
+      s"avro-bigint-unsigned-handling-mode: $bigintUnsignedHandlingMode")
+  }
+
+  /** `tidb_type` parameter (avro.go type2TiDBType:364-401): base family
+    * name, UNSIGNED suffix on int/bigint, TEXT vs BLOB by binary flag. */
+  def avroTidbType(s: ColumnSpec): String = {
+    val blob = Set("binary", "varbinary", "tinyblob", "blob", "mediumblob",
+      "longblob")
+    val base = s.base match {
+      case _ if s.isBool => "INT"
+      case "tinyint" | "smallint" | "mediumint" | "int" | "integer" => "INT"
+      case "bigint" => "BIGINT"
+      case "float" => "FLOAT"
+      case "double" | "real" => "DOUBLE"
+      case "bit" => "BIT"
+      case "decimal" | "numeric" => "DECIMAL"
+      case b if blob(b) => "BLOB"
+      case "char" | "varchar" | "tinytext" | "text" | "mediumtext" |
+           "longtext" => "TEXT"
+      case "enum" => "ENUM"
+      case "set" => "SET"
+      case "json" => "JSON"
+      case "date" => "DATE"
+      case "datetime" => "DATETIME"
+      case "timestamp" => "TIMESTAMP"
+      case "time" => "TIME"
+      case "year" => "YEAR"
+      case "vector" => "TiDBVECTORFloat32"
+      case other => other.toUpperCase
+    }
+    if (s.unsigned && (base == "INT" || base == "BIGINT")) base + " UNSIGNED"
+    else base
+  }
+
+  /** One column's Avro schema object (avro.go columnToAvroSchema:645-780):
+    * `{"type":…,"connect.parameters":{"tidb_type":…}}` with the
+    * decimal / unsigned-bigint modes deciding bytes-logical-decimal vs
+    * string and long vs string. */
+  def avroColumnSchema(s: ColumnSpec, opts: AvroOpts = AvroOpts()): String = {
+    val blob = Set("binary", "varbinary", "tinyblob", "blob", "mediumblob",
+      "longblob")
+    def obj(tpe: String, extraParams: Seq[(String, String)] = Nil,
+            logical: Option[(Int, Int)] = None): String = {
+      def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
+      val params = (Seq("tidb_type" -> avroTidbType(s)) ++ extraParams)
+        .map { case (k, v) => s""""$k":"${esc(v)}"""" }.mkString("{", ",", "}")
+      val lg = logical.map { case (p, sc) =>
+        s""","logicalType":"decimal","precision":$p,"scale":$sc"""
+      }.getOrElse("")
+      s"""{"type":"$tpe","connect.parameters":$params$lg}"""
+    }
+    def declArgs: (Int, Int) = {
+      val m = "\\((\\d+)(?:\\s*,\\s*(\\d+))?\\)".r.findFirstMatchIn(s.mysqlType)
+      (m.map(_.group(1).toInt).getOrElse(10),
+        m.flatMap(x => Option(x.group(2))).map(_.toInt).getOrElse(0))
+    }
+    s.base match {
+      case _ if s.isBool => obj("int")
+      case "tinyint" | "smallint" | "mediumint" => obj("int")
+      case "int" | "integer" => if (s.unsigned) obj("long") else obj("int")
+      case "bigint" =>
+        if (s.unsigned && opts.bigintUnsignedHandlingMode == "string")
+          obj("string")
+        else obj("long")
+      case "float" => obj("float")
+      case "double" | "real" => obj("double")
+      case "bit" =>
+        obj("bytes", Seq("length" -> math.max(declArgs._1, 1).toString))
+      case "decimal" | "numeric" =>
+        if (opts.decimalHandlingMode == "precise")
+          obj("bytes", logical = Some(declArgs))
+        else obj("string")
+      case b if blob(b) => obj("bytes")
+      case "enum" | "set" =>
+        // EscapeEnumAndSetOptions (helper.go:323-328)
+        obj("string", Seq("allowed" ->
+          s.members.map(_.replace(",", "\\,")).mkString(",")))
+      case "char" | "varchar" | "tinytext" | "text" | "mediumtext" |
+           "longtext" | "json" | "date" | "datetime" | "timestamp" |
+           "time" | "vector" => obj("string")
+      case "year" => obj("int")
+      case _ => obj("string")
+    }
+  }
+
+  /** Full record schema (avroSchemaTop:345-350): nullable columns wrap in
+    * the goavro `["null", …]` union (columns2AvroData:634-640). */
+  def avroRecordSchema(database: String, table: String,
+                       specs: Seq[ColumnSpec],
+                       opts: AvroOpts = AvroOpts()): String = {
+    val fields = specs.map { s =>
+      val t0 = avroColumnSchema(s, opts)
+      val t = if (s.nullable) s"""["null",$t0]""" else t0
+      s"""{"name":"${s.name}","type":$t}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"$table","namespace":"$database","fields":[$fields]}"""
+  }
+
+  /** Unsigned-bigint VALUE rendering (avro.go:833-840): `long` re-wraps
+    * the uint64 bits (values ≥ 2^63 surface negative), `string` renders
+    * the true uint64 decimal digits (FormatUint). */
+  def avroBigintUnsignedValue(c: Column, mode: String): Column = mode match {
+    case "long" => c
+    case "string" =>
+      when(c >= 0, c.cast("string"))
+        .otherwise((c.cast(org.apache.spark.sql.types.DecimalType(21, 0)) +
+          lit(new java.math.BigDecimal("18446744073709551616"))).cast("string"))
+    case other =>
+      throw new IllegalArgumentException(
+        s"avro-bigint-unsigned-handling-mode: $other")
   }
 
   // ---- E7: Simple protocol -------------------------------------------

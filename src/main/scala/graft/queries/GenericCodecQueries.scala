@@ -607,8 +607,104 @@ object GenericCodecQueries {
         sum(when(col("han"), 1L).otherwise(0L)).as("n_after_null"))
   }
 
+  // ---- q228: canal default (short) type names -------------------------
+
+  /**
+   * q228 — the canal `mysqlType` map in the reference's DEFAULT rendering
+   * (utils/mysql_types.go GetMySQLType:25-33 with fullType=false, i.e.
+   * content-compatible OFF): bare base names + unsigned suffix — "varchar"
+   * not "varchar(32)", "int unsigned", "enum" without members. The gate
+   * decodes the map from the encoded message and pins every (column,
+   * short-name) pair; the oracle derives the expected names from the SAME
+   * spec list.
+   */
+  val canalShortTypes = GateQuery(
+    "q228_canal_short_types",
+    Some(cte +
+      s"""SELECT col, mysql_type, count(*) AS n FROM (
+         |  SELECT unnest(${"[" + specs.map(s =>
+              s"struct_pack(col := ${lit1(s.name)}, mysql_type := " +
+                s"${lit1(MySqlTypes.mysqlTypeName(s, fullType = false))})")
+              .mkString(", ") + "]"}, recursive := true)
+         |  FROM wide WHERE $Sample
+         |) GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.types.{MapType, StringType, StructType}
+    val df = WideCdc.derive(spark, dir).filter(expr(Sample))
+    val msg = GenericCodecs.canalJsonWith(specs,
+      GenericCodecs.CodecOpts(fullTypeNames = false))
+    val sch = new StructType().add("mysqlType", MapType(StringType, StringType))
+    df.select(explode(from_json(msg, sch).getField("mysqlType"))
+        .as(Seq("col", "mysql_type")))
+      .groupBy("col", "mysql_type").agg(count(lit(1)).as("n"))
+  }
+
+  // ---- q229: avro handling modes --------------------------------------
+
+  /**
+   * q229 — the Avro value-handling modes (common/config.go:55-56, avro.go
+   * columnToAvroSchema:645-780 + :833-840): schema generation over the
+   * full 20-column spec list under the default (precise decimal → bytes
+   * with logicalType decimal(p,s); unsigned bigint → long) and the
+   * string-modes config (decimal → string; unsigned bigint → the true
+   * uint64 decimal digits), plus the VALUE-level unsigned-bigint
+   * rendering — `long` re-wraps the bits (negative longs), `string`
+   * renders FormatUint digits — digested over a synthesized uint64 stream
+   * where half the values exceed 2^63.
+   */
+  val avroModes = GateQuery(
+    "q229_avro_modes", {
+      val defaults = GenericCodecs.AvroOpts()
+      val strings = GenericCodecs.AvroOpts(
+        decimalHandlingMode = "string", bigintUnsignedHandlingMode = "string")
+      def schemaJson(o: GenericCodecs.AvroOpts) =
+        GenericCodecs.avroRecordSchema("wd", "wt", specs, o)
+      val uvalSql = "CASE WHEN seq % 2 = 0 THEN -commit_ts ELSE commit_ts END"
+      def renderedSql(mode: String) =
+        if (mode == "long") s"CAST(($uvalSql) AS VARCHAR)"
+        else s"CASE WHEN ($uvalSql) >= 0 THEN CAST(($uvalSql) AS VARCHAR) " +
+          s"ELSE CAST(CAST(($uvalSql) AS HUGEINT) + 18446744073709551616 AS VARCHAR) END"
+      Some(cte +
+        s"""SELECT item, n, payload FROM (
+           |  SELECT 'schema_default' AS item, CAST(1 AS BIGINT) AS n,
+           |    ${lit1(schemaJson(defaults))} AS payload
+           |  UNION ALL
+           |  SELECT 'schema_string_modes', CAST(1 AS BIGINT),
+           |    ${lit1(schemaJson(strings))}
+           |  UNION ALL
+           |  SELECT 'uvalue_long', count(*),
+           |    CAST(bit_xor(${graft.core.Hashing.Sql.portableLong(renderedSql("long"))}) AS VARCHAR)
+           |  FROM wide WHERE $Sample
+           |  UNION ALL
+           |  SELECT 'uvalue_string', count(*),
+           |    CAST(bit_xor(${graft.core.Hashing.Sql.portableLong(renderedSql("string"))}) AS VARCHAR)
+           |  FROM wide WHERE $Sample
+           |)""".stripMargin)
+    }) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val df = WideCdc.derive(spark, dir).filter(expr(Sample))
+    val defaults = GenericCodecs.AvroOpts()
+    val strings = GenericCodecs.AvroOpts(
+      decimalHandlingMode = "string", bigintUnsignedHandlingMode = "string")
+    val schemaRows = Seq(
+      ("schema_default", 1L,
+        GenericCodecs.avroRecordSchema("wd", "wt", specs, defaults)),
+      ("schema_string_modes", 1L,
+        GenericCodecs.avroRecordSchema("wd", "wt", specs, strings)))
+      .toDF("item", "n", "payload")
+    val uval = when(col("seq") % 2 === 0, -col("commit_ts"))
+      .otherwise(col("commit_ts"))
+    def leg(mode: String): DataFrame =
+      df.select(graft.core.Hashing.portableLong(
+          GenericCodecs.avroBigintUnsignedValue(uval, mode).cast("string"))
+          .as("h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").cast("string").as("payload"))
+        .select(lit("uvalue_" + mode).as("item"), col("n"), col("payload"))
+    schemaRows.unionByName(leg("long")).unionByName(leg("string"))
+  }
+
   def all: Seq[GateQuery] = Seq(canalGeneric, openGeneric, maxwellGeneric,
     csvGeneric, debeziumSchemaGate, simpleGeneric, integrityGeneric,
     vectorRoundtrip, canalUpdatedColumns, openUpdatedColumns, claimCheckRaw,
-    debeziumOptions)
+    debeziumOptions, canalShortTypes, avroModes)
 }

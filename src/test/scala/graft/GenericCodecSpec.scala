@@ -95,8 +95,53 @@ class GenericCodecSpec extends SparkSpec {
     val bases = WideCdc.specs.map(_.base).toSet
     val families = Set("bigint", "int", "smallint", "tinyint", "decimal",
       "double", "float", "varchar", "char", "date", "datetime", "blob",
-      "enum", "set", "bit", "year", "json")
+      "enum", "set", "bit", "year", "json", "vector")
     assert(families.subsetOf(bases))
-    assert(WideCdc.specs.length >= 19)
+    assert(WideCdc.specs.length >= 20)
+  }
+
+  test("avro schema generation follows columnToAvroSchema per mode") {
+    import GenericCodecs.{AvroOpts, avroColumnSchema, avroTidbType}
+    def s(m: String, unsigned: Boolean = false, members: Seq[String] = Nil) =
+      ColumnSpec("c", m, unsigned = unsigned, members = members)
+    // tidb_type names (avro.go type2TiDBType:364-390)
+    assert(avroTidbType(s("int", unsigned = true)) === "INT UNSIGNED")
+    assert(avroTidbType(s("mediumint")) === "INT")
+    assert(avroTidbType(s("blob")) === "BLOB")
+    assert(avroTidbType(s("text")) === "TEXT")
+    assert(avroTidbType(s("vector(4)")) === "TiDBVECTORFloat32")
+    // unsigned INT widens to long; unsigned BIGINT depends on the mode
+    assert(avroColumnSchema(s("int", unsigned = true)).contains("\"type\":\"long\""))
+    assert(avroColumnSchema(s("bigint", unsigned = true)).contains("\"type\":\"long\""))
+    assert(avroColumnSchema(s("bigint", unsigned = true),
+      AvroOpts(bigintUnsignedHandlingMode = "string"))
+      .contains("\"type\":\"string\""))
+    // decimal precise → bytes + logical decimal(p,s); string mode → string
+    val precise = avroColumnSchema(s("decimal(12,2)"))
+    assert(precise.contains("\"logicalType\":\"decimal\"") &&
+      precise.contains("\"precision\":12") && precise.contains("\"scale\":2"))
+    assert(avroColumnSchema(s("decimal(12,2)"),
+      AvroOpts(decimalHandlingMode = "string")).contains("\"type\":\"string\""))
+    // enum members escape commas (helper.go:323-328), then JSON-escape
+    assert(avroColumnSchema(s("enum('a,b','c')", members = Seq("a,b", "c")))
+      .contains(""""allowed":"a\\,b,c""""))
+    // invalid modes reject like the url-parameter validation
+    intercept[IllegalArgumentException] { AvroOpts(decimalHandlingMode = "x") }
+    intercept[IllegalArgumentException] {
+      AvroOpts(bigintUnsignedHandlingMode = "x")
+    }
+  }
+
+  test("unsigned-bigint value rendering: long wraps, string is FormatUint") {
+    import spark.implicits._
+    val vals = Seq(5L, -1L, Long.MinValue).toDF("v")
+    val got = vals.select(
+      GenericCodecs.avroBigintUnsignedValue(col("v"), "long").cast("string").as("l"),
+      GenericCodecs.avroBigintUnsignedValue(col("v"), "string").as("s"))
+      .as[(String, String)].collect().toSeq
+    assert(got === Seq(
+      ("5", "5"),
+      ("-1", "18446744073709551615"), // uint64 max
+      ("-9223372036854775808", "9223372036854775808"))) // 2^63
   }
 }
