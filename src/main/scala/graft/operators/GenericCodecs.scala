@@ -414,6 +414,52 @@ object GenericCodecs {
         Codecs.csvNumWith(cfg)(col("commit_ts"))) ++
         specs.map(s => csvValue(cfg, s, eff(s))): _*)
 
+  /** CSV row-layout options (csv_message.go:105-148, sink.go:146-147 —
+    * terminator defaults to CRLF per RFC 4180). */
+  final case class CsvRowOpts(
+      includeCommitTs: Boolean = false,
+      outputOldValue: Boolean = false,
+      outputHandleKey: Boolean = false,
+      terminator: String = "\r\n")
+
+  /**
+   * The reference's EXACT CSV message layout (csv_message.go encode
+   * :105-148): `op, TABLE, SCHEMA` (table before schema — note the
+   * q44-family layout predates this fidelity pass and keeps its pinned
+   * schema-first order), then optional commit-ts, the `is-updated` flag
+   * (true on UPDATE even for the two emitted legs) under
+   * `output-old-value`, optional handle key, then the image cells; every
+   * row ends with the terminator. With `output-old-value`, an UPDATE
+   * emits TWO terminated rows in one message — the old image as "D",
+   * the new as "I" (:107-115) — so downstream mergers can replay it as
+   * delete+insert.
+   */
+  def csvLinesRef(specs: Seq[ColumnSpec],
+                  cfg: Codecs.CsvConfig = Codecs.CsvConfig(),
+                  opts: CsvRowOpts = CsvRowOpts()): Column = {
+    val handleSpec = specs.find(_.isHandle)
+    def meta(opStr: Column): Seq[Column] =
+      Seq(Codecs.csvQuoteWith(cfg)(opStr),
+        Codecs.csvQuoteWith(cfg)(col("table_name")),
+        Codecs.csvQuoteWith(cfg)(col("schema_name"))) ++
+        (if (opts.includeCommitTs)
+          Seq(Codecs.csvNumWith(cfg)(col("commit_ts"))) else Nil) ++
+        (if (opts.outputOldValue) // fmt %v of a Go bool: bare true/false
+          Seq(when(col("op") === "U", "true").otherwise("false")) else Nil) ++
+        (if (opts.outputHandleKey)
+          handleSpec.map(h => Codecs.csvQuoteWith(cfg)(
+            MySqlTypes.canalValue(h, eff(h)))).toSeq
+        else Nil)
+    def row(opStr: Column, v: ColumnSpec => Column): Column =
+      concat(concat_ws(cfg.delimiter,
+        meta(opStr) ++ specs.map(s => csvValue(cfg, s, v(s))): _*),
+        lit(opts.terminator))
+    val single = row(col("op"), eff)
+    if (!opts.outputOldValue) single
+    else when(col("op") === "U", concat(row(lit("D"), b), row(lit("I"), a)))
+      .otherwise(single)
+  }
+
   // ---- E5: Debezium with the Connect schema block ---------------------
 
   /** The static Connect field list for one image struct. */

@@ -703,8 +703,42 @@ object GenericCodecQueries {
     schemaRows.unionByName(leg("long")).unionByName(leg("string"))
   }
 
+  // ---- q230: reference CSV row layout + output-old-value --------------
+
+  /**
+   * q230 — the reference's EXACT CSV message layout (csv_message.go
+   * encode:105-148): `op, TABLE, SCHEMA, commit-ts, is-updated`, CRLF
+   * terminators, and the `output-old-value` two-row UPDATE — old image
+   * as a "D" row + new image as an "I" row in ONE message, both with
+   * is-updated=true; I/D single rows carry false. Full 20-column image
+   * cells reuse the per-type q44b rendering.
+   */
+  val csvRefLayout = GateQuery(
+    "q230_csv_ref_layout", {
+      def metaSql(opE: String) = Seq(
+        s"""'"' || $opE || '"'""",
+        """'"' || table_name || '"'""",
+        """'"' || schema_name || '"'""",
+        "CAST(commit_ts AS VARCHAR)",
+        "CASE WHEN op = 'U' THEN 'true' ELSE 'false' END")
+      def rowSql(opE: String, v: ColumnSpec => String) =
+        "concat_ws(','," + (metaSql(opE) ++ specs.map(s =>
+          csvCellSql(s, v(s)))).mkString(", ") + ") || e'\\r\\n'"
+      Some(cte +
+        s"""SELECT seq,
+           |  CASE WHEN op = 'U'
+           |       THEN ${rowSql("'D'", bE)} || ${rowSql("'I'", aE)}
+           |       ELSE ${rowSql("op", s => effE(s))} END AS msg
+           |FROM wide WHERE $Sample""".stripMargin)
+    }) { (spark, dir) =>
+    WideCdc.derive(spark, dir).filter(expr(Sample))
+      .select(col("seq"), GenericCodecs.csvLinesRef(specs,
+        opts = GenericCodecs.CsvRowOpts(includeCommitTs = true,
+          outputOldValue = true)).as("msg"))
+  }
+
   def all: Seq[GateQuery] = Seq(canalGeneric, openGeneric, maxwellGeneric,
     csvGeneric, debeziumSchemaGate, simpleGeneric, integrityGeneric,
     vectorRoundtrip, canalUpdatedColumns, openUpdatedColumns, claimCheckRaw,
-    debeziumOptions, canalShortTypes, avroModes)
+    debeziumOptions, canalShortTypes, avroModes, csvRefLayout)
 }

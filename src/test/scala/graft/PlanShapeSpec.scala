@@ -253,6 +253,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p) == 1, s"got ${shuffles(p)} shuffles; plan:\n$p")
   }
 
+  test("q230: the reference-layout CSV encode is map-only (zero shuffles)") {
+    // the whole encode — two-row UPDATE assembly included — is one
+    // projection over the derived stream; any Exchange here would mean a
+    // codec started shuffling the corpus
+    val p = planOf("q230_csv_ref_layout")
+    assert(shuffles(p) == 0, s"got ${shuffles(p)} shuffles; plan:\n$p")
+  }
+
+  test("q224: claim-check encodes map-side — only the stats shuffles") {
+    // both modes run the full encode + location + payload per row as pure
+    // projections; the two exchanges are the gate's OWN statistics — the
+    // count-distinct(loc) expansion plus the final group — each fed by a
+    // partial aggregate, never the encoded corpus rows themselves
+    val p = planOf("q224_claim_check_raw")
+    assert(shuffles(p) == 2, s"got ${shuffles(p)} shuffles; plan:\n$p")
+    assert(count(p, "partial_count") >= 1, s"plan:\n$p")
+  }
+
   test("bloom probe joins the bit table by broadcast, never sort-merge") {
     import org.apache.spark.sql.functions._
     import graft.core.Hashing
