@@ -102,19 +102,8 @@ object Bench {
     // gate (listener drained at each boundary so async events land on the
     // right gate). "Is there a shuffle here that becomes the bottleneck at
     // 100×" answered by measurement — the per-gate MB ship in BENCH_FULL.
-    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        shuffleWrite.addAndGet(
-          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        ()
-      }
-    })
-    def drain(): Unit =
-      try org.apache.spark.graftbridge.SparkInternals
-        .waitListenerEmpty(spark.sparkContext)
-      catch { case _: Throwable => () }
+    val shuffleWrite = BenchMetrics.install(spark.sparkContext).bytes
+    def drain(): Unit = BenchMetrics.drain(spark.sparkContext)
     val shuffleByGate = scala.collection.mutable.Map.empty[String, Long]
     val failedGates = scala.collection.mutable.ArrayBuffer.empty[String]
     // The q60-q68 LLM-tier block sits right where the pure phase's driver

@@ -190,21 +190,11 @@ object Bench100x {
     spark.range(1000000).select((col("id") % 7).as("k"))
       .dropDuplicates("k").groupBy("k").agg(count(lit(1))).count()
 
-    // per-entry shuffle WRITE volume (same listener + drain discipline as
-    // Bench): the scale claims ("one shuffle", "map-only") become numbers
-    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        shuffleWrite.addAndGet(
-          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        ()
-      }
-    })
-    def drain(): Unit =
-      try org.apache.spark.graftbridge.SparkInternals
-        .waitListenerEmpty(spark.sparkContext)
-      catch { case _: Throwable => () }
+    // per-entry shuffle WRITE volume (the ONE listener + drain discipline
+    // shared with Bench): scale claims ("one shuffle", "map-only") become
+    // numbers measured identically in both artifacts
+    val shuffleWrite = BenchMetrics.install(spark.sparkContext).bytes
+    def drain(): Unit = BenchMetrics.drain(spark.sparkContext)
 
     val times = sel.map { case (name, mk) =>
       System.gc(); Thread.sleep(300); System.gc()

@@ -706,12 +706,19 @@ object Dedup {
     require(delta > 0, s"delta: $delta")
     val spark = df.sparkSession
     import spark.implicits._
-    // NULL-safe key encoding: concat_ws silently DROPS null slots, so key
-    // tuples like ("a", NULL) and ("a\u0001") would collide into one
-    // suppression chain and wrongly drop events — tag every part with a
-    // present/null marker byte first so each slot always contributes.
-    val keyParts = keyCols.map(c =>
-      when(col(c).isNull, "\u0000").otherwise(concat(lit("\u0002"), col(c))))
+    // INJECTIVE NULL-safe key encoding: concat_ws silently DROPS null
+    // slots, and raw concatenation would let a value containing the
+    // separator shift content between slots — so every slot carries a
+    // present/null marker AND values escape the escape byte (\u0003) and
+    // the separator (\u0001) before joining. Distinct key tuples now map
+    // to distinct strings; plain numeric keys stay castable.
+    val keyParts = keyCols.map { c0 =>
+      val escaped = regexp_replace(
+        regexp_replace(col(c0), "\u0003", "\u0003\u0003"),
+        "\u0001", "\u0003\u0001")
+      when(col(c0).isNull, "\u0000")
+        .otherwise(concat(lit("\u0002"), escaped))
+    }
     df.select(concat_ws("\u0001", keyParts: _*).as("k"),
         col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"))
       .as[(String, Long, Long)]

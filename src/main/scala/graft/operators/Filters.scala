@@ -80,7 +80,10 @@ object Filters {
     val (sc, tc) =
       if (caseSensitive) (schemaCol, tableCol)
       else (lower(schemaCol), lower(tableCol))
-    def rx(p: String) = wildcardToRegex(if (caseSensitive) p else p.toLowerCase)
+    // Locale.ROOT: Spark's lower() is locale-independent; a default-locale
+    // fold on the pattern side would diverge (tr_TR dotless-ı etc.)
+    def rx(p: String) = wildcardToRegex(
+      if (caseSensitive) p else p.toLowerCase(java.util.Locale.ROOT))
     val matchNone = lit(false)
     rules.foldLeft(matchNone) { (acc, r) =>
       val m = sc.rlike(rx(r.schemaPat)) && tc.rlike(rx(r.tablePat))

@@ -438,7 +438,7 @@ object GenericCodecs {
                   cfg: Codecs.CsvConfig = Codecs.CsvConfig(),
                   opts: CsvRowOpts = CsvRowOpts()): Column = {
     val handleSpec = specs.find(_.isHandle)
-    def meta(opStr: Column): Seq[Column] =
+    def meta(opStr: Column, v: ColumnSpec => Column): Seq[Column] =
       Seq(Codecs.csvQuoteWith(cfg)(opStr),
         Codecs.csvQuoteWith(cfg)(col("table_name")),
         Codecs.csvQuoteWith(cfg)(col("schema_name"))) ++
@@ -446,13 +446,16 @@ object GenericCodecs {
           Seq(Codecs.csvNumWith(cfg)(col("commit_ts"))) else Nil) ++
         (if (opts.outputOldValue) // fmt %v of a Go bool: bare true/false
           Seq(when(col("op") === "U", "true").otherwise("false")) else Nil) ++
+        // each leg's handle key comes from its OWN image — on a pk-moving
+        // UPDATE the "D" leg must name the OLD key or a merger replaying
+        // delete+insert deletes the wrong row
         (if (opts.outputHandleKey)
           handleSpec.map(h => Codecs.csvQuoteWith(cfg)(
-            MySqlTypes.canalValue(h, eff(h)))).toSeq
+            MySqlTypes.canalValue(h, v(h)))).toSeq
         else Nil)
     def row(opStr: Column, v: ColumnSpec => Column): Column =
       concat(concat_ws(cfg.delimiter,
-        meta(opStr) ++ specs.map(s => csvValue(cfg, s, v(s))): _*),
+        meta(opStr, v) ++ specs.map(s => csvValue(cfg, s, v(s))): _*),
         lit(opts.terminator))
     val single = row(col("op"), eff)
     if (!opts.outputOldValue) single
@@ -651,7 +654,10 @@ object GenericCodecs {
       case "float" => obj("float")
       case "double" | "real" => obj("double")
       case "bit" =>
-        obj("bytes", Seq("length" -> math.max(declArgs._1, 1).toString))
+        // MySQL's default is bit(1) — declArgs' fallback is decimal's (10)
+        val len = "\\((\\d+)\\)".r.findFirstMatchIn(s.mysqlType)
+          .map(_.group(1).toInt).getOrElse(1)
+        obj("bytes", Seq("length" -> len.toString))
       case "decimal" | "numeric" =>
         if (opts.decimalHandlingMode == "precise")
           obj("bytes", logical = Some(declArgs))
@@ -669,17 +675,36 @@ object GenericCodecs {
     }
   }
 
+  /** Avro name sanitization (common/helper.go SanitizeName:342-371, per
+    * the Avro spec's [A-Za-z_][A-Za-z0-9_]* names): invalid chars become
+    * `_`; a leading digit keeps itself after the replacement char. */
+  def avroSanitizeName(name: String): String = {
+    val sb = new StringBuilder
+    name.zipWithIndex.foreach { case (c, i) =>
+      val validFirst = c.isLetter && c <= 'z' || c == '_'
+      val valid = validFirst || (c >= '0' && c <= '9')
+      if (i == 0 && !validFirst) {
+        sb += '_'; if (c >= '0' && c <= '9') sb += c
+      } else if (!valid) sb += '_'
+      else sb += c
+    }
+    sb.result()
+  }
+
   /** Full record schema (avroSchemaTop:345-350): nullable columns wrap in
-    * the goavro `["null", …]` union (columns2AvroData:634-640). */
+    * the goavro `["null", …]` union (columns2AvroData:634-640); record,
+    * namespace and field names pass through SanitizeName like the
+    * reference (helper.go:342-371). */
   def avroRecordSchema(database: String, table: String,
                        specs: Seq[ColumnSpec],
                        opts: AvroOpts = AvroOpts()): String = {
     val fields = specs.map { s =>
       val t0 = avroColumnSchema(s, opts)
       val t = if (s.nullable) s"""["null",$t0]""" else t0
-      s"""{"name":"${s.name}","type":$t}"""
+      s"""{"name":"${avroSanitizeName(s.name)}","type":$t}"""
     }.mkString(",")
-    s"""{"type":"record","name":"$table","namespace":"$database","fields":[$fields]}"""
+    s"""{"type":"record","name":"${avroSanitizeName(table)}",""" +
+      s""""namespace":"${avroSanitizeName(database)}","fields":[$fields]}"""
   }
 
   /** Unsigned-bigint VALUE rendering (avro.go:833-840): `long` re-wraps

@@ -50,6 +50,7 @@ object Layout {
     * would overflow int64 — e.g. nanosecond timestamps with bits ≥ 16 —
     * instead of silently wrapping into a garbage file layout. */
   def quantize(v: Column, maxV: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62]: $bits")
     val scale = (1L << bits) - 1
     val maxSafe = Long.MaxValue / scale
     val safeV = when(v.cast("long").between(0L, maxSafe), v.cast("long"))

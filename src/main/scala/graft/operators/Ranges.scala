@@ -49,7 +49,7 @@ object Ranges {
       intervals: DataFrame, startCol: String, endCol: String,
       binSize: Long, maxBinsPerInterval: Long = MaxBinsDefault): DataFrame = {
     require(binSize > 0, s"binSize must be positive: $binSize")
-    requireDisjoint(points, intervals)
+    requireDisjoint(points, intervals, Seq(pointCol, startCol, endCol))
     val p = points.withColumn("_g_bin", col(pointCol).divLong(binSize))
     val iv = intervals
       .filter(col(endCol) > col(startCol))
@@ -67,16 +67,21 @@ object Ranges {
     def divLong(d: Long): Column = graft.core.Exact.divLong(c, d)
   }
 
-  /** The residual predicates resolve user columns by bare name across the
-    * join, so a shared column name (both sides carrying "ts") would bind
-    * ambiguously or to the wrong side — require disjoint schemas up front
-    * (the Merge input-validation pattern) instead of failing downstream. */
-  private def requireDisjoint(l: DataFrame, r: DataFrame): Unit = {
-    val shared = l.columns.map(_.toLowerCase).toSet
-      .intersect(r.columns.map(_.toLowerCase).toSet)
-    require(shared.isEmpty,
-      s"range join inputs must have disjoint column names; shared: " +
-        s"${shared.toSeq.sorted.mkString(", ")} — rename one side first")
+  /** The residual predicates resolve the NAMED join columns by bare name
+    * across the join, so any of those names existing on BOTH sides would
+    * bind ambiguously or to the wrong side — require each referenced
+    * column to live on exactly one input (the Merge input-validation
+    * pattern). Unreferenced passthrough columns may freely share names. */
+  private def requireDisjoint(l: DataFrame, r: DataFrame,
+                              referenced: Seq[String]): Unit = {
+    def names(df: DataFrame) =
+      df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val shared = names(l).intersect(names(r))
+    val clash = referenced
+      .map(_.toLowerCase(java.util.Locale.ROOT)).filter(shared)
+    require(clash.isEmpty,
+      s"range join predicate columns exist on both inputs: " +
+        s"${clash.distinct.sorted.mkString(", ")} — rename one side first")
   }
 
   /** Explosion cap: an open-validity sentinel end (Long.MaxValue — the
@@ -108,7 +113,7 @@ object Ranges {
   def intervalOverlap(left: DataFrame, ls: String, le: String,
       right: DataFrame, rs: String, re: String, binSize: Long): DataFrame = {
     require(binSize > 0, s"binSize must be positive: $binSize")
-    requireDisjoint(left, right)
+    requireDisjoint(left, right, Seq(ls, le, rs, re))
     val a = left.filter(col(le) > col(ls))
       .withColumn("_g_abin", explode(sequence(
         col(ls).divLong(binSize),

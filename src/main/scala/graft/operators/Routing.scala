@@ -30,8 +30,8 @@ object Routing {
     val (sc, tc) =
       if (caseSensitive) (col("schema_name"), col("table_name"))
       else (lower(col("schema_name")), lower(col("table_name")))
-    def rx(p: String) =
-      Filters.wildcardToRegex(if (caseSensitive) p else p.toLowerCase)
+    def rx(p: String) = Filters.wildcardToRegex(
+      if (caseSensitive) p else p.toLowerCase(java.util.Locale.ROOT))
     // An empty target keeps the source name — a DM rule may set only
     // target-schema (schema-routing), leaving the table name untouched.
     def chain(pick: RouteRule => String, default: Column): Column =
@@ -194,13 +194,16 @@ object Routing {
   def resolvePartitionRule(rule: String, scheme: String, n: Int,
                            columns: Seq[Column] = Nil)
       : (Column, Option[Column]) =
-    rule.toLowerCase match {
+    rule.toLowerCase(java.util.Locale.ROOT) match {
       case "default" | "table" => (dispatchByTable(n), None)
       case "ts" => (dispatchByTs(n), None)
       case "index-value" | "rowid" => (dispatchByIndexValue(n), None)
       case "columns" => (dispatchByColumns(n, columns), None)
-      case other if scheme.toLowerCase.startsWith("pulsar") =>
-        val (part, key) = dispatchByKey(other)
+      case _ if scheme.toLowerCase(java.util.Locale.ROOT)
+          .startsWith("pulsar") =>
+        // the RAW configured string is the key (NewKeyDispatcher receives
+        // the unfolded rule) — folding it would re-route mixed-case keys
+        val (part, key) = dispatchByKey(rule)
         (part, Some(key))
       case _ => (dispatchByTable(n), None)
     }

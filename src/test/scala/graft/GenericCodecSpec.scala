@@ -125,6 +125,12 @@ class GenericCodecSpec extends SparkSpec {
     // enum members escape commas (helper.go:323-328), then JSON-escape
     assert(avroColumnSchema(s("enum('a,b','c')", members = Seq("a,b", "c")))
       .contains(""""allowed":"a\\,b,c""""))
+    // bit with no declared length defaults to bit(1), not decimal's 10
+    assert(avroColumnSchema(s("bit")).contains("\"length\":\"1\""))
+    // record/field names sanitize to the Avro alphabet (helper.go:342-371)
+    assert(GenericCodecs.avroSanitizeName("2col-a.b") === "_2col_a_b")
+    assert(GenericCodecs.avroRecordSchema("d-b", "1t", Seq(s("int")))
+      .contains("\"name\":\"_1t\",\"namespace\":\"d_b\""))
     // invalid modes reject like the url-parameter validation
     intercept[IllegalArgumentException] { AvroOpts(decimalHandlingMode = "x") }
     intercept[IllegalArgumentException] {

@@ -103,5 +103,49 @@ class RefLayoutSpec extends SparkSpec {
     // unknown rule: constant key under pulsar, default fallback elsewhere
     assert(run("billing-key", "pulsar+ssl://b") === ((0L, Some("billing-key"))))
     assert(run("billing-key", "kafka://b") === run("table", "kafka://b"))
+    // the key dispatcher carries the RAW configured string — the rule is
+    // folded only for matching named dispatchers (NewKeyDispatcher gets
+    // the original, event_router.go:234)
+    assert(run("UserID", "pulsar://b") === ((0L, Some("UserID"))))
+  }
+
+  test("output-handle-key names each UPDATE leg's own image key") {
+    // pk-moving update 7→8: the "D" (old) leg must carry 7, the "I" leg 8
+    val df = Seq(("U", 100L, 99L, "db", "t", 8L, 7L, Option("n"),
+        Option("o"), Some(1), Some(2)))
+      .toDF("op", "commit_ts", "start_ts", "schema_name", "table_name",
+        "a_id", "b_id", "a_note", "b_note", "a_qty", "b_qty")
+    val msg = df.select(GenericCodecs.csvLinesRef(specs,
+        opts = CsvRowOpts(outputOldValue = true, outputHandleKey = true,
+          terminator = "\n")).as("m")).as[String].head()
+    val Seq(dLeg, iLeg) = msg.split("\n", -1).toSeq.init
+    assert(parseCsvRow(dLeg).take(5) === Seq("D", "t", "db", "true", "7"), dLeg)
+    assert(parseCsvRow(iLeg).take(5) === Seq("I", "t", "db", "true", "8"), iLeg)
+  }
+
+  test("range join accepts shared passthrough names, rejects predicate clashes") {
+    import graft.operators.Ranges
+    val pts = Seq((1L, 5L, 10L)).toDF("pid", "p", "user_id")
+    val ivs = Seq((9L, 0L, 10L, 10L)).toDF("iid", "s", "e", "user_id")
+    // user_id shared but unreferenced by the residual → fine
+    assert(Ranges.pointInInterval(pts, "p", ivs, "s", "e", 4L).count() === 1L)
+    // a predicate column on both sides → fail fast
+    val bad = ivs.withColumnRenamed("s", "p0").withColumnRenamed("e", "p")
+    intercept[IllegalArgumentException] {
+      Ranges.pointInInterval(pts, "p", bad, "p0", "p", 4L)
+    }
+  }
+
+  test("windowed-dedup keys are injective under separator-dense values") {
+    import graft.operators.Dedup
+    // values embedding the separator+marker bytes: without per-slot
+    // escaping both tuples encode to one identical joined string
+    val rows = Seq(
+      ("x\u0001\u0002y", "z", 0L, 1L),
+      ("x", "y\u0001\u0002z", 0L, 2L))
+    val kept = Dedup.dedupWithinDelta(
+      rows.toDF("a", "b", "ts", "id"), Seq("a", "b"), "ts", "id", 10L)
+    // distinct key tuples → two separate chains → both anchors kept
+    assert(kept.count() === 2L)
   }
 }
