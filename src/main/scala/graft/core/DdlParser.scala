@@ -389,6 +389,29 @@ object DdlParser {
       case s => s
     }
 
+  /**
+   * MySQL-sink DDL formatting (cdc/sink/ddlsink/mysql/format_ddl.go:27-45):
+   * plain MySQL has no VECTOR type, so DDL forwarded to a MySQL sink
+   * rewrites vector columns to LONGBLOB at the AST level (the reference
+   * visiter sets TypeLongBlob, clears flen/charset) before rendering.
+   * Idempotent; non-vector statements pass through untouched.
+   */
+  def formatForMysql(stmt: Stmt): Stmt = {
+    def isVec(t: String) = t.toLowerCase.startsWith("vector")
+    stmt match {
+      case ct: CreateTable if ct.columns.exists(c => isVec(c.mysqlType)) =>
+        ct.copy(columns = ct.columns.map(c =>
+          if (isVec(c.mysqlType))
+            c.copy(mysqlType = "longblob", dataType = BinaryType)
+          else c))
+      case AlterTable(s, t, SchemaRegistry.AddColumn(n, ArrayType(FloatType, _))) =>
+        AlterTable(s, t, SchemaRegistry.AddColumn(n, BinaryType))
+      case AlterTable(s, t, SchemaRegistry.ModifyColumn(n, ArrayType(FloatType, _))) =>
+        AlterTable(s, t, SchemaRegistry.ModifyColumn(n, BinaryType))
+      case other => other
+    }
+  }
+
   /** Render back to normalized SQL (what a DDL sink would emit downstream;
     * reference emits the rewritten DDL text). */
   def toSql(stmt: Stmt): String = {

@@ -735,6 +735,56 @@ object GenericCodecs {
         lit(MySqlTypes.simpleDataType(s)).as("dataType"),
         lit(s.nullable).as("nullable"))): _*).as("columns")), jsonOpts)
 
+  /**
+   * Simple-protocol large-message handling (simple/encoder.go:70-92,
+   * message.go:487-489): an oversized row message is replaced by its
+   * handle-key-only form carrying `"handleKeyOnly":true`; under
+   * claim-check the FULL message side-writes (wrapped ClaimCheckMessage
+   * with a nil key, or verbatim bytes under `claim-check-raw-value` —
+   * valid for simple, decoder.go:174) and the in-stream message also
+   * carries `claimCheckLocation`. Returns (message, location, payload);
+   * location/payload stay NULL for inline messages and for the
+   * handle-key-only option.
+   */
+  def simpleRowLargeMessage(specs: Seq[ColumnSpec], schemaVersion: Int,
+                            maxBytes: Int, handle: LargeMessageHandle)
+      : (Column, Column, Column) = {
+    handle.validate("simple")
+    require(handle.option != "none", "large message handling is disabled")
+    val full = simpleRow(specs, schemaVersion)
+    val big = length(full) > maxBytes
+    val hs = specs.filter(_.isHandle)
+    def img(v: ColumnSpec => Column): Column =
+      struct(hs.map(s => MySqlTypes.nativeValue(s, v(s)).as(s.name)): _*)
+    val sType = when(col("op") === "I", "INSERT")
+      .when(col("op") === "U", "UPDATE").otherwise("DELETE")
+    val isClaimCheck = handle.option == "claim-check"
+    val location = concat(
+      lit(handle.claimCheckStorageUri.stripSuffix("/") + "/"),
+      md5(full), lit(".json"))
+    val baseFields = Seq(
+      sType.as("type"),
+      col("commit_ts").as("commitTs"),
+      col("schema_name").as("database"),
+      col("table_name").as("table"),
+      lit(schemaVersion).as("schemaVersion"),
+      when(col("op") =!= "D", img(a)).as("data"),
+      when(col("op") =!= "I", img(b)).as("old"),
+      lit(true).as("handleKeyOnly"))
+    val hMsg = to_json(struct(baseFields ++
+      (if (isClaimCheck) Seq(location.as("claimCheckLocation")) else Nil): _*),
+      jsonOpts)
+    val msg = when(big, hMsg).otherwise(full)
+    if (!isClaimCheck) (msg, lit(null).cast("string"), lit(null).cast("string"))
+    else {
+      val payload =
+        if (handle.claimCheckRawValue) when(big, full)
+        else when(big, concat(lit("{\"key\":null,\"value\":\""),
+          MySqlTypes.b64(encode(full, "UTF-8")), lit("\"}")))
+      (msg, when(big, location), payload)
+    }
+  }
+
   /** Generic Simple-protocol row message (native-typed images). */
   def simpleRow(specs: Seq[ColumnSpec], schemaVersion: Int): Column = {
     def img(v: ColumnSpec => Column): Column =

@@ -91,9 +91,13 @@ object GenericCodecQueries {
 
   // ---- q42b: Maxwell --------------------------------------------------
 
-  private def nativeImgSql(v: ColumnSpec => String): String =
-    "struct_pack(" + specs.map(s =>
+  private def nativeImgSqlFor(ss: Seq[ColumnSpec],
+                              v: ColumnSpec => String): String =
+    "struct_pack(" + ss.map(s =>
       s"${s.name} := ${MySqlTypes.Sql.nativeValue(s, v(s))}").mkString(", ") + ")"
+
+  private def nativeImgSql(v: ColumnSpec => String): String =
+    nativeImgSqlFor(specs, v)
 
   val maxwellGeneric = GateQuery(
     "q42b_maxwell_generic",
@@ -737,8 +741,108 @@ object GenericCodecQueries {
           outputOldValue = true)).as("msg"))
   }
 
+  // ---- q231: simple-protocol large-message matrix ---------------------
+
+  /** Simple row-message SQL over image columns `ss` with optional extra
+    * members (handleKeyOnly / claimCheckLocation). */
+  private def simpleMsgSql(ss: Seq[ColumnSpec], extra: Seq[String]): String =
+    s"""to_json(struct_pack(
+       |    type := CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END,
+       |    commitTs := commit_ts, "database" := schema_name, "table" := table_name,
+       |    schemaVersion := 1,
+       |    data := CASE WHEN op <> 'D' THEN ${nativeImgSqlFor(ss, aE)} END,
+       |    old := CASE WHEN op <> 'I' THEN ${nativeImgSqlFor(ss, bE)} END${
+         extra.map(",\n    " + _).mkString}
+       |  ))""".stripMargin
+
+  private val SimpleMax = 600
+
+  /**
+   * q231 — the simple protocol's large-message matrix
+   * (simple/encoder.go:70-92, message.go:487-489, decoder.go:174):
+   * `handle-key-only` replaces oversized messages in-stream with the
+   * handle-image form flagged `handleKeyOnly:true`; `claim-check`
+   * additionally side-writes the FULL message (wrapped vs raw-value
+   * modes) and stamps `claimCheckLocation`. Pins per-mode×class counts,
+   * byte lengths, object counts, consumer recovery, and the decoded
+   * handleKeyOnly flag count.
+   */
+  val simpleLargeMessage = GateQuery(
+    "q231_simple_large_message",
+    Some(cte +
+      s"""SELECT mode, is_claim, count(*) AS cnt,
+         |  CAST(sum(length(msg)) AS BIGINT) AS sum_msg_len,
+         |  CAST(coalesce(sum(length(payload)), 0) AS BIGINT) AS sum_payload_len,
+         |  count(DISTINCT loc) AS n_objects,
+         |  CAST(sum(CASE WHEN mode <> 'hko' THEN is_claim ELSE 0 END) AS BIGINT) AS n_roundtrip,
+         |  CAST(sum(is_claim) AS BIGINT) AS n_hko
+         |FROM (
+         |  SELECT m.mode,
+         |    CASE WHEN big THEN 1 ELSE 0 END AS is_claim,
+         |    CASE WHEN big THEN (CASE WHEN m.mode = 'hko' THEN hmsg ELSE hmsg_cc END)
+         |         ELSE full_msg END AS msg,
+         |    CASE WHEN big AND m.mode = 'cc_raw' THEN full_msg
+         |         WHEN big AND m.mode = 'cc_wrapped'
+         |         THEN '{"key":null,"value":"' || to_base64(encode(full_msg)) || '"}'
+         |    END AS payload,
+         |    CASE WHEN big AND m.mode <> 'hko' THEN loc END AS loc
+         |  FROM (
+         |    SELECT *,
+         |      ${simpleMsgSql(specs.filter(_.isHandle),
+                Seq("handleKeyOnly := true")).replace("\n", "\n      ")} AS hmsg,
+         |      ${simpleMsgSql(specs.filter(_.isHandle),
+                Seq("handleKeyOnly := true",
+                  "claimCheckLocation := loc")).replace("\n", "\n      ")} AS hmsg_cc
+         |    FROM (
+         |      SELECT *, length(full_msg) > $SimpleMax AS big,
+         |        'cc/' || md5(full_msg) || '.json' AS loc
+         |      FROM (
+         |        SELECT *, ${simpleMsgSql(specs, Nil).replace("\n", "\n        ")} AS full_msg
+         |        FROM wide WHERE $Sample)
+         |    )
+         |  ) CROSS JOIN (SELECT unnest(['hko', 'cc_wrapped', 'cc_raw']) AS mode) m
+         |) GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
+    val df = WideCdc.derive(spark, dir).filter(expr(Sample))
+    val full = GenericCodecs.simpleRow(specs, 1)
+    def run(mode: String): DataFrame = {
+      val handle = mode match {
+        case "hko" => GenericCodecs.LargeMessageHandle("handle-key-only")
+        case m => GenericCodecs.LargeMessageHandle("claim-check",
+          claimCheckStorageUri = "cc", claimCheckRawValue = m == "cc_raw")
+      }
+      val (msg, loc, pay) =
+        GenericCodecs.simpleRowLargeMessage(specs, 1, SimpleMax, handle)
+      val recovered =
+        if (mode == "cc_raw") pay
+        else if (mode == "cc_wrapped")
+          decode(unbase64(from_json(pay, new StructType()
+            .add("key", StringType).add("value", StringType))
+            .getField("value")), "UTF-8")
+        else lit(null).cast("string")
+      val hko = from_json(msg,
+        new StructType().add("handleKeyOnly", BooleanType))
+        .getField("handleKeyOnly")
+      df.select(lit(mode).as("mode"),
+        when(length(full) > SimpleMax, 1).otherwise(0).as("is_claim"),
+        msg.as("msg"), pay.as("payload"), loc.as("loc"),
+        (recovered <=> full).as("rt"), coalesce(hko, lit(false)).as("hko"))
+    }
+    run("hko").unionByName(run("cc_wrapped")).unionByName(run("cc_raw"))
+      .groupBy("mode", "is_claim")
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("msg"))).as("sum_msg_len"),
+        coalesce(sum(length(col("payload"))), lit(0L)).as("sum_payload_len"),
+        countDistinct(col("loc")).as("n_objects"),
+        sum(when(col("rt") && col("is_claim") === 1, 1L).otherwise(0L))
+          .as("n_roundtrip"),
+        sum(when(col("hko"), 1L).otherwise(0L)).as("n_hko"))
+  }
+
   def all: Seq[GateQuery] = Seq(canalGeneric, openGeneric, maxwellGeneric,
     csvGeneric, debeziumSchemaGate, simpleGeneric, integrityGeneric,
     vectorRoundtrip, canalUpdatedColumns, openUpdatedColumns, claimCheckRaw,
-    debeziumOptions, canalShortTypes, avroModes, csvRefLayout)
+    debeziumOptions, canalShortTypes, avroModes, csvRefLayout,
+    simpleLargeMessage)
 }

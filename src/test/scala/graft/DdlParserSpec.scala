@@ -165,4 +165,24 @@ class DdlParserSpec extends AnyFunSuite {
     assert(parse("DROP TABLE t", "d").head.eventType === "drop table")
     assert(parse("TRUNCATE t", "d").head.eventType === "truncate table")
   }
+
+  test("MySQL-sink formatting rewrites vector columns to LONGBLOB") {
+    // format_ddl.go:27-45: plain MySQL lacks VECTOR; the forwarded DDL
+    // carries LONGBLOB instead, other columns untouched
+    val ct = parse(
+      "CREATE TABLE shop.items (id BIGINT NOT NULL PRIMARY KEY, emb VECTOR(5), nm VARCHAR(8))",
+      "shop").head
+    assert(DdlParser.toSql(ct).contains("`emb` VECTOR(5)"))
+    val out = DdlParser.toSql(DdlParser.formatForMysql(ct))
+    assert(out.contains("`emb` longblob") && out.contains("`nm` VARCHAR(8)"), out)
+    // vector parses to array<float>; the rewrite lands on binary
+    val add = parse("ALTER TABLE shop.items ADD COLUMN v2 VECTOR(3)", "shop").head
+    val addOut = DdlParser.toSql(DdlParser.formatForMysql(add))
+    assert(addOut.endsWith("ADD COLUMN `v2` BLOB"), addOut)
+    // idempotent + pass-through
+    assert(DdlParser.formatForMysql(DdlParser.formatForMysql(ct)) ===
+      DdlParser.formatForMysql(ct))
+    val plain = parse("DROP TABLE shop.items", "shop").head
+    assert(DdlParser.formatForMysql(plain) === plain)
+  }
 }
