@@ -434,6 +434,24 @@ object GenericCodecs {
    * the new as "I" (:107-115) — so downstream mergers can replay it as
    * delete+insert.
    */
+  /**
+   * The once-per-batch CSV header row (`output-field-header`,
+   * csv_message.go encodeHeader:492-518): `ticdc-meta$…` names for the
+   * meta columns present under the current options, then the raw column
+   * names — note the reference writes NO header entry for the optional
+   * handle-key column (its own asymmetry, mirrored here). Header cells
+   * are unquoted regardless of the quote config.
+   */
+  def csvHeaderRef(specs: Seq[ColumnSpec],
+                   cfg: Codecs.CsvConfig = Codecs.CsvConfig(),
+                   opts: CsvRowOpts = CsvRowOpts()): String = {
+    val meta = Seq("ticdc-meta$operation", "ticdc-meta$table",
+      "ticdc-meta$schema") ++
+      (if (opts.includeCommitTs) Seq("ticdc-meta$commit-ts") else Nil) ++
+      (if (opts.outputOldValue) Seq("ticdc-meta$is-update") else Nil)
+    (meta ++ specs.map(_.name)).mkString(cfg.delimiter) + opts.terminator
+  }
+
   def csvLinesRef(specs: Seq[ColumnSpec],
                   cfg: Codecs.CsvConfig = Codecs.CsvConfig(),
                   opts: CsvRowOpts = CsvRowOpts()): Column = {
@@ -539,9 +557,19 @@ object GenericCodecs {
    */
   def debeziumWith(specs: Seq[ColumnSpec], clusterId: String = "graft",
                    outputOldValue: Boolean = true,
-                   disableSchema: Boolean = false): Column = {
+                   disableSchema: Boolean = false,
+                   timeZone: String = "UTC"): Column = {
+    // Debezium is the one zone-aware codec (common/config.go:85-86,
+    // debezium/codec.go:699-713): DATETIME wall times are interpreted in
+    // the configured zone before the epoch-millis conversion. "UTC"
+    // reproduces the repo-wide pinned rendering.
+    def zonedValue(s: ColumnSpec, c: Column): Column = s.base match {
+      case "datetime" if timeZone != "UTC" =>
+        (unix_timestamp(to_utc_timestamp(c, timeZone)) * 1000).cast("long")
+      case _ => MySqlTypes.debeziumValue(s, c)
+    }
     def img(v: ColumnSpec => Column): Column = to_json(
-      struct(specs.map(s => MySqlTypes.debeziumValue(s, v(s)).as(s.name)): _*),
+      struct(specs.map(s => zonedValue(s, v(s)).as(s.name)): _*),
       jsonOpts)
     val head = to_json(struct(
       sourceStruct(clusterId).as("source"),

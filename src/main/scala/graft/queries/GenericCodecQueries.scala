@@ -728,17 +728,29 @@ object GenericCodecQueries {
       def rowSql(opE: String, v: ColumnSpec => String) =
         "concat_ws(','," + (metaSql(opE) ++ specs.map(s =>
           csvCellSql(s, v(s)))).mkString(", ") + ") || e'\\r\\n'"
+      // the output-field-header row (once per batch; encodeHeader:492-518)
+      // rides as seq -1, generated in lockstep from the same spec list
+      val headerLit = lit1(GenericCodecs.csvHeaderRef(specs,
+        opts = GenericCodecs.CsvRowOpts(includeCommitTs = true,
+          outputOldValue = true)).stripSuffix("\r\n")) + " || e'\\r\\n'"
       Some(cte +
-        s"""SELECT seq,
+        s"""SELECT CAST(-1 AS BIGINT) AS seq, $headerLit AS msg
+           |UNION ALL
+           |SELECT seq,
            |  CASE WHEN op = 'U'
            |       THEN ${rowSql("'D'", bE)} || ${rowSql("'I'", aE)}
            |       ELSE ${rowSql("op", s => effE(s))} END AS msg
            |FROM wide WHERE $Sample""".stripMargin)
     }) { (spark, dir) =>
-    WideCdc.derive(spark, dir).filter(expr(Sample))
-      .select(col("seq"), GenericCodecs.csvLinesRef(specs,
-        opts = GenericCodecs.CsvRowOpts(includeCommitTs = true,
-          outputOldValue = true)).as("msg"))
+    import spark.implicits._
+    val opts = GenericCodecs.CsvRowOpts(includeCommitTs = true,
+      outputOldValue = true)
+    val header = Seq((-1L, GenericCodecs.csvHeaderRef(specs, opts = opts)))
+      .toDF("seq", "msg")
+    header.unionByName(
+      WideCdc.derive(spark, dir).filter(expr(Sample))
+        .select(col("seq"),
+          GenericCodecs.csvLinesRef(specs, opts = opts).as("msg")))
   }
 
   // ---- q231: simple-protocol large-message matrix ---------------------

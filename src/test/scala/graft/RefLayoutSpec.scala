@@ -89,6 +89,37 @@ class RefLayoutSpec extends SparkSpec {
     }
   }
 
+  test("output-field-header row matches encodeHeader") {
+    val h = GenericCodecs.csvHeaderRef(specs,
+      opts = CsvRowOpts(includeCommitTs = true, outputOldValue = true))
+    assert(h === "ticdc-meta$operation,ticdc-meta$table,ticdc-meta$schema," +
+      "ticdc-meta$commit-ts,ticdc-meta$is-update,id,note,qty\r\n")
+    // optional meta columns drop with their options; no handle-key entry
+    // ever (the reference's own asymmetry, encodeHeader:492-518)
+    val bare = GenericCodecs.csvHeaderRef(specs,
+      opts = CsvRowOpts(outputHandleKey = true, terminator = "\n"))
+    assert(bare === "ticdc-meta$operation,ticdc-meta$table,ticdc-meta$schema," +
+      "id,note,qty\n")
+  }
+
+  test("debezium time zone interprets DATETIME wall time in the config zone") {
+    val s2 = Seq(ColumnSpec("id", "bigint", nullable = false, isHandle = true),
+      ColumnSpec("at", "datetime"))
+    val df = Seq(("I", 100L, 99L, "db", "t", 1L, 1L,
+        Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        Option.empty[java.sql.Timestamp]))
+      .toDF("op", "commit_ts", "start_ts", "schema_name", "table_name",
+        "a_id", "b_id", "a_at", "b_at")
+    def epoch(zone: String): Long = {
+      val msg = df.select(GenericCodecs.debeziumWith(s2, disableSchema = true,
+        timeZone = zone).as("m")).as[String].head()
+      "\"at\":(\\d+)".r.findFirstMatchIn(msg).get.group(1).toLong
+    }
+    val utc = epoch("UTC")
+    // the same wall time read as Shanghai local is 8 h EARLIER in epoch
+    assert(epoch("Asia/Shanghai") === utc - 8 * 3600 * 1000L)
+  }
+
   test("partition-rule aliases resolve like getPartitionDispatcher") {
     val df = Seq((1L, 100L, "s", "t", 7L))
       .toDF("seq", "commit_ts", "target_schema", "target_table", "pk_after")
