@@ -78,5 +78,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.StringSplit(
           args.head, Literal("\\s+"), Literal(-1)),
         intArg(args, 1, 2))))
+    // TiDB vector literal render/parse (mounter.go:832-834, the string
+    // form every codec carries)
+    ext.injectFunction(fn("graft_vec_string", args =>
+      graft.functions.VecToString(args.head)))
+    ext.injectFunction(fn("graft_vec_parse", args =>
+      graft.functions.VecFromString(args.head)))
   }
 }

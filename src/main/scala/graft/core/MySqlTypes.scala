@@ -176,17 +176,18 @@ object MySqlTypes {
    * renders vectors through this one string form (canal_entry.go:112,
    * debezium/codec.go:831, csv_message.go:366, internal/column.go:65).
    *
-   * Both Spark and DuckDB cast float→string as shortest-round-trip decimal,
-   * identical digits; the `\.0$` strip turns their whole-number `7.0` into
-   * Go's `7`. Domain: plain-decimal range (|v| in [1e-3, 1e7) or 0) — both
-   * engines switch to exponent notation outside it, Go never does.
+   * Both the JVM and DuckDB render float→string as shortest-round-trip
+   * decimal, identical digits; the `.0` strip turns the whole-number `7.0`
+   * into Go's `7`. Domain: plain-decimal range (|v| in [1e-3, 1e7) or 0) —
+   * Java/DuckDB switch to exponent notation outside it, Go never does.
    * NULL vector stays NULL; elements of a TiDB vector are never NULL.
+   *
+   * Computed by the codegen'd [[graft.functions.VectorCodec]] kernel —
+   * the interpreted `transform + regexp_replace` formulation would break
+   * the encode scan's whole-stage-codegen span per element.
    */
   private[graft] def vecString(c: Column): Column =
-    concat(lit("["),
-      array_join(transform(c, x =>
-        regexp_replace(x.cast("string"), "\\.0$", "")), ","),
-      lit("]"))
+    graft.functions.VectorCodec.vecToString(c)
 
   /**
    * Canal-JSON rendering (canal_entry.go formatValue:84-118): EVERY value

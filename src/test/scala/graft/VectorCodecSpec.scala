@@ -72,6 +72,31 @@ class VectorCodecSpec extends SparkSpec {
     assert(back.as[Seq[Float]].head() === vec)
   }
 
+  test("vector kernel: SQL surface + parse round-trip + malformed → NULL") {
+    // the codegen'd kernel is registered for SQL text too
+    val sql = spark.sql(
+      "SELECT graft_vec_string(array(CAST(1.5 AS FLOAT), CAST(-2 AS FLOAT)))")
+      .as[String].head()
+    assert(sql === "[1.5,-2]")
+    val back = spark.sql("SELECT graft_vec_parse('[1.5,-2]')")
+      .as[Seq[Float]].head()
+    assert(back === Seq(1.5f, -2f))
+    // malformed inputs surface NULL like a failed ParseVectorFloat32
+    val bad = spark.sql(
+      "SELECT graft_vec_parse('nope'), graft_vec_parse('[1,x]'), graft_vec_parse('[]')")
+      .as[(Option[Seq[Float]], Option[Seq[Float]], Option[Seq[Float]])].head()
+    assert(bad === ((None, None, Some(Seq.empty[Float]))))
+    // randomized render∘parse = id over the full float32 plain band
+    val rnd = new scala.util.Random(31L)
+    val vecs = Seq.fill(200)(Seq.fill(4)(
+      (rnd.nextInt(2000001) - 1000000) / 1000f))
+    val df = vecs.zipWithIndex.map(_.swap).toDF("i", "v")
+    val rt = df.select(graft.functions.VectorCodec.vecFromString(
+        graft.functions.VectorCodec.vecToString(col("v"))).as("r"),
+      col("v"))
+    assert(rt.filter(!(col("r") <=> col("v"))).count() === 0L)
+  }
+
   // ---- only-output-updated-columns ------------------------------------
 
   test("only-output-updated-columns emits exactly the changed old columns") {
