@@ -852,9 +852,119 @@ object GenericCodecQueries {
         sum(when(col("hko"), 1L).otherwise(0L)).as("n_hko"))
   }
 
+  // ---- q232: storage-sink schema sidecar ------------------------------
+
+  /**
+   * q232 — the cloud-storage sink's `TableDefinition` schema file
+   * (table_definition.go:183-327, path.go:93-110): exact
+   * MarshalIndent bytes, the crc32-of-name-sorted-marshal path checksum,
+   * the `output-column-id` variant, the db-schema (no-table) form, and
+   * the reference's own TestTableDefinition fixture. Content bytes are
+   * control-plane literals (one per table VERSION, written by the DDL
+   * sink); the gate pins path+len+crc for the wide forms and full bytes
+   * for the short ones — crc agreement is three-way (JVM CRC32 in the
+   * path, Spark's codegen'd crc32 here, python-zlib-derived oracle
+   * literals).
+   */
+  val schemaSidecar = GateQuery(
+    "q232_schema_sidecar",
+    Some(
+      """SELECT variant, path, len, crc, content FROM (VALUES
+        |  ('wide', 'test/wide/meta/schema_1100_3940333362.json',
+        |   CAST(2676 AS BIGINT), CAST(1163498593 AS BIGINT), CAST(NULL AS VARCHAR)),
+        |  ('wide_colid', 'test/wide/meta/schema_1100_2634825215.json',
+        |   CAST(3267 AS BIGINT), CAST(3281096929 AS BIGINT), CAST(NULL AS VARCHAR)),
+        |  ('db_schema', 'test/meta/schema_1100_2269286383.json',
+        |   CAST(171 AS BIGINT), CAST(3161240458 AS BIGINT), $j${
+        |    "Table": "",
+        |    "Schema": "test",
+        |    "Version": 1,
+        |    "TableVersion": 1100,
+        |    "Query": "",
+        |    "Type": 1,
+        |    "TableColumns": null,
+        |    "TableColumnsTotal": 0
+        |}$j$),
+        |  ('ref_fixture', 'schema1/table1/meta/schema_100_0173756772.json',
+        |   CAST(948 AS BIGINT), CAST(3638795722 AS BIGINT), $j${
+        |    "Table": "table1",
+        |    "Schema": "schema1",
+        |    "Version": 1,
+        |    "TableVersion": 100,
+        |    "Query": "",
+        |    "Type": 0,
+        |    "TableColumns": [
+        |        {
+        |            "ColumnName": "Id",
+        |            "ColumnType": "INT",
+        |            "ColumnDefault": 10,
+        |            "ColumnPrecision": "11",
+        |            "ColumnNullable": "false",
+        |            "ColumnIsPk": "true"
+        |        },
+        |        {
+        |            "ColumnName": "LastName",
+        |            "ColumnType": "VARCHAR",
+        |            "ColumnDefault": "Default LastName",
+        |            "ColumnPrecision": "128",
+        |            "ColumnNullable": "false"
+        |        },
+        |        {
+        |            "ColumnName": "FirstName",
+        |            "ColumnType": "VARCHAR",
+        |            "ColumnDefault": "Default FirstName",
+        |            "ColumnPrecision": "64"
+        |        },
+        |        {
+        |            "ColumnName": "Birthday",
+        |            "ColumnType": "DATETIME",
+        |            "ColumnDefault": 12345678
+        |        }
+        |    ],
+        |    "TableColumnsTotal": 4
+        |}$j$)
+        |) t(variant, path, len, crc, content)""".stripMargin)) { (spark, _) =>
+    import spark.implicits._
+    import graft.streaming.TableDef
+    val wideQuery =
+      "CREATE TABLE test.wide (id BIGINT PRIMARY KEY, qty INT CHECK (qty > -1000))"
+    val refSpecs = Seq(
+      ColumnSpec("Id", "int", nullable = false, isHandle = true),
+      ColumnSpec("LastName", "varchar(128)", nullable = false),
+      ColumnSpec("FirstName", "varchar(64)"),
+      ColumnSpec("Birthday", "datetime"))
+    val refDefaults = Map[String, Any]("Id" -> 10,
+      "LastName" -> "Default LastName",
+      "FirstName" -> "Default FirstName", "Birthday" -> 12345678)
+    def row(variant: String, schema: String, table: String, ver: Long,
+            query: String, tp: Int, ss: Seq[ColumnSpec], colId: Boolean,
+            defaults: Map[String, Any], keepContent: Boolean) = {
+      val content = TableDef.marshalWithQuery(schema, table, ver, query, tp,
+        ss, outputColumnId = colId, defaults = defaults)
+      val ck = TableDef.checksum(schema, table, ss, outputColumnId = colId,
+        defaults = defaults)
+      (variant, TableDef.schemaPath(schema, table, ver, ck), content,
+        keepContent)
+    }
+    Seq(
+      row("wide", "test", "wide", 1100L, wideQuery,
+        TableDef.ActionCreateTable, specs, colId = false, Map.empty, keepContent = false),
+      row("wide_colid", "test", "wide", 1100L, wideQuery,
+        TableDef.ActionCreateTable, specs, colId = true, Map.empty, keepContent = false),
+      row("db_schema", "test", "", 1100L, "", 1, Nil, colId = false,
+        Map.empty, keepContent = true),
+      row("ref_fixture", "schema1", "table1", 100L, "", 0, refSpecs,
+        colId = false, refDefaults, keepContent = true))
+      .toDF("variant", "path", "full_content", "keep")
+      .select(col("variant"), col("path"),
+        length(col("full_content")).cast("long").as("len"),
+        crc32(col("full_content").cast("binary")).as("crc"),
+        when(col("keep"), col("full_content")).as("content"))
+  }
+
   def all: Seq[GateQuery] = Seq(canalGeneric, openGeneric, maxwellGeneric,
     csvGeneric, debeziumSchemaGate, simpleGeneric, integrityGeneric,
     vectorRoundtrip, canalUpdatedColumns, openUpdatedColumns, claimCheckRaw,
     debeziumOptions, canalShortTypes, avroModes, csvRefLayout,
-    simpleLargeMessage)
+    simpleLargeMessage, schemaSidecar)
 }
