@@ -40,6 +40,46 @@ object Transforms {
   }
 
   /**
+   * C1+ — the sink-side `TrySplitAndSortUpdateEvent`
+   * (cdc/model/sink.go:1187-1250): MySQL-compatible schemes and
+   * `output-raw-change-event = true` (pkg/config/sink.go:695-703, the
+   * Kafka/Pulsar/Storage opt-out) pass the txn through UNTOUCHED — the
+   * MySQL path splits puller-side, raw mode emits original events.
+   * Otherwise UPDATEs whose handle key changed split into D+I (via
+   * [[updateSplit]]), and any txn in which a split HAPPENED re-sorts its
+   * rows stably into delete < update < insert classes (the `txnRows`
+   * sort, sink.go:431-452, applied only `if split` :1244-1246) — txns
+   * with no split keep arrival order. Emits `sink_seq`, the output
+   * position within the (commit_ts, schema, table) txn.
+   *
+   * Scale shape: one shuffle on the txn key; window state is bounded by
+   * txn size. The class sort is per-txn, never global.
+   */
+  def sinkSplitAndSort(df: DataFrame, scheme: String = "kafka",
+      outputRawChangeEvent: Boolean = false): DataFrame = {
+    val mysqlCompatible = Set("mysql", "mysql+ssl", "tidb", "tidb+ssl")
+    if (mysqlCompatible(scheme.toLowerCase(java.util.Locale.ROOT)) ||
+        outputRawChangeEvent)
+      df.withColumn("sink_seq", col("seq"))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val txn = Window.partitionBy("commit_ts", "schema_name", "table_name")
+      // updateSplit rescales seq to 2*seq+leg: odd seq ⇔ an insert leg,
+      // so "this txn split" is a parity max — no second pass over the
+      // pre-split stream needed.
+      val dmlClass = when(col("op") === "D", 0)
+        .when(col("op") === "U", 1).otherwise(2)
+      updateSplit(df)
+        .withColumn("_any_split", max(col("seq") % 2).over(txn))
+        .withColumn("_cls",
+          when(col("_any_split") === 1, dmlClass).otherwise(0))
+        .withColumn("sink_seq",
+          row_number().over(txn.orderBy(col("_cls"), col("seq"))).cast("long"))
+        .drop("_any_split", "_cls")
+    }
+  }
+
+  /**
    * F7 — safe mode. Inside the replay window after an unclean restart,
    * INSERT/UPDATE become idempotent REPLACE ("R") so re-applied events
    * cannot conflict (reference dm/syncer/safe_mode.go:27-120). In Spark

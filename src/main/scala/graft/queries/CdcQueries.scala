@@ -398,6 +398,79 @@ object CdcQueries {
       .groupBy("txn_rows").agg(count(lit(1)).as("n_txns"))
   }
 
+  // C1+ — sink-side TrySplitAndSortUpdateEvent (split + class sort).
+
+  /**
+   * q233 — `Transforms.sinkSplitAndSort` (cdc/model/sink.go:1187-1250):
+   * three modes over the same stream. `sorted` (kafka scheme, raw off)
+   * splits key-changing UPDATEs and class-sorts ONLY the txns that
+   * split (delete < update < insert, stable); `raw`
+   * (output-raw-change-event) and `mysql` (MySQL-compatible scheme)
+   * pass events through untouched. Each txn digests to its op sequence
+   * in sink order plus a Σ sink_seq·pk binding, grouped to
+   * (mode, any_split, op_string) classes — so a wrong sort, a missed
+   * split, or a split leaking into the bypass modes all flip rows.
+   */
+  val sinkSplitSort = GateQuery(
+    "q233_sink_split_sort",
+    Some(splitCte +
+      """, sorted AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY commit_ts, schema_name, table_name
+        |      ORDER BY CASE WHEN any_split = 1 THEN cls ELSE 0 END, seq
+        |    ) AS sink_seq
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN op = 'D' THEN 0 WHEN op = 'U' THEN 1 ELSE 2 END AS cls,
+        |      max(seq % 2) OVER (
+        |        PARTITION BY commit_ts, schema_name, table_name) AS any_split
+        |    FROM split)
+        |), raw_leg AS (
+        |  SELECT *, seq AS sink_seq,
+        |    max(CASE WHEN op = 'U' AND pk <> pk_after THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY commit_ts, schema_name, table_name) AS any_split
+        |  FROM cdc
+        |), txns AS (
+        |  SELECT mode, any_split,
+        |    string_agg(op, '' ORDER BY sink_seq) AS op_string,
+        |    sum(sink_seq * pk) AS digest
+        |  FROM (
+        |    SELECT 'sorted' AS mode, commit_ts, schema_name, table_name,
+        |      any_split, op, sink_seq, pk FROM sorted
+        |    UNION ALL
+        |    SELECT 'raw', commit_ts, schema_name, table_name,
+        |      any_split, op, sink_seq, pk FROM raw_leg
+        |    UNION ALL
+        |    SELECT 'mysql', commit_ts, schema_name, table_name,
+        |      any_split, op, sink_seq, pk FROM raw_leg)
+        |  GROUP BY mode, any_split, commit_ts, schema_name, table_name
+        |)
+        |SELECT mode, any_split, op_string, count(*) AS n_txns,
+        |  CAST(sum(digest) AS BIGINT) AS sum_digest
+        |FROM txns GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
+    def leg(mode: String, scheme: String, raw: Boolean) = {
+      val s = Transforms.sinkSplitAndSort(CdcStream.derive(spark, dir),
+        scheme, outputRawChangeEvent = raw)
+      val anySplit =
+        if (mode == "sorted") max(col("seq") % 2)
+        else max(when(col("op") === "U" && col("pk") =!= col("pk_after"), 1L)
+          .otherwise(0L))
+      s.groupBy("commit_ts", "schema_name", "table_name")
+        .agg(anySplit.as("any_split"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("sink_seq"), col("op")))),
+            x => x.getField("op")), "").as("op_string"),
+          sum(col("sink_seq") * col("pk")).as("digest"))
+        .select(lit(mode).as("mode"), col("any_split"), col("op_string"),
+          col("digest"))
+    }
+    leg("sorted", "kafka", raw = false)
+      .unionByName(leg("raw", "kafka", raw = true))
+      .unionByName(leg("mysql", "mysql", raw = false))
+      .groupBy("mode", "any_split", "op_string")
+      .agg(count(lit(1)).as("n_txns"), sum(col("digest")).as("sum_digest"))
+  }
+
   // C3 — multi-row batching: batch sizes per (table, op).
   val batching = GateQuery(
     "q33_batching",
@@ -921,7 +994,8 @@ object CdcQueries {
     checkpointFilter, router, extendColumns, topicRouter,
     dispatchByTable, dispatchByTs, dispatchByIndexValue, dispatchByKeyGate,
     caseSensitivity,
-    updateSplit, compaction, txnSizes, batching, safeMode, causality,
+    updateSplit, sinkSplitSort, compaction, txnSizes, batching, safeMode,
+    causality,
     storageConsumer, storageSchemaDrift, storageLayout, sqlApply,
     forceReplicate, txnAtomicity, binlogEventFilter)
 }

@@ -71,6 +71,42 @@ class OperatorSpec extends SparkSpec {
     assert(out(2) == (5L, "I", 6L, None, Some(3.0)))        // insert leg (after key)
   }
 
+  test("sink split+sort: class-sorts ONLY txns that split; bypass modes identity") {
+    // one txn (commit_ts 10): I, U(key churn → splits), D, U(in place)
+    // one txn (commit_ts 11): D then I, NO split → arrival order kept
+    val in = Seq(
+      (1L, "I", 10L, 9L, 0, "s", "t", 1L, 1L, None: Option[Double], Some(1.0), "e"),
+      (2L, "U", 10L, 9L, 0, "s", "t", 2L, 3L, Some(1.0), Some(2.0), "e"),
+      (3L, "D", 10L, 9L, 0, "s", "t", 4L, 4L, Some(2.0), None: Option[Double], "e"),
+      (4L, "U", 10L, 9L, 0, "s", "t", 5L, 5L, Some(1.0), Some(2.0), "e"),
+      (5L, "D", 11L, 10L, 0, "s", "t", 6L, 6L, Some(2.0), None: Option[Double], "e"),
+      (6L, "I", 11L, 10L, 0, "s", "t", 7L, 7L, None: Option[Double], Some(1.0), "e"))
+      .toDF("seq", "op", "commit_ts", "start_ts", "source_id", "schema_name",
+        "table_name", "pk", "pk_after", "val_before", "val_after", "etype")
+    def ops(df: org.apache.spark.sql.DataFrame, ts: Long): Seq[(Long, String, Long)] =
+      df.filter(col("commit_ts") === ts)
+        .select("sink_seq", "op", "pk").as[(Long, String, Long)]
+        .collect().sortBy(_._1).toSeq
+    val sorted = Transforms.sinkSplitAndSort(in)
+    // split txn: D legs first (split-D of seq2 key 2, then plain D of seq3),
+    // the in-place U in the middle class, inserts last (plain I, then the
+    // insert leg key 3) — stable within each class by encounter order
+    assert(ops(sorted, 10L).map(t => (t._2, t._3)) ===
+      Seq(("D", 2L), ("D", 4L), ("U", 5L), ("I", 1L), ("I", 3L)))
+    assert(ops(sorted, 10L).map(_._1) === Seq(1L, 2L, 3L, 4L, 5L))
+    // unsplit txn keeps ARRIVAL order even though D < I would reorder it
+    assert(ops(sorted, 11L).map(t => (t._2, t._3)) ===
+      Seq(("D", 6L), ("I", 7L)))
+    // bypass modes: untouched rows, sink_seq = seq
+    for (bypass <- Seq(
+        Transforms.sinkSplitAndSort(in, scheme = "mysql"),
+        Transforms.sinkSplitAndSort(in, outputRawChangeEvent = true))) {
+      assert(bypass.count() === 6)
+      assert(bypass.filter(col("sink_seq") =!= col("seq")).count() === 0)
+      assert(bypass.filter(col("op") === "U").count() === 2)
+    }
+  }
+
   test("compaction equals naive last-state replay") {
     import org.apache.spark.sql.expressions.Window
     val split = Transforms.updateSplit(cdc)
