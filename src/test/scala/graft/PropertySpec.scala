@@ -45,6 +45,86 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sinkSplitAndSort ≡ reference fold for random txn streams") {
+    // Independent formulation: per-txn driver-side list fold executing
+    // TrySplitAndSortUpdateEvent literally (split in place, then ONE
+    // stable sortBy dml-class iff any split) vs the operator's
+    // window/row_number plan.
+    val rnd = new scala.util.Random(1123)
+    for (trial <- 1 to 8) {
+      val rows = (0 until 60).map { i =>
+        val op = rnd.nextInt(10) match {
+          case n if n < 4 => "I"
+          case n if n < 8 => "U"
+          case _ => "D"
+        }
+        val pk = 1L + rnd.nextInt(8)
+        val churn = op == "U" && rnd.nextInt(3) == 0
+        (i.toLong, op, 100L + i / 5, pk, if (churn) pk + 100 else pk)
+      }
+      val df = rows.toDF("seq", "op", "commit_ts", "pk", "pk_after")
+        .withColumn("start_ts", col("commit_ts") - 1)
+        .withColumn("schema_name", lit("s")).withColumn("table_name", lit("t"))
+        .withColumn("val_before", lit(1.0)).withColumn("val_after", lit(2.0))
+        .withColumn("etype", lit("e"))
+      val got = Transforms.sinkSplitAndSort(df)
+        .select("commit_ts", "sink_seq", "op", "pk")
+        .as[(Long, Long, String, Long)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+
+      val expected = rows.groupBy(_._3).view.mapValues { txn =>
+        val split = txn.sortBy(_._1).flatMap {
+          case (_, "U", _, pk, pkAfter) if pk != pkAfter =>
+            Seq(("D", pk), ("I", pkAfter))
+          case (_, op, _, pk, pkAfter) =>
+            Seq((op, if (op == "I") pkAfter else pk))
+        }
+        if (split.size > txn.size) { // a split happened → stable class sort
+          val cls = Map("D" -> 0, "U" -> 1, "I" -> 2)
+          split.sortBy(e => cls(e._1)) // Seq.sortBy is stable
+        } else split
+      }.toMap
+      assert(got == expected, s"trial $trial diverged")
+    }
+  }
+
+  test("TableDef render∘parse∘render fixpoint over random schemas") {
+    val rnd = new scala.util.Random(77)
+    val pool = Seq("int", "int(7)", "bigint", "tinyint(1)", "smallint",
+      "mediumint(8)", "decimal(10,4)", "decimal", "float", "float(7,3)",
+      "double", "varchar(64)", "char(3)", "date", "datetime", "datetime(3)",
+      "timestamp(6)", "time(2)", "blob(100)", "text(400)", "year",
+      "enum('a','b')", "set('x','y')", "json", "vector(8)", "bit(5)")
+    for (trial <- 1 to 20) {
+      val numeric = Set("int", "bigint", "tinyint", "smallint", "mediumint",
+        "decimal", "float", "double", "bit")
+      val n = 1 + rnd.nextInt(10)
+      val specs = (0 until n).map { i =>
+        val tp = pool(rnd.nextInt(pool.size))
+        graft.core.ColumnSpec(s"c${i}_${rnd.nextInt(100)}", tp,
+          nullable = rnd.nextBoolean(),
+          isHandle = i == 0,
+          unsigned = rnd.nextInt(4) == 0 &&
+            numeric(tp.takeWhile(_.isLetter)))
+      }
+      val j = graft.streaming.TableDef.marshalWithQuery(
+        s"db$trial", s"t$trial", trial.toLong, s"CREATE TABLE t$trial (<&>)",
+        graft.streaming.TableDef.ActionCreateTable, specs)
+      val (sch, tbl, ver, parsed) = graft.streaming.TableDef.parse(j)
+      assert((sch, tbl, ver) === ((s"db$trial", s"t$trial", trial.toLong)))
+      val j2 = graft.streaming.TableDef.marshalWithQuery(
+        s"db$trial", s"t$trial", trial.toLong, s"CREATE TABLE t$trial (<&>)",
+        graft.streaming.TableDef.ActionCreateTable, parsed)
+      assert(j2 === j, s"trial $trial not a fixpoint")
+      // checksum is a pure function of the sorted marshal: permuting the
+      // declared column order must not change it
+      val perm = rnd.shuffle(specs.toList)
+      assert(graft.streaming.TableDef.checksum(s"db$trial", s"t$trial", perm)
+        === graft.streaming.TableDef.checksum(s"db$trial", s"t$trial", specs))
+    }
+  }
+
   test("sql literal escaping is injection-safe") {
     val rows = Seq(("db", "t'; DROP TABLE x; --", 1L, "I", Some(1.0)))
       .toDF("schema_name", "table_name", "pk", "net_op", "final_val")
