@@ -159,7 +159,15 @@ object Bench100x {
     // agree; measured here WITH per-entry shuffle_mb so "one shuffle" is
     // a number, not scaladoc
     "q187_asof_native", "q215_asof_forward", "q189_scd2_history",
-    "q219_time_travel", "q200_merge_into", "q220_warehouse_pipeline")
+    "q219_time_travel", "q200_merge_into", "q220_warehouse_pipeline",
+    // round-11: iterative PageRank with the per-10-rounds localCheckpoint
+    // rule now in code (the lineage-blowup fix must hold at 60M edges),
+    // keep-first span excision (q168's harder ownership-argmin sibling),
+    // the interval×interval binned overlap join, and the sink-side
+    // split+class-sort (ONE txn-key window shuffle over the full stream —
+    // the per-txn-bounded-state claim as a number)
+    "q210_pagerank", "q175_span_keep_first", "q211_overlap_join",
+    "q233_sink_split_sort")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(
