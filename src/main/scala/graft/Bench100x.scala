@@ -167,7 +167,11 @@ object Bench100x {
     // split+class-sort (ONE txn-key window shuffle over the full stream —
     // the per-txn-bounded-state claim as a number)
     "q210_pagerank", "q175_span_keep_first", "q211_overlap_join",
-    "q233_sink_split_sort")
+    "q233_sink_split_sort",
+    // round-11: the Gopher rule kernels — per-doc in-row passes whose
+    // only exchange is the ≤256-row fail-mask histogram (plan-pinned);
+    // measured here as corpus-scan THROUGHPUT numbers
+    "q234_gopher_quality", "q235_gopher_repetition")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(

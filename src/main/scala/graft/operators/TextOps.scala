@@ -49,6 +49,60 @@ object TextOps {
     ttr * 50 + least(meanLen / 10, lit(1d)) * 30 + lenBand * 20
   }
 
+  // ---- Gopher filter rules (Rae et al. 2021, Table A1) ----------------
+
+  /** The 9 integer quality counters, one codegen'd in-row pass
+    * ([[graft.functions.GopherStats.quality]]). */
+  def gopherQuality(text: Column): Column =
+    graft.functions.GopherStats.gopherQuality(text)
+
+  /** The 13 integer repetition counters
+    * ([[graft.functions.GopherStats.repetition]]). */
+  def gopherRepetition(text: Column): Column =
+    graft.functions.GopherStats.gopherRepetition(text)
+
+  /** Bitmask of FAILED Gopher quality rules (bit i ⇔ rule i+1 fails);
+    * keep ⇔ mask = 0. All thresholds are exact cross-multiplied integer
+    * comparisons: word count ∈ [50, 100k]; mean word length ∈ [3, 10];
+    * (# + ellipsis)-to-word ratio ≤ 0.1; ≤90% bullet lines; ≤30%
+    * ellipsis-ending lines; ≥80% words with an alphabetic char; ≥2 of
+    * the required stop words. */
+  def gopherQualityFailMask(sig: Column): Column = {
+    val n = sig.getField("n_words")
+    val rules = Seq(
+      n >= 50 && n <= 100000,
+      sig.getField("sum_word_len") >= n * 3 &&
+        sig.getField("sum_word_len") <= n * 10,
+      (sig.getField("n_hash") + sig.getField("n_ellipsis")) * 10 <= n,
+      sig.getField("n_bullet_lines") * 10 <= sig.getField("n_lines") * 9,
+      sig.getField("n_ellipsis_lines") * 10 <= sig.getField("n_lines") * 3,
+      sig.getField("n_alpha_words") * 5 >= n * 4,
+      sig.getField("n_stop") >= 2)
+    rules.zipWithIndex.map { case (ok, i) =>
+      when(ok, 0L).otherwise(1L << i)
+    }.reduce(_ + _)
+  }
+
+  /** Bitmask of FAILED Gopher repetition rules over `sig` and the doc's
+    * total char count: dup line/para fraction ≤ 0.30; dup line/para CHAR
+    * fraction ≤ 0.20; top 2/3/4-gram char fraction ≤ 0.20/0.18/0.16;
+    * duplicate 5-gram char fraction ≤ 0.15. */
+  def gopherRepetitionFailMask(sig: Column, totalChars: Column): Column = {
+    val t = totalChars.cast("long")
+    val rules = Seq(
+      sig.getField("dup_lines") * 10 <= sig.getField("n_lines") * 3,
+      sig.getField("dup_paras") * 10 <= sig.getField("n_paras") * 3,
+      sig.getField("chars_dup_lines") * 5 <= t,
+      sig.getField("chars_dup_paras") * 5 <= t,
+      sig.getField("top2_cnt") * sig.getField("top2_len") * 5 <= t,
+      sig.getField("top3_cnt") * sig.getField("top3_len") * 50 <= t * 9,
+      sig.getField("top4_cnt") * sig.getField("top4_len") * 25 <= t * 4,
+      sig.getField("dup5_chars") * 20 <= t * 3)
+    rules.zipWithIndex.map { case (ok, i) =>
+      when(ok, 0L).otherwise(1L << i)
+    }.reduce(_ + _)
+  }
+
   /** Marker stopwords per language (public-knowledge high-frequency words). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "a", "is"),

@@ -1120,10 +1120,217 @@ object DocQueries {
     out
   }
 
+  // ---- Gopher filter rules --------------------------------------------
+
+  // Deterministic multi-line "page" per document so the line/paragraph
+  // rules have real structure to judge: a duplicated heading line, a
+  // bullet line, a conditional ellipsis line, a '#'-density tail, and a
+  // duplicated trailing paragraph on doc_id%5=0. Shared derivation — the
+  // Spark and DuckDB forms must produce byte-identical pages.
+  private def pageCol: Column = {
+    val h = substring(col("text"), 1, 40)
+    val b = concat(lit("- item "), (col("doc_id") % 7).cast("string"))
+    val e = concat(lit("trailing thought"),
+      when(col("doc_id") % 3 === 0, "...").otherwise("."))
+    val m = substring(col("text"), 41, 120)
+    val hashes = expr("repeat('#', CAST(doc_id % 12 AS INT))")
+    val base = concat(h, lit("\n"), b, lit("\n"), h, lit("\n\n"),
+      e, lit("\n"), m, lit(" "), hashes)
+    when(col("doc_id") % 5 === 0,
+      concat(base, lit("\n\n"), e, lit("\n"), m)).otherwise(base)
+  }
+
+  private val pageSqlCte: String =
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN base || chr(10) || chr(10) || e || chr(10) || m
+      |         ELSE base END AS page
+      |  FROM (
+      |    SELECT doc_id, e, m,
+      |      h || chr(10) || b || chr(10) || h || chr(10) || chr(10) ||
+      |        e || chr(10) || m || ' ' || repeat('#', CAST(doc_id % 12 AS INT)) AS base
+      |    FROM (
+      |      SELECT doc_id,
+      |        substr(text, 1, 40) AS h,
+      |        '- item ' || CAST(doc_id % 7 AS VARCHAR) AS b,
+      |        'trailing thought' ||
+      |          CASE WHEN doc_id % 3 = 0 THEN '...' ELSE '.' END AS e,
+      |        substr(text, 41, 120) AS m
+      |      FROM documents)
+      |  )
+      |)""".stripMargin
+
+  /**
+   * q234 — Gopher QUALITY rules (Rae et al. 2021 Table A1) over the
+   * synthesized pages: the 9-counter kernel
+   * ([[graft.functions.GopherStats.quality]], one codegen'd in-row pass,
+   * zero shuffle before the final histogram) against a DuckDB oracle
+   * computing every counter with list comprehensions. Grouped by the
+   * fail-rule BITMASK so a drift in any single rule, threshold, or
+   * counter flips rows; signal sums bind the raw counters too.
+   */
+  val gopherQualityGate = GateQuery(
+    "q234_gopher_quality",
+    Some(pageSqlCte +
+      """, q AS (
+        |  SELECT doc_id,
+        |    len(words) AS n_words,
+        |    coalesce(list_sum([length(w) FOR w IN words]), 0) AS sum_word_len,
+        |    length(page) - length(replace(page, '#', '')) AS n_hash,
+        |    (length(page) - length(replace(page, '...', ''))) // 3
+        |      + (length(page) - length(replace(page, chr(8230), ''))) AS n_ellipsis,
+        |    len(lines) AS n_lines,
+        |    len([l FOR l IN lines
+        |         IF left(trim(l, ' ' || chr(9) || chr(13)), 1) IN ('-', '*', chr(8226))]) AS n_bullet_lines,
+        |    len([l FOR l IN lines
+        |         IF right(trim(l, ' ' || chr(9) || chr(13)), 3) = '...'
+        |            OR right(trim(l, ' ' || chr(9) || chr(13)), 1) = chr(8230)]) AS n_ellipsis_lines,
+        |    len([w FOR w IN words IF regexp_matches(w, '[A-Za-z]')]) AS n_alpha_words,
+        |    len(list_distinct([lower(w) FOR w IN words
+        |         IF lower(w) IN ('the','be','to','of','and','that','have','with')])) AS n_stop
+        |  FROM (SELECT doc_id, page,
+        |          regexp_split_to_array(page, '\s+') AS words,
+        |          string_split(page, chr(10)) AS lines
+        |        FROM pages)
+        |)
+        |SELECT fail_mask, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+        |  CAST(sum(n_ellipsis) AS BIGINT) AS sum_ellipsis,
+        |  CAST(sum(n_bullet_lines) AS BIGINT) AS sum_bullets,
+        |  CAST(sum(n_stop) AS BIGINT) AS sum_stop
+        |FROM (
+        |  SELECT *,
+        |    (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
+        |    + (CASE WHEN sum_word_len BETWEEN 3 * n_words AND 10 * n_words THEN 0 ELSE 2 END)
+        |    + (CASE WHEN 10 * (n_hash + n_ellipsis) <= n_words THEN 0 ELSE 4 END)
+        |    + (CASE WHEN 10 * n_bullet_lines <= 9 * n_lines THEN 0 ELSE 8 END)
+        |    + (CASE WHEN 10 * n_ellipsis_lines <= 3 * n_lines THEN 0 ELSE 16 END)
+        |    + (CASE WHEN 5 * n_alpha_words >= 4 * n_words THEN 0 ELSE 32 END)
+        |    + (CASE WHEN n_stop >= 2 THEN 0 ELSE 64 END) AS fail_mask
+        |  FROM q
+        |) GROUP BY fail_mask""".stripMargin)) { (spark, dir) =>
+    val sig = TextOps.gopherQuality(pageCol)
+    Tables.load(spark, dir, "documents")
+      .select(sig.as("sig"))
+      .select(TextOps.gopherQualityFailMask(col("sig")).as("fail_mask"),
+        col("sig.n_words"), col("sig.n_ellipsis"),
+        col("sig.n_bullet_lines"), col("sig.n_stop"))
+      .groupBy("fail_mask")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("sum_words"),
+        sum("n_ellipsis").as("sum_ellipsis"),
+        sum("n_bullet_lines").as("sum_bullets"),
+        sum("n_stop").as("sum_stop"))
+  }
+
+  /**
+   * q235 — Gopher REPETITION rules over the same pages: duplicate
+   * line/paragraph fractions (count and char coverage), top 2/3/4-gram
+   * char fractions with the count-desc/gram-asc tie-break, and the
+   * duplicate-5-gram char sum. The kernel keeps every gram inside the
+   * row (per-doc hash maps, no gram explode); the oracle EXPLODES to
+   * (doc, value) groups — maximally different formulations.
+   */
+  val gopherRepetitionGate = GateQuery(
+    "q235_gopher_repetition",
+    Some(pageSqlCte +
+      """, linestats AS (
+        |  SELECT doc_id, sum(cnt) AS n_lines, sum(cnt - 1) AS dup_lines,
+        |    sum((cnt - 1) * length(l)) AS chars_dup_lines
+        |  FROM (SELECT doc_id, l, count(*) AS cnt FROM (
+        |          SELECT doc_id, unnest(string_split(page, chr(10))) AS l
+        |          FROM pages) GROUP BY doc_id, l)
+        |  GROUP BY doc_id
+        |), parastats AS (
+        |  SELECT doc_id, sum(cnt) AS n_paras, sum(cnt - 1) AS dup_paras,
+        |    sum((cnt - 1) * length(p)) AS chars_dup_paras
+        |  FROM (SELECT doc_id, p, count(*) AS cnt FROM (
+        |          SELECT doc_id, unnest(string_split(page, chr(10) || chr(10))) AS p
+        |          FROM pages) GROUP BY doc_id, p)
+        |  GROUP BY doc_id
+        |), words AS (
+        |  SELECT doc_id, regexp_split_to_array(page, '\s+') AS ws FROM pages
+        |), top2 AS (
+        |  SELECT doc_id, cnt AS top2_cnt, length(g) AS top2_len FROM (
+        |    SELECT doc_id, g, count(*) AS cnt, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rn
+        |    FROM (SELECT doc_id,
+        |            unnest([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]) AS g
+        |          FROM words) GROUP BY doc_id, g) WHERE rn = 1
+        |), top3 AS (
+        |  SELECT doc_id, cnt AS top3_cnt, length(g) AS top3_len FROM (
+        |    SELECT doc_id, g, count(*) AS cnt, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rn
+        |    FROM (SELECT doc_id,
+        |            unnest([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) AS g
+        |          FROM words) GROUP BY doc_id, g) WHERE rn = 1
+        |), top4 AS (
+        |  SELECT doc_id, cnt AS top4_cnt, length(g) AS top4_len FROM (
+        |    SELECT doc_id, g, count(*) AS cnt, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rn
+        |    FROM (SELECT doc_id,
+        |            unnest([array_to_string(ws[i:i+3], ' ') FOR i IN range(1, len(ws) - 2)]) AS g
+        |          FROM words) GROUP BY doc_id, g) WHERE rn = 1
+        |), d5 AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN cnt > 1 THEN (cnt - 1) * length(g) ELSE 0 END) AS dup5_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt
+        |        FROM (SELECT doc_id,
+        |                unnest([array_to_string(ws[i:i+4], ' ') FOR i IN range(1, len(ws) - 3)]) AS g
+        |              FROM words) GROUP BY doc_id, g)
+        |  GROUP BY doc_id
+        |), sig AS (
+        |  SELECT p.doc_id, length(p.page) AS total,
+        |    l.n_lines, l.dup_lines, l.chars_dup_lines,
+        |    pa.n_paras, pa.dup_paras, pa.chars_dup_paras,
+        |    coalesce(t2.top2_cnt, 0) AS top2_cnt, coalesce(t2.top2_len, 0) AS top2_len,
+        |    coalesce(t3.top3_cnt, 0) AS top3_cnt, coalesce(t3.top3_len, 0) AS top3_len,
+        |    coalesce(t4.top4_cnt, 0) AS top4_cnt, coalesce(t4.top4_len, 0) AS top4_len,
+        |    coalesce(d5.dup5_chars, 0) AS dup5_chars
+        |  FROM pages p
+        |  JOIN linestats l USING (doc_id) JOIN parastats pa USING (doc_id)
+        |  LEFT JOIN top2 t2 USING (doc_id) LEFT JOIN top3 t3 USING (doc_id)
+        |  LEFT JOIN top4 t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+        |)
+        |SELECT fail_mask, count(*) AS n_docs,
+        |  CAST(sum(dup_lines) AS BIGINT) AS sum_dup_lines,
+        |  CAST(sum(chars_dup_paras) AS BIGINT) AS sum_dup_para_chars,
+        |  CAST(sum(top2_cnt * top2_len) AS BIGINT) AS sum_top2_chars,
+        |  CAST(sum(dup5_chars) AS BIGINT) AS sum_dup5_chars
+        |FROM (
+        |  SELECT *,
+        |    (CASE WHEN 10 * dup_lines <= 3 * n_lines THEN 0 ELSE 1 END)
+        |    + (CASE WHEN 10 * dup_paras <= 3 * n_paras THEN 0 ELSE 2 END)
+        |    + (CASE WHEN 5 * chars_dup_lines <= total THEN 0 ELSE 4 END)
+        |    + (CASE WHEN 5 * chars_dup_paras <= total THEN 0 ELSE 8 END)
+        |    + (CASE WHEN 5 * top2_cnt * top2_len <= total THEN 0 ELSE 16 END)
+        |    + (CASE WHEN 50 * top3_cnt * top3_len <= 9 * total THEN 0 ELSE 32 END)
+        |    + (CASE WHEN 25 * top4_cnt * top4_len <= 4 * total THEN 0 ELSE 64 END)
+        |    + (CASE WHEN 20 * dup5_chars <= 3 * total THEN 0 ELSE 128 END) AS fail_mask
+        |  FROM sig
+        |) GROUP BY fail_mask""".stripMargin)) { (spark, dir) =>
+    val page = pageCol
+    Tables.load(spark, dir, "documents")
+      .select(TextOps.gopherRepetition(page).as("sig"),
+        length(page).cast("long").as("total"))
+      .select(TextOps.gopherRepetitionFailMask(col("sig"), col("total"))
+          .as("fail_mask"),
+        col("sig.dup_lines"), col("sig.chars_dup_paras"),
+        (col("sig.top2_cnt") * col("sig.top2_len")).as("top2_chars"),
+        col("sig.dup5_chars"))
+      .groupBy("fail_mask")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("dup_lines").as("sum_dup_lines"),
+        sum("chars_dup_paras").as("sum_dup_para_chars"),
+        sum("top2_chars").as("sum_top2_chars"),
+        sum("dup5_chars").as("sum_dup5_chars"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(textStats, qualityHist, langIdQ, fingerprints, repetition, exactDedup,
       minhashLsh, simhashQ, dupClusters, dupLabelsNoPairs, incrementalDedup,
       indexAdmit, incrementalLabels, simhashNearDup, dedupKeep, priorityKeep,
       hashSplit, dedupRecall, cTfIdfKeywords, winnowOverlap, prefixFilterPairs,
-      containmentPairs)
+      containmentPairs, gopherQualityGate, gopherRepetitionGate)
 }

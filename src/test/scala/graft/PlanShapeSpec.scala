@@ -20,6 +20,17 @@ class PlanShapeSpec extends SparkSpec {
   private def count(plan: String, token: String): Int =
     token.r.findAllIn(plan).size
 
+  test("q234/q235: Gopher kernels stay in-row — one mask-histogram shuffle, codegen span") {
+    for (g <- Seq("q234_gopher_quality", "q235_gopher_repetition")) {
+      val p = planOf(g)
+      // the 9/13-counter kernel runs inside the scan projection; the ONLY
+      // exchange is the ≤256-row fail-mask partial-agg pair. A regression
+      // to exploded grams/lines would add (doc, value) exchanges here.
+      assert(shuffles(p) == 1, s"$g: got ${shuffles(p)} shuffles; plan:\n$p")
+      assert(!p.contains("Generate"), s"$g: explode leaked in; plan:\n$p")
+    }
+  }
+
   test("q143: rank limit runs map-side (partial WindowGroupLimit below the exchange)") {
     val p = planOf("q143_source_caps")
     // partial + final = 2; a regression to post-shuffle-only limiting
