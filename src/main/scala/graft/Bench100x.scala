@@ -171,7 +171,7 @@ object Bench100x {
     // round-11: the Gopher rule kernels — per-doc in-row passes whose
     // only exchange is the ≤256-row fail-mask histogram (plan-pinned);
     // measured here as corpus-scan THROUGHPUT numbers
-    "q234_gopher_quality", "q235_gopher_repetition")
+    "q234_gopher_quality", "q235_gopher_repetition", "q236_c4_clean")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(

@@ -206,11 +206,70 @@ object GopherStats {
       t2c, t2l, t3c, t3l, t4c, t4l, d5))
   }
 
+  /** C4 line-cleaning (Raffel et al. 2020 §2.2, public): keep a (trimmed)
+    * line iff it ends in terminal punctuation (`.` `!` `?` `"`), has ≥5
+    * whitespace words, and contains no `javascript` token; page flags for
+    * `lorem ipsum`, `{`, and the parameterized bad-word list are computed
+    * on the ORIGINAL text. Sentence count = `.`/`!`/`?` chars in the
+    * cleaned text (the documented segmentation proxy). Returns
+    * (clean, n_kept, n_dropped, n_sentences, flag_lorem, flag_brace,
+    * flag_bad). */
+  def c4Clean(text: UTF8String, badWords: Array[String]): InternalRow = {
+    val str = text.toString
+    val lines = splitKeepAll(str, "\n")
+    val kept = new scala.collection.mutable.ArrayBuffer[String](lines.length)
+    var dropped = 0L
+    var li = 0
+    while (li < lines.length) {
+      val t = trim(lines(li))
+      val terminal = t.nonEmpty && {
+        val c = t.charAt(t.length - 1)
+        c == '.' || c == '!' || c == '?' || c == '"'
+      }
+      val words = Ws.split(t, -1)
+      var js = false
+      var wi = 0
+      while (!js && wi < words.length) {
+        if (words(wi).toLowerCase(java.util.Locale.ROOT) == "javascript")
+          js = true
+        wi += 1
+      }
+      if (terminal && words.length >= 5 && !js) kept += t else dropped += 1
+      li += 1
+    }
+    val clean = kept.mkString("\n")
+    var sentences = 0L
+    var i = 0
+    while (i < clean.length) {
+      val c = clean.charAt(i)
+      if (c == '.' || c == '!' || c == '?') sentences += 1
+      i += 1
+    }
+    val lower = str.toLowerCase(java.util.Locale.ROOT)
+    val lorem = if (lower.contains("lorem ipsum")) 1L else 0L
+    val brace = if (str.indexOf('{') >= 0) 1L else 0L
+    var bad = 0L
+    if (badWords.nonEmpty) {
+      val toks = Ws.split(lower, -1)
+      var ti = 0
+      while (bad == 0L && ti < toks.length) {
+        if (badWords.contains(toks(ti))) bad = 1L
+        ti += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](UTF8String.fromString(clean),
+      kept.length.toLong, dropped, sentences, lorem, brace, bad))
+  }
+
   def gopherQuality(text: Column): Column =
     ExpressionUtils.column(GopherQuality(ExpressionUtils.expression(text)))
 
   def gopherRepetition(text: Column): Column =
     ExpressionUtils.column(GopherRepetition(ExpressionUtils.expression(text)))
+
+  def c4Clean(text: Column, badWords: Seq[String]): Column =
+    ExpressionUtils.column(
+      C4Clean(ExpressionUtils.expression(text), badWords))
 }
 
 /** text → struct of the 9 Gopher quality counters. */
@@ -224,6 +283,26 @@ case class GopherQuality(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.GopherStats.quality($c)")
   override protected def withNewChildInternal(newChild: Expression): GopherQuality =
+    copy(child = newChild)
+}
+
+/** text → struct(clean text + C4 counters/flags). The bad-word list is a
+  * plan-time constant, shipped into codegen as a class-level array. */
+case class C4Clean(child: Expression, badWords: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(
+    StructField("clean", org.apache.spark.sql.types.StringType,
+      nullable = false) +:
+      Seq("n_kept", "n_dropped", "n_sentences", "flag_lorem", "flag_brace",
+        "flag_bad").map(StructField(_, LongType, nullable = false)))
+  private lazy val badArr = badWords.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    GopherStats.c4Clean(input.asInstanceOf[UTF8String], badArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("badWords", badArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.GopherStats.c4Clean($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): C4Clean =
     copy(child = newChild)
 }
 

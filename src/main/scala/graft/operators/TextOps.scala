@@ -103,6 +103,17 @@ object TextOps {
     }.reduce(_ + _)
   }
 
+  /** C4 line cleaning ([[graft.functions.GopherStats.c4Clean]]); keep the
+    * page iff it retains ≥3 sentences and no page-level flag fired
+    * (Raffel et al. 2020 §2.2). */
+  def c4Clean(text: Column, badWords: Seq[String] = Nil): Column =
+    graft.functions.GopherStats.c4Clean(text, badWords)
+
+  def c4Keep(sig: Column): Column =
+    sig.getField("n_sentences") >= 3 &&
+      sig.getField("flag_lorem") === 0 && sig.getField("flag_brace") === 0 &&
+      sig.getField("flag_bad") === 0
+
   /** Marker stopwords per language (public-knowledge high-frequency words). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "a", "is"),

@@ -1327,10 +1327,123 @@ object DocQueries {
         sum("dup5_chars").as("sum_dup5_chars"))
   }
 
+  // Deterministic C4-shaped page: lines exercising every line rule
+  // (terminal punctuation, the ≥5-word floor, the javascript token) and
+  // every page flag (lorem ipsum, brace, bad word) on doc_id moduli.
+  private def c4PageCol: Column = {
+    val l1 = concat(substring(col("text"), 1, 50), lit("."))
+    val l2 = substring(col("text"), 51, 30)
+    val l3 = concat(lit("click here"),
+      when(col("doc_id") % 4 === 0, ".").otherwise(""))
+    val l4 = concat(substring(col("text"), 81, 40),
+      when(col("doc_id") % 2 === 0, "?").otherwise(""))
+    val l5 = when(col("doc_id") % 6 === 0,
+      lit("enable javascript to view this page please."))
+      .otherwise(concat(substring(col("text"), 121, 40), lit("!")))
+    val l6 = when(col("doc_id") % 7 === 0, lit("template { placeholder }"))
+      .otherwise(lit("a quote line with five words\""))
+    val base = concat_ws("\n", l1, l2, l3, l4, l5, l6)
+    val withLorem = when(col("doc_id") % 11 === 0,
+      concat(base, lit("\nLorem ipsum dolor sit amet."))).otherwise(base)
+    when(col("doc_id") % 13 === 0,
+      concat(withLorem, lit("\nthis page mentions the badword here.")))
+      .otherwise(withLorem)
+  }
+
+  private val c4PageSqlCte: String =
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0
+      |         THEN lp || chr(10) || 'this page mentions the badword here.'
+      |         ELSE lp END AS page
+      |  FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN doc_id % 11 = 0
+      |           THEN base || chr(10) || 'Lorem ipsum dolor sit amet.'
+      |           ELSE base END AS lp
+      |    FROM (
+      |      SELECT doc_id,
+      |        substr(text, 1, 50) || '.' || chr(10) ||
+      |        substr(text, 51, 30) || chr(10) ||
+      |        'click here' || (CASE WHEN doc_id % 4 = 0 THEN '.' ELSE '' END) || chr(10) ||
+      |        substr(text, 81, 40) || (CASE WHEN doc_id % 2 = 0 THEN '?' ELSE '' END) || chr(10) ||
+      |        (CASE WHEN doc_id % 6 = 0 THEN 'enable javascript to view this page please.'
+      |              ELSE substr(text, 121, 40) || '!' END) || chr(10) ||
+      |        (CASE WHEN doc_id % 7 = 0 THEN 'template { placeholder }'
+      |              ELSE 'a quote line with five words"' END) AS base
+      |      FROM documents)
+      |  )
+      |)""".stripMargin
+
+  /**
+   * q236 — C4 line cleaning (Raffel et al. 2020 §2.2): the
+   * [[graft.functions.GopherStats.c4Clean]] kernel (terminal-punctuation
+   * line rule, ≥5-word floor, javascript-token drop, lorem/brace/bad-word
+   * page flags, ≥3-sentence page rule) over synthesized pages vs a DuckDB
+   * list-comprehension rebuild. The CLEANED TEXT is bound byte-exactly by
+   * a portable-hash sum, not just counters.
+   */
+  val c4CleanGate = GateQuery(
+    "q236_c4_clean",
+    Some(c4PageSqlCte +
+      s""", sig AS (
+         |  SELECT doc_id, page,
+         |    array_to_string(kept, chr(10)) AS clean,
+         |    len(kept) AS n_kept, n_lines - len(kept) AS n_dropped,
+         |    CASE WHEN contains(lower(page), 'lorem ipsum') THEN 1 ELSE 0 END AS flag_lorem,
+         |    CASE WHEN contains(page, '{') THEN 1 ELSE 0 END AS flag_brace,
+         |    CASE WHEN list_contains([lower(w) FOR w IN regexp_split_to_array(page, '\\s+')], 'badword')
+         |         THEN 1 ELSE 0 END AS flag_bad
+         |  FROM (
+         |    SELECT doc_id, page, len(ts) AS n_lines,
+         |      [t FOR t IN ts
+         |       IF right(t, 1) IN ('.', '!', '?', '"')
+         |          AND len(regexp_split_to_array(t, '\\s+')) >= 5
+         |          AND NOT list_contains([lower(w) FOR w IN regexp_split_to_array(t, '\\s+')], 'javascript')] AS kept
+         |    FROM (SELECT doc_id, page,
+         |            [trim(l, ' ' || chr(9) || chr(13)) FOR l IN string_split(page, chr(10))] AS ts
+         |          FROM pages)
+         |  )
+         |), scored AS (
+         |  SELECT *,
+         |    (length(clean) - length(replace(clean, '.', '')))
+         |    + (length(clean) - length(replace(clean, '!', '')))
+         |    + (length(clean) - length(replace(clean, '?', ''))) AS n_sentences
+         |  FROM sig
+         |)
+         |SELECT keep, flag_lorem, flag_brace, flag_bad,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_kept) AS BIGINT) AS sum_kept,
+         |  CAST(sum(n_dropped) AS BIGINT) AS sum_dropped,
+         |  CAST(sum(n_sentences) AS BIGINT) AS sum_sentences,
+         |  CAST(sum(length(clean)) AS BIGINT) AS sum_clean_len,
+         |  CAST(bit_xor(${graft.core.Hashing.Sql.portableLong("clean")}) AS BIGINT) AS xor_clean_hash
+         |FROM (SELECT *,
+         |        CASE WHEN n_sentences >= 3 AND flag_lorem = 0
+         |                  AND flag_brace = 0 AND flag_bad = 0
+         |             THEN 1 ELSE 0 END AS keep
+         |      FROM scored)
+         |GROUP BY 1, 2, 3, 4""".stripMargin)) { (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(TextOps.c4Clean(c4PageCol, Seq("badword")).as("sig"))
+      .select(when(TextOps.c4Keep(col("sig")), 1L).otherwise(0L).as("keep"),
+        col("sig.flag_lorem"), col("sig.flag_brace"), col("sig.flag_bad"),
+        col("sig.n_kept"), col("sig.n_dropped"), col("sig.n_sentences"),
+        length(col("sig.clean")).cast("long").as("clean_len"),
+        graft.core.Hashing.portableLong(col("sig.clean")).as("clean_hash"))
+      .groupBy("keep", "flag_lorem", "flag_brace", "flag_bad")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_kept").as("sum_kept"),
+        sum("n_dropped").as("sum_dropped"),
+        sum("n_sentences").as("sum_sentences"),
+        sum("clean_len").as("sum_clean_len"),
+        expr("bit_xor(clean_hash)").as("xor_clean_hash"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(textStats, qualityHist, langIdQ, fingerprints, repetition, exactDedup,
       minhashLsh, simhashQ, dupClusters, dupLabelsNoPairs, incrementalDedup,
       indexAdmit, incrementalLabels, simhashNearDup, dedupKeep, priorityKeep,
       hashSplit, dedupRecall, cTfIdfKeywords, winnowOverlap, prefixFilterPairs,
-      containmentPairs, gopherQualityGate, gopherRepetitionGate)
+      containmentPairs, gopherQualityGate, gopherRepetitionGate, c4CleanGate)
 }

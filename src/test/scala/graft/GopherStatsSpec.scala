@@ -85,6 +85,41 @@ class GopherStatsSpec extends SparkSpec {
     assert(m2 === 0L)
   }
 
+  test("c4Clean line rules and page flags") {
+    def clean(text: String, bad: Seq[String] = Seq("badword")) = {
+      val row = Seq(text).toDF("t")
+        .select(TextOps.c4Clean(col("t"), bad).as("s")).select("s.*")
+        .collect().head
+      (row.getString(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getLong(6))
+    }
+    val (c, kept, dropped, sent, lorem, brace, bad) = clean(
+      "This line has five good words.\n" +
+      "short line.\n" +                          // 2 words -> dropped
+      "no terminal punctuation on this line\n" + // no punct -> dropped
+      "  enable JavaScript to view this page.\n" + // js token -> dropped
+      "Is this a real question with words?")
+    assert(c === "This line has five good words.\nIs this a real question with words?")
+    assert((kept, dropped) === ((2L, 3L)))
+    assert(sent === 2L)
+    assert((lorem, brace, bad) === ((0L, 0L, 0L)))
+    // page flags fire on the ORIGINAL text even when lines are dropped
+    val f = clean("Lorem Ipsum dolor { badword\nKept line with five words here.")
+    assert((f._5, f._6, f._7) === ((1L, 1L, 1L)))
+    assert(f._1 === "Kept line with five words here.")
+    // quote-terminal keeps; trimmed line is what's kept
+    val q = clean("   a quote line with five words\"   ")
+    assert(q._1 === "a quote line with five words\"")
+    // keep rule: >=3 sentences and no flags
+    val keeps = Seq(
+      "One good sentence here now.\nAnother good sentence right here.\nAnd a third full sentence too.",
+      "One good sentence here now.\nAnother good sentence right here.")
+      .toDF("t")
+      .select(TextOps.c4Keep(TextOps.c4Clean(col("t"), Nil)).as("k"))
+      .as[Boolean].collect().toSeq
+    assert(keeps === Seq(true, false))
+  }
+
   test("kernel ≡ independent Scala fold on random multi-line docs") {
     val rnd = new scala.util.Random(2024)
     val vocab = Vector("the", "cat", "sat", "on", "mat", "##", "...", "-",
