@@ -171,7 +171,11 @@ object Bench100x {
     // round-11: the Gopher rule kernels — per-doc in-row passes whose
     // only exchange is the ≤256-row fail-mask histogram (plan-pinned);
     // measured here as corpus-scan THROUGHPUT numbers
-    "q234_gopher_quality", "q235_gopher_repetition", "q236_c4_clean")
+    "q234_gopher_quality", "q235_gopher_repetition", "q236_c4_clean",
+    // round-11: corpus-frequency boilerplate removal — the one
+    // distributed member of the filter family (hash-keyed line DF count,
+    // broadcast-back, doc-key rebuild)
+    "q237_boilerplate_lines")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(

@@ -318,6 +318,43 @@ object Curation {
   // ---- cross-doc passage dedup --------------------------------------
 
   /**
+   * Boilerplate-line removal by CORPUS document frequency (the
+   * RefinedWeb/FineWeb line-correction idea, public): a line appearing
+   * verbatim in ≥ `minDocs` DISTINCT documents (nav bars, cookie
+   * banners, "sign in") is boilerplate; rebuild every document without
+   * its boilerplate lines, preserving the original line order. A line
+   * repeated WITHIN one document does not count toward the threshold.
+   *
+   * Scale shape (100 TB): lines key by an in-row 60-bit hash (the line
+   * strings never shuffle for the frequency count) — one
+   * partial-aggregated exchange of distinct (hash, doc) pairs builds
+   * the frequency table, the `≥ minDocs` filter shrinks it to the small
+   * boilerplate set (AQE broadcasts it back), and the rebuild is one
+   * shuffle on doc id with per-doc bounded state. Returns
+   * (idCol, clean_text, n_removed, n_lines).
+   */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", Hashing.portableLong(col("line")))
+    val bp = lines.select(col(idCol), col("lh")).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("lh")
+    lines.join(broadcast(bp.withColumn("is_bp", lit(true))), Seq("lh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+            array_sort(collect_list(when(col("is_bp").isNull,
+              struct(col("pos"), col("line"))))),
+            x => x.getField("line")), "\n").as("clean_text"),
+        sum(when(col("is_bp").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /**
    * Passage-level (substring) duplication stats: for every document, how
    * many of its distinct `w`-token windows also appear in OTHER documents,
    * and how many of those it does not "own" (owner = the smallest doc id

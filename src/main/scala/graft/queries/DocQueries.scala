@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Curation, Dedup, TextOps}
 
 /**
  * Gate queries for the training-data document pipeline: text analysis
@@ -1440,10 +1440,58 @@ object DocQueries {
         expr("bit_xor(clean_hash)").as("xor_clean_hash"))
   }
 
+  /**
+   * q237 — boilerplate-line removal by corpus document frequency
+   * ([[Curation.removeBoilerplateLines]], the RefinedWeb/FineWeb line
+   * correction): over the synthesized Gopher pages the shared `- item k`
+   * and `trailing thought` lines cross the ≥10-doc threshold while the
+   * per-doc heading/body lines stay (including the heading DUPLICATED
+   * within its own doc — within-doc repeats must not count). The engine
+   * buckets by in-row 60-bit line hashes; the oracle groups RAW line
+   * strings — rebuilt text bound byte-exactly by a portable-hash xor.
+   */
+  val boilerplateGate = GateQuery(
+    "q237_boilerplate_lines",
+    Some(pageSqlCte +
+      s""", lines2 AS (
+         |  SELECT doc_id, e.pos AS pos, e.line AS line FROM (
+         |    SELECT doc_id,
+         |      unnest([struct_pack(pos := i, line := ls[i])
+         |              FOR i IN range(1, len(ls) + 1)]) AS e
+         |    FROM (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages))
+         |), bp AS (
+         |  SELECT line FROM (
+         |    SELECT line, count(DISTINCT doc_id) AS nd FROM lines2 GROUP BY line
+         |  ) WHERE nd >= 10
+         |), clean AS (
+         |  SELECT l.doc_id,
+         |    coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+         |                        chr(10) ORDER BY l.pos), '') AS clean_text,
+         |    CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |    count(*) AS n_lines
+         |  FROM lines2 l LEFT JOIN bp b USING (line) GROUP BY l.doc_id
+         |)
+         |SELECT n_removed, count(*) AS n_docs,
+         |  CAST(sum(n_lines) AS BIGINT) AS sum_lines,
+         |  CAST(sum(length(clean_text)) AS BIGINT) AS sum_clean_len,
+         |  CAST(bit_xor(${graft.core.Hashing.Sql.portableLong("clean_text")}) AS BIGINT) AS xor_clean_hash
+         |FROM clean GROUP BY n_removed""".stripMargin)) { (spark, dir) =>
+    val pages = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), pageCol.as("page"))
+    Curation.removeBoilerplateLines(pages, "doc_id", "page", minDocs = 10)
+      .withColumn("h", graft.core.Hashing.portableLong(col("clean_text")))
+      .groupBy("n_removed")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_lines").as("sum_lines"),
+        sum(length(col("clean_text")).cast("long")).as("sum_clean_len"),
+        expr("bit_xor(h)").as("xor_clean_hash"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(textStats, qualityHist, langIdQ, fingerprints, repetition, exactDedup,
       minhashLsh, simhashQ, dupClusters, dupLabelsNoPairs, incrementalDedup,
       indexAdmit, incrementalLabels, simhashNearDup, dedupKeep, priorityKeep,
       hashSplit, dedupRecall, cTfIdfKeywords, winnowOverlap, prefixFilterPairs,
-      containmentPairs, gopherQualityGate, gopherRepetitionGate, c4CleanGate)
+      containmentPairs, gopherQualityGate, gopherRepetitionGate, c4CleanGate,
+      boilerplateGate)
 }

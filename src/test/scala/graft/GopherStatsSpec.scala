@@ -120,6 +120,29 @@ class GopherStatsSpec extends SparkSpec {
     assert(keeps === Seq(true, false))
   }
 
+  test("boilerplate removal: corpus threshold, within-doc repeats don't count") {
+    val docs = ((1 to 12).map(i => (i.toLong, s"unique head $i\nshared footer line\nbody $i")) :+
+      (99L, "dup\ndup\ndup\nbody 99")) // 'dup' ×3 in ONE doc: df=1, kept
+      .toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .removeBoilerplateLines(docs, "doc_id", "text", minDocs = 10)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().toMap2
+    assert(out(1L) === (("unique head 1\nbody 1", 1L)))
+    assert(out(99L) === (("dup\ndup\ndup\nbody 99", 0L)))
+    // threshold boundary: exactly minDocs docs → removed; minDocs-1 → kept
+    val nine = (1 to 9).map(i => (i.toLong, s"h$i\nnine docs share me"))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Curation
+      .removeBoilerplateLines(nine, "doc_id", "text", minDocs = 10)
+      .filter(col("n_removed") > 0).count()
+    assert(kept === 0)
+  }
+
+  private implicit class ToMap2[A, B, C](s: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = s.map(t => t._1 -> ((t._2, t._3))).toMap
+  }
+
   test("kernel ≡ independent Scala fold on random multi-line docs") {
     val rnd = new scala.util.Random(2024)
     val vocab = Vector("the", "cat", "sat", "on", "mat", "##", "...", "-",
