@@ -230,6 +230,44 @@ object Routing {
     pmod(mixed, lit(n.toLong))
   }
 
+  /**
+   * R3 — index-value dispatcher with a NAMED index
+   * (partition/index_value.go:57-82, the `index` option of the
+   * dispatch rule, config/sink.go:390): resolve the configured index's
+   * columns from the table's index registry and hash (name, value)
+   * pairs exactly like the handle-key path. A missing index fails the
+   * dispatch like `ErrDispatcherFailed` (:68-74) — NOT a silent
+   * fallback. `colValue` supplies per-column values; pass the
+   * before-image for DELETE rows (the dispatchCols fallback :50-53).
+   *
+   * Engine-portable form: XOR of seeded per-column hashes mod n —
+   * mirrors the reference's XOR-of-write-groups structure. For
+   * byte-exact broker-partition parity use
+   * [[dispatchTiflowCompatIndex]].
+   */
+  def dispatchByNamedIndex(n: Int, indexes: Map[String, Seq[String]],
+      indexName: String, colValue: String => Column): Column = {
+    val cols = resolveIndex(indexes, indexName)
+    //  separator keeps (name, value) injective ("pk","180" vs
+    // "pk1","80"); oracle twin: name || chr(1) || valueString
+    pmod(cols.map(c => md5Long(
+        concat(lit(c), lit("\u0001"), colValue(c).cast("string"))))
+      .reduce(_ bitwiseXOR _), lit(n.toLong))
+  }
+
+  /** Byte-exact tiflow parity for the named-index dispatcher — resolves
+    * the index then hashes like [[dispatchTiflowCompat]]. */
+  def dispatchTiflowCompatIndex(n: Int, schema: Column, table: Column,
+      indexes: Map[String, Seq[String]], indexName: String,
+      colValue: String => Column): Column =
+    dispatchTiflowCompat(n, schema, table,
+      resolveIndex(indexes, indexName).map(c => c -> colValue(c)))
+
+  private def resolveIndex(indexes: Map[String, Seq[String]],
+      indexName: String): Seq[String] =
+    indexes.getOrElse(indexName, throw new IllegalArgumentException(
+      s"index not found when dispatch event, index: $indexName"))
+
   /** Engine-portable string→long hash (delegates to core.Hashing). */
   def md5Long(c: Column): Column = graft.core.Hashing.portableLong(c)
 

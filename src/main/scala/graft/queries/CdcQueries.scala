@@ -319,6 +319,41 @@ object CdcQueries {
       .groupBy("scheme", "part", "key").agg(count(lit(1)).as("cnt"))
   }
 
+  /**
+   * q238 — NAMED-index dispatcher completing the index-value matrix
+   * (partition/index_value.go:57-82 — the `index` option of the dispatch
+   * rule, config/sink.go DispatchRule): the configured index "uk_pk_val"
+   * resolves to (pk, val) in the table's index registry and each row
+   * hashes exactly THOSE (name, value) pairs — with the BEFORE image
+   * supplying values on DELETE rows, the reference's dispatchCols
+   * fallback (index_value.go:51-54, row.Columns empty on delete). The
+   * missing-index failure (ErrDispatcherFailed, :68-75) is pinned in
+   * TiflowParitySpec. `val` is floored to int64 before rendering so both
+   * engines string-format the same integer (ColumnValueString renders
+   * int64 decimal digits).
+   */
+  val dispatchByNamedIndexGate = GateQuery(
+    "q238_dispatch_named_index",
+    Some(cte +
+      s"""SELECT xor(
+         |    ${oracleMd5Long("'pk' || chr(1) || CAST(CASE WHEN op = 'D' THEN pk ELSE pk_after END AS VARCHAR)")},
+         |    ${oracleMd5Long("'val' || chr(1) || CAST(CAST(floor(CASE WHEN op = 'D' THEN val_before ELSE val_after END) AS BIGINT) AS VARCHAR)")}
+         |  ) % 6 AS part, count(*) AS cnt
+         |FROM cdc GROUP BY 1""".stripMargin)) { (spark, dir) =>
+    val indexes = Map(
+      "primary" -> Seq("pk"),
+      "uk_pk_val" -> Seq("pk", "val"))
+    val value: String => org.apache.spark.sql.Column = {
+      case "pk" => when(col("op") === "D", col("pk")).otherwise(col("pk_after"))
+      case "val" => floor(when(col("op") === "D", col("val_before"))
+        .otherwise(col("val_after"))).cast("long")
+    }
+    CdcStream.derive(spark, dir)
+      .withColumn("part",
+        Routing.dispatchByNamedIndex(6, indexes, "uk_pk_val", value))
+      .groupBy("part").agg(count(lit(1)).as("cnt"))
+  }
+
   // Shared oracle SQL for the post-update-split stream (C1). Mirrors
   // Transforms.updateSplit including the seq rescale to 2*seq+leg.
   private[queries] val splitCte = cte +
@@ -993,7 +1028,7 @@ object CdcQueries {
     bdrFilter,
     checkpointFilter, router, extendColumns, topicRouter,
     dispatchByTable, dispatchByTs, dispatchByIndexValue, dispatchByKeyGate,
-    caseSensitivity,
+    dispatchByNamedIndexGate, caseSensitivity,
     updateSplit, sinkSplitSort, compaction, txnSizes, batching, safeMode,
     causality,
     storageConsumer, storageSchemaDrift, storageLayout, sqlApply,

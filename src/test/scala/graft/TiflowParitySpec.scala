@@ -62,4 +62,32 @@ class TiflowParitySpec extends SparkSpec {
       Seq("name" -> col("name"), "pk" -> col("pk"))).as("p")).as[Long].head()
     assert(a == b) // XOR accumulation is commutative, like the reference
   }
+
+  test("named-index dispatcher hashes the resolved index's columns " +
+      "(index_value.go:68-81)") {
+    val df = Seq(("db_0", "tbl_1", 42L, "x")).toDF("s", "t", "pk", "name")
+    val idx = Map("primary" -> Seq("pk"), "uk_name" -> Seq("name", "pk"))
+    val byIndex = df.select(Routing.dispatchTiflowCompatIndex(16, col("s"),
+      col("t"), idx, "uk_name", c => col(c)).as("p")).as[Long].head()
+    // the reference hashes the SAME (name, value) write groups whether the
+    // columns come from the index registry or the handle-key scan
+    val explicit = df.select(Routing.dispatchTiflowCompat(16, col("s"),
+      col("t"), Seq("name" -> col("name"), "pk" -> col("pk"))).as("p"))
+      .as[Long].head()
+    assert(byIndex == explicit)
+    val expected = positionInertia(Seq(
+      "db_0tbl_1".getBytes("UTF-8"), "namex".getBytes("UTF-8"),
+      "pk42".getBytes("UTF-8"))) % 16
+    assert(byIndex == expected)
+  }
+
+  test("missing index fails the dispatch like ErrDispatcherFailed " +
+      "(index_value.go:68-75) — no silent fallback") {
+    val ex = intercept[IllegalArgumentException] {
+      Routing.dispatchByNamedIndex(6, Map("primary" -> Seq("pk")),
+        "no_such_index", c => col(c))
+    }
+    assert(ex.getMessage.contains("index not found"))
+    assert(ex.getMessage.contains("no_such_index"))
+  }
 }
