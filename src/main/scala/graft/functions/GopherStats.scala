@@ -178,13 +178,29 @@ object GopherStats {
       while (it.hasNext) {
         val e = it.next()
         if (e.getValue > bestCnt ||
-            (e.getValue == bestCnt && e.getKey.compareTo(bestGram) < 0)) {
+            (e.getValue == bestCnt && cpCompare(e.getKey, bestGram) < 0)) {
           bestCnt = e.getValue
           bestGram = e.getKey
         }
       }
       (bestCnt, codePoints(bestGram))
     }
+  }
+
+  /** Code-point (== UTF-8 byte) string order, matching the DuckDB twin's
+    * `ORDER BY g ASC`. `String.compareTo` is UTF-16 code-UNIT order, which
+    * ranks supplementary-plane chars (surrogate pairs, 0xD800-lead) BELOW
+    * chars in [U+E000,U+FFFF] — a tie between e.g. "𝒳" and "" would
+    * resolve differently per engine. */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(i)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+    }
+    Integer.compare(a.length - i, b.length - i)
   }
 
   /** Repetition signals: (n_lines, dup_lines, chars_dup_lines, n_paras,

@@ -17,9 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * TextRuns lesson); these run as ONE static call inside whole-stage
  * codegen — the encode scan stays a single codegen span.
  *
- * Rendering matches Go `strconv.FormatFloat(v,'f',-1,32)` byte-for-byte
- * on the plain-decimal band: `Float.toString` yields the same shortest
- * round-trip digits, and the `.0` strip turns integral `2.0` into `2`.
+ * Rendering matches Go `strconv.FormatFloat(v,'f',-1,32)`:
+ * `Float.toString` yields the same shortest round-trip digits, the `.0`
+ * strip turns integral `2.0` into `2`, and exponent-notation output
+ * (|v| ≥ 1e7 or < 1e-3, where Java switches to `1.0E10` but Go 'f' mode
+ * never does) is expanded to plain decimal with the same digit string.
+ * Non-finite values raise — TiDB's ParseVectorFloat32 rejects NaN/Inf,
+ * so a non-finite element means corrupt input, not a renderable value.
  */
 object VectorCodec {
 
@@ -31,12 +35,52 @@ object VectorCodec {
     var i = 0
     while (i < n) {
       if (i > 0) sb.append(',')
-      val t = java.lang.Float.toString(arr.getFloat(i))
-      if (t.endsWith(".0")) sb.append(t, 0, t.length - 2) else sb.append(t)
+      val v = arr.getFloat(i)
+      if (java.lang.Float.isNaN(v) || java.lang.Float.isInfinite(v))
+        throw new IllegalArgumentException(
+          s"non-finite vector element $v: TiDB VectorFloat32 rejects NaN/Inf")
+      sb.append(plainDecimal(java.lang.Float.toString(v)))
       i += 1
     }
     sb.append(']')
     UTF8String.fromString(sb.toString)
+  }
+
+  /** Expand Java's `d.dddE±x` scientific form to the plain-decimal string
+    * Go 'f' mode emits, keeping the digit string; in-band forms just get
+    * the `.0` strip. */
+  private def plainDecimal(t: String): String = {
+    val e = t.indexOf('E')
+    if (e < 0)
+      return if (t.endsWith(".0")) t.substring(0, t.length - 2) else t
+    val neg = t.charAt(0) == '-'
+    val m = if (neg) t.substring(1, e) else t.substring(0, e)
+    val exp = Integer.parseInt(t.substring(e + 1))
+    val dot = m.indexOf('.') // Java always emits one digit before the dot
+    val digits = m.substring(0, dot) + m.substring(dot + 1)
+    val pointPos = dot + exp // digits before the decimal point
+    val sb = new java.lang.StringBuilder(if (neg) "-" else "")
+    if (pointPos <= 0) {
+      sb.append("0.")
+      var k = pointPos
+      while (k < 0) { sb.append('0'); k += 1 }
+      sb.append(digits)
+    } else if (pointPos >= digits.length) {
+      sb.append(digits)
+      var k = digits.length
+      while (k < pointPos) { sb.append('0'); k += 1 }
+    } else {
+      sb.append(digits, 0, pointPos).append('.')
+        .append(digits, pointPos, digits.length)
+    }
+    // the mandatory mantissa fraction digit ("1.0E-7") leaves a trailing
+    // zero after expansion — strip it (Go's shortest form has none)
+    var end = sb.length
+    if (sb.indexOf(".") >= 0) {
+      while (end > 1 && sb.charAt(end - 1) == '0') end -= 1
+      if (sb.charAt(end - 1) == '.') end -= 1
+    }
+    sb.substring(0, end)
   }
 
   /** Parse `[e1,e2,...]` back to float32s; `[]` → empty; malformed → null
@@ -51,8 +95,13 @@ object VectorCodec {
     val out = new Array[Any](parts.length)
     var i = 0
     while (i < parts.length) {
-      try out(i) = java.lang.Float.parseFloat(parts(i).trim)
-      catch { case _: NumberFormatException => return null }
+      val v =
+        try java.lang.Float.parseFloat(parts(i).trim)
+        catch { case _: NumberFormatException => return null }
+      // ParseVectorFloat32 rejects NaN/Inf (Java parseFloat accepts them)
+      if (java.lang.Float.isNaN(v) || java.lang.Float.isInfinite(v))
+        return null
+      out(i) = v
       i += 1
     }
     new GenericArrayData(out)

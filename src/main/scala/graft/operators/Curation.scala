@@ -325,13 +325,16 @@ object Curation {
    * its boilerplate lines, preserving the original line order. A line
    * repeated WITHIN one document does not count toward the threshold.
    *
-   * Scale shape (100 TB): lines key by an in-row 60-bit hash (the line
-   * strings never shuffle for the frequency count) — one
-   * partial-aggregated exchange of distinct (hash, doc) pairs builds
-   * the frequency table, the `≥ minDocs` filter shrinks it to the small
-   * boilerplate set (AQE broadcasts it back), and the rebuild is one
-   * shuffle on doc id with per-doc bounded state. Returns
-   * (idCol, clean_text, n_removed, n_lines).
+   * Scale shape (100 TB): lines key by a 120-bit in-row hash pair (two
+   * independently-seeded 60-bit portable hashes — the line strings never
+   * shuffle for the frequency count; a single 60-bit key would pass the
+   * ~2^30 birthday bound at 100 TB and silently delete an innocent
+   * colliding line corpus-wide) — one partial-aggregated exchange of
+   * distinct (hash-pair, doc) tuples builds the frequency table, the
+   * `≥ minDocs` filter shrinks it to the small boilerplate set (AQE
+   * broadcasts it back), and the rebuild is one shuffle on doc id with
+   * per-doc bounded state. Returns (idCol, clean_text, n_removed,
+   * n_lines).
    */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int): DataFrame = {
@@ -339,11 +342,13 @@ object Curation {
     val lines = df.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("lh", Hashing.portableLong(col("line")))
-    val bp = lines.select(col(idCol), col("lh")).distinct()
-      .groupBy("lh").agg(count(lit(1)).as("n_docs"))
+      .withColumn("lh2", Hashing.seeded(col("line"), lit(1)))
+    val bp = lines.select(col(idCol), col("lh"), col("lh2")).distinct()
+      .groupBy("lh", "lh2").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .select("lh")
-    lines.join(broadcast(bp.withColumn("is_bp", lit(true))), Seq("lh"), "left")
+      .select("lh", "lh2")
+    lines.join(broadcast(bp.withColumn("is_bp", lit(true))),
+        Seq("lh", "lh2"), "left")
       .groupBy(col(idCol))
       .agg(
         array_join(transform(

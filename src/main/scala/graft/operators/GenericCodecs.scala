@@ -705,16 +705,24 @@ object GenericCodecs {
 
   /** Avro name sanitization (common/helper.go SanitizeName:342-371, per
     * the Avro spec's [A-Za-z_][A-Za-z0-9_]* names): invalid chars become
-    * `_`; a leading digit keeps itself after the replacement char. */
+    * `_`; a leading digit keeps itself after the replacement char. The Go
+    * loop ranges over RUNES, so iterate code points — a supplementary-plane
+    * char (one rune, two UTF-16 units) must map to exactly ONE `_`. */
   def avroSanitizeName(name: String): String = {
     val sb = new StringBuilder
-    name.zipWithIndex.foreach { case (c, i) =>
-      val validFirst = c.isLetter && c <= 'z' || c == '_'
-      val valid = validFirst || (c >= '0' && c <= '9')
-      if (i == 0 && !validFirst) {
-        sb += '_'; if (c >= '0' && c <= '9') sb += c
+    var first = true
+    var i = 0
+    while (i < name.length) {
+      val cp = name.codePointAt(i)
+      val validFirst =
+        (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') || cp == '_'
+      val valid = validFirst || (cp >= '0' && cp <= '9')
+      if (first && !validFirst) {
+        sb += '_'; if (cp >= '0' && cp <= '9') sb += cp.toChar
       } else if (!valid) sb += '_'
-      else sb += c
+      else sb.appendAll(Character.toChars(cp))
+      first = false
+      i += Character.charCount(cp)
     }
     sb.result()
   }

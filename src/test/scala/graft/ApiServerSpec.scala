@@ -16,13 +16,8 @@ class ApiServerSpec extends SparkSpec {
   private val http = HttpClient.newHttpClient()
   private val mapper = new ObjectMapper()
 
-  private case class Ev(seq: Long, op: String, commit_ts: Long, start_ts: Long,
-                        source_id: Int, schema_name: String, table_name: String,
-                        pk: Long, pk_after: Long, val_before: Option[Double],
-                        val_after: Option[Double], etype: String)
-
-  private def ev(seq: Long, pk: Long, v: Double): Ev =
-    Ev(seq, "I", 100 + seq, 99 + seq, 0, "db", "t", pk, pk, None, Some(v), "e")
+  private def ev(seq: Long, pk: Long, v: Double): StreamEv =
+    StreamEv(seq, "I", 100 + seq, 99 + seq, 0, "db", "t", pk, pk, None, Some(v), "e")
 
   private def get(base: String, path: String): (Int, String) = {
     val r = http.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
@@ -46,7 +41,7 @@ class ApiServerSpec extends SparkSpec {
   test("full changefeed lifecycle over HTTP") {
     val dir = Files.createTempDirectory("graft_api").toString
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Ev]
+    val mem = MemoryStream[StreamEv]
     mem.addData(ev(1, 1, 10), ev(2, 2, 20))
 
     val srv = new ApiServer(spark, new ChangefeedManager(spark),

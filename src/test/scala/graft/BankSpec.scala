@@ -14,30 +14,25 @@ import graft.streaming.{Changefeed, ChangefeedSpec, Sinks}
 class BankSpec extends SparkSpec {
   import spark.implicits._
 
-  private case class Ev(seq: Long, op: String, commit_ts: Long, start_ts: Long,
-                        source_id: Int, schema_name: String, table_name: String,
-                        pk: Long, pk_after: Long, val_before: Option[Double],
-                        val_after: Option[Double], etype: String)
-
   private val Accounts = 8
   private val Initial = 100.0
 
-  private def insert(seq: Long, pk: Long): Ev =
-    Ev(seq, "I", 1000, 999, 0, "bank", "accounts", pk, pk, None, Some(Initial), "txn")
+  private def insert(seq: Long, pk: Long): StreamEv =
+    StreamEv(seq, "I", 1000, 999, 0, "bank", "accounts", pk, pk, None, Some(Initial), "txn")
 
   /** One balanced transfer: two updates sharing a commit ts. */
   private def transfer(seq: Long, ts: Long, from: Long, to: Long, amt: Double,
-                       bal: Map[Long, Double]): Seq[Ev] = Seq(
-    Ev(seq, "U", ts, ts - 1, 0, "bank", "accounts", from, from,
+                       bal: Map[Long, Double]): Seq[StreamEv] = Seq(
+    StreamEv(seq, "U", ts, ts - 1, 0, "bank", "accounts", from, from,
       Some(bal(from)), Some(bal(from) - amt), "txn"),
-    Ev(seq + 1, "U", ts, ts - 1, 0, "bank", "accounts", to, to,
+    StreamEv(seq + 1, "U", ts, ts - 1, 0, "bank", "accounts", to, to,
       Some(bal(to)), Some(bal(to) + amt), "txn"))
 
   test("total balance invariant holds after every microbatch") {
     val dir = Files.createTempDirectory("graft_bank").toString
     val spec = ChangefeedSpec(id = "bank", checkpointDir = s"$dir/ckpt")
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Ev]
+    val mem = MemoryStream[StreamEv]
 
     def drainAndCheck(): Unit = {
       val q = Changefeed.start(spark, mem.toDF(), spec)(

@@ -129,6 +129,10 @@ class GenericCodecSpec extends SparkSpec {
     assert(avroColumnSchema(s("bit")).contains("\"length\":\"1\""))
     // record/field names sanitize to the Avro alphabet (helper.go:342-371)
     assert(GenericCodecs.avroSanitizeName("2col-a.b") === "_2col_a_b")
+    // Go ranges over RUNES: one supplementary-plane char (two UTF-16
+    // units) maps to exactly ONE underscore, leading or not
+    assert(GenericCodecs.avroSanitizeName("a𝒳b") === "a_b")
+    assert(GenericCodecs.avroSanitizeName("𝒳x") === "_x")
     assert(GenericCodecs.avroRecordSchema("d-b", "1t", Seq(s("int")))
       .contains("\"name\":\"_1t\",\"namespace\":\"d_b\""))
     // invalid modes reject like the url-parameter validation

@@ -65,6 +65,12 @@ class GopherStatsSpec extends SparkSpec {
     // no grams at all
     val e = repetition("one")
     assert(e("top2_cnt") === 0 && e("top2_len") === 0 && e("dup5_chars") === 0)
+    // non-ASCII tie: "𝒳 a" (U+1D4B3, surrogate pair) vs " bb"
+    // both ×2. Code-point/UTF-8 order (the DuckDB twin's `ORDER BY g`):
+    // U+E000 < U+1D4B3 → " bb" wins, 4 code points. UTF-16
+    // code-unit order would pick "𝒳 a" (lead surrogate 0xD835 < 0xE000).
+    val nt = repetition("𝒳 a 𝒳 a  bb  bb")
+    assert(nt("top2_cnt") === 2 && nt("top2_len") === 4)
   }
 
   test("fail masks implement the Table A1 thresholds exactly") {

@@ -10,19 +10,14 @@ import graft.streaming.{ChangefeedManager, ChangefeedSpec, Sinks}
 class ManagerSpec extends SparkSpec {
   import spark.implicits._
 
-  private case class Ev(seq: Long, op: String, commit_ts: Long, start_ts: Long,
-                        source_id: Int, schema_name: String, table_name: String,
-                        pk: Long, pk_after: Long, val_before: Option[Double],
-                        val_after: Option[Double], etype: String)
-
-  private def ev(seq: Long, pk: Long, v: Double): Ev =
-    Ev(seq, "I", 100 + seq, 99 + seq, 0, "db", "t", pk, pk, None, Some(v), "e")
+  private def ev(seq: Long, pk: Long, v: Double): StreamEv =
+    StreamEv(seq, "I", 100 + seq, 99 + seq, 0, "db", "t", pk, pk, None, Some(v), "e")
 
   test("create/pause/resume/delete with checkpointed continuation") {
     val dir = Files.createTempDirectory("graft_mgr").toString
     val mgr = new ChangefeedManager(spark)
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Ev]
+    val mem = MemoryStream[StreamEv]
 
     mem.addData(ev(1, 1, 10), ev(2, 2, 20))
     mgr.create(ChangefeedSpec(id = "cf1", checkpointDir = s"$dir/ckpt"),
@@ -50,17 +45,17 @@ class ManagerSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_mgr2").toString
     val mgr = new ChangefeedManager(spark)
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Ev]
+    val mem = MemoryStream[StreamEv]
     var bound: org.apache.spark.sql.DataFrame = null
 
-    def ddl(seq: Long, ts: Long, sql: String): Ev =
-      Ev(seq, "G", ts, ts - 1, 0, "db", "t", 0, 0, None, None, sql)
+    def ddl(seq: Long, ts: Long, sql: String): StreamEv =
+      StreamEv(seq, "G", ts, ts - 1, 0, "db", "t", 0, 0, None, None, sql)
     mem.addData(
       ddl(0, 100,
         "CREATE TABLE db.t (pk BIGINT NOT NULL PRIMARY KEY, val DOUBLE)"),
       ev(1, 1, 10), // commit_ts 101 → binds version 1
       ddl(5, 150, "ALTER TABLE db.t ADD COLUMN c2 VARCHAR(16)"),
-      Ev(6, "I", 151, 150, 0, "db", "t", 7, 7, None, Some(70), "e"))
+      StreamEv(6, "I", 151, 150, 0, "db", "t", 7, 7, None, Some(70), "e"))
 
     mgr.create(ChangefeedSpec(id = "cf2", checkpointDir = s"$dir/ckpt",
       metricsDir = Some(s"$dir/m"), textDdlRegistryDir = Some(s"$dir/reg")),

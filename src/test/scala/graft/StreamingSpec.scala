@@ -18,14 +18,9 @@ final case class SessEv(user: Long, tsUs: Long)
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  private case class Ev(seq: Long, op: String, commit_ts: Long, start_ts: Long,
-                        source_id: Int, schema_name: String, table_name: String,
-                        pk: Long, pk_after: Long, val_before: Option[Double],
-                        val_after: Option[Double], etype: String)
-
   private def ev(seq: Long, op: String, pk: Long, v: Double,
-                 pkAfter: Option[Long] = None): Ev =
-    Ev(seq, op, 100 + seq, 99 + seq, 0, "db", "t", pk,
+                 pkAfter: Option[Long] = None): StreamEv =
+    StreamEv(seq, op, 100 + seq, 99 + seq, 0, "db", "t", pk,
       pkAfter.getOrElse(pk), Some(v - 1), if (op == "D") None else Some(v), "e")
 
   test("changefeed end-to-end: stream compacts and merges into state table") {
@@ -33,7 +28,7 @@ class StreamingSpec extends SparkSpec {
     val spec = ChangefeedSpec(id = "cf-test", checkpointDir = s"$dir/ckpt")
 
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Ev]
+    val mem = MemoryStream[StreamEv]
     // batch 1: inserts + one update
     mem.addData(ev(1, "I", 1, 10), ev(2, "I", 2, 20), ev(3, "U", 1, 11))
     val q1 = Changefeed.start(spark, mem.toDF(), spec)(
@@ -64,7 +59,7 @@ class StreamingSpec extends SparkSpec {
       checkpointDir = s"$dir/ckpt")
 
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Ev]
+    val mem = MemoryStream[StreamEv]
     mem.addData(ev(1, "I", 1, 10), ev(2, "D", 1, 10), ev(3, "I", 2, 20))
     var seen: org.apache.spark.sql.DataFrame = null
     val q = Changefeed.start(spark, mem.toDF(), spec) { (b, _) => seen = b.cache() }

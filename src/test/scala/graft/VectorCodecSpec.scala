@@ -97,6 +97,33 @@ class VectorCodecSpec extends SparkSpec {
     assert(rt.filter(!(col("r") <=> col("v"))).count() === 0L)
   }
 
+  test("render never uses exponent notation; non-finite raises / parses NULL") {
+    // Go FormatFloat(v,'f',-1,32) is exponent-free at every magnitude;
+    // Java switches to sci notation at |v| >= 1e7 or < 1e-3 — expanded
+    def render(v: Float): String = Seq(Seq(v)).toDF("v")
+      .select(graft.functions.VectorCodec.vecToString(col("v")))
+      .as[String].head()
+    assert(render(1e10f) === "[10000000000]")
+    assert(render(-2.5e8f) === "[-250000000]")
+    assert(render(1.2345678e-5f) === "[0.000012345678]")
+    assert(render(1e-7f) === "[0.0000001]")
+    assert(render(9.999999e6f) === "[9999999]")
+    // TiDB ParseVectorFloat32 rejects NaN/Inf: render raises (wrapped or
+    // not, depending on whether the plan constant-folds), parse → NULL
+    for (v <- Seq(Float.NaN, Float.PositiveInfinity)) {
+      val e = intercept[Exception] { render(v) }
+      def chain(t: Throwable): Seq[Throwable] =
+        t +: Option(t.getCause).toSeq.flatMap(chain)
+      assert(chain(e).exists(_.getMessage != null) &&
+        chain(e).exists(t => Option(t.getMessage).exists(
+          _.contains("non-finite vector element"))), e.toString)
+    }
+    val bad = spark.sql(
+      "SELECT graft_vec_parse('[NaN]'), graft_vec_parse('[Infinity]')")
+      .as[(Option[Seq[Float]], Option[Seq[Float]])].head()
+    assert(bad === ((None, None)))
+  }
+
   // ---- only-output-updated-columns ------------------------------------
 
   test("only-output-updated-columns emits exactly the changed old columns") {
