@@ -212,8 +212,24 @@ object Bench100x {
     val shuffleWrite = BenchMetrics.install(spark.sparkContext).bytes
     def drain(): Unit = BenchMetrics.drain(spark.sparkContext)
 
-    val times = sel.map { case (name, mk) =>
+    // Clean-room discipline (r11: q85_ivf_index 199 s in-suite vs 73 s
+    // isolated, zero source diff): gates persist/localCheckpoint inside
+    // their plans and never unpersist — 40 entries of leftovers evict the
+    // storage pool and bill spill to whoever runs next. Sweep cached
+    // datasets AND leaked RDDs before each timed entry, EXCEPT the two
+    // probes that share q85_ivf_index's build (the one deliberate
+    // cross-entry cache — sweeping it would re-time the build twice).
+    val sharesIvfIndex = Set("q85_ivf_knob", "q103_semdedup_knob")
+    def cleanRoom(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc(); Thread.sleep(300); System.gc()
+    }
+
+    val times = sel.map { case (name, mk) =>
+      if (sharesIvfIndex(name)) { System.gc(); Thread.sleep(300); System.gc() }
+      else cleanRoom()
       drain(); val sh0 = shuffleWrite.get()
       val t0 = System.nanoTime()
       val rows = mk().count()

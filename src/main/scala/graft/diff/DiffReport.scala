@@ -1,0 +1,94 @@
+package graft.diff
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * sync_diff report assembly — the user-facing artifact of the diff run
+ * (reference sync_diff_inspector/report/report.go): per-table
+ * `TableResult` rows (struct-equal, data-equal, chunk add/delete
+ * totals, up/down row counts) and the `CommitSummary` roll-up
+ * (pass/failed/skipped table counts + the overall pass|fail verdict).
+ *
+ * Table classification (CommitSummary:175-187):
+ *   pass     — struct equal AND data equal;
+ *   skipped  — the table is missing on one side
+ *              (!AllTableExist(TableLack), table_diff.go:82-93);
+ *   fail     — everything else (struct or data differs, both sides
+ *              present).
+ * The overall result (refreshResultLocked:445-459, no-error path) is
+ * `fail` iff ANY both-sides-present table differs in struct or data —
+ * lack-tables alone leave it `pass` (they surface through skipped_num,
+ * exactly like SetTableDataCheckResult:349-353 which only flips Fail
+ * under AllTableExist). The `error` state (MeetError) is a live-SQL
+ * failure channel with no counterpart in a deterministic replay.
+ *
+ * Per-table data columns mirror getDiffRows:128-157: the check column is
+ * 'skipped' for lack-tables else 'succeed', struct equality renders as
+ * a bool, and the data diff renders as `+rowsAdd/-rowsDelete` summed
+ * over the table's failing chunks (ChunkResult accumulation,
+ * SetTableDataCheckResult:331-355 — a `different` row counts in BOTH,
+ * per compareRows' update branch diff.go:762-768).
+ *
+ * Scale shape (100 TB): inputs are per-CHUNK facts (control-plane-sized
+ * — thousands of chunks, not rows); the assembly is one partial-agg
+ * groupBy on the table key plus one broadcast of the one-row summary.
+ */
+object DiffReport {
+
+  /** table_diff.go:82-93. */
+  val AllTableExistFlag = 0
+  val DownstreamTableLackFlag = -1
+  val UpstreamTableLackFlag = 1
+
+  /**
+   * Per-table TableResult rows. `structFacts`: one row per table —
+   * (schema_name, table_name, struct_equal: boolean, data_skip: boolean,
+   * table_lack: int). `chunkFacts`: one row per compared chunk —
+   * (schema_name, table_name, chunk_id, chunk_equal: boolean, rows_add,
+   * rows_delete, up_count, down_count); tables whose data check never
+   * ran (struct mismatch with skip) simply have no chunk rows and keep
+   * DataEqual = true like the initialized TableResult (report.go:307-315).
+   */
+  def tableResults(structFacts: DataFrame, chunkFacts: DataFrame): DataFrame = {
+    val keys = Seq("schema_name", "table_name")
+    val agg = chunkFacts.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("chunks_compared"),
+      sum(when(col("chunk_equal"), 0L).otherwise(1L)).as("failed_chunks"),
+      sum("rows_add").as("rows_add"),
+      sum("rows_delete").as("rows_delete"),
+      sum("up_count").as("up_count"),
+      sum("down_count").as("down_count"))
+    structFacts.join(agg, keys, "left")
+      .na.fill(0L, Seq("chunks_compared", "failed_chunks", "rows_add",
+        "rows_delete", "up_count", "down_count"))
+      .withColumn("data_equal", col("failed_chunks") === 0L)
+      .withColumn("state",
+        when(col("struct_equal") && col("data_equal"), "pass")
+          .when(col("table_lack") =!= AllTableExistFlag, "skipped")
+          .otherwise("fail"))
+      .withColumn("check_status",
+        when(col("table_lack") =!= AllTableExistFlag, "skipped")
+          .otherwise("succeed"))
+      .withColumn("data_diff", concat(lit("+"), col("rows_add"),
+        lit("/-"), col("rows_delete")))
+  }
+
+  /** CommitSummary + refreshResult: appends result / pass_num /
+    * failed_num / skipped_num (identical on every row — the one-row
+    * summary broadcasts back onto the table rows). */
+  def withSummary(results: DataFrame): DataFrame = {
+    val summary = results.agg(
+      sum(when(col("state") === "pass", 1L).otherwise(0L)).as("pass_num"),
+      sum(when(col("state") === "fail", 1L).otherwise(0L)).as("failed_num"),
+      sum(when(col("state") === "skipped", 1L).otherwise(0L))
+        .as("skipped_num"),
+      max(when(col("table_lack") === AllTableExistFlag &&
+          !(col("struct_equal") && col("data_equal")), 1L).otherwise(0L))
+        .as("any_fail"))
+      .withColumn("result",
+        when(col("any_fail") === 1L, "fail").otherwise("pass"))
+      .drop("any_fail")
+    results.crossJoin(broadcast(summary))
+  }
+}

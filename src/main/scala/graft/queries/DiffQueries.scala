@@ -434,7 +434,256 @@ object DiffQueries {
     counts.crossJoin(broadcast(sides))
   }
 
+  // ---- sync_diff report + checkpoint resume (report.go, checkpoints.go)
+
+  /** Shared chunk-compare facts for q240/q241: per-chunk
+    * (chunk_id, eq, up_count, down_count) from both sides' 32-chunk
+    * (count, checksum) digests over SOURCE-side width bounds — the
+    * reference's one-side split planner shares boundaries the same way. */
+  private def chunkCmpFacts(spark: SparkSession, dir: String)
+      : (DataFrame, Long, Long) = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val (lo, hi) = ChunkDiff.widthBounds(li, "l_orderkey")
+    def chk(df: DataFrame) = df
+      .withColumn("row_digest", ChunkDiff.rowDigest(canonical(df)))
+      .withColumn("chunk_id",
+        ChunkDiff.chunkByWidth(col("l_orderkey"), lo, hi, 32))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("cnt"), expr("bit_xor(row_digest)").as("cs"))
+    val s = chk(li)
+    val t = chk(perturbed(spark, dir))
+    val cmp = s.as("s").join(t.as("t"),
+        col("s.chunk_id") === col("t.chunk_id"), "full_outer")
+      .select(
+        coalesce(col("s.chunk_id"), col("t.chunk_id")).as("chunk_id"),
+        (col("s.cnt").isNotNull && col("t.cnt").isNotNull &&
+          col("s.cnt") === col("t.cnt") && col("s.cs") === col("t.cs"))
+          .as("chunk_equal"),
+        coalesce(col("s.cnt"), lit(0L)).as("up_count"),
+        coalesce(col("t.cnt"), lit(0L)).as("down_count"))
+    (cmp, lo, hi)
+  }
+
+  /** DuckDB twin of [[chunkCmpFacts]] (appended after `perturbedCte`). */
+  private val cmpCte =
+    s""", b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem),
+       |schk AS (
+       |  SELECT chunk_id, count(*) AS cnt, bit_xor(d) AS cs FROM (
+       |    SELECT CAST(least(31, ((l_orderkey - b.lo) * 32) // (b.hi - b.lo + 1)) AS INT) AS chunk_id,
+       |      ${oracleDigest(oracleCanonical)} AS d
+       |    FROM lineitem, b) GROUP BY chunk_id
+       |), tchk AS (
+       |  SELECT chunk_id, count(*) AS cnt, bit_xor(d) AS cs FROM (
+       |    SELECT CAST(least(31, ((l_orderkey - b.lo) * 32) // (b.hi - b.lo + 1)) AS INT) AS chunk_id,
+       |      ${oracleDigest(oracleCanonical)} AS d
+       |    FROM perturbed, b) GROUP BY chunk_id
+       |), cmp AS (
+       |  SELECT coalesce(s.chunk_id, t.chunk_id) AS chunk_id,
+       |    CASE WHEN s.cnt IS NOT NULL AND t.cnt IS NOT NULL
+       |              AND s.cnt = t.cnt AND s.cs = t.cs THEN 1 ELSE 0 END AS eq,
+       |    coalesce(s.cnt, 0) AS up_cnt, coalesce(t.cnt, 0) AS down_cnt
+       |  FROM schk s FULL OUTER JOIN tchk t ON s.chunk_id = t.chunk_id
+       |)""".stripMargin
+
+  /**
+   * q240 — the sync_diff REPORT artifact ([[graft.diff.DiffReport]],
+   * reference report.go): four tables through the real assembly — an
+   * equal pair (all 32 chunks match), the perturbed pair (failing chunks
+   * + `+rowsAdd/-rowsDelete` totals where a `different` row counts in
+   * both, compareRows:762-768), a struct-mismatched pair (data check
+   * skipped, still FAILS the run), and a downstream-missing table
+   * (counts as SKIPPED, rowsAdd = its full upstream count per
+   * diff.go:460-464, and does NOT flip the overall verdict). Pins every
+   * per-table row of the summary table plus the CommitSummary counts and
+   * the pass|fail result on each row.
+   */
+  val diffReport = GateQuery(
+    "q240_diff_report",
+    Some(perturbedCte + cmpCte +
+      s""", drows AS (
+         |  SELECT chunk_id,
+         |    CAST(sum(CASE WHEN diff_type <> 'extra' THEN 1 ELSE 0 END) AS BIGINT) AS ra,
+         |    CAST(sum(CASE WHEN diff_type <> 'missing' THEN 1 ELSE 0 END) AS BIGINT) AS rd
+         |  FROM (
+         |    SELECT CAST(least(31, ((coalesce(s.l_orderkey, t.l_orderkey) - b.lo) * 32)
+         |             // (b.hi - b.lo + 1)) AS INT) AS chunk_id,
+         |      CASE WHEN t_digest IS NULL THEN 'missing'
+         |           WHEN s_digest IS NULL THEN 'extra'
+         |           WHEN s_digest <> t_digest THEN 'different' END AS diff_type
+         |    FROM (SELECT l_orderkey, l_linenumber,
+         |            ${oracleDigest(oracleCanonical)} AS s_digest FROM lineitem) s
+         |      FULL OUTER JOIN (SELECT l_orderkey, l_linenumber,
+         |            ${oracleDigest(oracleCanonical)} AS t_digest FROM perturbed) t
+         |        ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+         |      CROSS JOIN b
+         |  ) WHERE diff_type IS NOT NULL GROUP BY chunk_id
+         |), chunkfacts AS (
+         |  SELECT 'sf' AS sn, 'lineitem_ok' AS tn, chunk_id, 1 AS eq,
+         |    CAST(0 AS BIGINT) AS ra, CAST(0 AS BIGINT) AS rd,
+         |    cnt AS up_cnt, cnt AS down_cnt
+         |  FROM schk
+         |  UNION ALL
+         |  SELECT 'sf', 'lineitem_bad', c.chunk_id, c.eq,
+         |    coalesce(d.ra, 0), coalesce(d.rd, 0), c.up_cnt, c.down_cnt
+         |  FROM cmp c LEFT JOIN drows d USING (chunk_id)
+         |  UNION ALL
+         |  SELECT 'sf', 'nation_gone', 0, 0,
+         |    (SELECT count(*) FROM nation), 0,
+         |    (SELECT count(*) FROM nation), 0
+         |), structf AS (
+         |  SELECT * FROM (VALUES
+         |    ('sf', 'lineitem_ok', 1, 0, 0),
+         |    ('sf', 'lineitem_bad', 1, 0, 0),
+         |    ('sf', 'orders_badschema', 0, 1, 0),
+         |    ('sf', 'nation_gone', 0, 1, -1)) AS v(sn, tn, seq_, skip_, lack_)
+         |), tbl AS (
+         |  SELECT f.sn AS schema_name, f.tn AS table_name,
+         |    CAST(f.seq_ AS INT) AS struct_equal,
+         |    CASE WHEN coalesce(a.failed, 0) = 0 THEN 1 ELSE 0 END AS data_equal,
+         |    f.lack_, CAST(coalesce(a.nchunks, 0) AS BIGINT) AS chunks_compared,
+         |    CAST(coalesce(a.failed, 0) AS BIGINT) AS failed_chunks,
+         |    CAST(coalesce(a.ra, 0) AS BIGINT) AS rows_add,
+         |    CAST(coalesce(a.rd, 0) AS BIGINT) AS rows_delete,
+         |    CAST(coalesce(a.up, 0) AS BIGINT) AS up_count,
+         |    CAST(coalesce(a.down, 0) AS BIGINT) AS down_count
+         |  FROM structf f LEFT JOIN (
+         |    SELECT sn, tn, count(*) AS nchunks, sum(1 - eq) AS failed,
+         |      sum(ra) AS ra, sum(rd) AS rd, sum(up_cnt) AS up, sum(down_cnt) AS down
+         |    FROM chunkfacts GROUP BY sn, tn) a
+         |    ON a.sn = f.sn AND a.tn = f.tn
+         |), tbl2 AS (
+         |  SELECT *, CASE WHEN struct_equal = 1 AND data_equal = 1 THEN 'pass'
+         |                 WHEN lack_ <> 0 THEN 'skipped'
+         |                 ELSE 'fail' END AS state,
+         |    CASE WHEN lack_ <> 0 THEN 'skipped' ELSE 'succeed' END AS check_status,
+         |    '+' || rows_add || '/-' || rows_delete AS data_diff
+         |  FROM tbl
+         |), summ AS (
+         |  SELECT CAST(sum(CASE WHEN state = 'pass' THEN 1 ELSE 0 END) AS BIGINT) AS pass_num,
+         |    CAST(sum(CASE WHEN state = 'fail' THEN 1 ELSE 0 END) AS BIGINT) AS failed_num,
+         |    CAST(sum(CASE WHEN state = 'skipped' THEN 1 ELSE 0 END) AS BIGINT) AS skipped_num,
+         |    CASE WHEN max(CASE WHEN lack_ = 0 AND (struct_equal = 0 OR data_equal = 0)
+         |                       THEN 1 ELSE 0 END) = 1
+         |         THEN 'fail' ELSE 'pass' END AS result
+         |  FROM tbl2
+         |)
+         |SELECT schema_name, table_name, state, check_status, struct_equal,
+         |  data_equal, chunks_compared, failed_chunks, rows_add, rows_delete,
+         |  data_diff, up_count, down_count, result, pass_num, failed_num,
+         |  skipped_num
+         |FROM tbl2 CROSS JOIN summ""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.diff.DiffReport
+    val (cmp, lo, hi) = chunkCmpFacts(spark, dir)
+    val drows = classifiedDiff(spark, dir)
+      .withColumn("chunk_id",
+        ChunkDiff.chunkByWidth(col("l_orderkey"), lo, hi, 32))
+      .groupBy("chunk_id").agg(
+        sum(when(col("diff_type") =!= "extra", 1L).otherwise(0L)).as("ra"),
+        sum(when(col("diff_type") =!= "missing", 1L).otherwise(0L)).as("rd"))
+    val nationCnt = Tables.load(spark, dir, "nation").count()
+    val okFacts = cmp.select(lit("sf").as("schema_name"),
+      lit("lineitem_ok").as("table_name"), col("chunk_id"),
+      lit(true).as("chunk_equal"), lit(0L).as("rows_add"),
+      lit(0L).as("rows_delete"), col("up_count"), col("up_count").as("down_count"))
+    val badFacts = cmp.join(drows, Seq("chunk_id"), "left")
+      .select(lit("sf").as("schema_name"), lit("lineitem_bad").as("table_name"),
+        col("chunk_id"), col("chunk_equal"),
+        coalesce(col("ra"), lit(0L)).as("rows_add"),
+        coalesce(col("rd"), lit(0L)).as("rows_delete"),
+        col("up_count"), col("down_count"))
+    val lackFacts = Seq(("sf", "nation_gone", 0, false, nationCnt, 0L,
+        nationCnt, 0L))
+      .toDF("schema_name", "table_name", "chunk_id", "chunk_equal",
+        "rows_add", "rows_delete", "up_count", "down_count")
+    val structFacts = Seq(
+      ("sf", "lineitem_ok", true, false, DiffReport.AllTableExistFlag),
+      ("sf", "lineitem_bad", true, false, DiffReport.AllTableExistFlag),
+      ("sf", "orders_badschema", false, true, DiffReport.AllTableExistFlag),
+      ("sf", "nation_gone", false, true, DiffReport.DownstreamTableLackFlag))
+      .toDF("schema_name", "table_name", "struct_equal", "data_skip",
+        "table_lack")
+    DiffReport.withSummary(DiffReport.tableResults(structFacts,
+        okFacts.unionByName(badFacts).unionByName(lackFacts)))
+      .select(col("schema_name"), col("table_name"), col("state"),
+        col("check_status"), col("struct_equal").cast("int"),
+        col("data_equal").cast("int"), col("chunks_compared"),
+        col("failed_chunks"), col("rows_add"), col("rows_delete"),
+        col("data_diff"), col("up_count"), col("down_count"),
+        col("result"), col("pass_num"), col("failed_num"),
+        col("skipped_num"))
+  }
+
+  /**
+   * q241 — chunk-checkpoint RESUME ([[graft.diff.DiffCheckpoint]],
+   * reference checkpoints.go): run 1 completes 28 of 32 chunks in a
+   * scrambled order (mix32 of the chunk id — workers finish out of
+   * order); the checkpoint saves only the last chunk of the maximal
+   * CONTIGUOUS prefix (the heap-pop fold), the resumed run re-checksums
+   * exactly the chunks past it, and the stitched per-chunk results must
+   * XOR-match the one-shot diff. Pins both runs' processed counts, the
+   * saved id, the deliberately re-done (wasted) chunk count, and the
+   * stitched-vs-one-shot digest equality.
+   */
+  private val CkptRun1 = 28
+
+  val diffCheckpointResume = GateQuery(
+    "q241_diff_checkpoint_resume",
+    Some(perturbedCte + cmpCte +
+      s""", withh AS (
+         |  SELECT chunk_id, eq, up_cnt, down_cnt,
+         |    ${graft.core.Hashing.Sql.portableLong(
+               "chunk_id || '|' || eq || '|' || up_cnt || '|' || down_cnt")} AS h
+         |  FROM cmp
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY ${graft.core.Hashing.Sql
+               .mix32("chunk_id")}, chunk_id) AS rk
+         |  FROM withh
+         |), saved AS (
+         |  SELECT coalesce((SELECT min(chunk_id) FROM ranked WHERE rk > $CkptRun1), 32) - 1 AS sid
+         |), merged AS (
+         |  SELECT h FROM ranked, saved
+         |  WHERE (rk <= $CkptRun1 AND chunk_id <= sid) OR chunk_id > sid
+         |)
+         |SELECT CAST(32 AS BIGINT) AS n_chunks,
+         |  CAST($CkptRun1 AS BIGINT) AS run1_processed,
+         |  CAST(s.sid AS BIGINT) AS saved_chunk,
+         |  CAST(31 - s.sid AS BIGINT) AS run2_processed,
+         |  CAST($CkptRun1 - (s.sid + 1) AS BIGINT) AS wasted_rechecks,
+         |  (SELECT CAST(bit_xor(h) AS BIGINT) FROM merged) AS merged_xor,
+         |  (SELECT CAST(bit_xor(h) AS BIGINT) FROM withh) AS oneshot_xor,
+         |  CASE WHEN (SELECT bit_xor(h) FROM merged) =
+         |            (SELECT bit_xor(h) FROM withh)
+         |       THEN 1 ELSE 0 END AS stitched_equal
+         |FROM saved s""".stripMargin)) { (spark, dir) =>
+    import graft.diff.DiffCheckpoint
+    val (cmp0, _, _) = chunkCmpFacts(spark, dir)
+    val cmp = cmp0.withColumn("eq", col("chunk_equal").cast("int"))
+      .withColumn("h", graft.core.Hashing.portableLong(concat_ws("|",
+        col("chunk_id"), col("eq"), col("up_count"), col("down_count"))))
+      .persist()
+    cmp.count()
+    // run 1: first 20 completions in scrambled (worker-finish) order
+    val completed = cmp
+      .withColumn("m", graft.core.Hashing.mix32(col("chunk_id").cast("long")))
+      .orderBy("m", "chunk_id").limit(CkptRun1)
+    val saved = DiffCheckpoint.savedNodeId(completed, "chunk_id", 32)
+    // run 2: resume past the checkpoint; stitch with run 1's prefix
+    val run2 = DiffCheckpoint.resumeFrom(cmp, "chunk_id", saved)
+    val merged = completed.filter(col("chunk_id") <= saved)
+      .select("h").unionByName(run2.select("h"))
+    val mergedXor = merged.agg(expr("bit_xor(h)")).head().getLong(0)
+    val oneshotXor = cmp.agg(expr("bit_xor(h)")).head().getLong(0)
+    cmp.unpersist()
+    import spark.implicits._
+    Seq((32L, CkptRun1.toLong, saved, 31L - saved,
+        CkptRun1 - (saved + 1), mergedXor, oneshotXor,
+        if (mergedXor == oneshotXor) 1 else 0))
+      .toDF("n_chunks", "run1_processed", "saved_chunk", "run2_processed",
+        "wasted_rechecks", "merged_xor", "oneshot_xor", "stitched_equal")
+  }
+
   def all: Seq[GateQuery] =
     Seq(chunkChecksum, chunkChecksumComposite, rowDiff, fixSql, fixApply,
-      diffIgnoreColumns, diffRange)
+      diffIgnoreColumns, diffRange, diffReport, diffCheckpointResume)
 }

@@ -955,9 +955,144 @@ object StreamTwinQueries {
       .agg(count(lit(1)).as("n_kept"), expr("bit_xor(id)").as("xor_kept"))
   }
 
+  /**
+   * q239 — simple-protocol bootstrap send cadence
+   * ([[graft.streaming.Bootstrap]], reference bootstraper.go:36-150 +
+   * config sink.go:85-91): replay the per-table worker over a
+   * rate-shaped stream — tbl_0/tbl_1 at full rate (the msg-COUNT trigger
+   * trips between ticks), tbl_2/tbl_3 thinned 16× (only the INTERVAL
+   * trigger ever fires), and db_1.tbl_1 given periodic dead windows
+   * longer than max-inactive (GC removal → the next event re-registers
+   * the table and re-sends as NEW). The oracle replays the identical
+   * machine as a recursive CTE over the 5 s tick grid: epochs from the
+   * GC-gap rule, then per-tick state (lastSend, counted-rows base) with
+   * the Go condition order (time first). Send positions pin by count +
+   * sum + order-insensitive hash; the all-partition fan-out by
+   * n_msgs = n_sends × partitions.
+   */
+  private val BootIntervalMs = 60000L
+  private val BootCount = 40L
+  private val BootInactMs = 120000L
+
+  val bootstrapCadence = GateQuery(
+    "q239_bootstrap_cadence",
+    Some(cte.replace("WITH cdc", "WITH RECURSIVE cdc") +
+      s""", ev AS (
+         |  SELECT schema_name, table_name, seq,
+         |    (commit_ts - 1000000) * 400 AS ts,
+         |    CAST(1 + (CAST(substr(table_name, 5) AS INT) % 3) AS INT) AS parts
+         |  FROM cdc
+         |  WHERE (table_name IN ('tbl_0', 'tbl_1') OR seq % 16 = 0)
+         |    AND NOT (schema_name = 'db_1' AND table_name = 'tbl_1'
+         |             AND (commit_ts - 1000000) % 1250 < 500)
+         |), bounds AS (SELECT max(ts) AS horizon FROM ev),
+         |evo AS (
+         |  SELECT *, lag(ts) OVER (
+         |      PARTITION BY schema_name, table_name ORDER BY ts, seq) AS prev_ts
+         |  FROM ev
+         |), epoched AS (
+         |  SELECT *, sum(is_new) OVER (
+         |      PARTITION BY schema_name, table_name
+         |      ORDER BY ts, seq ROWS UNBOUNDED PRECEDING) AS epoch
+         |  FROM (SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+         |          WHEN 30000 * ((prev_ts + $BootInactMs) // 30000 + 1) < ts
+         |          THEN 1 ELSE 0 END AS is_new
+         |        FROM evo)
+         |), ebounds AS (
+         |  SELECT e.schema_name, e.table_name, e.epoch, e.start_ts, e.parts,
+         |    5000 * CASE WHEN e.start_ts % 5000 = 0
+         |                THEN greatest(e.start_ts // 5000, 1)
+         |                ELSE e.start_ts // 5000 + 1 END AS t0,
+         |    least(30000 * ((e.last_ts + $BootInactMs) // 30000 + 1),
+         |          5000 * (b.horizon // 5000)) AS tend
+         |  FROM (SELECT schema_name, table_name, epoch, min(ts) AS start_ts,
+         |          max(ts) AS last_ts, max(parts) AS parts
+         |        FROM epoched GROUP BY 1, 2, 3) e, bounds b
+         |), ticks AS (
+         |  SELECT e.schema_name, e.table_name, e.epoch,
+         |    e.t0 + 5000 * g.x AS tick
+         |  FROM ebounds e,
+         |    LATERAL unnest(range(0, (e.tend - e.t0) // 5000 + 1)) AS g(x)
+         |), tickcum AS (
+         |  SELECT t.schema_name, t.table_name, t.epoch, t.tick,
+         |    count(p.ts) AS r
+         |  FROM ticks t LEFT JOIN epoched p
+         |    ON p.schema_name = t.schema_name AND p.table_name = t.table_name
+         |   AND p.epoch = t.epoch AND p.ts <= t.tick
+         |  GROUP BY 1, 2, 3, 4
+         |), stepper AS (
+         |  SELECT e.schema_name, e.table_name, e.epoch, e.tend,
+         |    e.t0 - 5000 AS tick, e.start_ts AS last_send,
+         |    CAST(1 AS BIGINT) AS base,
+         |    CAST(NULL AS BIGINT) AS send_at, CAST(NULL AS VARCHAR) AS trig
+         |  FROM ebounds e
+         |  UNION ALL
+         |  SELECT s.schema_name, s.table_name, s.epoch, s.tend,
+         |    s.tick + 5000,
+         |    CASE WHEN s.tick + 5000 - s.last_send >= $BootIntervalMs
+         |           OR c.r - s.base >= $BootCount
+         |         THEN s.tick + 5000 ELSE s.last_send END,
+         |    CASE WHEN s.tick + 5000 - s.last_send >= $BootIntervalMs
+         |           OR c.r - s.base >= $BootCount
+         |         THEN c.r ELSE s.base END,
+         |    CASE WHEN s.tick + 5000 - s.last_send >= $BootIntervalMs
+         |           OR c.r - s.base >= $BootCount
+         |         THEN s.tick + 5000 ELSE NULL END,
+         |    CASE WHEN s.tick + 5000 - s.last_send >= $BootIntervalMs
+         |         THEN 'interval'
+         |         WHEN c.r - s.base >= $BootCount THEN 'count' END
+         |  FROM stepper s JOIN tickcum c
+         |    ON c.schema_name = s.schema_name AND c.table_name = s.table_name
+         |   AND c.epoch = s.epoch AND c.tick = s.tick + 5000
+         |  WHERE s.tick + 5000 <= s.tend
+         |), all_sends AS (
+         |  SELECT schema_name, table_name, start_ts AS send_ms,
+         |    'new' AS trig, parts
+         |  FROM ebounds
+         |  UNION ALL
+         |  SELECT s.schema_name, s.table_name, s.send_at, s.trig, e.parts
+         |  FROM stepper s JOIN ebounds e
+         |    ON e.schema_name = s.schema_name AND e.table_name = s.table_name
+         |   AND e.epoch = s.epoch
+         |  WHERE s.send_at IS NOT NULL
+         |)
+         |SELECT schema_name, table_name, trig,
+         |  count(*) AS n_sends,
+         |  CAST(sum(send_ms) AS BIGINT) AS sum_send_ms,
+         |  CAST(bit_xor(${graft.core.Hashing.Sql.portableLong("send_ms")})
+         |       AS BIGINT) AS xor_send,
+         |  CAST(max(parts) AS INT) AS parts,
+         |  CAST(count(*) * max(parts) AS BIGINT) AS n_msgs
+         |FROM all_sends GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
+    import graft.streaming.Bootstrap
+    val shaped = CdcStream.derive(spark, dir)
+      .filter(col("table_name").isin("tbl_0", "tbl_1") ||
+        col("seq") % 16 === 0)
+      .filter(!(col("schema_name") === "db_1" &&
+        col("table_name") === "tbl_1" &&
+        (col("commit_ts") - 1000000L) % 1250 < 500))
+      .select(col("schema_name"), col("table_name"),
+        ((col("commit_ts") - 1000000L) * 400).as("ts_ms"),
+        (lit(1) + expr("CAST(substring(table_name, 5) AS INT) % 3"))
+          .cast("int").as("total_partition"))
+    val horizon = shaped.agg(max("ts_ms")).head().getLong(0)
+    Bootstrap.sends(shaped,
+        Bootstrap.BootstrapConfig(intervalSec = BootIntervalMs / 1000,
+          inMsgCount = BootCount.toInt, maxInactiveSec = BootInactMs / 1000),
+        horizon)
+      .withColumn("h", graft.core.Hashing.portableLong(col("send_ms")))
+      .groupBy(col("schema_name"), col("table_name"),
+        col("trigger").as("trig"))
+      .agg(count(lit(1)).as("n_sends"),
+        sum("send_ms").as("sum_send_ms"),
+        expr("bit_xor(h)").as("xor_send"),
+        max("total_partition").as("parts"))
+      .withColumn("n_msgs", (col("n_sends") * col("parts")).cast("long"))
+  }
+
   def all: Seq[GateQuery] =
     Seq(checkpointResume, optimisticLattice, redoReplay, syncpoints,
       ddlBarrier, sinkProgress, lateData, redoApply, dmlMetrics,
       changefeedCrud, dmLifecycle, handleError, relayLog, multiplex,
-      watermarkDedup)
+      watermarkDedup, bootstrapCadence)
 }

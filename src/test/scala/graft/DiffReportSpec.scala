@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.diff.{DiffCheckpoint, DiffReport}
+
+/** Pins the sync_diff report assembly (report.go TableResult /
+  * CommitSummary semantics) and the chunk-checkpoint fold
+  * (checkpoints.go GetChunkSnapshot + atomic save/load). */
+class DiffReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def structF(rows: (String, Boolean, Boolean, Int)*) =
+    rows.map { case (t, se, sk, lack) => ("s", t, se, sk, lack) }
+      .toDF("schema_name", "table_name", "struct_equal", "data_skip",
+        "table_lack")
+
+  private def chunkF(rows: (String, Int, Boolean, Long, Long, Long, Long)*) =
+    rows.map { case (t, c, eq, ra, rd, up, down) =>
+      ("s", t, c, eq, ra, rd, up, down) }
+      .toDF("schema_name", "table_name", "chunk_id", "chunk_equal",
+        "rows_add", "rows_delete", "up_count", "down_count")
+
+  test("table states and the overall verdict follow CommitSummary") {
+    val res = DiffReport.withSummary(DiffReport.tableResults(
+      structF(("ok", true, false, 0), ("bad", true, false, 0),
+        ("badschema", false, true, 0),
+        ("gone", false, true, DiffReport.DownstreamTableLackFlag)),
+      chunkF(("ok", 0, true, 0, 0, 10, 10), ("ok", 1, true, 0, 0, 5, 5),
+        ("bad", 0, true, 0, 0, 7, 7), ("bad", 1, false, 2, 3, 8, 9),
+        ("gone", 0, false, 25, 0, 25, 0))))
+    val byT = res.collect().map(r =>
+      r.getAs[String]("table_name") -> r).toMap
+    assert(byT("ok").getAs[String]("state") === "pass")
+    assert(byT("bad").getAs[String]("state") === "fail")
+    assert(byT("bad").getAs[String]("data_diff") === "+2/-3")
+    assert(byT("bad").getAs[Long]("up_count") === 15L)
+    assert(byT("bad").getAs[Long]("down_count") === 16L)
+    // struct mismatch with data skipped: no chunks, DataEqual stays true,
+    // still fails the run (SetTableStructCheckResult:324-327)
+    assert(byT("badschema").getAs[String]("state") === "fail")
+    assert(byT("badschema").getAs[Boolean]("data_equal"))
+    // lack table: skipped, check column renders 'skipped'
+    assert(byT("gone").getAs[String]("state") === "skipped")
+    assert(byT("gone").getAs[String]("check_status") === "skipped")
+    assert(byT("ok").getAs[String]("result") === "fail")
+    assert(byT("ok").getAs[Long]("pass_num") === 1L)
+    assert(byT("ok").getAs[Long]("failed_num") === 2L)
+    assert(byT("ok").getAs[Long]("skipped_num") === 1L)
+  }
+
+  test("lack-only differences leave the overall result pass") {
+    // refreshResult only flips Fail for all-exist tables
+    val res = DiffReport.withSummary(DiffReport.tableResults(
+      structF(("ok", true, false, 0),
+        ("gone", false, true, DiffReport.UpstreamTableLackFlag)),
+      chunkF(("ok", 0, true, 0, 0, 3, 3), ("gone", 0, false, 0, 9, 0, 9))))
+    assert(res.select("result").distinct().as[String].head() === "pass")
+    assert(res.filter(col("table_name") === "gone")
+      .select("data_diff").as[String].head() === "+0/-9")
+  }
+
+  test("savedNodeId is the maximal contiguous prefix, any completion order") {
+    def saved(ids: Long*): Long =
+      DiffCheckpoint.savedNodeId(ids.toDF("cid"), "cid", 8)
+    assert(saved(0, 3, 1, 6) === 1L)   // 0,1 contiguous; 2 missing
+    assert(saved(3, 6, 5) === -1L)     // chunk 0 outstanding
+    assert(saved(0, 1, 2, 3, 4, 5, 6, 7) === 7L) // everything done
+    assert(saved(7, 0) === 0L)
+    // resume filter picks exactly the chunks past the node
+    val rest = DiffCheckpoint.resumeFrom(
+      spark.range(8).toDF("cid"), "cid", 1L).as[Long].collect().sorted
+    assert(rest.toSeq === Seq(2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("checkpoint sidecar round-trips atomically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val p = s"$dir/sync_diff_checkpoints"
+    assert(DiffCheckpoint.load(p).isEmpty)
+    DiffCheckpoint.save(p, 17L, DiffCheckpoint.SuccessState)
+    assert(DiffCheckpoint.load(p) === Some((17L, "success")))
+    DiffCheckpoint.save(p, 23L, DiffCheckpoint.FailedState) // overwrite
+    assert(DiffCheckpoint.load(p) === Some((23L, "failed")))
+    // no torn temp files left behind
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSeq ===
+      Seq("sync_diff_checkpoints"))
+  }
+}
