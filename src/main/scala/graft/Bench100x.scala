@@ -216,11 +216,16 @@ object Bench100x {
     // isolated, zero source diff): gates persist/localCheckpoint inside
     // their plans and never unpersist — 40 entries of leftovers evict the
     // storage pool and bill spill to whoever runs next. Sweep cached
-    // datasets AND leaked RDDs before each timed entry, EXCEPT the two
-    // probes that share q85_ivf_index's build (the one deliberate
-    // cross-entry cache — sweeping it would re-time the build twice).
+    // datasets AND leaked RDDs before each timed entry, and CLEAR the
+    // dir-keyed shared-build maps too (a surviving reference to a swept
+    // DataFrame would silently recompute unpersisted on every action —
+    // q67 re-derived q65's swept LSH table at 4× cost before this): each
+    // entry then pays exactly what an isolated run pays. Exception: the
+    // two probes that share q85_ivf_index's build, which is timed as its
+    // own line item immediately before them.
     val sharesIvfIndex = Set("q85_ivf_knob", "q103_semdedup_knob")
     def cleanRoom(): Unit = {
+      graft.queries.Gate.clearSharedCaches()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))

@@ -757,6 +757,76 @@ object GenericCodecs {
         s"avro-bigint-unsigned-handling-mode: $other")
   }
 
+  /** Go-JSON string escaping as a Column (the practical subset of
+    * encoding/json's default escaper: backslash, quote, the three
+    * HTML-safety \\u escapes, and the common control chars — the set a
+    * DDL query can realistically contain). Keep in lockstep with
+    * [[goWatermarkEscapeSql]]. */
+  private def goJsonEscapeCol(c: Column): Column =
+    Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n", "\r" -> "\\r",
+      "\t" -> "\\t", "<" -> "\\u003c", ">" -> "\\u003e", "&" -> "\\u0026")
+      .foldLeft(c) { case (acc, (from, to)) =>
+        regexp_replace(acc, java.util.regex.Pattern.quote(from),
+          java.util.regex.Matcher.quoteReplacement(to))
+      }
+
+  /** DuckDB twin of [[goJsonEscapeCol]] (same replace order; DuckDB
+    * single-quoted literals take backslashes verbatim, and the control
+    * chars splice via chr() so no raw bytes land in the SQL text). */
+  def goWatermarkEscapeSql(e: String): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    Seq("'\\'" -> "'\\\\'", "'\"'" -> "'\\\"'", "chr(10)" -> "'\\n'",
+      "chr(13)" -> "'\\r'", "chr(9)" -> "'\\t'",
+      q("<") -> q("\\u003c"), q(">") -> q("\\u003e"), q("&") -> q("\\u0026"))
+      .foldLeft(e) { case (acc, (from, to)) =>
+        s"replace($acc, $from, $to)"
+      }
+  }
+
+  /**
+   * Avro WATERMARK events (avro.go:254-307 — gated internal-testing
+   * surface): with BOTH enable-tidb-extension and the
+   * AvroEnableWatermark flag, the encoder emits non-Confluent-framed
+   * control messages — a DDL event as `0x01` ++ the Go-JSON
+   * `{"query","type","schema","table","commitTs"}` (struct field order,
+   * ddlByte avro.go:946), and a checkpoint as `0x02` ++ the big-endian
+   * uint64 ts (checkpointByte:947). With either flag off the encoder
+   * returns nil — surfaced as NULL. The official Confluent consumer
+   * cannot read these (the reference marks them internal-only).
+   */
+  def avroDdlWatermark(query: Column, ddlType: Column, schemaN: Column,
+      tableN: Column, commitTs: Column, enableTiDBExtension: Boolean,
+      enableWatermark: Boolean): Column =
+    if (!(enableTiDBExtension && enableWatermark))
+      lit(null).cast(org.apache.spark.sql.types.BinaryType)
+    else concat(unhex(lit("01")), encode(concat(
+      lit("{\"query\":\""), goJsonEscapeCol(query),
+      lit("\",\"type\":"), ddlType.cast("string"),
+      lit(",\"schema\":\""), goJsonEscapeCol(schemaN),
+      lit("\",\"table\":\""), goJsonEscapeCol(tableN),
+      lit("\",\"commitTs\":"), commitTs.cast("string"), lit("}")), "UTF-8"))
+
+  /** Checkpoint watermark: `0x02` ++ 8 big-endian ts bytes
+    * (EncodeCheckpointEvent avro.go:256-271). */
+  def avroCheckpointWatermark(ts: Column, enableTiDBExtension: Boolean,
+      enableWatermark: Boolean): Column =
+    if (!(enableTiDBExtension && enableWatermark))
+      lit(null).cast(org.apache.spark.sql.types.BinaryType)
+    else unhex(concat(lit("02"), lpad(hex(ts.cast("long")), 16, "0")))
+
+  /** Consumer-side dispatch on the first value byte: 1 → ddl, 2 →
+    * checkpoint, 0 → a Confluent-framed row (magic byte). */
+  def avroWatermarkKind(value: Column): Column = {
+    val b = substring(value, 1, 1)
+    when(b === unhex(lit("01")), "ddl")
+      .when(b === unhex(lit("02")), "checkpoint")
+      .otherwise("row")
+  }
+
+  /** Decode the checkpoint ts back (consumer side). */
+  def avroCheckpointTs(value: Column): Column =
+    conv(hex(substring(value, 2, 8)), 16, 10).cast("long")
+
   // ---- E7: Simple protocol -------------------------------------------
 
   /** Generic BOOTSTRAP message: the column list derives from the specs. */

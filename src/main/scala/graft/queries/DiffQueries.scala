@@ -114,8 +114,8 @@ object DiffQueries {
    * (fix-SQL rendering) consume the same table. Keyed per sf dir;
    * process-scoped like any cached intermediate of a job.
    */
-  private val diffCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val diffCache = Gate.registerCache(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   private def classifiedDiff(spark: SparkSession, dir: String): DataFrame =
     diffCache.getOrElseUpdate(dir, Gate.timedBuild(s"diff table ($dir)") {

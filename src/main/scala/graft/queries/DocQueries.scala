@@ -177,8 +177,8 @@ object DocQueries {
    * both consume it instead of re-deriving the whole pipeline. Keyed per
    * sf dir; process-scoped like any cached intermediate table of a job.
    */
-  private val lshCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val lshCache = Gate.registerCache(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   private def scoredCandidates(spark: SparkSession, dir: String): DataFrame =
     lshCache.getOrElseUpdate(dir, Gate.timedBuild(s"LSH candidate table ($dir)") {
@@ -341,14 +341,14 @@ object DocQueries {
     * histogram, q155 the recall harness's predicted-pair side. Same
     * job-sharing pattern as [[scoredCandidates]]/[[incrementalParts]];
     * the build logs as its own `[bench]` line item. */
-  private val labelsCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val labelsCache = Gate.registerCache(scala.collection.concurrent
+    .TrieMap.empty[(SparkSession, String), DataFrame])
 
   /** Corpus row count, a per-(session, dir) constant — cached so sizing
     * rules (q155's slice modulus) don't re-scan the 3-way union corpus
     * on every invocation. */
-  private val corpusCountCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Long]
+  private val corpusCountCache = Gate.registerCache(scala.collection
+    .concurrent.TrieMap.empty[(SparkSession, String), Long])
 
   private def corpusCount(spark: SparkSession, dir: String): Long = {
     corpusCountCache.keys.filter(_._1.sparkContext.isStopped)
@@ -441,10 +441,10 @@ object DocQueries {
     * dups + token-reversed novel docs), and the match table. Persisted
     * per dir — the index/batch analysis is the expensive one-time build
     * and both gates consume it (the q84/q86 job-sharing pattern). */
-  private val incrementalCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
+  private val incrementalCache = Gate.registerCache(scala.collection
+    .concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String),
       (org.apache.spark.sql.DataFrame,
-       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)])
 
   private def incrementalParts(spark: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,

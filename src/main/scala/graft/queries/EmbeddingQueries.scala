@@ -114,8 +114,8 @@ object EmbeddingQueries {
    * (q84) and the clustering gate (q86) both consume it instead of each
    * re-deriving the sig+join+filter pipeline.
    */
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val pairCache = Gate.registerCache(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   private def cosinePairs(spark: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate(dir, {

@@ -62,6 +62,23 @@ object Gate {
     (path, tag)
   }
 
+  /**
+   * Registry of the dir-keyed shared-build caches (LSH candidates, diff
+   * table, labels, cosine pairs, …). Verify/Bench keep them — the builds
+   * log as their own `[bench]` line items so attribution stays explicit —
+   * but Bench100x's clean-room sweep clears them BETWEEN entries: after
+   * its unpersist pass a cached DataFrame reference would silently
+   * recompute unpersisted on every downstream action (r12 finding: q67 at
+   * 112 s re-deriving q65's swept LSH table), whereas a cleared map makes
+   * the next consumer rebuild-and-re-persist — paying exactly what an
+   * isolated run pays.
+   */
+  private val sharedCaches = scala.collection.mutable.ArrayBuffer
+    .empty[scala.collection.concurrent.TrieMap[_, _]]
+  def registerCache[M <: scala.collection.concurrent.TrieMap[_, _]](m: M): M =
+    synchronized { sharedCaches += m; m }
+  def clearSharedCaches(): Unit = synchronized { sharedCaches.foreach(_.clear()) }
+
   /** Time a shared-table build and emit it as its own `[bench]` line item,
     * so the cost of a cached intermediate (LSH signature/candidate table,
     * the diff table) is attributed explicitly instead of billed to whichever

@@ -962,9 +962,91 @@ object GenericCodecQueries {
         when(col("keep"), col("full_content")).as("content"))
   }
 
+  // ---- q242: Avro watermark events ------------------------------------
+
+  /** The comment block carries every character class the Go escaper
+    * touches: quote, HTML chars, backslash. */
+  private val DdlQuerySuffix = "` (id INT) /* \"a\"<&>\\ */"
+
+  /**
+   * q242 — Avro WATERMARK events ([[GenericCodecs.avroDdlWatermark]] /
+   * `avroCheckpointWatermark`, reference avro.go:254-307 + the
+   * `AvroEnableWatermark` gate in common/config.go:58-63): per table a
+   * DDL message (`0x01` ++ Go-JSON with the struct field order and the
+   * HTML-escaping encoding/json applies), per schema a checkpoint
+   * (`0x02` ++ big-endian uint64 ts) whose ts decodes back through the
+   * consumer path, both dispatched by first-byte kind; and with either
+   * flag off the encoder yields nil — pinned as n_disabled = 0 non-null
+   * messages across BOTH flag-off matrices.
+   */
+  val avroWatermark = GateQuery(
+    "q242_avro_watermark",
+    Some {
+      val esc = GenericCodecs.goWatermarkEscapeSql _
+      val qExpr = "'CREATE TABLE `' || schema_name || '`.`' || table_name" +
+        s" || ${lit1(DdlQuerySuffix)}"
+      graft.core.CdcStream.sqlCte +
+        s""", tables AS (
+           |  SELECT schema_name, table_name, min(commit_ts) AS cts,
+           |    max(commit_ts) AS mts
+           |  FROM cdc GROUP BY 1, 2
+           |), ddl AS (
+           |  SELECT schema_name, table_name, 'ddl' AS kind,
+           |    '01' || upper(hex(
+           |      '{"query":"' || ${esc(qExpr)} ||
+           |      '","type":3,"schema":"' || ${esc("schema_name")} ||
+           |      '","table":"' || ${esc("table_name")} ||
+           |      '","commitTs":' || cts || '}')) AS msg_hex,
+           |    CAST(-1 AS BIGINT) AS ts_back
+           |  FROM tables
+           |), cp AS (
+           |  SELECT schema_name, '' AS table_name, 'checkpoint' AS kind,
+           |    '02' || lpad(upper(to_hex(ts)), 16, '0') AS msg_hex,
+           |    CAST(ts AS BIGINT) AS ts_back
+           |  FROM (SELECT schema_name, max(mts) AS ts FROM tables GROUP BY 1)
+           |)
+           |SELECT *, CAST(0 AS BIGINT) AS n_disabled FROM ddl
+           |UNION ALL
+           |SELECT *, CAST(0 AS BIGINT) AS n_disabled FROM cp""".stripMargin
+    }) { (spark, dir) =>
+    import graft.core.CdcStream
+    val tables = CdcStream.derive(spark, dir)
+      .groupBy("schema_name", "table_name")
+      .agg(min("commit_ts").as("cts"), max("commit_ts").as("mts"))
+    val q = concat(lit("CREATE TABLE `"), col("schema_name"), lit("`.`"),
+      col("table_name"), lit(DdlQuerySuffix))
+    def ddlMsg(ext: Boolean, wm: Boolean) = GenericCodecs.avroDdlWatermark(
+      q, lit(3L), col("schema_name"), col("table_name"), col("cts"),
+      enableTiDBExtension = ext, enableWatermark = wm)
+    val ddl = tables.select(col("schema_name"), col("table_name"),
+      GenericCodecs.avroWatermarkKind(ddlMsg(ext = true, wm = true))
+        .as("kind"),
+      hex(ddlMsg(ext = true, wm = true)).as("msg_hex"),
+      lit(-1L).as("ts_back"))
+    val cpMsg = GenericCodecs.avroCheckpointWatermark(col("ts"),
+      enableTiDBExtension = true, enableWatermark = true)
+    val cp = tables.groupBy("schema_name").agg(max("mts").as("ts"))
+      .select(col("schema_name"), lit("").as("table_name"),
+        GenericCodecs.avroWatermarkKind(cpMsg).as("kind"),
+        hex(cpMsg).as("msg_hex"),
+        GenericCodecs.avroCheckpointTs(cpMsg).as("ts_back"))
+    // either flag off → nil messages, both matrices (avro.go:257,284)
+    val disabled = tables.select(
+        ddlMsg(ext = false, wm = true).as("m1"),
+        ddlMsg(ext = true, wm = false).as("m2"),
+        GenericCodecs.avroCheckpointWatermark(col("cts"),
+          enableTiDBExtension = false, enableWatermark = true).as("m3"),
+        GenericCodecs.avroCheckpointWatermark(col("cts"),
+          enableTiDBExtension = true, enableWatermark = false).as("m4"))
+      .agg(sum(when(col("m1").isNotNull || col("m2").isNotNull ||
+        col("m3").isNotNull || col("m4").isNotNull, 1L).otherwise(0L))
+        .as("n_disabled"))
+    ddl.unionByName(cp).crossJoin(broadcast(disabled))
+  }
+
   def all: Seq[GateQuery] = Seq(canalGeneric, openGeneric, maxwellGeneric,
     csvGeneric, debeziumSchemaGate, simpleGeneric, integrityGeneric,
     vectorRoundtrip, canalUpdatedColumns, openUpdatedColumns, claimCheckRaw,
     debeziumOptions, canalShortTypes, avroModes, csvRefLayout,
-    simpleLargeMessage, schemaSidecar)
+    simpleLargeMessage, schemaSidecar, avroWatermark)
 }

@@ -67,11 +67,13 @@ object TableDef {
   }
 
   /** Declared (flen, decimal) from the parenthesized suffix of the
-    * lowercase mysql type, e.g. "decimal(12,2)" → (Some(12), Some(2)). */
-  private def declared(mysqlType: String): (Option[Int], Option[Int]) = {
+    * lowercase mysql type, e.g. "decimal(12,2)" → (Some(12), Some(2)).
+    * Long, not Int: longblob's default flen is 4294967295, so parsing our
+    * OWN sidecar back (which renders the default) must not overflow. */
+  private def declared(mysqlType: String): (Option[Long], Option[Long]) = {
     val m = "\\(\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r.findFirstMatchIn(mysqlType)
     m match {
-      case Some(g) => (Some(g.group(1).toInt), Option(g.group(2)).map(_.toInt))
+      case Some(g) => (Some(g.group(1).toLong), Option(g.group(2)).map(_.toLong))
       case None => (None, None)
     }
   }

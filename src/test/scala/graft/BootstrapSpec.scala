@@ -96,4 +96,59 @@ class BootstrapSpec extends SparkSpec {
       .as[(String, Long, String)].collect().toSet
     assert(got === Set(("a", 1000L, "new"), ("b", 2000L, "new")))
   }
+
+  test("randomized: replay equals an independent global-clock simulator") {
+    // The operator folds per-table with a per-table tick cursor; this twin
+    // simulates ONE global clock over all tables interleaved — a different
+    // code shape with the same spec. 30 seeded trials, dense tie cases
+    // (timestamps snap to multiples of 2500 so arrivals hit tick AND gc
+    // instants), gaps long enough to GC.
+    val rnd = new scala.util.Random(1209L)
+    for (trial <- 0 until 30) {
+      val tables = Seq("t0", "t1", "t2")
+      val events = tables.flatMap { t =>
+        var ts = rnd.nextInt(8) * 2500L
+        Seq.fill(rnd.nextInt(25)) {
+          val e = (t, ts)
+          ts += (1 + rnd.nextInt(40)) * 2500L // gaps up to 100 s > inact
+          e
+        }
+      }.sortBy(_._2)
+      if (events.nonEmpty) {
+        val horizon = events.map(_._2).max + rnd.nextInt(20) * 2500L
+        // independent simulator: advance one global ms grid of instants
+        val expected = scala.collection.mutable.Set.empty[(String, Long, String)]
+        val st = scala.collection.mutable.Map.empty[String,
+          (Long, Long, Long)] // lastSend, counter, lastRecv
+        var evIdx = 0
+        for (t <- 0L to horizon) {
+          // arrivals first
+          while (evIdx < events.length && events(evIdx)._2 == t) {
+            val (tbl, _) = events(evIdx)
+            st.get(tbl) match {
+              case None =>
+                expected += ((tbl, t, "new")); st(tbl) = (t, 0L, t)
+              case Some((ls, c, _)) => st(tbl) = (ls, c + 1, t)
+            }
+            evIdx += 1
+          }
+          if (t > 0 && t % 5000 == 0) // tick
+            for ((tbl, (ls, c, lr)) <- st) {
+              val timeDue = t - ls >= cfg.intervalSec * 1000
+              if (timeDue || c >= cfg.inMsgCount) {
+                expected += ((tbl, t, if (timeDue) "interval" else "count"))
+                st(tbl) = (t, 0L, lr)
+              }
+            }
+          if (t > 0 && t % 30000 == 0) // gc after tick
+            st.filterInPlace { case (_, (_, _, lr)) =>
+              t - lr <= cfg.maxInactiveSec * 1000 }
+        }
+        val got = Bootstrap.sends(ev(events: _*), cfg, horizon)
+          .select("table_name", "send_ms", "trigger")
+          .as[(String, Long, String)].collect().toSet
+        assert(got === expected.toSet, s"trial $trial")
+      }
+    }
+  }
 }
