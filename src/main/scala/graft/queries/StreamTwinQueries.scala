@@ -968,7 +968,11 @@ object StreamTwinQueries {
    * GC-gap rule, then per-tick state (lastSend, counted-rows base) with
    * the Go condition order (time first). Send positions pin by count +
    * sum + order-insensitive hash; the all-partition fan-out by
-   * n_msgs = n_sends × partitions.
+   * n_msgs = n_sends × partitions. The `send-all-bootstrap-at-start`
+   * leg adds one 'start' send per current table at t = 0 through the
+   * DDL-sink path (worker state untouched — every table still gets its
+   * 'new' send), with a planted VIEW that must be skipped
+   * (ddl_manager.go:220-222).
    */
   private val BootIntervalMs = 60000L
   private val BootCount = 40L
@@ -1055,6 +1059,10 @@ object StreamTwinQueries {
          |    ON e.schema_name = s.schema_name AND e.table_name = s.table_name
          |   AND e.epoch = s.epoch
          |  WHERE s.send_at IS NOT NULL
+         |  UNION ALL
+         |  SELECT schema_name, table_name, CAST(0 AS BIGINT), 'start',
+         |    max(parts)
+         |  FROM ev GROUP BY 1, 2
          |)
          |SELECT schema_name, table_name, trig,
          |  count(*) AS n_sends,
@@ -1065,6 +1073,7 @@ object StreamTwinQueries {
          |  CAST(count(*) * max(parts) AS BIGINT) AS n_msgs
          |FROM all_sends GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
     import graft.streaming.Bootstrap
+    import spark.implicits._
     val shaped = CdcStream.derive(spark, dir)
       .filter(col("table_name").isin("tbl_0", "tbl_1") ||
         col("seq") % 16 === 0)
@@ -1076,10 +1085,17 @@ object StreamTwinQueries {
         (lit(1) + expr("CAST(substring(table_name, 5) AS INT) % 3"))
           .cast("int").as("total_partition"))
     val horizon = shaped.agg(max("ts_ms")).head().getLong(0)
-    Bootstrap.sends(shaped,
-        Bootstrap.BootstrapConfig(intervalSec = BootIntervalMs / 1000,
-          inMsgCount = BootCount.toInt, maxInactiveSec = BootInactMs / 1000),
-        horizon)
+    val cfg = Bootstrap.BootstrapConfig(intervalSec = BootIntervalMs / 1000,
+      inMsgCount = BootCount.toInt, maxInactiveSec = BootInactMs / 1000)
+    // current tables for the at-start leg: the shaped stream's tables
+    // plus a planted VIEW the emitter must skip
+    val tables = shaped.groupBy("schema_name", "table_name")
+      .agg(max("total_partition").as("total_partition"))
+      .withColumn("is_view", lit(false))
+      .unionByName(Seq(("db_0", "v_gone", 1, true))
+        .toDF("schema_name", "table_name", "total_partition", "is_view"))
+    Bootstrap.sends(shaped, cfg, horizon)
+      .unionByName(Bootstrap.atStartSends(tables, cfg, sendAllAtStart = true))
       .withColumn("h", graft.core.Hashing.portableLong(col("send_ms")))
       .groupBy(col("schema_name"), col("table_name"),
         col("trigger").as("trig"))

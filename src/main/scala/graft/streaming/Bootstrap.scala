@@ -152,6 +152,27 @@ object Bootstrap {
     }.toDF()
   }
 
+  /**
+   * `send-all-bootstrap-at-start` (SinkConfig.ShouldSendAllBootstrapAtStart,
+   * pkg/config/sink.go:235-243; ddl_manager.go trySendBootstrap:204-246):
+   * when the worker is enabled AND the flag is set, ONE bootstrap per
+   * CURRENT table emits at changefeed start (t = 0), views skipped
+   * (ddl_manager.go:220-222). These go through the DDL sink, not the
+   * worker — table state is untouched, so each table's first row event
+   * still triggers its own 'new' send. `tables`: (schema_name,
+   * table_name, is_view, total_partition).
+   */
+  def atStartSends(tables: DataFrame, cfg: BootstrapConfig,
+                   sendAllAtStart: Boolean): DataFrame = {
+    val spark = tables.sparkSession
+    import spark.implicits._
+    if (!(enabled(cfg) && sendAllAtStart)) spark.emptyDataset[Send].toDF()
+    else tables.filter(!col("is_view"))
+      .select(col("schema_name"), col("table_name"),
+        lit(0L).as("send_ms"), lit("start").as("trigger"),
+        col("total_partition").cast("int"))
+  }
+
   /** generateEvents fan-out: one message row per partition when
     * `toAllPartition`, else partition 0 only (bootstraper.go:162-179). */
   def fanOut(sends: DataFrame, cfg: BootstrapConfig): DataFrame =

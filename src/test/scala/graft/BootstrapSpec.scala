@@ -97,6 +97,22 @@ class BootstrapSpec extends SparkSpec {
     assert(got === Set(("a", 1000L, "new"), ("b", 2000L, "new")))
   }
 
+  test("send-all-bootstrap-at-start: per current table at t=0, views skip") {
+    val tables = Seq(("db", "a", false, 2), ("db", "b", false, 3),
+      ("db", "v", true, 2))
+      .toDF("schema_name", "table_name", "is_view", "total_partition")
+    val got = Bootstrap.atStartSends(tables, cfg, sendAllAtStart = true)
+      .select("table_name", "send_ms", "trigger")
+      .as[(String, Long, String)].collect().toSet
+    assert(got === Set(("a", 0L, "start"), ("b", 0L, "start")))
+    // flag off, or worker disabled → nothing (ShouldSendAllBootstrapAtStart
+    // requires ShouldSendBootstrapMsg too, sink.go:240)
+    assert(Bootstrap.atStartSends(tables, cfg, sendAllAtStart = false)
+      .count() === 0L)
+    assert(Bootstrap.atStartSends(tables, cfg.copy(intervalSec = 0),
+      sendAllAtStart = true).count() === 0L)
+  }
+
   test("randomized: replay equals an independent global-clock simulator") {
     // The operator folds per-table with a per-table tick cursor; this twin
     // simulates ONE global clock over all tables interleaved — a different
