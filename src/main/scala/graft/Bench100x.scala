@@ -175,7 +175,15 @@ object Bench100x {
     // round-11: corpus-frequency boilerplate removal — the one
     // distributed member of the filter family (hash-keyed line DF count,
     // broadcast-back, doc-key rebuild)
-    "q237_boilerplate_lines")
+    "q237_boilerplate_lines",
+    // round-12: bootstrap cadence (per-table fold over ~10M events and a
+    // ~200k-instant tick grid — the wall-clock-bounded-state claim as a
+    // number), the sync_diff report + checkpoint-resume paths (both ride
+    // the TWO-SIDED 32-chunk digest over 60M+60M rows — the checksum
+    // phase that precedes q51's row-level join), and the avro watermark
+    // framing (control-plane-sized, included for completeness)
+    "q239_bootstrap_cadence", "q240_diff_report",
+    "q241_diff_checkpoint_resume", "q242_avro_watermark")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(

@@ -74,6 +74,28 @@ object DiffReport {
         lit("/-"), col("rows_delete")))
   }
 
+  /**
+   * The check-mode switch (main.go:115-140): `check-struct-only` runs
+   * StructEqual but never Equal — no chunk facts exist, so every
+   * struct-equal table passes regardless of data; `check-data-only`
+   * (experimental) skips StructEqual — the report keeps the INITIALIZED
+   * struct state (StructEqual = true, report.go:310) and, notably, the
+   * table-lack flag is never reported either (it only reaches the report
+   * through SetTableStructCheckResult:322-324), so a lack-table's
+   * failing Empty-chunk data check counts as a FAIL, not skipped — a
+   * rough edge of the experimental flag modeled faithfully.
+   */
+  def applyCheckMode(mode: String, structFacts: DataFrame,
+      chunkFacts: DataFrame): (DataFrame, DataFrame) = mode match {
+    case "both" => (structFacts, chunkFacts)
+    case "struct-only" => (structFacts, chunkFacts.limit(0))
+    case "data-only" => (structFacts
+        .withColumn("struct_equal", lit(true))
+        .withColumn("data_skip", lit(false))
+        .withColumn("table_lack", lit(AllTableExistFlag)), chunkFacts)
+    case other => throw new IllegalArgumentException(s"check mode: $other")
+  }
+
   /** CommitSummary + refreshResult: appends result / pass_num /
     * failed_num / skipped_num (identical on every row — the one-row
     * summary broadcasts back onto the table rows). */

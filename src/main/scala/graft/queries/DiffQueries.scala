@@ -439,30 +439,40 @@ object DiffQueries {
   /** Shared chunk-compare facts for q240/q241: per-chunk
     * (chunk_id, eq, up_count, down_count) from both sides' 32-chunk
     * (count, checksum) digests over SOURCE-side width bounds — the
-    * reference's one-side split planner shares boundaries the same way. */
+    * reference's one-side split planner shares boundaries the same way.
+    * Persisted + dir-cached: both gates consume it and q240 reads it
+    * three times (ok facts, bad facts, summary) — without the persist
+    * the two full-table digest scans would re-run per consumer. */
+  private val cmpCache = Gate.registerCache(scala.collection.concurrent
+    .TrieMap.empty[String, (DataFrame, Long, Long)])
+
   private def chunkCmpFacts(spark: SparkSession, dir: String)
-      : (DataFrame, Long, Long) = {
-    val li = Tables.load(spark, dir, "lineitem")
-    val (lo, hi) = ChunkDiff.widthBounds(li, "l_orderkey")
-    def chk(df: DataFrame) = df
-      .withColumn("row_digest", ChunkDiff.rowDigest(canonical(df)))
-      .withColumn("chunk_id",
-        ChunkDiff.chunkByWidth(col("l_orderkey"), lo, hi, 32))
-      .groupBy("chunk_id")
-      .agg(count(lit(1)).as("cnt"), expr("bit_xor(row_digest)").as("cs"))
-    val s = chk(li)
-    val t = chk(perturbed(spark, dir))
-    val cmp = s.as("s").join(t.as("t"),
-        col("s.chunk_id") === col("t.chunk_id"), "full_outer")
-      .select(
-        coalesce(col("s.chunk_id"), col("t.chunk_id")).as("chunk_id"),
-        (col("s.cnt").isNotNull && col("t.cnt").isNotNull &&
-          col("s.cnt") === col("t.cnt") && col("s.cs") === col("t.cs"))
-          .as("chunk_equal"),
-        coalesce(col("s.cnt"), lit(0L)).as("up_count"),
-        coalesce(col("t.cnt"), lit(0L)).as("down_count"))
-    (cmp, lo, hi)
-  }
+      : (DataFrame, Long, Long) =
+    cmpCache.getOrElseUpdate(dir,
+      Gate.timedBuild(s"chunk-compare facts ($dir)") {
+        val li = Tables.load(spark, dir, "lineitem")
+        val (lo, hi) = ChunkDiff.widthBounds(li, "l_orderkey")
+        def chk(df: DataFrame) = df
+          .withColumn("row_digest", ChunkDiff.rowDigest(canonical(df)))
+          .withColumn("chunk_id",
+            ChunkDiff.chunkByWidth(col("l_orderkey"), lo, hi, 32))
+          .groupBy("chunk_id")
+          .agg(count(lit(1)).as("cnt"), expr("bit_xor(row_digest)").as("cs"))
+        val s = chk(li)
+        val t = chk(perturbed(spark, dir))
+        val cmp = s.as("s").join(t.as("t"),
+            col("s.chunk_id") === col("t.chunk_id"), "full_outer")
+          .select(
+            coalesce(col("s.chunk_id"), col("t.chunk_id")).as("chunk_id"),
+            (col("s.cnt").isNotNull && col("t.cnt").isNotNull &&
+              col("s.cnt") === col("t.cnt") && col("s.cs") === col("t.cs"))
+              .as("chunk_equal"),
+            coalesce(col("s.cnt"), lit(0L)).as("up_count"),
+            coalesce(col("t.cnt"), lit(0L)).as("down_count"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cmp.count() // 32 rows — materialize once for all consumers
+        (cmp, lo, hi)
+      })
 
   /** DuckDB twin of [[chunkCmpFacts]] (appended after `perturbedCte`). */
   private val cmpCte =
@@ -683,7 +693,86 @@ object DiffQueries {
         "wasted_rechecks", "merged_xor", "oneshot_xor", "stitched_equal")
   }
 
+  /**
+   * q243 — the check-mode switch ([[graft.diff.DiffReport.applyCheckMode]],
+   * main.go:115-140) over three tables (equal, perturbed,
+   * downstream-lacking): `both` gives pass/fail/skipped with verdict
+   * fail; `check-struct-only` never runs the data check, so the
+   * PERTURBED table passes and the verdict flips to pass (the lack table
+   * still reports skipped); `check-data-only` skips StructEqual, so the
+   * lack flag never reaches the report and the lack-table's failing
+   * Empty-chunk data check counts as FAIL with skipped_num = 0 — the
+   * experimental flag's rough edge, modeled faithfully.
+   */
+  val diffCheckModes = GateQuery(
+    "q243_diff_check_modes",
+    Some(perturbedCte + cmpCte +
+      s""", facts AS (
+         |  SELECT 'lineitem_ok' AS table_name, 1 AS struct_eq, 0 AS lack,
+         |    1 AS data_eq
+         |  UNION ALL
+         |  SELECT 'lineitem_bad', 1, 0,
+         |    CASE WHEN (SELECT sum(1 - eq) FROM cmp) = 0 THEN 1 ELSE 0 END
+         |  UNION ALL
+         |  SELECT 'nation_gone', 0, -1, 0
+         |), modal AS (
+         |  SELECT m.mode, f.table_name,
+         |    CASE WHEN m.mode = 'data-only' THEN 1 ELSE f.struct_eq END AS se,
+         |    CASE WHEN m.mode = 'struct-only' THEN 1 ELSE f.data_eq END AS de,
+         |    CASE WHEN m.mode = 'data-only' THEN 0 ELSE f.lack END AS lk
+         |  FROM facts f, (SELECT unnest(['both', 'struct-only', 'data-only']) AS mode) m
+         |), states AS (
+         |  SELECT mode, table_name,
+         |    CASE WHEN se = 1 AND de = 1 THEN 'pass'
+         |         WHEN lk <> 0 THEN 'skipped' ELSE 'fail' END AS state,
+         |    se, de, lk
+         |  FROM modal
+         |)
+         |SELECT s.mode, s.table_name, s.state, t.result,
+         |  t.pass_num, t.failed_num, t.skipped_num
+         |FROM states s JOIN (
+         |  SELECT mode,
+         |    CASE WHEN max(CASE WHEN lk = 0 AND (se = 0 OR de = 0)
+         |                       THEN 1 ELSE 0 END) = 1
+         |         THEN 'fail' ELSE 'pass' END AS result,
+         |    CAST(sum(CASE WHEN state = 'pass' THEN 1 ELSE 0 END) AS BIGINT) AS pass_num,
+         |    CAST(sum(CASE WHEN state = 'fail' THEN 1 ELSE 0 END) AS BIGINT) AS failed_num,
+         |    CAST(sum(CASE WHEN state = 'skipped' THEN 1 ELSE 0 END) AS BIGINT) AS skipped_num
+         |  FROM states GROUP BY mode) t USING (mode)""".stripMargin)) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.diff.DiffReport
+    val (cmp, _, _) = chunkCmpFacts(spark, dir)
+    val nationCnt = Tables.load(spark, dir, "nation").count()
+    val chunkFacts = cmp.select(lit("sf").as("schema_name"),
+        lit("lineitem_ok").as("table_name"), col("chunk_id"),
+        lit(true).as("chunk_equal"), lit(0L).as("rows_add"),
+        lit(0L).as("rows_delete"), col("up_count"),
+        col("up_count").as("down_count"))
+      .unionByName(cmp.select(lit("sf").as("schema_name"),
+        lit("lineitem_bad").as("table_name"), col("chunk_id"),
+        col("chunk_equal"), lit(0L).as("rows_add"), lit(0L).as("rows_delete"),
+        col("up_count"), col("down_count")))
+      .unionByName(Seq(("sf", "nation_gone", 0, false, nationCnt, 0L,
+        nationCnt, 0L)).toDF("schema_name", "table_name", "chunk_id",
+        "chunk_equal", "rows_add", "rows_delete", "up_count", "down_count"))
+    val structFacts = Seq(
+      ("sf", "lineitem_ok", true, false, DiffReport.AllTableExistFlag),
+      ("sf", "lineitem_bad", true, false, DiffReport.AllTableExistFlag),
+      ("sf", "nation_gone", false, true, DiffReport.DownstreamTableLackFlag))
+      .toDF("schema_name", "table_name", "struct_equal", "data_skip",
+        "table_lack")
+    Seq("both", "struct-only", "data-only").map { mode =>
+      val (sf2, cf2) = DiffReport.applyCheckMode(mode, structFacts, chunkFacts)
+      DiffReport.withSummary(DiffReport.tableResults(sf2, cf2))
+        .select(lit(mode).as("mode"), col("table_name"), col("state"),
+          col("result"), col("pass_num"), col("failed_num"),
+          col("skipped_num"))
+    }.reduce(_ unionByName _)
+  }
+
   def all: Seq[GateQuery] =
     Seq(chunkChecksum, chunkChecksumComposite, rowDiff, fixSql, fixApply,
-      diffIgnoreColumns, diffRange, diffReport, diffCheckpointResume)
+      diffIgnoreColumns, diffRange, diffReport, diffCheckpointResume,
+      diffCheckModes)
 }

@@ -59,6 +59,31 @@ class DiffReportSpec extends SparkSpec {
       .select("data_diff").as[String].head() === "+0/-9")
   }
 
+  test("check modes: struct-only passes bad data; data-only fails lack tables") {
+    val sf = structF(("bad", true, false, 0),
+      ("gone", false, true, DiffReport.DownstreamTableLackFlag))
+    val cf = chunkF(("bad", 0, false, 1, 1, 5, 5), ("gone", 0, false, 9, 0, 9, 0))
+    def states(mode: String): Map[String, (String, String)] = {
+      val (s2, c2) = DiffReport.applyCheckMode(mode, sf, cf)
+      DiffReport.withSummary(DiffReport.tableResults(s2, c2)).collect()
+        .map(r => r.getAs[String]("table_name") ->
+          ((r.getAs[String]("state"), r.getAs[String]("result")))).toMap
+    }
+    assert(states("both") === Map("bad" -> (("fail", "fail")),
+      "gone" -> (("skipped", "fail"))))
+    // struct-only: no data check ran — the perturbed table PASSES and the
+    // run verdict flips to pass; lack still reports skipped
+    assert(states("struct-only") === Map("bad" -> (("pass", "pass")),
+      "gone" -> (("skipped", "pass"))))
+    // data-only: StructEqual never runs, so the lack flag never reaches
+    // the report — the lack-table's failing data check counts as FAIL
+    assert(states("data-only") === Map("bad" -> (("fail", "fail")),
+      "gone" -> (("fail", "fail"))))
+    intercept[IllegalArgumentException] {
+      DiffReport.applyCheckMode("bogus", sf, cf)
+    }
+  }
+
   test("savedNodeId is the maximal contiguous prefix, any completion order") {
     def saved(ids: Long*): Long =
       DiffCheckpoint.savedNodeId(ids.toDF("cid"), "cid", 8)

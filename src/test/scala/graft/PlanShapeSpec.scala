@@ -297,4 +297,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
       s"plan:\n$p")
   }
+
+  test("bootstrap replay: one table-key shuffle feeds the per-table fold") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Bootstrap
+    import spark.implicits._
+    val ev = Seq(("db", "t", 1000L, 2), ("db", "u", 2000L, 1))
+      .toDF("schema_name", "table_name", "ts_ms", "total_partition")
+    val p = Bootstrap.sends(ev, Bootstrap.BootstrapConfig(), 10000L)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(p) == 1, s"got ${shuffles(p)} shuffles; plan:\n$p")
+    assert(p.contains("hashpartitioning(schema_name"), s"plan:\n$p")
+  }
 }
