@@ -75,6 +75,38 @@ object DiffReport {
   }
 
   /**
+   * Table-matching gate (source.go checkTableMatched:442-476) — where
+   * the lack flags COME FROM: WITHOUT `skip-non-existing-table`, a
+   * table present on only one side ABORTS the whole diff (the reference
+   * returns an error before any comparison runs); WITH the flag,
+   * target-only tables mark UpstreamTableLack (unless a lack flag is
+   * already set) and source-only tables are APPENDED to the work list
+   * with DownstreamTableLack — they then surface as `skipped` in the
+   * report. Control-plane-sized (table lists, not rows).
+   */
+  def checkTableMatched(
+      configured: Seq[(String, String, Int)],
+      sourceTables: Set[(String, String)],
+      targetTables: Set[(String, String)],
+      skipNonExistingTable: Boolean): Seq[(String, String, Int)] = {
+    val byName = configured.map(t => (t._1, t._2)).zipWithIndex.toMap
+    val out = configured.toBuffer
+    for (t <- targetTables.toSeq.sorted if !sourceTables(t)) {
+      if (!skipNonExistingTable) throw new IllegalStateException(
+        s"the source has no table to be compared. target-table is `${t._1}`.`${t._2}`")
+      val i = byName(t)
+      if (out(i)._3 == AllTableExistFlag)
+        out(i) = (t._1, t._2, UpstreamTableLackFlag)
+    }
+    for (t <- sourceTables.toSeq.sorted if !targetTables(t)) {
+      if (!skipNonExistingTable) throw new IllegalStateException(
+        s"the target has no table to be compared. source-table is `${t._1}`.`${t._2}`")
+      out += ((t._1, t._2, DownstreamTableLackFlag))
+    }
+    out.toSeq
+  }
+
+  /**
    * The check-mode switch (main.go:115-140): `check-struct-only` runs
    * StructEqual but never Equal — no chunk facts exist, so every
    * struct-equal table passes regardless of data; `check-data-only`

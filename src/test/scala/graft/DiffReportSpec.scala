@@ -97,6 +97,29 @@ class DiffReportSpec extends SparkSpec {
     assert(rest.toSeq === Seq(2L, 3L, 4L, 5L, 6L, 7L))
   }
 
+  test("checkTableMatched: abort without the skip flag, lack flags with it") {
+    val conf = Seq(("s", "a", 0), ("s", "b", 0))
+    val src = Set(("s", "a"), ("s", "c"))           // b missing, c extra
+    val tgt = Set(("s", "a"), ("s", "b"))
+    // without skip-non-existing-table: one-sided tables abort the diff
+    intercept[IllegalStateException] {
+      DiffReport.checkTableMatched(conf, src, tgt,
+        skipNonExistingTable = false)
+    }
+    // with it: target-only b marks upstream-lack; source-only c appends
+    // with downstream-lack
+    val got = DiffReport.checkTableMatched(conf, src, tgt,
+      skipNonExistingTable = true)
+    assert(got === Seq(("s", "a", 0),
+      ("s", "b", DiffReport.UpstreamTableLackFlag),
+      ("s", "c", DiffReport.DownstreamTableLackFlag)))
+    // an already-set lack flag is preserved (checkTableMatched:452)
+    val kept = DiffReport.checkTableMatched(
+      Seq(("s", "b", DiffReport.DownstreamTableLackFlag)),
+      Set.empty, Set(("s", "b")), skipNonExistingTable = true)
+    assert(kept === Seq(("s", "b", DiffReport.DownstreamTableLackFlag)))
+  }
+
   test("checkpoint sidecar round-trips atomically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val p = s"$dir/sync_diff_checkpoints"
