@@ -123,10 +123,37 @@ final class ApiServer(spark: SparkSession,
         }
         if (manager.list().contains(id))
           return error(ex, 400, s"changefeed $id already exists")
+        // creation-time eligibility rule (api/v1/validator.go:170-174,
+        // api/v2/api_helpers.go:236): ineligible tables in scope reject
+        // the changefeed unless force-replicate or
+        // ignore-ineligible-table; with the ignore flag they are dropped
+        // from scope (force-replicate keeps them, F7/force path). The
+        // reference validates against schema STORAGE, not the stream —
+        // here the check introspects the optional batch `introspect`
+        // source (or the main source when it is batch); a streaming
+        // source with no introspection snapshot skips the check, with
+        // verify_table as the standalone introspection surface.
+        val force = body.get("force_replicate").contains(true)
+        val ignoreInel = body.get("ignore_ineligible_table").contains(true)
+        val introspect = body.get("introspect").map(_.toString)
+          .flatMap(sources.get).map(_ ())
+          .orElse(Some(source()).filter(!_.isStreaming))
+        val inel =
+          introspect.map(df => ineligibility(df, rules)._2).getOrElse(Nil)
+        if (inel.nonEmpty && !force && !ignoreInel)
+          return error(ex, 400,
+            s"ErrTableIneligible: ineligible tables: ${inel.mkString(", ")}")
+        val effRules =
+          if (inel.nonEmpty && !force)
+            rules ++ inel.map { full =>
+              val Array(s, t) = full.split("\\.", 2)
+              Filters.TableRule(s, t, allow = false)
+            }
+          else rules
         try {
           val spec = ChangefeedSpec(
             id = id,
-            tableRules = rules,
+            tableRules = effRules,
             checkpointDir = ckpt,
             safeModeUntilTs = body.get("safe_mode_until_ts").map(_.asInstanceOf[Long]),
             metricsDir = body.get("metrics_dir").map(_.toString))
@@ -170,8 +197,21 @@ final class ApiServer(spark: SparkSession,
     * INELIGIBLE for replication. The reference's eligibility rule is "has
     * a handle key"; in the envelope model that is a non-null pk on every
     * event of the table. */
-  private def handleVerifyTable(ex: HttpExchange): Unit = {
+  /** (eligible, ineligible) table names for a filter scope — shared by
+    * verify_table and the creation-time eligibility rule. */
+  private def ineligibility(df: org.apache.spark.sql.DataFrame,
+      rules: Seq[Filters.TableRule]): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions._
+    val selected = Filters.tableFilter(df, rules)
+      .groupBy("schema_name", "table_name")
+      .agg(sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_no_key"))
+      .collect() // one row per selected table — control-plane sized
+    def names(p: org.apache.spark.sql.Row => Boolean) = selected.filter(p)
+      .map(r => s"${r.getString(0)}.${r.getString(1)}").sorted.toSeq
+    (names(_.getLong(2) == 0L), names(_.getLong(2) > 0L))
+  }
+
+  private def handleVerifyTable(ex: HttpExchange): Unit = {
     val body = readBody(ex)
     val srcName = body.get("source").map(_.toString)
       .getOrElse(return error(ex, 400, "source is required"))
@@ -181,15 +221,10 @@ final class ApiServer(spark: SparkSession,
       case Some(pats: Seq[_]) => Filters.parseRules(pats.map(_.toString))
       case _ => Seq(Filters.TableRule("*", "*", allow = true))
     }
-    val selected = Filters.tableFilter(source(), rules)
-      .groupBy("schema_name", "table_name")
-      .agg(sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_no_key"))
-      .collect() // one row per selected table — control-plane sized
-    def names(p: org.apache.spark.sql.Row => Boolean) = selected.filter(p)
-      .map(r => s"${r.getString(0)}.${r.getString(1)}").sorted.toSeq
+    val (eligible, ineligible) = ineligibility(source(), rules)
     respond(ex, 200, Map(
-      "eligible_tables" -> names(_.getLong(2) == 0L),
-      "ineligible_tables" -> names(_.getLong(2) > 0L)))
+      "eligible_tables" -> eligible,
+      "ineligible_tables" -> ineligible))
   }
 
   private val handler = new HttpHandler {

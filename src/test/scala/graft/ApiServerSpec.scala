@@ -121,4 +121,39 @@ class ApiServerSpec extends SparkSpec {
       assert(post(base, "/api/v2/verify_table", """{"source":"nope"}""")._1 == 400)
     } finally srv.stop()
   }
+
+  test("create rejects ineligible tables unless force/ignore (validator.go:170)") {
+    val dir = Files.createTempDirectory("graft_api_inel").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEv]
+    // the STREAM carries rows for both tables (pk values present on the
+    // wire); the INTROSPECTION snapshot declares db.bad handle-key-less
+    mem.addData(ev(1, 1, 10),
+      StreamEv(2, "I", 102, 101, 0, "db", "bad", 7, 7, None, Some(5.0), "e"))
+    val snapshot = Seq(
+      ("db", "t", Option(1L)), ("db", "bad", Option.empty[Long]))
+      .toDF("schema_name", "table_name", "pk")
+    val srv = new ApiServer(spark, new ChangefeedManager(spark),
+      Map("mem" -> (() => mem.toDF()),
+        "schema" -> (() => snapshot))).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    def body(extra: String) =
+      s"""{"changefeed_id":"cf-inel","source":"mem","introspect":"schema",
+         |"sink_uri":"state://$dir/state",
+         |"checkpoint_dir":"$dir/ckpt"$extra}""".stripMargin
+    try {
+      // neither flag → ErrTableIneligible-style rejection naming the table
+      val (c1, b1) = post(base, "/api/v2/changefeeds", body(""))
+      assert(c1 == 400 && b1.contains("ErrTableIneligible") &&
+        b1.contains("db.bad"), b1)
+      // ignore_ineligible_table → creation proceeds; db.bad's stream rows
+      // are excluded from scope by the appended block rule
+      val (c2, b2) = post(base, "/api/v2/changefeeds",
+        body(""","ignore_ineligible_table":true"""))
+      assert(c2 == 200, b2)
+      val state = Sinks.readState(spark, s"$dir/state")
+      assert(state.filter(org.apache.spark.sql.functions.col("table_name") === "bad").count() === 0L)
+      assert(state.count() === 1L) // db.t flowed
+    } finally srv.stop()
+  }
 }
