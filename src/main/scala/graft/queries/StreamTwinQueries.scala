@@ -1106,9 +1106,76 @@ object StreamTwinQueries {
       .withColumn("n_msgs", (col("n_sends") * col("parts")).cast("long"))
   }
 
+  /**
+   * q244 — the /synced decision kernel
+   * ([[graft.streaming.SyncedStatus.decide]], changefeed.go:972-1102):
+   * per source changefeed the progress marks anchor in the stream
+   * (lastSynced = max commit ts; pullerResolved 2 s past it), then a
+   * matrix of checkpoint lags {2 s behind, at lastSynced, idle-advanced
+   * 3.2 s past} × clock offsets {1 s, 3.5 s after lastSynced} × PD
+   * up/down drives every branch: strict-sync (case 2), the
+   * suspect-PD/TiKV vs plain-wait split of a stale checkpoint (case 3),
+   * recent-writes wait (case 4), and both PD-unavailable messages
+   * (case 1). SCI = 3 s, CI = 1 s for the matrix; oracle = the same
+   * decision as a CASE chain over the same stream-derived anchors.
+   */
+  val syncedStatus = GateQuery(
+    "q244_synced_status",
+    Some(cte +
+      """, marks AS (
+        |  SELECT source_id, max(commit_ts) AS last_synced,
+        |    max(commit_ts) + 2000 AS puller_resolved
+        |  FROM cdc GROUP BY source_id
+        |), matrix AS (
+        |  SELECT m.source_id, m.last_synced, m.puller_resolved,
+        |    m.last_synced + ck.d AS ckpt, m.last_synced + nw.d AS now,
+        |    pd.up AS pd_up
+        |  FROM marks m,
+        |    (SELECT unnest([-2000, 0, 3200]) AS d) ck,
+        |    (SELECT unnest([1000, 3500]) AS d) nw,
+        |    (SELECT unnest([0, 1]) AS up) pd
+        |)
+        |SELECT source_id, ckpt - last_synced AS ckpt_lag,
+        |  now - last_synced AS now_lag, pd_up,
+        |  CASE WHEN pd_up = 0 THEN 0
+        |       WHEN now - last_synced > 3000 AND now - ckpt < 1000 THEN 1
+        |       ELSE 0 END AS synced,
+        |  CASE WHEN pd_up = 0 THEN
+        |         CASE WHEN puller_resolved - ckpt > 1000
+        |              THEN 'pd-unavailable-behind'
+        |              ELSE 'pd-unavailable-check' END
+        |       WHEN now - last_synced > 3000 AND now - ckpt < 1000
+        |         THEN 'synced'
+        |       WHEN now - last_synced > 3000 THEN
+        |         CASE WHEN puller_resolved - ckpt < 1000
+        |              THEN 'check-pd-tikv' ELSE 'wait' END
+        |       ELSE 'wait' END AS info
+        |FROM matrix""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.SyncedStatus
+    val cfg = SyncedStatus.SyncedConfig(syncedCheckIntervalSec = 3,
+      checkpointIntervalSec = 1)
+    val marks = CdcStream.derive(spark, dir)
+      .groupBy("source_id").agg(max("commit_ts").as("last_synced"))
+      .collect() // one row per source changefeed — control-plane sized
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val rows = for {
+      (src, last) <- marks.toSeq
+      ckLag <- Seq(-2000L, 0L, 3200L)
+      nowLag <- Seq(1000L, 3500L)
+      pdUp <- Seq(false, true)
+    } yield {
+      val (synced, info) = SyncedStatus.decide(last + nowLag, last,
+        last + ckLag, last + 2000L, cfg, pdAvailable = pdUp)
+      (src, ckLag, nowLag, if (pdUp) 1 else 0,
+        if (synced) 1 else 0, info)
+    }
+    rows.toDF("source_id", "ckpt_lag", "now_lag", "pd_up", "synced", "info")
+  }
+
   def all: Seq[GateQuery] =
     Seq(checkpointResume, optimisticLattice, redoReplay, syncpoints,
       ddlBarrier, sinkProgress, lateData, redoApply, dmlMetrics,
       changefeedCrud, dmLifecycle, handleError, relayLog, multiplex,
-      watermarkDedup, bootstrapCadence)
+      watermarkDedup, bootstrapCadence, syncedStatus)
 }

@@ -91,6 +91,32 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  // ---- /synced decision kernel boundaries -----------------------------
+
+  test("synced kernel honors the reference's strict comparisons") {
+    import graft.streaming.SyncedStatus
+    import graft.streaming.SyncedStatus._
+    val cfg = SyncedConfig(syncedCheckIntervalSec = 300,
+      checkpointIntervalSec = 15)
+    def d(now: Long, last: Long, ck: Long, pr: Long, pd: Boolean = true) =
+      SyncedStatus.decide(now, last, ck, pr, cfg, pd)
+    // case 2 boundaries: now-last must EXCEED sci (strict >), now-ck must
+    // stay UNDER ci (strict <)
+    assert(d(300000, 0, 290000, 300000) === ((false, InfoWait))) // == sci
+    assert(d(300001, 0, 290000, 300000) === ((true, InfoSynced)))
+    // now-ck exactly == ci (15000 ms) is NOT under it → stale checkpoint
+    assert(!d(300001, 0, 285001, 300000)._1)
+    assert(d(300001, 0, 285002, 300000) === ((true, InfoSynced))) // 14999
+    // case 3 split: resolved-ckpt gap strictly under ci → suspect PD/TiKV
+    assert(d(400000, 0, 100000, 114999) === ((false, InfoCheckPdTikv)))
+    assert(d(400000, 0, 100000, 115000) === ((false, InfoWait)))
+    // case 1: pd down → never synced; gap strictly over ci → behind
+    assert(d(400000, 0, 100000, 115001, pd = false) ===
+      ((false, InfoPdUnavailableBehind)))
+    assert(d(400000, 0, 100000, 115000, pd = false) ===
+      ((false, InfoPdUnavailableCheck)))
+  }
+
   // ---- open-protocol pruning (q223) vs independent fold ---------------
 
   test("open p/d blocks equal the reference fold on 200 random rows") {
