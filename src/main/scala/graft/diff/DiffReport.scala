@@ -128,6 +128,64 @@ object DiffReport {
     case other => throw new IllegalArgumentException(s"check mode: $other")
   }
 
+  /** One table's summary facts for [[printSummary]] — the fields
+    * Report.Print reads per TableResult. */
+  final case class TableSummary(schema: String, table: String,
+      structEqual: Boolean, dataEqual: Boolean, dataSkip: Boolean,
+      tableLack: Int)
+
+  /** dbutil.TableName: backquoted `schema`.`table`, backticks doubled. */
+  def tableName(schema: String, table: String): String = {
+    def q(s: String) = "`" + s.replace("`", "``") + "`"
+    q(schema) + "." + q(table)
+  }
+
+  /**
+   * Report.Print (report.go:240-295), byte-for-byte on the no-error
+   * paths: the all-equal summary, or the per-table prose — struct
+   * mismatch splits by DataSkip and the lack flags, data mismatch only
+   * reports for all-exist tables — followed by the totals line and the
+   * patch-file/log pointers. The reference iterates Go maps (order
+   * varies run to run); the replay iterates tables sorted by
+   * (schema, table) so the bytes are deterministic.
+   */
+  def printSummary(tables: Seq[TableSummary], outputDir: String,
+      fixDir: String, logFileName: String = "sync_diff.log"): String = {
+    val passNum = tables.count(t => t.structEqual && t.dataEqual)
+    val skippedNum = tables.count(t =>
+      !(t.structEqual && t.dataEqual) && t.tableLack != AllTableExistFlag)
+    val failedNum = tables.size - passNum - skippedNum
+    val sb = new StringBuilder
+    if (failedNum == 0 && skippedNum == 0) {
+      sb ++= s"A total of ${tables.size} table have been compared and all are equal.\n"
+      sb ++= s"You can view the comparison details through '$outputDir/$logFileName'\n"
+    } else {
+      for (t <- tables.sortBy(t => (t.schema, t.table))) {
+        val name = tableName(t.schema, t.table)
+        if (!t.structEqual) {
+          if (t.dataSkip) t.tableLack match {
+            case UpstreamTableLackFlag =>
+              sb ++= s"The data of $name does not exist in upstream database\n"
+            case DownstreamTableLackFlag =>
+              sb ++= s"The data of $name does not exist in downstream database\n"
+            case _ =>
+              sb ++= s"The structure of $name is not equal, and data-check is skipped\n"
+          }
+          else sb ++= s"The structure of $name is not equal\n"
+        }
+        if (!t.dataEqual && t.tableLack == AllTableExistFlag)
+          sb ++= s"The data of $name is not equal\n"
+      }
+      sb ++= "\n"
+      sb ++= "The rest of tables are all equal.\n"
+      sb ++= "\n"
+      sb ++= s"A total of ${tables.size} tables have been compared, $passNum tables finished, $failedNum tables failed, $skippedNum tables skipped.\n"
+      sb ++= s"The patch file has been generated in \n\t'$fixDir/'\n"
+      sb ++= s"You can view the comparison details through '$outputDir/$logFileName'\n"
+    }
+    sb.toString
+  }
+
   /** CommitSummary + refreshResult: appends result / pass_num /
     * failed_num / skipped_num (identical on every row — the one-row
     * summary broadcasts back onto the table rows). */

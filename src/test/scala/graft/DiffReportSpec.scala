@@ -120,6 +120,36 @@ class DiffReportSpec extends SparkSpec {
     assert(kept === Seq(("s", "b", DiffReport.DownstreamTableLackFlag)))
   }
 
+  test("printSummary reproduces Report.Print's prose byte-for-byte") {
+    import DiffReport.TableSummary
+    // all equal
+    assert(DiffReport.printSummary(Seq(
+      TableSummary("s", "a", true, true, false, 0),
+      TableSummary("s", "b", true, true, false, 0)), "/out", "/fix") ===
+      "A total of 2 table have been compared and all are equal.\n" +
+      "You can view the comparison details through '/out/sync_diff.log'\n")
+    // the mixed case: data diff, struct-skip, both lack directions
+    val got = DiffReport.printSummary(Seq(
+      TableSummary("s", "ok", true, true, false, 0),
+      TableSummary("s", "bad", true, false, false, 0),
+      TableSummary("s", "schema", false, true, true, 0),
+      TableSummary("s", "up`x", false, false, true,
+        DiffReport.UpstreamTableLackFlag),
+      TableSummary("s", "down", false, false, true,
+        DiffReport.DownstreamTableLackFlag)), "/out", "/fix")
+    assert(got ===
+      "The data of `s`.`bad` is not equal\n" +
+      "The data of `s`.`down` does not exist in downstream database\n" +
+      "The structure of `s`.`schema` is not equal, and data-check is skipped\n" +
+      "The data of `s`.`up``x` does not exist in upstream database\n" +
+      "\nThe rest of tables are all equal.\n\n" +
+      "A total of 5 tables have been compared, 1 tables finished, " +
+      "2 tables failed, 2 tables skipped.\n" +
+      "The patch file has been generated in \n\t'/fix/'\n" +
+      "You can view the comparison details through '/out/sync_diff.log'\n",
+      got)
+  }
+
   test("checkpoint sidecar round-trips atomically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val p = s"$dir/sync_diff_checkpoints"
