@@ -150,6 +150,71 @@ class DiffReportSpec extends SparkSpec {
       got)
   }
 
+  test("flat savedNodeId equals the reference's hierarchical heap fold") {
+    // The reference orders chunks hierarchically — (tableIndex,
+    // bucketIndexLeft/Right, chunkIndex) with first/last markers — and
+    // advances the checkpoint by heap-popping while the head IsAdjacent
+    // to the saved node (checkpoints.go:98-141,259-269). The repo
+    // flattens that to "global position" + min-missing-id. This twin
+    // implements the REFERENCE fold over randomly generated hierarchies
+    // and random completion orders, and the two must agree at every step.
+    case class Node(tbl: Int, bL: Int, bR: Int, ck: Int,
+        firstForTable: Boolean, lastForTable: Boolean,
+        firstForBucket: Boolean, lastForBucket: Boolean)
+    def isAdjacent(n: Node, next: Node): Boolean =
+      if (n.tbl == next.tbl - 1) n.lastForTable && next.firstForTable
+      else if (n.tbl == next.tbl) {
+        if (n.bR == next.bL - 1) n.lastForBucket && next.firstForBucket
+        else if (n.bL == next.bL) n.ck == next.ck - 1
+        else false
+      } else false
+    val rnd = new scala.util.Random(1210L)
+    for (trial <- 0 until 40) {
+      // random hierarchy: 1-3 tables × 1-4 buckets × 1-5 chunks
+      val nodes = scala.collection.mutable.ArrayBuffer.empty[Node]
+      val nTables = 1 + rnd.nextInt(3)
+      for (t <- 0 until nTables) {
+        val nBuckets = 1 + rnd.nextInt(4)
+        val perBucket = Seq.fill(nBuckets)(1 + rnd.nextInt(5))
+        for (b <- 0 until nBuckets; c <- 0 until perBucket(b))
+          nodes += Node(t, b, b, c,
+            firstForTable = b == 0 && c == 0,
+            lastForTable = b == nBuckets - 1 && c == perBucket(b) - 1,
+            firstForBucket = c == 0, lastForBucket = c == perBucket(b) - 1)
+      }
+      val order = rnd.shuffle(nodes.indices.toList)
+      // reference fold: ordered-set stand-in for the min-heap (IsLess
+      // follows global order by construction), popped while adjacent
+      var saved = -1 // "init node" sits before the first chunk
+      val heap = scala.collection.mutable.TreeSet.empty[Int]
+      val sparkCheckAt = rnd.nextInt(order.size)
+      for ((flatIdx, k) <- order.zipWithIndex) {
+        heap += flatIdx
+        var advancing = true
+        while (advancing && heap.nonEmpty) {
+          val head = heap.head
+          val adjacent =
+            if (saved == -1) head == 0 && nodes(0).firstForBucket
+            else isAdjacent(nodes(saved), nodes(head))
+          if (adjacent) { saved = head; heap -= head }
+          else advancing = false
+        }
+        // flat min-missing over the SAME completed set must agree at
+        // EVERY step (pure fold); the Spark implementation is tied in
+        // once per trial at a random step
+        val completed = order.take(k + 1).toSet
+        var flat = -1
+        while (completed(flat + 1)) flat += 1
+        assert(flat === saved,
+          s"trial $trial after ${k + 1} completions: flat $flat vs ref $saved")
+        if (k == sparkCheckAt)
+          assert(graft.diff.DiffCheckpoint.savedNodeId(
+            completed.toSeq.map(_.toLong).toDF("cid"), "cid",
+            nodes.size) === saved.toLong, s"trial $trial spark check")
+      }
+    }
+  }
+
   test("checkpoint sidecar round-trips atomically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val p = s"$dir/sync_diff_checkpoints"
