@@ -120,6 +120,53 @@ class DiffReportSpec extends SparkSpec {
     assert(kept === Seq(("s", "b", DiffReport.DownstreamTableLackFlag)))
   }
 
+  test("randomized: report assembly equals an independent fold (30 trials)") {
+    val rnd = new scala.util.Random(1211L)
+    for (trial <- 0 until 30) {
+      val tables = Seq.tabulate(1 + rnd.nextInt(6)) { i =>
+        val lack = rnd.nextInt(4) match {
+          case 0 => DiffReport.UpstreamTableLackFlag
+          case 1 => DiffReport.DownstreamTableLackFlag
+          case _ => DiffReport.AllTableExistFlag
+        }
+        (s"t$i", rnd.nextBoolean() && lack == 0, rnd.nextBoolean(), lack)
+      }
+      val chunks = tables.flatMap { case (t, _, _, _) =>
+        Seq.fill(rnd.nextInt(4))((t, rnd.nextInt(8),
+          rnd.nextBoolean(), rnd.nextInt(5).toLong, rnd.nextInt(5).toLong,
+          rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      }
+      val res = DiffReport.withSummary(DiffReport.tableResults(
+        structF(tables.map(t => (t._1, t._2, t._3, t._4)): _*),
+        chunkF(chunks: _*))).collect()
+        .map(r => r.getAs[String]("table_name") -> r).toMap
+      // independent fold
+      val byT = chunks.groupBy(_._1)
+      var anyFail = false
+      val states = tables.map { case (t, se, _, lack) =>
+        val cs = byT.getOrElse(t, Nil)
+        val de = cs.forall(_._3)
+        val state = if (se && de) "pass"
+          else if (lack != 0) "skipped" else "fail"
+        if (lack == 0 && !(se && de)) anyFail = true
+        t -> ((state, cs.map(_._4).sum, cs.map(_._5).sum,
+          cs.map(_._6).sum, cs.map(_._7).sum))
+      }.toMap
+      for ((t, (state, ra, rd, up, down)) <- states) {
+        val r = res(t)
+        assert(r.getAs[String]("state") === state, s"trial $trial $t")
+        assert(r.getAs[Long]("rows_add") === ra &&
+          r.getAs[Long]("rows_delete") === rd &&
+          r.getAs[Long]("up_count") === up &&
+          r.getAs[Long]("down_count") === down, s"trial $trial $t")
+        assert(r.getAs[String]("result") ===
+          (if (anyFail) "fail" else "pass"), s"trial $trial")
+        assert(r.getAs[Long]("pass_num") ===
+          states.values.count(_._1 == "pass").toLong, s"trial $trial")
+      }
+    }
+  }
+
   test("printSummary reproduces Report.Print's prose byte-for-byte") {
     import DiffReport.TableSummary
     // all equal
