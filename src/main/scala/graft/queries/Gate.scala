@@ -97,7 +97,7 @@ object Gate {
       CurationQueries.all ++ LmQueries.all ++ EmbeddingQueries.all ++
       StatsQueries.all ++ ExtraQueries.all ++ ScaleQueries.all ++
       AnalyticsQueries.all ++
-      DdlQueries.all ++ StreamTwinQueries.all
+      DdlQueries.all ++ StreamTwinQueries.all ++ ConfigQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
