@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.core.Tables
-import graft.streaming.KafkaOptions
+import graft.core.{CdcStream, Hashing, Tables}
+import graft.streaming.{CaptureRegistry, Captures, KafkaOptions}
+import graft.streaming.Captures.CaptureInfo
 import graft.streaming.KafkaOptions.{Adjusted, Options, TopicMeta}
 
 /**
@@ -199,5 +200,153 @@ object ConfigQueries {
         "partitions", "warnings")
   }
 
-  def all: Seq[GateQuery] = Seq(kafkaAdjust)
+  /**
+   * q246 — the capture/processor inspection surface
+   * ([[graft.streaming.Captures]], cdc/api/v2/capture.go:27-124,
+   * processor.go:37-155) over a three-capture, three-changefeed cluster
+   * whose table scopes derive from the cdc envelope (feed-a = all tables,
+   * feed-b = db_0, feed-c = db_1 but stopped). Phases: the 3-capture
+   * processor view (stopped feeds excluded, zero-table processors listed
+   * empty — processor.go:113-115), the getProcessor validation chain
+   * (invalid ids, abnormal state, unknown capture), the drain transition
+   * matrix (unknown / owner / two successful drains with their
+   * at-request-time table counts / re-drain of a gone capture / last
+   * capture standing), and the post-drain single-capture view. The oracle
+   * replays the hash-ring placement with the portable md5 twin.
+   */
+  val captureProcessors = GateQuery(
+    "q246_capture_processors",
+    Some {
+      val h3 = Hashing.Sql.portableLong("t") + " % 3"
+      val h2 = Hashing.Sql.portableLong("t") + " % 2"
+      CdcStream.sqlCte +
+        s""", tabs AS (
+        |  SELECT DISTINCT schema_name || '.' || table_name AS t, schema_name
+        |  FROM cdc
+        |), scoped AS (
+        |  SELECT 'feed-a' AS cf, t FROM tabs
+        |  UNION ALL SELECT 'feed-b', t FROM tabs WHERE schema_name = 'db_0'
+        |  UNION ALL SELECT 'feed-c', t FROM tabs WHERE schema_name = 'db_1'
+        |), p3 AS (
+        |  SELECT cf, t,
+        |    (['capture-0','capture-1','capture-2'])[CAST($h3 AS INT) + 1] AS cap
+        |  FROM scoped
+        |), p2 AS (
+        |  SELECT cf, t,
+        |    (['capture-0','capture-1'])[CAST($h2 AS INT) + 1] AS cap
+        |  FROM scoped
+        |), proc3 AS (
+        |  SELECT 'proc3' AS phase, 'proc' AS kase, f.cf AS changefeed,
+        |    c.cap AS capture, 1 AS ok, '' AS err,
+        |    CAST(coalesce(n.n, 0) AS BIGINT) AS n_tables,
+        |    coalesce(n.ts, '') AS tables
+        |  FROM (VALUES ('feed-a'), ('feed-b')) f(cf)
+        |  CROSS JOIN
+        |       (VALUES ('capture-0'), ('capture-1'), ('capture-2')) c(cap)
+        |  LEFT JOIN (SELECT cf, cap, count(*) AS n,
+        |               string_agg(t, ',' ORDER BY t) AS ts
+        |             FROM p3 GROUP BY cf, cap) n
+        |    ON n.cf = f.cf AND n.cap = c.cap
+        |), detail AS (
+        |  SELECT 'detail' AS phase, 'ok' AS kase, 'feed-a' AS changefeed,
+        |    'capture-1' AS capture, 1 AS ok, '' AS err,
+        |    CAST(count(*) AS BIGINT) AS n_tables,
+        |    coalesce(string_agg(t, ',' ORDER BY t), '') AS tables
+        |  FROM p3 WHERE cf = 'feed-a' AND cap = 'capture-1'
+        |  UNION ALL SELECT 'detail', 'bad-cf', 'bad!id', 'capture-0', 0,
+        |    'ErrAPIInvalidParam', NULL, ''
+        |  UNION ALL SELECT 'detail', 'bad-cap', 'feed-a', 'cap!', 0,
+        |    'ErrAPIInvalidParam', NULL, ''
+        |  UNION ALL SELECT 'detail', 'stopped', 'feed-c', 'capture-1', 0,
+        |    'ErrAPIInvalidParam', NULL, ''
+        |  UNION ALL SELECT 'detail', 'no-cap', 'feed-a', 'capture-9', 0,
+        |    'ErrCaptureNotExist', NULL, ''
+        |), drains AS (
+        |  SELECT 'drain' AS phase, 'unknown' AS kase, '' AS changefeed,
+        |    'capture-9' AS capture, 0 AS ok, 'ErrCaptureNotExist' AS err,
+        |    CAST(NULL AS BIGINT) AS n_tables, '' AS tables
+        |  UNION ALL SELECT 'drain', 'owner', '', 'capture-0', 0,
+        |    'ErrSchedulerRequestFailed', NULL, ''
+        |  UNION ALL SELECT 'drain', 'ok2', '', 'capture-2', 1, '',
+        |    (SELECT count(*) FROM p3 WHERE cap = 'capture-2'), ''
+        |  UNION ALL SELECT 'drain', 'gone', '', 'capture-2', 0,
+        |    'ErrCaptureNotExist', NULL, ''
+        |  UNION ALL SELECT 'drain', 'ok1', '', 'capture-1', 1, '',
+        |    (SELECT count(*) FROM p2 WHERE cap = 'capture-1'), ''
+        |  UNION ALL SELECT 'drain', 'last', '', 'capture-0', 0,
+        |    'ErrSchedulerRequestFailed', NULL, ''
+        |), proc1 AS (
+        |  SELECT 'proc1' AS phase, 'proc' AS kase, cf AS changefeed,
+        |    'capture-0' AS capture, 1 AS ok, '' AS err,
+        |    CAST(count(*) AS BIGINT) AS n_tables,
+        |    string_agg(t, ',' ORDER BY t) AS tables
+        |  FROM scoped WHERE cf <> 'feed-c' GROUP BY cf
+        |)
+        |SELECT * FROM proc3 UNION ALL SELECT * FROM detail
+        |UNION ALL SELECT * FROM drains UNION ALL SELECT * FROM proc1""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val tabs = CdcStream.derive(spark, dir)
+      .select(concat_ws(".", col("schema_name"), col("table_name")).as("t"),
+        col("schema_name"))
+      .distinct().collect() // ≤8 rows — control-plane
+      .map(r => (r.getString(0), r.getString(1)))
+    val registry = new CaptureRegistry("cluster-1", Seq(
+      CaptureInfo("capture-0", "10.0.0.1:8300"),
+      CaptureInfo("capture-1", "10.0.0.2:8300"),
+      CaptureInfo("capture-2", "10.0.0.3:8300")))
+    registry.setScope("feed-a", "default", tabs.map(_._1).toSeq)
+    registry.setScope("feed-b", "default",
+      tabs.filter(_._2 == "db_0").map(_._1).toSeq)
+    registry.setScope("feed-c", "default",
+      tabs.filter(_._2 == "db_1").map(_._1).toSeq)
+    val state = Map("feed-a" -> "normal", "feed-b" -> "normal",
+      "feed-c" -> "stopped").withDefaultValue("not-found")
+
+    type R8 = (String, String, String, String, Int, String, Option[Long],
+      String)
+    def procRows(phase: String): Seq[R8] =
+      registry.listProcessors(state(_) == "normal").map { p =>
+        val cf = p("changefeed_id").toString
+        val cap = p("capture_id").toString
+        val ts = registry.tablesOn(cf, cap)
+        (phase, "proc", cf, cap, 1, "", Some(ts.size.toLong),
+          ts.mkString(","))
+      }
+    def detailRow(kase: String, cf: String, cap: String): R8 =
+      registry.getProcessor(cf, cap, state) match {
+        case Left((err, _)) => ("detail", kase, cf, cap, 0, err, None, "")
+        case Right(ts) => ("detail", kase, cf, cap, 1, "",
+          Some(ts.size.toLong), ts.mkString(","))
+      }
+    def drainRow(kase: String, cap: String): R8 =
+      registry.drain(cap) match {
+        case Left((err, _)) => ("drain", kase, "", cap, 0, err, None, "")
+        case Right(n) => ("drain", kase, "", cap, 1, "", Some(n.toLong), "")
+      }
+
+    val rows: Seq[(String, String, String, String, Int, String,
+      Option[Long], String)] =
+      procRows("proc3") ++
+      Seq(detailRow("ok", "feed-a", "capture-1"),
+        detailRow("bad-cf", "bad!id", "capture-0"),
+        detailRow("bad-cap", "feed-a", "cap!"),
+        detailRow("stopped", "feed-c", "capture-1"),
+        detailRow("no-cap", "feed-a", "capture-9")) ++
+      Seq(drainRow("unknown", "capture-9"),
+        drainRow("owner", "capture-0"),
+        drainRow("ok2", "capture-2"),
+        // re-drain of a gone capture while two remain alive: the alive
+        // list no longer contains it → ErrCaptureNotExist (the ≤1-alive
+        // guard fires FIRST in the reference, so this only reproduces
+        // with ≥2 still alive — capture.go:38-58)
+        drainRow("gone", "capture-2"),
+        drainRow("ok1", "capture-1"),
+        drainRow("last", "capture-0")) ++
+      procRows("proc1")
+    rows.toDF("phase", "kase", "changefeed", "capture", "ok", "err",
+      "n_tables", "tables")
+  }
+
+  def all: Seq[GateQuery] = Seq(kafkaAdjust, captureProcessors)
 }

@@ -33,7 +33,10 @@ import graft.operators.Filters
 final class ApiServer(spark: SparkSession,
                       manager: ChangefeedManager,
                       sources: Map[String, () => DataFrame],
-                      port: Int = 0) {
+                      port: Int = 0,
+                      registry: CaptureRegistry = new CaptureRegistry(
+                        "default", Seq(Captures.CaptureInfo(
+                          "capture-0", "127.0.0.1:8300")))) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -67,6 +70,16 @@ final class ApiServer(spark: SparkSession,
 
   private def error(ex: HttpExchange, code: Int, msg: String): Unit =
     respond(ex, code, Map("error_msg" -> msg))
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
+      .filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+          case Array(k) => k -> ""
+        }
+      }.toMap
 
   private def readBody(ex: HttpExchange): Map[String, Any] = {
     val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -158,6 +171,14 @@ final class ApiServer(spark: SparkSession,
             safeModeUntilTs = body.get("safe_mode_until_ts").map(_.asInstanceOf[Long]),
             metricsDir = body.get("metrics_dir").map(_.toString))
           manager.create(spec, source)(Sinks.forUri(spark, sinkUri))
+          // capture/processor views + /synced puller marks both key off the
+          // introspectable source snapshot (absent for opaque streams)
+          introspect.foreach { df =>
+            val (el, il) = ineligibility(df, effRules)
+            registry.setScope(id, "default", el ++ il)
+          }
+          body.get("introspect").map(_.toString).flatMap(sources.get)
+            .foreach(th => manager.setIntrospect(id, th))
           respond(ex, 200, feedState(id) + ("sink_uri" -> sinkUri))
         } catch {
           case e: IllegalArgumentException => error(ex, 400, e.getMessage)
@@ -169,13 +190,29 @@ final class ApiServer(spark: SparkSession,
         if (!manager.list().contains(id)) error(ex, 404, s"changefeed $id not found")
         else respond(ex, 200, manager.status(id).map { case (k, v) => k -> v })
       case ("GET", id :: "synced" :: Nil) =>
-        // AvailableNow feeds drain to the source end each resume: synced
-        // iff the feed exists and is not mid-batch (api.synced analog).
         if (!manager.list().contains(id)) error(ex, 404, s"changefeed $id not found")
-        else {
-          val active = manager.status(id).get("isActive").contains(true)
-          respond(ex, 200, Map("synced" -> !active,
-            "info" -> (if (active) "processing" else "caught up")))
+        else queryParams(ex).get("now") match {
+          // with an evaluation clock (commit-ts domain) the full decision
+          // kernel runs over the feed's REAL marks (SyncedStatus.decide,
+          // changefeed.go:972-1102); the envelope's commit ts carries no
+          // wall clock, so the caller supplies the instant
+          case Some(now) =>
+            val q = queryParams(ex)
+            // intervals come from the changefeed's replica config in the
+            // reference (replica_config.go:109 defaults 5 min / 15 s)
+            val cfg = SyncedStatus.SyncedConfig(
+              syncedCheckIntervalSec =
+                q.get("sci").map(_.toLong).getOrElse(300L),
+              checkpointIntervalSec =
+                q.get("ci").map(_.toLong).getOrElse(15L))
+            respond(ex, 200, manager.synced(id, now.toLong,
+              pdAvailable = q.get("pd").forall(_.toBoolean), cfg))
+          // clockless degenerate case: AvailableNow feeds drain to the
+          // source end each resume, so "drained" IS "synced"
+          case None =>
+            val active = manager.status(id).get("isActive").contains(true)
+            respond(ex, 200, Map("synced" -> !active,
+              "info" -> (if (active) "processing" else "caught up")))
         }
       case ("POST", id :: "pause" :: Nil) =>
         if (!manager.list().contains(id)) error(ex, 404, s"changefeed $id not found")
@@ -187,6 +224,7 @@ final class ApiServer(spark: SparkSession,
         // DELETE is idempotent in the reference (removing a missing
         // changefeed succeeds) — cdc/api/v2/changefeed.go deleteChangefeed.
         manager.delete(id)
+        registry.dropScope(id)
         respond(ex, 200, Map.empty[String, Any])
       case _ => error(ex, 404, s"no route: $method /api/v2/changefeeds/$tail")
     }
@@ -243,6 +281,39 @@ final class ApiServer(spark: SparkSession,
               "uptime_ms" -> (System.currentTimeMillis() - started)))
           case ("POST", "/api/v2/verify_table") =>
             handleVerifyTable(ex)
+          case ("GET", "/api/v2/captures") =>
+            val items = registry.listCaptures()
+            respond(ex, 200, Map("total" -> items.size, "items" -> items))
+          case ("POST", p) if p.startsWith("/api/v2/captures/") &&
+              p.endsWith("/drain") =>
+            val target = p.stripPrefix("/api/v2/captures/")
+              .stripSuffix("/drain")
+            registry.drain(target) match {
+              case Left((err, msg)) =>
+                error(ex, if (err == Captures.ErrCaptureNotExist) 404
+                          else 400, s"$err: $msg")
+              // 202 Accepted, as the reference's async drain responds
+              case Right(n) =>
+                respond(ex, 202, Map("current_table_count" -> n))
+            }
+          case ("GET", "/api/v2/processors") =>
+            val items = registry.listProcessors(
+              cf => feedState(cf)("state") == "normal")
+            respond(ex, 200, Map("total" -> items.size, "items" -> items))
+          case ("GET", p) if p.startsWith("/api/v2/processors/") =>
+            p.stripPrefix("/api/v2/processors/").split("/")
+                .filter(_.nonEmpty).toList match {
+              case cf :: cap :: Nil =>
+                registry.getProcessor(cf, cap,
+                  f => feedState(f)("state").toString) match {
+                  case Left((err, msg)) =>
+                    error(ex, if (err == Captures.ErrCaptureNotExist) 404
+                              else 400, s"$err: $msg")
+                  case Right(tables) =>
+                    respond(ex, 200, Map("tables" -> tables))
+                }
+              case _ => error(ex, 404, s"no route: GET $p")
+            }
           case (_, p) if p.startsWith("/api/v2/changefeeds") =>
             handleChangefeeds(ex, p.stripPrefix("/api/v2/changefeeds"))
           case (m, p) => error(ex, 404, s"no route: $m $p")

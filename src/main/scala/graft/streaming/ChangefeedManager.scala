@@ -16,7 +16,13 @@ final class ChangefeedManager(spark: SparkSession) {
   private final case class Entry(spec: ChangefeedSpec,
                                  source: () => DataFrame,
                                  sink: (DataFrame, Long) => Unit,
-                                 var query: Option[StreamingQuery])
+                                 var query: Option[StreamingQuery],
+                                 // /synced progress marks, tracked from the
+                                 // REAL applied batches (see syncedStatus)
+                                 var lastSynced: Long = 0L,
+                                 var checkpoint: Long = 0L,
+                                 var resolvedTick: Long = 0L,
+                                 var introspect: Option[() => DataFrame] = None)
 
   private val feeds = collection.concurrent.TrieMap.empty[String, Entry]
 
@@ -36,11 +42,30 @@ final class ChangefeedManager(spark: SparkSession) {
       e.query = None
     }
 
-  /** Resume from checkpoint (no-op if already running). */
+  /** Resume from checkpoint (no-op if already running). The user sink is
+    * wrapped so each APPLIED batch advances the /synced marks: lastSynced =
+    * max commit ts of a non-empty flushed batch, checkpoint follows (the
+    * microbatch is a complete ts range, so its max is a safe watermark —
+    * the same prefix rule as [[Sinks.sinkProgress]]). A failing sink
+    * advances nothing. */
   def resume(id: String): Unit =
     feeds.get(id).foreach { e =>
       if (!e.query.exists(_.isActive)) {
-        val q = Changefeed.start(spark, e.source(), e.spec)(e.sink)
+        val q = Changefeed.start(spark, e.source(), e.spec) { (b, bid) =>
+          e.sink(b, bid)
+          // compaction renames the fold's ts to last_commit_ts; a raw
+          // (compact=false) batch still carries commit_ts
+          Seq("last_commit_ts", "commit_ts").find(b.columns.contains)
+            .foreach { tsCol =>
+              val row = b.agg(org.apache.spark.sql.functions.max(tsCol))
+                .head() // one row — control-plane
+              if (!row.isNullAt(0)) {
+                val mx = row.getLong(0)
+                e.lastSynced = math.max(e.lastSynced, mx)
+                e.checkpoint = math.max(e.checkpoint, mx)
+              }
+            }
+        }
         q.awaitTermination() // AvailableNow triggers drain-and-stop
         e.query = Some(q)
       }
@@ -65,6 +90,55 @@ final class ChangefeedManager(spark: SparkSession) {
   }
 
   def list(): Seq[String] = feeds.keys.toSeq.sorted
+
+  /** Register a batch snapshot of the feed's SOURCE (the ApiServer's
+    * `introspect` pattern) — the puller's view, from which the resolved
+    * ts derives. Without it the puller is assumed caught up. */
+  def setIntrospect(id: String, snapshot: () => DataFrame): Unit =
+    feeds.get(id).foreach(_.introspect = Some(snapshot))
+
+  private def sourceMax(e: Entry): Long =
+    e.introspect.map(_ ()).filter(_.columns.contains("commit_ts"))
+      .map { df =>
+        // a schema-only snapshot (no ts column) says nothing about the
+        // puller frontier — treated as caught up
+        val r = df.agg(org.apache.spark.sql.functions.max("commit_ts")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }.getOrElse(0L)
+
+  /**
+   * The puller's resolved-ts heartbeat (the reference's resolved ts keeps
+   * advancing via PD TSO even with no writes, and the checkpoint follows
+   * once the sink has drained — cdc/owner/changefeed.go resolvedTs
+   * handling). With pending source rows beyond the checkpoint the tick
+   * only advances the RESOLVED mark; a drained feed's checkpoint follows
+   * the tick.
+   */
+  def tickResolved(id: String, ts: Long): Unit =
+    feeds.get(id).foreach { e =>
+      e.resolvedTick = math.max(e.resolvedTick, ts)
+      if (sourceMax(e) <= e.checkpoint)
+        e.checkpoint = math.max(e.checkpoint, ts)
+    }
+
+  /** `/synced` over the REAL marks ([[SyncedStatus.decide]]): lastSynced /
+    * checkpoint tracked from applied batches, pullerResolved = the source
+    * snapshot's frontier ∨ the resolved heartbeat ∨ the checkpoint. The
+    * caller supplies the evaluation clock (commit-ts domain). */
+  def synced(id: String, nowMs: Long, pdAvailable: Boolean = true,
+             cfg: SyncedStatus.SyncedConfig = SyncedStatus.SyncedConfig())
+      : Map[String, Any] = {
+    val e = feeds.getOrElse(id,
+      throw new NoSuchElementException(s"changefeed $id not found"))
+    val pullerResolved =
+      math.max(math.max(sourceMax(e), e.resolvedTick), e.checkpoint)
+    val (s, info) = SyncedStatus.decide(nowMs, e.lastSynced, e.checkpoint,
+      pullerResolved, cfg, pdAvailable)
+    Map("synced" -> s, "info" -> info,
+      "last_synced_ts" -> e.lastSynced,
+      "checkpoint_ts" -> e.checkpoint,
+      "puller_resolved_ts" -> pullerResolved)
+  }
 
   /** /status analog. */
   def status(id: String): Map[String, Any] =

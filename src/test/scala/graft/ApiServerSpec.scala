@@ -156,4 +156,79 @@ class ApiServerSpec extends SparkSpec {
       assert(state.count() === 1L) // db.t flowed
     } finally srv.stop()
   }
+
+  test("captures/processors/drain routes + /synced with an evaluation clock") {
+    import graft.streaming.{CaptureRegistry, Captures}
+    val dir = Files.createTempDirectory("graft_api_cap").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEv]
+    mem.addData(ev(1, 1, 10), ev(2, 2, 20)) // commit ts 101, 102
+    val snapshot = Seq(("db", "t", Option(1L)))
+      .toDF("schema_name", "table_name", "pk")
+    val registry = new CaptureRegistry("cluster-t", Seq(
+      Captures.CaptureInfo("capture-0", "10.0.0.1:8300"),
+      Captures.CaptureInfo("capture-1", "10.0.0.2:8300")))
+    val srv = new ApiServer(spark, new ChangefeedManager(spark),
+      Map("mem" -> (() => mem.toDF()), "schema" -> (() => snapshot)),
+      registry = registry).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      val caps = mapper.readTree(get(base, "/api/v2/captures")._2)
+      assert(caps.get("total").asInt() == 2)
+      assert(caps.get("items").get(0).get("is_owner").asBoolean())
+      assert(caps.get("items").get(0).get("cluster_id").asText() == "cluster-t")
+
+      // before any changefeed: no processors
+      assert(mapper.readTree(get(base, "/api/v2/processors")._2)
+        .get("total").asInt() == 0)
+
+      assert(post(base, "/api/v2/changefeeds",
+        s"""{"changefeed_id":"cf-cap","source":"mem","introspect":"schema",
+           |"sink_uri":"blackhole://",
+           |"checkpoint_dir":"$dir/ckpt"}""".stripMargin)._1 == 200)
+
+      // one changefeed × two captures
+      val procs = mapper.readTree(get(base, "/api/v2/processors")._2)
+      assert(procs.get("total").asInt() == 2)
+      assert(procs.get("items").get(0).get("changefeed_id").asText() == "cf-cap")
+
+      // detail: db.t placed on exactly one of the two captures
+      val details = Seq("capture-0", "capture-1").map { c =>
+        mapper.readTree(
+          get(base, s"/api/v2/processors/cf-cap/$c")._2).get("tables")
+      }
+      assert(details.map(_.size()).sum == 1)
+      // validation chain over HTTP
+      assert(get(base, "/api/v2/processors/bad!id/capture-0")._1 == 400)
+      assert(get(base, "/api/v2/processors/cf-cap/capture-9")._1 == 404)
+
+      // drain: owner refused, peer drained (table count in response),
+      // then the last capture refused
+      assert(post(base, "/api/v2/captures/capture-0/drain")._1 == 400)
+      val (dc, db) = post(base, "/api/v2/captures/capture-1/drain")
+      assert(dc == 202 && mapper.readTree(db).has("current_table_count"), db)
+      assert(post(base, "/api/v2/captures/capture-0/drain")._1 == 400)
+      assert(mapper.readTree(get(base, "/api/v2/captures")._2)
+        .get("total").asInt() == 1)
+
+      // /synced with an explicit clock runs the kernel over REAL marks
+      // (drained feed: lastSynced = checkpoint = 102)
+      val s1 = mapper.readTree(
+        get(base, "/api/v2/changefeeds/cf-cap/synced?now=5102&sci=3&ci=1")._2)
+      assert(!s1.get("synced").asBoolean() &&
+        s1.get("info").asText() == "check-pd-tikv")
+      assert(s1.get("last_synced_ts").asLong() == 102L)
+      val s2 = mapper.readTree(get(base,
+        "/api/v2/changefeeds/cf-cap/synced?now=5102&sci=3&ci=1&pd=false")._2)
+      assert(s2.get("info").asText() == "pd-unavailable-check")
+      // clockless degenerate form still answers drained == synced
+      assert(mapper.readTree(get(base, "/api/v2/changefeeds/cf-cap/synced")._2)
+        .get("synced").asBoolean())
+
+      // delete clears the processor scope
+      assert(delete(base, "/api/v2/changefeeds/cf-cap")._1 == 200)
+      assert(mapper.readTree(get(base, "/api/v2/processors")._2)
+        .get("total").asInt() == 0)
+    } finally srv.stop()
+  }
 }

@@ -40,6 +40,65 @@ class ManagerSpec extends SparkSpec {
     assert(mgr.status("cf1")("state") == "not-found")
   }
 
+  test("/synced kernel over REAL tracked marks: all four cases + both PD legs") {
+    import graft.streaming.SyncedStatus
+    val dir = Files.createTempDirectory("graft_mgr_sync").toString
+    val mgr = new ChangefeedManager(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEv]
+    var added = Seq.empty[StreamEv] // the puller's view = source snapshot
+    def push(es: StreamEv*): Unit = { mem.addData(es: _*); added ++= es }
+    val cfg = SyncedStatus.SyncedConfig(syncedCheckIntervalSec = 3,
+      checkpointIntervalSec = 1)
+
+    push(ev(1, 1, 10), ev(2, 2, 20)) // commit ts 101, 102
+    mgr.create(ChangefeedSpec(id = "cfS", checkpointDir = s"$dir/ckpt"),
+      () => mem.toDF())((_, _) => ())
+    mgr.setIntrospect("cfS", () => added.toDF())
+    def ask(now: Long, pd: Boolean = true) = mgr.synced("cfS", now, pd, cfg)
+
+    // marks came from the APPLIED batches, not from any caller input
+    assert(ask(102)("last_synced_ts") == 102L)
+    assert(ask(102)("checkpoint_ts") == 102L)
+
+    // case 4 — recent writes: not synced, wait
+    assert(ask(102 + 500) ==
+      ask(602) && ask(602)("synced") == false && ask(602)("info") == "wait")
+    // case 3 (resolved stuck at checkpoint) — suspect PD/TiKV
+    assert(ask(102 + 5000)("info") == SyncedStatus.InfoCheckPdTikv)
+    // case 1 with a small resolved-checkpoint gap — pd-unavailable-check
+    assert(ask(102 + 5000, pd = false)("info") ==
+      SyncedStatus.InfoPdUnavailableCheck)
+
+    // rows arrive while the feed is down: the puller frontier moves ahead
+    // of the checkpoint (NOT resumed yet)
+    push(ev(2000, 9, 90)) // commit ts 2100
+    assert(ask(102 + 5000)("puller_resolved_ts") == 2100L)
+    // case 3 (checkpoint genuinely behind) — plain wait
+    assert(ask(102 + 5000)("info") == SyncedStatus.InfoWait)
+    // case 1 with the puller ahead — pd-unavailable-behind
+    assert(ask(102 + 5000, pd = false)("info") ==
+      SyncedStatus.InfoPdUnavailableBehind)
+
+    // drain the pending rows, then the resolved-ts heartbeat advances the
+    // checkpoint past lastSynced (idle progress)
+    mgr.resume("cfS")
+    assert(ask(2100)("last_synced_ts") == 2100L)
+    mgr.tickResolved("cfS", 6000)
+    assert(ask(6500)("checkpoint_ts") == 6000L)
+    assert(ask(6500)("last_synced_ts") == 2100L)
+    // case 2 — strictly synced: no recent writes, checkpoint fresh
+    assert(ask(6500)("synced") == true &&
+      ask(6500)("info") == SyncedStatus.InfoSynced)
+
+    // a tick with pending source rows must NOT advance the checkpoint
+    push(ev(7000, 5, 50)) // commit ts 7100 pending
+    mgr.tickResolved("cfS", 8000)
+    assert(ask(8100)("checkpoint_ts") == 6000L)
+    assert(ask(8100)("puller_resolved_ts") == 8000L)
+    mgr.delete("cfS")
+  }
+
   test("metricsDir and textDdlRegistryDir are first-class spec options") {
     import graft.streaming.Metrics
     val dir = Files.createTempDirectory("graft_mgr2").toString
