@@ -101,6 +101,46 @@ object Bench100x {
       Dedup.simhashCandidates(sh, bits, bands, maxHam = 3)
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     },
+    // round-13: the reference's consistency capstone
+    // (tests/integration_tests/bank/case.go) promoted to a scale entry:
+    // balanced transfers derived from the events table fan out to a
+    // debit+credit pair per transfer (both legs share the transfer's
+    // batch — txn atomicity), apply to a million-account state in 10
+    // ts-aligned batches through a full-outer merge with a per-batch
+    // invariant check (Σ deltas must stay 0 after EVERY batch, the
+    // microbatch-barrier claim as a number). localCheckpoint per round
+    // keeps the 10-join lineage flat; a violation throws, so a green
+    // entry IS the invariant.
+    "bank_invariant" -> { () =>
+      val ev = Tables.load(spark, dir, "events")
+      val nAcc = 1 << 20
+      val base = ev.select(
+          pmod(col("user_id"), lit(nAcc.toLong)).as("f"),
+          pmod(col("user_id") * 7 + col("event_id"), lit(nAcc.toLong)).as("t"),
+          (col("event_id") % 100 + 1).cast("long").as("a"),
+          pmod(col("event_id"), lit(10L)).cast("int").as("batch"))
+        .filter(col("f") =!= col("t"))
+      val ledger = base.select(col("f").as("pk"), (-col("a")).as("delta"),
+          col("batch"))
+        .unionByName(base.select(col("t").as("pk"), col("a").as("delta"),
+          col("batch")))
+      var state = spark.range(0).select(col("id").as("pk"),
+        lit(0L).as("bal"))
+      var breaks = 0L
+      for (b <- 0 until 10) {
+        val batchDelta = ledger.filter(col("batch") === b)
+          .groupBy("pk").agg(sum("delta").as("d"))
+        state = state.join(batchDelta, Seq("pk"), "full")
+          .select(col("pk"),
+            (coalesce(col("bal"), lit(0L)) +
+              coalesce(col("d"), lit(0L))).as("bal"))
+          .localCheckpoint()
+        val total = state.agg(sum("bal")).head().getLong(0)
+        if (total != 0L) breaks += 1
+      }
+      if (breaks > 0) sys.error(s"bank invariant broken in $breaks batches")
+      state.agg(count(lit(1)).as("accounts"), sum("bal").as("net"))
+    },
     // round-10: the PRODUCTION z-order writer (range shuffle — the gate's
     // ntile twin is deliberately not run here: a single-task global window
     // is the anti-plan the writer exists to avoid). Writes the 100×
@@ -183,7 +223,11 @@ object Bench100x {
     // phase that precedes q51's row-level join), and the avro watermark
     // framing (control-plane-sized, included for completeness)
     "q239_bootstrap_cadence", "q240_diff_report",
-    "q241_diff_checkpoint_resume", "q242_avro_watermark")
+    "q241_diff_checkpoint_resume", "q242_avro_watermark",
+    // round-13: the stats-bucket splitter (one histogram partial-agg scan
+    // + a codegen'd membership cascade — the V1 chunking path that needs
+    // no sampling jobs at all)
+    "q247_bucket_chunks")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(

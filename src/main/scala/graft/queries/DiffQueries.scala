@@ -771,8 +771,131 @@ object DiffQueries {
     }.reduce(_ unionByName _)
   }
 
+  /**
+   * Oracle twin of the bucket-splitter pipeline for one (B, chunk-size
+   * divisor) parameterization: the width histogram (chunkByWidth
+   * arithmetic), a recursive-CTE replay of produceChunks' greedy fold,
+   * the sub-split expansion, and BOTH membership forms — range predicates
+   * and the boundary cascade — whose per-chunk counts must agree (the
+   * tiling proof).
+   */
+  private def bucketOracleSql(b: Int, csDiv: Int): String =
+    s"""WITH RECURSIVE bounds AS (
+       |  SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi,
+       |         CAST(count(*) AS BIGINT) AS n FROM lineitem
+       |), params AS (SELECT lo, hi, n, n // $csDiv AS cs FROM bounds),
+       |buck0 AS (
+       |  SELECT CAST(least($b - 1,
+       |           ((l_orderkey - p.lo) * $b) // (p.hi - p.lo + 1)) AS INT) AS wb,
+       |         count(*) AS c, max(l_orderkey) AS ub
+       |  FROM lineitem, params p GROUP BY 1
+       |), stats AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY wb) - 1 AS INT) AS i,
+       |         CAST(sum(c) OVER (ORDER BY wb) AS BIGINT) AS cum,
+       |         CAST(ub AS BIGINT) AS ub
+       |  FROM buck0
+       |), fold AS (
+       |  SELECT -1 AS i, CAST(0 AS BIGINT) AS latest,
+       |         CAST(NULL AS BIGINT) AS lower_b, -1 AS last_close,
+       |         0 AS closed, CAST(NULL AS BIGINT) AS g_lower,
+       |         CAST(NULL AS BIGINT) AS g_upper,
+       |         CAST(NULL AS BIGINT) AS g_count, 0 AS g_single
+       |  UNION ALL
+       |  SELECT s.i,
+       |    CASE WHEN s.cum - f.latest >= p.cs THEN s.cum ELSE f.latest END,
+       |    CASE WHEN s.cum - f.latest >= p.cs THEN s.ub ELSE f.lower_b END,
+       |    CASE WHEN s.cum - f.latest >= p.cs THEN s.i ELSE f.last_close END,
+       |    CASE WHEN s.cum - f.latest >= p.cs THEN 1 ELSE 0 END,
+       |    f.lower_b, s.ub, s.cum - f.latest,
+       |    CASE WHEN s.i = f.last_close + 1 THEN 1 ELSE 0 END
+       |  FROM fold f JOIN stats s ON s.i = f.i + 1, params p
+       |), groups AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY i) AS INT) AS gord,
+       |    g_lower, g_upper, g_count, g_single,
+       |    CASE WHEN g_single = 1
+       |         THEN (g_count + p.cs // 2) // p.cs ELSE 1 END AS pieces
+       |  FROM fold, params p WHERE closed = 1
+       |), subs AS (
+       |  SELECT gord,
+       |    unnest(generate_series(0, pieces - 1)) AS k,
+       |    pieces, g_lower, g_upper,
+       |    coalesce(g_lower, (SELECT lo - 1 FROM params)) AS base,
+       |    CASE WHEN pieces > 1 THEN 'split'
+       |         WHEN g_single = 1 THEN 'single' ELSE 'merged' END AS kind
+       |  FROM groups
+       |), ranges0 AS (
+       |  SELECT gord, k, kind,
+       |    CASE WHEN k = 0 THEN g_lower
+       |         ELSE base + ((g_upper - base) * k) // pieces END AS lower_b,
+       |    base + ((g_upper - base) * (k + 1)) // pieces AS upper_b
+       |  FROM subs
+       |  UNION ALL
+       |  SELECT 2147483647, 0, 'tail',
+       |    (SELECT lower_b FROM fold ORDER BY i DESC LIMIT 1),
+       |    CAST(NULL AS BIGINT)
+       |), chunks AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY gord, k) - 1 AS INT)
+       |           AS chunk_id,
+       |         kind, lower_b, upper_b
+       |  FROM ranges0
+       |), rcounts AS (
+       |  SELECT c.chunk_id, count(l.l_orderkey) AS n_rows
+       |  FROM chunks c LEFT JOIN lineitem l
+       |    ON (c.lower_b IS NULL OR l.l_orderkey > c.lower_b)
+       |   AND (c.upper_b IS NULL OR l.l_orderkey <= c.upper_b)
+       |  GROUP BY 1
+       |), ccounts AS (
+       |  SELECT chunk_id, count(*) AS n_casc FROM (
+       |    SELECT (SELECT count(*) FROM chunks c
+       |            WHERE c.upper_b IS NOT NULL
+       |              AND c.upper_b < l.l_orderkey) AS chunk_id
+       |    FROM lineitem l) GROUP BY 1
+       |)
+       |SELECT c.chunk_id, c.kind, c.lower_b AS lower, c.upper_b AS upper,
+       |  CAST(coalesce(r.n_rows, 0) AS BIGINT) AS n_rows,
+       |  CAST(coalesce(cc.n_casc, 0) AS BIGINT) AS n_rows_cascade
+       |FROM chunks c
+       |LEFT JOIN rcounts r USING (chunk_id)
+       |LEFT JOIN ccounts cc USING (chunk_id)""".stripMargin
+
+  private def bucketGate(name: String, b: Int, csDiv: Int) =
+    GateQuery(name, Some(bucketOracleSql(b, csDiv))) { (spark, dir) =>
+      import spark.implicits._
+      import graft.diff.BucketSplit
+      val li = Tables.load(spark, dir, "lineitem")
+      val n = li.count()
+      val (lo, _) = ChunkDiff.widthBounds(li, "l_orderkey")
+      val stats = BucketSplit.bucketStats(li, "l_orderkey", b)
+      val chunks = BucketSplit.bucketChunks(stats, n / csDiv, lo - 1)
+      val key = col("l_orderkey")
+      val rcounts = li
+        .groupBy(BucketSplit.assignByRanges(key, chunks).as("chunk_id"))
+        .agg(count(lit(1)).as("n_rows"))
+      val ccounts = li
+        .groupBy(BucketSplit
+          .assignByUppers(key, chunks.flatMap(_.upper)).as("chunk_id"))
+        .agg(count(lit(1)).as("n_rows_cascade"))
+      val meta = chunks.map(c => (c.chunkId, c.kind, c.lower, c.upper))
+        .toDF("chunk_id", "kind", "lower", "upper")
+      meta.join(rcounts, Seq("chunk_id"), "left")
+        .join(ccounts, Seq("chunk_id"), "left")
+        .na.fill(0L, Seq("n_rows", "n_rows_cascade"))
+    }
+
+  /**
+   * q247/q247b — the stats-bucket splitter ([[graft.diff.BucketSplit]],
+   * bucket.go:318-381) in its two regimes over lineitem: merge-heavy
+   * (64 width buckets folded against chunk-size n/16 — ~4 buckets per
+   * close) and split-heavy (4 fat buckets against n/8 — every bucket
+   * closes alone and sub-divides via the computed splitRangeByRandom
+   * stand-in). Both pin chunk bounds, kinds, and the range-vs-cascade
+   * membership parity against a recursive-CTE replay of the fold.
+   */
+  val bucketChunksMerge = bucketGate("q247_bucket_chunks", 64, 16)
+  val bucketChunksSplit = bucketGate("q247b_bucket_split", 4, 8)
+
   def all: Seq[GateQuery] =
     Seq(chunkChecksum, chunkChecksumComposite, rowDiff, fixSql, fixApply,
       diffIgnoreColumns, diffRange, diffReport, diffCheckpointResume,
-      diffCheckModes)
+      diffCheckModes, bucketChunksMerge, bucketChunksSplit)
 }
