@@ -30,8 +30,66 @@ object Sinks {
       case "storage"   => storageSink(rest) _
       case "mysql"     => sqlFileSink(rest) _
       case "state"     => parquetStateSink(spark, rest)
+      case "kafka"     => kafkaSink(spark, uri)
       case "blackhole" => (_, _) => ()
       case other => throw new IllegalArgumentException(s"unsupported sink scheme: $other")
+    }
+  }
+
+  /**
+   * K2 — the Kafka sink URI path with the REAL option surface
+   * (pkg/sink/kafka/options.go via [[KafkaOptions]]): params parse and
+   * validate at changefeed creation (a bad `partition-num` or
+   * `required-acks` rejects the create — the reference's
+   * verifyCreateChangefeedConfig behavior), then the producer options
+   * auto-adjust against the cluster metadata. Sockets are out of scope,
+   * so the topic materializes as a local dir (`dir` param) and the
+   * cluster metadata is declared (`broker-message-max-bytes` param,
+   * defaulting to Kafka's stock `message.max.bytes` 1048588; the topic is
+   * treated as absent → the broker cap and the partition-num default-3
+   * rule apply). Every batch enforces the ADJUSTED `max-message-bytes`
+   * the way the producer's size check does — oversize records fail the
+   * batch loudly instead of truncating silently.
+   */
+  def kafkaSink(spark: SparkSession, uri: String): (DataFrame, Long) => Unit = {
+    import graft.streaming.{KafkaOptions => KO}
+    val u = new java.net.URI(uri)
+    val o0 = KO.fromUri(uri) match {
+      case Left((err, msg)) => throw new IllegalArgumentException(s"$err: $msg")
+      case Right(o) => o
+    }
+    val topic = Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "kafka sink uri carries no topic path"))
+    val params = Option(u.getRawQuery).getOrElse("").split('&')
+      .filter(_.nonEmpty).map(_.split("=", 2))
+      .collect { case Array(k, v) =>
+        k -> java.net.URLDecoder.decode(v, "UTF-8") }.toMap
+    val dir = params.getOrElse("dir", throw new IllegalArgumentException(
+      "kafka sink uri needs dir=<path> (socket transport is out of scope)"))
+    val brokerMax = params.get("broker-message-max-bytes").map(_.toInt)
+      .getOrElse(1048588)
+    val adj = KO.adjust(o0, KO.TopicMeta(exists = false,
+        brokerMessageMaxBytes = Some(brokerMax))) match {
+      case Left((err, msg)) => throw new IllegalArgumentException(s"$err: $msg")
+      case Right(a) => a.options
+    }
+    (batch: DataFrame, batchId: Long) => {
+      val recs = batch.select(
+        pmod(graft.core.Hashing.portableLong(concat_ws("\u0001",
+          col("schema_name"), col("table_name"))),
+          lit(adj.partitionNum.toLong)).cast("int").as("partition"),
+        concat_ws(".", col("schema_name"), col("table_name"),
+          col("pk").cast("string")).as("key"),
+        to_json(struct(batch.columns.map(col).toIndexedSeq: _*)).as("value"))
+      val over = recs
+        .filter(length(col("value")) > adj.maxMessageBytes).count()
+      if (over > 0) throw new IllegalStateException(
+        s"ErrMessageTooLarge: $over records exceed the adjusted " +
+          s"max-message-bytes ${adj.maxMessageBytes}")
+      recs.withColumn("batch_id", lit(batchId))
+        .write.mode(SaveMode.Append).partitionBy("partition")
+        .parquet(s"$dir/$topic")
     }
   }
 

@@ -157,6 +157,46 @@ class ApiServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("kafka sink uri: option validation at create, adjusted size cap enforced") {
+    val dir = Files.createTempDirectory("graft_api_kafka").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEv]
+    mem.addData(ev(1, 1, 10), ev(2, 2, 20))
+    val srv = new ApiServer(spark, new ChangefeedManager(spark),
+      Map("mem" -> (() => mem.toDF()))).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    def body(id: String, sink: String) =
+      s"""{"changefeed_id":"$id","source":"mem",
+         |"sink_uri":"$sink","checkpoint_dir":"$dir/ckpt-$id"}""".stripMargin
+    try {
+      // day-one option errors reject the CREATE (verifyCreateChangefeedConfig)
+      val (c1, b1) = post(base, "/api/v2/changefeeds", body("k1",
+        s"kafka://h:9092/t?dir=$dir/mq&partition-num=0"))
+      assert(c1 == 400 && b1.contains("ErrKafkaInvalidPartitionNum"), b1)
+      val (c2, b2) = post(base, "/api/v2/changefeeds", body("k2",
+        s"kafka://h:9092/t?dir=$dir/mq&required-acks=2"))
+      assert(c2 == 400 && b2.contains("ErrKafkaInvalidRequiredAcks"), b2)
+      // rf < min.insync... not declarable here (topic absent, broker ISR
+      // hidden) — but a declared broker cap BELOW the declared
+      // max-message-bytes adjusts silently and the adjusted cap enforces:
+      // records (~160 B json) exceed a 30-byte adjusted cap → batch fails
+      val (c3, b3) = post(base, "/api/v2/changefeeds", body("k3",
+        s"kafka://h:9092/t?dir=$dir/mq&broker-message-max-bytes=158"))
+      assert(c3 == 500 && b3.contains("ErrMessageTooLarge"), b3)
+      // healthy create: records land partitioned under dir/topic with the
+      // default-3 partition rule applied
+      val (c4, b4) = post(base, "/api/v2/changefeeds", body("k4",
+        s"kafka://h:9092/t?dir=$dir/mq4"))
+      assert(c4 == 200, b4)
+      val recs = spark.read.parquet(s"$dir/mq4/t")
+      assert(recs.count() == 2L)
+      assert(recs.select("partition").distinct().as[Int].collect()
+        .forall(p => p >= 0 && p < 3))
+      assert(recs.columns.toSet ==
+        Set("partition", "key", "value", "batch_id"))
+    } finally srv.stop()
+  }
+
   test("captures/processors/drain routes + /synced with an evaluation clock") {
     import graft.streaming.{CaptureRegistry, Captures}
     val dir = Files.createTempDirectory("graft_api_cap").toString

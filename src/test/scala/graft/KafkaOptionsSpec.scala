@@ -99,6 +99,18 @@ class KafkaOptionsSpec extends AnyFunSuite {
       .toOption.get._1 == ErrInvalidPartitionNum)
   }
 
+  test("file config fills first, URI params override (mergeConfig order)") {
+    // mergo.Merge(fileCfg, urlParams, WithOverride): apply the file block,
+    // then the URI block on top — URI wins per-field, file fills the rest
+    val file = Map("compression" -> "gzip", "max-message-bytes" -> "1000")
+    val uri = Map("compression" -> "zstd", "partition-num" -> "4")
+    val o = KafkaOptions.applyParams(Options(), file)
+      .flatMap(KafkaOptions.applyParams(_, uri)).toOption.get
+    assert(o.compression == "zstd")      // URI overrode
+    assert(o.maxMessageBytes == 1000)    // file survived
+    assert(o.partitionNum == 4)          // URI only
+  }
+
   test("adjust caps mmb through the 128-byte overhead band") {
     val o = Options(maxMessageBytes = 1000, requiredAcks = 1,
       autoCreate = false)
