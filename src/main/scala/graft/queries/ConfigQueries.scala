@@ -348,5 +348,149 @@ object ConfigQueries {
       "n_tables", "tables")
   }
 
-  def all: Seq[GateQuery] = Seq(kafkaAdjust, captureProcessors)
+  /**
+   * q248 — the MySQL sink option surface ([[graft.streaming.MySqlOptions]],
+   * pkg/sink/mysql/config.go:152-498). One row per rule case, the clamp
+   * families anchored in `count(orders)` so both sides derive the same
+   * overshoot value:
+   *
+   *  - `num`: the four numeric rules × {error leg, in-range keep, clamp}
+   *    including the asymmetry — `max-multi-update-row-size=0` is LEGAL
+   *    ("never multi-update") where the other three reject 0.
+   *  - `mode`: tidb-txn-mode case-fold / bogus-warns-keeps-default (never
+   *    an error).
+   *  - `tz`: unset adopts the server zone quoted (warn), empty defers to
+   *    the downstream (warn), match passes, `local` aliases the server
+   *    zone, mismatch and unparseable are hard errors.
+   *  - `dur`: Go-duration validated, stored as the original string.
+   *  - `merge`: file block fills, URI overrides per-field.
+   *  - `scheme`: only mysql/mysql+ssl/tidb/tidb+ssl create the sink.
+   */
+  val mysqlAdjust = GateQuery(
+    "q248_mysql_adjust",
+    Some("""WITH b AS (SELECT CAST(count(*) AS BIGINT) AS base FROM orders),
+      |rows_ AS (SELECT * FROM (VALUES
+      |  ('num','wc_zero'),('num','wc_keep'),('num','wc_clamp'),
+      |  ('num','txn_zero'),('num','txn_keep'),('num','txn_clamp'),
+      |  ('num','muc_zero'),('num','muc_keep'),('num','muc_clamp'),
+      |  ('num','mus_neg'),('num','mus_zero'),('num','mus_clamp'),
+      |  ('mode','mode_pess'),('mode','mode_fold'),('mode','mode_bogus'),
+      |  ('tz','tz_unset'),('tz','tz_empty'),('tz','tz_match'),
+      |  ('tz','tz_local'),('tz','tz_mismatch'),('tz','tz_bogus'),
+      |  ('dur','dur_ok'),('dur','dur_bogus'),
+      |  ('merge','merge_override'),('merge','merge_fill'),
+      |  ('scheme','scheme_tidb'),('scheme','scheme_bad')) v(family, kase))
+      |SELECT family, kase,
+      |  CAST(CASE WHEN kase IN ('wc_zero','txn_zero','muc_zero','mus_neg',
+      |    'tz_mismatch','tz_bogus','dur_bogus','scheme_bad')
+      |    THEN 0 ELSE 1 END AS INT) AS ok,
+      |  CASE WHEN kase IN ('wc_zero','txn_zero','muc_zero','mus_neg',
+      |    'tz_mismatch','tz_bogus','dur_bogus','scheme_bad')
+      |    THEN 'ErrMySQLInvalidConfig' ELSE '' END AS err,
+      |  CAST(CASE WHEN kase IN ('wc_zero','txn_zero','muc_zero','mus_neg',
+      |      'tz_mismatch','tz_bogus','dur_bogus','scheme_bad') THEN NULL
+      |    WHEN kase = 'wc_keep' THEN 8
+      |    WHEN kase = 'wc_clamp' THEN LEAST(b.base, 1024)
+      |    WHEN kase = 'merge_fill' THEN 99
+      |    ELSE 16 END AS BIGINT) AS worker_count,
+      |  CAST(CASE WHEN kase IN ('wc_zero','txn_zero','muc_zero','mus_neg',
+      |      'tz_mismatch','tz_bogus','dur_bogus','scheme_bad') THEN NULL
+      |    WHEN kase = 'txn_keep' THEN 100
+      |    WHEN kase = 'txn_clamp' THEN LEAST(b.base, 2048)
+      |    WHEN kase = 'merge_override' THEN 9
+      |    ELSE 256 END AS BIGINT) AS max_txn_row,
+      |  CAST(CASE WHEN kase IN ('wc_zero','txn_zero','muc_zero','mus_neg',
+      |      'tz_mismatch','tz_bogus','dur_bogus','scheme_bad') THEN NULL
+      |    WHEN kase = 'muc_keep' THEN 100
+      |    WHEN kase = 'muc_clamp' THEN LEAST(b.base, 256)
+      |    ELSE 40 END AS BIGINT) AS mu_count,
+      |  CAST(CASE WHEN kase IN ('wc_zero','txn_zero','muc_zero','mus_neg',
+      |      'tz_mismatch','tz_bogus','dur_bogus','scheme_bad') THEN NULL
+      |    WHEN kase = 'mus_zero' THEN 0
+      |    WHEN kase = 'mus_clamp' THEN LEAST(b.base, 8192)
+      |    ELSE 1024 END AS BIGINT) AS mu_size,
+      |  CASE WHEN kase IN ('wc_zero','txn_zero','muc_zero','mus_neg',
+      |      'tz_mismatch','tz_bogus','dur_bogus','scheme_bad') THEN ''
+      |    WHEN kase IN ('mode_pess','mode_fold') THEN 'pessimistic'
+      |    ELSE 'optimistic' END AS txn_mode,
+      |  CASE WHEN kase IN ('wc_zero','txn_zero','muc_zero','mus_neg',
+      |      'tz_mismatch','tz_bogus','dur_bogus','scheme_bad') THEN ''
+      |    WHEN kase = 'tz_empty' THEN ''
+      |    ELSE '"UTC"' END AS timezone,
+      |  CASE WHEN kase IN ('wc_zero','txn_zero','muc_zero','mus_neg',
+      |      'tz_mismatch','tz_bogus','dur_bogus','scheme_bad') THEN ''
+      |    WHEN kase = 'dur_ok' THEN '1m30s'
+      |    ELSE '2m' END AS read_timeout,
+      |  CAST(CASE WHEN kase = 'merge_override' THEN 1 ELSE 0 END AS INT)
+      |    AS safe_mode,
+      |  CASE WHEN kase = 'wc_clamp' THEN 'worker-count-capped'
+      |    WHEN kase = 'txn_clamp' THEN 'max-txn-row-capped'
+      |    WHEN kase = 'muc_clamp' THEN 'max-multi-update-row-capped'
+      |    WHEN kase = 'mus_clamp' THEN 'max-multi-update-row-size-capped'
+      |    WHEN kase = 'mode_bogus' THEN 'invalid-tidb-txn-mode'
+      |    WHEN kase = 'tz_unset' THEN 'time-zone-not-specified'
+      |    WHEN kase = 'tz_empty' THEN 'time-zone-empty-use-downstream'
+      |    ELSE '' END AS warnings
+      |FROM rows_, b""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.{MySqlOptions => MO}
+    val base = Tables.load(spark, dir, "orders").count()
+    val utc = Map("time-zone" -> "UTC")
+
+    def run(family: String, kase: String,
+            res: Either[(String, String), MO.Adjusted])
+        : (String, String, Int, String, Option[Long], Option[Long],
+           Option[Long], Option[Long], String, String, String, Int, String) =
+      res match {
+        case Left((err, _)) =>
+          (family, kase, 0, err, None, None, None, None, "", "", "", 0, "")
+        case Right(MO.Adjusted(o, warns)) =>
+          (family, kase, 1, "", Some(o.workerCount.toLong),
+            Some(o.maxTxnRow.toLong), Some(o.maxMultiUpdateRowCount.toLong),
+            Some(o.maxMultiUpdateRowSize.toLong), o.tidbTxnMode, o.timezone,
+            o.readTimeout, if (o.safeMode) 1 else 0, warns.mkString(","))
+      }
+    def one(family: String, kase: String, params: (String, String)*) =
+      run(family, kase, MO("UTC", Map.empty, utc ++ params))
+
+    val rows = Seq(
+      one("num", "wc_zero", "worker-count" -> "0"),
+      one("num", "wc_keep", "worker-count" -> "8"),
+      one("num", "wc_clamp", "worker-count" -> base.toString),
+      one("num", "txn_zero", "max-txn-row" -> "0"),
+      one("num", "txn_keep", "max-txn-row" -> "100"),
+      one("num", "txn_clamp", "max-txn-row" -> base.toString),
+      one("num", "muc_zero", "max-multi-update-row" -> "0"),
+      one("num", "muc_keep", "max-multi-update-row" -> "100"),
+      one("num", "muc_clamp", "max-multi-update-row" -> base.toString),
+      one("num", "mus_neg", "max-multi-update-row-size" -> "-1"),
+      one("num", "mus_zero", "max-multi-update-row-size" -> "0"),
+      one("num", "mus_clamp", "max-multi-update-row-size" -> base.toString),
+      one("mode", "mode_pess", "tidb-txn-mode" -> "pessimistic"),
+      one("mode", "mode_fold", "tidb-txn-mode" -> "PESSIMISTIC"),
+      one("mode", "mode_bogus", "tidb-txn-mode" -> "serializable"),
+      run("tz", "tz_unset", MO("UTC", Map.empty, Map.empty)),
+      run("tz", "tz_empty", MO("UTC", Map.empty, Map("time-zone" -> ""))),
+      one("tz", "tz_match"),
+      run("tz", "tz_local", MO("UTC", Map.empty, Map("time-zone" -> "local"))),
+      run("tz", "tz_mismatch",
+        MO("UTC", Map.empty, Map("time-zone" -> "America/New_York"))),
+      run("tz", "tz_bogus", MO("UTC", Map.empty, Map("time-zone" -> "Not/AZone"))),
+      one("dur", "dur_ok", "read-timeout" -> "1m30s"),
+      one("dur", "dur_bogus", "read-timeout" -> "1m30x"),
+      run("merge", "merge_override", MO("UTC",
+        Map("max-txn-row" -> "1000", "safe-mode" -> "true"),
+        utc + ("max-txn-row" -> "9"))),
+      run("merge", "merge_fill",
+        MO("UTC", Map("worker-count" -> "99"), utc)),
+      run("scheme", "scheme_tidb",
+        MO.fromUri("tidb+ssl://h:4000/?time-zone=UTC", "UTC")),
+      run("scheme", "scheme_bad", MO.fromUri("kafka://h:9092/t", "UTC")))
+
+    rows.toDF("family", "kase", "ok", "err", "worker_count", "max_txn_row",
+      "mu_count", "mu_size", "txn_mode", "timezone", "read_timeout",
+      "safe_mode", "warnings")
+  }
+
+  def all: Seq[GateQuery] = Seq(kafkaAdjust, captureProcessors, mysqlAdjust)
 }

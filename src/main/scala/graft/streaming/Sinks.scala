@@ -28,7 +28,18 @@ object Sinks {
     }
     scheme match {
       case "storage"   => storageSink(rest) _
-      case "mysql"     => sqlFileSink(rest) _
+      case "mysql" | "mysql+ssl" | "tidb" | "tidb+ssl" =>
+        // K1 option surface (pkg/sink/mysql/config.go via [[MySqlOptions]]):
+        // bad params reject the changefeed CREATE, the adjusted knobs drive
+        // the SQL generator — max-txn-row bounds each multi-row statement,
+        // worker-count is the causality-slot parallelism
+        val serverTz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        val adj = MySqlOptions.fromUri(uri, serverTz) match {
+          case Left((err, msg)) => throw new IllegalArgumentException(s"$err: $msg")
+          case Right(a) => a.options
+        }
+        sqlFileSink(rest.split('?')(0), maxTxnRow = adj.maxTxnRow,
+          numPartitions = adj.workerCount) _
       case "state"     => parquetStateSink(spark, rest)
       case "kafka"     => kafkaSink(spark, uri)
       case "blackhole" => (_, _) => ()

@@ -197,6 +197,36 @@ class ApiServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("mysql sink uri: option surface validates at create, knobs drive SqlGen") {
+    val dir = Files.createTempDirectory("graft_api_mysql").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEv]
+    mem.addData(ev(1, 1, 10), ev(2, 2, 20))
+    val srv = new ApiServer(spark, new ChangefeedManager(spark),
+      Map("mem" -> (() => mem.toDF()))).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    def body(id: String, sink: String) =
+      s"""{"changefeed_id":"$id","source":"mem",
+         |"sink_uri":"$sink","checkpoint_dir":"$dir/ckpt-$id"}""".stripMargin
+    try {
+      val (c1, b1) = post(base, "/api/v2/changefeeds", body("m1",
+        s"mysql://$dir/sql1?worker-count=0"))
+      assert(c1 == 400 && b1.contains("ErrMySQLInvalidConfig"), b1)
+      val (c2, b2) = post(base, "/api/v2/changefeeds", body("m2",
+        s"mysql://$dir/sql2?time-zone=Asia/Shanghai")) // server runs UTC
+      assert(c2 == 400 && b2.contains("inconsistent"), b2)
+      val (c3, b3) = post(base, "/api/v2/changefeeds", body("m3",
+        s"mysql://$dir/sql3?worker-count=4&max-txn-row=1&time-zone=UTC"))
+      assert(c3 == 200, b3)
+      val sqlFiles = new java.io.File(s"$dir/sql3").listFiles()
+      assert(sqlFiles != null && sqlFiles.nonEmpty)
+      // max-txn-row=1 → one INSERT statement per row, never multi-row
+      val stmts = sqlFiles.flatMap(f =>
+        scala.io.Source.fromFile(f).getLines()).filter(_.nonEmpty)
+      assert(stmts.forall(s => !s.contains("), (")), stmts.mkString("\n"))
+    } finally srv.stop()
+  }
+
   test("captures/processors/drain routes + /synced with an evaluation clock") {
     import graft.streaming.{CaptureRegistry, Captures}
     val dir = Files.createTempDirectory("graft_api_cap").toString

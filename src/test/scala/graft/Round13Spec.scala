@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.streaming.Bootstrap
 import graft.streaming.Bootstrap.BootstrapConfig
-import graft.diff.DiffReport
+import graft.streaming.KafkaOptions
+import graft.streaming.KafkaOptions.{Options, TopicMeta}
+import graft.diff.{BucketSplit, DiffReport}
+import graft.diff.BucketSplit.BucketStat
 
 /** Round-13 randomized reference-fold properties over the round-12
   * kernels, with RANDOM CONFIGS (the fixed-config simulator in
@@ -157,6 +160,141 @@ class Round13Spec extends SparkSpec {
           r.getAs[Long]("failed_num") === byState("fail") &&
           r.getAs[Long]("skipped_num") === byState("skipped"),
           s"$mode $batch")
+      }
+    }
+  }
+
+  // ---- Kafka AdjustOptions against an independent decision table -------
+
+  test("kafka adjust equals a flat decision-table replay (500 random tuples)") {
+    val rnd = new scala.util.Random(1303L)
+    def maybe(v: => Int): Option[Int] =
+      if (rnd.nextBoolean()) Some(v) else None
+    for (trial <- 0 until 500) {
+      val o = Options(
+        partitionNum = rnd.nextInt(7), // 0 = unset
+        replicationFactor = 1 + rnd.nextInt(4),
+        maxMessageBytes = 200 + rnd.nextInt(2000),
+        requiredAcks = Seq(-1, 0, 1)(rnd.nextInt(3)),
+        autoCreate = rnd.nextBoolean())
+      val meta = TopicMeta(
+        exists = rnd.nextBoolean(),
+        numPartitions = 1 + rnd.nextInt(5),
+        // caps straddle the declared mmb and its 128-byte overhead band
+        topicMaxMessageBytes = maybe(o.maxMessageBytes - 150 + rnd.nextInt(300)),
+        brokerMessageMaxBytes = maybe(o.maxMessageBytes - 150 + rnd.nextInt(300)),
+        topicMinInsyncReplicas = maybe(1 + rnd.nextInt(5)),
+        brokerMinInsyncReplicas = maybe(1 + rnd.nextInt(5)))
+
+      // Flat replay written from the Go (options.go:580-686,688-756), as a
+      // straight-line decision table — no shared code with adjust().
+      val minIsr =
+        if (meta.exists)
+          meta.topicMinInsyncReplicas.orElse(meta.brokerMinInsyncReplicas)
+        else meta.brokerMinInsyncReplicas
+      val isrErr = o.requiredAcks == -1 && minIsr.exists(o.replicationFactor < _)
+      val isrWarn = o.requiredAcks == -1 && minIsr.isEmpty
+      val cap =
+        if (meta.exists)
+          meta.topicMaxMessageBytes.orElse(meta.brokerMessageMaxBytes)
+        else meta.brokerMessageMaxBytes
+      val expected: Either[String, (Int, Int, Set[String])] =
+        if (isrErr) Left(KafkaOptions.ErrInvalidConfig)
+        else if (cap.isEmpty) Left(KafkaOptions.ErrBrokerConfigNotFound)
+        else {
+          val c = cap.get
+          val mmb = math.min(o.maxMessageBytes, c - 128)
+          val capWarn =
+            if (c <= o.maxMessageBytes)
+              Set(if (meta.exists) "topic-cap-below-declared"
+                  else "broker-cap-below-declared")
+            else Set.empty[String]
+          if (meta.exists) {
+            if (o.partitionNum > meta.numPartitions)
+              Left(KafkaOptions.ErrInvalidPartitionNum)
+            else {
+              val pn = if (o.partitionNum == 0) meta.numPartitions
+                       else o.partitionNum
+              val w = capWarn ++
+                (if (o.autoCreate) Set("topic-already-exists") else Set.empty) ++
+                (if (o.partitionNum != 0 && o.partitionNum < meta.numPartitions)
+                   Set("partition-num-less-than-topic") else Set.empty) ++
+                (if (isrWarn) Set("min-insync-replicas-not-found") else Set.empty)
+              Right((pn, mmb, w))
+            }
+          } else {
+            val pn = if (o.partitionNum == 0) 3 else o.partitionNum
+            val w = capWarn ++
+              (if (o.partitionNum == 0) Set("partition-num-defaulted")
+               else Set.empty) ++
+              (if (isrWarn) Set("min-insync-replicas-not-found") else Set.empty)
+            Right((pn, mmb, w))
+          }
+        }
+
+      (KafkaOptions.adjust(o, meta), expected) match {
+        case (Left((err, _)), Left(e)) => assert(err === e, s"trial $trial")
+        case (Right(a), Right((pn, mmb, w))) =>
+          assert(a.options.partitionNum === pn, s"trial $trial $o $meta")
+          assert(a.options.maxMessageBytes === mmb, s"trial $trial $o $meta")
+          assert(a.warnings.toSet === w, s"trial $trial $o $meta")
+        case (got, exp) => fail(s"trial $trial: got $got, expected $exp")
+      }
+    }
+  }
+
+  // ---- bucket fold invariants under random stats tables ----------------
+
+  test("bucket chunks tile the key space under 200 random stats tables") {
+    val rnd = new scala.util.Random(1304L)
+    for (trial <- 0 until 200) {
+      val nB = 1 + rnd.nextInt(12)
+      var cum = 0L
+      var upper = rnd.nextInt(5).toLong
+      val stats = (0 until nB).map { i =>
+        cum += 1 + rnd.nextInt(3000)
+        upper += 1 + rnd.nextInt(50)
+        BucketStat(i, cum, upper)
+      }
+      val chunkSize = 500L + rnd.nextInt(2000)
+      val chunks = BucketSplit.bucketChunks(stats, chunkSize, -1L)
+      // tiling: first lower open, last upper open, bounds chain exactly
+      assert(chunks.head.lower.isEmpty && chunks.last.upper.isEmpty, s"$trial")
+      for (Seq(a, b) <- chunks.sliding(2))
+        assert(a.upper === b.lower, s"trial $trial: ${a.upper} ${b.lower}")
+      // every closed group ends on a bucket upper bound; fat single
+      // buckets carry piece count (count + half) / chunkSize
+      val closers = chunks.filter(c => c.kind == "merged" || c.kind == "single")
+      for (c <- closers)
+        assert(stats.exists(s => Some(s.upper) == c.upper), s"trial $trial")
+      // split runs: ≥2 pieces (one piece would have been "single"),
+      // each run ending on a real bucket bound; ids dense over ALL chunks
+      assert(chunks.map(_.chunkId) === chunks.indices.toSeq, s"trial $trial")
+      val splitRuns = chunks.foldLeft(List.empty[List[BucketSplit.BucketChunk]]) {
+        case (acc, c) if c.kind == "split" => acc match {
+          case h :: t if h.head.kind == "split" => (c :: h) :: t
+          case _ => List(c) :: acc
+        }
+        case (acc, c) => List(c) :: acc
+      }.map(_.reverse).reverse.filter(_.head.kind == "split")
+      for (g <- splitRuns) {
+        assert(g.size >= 2, s"trial $trial")
+        assert(stats.exists(s => Some(s.upper) == g.last.upper), s"trial $trial")
+      }
+      // membership parity on a key sweep across every boundary ±1
+      val uppers = chunks.flatMap(_.upper)
+      if (uppers.nonEmpty) {
+        val keys = uppers.flatMap(u => Seq(u - 1, u, u + 1)).distinct
+          .map(k => Tuple1(k)).toDF("k")
+        val both = keys.select(
+          BucketSplit.assignByUppers(col("k"), uppers).as("byUpper"),
+          BucketSplit.assignByRanges(col("k"), chunks).as("byRange"))
+        // byRange reports chunkId; split pieces share an id, so compare
+        // through the chunk-id the cascade index maps to
+        val idOf = chunks.map(_.chunkId).toArray
+        val rows = both.collect()
+        for (r <- rows)
+          assert(idOf(r.getInt(0)) === r.getInt(1), s"trial $trial $r")
       }
     }
   }
