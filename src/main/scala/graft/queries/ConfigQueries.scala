@@ -492,5 +492,162 @@ object ConfigQueries {
       "safe_mode", "warnings")
   }
 
-  def all: Seq[GateQuery] = Seq(kafkaAdjust, captureProcessors, mysqlAdjust)
+  /**
+   * q249 — the storage sink option surface
+   * ([[graft.streaming.StorageOptions]], pkg/sink/cloudstorage/
+   * config.go:34-235). The matrix pins the three repair semantics living
+   * side by side: `worker-count` errors at ≤0 and clamps above 512;
+   * `flush-interval` hard-errors only on an unparseable duration and
+   * clamps into [2s,10m]; `file-size` has NO error leg — 0 clamps UP to
+   * 1 MiB; `file-index-width`/`flush-concurrency` out of range silently
+   * reset to their defaults (20/1) with no warning at all.
+   */
+  val storageAdjust = GateQuery(
+    "q249_storage_adjust",
+    Some("""WITH b AS (SELECT CAST(count(*) AS BIGINT) AS base FROM orders),
+      |rows_ AS (SELECT * FROM (VALUES
+      |  ('wc','wc_zero'),('wc','wc_keep'),('wc','wc_clamp'),
+      |  ('fi','fi_empty'),('fi','fi_raise'),('fi','fi_keep'),
+      |  ('fi','fi_cap'),('fi','fi_bogus'),
+      |  ('fs','fs_zero'),('fs','fs_keep'),('fs','fs_cap'),
+      |  ('wd','wd_unset'),('wd','wd_keep'),('wd','wd_high'),('wd','wd_low'),
+      |  ('merge','merge_override'),('merge','merge_fill'),
+      |  ('scheme','scheme_s3'),('scheme','scheme_bad')) v(family, kase))
+      |SELECT family, kase,
+      |  CAST(CASE WHEN kase IN ('wc_zero','fi_bogus','scheme_bad')
+      |    THEN 0 ELSE 1 END AS INT) AS ok,
+      |  CASE WHEN kase IN ('wc_zero','fi_bogus','scheme_bad')
+      |    THEN 'ErrStorageSinkInvalidConfig' ELSE '' END AS err,
+      |  CAST(CASE WHEN kase IN ('wc_zero','fi_bogus','scheme_bad') THEN NULL
+      |    WHEN kase = 'wc_keep' THEN 8
+      |    WHEN kase = 'wc_clamp' THEN LEAST(b.base, 512)
+      |    WHEN kase = 'merge_override' THEN 7
+      |    ELSE 16 END AS BIGINT) AS worker_count,
+      |  CAST(CASE WHEN kase IN ('wc_zero','fi_bogus','scheme_bad') THEN NULL
+      |    WHEN kase = 'fi_raise' THEN 2000
+      |    WHEN kase = 'fi_keep' THEN 30000
+      |    WHEN kase = 'fi_cap' THEN 600000
+      |    ELSE 5000 END AS BIGINT) AS flush_ms,
+      |  CAST(CASE WHEN kase IN ('wc_zero','fi_bogus','scheme_bad') THEN NULL
+      |    WHEN kase = 'fs_zero' THEN 1048576
+      |    WHEN kase = 'fs_keep' THEN 33554432
+      |    WHEN kase = 'fs_cap' THEN 536870912
+      |    WHEN kase = 'merge_fill' THEN 2097152
+      |    ELSE 67108864 END AS BIGINT) AS file_size,
+      |  CAST(CASE WHEN kase IN ('wc_zero','fi_bogus','scheme_bad') THEN NULL
+      |    WHEN kase = 'wd_keep' THEN 8
+      |    ELSE 20 END AS BIGINT) AS index_width,
+      |  CAST(CASE WHEN kase IN ('wc_zero','fi_bogus','scheme_bad') THEN NULL
+      |    WHEN kase = 'wd_keep' THEN 4
+      |    ELSE 1 END AS BIGINT) AS flush_conc,
+      |  CASE WHEN kase = 'wc_clamp' THEN 'worker-count-capped'
+      |    WHEN kase = 'fi_raise' THEN 'flush-interval-raised'
+      |    WHEN kase = 'fi_cap' THEN 'flush-interval-capped'
+      |    WHEN kase = 'fs_zero' THEN 'file-size-raised'
+      |    WHEN kase = 'fs_cap' THEN 'file-size-capped'
+      |    ELSE '' END AS warnings
+      |FROM rows_, b""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.{StorageOptions => SO}
+    val base = Tables.load(spark, dir, "orders").count()
+
+    def run(family: String, kase: String,
+            res: Either[(String, String), SO.Adjusted])
+        : (String, String, Int, String, Option[Long], Option[Long],
+           Option[Long], Option[Long], Option[Long], String) =
+      res match {
+        case Left((err, _)) =>
+          (family, kase, 0, err, None, None, None, None, None, "")
+        case Right(SO.Adjusted(o, warns)) =>
+          (family, kase, 1, "", Some(o.workerCount.toLong),
+            Some(o.flushIntervalMs), Some(o.fileSize.toLong),
+            Some(o.fileIndexWidth.toLong), Some(o.flushConcurrency.toLong),
+            warns.mkString(","))
+      }
+    def one(family: String, kase: String, params: (String, String)*) =
+      run(family, kase, SO(Map.empty, params.toMap))
+
+    val rows = Seq(
+      one("wc", "wc_zero", "worker-count" -> "0"),
+      one("wc", "wc_keep", "worker-count" -> "8"),
+      one("wc", "wc_clamp", "worker-count" -> base.toString),
+      one("fi", "fi_empty", "flush-interval" -> ""),
+      one("fi", "fi_raise", "flush-interval" -> "1s"),
+      one("fi", "fi_keep", "flush-interval" -> "30s"),
+      one("fi", "fi_cap", "flush-interval" -> "20m"),
+      one("fi", "fi_bogus", "flush-interval" -> "fast"),
+      one("fs", "fs_zero", "file-size" -> "0"),
+      one("fs", "fs_keep", "file-size" -> "33554432"),
+      one("fs", "fs_cap", "file-size" -> "629145600"),
+      run("wd", "wd_unset", SO(Map.empty, Map.empty)),
+      run("wd", "wd_keep", SO(Map.empty, Map.empty,
+        fileIndexWidth = Some(8), flushConcurrency = Some(4))),
+      run("wd", "wd_high", SO(Map.empty, Map.empty,
+        fileIndexWidth = Some(25), flushConcurrency = Some(513))),
+      run("wd", "wd_low", SO(Map.empty, Map.empty,
+        fileIndexWidth = Some(3), flushConcurrency = Some(0))),
+      run("merge", "merge_override",
+        SO(Map("worker-count" -> "100"), Map("worker-count" -> "7"))),
+      run("merge", "merge_fill",
+        SO(Map("file-size" -> "2097152"), Map.empty)),
+      run("scheme", "scheme_s3",
+        SO.fromUri("s3://bucket/prefix?worker-count=16")),
+      run("scheme", "scheme_bad", SO.fromUri("mysql://h:3306/")))
+
+    rows.toDF("family", "kase", "ok", "err", "worker_count", "flush_ms",
+      "file_size", "index_width", "flush_conc", "warnings")
+  }
+
+  /**
+   * q250 — the Pulsar sink option surface
+   * ([[graft.streaming.PulsarOptions]], pkg/sink/pulsar/config.go:41-129):
+   * URI sanity order (empty host fires before the scheme gate), the
+   * four-scheme gate, broker-URL derivation with the `pulsar+http(s)` →
+   * `http(s)` downgrade, and nil-coalescing default fill of the five
+   * producer knobs from the config block.
+   */
+  val pulsarAdjust = GateQuery(
+    "q250_pulsar_adjust",
+    Some("""SELECT * FROM (VALUES
+      |  ('plain',    1, '', 'pulsar://b1:6650',  'tpc', 5, 30, 1000, 10, 30),
+      |  ('ssl',      1, '', 'pulsar+ssl://b1:6651', 'tpc', 5, 30, 1000, 10, 30),
+      |  ('http',     1, '', 'http://b1:8080',    'tpc', 5, 30, 1000, 10, 30),
+      |  ('https',    1, '', 'https://b1:8443',   'tpc', 5, 30, 1000, 10, 30),
+      |  ('cfgfill',  1, '', 'pulsar://b1:6650',  'tpc', 9, 30, 500, 10, 30),
+      |  ('deeppath', 1, '', 'pulsar://b1:6650',  'tenant/ns/tpc', 5, 30, 1000, 10, 30),
+      |  ('nohost',   0, 'host is empty', '', '', NULL, NULL, NULL, NULL, NULL),
+      |  ('nopath',   0, 'path is empty', '', '', NULL, NULL, NULL, NULL, NULL),
+      |  ('badscheme',0, 'invalid pulsar scheme kafka', '', '', NULL, NULL, NULL, NULL, NULL)
+      |) v(kase, ok, err, broker_url, topic, conn_s, op_s, batch_max,
+      |    delay_ms, send_s)""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.{PulsarOptions => PO}
+    def run(kase: String, uri: String, cfg: Map[String, Int] = Map.empty)
+        : (String, Int, String, String, String, Option[Int], Option[Int],
+           Option[Int], Option[Int], Option[Int]) =
+      PO.fromUri(uri, cfg) match {
+        case Left(e) => (kase, 0, e, "", "", None, None, None, None, None)
+        case Right(o) => (kase, 1, "", o.brokerUrl, o.topic,
+          Some(o.connectionTimeoutSec), Some(o.operationTimeoutSec),
+          Some(o.batchingMaxMessages), Some(o.batchingMaxPublishDelayMs),
+          Some(o.sendTimeoutSec))
+      }
+    Seq(
+      run("plain", "pulsar://b1:6650/tpc"),
+      run("ssl", "pulsar+ssl://b1:6651/tpc"),
+      run("http", "pulsar+http://b1:8080/tpc"),
+      run("https", "pulsar+https://b1:8443/tpc"),
+      run("cfgfill", "pulsar://b1:6650/tpc",
+        Map("connection-timeout" -> 9, "batching-max-messages" -> 500)),
+      run("deeppath", "pulsar://b1:6650/tenant/ns/tpc"),
+      run("nohost", "pulsar:///tpc"),
+      run("nopath", "pulsar://b1:6650"),
+      run("badscheme", "kafka://b1:9092/tpc"))
+      .toDF("kase", "ok", "err", "broker_url", "topic", "conn_s", "op_s",
+        "batch_max", "delay_ms", "send_s")
+  }
+
+  def all: Seq[GateQuery] =
+    Seq(kafkaAdjust, captureProcessors, mysqlAdjust, storageAdjust,
+      pulsarAdjust)
 }

@@ -27,7 +27,21 @@ object Sinks {
       case _ => throw new IllegalArgumentException(s"malformed sink uri: $uri")
     }
     scheme match {
-      case "storage"   => storageSink(rest) _
+      case "storage" =>
+        // K4 option surface (pkg/sink/cloudstorage/config.go via
+        // [[StorageOptions]]): a bad worker-count or flush-interval
+        // rejects the changefeed CREATE; the clamp/reset repairs are pure
+        val params = rest.split('?').lift(1).getOrElse("").split('&')
+          .filter(_.nonEmpty).map(_.split("=", 2)).map {
+            case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+            case Array(k) => k -> ""
+          }.toMap
+        StorageOptions(Map.empty, params) match {
+          case Left((err, msg)) =>
+            throw new IllegalArgumentException(s"$err: $msg")
+          case Right(_) => ()
+        }
+        storageSink(rest.split('?')(0)) _
       case "mysql" | "mysql+ssl" | "tidb" | "tidb+ssl" =>
         // K1 option surface (pkg/sink/mysql/config.go via [[MySqlOptions]]):
         // bad params reject the changefeed CREATE, the adjusted knobs drive
