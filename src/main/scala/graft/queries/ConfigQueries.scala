@@ -647,7 +647,136 @@ object ConfigQueries {
         "batch_max", "delay_ms", "send_s")
   }
 
+  /**
+   * q251 — the changefeed config validation ROOT
+   * ([[graft.streaming.ReplicaValidate]],
+   * pkg/config/replica_config.go:245-328 + sink.go:706-905 +
+   * consistent.go:75-121): the composition every `changefeed create`
+   * runs. The matrix drives one rule per row: URI-wins protocol
+   * reconciliation (conflict warns, never errors at create), atomicity ×
+   * scheme, protocol required on MQ/forbidden on MySQL, CSV quote/
+   * delimiter legs, redo default-fill and floors, sync-point bounds
+   * gated on the enable flag, memory-quota fill, the integrity non-Kafka
+   * downgrade vs the Kafka column-selector error, error-stuck floor, and
+   * dispatcher→partition migration.
+   */
+  val replicaValidate = GateQuery(
+    "q251_replica_validate",
+    Some("""SELECT * FROM (VALUES
+      |  ('uri','uri_wins',     1,'','open-protocol','',1,'incompatible-sink-config'),
+      |  ('uri','uri_fill',     1,'','canal-json','',1,''),
+      |  ('uri','atom_table_mq',0,'ErrSinkURIInvalid','','',0,''),
+      |  ('uri','atom_table_my',1,'','','table',0,''),
+      |  ('uri','atom_bogus',   0,'ErrSinkURIInvalid','','',0,''),
+      |  ('uri','mysql_proto',  0,'ErrSinkURIInvalid','','',0,''),
+      |  ('uri','unknown_proto',0,'ErrSinkUnknownProtocol','','',0,''),
+      |  ('uri','raw_no_old',   1,'','open-protocol','',1,'raw-change-event-without-old-value'),
+      |  ('sink','enc_neg',     0,'ErrSinkInvalidConfig','','',0,''),
+      |  ('sink','csv_del_hk',  0,'ErrSinkInvalidConfig','','',0,''),
+      |  ('sink','date_bad',    0,'ErrSinkInvalidConfig','','',0,''),
+      |  ('csv','quote_two',    0,'ErrSinkInvalidConfig','','',0,''),
+      |  ('csv','quote_lf',     0,'ErrSinkInvalidConfig','','',0,''),
+      |  ('csv','delim_empty',  0,'ErrSinkInvalidConfig','','',0,''),
+      |  ('csv','delim_four',   0,'ErrSinkInvalidConfig','','',0,''),
+      |  ('csv','common_char',  0,'ErrSinkInvalidConfig','','',0,''),
+      |  ('csv','bin_bogus',    0,'ErrSinkInvalidConfig','','',0,''),
+      |  ('redo','flush_low',   0,'ErrInvalidReplicaConfig','','',0,''),
+      |  ('redo','meta_low',    0,'ErrInvalidReplicaConfig','','',0,''),
+      |  ('redo','comp_bad',    0,'ErrInvalidReplicaConfig','','',0,''),
+      |  ('redo','storage_bad', 0,'ErrConsistentStorage','','',0,''),
+      |  ('cf','sync_int_low',  0,'ErrInvalidReplicaConfig','','',0,''),
+      |  ('cf','sync_ret_low',  0,'ErrInvalidReplicaConfig','','',0,''),
+      |  ('cf','sync_off_low',  1,'','open-protocol','',1,''),
+      |  ('cf','integrity_cols',0,'ErrInvalidReplicaConfig','','',0,''),
+      |  ('cf','stuck_low',     0,'ErrInvalidReplicaConfig','','',0,''),
+      |  ('cf','disp_both',     0,'ErrSinkInvalidConfig','','',0,'')
+      |) v(family, kase, ok, err, protocol, atomicity, term_crlf, warnings)""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.{StorageOptions, ReplicaValidate => RV}
+    import RV.{ReplicaConfig => RC}
+
+    def run(family: String, kase: String, scheme: String,
+            uriParams: Map[String, String], cfg: RC)
+        : (String, String, Int, String, String, String, Int, String) =
+      RV.validateAndAdjust(scheme, uriParams, cfg) match {
+        case Left((err, _)) => (family, kase, 0, err, "", "", 0, "")
+        case Right(RV.Validated(c, warns)) =>
+          val proto =
+            if (RV.isMqScheme(scheme) || StorageOptions.isStorageScheme(scheme))
+              RV.parseProtocol(c.protocol).toOption.getOrElse("")
+            else c.protocol
+          (family, kase, 1, "", proto, c.txnAtomicity,
+            if (c.terminator.contains(RV.CRLF)) 1 else 0,
+            warns.mkString(","))
+      }
+
+    // advance-timeout pre-set so its default-fill warn doesn't ride every
+    // non-mysql row — the fill itself is covered by ReplicaValidateSpec
+    val B = RC(advanceTimeoutSec = 150)
+    val rows = Seq(
+      run("uri", "uri_wins", "kafka", Map("protocol" -> "open-protocol"),
+        B.copy(protocol = "canal")),
+      run("uri", "uri_fill", "kafka", Map("protocol" -> "canal-json"), B),
+      run("uri", "atom_table_mq", "kafka",
+        Map("protocol" -> "open-protocol", "transaction-atomicity" -> "table"),
+        B),
+      run("uri", "atom_table_my", "mysql",
+        Map("transaction-atomicity" -> "table"), B),
+      run("uri", "atom_bogus", "mysql",
+        Map("transaction-atomicity" -> "global"), B),
+      run("uri", "mysql_proto", "mysql", Map("protocol" -> "canal-json"), B),
+      run("uri", "unknown_proto", "kafka", Map("protocol" -> "protobuf"), B),
+      run("uri", "raw_no_old", "kafka", Map("protocol" -> "default"),
+        B.copy(outputRawChangeEvent = true)),
+      run("sink", "enc_neg", "kafka", Map("protocol" -> "simple"),
+        B.copy(encoderConcurrency = -1)),
+      run("sink", "csv_del_hk", "s3", Map("protocol" -> "csv"),
+        B.copy(deleteOnlyOutputHandleKeyColumns = true)),
+      run("sink", "date_bad", "s3", Map("protocol" -> "csv"),
+        B.copy(dateSeparator = "week")),
+      run("csv", "quote_two", "s3", Map("protocol" -> "csv"),
+        B.copy(csv = RV.CsvConfig(quote = "''"))),
+      run("csv", "quote_lf", "s3", Map("protocol" -> "csv"),
+        B.copy(csv = RV.CsvConfig(quote = "\n"))),
+      run("csv", "delim_empty", "s3", Map("protocol" -> "csv"),
+        B.copy(csv = RV.CsvConfig(delimiter = ""))),
+      run("csv", "delim_four", "s3", Map("protocol" -> "csv"),
+        B.copy(csv = RV.CsvConfig(delimiter = "||||"))),
+      run("csv", "common_char", "s3", Map("protocol" -> "csv"),
+        B.copy(csv = RV.CsvConfig(quote = "|", delimiter = "|,"))),
+      run("csv", "bin_bogus", "s3", Map("protocol" -> "csv"),
+        B.copy(csv = RV.CsvConfig(binaryEncodingMethod = "utf8"))),
+      run("redo", "flush_low", "mysql", Map.empty,
+        B.copy(consistent = RV.ConsistentConfig(level = "eventual",
+          flushIntervalMs = 10))),
+      run("redo", "meta_low", "mysql", Map.empty,
+        B.copy(consistent = RV.ConsistentConfig(level = "eventual",
+          metaFlushIntervalMs = 10))),
+      run("redo", "comp_bad", "mysql", Map.empty,
+        B.copy(consistent = RV.ConsistentConfig(level = "eventual",
+          compression = "zstd"))),
+      run("redo", "storage_bad", "mysql", Map.empty,
+        B.copy(consistent = RV.ConsistentConfig(level = "eventual",
+          storage = "hdfs://nn/redo"))),
+      run("cf", "sync_int_low", "kafka", Map("protocol" -> "simple"),
+        B.copy(enableSyncPoint = true, syncPointIntervalSec = Some(10))),
+      run("cf", "sync_ret_low", "kafka", Map("protocol" -> "simple"),
+        B.copy(enableSyncPoint = true, syncPointRetentionSec = Some(600))),
+      run("cf", "sync_off_low", "kafka", Map("protocol" -> "default"),
+        B.copy(enableSyncPoint = false, syncPointIntervalSec = Some(10))),
+      run("cf", "integrity_cols", "kafka", Map("protocol" -> "simple"),
+        B.copy(integrityCheckLevel = "correctness",
+          columnSelectors = Seq("t1.*"))),
+      run("cf", "stuck_low", "mysql", Map.empty,
+        B.copy(errorStuckDurationSec = Some(60))),
+      run("cf", "disp_both", "kafka", Map("protocol" -> "simple"),
+        B.copy(dispatchRules = Seq(RV.DispatchRule("t.*", "index-value", "ts")))))
+
+    rows.toDF("family", "kase", "ok", "err", "protocol", "atomicity",
+      "term_crlf", "warnings")
+  }
+
   def all: Seq[GateQuery] =
     Seq(kafkaAdjust, captureProcessors, mysqlAdjust, storageAdjust,
-      pulsarAdjust)
+      pulsarAdjust, replicaValidate)
 }

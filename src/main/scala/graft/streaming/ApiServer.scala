@@ -100,6 +100,48 @@ final class ApiServer(spark: SparkSession,
     }
   }
 
+  /** The `replica_config` body block → [[ReplicaValidate.ReplicaConfig]]
+    * (api/v2 ChangefeedConfig JSON, flattened sink fields; consistent
+    * block nested as in the reference). Unset fields keep NewConfig
+    * defaults — advance-timeout pre-filled so a pure-validation create
+    * doesn't warn. */
+  private def parseReplicaConfig(json: String): ReplicaValidate.ReplicaConfig = {
+    val n = mapper.readTree(json)
+    def str(k: String, d: String = "") =
+      if (n.has(k)) n.get(k).asText() else d
+    def lng(k: String): Option[Long] =
+      if (n.has(k)) Some(n.get(k).asLong()) else None
+    val cons = Option(n.get("consistent")).map { c =>
+      ReplicaValidate.ConsistentConfig(
+        level = if (c.has("level")) c.get("level").asText() else "none",
+        maxLogSize = if (c.has("max_log_size")) c.get("max_log_size").asLong() else 0,
+        flushIntervalMs =
+          if (c.has("flush_interval_ms")) c.get("flush_interval_ms").asLong() else 0,
+        metaFlushIntervalMs =
+          if (c.has("meta_flush_interval_ms")) c.get("meta_flush_interval_ms").asLong() else 0,
+        compression = if (c.has("compression")) c.get("compression").asText() else "",
+        storage = if (c.has("storage")) c.get("storage").asText() else "blackhole://")
+    }.getOrElse(ReplicaValidate.ConsistentConfig())
+    ReplicaValidate.ReplicaConfig(
+      memoryQuota = lng("memory_quota").getOrElse(0L),
+      protocol = str("protocol"),
+      txnAtomicity = str("transaction_atomicity"),
+      encoderConcurrency =
+        lng("encoder_concurrency").map(_.toInt).getOrElse(16),
+      deleteOnlyOutputHandleKeyColumns =
+        n.has("delete_only_output_handle_key_columns") &&
+          n.get("delete_only_output_handle_key_columns").asBoolean(),
+      dateSeparator = str("date_separator"),
+      advanceTimeoutSec = lng("advance_timeout_sec").getOrElse(150L),
+      consistent = cons,
+      enableSyncPoint =
+        n.has("enable_sync_point") && n.get("enable_sync_point").asBoolean(),
+      syncPointIntervalSec = lng("sync_point_interval_sec"),
+      syncPointRetentionSec = lng("sync_point_retention_sec"),
+      integrityCheckLevel = str("integrity_check_level", "none"),
+      errorStuckDurationSec = lng("error_stuck_duration_sec"))
+  }
+
   // ---- route handlers --------------------------------------------------
 
   private def feedState(id: String): Map[String, Any] = {
@@ -163,6 +205,49 @@ final class ApiServer(spark: SparkSession,
               Filters.TableRule(s, t, allow = false)
             }
           else rules
+        // id validation (model.ValidateChangefeedID — the reference's
+        // create runs it before anything else, api_helpers.go:118-124)
+        if (!Captures.validId(id))
+          return error(ex, 400,
+            s"ErrInvalidChangefeedID: $id (pattern ^[a-zA-Z0-9]+(-[a-zA-Z0-9]+)*$$, max 128)")
+        // create-time ts verification (ReplicaValidate.verifyTs): runs
+        // when the body speaks the ts surface; current_tso defaults to
+        // the declared start (PD is out of scope — the clock is declared,
+        // the /synced pattern)
+        if (Seq("start_ts", "target_ts", "gc_safepoint", "current_tso")
+            .exists(body.contains)) {
+          def l(k: String) = body.get(k).map(_.asInstanceOf[Long])
+          val startTs = l("start_ts").getOrElse(0L)
+          ReplicaValidate.verifyTs(startTs,
+            l("target_ts").getOrElse(0L),
+            l("current_tso").getOrElse(math.max(startTs, 0L)),
+            l("gc_safepoint").getOrElse(0L)) match {
+            case Left((errC, msg)) => return error(ex, 400, s"$errC: $msg")
+            case Right(_) => ()
+          }
+        }
+        // replica-config validation ROOT (ReplicaValidate ←
+        // replica_config.go:245-328): runs when the create carries the
+        // reference's config block, or when the sink URI itself carries
+        // `protocol`/`transaction-atomicity` — rejects exactly what
+        // verifyCreateChangefeedConfig rejects. Bare URIs keep the
+        // existing sink defaults (the reference's MQ protocol-required
+        // rule only binds once the user speaks the config surface).
+        val sinkScheme = sinkUri.split("://")(0)
+        val uriQ = sinkUri.split('?').lift(1).getOrElse("").split('&')
+          .filter(_.nonEmpty).map(_.split("=", 2)).collect {
+            case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+          }.toMap
+        val rcBlock = body.get("replica_config").map(_.toString)
+        if (rcBlock.isDefined || uriQ.contains("protocol") ||
+            uriQ.contains("transaction-atomicity")) {
+          val rc = rcBlock.map(parseReplicaConfig)
+            .getOrElse(ReplicaValidate.ReplicaConfig(advanceTimeoutSec = 150))
+          ReplicaValidate.validateAndAdjust(sinkScheme, uriQ, rc) match {
+            case Left((errC, msg)) => return error(ex, 400, s"$errC: $msg")
+            case Right(_) => ()
+          }
+        }
         try {
           val spec = ChangefeedSpec(
             id = id,

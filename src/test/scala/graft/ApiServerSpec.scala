@@ -197,6 +197,67 @@ class ApiServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("replica_config block runs the validation root at create") {
+    val dir = Files.createTempDirectory("graft_api_rc").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEv]
+    mem.addData(ev(1, 1, 10))
+    val srv = new ApiServer(spark, new ChangefeedManager(spark),
+      Map("mem" -> (() => mem.toDF()))).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    def body(id: String, sink: String, rc: String) =
+      s"""{"changefeed_id":"$id","source":"mem","sink_uri":"$sink",
+         |"checkpoint_dir":"$dir/ckpt-$id","replica_config":$rc}""".stripMargin
+    try {
+      // sync-point floor (only when enabled)
+      val (c1, b1) = post(base, "/api/v2/changefeeds", body("r1",
+        "blackhole://",
+        """{"enable_sync_point":true,"sync_point_interval_sec":10}"""))
+      assert(c1 == 400 && b1.contains("ErrInvalidReplicaConfig"), b1)
+      // redo compression rule through the nested consistent block
+      val (c2, b2) = post(base, "/api/v2/changefeeds", body("r2",
+        "blackhole://",
+        """{"consistent":{"level":"eventual","compression":"zstd"}}"""))
+      assert(c2 == 400 && b2.contains("must be 'none' or 'lz4'"), b2)
+      // URI protocol param alone triggers the root: bad protocol rejects
+      val (c3, b3) = post(base, "/api/v2/changefeeds",
+        s"""{"changefeed_id":"r3","source":"mem",
+           |"sink_uri":"kafka://h:9092/t?dir=$dir/mq&protocol=protobuf",
+           |"checkpoint_dir":"$dir/ckpt-r3"}""".stripMargin)
+      assert(c3 == 400 && b3.contains("ErrSinkUnknownProtocol"), b3)
+      // healthy block passes and the feed runs
+      val (c4, b4) = post(base, "/api/v2/changefeeds", body("r4",
+        "blackhole://",
+        """{"enable_sync_point":true,"sync_point_interval_sec":60,
+          |"sync_point_retention_sec":7200,
+          |"consistent":{"level":"eventual"}}""".stripMargin))
+      assert(c4 == 200, b4)
+      // id regex (ValidateChangefeedID) guards the create
+      val (c5, b5) = post(base, "/api/v2/changefeeds",
+        s"""{"changefeed_id":"bad_id!","source":"mem",
+           |"sink_uri":"blackhole://","checkpoint_dir":"$dir/x"}""".stripMargin)
+      assert(c5 == 400 && b5.contains("ErrInvalidChangefeedID"), b5)
+      // ts verification: start beyond tso, start at GC safepoint (the +1
+      // rule), target at start — each its own error class
+      def tsBody(id: String, ts: String) =
+        s"""{"changefeed_id":"$id","source":"mem",
+           |"sink_uri":"blackhole://","checkpoint_dir":"$dir/$id",$ts}""".stripMargin
+      val (c6, b6) = post(base, "/api/v2/changefeeds",
+        tsBody("t1", """"start_ts":500,"current_tso":400"""))
+      assert(c6 == 400 && b6.contains("ErrAPIInvalidParam"), b6)
+      val (c7, b7) = post(base, "/api/v2/changefeeds",
+        tsBody("t2", """"start_ts":300,"gc_safepoint":300"""))
+      assert(c7 == 400 && b7.contains("ErrStartTsBeforeGC"), b7)
+      val (c8, b8) = post(base, "/api/v2/changefeeds",
+        tsBody("t3", """"start_ts":300,"target_ts":300"""))
+      assert(c8 == 400 && b8.contains("ErrTargetTsBeforeStartTs"), b8)
+      // start 0 adopts the tso, then target must clear it
+      val (c9, b9) = post(base, "/api/v2/changefeeds",
+        tsBody("t4", """"start_ts":0,"current_tso":400,"target_ts":500"""))
+      assert(c9 == 200, b9)
+    } finally srv.stop()
+  }
+
   test("mysql sink uri: option surface validates at create, knobs drive SqlGen") {
     val dir = Files.createTempDirectory("graft_api_mysql").toString
     implicit val sqlCtx = spark.sqlContext
