@@ -39,6 +39,10 @@ final class ApiServer(spark: SparkSession,
                           "capture-0", "127.0.0.1:8300")))) {
 
   private val mapper = new ObjectMapper()
+  // per-feed effective sink config (sinkUri, protocol, txnAtomicity) after
+  // the create's URI-wins merge — the UPDATE path's "old config" side
+  private val feedCfg =
+    collection.concurrent.TrieMap.empty[String, (String, String, String)]
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val started = System.currentTimeMillis()
 
@@ -214,6 +218,7 @@ final class ApiServer(spark: SparkSession,
         // when the body speaks the ts surface; current_tso defaults to
         // the declared start (PD is out of scope — the clock is declared,
         // the /synced pattern)
+        var effStartTs: Option[Long] = None
         if (Seq("start_ts", "target_ts", "gc_safepoint", "current_tso")
             .exists(body.contains)) {
           def l(k: String) = body.get(k).map(_.asInstanceOf[Long])
@@ -223,7 +228,7 @@ final class ApiServer(spark: SparkSession,
             l("current_tso").getOrElse(math.max(startTs, 0L)),
             l("gc_safepoint").getOrElse(0L)) match {
             case Left((errC, msg)) => return error(ex, 400, s"$errC: $msg")
-            case Right(_) => ()
+            case Right(st) => effStartTs = Some(st)
           }
         }
         // replica-config validation ROOT (ReplicaValidate ←
@@ -239,9 +244,10 @@ final class ApiServer(spark: SparkSession,
             case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
           }.toMap
         val rcBlock = body.get("replica_config").map(_.toString)
-        if (rcBlock.isDefined || uriQ.contains("protocol") ||
+        val rcParsed = rcBlock.map(parseReplicaConfig)
+        if (rcParsed.isDefined || uriQ.contains("protocol") ||
             uriQ.contains("transaction-atomicity")) {
-          val rc = rcBlock.map(parseReplicaConfig)
+          val rc = rcParsed
             .getOrElse(ReplicaValidate.ReplicaConfig(advanceTimeoutSec = 150))
           ReplicaValidate.validateAndAdjust(sinkScheme, uriQ, rc) match {
             case Left((errC, msg)) => return error(ex, 400, s"$errC: $msg")
@@ -264,6 +270,14 @@ final class ApiServer(spark: SparkSession,
           }
           body.get("introspect").map(_.toString).flatMap(sources.get)
             .foreach(th => manager.setIntrospect(id, th))
+          // the UPDATE path's "old" side: config after the URI-wins merge
+          feedCfg.put(id, (sinkUri,
+            uriQ.getOrElse("protocol",
+              rcParsed.map(_.protocol).getOrElse("")),
+            uriQ.getOrElse("transaction-atomicity",
+              rcParsed.map(_.txnAtomicity).getOrElse(""))))
+          manager.setTs(id, effStartTs,
+            body.get("target_ts").map(_.asInstanceOf[Long]).filter(_ > 0))
           respond(ex, 200, feedState(id) + ("sink_uri" -> sinkUri))
         } catch {
           case e: IllegalArgumentException => error(ex, 400, e.getMessage)
@@ -304,12 +318,91 @@ final class ApiServer(spark: SparkSession,
         else { manager.pause(id); respond(ex, 200, Map.empty[String, Any]) }
       case ("POST", id :: "resume" :: Nil) =>
         if (!manager.list().contains(id)) error(ex, 404, s"changefeed $id not found")
-        else { manager.resume(id); respond(ex, 200, Map.empty[String, Any]) }
+        else {
+          // verifyResumeChangefeedConfig (api_helpers.go:417-455): an
+          // override checkpoint of 0 means "resume from the saved
+          // checkpoint" and skips every check; a real override must not
+          // pass the TSO and must clear the GC safepoint (+1 rule)
+          val rb = readBody(ex)
+          def l(k: String) = rb.get(k).map(_.asInstanceOf[Long])
+          val overrideCkpt = l("overwrite_checkpoint_ts").getOrElse(0L)
+          if (overrideCkpt != 0) {
+            ReplicaValidate.verifyTs(overrideCkpt, 0L,
+              l("current_tso").getOrElse(overrideCkpt),
+              l("gc_safepoint").getOrElse(0L)) match {
+              case Left((errC, msg)) => return error(ex, 400, s"$errC: $msg")
+              case Right(_) => ()
+            }
+          }
+          manager.resume(id); respond(ex, 200, Map.empty[String, Any])
+        }
+      case ("PUT", id :: Nil) =>
+        // updateChangefeed (cdc/api/v2/changefeed.go) +
+        // verifyUpdateChangefeedConfig (api_helpers.go:295-413)
+        if (!manager.list().contains(id))
+          return error(ex, 404, s"changefeed $id not found")
+        if (!manager.status(id).get("state").contains("paused"))
+          return error(ex, 400, "ErrChangefeedUpdateRefused: can only " +
+            "update changefeed config when it is stopped")
+        val ub = readBody(ex)
+        val (oldUri, oldP, oldA) =
+          feedCfg.getOrElse(id, ("blackhole://", "", ""))
+        // target_ts floor against the feed's recorded start
+        val (st0, _) = manager.tsInfo(id)
+        ub.get("target_ts").map(_.asInstanceOf[Long]).filter(_ != 0)
+          .foreach { t =>
+            if (t <= st0)
+              return error(ex, 400, "ErrChangefeedUpdateRefused: can not " +
+                s"update target_ts:$t less than start_ts:$st0")
+          }
+        val newUri = ub.get("sink_uri").map(_.toString).filter(_.nonEmpty)
+        val rcBlock = ub.get("replica_config").map(_.toString)
+          .map(parseReplicaConfig)
+        if (newUri.isDefined || rcBlock.isDefined) {
+          val effUri = newUri.getOrElse(oldUri)
+          val scheme = effUri.split("://")(0)
+          val uriQ = effUri.split('?').lift(1).getOrElse("").split('&')
+            .filter(_.nonEmpty).map(_.split("=", 2)).collect {
+              case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+            }.toMap
+          val newP = rcBlock.map(_.protocol).getOrElse(oldP)
+          val newA = rcBlock.map(_.txnAtomicity).getOrElse(oldA)
+          ReplicaValidate.checkCompatibilityWithSinkUri(
+              newP, newA, oldP, oldA, uriQ) match {
+            case Left((errC, msg)) =>
+              return error(ex, 400, s"ErrChangefeedUpdateRefused: $errC: $msg")
+            case Right(()) => ()
+          }
+          val rc = rcBlock
+            .getOrElse(ReplicaValidate.ReplicaConfig(advanceTimeoutSec = 150))
+            .copy(protocol = newP, txnAtomicity = newA)
+          ReplicaValidate.validateAndAdjust(scheme, uriQ, rc) match {
+            case Left((errC, msg)) =>
+              return error(ex, 400, s"ErrChangefeedUpdateRefused: $errC: $msg")
+            case Right(v) =>
+              newUri.foreach { u =>
+                try manager.updateSink(id, Sinks.forUri(spark, u))
+                catch {
+                  case e: IllegalArgumentException =>
+                    return error(ex, 400,
+                      s"ErrChangefeedUpdateRefused: ${e.getMessage}")
+                }
+              }
+              feedCfg.put(id, (effUri,
+                uriQ.getOrElse("protocol", v.config.protocol),
+                uriQ.getOrElse("transaction-atomicity", v.config.txnAtomicity)))
+          }
+        }
+        manager.setTs(id, None,
+          ub.get("target_ts").map(_.asInstanceOf[Long]).filter(_ > 0))
+        respond(ex, 200, feedState(id) +
+          ("sink_uri" -> feedCfg.get(id).map(_._1).getOrElse(oldUri)))
       case ("DELETE", id :: Nil) =>
         // DELETE is idempotent in the reference (removing a missing
         // changefeed succeeds) — cdc/api/v2/changefeed.go deleteChangefeed.
         manager.delete(id)
         registry.dropScope(id)
+        feedCfg.remove(id)
         respond(ex, 200, Map.empty[String, Any])
       case _ => error(ex, 404, s"no route: $method /api/v2/changefeeds/$tail")
     }

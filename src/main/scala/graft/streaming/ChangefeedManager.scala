@@ -22,7 +22,11 @@ final class ChangefeedManager(spark: SparkSession) {
                                  var lastSynced: Long = 0L,
                                  var checkpoint: Long = 0L,
                                  var resolvedTick: Long = 0L,
-                                 var introspect: Option[() => DataFrame] = None)
+                                 var introspect: Option[() => DataFrame] = None,
+                                 // create-time ts marks (verifyTs): the
+                                 // update path's target_ts floor reads them
+                                 var startTs: Long = 0L,
+                                 var targetTs: Long = 0L)
 
   private val feeds = collection.concurrent.TrieMap.empty[String, Entry]
 
@@ -81,6 +85,26 @@ final class ChangefeedManager(spark: SparkSession) {
       feeds.put(id, e.copy(source = source))
       ()
     }
+
+  /** Replace a paused changefeed's sink (the UPDATE path's sink-uri
+    * change, cdc/api/v2/changefeed.go updateChangefeed — the reference
+    * also requires a stopped feed; resume rebuilds the query around the
+    * new sink with the checkpoint untouched). */
+  def updateSink(id: String, sink: (DataFrame, Long) => Unit): Unit =
+    feeds.get(id).foreach { e =>
+      require(!e.query.exists(_.isActive), s"changefeed $id must be paused")
+      feeds.put(id, e.copy(sink = sink))
+      ()
+    }
+
+  /** Create/update-time ts marks. */
+  def setTs(id: String, startTs: Option[Long], targetTs: Option[Long]): Unit =
+    feeds.get(id).foreach { e =>
+      startTs.foreach(e.startTs = _)
+      targetTs.foreach(e.targetTs = _)
+    }
+  def tsInfo(id: String): (Long, Long) =
+    feeds.get(id).map(e => (e.startTs, e.targetTs)).getOrElse((0L, 0L))
 
   /** Delete: stop and forget (checkpoint dir is the caller's to clean). */
   def delete(id: String): Unit = {

@@ -160,6 +160,39 @@ object ReplicaValidate {
   val ErrAPIInvalidParam = "ErrAPIInvalidParam"
   val ErrStartTsBeforeGC = "ErrStartTsBeforeGC"
   val ErrTargetTsBeforeStartTs = "ErrTargetTsBeforeStartTs"
+  val ErrIncompatibleSinkConfig = "ErrIncompatibleSinkConfig"
+  val ErrChangefeedUpdateRefused = "ErrChangefeedUpdateRefused"
+
+  /**
+   * `SinkConfig.CheckCompatibilityWithSinkURI` (sink.go:941-971), the
+   * update-path asymmetry to create: at CREATE a config/URI conflict only
+   * warns (the URI wins); at UPDATE, changing the config BLOCK into
+   * conflict with an unchanged URI is refused — but if the URI itself is
+   * what changed, the URI wins again and the conflict is ignored.
+   */
+  def checkCompatibilityWithSinkUri(
+      newProtocol: String, newAtomicity: String,
+      oldProtocol: String, oldAtomicity: String,
+      uriParams: Map[String, String]): Either[(String, String), Unit] = {
+    def conflicts(cfgP: String, cfgA: String): Boolean = {
+      val uriP = uriParams.getOrElse("protocol", "")
+      val uriA = uriParams.getOrElse("transaction-atomicity", "")
+      (uriP.nonEmpty && cfgP.nonEmpty && uriP != cfgP) ||
+        (uriA.nonEmpty && cfgA.nonEmpty && uriA != cfgA)
+    }
+    val cfgParamsChanged =
+      newProtocol != oldProtocol || newAtomicity != oldAtomicity
+    val uriParamsChanged = conflicts(oldProtocol, oldAtomicity)
+    if (!uriParamsChanged && !cfgParamsChanged) Right(())
+    else {
+      val newConflict = conflicts(newProtocol, newAtomicity)
+      if (uriParamsChanged && newConflict) Right(()) // URI made the change
+      else if (newConflict)
+        Left(ErrIncompatibleSinkConfig ->
+          "new sink config conflicts with the sink uri parameters")
+      else Right(())
+    }
+  }
 
   /**
    * Create-time ts verification (api_helpers.go:185-210 composed with

@@ -38,6 +38,13 @@ class ApiServerSpec extends SparkSpec {
     (r.statusCode(), r.body())
   }
 
+  private def put(base: String, path: String, body: String = ""): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(URI.create(base + path))
+      .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
   test("full changefeed lifecycle over HTTP") {
     val dir = Files.createTempDirectory("graft_api").toString
     implicit val sqlCtx = spark.sqlContext
@@ -194,6 +201,52 @@ class ApiServerSpec extends SparkSpec {
         .forall(p => p >= 0 && p < 3))
       assert(recs.columns.toSet ==
         Set("partition", "key", "value", "batch_id"))
+    } finally srv.stop()
+  }
+
+  test("PUT update: stopped-only, target floor, compat asymmetry, sink swap") {
+    val dir = Files.createTempDirectory("graft_api_upd").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEv]
+    mem.addData(ev(1, 1, 10), ev(2, 2, 20))
+    val srv = new ApiServer(spark, new ChangefeedManager(spark),
+      Map("mem" -> (() => mem.toDF()))).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      assert(post(base, "/api/v2/changefeeds",
+        s"""{"changefeed_id":"u1","source":"mem",
+           |"sink_uri":"kafka://h:9092/t?dir=$dir/mq&protocol=canal-json",
+           |"checkpoint_dir":"$dir/ckpt","start_ts":100,
+           |"current_tso":200}""".stripMargin)._1 == 200)
+      // running feeds refuse updates (reference: stopped/failed only)
+      val (c1, b1) = put(base, "/api/v2/changefeeds/u1", """{"target_ts":500}""")
+      assert(c1 == 400 && b1.contains("when it is stopped"), b1)
+      assert(post(base, "/api/v2/changefeeds/u1/pause")._1 == 200)
+      // target_ts at or below the recorded start refuses
+      val (c2, b2) = put(base, "/api/v2/changefeeds/u1", """{"target_ts":100}""")
+      assert(c2 == 400 && b2.contains("less than start_ts"), b2)
+      // the UPDATE asymmetry: a config block conflicting with the
+      // UNCHANGED uri refuses (at create the same conflict only warns)
+      val (c3, b3) = put(base, "/api/v2/changefeeds/u1",
+        """{"replica_config":{"protocol":"open-protocol"}}""")
+      assert(c3 == 400 && b3.contains("ErrIncompatibleSinkConfig"), b3)
+      // but a CHANGED uri wins over the old config
+      val (c4, b4) = put(base, "/api/v2/changefeeds/u1",
+        s"""{"sink_uri":"kafka://h:9092/t?dir=$dir/mq2&protocol=simple"}""")
+      assert(c4 == 200, b4)
+      // resume override checkpoint: beyond-tso and GC legs
+      val (c5, b5) = post(base, "/api/v2/changefeeds/u1/resume",
+        """{"overwrite_checkpoint_ts":500,"current_tso":400}""")
+      assert(c5 == 400 && b5.contains("ErrAPIInvalidParam"), b5)
+      val (c6, b6) = post(base, "/api/v2/changefeeds/u1/resume",
+        """{"overwrite_checkpoint_ts":50,"gc_safepoint":50}""")
+      assert(c6 == 400 && b6.contains("ErrStartTsBeforeGC"), b6)
+      // clean resume delivers NEW rows through the UPDATED sink (dir mq2)
+      // — the checkpoint is untouched, so the two pre-pause rows do not
+      // replay into the new sink
+      mem.addData(ev(3, 3, 30))
+      assert(post(base, "/api/v2/changefeeds/u1/resume")._1 == 200)
+      assert(spark.read.parquet(s"$dir/mq2/t").count() == 1L)
     } finally srv.stop()
   }
 
