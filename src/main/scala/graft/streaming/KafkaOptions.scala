@@ -102,7 +102,8 @@ object KafkaOptions {
     val consumed = all.map(_.matched).mkString
     val sign = if (s.startsWith("-")) -1 else 1
     val body = s.stripPrefix("-").stripPrefix("+")
-    if (body.isEmpty || consumed != body) Left(s"invalid duration: $s")
+    if (body == "0") Right(0L) // Go's special case: bare 0 needs no unit
+    else if (body.isEmpty || consumed != body) Left(s"invalid duration: $s")
     else {
       val ns = all.map { m =>
         val v = m.group(1).toDouble

@@ -243,6 +243,86 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // ---- Go duration grammar vs a compositional replay --------------------
+
+  test("parseGoDurationMs equals unit-sum replay over 400 random compositions") {
+    val rnd = new scala.util.Random(1308L)
+    // ms and up, halves only: every part is exactly representable, so the
+    // replay's ms-sum and the parser's ns-sum/1e6 truncate identically
+    val units = Seq("ms" -> 1.0, "s" -> 1000.0, "m" -> 60000.0,
+      "h" -> 3600000.0)
+    for (trial <- 0 until 400) {
+      val n = 1 + rnd.nextInt(3)
+      val parts = Seq.fill(n) {
+        val (u, f) = units(rnd.nextInt(units.size))
+        val v = if (rnd.nextBoolean()) (1 + rnd.nextInt(500)).toString
+                else s"${rnd.nextInt(100)}.5"
+        (v, u, v.toDouble * f)
+      }
+      val neg = rnd.nextInt(4) == 0
+      val s = (if (neg) "-" else "") + parts.map(p => p._1 + p._2).mkString
+      val expected = ((if (neg) -1 else 1) * parts.map(_._3).sum).toLong
+      assert(KafkaOptions.parseGoDurationMs(s) == Right(expected),
+        s"trial $trial: $s")
+      // malformed variants reject: trailing junk, unit-less number
+      assert(KafkaOptions.parseGoDurationMs(s + "x").isLeft, s"trial $trial")
+      assert(KafkaOptions.parseGoDurationMs(parts.head._1).isLeft)
+    }
+    // Go's documented special case: bare "0" is a valid duration
+    assert(KafkaOptions.parseGoDurationMs("0") == Right(0L))
+    assert(KafkaOptions.parseGoDurationMs("1").isLeft)
+  }
+
+  // ---- client-id minting: sanitize exactly [?:,"] then gate -------------
+
+  test("kafka client id sanitizes [?:,\"] and gates the rest (300 random addrs)") {
+    val rnd = new scala.util.Random(1309L)
+    val alphabet = "abcZ09._-?:,\"!@ /é"
+    for (trial <- 0 until 300) {
+      val addr = Seq.fill(1 + rnd.nextInt(12))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val got = KafkaOptions.clientId(addr, "default", "cf-1")
+      val minted = s"TiCDC_producer_${addr}_default_cf-1"
+        .replaceAll("[?:,\"]", "_")
+      val legal = minted.matches("[A-Za-z0-9._-]+")
+      assert(got == (if (legal) Right(minted)
+                     else Left(KafkaOptions.ErrInvalidClientID -> minted)),
+        s"trial $trial: $addr")
+    }
+    // a configured id is taken verbatim — sanitizing does NOT apply
+    assert(KafkaOptions.clientId("a", "b", "c", configured = "x:y").isLeft)
+  }
+
+  // ---- update-path compat rule vs a truth-table replay ------------------
+
+  test("CheckCompatibilityWithSinkURI truth table (256 random tuples)") {
+    import graft.streaming.ReplicaValidate
+    val rnd = new scala.util.Random(1310L)
+    val vals = Seq("", "canal-json", "simple")
+    for (trial <- 0 until 256) {
+      val (op, oa) = (vals(rnd.nextInt(3)), vals(rnd.nextInt(3)))
+      val (np, na) = (vals(rnd.nextInt(3)), vals(rnd.nextInt(3)))
+      val uri = Map("protocol" -> vals(rnd.nextInt(3)),
+        "transaction-atomicity" -> vals(rnd.nextInt(3)))
+        .filter(_._2.nonEmpty)
+      def confl(p: String, a: String) =
+        uri.get("protocol").exists(u => p.nonEmpty && u != p) ||
+        uri.get("transaction-atomicity").exists(u => a.nonEmpty && u != a)
+      // Go truth table (sink.go:941-971): no change → ok; URI-driven
+      // change → ok even if it conflicts with the new config; a pure
+      // config-block change that conflicts with the URI → refuse
+      val expected =
+        if (!confl(op, oa) && (np, na) == ((op, oa))) Right(())
+        else if (confl(op, oa) && confl(np, na)) Right(())
+        else if (confl(np, na))
+          Left(ReplicaValidate.ErrIncompatibleSinkConfig)
+        else Right(())
+      val got = ReplicaValidate.checkCompatibilityWithSinkUri(
+        np, na, op, oa, uri)
+      assert(got.left.map(_._1) == expected, s"trial $trial: $op/$oa -> $np/$na uri=$uri")
+    }
+  }
+
   // ---- bucket fold invariants under random stats tables ----------------
 
   test("bucket chunks tile the key space under 200 random stats tables") {
