@@ -97,7 +97,8 @@ object Gate {
       CurationQueries.all ++ LmQueries.all ++ EmbeddingQueries.all ++
       StatsQueries.all ++ ExtraQueries.all ++ ScaleQueries.all ++
       AnalyticsQueries.all ++
-      DdlQueries.all ++ StreamTwinQueries.all ++ ConfigQueries.all
+      DdlQueries.all ++ StreamTwinQueries.all ++ ConfigQueries.all ++
+      LifecycleQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

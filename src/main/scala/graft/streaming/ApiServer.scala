@@ -150,10 +150,14 @@ final class ApiServer(spark: SparkSession,
 
   private def feedState(id: String): Map[String, Any] = {
     val st = manager.status(id)
+    val machineState = manager.feedState(id)
     val state =
       if (st.get("state").contains("not-found")) "not-found"
+      // the feed's OWN state machine (cdc/owner/feed_state_manager.go):
+      // normal/warning/pending/stopped/failed/finished
+      else if (machineState.nonEmpty) machineState
       else if (st.get("state").contains("paused")) "stopped"
-      else "normal" // reference states normal/stopped (model/changefeed.go)
+      else "normal"
     Map("id" -> id, "state" -> state)
   }
 
@@ -475,8 +479,10 @@ final class ApiServer(spark: SparkSession,
                 respond(ex, 202, Map("current_table_count" -> n))
             }
           case ("GET", "/api/v2/processors") =>
+            // model.FeedState.IsRunning (changefeed.go:146): normal|warning
             val items = registry.listProcessors(
-              cf => feedState(cf)("state") == "normal")
+              cf => Set("normal", "warning")
+                .contains(feedState(cf)("state").toString))
             respond(ex, 200, Map("total" -> items.size, "items" -> items))
           case ("GET", p) if p.startsWith("/api/v2/processors/") =>
             p.stripPrefix("/api/v2/processors/").split("/")

@@ -11,7 +11,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * checkpoint; delete = stop + forget. HA/etcd state is Spark's checkpoint
  * store — a restarted driver re-`resume`s every spec it knows.
  */
-final class ChangefeedManager(spark: SparkSession) {
+final class ChangefeedManager(spark: SparkSession,
+    clock: () => Long = () => System.currentTimeMillis()) {
 
   private final case class Entry(spec: ChangefeedSpec,
                                  source: () => DataFrame,
@@ -26,24 +27,41 @@ final class ChangefeedManager(spark: SparkSession) {
                                  // create-time ts marks (verifyTs): the
                                  // update path's target_ts floor reads them
                                  var startTs: Long = 0L,
-                                 var targetTs: Long = 0L)
+                                 var targetTs: Long = 0L,
+                                 // owner-side lifecycle state machine
+                                 // (cdc/owner/feed_state_manager.go)
+                                 machine: FeedStateMachine = null)
 
   private val feeds = collection.concurrent.TrieMap.empty[String, Entry]
 
-  /** Create + start a changefeed. Fails if the id already exists. */
-  def create(spec: ChangefeedSpec, source: () => DataFrame)
+  /** Create + start a changefeed. Fails if the id already exists.
+    * `errorStuckMs` = changefeed-error-stuck-duration (reference default
+    * 30 min): the error backoff's elapsed budget AND the warning-stuck
+    * threshold of the feed's state machine. */
+  def create(spec: ChangefeedSpec, source: () => DataFrame,
+             errorStuckMs: Long = 1800000L)
             (sink: (DataFrame, Long) => Unit): Unit = {
     require(!feeds.contains(spec.id), s"changefeed ${spec.id} already exists")
-    val e = Entry(spec, source, sink, None)
+    val e = Entry(spec, source, sink, None,
+      machine = new FeedStateMachine(errorStuckMs, clock))
     feeds.put(spec.id, e)
+    machineTick(e) // uninitialized -> normal
     resume(spec.id)
   }
 
-  /** Pause: stop the running query; the checkpoint keeps the offset. */
+  private def machineTick(e: Entry): Unit =
+    if (e.machine != null) { e.machine.tick(e.resolvedTick, Some(e.checkpoint)); () }
+
+  /** Pause: the AdminStop job transitions the machine (legal from
+    * normal/warning/pending), and the query stops because ShouldRunning
+    * went false — the owner's order of operations. */
   def pause(id: String): Unit =
     feeds.get(id).foreach { e =>
-      e.query.foreach { q => q.stop(); q.awaitTermination() }
-      e.query = None
+      if (e.machine != null) { e.machine.pushAdminJob("stop"); machineTick(e) }
+      if (e.machine == null || !e.machine.shouldRunning) {
+        e.query.foreach { q => q.stop(); q.awaitTermination() }
+        e.query = None
+      }
     }
 
   /** Resume from checkpoint (no-op if already running). The user sink is
@@ -54,7 +72,16 @@ final class ChangefeedManager(spark: SparkSession) {
     * advances nothing. */
   def resume(id: String): Unit =
     feeds.get(id).foreach { e =>
-      if (!e.query.exists(_.isActive)) {
+      if (e.machine != null) {
+        // AdminResume is only legal from failed/stopped/finished; from a
+        // live state the tick is a plain heartbeat
+        if (Set(FeedStateMachine.Failed, FeedStateMachine.Stopped,
+            FeedStateMachine.Finished).contains(e.machine.state))
+          e.machine.pushAdminJob("resume")
+        machineTick(e)
+      }
+      if ((e.machine == null || e.machine.shouldRunning) &&
+          !e.query.exists(_.isActive)) {
         val q = Changefeed.start(spark, e.source(), e.spec) { (b, bid) =>
           e.sink(b, bid)
           // compaction renames the fold's ts to last_commit_ts; a raw
@@ -70,7 +97,21 @@ final class ChangefeedManager(spark: SparkSession) {
               }
             }
         }
-        q.awaitTermination() // AvailableNow triggers drain-and-stop
+        try q.awaitTermination() // AvailableNow triggers drain-and-stop
+        catch {
+          case ex: Exception =>
+            // processor error: report to the state machine (an unretryable
+            // RFC code inside the message fails the feed via the
+            // strings.Contains leg; anything else parks it pending)
+            if (e.machine != null) {
+              e.machine.reportErrors(FeedStateMachine.RunningError(
+                "CDC:ErrProcessorUnknown",
+                Option(ex.getMessage).getOrElse(ex.toString)))
+              machineTick(e)
+            }
+            e.query = None
+            throw ex
+        }
         e.query = Some(q)
       }
     }
@@ -106,9 +147,16 @@ final class ChangefeedManager(spark: SparkSession) {
   def tsInfo(id: String): (Long, Long) =
     feeds.get(id).map(e => (e.startTs, e.targetTs)).getOrElse((0L, 0L))
 
-  /** Delete: stop and forget (checkpoint dir is the caller's to clean). */
+  /** Delete: AdminRemove, stop and forget (checkpoint dir is the
+    * caller's to clean). */
   def delete(id: String): Unit = {
-    pause(id)
+    feeds.get(id).foreach { e =>
+      if (e.machine != null) {
+        e.machine.pushAdminJob("remove"); machineTick(e)
+      }
+      e.query.foreach { q => q.stop(); q.awaitTermination() }
+      e.query = None
+    }
     feeds.remove(id)
     ()
   }
@@ -164,13 +212,38 @@ final class ChangefeedManager(spark: SparkSession) {
       "puller_resolved_ts" -> pullerResolved)
   }
 
-  /** /status analog. */
+  /** /status analog; `feed_state` carries the machine's model state
+    * (normal/warning/pending/stopped/failed/finished). */
   def status(id: String): Map[String, Any] =
     feeds.get(id) match {
       case None => Map("id" -> id, "state" -> "not-found")
-      case Some(e) => e.query match {
-        case Some(q) => Changefeed.status(q) + ("state" -> "created")
-        case None => Map("id" -> id, "state" -> "paused")
+      case Some(e) =>
+        val base = e.query match {
+          case Some(q) => Changefeed.status(q) + ("state" -> "created")
+          case None => Map("id" -> id, "state" -> "paused")
+        }
+        if (e.machine == null) base
+        else base + ("feed_state" -> e.machine.state)
+    }
+
+  /** The machine's model state for a feed ("" when unknown). */
+  def feedState(id: String): String =
+    feeds.get(id).flatMap(e => Option(e.machine)).map(_.state).getOrElse("")
+
+  /** Report processor errors/warnings into a feed's state machine and
+    * tick it (the owner's HandleError/HandleWarning path). */
+  def reportError(id: String, code: String, message: String = ""): Unit =
+    feeds.get(id).foreach { e =>
+      if (e.machine != null) {
+        e.machine.reportErrors(FeedStateMachine.RunningError(code, message))
+        machineTick(e)
+      }
+    }
+  def reportWarning(id: String, code: String, message: String = ""): Unit =
+    feeds.get(id).foreach { e =>
+      if (e.machine != null) {
+        e.machine.reportWarnings(FeedStateMachine.RunningError(code, message))
+        machineTick(e)
       }
     }
 }
