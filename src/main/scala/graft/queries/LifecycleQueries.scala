@@ -330,5 +330,436 @@ object LifecycleQueries {
       "overwrite_ts")
   }
 
-  val all: Seq[GateQuery] = Seq(feedState)
+  /**
+   * q253 — the GC safepoint kernel ([[graft.core.GcSafepoint]],
+   * pkg/txnutil/gc/gc_manager.go): the update-decision matrix (one-minute
+   * rate limit vs forceUpdate, failed-PD-update degrading to a warning
+   * until the last SUCCESS is older than the GC TTL, block-GC detection,
+   * ahead-safepoint warning) and the stale-checkpoint classifier (TTL
+   * budget when TiCDC blocks GC; snapshot-lost when another service owns
+   * the min safepoint). Timestamps are real TSOs (physical ms << 18) so
+   * the oracle exercises the physical-extraction arithmetic. The emitted
+   * codes are exactly q252's GC fast-fail inputs.
+   */
+  val gcSafepoint = GateQuery(
+    "q253_gc_safepoint",
+    Some("""WITH b AS (
+      |  SELECT CAST(count(*) AS BIGINT) * 1000 AS t0,
+      |    CAST(count(*) AS BIGINT) + 100 AS ck
+      |  FROM orders
+      |), upd AS (
+      |  SELECT 'upd' AS part, u.kase,
+      |    b.t0 - u.lu AS last_upd, b.t0 - u.ls AS last_succ, u.force,
+      |    u.pderr, CASE WHEN u.act IS NULL THEN NULL
+      |                  ELSE b.ck + u.act END AS actual,
+      |    b.ck AS ckpt, u.ttl
+      |  FROM (VALUES
+      |    ('skip',     30000,  10000, 0, 0, -10,  86400),
+      |    ('boundary', 60000,  10000, 0, 0, -10,  86400),
+      |    ('forced',    1000,  10000, 1, 0, -10,  86400),
+      |    ('failwarn', 70000,  50000, 0, 1, NULL, 100),
+      |    ('failerr',  70000, 100000, 0, 1, NULL, 100),
+      |    ('block',    70000,  10000, 0, 0, 0,    86400),
+      |    ('larger',   70000,  10000, 0, 0, 50,   86400)
+      |  ) u(kase, lu, ls, force, pderr, act, ttl), b
+      |), upd_out AS (
+      |  SELECT part, kase,
+      |    CASE WHEN t0 - last_upd < 60000 AND force = 0 THEN 'skipped'
+      |         WHEN pderr = 1 AND t0 - last_succ >= ttl * 1000
+      |           THEN 'failed-error'
+      |         WHEN pderr = 1 THEN 'failed-warn'
+      |         ELSE 'updated' END AS status,
+      |    CASE WHEN t0 - last_upd < 60000 AND force = 0 THEN ''
+      |         WHEN pderr = 1 AND t0 - last_succ >= ttl * 1000
+      |           THEN 'CDC:ErrUpdateServiceSafepointFailed'
+      |         ELSE '' END AS err,
+      |    CASE WHEN t0 - last_upd < 60000 AND force = 0 THEN ''
+      |         WHEN pderr = 1 AND t0 - last_succ < ttl * 1000
+      |           THEN 'update-gc-safepoint-failed'
+      |         WHEN pderr = 0 AND actual > ckpt
+      |           THEN 'gc-safepoint-larger-than-checkpoint'
+      |         ELSE '' END AS warnings,
+      |    CAST(CASE WHEN t0 - last_upd < 60000 AND force = 0 THEN NULL
+      |         WHEN pderr = 1 THEN NULL
+      |         WHEN actual = ckpt THEN 1 ELSE 0 END AS INT) AS is_block,
+      |    CAST(CASE WHEN t0 - last_upd < 60000 AND force = 0 THEN NULL
+      |         WHEN pderr = 1 THEN NULL
+      |         ELSE actual END AS BIGINT) AS safepoint
+      |  FROM upd, b
+      |), chk AS (
+      |  SELECT 'chk' AS part, c.kase, c.block, c.ttl,
+      |    (b.t0 - c.age) * 262144 + 3 AS ck_tso,
+      |    CASE WHEN c.sp IS NULL THEN CAST(0 AS BIGINT)
+      |         ELSE (b.t0 - c.age) * 262144 + 3 + c.sp END AS sp_tso
+      |  FROM (VALUES
+      |    ('blockfresh', 1, 100, 50000,  NULL),
+      |    ('blockexact', 1, 100, 100000, NULL),
+      |    ('blockstale', 1, 100, 100001, NULL),
+      |    ('nbok',       0, 100, 50000,  -10),
+      |    ('nbeq',       0, 100, 50000,  -1),
+      |    ('nblost',     0, 100, 50000,  5)
+      |  ) c(kase, block, ttl, age, sp), b
+      |), chk_out AS (
+      |  SELECT part, kase, 'checked' AS status,
+      |    CASE WHEN block = 1 AND
+      |           b.t0 - ((ck_tso - 1) // 262144) > ttl * 1000
+      |           THEN 'CDC:ErrGCTTLExceeded'
+      |         WHEN block = 0 AND ck_tso - 1 < sp_tso
+      |           THEN 'CDC:ErrSnapshotLostByGC'
+      |         ELSE '' END AS err,
+      |    '' AS warnings, CAST(block AS INT) AS is_block,
+      |    sp_tso AS safepoint
+      |  FROM chk, b
+      |)
+      |SELECT * FROM upd_out UNION ALL SELECT * FROM chk_out""".stripMargin)) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.core.GcSafepoint
+    import graft.core.GcSafepoint.GcState
+    val base = Tables.load(spark, dir, "orders").count()
+    val t0 = base * 1000L
+    val ck = base + 100L
+
+    val updCases = Seq(
+      // (kase, lastUpd offset, lastSucc offset, force, pdErr, actualRel, ttl)
+      ("skip", 30000L, 10000L, false, false, Some(-10L), 86400L),
+      ("boundary", 60000L, 10000L, false, false, Some(-10L), 86400L),
+      ("forced", 1000L, 10000L, true, false, Some(-10L), 86400L),
+      ("failwarn", 70000L, 50000L, false, true, None, 100L),
+      ("failerr", 70000L, 100000L, false, true, None, 100L),
+      ("block", 70000L, 10000L, false, false, Some(0L), 86400L),
+      ("larger", 70000L, 10000L, false, false, Some(50L), 86400L))
+    val updRows = updCases.map { case (kase, lu, ls, force, pderr, act, ttl) =>
+      val st = GcState(lastUpdatedMs = t0 - lu, lastSucceededMs = t0 - ls)
+      val pd: Either[String, Long] =
+        if (pderr) Left("pd unreachable") else Right(ck + act.getOrElse(0L))
+      val (st2, r) = GcSafepoint.tryUpdate(st, t0, ttl, ck, force, pd)
+      val touched = r.status == "updated"
+      ("upd", kase, r.status, r.err, r.warnings.mkString(","),
+        if (touched) Some(if (st2.isTiCDCBlockGC) 1 else 0) else None,
+        if (touched) Some(st2.lastSafePointTs) else None)
+    }
+
+    val chkCases = Seq(
+      // (kase, blockGC, ttlSec, checkpoint age ms, safepoint rel or None)
+      ("blockfresh", true, 100L, 50000L, None),
+      ("blockexact", true, 100L, 100000L, None),
+      ("blockstale", true, 100L, 100001L, None),
+      ("nbok", false, 100L, 50000L, Some(-10L)),
+      ("nbeq", false, 100L, 50000L, Some(-1L)),
+      ("nblost", false, 100L, 50000L, Some(5L)))
+    val chkRows = chkCases.map { case (kase, block, ttl, age, spRel) =>
+      val ckTso = GcSafepoint.composeTs(t0 - age, 3L)
+      val spTso = spRel.map(ckTso + _).getOrElse(0L)
+      val err = GcSafepoint.checkStale(block, ttl, t0, spTso, ckTso)
+      ("chk", kase, "checked", err, "", Some(if (block) 1 else 0),
+        Some(spTso))
+    }
+
+    (updRows ++ chkRows).toDF("part", "kase", "status", "err", "warnings",
+      "is_block", "safepoint")
+  }
+
+  private def errLabel(e: String): String =
+    if (e.isEmpty) ""
+    else if (e.contains("ErrNewSemVersion")) "invalid"
+    else if (e.contains("different versions")) "too-many"
+    else if (e.contains("minimal compatible")) "too-old"
+    else if (e.contains("less than")) "too-new"
+    else "err"
+
+  /**
+   * q254 — the cluster version gate ([[graft.core.VersionGate]],
+   * pkg/version/check.go): SanitizeVersion's git-describe/fips/dirty
+   * stripping, the PD/TiKV [7.1.0-alpha, 10.0.0) ranges with the
+   * TiFlash-store skip and first-offender order, CheckTiCDCVersion's
+   * ≤1-skips / ≥3-errors / [6.3.0-alpha, 10.0.0-alpha) rules, and
+   * GetTiCDCClusterVersion's min-capture fold with the empty-version
+   * 4.0.1 default, the unknown fleet, and the derived unified-sorter /
+   * open-API gates (including the 4.0.13-prerelease and 5.0.0-rc
+   * quirks). The oracle replays go-semver's ordering as a sortable key —
+   * the matrix constrains pre-releases to {'', alpha, rc} where that key
+   * is exact — and the sanitizer as regexp arithmetic.
+   */
+  val versionGate = GateQuery(
+    "q254_version_gate",
+    Some("""WITH b AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS base FROM orders
+      |), raws AS (
+      |  SELECT part, kase, raw FROM (VALUES
+      |    ('sanitize', 'plain',    'v7.5.1'),
+      |    ('sanitize', 'hash',     'v8.1.0-5-gabc1234'),
+      |    ('sanitize', 'hashdev',  'v8.1.0-5-g0123abc-dev'),
+      |    ('sanitize', 'fips',     'v7.1.0-fips'),
+      |    ('sanitize', 'dirty',    'v7.1.0-dirty'),
+      |    ('sanitize', 'predirty', 'v7.1.0-alpha-dirty'),
+      |    ('sanitize', 'longhash', 'v6.5.2-20-g12345678'),
+      |    ('sanitize', 'bare',     '6.1.0'),
+      |    ('pd', 'old',      'v6.5.0'),
+      |    ('pd', 'minedge',  'v7.1.0-alpha'),
+      |    ('pd', 'rel',      '7.1.0'),
+      |    ('pd', 'maxedge',  '10.0.0'),
+      |    ('pd', 'maxpre',   '10.0.0-alpha'),
+      |    ('pd', 'high',     '9.9.9'),
+      |    ('pd', 'garbage',  'not-a-version'),
+      |    ('pd', 'rcedge',   '7.1.0-rc'),
+      |    ('store', 'flashskip#1', 'v5.0.0'),
+      |    ('store', 'flashskip#2', 'v7.5.0'),
+      |    ('store', 'kvold#1', 'v6.0.0'),
+      |    ('store', 'kvminedge#1', 'v7.1.0-alpha'),
+      |    ('store', 'kvtoonew#1', 'v10.0.0'),
+      |    ('store', 'firstwins#1', 'v6.0.0'),
+      |    ('store', 'firstwins#2', 'v10.0.0'),
+      |    ('store', 'kvbad#1', 'garbage'),
+      |    ('store', 'allflash#1', 'v1.0.0'),
+      |    ('cdcv', 'single#1', '1.0.0'),
+      |    ('cdcv', 'three#1', '6.5.0'), ('cdcv', 'three#2', '6.5.1'),
+      |    ('cdcv', 'three#3', '6.5.2'),
+      |    ('cdcv', 'twook#1', '6.3.0-alpha'), ('cdcv', 'twook#2', '7.0.0'),
+      |    ('cdcv', 'twoold#1', '6.2.9'), ('cdcv', 'twoold#2', '7.0.0'),
+      |    ('cdcv', 'maxpre#1', '6.5.0'), ('cdcv', 'maxpre#2', '10.0.0-alpha'),
+      |    ('cdcv', 'belowmax#1', '6.5.0'), ('cdcv', 'belowmax#2', '9.9.9'),
+      |    ('cdcv', 'twobad#1', '6.5.0'), ('cdcv', 'twobad#2', 'x.y'),
+      |    ('cap', 'fleetmin#1', '6.2.0'), ('cap', 'fleetmin#2', '6.3.1'),
+      |    ('cap', 'defmin#1', ''), ('cap', 'defmin#2', '6.3.1'),
+      |    ('cap', 'rcquirk#1', '5.0.0-rc'), ('cap', 'rcquirk#2', '5.0.1'),
+      |    ('cap', 's413#1', '4.0.13'),
+      |    ('cap', 's41213#1', '4.0.12'), ('cap', 's41213#2', '4.0.13'),
+      |    ('cap', 'pre413#1', '4.0.13-alpha'),
+      |    ('cap', 'badcap#1', 'junk'),
+      |    ('cap', 'pre620#1', '6.2.0-alpha')
+      |  ) v(part, kase, raw)
+      |  UNION ALL
+      |  SELECT 'pd', 'anchored',
+      |    '7.' || CAST(base % 7 AS VARCHAR) || '.' ||
+      |    CAST(base % 100 AS VARCHAR)
+      |  FROM b
+      |), san AS (
+      |  SELECT part, kase, raw,
+      |    CASE WHEN s2 LIKE 'v%' THEN substr(s2, 2) ELSE s2 END AS clean
+      |  FROM (
+      |    SELECT part, kase, raw,
+      |      CASE WHEN ends_with(s1, '-dirty')
+      |           THEN left(s1, length(s1) - 6) ELSE s1 END AS s2
+      |    FROM (
+      |      SELECT part, kase, raw,
+      |        CASE WHEN ends_with(s0, '-fips')
+      |             THEN left(s0, length(s0) - 5) ELSE s0 END AS s1
+      |      FROM (
+      |        SELECT part, kase, raw,
+      |          regexp_replace(raw, '-[0-9]+-g[0-9a-f]{7,}(-dev)?', '', 'g')
+      |            AS s0
+      |        FROM raws)))
+      |), parsed AS (
+      |  SELECT part, kase, raw, clean,
+      |    regexp_full_match(clean,
+      |      '[0-9]+\.[0-9]+\.[0-9]+(-[0-9A-Za-z.-]+)?') AS valid,
+      |    CASE WHEN contains(clean, '-')
+      |         THEN split_part(clean, '-', 2) ELSE '' END AS pre,
+      |    split_part(clean, '-', 1) AS core
+      |  FROM san
+      |), keyed AS (
+      |  SELECT part, kase, raw, clean, valid,
+      |    CASE WHEN NOT valid THEN NULL ELSE
+      |      ((CAST(split_part(core, '.', 1) AS BIGINT) * 1000 +
+      |        CAST(split_part(core, '.', 2) AS BIGINT)) * 1000 +
+      |        CAST(split_part(core, '.', 3) AS BIGINT)) * 4 +
+      |      CASE pre WHEN '' THEN 3 WHEN 'rc' THEN 2 ELSE 1 END
+      |    END AS k
+      |  FROM parsed
+      |), sanitize_out AS (
+      |  SELECT part, kase, 1 AS ok, '' AS err, clean AS out,
+      |    CAST(NULL AS INT) AS sorter, CAST(NULL AS INT) AS openapi
+      |  FROM keyed WHERE part = 'sanitize'
+      |), pd_out AS (
+      |  SELECT part, kase,
+      |    CAST(CASE WHEN NOT valid THEN 0
+      |         WHEN k < 28004001 OR k >= 40000003 THEN 0
+      |         ELSE 1 END AS INT) AS ok,
+      |    CASE WHEN NOT valid THEN 'invalid'
+      |         WHEN k < 28004001 THEN 'too-old'
+      |         WHEN k >= 40000003 THEN 'too-new'
+      |         ELSE '' END AS err,
+      |    CASE WHEN valid THEN clean ELSE '' END AS out,
+      |    CAST(NULL AS INT) AS sorter, CAST(NULL AS INT) AS openapi
+      |  FROM keyed WHERE part = 'pd'
+      |), tikv AS (
+      |  SELECT t.kase, t.v1, t.f1, t.v2, t.f2 FROM (VALUES
+      |    ('flashskip', 'v5.0.0', 1, 'v7.5.0', 0),
+      |    ('kvold',     'v6.0.0', 0, NULL, NULL),
+      |    ('kvminedge', 'v7.1.0-alpha', 0, NULL, NULL),
+      |    ('kvtoonew',  'v10.0.0', 0, NULL, NULL),
+      |    ('firstwins', 'v6.0.0', 0, 'v10.0.0', 0),
+      |    ('kvbad',     'garbage', 0, NULL, NULL),
+      |    ('allflash',  'v1.0.0', 1, NULL, NULL)
+      |  ) t(kase, v1, f1, v2, f2)
+      |), tikv_j AS (
+      |  SELECT t.kase,
+      |    k1.valid AS valid1, k1.k AS k1k, k2.valid AS valid2, k2.k AS k2k,
+      |    t.f1, t.f2, t.v2
+      |  FROM tikv t
+      |  LEFT JOIN keyed k1 ON k1.part = 'store' AND k1.kase = t.kase || '#1'
+      |  LEFT JOIN keyed k2 ON k2.part = 'store' AND k2.kase = t.kase || '#2'
+      |), tikv_out AS (
+      |  SELECT 'tikv' AS part, kase,
+      |    CAST(CASE WHEN e <> '' THEN 0 ELSE 1 END AS INT) AS ok, e AS err,
+      |    '' AS out, CAST(NULL AS INT) AS sorter, CAST(NULL AS INT) AS openapi
+      |  FROM (
+      |    SELECT kase,
+      |      CASE WHEN f1 = 0 AND NOT valid1 THEN 'invalid'
+      |           WHEN f1 = 0 AND k1k < 28004001 THEN 'too-old'
+      |           WHEN f1 = 0 AND k1k >= 40000003 THEN 'too-new'
+      |           WHEN v2 IS NOT NULL AND f2 = 0 AND NOT valid2
+      |             THEN 'invalid'
+      |           WHEN v2 IS NOT NULL AND f2 = 0 AND k2k < 28004001
+      |             THEN 'too-old'
+      |           WHEN v2 IS NOT NULL AND f2 = 0 AND k2k >= 40000003
+      |             THEN 'too-new'
+      |           ELSE '' END AS e
+      |    FROM tikv_j)
+      |), cdc_sets AS (
+      |  SELECT split_part(kase, '#', 1) AS kase, count(*) AS n,
+      |    sum(CASE WHEN NOT valid THEN 1 ELSE 0 END) AS n_bad,
+      |    sum(CASE WHEN valid AND k < 24012001 THEN 1 ELSE 0 END) AS n_old,
+      |    sum(CASE WHEN valid AND k >= 40000001 THEN 1 ELSE 0 END) AS n_new
+      |  FROM keyed WHERE part = 'cdcv' GROUP BY 1
+      |), cdc_out AS (
+      |  SELECT 'cdc' AS part, kase,
+      |    CAST(CASE WHEN e <> '' THEN 0 ELSE 1 END AS INT) AS ok, e AS err,
+      |    '' AS out, CAST(NULL AS INT) AS sorter, CAST(NULL AS INT) AS openapi
+      |  FROM (
+      |    SELECT kase,
+      |      CASE WHEN n <= 1 THEN ''
+      |           WHEN n >= 3 THEN 'too-many'
+      |           WHEN n_bad > 0 THEN 'invalid'
+      |           WHEN n_old > 0 THEN 'too-old'
+      |           WHEN n_new > 0 THEN 'too-new'
+      |           ELSE '' END AS e
+      |    FROM cdc_sets)
+      |), cl_kases(kase) AS (VALUES ('fleetmin'), ('defmin'), ('rcquirk'),
+      |  ('s413'), ('s41213'), ('pre413'), ('empty'), ('badcap'), ('pre620')
+      |), caps AS (
+      |  SELECT split_part(kase, '#', 1) AS kase,
+      |    CASE WHEN raw = '' THEN '4.0.1' ELSE clean END AS ver,
+      |    raw <> '' AND NOT valid AS bad,
+      |    CASE WHEN raw = '' THEN 16000007 ELSE k END AS k
+      |  FROM keyed WHERE part = 'cap'
+      |), cl_sets AS (
+      |  SELECT c.kase, count(p.ver) AS n,
+      |    coalesce(sum(CASE WHEN p.bad THEN 1 ELSE 0 END), 0) AS n_bad,
+      |    arg_min(p.ver, p.k) AS minver, min(p.k) AS kmin
+      |  FROM cl_kases c LEFT JOIN caps p ON p.kase = c.kase
+      |  GROUP BY 1
+      |), cluster_out AS (
+      |  SELECT 'cluster' AS part, kase,
+      |    CAST(CASE WHEN n_bad > 0 THEN 0 ELSE 1 END AS INT) AS ok,
+      |    CASE WHEN n_bad > 0 THEN 'invalid' ELSE '' END AS err,
+      |    CASE WHEN n_bad > 0 THEN ''
+      |         WHEN n = 0 THEN 'unknown' ELSE minver END AS out,
+      |    CAST(CASE WHEN n_bad > 0 THEN NULL
+      |         WHEN n = 0 THEN 1
+      |         WHEN minver = '5.0.0-rc' THEN 0
+      |         WHEN kmin >= 16000055 OR kmin // 4 = 4000013 THEN 1
+      |         ELSE 0 END AS INT) AS sorter,
+      |    CAST(CASE WHEN n_bad > 0 THEN NULL
+      |         WHEN n = 0 THEN 1
+      |         WHEN kmin >= 24008003 OR kmin // 4 = 6002000 THEN 1
+      |         ELSE 0 END AS INT) AS openapi
+      |  FROM cl_sets
+      |)
+      |SELECT * FROM sanitize_out
+      |UNION ALL SELECT * FROM pd_out
+      |UNION ALL SELECT * FROM tikv_out
+      |UNION ALL SELECT * FROM cdc_out
+      |UNION ALL SELECT * FROM cluster_out""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.core.VersionGate
+    val base = Tables.load(spark, dir, "orders").count()
+
+    val sanitizeCases = Seq(
+      ("plain", "v7.5.1"), ("hash", "v8.1.0-5-gabc1234"),
+      ("hashdev", "v8.1.0-5-g0123abc-dev"), ("fips", "v7.1.0-fips"),
+      ("dirty", "v7.1.0-dirty"), ("predirty", "v7.1.0-alpha-dirty"),
+      ("longhash", "v6.5.2-20-g12345678"), ("bare", "6.1.0"))
+    val sanRows = sanitizeCases.map { case (kase, raw) =>
+      ("sanitize", kase, 1, "", VersionGate.sanitize(raw),
+        None: Option[Int], None: Option[Int])
+    }
+
+    val pdCases = Seq(
+      ("old", "v6.5.0"), ("minedge", "v7.1.0-alpha"), ("rel", "7.1.0"),
+      ("maxedge", "10.0.0"), ("maxpre", "10.0.0-alpha"), ("high", "9.9.9"),
+      ("garbage", "not-a-version"), ("rcedge", "7.1.0-rc"),
+      ("anchored", s"7.${base % 7}.${base % 100}"))
+    val pdRows = pdCases.map { case (kase, raw) =>
+      VersionGate.checkPd(raw) match {
+        case Right(v) => ("pd", kase, 1, "", v.render,
+          None: Option[Int], None: Option[Int])
+        case Left(e) => ("pd", kase, 0, errLabel(e),
+          if (errLabel(e) == "invalid") "" else VersionGate.sanitize(raw),
+          None: Option[Int], None: Option[Int])
+      }
+    }
+
+    val tikvCases = Seq(
+      ("flashskip", Seq(("v5.0.0", true), ("v7.5.0", false))),
+      ("kvold", Seq(("v6.0.0", false))),
+      ("kvminedge", Seq(("v7.1.0-alpha", false))),
+      ("kvtoonew", Seq(("v10.0.0", false))),
+      ("firstwins", Seq(("v6.0.0", false), ("v10.0.0", false))),
+      ("kvbad", Seq(("garbage", false))),
+      ("allflash", Seq(("v1.0.0", true))))
+    val tikvRows = tikvCases.map { case (kase, stores) =>
+      VersionGate.checkStores(stores) match {
+        case Right(_) => ("tikv", kase, 1, "", "",
+          None: Option[Int], None: Option[Int])
+        case Left(e) => ("tikv", kase, 0, errLabel(e), "",
+          None: Option[Int], None: Option[Int])
+      }
+    }
+
+    val cdcCases = Seq(
+      ("single", Set("1.0.0")),
+      ("three", Set("6.5.0", "6.5.1", "6.5.2")),
+      ("twook", Set("6.3.0-alpha", "7.0.0")),
+      ("twoold", Set("6.2.9", "7.0.0")),
+      ("maxpre", Set("6.5.0", "10.0.0-alpha")),
+      ("belowmax", Set("6.5.0", "9.9.9")),
+      ("twobad", Set("6.5.0", "x.y")))
+    val cdcRows = cdcCases.map { case (kase, vs) =>
+      VersionGate.checkTiCdc(vs) match {
+        case Right(_) => ("cdc", kase, 1, "", "",
+          None: Option[Int], None: Option[Int])
+        case Left(e) => ("cdc", kase, 0, errLabel(e), "",
+          None: Option[Int], None: Option[Int])
+      }
+    }
+
+    val clusterCases = Seq(
+      ("fleetmin", Seq("6.2.0", "6.3.1")),
+      ("defmin", Seq("", "6.3.1")),
+      ("rcquirk", Seq("5.0.0-rc", "5.0.1")),
+      ("s413", Seq("4.0.13")),
+      ("s41213", Seq("4.0.12", "4.0.13")),
+      ("pre413", Seq("4.0.13-alpha")),
+      ("empty", Seq.empty[String]),
+      ("badcap", Seq("junk")),
+      ("pre620", Seq("6.2.0-alpha")))
+    val clusterRows = clusterCases.map { case (kase, caps) =>
+      VersionGate.clusterVersion(caps) match {
+        case Left(e) => ("cluster", kase, 0, errLabel(e), "",
+          None: Option[Int], None: Option[Int])
+        case Right(minV) =>
+          ("cluster", kase, 1, "",
+            minV.map(_.render).getOrElse("unknown"),
+            Some(if (VersionGate.unifiedSorterDefault(minV)) 1 else 0),
+            Some(if (VersionGate.cliOpenApi(minV)) 1 else 0))
+      }
+    }
+
+    (sanRows ++ pdRows ++ tikvRows ++ cdcRows ++ clusterRows).toDF(
+      "part", "kase", "ok", "err", "out", "sorter", "openapi")
+  }
+
+  val all: Seq[GateQuery] = Seq(feedState, gcSafepoint, versionGate)
 }
