@@ -761,5 +761,206 @@ object LifecycleQueries {
       "part", "kase", "ok", "err", "out", "sorter", "openapi")
   }
 
-  val all: Seq[GateQuery] = Seq(feedState, gcSafepoint, versionGate)
+  /** One server-config case: the knobs that deviate from defaults.
+    * Sentinel -999 in `bs`/`wp` means "derive from base" (-base and
+    * base % 16 respectively) so the matrix stays data-anchored. */
+  final case class SrvCase(kase: String, cid: String = "default",
+      addr: String = "127.0.0.1:8300", adv: String = "",
+      gcttl: Long = 86400, ttl: Long = 10,
+      usrreq: Int = 0, nusers: Int = 0, tls: Int = 0,
+      sorter: Long = 128, scan: Long = 40, retry: Long = 60000,
+      bi: Long = 0, bs: Long = 0, ack: Long = 0, wp: Long = 0,
+      recv: Long = 0, comp: String = "none",
+      bal: Long = 60000, abatch: Long = 50,
+      v2: Int = 0, uri: String = "")
+
+  val srvCases: Seq[SrvCase] = Seq(
+    SrvCase("ok_defaults"),
+    SrvCase("bad_cluster_regex", cid = "has_underscore"),
+    SrvCase("bad_cluster_reserved", cid = "owner"),
+    SrvCase("bad_cluster_long", cid = "a" * 129),
+    SrvCase("ok_cluster_edge", cid = "a" * 128),
+    SrvCase("empty_addr", addr = ""),
+    SrvCase("advertise_inherit", addr = "myhost:1234"),
+    SrvCase("advertise_unspec", adv = "0.0.0.0:8300"),
+    SrvCase("advertise_v6unspec", adv = ":::8300"),
+    SrvCase("advertise_noport", adv = "myhost"),
+    SrvCase("advertise_domain", adv = "pd.internal:90"),
+    SrvCase("gc_zero", gcttl = 0),
+    SrvCase("ttl_small", ttl = 3),
+    SrvCase("user_required_empty", usrreq = 1),
+    SrvCase("user_required_notls", usrreq = 1, nusers = 1),
+    SrvCase("sorter_small", sorter = 7),
+    SrvCase("kv_scan_zero", scan = 0),
+    SrvCase("kv_retry_zero", retry = 0),
+    SrvCase("msg_interval_big", bi = 10001),
+    SrvCase("msg_fill_anchor", bs = -999, wp = -999),
+    SrvCase("msg_ack_big", ack = 20000),
+    SrvCase("msg_pool_big", wp = 33),
+    SrvCase("msg_recv_neg", recv = -1),
+    SrvCase("db_comp_bad", comp = "zstd"),
+    SrvCase("db_comp_snappy", comp = "snappy"),
+    SrvCase("sched_balance_1s", bal = 1000),
+    SrvCase("sched_batch_zero", abatch = 0),
+    SrvCase("cdcv2_nouri", v2 = 1),
+    SrvCase("cdcv2_badscheme", v2 = 1, uri = "etcd://meta:2379"),
+    SrvCase("cdcv2_ok", v2 = 1, uri = "mysql://u@host:3306/db"))
+
+  private def srvValues: String = srvCases.map { c =>
+    s"(${sqlStr(c.kase)}, ${sqlStr(c.cid)}, ${sqlStr(c.addr)}, " +
+      s"${sqlStr(c.adv)}, ${c.gcttl}, ${c.ttl}, ${c.usrreq}, ${c.nusers}, " +
+      s"${c.tls}, ${c.sorter}, ${c.scan}, ${c.retry}, ${c.bi}, ${c.bs}, " +
+      s"${c.ack}, ${c.wp}, ${c.recv}, ${sqlStr(c.comp)}, ${c.bal}, " +
+      s"${c.abatch}, ${c.v2}, ${sqlStr(c.uri)})"
+  }.mkString(",\n")
+
+  private def srvReason(code: String, msg: String): String =
+    if (msg.contains("cluster-id")) "cluster-id"
+    else if (msg == "empty address") "empty-addr"
+    else if (msg.contains("valid IP")) "advertise-ip"
+    else if (msg.contains("contain a port")) "no-port"
+    else if (msg.contains("GC TTL")) "gc-ttl"
+    else if (msg.contains("client-allowed-user")) "allowed-user"
+    else if (msg.contains("cache-size-in-mb")) "sorter-cache"
+    else if (msg.contains("at least 1")) "region-scan"
+    else if (msg.contains("should be positive")) "region-retry"
+    else if (msg.contains("client-max-batch-interval")) "batch-interval"
+    else if (msg.contains("server-ack-interval")) "ack-interval"
+    else if (msg.contains("server-worker-pool-size")) "worker-pool"
+    else if (msg.contains("max-recv-msg-size")) "recv-size"
+    else if (msg.contains("compression")) "db-compression"
+    else if (msg.contains("check-balance-interval")) "balance"
+    else if (msg.contains("add-table-batch-size")) "add-batch"
+    else if (msg.contains("missing meta store")) "meta-uri"
+    else if (msg.contains("not supported by meta store")) "meta-scheme"
+    else "other"
+
+  /**
+   * q255 — the SERVER config root ([[graft.streaming.ServerOptions]],
+   * pkg/config/server_config.go ValidateAndAdjust + the sorter /
+   * kv-client / messages / db / scheduler / cdc-v2 sub-validators it
+   * chains). Thirty cases sweep every rule family: cluster-id shape and
+   * reserved words, the advertise-addr inherit / unspecified-IP / no-port
+   * legs, the capture-session-ttl reset-to-default-10 (not floor-5)
+   * repair, security asymmetry (empty allow-list errors, missing TLS
+   * warns), message-knob zero-fills vs hard caps (including the
+   * negative-recv-size quirk where only exact 0 fills), and first-error
+   * ordering. Oracle = the same chain as one SQL decision cascade.
+   */
+  val serverOptions = GateQuery(
+    "q255_server_options",
+    Some(s"""WITH b AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS base FROM orders
+      |), vals(kase, cid, addr, adv, gcttl, ttl, usrreq, nusers, tls,
+      |        sorter, scan, retry, bi, bs, ack, wp, recv, comp, bal,
+      |        abatch, v2, uri) AS (VALUES
+      |$srvValues
+      |), prep AS (
+      |  SELECT kase, cid, addr, adv, gcttl, ttl, usrreq, nusers, tls,
+      |    sorter, scan, retry, bi,
+      |    CASE WHEN bs = -999 THEN -b.base ELSE bs END AS bs,
+      |    ack,
+      |    CASE WHEN wp = -999 THEN b.base % 16 ELSE wp END AS wp,
+      |    recv, comp, bal, abatch, v2, uri,
+      |    CASE WHEN adv = '' THEN addr ELSE adv END AS adv2
+      |  FROM vals, b
+      |), ruled AS (
+      |  SELECT *,
+      |    CASE
+      |      WHEN NOT (cid <> '' AND length(cid) <= 128
+      |                AND regexp_full_match(cid, '[a-zA-Z0-9]+(-[a-zA-Z0-9]+)*')
+      |                AND cid NOT IN ('owner', 'capture', 'task',
+      |                                'changefeed', 'job', 'meta'))
+      |        THEN 'cluster-id'
+      |      WHEN addr = '' THEN 'empty-addr'
+      |      WHEN NOT contains(adv2, ':') THEN 'no-port'
+      |      WHEN regexp_extract(adv2, '^(.*):[^:]*$$', 1)
+      |           IN ('0.0.0.0', '::', '0:0:0:0:0:0:0:0') THEN 'advertise-ip'
+      |      WHEN gcttl = 0 THEN 'gc-ttl'
+      |      WHEN usrreq = 1 AND nusers = 0 THEN 'allowed-user'
+      |      WHEN sorter < 8 THEN 'sorter-cache'
+      |      WHEN scan <= 0 THEN 'region-scan'
+      |      WHEN retry <= 0 THEN 'region-retry'
+      |      WHEN (CASE WHEN bi = 0 THEN 10 ELSE bi END) > 10000
+      |        THEN 'batch-interval'
+      |      WHEN (CASE WHEN ack = 0 THEN 100 ELSE ack END) > 10000
+      |        THEN 'ack-interval'
+      |      WHEN (CASE WHEN wp <= 0 THEN 8 ELSE wp END) > 32
+      |        THEN 'worker-pool'
+      |      WHEN recv < 0 THEN 'recv-size'
+      |      WHEN comp NOT IN ('none', 'snappy') THEN 'db-compression'
+      |      WHEN bal <= 1000 THEN 'balance'
+      |      WHEN abatch <= 0 THEN 'add-batch'
+      |      WHEN v2 = 1 AND uri = '' THEN 'meta-uri'
+      |      WHEN v2 = 1 AND split_part(uri, '://', 1) <> 'mysql'
+      |        THEN 'meta-scheme'
+      |      ELSE '' END AS reason
+      |  FROM prep
+      |)
+      |SELECT kase,
+      |  CAST(CASE WHEN reason = '' THEN 1 ELSE 0 END AS INT) AS ok,
+      |  CASE WHEN reason = '' THEN ''
+      |       WHEN reason IN ('sorter-cache', 'db-compression')
+      |         THEN 'CDC:ErrIllegalSorterParameter'
+      |       WHEN reason IN ('meta-uri', 'meta-scheme') THEN 'error'
+      |       ELSE 'CDC:ErrInvalidServerOption' END AS code,
+      |  reason,
+      |  CASE WHEN reason = '' THEN adv2 ELSE '' END AS advertise,
+      |  CAST(CASE WHEN reason <> '' THEN NULL
+      |       WHEN ttl < 5 THEN 10 ELSE ttl END AS BIGINT) AS session_ttl,
+      |  CAST(CASE WHEN reason <> '' THEN NULL
+      |       WHEN bi = 0 THEN 10 ELSE bi END AS BIGINT) AS batch_interval,
+      |  CAST(CASE WHEN reason <> '' THEN NULL
+      |       WHEN bs <= 0 THEN 67108864 ELSE bs END AS BIGINT) AS batch_size,
+      |  CAST(CASE WHEN reason <> '' THEN NULL
+      |       WHEN wp <= 0 THEN 8 ELSE wp END AS BIGINT) AS worker_pool,
+      |  CAST(CASE WHEN reason <> '' THEN NULL
+      |       WHEN recv = 0 THEN 268435456 ELSE recv END AS BIGINT) AS recv_msg,
+      |  CASE WHEN reason <> '' THEN '' ELSE concat_ws(',',
+      |    CASE WHEN ttl < 5 THEN 'capture-session-ttl-too-small'
+      |         ELSE NULL END,
+      |    CASE WHEN usrreq = 1 AND nusers > 0 AND tls = 0
+      |         THEN 'client-user-required-without-tls' ELSE NULL END)
+      |    END AS warnings
+      |FROM ruled""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.ServerOptions
+    import graft.streaming.ServerOptions.{Messages, ServerConfig}
+    val base = Tables.load(spark, dir, "orders").count()
+    val rows = srvCases.map { c =>
+      val cfg = ServerConfig(clusterId = c.cid, addr = c.addr,
+        advertiseAddr = c.adv, gcTTLSec = c.gcttl, captureSessionTTL = c.ttl,
+        clientUserRequired = c.usrreq == 1,
+        clientAllowedUser = Seq.fill(c.nusers)("u"), tlsEnabled = c.tls == 1,
+        sorterCacheSizeMB = c.sorter, kvRegionScanLimit = c.scan,
+        kvRegionRetryDurationMs = c.retry,
+        messages = Messages(clientMaxBatchIntervalMs = c.bi,
+          clientMaxBatchSize = if (c.bs == -999) -base else c.bs,
+          serverAckIntervalMs = c.ack,
+          serverWorkerPoolSize = if (c.wp == -999) base % 16 else c.wp,
+          maxRecvMsgSize = c.recv),
+        dbCompression = c.comp, schedCheckBalanceIntervalMs = c.bal,
+        schedAddTableBatchSize = c.abatch, cdcV2Enable = c.v2 == 1,
+        cdcV2MetaUri = c.uri)
+      ServerOptions.validateAndAdjust(cfg) match {
+        case Left((code, msg)) =>
+          (c.kase, 0, code, srvReason(code, msg), "", None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long],
+            None: Option[Long], "")
+        case Right(a) =>
+          (c.kase, 1, "", "", a.config.advertiseAddr,
+            Some(a.config.captureSessionTTL),
+            Some(a.config.messages.clientMaxBatchIntervalMs),
+            Some(a.config.messages.clientMaxBatchSize),
+            Some(a.config.messages.serverWorkerPoolSize),
+            Some(a.config.messages.maxRecvMsgSize),
+            a.warnings.mkString(","))
+      }
+    }
+    rows.toDF("kase", "ok", "code", "reason", "advertise", "session_ttl",
+      "batch_interval", "batch_size", "worker_pool", "recv_msg", "warnings")
+  }
+
+  val all: Seq[GateQuery] =
+    Seq(feedState, gcSafepoint, versionGate, serverOptions)
 }
