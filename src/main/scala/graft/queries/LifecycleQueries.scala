@@ -961,6 +961,184 @@ object LifecycleQueries {
       "batch_interval", "batch_size", "worker_pool", "recv_msg", "warnings")
   }
 
+  /** One upgrade-fixup case; quota -999 derives `base`. */
+  final case class FixCase(kase: String, creator: String,
+      state: String = "normal", admin: Int = 0, err: String = null,
+      uri: String = "mysql://h:3306/d", cfgproto: String = null,
+      quota: Long = 5, stuck: Option[Long] = Some(60000L),
+      schedp: Int = 1, rps: Long = 0)
+
+  val fixCases: Seq[FixCase] = Seq(
+    FixCase("st_none_ok", "4.0.15"),
+    FixCase("st_err_warn", "4.0.15", err = "CDC:ErrProcessorUnknown"),
+    FixCase("st_err_fail", "4.0.15", err = "CDC:ErrStartTsBeforeGC"),
+    FixCase("st_resume_warn", "4.0.15", admin = 2,
+      err = "CDC:ErrProcessorUnknown"),
+    FixCase("st_stop", "4.0.15", admin = 1),
+    FixCase("st_finish", "4.0.15", admin = 4),
+    FixCase("st_remove", "4.0.15", admin = 3),
+    FixCase("st_not_normal", "4.0.15", state = "stopped", admin = 0,
+      err = "CDC:ErrProcessorUnknown"),
+    FixCase("st_gate_4016", "4.0.16", admin = 1),
+    FixCase("st_gate_505", "5.0.5", admin = 1),
+    FixCase("st_gate_empty", "", admin = 1),
+    FixCase("st_gate_65", "6.5.0", admin = 1),
+    FixCase("mq_unknown", "5.3.0",
+      uri = "kafka://h:9092/t?protocol=whatever&zz=1&aa=2"),
+    FixCase("mq_default", "5.3.0", uri = "kafka://h:9092/t?protocol=default"),
+    FixCase("mq_known", "5.3.0", uri = "kafka://h:9092/t?protocol=canal-json",
+      cfgproto = "maxwell"),
+    FixCase("mq_cfg_weird", "5.3.0", uri = "kafka://h:9092/t",
+      cfgproto = "weird"),
+    FixCase("mq_gate_off", "5.4.0",
+      uri = "kafka://h:9092/t?protocol=whatever"),
+    FixCase("mq_cfg_nil", "5.3.0", uri = "kafka://h:9092/t"),
+    FixCase("my_strip", "6.1.0", uri = "mysql://h:3306/d?protocol=canal&a=1"),
+    FixCase("my_gate_off", "6.1.1", uri = "mysql://h:3306/d?protocol=canal"),
+    FixCase("my_cfg_only", "6.1.0", cfgproto = "canal"),
+    FixCase("my_clean", "6.1.0"),
+    FixCase("quota_fill", "7.0.0", quota = 0),
+    FixCase("quota_keep", "7.0.0", quota = -999),
+    FixCase("stuck_fill", "7.0.0", stuck = None),
+    FixCase("sched_nil", "7.0.0", schedp = 0),
+    FixCase("v66_inherit", "6.6.1", rps = 512),
+    FixCase("v67_keep", "6.7.0", rps = 512))
+
+  private def fixValues: String = fixCases.map { c =>
+    s"(${sqlStr(c.kase)}, ${sqlStr(c.creator)}, ${sqlStr(c.state)}, " +
+      s"${c.admin}, ${sqlStr(c.err)}, ${sqlStr(c.uri)}, " +
+      s"${sqlStr(c.cfgproto)}, ${c.quota}, " +
+      s"${c.stuck.map(_.toString).getOrElse("NULL")}, ${c.schedp}, ${c.rps})"
+  }.mkString(",\n")
+
+  /**
+   * q256 — changefeed meta upgrade fixups ([[graft.streaming.CreatorFix]],
+   * cdc/model/changefeed.go:411-577 + creator_version_gate.go): the
+   * state-from-admin-job repair (same-major < 4.0.16 / < 5.0.6, the empty
+   * creator counts as oldest), unknown/default MQ protocols rewritten to
+   * open-protocol with URI-over-config priority, the protocol parameter
+   * stripped from non-MQ sinks (< 6.1.1), v6.6's region-per-span
+   * migration, and the unconditional quota/stuck/scheduler fills. URI
+   * rewrites re-encode queries with sorted keys (url.Values.Encode); the
+   * oracle replays the same surgery with list comprehensions.
+   */
+  val creatorFix = GateQuery(
+    "q256_creator_fix",
+    Some(s"""WITH b AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS base FROM orders
+      |), vals(kase, creator, state, admin, err, uri, cfgproto, quota,
+      |        stuck, schedp, rps) AS (VALUES
+      |$fixValues
+      |), gated AS (
+      |  SELECT *,
+      |    CASE WHEN creator = '' THEN NULL ELSE
+      |      (CAST(split_part(creator, '.', 1) AS BIGINT) * 1000 +
+      |       CAST(split_part(creator, '.', 2) AS BIGINT)) * 1000 +
+      |       CAST(split_part(creator, '.', 3) AS BIGINT)
+      |    END AS ck,
+      |    split_part(uri, '://', 1) AS scheme,
+      |    split_part(uri, '?', 1) AS ubase,
+      |    [p FOR p IN string_split(
+      |       CASE WHEN contains(uri, '?') THEN split_part(uri, '?', 2)
+      |            ELSE '' END, '&') IF p <> ''] AS params
+      |  FROM vals
+      |), gates AS (
+      |  SELECT *,
+      |    (creator = '' OR (ck // 1000000 = 4 AND ck < 4000016)
+      |       OR (ck // 1000000 = 5 AND ck < 5000006)) AS g_state,
+      |    (creator = '' OR ck < 5004000) AS g_mq,
+      |    (creator = '' OR ck < 6001001) AS g_my,
+      |    (creator <> '' AND ck // 1000000 = 6
+      |       AND (ck // 1000) % 1000 = 6) AS g_v66,
+      |    scheme IN ('kafka', 'kafka+ssl', 'pulsar', 'pulsar+ssl',
+      |               'pulsar+http', 'pulsar+https') AS is_mq,
+      |    [substr(p, 10) FOR p IN params
+      |       IF starts_with(p, 'protocol=')] AS uriproto_l
+      |  FROM gated
+      |), fixed1 AS (
+      |  SELECT *,
+      |    CASE WHEN NOT g_state OR state <> 'normal' THEN state
+      |         WHEN admin IN (0, 2) THEN
+      |           CASE WHEN err IS NULL THEN state
+      |                WHEN err IN ('CDC:ErrGCTTLExceeded',
+      |                  'CDC:ErrSnapshotLostByGC', 'CDC:ErrStartTsBeforeGC')
+      |                  THEN 'failed'
+      |                ELSE 'warning' END
+      |         WHEN admin = 1 THEN 'stopped'
+      |         WHEN admin = 4 THEN 'finished'
+      |         WHEN admin = 3 THEN 'removed'
+      |         ELSE state END AS state2,
+      |    CASE WHEN len(uriproto_l) > 0 THEN uriproto_l[1]
+      |         ELSE NULL END AS uriproto,
+      |    (len(uriproto_l) > 0 AND (uriproto_l[1] = 'default'
+      |       OR uriproto_l[1] NOT IN ('default', 'canal', 'avro',
+      |         'flat-avro', 'maxwell', 'canal-json', 'craft',
+      |         'open-protocol', 'csv', 'debezium', 'simple'))) AS uri_bad,
+      |    (coalesce(cfgproto, '') = 'default'
+      |       OR coalesce(cfgproto, '') NOT IN ('default', 'canal', 'avro',
+      |         'flat-avro', 'maxwell', 'canal-json', 'craft',
+      |         'open-protocol', 'csv', 'debezium', 'simple')) AS cfg_bad
+      |  FROM gates
+      |), fixed2 AS (
+      |  SELECT *,
+      |    CASE
+      |      WHEN g_mq AND is_mq AND uri_bad THEN
+      |        ubase || '?' || array_to_string(list_sort(
+      |          [CASE WHEN starts_with(p, 'protocol=')
+      |                THEN 'protocol=open-protocol' ELSE p END
+      |           FOR p IN params]), '&')
+      |      WHEN g_my AND NOT is_mq
+      |           AND (uriproto IS NOT NULL OR cfgproto IS NOT NULL) THEN
+      |        CASE WHEN len([p FOR p IN params
+      |                       IF NOT starts_with(p, 'protocol=')]) = 0
+      |             THEN ubase
+      |             ELSE ubase || '?' || array_to_string(list_sort(
+      |               [p FOR p IN params
+      |                IF NOT starts_with(p, 'protocol=')]), '&') END
+      |      ELSE uri END AS uri2,
+      |    CASE
+      |      WHEN g_mq AND is_mq AND uri_bad THEN 'open-protocol'
+      |      WHEN g_mq AND is_mq AND uriproto IS NULL AND cfg_bad
+      |        THEN 'open-protocol'
+      |      WHEN g_my AND NOT is_mq
+      |           AND (uriproto IS NOT NULL OR cfgproto IS NOT NULL) THEN ''
+      |      ELSE cfgproto END AS proto2
+      |  FROM fixed1
+      |)
+      |SELECT kase, state2 AS state, uri2 AS sink_uri, proto2 AS protocol,
+      |  CAST(CASE WHEN quota = -999 THEN b.base
+      |       WHEN quota = 0 THEN 1073741824 ELSE quota END AS BIGINT)
+      |    AS quota,
+      |  CAST(coalesce(stuck, 1800000) AS BIGINT) AS stuck_ms,
+      |  CAST(CASE WHEN schedp = 0 THEN 0
+      |       WHEN g_v66 AND rps <> 0 THEN 1 ELSE 0 END AS INT) AS across,
+      |  CAST(CASE WHEN schedp = 0 THEN 100000
+      |       WHEN g_v66 AND rps <> 0 THEN rps ELSE 0 END AS BIGINT)
+      |    AS threshold,
+      |  CAST(CASE WHEN schedp = 0 THEN 0
+      |       WHEN g_v66 AND rps <> 0 THEN 0 ELSE rps END AS BIGINT) AS rps
+      |FROM fixed2, b""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.CreatorFix
+    import graft.streaming.CreatorFix.FeedInfo
+    val base = Tables.load(spark, dir, "orders").count()
+    val rows = fixCases.map { c =>
+      val info = FeedInfo(state = c.state, adminJobType = c.admin,
+        errorCode = Option(c.err), creatorVersion = c.creator,
+        sinkUri = c.uri, configProtocol = Option(c.cfgproto),
+        memoryQuota = if (c.quota == -999) base else c.quota,
+        errorStuckMs = c.stuck, schedulerPresent = c.schedp == 1,
+        regionPerSpan = c.rps)
+      val f = CreatorFix.fixIncompatible(info)
+      (c.kase, f.state, f.sinkUri, f.configProtocol,
+        if (c.quota == -999) base else f.memoryQuota,
+        f.errorStuckMs.get, if (f.enableTableAcrossNodes) 1 else 0,
+        f.regionThreshold, f.regionPerSpan)
+    }
+    rows.toDF("kase", "state", "sink_uri", "protocol", "quota", "stuck_ms",
+      "across", "threshold", "rps")
+  }
+
   val all: Seq[GateQuery] =
-    Seq(feedState, gcSafepoint, versionGate, serverOptions)
+    Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix)
 }
