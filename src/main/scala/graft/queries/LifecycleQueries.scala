@@ -1139,6 +1139,205 @@ object LifecycleQueries {
       "across", "threshold", "rps")
   }
 
+  /** One DDL-repair case: error (errno NULL = invalid connection), the
+    * failing statement and its position, and a ≤2-entry downstream index
+    * catalog as (name, column count, contains-the-column). */
+  final case class RepCase(kase: String, errno: Option[Int], msg: String,
+      ddl: String, idx: Int, n: Int, defschema: String = "",
+      i1: Option[(String, Int, Int)] = None,
+      i2: Option[(String, Int, Int)] = None)
+
+  private val DropColMsg = "cannot drop column c with index covered now"
+
+  val repCases: Seq[RepCase] = Seq(
+    RepCase("one_single", Some(8200), DropColMsg,
+      "ALTER TABLE `db`.`t` DROP COLUMN `c`", 1, 2,
+      i1 = Some(("idx_c", 1, 1))),
+    RepCase("two_single", Some(8200), DropColMsg,
+      "ALTER TABLE `db`.`t` DROP COLUMN `c`", 1, 2,
+      i1 = Some(("i1", 1, 1)), i2 = Some(("i2", 1, 1))),
+    RepCase("composite_abort", Some(8200), DropColMsg,
+      "ALTER TABLE `db`.`t` DROP COLUMN `c`", 1, 2,
+      i1 = Some(("i1", 1, 1)), i2 = Some(("comp", 2, 1))),
+    RepCase("none_containing", Some(8200), DropColMsg,
+      "ALTER TABLE `db`.`t` DROP COLUMN `c`", 1, 2,
+      i1 = Some(("other", 1, 0))),
+    RepCase("msg_no_dropcol", Some(8200),
+      "unsupported add column operation",
+      "ALTER TABLE `db`.`t` DROP COLUMN `c`", 1, 2,
+      i1 = Some(("idx_c", 1, 1))),
+    RepCase("errno_1105", Some(1105),
+      "can't drop column c with composite index now",
+      "ALTER TABLE `db`.`t` DROP COLUMN `c`", 1, 2,
+      i1 = Some(("idx_c", 1, 1))),
+    RepCase("multischema_leg", Some(8200),
+      "drop column c with tidb_enable_change_multi_schema is disable",
+      "ALTER TABLE `db`.`t` DROP COLUMN `c`", 1, 2,
+      i1 = Some(("idx_c", 1, 1))),
+    RepCase("wrong_errno", Some(1050), DropColMsg,
+      "ALTER TABLE `db`.`t` DROP COLUMN `c`", 1, 2,
+      i1 = Some(("idx_c", 1, 1))),
+    RepCase("not_alter", Some(8200), DropColMsg,
+      "CREATE TABLE `t` (x INT)", 1, 2, i1 = Some(("idx_c", 1, 1))),
+    RepCase("multi_spec", Some(8200), DropColMsg,
+      "ALTER TABLE `db`.`t` DROP COLUMN `c`, ADD COLUMN `d` INT", 1, 2,
+      i1 = Some(("idx_c", 1, 1))),
+    RepCase("conn_addindex_last", None, "",
+      "ALTER TABLE `db`.`t` ADD INDEX `i` (`c`)", 1, 2),
+    RepCase("conn_addkey", None, "",
+      "ALTER TABLE `db`.`t` ADD KEY `i` (`c`)", 1, 2),
+    RepCase("conn_addunique", None, "",
+      "ALTER TABLE `db`.`t` ADD UNIQUE KEY `u` (`c`)", 1, 2),
+    RepCase("conn_create_index", None, "",
+      "CREATE INDEX `i` ON `t` (`c`)", 1, 2),
+    RepCase("conn_create_unique", None, "",
+      "CREATE UNIQUE INDEX `u` ON `t` (`c`)", 1, 2),
+    RepCase("conn_not_last", None, "",
+      "ALTER TABLE `db`.`t` ADD INDEX `i` (`c`)", 0, 2),
+    RepCase("conn_foreign", None, "",
+      "ALTER TABLE `db`.`t` ADD FOREIGN KEY (`c`) REFERENCES `p` (`id`)",
+      1, 2),
+    RepCase("conn_primary", None, "",
+      "ALTER TABLE `db`.`t` ADD PRIMARY KEY (`c`)", 1, 2),
+    RepCase("default_schema", Some(8200), DropColMsg,
+      "ALTER TABLE t2 DROP COLUMN c", 1, 2, defschema = "dd",
+      i1 = Some(("ix", 1, 1))),
+    RepCase("conn_dropcol", None, "",
+      "ALTER TABLE `db`.`t` DROP COLUMN `c`", 1, 2))
+
+  private def repValues: String = repCases.map { c =>
+    def ix(o: Option[(String, Int, Int)]) = o match {
+      case Some((n, k, h)) => s"${sqlStr(n)}, $k, $h"
+      case None => "NULL, NULL, NULL"
+    }
+    s"(${sqlStr(c.kase)}, ${c.errno.map(_.toString).getOrElse("NULL")}, " +
+      s"${sqlStr(c.msg)}, ${sqlStr(c.ddl)}, ${c.idx}, ${c.n}, " +
+      s"${sqlStr(c.defschema)}, ${ix(c.i1)}, ${ix(c.i2)})"
+  }.mkString(",\n")
+
+  /**
+   * q257 — DM's special DDL-error repair ([[graft.streaming.DdlRepair]],
+   * dm/syncer/error.go:43-216): the add-index timeout swallow (last
+   * statement only; plain INDEX/KEY and ANY CREATE INDEX — unique/
+   * foreign/primary ADDs propagate, but CREATE UNIQUE INDEX is swallowed,
+   * the Go's CreateIndexStmt arm skips the uniqueness check) and the
+   * drop-column-with-index repair (errno 8200/1105 with the three message
+   * legs; all containing indexes single-column → emit the DROP INDEX
+   * prequel and retry from the failing statement, an empty containing
+   * set still retries; any composite index aborts). Oracle replays the
+   * statement classification with regexes and assembles the same
+   * backquoted DROP INDEX strings.
+   */
+  val ddlRepair = GateQuery(
+    "q257_ddl_repair",
+    Some(s"""WITH vals(kase, errno, msg, ddl, idx, n, defschema,
+      |  i1name, i1n, i1has, i2name, i2n, i2has) AS (VALUES
+      |$repValues
+      |), parsed AS (
+      |  SELECT *,
+      |    regexp_matches(ddl,
+      |      '(?is)^\\s*ALTER\\s+TABLE\\s+(`[^`]+`|\\w+)(\\.(`[^`]+`|\\w+))?\\s+')
+      |      AS is_alter,
+      |    regexp_matches(ddl, '(?is)^\\s*CREATE\\s+(UNIQUE\\s+)?INDEX\\b')
+      |      AS is_createindex,
+      |    trim(regexp_extract(ddl,
+      |      '(?is)^\\s*ALTER\\s+TABLE\\s+(?:`([^`]+)`|(\\w+))(?:\\.(?:`([^`]+)`|(\\w+)))?\\s+(.*)$$',
+      |      5)) AS body,
+      |    regexp_extract(ddl,
+      |      '(?is)^\\s*ALTER\\s+TABLE\\s+(?:`([^`]+)`|(\\w+))(?:\\.(?:`([^`]+)`|(\\w+)))?\\s+',
+      |      1) AS q1a,
+      |    regexp_extract(ddl,
+      |      '(?is)^\\s*ALTER\\s+TABLE\\s+(?:`([^`]+)`|(\\w+))(?:\\.(?:`([^`]+)`|(\\w+)))?\\s+',
+      |      2) AS q1b,
+      |    regexp_extract(ddl,
+      |      '(?is)^\\s*ALTER\\s+TABLE\\s+(?:`([^`]+)`|(\\w+))(?:\\.(?:`([^`]+)`|(\\w+)))?\\s+',
+      |      3) AS q2a,
+      |    regexp_extract(ddl,
+      |      '(?is)^\\s*ALTER\\s+TABLE\\s+(?:`([^`]+)`|(\\w+))(?:\\.(?:`([^`]+)`|(\\w+)))?\\s+',
+      |      4) AS q2b
+      |  FROM vals
+      |), shaped AS (
+      |  SELECT *,
+      |    CASE WHEN NOT is_alter THEN NULL
+      |         WHEN q2a <> '' OR q2b <> '' THEN
+      |           CASE WHEN q1a <> '' THEN q1a ELSE q1b END
+      |         ELSE defschema END AS sch,
+      |    CASE WHEN NOT is_alter THEN NULL
+      |         WHEN q2a <> '' OR q2b <> '' THEN
+      |           CASE WHEN q2a <> '' THEN q2a ELSE q2b END
+      |         ELSE CASE WHEN q1a <> '' THEN q1a ELSE q1b END END AS tbl,
+      |    is_alter AND contains(body, ',') AS multi_spec,
+      |    is_alter AND NOT contains(body, ',')
+      |      AND regexp_matches(body, '(?is)^DROP\\s+COLUMN\\s+')
+      |      AS is_dropcol,
+      |    lower(regexp_extract(body,
+      |      '(?is)^ADD\\s+(UNIQUE|FOREIGN\\s+KEY|PRIMARY\\s+KEY|INDEX|KEY)\\b',
+      |      1)) AS addkind,
+      |    errno IS NULL AS is_conn,
+      |    coalesce(errno IN (8200, 1105), FALSE)
+      |      AND contains(msg, 'drop column')
+      |      AND (contains(msg, 'with index')
+      |        OR contains(msg, 'with composite index')
+      |        OR contains(msg, 'with tidb_enable_change_multi_schema is disable'))
+      |      AS is_dropcol_err
+      |  FROM parsed
+      |), decided AS (
+      |  SELECT *,
+      |    CASE
+      |      WHEN is_conn AND idx = n - 1 AND (is_createindex
+      |        OR (is_alter AND NOT multi_spec
+      |            AND addkind IN ('index', 'key'))) THEN 'ignore'
+      |      WHEN is_dropcol_err AND is_dropcol AND NOT multi_spec AND (
+      |        (i1has IS NULL OR i1has = 0 OR i1n = 1) AND
+      |        (i2has IS NULL OR i2has = 0 OR i2n = 1)) THEN 'predrop'
+      |      ELSE 'propagate' END AS action
+      |  FROM shaped
+      |)
+      |SELECT kase, action,
+      |  CASE WHEN action = 'predrop' THEN concat_ws(';',
+      |    CASE WHEN i1has = 1 THEN 'ALTER TABLE `' || sch || '`.`' || tbl
+      |      || '` DROP INDEX `' || i1name || '`' ELSE NULL END,
+      |    CASE WHEN i2has = 1 THEN 'ALTER TABLE `' || sch || '`.`' || tbl
+      |      || '` DROP INDEX `' || i2name || '`' ELSE NULL END)
+      |    ELSE '' END AS drops,
+      |  CAST(CASE WHEN action = 'predrop' THEN idx ELSE NULL END AS INT)
+      |    AS retry_from
+      |FROM decided""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.DdlRepair
+    import graft.streaming.DdlRepair._
+    val rows = repCases.map { c =>
+      val err: DdlError = c.errno match {
+        case Some(n) => MySqlErr(n, c.msg)
+        case None => InvalidConn
+      }
+      val ddls = Seq.tabulate(c.n)(i =>
+        if (i == c.idx) c.ddl else "ALTER TABLE `db`.`t` ADD COLUMN `z` INT")
+      val cat: Map[(String, String), Seq[IndexInfo]] = {
+        val entries = Seq(c.i1, c.i2).flatten.map { case (nm, k, h) =>
+          IndexInfo(nm, if (h == 1) "c" +: Seq.fill(k - 1)("z")
+            else Seq.fill(k)("z"))
+        }
+        if (entries.isEmpty) Map.empty
+        else {
+          // key under the statement's qualified table
+          DdlRepair.parse(c.ddl, c.defschema) match {
+            case AlterDropColumn(s, t, _) => Map((s, t) -> entries)
+            case _ => Map(("db", "t") -> entries)
+          }
+        }
+      }
+      DdlRepair.handle(err, ddls, c.idx, cat, c.defschema) match {
+        case Propagate => (c.kase, "propagate", "", None: Option[Int])
+        case Ignore => (c.kase, "ignore", "", None: Option[Int])
+        case PreDropIndexes(sqls, from) =>
+          (c.kase, "predrop", sqls.mkString(";"), Some(from))
+      }
+    }
+    rows.toDF("kase", "action", "drops", "retry_from")
+  }
+
   val all: Seq[GateQuery] =
-    Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix)
+    Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix,
+      ddlRepair)
 }
