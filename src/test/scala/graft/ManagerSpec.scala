@@ -131,4 +131,49 @@ class ManagerSpec extends SparkSpec {
     assert(totals == Set(("db", "t", "I", 2L)))
     mgr.delete("cf2")
   }
+
+  test("feed state machine end-to-end: failing sink parks pending, backoff gates retry, resume revives") {
+    val dir = Files.createTempDirectory("graft_mgr_fsm").toString
+    val mgr = new ChangefeedManager(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEv]
+    mem.addData(ev(1, 1, 10))
+
+    // a sink that fails while the poison flag is up
+    @volatile var poison = true
+    intercept[Exception] {
+      mgr.create(ChangefeedSpec(id = "fsm", checkpointDir = s"$dir/ckpt"),
+        () => mem.toDF()) { (b, _) =>
+        if (poison) throw new RuntimeException("sink down")
+        b.write.format("noop").mode("overwrite").save()
+      }
+    }
+    // the processor error parked the feed in pending (retry armed)
+    assert(mgr.feedState("fsm") == "pending")
+    assert(mgr.status("fsm")("feed_state") == "pending")
+
+    // the FIRST retry is immediate (resetErrRetry leaves
+    // lastErrorRetryTime at the epoch) — resume ticks the machine into
+    // warning, restarts the query, the sink fails again → pending
+    intercept[Exception] { mgr.resume("fsm") }
+    assert(mgr.feedState("fsm") == "pending")
+
+    // now a real 20 s window is armed: an immediate second resume must
+    // NOT restart (shouldRetry false) — no exception, state unchanged
+    mgr.resume("fsm")
+    assert(mgr.feedState("fsm") == "pending")
+
+    // operator path out: pending→stop is legal; resume from stopped
+    // resets the backoff and restarts cleanly once the sink is fixed
+    mgr.pause("fsm")
+    assert(mgr.feedState("fsm") == "stopped")
+    poison = false
+    mgr.resume("fsm")
+    assert(mgr.feedState("fsm") == "normal")
+
+    // a GC fast-fail processor error kills the running feed outright
+    mgr.reportError("fsm", "CDC:ErrSnapshotLostByGC")
+    assert(mgr.feedState("fsm") == "failed")
+    mgr.delete("fsm")
+  }
 }
