@@ -1337,7 +1337,189 @@ object LifecycleQueries {
     rows.toDF("kase", "action", "drops", "retry_from")
   }
 
+  /** One where-handle case: a column universe with schema facts, an
+    * ordered index list, and rows described by their null columns. */
+  final case class WhCase(kase: String,
+      cols: Seq[(String, Int, Int, Int)], // (name, insrc, hidden, tgtnn)
+      idxs: Seq[(String, String, Int, Int)], // (name, cols, primary, public)
+      pkHandle: Option[String],
+      rows: Seq[(Int, String)]) // (rowid, comma-joined null cols)
+
+  val whCases: Seq[WhCase] = Seq(
+    // a PRIMARY found AFTER a unique-not-null index still wins (the Go
+    // overwrites unconditionally: "PK is prior to UNIQUE NOT NULL")
+    WhCase("pk_wins", Seq(("a", 1, 0, 1), ("b", 1, 0, 1)),
+      Seq(("uk_b", "b", 0, 1), ("pk", "a", 1, 1)), None, Seq((1, ""))),
+    WhCase("uk_notnull", Seq(("a", 1, 0, 0), ("b", 1, 0, 1)),
+      Seq(("uk_b", "b", 0, 1)), None, Seq((1, "a"))),
+    // nullable uniques: row1's hit is swapped to the FRONT, so row2
+    // (where both are usable) picks uk_c, not uk_b
+    WhCase("swap", Seq(("a", 1, 0, 0), ("b", 1, 0, 0), ("c", 1, 0, 0)),
+      Seq(("uk_b", "b", 0, 1), ("uk_c", "c", 0, 1)), None,
+      Seq((1, "b"), (2, ""))),
+    // no index usable for this row: full visible image, NULL-safe IS ?
+    WhCase("fallback", Seq(("a", 1, 0, 0), ("b", 1, 0, 0)),
+      Seq(("uk_b", "b", 0, 1)), None, Seq((1, "b"))),
+    // an index referencing a column the SOURCE lacks is dropped entirely
+    WhCase("missing", Seq(("a", 1, 0, 0), ("b", 1, 0, 1), ("d", 0, 0, 0)),
+      Seq(("uk_d", "d", 0, 1), ("uk_b", "b", 0, 1)), None, Seq((1, ""))),
+    // hidden source column: causality-only, never WHERE; the fallback
+    // image also excludes it
+    WhCase("hidden", Seq(("a", 1, 0, 0), ("b", 1, 0, 0), ("c", 1, 1, 0)),
+      Seq(("uk_c", "c", 0, 1), ("uk_b", "b", 0, 1)), None, Seq((1, ""))),
+    WhCase("nonpublic", Seq(("a", 1, 0, 0), ("b", 1, 0, 0)),
+      Seq(("uk_b", "b", 0, 0)), None, Seq((1, ""))),
+    // PK-is-handle synthesizes the PRIMARY index
+    WhCase("pkhandle", Seq(("a", 1, 0, 1), ("b", 1, 0, 0)),
+      Seq(), Some("a"), Seq((1, ""))),
+    WhCase("composite", Seq(("a", 1, 0, 0), ("b", 1, 0, 1), ("c", 1, 0, 1)),
+      Seq(("uk_bc", "b,c", 0, 1)), None, Seq((1, "a"))))
+
+  private def whValues: String = {
+    val colRows = whCases.flatMap(c => c.cols.zipWithIndex.map {
+      case ((n, i, h, t), cpos) =>
+        s"(${sqlStr(c.kase)}, $cpos, ${sqlStr(n)}, $i, $h, $t)"
+    }).mkString(",\n")
+    val idxRows = whCases.flatMap { c =>
+      val synth = c.pkHandle.map(pk => ("PRIMARY", pk, 1, 1))
+      (c.idxs ++ synth).zipWithIndex.map { case ((n, cols, p, pub), pos) =>
+        s"(${sqlStr(c.kase)}, $pos, ${sqlStr(n)}, ${sqlStr(cols)}, $p, $pub)"
+      }
+    }.mkString(",\n")
+    val rowRows = whCases.flatMap(c => c.rows.map { case (rid, nulls) =>
+      s"(${sqlStr(c.kase)}, $rid, ${sqlStr(nulls)})"
+    }).mkString(",\n")
+    s"""wcols(kase, cpos, col, insrc, hidden, tgtnn) AS (VALUES
+       |$colRows
+       |), widx(kase, pos, name, cols, prim, pub) AS (VALUES
+       |$idxRows
+       |), wrows(kase, rowid, nullcols) AS (VALUES
+       |$rowRows
+       |)""".stripMargin
+  }
+
+  /**
+   * q258 — DM's WHERE-key selection ([[graft.operators.WhereHandle]],
+   * pkg/sqlmodel/where_handle.go + row_change.go:291-340): unique PUBLIC
+   * target indexes rewritten into the source (missing column drops the
+   * index; hidden column demotes it to causality-only), the PRIMARY
+   * unconditionally overwriting an earlier unique-not-null preference,
+   * the per-row first-all-non-null fallback with its swap-to-front
+   * last-used cache (pinned by a two-row scenario), the synthesized
+   * PK-is-handle index, and the full visible-image fallback rendered
+   * with the NULL-safe `IS ?` form. The oracle re-derives index
+   * usability from the column facts and replays the selection order,
+   * cache swap, and clause rendering in SQL.
+   */
+  val whereHandle = GateQuery(
+    "q258_where_handle",
+    Some(s"""WITH $whValues, iexp AS (
+      |  SELECT kase, pos, name, cols, prim, pub,
+      |    unnest(string_split(cols, ',')) AS col
+      |  FROM widx
+      |), iflags AS (
+      |  SELECT e.kase, e.pos, e.name, e.cols, e.prim, e.pub,
+      |    bool_and(c.insrc = 1) AS insrc,
+      |    bool_or(c.insrc = 1 AND c.hidden = 1) AS hashid,
+      |    bool_and(c.tgtnn = 1) AS allnn
+      |  FROM iexp e
+      |  JOIN wcols c ON c.kase = e.kase AND c.col = e.col
+      |  GROUP BY e.kase, e.pos, e.name, e.cols, e.prim, e.pub
+      |), usable AS (
+      |  SELECT *, pub = 1 AND insrc AND NOT hashid AS use_where,
+      |    pub = 1 AND insrc AS use_caus
+      |  FROM iflags
+      |), counts AS (
+      |  SELECT kase,
+      |    coalesce(sum(CASE WHEN use_where THEN 1 ELSE 0 END), 0) AS n_unique,
+      |    coalesce(sum(CASE WHEN use_caus THEN 1 ELSE 0 END), 0)
+      |      AS n_causality
+      |  FROM usable GROUP BY kase
+      |), pref AS (
+      |  SELECT kase,
+      |    coalesce(
+      |      arg_min(name, pos) FILTER (WHERE use_where AND prim = 1),
+      |      arg_min(name, pos) FILTER (WHERE use_where AND prim = 0
+      |                                 AND allnn)) AS pname
+      |  FROM usable GROUP BY kase
+      |), rowidx AS (
+      |  SELECT r.kase, r.rowid, u.pos, u.name, u.cols,
+      |    NOT list_has_any(string_split(u.cols, ','),
+      |                     string_split(r.nullcols, ',')) AS nonnull
+      |  FROM wrows r JOIN usable u ON u.kase = r.kase AND u.use_where
+      |), row1pick AS (
+      |  SELECT kase, arg_min(name, pos)
+      |      FILTER (WHERE nonnull AND rowid = 1) AS d1
+      |  FROM rowidx GROUP BY kase
+      |), datapick AS (
+      |  SELECT x.kase, x.rowid,
+      |    arg_min(x.name, CASE WHEN x.rowid > 1 AND x.name = rp.d1
+      |                         THEN -1 ELSE x.pos END)
+      |      FILTER (WHERE x.nonnull) AS dname
+      |  FROM rowidx x LEFT JOIN row1pick rp ON rp.kase = x.kase
+      |  GROUP BY x.kase, x.rowid
+      |), chosen AS (
+      |  SELECT r.kase, r.rowid,
+      |    coalesce(p.pname, d.dname) AS idx_name
+      |  FROM wrows r JOIN pref p ON p.kase = r.kase
+      |  LEFT JOIN datapick d ON d.kase = r.kase AND d.rowid = r.rowid
+      |), idxcols AS (
+      |  SELECT kase, name, col,
+      |    list_position(string_split(cols, ','), col) AS ord
+      |  FROM iexp
+      |), pickcols AS (
+      |  SELECT c.kase, c.rowid, c.idx_name AS chosen, x.col, x.ord
+      |  FROM chosen c JOIN idxcols x
+      |    ON x.kase = c.kase AND x.name = c.idx_name
+      |  UNION ALL
+      |  SELECT c.kase, c.rowid, 'full', w.col, w.cpos
+      |  FROM chosen c JOIN wcols w
+      |    ON w.kase = c.kase AND w.insrc = 1 AND w.hidden = 0
+      |  WHERE c.idx_name IS NULL
+      |), rendered AS (
+      |  SELECT p.kase, p.rowid, p.chosen,
+      |    string_agg(
+      |      CASE WHEN list_contains(string_split(r.nullcols, ','), p.col)
+      |           THEN '`' || p.col || '` IS ?'
+      |           ELSE '`' || p.col || '` = ?' END,
+      |      ' AND ' ORDER BY p.ord) AS clause
+      |  FROM pickcols p JOIN wrows r
+      |    ON r.kase = p.kase AND r.rowid = p.rowid
+      |  GROUP BY p.kase, p.rowid, p.chosen
+      |)
+      |SELECT x.kase, x.rowid, x.chosen, x.clause,
+      |  CAST(n.n_unique AS INT) AS n_unique,
+      |  CAST(n.n_causality AS INT) AS n_causality
+      |FROM rendered x JOIN counts n ON n.kase = x.kase""".stripMargin)) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.WhereHandle
+    import graft.operators.WhereHandle.{Col, Idx, Table}
+    val rows = whCases.flatMap { c =>
+      val srcCols = c.cols.collect { case (n, 1, h, _) =>
+        Col(n, hidden = h == 1) }
+      val tgtCols = c.cols.map { case (n, _, _, t) => Col(n, notNull = t == 1) }
+      val idxs = c.idxs.map { case (n, cols, p, pub) =>
+        Idx(n, cols.split(',').toSeq, primary = p == 1, public = pub == 1) }
+      val src = Table(srcCols)
+      val tgt = Table(tgtCols, idxs, c.pkHandle)
+      val h = WhereHandle.build(src, tgt)
+      c.rows.map { case (rid, nulls) =>
+        val nullSet = nulls.split(',').filter(_.nonEmpty).toSet
+        val row: Map[String, Any] = srcCols.map(col =>
+          col.name -> (if (nullSet.contains(col.name)) null
+            else col.name: Any)).toMap
+        val idx = WhereHandle.whereIdx(h, row)
+        val (clause, _) = WhereHandle.genWhere(h, row)
+        (c.kase, rid, idx.map(_.name).getOrElse("full"), clause,
+          h.uniqueIdxs.size + h.uniqueNotNullIdx.count(u =>
+            !h.uniqueIdxs.contains(u)), h.causalityIdxs.size)
+      }
+    }
+    rows.toDF("kase", "rowid", "chosen", "clause", "n_unique", "n_causality")
+  }
+
   val all: Seq[GateQuery] =
     Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix,
-      ddlRepair)
+      ddlRepair, whereHandle)
 }
