@@ -1519,7 +1519,87 @@ object LifecycleQueries {
     rows.toDF("kase", "rowid", "chosen", "clause", "n_unique", "n_causality")
   }
 
+  val rmCases: Seq[(String, String, String)] = Seq(
+    // (kase, sink uri, protocol or "")
+    ("kafka_avro", "kafka://h:9092/t", "avro"),
+    ("kafka_canal", "kafka://h:9092/t", "canal-json"),
+    ("kafka_noproto", "kafka://h:9092/t", ""),
+    ("pulsar_ssl", "pulsar+ssl://h:6650/t", "canal-json"),
+    ("mysql", "mysql://u@h:3306/d", ""),
+    ("tidb_ssl", "tidb+ssl://u@h:4000/d", ""),
+    ("s3", "s3://bucket/prefix", "csv"),
+    ("file", "file:///data/cdc", "canal-json"),
+    ("azure", "azure://container/p", "csv"),
+    ("noop", "noop://", "csv"),
+    ("blackhole", "blackhole://", "avro"),
+    ("unparsable", "not a uri", "avro"))
+
+  /**
+   * q259 — scheme-scoped config scrubbing
+   * ([[graft.streaming.CreatorFix.rmUnusedFields]],
+   * cdc/model/changefeed.go:343-409 RmUnusedFields): the stored config
+   * keeps only the fields its sink scheme can use — MQ-only /
+   * storage-only / DB-only groups, the MQ schema-registry kept only under
+   * avro, protocol+terminator shed on MySQL-compatible sinks, and the
+   * blackhole / unparsable-URI keep-everything legs. The oracle replays
+   * the retention predicate over the same (field, group) table.
+   */
+  val rmUnused = GateQuery(
+    "q259_rm_unused_fields",
+    Some(s"""WITH fields(field, grp) AS (VALUES
+      |  ('dispatch_rules', 'mq'), ('schema_registry', 'mq'),
+      |  ('encoder_concurrency', 'mq'), ('enable_kafka_sink_v2', 'mq'),
+      |  ('only_output_updated_columns', 'mq'),
+      |  ('delete_only_output_handle_key_columns', 'mq'),
+      |  ('content_compatible', 'mq'), ('kafka_config', 'mq'),
+      |  ('csv_config', 'st'), ('date_separator', 'st'),
+      |  ('enable_partition_separator', 'st'), ('file_index_width', 'st'),
+      |  ('cloud_storage_config', 'st'),
+      |  ('enable_sync_point', 'db'), ('bdr_mode', 'db'),
+      |  ('sync_point_interval', 'db'), ('sync_point_retention', 'db'),
+      |  ('consistent', 'db'), ('safe_mode', 'db'), ('mysql_config', 'db'),
+      |  ('protocol', 'gen'), ('terminator', 'gen')
+      |), cases(kase, uri, proto) AS (VALUES
+      |${rmCases.map { case (k, u, p) =>
+          s"  (${sqlStr(k)}, ${sqlStr(u)}, ${sqlStr(p)})" }.mkString(",\n")}
+      |), shaped AS (
+      |  SELECT kase, proto,
+      |    NOT contains(uri, '://') AS unparsable,
+      |    split_part(uri, '://', 1) AS sch
+      |  FROM cases
+      |), flags AS (
+      |  SELECT *,
+      |    sch IN ('kafka', 'kafka+ssl', 'pulsar', 'pulsar+ssl',
+      |            'pulsar+http', 'pulsar+https') AS is_mq,
+      |    sch IN ('file', 's3', 'gcs', 'gs', 'azblob', 'azure', 'noop')
+      |      AS is_st,
+      |    sch IN ('mysql', 'mysql+ssl', 'tidb', 'tidb+ssl') AS is_db,
+      |    sch = 'blackhole' AS is_bh
+      |  FROM shaped
+      |)
+      |SELECT c.kase,
+      |  string_agg(f.field, ',' ORDER BY f.field)
+      |    FILTER (WHERE c.unparsable OR c.is_bh OR CASE f.grp
+      |      WHEN 'mq' THEN c.is_mq AND
+      |        (f.field <> 'schema_registry' OR c.proto = 'avro')
+      |      WHEN 'st' THEN c.is_st
+      |      WHEN 'db' THEN c.is_db
+      |      ELSE NOT c.is_db END) AS retained
+      |FROM flags c, fields f
+      |GROUP BY c.kase""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.CreatorFix
+    val universe = CreatorFix.MqOnlyFields ++ CreatorFix.StorageOnlyFields ++
+      CreatorFix.DbOnlyFields ++ Set("protocol", "terminator")
+    val rows = rmCases.map { case (kase, uri, proto) =>
+      val kept = CreatorFix.rmUnusedFields(uri,
+        Some(proto).filter(_.nonEmpty), universe)
+      (kase, kept.toSeq.sorted.mkString(","))
+    }
+    rows.toDF("kase", "retained")
+  }
+
   val all: Seq[GateQuery] =
     Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix,
-      ddlRepair, whereHandle)
+      ddlRepair, whereHandle, rmUnused)
 }

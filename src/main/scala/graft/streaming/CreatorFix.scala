@@ -155,6 +155,45 @@ object CreatorFix {
     } else info
   }
 
+  // ---- RmUnusedFields (changefeed.go:343-409) -----------------------------
+
+  val MqOnlyFields: Set[String] = Set("dispatch_rules", "schema_registry",
+    "encoder_concurrency", "enable_kafka_sink_v2",
+    "only_output_updated_columns", "delete_only_output_handle_key_columns",
+    "content_compatible", "kafka_config")
+  val StorageOnlyFields: Set[String] = Set("csv_config", "date_separator",
+    "enable_partition_separator", "file_index_width", "cloud_storage_config")
+  val DbOnlyFields: Set[String] = Set("enable_sync_point", "bdr_mode",
+    "sync_point_interval", "sync_point_retention", "consistent", "safe_mode",
+    "mysql_config")
+
+  val StorageSchemes: Set[String] = Set("file", "s3", "gcs", "gs", "azblob",
+    "azure", "noop")
+  val MySqlCompatSchemes: Set[String] = Set("mysql", "mysql+ssl", "tidb",
+    "tidb+ssl")
+
+  /**
+   * VerifyAndComplete's serialization hygiene (changefeed.go:343-380): a
+   * changefeed's stored config only keeps the fields its sink scheme can
+   * ever use. Blackhole (a testing sink) and an unparsable URI keep
+   * everything; MQ sinks drop the schema registry unless the protocol is
+   * avro; MySQL-compatible sinks additionally shed protocol+terminator.
+   * `fields` are the present config field names; returns the retained set.
+   */
+  def rmUnusedFields(sinkUri: String, protocol: Option[String],
+      fields: Set[String]): Set[String] = {
+    if (!sinkUri.contains("://")) return fields // unparsable: keep (warn)
+    val sch = scheme(sinkUri)
+    if (sch == "blackhole") return fields
+    var f = fields
+    if (!MqSchemes.contains(sch)) f = f -- MqOnlyFields
+    else if (!protocol.contains("avro")) f -= "schema_registry"
+    if (!StorageSchemes.contains(sch)) f = f -- StorageOnlyFields
+    if (!MySqlCompatSchemes.contains(sch)) f = f -- DbOnlyFields
+    else f = f - "protocol" - "terminator"
+    f
+  }
+
   val DefaultMemoryQuota: Long = 1024L * 1024 * 1024
   val DefaultErrorStuckMs: Long = 30 * 60 * 1000L
   val DefaultRegionThreshold: Long = 100000L

@@ -63,6 +63,30 @@ class CreatorFixSpec extends AnyFunSuite {
     }
   }
 
+  test("rmUnusedFields: idempotent, monotone, keep-everything legs") {
+    val rnd = new scala.util.Random(1411L)
+    val universe = CreatorFix.MqOnlyFields ++ CreatorFix.StorageOnlyFields ++
+      CreatorFix.DbOnlyFields ++ Set("protocol", "terminator")
+    val uris = Seq("kafka://h/t", "pulsar+https://h/t", "mysql://h/d",
+      "tidb://h/d", "s3://b/p", "noop://", "blackhole://", "junk")
+    for (_ <- 0 until 200) {
+      val uri = uris(rnd.nextInt(uris.size))
+      val proto = Seq(None, Some("avro"), Some("canal-json"))(rnd.nextInt(3))
+      val fields = universe.filter(_ => rnd.nextBoolean())
+      val once = CreatorFix.rmUnusedFields(uri, proto, fields)
+      assert(CreatorFix.rmUnusedFields(uri, proto, once) == once) // idempotent
+      assert(once.subsetOf(fields)) // scrubbing never invents fields
+      if (uri == "blackhole://" || uri == "junk") assert(once == fields)
+    }
+    // the avro exception keeps the schema registry on MQ only
+    assert(CreatorFix.rmUnusedFields("kafka://h/t", Some("avro"),
+      Set("schema_registry")).contains("schema_registry"))
+    assert(!CreatorFix.rmUnusedFields("kafka://h/t", Some("canal-json"),
+      Set("schema_registry")).contains("schema_registry"))
+    assert(!CreatorFix.rmUnusedFields("mysql://h/d", Some("avro"),
+      Set("schema_registry", "protocol")).exists(_ == "protocol"))
+  }
+
   test("URI rewrite re-encodes with sorted keys like url.Values.Encode") {
     val f = CreatorFix.fixMqProtocol(FeedInfo(state = "normal",
       adminJobType = 0, errorCode = None, creatorVersion = "5.3.0",
