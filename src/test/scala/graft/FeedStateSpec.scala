@@ -241,6 +241,41 @@ class FeedStateSpec extends AnyFunSuite {
     }
   }
 
+  // ---- three-way agreement: the q252 gate scripts through the sim --------
+
+  test("the q252 scripted scenarios agree with the independent simulator") {
+    import graft.queries.LifecycleQueries
+    val base = 1000L // any anchor: the machine only compares checkpoints
+    LifecycleQueries.scripts.foreach { case (sc, stuck, steps) =>
+      var now = steps.head.t
+      val m = new FeedStateMachine(stuck, () => now)
+      val (bo0, cur0, st0, lt0) = resetConsume(steps.head.t, stuck, 0.0,
+        () => 0.0)
+      var sim = SimState(bo = bo0, cur = cur0, boStart = st0, lretT = lt0)
+      steps.foreach { e =>
+        now = e.t
+        if (e.adm != null) {
+          if (e.adm == "finish") m.markFinished()
+          else m.pushAdminJob(e.adm, e.ovw.map(base + _))
+        }
+        if (e.code != null) m.reportErrors(RunningError(e.code, e.msg))
+        if (e.warn) m.reportWarnings(RunningError("W"))
+        val r = m.tick(base + e.r, Some(base + e.k))
+        val ev = Ev(e.t,
+          Option(e.adm).map(a => (a, e.ovw.map(base + _))),
+          if (e.code != null) Seq((e.code, e.msg)) else Nil,
+          if (e.warn) Seq("W") else Nil,
+          Some(base + e.k), base + e.r)
+        val (sim2, o) = simTick(stuck, 0.0, () => 0.0, sim, ev)
+        sim = sim2
+        assert((r.state, r.shouldRunning, r.shouldRemoved,
+          r.adminJobPending, r.backoffMs, r.epochBumped) ==
+          (o.st, o.run, o.rm, o.pend, o.bo, o.bump),
+          s"scenario=$sc step=${e.step}")
+      }
+    }
+  }
+
   // ---- direct HandleError legs the tick never reaches --------------------
 
   test("direct HandleError: a stopped feed ignores generic errors but still fast-fails") {
