@@ -1599,7 +1599,97 @@ object LifecycleQueries {
     rows.toDF("kase", "retained")
   }
 
+  /**
+   * q260 — DDL / checkpoint dispatch to MQ partitions
+   * ([[graft.streaming.DdlDispatch]], cdc/sink/ddlsink/mq/mq_ddl_sink.go
+   * + event_router.go:97-185): canal-family DDLs land on PARTITION 0 of
+   * their routed topic while every other protocol broadcasts to all
+   * partitions; schema-level DDLs go to the default topic; checkpoint
+   * events broadcast to every partition of every ACTIVE topic (dedup over
+   * the live table set). Tables come from the real CDC stream; topics
+   * route through the REAL `{schema}`/`{table}` substitution; per-topic
+   * partition counts derive from the topic name so the fan-out is
+   * data-anchored end to end.
+   */
+  val ddlDispatch = GateQuery(
+    "q260_ddl_dispatch",
+    Some(graft.core.CdcStream.sqlCte + """, tabs AS (
+      |  SELECT DISTINCT schema_name, table_name FROM cdc
+      |), topics AS (
+      |  SELECT schema_name, table_name,
+      |    CASE WHEN schema_name = 'db_0'
+      |         THEN 'pre_' || schema_name || '_' || table_name
+      |         ELSE 'shared' END AS topic
+      |  FROM tabs
+      |), pns AS (
+      |  SELECT *, coalesce(TRY_CAST(right(topic, 1) AS INT) % 3 + 1,
+      |    CAST(length(topic) % 4 + 1 AS INT)) AS pn
+      |  FROM topics
+      |), protos(proto) AS (VALUES ('canal-json'), ('open-protocol')),
+      |tddl AS (
+      |  SELECT p.proto, 'table' AS kind, t.schema_name, t.table_name,
+      |    t.topic,
+      |    CAST(unnest(CASE WHEN p.proto = 'canal-json' THEN [0]
+      |         ELSE range(0, t.pn) END) AS INT) AS partition
+      |  FROM pns t, protos p
+      |), sddl AS (
+      |  SELECT p.proto, 'schema' AS kind, s.schema_name, '' AS table_name,
+      |    'shared' AS topic,
+      |    CAST(unnest(CASE WHEN p.proto = 'canal-json' THEN [0]
+      |         ELSE range(0, CAST(length('shared') % 4 + 1 AS INT)) END)
+      |      AS INT) AS partition
+      |  FROM (SELECT DISTINCT schema_name FROM cdc) s, protos p
+      |), ckpt AS (
+      |  SELECT '-' AS proto, 'ckpt' AS kind, '' AS schema_name,
+      |    '' AS table_name, topic,
+      |    CAST(unnest(range(0, pn)) AS INT) AS partition
+      |  FROM (SELECT DISTINCT topic, pn FROM pns)
+      |)
+      |SELECT * FROM tddl UNION ALL SELECT * FROM sddl
+      |UNION ALL SELECT * FROM ckpt""".stripMargin)) { (spark, dir) =>
+    import org.apache.spark.sql.functions._
+    import graft.core.CdcStream
+    import graft.operators.Routing
+    val tabs = CdcStream.derive(spark, dir)
+      .select("schema_name", "table_name").distinct()
+    val withTopic = tabs.withColumn("topic",
+      when(col("schema_name") === "db_0",
+        Routing.topicFromExpression("pre_{schema}_{table}",
+          col("schema_name"), col("table_name")))
+        .otherwise(lit("shared")))
+      .withColumn("pn", coalesce(
+        expr("try_cast(substring(topic, -1, 1) AS INT)") % 3 + 1,
+        length(col("topic")) % 4 + 1).cast("int"))
+    def fanOut(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("partition", explode(when(col("proto") === "canal-json",
+        array(lit(0)))
+        .otherwise(sequence(lit(0), col("pn") - 1))))
+      .withColumn("partition", col("partition").cast("int"))
+    import spark.implicits._
+    val protos = Seq("canal-json", "open-protocol").toDF("proto")
+    val tddl = fanOut(withTopic.crossJoin(protos)
+      .withColumn("kind", lit("table")))
+      .select("proto", "kind", "schema_name", "table_name", "topic",
+        "partition")
+    val sddl = fanOut(CdcStream.derive(spark, dir).select("schema_name")
+      .distinct()
+      .withColumn("table_name", lit(""))
+      .withColumn("topic", lit("shared"))
+      .withColumn("pn", (length(col("topic")) % 4 + 1).cast("int"))
+      .crossJoin(protos).withColumn("kind", lit("schema")))
+      .select("proto", "kind", "schema_name", "table_name", "topic",
+        "partition")
+    val ckpt = withTopic.select("topic", "pn").distinct()
+      .withColumn("proto", lit("-")).withColumn("kind", lit("ckpt"))
+      .withColumn("schema_name", lit("")).withColumn("table_name", lit(""))
+      .withColumn("partition", explode(sequence(lit(0), col("pn") - 1)))
+      .withColumn("partition", col("partition").cast("int"))
+      .select("proto", "kind", "schema_name", "table_name", "topic",
+        "partition")
+    tddl.union(sddl).union(ckpt)
+  }
+
   val all: Seq[GateQuery] =
     Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix,
-      ddlRepair, whereHandle, rmUnused)
+      ddlRepair, whereHandle, rmUnused, ddlDispatch)
 }
