@@ -158,7 +158,11 @@ final class ApiServer(spark: SparkSession,
       else if (machineState.nonEmpty) machineState
       else if (st.get("state").contains("paused")) "stopped"
       else "normal"
-    Map("id" -> id, "state" -> state)
+    // the reference's changefeed commonInfo carries the last RunningError
+    // (cdc/api/v2/model.go ChangefeedCommonInfo.RunningError)
+    val err = manager.feedError(id).map(e =>
+      Map("code" -> e.code, "message" -> e.message)).orNull
+    Map("id" -> id, "state" -> state, "error" -> err)
   }
 
   private def handleChangefeeds(ex: HttpExchange, tail: String): Unit = {

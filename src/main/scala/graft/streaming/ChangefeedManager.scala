@@ -230,6 +230,10 @@ final class ChangefeedManager(spark: SparkSession,
   def feedState(id: String): String =
     feeds.get(id).flatMap(e => Option(e.machine)).map(_.state).getOrElse("")
 
+  /** The last error patched into the feed's info, if any. */
+  def feedError(id: String): Option[FeedStateMachine.RunningError] =
+    feeds.get(id).flatMap(e => Option(e.machine)).flatMap(_.lastError)
+
   /** Report processor errors/warnings into a feed's state machine and
     * tick it (the owner's HandleError/HandleWarning path). */
   def reportError(id: String, code: String, message: String = ""): Unit =

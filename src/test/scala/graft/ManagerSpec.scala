@@ -171,9 +171,12 @@ class ManagerSpec extends SparkSpec {
     mgr.resume("fsm")
     assert(mgr.feedState("fsm") == "normal")
 
-    // a GC fast-fail processor error kills the running feed outright
-    mgr.reportError("fsm", "CDC:ErrSnapshotLostByGC")
+    // a GC fast-fail processor error kills the running feed outright,
+    // and the API surface carries the patched error
+    mgr.reportError("fsm", "CDC:ErrSnapshotLostByGC", "snapshot lost")
     assert(mgr.feedState("fsm") == "failed")
+    assert(mgr.feedError("fsm").map(_.code)
+      .contains("CDC:ErrSnapshotLostByGC"))
     mgr.delete("fsm")
   }
 }
