@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Filters, Routing}
+import graft.operators.Filters.TableRule
+
+/**
+ * Round-14 randomized differential properties over two OLD kernels that
+ * until now only had fixed-case gates (the pattern that has found a real
+ * bug four rounds running): the table-filter wildcard matcher vs an
+ * independent character-walking glob interpreter, and the topic
+ * `{schema}`/`{table}` substitution vs a direct string replay of the
+ * reference's Substitute rules.
+ */
+class Round14Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- an independent glob interpreter (star/question/class with !) -----
+
+  private def globMatch(pat: String, s: String): Boolean = {
+    def go(pi: Int, si: Int): Boolean = {
+      if (pi == pat.length) return si == s.length
+      pat.charAt(pi) match {
+        case '*' =>
+          // greedy or empty — try every split
+          (si to s.length).exists(k => go(pi + 1, k))
+        case '?' =>
+          si < s.length && go(pi + 1, si + 1)
+        case '[' =>
+          val close = pat.indexOf(']', pi + 1)
+          if (close < 0) // unterminated: literal '['
+            si < s.length && s.charAt(si) == '[' && go(pi + 1, si + 1)
+          else {
+            if (si >= s.length) return false
+            val body0 = pat.substring(pi + 1, close)
+            val (neg, body) =
+              if (body0.startsWith("!")) (true, body0.substring(1))
+              else (false, body0)
+            // expand a-z ranges
+            var inSet = false
+            var j = 0
+            while (j < body.length) {
+              if (j + 2 < body.length && body.charAt(j + 1) == '-') {
+                if (s.charAt(si) >= body.charAt(j) &&
+                  s.charAt(si) <= body.charAt(j + 2)) inSet = true
+                j += 3
+              } else {
+                if (s.charAt(si) == body.charAt(j)) inSet = true
+                j += 1
+              }
+            }
+            (inSet != neg) && go(close + 1, si + 1)
+          }
+        case c =>
+          si < s.length && s.charAt(si) == c && go(pi + 1, si + 1)
+      }
+    }
+    go(0, 0)
+  }
+
+  test("table-filter matcher equals an independent glob interpreter (400 random rule sets)") {
+    val rnd = new scala.util.Random(1412L)
+    val alpha = "abcAB01_"
+    def name(): String =
+      Seq.fill(1 + rnd.nextInt(6))(alpha(rnd.nextInt(alpha.length))).mkString
+    def pattern(): String = {
+      val pieces = Seq.fill(1 + rnd.nextInt(4)) {
+        rnd.nextInt(6) match {
+          case 0 => "*"
+          case 1 => "?"
+          case 2 => "[ab]"
+          case 3 => "[!ab]"
+          case 4 => "[a-c]"
+          case _ => name().take(2)
+        }
+      }
+      pieces.mkString
+    }
+    for (trial <- 0 until 400) {
+      val caseSensitive = trial % 2 == 0
+      val rules = Seq.fill(1 + rnd.nextInt(4))(
+        TableRule(pattern(), pattern(), allow = rnd.nextBoolean()))
+      val rows = Seq.fill(12)((name(), name()))
+      val df = rows.toDF("schema_name", "table_name")
+      val got = df.filter(Filters.tableFilterPredicate(rules,
+        col("schema_name"), col("table_name"), caseSensitive))
+        .as[(String, String)].collect().toSet
+
+      def fold(s: String, t: String): Boolean = {
+        def norm(x: String) =
+          if (caseSensitive) x else x.toLowerCase(java.util.Locale.ROOT)
+        rules.foldLeft(false) { (acc, r) =>
+          if (globMatch(norm(r.schemaPat), norm(s)) &&
+            globMatch(norm(r.tablePat), norm(t))) r.allow
+          else acc
+        }
+      }
+      val want = rows.filter { case (s, t) => fold(s, t) }.toSet
+      assert(got == want,
+        s"trial=$trial cs=$caseSensitive rules=$rules rows=$rows")
+    }
+  }
+
+  // ---- topic substitution vs a direct string replay ----------------------
+
+  private def substituteReplay(expr: String, schema: String,
+      table: String): String = {
+    def sanitize(s: String): String =
+      s.map(c => if (c.isLetterOrDigit && c < 128 || "._-".contains(c)) c
+        else '_').mkString
+        .replaceAll("[^a-zA-Z0-9._\\-]", "_")
+    val filled = expr
+      .replace("{schema}", sanitize(schema))
+      .replace("{table}", sanitize(table))
+    val trunc = filled.take(Routing.KafkaTopicMaxLength)
+    if (trunc == ".") "_" else if (trunc == "..") "__" else trunc
+  }
+
+  test("topic substitution equals the string replay (300 random names)") {
+    val rnd = new scala.util.Random(1413L)
+    val weird = "aZ0._-/ é|{}?*\tñ"
+    def name(maxLen: Int): String =
+      Seq.fill(1 + rnd.nextInt(maxLen))(weird(rnd.nextInt(weird.length)))
+        .mkString
+    val exprs = Seq("pre_{schema}_{table}", "{schema}", "t_{table}",
+      "{schema}{table}", "fixed-topic", "{schema}.{table}.suffix")
+    for (_ <- 0 until 300) {
+      val expr = exprs(rnd.nextInt(exprs.size))
+      // long names exercise the 249 truncation; short ones the specials
+      val (s, t) =
+        if (rnd.nextInt(10) == 0) (name(200), name(200))
+        else if (rnd.nextInt(10) == 0) (".", ".")
+        else (name(8), name(8))
+      val got = Seq((s, t)).toDF("s", "t")
+        .select(Routing.topicFromExpression(expr, col("s"), col("t")))
+        .as[String].head()
+      assert(got == substituteReplay(expr, s, t),
+        s"expr=$expr s=$s t=$t")
+    }
+  }
+
+  test("the dot specials survive substitution: '.' and '..'") {
+    // a schema of "." with expression "{schema}" renders "_"
+    val df = Seq((".", "x"), ("..", "x")).toDF("s", "t")
+    val out = df.select(Routing.topicFromExpression("{schema}",
+      col("s"), col("t")).as("topic")).as[String].collect().toSeq
+    assert(out == Seq("_", "__"))
+  }
+}
