@@ -1689,7 +1689,210 @@ object LifecycleQueries {
     tddl.union(sddl).union(ckpt)
   }
 
+  /** One binlog-position case. */
+  final case class BpCase(part: String, kase: String, s1: String = "",
+      s2: String = "", p1: Long = 0, p2: Long = 0,
+      uuids: Seq[String] = Nil)
+
+  val bpCases: Seq[BpCase] = Seq(
+    BpCase("parse", "ok", s1 = "mysql-bin.000001:2345"),
+    BpCase("parse", "nocolon", s1 = "mysql-bin.000001"),
+    BpCase("parse", "badpos", s1 = "mysql-bin.000001:x"),
+    BpCase("parse", "overflow", s1 = "mysql-bin.000001:4294967296"),
+    BpCase("parse", "twocolons", s1 = "a:1:2"),
+    BpCase("real", "plain", s1 = "mysql-bin.000003"),
+    BpCase("real", "suffixed", s1 = "mysql-bin|000002.000003"),
+    BpCase("real", "badsuffix", s1 = "mysql-bin|00x.000003"),
+    BpCase("real", "sep_at_zero", s1 = "|000002.000003"),
+    BpCase("real", "empty_suffix", s1 = "mysql-bin|.000003"),
+    BpCase("real", "noparse", s1 = "bad"),
+    BpCase("real", "zero_suffix", s1 = "mysql-bin|0.000003"),
+    BpCase("sfx", "empty", s1 = ""),
+    BpCase("sfx", "suffixed", s1 = "mysql-bin|000005.000001"),
+    BpCase("sfx", "plain", s1 = "mysql-bin.000001"),
+    BpCase("sfx", "badname", s1 = "bad"),
+    BpCase("sfx", "negative", s1 = "mysql-bin|-0005.000001"),
+    BpCase("cmp", "seq_order", s1 = "mysql-bin.000009", p1 = 10,
+      s2 = "mysql-bin.000010", p2 = 5),
+    BpCase("cmp", "lexical_quirk", s1 = "mysql-bin.999999", p1 = 0,
+      s2 = "mysql-bin.1000000", p2 = 0),
+    BpCase("cmp", "suffix_equals_plain", s1 = "mysql-bin|000002.000003",
+      p1 = 100, s2 = "mysql-bin.000003", p2 = 100),
+    BpCase("cmp", "both_suffixed_raw", s1 = "mysql-bin|000002.000003",
+      p1 = 0, s2 = "mysql-bin|000010.000002", p2 = 0),
+    BpCase("cmp", "pos_tiebreak", s1 = "mysql-bin.000003", p1 = 5,
+      s2 = "mysql-bin.000003", p2 = 9),
+    BpCase("xpos", "match", s1 = "mysql-bin|000002.000007", p1 = 42,
+      uuids = Seq("u1.000001", "u2.000002")),
+    BpCase("xpos", "nomatch", s1 = "mysql-bin|000009.000007",
+      uuids = Seq("u1.000001", "u2.000002")),
+    BpCase("xpos", "plain_latest", s1 = "mysql-bin.000007", p1 = 7,
+      uuids = Seq("u1.000001", "u2.000002")),
+    BpCase("xpos", "empty_uuids", s1 = "mysql-bin.000007"),
+    BpCase("xpos", "bad_latest", s1 = "mysql-bin.000007",
+      uuids = Seq("u3")))
+
+  private def bpValues: String = bpCases.map { c =>
+    val us = (c.uuids ++ Seq("", "", "")).take(3)
+    s"(${sqlStr(c.part)}, ${sqlStr(c.kase)}, ${sqlStr(c.s1)}, " +
+      s"${sqlStr(c.s2)}, ${c.p1}, ${c.p2}, ${sqlStr(us(0))}, " +
+      s"${sqlStr(us(1))}, ${sqlStr(us(2))}, ${c.uuids.size})"
+  }.mkString(",\n")
+
+  /**
+   * q261 — DM's binlog position algebra ([[graft.streaming.BinlogPos]],
+   * dm/pkg/binlog/position.go + utils/filename.go, relay.go): the
+   * `base.seq` filename grammar, the relay-subdir `|suffix` encoding and
+   * its strip rules (separator not at index 0, non-empty POSITIVE
+   * suffix), ExtractSuffix's minimum-1 and sign-tolerant legs, ExtractPos
+   * against the relay-dir list (match / not-found / latest-adopts /
+   * empty / bad-latest), PositionFromStr's uint32 bound, and
+   * ComparePosition — including the both-suffixed RAW comparison and the
+   * go-mysql lexical name ordering the zero-padding normally hides.
+   * Oracle = the same string rules in SQL.
+   */
+  val binlogPos = GateQuery(
+    "q261_binlog_pos",
+    Some(s"""WITH vals(part, kase, s1, s2, p1, p2, u1, u2, u3, nu)
+      |  AS (VALUES
+      |$bpValues
+      |), fn AS (
+      |  SELECT *,
+      |    len(string_split(s1, '.')) = 2
+      |      AND coalesce(TRY_CAST(split_part(s1, '.', 2) AS BIGINT), 0) > 0
+      |      AND NOT contains(split_part(s1, '.', 2), '+')
+      |      AND NOT contains(split_part(s1, '.', 2), '-') AS v1,
+      |    split_part(s1, '.', 1) AS b1, split_part(s1, '.', 2) AS q1,
+      |    len(string_split(s2, '.')) = 2
+      |      AND coalesce(TRY_CAST(split_part(s2, '.', 2) AS BIGINT), 0) > 0
+      |      AND NOT contains(split_part(s2, '.', 2), '+')
+      |      AND NOT contains(split_part(s2, '.', 2), '-') AS v2,
+      |    split_part(s2, '.', 1) AS b2, split_part(s2, '.', 2) AS q2
+      |  FROM vals
+      |), sfxed AS (
+      |  SELECT *,
+      |    regexp_extract(b1, '^(.+)\\|([^|]*)$$', 1) AS rb1,
+      |    regexp_extract(b1, '^(.+)\\|([^|]*)$$', 2) AS sx1,
+      |    regexp_extract(b2, '^(.+)\\|([^|]*)$$', 1) AS rb2,
+      |    regexp_extract(b2, '^(.+)\\|([^|]*)$$', 2) AS sx2
+      |  FROM fn
+      |), adj AS (
+      |  SELECT *,
+      |    v1 AND sx1 <> ''
+      |      AND NOT contains(sx1, '+') AND NOT contains(sx1, '-')
+      |      AND coalesce(TRY_CAST(sx1 AS BIGINT), 0) > 0 AS strip1,
+      |    v2 AND sx2 <> ''
+      |      AND NOT contains(sx2, '+') AND NOT contains(sx2, '-')
+      |      AND coalesce(TRY_CAST(sx2 AS BIGINT), 0) > 0 AS strip2
+      |  FROM sfxed
+      |), adj2 AS (
+      |  SELECT *,
+      |    CASE WHEN strip1 THEN rb1 || '.' || q1 ELSE s1 END AS a1,
+      |    CASE WHEN strip2 THEN rb2 || '.' || q2 ELSE s2 END AS a2
+      |  FROM adj
+      |), outp AS (
+      |  SELECT part, kase,
+      |    CASE part
+      |      WHEN 'parse' THEN
+      |        CASE WHEN len(string_split(s1, ':')) = 2
+      |          AND regexp_full_match(split_part(s1, ':', 2), '[0-9]+')
+      |          AND TRY_CAST(split_part(s1, ':', 2) AS BIGINT) <= 4294967295
+      |          THEN 1 ELSE 0 END
+      |      WHEN 'real' THEN CASE WHEN v1 THEN 1 ELSE 0 END
+      |      WHEN 'sfx' THEN
+      |        CASE WHEN s1 = '' THEN 1
+      |          WHEN NOT v1 THEN 0
+      |          WHEN sx1 <> '' AND TRY_CAST(sx1 AS BIGINT) IS NULL THEN 0
+      |          ELSE 1 END
+      |      WHEN 'cmp' THEN 1
+      |      WHEN 'xpos' THEN
+      |        CASE WHEN nu = 0 THEN 0
+      |          WHEN strip1 AND ((sx1 = split_part(u1, '.', 2) AND u1 <> '')
+      |            OR (sx1 = split_part(u2, '.', 2) AND u2 <> '')) THEN 1
+      |          WHEN strip1 THEN 0
+      |          WHEN sx1 <> '' AND NOT strip1 AND v1 THEN 0
+      |          WHEN NOT v1 THEN 0
+      |          ELSE CASE WHEN len(string_split(
+      |              CASE WHEN nu = 3 THEN u3 WHEN nu = 2 THEN u2
+      |                   ELSE u1 END, '.')) = 2
+      |            AND len(split_part(CASE WHEN nu = 3 THEN u3
+      |              WHEN nu = 2 THEN u2 ELSE u1 END, '.', 2)) = 6
+      |            THEN 1 ELSE 0 END END
+      |      ELSE 0 END AS ok,
+      |    CASE part
+      |      WHEN 'parse' THEN split_part(s1, ':', 1)
+      |      WHEN 'real' THEN a1
+      |      WHEN 'xpos' THEN
+      |        CASE WHEN strip1 THEN rb1 || '.' || q1 ELSE s1 END
+      |      ELSE '' END AS out,
+      |    CAST(CASE part
+      |      WHEN 'parse' THEN TRY_CAST(split_part(s1, ':', 2) AS BIGINT)
+      |      WHEN 'sfx' THEN
+      |        CASE WHEN s1 = '' THEN 1
+      |          WHEN sx1 <> '' THEN TRY_CAST(sx1 AS BIGINT) ELSE 1 END
+      |      WHEN 'cmp' THEN
+      |        CASE WHEN strip1 AND strip2 THEN
+      |          CASE WHEN s1 > s2 THEN 1 WHEN s1 < s2 THEN -1
+      |            WHEN p1 > p2 THEN 1 WHEN p1 < p2 THEN -1 ELSE 0 END
+      |        ELSE
+      |          CASE WHEN a1 > a2 THEN 1 WHEN a1 < a2 THEN -1
+      |            WHEN p1 > p2 THEN 1 WHEN p1 < p2 THEN -1 ELSE 0 END
+      |        END
+      |      WHEN 'xpos' THEN p1
+      |      ELSE NULL END AS BIGINT) AS num,
+      |    CASE part WHEN 'xpos' THEN
+      |      CASE WHEN strip1 AND sx1 = split_part(u1, '.', 2) AND u1 <> ''
+      |             THEN u1 || '#' || sx1
+      |           WHEN strip1 AND sx1 = split_part(u2, '.', 2) AND u2 <> ''
+      |             THEN u2 || '#' || sx1
+      |           WHEN NOT strip1 AND sx1 = '' AND v1 AND nu > 0 THEN
+      |             CASE WHEN nu = 3 THEN u3 WHEN nu = 2 THEN u2
+      |                  ELSE u1 END || '#' ||
+      |             split_part(CASE WHEN nu = 3 THEN u3 WHEN nu = 2 THEN u2
+      |                  ELSE u1 END, '.', 2)
+      |           ELSE '' END
+      |      ELSE '' END AS extra
+      |  FROM adj2
+      |)
+      |SELECT part, kase, ok,
+      |  CASE WHEN ok = 1 THEN out ELSE '' END AS out,
+      |  CASE WHEN ok = 1 THEN num ELSE NULL END AS num,
+      |  CASE WHEN ok = 1 THEN extra ELSE '' END AS extra
+      |FROM outp""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.BinlogPos
+    import graft.streaming.BinlogPos.Position
+    val rows = bpCases.map { c =>
+      c.part match {
+        case "parse" => BinlogPos.positionFromStr(c.s1) match {
+          case Right(p) => (c.part, c.kase, 1, p.name, Some(p.pos), "")
+          case Left(_) => (c.part, c.kase, 0, "", None: Option[Long], "")
+        }
+        case "real" =>
+          val (p, err) = BinlogPos.realMySQLPos(Position(c.s1, c.p1))
+          if (err.isEmpty) (c.part, c.kase, 1, p.name,
+            None: Option[Long], "")
+          else (c.part, c.kase, 0, "", None: Option[Long], "")
+        case "sfx" => BinlogPos.extractSuffix(c.s1) match {
+          case Right(v) => (c.part, c.kase, 1, "", Some(v.toLong), "")
+          case Left(_) => (c.part, c.kase, 0, "", None: Option[Long], "")
+        }
+        case "cmp" =>
+          val v = BinlogPos.compare(Position(c.s1, c.p1),
+            Position(c.s2, c.p2))
+          (c.part, c.kase, 1, "", Some(v.toLong), "")
+        case "xpos" =>
+          BinlogPos.extractPos(Position(c.s1, c.p1), c.uuids) match {
+            case Right((uuid, sfx, real)) =>
+              (c.part, c.kase, 1, real.name, Some(real.pos), s"$uuid#$sfx")
+            case Left(_) => (c.part, c.kase, 0, "", None: Option[Long], "")
+          }
+      }
+    }
+    rows.toDF("part", "kase", "ok", "out", "num", "extra")
+  }
+
   val all: Seq[GateQuery] =
     Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix,
-      ddlRepair, whereHandle, rmUnused, ddlDispatch)
+      ddlRepair, whereHandle, rmUnused, ddlDispatch, binlogPos)
 }
