@@ -139,6 +139,79 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  // ---- GTID set algebra vs an independent point-set model ----------------
+
+  test("GTID merge/subtract/contains/render equal a point-set model (60 random sets)") {
+    import graft.operators.Gtid
+    val rnd = new scala.util.Random(1416L)
+    def islands(pts: Set[Long]): Seq[(Long, Long)] = {
+      val sorted = pts.toSeq.sorted
+      sorted.foldLeft(Vector.empty[(Long, Long)]) { (acc, p) =>
+        acc.lastOption match {
+          case Some((s, e)) if p == e + 1 => acc.init :+ (s, p)
+          case _ => acc :+ (p, p)
+        }
+      }
+    }
+    def render(byUuid: Map[String, Set[Long]]): String =
+      byUuid.toSeq.filter(_._2.nonEmpty).sortBy(_._1).map { case (u, pts) =>
+        u + ":" + islands(pts).map { case (s, e) =>
+          if (s == e) s.toString else s"$s-$e" }.mkString(":")
+      }.mkString(",")
+
+    for (_ <- 0 until 60) {
+      val uuids = Seq("aaaa-1", "bbbb-2", "cccc-3").take(1 + rnd.nextInt(3))
+      def genPts() = uuids.map(u =>
+        u -> Set.fill(1 + rnd.nextInt(25))(1L + rnd.nextInt(50))).toMap
+      val aPts = genPts()
+      val bPts = genPts()
+      val aDf = aPts.toSeq.flatMap { case (u, ps) => ps.map(u -> _) }
+        .toDF("uuid", "txn")
+
+      // merge == canonical islands of the point set
+      val merged = Gtid.mergeIntervals(aDf)
+      val gotIvs = merged.as[(String, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sorted.toSeq)
+        .toMap
+      val wantIvs = aPts.view.filter(_._2.nonEmpty)
+        .mapValues(islands).toMap
+      assert(gotIvs == wantIvs)
+
+      // render ∘ merge == the model's canonical string; parse round-trips
+      val rendered = Gtid.renderSet(merged).as[String].head()
+      assert(rendered == render(aPts), aPts)
+      val reparsed = Seq(rendered).toDF("s")
+        .select(explode(Gtid.parseSet(col("s"))).as("iv"))
+        .select("iv.uuid", "iv.start", "iv.end")
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sorted.toSeq)
+        .toMap
+      assert(reparsed == wantIvs)
+
+      // contains == membership (probe hits and misses)
+      for (_ <- 0 until 5) {
+        val u = uuids(rnd.nextInt(uuids.size))
+        val t = 1L + rnd.nextInt(55)
+        val got = Seq(rendered).toDF("s")
+          .select(Gtid.containsTxn(col("s"), lit(u), lit(t))).as[Boolean]
+          .head()
+        assert(got == aPts(u).contains(t), s"$u:$t in $rendered")
+      }
+
+      // subtract == set difference
+      val bDf = Gtid.mergeIntervals(bPts.toSeq.flatMap { case (u, ps) =>
+        ps.map(u -> _) }.toDF("uuid", "txn"))
+      val diff = Gtid.subtractIntervals(merged, bDf)
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sorted.toSeq)
+        .toMap
+      val wantDiff = aPts.map { case (u, ps) =>
+        u -> (ps -- bPts.getOrElse(u, Set.empty)) }
+        .filter(_._2.nonEmpty).view.mapValues(islands).toMap
+      assert(diff == wantDiff)
+    }
+  }
+
   test("the dot specials survive substitution: '.' and '..'") {
     // a schema of "." with expression "{schema}" renders "_"
     val df = Seq((".", "x"), ("..", "x")).toDF("s", "t")
