@@ -139,6 +139,74 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  // ---- session windows vs an independent islands fold --------------------
+
+  test("sessionize equals an islands-with-gap fold on 40 random streams") {
+    import graft.operators.Sessions
+    val rnd = new scala.util.Random(1421L)
+    for (trial <- 0 until 40) {
+      val gapUs = (1L + rnd.nextInt(20)) * 1000L
+      val gapNs = gapUs * 1000L
+      val events = (1 to 3).flatMap { k =>
+        Seq.fill(3 + rnd.nextInt(25))(
+          (k.toLong, (1000L + rnd.nextInt(300)) * 1000000L)) // ns, collisions
+      }
+      val df = events.toDF("k", "ts_ns")
+      val got = Sessions.sessionize(df, col("k"), col("ts_ns"), gapNs)
+        .select("k", "sess", "n_events", "start_ns", "end_ns")
+        .as[(Long, Int, Long, Long, Long)].collect().toSeq
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(t => (t._3, t._4, t._5))).toMap
+
+      // independent fold: Spark merges session windows that OVERLAP OR
+      // TOUCH — an event at exactly last + gap still EXTENDS the session
+      // (the per-event window is [t, t+gap] for merging purposes), so the
+      // boundary is INCLUSIVE
+      val want = events.groupBy(_._1).view.mapValues { es =>
+        val ts = es.map(_._2).sorted
+        ts.foldLeft(Vector.empty[Vector[Long]]) { (acc, t) =>
+          acc.lastOption match {
+            case Some(sess) if (t - sess.last) / 1000L <= gapUs =>
+              acc.init :+ (sess :+ t)
+            case _ => acc :+ Vector(t)
+          }
+        }.map(s => (s.size.toLong, s.min, s.max))
+      }.toMap
+      assert(got == want, s"trial=$trial gap=$gapUs")
+    }
+  }
+
+  test("capped sessionization equals its fold (gap strict, cap inclusive)") {
+    import graft.operators.Sessions
+    val rnd = new scala.util.Random(1422L)
+    for (trial <- 0 until 40) {
+      val gap = 1L + rnd.nextInt(15)
+      val cap = gap + 1 + rnd.nextInt(30)
+      val events = (1 to 2).flatMap { k =>
+        (1 to (5 + rnd.nextInt(25))).map(i =>
+          (k.toLong, (100L + rnd.nextInt(120)), i.toLong + k * 1000))
+      }.distinct
+      val df = events.toDF("k", "ts", "id")
+      val got = Sessions.sessionizeCapped(df, "k", "ts", "id", gap, cap)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.sortBy(r => (r._2, r._3))
+          .map(r => r._4)).toMap
+
+      val want = events.groupBy(_._1).view.mapValues { es =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        var sess = 0L; var start = Long.MinValue; var last = Long.MinValue
+        sorted.map { case (_, ts, _) =>
+          if (sess == 0L || ts - last > gap || ts - start >= cap) {
+            sess += 1; start = ts
+          }
+          last = ts
+          sess
+        }
+      }.toMap
+      assert(got == want, s"trial=$trial gap=$gap cap=$cap")
+    }
+  }
+
   // ---- GTID set algebra vs an independent point-set model ----------------
 
   test("GTID merge/subtract/contains/render equal a point-set model (60 random sets)") {
