@@ -98,7 +98,7 @@ object Gate {
       StatsQueries.all ++ ExtraQueries.all ++ ScaleQueries.all ++
       AnalyticsQueries.all ++
       DdlQueries.all ++ StreamTwinQueries.all ++ ConfigQueries.all ++
-      LifecycleQueries.all
+      LifecycleQueries.all ++ RedoQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,253 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.core.CdcStream
+import graft.streaming.RedoLayout
+
+/**
+ * Redo on-disk contract gates (SURVEY §2.11 W4 — the durable artifact a DR
+ * user's `cdc redo apply` resumes from). The q76/q111 gates prove the replay
+ * ALGEBRA; q262 pins the LAYOUT: exact file names across write→rotate→
+ * rename, the meta flush/supersede lifecycle, the GC boundary, and the
+ * reader's resume selection — reference cdc/redo/writer/file/file.go,
+ * cdc/redo/meta_manager.go, cdc/redo/reader/, formats pkg/redo/config.go.
+ */
+object RedoQueries {
+
+  /** Gate-sized writer knobs: a 512-byte max log forces rotation every
+    * ~15-20 records; checkpoint trails the max seen commit ts by 600 (so several files straddle the GC boundary); meta
+    * updates land every 25 writes per feed. */
+  private val MaxLog = 512L
+  private val Lag = 600L
+  private val Every = 25
+
+  private val oracleSql: String =
+    CdcStream.sqlCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", ev0 AS (
+         |  SELECT seq, op, commit_ts, pk FROM cdc WHERE pk % 23 = 0
+         |), b AS (SELECT min(commit_ts) - 1 AS st FROM ev0),
+         |ev AS (
+         |  SELECT seq, op, commit_ts, pk,
+         |    CASE WHEN pk % 2 = 0 THEN 'feed-a' ELSE 'feed-b' END AS cf,
+         |    CASE WHEN pk % 2 = 0 THEN 'default' ELSE 'ns1' END AS ns,
+         |    CAST(row_number() OVER (PARTITION BY pk % 2 ORDER BY seq) AS BIGINT) AS rn,
+         |    length(printf('r|%d|%d|%s|%d', commit_ts, pk, op, seq)) AS len
+         |  FROM ev0
+         |), evp AS (SELECT *, len + (8 - len % 8) % 8 AS chg FROM ev),
+         |asg AS (
+         |  -- the writer's file assignment: rotate when the UNPADDED record
+         |  -- would overflow; the file charge accumulates payload+pad
+         |  SELECT cf, rn, CAST(1 AS BIGINT) AS file_ord, CAST(chg AS BIGINT) AS sz
+         |  FROM evp WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.cf, e.rn,
+         |    CASE WHEN a.sz + e.len > $MaxLog THEN a.file_ord + 1 ELSE a.file_ord END,
+         |    CASE WHEN a.sz + e.len > $MaxLog THEN CAST(e.chg AS BIGINT)
+         |         ELSE a.sz + e.chg END
+         |  FROM asg a JOIN evp e ON e.cf = a.cf AND e.rn = a.rn + 1
+         |),
+         |files AS (
+         |  SELECT a.cf, any_value(e.ns) AS ns, a.file_ord,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    min(e.commit_ts) AS min_ts, max(e.commit_ts) AS max_ts,
+         |    CAST(sum(e.chg) AS BIGINT) AS sz
+         |  FROM asg a JOIN evp e ON e.cf = a.cf AND e.rn = a.rn
+         |  GROUP BY a.cf, a.file_ord
+         |),
+         |named AS (
+         |  -- close draws a SECOND uid after the open's tmp uid, so the
+         |  -- final name of file j carries uid ordinal 2j
+         |  SELECT *,
+         |    CASE WHEN ns = 'default'
+         |      THEN printf('cap-1_%s_row_%d_u%04d.log', cf, max_ts, 2 * file_ord)
+         |      ELSE printf('cap-1_%s_%s_row_%d_u%04d.log', ns, cf, max_ts, 2 * file_ord)
+         |    END AS name
+         |  FROM files
+         |),
+         |pts AS (
+         |  SELECT cf, rn, max(commit_ts) OVER (PARTITION BY cf ORDER BY rn) AS mx,
+         |    max(rn) OVER (PARTITION BY cf) AS n_ev
+         |  FROM evp
+         |),
+         |upd AS (
+         |  SELECT cf, rn * 10 AS ord, mx - $Lag AS prop_c, mx AS prop_r
+         |  FROM pts WHERE rn % $Every = 0
+         |  UNION ALL
+         |  SELECT cf, ${2 * Every} * 10 + 1, st, st FROM pts, b WHERE rn = ${2 * Every}
+         |  UNION ALL
+         |  SELECT cf, 100000000, mx - $Lag, mx FROM pts, b WHERE rn = n_ev
+         |),
+         |acc AS (
+         |  SELECT u.cf, u.ord, u.prop_c, u.prop_r,
+         |    greatest(b.st, coalesce(max(u.prop_c) OVER w1, b.st)) AS prev_c,
+         |    greatest(b.st, coalesce(max(u.prop_r) OVER w1, b.st)) AS prev_r
+         |  FROM upd u, b
+         |  WINDOW w1 AS (PARTITION BY u.cf ORDER BY u.ord
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |),
+         |ign AS (
+         |  SELECT cf,
+         |    CAST(count(*) FILTER (WHERE prop_c < prev_c) +
+         |         count(*) FILTER (WHERE prop_r < prev_r) AS BIGINT) AS ignored
+         |  FROM acc GROUP BY 1
+         |),
+         |fin AS (
+         |  SELECT u.cf, greatest(b.st, max(u.prop_c)) AS fin_c,
+         |    greatest(b.st, max(u.prop_r)) AS fin_r
+         |  FROM upd u, b GROUP BY u.cf, b.st
+         |),
+         |ptmax AS (
+         |  SELECT cf, ord - (ord % 10) AS pt, max(prop_c) AS pc, max(prop_r) AS pr
+         |  FROM upd GROUP BY 1, 2
+         |),
+         |ptrun AS (
+         |  SELECT p.cf, p.pt,
+         |    greatest(b.st, max(p.pc) OVER w2) AS rc,
+         |    greatest(b.st, max(p.pr) OVER w2) AS rr, b.st
+         |  FROM ptmax p, b
+         |  WINDOW w2 AS (PARTITION BY p.cf ORDER BY p.pt)
+         |),
+         |flush_steps AS (
+         |  SELECT cf, st, rc, rr,
+         |    lag(rc) OVER (PARTITION BY cf ORDER BY pt) AS prc,
+         |    lag(rr) OVER (PARTITION BY cf ORDER BY pt) AS prr
+         |  FROM ptrun
+         |),
+         |flushes AS (
+         |  -- init writes flush #1; each point that moved either field adds one
+         |  SELECT cf, CAST(1 + count(*) FILTER (WHERE
+         |      rc > coalesce(prc, st) OR rr > coalesce(prr, st)) AS BIGINT) AS n_flush
+         |  FROM flush_steps GROUP BY cf
+         |),
+         |removed AS (
+         |  SELECT n.cf, n.name, n.max_ts FROM named n JOIN fin f ON f.cf = n.cf
+         |  WHERE n.max_ts < f.fin_c
+         |),
+         |gc AS (
+         |  SELECT f.cf,
+         |    coalesce((SELECT r.name FROM removed r WHERE r.cf = f.cf
+         |              ORDER BY r.max_ts DESC, r.name DESC LIMIT 1), 'none') AS name,
+         |    coalesce((SELECT max(r.max_ts) FROM removed r WHERE r.cf = f.cf), 0) AS ts1,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM removed r WHERE r.cf = f.cf) AS n
+         |  FROM fin f
+         |),
+         |win AS (
+         |  SELECT f.cf, CAST(count(e.seq) AS BIGINT) AS n_win,
+         |    CAST(coalesce(sum(e.pk), 0) AS BIGINT) AS sum_pk
+         |  FROM fin f LEFT JOIN evp e
+         |    ON e.cf = f.cf AND e.commit_ts > f.fin_c AND e.commit_ts <= f.fin_r
+         |  GROUP BY f.cf
+         |),
+         |nsel AS (
+         |  SELECT f.cf, CAST(count(n.name) AS BIGINT) AS n_sel
+         |  FROM fin f LEFT JOIN named n ON n.cf = f.cf AND n.max_ts > f.fin_c
+         |  GROUP BY f.cf
+         |)
+         |SELECT n.cf, 'file' AS kind, n.name, n.max_ts AS ts1, n.min_ts AS ts2,
+         |  n.n, n.sz AS n2
+         |FROM named n JOIN fin f ON f.cf = n.cf WHERE n.max_ts >= f.fin_c
+         |UNION ALL
+         |SELECT f.cf, 'meta',
+         |  printf('cap-1_%s_%s_meta_m%04d.meta',
+         |    CASE WHEN f.cf = 'feed-a' THEN 'default' ELSE 'ns1' END, f.cf, fl.n_flush),
+         |  f.fin_c, f.fin_r, fl.n_flush, i.ignored
+         |FROM fin f JOIN flushes fl ON fl.cf = f.cf JOIN ign i ON i.cf = f.cf
+         |UNION ALL
+         |SELECT g.cf, 'gc', g.name, g.ts1, 0, g.n, 0 FROM gc g
+         |UNION ALL
+         |SELECT f.cf, 'resume', 'selected:' || s.n_sel, f.fin_c, f.fin_r,
+         |  w.n_win, w.sum_pk
+         |FROM fin f JOIN nsel s ON s.cf = f.cf JOIN win w ON w.cf = f.cf"""
+        .stripMargin
+
+  /**
+   * q262 — the redo dir across a scripted write→rotate→meta-flush→GC→resume
+   * run, two changefeeds sharing the script: `feed-a` in the default
+   * namespace (V1 log names) and `feed-b` in `ns1` (V2 names), both with
+   * always-namespaced meta names. Pinned per feed: every surviving log
+   * file's EXACT name (rotation boundaries, max-commit-ts rename, uid
+   * draw order), record count, min content ts and the writer's byte
+   * accounting; the surviving meta's exact name (uid ordinal = flush
+   * count), flushed (checkpointTs, resolvedTs), flush count and the
+   * regressed-update-ignored count; GC's removal count, last removal and
+   * its ts (the `< checkpoint` boundary); and the reader's resume — file
+   * selection count (`> checkpoint`, distinct from GC's `>=` survival) and
+   * the decoded row count/pk sum inside (checkpointTs, resolvedTs]. The
+   * oracle replays the writer's size arithmetic as a recursive CTE and the
+   * meta/GC rules as window algebra over the same sampled stream.
+   */
+  val redoLayout = GateQuery("q262_redo_layout", Some(oracleSql),
+    heavy = true) { (spark, dir) =>
+    import spark.implicits._
+    import RedoLayout._
+    val sample = CdcStream.derive(spark, dir)
+      .filter(col("pk") % 23 === 0)
+      .select("seq", "op", "commit_ts", "pk")
+      .orderBy("seq")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val startTs = sample.map(_._3).min - 1
+    val (base, _) = Gate.freshScratch("graft_redo_layout_", dir)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, Long, Long, Long, Long)]
+
+    for ((ns, cf, par) <- Seq(("default", "feed-a", 0L), ("ns1", "feed-b", 1L))) {
+      val fdir = s"$base/$ns.$cf"
+      var wu = 0; var mu = 0
+      val w = new LogWriter(fdir, "cap-1", ns, cf, RowFileType, MaxLog,
+        () => { wu += 1; f"u$wu%04d" })
+      val m = new MetaManager(fdir, "cap-1", ns, cf,
+        () => { mu += 1; f"m$mu%04d" })
+      m.initMeta(startTs)
+      var i = 0; var maxTs = 0L
+      for ((seq, op, ct, pk) <- sample if pk % 2 == par) {
+        i += 1
+        if (ct > maxTs) maxTs = ct
+        w.writeAt(ct, s"r|$ct|$pk|$op|$seq".getBytes("UTF-8"))
+        if (i % Every == 0) {
+          m.update(maxTs - Lag, maxTs)
+          if (i == 2 * Every) m.update(startTs, startTs) // scripted regression
+          m.maybeFlush(); m.gc(); ()
+        }
+      }
+      w.close()
+      m.update(maxTs - Lag, maxTs); m.maybeFlush(); m.gc()
+
+      import scala.jdk.CollectionConverters._
+      def names(suffix: String): Seq[String] = {
+        val s = Files.list(Paths.get(fdir))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(suffix)).toSeq.sorted
+        finally s.close()
+      }
+      for (name <- names(LogExt)) {
+        val bytes = Files.readAllBytes(Paths.get(fdir, name))
+        val frames = readFrames(bytes)
+        val cts = frames.map(b => new String(b, "UTF-8").split("\\|")(1).toLong)
+        out += ((cf, "file", name, parseLogFileName(name).get.commitTs,
+          cts.min, frames.size.toLong, bytes.length - 8L * frames.size))
+      }
+      val (mc, mr) = m.flushedMeta
+      out += ((cf, "meta", names(MetaExt).head, mc, mr,
+        m.flushCount.toLong, m.ignoredUpdates.toLong))
+      val rem = m.removedLogs.toSeq
+      out += ((cf, "gc",
+        if (rem.isEmpty) "none"
+        else rem.maxBy(n => (parseLogFileName(n).get.commitTs, n)),
+        rem.map(n => parseLogFileName(n).get.commitTs)
+          .foldLeft(0L)(math.max), 0L, rem.size.toLong, 0L))
+      val (rc, rr) = Reader.readMeta(fdir)
+      val selected = Reader.selectFiles(fdir, RowFileType, rc)
+      val winRows = selected
+        .flatMap(n => readFrames(Files.readAllBytes(Paths.get(fdir, n))))
+        .map { b => val p = new String(b, "UTF-8").split("\\|"); (p(1).toLong, p(2).toLong) }
+        .filter(t => t._1 > rc && t._1 <= rr)
+      out += ((cf, "resume", s"selected:${selected.size}", rc, rr,
+        winRows.size.toLong, winRows.map(_._2).sum))
+    }
+    out.toSeq.toDF("cf", "kind", "name", "ts1", "ts2", "n", "n2")
+  }
+
+  def all: Seq[GateQuery] = Seq(redoLayout)
+}

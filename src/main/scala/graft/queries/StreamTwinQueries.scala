@@ -467,11 +467,23 @@ object StreamTwinQueries {
       .filter(col("pk") % 19 === 0 && col("commit_ts") <= ResolvedTs)
       .persist()
     val stage1 = Compaction.compact(wal.filter(col("commit_ts") <= CkptTs))
+    val (base, tag) = Gate.freshScratch("graft_redo_apply_", dir)
+    // the redo window round-trips through a REAL redo dir (q262's on-disk
+    // contract): framed rotate-and-rename logs + flushed meta written by
+    // graft.streaming.Redo.writeRedoDir, then the applier resumes from the
+    // layout exactly as `cdc redo apply` does — meta window, file
+    // selection, frame decode (RedoLayout.Reader). Losslessness of the
+    // round-trip is part of what the oracle checks.
+    graft.streaming.Redo.writeRedoDir(
+      wal.filter(col("commit_ts") > CkptTs).drop("split_part"),
+      s"$base/redo", "cap-1", "default", "feed-apply",
+      checkpointTs = CkptTs, resolvedTs = ResolvedTs)
+    val redoRows = graft.streaming.RedoLayout.Reader.readRows(spark, s"$base/redo")
     // safe mode: the applier re-renders net inserts as REPLACE
-    val redo = Compaction.compact(wal.filter(col("commit_ts") > CkptTs))
+    val redo = Compaction.compact(redoRows)
       .withColumn("net_op",
         when(col("net_op") === "I", "R").otherwise(col("net_op")))
-    val (sqlDir, tag) = Gate.freshScratch("graft_redo_apply_", dir)
+    val sqlDir = s"$base/sql"
     Sinks.sqlFileSink(sqlDir)(stage1, 0L) // seed = checkpoint state
     Sinks.sqlFileSink(sqlDir)(redo, 1L)   // then the redo window, safe mode
     val tables = wal.select("schema_name", "table_name").distinct().collect()

@@ -53,4 +53,65 @@ object Redo {
       graft.operators.Transforms.updateSplit(wal))
     Sinks.parquetStateSink(spark, stateDir)(compacted, resolvedTs)
   }
+
+  /**
+   * Write envelope rows as a REAL redo dir in the reference's on-disk
+   * contract ([[RedoLayout]]): framed binary logs with rotate-and-rename
+   * naming plus a flushed meta. Partitions map to captures — each task
+   * writes its own `<captureId>-p<pid>_…` log files, exactly how multiple
+   * captures share one changefeed's redo storage; the meta (a per-owner
+   * singleton in the reference) flushes once from the driver. `dir` must
+   * be shared storage on a real cluster.
+   */
+  def writeRedoDir(events: DataFrame, dir: String, captureId: String,
+      namespace: String, changefeedId: String,
+      checkpointTs: Long, resolvedTs: Long,
+      maxLogSizeBytes: Long = RedoLayout.DefaultMaxLogSizeBytes): Unit = {
+    import RedoLayout._
+    val cols = Seq("seq", "op", "commit_ts", "start_ts", "source_id",
+      "schema_name", "table_name", "pk", "pk_after", "val_before",
+      "val_after", "etype")
+    Files.createDirectories(Paths.get(dir))
+    events.select(cols.map(col): _*)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var n = 0
+          val w = new LogWriter(dir, s"$captureId-p$pid", namespace,
+            changefeedId, RowFileType, maxLogSizeBytes,
+            () => { n += 1; f"u$pid%03d-$n%06d" })
+          it.foreach { r =>
+            val e = RedoEnvelope(r.getLong(0), r.getString(1), r.getLong(2),
+              r.getLong(3), r.getInt(4), r.getString(5), r.getString(6),
+              r.getLong(7), r.getLong(8),
+              if (r.isNullAt(9)) None else Some(r.getDouble(9)),
+              if (r.isNullAt(10)) None else Some(r.getDouble(10)),
+              r.getString(11))
+            w.writeAt(e.commit_ts, RedoRowCodec.encode(e))
+          }
+          w.close()
+        }
+      }
+    var m = 0
+    val meta = new MetaManager(dir, captureId, namespace, changefeedId,
+      () => { m += 1; f"m$m%06d" })
+    meta.initMeta(checkpointTs)
+    meta.update(checkpointTs, resolvedTs)
+    meta.maybeFlush()
+    ()
+  }
+
+  /**
+   * `cdc redo apply` from a REAL redo dir: resume window from the flushed
+   * meta, select-and-decode the framed logs ([[RedoLayout.Reader]]), then
+   * the same split→compact→state apply as [[replay]].
+   */
+  def replayFromRedoDir(spark: SparkSession, redoDir: String,
+      stateDir: String): Unit = {
+    val (_, resolvedTs) = RedoLayout.Reader.readMeta(redoDir)
+    val rows = RedoLayout.Reader.readRows(spark, redoDir)
+    val compacted = Compaction.compact(
+      graft.operators.Transforms.updateSplit(rows))
+    Sinks.parquetStateSink(spark, stateDir)(compacted, resolvedTs)
+  }
 }
