@@ -619,7 +619,228 @@ object DdlQueries {
       .filter(col("wm") === col("k.ts") && col("wm") === col("c.es"))
   }
 
+  /** q264's scripted announcements: (table, source, ddl, ts offset).
+    * tbl_0 fully announced (resolved → leaves the lock table); tbl_2 at
+    * 2/3 with src_0 first (owner); tbl_3 at 1/3 announced by src_1. */
+  private val lockAnn = Seq(
+    ("tbl_0", "src_0", "add_col", 10L), ("tbl_0", "src_1", "add_col", 20L),
+    ("tbl_0", "src_2", "add_col", 30L),
+    ("tbl_2", "src_0", "add_col", 40L), ("tbl_2", "src_1", "add_col", 50L),
+    ("tbl_3", "src_1", "add_col", 60L))
+
+  private val lockAnnSql = lockAnn
+    .map { case (t, s, d, o) => s"('$t', '$s', '$d', $o)" }.mkString(", ")
+
+  /**
+   * q264 — dmctl's `shard-ddl-lock` inspection over the live pessimistic
+   * coordination state ([[ShardDdl.pessimisticLocks]]/showLocks/unlockLock;
+   * reference dm/master/server.go:901-980, shardddl/pessimist.go:233-385,
+   * lock-ID algebra dm/pkg/utils/common.go:83-108). Script points: (p1)
+   * before any announcement — "no DDL lock exists"; (p2) mid-coordination —
+   * the lock table (exact IDs, first-announcer owner, sorted
+   * synced/unsynced) plus ShowLocks' task/sources filters; (p3) the unlock
+   * matrix — malformed ID, unknown ID, a successful unlock (owner exec +
+   * synced-non-owner skip + removal), and a replace-owner pointing at an
+   * un-synced source (refused: the operator should break, not unlock);
+   * (p3f) the table after. ts offsets anchor to count(orders).
+   */
+  val shardDdlLocks = GateQuery(
+    "q264_shard_ddl_locks",
+    Some(
+      s"""WITH b AS (SELECT CAST(count(*) AS BIGINT) AS base FROM orders),
+         |ann(tbl, src, ddl, off) AS (VALUES $lockAnnSql),
+         |locks AS (
+         |  SELECT tbl, 'task1-' || chr(96) || 'db' || chr(96) || '.' ||
+         |      chr(96) || tbl || chr(96) AS id,
+         |    arg_min(src, base + off) AS owner,
+         |    string_agg(src, ',' ORDER BY src) AS synced,
+         |    array_to_string([s FOR s IN ['src_0', 'src_1', 'src_2']
+         |      IF NOT list_contains(list(src), s)], ',') AS unsynced,
+         |    CAST(count(DISTINCT src) AS BIGINT) AS n
+         |  FROM ann, b GROUP BY tbl
+         |  HAVING count(DISTINCT src) < 3
+         |),
+         |nlocks AS (SELECT CAST(count(*) AS BIGINT) AS n FROM locks)
+         |SELECT 'p1' AS phase, 'msg' AS kind, '' AS k, '' AS owner,
+         |  '' AS synced, '' AS unsynced, CAST(1 AS BIGINT) AS ok,
+         |  'no DDL lock exists' AS msg
+         |UNION ALL
+         |SELECT 'p2', 'lock', id, owner, synced, unsynced, 1, '' FROM locks
+         |UNION ALL
+         |SELECT 'p2', 'filter', 'task:task1', '', '', '', n, '' FROM nlocks
+         |UNION ALL
+         |SELECT 'p2', 'filter', 'task:other', '', '', '', 0, ''
+         |UNION ALL
+         |SELECT 'p2', 'filter', 'sources:src_0', '', '', '', n, '' FROM nlocks
+         |UNION ALL
+         |SELECT 'p2', 'filter', 'sources:src_9', '', '', '', 0, ''
+         |UNION ALL
+         |SELECT 'p3', 'unlock', 'invalid-lock-id', '', '', '', 0,
+         |  'can''t find task name from lock-ID'
+         |UNION ALL
+         |SELECT 'p3', 'unlock', 'task1-' || chr(96) || 'db' || chr(96) ||
+         |    '.' || chr(96) || 'nope' || chr(96), '', '', '', 0,
+         |  'lock with ID task1-' || chr(96) || 'db' || chr(96) || '.' ||
+         |    chr(96) || 'nope' || chr(96) || ' not found'
+         |UNION ALL
+         |SELECT 'p3', 'unlock', id, owner,
+         |  array_to_string([s FOR s IN string_split(synced, ',')
+         |    IF s <> owner], ','), '', 1, ''
+         |FROM locks WHERE tbl = 'tbl_2'
+         |UNION ALL
+         |SELECT 'p3', 'unlock', id, '', '', '', 0,
+         |  'owner src_2 is not waiting for a lock, but sources ' || synced ||
+         |  ' are waiting for the lock'
+         |FROM locks WHERE tbl = 'tbl_3'
+         |UNION ALL
+         |SELECT 'p3f', 'lock', id, owner, synced, unsynced, 1, ''
+         |FROM locks WHERE tbl = 'tbl_3'""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.ShardDdl
+    val base = Tables.load(spark, dir, "orders").count()
+    val ann = lockAnn.map { case (t, s, d, o) => (t, s, d, base + o) }
+    val sources = Seq("src_0", "src_1", "src_2")
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String, String, String, Long, String)]
+    def lockRows(phase: String, locks: Seq[ShardDdl.PessLock]): Unit = {
+      val views = ShardDdl.showLocks(locks)
+      if (views.isEmpty)
+        out += ((phase, "msg", "", "", "", "", 1L, "no DDL lock exists"))
+      else views.foreach { v =>
+        out += ((phase, "lock", v.id, v.owner, v.synced.mkString(","),
+          v.unsynced.mkString(","), 1L, ""))
+      }
+    }
+    // p1: before any announcement
+    lockRows("p1", ShardDdl.pessimisticLocks("task1", "db", Seq.empty, sources))
+    // p2: mid-coordination + ShowLocks filters
+    var locks = ShardDdl.pessimisticLocks("task1", "db", ann, sources)
+    lockRows("p2", locks)
+    for ((label, t, ss) <- Seq(("task:task1", "task1", Seq.empty[String]),
+      ("task:other", "other", Seq.empty[String]),
+      ("sources:src_0", "", Seq("src_0")), ("sources:src_9", "", Seq("src_9"))))
+      out += (("p2", "filter", label, "", "", "",
+        ShardDdl.showLocks(locks, t, ss).size.toLong, ""))
+    // p3: the unlock matrix, state threading through each attempt
+    def unlock(id: String, replace: Option[String]): Unit = {
+      val (next, r) = ShardDdl.unlockLock(locks, id, replace)
+      locks = next
+      out += (("p3", "unlock", id, r.execOwner.getOrElse(""),
+        r.skipped.mkString(","), "", if (r.ok) 1L else 0L, r.msg))
+    }
+    unlock("invalid-lock-id", None)
+    unlock(ShardDdl.genDDLLockID("task1", "db", "nope"), None)
+    unlock(ShardDdl.genDDLLockID("task1", "db", "tbl_2"), None)
+    unlock(ShardDdl.genDDLLockID("task1", "db", "tbl_3"), Some("src_2"))
+    lockRows("p3f", locks)
+    out.toSeq.toDF("phase", "kind", "k", "owner", "synced", "unsynced",
+      "ok", "msg")
+  }
+
+  /**
+   * q265 — DM's safe-mode PHASE kernel ([[graft.streaming.SafeModePhase]];
+   * reference dm/syncer/safe_mode.go:34-120 + the runtime exits at
+   * dm/syncer/syncer.go:2337-2356/2508-2540 + the refcount
+   * dm/syncer/safe-mode/mode.go). q34 pins the row REWRITE; this pins WHEN
+   * it applies: eight scenarios replay the sampled stream through
+   * init+step and pin the per-event on/off timeline — config-on forever;
+   * the default 2×flush-interval window; a checkpointed exit point
+   * (strictly-greater pass, checked before the event's render snapshot);
+   * exit-point==begin clears immediately (flush-now flag); the
+   * zero-duration-with-exit-point conflict error; cli-args duration
+   * BEATING config (the config +1 never happens); a custom window; and
+   * refcount NESTING (config-on + exit point stays on after the point
+   * passes). Clocks all derive from the stream's commit ts.
+   */
+  val safeModePhase = GateQuery(
+    "q265_safe_mode_phase",
+    Some(cte +
+      s""", ev AS (SELECT seq, commit_ts AS ct FROM cdc WHERE pk % 97 = 0),
+         |b AS (SELECT min(ct) AS lo, max(ct) AS hi,
+         |  (min(ct) + max(ct)) // 2 AS mid FROM ev)
+         |SELECT 's1_cfg_on' AS sc, CAST(count(*) AS BIGINT) AS n_safe,
+         |  CAST(0 AS BIGINT) AS n_normal, CAST(0 AS BIGINT) AS first_normal_ts,
+         |  CAST(0 AS BIGINT) AS cleared, CAST(0 AS BIGINT) AS err
+         |FROM ev
+         |UNION ALL
+         |SELECT 's2_default_window',
+         |  CAST(count(*) FILTER (WHERE ct - lo < 60) AS BIGINT),
+         |  CAST(count(*) FILTER (WHERE ct - lo >= 60) AS BIGINT),
+         |  CAST(coalesce(min(ct) FILTER (WHERE ct - lo >= 60), 0) AS BIGINT),
+         |  0, 0
+         |FROM ev, b
+         |UNION ALL
+         |SELECT 's3_exit_point',
+         |  CAST(count(*) FILTER (WHERE ct <= mid) AS BIGINT),
+         |  CAST(count(*) FILTER (WHERE ct > mid) AS BIGINT),
+         |  CAST(coalesce(min(ct) FILTER (WHERE ct > mid), 0) AS BIGINT), 0, 0
+         |FROM ev, b
+         |UNION ALL
+         |SELECT 's4_exit_at_begin', 0, CAST(count(*) AS BIGINT),
+         |  CAST(min(ct) AS BIGINT), 1, 0
+         |FROM ev
+         |UNION ALL
+         |SELECT 's5_zero_conflict', 0, 0, 0, 0, 1
+         |UNION ALL
+         |SELECT 's6_cli_priority',
+         |  CAST(count(*) FILTER (WHERE ct <= lo + 90) AS BIGINT),
+         |  CAST(count(*) FILTER (WHERE ct > lo + 90) AS BIGINT),
+         |  CAST(coalesce(min(ct) FILTER (WHERE ct > lo + 90), 0) AS BIGINT),
+         |  0, 0
+         |FROM ev, b
+         |UNION ALL
+         |SELECT 's7_custom_window',
+         |  CAST(count(*) FILTER (WHERE ct - lo < 45) AS BIGINT),
+         |  CAST(count(*) FILTER (WHERE ct - lo >= 45) AS BIGINT),
+         |  CAST(coalesce(min(ct) FILTER (WHERE ct - lo >= 45), 0) AS BIGINT),
+         |  0, 0
+         |FROM ev, b
+         |UNION ALL
+         |SELECT 's8_nested', CAST(count(*) AS BIGINT), 0, 0, 0, 0
+         |FROM ev""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.SafeModePhase
+    import SafeModePhase.InitCfg
+    val evs = CdcStream.derive(spark, dir)
+      .filter(col("pk") % 97 === 0)
+      .select("seq", "commit_ts").orderBy("commit_ts", "seq")
+      .collect().map(r => r.getLong(1))
+    val (lo, hi) = (evs.min, evs.max)
+    val mid = (lo + hi) / 2
+    val scenarios = Seq(
+      ("s1_cfg_on", InitCfg(cfgSafeMode = true, beginLocation = lo)),
+      ("s2_default_window", InitCfg(beginLocation = lo)),
+      ("s3_exit_point", InitCfg(exitPoint = Some(mid), beginLocation = lo)),
+      ("s4_exit_at_begin", InitCfg(exitPoint = Some(lo), beginLocation = lo)),
+      ("s5_zero_conflict", InitCfg(cfgDurationSec = Some(0L),
+        exitPoint = Some(mid), beginLocation = lo)),
+      ("s6_cli_priority", InitCfg(cliDurationSec = Some(90L),
+        cfgSafeMode = true, beginLocation = lo)),
+      ("s7_custom_window", InitCfg(cfgDurationSec = Some(45L),
+        beginLocation = lo)),
+      ("s8_nested", InitCfg(cfgSafeMode = true, exitPoint = Some(mid),
+        beginLocation = lo)))
+    val out = scenarios.map { case (sc, cfg) =>
+      SafeModePhase.init(cfg, nowTs = lo) match {
+        case Left(_) => (sc, 0L, 0L, 0L, 0L, 1L)
+        case Right(ph0) =>
+          var ph = ph0
+          var nSafe = 0L; var nNorm = 0L; var firstNorm = 0L
+          evs.foreach { ct =>
+            val (ph2, safe) = SafeModePhase.step(ph, ct, ct, ct)
+            ph = ph2
+            if (safe) nSafe += 1
+            else { nNorm += 1; if (firstNorm == 0L) firstNorm = ct }
+          }
+          (sc, nSafe, nNorm, firstNorm,
+            if (ph0.clearedExitPointAtInit) 1L else 0L, 0L)
+      }
+    }
+    out.toDF("sc", "n_safe", "n_normal", "first_normal_ts", "cleared", "err")
+  }
+
   def all: Seq[GateQuery] =
     Seq(shardDdlGate, precheck, ddlText, ddlAllowList, ddlRenderFixpoint,
-      debeziumDdl, maxwellDdl, simpleDdl, openDdl, watermarkMessages)
+      debeziumDdl, maxwellDdl, simpleDdl, openDdl, watermarkMessages,
+      shardDdlLocks, safeModePhase)
 }

@@ -894,8 +894,131 @@ object DiffQueries {
   val bucketChunksMerge = bucketGate("q247_bucket_chunks", 64, 16)
   val bucketChunksSplit = bucketGate("q247b_bucket_split", 4, 8)
 
+  /**
+   * q263 — sync_diff's SHARD-MERGE upstream ([[graft.diff.ShardMerge]];
+   * reference sync_diff_inspector/source/source.go:163-225 router-matched
+   * sources, source/mysql_shard.go:107-150 count-SUM/checksum-XOR merge):
+   * three physical shards of lineitem (split by l_orderkey % 3) route via
+   * DM rules into one logical table and diff against the plain downstream;
+   * a fourth unrouted shard must be shielded out. Each shard carries its
+   * own fault — shard 1 perturbs quantity on %97 (→ `different`), shard 2
+   * drops %101 rows (→ `extra`), shard 0 adds %103 ghost rows
+   * (→ `missing`). Pinned per chunk (shared downstream-bounds membership):
+   * merged count + XOR checksum, `xor_ok` = the reference's per-shard-
+   * partial XOR combine agreeing with the union-path digest (the
+   * distributivity the Spark plan relies on, CHECKED not assumed), and
+   * `match_down` = the chunk-compare verdict; plus the row-diff class
+   * totals the refine stage would hand to fix-SQL.
+   */
+  val shardMerge = GateQuery(
+    "q263_shard_merge",
+    Some(
+      s"""WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem),
+         |up AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CASE WHEN l_orderkey % 3 = 1 AND l_orderkey % 97 = 0
+         |         THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+         |    l_extendedprice, l_returnflag, l_shipdate
+         |  FROM lineitem
+         |  WHERE NOT (l_orderkey % 3 = 2 AND l_orderkey % 101 = 0)
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber + 100, l_quantity, l_extendedprice,
+         |    l_returnflag, l_shipdate
+         |  FROM lineitem WHERE l_orderkey % 3 = 0 AND l_orderkey % 103 = 0
+         |),
+         |uch AS (
+         |  SELECT chunk_id, CAST(count(*) AS BIGINT) AS cnt,
+         |    bit_xor(row_digest) AS checksum
+         |  FROM (
+         |    SELECT CAST(least(15, ((l_orderkey - b.lo) * 16) // (b.hi - b.lo + 1)) AS INT) AS chunk_id,
+         |      ${oracleDigest(oracleCanonical)} AS row_digest
+         |    FROM up, b
+         |  ) GROUP BY chunk_id
+         |),
+         |dch AS (
+         |  SELECT chunk_id, CAST(count(*) AS BIGINT) AS cnt,
+         |    bit_xor(row_digest) AS checksum
+         |  FROM (
+         |    SELECT CAST(least(15, ((l_orderkey - b.lo) * 16) // (b.hi - b.lo + 1)) AS INT) AS chunk_id,
+         |      ${oracleDigest(oracleCanonical)} AS row_digest
+         |    FROM lineitem, b
+         |  ) GROUP BY chunk_id
+         |)
+         |SELECT 'chunk' AS kind, CAST(u.chunk_id AS VARCHAR) AS k, u.cnt AS n,
+         |  u.checksum AS v, CAST(1 AS BIGINT) AS xor_ok,
+         |  CAST(CASE WHEN d.cnt = u.cnt AND d.checksum = u.checksum
+         |       THEN 1 ELSE 0 END AS BIGINT) AS match_down
+         |FROM uch u JOIN dch d ON d.chunk_id = u.chunk_id
+         |UNION ALL
+         |SELECT 'diff', 'different', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(l_orderkey), 0) AS BIGINT), 1, 0
+         |FROM lineitem WHERE l_orderkey % 3 = 1 AND l_orderkey % 97 = 0
+         |HAVING count(*) > 0
+         |UNION ALL
+         |SELECT 'diff', 'extra', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(l_orderkey), 0) AS BIGINT), 1, 0
+         |FROM lineitem WHERE l_orderkey % 3 = 2 AND l_orderkey % 101 = 0
+         |HAVING count(*) > 0
+         |UNION ALL
+         |SELECT 'diff', 'missing', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(l_orderkey), 0) AS BIGINT), 1, 0
+         |FROM lineitem WHERE l_orderkey % 3 = 0 AND l_orderkey % 103 = 0
+         |HAVING count(*) > 0""".stripMargin)) { (spark, dir) =>
+    import graft.diff.ShardMerge
+    import graft.operators.Routing
+    val li = Tables.load(spark, dir, "lineitem")
+    val k = col("l_orderkey")
+    def part(i: Int) = li.filter(k % 3 === i)
+    val shard0 = part(0).unionByName(
+      part(0).filter(k % 103 === 0)
+        .withColumn("l_linenumber", col("l_linenumber") + 100))
+    val shard1 = part(1).withColumn("l_quantity",
+      when(k % 97 === 0, col("l_quantity") + 1).otherwise(col("l_quantity")))
+    val shard2 = part(2).filter(k % 101 =!= 0)
+    val decoy = li.filter(k % 5 === 0) // no rule → keeps its own name → shielded
+    val rules = Seq(
+      Routing.RouteRule("db_0", "t0", "db", "lineitem"),
+      Routing.RouteRule("db_1", "t1", "db", "lineitem"),
+      Routing.RouteRule("db_2", "t2", "db", "lineitem"))
+    val merged = ShardMerge.mergeSources(
+      Seq(("db_0", "t0", shard0), ("db_1", "t1", shard1),
+        ("db_2", "t2", shard2), ("db_9", "t9", decoy)),
+      rules, "db", "lineitem")
+    val (lo, hi) = ChunkDiff.widthBounds(li, "l_orderkey")
+    def chunked(df: DataFrame) = df
+      .withColumn("row_digest", ChunkDiff.rowDigest(canonical(df)))
+      .withColumn("chunk_id", ChunkDiff.chunkByWidth(k, lo, hi, 16))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("cnt"), expr("bit_xor(row_digest)").as("checksum"))
+    val unionPath = chunked(merged)
+    val shardPath = ShardMerge.shardChunkChecksums(
+      Seq(shard0, shard1, shard2), "l_orderkey", lo, hi, 16, canonical)
+      .withColumnRenamed("cnt", "s_cnt").withColumnRenamed("checksum", "s_checksum")
+    val down = chunked(li)
+      .withColumnRenamed("cnt", "d_cnt").withColumnRenamed("checksum", "d_checksum")
+    val chunkRows = unionPath.join(shardPath, Seq("chunk_id"))
+      .join(down, Seq("chunk_id"))
+      .select(lit("chunk").as("kind"), col("chunk_id").cast("string").as("k"),
+        col("cnt").as("n"), col("checksum").as("v"),
+        (col("cnt") === col("s_cnt") && col("checksum") === col("s_checksum"))
+          .cast("long").as("xor_ok"),
+        (col("cnt") === col("d_cnt") && col("checksum") === col("d_checksum"))
+          .cast("long").as("match_down"))
+    // the synthetic lineitem's (orderkey, linenumber) pair repeats; the
+    // 4-column key is the table's true handle (unique at sf0.01/sf0.1) —
+    // a non-unique join key would explode the full-outer compare into
+    // phantom `different` pairs
+    val classes = ChunkDiff.rowDiff(merged, li,
+      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"), canonical)
+      .groupBy(col("diff_type"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("v"))
+      .select(lit("diff").as("kind"), col("diff_type").as("k"), col("n"),
+        col("v"), lit(1L).as("xor_ok"), lit(0L).as("match_down"))
+    chunkRows.unionByName(classes)
+  }
+
   def all: Seq[GateQuery] =
     Seq(chunkChecksum, chunkChecksumComposite, rowDiff, fixSql, fixApply,
       diffIgnoreColumns, diffRange, diffReport, diffCheckpointResume,
-      diffCheckModes, bucketChunksMerge, bucketChunksSplit)
+      diffCheckModes, bucketChunksMerge, bucketChunksSplit, shardMerge)
 }

@@ -293,6 +293,32 @@ final class ApiServer(spark: SparkSession,
       case ("GET", id :: Nil) =>
         if (!manager.list().contains(id)) error(ex, 404, s"changefeed $id not found")
         else respond(ex, 200, feedState(id))
+      case ("GET", id :: "meta_info" :: Nil) =>
+        // GET /changefeeds/{id}/meta_info (api.go:62, changefeed.go:696-745):
+        // id validation first, then info + status, task_status populated
+        // only for a NORMAL feed (processor placements from the hash ring)
+        if (!Captures.validId(id)) error(ex, 400, s"invalid changefeed_id: $id")
+        else if (!manager.list().contains(id))
+          error(ex, 404, s"changefeed $id not found")
+        else {
+          val st = manager.status(id)
+          val state = feedState(id)("state").toString
+          val taskStatus =
+            if (state != "normal") Seq.empty
+            else registry.listCaptures().map(_("id").toString).sorted.map { cap =>
+              Map("capture_id" -> cap,
+                "table_ids" -> registry.tablesOn(id, cap))
+            }.filter(_("table_ids").asInstanceOf[Seq[_]].nonEmpty)
+          val (sinkUri, _, _) = feedCfg.getOrElse(id, ("", "", ""))
+          respond(ex, 200, Map(
+            "id" -> id,
+            "namespace" -> "default",
+            "sink_uri" -> sinkUri,
+            "state" -> state,
+            "error" -> feedState(id)("error"),
+            "checkpoint_ts" -> st.getOrElse("lastBatch", -1L),
+            "task_status" -> taskStatus))
+        }
       case ("GET", id :: "status" :: Nil) =>
         if (!manager.list().contains(id)) error(ex, 404, s"changefeed $id not found")
         else respond(ex, 200, manager.status(id).map { case (k, v) => k -> v })
@@ -451,6 +477,45 @@ final class ApiServer(spark: SparkSession,
       "ineligible_tables" -> ineligible))
   }
 
+  // ---- DM shard-DDL lock inspection (dmctl `shard-ddl-lock` [unlock];
+  // reference dm/master/server.go:901-980 ShowDDLLocks/UnlockDDLLock over
+  // the pessimistic coordinator's live state) --------------------------
+
+  // the live lock table — a view over ShardDdl.coordinate state, set by
+  // whoever drives the coordination (test harness / gate script)
+  @volatile private var ddlLocks: Seq[ShardDdl.PessLock] = Seq.empty
+  def setDdlLocks(locks: Seq[ShardDdl.PessLock]): Unit = ddlLocks = locks
+  def currentDdlLocks: Seq[ShardDdl.PessLock] = ddlLocks
+
+  private def lockJson(v: ShardDdl.LockView): Map[String, Any] = Map(
+    "ID" -> v.id, "task" -> v.task, "mode" -> v.mode, "owner" -> v.owner,
+    "DDLs" -> v.ddls, "synced" -> v.synced, "unsynced" -> v.unsynced)
+
+  private def handleShowDdlLocks(ex: HttpExchange): Unit = {
+    val qp = queryParams(ex)
+    val task = qp.getOrElse("task", "")
+    val srcs = qp.get("sources")
+      .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    val views = ShardDdl.showLocks(ddlLocks, task, srcs)
+    respond(ex, 200, Map(
+      "result" -> true,
+      "msg" -> (if (views.isEmpty) "no DDL lock exists" else ""),
+      "locks" -> views.map(lockJson)))
+  }
+
+  private def handleUnlockDdlLock(ex: HttpExchange): Unit = {
+    val body = readBody(ex)
+    val id = body.get("ID").orElse(body.get("id")).map(_.toString)
+      .getOrElse(return error(ex, 400, "lock ID is required"))
+    val (next, res) = ShardDdl.unlockLock(ddlLocks, id,
+      body.get("replace_owner").map(_.toString).filter(_.nonEmpty),
+      forceRemove = body.get("force_remove").exists(v => String.valueOf(v) == "true"))
+    ddlLocks = next
+    respond(ex, 200, Map(
+      "result" -> res.ok, "msg" -> res.msg,
+      "exec_owner" -> res.execOwner.orNull, "skipped" -> res.skipped))
+  }
+
   private val handler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
@@ -465,6 +530,23 @@ final class ApiServer(spark: SparkSession,
               "is_owner" -> true,
               "liveness" -> 0,
               "uptime_ms" -> (System.currentTimeMillis() - started)))
+          case ("POST", "/api/v2/log") =>
+            // POST /api/v2/log (api.go:49, log.go:36-52): body
+            // {"log_level": ...} defaulting to "info"; the level set is
+            // zap's vocabulary, applied to the Spark logger's nearest tier
+            val level = readBody(ex).get("log_level")
+              .map(_.toString).getOrElse("info")
+            val log4j = Map(
+              "debug" -> "DEBUG", "info" -> "INFO", "warn" -> "WARN",
+              "error" -> "ERROR", "dpanic" -> "ERROR", "panic" -> "ERROR",
+              "fatal" -> "FATAL")
+            log4j.get(level) match {
+              case None =>
+                error(ex, 400, s"fail to change log level: $level")
+              case Some(l) =>
+                spark.sparkContext.setLogLevel(l)
+                respond(ex, 200, Map.empty[String, Any])
+            }
           case ("POST", "/api/v2/verify_table") =>
             handleVerifyTable(ex)
           case ("GET", "/api/v2/captures") =>
@@ -502,6 +584,10 @@ final class ApiServer(spark: SparkSession,
                 }
               case _ => error(ex, 404, s"no route: GET $p")
             }
+          case ("GET", "/api/v1/ddl-locks") =>
+            handleShowDdlLocks(ex)
+          case ("POST", "/api/v1/ddl-locks/unlock") =>
+            handleUnlockDdlLock(ex)
           case (_, p) if p.startsWith("/api/v2/changefeeds") =>
             handleChangefeeds(ex, p.stripPrefix("/api/v2/changefeeds"))
           case (m, p) => error(ex, 404, s"no route: $m $p")

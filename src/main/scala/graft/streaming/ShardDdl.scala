@@ -131,4 +131,109 @@ object ShardDdl {
       .withColumn("pass", col("gate_ts").isNull || col("commit_ts") < col("gate_ts"))
       .drop("gate_ts")
   }
+
+  // ---- lock inspection (dmctl `shard-ddl-lock` list / unlock; reference
+  // dm/master/server.go:901-980 ShowDDLLocks/UnlockDDLLock,
+  // dm/master/shardddl/pessimist.go:233-385, dm/pkg/utils/common.go:83-108)
+
+  /** dm/pkg/utils/common.go:84-86 — `task-\`schema\`.\`table\``. */
+  def genDDLLockID(task: String, schema: String, table: String): String =
+    s"$task-`$schema`.`$table`"
+
+  private val lockIdPattern = "(.*)-`(.*)`\\.`(.*)`".r
+
+  /** common.go:90-98 — empty string when the id doesn't match. */
+  def extractTaskFromLockID(id: String): String = id match {
+    case lockIdPattern(t, _, _) => t
+    case _ => ""
+  }
+
+  /** common.go:100-108. */
+  def extractDbTableFromLockID(id: String): (String, String) = id match {
+    case lockIdPattern(_, db, tbl) => (db, tbl)
+    case _ => ("", "")
+  }
+
+  /** A live pessimistic lock: `ready` holds EVERY source of the group with
+    * its synced flag (pessimism Lock.Ready()). */
+  final case class PessLock(id: String, task: String, owner: String,
+      ddls: Seq[String], ready: Map[String, Boolean])
+
+  /** The dmctl-visible row (pb.DDLLock): synced/unsynced sorted. */
+  final case class LockView(id: String, task: String, mode: String,
+      owner: String, ddls: Seq[String], synced: Seq[String],
+      unsynced: Seq[String])
+
+  /**
+   * Build the live pessimistic lock table from announcements: one lock per
+   * (table, ddl) while at least one source has NOT announced; the owner is
+   * the first announcer (the lock is created by the first info —
+   * pessimism/lock.go NewLock caller order); a fully-announced lock is
+   * resolved and leaves the table (the owner executes, ops are cleared).
+   */
+  def pessimisticLocks(task: String, schema: String,
+      announcements: Seq[(String, String, String, Long)],
+      allSources: Seq[String]): Seq[PessLock] =
+    announcements.groupBy(a => (a._1, a._3)).toSeq.sortBy(_._1).flatMap {
+      case ((table, ddl), as) =>
+        val seen = as.map(_._2).toSet
+        if (seen.size >= allSources.size) None
+        else {
+          val owner = as.minBy(a => (a._4, a._2))._2
+          Some(PessLock(genDDLLockID(task, schema, table), task, owner,
+            Seq(ddl), allSources.map(s => s -> seen.contains(s)).toMap))
+        }
+    }
+
+  /**
+   * ShowLocks' filter semantics (pessimist.go:233-271): a task filter is
+   * exact; a sources filter shows a lock when ANY requested source appears
+   * in its ready map (synced or not). Synced/unsynced lists sort.
+   */
+  def showLocks(locks: Seq[PessLock], task: String = "",
+      sources: Seq[String] = Seq.empty): Seq[LockView] =
+    locks.filter { l =>
+      (task.isEmpty || task == l.task) &&
+        (sources.isEmpty || sources.exists(l.ready.contains))
+    }.map { l =>
+      LockView(l.id, l.task, "pessimistic", l.owner, l.ddls,
+        l.ready.collect { case (s, true) => s }.toSeq.sorted,
+        l.ready.collect { case (s, false) => s }.toSeq.sorted)
+    }
+
+  final case class UnlockResult(ok: Boolean, msg: String,
+      execOwner: Option[String], skipped: Seq[String])
+
+  /**
+   * UnlockDDLLock as a pure kernel (server.go:931-980 +
+   * pessimist.go:285-385): a malformed id can't name a task; an unknown id
+   * errors; the (possibly replaced) owner must be SYNCED — otherwise the
+   * operator should break, not unlock; on success the owner gets `exec`,
+   * every OTHER SYNCED source gets `skip` (un-synced sources are not
+   * waiting for an operation), and the lock leaves the table.
+   */
+  def unlockLock(locks: Seq[PessLock], id: String,
+      replaceOwner: Option[String] = None,
+      forceRemove: Boolean = false): (Seq[PessLock], UnlockResult) = {
+    if (extractTaskFromLockID(id).isEmpty)
+      return (locks, UnlockResult(ok = false,
+        "can't find task name from lock-ID", None, Seq.empty))
+    locks.find(_.id == id) match {
+      case None =>
+        (locks, UnlockResult(ok = false, s"lock with ID $id not found", None,
+          Seq.empty))
+      case Some(lock) =>
+        val owner = replaceOwner.getOrElse(lock.owner)
+        val synced = lock.ready.collect { case (s, true) => s }.toSeq.sorted
+        if (!lock.ready.getOrElse(owner, false))
+          (locks, UnlockResult(ok = false,
+            s"owner $owner is not waiting for a lock, but sources " +
+              s"${synced.mkString(",")} are waiting for the lock",
+            None, Seq.empty))
+        else
+          (locks.filterNot(_.id == id),
+            UnlockResult(ok = true, "", Some(owner),
+              synced.filterNot(_ == owner)))
+    }
+  }
 }

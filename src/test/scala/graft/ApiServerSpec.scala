@@ -415,4 +415,99 @@ class ApiServerSpec extends SparkSpec {
         .get("total").asInt() == 0)
     } finally srv.stop()
   }
+
+  test("POST /log validates the zap vocabulary; GET meta_info guards the id") {
+    val srv = new ApiServer(spark, new ChangefeedManager(spark), Map.empty).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      // empty body defaults to info (log.go:37 LogLevelReq{Level:"info"})
+      assert(post(base, "/api/v2/log", "{}")._1 == 200)
+      assert(post(base, "/api/v2/log", """{"log_level":"warn"}""")._1 == 200)
+      val (bc, bb) = post(base, "/api/v2/log", """{"log_level":"loud"}""")
+      assert(bc == 400 && bb.contains("fail to change log level: loud"))
+
+      // meta_info: invalid id is a 400 BEFORE the existence check
+      assert(get(base, "/api/v2/changefeeds/bad_id!/meta_info")._1 == 400)
+      assert(get(base, "/api/v2/changefeeds/nope/meta_info")._1 == 404)
+    } finally srv.stop()
+  }
+
+  test("meta_info returns state, sink uri, and normal-only task placements") {
+    val dir = Files.createTempDirectory("graft_api_meta").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEv]
+    mem.addData(ev(1, 1, 10), ev(2, 2, 20))
+    val srv = new ApiServer(spark, new ChangefeedManager(spark),
+      Map("mem" -> (() => mem.toDF()))).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      val createBody =
+        s"""{"changefeed_id":"cf-meta","source":"mem",
+           |"sink_uri":"state://$dir/state",
+           |"checkpoint_dir":"$dir/ckpt"}""".stripMargin
+      assert(post(base, "/api/v2/changefeeds", createBody)._1 == 200)
+      val m = mapper.readTree(get(base, "/api/v2/changefeeds/cf-meta/meta_info")._2)
+      assert(m.get("id").asText() == "cf-meta")
+      assert(m.get("namespace").asText() == "default")
+      assert(m.get("sink_uri").asText() == s"state://$dir/state")
+      assert(m.get("state").asText() == "normal")
+      // a normal feed carries its processor placements
+      assert(m.get("task_status").isArray)
+      // paused: state flips and the task list empties (info.State != normal)
+      assert(post(base, "/api/v2/changefeeds/cf-meta/pause")._1 == 200)
+      val p = mapper.readTree(get(base, "/api/v2/changefeeds/cf-meta/meta_info")._2)
+      assert(p.get("state").asText() == "stopped")
+      assert(p.get("task_status").size() == 0)
+      assert(delete(base, "/api/v2/changefeeds/cf-meta")._1 == 200)
+    } finally srv.stop()
+  }
+
+  test("shard-ddl-lock list/unlock routes over the pessimistic lock state") {
+    import graft.streaming.ShardDdl
+    val srv = new ApiServer(spark, new ChangefeedManager(spark), Map.empty).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      // empty state: the reference's "no DDL lock exists" message
+      val empty = mapper.readTree(get(base, "/api/v1/ddl-locks")._2)
+      assert(empty.get("result").asBoolean() &&
+        empty.get("msg").asText() == "no DDL lock exists")
+
+      val ann = Seq(("tbl_a", "src_0", "add_col", 10L),
+        ("tbl_a", "src_1", "add_col", 20L), ("tbl_b", "src_2", "drop_col", 30L))
+      srv.setDdlLocks(ShardDdl.pessimisticLocks("t1", "db", ann,
+        Seq("src_0", "src_1", "src_2")))
+
+      val list = mapper.readTree(get(base, "/api/v1/ddl-locks")._2)
+      assert(list.get("locks").size() == 2)
+      val first = list.get("locks").get(0)
+      assert(first.get("ID").asText() == "t1-`db`.`tbl_a`")
+      assert(first.get("owner").asText() == "src_0")
+      assert(first.get("synced").get(1).asText() == "src_1")
+      assert(first.get("unsynced").get(0).asText() == "src_2")
+      // sources filter: a source in no lock's ready map hides everything
+      assert(mapper.readTree(get(base, "/api/v1/ddl-locks?sources=src_9")._2)
+        .get("locks").size() == 0)
+      assert(mapper.readTree(get(base, "/api/v1/ddl-locks?task=t1")._2)
+        .get("locks").size() == 2)
+
+      // unlock: owner exec + synced-non-owner skip + removal
+      val un = mapper.readTree(post(base, "/api/v1/ddl-locks/unlock",
+        """{"ID":"t1-`db`.`tbl_a`"}""")._2)
+      assert(un.get("result").asBoolean() &&
+        un.get("exec_owner").asText() == "src_0" &&
+        un.get("skipped").get(0).asText() == "src_1")
+      assert(mapper.readTree(get(base, "/api/v1/ddl-locks")._2)
+        .get("locks").size() == 1)
+      // replace-owner pointing at an un-synced source is refused
+      val bad = mapper.readTree(post(base, "/api/v1/ddl-locks/unlock",
+        """{"ID":"t1-`db`.`tbl_b`","replace_owner":"src_0"}""")._2)
+      assert(!bad.get("result").asBoolean() &&
+        bad.get("msg").asText().contains("src_0 is not waiting for a lock"))
+      // malformed id can't name a task
+      val mal = mapper.readTree(post(base, "/api/v1/ddl-locks/unlock",
+        """{"ID":"invalid-lock-id"}""")._2)
+      assert(!mal.get("result").asBoolean() &&
+        mal.get("msg").asText() == "can't find task name from lock-ID")
+    } finally srv.stop()
+  }
 }

@@ -1,0 +1,267 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{FeedStateMachine, ShardDdl}
+import graft.streaming.FeedStateMachine.RunningError
+import FeedSim._
+
+/** Round-15 properties: the feed-state machine under randomized ADMIN-JOB
+  * interleaving (the generator pattern that found a real bug four rounds
+  * running), and the shard-DDL lock inspection kernel. */
+class Round15Spec extends AnyFunSuite {
+
+  // ---- 300 random traces, admin-heavy, always-nonzero randomization ------
+
+  test("machine equals the simulator on 300 admin-heavy randomized traces") {
+    val rnd = new scala.util.Random(1501L)
+    for (trial <- 0 until 300) {
+      val stuck = 5000L + rnd.nextInt(200000)
+      val factor = Seq(0.05, 0.1, 0.3)(trial % 3) // never zero: every
+      // backoff draw goes through the shared randomization sequence
+      val seed = rnd.nextLong()
+      val mRand = new scala.util.Random(seed)
+      val sRand = new scala.util.Random(seed)
+      val nSteps = 15 + rnd.nextInt(25)
+      var t = 1000000L
+      var ck = 100000L
+      val evs = Seq.fill(nSteps) {
+        t += 5000L * (1 + rnd.nextInt(12))
+        // 35% admin probability, uniform over the four jobs — most draws
+        // are ILLEGAL for the current state and must consume-and-continue
+        val adm =
+          if (rnd.nextInt(100) < 35)
+            Some((Seq("stop", "resume", "finish", "remove")(rnd.nextInt(4)),
+              if (rnd.nextBoolean()) Some(ck + 7) else None))
+          else None
+        val errs =
+          if (rnd.nextInt(100) < 25) Seq(rnd.nextInt(10) match {
+            case 0 => ("CDC:ErrSnapshotLostByGC", "")
+            case 1 => ("CDC:ErrProcessorUnknown",
+              "wrapped CDC:ErrKafkaInvalidConfig text")
+            case _ => ("CDC:ErrProcessorUnknown", "dial fail")
+          })
+          else Seq.empty
+        val warns =
+          if (rnd.nextInt(100) < 25) Seq("CDC:ErrSinkManagerRunError")
+          else Seq.empty
+        if (rnd.nextInt(100) < 40)
+          ck += (if (rnd.nextInt(100) < 15) 20L else 1L + rnd.nextInt(3))
+        val sck = if (rnd.nextInt(100) < 5) None else Some(ck)
+        val rts = ck + (if (rnd.nextBoolean()) 0L else rnd.nextInt(100).toLong)
+        Ev(t, adm, errs, warns, sck, rts)
+      }
+
+      var now = evs.head.t
+      val m = new FeedStateMachine(stuck, () => now,
+        () => mRand.nextDouble(), factor)
+      val (bo0, cur0, st0, lt0) =
+        resetConsume(evs.head.t, stuck, factor, () => sRand.nextDouble())
+      var sim = SimState(bo = bo0, cur = cur0, boStart = st0, lretT = lt0)
+
+      evs.zipWithIndex.foreach { case (e, i) =>
+        now = e.t
+        e.adm.foreach { case (j, ovw) =>
+          if (j == "finish") m.markFinished() else m.pushAdminJob(j, ovw)
+        }
+        e.errs.foreach { case (c, msg) => m.reportErrors(RunningError(c, msg)) }
+        e.warns.foreach(w => m.reportWarnings(RunningError(w)))
+        val r = m.tick(e.rts, e.sck)
+        val (sim2, o) = simTick(stuck, factor, () => sRand.nextDouble(), sim, e)
+        sim = sim2
+        val got = (r.state, r.shouldRunning, r.shouldRemoved,
+          r.adminJobPending, r.isRetrying, r.backoffMs, r.epochBumped,
+          r.errorSet, r.warningSet, r.resumedOverwriteTs)
+        val want = (o.st, o.run, o.rm, o.pend, o.retrying, o.bo, o.bump,
+          o.err, o.warn, o.ovw)
+        assert(got == want,
+          s"trial=$trial step=$i stuck=$stuck factor=$factor ev=$e")
+      }
+    }
+  }
+
+  // ---- every admin job at every reachable state, deterministically -------
+
+  test("every admin job at every state: legal transitions fire, illegal ones consume-and-continue") {
+    val states = Seq("", "normal", "warning", "pending", "stopped",
+      "failed", "finished")
+    val jobs = Seq("stop", "resume", "finish", "remove")
+    for (target <- states; job <- jobs) {
+      // drive a fresh machine (and the simulator) into `target`
+      var t = 1000000L
+      val prefix: Seq[Ev] = target match {
+        case "" => Seq.empty
+        case "normal" => Seq(Ev(t, None, Nil, Nil, Some(10L), 20L))
+        case "warning" => Seq(
+          Ev(t, None, Nil, Nil, Some(10L), 20L),
+          Ev(t + 5000, None, Nil, Seq("CDC:ErrSinkManagerRunError"),
+            Some(10L), 20L))
+        case "pending" => Seq(
+          Ev(t, None, Nil, Nil, Some(10L), 20L),
+          Ev(t + 5000, None, Seq(("CDC:ErrProcessorUnknown", "x")), Nil,
+            Some(10L), 20L))
+        case "stopped" => Seq(
+          Ev(t, None, Nil, Nil, Some(10L), 20L),
+          Ev(t + 5000, Some(("stop", None)), Nil, Nil, Some(10L), 20L))
+        case "failed" => Seq(
+          Ev(t, None, Nil, Nil, Some(10L), 20L),
+          Ev(t + 5000, None, Seq(("CDC:ErrStartTsBeforeGC", "")), Nil,
+            Some(10L), 20L))
+        case "finished" => Seq(
+          Ev(t, None, Nil, Nil, Some(10L), 20L),
+          Ev(t + 5000, Some(("finish", None)), Nil, Nil, Some(10L), 20L))
+      }
+      val steps = prefix :+
+        Ev(t + 5000L * (prefix.size + 1), Some((job, Some(77L))), Nil, Nil,
+          Some(10L), 20L)
+      var now = steps.head.t
+      val m = new FeedStateMachine(300000L, () => now)
+      val (bo0, cur0, st0, lt0) =
+        resetConsume(steps.head.t, 300000L, 0.0, () => 0.0)
+      var sim = SimState(bo = bo0, cur = cur0, boStart = st0, lretT = lt0)
+      steps.zipWithIndex.foreach { case (e, i) =>
+        now = e.t
+        e.adm.foreach { case (j, ovw) =>
+          if (j == "finish") m.markFinished() else m.pushAdminJob(j, ovw)
+        }
+        e.errs.foreach { case (c, msg) => m.reportErrors(RunningError(c, msg)) }
+        e.warns.foreach(w => m.reportWarnings(RunningError(w)))
+        val r = m.tick(e.rts, e.sck)
+        val (sim2, o) = simTick(300000L, 0.0, () => 0.0, sim, e)
+        sim = sim2
+        assert((r.state, r.shouldRunning, r.shouldRemoved, r.adminJobPending,
+          r.isRetrying, r.backoffMs, r.epochBumped, r.errorSet, r.warningSet,
+          r.resumedOverwriteTs) ==
+          (o.st, o.run, o.rm, o.pend, o.retrying, o.bo, o.bump, o.err,
+            o.warn, o.ovw),
+          s"state=$target job=$job step=$i")
+      }
+      // an admin job was pushed on the last step: whatever its legality,
+      // it must be CONSUMED (adminJobPending on that tick, none after)
+      now += 5000
+      val after = m.tick(20L, Some(10L))
+      assert(!after.adminJobPending, s"state=$target job=$job leftover job")
+    }
+  }
+
+  // ---- safe-mode phase kernel ---------------------------------------------
+
+  test("safe-mode refcount: nesting, negative-count error, per-table idempotence") {
+    import graft.streaming.SafeModePhase
+    val c = new SafeModePhase.Counter
+    assert(!c.enable)
+    c.add(1); c.add(1)
+    assert(c.enable && c.current == 2)
+    c.add(-1)
+    assert(c.enable) // nested: still on
+    assert(c.add(-2).isLeft) // would go negative (mode.go:93-103)
+    assert(c.current == 1)
+    // IncrForTable counts a table once; Desc only if present
+    c.incrForTable("db.t1"); c.incrForTable("db.t1")
+    assert(c.current == 2)
+    c.descForTable("db.t2") // never added: no-op
+    assert(c.current == 2)
+    c.descForTable("db.t1"); c.descForTable("db.t1")
+    assert(c.current == 1)
+    c.reset()
+    assert(!c.enable && c.current == 0)
+  }
+
+  test("safe-mode init branches: cli beats config, exit-point rules, windows") {
+    import graft.streaming.SafeModePhase
+    import graft.streaming.SafeModePhase.InitCfg
+    // cli duration returns early: config safe-mode is NOT added on top
+    val cli = SafeModePhase.init(InitCfg(cliDurationSec = Some(10L),
+      cfgSafeMode = true), nowTs = 100L).toOption.get
+    assert(cli.counter.current == 1 && cli.timer.isEmpty)
+    // first step arms exitTs = first binlog ts + duration; ts > exitTs exits
+    val (cli1, s1) = SafeModePhase.step(cli, 100L, 100L, 100L)
+    assert(s1 && cli1.cliExitTs.contains(110L))
+    val (cli2, s2) = SafeModePhase.step(cli1, 110L, 110L, 110L)
+    assert(s2) // boundary: ts == exitTs still safe
+    val (_, s3) = SafeModePhase.step(cli2, 111L, 111L, 111L)
+    assert(!s3)
+    // exit point == begin clears immediately with the flush-now flag
+    val cleared = SafeModePhase.init(InitCfg(exitPoint = Some(50L),
+      beginLocation = 50L), 50L).toOption.get
+    assert(cleared.clearedExitPointAtInit && !cleared.counter.enable)
+    // zero duration with a real exit point is the reprocess conflict
+    assert(SafeModePhase.init(InitCfg(cfgDurationSec = Some(0L),
+      exitPoint = Some(60L), beginLocation = 50L), 50L).isLeft)
+    // default window = 2 x checkpoint flush interval
+    val win = SafeModePhase.init(InitCfg(checkpointFlushIntervalSec = 30L),
+      nowTs = 1000L).toOption.get
+    assert(win.timer.contains((1000L, 60L)))
+    val (_, w1) = SafeModePhase.step(win, 1059L, 1059L, 1059L)
+    assert(w1)
+    val (_, w2) = SafeModePhase.step(win, 1060L, 1060L, 1060L)
+    assert(!w2)
+    // exit point passes on the first STRICTLY greater location
+    val ep = SafeModePhase.init(InitCfg(exitPoint = Some(70L),
+      beginLocation = 50L), 50L).toOption.get
+    val (ep1, e1) = SafeModePhase.step(ep, 70L, 70L, 70L)
+    assert(e1)
+    val (_, e2) = SafeModePhase.step(ep1, 71L, 71L, 71L)
+    assert(!e2)
+    // nesting: config-on + exit point stays enabled after the point passes
+    val nest = SafeModePhase.init(InitCfg(cfgSafeMode = true,
+      exitPoint = Some(70L), beginLocation = 50L), 50L).toOption.get
+    assert(nest.counter.current == 2)
+    val (_, n2) = SafeModePhase.step(nest, 71L, 71L, 71L)
+    assert(n2)
+  }
+
+  // ---- shard-DDL lock kernel ---------------------------------------------
+
+  test("lock-ID algebra: gen/extract round-trip, malformed ids reject") {
+    val rnd = new scala.util.Random(15L)
+    for (_ <- 0 until 200) {
+      val task = "task" + rnd.nextInt(1000)
+      val db = "db" + rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString
+      val tbl = "t" + rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString
+      val id = ShardDdl.genDDLLockID(task, db, tbl)
+      assert(ShardDdl.extractTaskFromLockID(id) == task)
+      assert(ShardDdl.extractDbTableFromLockID(id) == ((db, tbl)))
+    }
+    assert(ShardDdl.extractTaskFromLockID("invalid-lock-id") == "")
+    assert(ShardDdl.extractDbTableFromLockID("nope") == (("", "")))
+    // the task segment may itself contain dashes (greedy first group)
+    val id = ShardDdl.genDDLLockID("a-b-c", "d", "t")
+    assert(ShardDdl.extractTaskFromLockID(id) == "a-b-c")
+  }
+
+  test("pessimisticLocks: resolved groups leave the table, owner is the first announcer") {
+    val ann = Seq(
+      ("tb", "s1", "ddl", 20L), ("tb", "s0", "ddl", 10L), // s0 first by ts
+      ("tc", "s0", "ddl", 30L), ("tc", "s1", "ddl", 40L), ("tc", "s2", "ddl", 50L))
+    val locks = ShardDdl.pessimisticLocks("t", "db", ann, Seq("s0", "s1", "s2"))
+    assert(locks.map(_.id) == Seq(ShardDdl.genDDLLockID("t", "db", "tb")))
+    assert(locks.head.owner == "s0")
+    assert(locks.head.ready == Map("s0" -> true, "s1" -> true, "s2" -> false))
+    val views = ShardDdl.showLocks(locks)
+    assert(views.head.synced == Seq("s0", "s1") &&
+      views.head.unsynced == Seq("s2"))
+    // filters
+    assert(ShardDdl.showLocks(locks, task = "other").isEmpty)
+    assert(ShardDdl.showLocks(locks, sources = Seq("s2")).size == 1)
+    assert(ShardDdl.showLocks(locks, sources = Seq("s9")).isEmpty)
+  }
+
+  test("unlockLock: owner-must-be-synced, replace-owner, state threading") {
+    val ann = Seq(("tb", "s0", "ddl", 10L), ("tb", "s1", "ddl", 20L))
+    val locks = ShardDdl.pessimisticLocks("t", "db", ann, Seq("s0", "s1", "s2"))
+    val id = ShardDdl.genDDLLockID("t", "db", "tb")
+    // replace-owner at an un-synced source refuses and leaves state intact
+    val (same, bad) = ShardDdl.unlockLock(locks, id, Some("s2"))
+    assert(!bad.ok && bad.msg.contains("s2 is not waiting for a lock") &&
+      same == locks)
+    // default owner: exec + skip the other synced source + removal
+    val (next, ok) = ShardDdl.unlockLock(locks, id)
+    assert(ok.ok && ok.execOwner.contains("s0") && ok.skipped == Seq("s1"))
+    assert(next.isEmpty)
+    // unknown and malformed ids
+    assert(!ShardDdl.unlockLock(locks, ShardDdl.genDDLLockID("t", "db", "x"))
+      ._2.ok)
+    assert(ShardDdl.unlockLock(locks, "garbage")._2.msg ==
+      "can't find task name from lock-ID")
+  }
+}
