@@ -839,8 +839,164 @@ object DdlQueries {
     out.toDF("sc", "n_safe", "n_normal", "first_normal_ts", "cleared", "err")
   }
 
+  /**
+   * q266 — the OPTIMISTIC half of the lock inspection
+   * ([[ShardDdl.showOptimisticLocks]]; dm/master/shardddl/optimist.go:
+   * 125-220): locks per (task, downstream table) over q75's schema-lattice
+   * scenario, with the synced flag DERIVED from the real
+   * SchemaRegistry.joinSchemas (a source is synced when its announced
+   * schema already equals the join); synced/unsynced render as
+   * upstream-table triples; tbl_3's type conflict contributes a
+   * conflict-owner row carrying its pending DDL, and a `sources` filter
+   * that excludes the conflicting source must still show the lock but
+   * with an EMPTY owner (appendOwnerDDLs loops only requested sources —
+   * the subtle leg of optimist.go:174-186).
+   */
+  val optimisticLocks = GateQuery(
+    "q266_optimistic_locks",
+    Some(
+      s"""WITH st(tbl, src, synced, cddl) AS (VALUES
+         |  ('tbl_0','s0',0,NULL),('tbl_0','s1',1,NULL),('tbl_0','s2',0,NULL),
+         |  ('tbl_1','s0',0,NULL),('tbl_1','s1',1,NULL),('tbl_1','s2',0,NULL),
+         |  ('tbl_2','s0',0,NULL),('tbl_2','s1',1,NULL),('tbl_2','s2',0,NULL),
+         |  ('tbl_3','s0',1,NULL),('tbl_3','s1',0,NULL),
+         |  ('tbl_3','s2',0,'ALTER TABLE tbl_3 MODIFY COLUMN val VARCHAR(32)')),
+         |ent AS (SELECT *, src || '-' || chr(96) || src || 'db' || chr(96) ||
+         |  '.' || chr(96) || tbl || chr(96) AS e FROM st),
+         |locks AS (
+         |  SELECT tbl, 'opt-' || chr(96) || 'sh' || chr(96) || '.' ||
+         |    chr(96) || tbl || chr(96) AS id,
+         |    coalesce(string_agg(e, ',' ORDER BY e) FILTER (WHERE synced = 1), '') AS synced_s,
+         |    coalesce(string_agg(e, ',' ORDER BY e) FILTER (WHERE synced = 0), '') AS unsynced_s
+         |  FROM ent GROUP BY tbl
+         |),
+         |conf AS (SELECT tbl, e AS owner, cddl FROM ent WHERE cddl IS NOT NULL)
+         |SELECT 'lock' AS kind, l.id AS k, coalesce(c.owner, '') AS owner,
+         |  coalesce(c.cddl, '') AS ddls, l.synced_s AS synced,
+         |  l.unsynced_s AS unsynced, CAST(1 AS BIGINT) AS n
+         |FROM locks l LEFT JOIN conf c ON c.tbl = l.tbl
+         |UNION ALL
+         |SELECT 'filter', 'task:other', '', '', '', '', 0
+         |UNION ALL
+         |SELECT 'filter', 'sources:s1', '', '', '', '',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM locks)
+         |UNION ALL
+         |SELECT 'lock_src_s1', l.id, '', '', l.synced_s, l.unsynced_s, 1
+         |FROM locks l WHERE l.tbl = 'tbl_3'""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.core.SchemaRegistry
+    import graft.streaming.ShardDdl
+    import graft.streaming.ShardDdl.OptTableState
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    val srcs = Seq("s0", "s1", "s2")
+    def fieldsOf(t: String, s: String): Seq[(String, String)] = s match {
+      case "s1" => Seq("pk" -> "BIGINT", "val" -> "DOUBLE", "c2" -> "STRING")
+      case "s2" if t == "tbl_3" => Seq("pk" -> "BIGINT", "val" -> "STRING")
+      case _ => Seq("pk" -> "BIGINT", "val" -> "DOUBLE")
+    }
+    def struct(fs: Seq[(String, String)]) =
+      StructType(fs.map { case (n, d) => StructField(n, DataType.fromDDL(d)) })
+    val locks = Seq("tbl_0", "tbl_1", "tbl_2", "tbl_3").map { t =>
+      val perSrc = srcs.map(s => s -> fieldsOf(t, s))
+      val states = SchemaRegistry.joinSchemas(perSrc.map(x => struct(x._2))) match {
+        case Right(j) =>
+          val jSig = j.fields.toSeq.map(f => (f.name, f.dataType.sql))
+          perSrc.map { case (s, fs) =>
+            OptTableState(s, s + "db", t,
+              synced = fs.map { case (n, d) => (n, DataType.fromDDL(d).sql) } == jSig)
+          }
+        case Left(_) =>
+          // conflict: the base source stays synced, the diverging source
+          // carries its pending DDL in ConflictDetected
+          perSrc.map { case (s, _) =>
+            OptTableState(s, s + "db", t, synced = s == "s0",
+              conflictDdls = if (s == "s2")
+                Some(Seq("ALTER TABLE tbl_3 MODIFY COLUMN val VARCHAR(32)"))
+              else None)
+          }
+      }
+      (ShardDdl.genDDLLockID("opt", "sh", t), "opt", states)
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String, String, String, Long)]
+    ShardDdl.showOptimisticLocks(locks).foreach { v =>
+      out += (("lock", v.id, v.owner, v.ddls.mkString(","),
+        v.synced.mkString(","), v.unsynced.mkString(","), 1L))
+    }
+    out += (("filter", "task:other", "", "", "", "",
+      ShardDdl.showOptimisticLocks(locks, task = "other").size.toLong))
+    val bySrc = ShardDdl.showOptimisticLocks(locks, sources = Seq("s1"))
+    out += (("filter", "sources:s1", "", "", "", "", bySrc.size.toLong))
+    bySrc.filter(_.id.contains("tbl_3")).foreach { v =>
+      out += (("lock_src_s1", v.id, v.owner, v.ddls.mkString(","),
+        v.synced.mkString(","), v.unsynced.mkString(","), 1L))
+    }
+    out.toSeq.toDF("kind", "k", "owner", "ddls", "synced", "unsynced", "n")
+  }
+
+  /**
+   * q268 — the owner's barrier composition
+   * ([[graft.streaming.OwnerBarrier]]; cdc/owner/ddl_manager.go:508-584 +
+   * schedulepb/barrier.go:29-37): global/min-table/redo barriers seeded at
+   * the DDL resolved ts, global DDLs lowering the global barrier, redo-
+   * barrier DDLs lowering the redo barrier only when redo is ON,
+   * non-global DDLs contributing per-physical-table (incl. partitions)
+   * min-commit barriers filtered to the global, and the 256-entry cap
+   * that REDEFINES the global barrier down to the 257th entry's ts.
+   * Five scenarios anchored in count(orders); oracle = closed-form SQL.
+   */
+  val ownerBarrier = GateQuery(
+    "q268_owner_barrier",
+    Some(
+      """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS base FROM orders)
+        |SELECT 's1_empty' AS sc, base+100 AS global_ts, base+100 AS min_table_ts,
+        |  base+100 AS redo_ts, CAST(0 AS BIGINT) AS n_tb,
+        |  CAST(0 AS BIGINT) AS min_tb, CAST(0 AS BIGINT) AS max_tb,
+        |  CAST(0 AS BIGINT) AS sum_tb FROM b
+        |UNION ALL
+        |SELECT 's2_mixed', base+50, base+30, base+50, 5, base+30, base+45,
+        |  5*base + 195 FROM b
+        |UNION ALL
+        |SELECT 's3_cap', base+257, base+1, base+1000, 256, base+1, base+256,
+        |  256*base + 32896 FROM b
+        |UNION ALL
+        |SELECT 's4_redo_off', base+50, base+30, base+100, 5, base+30,
+        |  base+45, 5*base + 195 FROM b
+        |UNION ALL
+        |SELECT 's5_dup_tables', base+100, base+55, base+100, 1, base+55,
+        |  base+55, base+55 FROM b""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.OwnerBarrier
+    import graft.streaming.OwnerBarrier.DdlAt
+    val base = Tables.load(spark, dir, "orders").count()
+    def mixed = Seq(
+      DdlAt(base + 50, "create_table", Seq(7L)),
+      DdlAt(base + 30, "add_column", Seq(1L)),
+      DdlAt(base + 40, "drop_index", Seq(2L, 21L, 22L)),
+      DdlAt(base + 45, "drop_table", Seq(3L)))
+    val scenarios = Seq(
+      ("s1_empty", base + 100, Seq.empty[DdlAt], true),
+      ("s2_mixed", base + 100, mixed, true),
+      ("s3_cap", base + 1000,
+        (1 to 300).map(i => DdlAt(base + i, "add_column", Seq(i.toLong))),
+        true),
+      ("s4_redo_off", base + 100, mixed, false),
+      ("s5_dup_tables", base + 100, Seq(
+        DdlAt(base + 60, "add_column", Seq(5L)),
+        DdlAt(base + 55, "modify_column", Seq(5L))), true))
+    val out = scenarios.map { case (sc, resolved, ddls, redoOn) =>
+      val r = OwnerBarrier.barrier(resolved, ddls, redoOn)
+      val ts = r.tableBarriers.map(_._2)
+      (sc, r.globalBarrierTs, r.minTableBarrierTs, r.redoBarrierTs,
+        ts.size.toLong, if (ts.isEmpty) 0L else ts.min,
+        if (ts.isEmpty) 0L else ts.max, ts.sum)
+    }
+    out.toDF("sc", "global_ts", "min_table_ts", "redo_ts", "n_tb",
+      "min_tb", "max_tb", "sum_tb")
+  }
+
   def all: Seq[GateQuery] =
     Seq(shardDdlGate, precheck, ddlText, ddlAllowList, ddlRenderFixpoint,
       debeziumDdl, maxwellDdl, simpleDdl, openDdl, watermarkMessages,
-      shardDdlLocks, safeModePhase)
+      shardDdlLocks, safeModePhase, optimisticLocks, ownerBarrier)
 }

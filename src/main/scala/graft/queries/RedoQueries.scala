@@ -249,5 +249,103 @@ object RedoQueries {
     out.toSeq.toDF("cf", "kind", "name", "ts1", "ts2", "n", "n2")
   }
 
-  def all: Seq[GateQuery] = Seq(redoLayout)
+  /**
+   * q267 — dmctl `purge-relay -filename` over the UUID-sequenced relay
+   * tree ([[graft.streaming.Relay.purgeRelayByFilename]]; reference
+   * dm/relay/purge_strategy.go:131-169, purger_helper.go:36-162,
+   * file.go:46-100). The tree derives from the stream: commit-ts ninths
+   * map to 3 uuid subdirs × 3 binlog files (every file created, empties
+   * included, so the layout is data-independent while the CONTENTS pin
+   * the data). Purge to (subdir 2, mysql-bin.000002): subdir 1 removes
+   * entirely (its emptied dir too), subdir 2 keeps the safe file and
+   * newer, subdir 3 untouched; the removal ORDER and each survivor's
+   * row count + pk sum are pinned; unknown-uuid and missing-base-file
+   * refuse.
+   */
+  val relayPurge = GateQuery(
+    "q267_relay_purge",
+    Some(CdcStream.sqlCte +
+      """, ev AS (SELECT commit_ts AS ct, pk FROM cdc WHERE pk % 37 = 0),
+        |b AS (SELECT min(ct) AS lo, max(ct) AS hi FROM ev),
+        |bks(bk) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8)),
+        |asg AS (
+        |  SELECT least(8, ((ct - lo) * 9) // (hi - lo + 1)) AS bk, pk
+        |  FROM ev, b
+        |),
+        |files AS (
+        |  SELECT bks.bk // 3 + 1 AS sd, bks.bk % 3 + 1 AS fi,
+        |    CAST(count(a.pk) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(a.pk), 0) AS BIGINT) AS sp
+        |  FROM bks LEFT JOIN asg a ON a.bk = bks.bk GROUP BY 1, 2
+        |),
+        |named AS (
+        |  SELECT *, CASE sd WHEN 1 THEN 'aaaa.000001' WHEN 2 THEN 'bbbb.000002'
+        |    ELSE 'cccc.000003' END || '/' || printf('mysql-bin.%06d', fi) AS k
+        |  FROM files
+        |)
+        |SELECT 'file' AS kind, k, n, sp AS v FROM named
+        |WHERE (sd = 2 AND fi >= 2) OR sd = 3
+        |UNION ALL
+        |SELECT 'removed', x.k, x.n, 0 FROM (VALUES
+        |  ('aaaa.000001/mysql-bin.000001', CAST(1 AS BIGINT)),
+        |  ('aaaa.000001/mysql-bin.000002', 2),
+        |  ('aaaa.000001/mysql-bin.000003', 3),
+        |  ('aaaa.000001/', 4),
+        |  ('bbbb.000002/mysql-bin.000001', 5)) AS x(k, n)
+        |UNION ALL
+        |SELECT 'err', 'uuid_not_found', 1, 0
+        |UNION ALL
+        |SELECT 'err', 'base_not_found', 1, 0""".stripMargin),
+    heavy = true) { (spark, dir) =>
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles}
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.Relay
+    val evs = CdcStream.derive(spark, dir)
+      .filter(col("pk") % 37 === 0)
+      .select("commit_ts", "pk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (lo, hi) = (evs.map(_._1).min, evs.map(_._1).max)
+    def bucket(ct: Long): Int =
+      math.min(8, ((ct - lo) * 9 / (hi - lo + 1)).toInt)
+    val uuids = Seq("aaaa.000001", "bbbb.000002", "cccc.000003")
+    val (base, _) = Gate.freshScratch("graft_relay_purge_", dir)
+    val byBucket = evs.groupBy(e => bucket(e._1))
+    for (bk <- 0 until 9) {
+      val sub = uuids(bk / 3)
+      JFiles.createDirectories(Paths.get(base, sub))
+      val lines = byBucket.getOrElse(bk, Array.empty)
+        .sortBy(_._1).map { case (ct, pk) => s"$ct,$pk" }
+      JFiles.write(Paths.get(base, sub, f"mysql-bin.${bk % 3 + 1}%06d"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long)]
+    out += (("err", "uuid_not_found",
+      if (Relay.purgeRelayByFilename(base, uuids, "zzzz.000009",
+        "mysql-bin.000001").isLeft) 1L else 0L, 0L))
+    out += (("err", "base_not_found",
+      if (Relay.purgeRelayByFilename(base, uuids, "bbbb.000002",
+        "mysql-bin.000099").isLeft) 1L else 0L, 0L))
+    val removed = Relay.purgeRelayByFilename(base, uuids, "bbbb.000002",
+      "mysql-bin.000002").toOption.get
+    removed.zipWithIndex.foreach { case (p, i) =>
+      out += (("removed", p, i + 1L, 0L))
+    }
+    for (sub <- uuids if JFiles.exists(Paths.get(base, sub));
+         n <- {
+           val s = JFiles.list(Paths.get(base, sub))
+           try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+           finally s.close()
+         }) {
+      val content = new String(
+        JFiles.readAllBytes(Paths.get(base, sub, n)), "UTF-8")
+      val rows = content.split("\n").filter(_.nonEmpty)
+        .map(l => l.split(",")(1).toLong)
+      out += (("file", s"$sub/$n", rows.length.toLong, rows.sum))
+    }
+    out.toSeq.toDF("kind", "k", "n", "v")
+  }
+
+  def all: Seq[GateQuery] = Seq(redoLayout, relayPurge)
 }

@@ -102,6 +102,24 @@ object Redo {
   }
 
   /**
+   * The DDL side of the redo dir: `ddl`-typed log files next to the row
+   * logs (same naming/rotation contract, cdc/redo/manager.go's DDLManager
+   * writes through the same file writer). DDL volume is control-plane
+   * sized — one sequential writer from the driver.
+   */
+  def writeRedoDdls(dir: String, ddls: Seq[RedoLayout.RedoDdl],
+      captureId: String, namespace: String, changefeedId: String,
+      maxLogSizeBytes: Long = RedoLayout.DefaultMaxLogSizeBytes): Unit = {
+    import RedoLayout._
+    var n = 0
+    val w = new LogWriter(dir, captureId, namespace, changefeedId,
+      DdlFileType, maxLogSizeBytes, () => { n += 1; f"d$n%06d" })
+    ddls.sortBy(d => (d.commit_ts, d.start_ts))
+      .foreach(d => w.writeAt(d.commit_ts, RedoDdlCodec.encode(d)))
+    w.close()
+  }
+
+  /**
    * `cdc redo apply` from a REAL redo dir: resume window from the flushed
    * meta, select-and-decode the framed logs ([[RedoLayout.Reader]]), then
    * the same split→compact→state apply as [[replay]].

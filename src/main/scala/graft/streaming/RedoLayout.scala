@@ -473,6 +473,31 @@ object RedoLayout {
     }
   }
 
+  /** The DDL redo record (model/sink.go:288-293 RedoDDLEvent: the DDL
+    * event + its type byte + the affected table). */
+  final case class RedoDdl(commit_ts: Long, start_ts: Long,
+      schema_name: String, table_name: String, query: String, ddl_type: Int)
+
+  /** DDL payload codec: a 6-slot msgpack array, same primitive vocabulary
+    * as [[RedoRowCodec]]. */
+  object RedoDdlCodec {
+    def encode(d: RedoDdl): Array[Byte] = {
+      val b = ArrayBuffer.empty[Byte]
+      b += 0x96.toByte // fixarray(6)
+      putUint(b, d.commit_ts); putUint(b, d.start_ts)
+      putStr(b, d.schema_name); putStr(b, d.table_name)
+      putStr(b, d.query); putUint(b, d.ddl_type.toLong)
+      b.toArray
+    }
+
+    def decode(bytes: Array[Byte]): RedoDdl = {
+      val c = new Cursor(bytes)
+      val head = c.u8()
+      require(head == 0x96, f"not a 6-slot redo ddl: 0x$head%02x")
+      RedoDdl(c.uint(), c.uint(), c.str(), c.str(), c.str(), c.uint().toInt)
+    }
+  }
+
   // ------------------------------------------------------------- reader
 
   object Reader {
@@ -543,6 +568,24 @@ object RedoLayout {
         }
       decoded.toDF()
         .filter(col("commit_ts") > ckpt && col("commit_ts") <= resolved)
+    }
+
+    /**
+     * Resume the DDL stream. The reference's DDL reader widens the window
+     * by ONE TICK on the left — startTs = checkpointTs - 1
+     * (reader/reader.go:160-172) — so a DDL committed EXACTLY at the
+     * checkpoint replays: it may not have executed in the owner yet, the
+     * same reasoning that makes GC keep `==` files. DDL volume is
+     * control-plane-sized; decode on the driver, sorted by commit ts.
+     */
+    def readDdls(dir: String): Seq[RedoDdl] = {
+      val (ckpt, resolved) = readMeta(dir)
+      val startTs = ckpt - 1
+      selectFiles(dir, DdlFileType, startTs)
+        .flatMap(n => readFrames(Files.readAllBytes(Paths.get(dir, n))))
+        .map(RedoDdlCodec.decode)
+        .filter(d => d.commit_ts > startTs && d.commit_ts <= resolved)
+        .sortBy(d => (d.commit_ts, d.start_ts))
     }
   }
 }

@@ -150,4 +150,85 @@ object Relay {
     }
     victims
   }
+
+  /**
+   * dmctl `purge-relay -filename` — MySQL's PURGE BINARY LOGS TO over the
+   * UUID-sequenced relay tree (dm/relay/purge_strategy.go:131-169,
+   * purger_helper.go:36-162, file.go:46-100):
+   *
+   *  - subdirs strictly OLDER than the safe one (by position in the
+   *    uuid index) purge ENTIRELY and their emptied dirs are removed;
+   *    an unknown safe subdir is the trim-UUID-not-found error;
+   *  - inside the safe subdir only files with the SAME base name and a
+   *    smaller sequence purge (the safe file itself is kept and must
+   *    EXIST — ErrBaseFileNotFound otherwise); files with another base
+   *    name are ignored with a warning in the reference;
+   *  - an optional safeTime modification-time cutoff stops collection at
+   *    the FIRST newer file — later files are assumed newer too, and a
+   *    subdir that hit the cutoff also stops the subdir walk
+   *    (purger_helper.go:128-154's hasAll cascade).
+   *
+   * Returns removed paths relative to `relayBaseDir`, in removal order.
+   */
+  def purgeRelayByFilename(relayBaseDir: String, uuids: Seq[String],
+      safeSubDir: String, safeFilename: String,
+      safeTimeMs: Option[Long] = None): Either[String, Seq[String]] = {
+    val endIdx = uuids.indexOf(safeSubDir)
+    if (endIdx < 0)
+      return Left(s"UUID $safeSubDir in UUIDs ${uuids.mkString("[", ",", "]")} not found")
+    val keep = uuids.take(endIdx + 1)
+    val safeParsed = BinlogPos.parseFilename(safeFilename) match {
+      case Right(f) => f
+      case Left(e) => return Left(e)
+    }
+    if (!Files.exists(Paths.get(relayBaseDir, safeSubDir, safeFilename)))
+      return Left(s"base file $safeFilename in directory " +
+        s"${Paths.get(relayBaseDir, safeSubDir)} not found")
+
+    def listSorted(dir: java.nio.file.Path): Seq[String] = {
+      if (!Files.exists(dir)) return Seq.empty
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => BinlogPos.parseFilename(n).isRight).toSeq.sorted
+      finally s.close()
+    }
+
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var stop = false
+    for ((uuid, i) <- keep.zipWithIndex if !stop) {
+      val dir = Paths.get(relayBaseDir, uuid)
+      val shortFiles =
+        if (i + 1 == keep.size)
+          // the safe subdir: only same-base-name files below the safe seq
+          listSorted(dir).filter { n =>
+            BinlogPos.parseFilename(n).exists(f =>
+              f.baseName == safeParsed.baseName &&
+                f.seqInt < safeParsed.seqInt)
+          }
+        else listSorted(dir) // an older subdir: everything goes
+      var hasAll = i + 1 < keep.size || shortFiles.nonEmpty
+      val victims = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cut = false
+      for (n <- shortFiles if !cut) {
+        val p = dir.resolve(n)
+        if (safeTimeMs.exists(t => Files.getLastModifiedTime(p).toMillis > t)) {
+          hasAll = false; cut = true // newer found: later files newer too
+        } else victims += n
+      }
+      victims.foreach { n =>
+        Files.deleteIfExists(dir.resolve(n))
+        removed += s"$uuid/$n"
+      }
+      // an emptied subdir is removed (purgeRelayFiles' dir cleanup); the
+      // safe subdir always keeps the safe file so never empties
+      if (hasAll && i + 1 < keep.size && listSorted(dir).isEmpty &&
+          Files.exists(dir)) {
+        val rest = Files.list(dir)
+        val empty = try !rest.iterator().hasNext finally rest.close()
+        if (empty) { Files.delete(dir); removed += s"$uuid/" }
+      }
+      if (!hasAll) stop = true // hasAll cascade: stop the subdir walk
+    }
+    Right(removed.toSeq)
+  }
 }

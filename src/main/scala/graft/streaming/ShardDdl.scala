@@ -201,6 +201,49 @@ object ShardDdl {
         l.ready.collect { case (s, false) => s }.toSeq.sorted)
     }
 
+  /** One upstream table inside an optimistic lock: its synced flag and,
+    * when its pending operation is conflict-DETECTED, the DDLs it carries
+    * (optimism's per-(source, schema, table) Info/Operation pair). */
+  final case class OptTableState(source: String, schema: String,
+      table: String, synced: Boolean,
+      conflictDdls: Option[Seq[String]] = None)
+
+  /**
+   * Optimist.ShowLocks (dm/master/shardddl/optimist.go:125-220). Per
+   * (task, downstream-table) lock: synced/unsynced entries are the
+   * UPSTREAM-table triples rendered `source-\`schema\`.\`table\``, sorted;
+   * each conflict-DETECTED table contributes its OWN pb.DDLLock row —
+   * owner = that triple's lock-id string, DDLs = its pending list — and a
+   * `sources` filter restricts which conflicts contribute owner rows but
+   * NOT the synced/unsynced lists (appendOwnerDDLs loops only the
+   * requested sources, optimist.go:174-186); no conflicts → one row with
+   * an empty owner. Owner rows sort by owner here — the Go iterates a map
+   * (nondeterministic order); a deterministic view needs SOME order and
+   * the sorted one matches the synced/unsynced convention.
+   */
+  def showOptimisticLocks(
+      locks: Seq[(String, String, Seq[OptTableState])],
+      task: String = "", sources: Seq[String] = Seq.empty): Seq[LockView] =
+    locks.filter { case (_, t, tables) =>
+      (task.isEmpty || task == t) &&
+        (sources.isEmpty || sources.exists(s => tables.exists(_.source == s)))
+    }.flatMap { case (id, t, tables) =>
+      def ent(x: OptTableState) = s"${x.source}-`${x.schema}`.`${x.table}`"
+      val synced = tables.filter(_.synced).map(ent).sorted
+      val unsynced = tables.filterNot(_.synced).map(ent).sorted
+      val visible =
+        if (sources.isEmpty) tables
+        else tables.filter(x => sources.contains(x.source))
+      val owners = visible.collect {
+        case x if x.conflictDdls.isDefined =>
+          (genDDLLockID(x.source, x.schema, x.table), x.conflictDdls.get)
+      }.sortBy(_._1)
+      val rows = if (owners.isEmpty) Seq(("", Seq.empty[String])) else owners
+      rows.map { case (owner, ddls) =>
+        LockView(id, t, "optimistic", owner, ddls, synced, unsynced)
+      }
+    }
+
   final case class UnlockResult(ok: Boolean, msg: String,
       execOwner: Option[String], skipped: Seq[String])
 

@@ -4,15 +4,64 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.{AvroBinary, CraftCodec, OpenBatch}
 import graft.functions.CraftCodec.{Col, Event, Group}
 
-/** Randomized round trips over the three hand-rolled binary codecs —
+/** Randomized round trips over the hand-rolled binary codecs —
   * craft's columnar batch format (dictionary sharing, delta varints,
-  * trailing size tables), open-protocol's length-framed batching, and the
-  * Confluent-framed Avro value/key — beyond their fixed golden-byte
-  * specs. */
+  * trailing size tables), open-protocol's length-framed batching, the
+  * Confluent-framed Avro value/key, and the redo layout's msgpack-style
+  * envelope/ddl/meta payloads plus its etcd-WAL framing — beyond their
+  * fixed golden-byte specs. */
 class CodecFuzzSpec extends AnyFunSuite {
 
   private val nasty = Seq("", "t", "say \"hi\"", "uné中文🎉", "a,b",
     "line\nbreak", "x" * 200)
+
+  test("redo envelope/ddl/meta codecs round-trip 300 random values; garbage rejects") {
+    import graft.streaming.RedoLayout
+    import graft.streaming.RedoLayout.{RedoDdl, RedoDdlCodec, RedoEnvelope, RedoRowCodec}
+    val rnd = new scala.util.Random(1502L)
+    def s(): String = nasty(rnd.nextInt(nasty.size))
+    def nn(): Long = rnd.nextLong() & Long.MaxValue // codec carries uints
+    for (_ <- 0 until 300) {
+      val e = RedoEnvelope(nn(), s(), nn(), nn(), rnd.nextInt(1 << 16),
+        s(), s(), nn(), nn(),
+        if (rnd.nextBoolean()) None else Some(rnd.nextGaussian() * 1e6),
+        if (rnd.nextBoolean()) None else Some(
+          java.lang.Double.longBitsToDouble(rnd.nextLong()) match {
+            case d if d.isNaN => 0.5 // NaN != NaN breaks equality, not codec
+            case d => d
+          }), s())
+      assert(RedoRowCodec.decode(RedoRowCodec.encode(e)) == e)
+      val d = RedoDdl(nn(), nn(), s(), s(), s(), rnd.nextInt(256))
+      assert(RedoDdlCodec.decode(RedoDdlCodec.encode(d)) == d)
+      val (c, r) = (nn(), nn())
+      assert(RedoLayout.decodeMeta(RedoLayout.encodeMeta(c, r)) == (c, r))
+      // garbage fails in BOUNDED ways: a typed reject or a range overrun —
+      // never a hang, a silent null, or some unrelated crash
+      val junk = new Array[Byte](1 + rnd.nextInt(40))
+      rnd.nextBytes(junk)
+      try { assert(RedoRowCodec.decode(junk) != null) } catch {
+        case _: IllegalArgumentException => ()
+        case _: ArrayIndexOutOfBoundsException => ()
+        case _: StringIndexOutOfBoundsException => ()
+      }
+    }
+    // frame fuzz: random frame sequences survive arbitrary truncation —
+    // every prefix decodes to a prefix of the original payload list
+    for (_ <- 0 until 60) {
+      val payloads = Seq.fill(1 + rnd.nextInt(6)) {
+        val b = new Array[Byte](rnd.nextInt(50)); rnd.nextBytes(b); b
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      payloads.foreach(RedoLayout.writeFrame(bos, _))
+      val whole = bos.toByteArray
+      val cut = rnd.nextInt(whole.length + 1)
+      val got = RedoLayout.readFrames(whole.take(cut)).map(_.toSeq)
+      val want = payloads.map(_.toSeq)
+      assert(got == want.take(got.size))
+      // and the truncated tail never yields MORE frames than survive fully
+      assert(got.size <= want.size)
+    }
+  }
 
   test("craft batches round-trip 150 random event mixes") {
     val rnd = new scala.util.Random(1418L)

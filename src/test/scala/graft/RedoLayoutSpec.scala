@@ -225,6 +225,45 @@ class RedoLayoutSpec extends SparkSpec {
     assert(logs.map(_.split("_").head).distinct.size > 1)
   }
 
+  test("ddl logs share the dir: row reader ignores them; ddl resume widens left by one") {
+    val dir = Files.createTempDirectory("graft_redo_ddl").toString + "/redo"
+    val rows = (1L to 50L).map { i =>
+      (i, "I", 1000L + i, 999L + i, 0, "db", "t", i, i,
+        Option.empty[Double], Some(i * 1.0), "e")
+    }
+    val df = rows.toDF("seq", "op", "commit_ts", "start_ts", "source_id",
+      "schema_name", "table_name", "pk", "pk_after", "val_before",
+      "val_after", "etype")
+    Redo.writeRedoDir(df, dir, "cap", "default", "feed",
+      checkpointTs = 1020L, resolvedTs = 1050L)
+    val ddls = Seq(
+      RedoDdl(1010L, 1009L, "db", "t", "ALTER TABLE t ADD c1 INT", 5),
+      RedoDdl(1020L, 1019L, "db", "t", "ALTER TABLE t ADD c2 INT", 5),
+      RedoDdl(1021L, 1020L, "db", "t", "ALTER TABLE t ADD c3 INT", 5),
+      RedoDdl(1050L, 1049L, "db", "t", "ALTER TABLE t ADD c4 INT", 5))
+    Redo.writeRedoDdls(dir, ddls, "cap", "default", "feed")
+    // the row reader's type filter skips the ddl files entirely
+    assert(RedoLayout.Reader.readRows(spark, dir).count() == 30L)
+    // DDL resume: startTs = checkpoint - 1, so the DDL AT the checkpoint
+    // replays (it may not have executed in the owner — reader.go:160-172),
+    // while the one strictly below does not
+    val got = RedoLayout.Reader.readDdls(dir)
+    assert(got.map(_.commit_ts) == Seq(1020L, 1021L, 1050L))
+    assert(got.head.query == "ALTER TABLE t ADD c2 INT")
+    // codec round-trip incl. type byte
+    ddls.foreach(d =>
+      assert(RedoDdlCodec.decode(RedoDdlCodec.encode(d)) == d))
+    // GC at the checkpoint keeps ddl files at/above it, removes below:
+    // craft a meta manager at ckpt 1020 and sweep — the ddl file carries
+    // max commit 1050 (single file), so it survives; a synthetic old one
+    // dies
+    Files.write(Paths.get(dir, "cap_feed_ddl_1019_z.log"), Array[Byte](1))
+    var n = 0
+    val m = new MetaManager(dir, "cap", "default", "feed", () => { n += 1; s"g$n" })
+    m.initMeta(1020L)
+    assert(m.gc().contains("cap_feed_ddl_1019_z.log"))
+  }
+
   test("replayFromRedoDir applies the real layout into keyed state") {
     val base = Files.createTempDirectory("graft_redo_apply").toString
     val wal = Seq(

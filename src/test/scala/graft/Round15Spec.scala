@@ -210,6 +210,103 @@ class Round15Spec extends AnyFunSuite {
     assert(n2)
   }
 
+  // ---- owner barrier composition ------------------------------------------
+
+  test("owner barrier: seeds, global vs per-table, redo gating, the 256 cap") {
+    import graft.streaming.OwnerBarrier
+    import graft.streaming.OwnerBarrier.DdlAt
+    // empty: everything sits at the resolved ts
+    val e = OwnerBarrier.barrier(1000L, Seq.empty, redoEnabled = true)
+    assert(e == OwnerBarrier.Barrier(1000L, 1000L, 1000L, Seq.empty))
+    // a global DDL lowers global; a redo-barrier DDL lowers redo only when on
+    val ddls = Seq(
+      DdlAt(900L, "create_table", Seq(7L)), // global + redo-barrier
+      DdlAt(800L, "add_column", Seq(1L)),
+      DdlAt(950L, "truncate_table", Seq(2L))) // non-global + redo-barrier
+    val b = OwnerBarrier.barrier(1000L, ddls, redoEnabled = true)
+    assert(b.globalBarrierTs == 900L && b.minTableBarrierTs == 800L &&
+      b.redoBarrierTs == 900L)
+    // table barriers above the global barrier drop (truncate at 950 > 900)
+    assert(b.tableBarriers == Seq((1L, 800L)))
+    val off = OwnerBarrier.barrier(1000L, ddls, redoEnabled = false)
+    assert(off.redoBarrierTs == 1000L)
+    // several DDLs on one physical table keep the min commit
+    val dup = OwnerBarrier.barrier(1000L, Seq(
+      DdlAt(700L, "add_index", Seq(5L)), DdlAt(600L, "drop_index", Seq(5L))),
+      redoEnabled = true)
+    assert(dup.tableBarriers == Seq((5L, 600L)))
+    // the cap: 300 tables → keep 256, global drops to the 257th entry's ts
+    val many = (1 to 300).map(i => DdlAt(i.toLong, "add_column", Seq(i.toLong)))
+    val c = OwnerBarrier.barrier(10000L, many, redoEnabled = true)
+    assert(c.tableBarriers.size == 256 && c.globalBarrierTs == 257L)
+    assert(c.tableBarriers.last == ((256L, 256L)))
+    // partition ids ride along with the table id
+    val p = OwnerBarrier.barrier(1000L,
+      Seq(DdlAt(500L, "drop_table_partition", Seq(9L, 91L, 92L))), true)
+    assert(p.tableBarriers.map(_._1) == Seq(9L, 91L, 92L))
+  }
+
+  // ---- relay filename purge (dmctl purge-relay) ---------------------------
+
+  test("purge-relay -filename: older subdirs whole, safe subdir below the seq, errors") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.Relay
+    val base = Files.createTempDirectory("graft_purge_fn").toString
+    val uuids = Seq("u1.000001", "u2.000002", "u3.000003")
+    def touch(sub: String, name: String): Unit = {
+      Files.createDirectories(Paths.get(base, sub))
+      Files.write(Paths.get(base, sub, name), Array[Byte](1))
+    }
+    touch("u1.000001", "mysql-bin.000001"); touch("u1.000001", "mysql-bin.000002")
+    touch("u2.000002", "mysql-bin.000001"); touch("u2.000002", "mysql-bin.000002")
+    touch("u2.000002", "mysql-bin.000003"); touch("u2.000002", "other-bin.000001")
+    touch("u3.000003", "mysql-bin.000001")
+
+    // unknown safe subdir: the trim-UUID-not-found error
+    assert(Relay.purgeRelayByFilename(base, uuids, "nope.000009",
+      "mysql-bin.000001").isLeft)
+    // missing base file: ErrBaseFileNotFound
+    assert(Relay.purgeRelayByFilename(base, uuids, "u2.000002",
+      "mysql-bin.000099").isLeft)
+
+    val got = Relay.purgeRelayByFilename(base, uuids, "u2.000002",
+      "mysql-bin.000002").toOption.get
+    // u1 purges whole (and its dir), u2 purges only 000001 of the SAME
+    // base name; other-bin untouched; u3 (newer) untouched
+    assert(got == Seq("u1.000001/mysql-bin.000001",
+      "u1.000001/mysql-bin.000002", "u1.000001/",
+      "u2.000002/mysql-bin.000001"))
+    assert(!Files.exists(Paths.get(base, "u1.000001")))
+    assert(Files.exists(Paths.get(base, "u2.000002", "mysql-bin.000002")))
+    assert(Files.exists(Paths.get(base, "u2.000002", "other-bin.000001")))
+    assert(Files.exists(Paths.get(base, "u3.000003", "mysql-bin.000001")))
+  }
+
+  test("purge-relay safeTime cutoff: first newer file stops the walk (hasAll cascade)") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import graft.streaming.Relay
+    val base = Files.createTempDirectory("graft_purge_t").toString
+    val uuids = Seq("u1.000001", "u2.000002")
+    def touch(sub: String, name: String, mtimeMs: Long): Unit = {
+      Files.createDirectories(Paths.get(base, sub))
+      val p = Paths.get(base, sub, name)
+      Files.write(p, Array[Byte](1))
+      Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs))
+    }
+    touch("u1.000001", "mysql-bin.000001", 1000L)
+    touch("u1.000001", "mysql-bin.000002", 9000L) // newer than the cutoff
+    touch("u1.000001", "mysql-bin.000003", 1000L) // would be old, but after the break
+    touch("u2.000002", "mysql-bin.000001", 1000L)
+    touch("u2.000002", "mysql-bin.000002", 1000L)
+    val got = Relay.purgeRelayByFilename(base, uuids, "u2.000002",
+      "mysql-bin.000002", safeTimeMs = Some(5000L)).toOption.get
+    // only the first old file of u1 goes: the newer 000002 breaks the
+    // file loop AND the subdir walk — u2 is never reached
+    assert(got == Seq("u1.000001/mysql-bin.000001"))
+    assert(Files.exists(Paths.get(base, "u2.000002", "mysql-bin.000001")))
+  }
+
   // ---- shard-DDL lock kernel ---------------------------------------------
 
   test("lock-ID algebra: gen/extract round-trip, malformed ids reject") {
@@ -244,6 +341,39 @@ class Round15Spec extends AnyFunSuite {
     assert(ShardDdl.showLocks(locks, task = "other").isEmpty)
     assert(ShardDdl.showLocks(locks, sources = Seq("s2")).size == 1)
     assert(ShardDdl.showLocks(locks, sources = Seq("s9")).isEmpty)
+  }
+
+  test("optimistic lock view: per-table triples, conflict owners, source-filtered owners") {
+    import graft.streaming.ShardDdl.OptTableState
+    val tables = Seq(
+      OptTableState("s0", "s0db", "t", synced = true),
+      OptTableState("s1", "s1db", "t", synced = false,
+        conflictDdls = Some(Seq("ALTER TABLE t MODIFY v INT"))),
+      OptTableState("s2", "s2db", "t", synced = false))
+    val locks = Seq((ShardDdl.genDDLLockID("task", "db", "t"), "task", tables))
+    val all = ShardDdl.showOptimisticLocks(locks)
+    assert(all.size == 1)
+    assert(all.head.mode == "optimistic")
+    assert(all.head.synced == Seq("s0-`s0db`.`t`"))
+    assert(all.head.unsynced == Seq("s1-`s1db`.`t`", "s2-`s2db`.`t`"))
+    assert(all.head.owner == "s1-`s1db`.`t`" &&
+      all.head.ddls == Seq("ALTER TABLE t MODIFY v INT"))
+    // two conflicts → two rows sharing id and lists
+    val two = tables.map {
+      case x if x.source == "s2" =>
+        x.copy(conflictDdls = Some(Seq("ALTER TABLE t ADD c INT")))
+      case x => x
+    }
+    val rows2 = ShardDdl.showOptimisticLocks(Seq((locks.head._1, "task", two)))
+    assert(rows2.size == 2 && rows2.map(_.id).distinct.size == 1)
+    // a sources filter that misses the conflicting source keeps the lock
+    // visible but drops the owner (optimist.go:174-186)
+    val filtered = ShardDdl.showOptimisticLocks(locks, sources = Seq("s0"))
+    assert(filtered.size == 1 && filtered.head.owner == "" &&
+      filtered.head.unsynced.size == 2)
+    // task/sources misses hide the lock entirely
+    assert(ShardDdl.showOptimisticLocks(locks, task = "nope").isEmpty)
+    assert(ShardDdl.showOptimisticLocks(locks, sources = Seq("s9")).isEmpty)
   }
 
   test("unlockLock: owner-must-be-synced, replace-owner, state threading") {
