@@ -298,6 +298,18 @@ class PlanShapeSpec extends SparkSpec {
       s"plan:\n$p")
   }
 
+  test("q263: shard-merge keeps partial-agg checksums and a keyed SMJ, no broadcast of the corpus") {
+    val p = planOf("q263_shard_merge")
+    // no nested-loop/cartesian anywhere: the full-outer row compare must
+    // be a keyed sort-merge join, and every digest path is a partial+final
+    // hash-agg over the shard scans — a regression that collects a shard
+    // or cross-joins the compare would show here
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      s"plan:\n$p")
+    assert(p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(count(p, "HashAggregate") >= 8, s"plan:\n$p")
+  }
+
   test("bootstrap replay: one table-key shuffle feeds the per-table fold") {
     import org.apache.spark.sql.functions._
     import graft.streaming.Bootstrap
