@@ -8,7 +8,7 @@ import FeedSim._
 /** Round-15 properties: the feed-state machine under randomized ADMIN-JOB
   * interleaving (the generator pattern that found a real bug four rounds
   * running), and the shard-DDL lock inspection kernel. */
-class Round15Spec extends AnyFunSuite {
+class Round15Spec extends SparkSpec {
 
   // ---- 300 random traces, admin-heavy, always-nonzero randomization ------
 
@@ -210,6 +210,94 @@ class Round15Spec extends AnyFunSuite {
     assert(n2)
   }
 
+  // ---- redo layout randomized lifecycle property ---------------------------
+
+  test("redo writer/meta/GC/restart invariants hold over 120 random traces") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.RedoLayout
+    import graft.streaming.RedoLayout._
+    val rnd = new scala.util.Random(1503L)
+    for (trial <- 0 until 120) {
+      val dir = Files.createTempDirectory(s"graft_redo_prop_$trial").toString
+      val ns = if (rnd.nextBoolean()) "default" else "nsx"
+      val maxLog = 64L + rnd.nextInt(512)
+      var wu = 0; var mu = 0
+      var w = new LogWriter(dir, "cap", ns, "feed", RowFileType, maxLog,
+        () => { wu += 1; f"u$wu%05d" })
+      var m = new MetaManager(dir, "cap", ns, "feed",
+        () => { mu += 1; f"m$mu%05d" })
+      m.initMeta(1L)
+      var ts = 10L
+      var maxWritten = 0L
+      val writtenTs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var flushedCkpt = 1L; var flushedRes = 1L
+      def names(): Seq[String] = {
+        val s = Files.list(Paths.get(dir))
+        try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+        finally s.close()
+      }
+      for (_ <- 0 until 40 + rnd.nextInt(60)) rnd.nextInt(10) match {
+        case k if k < 5 => // write a record (ts may repeat or jump)
+          ts += rnd.nextInt(5)
+          val payload = new Array[Byte](1 + rnd.nextInt(60))
+          rnd.nextBytes(payload)
+          if (payload.length <= maxLog) {
+            w.writeAt(ts, payload)
+            writtenTs += ts
+            if (ts > maxWritten) maxWritten = ts
+          }
+        case 5 | 6 => // meta update (sometimes deliberately regressed)
+          val c = if (rnd.nextInt(4) == 0) flushedCkpt - 5 - rnd.nextInt(10)
+            else math.max(1L, maxWritten - rnd.nextInt(20))
+          val r = math.max(c, maxWritten)
+          m.update(c, r)
+          if (m.maybeFlush()) {
+            val (fc, fr) = m.flushedMeta
+            // flushed pair is monotone and internally ordered
+            assert(fc >= flushedCkpt && fr >= flushedRes && fr >= fc,
+              s"trial=$trial flushed regressed: ($fc,$fr) after ($flushedCkpt,$flushedRes)")
+            flushedCkpt = fc; flushedRes = fr
+          }
+          // at most one meta file ever survives a flush
+          assert(names().count(_.endsWith(MetaExt)) == 1, s"trial=$trial")
+        case 7 => // GC pass
+          m.gc()
+          for (n <- names() if n.endsWith(LogExt)) {
+            val p = parseLogFileName(n).get
+            assert(p.commitTs >= flushedCkpt,
+              s"trial=$trial GC left $n below ckpt $flushedCkpt")
+          }
+        case 8 => // writer close (rotate-to-final)
+          w.close()
+          assert(names().forall(!_.endsWith(TmpExt)), s"trial=$trial")
+          w = new LogWriter(dir, "cap", ns, "feed", RowFileType, maxLog,
+            () => { wu += 1; f"u$wu%05d" })
+        case _ => // owner restart: a fresh meta manager recovers the pair
+          m = new MetaManager(dir, "cap", ns, "feed",
+            () => { mu += 1; f"m$mu%05d" })
+          m.initMeta(1L)
+          val (fc, fr) = m.flushedMeta
+          assert(fc == flushedCkpt && fr == flushedRes,
+            s"trial=$trial restart lost ($flushedCkpt,$flushedRes) -> ($fc,$fr)")
+      }
+      w.close()
+      // final: every decoded record in every surviving closed log sits at
+      // or below the file's name ts, and frames round-trip losslessly
+      for (n <- names() if n.endsWith(LogExt)) {
+        val frames = readFrames(Files.readAllBytes(Paths.get(dir, n)))
+        assert(frames.nonEmpty, s"trial=$trial empty log $n")
+      }
+      // reader selection never opens a file whose name ts <= checkpoint
+      val sel = Reader.selectFiles(dir, RowFileType, flushedCkpt)
+      sel.foreach { n =>
+        assert(n.endsWith(TmpExt) ||
+          parseLogFileName(n).get.commitTs > flushedCkpt, s"trial=$trial $n")
+      }
+      graft.queries.Gate.deleteTree(new java.io.File(dir))
+    }
+  }
+
   // ---- owner barrier composition ------------------------------------------
 
   test("owner barrier: seeds, global vs per-table, redo gating, the 256 cap") {
@@ -305,6 +393,60 @@ class Round15Spec extends AnyFunSuite {
     // file loop AND the subdir walk — u2 is never reached
     assert(got == Seq("u1.000001/mysql-bin.000001"))
     assert(Files.exists(Paths.get(base, "u2.000002", "mysql-bin.000001")))
+  }
+
+  // ---- shard-merge randomized equivalence ----------------------------------
+
+  test("shard XOR-combine equals the union digest; diff classes match brute force (12 random splits)") {
+    import org.apache.spark.sql.functions._
+    import graft.diff.{ChunkDiff, ShardMerge}
+    import spark.implicits._
+    val rnd = new scala.util.Random(1504L)
+    for (trial <- 0 until 12) {
+      val n = 200 + rnd.nextInt(300)
+      val nShards = 2 + rnd.nextInt(3)
+      val nChunks = 1 + rnd.nextInt(8)
+      val rows = (1 to n).map { i =>
+        (i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(3))
+      } // (k, v, shard)
+      // upstream: random per-row faults — drop, perturb, ghost
+      val perturbK = rows.filter(_ => rnd.nextInt(20) == 0).map(_._1).toSet
+      val dropK = rows.filter(r => !perturbK(r._1) && rnd.nextInt(20) == 0)
+        .map(_._1).toSet
+      val ghosts = (1 to rnd.nextInt(10)).map(i => (100000L + i, 7L, rnd.nextInt(3)))
+      val down = rows.map { case (k, v, _) => (k, v) }
+        .toDF("k", "v")
+      val shards = (0 until nShards).map { s =>
+        (rows.filter(_._3 % nShards == s) ++ ghosts.filter(_._3 % nShards == s))
+          .filterNot(r => dropK(r._1))
+          .map { case (k, v, _) => (k, if (perturbK(k)) v + 1 else v) }
+          .toDF("k", "v")
+      }
+      val union = shards.reduce(_ unionByName _)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        Seq(col("k"), col("v").cast("string"))
+      val (lo, hi) = (1L, n.toLong)
+      val viaShards = ShardMerge.shardChunkChecksums(shards, "k", lo, hi,
+        nChunks, canon).collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+      val viaUnion = union
+        .withColumn("row_digest", ChunkDiff.rowDigest(canon(union)))
+        .withColumn("chunk_id", ChunkDiff.chunkByWidth(col("k"), lo, hi, nChunks))
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("cnt"), expr("bit_xor(row_digest)").as("checksum"))
+        .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(viaShards == viaUnion, s"trial=$trial XOR combine diverged")
+
+      val classes = ChunkDiff.rowDiff(union, down, Seq("k"), canon)
+        .groupBy("diff_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wantDifferent = rows.count(r => perturbK(r._1) && !dropK(r._1))
+      val wantExtra = rows.count(r => dropK(r._1))
+      val wantMissing = ghosts.size
+      assert(classes.getOrElse("different", 0L) == wantDifferent, s"trial=$trial")
+      assert(classes.getOrElse("extra", 0L) == wantExtra, s"trial=$trial")
+      assert(classes.getOrElse("missing", 0L) == wantMissing, s"trial=$trial")
+    }
   }
 
   // ---- shard-DDL lock kernel ---------------------------------------------
