@@ -227,7 +227,12 @@ object Bench100x {
     // round-13: the stats-bucket splitter (one histogram partial-agg scan
     // + a codegen'd membership cascade — the V1 chunking path that needs
     // no sampling jobs at all)
-    "q247_bucket_chunks")
+    "q247_bucket_chunks",
+    // round-15: the shard-merge diff — three routed shard scans through
+    // the union-path digest, the per-shard XOR combine, and the keyed
+    // full-outer row compare over 60M rows; the one new r15 gate with a
+    // corpus-scale plan (the rest are control-plane lifecycle kernels)
+    "q263_shard_merge")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(
