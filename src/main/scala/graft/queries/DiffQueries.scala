@@ -963,7 +963,11 @@ object DiffQueries {
          |SELECT 'diff', 'missing', CAST(count(*) AS BIGINT),
          |  CAST(coalesce(sum(l_orderkey), 0) AS BIGINT), 1, 0
          |FROM lineitem WHERE l_orderkey % 3 = 0 AND l_orderkey % 103 = 0
-         |HAVING count(*) > 0""".stripMargin)) { (spark, dir) =>
+         |HAVING count(*) > 0
+         |UNION ALL
+         |SELECT 'equal', 'summary',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM dch), 0, 1, 1""".stripMargin)) {
+    (spark, dir) =>
     import graft.diff.ShardMerge
     import graft.operators.Routing
     val li = Tables.load(spark, dir, "lineitem")
@@ -1014,11 +1018,108 @@ object DiffQueries {
       .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("v"))
       .select(lit("diff").as("kind"), col("diff_type").as("k"), col("n"),
         col("v"), lit(1L).as("xor_ok"), lit(0L).as("match_down"))
-    chunkRows.unionByName(classes)
+    // the EQUAL case: the same three shards WITHOUT faults must compare
+    // clean — every chunk matches downstream, the shard XOR combine still
+    // equals the union digest, and the row diff is empty
+    val cleanShards = Seq(part(0), part(1), part(2))
+    val cleanMerged = ShardMerge.mergeSources(
+      Seq(("db_0", "t0", cleanShards(0)), ("db_1", "t1", cleanShards(1)),
+        ("db_2", "t2", cleanShards(2))), rules, "db", "lineitem")
+    val cleanUnion = chunked(cleanMerged)
+    val cleanShardPath = ShardMerge.shardChunkChecksums(
+      cleanShards, "l_orderkey", lo, hi, 16, canonical)
+      .withColumnRenamed("cnt", "s_cnt").withColumnRenamed("checksum", "s_checksum")
+    val equalRow = cleanUnion.join(cleanShardPath, Seq("chunk_id"))
+      .join(down, Seq("chunk_id"))
+      .agg(
+        sum(when(col("cnt") === col("d_cnt") &&
+          col("checksum") === col("d_checksum"), 1L).otherwise(0L)).as("n"),
+        sum(when(col("cnt") === col("s_cnt") &&
+          col("checksum") === col("s_checksum"), 0L).otherwise(1L)).as("bad_xor"))
+      .select(lit("equal").as("kind"), lit("summary").as("k"), col("n"),
+        lit(ChunkDiff.rowDiff(cleanMerged, li,
+          Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          canonical).count()).as("v"),
+        (col("bad_xor") === 0L).cast("long").as("xor_ok"),
+        lit(1L).as("match_down"))
+    chunkRows.unionByName(classes).unionByName(equalRow)
+  }
+
+  /**
+   * q269 — sync_diff's table-STRUCTURE comparison
+   * ([[graft.diff.StructCompare]]; utils.go:408-598 CompareStruct +
+   * isCompatible/sameProperties/equalFK): the column fatal legs (count,
+   * positional name, type outside the {ints}/{blobs}/{strings}
+   * compatibility classes, string display-length) that SKIP data
+   * checking; the name-blind positional FK compare that fails equality
+   * WITHOUT skipping; and the index reconciliation — same-name-different-
+   * columns deletes from both sides, one-sided indices are unilateral,
+   * absorbed into the deletion set only when a bilateral index survives
+   * (with none, they stay and only mark inequality). Ten scripted
+   * table-def scenarios; the oracle is the rule table as literals.
+   */
+  val structCompare = GateQuery(
+    "q269_struct_compare",
+    Some("""SELECT * FROM (VALUES
+           |  ('c01_identical',      1, 0, 0, '', 'i1'),
+           |  ('c02_col_count',      0, 1, 0, '', ''),
+           |  ('c03_col_name',       0, 1, 0, '', ''),
+           |  ('c04_class_compat',   1, 0, 0, '', 'i1'),
+           |  ('c05_class_clash',    0, 1, 0, '', ''),
+           |  ('c06_flen',           0, 1, 0, '', ''),
+           |  ('c07_fk',             0, 0, 0, '', 'i1'),
+           |  ('c08_idx_differs',    0, 0, 1, '', 'i2'),
+           |  ('c09_unilateral_only',0, 0, 0, 'i1,i2', 'i2'),
+           |  ('c10_absorbed',       0, 0, 1, '', 'i2')
+           |) v(c, eq, skip, n_del, kept, down_idx)""".stripMargin)) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.diff.StructCompare
+    import graft.diff.StructCompare._
+    val aLong = ColDef("a", "long")
+    val bStr = ColDef("b", "varchar", flen = 20)
+    def idx(n: String, cols: (String, Int)*) = IndexDef(n, cols.toSeq)
+    val i1 = idx("i1", ("a", 0))
+    val i2 = idx("i2", ("b", 1))
+    val fk = FkDef("S", "T", 1, 2, Seq("a"), Seq("x"))
+    def t(cols: Seq[ColDef], fks: Seq[FkDef] = Nil,
+        ixs: Seq[IndexDef] = Nil) = TableStruct("t", cols, fks, ixs)
+    val cases: Seq[(String, Seq[TableStruct], TableStruct)] = Seq(
+      ("c01_identical", Seq(t(Seq(aLong, bStr), Seq(fk), Seq(i1))),
+        t(Seq(aLong, bStr), Seq(fk), Seq(i1))),
+      ("c02_col_count", Seq(t(Seq(aLong, bStr))), t(Seq(aLong))),
+      ("c03_col_name", Seq(t(Seq(aLong.copy(name = "z"), bStr))),
+        t(Seq(aLong, bStr))),
+      ("c04_class_compat",
+        Seq(t(Seq(aLong.copy(tpe = "int24"), bStr), Nil, Seq(i1))),
+        t(Seq(aLong, bStr), Nil, Seq(i1))),
+      ("c05_class_clash", Seq(t(Seq(aLong.copy(tpe = "varchar"), bStr))),
+        t(Seq(aLong, bStr))),
+      ("c06_flen", Seq(t(Seq(aLong, bStr.copy(flen = 30)))),
+        t(Seq(aLong, bStr))),
+      ("c07_fk", Seq(t(Seq(aLong), Seq(fk), Seq(i1))),
+        t(Seq(aLong), Seq(fk.copy(onDelete = 9)), Seq(i1))),
+      ("c08_idx_differs",
+        Seq(t(Seq(aLong, bStr), Nil, Seq(idx("i1", ("b", 1)), i2))),
+        t(Seq(aLong, bStr), Nil, Seq(i1, i2))),
+      ("c09_unilateral_only", Seq(t(Seq(aLong, bStr), Nil, Seq(i1))),
+        t(Seq(aLong, bStr), Nil, Seq(i2))),
+      ("c10_absorbed",
+        Seq(t(Seq(aLong, bStr), Nil, Seq(i1, i2)),
+          t(Seq(aLong, bStr), Nil, Seq(i2))),
+        t(Seq(aLong, bStr), Nil, Seq(i1, i2))))
+    val out = cases.map { case (c, ups, down) =>
+      val r = StructCompare.compareStruct(ups, down)
+      (c, if (r.isEqual) 1 else 0, if (r.isSkip) 1 else 0,
+        r.deletedIndices.size, r.unilateralKept.toSeq.sorted.mkString(","),
+        r.downstream.indices.map(_.name).mkString(","))
+    }
+    out.toDF("c", "eq", "skip", "n_del", "kept", "down_idx")
   }
 
   def all: Seq[GateQuery] =
     Seq(chunkChecksum, chunkChecksumComposite, rowDiff, fixSql, fixApply,
       diffIgnoreColumns, diffRange, diffReport, diffCheckpointResume,
-      diffCheckModes, bucketChunksMerge, bucketChunksSplit, shardMerge)
+      diffCheckModes, bucketChunksMerge, bucketChunksSplit, shardMerge,
+      structCompare)
 }
