@@ -358,4 +358,57 @@ object Filters {
       }
     }
   }
+
+  // ---- the DDL puller's rename-table filter decision ---------------------
+  // (cdc/puller/ddl_puller.go:302-321 general discards, :417-470 single
+  // rename, :560-610 RenameTables)
+
+  /** One rename entry as the puller sees it: whether the OLD table is in
+    * the schema snapshot, and the filter verdicts on the old and new
+    * names. An unknown old table filters as discarded. */
+  final case class RenameEntry(oldKnown: Boolean, oldDiscard: Boolean,
+      newDiscard: Boolean)
+
+  /**
+   * handleJob's pre-filter discards (ddl_puller.go:308-321): a job at or
+   * below the puller's resolved ts is a REPLAY and drops; SchemaVersion 0
+   * means the upstream itself ignored the DDL.
+   */
+  def ddlJobStale(finishedTs: Long, resolvedTs: Long,
+      schemaVersion: Long): Boolean =
+    finishedTs <= resolvedTs || schemaVersion == 0
+
+  /**
+   * The single-rename decision (ddl_puller.go:417-455): renaming a table
+   * INTO the replicated set from outside it must FAIL the changefeed —
+   * its history was never captured (ErrSyncRenameTableFailed) — while a
+   * rename wholly outside the filter skips, and a rename whose old name
+   * was replicated keeps (even when the new name leaves the filter).
+   * Returns Left(errorCode) | Right(skip).
+   */
+  def renameTableDecision(e: RenameEntry): Either[String, Boolean] = {
+    val oldDiscard = if (e.oldKnown) e.oldDiscard else true
+    if (oldDiscard) {
+      if (!e.newDiscard) Left("CDC:ErrSyncRenameTableFailed")
+      else Right(true)
+    } else Right(false)
+  }
+
+  /**
+   * The RenameTables (multi) decision (ddl_puller.go:560-610): entries
+   * filtered on BOTH names drop from the job; any old-filtered/new-kept
+   * entry fails the whole job; the job skips only when NO entry remains.
+   * Returns Left(errorCode) | Right((skip, keptEntryCount)).
+   */
+  def renameTablesDecision(entries: Seq[RenameEntry])
+      : Either[String, (Boolean, Int)] = {
+    var kept = 0
+    for (e <- entries) {
+      val oldDiscard = if (e.oldKnown) e.oldDiscard else true
+      if (oldDiscard && !e.newDiscard)
+        return Left("CDC:ErrSyncRenameTableFailed")
+      if (!(oldDiscard && e.newDiscard)) kept += 1
+    }
+    Right((kept == 0, kept))
+  }
 }

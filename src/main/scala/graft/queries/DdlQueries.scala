@@ -995,8 +995,80 @@ object DdlQueries {
       "min_tb", "max_tb", "sum_tb")
   }
 
+  /**
+   * q270 — the DDL puller's rename-table filter decision
+   * ([[graft.operators.Filters.renameTableDecision]]/renameTablesDecision;
+   * cdc/puller/ddl_puller.go:302-321, 417-470, 560-610): renaming a table
+   * INTO the replicated set from outside it fails the changefeed
+   * (ErrSyncRenameTableFailed — its history was never captured); wholly
+   * outside skips; an old-replicated rename keeps even when the new name
+   * leaves the filter. The multi form drops both-filtered entries, fails
+   * the whole job on any old-filtered/new-kept entry, and skips only when
+   * nothing remains. Plus handleJob's replay/upstream-ignored discards
+   * (finishedTs ≤ resolved ts, SchemaVersion 0), ts-anchored in
+   * count(orders).
+   */
+  val renameFilter = GateQuery(
+    "q270_rename_filter",
+    Some(
+      """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS base FROM orders)
+        |SELECT * FROM (VALUES
+        |  ('s1_keep_keep',     '', 0, 1),
+        |  ('s2_keep_filtered', '', 0, 1),
+        |  ('s3_filtered_keep', 'CDC:ErrSyncRenameTableFailed', 0, 0),
+        |  ('s4_filtered_both', '', 1, 0),
+        |  ('s5_unknown_keep',  'CDC:ErrSyncRenameTableFailed', 0, 0),
+        |  ('s6_unknown_filtered', '', 1, 0),
+        |  ('m1_partial',       '', 0, 1),
+        |  ('m2_all_dropped',   '', 1, 0),
+        |  ('m3_poisoned',      'CDC:ErrSyncRenameTableFailed', 0, 0)
+        |) v(c, err, skip, kept)
+        |UNION ALL
+        |SELECT 't1_replay', '', CASE WHEN base <= base THEN 1 ELSE 0 END, 0 FROM b
+        |UNION ALL
+        |SELECT 't2_upstream_ignored', '', 1, 0 FROM b
+        |UNION ALL
+        |SELECT 't3_fresh', '', CASE WHEN base + 1 <= base THEN 1 ELSE 0 END, 0 FROM b"""
+        .stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.Filters.{RenameEntry, ddlJobStale,
+      renameTableDecision, renameTablesDecision}
+    val base = Tables.load(spark, dir, "orders").count()
+    def single(c: String, e: RenameEntry) = renameTableDecision(e) match {
+      case Left(err) => (c, err, 0, 0)
+      case Right(skip) => (c, "", if (skip) 1 else 0, if (skip) 0 else 1)
+    }
+    def multi(c: String, es: Seq[RenameEntry]) = renameTablesDecision(es) match {
+      case Left(err) => (c, err, 0, 0)
+      case Right((skip, kept)) => (c, "", if (skip) 1 else 0, kept)
+    }
+    val keepKeep = RenameEntry(oldKnown = true, oldDiscard = false, newDiscard = false)
+    val dropBoth = RenameEntry(oldKnown = true, oldDiscard = true, newDiscard = true)
+    val poisoned = RenameEntry(oldKnown = true, oldDiscard = true, newDiscard = false)
+    val out = Seq(
+      single("s1_keep_keep", keepKeep),
+      single("s2_keep_filtered", keepKeep.copy(newDiscard = true)),
+      single("s3_filtered_keep", poisoned),
+      single("s4_filtered_both", dropBoth),
+      single("s5_unknown_keep",
+        RenameEntry(oldKnown = false, oldDiscard = false, newDiscard = false)),
+      single("s6_unknown_filtered",
+        RenameEntry(oldKnown = false, oldDiscard = false, newDiscard = true)),
+      multi("m1_partial", Seq(dropBoth, keepKeep)),
+      multi("m2_all_dropped", Seq(dropBoth, dropBoth)),
+      multi("m3_poisoned", Seq(keepKeep, poisoned)),
+      ("t1_replay", "",
+        if (ddlJobStale(base, base, 5L)) 1 else 0, 0),
+      ("t2_upstream_ignored", "",
+        if (ddlJobStale(base + 9, base, 0L)) 1 else 0, 0),
+      ("t3_fresh", "",
+        if (ddlJobStale(base + 1, base, 5L)) 1 else 0, 0))
+    out.toDF("c", "err", "skip", "kept")
+  }
+
   def all: Seq[GateQuery] =
     Seq(shardDdlGate, precheck, ddlText, ddlAllowList, ddlRenderFixpoint,
       debeziumDdl, maxwellDdl, simpleDdl, openDdl, watermarkMessages,
-      shardDdlLocks, safeModePhase, optimisticLocks, ownerBarrier)
+      shardDdlLocks, safeModePhase, optimisticLocks, ownerBarrier,
+      renameFilter)
 }
