@@ -1066,9 +1066,79 @@ object DdlQueries {
     out.toDF("c", "err", "skip", "kept")
   }
 
+  /**
+   * q271 — the DM syncer's checkpoint SNAPSHOT/FLUSH decision
+   * ([[graft.streaming.SyncerCheckpoint]];
+   * dm/syncer/checkpoint.go:404-445, 956-967) over the q261 binlog
+   * position algebra: only out-of-date table points enter a snapshot; the
+   * global point flushes on advance, on a FILENAME change without an
+   * ordering advance (the GTID relay-toggle case — the adjusted compare
+   * says equal but the raw names differ), on first flush, or on a
+   * pending safe-mode exit point carried ONLY by a sync flush; nothing
+   * moved → no snapshot; the both-suffixed raw-name compare makes a
+   * relay-subdir bump out-of-date even at a lower file seq;
+   * LastFlushOutdated needs BOTH clocks stale.
+   */
+  val syncerCheckpoint = GateQuery(
+    "q271_syncer_checkpoint",
+    Some("""SELECT * FROM (VALUES
+           |  ('c1_nothing',        0, 0, 0),
+           |  ('c2_global_pos',     1, 1, 0),
+           |  ('c3_filename_flip',  1, 1, 0),
+           |  ('c4_first_flush',    1, 1, 0),
+           |  ('c5_safemode_sync',  1, 1, 0),
+           |  ('c6_safemode_async', 0, 0, 0),
+           |  ('c7_table_only',     1, 0, 1),
+           |  ('c8_suffix_raw',     1, 1, 0),
+           |  ('t1_both_stale',     1, 0, 0),
+           |  ('t2_recent_save',    0, 0, 0),
+           |  ('t3_recent_snapshot',0, 0, 0)
+           |) v(c, a, b, n)""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.BinlogPos.Position
+    import graft.streaming.SyncerCheckpoint
+    import graft.streaming.SyncerCheckpoint.Point
+    def pt(sName: String, sPos: Long, fName: String, fPos: Long) =
+      Point(Position(sName, sPos), Position(fName, fPos))
+    val clean = pt("mysql-bin.000003", 500L, "mysql-bin.000003", 500L)
+    def snap(c: String, global: Point, zero: Boolean = false,
+        sync: Boolean = false, exit: Boolean = false,
+        tables: Map[(String, String), Point] = Map.empty) =
+      SyncerCheckpoint.snapshot(1L, global, zero, sync, exit, tables) match {
+        case None => (c, 0, 0, 0)
+        case Some(s) => (c, 1, if (s.flushGlobal) 1 else 0, s.tablePoints.size)
+      }
+    val out = Seq(
+      snap("c1_nothing", clean,
+        tables = Map(("db", "t1") -> clean)),
+      snap("c2_global_pos",
+        pt("mysql-bin.000003", 600L, "mysql-bin.000003", 500L)),
+      // relay toggle under GTID: adjusted compare says EQUAL (the suffix
+      // strips to the same real position) but the raw names differ
+      snap("c3_filename_flip",
+        pt("mysql-bin.000001", 500L, "mysql-bin|000001.000001", 500L)),
+      snap("c4_first_flush", clean, zero = true),
+      snap("c5_safemode_sync", clean, sync = true, exit = true),
+      snap("c6_safemode_async", clean, sync = false, exit = true),
+      snap("c7_table_only", clean, tables = Map(
+        ("db", "t1") -> pt("mysql-bin.000003", 700L, "mysql-bin.000003", 500L),
+        ("db", "t2") -> clean)),
+      // both suffixed: RAW name compare — a relay-subdir bump outranks a
+      // higher file seq and position
+      snap("c8_suffix_raw",
+        pt("mysql-bin|000002.000001", 4L, "mysql-bin|000001.000009", 400L)),
+      ("t1_both_stale",
+        if (SyncerCheckpoint.lastFlushOutdated(100000L, 60000L, 60000L, 30L)) 1 else 0, 0, 0),
+      ("t2_recent_save",
+        if (SyncerCheckpoint.lastFlushOutdated(100000L, 80000L, 60000L, 30L)) 1 else 0, 0, 0),
+      ("t3_recent_snapshot",
+        if (SyncerCheckpoint.lastFlushOutdated(100000L, 60000L, 80000L, 30L)) 1 else 0, 0, 0))
+    out.toDF("c", "a", "b", "n")
+  }
+
   def all: Seq[GateQuery] =
     Seq(shardDdlGate, precheck, ddlText, ddlAllowList, ddlRenderFixpoint,
       debeziumDdl, maxwellDdl, simpleDdl, openDdl, watermarkMessages,
       shardDdlLocks, safeModePhase, optimisticLocks, ownerBarrier,
-      renameFilter)
+      renameFilter, syncerCheckpoint)
 }
