@@ -964,7 +964,13 @@ object DdlQueries {
         |  base+45, 5*base + 195 FROM b
         |UNION ALL
         |SELECT 's5_dup_tables', base+100, base+55, base+100, 1, base+55,
-        |  base+55, base+55 FROM b""".stripMargin)) { (spark, dir) =>
+        |  base+55, base+55 FROM b
+        |UNION ALL
+        |SELECT 's6_repartition', base+100, base+20, base+20, 4, base+20,
+        |  base+25, 4*base + 85 FROM b
+        |UNION ALL
+        |SELECT 's7_repart_redo_off', base+100, base+20, base+100, 4,
+        |  base+20, base+25, 4*base + 85 FROM b""".stripMargin)) { (spark, dir) =>
     import spark.implicits._
     import graft.streaming.OwnerBarrier
     import graft.streaming.OwnerBarrier.DdlAt
@@ -983,7 +989,17 @@ object DdlQueries {
       ("s4_redo_off", base + 100, mixed, false),
       ("s5_dup_tables", base + 100, Seq(
         DdlAt(base + 60, "add_column", Seq(5L)),
-        DdlAt(base + 55, "modify_column", Seq(5L))), true))
+        DdlAt(base + 55, "modify_column", Seq(5L))), true),
+      // ddl_manager.go:83-84 + :94-95 — ALTER TABLE ... PARTITION BY /
+      // REMOVE PARTITIONING are NON-global (block only the related
+      // physical tables) and redo-barrier (they create physical tables,
+      // so redo's resolved ts must not pass them).
+      ("s6_repartition", base + 100, Seq(
+        DdlAt(base + 20, "alter_table_partitioning", Seq(9L, 91L, 92L)),
+        DdlAt(base + 25, "remove_partitioning", Seq(10L))), true),
+      ("s7_repart_redo_off", base + 100, Seq(
+        DdlAt(base + 20, "alter_table_partitioning", Seq(9L, 91L, 92L)),
+        DdlAt(base + 25, "remove_partitioning", Seq(10L))), false))
     val out = scenarios.map { case (sc, resolved, ddls, redoOn) =>
       val r = OwnerBarrier.barrier(resolved, ddls, redoOn)
       val ts = r.tableBarriers.map(_._2)

@@ -39,12 +39,14 @@ object OwnerBarrier {
     "truncate_table_partition", "drop_view", "recover_table",
     "add_primary_key", "drop_primary_key", "rebase_auto_id",
     "alter_index_visibility", "multi_schema_change",
-    "reorganize_partition", "alter_ttl_info", "alter_ttl_remove")
+    "reorganize_partition", "alter_ttl_info", "alter_ttl_remove",
+    "alter_table_partitioning", "remove_partitioning")
 
-  /** ddl_manager.go:88-95 — DDLs that create a physical table. */
+  /** ddl_manager.go:88-97 — DDLs that create a physical table. */
   val RedoBarrierDDLs: Set[String] = Set(
     "create_table", "truncate_table", "add_table_partition",
-    "truncate_table_partition", "recover_table", "reorganize_partition")
+    "truncate_table_partition", "recover_table", "reorganize_partition",
+    "alter_table_partitioning", "remove_partitioning")
 
   /** One pending DDL: commit ts, action, and its related physical table
     * ids (the table plus its partitions — getRelatedPhysicalTableIDs,
