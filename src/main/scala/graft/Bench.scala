@@ -199,25 +199,42 @@ object Bench {
     val adjudicated = scala.collection.mutable.Map.empty[String, Double]
     val gates = gatesRaw.map { case (name, raw) =>
       val p = prior.get(name)
-      val outlier = p.exists(pr => raw > 1.5 * pr && raw - pr > 0.4) &&
+      // symmetric: unusually FAST readings re-measure too, else the
+      // committed record (next run's prior) ratchets downward over rounds
+      val outlier = p.exists(pr =>
+        (raw > 1.5 * pr && raw - pr > 0.4) ||
+          (raw < pr / 1.5 && pr - raw > 0.4)) &&
         !failedGates.contains(name)
       if (!outlier) name -> raw
       else {
         gcSettle()
         val fn = sel(name)
+        var repFailed = false
         val reps = (0 until 3).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+          try { fn(spark, sfDir).count(); () } catch {
+            case e: Throwable =>
+              repFailed = true
+              System.err.println(s"[bench] FAIL $name during adjudication " +
+                s"repeat: ${e.getClass.getName}: ${e.getMessage}")
+          }
           val s = (System.nanoTime() - t0) / 1e9
           if (heavy(name)) gcSettle()
           s
         }.sorted
-        val med = reps(1)
-        adjudicated(name) = med
-        System.err.println(
-          f"[bench] adjudicate $name: raw $raw%.2f s vs prior ${p.get}%.2f s" +
-            f" -> warmed median $med%.2f s (runs ${reps.map(r => f"$r%.2f").mkString("/")})")
-        name -> med
+        if (repFailed) {
+          // a failing repeat's wall time is meaningless — keep the raw
+          // first reading and surface the gate as failed
+          failedGates += name
+          name -> raw
+        } else {
+          val med = reps(1)
+          adjudicated(name) = med
+          System.err.println(
+            f"[bench] adjudicate $name: raw $raw%.2f s vs prior ${p.get}%.2f s" +
+              f" -> warmed median $med%.2f s (runs ${reps.map(r => f"$r%.2f").mkString("/")})")
+          name -> med
+        }
       }
     }
     val (ingestSec, ingestRows) =
@@ -243,8 +260,11 @@ object Bench {
       val shQs = results.collect { case (k, _) if shuffleByGate.contains(k) =>
         "\"" + k + "\":" + f"${shuffleByGate(k) / 1048576.0}%.3f"
       }.mkString("{", ",", "}")
+      // unbilled, after all gates: the host's direct-write band, so every
+      // committed artifact carries its own disk calibration
+      val diskMbps = BenchMetrics.diskMbps()
       val fullLine =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","rows_per_sec":${ingestRows / math.max(ingestSec, 1e-9)}%.0f,"failed":${failedGates.size},"adjudicated":${adjudicated.size},"queries":$fullQs,"queries_raw":$rawQs,"shuffle_mb":$shQs,"sf":"$sfDir"}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","rows_per_sec":${ingestRows / math.max(ingestSec, 1e-9)}%.0f,"failed":${failedGates.size},"adjudicated":${adjudicated.size},"disk_mbps":$diskMbps%.0f,"queries":$fullQs,"queries_raw":$rawQs,"shuffle_mb":$shQs,"sf":"$sfDir"}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
         fullLine.getBytes("UTF-8")) catch { case _: Throwable => }

@@ -245,8 +245,21 @@ object Bench100x {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Fixed-shuffle calibration gate (r15 VERDICT item 6): ~1.6 GB of
+    // incompressible shuffle, SF-independent — the in-file yardstick that,
+    // together with disk_mbps, lets a judge normalize cross-round 100×
+    // ratios mechanically when the host's disk band moves.
+    val calibration: Seq[(String, () => DataFrame)] = Seq(
+      "q00_shuffle_cal" -> { () =>
+        spark.range(100000000L)
+          .select(xxhash64(col("id")).as("v"), (col("id") % 997).as("k"))
+          .repartition(col("k"))
+          .groupBy("k").agg(max(col("v")).as("m"))
+      })
+
     val entries: Seq[(String, () => DataFrame)] =
-      GateSet.map(n => n -> (() => SparkEntry.queries(n)(spark, dir))) ++
+      calibration ++
+        GateSet.map(n => n -> (() => SparkEntry.queries(n)(spark, dir))) ++
         knobGates(dir, spark)
     val only = args.lift(1).map(_.split(',').toSet)
     val sel = entries.filter(e => only.forall(_.contains(e._1)))
@@ -309,13 +322,15 @@ object Bench100x {
         f"[bench100x] $name%-22s $secs%8.2f s  $shMb%9.1f MB shuffle  ($rows rows)")
       (name, secs, shMb)
     }
+    val diskMbps = BenchMetrics.diskMbps()
+    System.err.println(f"[bench100x] disk probe: $diskMbps%.0f MB/s direct write")
     val qjson = times.map { case (n, s, _) => s""""$n":${f"$s%.2f"}""" }
       .mkString(",")
     val shjson = times.map { case (n, _, m) => s""""$n":${f"$m%.3f"}""" }
       .mkString(",")
     println(s"""{"metric":"bench100x","unit":"sec","dir":"$dir",""" +
-      s""""value":${f"${times.map(_._2).sum}%.2f"},"queries":{$qjson},""" +
-      s""""shuffle_mb":{$shjson}}""")
+      s""""value":${f"${times.map(_._2).sum}%.2f"},"disk_mbps":${f"$diskMbps%.0f"},""" +
+      s""""queries":{$qjson},"shuffle_mb":{$shjson}}""")
     spark.stop()
   }
 }

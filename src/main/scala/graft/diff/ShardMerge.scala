@@ -45,6 +45,47 @@ object ShardMerge {
       .select(dataCols.map(col): _*)
   }
 
+  /** Derive a [[StructCompare.TableStruct]] from a shard's Spark schema so
+    * the struct gate can run ahead of the union: Spark types map onto the
+    * reference's type-class names (integrals into the int class, strings
+    * into varchar, binary into blob — utils.go:324-354's classes), other
+    * types compare exactly by type name. */
+  def structOf(name: String, df: DataFrame): StructCompare.TableStruct = {
+    import org.apache.spark.sql.types._
+    val cols = df.schema.fields.toSeq.map { f =>
+      val t = f.dataType match {
+        case ByteType => "tiny"
+        case ShortType => "short"
+        case IntegerType => "long"
+        case LongType => "longlong"
+        case StringType => "varchar"
+        case BinaryType => "blob"
+        case other => other.typeName
+      }
+      StructCompare.ColDef(f.name, t)
+    }
+    StructCompare.TableStruct(name, cols)
+  }
+
+  /**
+   * [[mergeSources]] behind the reference's struct gate (source.go:163-225
+   * runs utils.CompareStruct over every shard before any data work): a
+   * shard whose struct FATALLY mismatches the downstream — column count,
+   * positional name, or type class (utils.go:414-466) — yields the
+   * reference's skip-with-reason verdict instead of a Spark
+   * column-resolution error mid-union.
+   */
+  def mergeSourcesChecked(shards: Seq[(String, String, DataFrame)],
+      rules: Seq[Routing.RouteRule],
+      targetSchema: String, targetTable: String,
+      downstream: DataFrame): Either[String, DataFrame] = {
+    val r = StructCompare.compareStruct(
+      shards.map { case (_, t, df) => structOf(t, df) },
+      structOf(targetTable, downstream))
+    if (r.isSkip) Left("structure not equal, and data-check is skipped")
+    else Right(mergeSources(shards, rules, targetSchema, targetTable))
+  }
+
   /**
    * The reference's merge rule made explicit: per-shard per-chunk partial
    * digests (count, bit_xor of row digests) combined across shards by

@@ -966,8 +966,15 @@ object DiffQueries {
          |HAVING count(*) > 0
          |UNION ALL
          |SELECT 'equal', 'summary',
-         |  (SELECT CAST(count(*) AS BIGINT) FROM dch), 0, 1, 1""".stripMargin)) {
+         |  (SELECT CAST(count(*) AS BIGINT) FROM dch), 0, 1, 1
+         |UNION ALL
+         |SELECT 'skip', 'col_count', 1, 0, 1, 0
+         |UNION ALL
+         |SELECT 'skip', 'type_clash', 1, 0, 1, 0
+         |UNION ALL
+         |SELECT 'skip', 'ok', 1, 0, 1, 0""".stripMargin)) {
     (spark, dir) =>
+    import spark.implicits._
     import graft.diff.ShardMerge
     import graft.operators.Routing
     val li = Tables.load(spark, dir, "lineitem")
@@ -1042,7 +1049,33 @@ object DiffQueries {
           canonical).count()).as("v"),
         (col("bad_xor") === 0L).cast("long").as("xor_ok"),
         lit(1L).as("match_down"))
+    // the struct gate (mergeSourcesChecked): a fatally mismatched shard
+    // produces the reference's skip-with-reason verdict, not a Spark
+    // resolution error (utils.go:414-466 via source.go:163-225)
+    def checkedRow(k: String, r: Either[String, DataFrame],
+        wantLeft: Boolean) = {
+      val ok = r match {
+        case Left(msg) =>
+          wantLeft && msg == "structure not equal, and data-check is skipped"
+        case Right(_) => !wantLeft
+      }
+      ("skip", k, if (ok) 1L else 0L, 0L, 1L, 0L)
+    }
+    val skipRows = Seq(
+      checkedRow("col_count", ShardMerge.mergeSourcesChecked(
+        Seq(("db_0", "t0", part(0)), ("db_1", "t1", part(1).drop("l_quantity"))),
+        rules, "db", "lineitem", li), wantLeft = true),
+      checkedRow("type_clash", ShardMerge.mergeSourcesChecked(
+        Seq(("db_0", "t0",
+          part(0).withColumn("l_quantity", col("l_quantity").cast("string")))),
+        rules, "db", "lineitem", li), wantLeft = true),
+      checkedRow("ok", ShardMerge.mergeSourcesChecked(
+        Seq(("db_0", "t0", part(0)), ("db_1", "t1", part(1)),
+          ("db_2", "t2", part(2))),
+        rules, "db", "lineitem", li), wantLeft = false))
+      .toDF("kind", "k", "n", "v", "xor_ok", "match_down")
     chunkRows.unionByName(classes).unionByName(equalRow)
+      .unionByName(skipRows)
   }
 
   /**
@@ -1117,9 +1150,223 @@ object DiffQueries {
     out.toDF("c", "eq", "skip", "n_del", "kept", "down_idx")
   }
 
+  /**
+   * q272 — the LIMIT splitter ([[graft.diff.LimitSplit]];
+   * sync_diff_inspector/splitter/limit.go:53-317): the sorted-walk
+   * chunking fallback when a table has no usable bucket stats. Probe
+   * rows at every (chunkSize+1)-th position of the UNIQUE (o_custkey,
+   * o_orderkey) index order (o_custkey repeats — the lexicographic
+   * compose is exercised) become (lower, upper] chunk bounds, the final
+   * chunk open-ended; ids are sequential bucket ids. Phases: the full
+   * walk with INDEPENDENTLY counted per-chunk membership (the range
+   * predicates, not the formula — the oracle uses the formula, so a
+   * mis-tiled predicate diverges); a checkpoint resume from chunk 2
+   * (upper seeds the lower tag, ids restart at 3 — must reproduce the
+   * full walk's tail, limit.go:58-120); the two assignment forms'
+   * tiling agreement; and the finished-checkpoint case (a saved chunk
+   * with no upper → empty iterator). chunkSize = max(rows/12, 1) so the
+   * chunk count is scale-stable.
+   */
+  val limitSplit = GateQuery(
+    "q272_limit_split",
+    Some(
+      """WITH p AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         GREATEST(count(*) // 12, 1) AS cs,
+        |         CAST(count(*) // (GREATEST(count(*) // 12, 1) + 1) AS BIGINT) AS m
+        |  FROM orders),
+        |k AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS ck,
+        |         CAST(o_orderkey AS BIGINT) AS ok,
+        |         row_number() OVER (ORDER BY o_custkey, o_orderkey) AS rn
+        |  FROM orders),
+        |b AS (
+        |  SELECT ck, ok, CAST(rn // (p.cs + 1) AS BIGINT) AS kk
+        |  FROM k, p WHERE rn % (p.cs + 1) = 0),
+        |full_chunks AS (
+        |  SELECT CAST(i.i AS BIGINT) AS bucket_id,
+        |    blo.ck AS lo_ck, blo.ok AS lo_ok, bup.ck AS up_ck, bup.ok AS up_ok,
+        |    CAST(CASE WHEN i.i < p.m THEN p.cs + 1
+        |              ELSE p.n - p.m * (p.cs + 1) END AS BIGINT) AS n_rows
+        |  FROM (SELECT unnest(range(0, (SELECT m FROM p) + 1)) AS i) i
+        |  CROSS JOIN p
+        |  LEFT JOIN b blo ON blo.kk = i.i
+        |  LEFT JOIN b bup ON bup.kk = i.i + 1)
+        |SELECT 'full' AS phase, * FROM full_chunks
+        |UNION ALL
+        |SELECT 'resume', * FROM full_chunks WHERE bucket_id >= 3
+        |UNION ALL
+        |SELECT 'tile', CAST(-1 AS BIGINT), NULL, NULL, NULL, NULL,
+        |  CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'done', CAST(-1 AS BIGINT), NULL, NULL, NULL, NULL,
+        |  CAST(0 AS BIGINT)""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.diff.LimitSplit
+    import graft.diff.LimitSplit.LimitChunk
+    val li = Tables.load(spark, dir, "orders")
+    val n = li.count()
+    val cs = math.max(n / 12L, 1L)
+    val keys = Seq("o_custkey", "o_orderkey")
+    val kc = keys.map(col)
+    val full = LimitSplit.chunks(li, keys, cs)
+    def memberCounts(chunks: Seq[LimitChunk]): Map[Int, Long] =
+      li.groupBy(LimitSplit.assignByRanges(kc, chunks).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val fullCounts = memberCounts(full)
+    val bounds = full.flatMap(_.upper)
+    val disagree = li.where(
+      LimitSplit.assignByRanges(kc, full) =!=
+        LimitSplit.assignByBoundaries(kc, bounds, 0)).count()
+    val resumed = LimitSplit.resumeChunks(li, keys, cs, full(2))
+    val resumedCounts = memberCounts(resumed)
+    val done = LimitSplit.resumeChunks(li, keys, cs, full.last)
+    def bv(b: Option[Seq[Any]], i: Int): java.lang.Long =
+      b.map(s => java.lang.Long.valueOf(s(i).toString.toLong)).orNull
+    def rows(phase: String, chunks: Seq[LimitChunk], cnt: Map[Int, Long]) =
+      chunks.map { c =>
+        (phase, c.bucketId.toLong, bv(c.lower, 0), bv(c.lower, 1),
+          bv(c.upper, 0), bv(c.upper, 1), cnt.getOrElse(c.bucketId, 0L))
+      }
+    val nl: java.lang.Long = null
+    val out = rows("full", full, fullCounts) ++
+      rows("resume", resumed, resumedCounts) ++
+      Seq(("tile", -1L, nl, nl, nl, nl, disagree),
+        ("done", -1L, nl, nl, nl, nl, done.size.toLong))
+    out.toDF("phase", "bucket_id", "lo_ck", "lo_ok", "up_ck", "up_ok",
+      "n_rows")
+  }
+
+  /**
+   * q273 — index-field split-column selection ([[graft.diff.IndexSelect]];
+   * utils.go:1051-1095 GetBetterIndex/GetSelectivity,
+   * index_fields.go:64-97, random.go:231-272, the bucket/limit selection
+   * loops): the diff engine CHOOSES its chunk key. The ranking, the chosen
+   * index, the ignore-columns fallback, and both chunk replays are
+   * DATA-DERIVED on both sides (the oracle computes the same selectivities
+   * and arg-maxes in SQL — it does not restate the answer); the
+   * pk/fields/ckpt/hidden/fallback rows pin the selection-loop rule table.
+   * The chunk rows replay the q50 width algebra on whichever column each
+   * side derived — a wrong choice diverges loudly.
+   */
+  val indexSelect = GateQuery(
+    "q273_index_select",
+    Some(
+      """WITH s AS (
+        |  SELECT 'o_orderkey' AS c, 'idx_ok' AS nm, 1 AS ord,
+        |    count(DISTINCT o_orderkey)*1000000//count(*) AS ppm FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', 'idx_cust', 2,
+        |    count(DISTINCT o_custkey)*1000000//count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', 'idx_status', 3,
+        |    count(DISTINCT o_orderstatus)*1000000//count(*) FROM orders),
+        |idx AS (SELECT c, nm, ppm,
+        |  row_number() OVER (ORDER BY ppm DESC, ord) - 1 AS pos FROM s),
+        |chosen AS (SELECT c, nm, ppm FROM idx WHERE pos = 0),
+        |ign AS (SELECT arg_max(c, ppm) AS c, arg_max(nm, ppm) AS nm,
+        |  max(ppm) AS ppm FROM idx WHERE c <> 'o_orderkey'),
+        |ck AS (SELECT CASE (SELECT c FROM chosen)
+        |    WHEN 'o_orderkey' THEN o_orderkey
+        |    WHEN 'o_custkey' THEN o_custkey ELSE NULL END AS key FROM orders),
+        |cb AS (SELECT min(key) AS lo, max(key) AS hi FROM ck),
+        |ik AS (SELECT CASE (SELECT c FROM ign)
+        |    WHEN 'o_orderkey' THEN o_orderkey
+        |    WHEN 'o_custkey' THEN o_custkey ELSE NULL END AS key FROM orders),
+        |ib AS (SELECT min(key) AS lo, max(key) AS hi FROM ik)
+        |SELECT 'rank' AS kind, CAST(pos AS BIGINT) AS k, nm AS name,
+        |  c AS col, CAST(ppm AS BIGINT) AS v FROM idx
+        |UNION ALL SELECT 'chosen', 0, nm, c, ppm FROM chosen
+        |UNION ALL SELECT 'pk', 0, 'pk_ok', 'o_orderkey', -1
+        |UNION ALL SELECT 'ignored', 0, nm, c, ppm FROM ign
+        |UNION ALL SELECT 'fields', 0, 'idx_status', 'o_orderstatus',
+        |  (SELECT ppm FROM idx WHERE c = 'o_orderstatus')
+        |UNION ALL SELECT 'ckpt', 0, 'idx_cust', 'o_custkey',
+        |  (SELECT ppm FROM idx WHERE c = 'o_custkey')
+        |UNION ALL SELECT 'hidden', 0, 'idx_cust', 'o_custkey',
+        |  (SELECT ppm FROM idx WHERE c = 'o_custkey')
+        |UNION ALL SELECT 'fallback', 0, '', 'o_custkey', 0
+        |UNION ALL SELECT 'user', 0, '', 'o_totalprice', 0
+        |UNION ALL
+        |SELECT 'chunk',
+        |  CAST(least(7, ((key - cb.lo) * 8) // (cb.hi - cb.lo + 1)) AS BIGINT),
+        |  '', (SELECT c FROM chosen), count(*)
+        |FROM ck, cb GROUP BY 2
+        |UNION ALL
+        |SELECT 'chunk_ign',
+        |  CAST(least(7, ((key - ib.lo) * 8) // (ib.hi - ib.lo + 1)) AS BIGINT),
+        |  '', (SELECT c FROM ign), count(*)
+        |FROM ik, ib GROUP BY 2""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.diff.IndexSelect
+    import graft.diff.IndexSelect.{IndexInfo, TableShape}
+    val od = Tables.load(spark, dir, "orders")
+    val idxOk = IndexInfo(1, "idx_ok", Seq("o_orderkey"))
+    val idxCust = IndexInfo(2, "idx_cust", Seq("o_custkey"))
+    val idxStatus = IndexInfo(3, "idx_status", Seq("o_orderstatus"))
+    val tcols = Seq("o_orderkey" -> false, "o_custkey" -> false,
+      "o_orderstatus" -> false, "o_totalprice" -> false, "gen_expr" -> true)
+    val t = TableShape(tcols, Seq(idxOk, idxCust, idxStatus))
+    val ppm = IndexSelect.selectivityPpm(od,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+    val ranked = IndexSelect.betterIndex(t, ppm)
+    def v(ix: IndexInfo) = ppm.getOrElse(ix.columns.head, 0L)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, String, String, Long)]
+    ranked.zipWithIndex.foreach { case (ix, i) =>
+      out += (("rank", i.toLong, ix.name, ix.columns.head, v(ix)))
+    }
+    val chosen = IndexSelect.chooseIndex(t, ranked).get
+    out += (("chosen", 0L, chosen.name, chosen.columns.head, v(chosen)))
+    // a primary key short-circuits alone — ranking never runs
+    val pk = IndexInfo(0, "pk_ok", Seq("o_orderkey"), primary = true)
+    val tPk = t.copy(indices = pk +: t.indices)
+    val pkChosen =
+      IndexSelect.chooseIndex(tPk, IndexSelect.betterIndex(tPk, Map.empty)).get
+    out += (("pk", 0L, pkChosen.name, pkChosen.columns.head, -1L))
+    // ignore-columns drops the top index → next ranked survivor
+    val tIgn = t.copy(ignored = Set("o_orderkey"))
+    val ignChosen =
+      IndexSelect.chooseIndex(tIgn, IndexSelect.betterIndex(tIgn, ppm)).get
+    out += (("ignored", 0L, ignChosen.name, ignChosen.columns.head,
+      v(ignChosen)))
+    // an exact index-fields match beats the ranking
+    val f = IndexSelect.chooseIndex(t, IndexSelect.findAllIndex(t),
+      fields = Seq("o_orderstatus")).get
+    out += (("fields", 0L, f.name, f.columns.head, v(f)))
+    // a resume checkpoint pins the index id
+    val ck = IndexSelect.chooseIndex(t, ranked,
+      checkpointIndexId = Some(2L)).get
+    out += (("ckpt", 0L, ck.name, ck.columns.head, v(ck)))
+    // a hidden (expression) column index is skipped in declaration order
+    val tHid = t.copy(indices =
+      Seq(IndexInfo(4, "idx_hidden", Seq("gen_expr")), idxCust))
+    val h = IndexSelect.chooseIndex(tHid, IndexSelect.findAllIndex(tHid)).get
+    out += (("hidden", 0L, h.name, h.columns.head, v(h)))
+    // GetSplitFields: no usable index → first non-hidden column;
+    // user fields pass through verbatim
+    val fb = IndexSelect.splitFields(
+      TableShape(Seq("gen_expr" -> true, "o_custkey" -> false), Seq.empty),
+      Seq.empty)
+    out += (("fallback", 0L, "", fb.toOption.get.head, 0L))
+    val usr = IndexSelect.splitFields(t, Seq("o_totalprice"))
+    out += (("user", 0L, "", usr.toOption.get.head, 0L))
+    // chunk replay: q50 width algebra on whichever column was derived
+    def chunkRows(kind: String, key: String) = {
+      val (lo, hi) = ChunkDiff.widthBounds(od, key)
+      od.groupBy(ChunkDiff.chunkByWidth(col(key), lo, hi, 8).as("cid"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => (kind, r.getInt(0).toLong, "", key, r.getLong(1)))
+    }
+    out ++= chunkRows("chunk", chosen.columns.head)
+    out ++= chunkRows("chunk_ign", ignChosen.columns.head)
+    out.toSeq.toDF("kind", "k", "name", "col", "v")
+  }
+
   def all: Seq[GateQuery] =
     Seq(chunkChecksum, chunkChecksumComposite, rowDiff, fixSql, fixApply,
       diffIgnoreColumns, diffRange, diffReport, diffCheckpointResume,
       diffCheckModes, bucketChunksMerge, bucketChunksSplit, shardMerge,
-      structCompare)
+      structCompare, limitSplit, indexSelect)
 }

@@ -509,7 +509,10 @@ final class ApiServer(spark: SparkSession,
       .getOrElse(return error(ex, 400, "lock ID is required"))
     val (next, res) = ShardDdl.unlockLock(ddlLocks, id,
       body.get("replace_owner").map(_.toString).filter(_.nonEmpty),
-      forceRemove = body.get("force_remove").exists(v => String.valueOf(v) == "true"))
+      forceRemove = body.get("force_remove").exists(v => String.valueOf(v) == "true"),
+      // the simulated outcome of pessimist.go:345-354's owner wait — the
+      // reference learns it at runtime; the test surface passes it in
+      ownerOpDone = !body.get("owner_op_done").exists(v => String.valueOf(v) == "false"))
     ddlLocks = next
     respond(ex, 200, Map(
       "result" -> res.ok, "msg" -> res.msg,

@@ -188,7 +188,17 @@ object RedoLayout {
   private def putStr(b: ArrayBuffer[Byte], s: String): Unit = {
     val bytes = s.getBytes("UTF-8")
     if (bytes.length < 32) b += (0xa0 | bytes.length).toByte
-    else { b += 0xd9.toByte; b += bytes.length.toByte }
+    else if (bytes.length < 256) { b += 0xd9.toByte; b += bytes.length.toByte }
+    else if (bytes.length < 65536) {
+      // str16 — long ALTER statements routinely exceed 255 bytes; msgp's
+      // full str family keeps the durable record intact (a str8-only
+      // writer would wrap the length mod 256 and corrupt the DR artifact)
+      b += 0xda.toByte
+      b += (bytes.length >> 8).toByte; b += bytes.length.toByte
+    } else {
+      b += 0xdb.toByte
+      var i = 24; while (i >= 0) { b += (bytes.length >> i).toByte; i -= 8 }
+    }
     b ++= bytes
   }
 
@@ -221,6 +231,8 @@ object RedoLayout {
       val len =
         if (t >= 0xa0 && t <= 0xbf) t - 0xa0
         else if (t == 0xd9) u8()
+        else if (t == 0xda) (u8() << 8) | u8()
+        else if (t == 0xdb) (0 until 4).foldLeft(0)((a, _) => (a << 8) | u8())
         else throw new IllegalArgumentException(f"not a msgpack str: 0x$t%02x")
       val s = new String(bytes, off, len, "UTF-8"); off += len; s
     }

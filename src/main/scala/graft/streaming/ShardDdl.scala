@@ -254,10 +254,15 @@ object ShardDdl {
    * operator should break, not unlock; on success the owner gets `exec`,
    * every OTHER SYNCED source gets `skip` (un-synced sources are not
    * waiting for an operation), and the lock leaves the table.
+   * `ownerOpDone` models step 6's wait outcome (pessimist.go:345-354): an
+   * owner whose exec operation did NOT complete fails the unlock and the
+   * lock stays — unless `forceRemove`, which removes the lock anyway (the
+   * dmctl `--force-remove` escape hatch, pessimist.go:279-283).
    */
   def unlockLock(locks: Seq[PessLock], id: String,
       replaceOwner: Option[String] = None,
-      forceRemove: Boolean = false): (Seq[PessLock], UnlockResult) = {
+      forceRemove: Boolean = false,
+      ownerOpDone: Boolean = true): (Seq[PessLock], UnlockResult) = {
     if (extractTaskFromLockID(id).isEmpty)
       return (locks, UnlockResult(ok = false,
         "can't find task name from lock-ID", None, Seq.empty))
@@ -272,6 +277,10 @@ object ShardDdl {
           (locks, UnlockResult(ok = false,
             s"owner $owner is not waiting for a lock, but sources " +
               s"${synced.mkString(",")} are waiting for the lock",
+            None, Seq.empty))
+        else if (!ownerOpDone && !forceRemove)
+          (locks, UnlockResult(ok = false,
+            s"the owner $owner of the lock $id has not done the operation",
             None, Seq.empty))
         else
           (locks.filterNot(_.id == id),

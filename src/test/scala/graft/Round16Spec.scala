@@ -105,4 +105,43 @@ class Round16Spec extends SparkSpec {
       assert(got == want, s"trial=$trial n=$n redoOn=$redoOn")
     }
   }
+
+  // ---- redo str16/str32: long DDL text survives the durable codec ------
+
+  test("redo DDL codec round-trips across every msgpack str size class") {
+    import graft.streaming.RedoLayout.{RedoDdl, RedoDdlCodec}
+    // boundary lengths: fixstr/str8/str16/str32 edges, plus a long ALTER
+    // (the realistic 256+-byte case the str8-only writer corrupted) and a
+    // multi-byte UTF-8 payload straddling the str8 limit
+    val lens = Seq(0, 1, 31, 32, 255, 256, 257, 4000, 65535, 65536, 70000)
+    for (len <- lens) {
+      val q = "A" * len
+      val d = RedoDdl(1000L, 999L, "db", "t", q, 7)
+      val got = RedoDdlCodec.decode(RedoDdlCodec.encode(d))
+      assert(got == d, s"len=$len")
+    }
+    val utf8 = "é" * 200 // 400 UTF-8 bytes, 200 chars — byte-length rules
+    val d = RedoDdl(1L, 0L, "db", "t", utf8, 1)
+    assert(RedoDdlCodec.decode(RedoDdlCodec.encode(d)) == d)
+  }
+
+  // ---- unlockLock forceRemove leg (pessimist.go:279-283, 345-354) -------
+
+  test("unlockLock: owner-not-done refuses, forceRemove removes anyway") {
+    import graft.streaming.ShardDdl
+    val id = ShardDdl.genDDLLockID("t", "db", "tbl")
+    val locks = Seq(ShardDdl.PessLock(id, "t", "s0",
+      Seq("ALTER TABLE tbl ADD COLUMN c INT"),
+      Map("s0" -> true, "s1" -> true, "s2" -> false)))
+    val (kept, refused) = ShardDdl.unlockLock(locks, id, ownerOpDone = false)
+    assert(!refused.ok && kept == locks &&
+      refused.msg == s"the owner s0 of the lock $id has not done the operation")
+    val (gone, forced) = ShardDdl.unlockLock(locks, id,
+      forceRemove = true, ownerOpDone = false)
+    assert(forced.ok && gone.isEmpty && forced.execOwner.contains("s0") &&
+      forced.skipped == Seq("s1"))
+    // owner done: forceRemove is a no-op on the success path
+    val (gone2, ok2) = ShardDdl.unlockLock(locks, id)
+    assert(ok2.ok && gone2.isEmpty)
+  }
 }
