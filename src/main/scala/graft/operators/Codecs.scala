@@ -59,12 +59,16 @@ object Codecs {
   }
 
   /** Canal event-type string for a parsed DDL statement (reference
-    * canal_json encoder's DDL type mapping). */
+    * canal_entry.go:255-286 convertDdlEventType, mirroring canal's
+    * DruidDdlParser): only CREATE TABLE is CREATE and only DROP TABLE is
+    * ERASE — schema-level DDLs (CREATE/DROP DATABASE → ActionCreateSchema/
+    * ActionDropSchema) classify QUERY, canal_entry.go:257-262. */
   def canalDdlType(stmt: graft.core.DdlParser.Stmt): String = {
     import graft.core.DdlParser._
     stmt match {
-      case _: CreateTable | _: CreateDatabase => "CREATE"
-      case _: DropTable | _: DropDatabase => "ERASE"
+      case _: CreateTable => "CREATE"
+      case _: CreateDatabase | _: DropDatabase => "QUERY"
+      case _: DropTable => "ERASE"
       case _: RenameTable => "RENAME"
       case _: TruncateTable => "TRUNCATE"
       case AlterIndex(_, _, true, _, _) => "CINDEX"

@@ -228,20 +228,46 @@ object Filters {
       s"action must be Do/Ignore/Error: $action")
   }
 
-  /** ClassifyEvent's compatible-DDL set (filter.go:127-145); DML is
-    * insert/update/delete; every other known DDL type classifies
-    * `incompatible ddl` (filter.go:146-196). */
+  /** ClassifyEvent's compatible-DDL set (filter.go:128-145); DML is
+    * insert/update/delete. */
   val BinlogDmlEvents: Seq[String] = Seq("insert", "update", "delete")
   val BinlogCompatibleDdl: Seq[String] = Seq(
     "create database", "alter database", "alter schema", "create table",
     "create index", "create view", "drop view", "alter table",
     "create schema", "add table partition")
 
-  /** dml / ddl / incompatible ddl from the event-type string. */
+  /** ClassifyEvent's incompatible-DDL case list (filter.go:148-193) — the
+    * FULL taxonomy, not an `otherwise`: an event OUTSIDE every list is the
+    * reference's classify ERROR (→ Ignore), and the empty NullEvent skips
+    * the event block entirely (filter.go:196,350). Pinned against the
+    * parsed reference source in Round16Spec. */
+  val BinlogIncompatibleDdl: Seq[String] = Seq(
+    "value range decrease", "precision decrease", "modify column",
+    "rename column", "rename index", "drop column", "drop primary key",
+    "drop unique key", "modify default value", "modify constraint",
+    "modify columns order", "modify charset", "modify collation",
+    "remove auto increment", "modify storage engine",
+    "reorganize table partition", "rebuild table partition",
+    "coalesce table partition", "split table partition",
+    "exchange table partition", "add foreign key", "drop foreign key",
+    "drop database", "drop table", "drop index", "rename table",
+    "truncate table", "drop schema", "drop table partition",
+    "truncate table partition", "modify schema charset and collate",
+    "modify table charset and collate", "modify table comment",
+    "recover table", "alter table partitioning",
+    "remove table partitioning", "add column", "set default value",
+    "rebase auto id", "add primary key", "alter index visibility",
+    "alter ttl info", "alter ttl remove", "multi schema change")
+
+  /** dml / ddl / incompatible ddl / null (empty NullEvent) / error
+    * (outside the taxonomy) from the event-type string —
+    * ClassifyEvent, filter.go:127-197. */
   def binlogEventClass(ev: Column): Column =
-    when(ev.isin(BinlogDmlEvents: _*), "dml")
+    when(ev.isNull || ev === "", "null")
+      .when(ev.isin(BinlogDmlEvents: _*), "dml")
       .when(ev.isin(BinlogCompatibleDdl: _*), "ddl")
-      .otherwise("incompatible ddl")
+      .when(ev.isin(BinlogIncompatibleDdl: _*), "incompatible ddl")
+      .otherwise("error")
 
   /** matchEvent (filter.go:394-435): entries evaluate IN ORDER and the
     * first decisive one wins — `["none", "insert"]` matches nothing
@@ -270,20 +296,24 @@ object Filters {
    * Ignore — so a `Do` rule with an empty event list ignores every
    * classified event, exactly as the reference code does), then the SQL
    * block (only when the raw query is non-empty AND the rule has
-   * patterns), else the next rule; no rule deciding → Do.
+   * patterns), else the next rule; no rule deciding → Do. A NullEvent
+   * (empty/unclassifiable-to-a-type DDL) SKIPS the event block and is
+   * filtered by SQL patterns alone (filter.go:350); an event outside the
+   * taxonomy is the classify error → Ignore (filter.go:330-333).
    */
   def binlogEventDecision(schemaCol: Column, tableCol: Column, evCol: Column,
       sqlCol: Column, rules: Seq[BinlogEventRule]): Column = {
     val tp = binlogEventClass(evCol)
-    rules.foldRight(lit("Do")) { (r, rest) =>
+    val folded = rules.foldRight(lit("Do")) { (r, rest) =>
       val tm = schemaCol.rlike(wildcardToRegex(r.schemaPat)) &&
         tableCol.rlike(wildcardToRegex(r.tablePat))
       val m = matchEventCol(tp, evCol, r.events)
-      val evD = r.action match {
+      val evD0 = r.action match {
         case "Ignore" => when(m, "Ignore")
         case "Error" => when(m, "Error")
         case "Do" => when(!m, "Ignore")
       }
+      val evD = when(tp =!= "null", evD0)
       val sqlD =
         if (r.sqlPatterns.isEmpty) lit(null).cast("string")
         else {
@@ -296,6 +326,7 @@ object Filters {
         }
       when(tm, coalesce(evD, sqlD, rest)).otherwise(rest)
     }
+    when(tp === "error", "Ignore").otherwise(folded)
   }
 
   /** DuckDB SQL twin of [[binlogEventDecision]] — generated from the SAME
@@ -307,8 +338,12 @@ object Filters {
     def eventClass(evE: String): String = {
       val dml = BinlogDmlEvents.map(e => s"'$e'").mkString(", ")
       val ddl = BinlogCompatibleDdl.map(e => s"'$e'").mkString(", ")
-      s"(CASE WHEN $evE IN ($dml) THEN 'dml' " +
-        s"WHEN $evE IN ($ddl) THEN 'ddl' ELSE 'incompatible ddl' END)"
+      val incompat = BinlogIncompatibleDdl.map(e => s"'$e'").mkString(", ")
+      s"(CASE WHEN $evE IS NULL OR $evE = '' THEN 'null' " +
+        s"WHEN $evE IN ($dml) THEN 'dml' " +
+        s"WHEN $evE IN ($ddl) THEN 'ddl' " +
+        s"WHEN $evE IN ($incompat) THEN 'incompatible ddl' " +
+        s"ELSE 'error' END)"
     }
 
     private def matchEvent(tpE: String, evE: String, entries: Seq[String]): String =
@@ -331,15 +366,16 @@ object Filters {
     def decision(schemaE: String, tableE: String, evE: String, sqlE: String,
         rules: Seq[BinlogEventRule]): String = {
       val tpE = eventClass(evE)
-      rules.foldRight("'Do'") { (r, rest) =>
+      val folded = rules.foldRight("'Do'") { (r, rest) =>
         val tm = s"(regexp_matches($schemaE, '${esc(wildcardToRegex(r.schemaPat))}')" +
           s" AND regexp_matches($tableE, '${esc(wildcardToRegex(r.tablePat))}'))"
         val m = matchEvent(tpE, evE, r.events)
-        val evD = r.action match {
+        val evD0 = r.action match {
           case "Ignore" => s"(CASE WHEN $m THEN 'Ignore' END)"
           case "Error" => s"(CASE WHEN $m THEN 'Error' END)"
           case "Do" => s"(CASE WHEN NOT $m THEN 'Ignore' END)"
         }
+        val evD = s"(CASE WHEN $tpE <> 'null' THEN $evD0 END)"
         val sqlD =
           if (r.sqlPatterns.isEmpty) "NULL"
           else {
@@ -356,6 +392,7 @@ object Filters {
           }
         s"(CASE WHEN $tm THEN coalesce($evD, $sqlD, $rest) ELSE $rest END)"
       }
+      s"(CASE WHEN $tpE = 'error' THEN 'Ignore' ELSE $folded END)"
     }
   }
 

@@ -938,7 +938,15 @@ object CdcQueries {
     ("db", "t1", "ALTER TABLE db.t1 DROP INDEX idx_v"),
     ("db", "t1", "ALTER TABLE db.t1 ADD PRIMARY KEY (id)"),
     ("db", "t2", "RENAME TABLE db.t1 TO db.t2"),
-    ("db", "t2", "TRUNCATE TABLE db.t2"))
+    ("db", "t2", "TRUNCATE TABLE db.t2"),
+    // NullEvent (no event type derivable): the event block is SKIPPED and
+    // only SQL patterns filter (filter.go:350) — the first matches rule 3's
+    // (?i)TRUNCATE pattern → Ignore, the second matches nothing → Do
+    ("db", "t9", "ANALYZE TABLE db.truncate_log"),
+    ("db", "t9", "OPTIMIZE TABLE db.t9"),
+    // an event OUTSIDE the taxonomy is ClassifyEvent's error → Ignore
+    // (filter.go:330-333, mapped to 'flush tables' by BfEvMap below)
+    ("db", "t1", "FLUSH TABLES"))
 
   /** SQL-text → reference event type, first match wins (shared by both
     * engines so the gate tests the FILTER, not a parser). */
@@ -952,6 +960,7 @@ object CdcQueries {
     ("ADD PRIMARY KEY", "add primary key"),
     ("^RENAME", "rename table"),
     ("^TRUNCATE", "truncate table"),
+    ("^FLUSH", "flush tables"),
     ("^ALTER TABLE", "alter table"))
 
   private val BfRules = Seq(

@@ -222,8 +222,9 @@ object DdlQueries {
   private val corpusValuesSql =
     DdlCorpus.map(s => s"('${s.replace("'", "''")}')").mkString(", ")
   private val kindCaseSql =
-    """CASE WHEN regexp_matches(sql, '(?i)^CREATE (TABLE|DATABASE)') THEN 'CREATE'
-      |     WHEN regexp_matches(sql, '(?i)^DROP (TABLE|DATABASE)') THEN 'ERASE'
+    """CASE WHEN regexp_matches(sql, '(?i)^CREATE TABLE') THEN 'CREATE'
+      |     WHEN regexp_matches(sql, '(?i)^(CREATE|DROP) DATABASE') THEN 'QUERY'
+      |     WHEN regexp_matches(sql, '(?i)^DROP TABLE') THEN 'ERASE'
       |     WHEN regexp_matches(sql, '(?i)^RENAME TABLE') THEN 'RENAME'
       |     WHEN regexp_matches(sql, '(?i)^TRUNCATE') THEN 'TRUNCATE'
       |     WHEN regexp_matches(sql, '(?i)^ALTER TABLE .* ADD (INDEX|PRIMARY KEY)') THEN 'CINDEX'

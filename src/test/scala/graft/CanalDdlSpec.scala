@@ -14,6 +14,9 @@ class CanalDdlSpec extends SparkSpec {
     def ty(sql: String) = Codecs.canalDdlType(DdlParser.parse(sql, "d").head)
     assert(ty("CREATE TABLE t (pk BIGINT)") === "CREATE")
     assert(ty("DROP TABLE t") === "ERASE")
+    // schema-level DDLs are QUERY, not CREATE/ERASE (canal_entry.go:257-262)
+    assert(ty("CREATE DATABASE d2") === "QUERY")
+    assert(ty("DROP DATABASE d2") === "QUERY")
     assert(ty("RENAME TABLE a TO b") === "RENAME")
     assert(ty("TRUNCATE t") === "TRUNCATE")
     assert(ty("ALTER TABLE t ADD COLUMN c INT") === "ALTER")

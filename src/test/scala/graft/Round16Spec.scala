@@ -106,6 +106,33 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  // ---- binlog-filter taxonomy pinned against the parsed reference -------
+
+  test("ClassifyEvent's case lists match the reference, parsed from source") {
+    val f = Paths.get("/root/reference/pkg/binlog-filter/filter.go")
+    assume(Files.exists(f), "reference checkout not present")
+    val src = new String(Files.readAllBytes(f), "UTF-8")
+    // const block: identifier -> event string
+    val names = """(?m)^\s*(\w+)\s+EventType = "([^"]*)"""".r
+      .findAllMatchIn(src).map(m => m.group(1) -> m.group(2)).toMap
+    // ClassifyEvent's case groups, keyed by their return value
+    val body = src.substring(src.indexOf("func ClassifyEvent"))
+    val bodyEnd = body.substring(0, body.indexOf("\n}"))
+    val groups = """case ([\w,\s]+?):\s*\n\s*return (\w+), nil""".r
+      .findAllMatchIn(bodyEnd).map { m =>
+        m.group(2) -> m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      }.toMap
+    def strings(ret: String) = groups(ret).map(names).toSet
+    assert(strings("dml") == graft.operators.Filters.BinlogDmlEvents.toSet)
+    assert(strings("ddl") == graft.operators.Filters.BinlogCompatibleDdl.toSet,
+      s"ddl missing=${strings("ddl") -- graft.operators.Filters.BinlogCompatibleDdl}")
+    val incompat = strings("incompatibleDDL")
+    assert(incompat.size == 44)
+    assert(incompat == graft.operators.Filters.BinlogIncompatibleDdl.toSet,
+      s"missing=${incompat -- graft.operators.Filters.BinlogIncompatibleDdl} " +
+        s"extra=${graft.operators.Filters.BinlogIncompatibleDdl.toSet -- incompat}")
+  }
+
   // ---- redo str16/str32: long DDL text survives the durable codec ------
 
   test("redo DDL codec round-trips across every msgpack str size class") {
