@@ -1185,9 +1185,94 @@ object StreamTwinQueries {
     rows.toDF("source_id", "ckpt_lag", "now_lag", "pd_up", "synced", "info")
   }
 
+  /**
+   * W1/G5 — the owner barrier at the MICROBATCH BOUNDARY
+   * ([[graft.streaming.Changefeed.batchBarrier]] — ddl_manager.go:508-584
+   * wired into foreachBatch; the live path is exercised in
+   * StreamingSpec): four batch windows over the cdc stream, each with its
+   * announced-but-unexecuted textual DDLs classified through the REAL
+   * parser ([[graft.streaming.Changefeed.ddlAction]]). Per batch the feed's
+   * clamp record: resolved (data-derived max commit ts), the global
+   * barrier held at a create_table's commit ts (batch 2 — and, redo ON,
+   * the redo resolved ts held there too, exactly ddl_manager.go:521-526's
+   * new-physical-table rule), per-table min barriers for the non-global
+   * DDLs, and the lift once nothing is pending (batch 4). DDL timestamps
+   * are fractions of the data span so every value is data-anchored.
+   */
+  val barrierClamp = GateQuery(
+    "q274_barrier_clamp",
+    Some(cte +
+      s""", bounds AS (SELECT min(commit_ts) AS tmin, max(commit_ts) AS tmax FROM cdc),
+         |ddl AS (
+         |  SELECT v.action, v.tbl,
+         |    b.tmin + (b.tmax - b.tmin) * v.num // 8 + v.off AS ts,
+         |    v.is_global, v.is_redo
+         |  FROM (VALUES
+         |    ('add_column',    'tbl_0', 1, 0, 0, 0),
+         |    ('create_table',  'tbl_9', 3, 0, 1, 1),
+         |    ('modify_column', 'tbl_0', 5, 0, 0, 0),
+         |    ('drop_table',    'tbl_1', 5, 1, 0, 0)
+         |  ) v(action, tbl, num, off, is_global, is_redo), bounds b),
+         |cuts AS (
+         |  SELECT k, b.tmin + (b.tmax - b.tmin) * (k - 1) // 4 AS prev,
+         |    b.tmin + (b.tmax - b.tmin) * k // 4 AS cut
+         |  FROM (SELECT unnest([1, 2, 3, 4]) AS k), bounds b),
+         |res AS (
+         |  SELECT c.k, c.prev, c.cut,
+         |    (SELECT max(commit_ts) FROM cdc WHERE commit_ts <= c.cut) AS resolved
+         |  FROM cuts c)
+         |SELECT CAST(r.k AS BIGINT) AS batch, r.resolved,
+         |  least(r.resolved, coalesce((SELECT min(ts) FROM ddl d
+         |    WHERE d.is_global = 1 AND d.ts > r.prev AND d.ts <= r.cut),
+         |    r.resolved)) AS global_ts,
+         |  least(r.resolved, coalesce((SELECT min(ts) FROM ddl d
+         |    WHERE d.ts > r.prev AND d.ts <= r.cut), r.resolved)) AS min_table_ts,
+         |  least(r.resolved, coalesce((SELECT min(ts) FROM ddl d
+         |    WHERE d.is_redo = 1 AND d.ts > r.prev AND d.ts <= r.cut),
+         |    r.resolved)) AS redo_on_ts,
+         |  r.resolved AS redo_off_ts,
+         |  (SELECT count(DISTINCT d.tbl) FROM ddl d
+         |   WHERE d.is_global = 0 AND d.ts > r.prev AND d.ts <= r.cut) AS n_tb
+         |FROM res r""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.{Changefeed, OwnerBarrier}
+    import graft.streaming.OwnerBarrier.DdlAt
+    val cdc = CdcStream.derive(spark, dir)
+    val bounds = cdc.agg(min("commit_ts"), max("commit_ts")).head()
+    val (tmin, tmax) = (bounds.getLong(0), bounds.getLong(1))
+    def at(num: Long, off: Long) = tmin + (tmax - tmin) * num / 8 + off
+    // announced DDLs as SQL TEXT — classification goes through the real
+    // parser, the same path the streaming boundary takes
+    val ddls = Seq(
+      ("ALTER TABLE db.tbl_0 ADD COLUMN c2 BIGINT", "tbl_0", at(1, 0)),
+      ("CREATE TABLE db.tbl_9 (pk BIGINT, val DOUBLE)", "tbl_9", at(3, 0)),
+      ("ALTER TABLE db.tbl_0 MODIFY COLUMN val BIGINT", "tbl_0", at(5, 0)),
+      ("DROP TABLE db.tbl_1", "tbl_1", at(5, 1)))
+    val cuts = (1 to 4).map(k =>
+      (k, tmin + (tmax - tmin) * (k - 1) / 4, tmin + (tmax - tmin) * k / 4))
+    val res = cdc.agg(
+      max(when(col("commit_ts") <= cuts(0)._3, col("commit_ts"))).as("r1"),
+      cuts.tail.map { case (k, _, c) =>
+        max(when(col("commit_ts") <= c, col("commit_ts"))).as(s"r$k")
+      }: _*).head()
+    val out = cuts.map { case (k, prev, cut) =>
+      val resolved = res.getAs[Long](s"r$k")
+      val pending = ddls.filter(d => d._3 > prev && d._3 <= cut).flatMap { d =>
+        Changefeed.ddlAction(d._1, "db").map(a =>
+          DdlAt(d._3, a, Seq(Changefeed.physicalId("db", d._2))))
+      }
+      val on = OwnerBarrier.barrier(resolved, pending, redoEnabled = true)
+      val off = OwnerBarrier.barrier(resolved, pending, redoEnabled = false)
+      (k.toLong, resolved, on.globalBarrierTs, on.minTableBarrierTs,
+        on.redoBarrierTs, off.redoBarrierTs, on.tableBarriers.size.toLong)
+    }
+    out.toDF("batch", "resolved", "global_ts", "min_table_ts", "redo_on_ts",
+      "redo_off_ts", "n_tb")
+  }
+
   def all: Seq[GateQuery] =
     Seq(checkpointResume, optimisticLattice, redoReplay, syncpoints,
       ddlBarrier, sinkProgress, lateData, redoApply, dmlMetrics,
       changefeedCrud, dmLifecycle, handleError, relayLog, multiplex,
-      watermarkDedup, bootstrapCadence, syncedStatus)
+      watermarkDedup, bootstrapCadence, syncedStatus, barrierClamp)
 }

@@ -34,9 +34,97 @@ final case class ChangefeedSpec(
     // and the textual-DDL control path, previously compose-only wrappers.
     metricsDir: Option[String] = None,
     textDdlRegistryDir: Option[String] = None,
-    textDdlDefaultSchema: String = "")
+    textDdlDefaultSchema: String = "",
+    // the owner's barrier composition at the microbatch boundary
+    // (ddl_manager.go:508-584): when barrierDir is set (requires the
+    // textual-DDL path), every batch logs the barrier computed from its
+    // not-yet-applied DDL control rows BEFORE they execute — the feed's
+    // checkpoint/redo clamp record at the boundary.
+    redoEnabled: Boolean = false,
+    barrierDir: Option[String] = None)
 
 object Changefeed {
+
+  /** The owner's action-type vocabulary for a textual DDL — what
+    * [[OwnerBarrier]]'s tables key on (ddl_manager.go:58-97), as far as
+    * the text path can classify. Unparseable statements map to
+    * "unknown", which is GLOBAL (not in NonGlobalDDLs) — the safe
+    * over-blocking default. */
+  def ddlAction(sql: String, defaultSchema: String = ""): Seq[String] = {
+    import graft.core.DdlParser._
+    import graft.core.SchemaRegistry
+    try parse(sql, defaultSchema).map {
+      case _: CreateTable => "create_table"
+      case _: DropTable => "drop_table"
+      case _: TruncateTable => "truncate_table"
+      case _: RenameTable => "rename_table"
+      case _: CreateDatabase => "create_schema"
+      case _: DropDatabase => "drop_schema"
+      case ai: AlterIndex => if (ai.addIndex) "add_index" else "drop_index"
+      case at: AlterTable => at.action match {
+        case _: SchemaRegistry.AddColumn => "add_column"
+        case _: SchemaRegistry.DropColumn => "drop_column"
+        case _: SchemaRegistry.ModifyColumn => "modify_column"
+        case _ => "rename_column" // not in NonGlobalDDLs → global
+      }
+    } catch { case _: Exception => Seq("unknown") }
+  }
+
+  /** Stable physical-table id for the barrier's per-table map — the text
+    * path has names, not TiDB table ids. Plain JVM hash: the id only has
+    * to be stable and distinct per name within one feed. */
+  def physicalId(schema: String, table: String): Long = {
+    val s = s"$schema.$table"
+    s.foldLeft(1125899906842597L)((h, c) => h * 31 + c)
+  }
+
+  /**
+   * Compose the owner barrier at a microbatch boundary
+   * (ddl_manager.go:508-584 wired into foreachBatch): resolved ts = the
+   * batch's max commit ts (the DDL puller's resolved ts — the batch is
+   * watermark-complete by construction); pending = the batch's DDL
+   * control rows NOT yet in the applied log. Returns None when the batch
+   * is empty or carries no envelope. The caller logs it BEFORE
+   * [[DdlStream.applyDdlRows]] runs — the record shows where the feed's
+   * checkpoint and redo resolved ts held at the boundary; executing the
+   * DDLs inside the batch is what lifts it, exactly the reference's
+   * execute-then-advance cycle.
+   */
+  def batchBarrier(batch: DataFrame, registryDir: String,
+      redoEnabled: Boolean, defaultSchema: String = "")
+      : Option[(Long, OwnerBarrier.Barrier)] = {
+    if (!batch.columns.contains("op")) return None
+    val head = batch.agg(max(col("commit_ts"))).collect()(0)
+    if (head.isNullAt(0)) return None
+    val resolved = head.getLong(0)
+    val seen = DdlStream.loadApplied(registryDir).toSet
+    val pending = batch.filter(col("op") === DdlStream.DdlOp)
+      .select(col("etype"), col("commit_ts"),
+        col("schema_name"), col("table_name"))
+      .collect().toSeq // control-plane: a handful of DDLs per batch
+      .filterNot(r => seen.contains((r.getString(0), r.getLong(1))))
+      .flatMap { r =>
+        ddlAction(r.getString(0), defaultSchema).map(a =>
+          OwnerBarrier.DdlAt(r.getLong(1), a,
+            Seq(physicalId(r.getString(2), r.getString(3)))))
+      }
+    Some((resolved, OwnerBarrier.barrier(resolved, pending, redoEnabled)))
+  }
+
+  /** One JSON line per batch: the boundary's clamp record. */
+  private def appendBarrier(dir: String, batchId: Long, resolved: Long,
+      b: OwnerBarrier.Barrier): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val line = s"""{"batch":$batchId,"resolved_ts":$resolved,""" +
+      s""""global_ts":${b.globalBarrierTs},""" +
+      s""""min_table_ts":${b.minTableBarrierTs},""" +
+      s""""redo_ts":${b.redoBarrierTs},"n_tb":${b.tableBarriers.size}}""" + "\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/barriers.jsonl"), line,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    ()
+  }
 
   /** The filter→route→shape pipeline shared by batch and streaming — the
     * changefeed "plan" (tiflow's fixed topology, here a Catalyst plan). */
@@ -76,6 +164,12 @@ object Changefeed {
       .queryName(spec.id)
       .option("checkpointLocation", spec.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // OWNER BARRIER (W1/G5): log the composed barrier BEFORE the
+        // batch's DDLs execute — the boundary's checkpoint/redo clamp.
+        for (bd <- spec.barrierDir; rd <- spec.textDdlRegistryDir;
+             (resolved, bar) <- batchBarrier(batch, rd, spec.redoEnabled,
+               spec.textDdlDefaultSchema))
+          appendBarrier(bd, batchId, resolved, bar)
         // DDL BARRIER (G5): when the textual-DDL path is on, control rows
         // apply to the registry BEFORE data rows are shaped — compaction
         // must never fold a DDL row, and data rows bind against the

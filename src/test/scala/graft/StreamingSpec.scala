@@ -70,6 +70,71 @@ class StreamingSpec extends SparkSpec {
     assert(seen.count() == 2)
   }
 
+  test("owner barrier clamps the microbatch boundary; executing the DDLs lifts it") {
+    // W1/G5 stretch (r15 VERDICT #8): a redo-enabled feed's boundary
+    // record must hold the global barrier AND the redo resolved ts at a
+    // create_table's commit ts (ddl_manager.go:521-526 — the new table's
+    // pipeline doesn't exist until the DDL executes), and a non-global
+    // add_column contributes a per-table barrier; once the batch executes
+    // the DDLs, the next boundary lifts to its own resolved ts.
+    val dir = Files.createTempDirectory("graft_cfbar").toString
+    val spec = ChangefeedSpec(id = "cf-barrier",
+      checkpointDir = s"$dir/ckpt",
+      textDdlRegistryDir = Some(s"$dir/reg"),
+      textDdlDefaultSchema = "db",
+      redoEnabled = true,
+      barrierDir = Some(s"$dir/bar"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEv]
+    def ddl(seq: Long, ts: Long, table: String, sql: String) =
+      StreamEv(seq, "G", ts, ts - 1, 0, "db", table, 0, 0, None, None, sql)
+    def data(seq: Long, ts: Long, pk: Long, v: Double) =
+      StreamEv(seq, "I", ts, ts - 1, 0, "db", "t", pk, pk, None, Some(v), "e")
+    def run(evs: StreamEv*): Unit = {
+      mem.addData(evs: _*)
+      val q = Changefeed.start(spark, mem.toDF(), spec)((_, _) => ())
+      q.awaitTermination()
+    }
+    // batch 0: the base table's create — held at its own commit ts
+    run(ev(1, "I", 1, 10), ev(2, "I", 2, 20), // ts 101, 102
+      ddl(3, 110, "t", "CREATE TABLE db.t (pk BIGINT, val DOUBLE)"),
+      data(4, 115, 3, 30.0))
+    // batch 1: a non-global add_column (120) + a create_table (150) with
+    // data running ahead to 200
+    run(data(5, 200, 4, 40.0),
+      ddl(6, 150, "t2", "CREATE TABLE db.t2 (pk BIGINT, v DOUBLE)"),
+      ddl(7, 120, "t", "ALTER TABLE db.t ADD COLUMN c2 BIGINT"))
+    // batch 2: nothing pending — the barrier lifts
+    run(data(8, 210, 5, 50.0))
+
+    val lines = Files.readAllLines(
+        java.nio.file.Paths.get(s"$dir/bar/barriers.jsonl"))
+      .toArray.map(_.toString).toSeq
+    def f(l: String, k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(l).get.group(1).toLong
+    assert(lines.size == 3, s"lines=$lines")
+    // boundary 0: held at the base create_table's 110 (global + redo)
+    assert(f(lines(0), "resolved_ts") == 115L)
+    assert(f(lines(0), "global_ts") == 110L)
+    assert(f(lines(0), "redo_ts") == 110L)
+    assert(f(lines(0), "n_tb") == 0L)
+    // boundary 1: global + redo held at the create_table's 150 (data ran
+    // to 200), the add_column's per-table barrier at 120
+    assert(f(lines(1), "resolved_ts") == 200L)
+    assert(f(lines(1), "global_ts") == 150L)
+    assert(f(lines(1), "redo_ts") == 150L)
+    assert(f(lines(1), "min_table_ts") == 120L)
+    assert(f(lines(1), "n_tb") == 1L)
+    // boundary 2: lifted — the DDLs executed inside their batches
+    assert(f(lines(2), "resolved_ts") == 210L)
+    assert(f(lines(2), "global_ts") == 210L)
+    assert(f(lines(2), "redo_ts") == 210L)
+    assert(f(lines(2), "n_tb") == 0L)
+    // the registry really advanced (all three DDLs applied, in ts order)
+    val applied = graft.streaming.DdlStream.loadApplied(s"$dir/reg")
+    assert(applied.map(_._2) == Seq(110L, 120L, 150L))
+  }
+
   test("live multiplexed changefeed: two region streams merge through the puller semantics") {
     // S3's one remaining streaming-native surface: a REAL StreamingQuery
     // over the union of two independent region delivery streams, consumed
