@@ -265,8 +265,15 @@ object Bench {
       val diskMbps = BenchMetrics.diskMbps()
       val fullLine =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","rows_per_sec":${ingestRows / math.max(ingestSec, 1e-9)}%.0f,"failed":${failedGates.size},"adjudicated":${adjudicated.size},"disk_mbps":$diskMbps%.0f,"queries":$fullQs,"queries_raw":$rawQs,"shuffle_mb":$shQs,"sf":"$sfDir"}"""
+      // BENCH_FULL.json is the sf0.1 committed-prior contract; a full run
+      // at any other scale writes a scale-suffixed sidecar so it can never
+      // clobber the authoritative record (r16: an sf0.001 local run
+      // overwrote the sf0.1 prior and got committed with it)
+      val sidecar =
+        if (new java.io.File(sfDir).getName == "sf0.1") "BENCH_FULL.json"
+        else s"BENCH_FULL_${new java.io.File(sfDir).getName}.json"
       try java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL.json"),
+        java.nio.file.Paths.get(sidecar),
         fullLine.getBytes("UTF-8")) catch { case _: Throwable => }
     }
 

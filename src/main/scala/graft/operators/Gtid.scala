@@ -97,4 +97,66 @@ object Gtid {
       .agg(collect_list(struct(col("start"), col("end"))).as("ivs"))
       .select(concat(col("uuid"), lit(":"), renderIntervals(col("ivs"))).as("block"))
       .agg(array_join(array_sort(collect_list(col("block"))), ",").as("gtid_set"))
+
+  // ---- flavor kernels (dm/pkg/gtid/gtid.go:29-122) -----------------------
+
+  /** IsZeroMySQLGTIDSet (gtid.go:91-104): exactly one comma block whose
+    * ':'-split has exactly two parts and the trimmed interval is "0" —
+    * the "start replication from scratch" placeholder ("uuid:0"),
+    * distinguished from a forgotten value. */
+  def isZeroMySqlSet(s: String): Boolean = {
+    val sp = s.split(",", -1)
+    sp.length == 1 && {
+      val sep = sp(0).split(":", -1)
+      sep.length == 2 && sep(1).trim == "0"
+    }
+  }
+
+  /** IsZeroMariaDBGTIDSet (gtid.go:111-122): one block, '-'-split into
+    * exactly three parts, trimmed seq "0" ("0-0-0"). */
+  def isZeroMariaDbSet(s: String): Boolean = {
+    val sp = s.split(",", -1)
+    sp.length == 1 && {
+      val sep = sp(0).split("-", -1)
+      sep.length == 3 && sep(2).trim == "0"
+    }
+  }
+
+  private val MySqlUuidRe =
+    "^[0-9a-fA-F]{8}(-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}$".r
+  private def validMySqlSet(s: String): Boolean =
+    s.isEmpty || s.split(",", -1).forall { b0 =>
+      val parts = b0.trim.split(":", -1)
+      parts.length >= 2 && MySqlUuidRe.matches(parts(0)) &&
+        parts.tail.forall(_.matches("\\d+(-\\d+)?"))
+    }
+  private def validMariaDbSet(s: String): Boolean =
+    s.isEmpty || s.split(",", -1).forall(_.trim.matches("\\d+-\\d+-\\d+"))
+
+  /**
+   * ParserGTID's flavor decision (gtid.go:35-72): an explicit flavor
+   * parses that flavor — with a zero placeholder set parsing as the EMPTY
+   * set (gtid.go:48-58, TestParseZeroAsEmptyGTIDSet); an empty flavor
+   * tries MySQL first, then MariaDB (no zero-replacement on that leg);
+   * anything else is the unsupported-flavor error. Returns
+   * Right((resolvedFlavor, parsesToEmptySet)).
+   */
+  def parserDecision(flavor: String, s: String)
+      : Either[String, (String, Boolean)] =
+    flavor match {
+      case "" if s.isEmpty => Right(("mysql", true)) // gtid.go:41-44
+      case "mysql" =>
+        if (isZeroMySqlSet(s)) Right(("mysql", true))
+        else if (validMySqlSet(s)) Right(("mysql", s.isEmpty))
+        else Left(s"invalid mysql GTID set: $s")
+      case "mariadb" =>
+        if (isZeroMariaDbSet(s)) Right(("mariadb", true))
+        else if (validMariaDbSet(s)) Right(("mariadb", s.isEmpty))
+        else Left(s"invalid mariadb GTID set: $s")
+      case "" =>
+        if (validMySqlSet(s)) Right(("mysql", false))
+        else if (validMariaDbSet(s)) Right(("mariadb", false))
+        else Left(s"invalid GTID set: $s")
+      case other => Left(s"flavor $other not supported")
+    }
 }

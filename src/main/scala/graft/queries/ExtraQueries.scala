@@ -1330,6 +1330,79 @@ object ExtraQueries {
       .unionByName(stage("e_scd_asof", snapAsOf, col("v")))
   }
 
+  /**
+   * q275 — GTID flavor kernels ([[graft.operators.Gtid]];
+   * dm/pkg/gtid/gtid.go:29-122): the IsZeroMySQLGTIDSet /
+   * IsZeroMariaDBGTIDSet "start from scratch" placeholders
+   * ("uuid:0" / "0-0-0"), ParserGTID's flavor decision (explicit flavor
+   * zero-replaces to the EMPTY set, empty flavor tries MySQL then
+   * MariaDB, unknown flavor errors), and the canonical uuid-sorted render
+   * of a shuffled 7-source set. Every scenario string and the expected
+   * sorted render are the reference's OWN gtid_test.go vectors.
+   */
+  val gtidFlavor = GateQuery(
+    "q275_gtid_flavor",
+    Some("""SELECT * FROM (VALUES
+           |  ('zero_mysql',   'z1', '', 0), ('zero_mysql',   'z2', '', 0),
+           |  ('zero_mysql',   'z3', '', 0), ('zero_mysql',   'z4', '', 0),
+           |  ('zero_mysql',   'z5', '', 0), ('zero_mysql',   'z6', '', 1),
+           |  ('zero_mysql',   'z7', '', 1),
+           |  ('zero_mariadb', 'm1', '', 0), ('zero_mariadb', 'm2', '', 0),
+           |  ('zero_mariadb', 'm3', '', 0), ('zero_mariadb', 'm4', '', 0),
+           |  ('zero_mariadb', 'm5', '', 1), ('zero_mariadb', 'm6', '', 1),
+           |  ('parser', 'p1', 'mysql',   1), ('parser', 'p2', 'mysql', 1),
+           |  ('parser', 'p3', 'mariadb', 1), ('parser', 'p4', 'mysql', 0),
+           |  ('parser', 'p5', 'mariadb', 0), ('parser', 'p6', 'mysql', 1),
+           |  ('parser', 'p7', 'error',   0), ('parser', 'p8', 'error', 0),
+           |  ('sorted', 's1', '03fc0263-28c7-11e7-a653-6c0b84d59f30:1-7041423,05474d3c-28c7-11e7-8352-203db246dd3d:1-170,10b039fc-c843-11e7-8f6a-1866daf8d810:1-308290454,3ccc475b-2343-11e7-be21-6c0b84d59f30:1-14,406a3f61-690d-11e7-87c5-6c92bf46f384:1-94321383,53bfca22-690d-11e7-8a62-18ded7a37b78:1-495,686e1ab6-c47e-11e7-a42c-6c92bf46f384:1-34981190', 1)
+           |) v(kind, c, res, n)""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.Gtid
+    val zeroMy = Seq("", "xxxxx", "xxxxx:0,yyyy:0", "xxxxx:1-2",
+      "xxxxx:0-0", "xxxxx:0", " xxxxx:0 ")
+    val zeroMa = Seq("", "xxxxx", "a-b-0,c-d:0", "xxxxx:1", "x-y-0",
+      " x-y-0 ")
+    val parsers = Seq(
+      ("mysql", ""),
+      ("mysql", "3ccc475b-2343-11e7-be21-6c0b84d59f30:0"),
+      ("mariadb", "0-0-0"),
+      ("", "3ccc475b-2343-11e7-be21-6c0b84d59f30:1-14"),
+      ("", "0-0-1,1-1-1,4-20-1,3-1-1,10-10-10"),
+      ("", ""),
+      ("wrong flavor", "x"),
+      ("mysql", "not-a-gtid"))
+    val big = "3ccc475b-2343-11e7-be21-6c0b84d59f30:1-14," +
+      "406a3f61-690d-11e7-87c5-6c92bf46f384:1-94321383," +
+      "53bfca22-690d-11e7-8a62-18ded7a37b78:1-495," +
+      "05474d3c-28c7-11e7-8352-203db246dd3d:1-170," +
+      "10b039fc-c843-11e7-8f6a-1866daf8d810:1-308290454," +
+      "686e1ab6-c47e-11e7-a42c-6c92bf46f384:1-34981190," +
+      "03fc0263-28c7-11e7-a653-6c0b84d59f30:1-7041423"
+    val merged = Seq(big).toDF("s")
+      .select(explode(Gtid.parseSet(col("s"))).as("iv"))
+      .select(col("iv.uuid").as("uuid"), col("iv.start").as("start"),
+        col("iv.end").as("end"))
+    val rendered = Gtid.renderSet(merged).head().getString(0)
+    val rows =
+      zeroMy.zipWithIndex.map { case (s, i) =>
+        ("zero_mysql", s"z${i + 1}", "",
+          if (Gtid.isZeroMySqlSet(s)) 1 else 0)
+      } ++
+      zeroMa.zipWithIndex.map { case (s, i) =>
+        ("zero_mariadb", s"m${i + 1}", "",
+          if (Gtid.isZeroMariaDbSet(s)) 1 else 0)
+      } ++
+      parsers.zipWithIndex.map { case ((f, s), i) =>
+        Gtid.parserDecision(f, s) match {
+          case Right((fl, empty)) =>
+            ("parser", s"p${i + 1}", fl, if (empty) 1 else 0)
+          case Left(_) => ("parser", s"p${i + 1}", "error", 0)
+        }
+      } ++
+      Seq(("sorted", "s1", rendered, 1))
+    rows.toDF("kind", "c", "res", "n")
+  }
+
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, imageDecode, imageResize,
     audioDecode, videoFrames,
@@ -1338,5 +1411,5 @@ object ExtraQueries {
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
     jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin, dumpLoad,
     asofNative, asofForward, asofNearest, scdHistory, timeTravel,
-    warehousePipeline)
+    warehousePipeline, gtidFlavor)
 }

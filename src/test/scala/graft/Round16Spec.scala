@@ -152,6 +152,39 @@ class Round16Spec extends SparkSpec {
     assert(RedoDdlCodec.decode(RedoDdlCodec.encode(d)) == d)
   }
 
+  // ---- GTID flavor kernels on the reference's own test vectors ----------
+
+  test("GTID zero-set and flavor decisions match gtid_test.go vectors") {
+    import graft.operators.Gtid._
+    // TestIsNilMySQLGTIDSet
+    assert(!isZeroMySqlSet(""))
+    assert(!isZeroMySqlSet("xxxxx"))
+    assert(!isZeroMySqlSet("xxxxx:0,yyyy:0"))
+    assert(!isZeroMySqlSet("xxxxx:1-2"))
+    assert(!isZeroMySqlSet("xxxxx:0-0"))
+    assert(isZeroMySqlSet("xxxxx:0"))
+    assert(isZeroMySqlSet(" xxxxx:0 "))
+    // TestIsNilMariaDBGTIDSet
+    assert(!isZeroMariaDbSet(""))
+    assert(!isZeroMariaDbSet("xxxxx"))
+    assert(!isZeroMariaDbSet("a-b-0,c-d:0"))
+    assert(!isZeroMariaDbSet("xxxxx:1"))
+    assert(isZeroMariaDbSet("x-y-0"))
+    assert(isZeroMariaDbSet(" x-y-0 "))
+    // TestParseZeroAsEmptyGTIDSet + TestParseGTIDNoFlavor + TestMinGTIDSet
+    assert(parserDecision("mariadb", "0-0-0") == Right(("mariadb", true)))
+    assert(parserDecision("mysql", "") == Right(("mysql", true)))
+    assert(parserDecision("mysql",
+      "3ccc475b-2343-11e7-be21-6c0b84d59f30:0") == Right(("mysql", true)))
+    assert(parserDecision("",
+      "3ccc475b-2343-11e7-be21-6c0b84d59f30:1-14") == Right(("mysql", false)))
+    assert(parserDecision("",
+      "0-0-1,1-1-1,4-20-1,3-1-1,10-10-10") == Right(("mariadb", false)))
+    assert(parserDecision("", "") == Right(("mysql", true)))
+    assert(parserDecision("wrong flavor", "x").isLeft)
+    assert(parserDecision("mysql", "not-a-gtid").isLeft)
+  }
+
   // ---- unlockLock forceRemove leg (pessimist.go:279-283, 345-354) -------
 
   test("unlockLock: owner-not-done refuses, forceRemove removes anyway") {
