@@ -110,16 +110,31 @@ object LimitSplit {
       : Seq[LimitChunk] =
     assemble(boundaries(df, keys, chunkSize), None, 0)
 
+  /** limit.go:141-152: an explicit configured chunk size wins; else the
+    * auto size (utils.CalculateChunkSize — 50k, or rows/10k past 500M)
+    * when the table has a usable index, else ONE chunk — the no-index
+    * table diffs as a single full scan. */
+  def autoChunkSize(configured: Long, remainingRows: Long,
+                    hasIndex: Boolean): Long =
+    if (configured > 0) configured
+    else if (hasIndex) BucketSplit.calculateChunkSize(remainingRows)
+    else math.max(remainingRows, 1L)
+
   /**
    * Resume from a checkpointed chunk (NewLimitIteratorWithCheckpoint,
    * limit.go:58-120): its upper seeds the lower tag, ids restart at
    * `bucketId + 1`; a saved chunk without an upper (the walk's final
-   * open chunk) means the table is DONE — empty result.
+   * open chunk) means the table is DONE — empty result. A checkpoint
+   * whose bound arity mismatches the selected index columns also yields
+   * EMPTY: the Go logs "skip checkpoint" and breaks before any bound
+   * sets HasUpper (limit.go:100-108), so `undone` stays false and the
+   * iterator closes as finished — quirk kept as-is.
    */
   def resumeChunks(df: DataFrame, keys: Seq[String], chunkSize: Long,
                    checkpoint: LimitChunk): Seq[LimitChunk] =
     checkpoint.upper match {
       case None => Seq.empty
+      case Some(u) if u.size != keys.size => Seq.empty
       case Some(u) =>
         assemble(boundaries(df, keys, chunkSize, Some(u)), Some(u),
           checkpoint.bucketId + 1)

@@ -152,6 +152,28 @@ class Round16Spec extends SparkSpec {
     assert(RedoDdlCodec.decode(RedoDdlCodec.encode(d)) == d)
   }
 
+  // ---- LIMIT splitter edges (limit.go:100-108, 141-152) ------------------
+
+  test("limit splitter: auto chunk size and the mismatched-checkpoint quirk") {
+    import graft.diff.LimitSplit
+    import graft.diff.LimitSplit.LimitChunk
+    // limit.go:141-152 via utils.CalculateChunkSize
+    assert(LimitSplit.autoChunkSize(777, 1000000, hasIndex = true) == 777)
+    assert(LimitSplit.autoChunkSize(0, 1000000, hasIndex = true) == 50000)
+    assert(LimitSplit.autoChunkSize(0, 600000000L, hasIndex = true) == 60000)
+    assert(LimitSplit.autoChunkSize(0, 1234, hasIndex = false) == 1234)
+    assert(LimitSplit.autoChunkSize(0, 0, hasIndex = false) == 1)
+    // a checkpoint whose bound arity mismatches the index columns closes
+    // the iterator EMPTY (the Go's undone-stays-false quirk)
+    import spark.implicits._
+    val df = Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
+    val ck = LimitChunk(2, Some(Seq(1L)), Some(Seq(5L))) // 1 bound, 2 keys
+    assert(LimitSplit.resumeChunks(df, Seq("a", "b"), 1, ck).isEmpty)
+    // sanity: a matching-arity checkpoint still resumes
+    val ck2 = LimitChunk(2, Some(Seq(0L, 0L)), Some(Seq(1L, 1L)))
+    assert(LimitSplit.resumeChunks(df, Seq("a", "b"), 5, ck2).nonEmpty)
+  }
+
   // ---- GTID flavor kernels on the reference's own test vectors ----------
 
   test("GTID zero-set and flavor decisions match gtid_test.go vectors") {
