@@ -167,7 +167,7 @@ object Bench {
         val t0 = System.nanoTime()
         // LOUD failure: a crashing gate must not hide behind a small wall
         // time — record it and print the cause; the JSON carries "failed"
-        try { fn(spark, sfDir).count(); () } catch {
+        try { BenchMetrics.materialize(fn(spark, sfDir)); () } catch {
           case e: Throwable =>
             failedGates += name
             System.err.println(s"[bench] FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
@@ -212,7 +212,7 @@ object Bench {
         var repFailed = false
         val reps = (0 until 3).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); () } catch {
+          try { BenchMetrics.materialize(fn(spark, sfDir)); () } catch {
             case e: Throwable =>
               repFailed = true
               System.err.println(s"[bench] FAIL $name during adjudication " +

@@ -245,16 +245,22 @@ object Bench100x {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Fixed-shuffle calibration gate (r15 VERDICT item 6): ~1.6 GB of
+    // Fixed-shuffle calibration gate (r15 VERDICT item 6): ~1 GB of
     // incompressible shuffle, SF-independent — the in-file yardstick that,
     // together with disk_mbps, lets a judge normalize cross-round 100×
-    // ratios mechanically when the host's disk band moves.
+    // ratios mechanically when the host's disk band moves. groupBy over
+    // 100M unique random hashes: map-side partial agg removes NOTHING, so
+    // the exchange carries every row. Two earlier forms collapsed to
+    // no-ops — repartition+groupBy(k) lost the user exchange to the
+    // aggregate's own (22 MB partial-agg shuffle), and distinct().agg(...)
+    // ended GLOBAL, so the bench's trailing .count() constant-folded to 1
+    // via OptimizeOneRowPlan and eliminated the subtree entirely. The
+    // grouped tail keeps the row count unknown → the plan must execute.
     val calibration: Seq[(String, () => DataFrame)] = Seq(
       "q00_shuffle_cal" -> { () =>
         spark.range(100000000L)
-          .select(xxhash64(col("id")).as("v"), (col("id") % 997).as("k"))
-          .repartition(col("k"))
-          .groupBy("k").agg(max(col("v")).as("m"))
+          .select(xxhash64(col("id")).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("c"))
       })
 
     val entries: Seq[(String, () => DataFrame)] =
@@ -315,7 +321,7 @@ object Bench100x {
       else cleanRoom()
       drain(); val sh0 = shuffleWrite.get()
       val t0 = System.nanoTime()
-      val rows = mk().count()
+      val rows = BenchMetrics.materialize(mk())
       val secs = (System.nanoTime() - t0) / 1e9
       drain(); val shMb = (shuffleWrite.get() - sh0) / 1048576.0
       System.err.println(

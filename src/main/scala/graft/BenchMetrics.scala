@@ -38,6 +38,20 @@ object BenchMetrics {
     catch { case _: Throwable => () }
 
   /**
+   * Materialize EVERY output column of a gate (r16 finding): a logical
+   * `.count()` lets the optimizer PRUNE computed columns — q50's bit_xor
+   * digests and q01's aggregate functions vanished under count() (both
+   * read ~2.2× once materialized) — and a plan ending in a GLOBAL
+   * aggregate constant-folds to 1 row via OptimizeOneRowPlan,
+   * eliminating the whole subtree. Executing the gate's own physical
+   * plan and counting InternalRows measures the work the gate actually
+   * claims. Shared by Bench / Bench100x / BenchRepeat so the three
+   * artifacts can't silently measure differently.
+   */
+  def materialize(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
+  /**
    * Direct-write disk probe: stream `totalBytes` of incompressible data
    * to a temp file on the shuffle-spill volume (java.io.tmpdir), fsync,
    * report MB/s. Self-reported in every bench artifact so a judge can

@@ -28,7 +28,7 @@ object BenchRepeat {
     val q = SparkEntry.queries(name)
     val times = (0 until n).map { i =>
       val t0 = System.nanoTime()
-      val rows = q(spark, sfDir).count()
+      val rows = BenchMetrics.materialize(q(spark, sfDir))
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[repeat] $name run$i: $s%.2f s ($rows rows)")
       s
