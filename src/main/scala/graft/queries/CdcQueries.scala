@@ -442,8 +442,9 @@ object CdcQueries {
    * split (delete < update < insert, stable); `raw`
    * (output-raw-change-event) and `mysql` (MySQL-compatible scheme)
    * pass events through untouched. Each txn digests to its op sequence
-   * in sink order plus a Σ sink_seq·pk binding, grouped to
-   * (mode, any_split, op_string) classes — so a wrong sort, a missed
+   * in sink order plus an XOR(sink_seq·pk) binding (XOR, not Σ — the
+   * summed form overflowed long under ANSI at the 100× corpus), grouped
+   * to (mode, any_split, op_string) classes — so a wrong sort, a missed
    * split, or a split leaking into the bypass modes all flip rows.
    */
   val sinkSplitSort = GateQuery(
@@ -468,7 +469,7 @@ object CdcQueries {
         |), txns AS (
         |  SELECT mode, any_split,
         |    string_agg(op, '' ORDER BY sink_seq) AS op_string,
-        |    sum(sink_seq * pk) AS digest
+        |    bit_xor(sink_seq * pk) AS digest
         |  FROM (
         |    SELECT 'sorted' AS mode, commit_ts, schema_name, table_name,
         |      any_split, op, sink_seq, pk FROM sorted
@@ -481,7 +482,7 @@ object CdcQueries {
         |  GROUP BY mode, any_split, commit_ts, schema_name, table_name
         |)
         |SELECT mode, any_split, op_string, count(*) AS n_txns,
-        |  CAST(sum(digest) AS BIGINT) AS sum_digest
+        |  CAST(bit_xor(digest) AS BIGINT) AS sum_digest
         |FROM txns GROUP BY 1, 2, 3""".stripMargin)) { (spark, dir) =>
     def leg(mode: String, scheme: String, raw: Boolean) = {
       val s = Transforms.sinkSplitAndSort(CdcStream.derive(spark, dir),
@@ -495,7 +496,7 @@ object CdcQueries {
           array_join(transform(
             array_sort(collect_list(struct(col("sink_seq"), col("op")))),
             x => x.getField("op")), "").as("op_string"),
-          sum(col("sink_seq") * col("pk")).as("digest"))
+          expr("bit_xor(sink_seq * pk)").as("digest"))
         .select(lit(mode).as("mode"), col("any_split"), col("op_string"),
           col("digest"))
     }
@@ -503,7 +504,8 @@ object CdcQueries {
       .unionByName(leg("raw", "kafka", raw = true))
       .unionByName(leg("mysql", "mysql", raw = false))
       .groupBy("mode", "any_split", "op_string")
-      .agg(count(lit(1)).as("n_txns"), sum(col("digest")).as("sum_digest"))
+      .agg(count(lit(1)).as("n_txns"),
+        expr("bit_xor(digest)").as("sum_digest"))
   }
 
   // C3 — multi-row batching: batch sizes per (table, op).

@@ -174,6 +174,44 @@ class Round16Spec extends SparkSpec {
     assert(LimitSplit.resumeChunks(df, Seq("a", "b"), 5, ck2).nonEmpty)
   }
 
+  test("limit splitter property: tiling, chunk sizes, resume-equals-tail") {
+    import org.apache.spark.sql.functions._
+    import graft.diff.LimitSplit
+    import spark.implicits._
+    val rnd = new scala.util.Random(1602L)
+    for (trial <- 0 until 6) {
+      val n = 120 + rnd.nextInt(400)
+      val cs = 5 + rnd.nextInt(40)
+      // unique composite key, duplicate-heavy first column
+      val rows = (0 until n).map(i => (i % 13L, i.toLong * 3 + 1))
+      val df = rnd.shuffle(rows).toDF("a", "b")
+      val keys = Seq("a", "b")
+      val kc = keys.map(col)
+      val chunks = LimitSplit.chunks(df, keys, cs)
+      val m = n / (cs + 1)
+      assert(chunks.size == m + 1, s"trial=$trial n=$n cs=$cs")
+      // membership: every bounded chunk holds exactly cs+1 rows, the tail
+      // holds the remainder; the two assignment forms agree on every row
+      val counts = df.groupBy(LimitSplit.assignByRanges(kc, chunks).as("c"))
+        .agg(count(lit(1)).as("k")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      chunks.init.foreach(c =>
+        assert(counts(c.bucketId) == cs + 1L, s"trial=$trial chunk=$c"))
+      assert(counts.getOrElse(chunks.last.bucketId, 0L) == (n - m * (cs + 1)).toLong)
+      val bounds = chunks.flatMap(_.upper)
+      assert(df.where(LimitSplit.assignByRanges(kc, chunks) =!=
+        LimitSplit.assignByBoundaries(kc, bounds, 0)).count() == 0)
+      // resume from a random bounded checkpoint reproduces the tail
+      if (m > 0) {
+        val at = rnd.nextInt(m)
+        val resumed = LimitSplit.resumeChunks(df, keys, cs, chunks(at))
+        assert(resumed == chunks.drop(at + 1), s"trial=$trial at=$at")
+      }
+      // resume from the final open chunk is the finished table
+      assert(LimitSplit.resumeChunks(df, keys, cs, chunks.last).isEmpty)
+    }
+  }
+
   // ---- GTID flavor kernels on the reference's own test vectors ----------
 
   test("GTID zero-set and flavor decisions match gtid_test.go vectors") {
