@@ -193,9 +193,12 @@ object AnalyticsQueries {
    * exact): candidate pairs from cheap blocking (language × 64-char
    * length bucket — the standard blocking recall tradeoff; MinHash is
    * the recall path), then Levenshtein over the 120-char prefix as the
-   * verifier. Both engines implement the identical unit-cost DP, so the
-   * distance itself is oracle-pinned, not just the counts. Per language:
-   * candidates checked, pairs within τ=20, and the minimum distance.
+   * verifier. The Spark side runs the THRESHOLDED (banded) DP — the
+   * standard bounded-verifier practice, O(len·τ) with early exit instead
+   * of O(len²); exact within τ=20 by contract, so the within-τ distances
+   * are still oracle-pinned against DuckDB's full DP, not just the
+   * counts. Per language: candidates checked, pairs within τ, and the
+   * minimum WITHIN-τ distance (−1 when no pair qualifies).
    */
   val editDistDedup = GateQuery(
     "q209_editdist_pairs",
@@ -212,7 +215,8 @@ object AnalyticsQueries {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_checked,
         |  CAST(sum(CASE WHEN lev <= 20 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_neardup,
-        |  CAST(coalesce(min(lev), -1) AS BIGINT) AS min_lev
+        |  CAST(coalesce(min(CASE WHEN lev <= 20 THEN lev END), -1) AS BIGINT)
+        |    AS min_lev
         |FROM p GROUP BY 1""".stripMargin)) { (spark, dir) =>
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
@@ -223,13 +227,16 @@ object AnalyticsQueries {
       col("t").as("ta"))
     val b = d.select(col("doc_id").as("bid"), col("lang").as("lb"),
       col("blk").as("bb"), col("t").as("tb"))
+    // levenshtein(_, _, 20): exact distance when <= 20, -1 past the band
     a.join(b, col("lang") === col("lb") && col("blk") === col("bb") &&
         col("aid") < col("bid"))
-      .select(col("lang"), levenshtein(col("ta"), col("tb")).as("lev"))
+      .select(col("lang"),
+        levenshtein(col("ta"), col("tb"), 20).as("lev"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_checked"),
-        sum(when(col("lev") <= 20, 1L).otherwise(0L)).as("n_neardup"),
-        coalesce(min(col("lev")), lit(-1L)).as("min_lev"))
+        sum(when(col("lev") >= 0, 1L).otherwise(0L)).as("n_neardup"),
+        coalesce(min(when(col("lev") >= 0, col("lev"))), lit(-1L))
+          .as("min_lev"))
   }
 
   private val PrIters = 3
