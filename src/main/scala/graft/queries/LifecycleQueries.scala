@@ -159,7 +159,7 @@ object LifecycleQueries {
       |  SELECT CAST(count(*) AS BIGINT) AS base FROM orders
       |), cfg(sc, stuck) AS (VALUES $cfgValues),
       |unret(c) AS (VALUES
-      |  ('CDC:ErrExpressionColumnNotFound'), ('CDC:ErrExpressionParseFailed'),
+      |  ('CDC:ErrExpressionColumnNotFound'), ('CDC:ErrInvalidFilterExpression'),
       |  ('CDC:ErrSchemaSnapshotNotFound'), ('CDC:ErrSyncRenameTableFailed'),
       |  ('CDC:ErrChangefeedUnretryable'), ('CDC:ErrCorruptedDataMutation'),
       |  ('CDC:ErrDispatcherFailed'), ('CDC:ErrColumnSelectorFailed'),

@@ -50,7 +50,10 @@ object FeedStateMachine {
 
   /** changefeedUnRetryableErrors (pkg/errors/helper.go:74-87). */
   val UnretryableCodes: Seq[String] = Seq(
-    "CDC:ErrExpressionColumnNotFound", "CDC:ErrExpressionParseFailed",
+    "CDC:ErrExpressionColumnNotFound",
+    // ErrExpressionParseFailed's RFC code is NOT its identifier
+    // (cdc_errors.go:938-941) — the contains-match keys on the RFC code
+    "CDC:ErrInvalidFilterExpression",
     "CDC:ErrSchemaSnapshotNotFound", "CDC:ErrSyncRenameTableFailed",
     "CDC:ErrChangefeedUnretryable", "CDC:ErrCorruptedDataMutation",
     "CDC:ErrDispatcherFailed", "CDC:ErrColumnSelectorFailed",

@@ -133,6 +133,76 @@ class Round16Spec extends SparkSpec {
         s"extra=${graft.operators.Filters.BinlogIncompatibleDdl.toSet -- incompat}")
   }
 
+  // ---- remaining audited constant tables, parsed from reference source --
+
+  private def refSrc(rel: String): Option[String] = {
+    val p = Paths.get(s"/root/reference/$rel")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8"))
+    else None
+  }
+
+  test("changefeed error-code sets match helper.go, parsed from source") {
+    assume(refSrc("pkg/errors/helper.go").isDefined)
+    val src = refSrc("pkg/errors/helper.go").get
+    // identifier -> RFC code from the DECLARATIONS (cdc_errors.go): the
+    // match keys on the RFC code, and it is NOT always the identifier —
+    // ErrExpressionParseFailed declares CDC:ErrInvalidFilterExpression
+    // (cdc_errors.go:938-941); assuming identifier==code hid a real
+    // divergence in UnretryableCodes until this parse
+    val cdcErrs = refSrc("pkg/errors/cdc_errors.go").get
+    val rfcOf = """(?s)(Err\w+) = errors\.Normalize\(.*?RFCCodeText\("(CDC:\w+)"\)""".r
+      .findAllMatchIn(cdcErrs).map(m => m.group(1) -> m.group(2)).toMap
+    def errList(varName: String): Set[String] = {
+      val start = src.indexOf(s"var $varName = []*errors.Error{")
+      assert(start >= 0, s"$varName not found")
+      val body = src.substring(start + s"var $varName".length,
+        src.indexOf("\n}", start))
+      """\bErr[A-Z]\w+""".r.findAllIn(body).map(rfcOf).toSet
+    }
+    import graft.streaming.FeedStateMachine
+    assert(errList("ChangeFeedGCFastFailError") ==
+      FeedStateMachine.GcFastFailCodes)
+    assert(errList("changefeedUnRetryableErrors") ==
+      FeedStateMachine.UnretryableCodes.toSet,
+      s"want=${errList("changefeedUnRetryableErrors")}")
+  }
+
+  test("sink scheme sets match sink_type.go, parsed from source") {
+    assume(refSrc("pkg/sink/sink_type.go").isDefined)
+    val src = refSrc("pkg/sink/sink_type.go").get
+    val consts = """(\w+Scheme)\s*=\s*"([^"]+)"""".r
+      .findAllMatchIn(src).map(m => m.group(1) -> m.group(2)).toMap
+    def schemesOf(fn: String): Set[String] = {
+      val start = src.indexOf(s"func $fn(scheme string) bool {")
+      assert(start >= 0, s"$fn not found")
+      val body = src.substring(start, src.indexOf("\n}", start))
+      """scheme == (\w+Scheme)""".r.findAllMatchIn(body)
+        .map(m => consts(m.group(1))).toSet
+    }
+    import graft.streaming.CreatorFix
+    assert(schemesOf("IsMQScheme") == CreatorFix.MqSchemes)
+    assert(schemesOf("IsStorageScheme") == CreatorFix.StorageSchemes)
+    assert(schemesOf("IsMySQLCompatibleScheme") == CreatorFix.MySqlCompatSchemes)
+  }
+
+  test("protocol and task-mode sets match their reference case lists") {
+    assume(refSrc("pkg/config/sink_protocol.go").isDefined)
+    val proto = refSrc("pkg/config/sink_protocol.go").get
+    val fromStr = proto.substring(
+      proto.indexOf("func ParseSinkProtocolFromString"))
+    val cases = """case "([^"]+)"""".r
+      .findAllMatchIn(fromStr.substring(0, fromStr.indexOf("\n}")))
+      .map(_.group(1)).toSet
+    assert(cases == graft.streaming.CreatorFix.KnownProtocols,
+      s"missing=${cases -- graft.streaming.CreatorFix.KnownProtocols}")
+
+    val sub = refSrc("dm/config/subtask.go").get
+    val modes = """Mode(?:All|Full|Increment|Dump|LoadSync|Load)\s*=\s*"([^"]+)"""".r
+      .findAllMatchIn(sub).map(_.group(1)).toSet
+    assert(modes == graft.streaming.DmTaskConfig.TaskModes,
+      s"modes=$modes")
+  }
+
   // ---- redo str16/str32: long DDL text survives the durable codec ------
 
   test("redo DDL codec round-trips across every msgpack str size class") {
