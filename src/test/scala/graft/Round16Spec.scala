@@ -83,7 +83,10 @@ class Round16Spec extends SparkSpec {
   test("barrier equals the reference-derived simulator on 300 random traces") {
     assume(Files.exists(refFile), "reference checkout not present")
     val globals = Seq("create_table", "rename_table", "rename_tables",
-      "exchange_table_partition", "create_schema", "drop_schema")
+      "exchange_table_partition", "create_schema", "drop_schema",
+      // global-by-absence: the text path's unparseable marker and an
+      // action outside the table (Changefeed.ddlAction's outputs)
+      "unknown", "rename_column")
     val actions = (refNonGlobal.toSeq.sorted ++ globals).toIndexedSeq
     val rnd = new scala.util.Random(1601L)
     for (trial <- 0 until 300) {
