@@ -70,6 +70,15 @@ object LifecycleQueries {
       FsStep(2, 4005000L, code = G,
         msg = "connection refused: CDC:ErrSinkURIInvalid wrapped", k = 0,
         r = 100))),
+    // the identifier≠code entry: an expression-filter parse failure
+    // carries RFC code CDC:ErrInvalidFilterExpression
+    // (cdc_errors.go:938-941) — this set member used to be re-typed as
+    // the Go identifier and could never have matched a real error
+    ("unretry2", 300000L, Seq(
+      FsStep(1, 4100000L, k = 0, r = 100),
+      FsStep(2, 4105000L, code = G,
+        msg = "filter: CDC:ErrInvalidFilterExpression syntax error", k = 0,
+        r = 100))),
     // the admin-job matrix: finish → resume-from-finished → stop →
     // ILLEGAL stop-while-stopped (popped, tick continues) → resume →
     // remove (no state patch; shouldBeRemoved only)
