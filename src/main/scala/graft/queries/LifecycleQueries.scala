@@ -1901,7 +1901,278 @@ object LifecycleQueries {
     rows.toDF("part", "kase", "ok", "out", "num", "extra")
   }
 
+  /**
+   * q276 — the owner's replication-set handoff protocol
+   * ([[graft.streaming.ReplicationSet]];
+   * cdc/scheduler/internal/v3/replication/replication_set.go): four
+   * scenario traces replayed step-by-step through the kernel, pinning the
+   * state/primary/dispatch/checkpoint after every event. `add` = the
+   * Absent→Prepare→Commit→Replicating lifecycle with both AddTable
+   * dispatches (:471-576, :626-641); `move` = the full handoff — the old
+   * primary keeps replicating through Prepare, is asked to stop only once
+   * the secondary is Prepared, re-asked while it still replicates, and
+   * its FINAL reported checkpoint seeds the promoted primary (:584-684,
+   * :716-728); `remove` = Removing re-dispatches until the capture stops
+   * (:819-861); `crash` = init-from-statuses (:141-283), the
+   * undetermined-capture promotion BLOCK (:599-612), the zero-resolvedTs
+   * backfill (:1035-1040) and primary shutdown → Absent (:794-809).
+   * All timestamps anchor to count(orders); oracle = the expected
+   * transition table with the same anchored arithmetic.
+   */
+  val replicationSet = GateQuery(
+    "q276_replication_set",
+    Some("""WITH b AS (
+      |  SELECT CAST(count(*) AS BIGINT) * 10 AS t0 FROM orders
+      |)
+      |SELECT v.sc, CAST(v.step AS INT) AS step, v.state, v.prim, v.msgs,
+      |  b.t0 + v.ck AS ck, b.t0 + v.rts AS rts,
+      |  CAST(v.removed AS INT) AS removed
+      |FROM (VALUES
+      |  ('add', 1, 'Prepare', '', 'add-sec:cap-a', 0, 0, 0),
+      |  ('add', 2, 'Prepare', '', '', 0, 0, 0),
+      |  ('add', 3, 'Commit', 'cap-a', 'add-pri:cap-a', 0, 0, 0),
+      |  ('add', 4, 'Replicating', 'cap-a', '', 10, 15, 0),
+      |  ('move', 1, 'Prepare', 'cap-a', 'add-sec:cap-b', 10, 15, 0),
+      |  ('move', 2, 'Prepare', 'cap-a', '', 20, 25, 0),
+      |  ('move', 3, 'Commit', 'cap-a', 'rm:cap-a', 20, 25, 0),
+      |  ('move', 4, 'Commit', 'cap-a', 'rm:cap-a', 30, 30, 0),
+      |  ('move', 5, 'Commit', 'cap-b', 'add-pri:cap-b', 40, 45, 0),
+      |  ('move', 6, 'Replicating', 'cap-b', '', 50, 55, 0),
+      |  ('remove', 1, 'Removing', 'cap-a', 'rm:cap-a', 10, 15, 0),
+      |  ('remove', 2, 'Removing', 'cap-a', '', 10, 15, 0),
+      |  ('remove', 3, 'Removing', '', '', 10, 15, 1),
+      |  ('crash', 0, 'Commit', '', '', 0, 0, 0),
+      |  ('crash', 1, 'Commit', '', '', 0, 0, 0),
+      |  ('crash', 2, 'Commit', '', '', 0, 0, 0),
+      |  ('crash', 3, 'Commit', 'cap-b', 'add-pri:cap-b', 0, 0, 0),
+      |  ('crash', 4, 'Replicating', 'cap-b', '', 60, 60, 0),
+      |  ('crash', 5, 'Absent', '', '', 60, 60, 0)
+      |) v(sc, step, state, prim, msgs, ck, rts, removed), b""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.streaming.ReplicationSet
+      import ReplicationSet._
+      val t0 = Tables.load(spark, dir, "orders").count() * 10
+      val rows =
+        scala.collection.mutable.ArrayBuffer
+          .empty[(String, Int, String, String, String, Long, Long, Int)]
+      def fmt(ms: Seq[Msg]): String = ms.map {
+        case AddTableReq(to, true, _) => s"add-sec:$to"
+        case AddTableReq(to, false, _) => s"add-pri:$to"
+        case RemoveTableReq(to) => s"rm:$to"
+      }.mkString(";")
+      def rec(sc: String, step: Int, r: Rep,
+              out: Either[String, Seq[Msg]]): Unit = {
+        val msgs = out.fold(e => s"err:$e", fmt)
+        rows += ((sc, step, RepState.names(r.currentState),
+          r.currentPrimary, msgs, r.currentCheckpoint.checkpointTs,
+          r.currentCheckpoint.resolvedTs,
+          if (r.hasRemoved) 1 else 0))
+      }
+      def sts(s: Int, ck: Long = 0L, rts: Long = 0L) =
+        TableStatus(1L, s, Checkpoint(ck, rts))
+      def freshReplicating(): Rep = {
+        val r = ReplicationSet.init(1L, t0, Seq.empty).toOption.get
+        r.handleAddTable("cap-a")
+        r.poll(sts(TableState.Prepared), "cap-a")
+        r.poll(sts(TableState.Replicating, t0 + 10, t0 + 15), "cap-a")
+        r
+      }
+      // add lifecycle
+      locally {
+        val r = ReplicationSet.init(1L, t0, Seq.empty).toOption.get
+        rec("add", 1, r, r.handleAddTable("cap-a"))
+        rec("add", 2, r, r.poll(sts(TableState.Preparing), "cap-a"))
+        rec("add", 3, r, r.poll(sts(TableState.Prepared), "cap-a"))
+        rec("add", 4, r,
+          r.poll(sts(TableState.Replicating, t0 + 10, t0 + 15), "cap-a"))
+      }
+      // move handoff
+      locally {
+        val r = freshReplicating()
+        rec("move", 1, r, r.handleMoveTable("cap-b"))
+        rec("move", 2, r,
+          r.poll(sts(TableState.Replicating, t0 + 20, t0 + 25), "cap-a"))
+        rec("move", 3, r, r.poll(sts(TableState.Prepared), "cap-b"))
+        rec("move", 4, r,
+          r.poll(sts(TableState.Replicating, t0 + 30, t0 + 30), "cap-a"))
+        rec("move", 5, r,
+          r.poll(sts(TableState.Stopped, t0 + 40, t0 + 45), "cap-a"))
+        rec("move", 6, r,
+          r.poll(sts(TableState.Replicating, t0 + 50, t0 + 55), "cap-b"))
+      }
+      // remove lifecycle
+      locally {
+        val r = freshReplicating()
+        rec("remove", 1, r, r.handleRemoveTable())
+        rec("remove", 2, r, r.poll(sts(TableState.Stopping), "cap-a"))
+        rec("remove", 3, r, r.poll(sts(TableState.Stopped), "cap-a"))
+      }
+      // init-from-statuses + undetermined block + backfill + shutdown
+      locally {
+        val r = ReplicationSet.init(1L, t0, Seq(
+          "cap-b" -> sts(TableState.Prepared),
+          "cap-c" -> sts(TableState.Stopping))).toOption.get
+        rec("crash", 0, r, Right(Seq.empty))
+        rec("crash", 1, r, r.poll(sts(TableState.Prepared), "cap-b"))
+        rec("crash", 2, r, r.poll(sts(TableState.Stopped), "cap-c"))
+        rec("crash", 3, r, r.poll(sts(TableState.Prepared), "cap-b"))
+        rec("crash", 4, r,
+          r.poll(sts(TableState.Replicating, t0 + 60, 0L), "cap-b"))
+        rec("crash", 5, r,
+          r.handleCaptureShutdown("cap-b").map(_._1))
+      }
+      rows.toSeq
+        .toDF("sc", "step", "state", "prim", "msgs", "ck", "rts", "removed")
+  }
+
+  /**
+   * q277 — the owner's table-scheduler decisions
+   * ([[graft.streaming.TableSchedulers]];
+   * cdc/scheduler/internal/v3/scheduler/scheduler_{basic,rebalance,
+   * drain_capture}.go): a 13-table placement derived from the data
+   * (table = o_orderkey % 13, primary = cap-(rowcount % 2)) driven
+   * through three decision kernels. `add`/`rm` = basicSchedule's
+   * round-robin burst adds (capped at batchSize 4) and the
+   * dropped-table removal (scheduler_basic.go:60-137); `bal` =
+   * newBalanceMoveTables' victims-beyond-ceil(n/captures) with the
+   * greedy min-workload target walk (rebalance.go:108-197); `drain` =
+   * drainSchedule's capped victim list off the stopping capture with
+   * plain-incremented destination workloads (drain_capture.go:126-198).
+   * The oracle REPLAYS the full algebra in SQL — victim selection,
+   * ceiling, round-robin and both greedy walks (recursive CTEs) — from
+   * the same parquet, so a divergence in any branch shows up as a value
+   * mismatch, not a shared constant.
+   */
+  val tableSchedulers = GateQuery(
+    "q277_table_schedulers",
+    Some("""WITH RECURSIVE tbl AS (
+      |  SELECT o_orderkey % 13 AS t, count(*) AS cnt FROM orders GROUP BY 1
+      |), n_all AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cnt) AS BIGINT) AS total FROM tbl
+      |), rep AS (
+      |  SELECT t, cnt, 'cap-' || CAST(cnt % 2 AS VARCHAR) AS prim FROM tbl
+      |), maxt AS (SELECT max(t) AS mt FROM tbl),
+      |adds AS (
+      |  SELECT row_number() OVER (ORDER BY t) AS k, t,
+      |    'cap-' || CAST((row_number() OVER (ORDER BY t) - 1) % 3
+      |      AS VARCHAR) AS dest
+      |  FROM rep, maxt WHERE (cnt + t) % 3 = 0 AND t <> mt
+      |  QUALIFY row_number() OVER (ORDER BY t) <= 4
+      |), rm AS (
+      |  SELECT 1 AS k, r.t, r.prim AS dest FROM rep r, maxt WHERE r.t = mt
+      |), sz AS (
+      |  SELECT count(*) FILTER (WHERE prim = 'cap-0') AS n0,
+      |    count(*) FILTER (WHERE prim = 'cap-1') AS n1 FROM rep
+      |), up AS (
+      |  SELECT CAST(ceil(n / 3.0) AS BIGINT) AS ul FROM n_all
+      |), victims AS (
+      |  SELECT v.t, v.prim, row_number() OVER (ORDER BY v.prim, v.t) AS i
+      |  FROM (SELECT t, prim, row_number()
+      |          OVER (PARTITION BY prim ORDER BY t) AS rn FROM rep) v,
+      |    up, sz
+      |  WHERE (v.prim = 'cap-0' AND v.rn <= sz.n0 - up.ul)
+      |     OR (v.prim = 'cap-1' AND v.rn <= sz.n1 - up.ul)
+      |), post AS (
+      |  SELECT sz.n0 - greatest(sz.n0 - up.ul, 0) AS s0,
+      |    sz.n1 - greatest(sz.n1 - up.ul, 0) AS s1,
+      |    CAST(0 AS BIGINT) AS s2 FROM sz, up
+      |), bal AS (
+      |  SELECT CAST(0 AS BIGINT) AS i, s0, s1, s2,
+      |    CAST(NULL AS BIGINT) AS t, '' AS dest FROM post
+      |  UNION ALL
+      |  SELECT v.i,
+      |    g.s0 + CASE WHEN g.s0 <= g.s1 AND g.s0 <= g.s2 THEN 1 ELSE 0 END,
+      |    g.s1 + CASE WHEN NOT (g.s0 <= g.s1 AND g.s0 <= g.s2)
+      |                 AND g.s1 <= g.s2 THEN 1 ELSE 0 END,
+      |    g.s2 + CASE WHEN NOT (g.s0 <= g.s1 AND g.s0 <= g.s2)
+      |                 AND NOT g.s1 <= g.s2 THEN 1 ELSE 0 END,
+      |    v.t,
+      |    CASE WHEN g.s0 <= g.s1 AND g.s0 <= g.s2 THEN 'cap-0'
+      |         WHEN g.s1 <= g.s2 THEN 'cap-1' ELSE 'cap-2' END
+      |  FROM bal g JOIN victims v ON v.i = g.i + 1
+      |), dvic AS (
+      |  SELECT t, row_number() OVER (ORDER BY t) AS i FROM rep
+      |  WHERE prim = 'cap-0' QUALIFY row_number() OVER (ORDER BY t) <= 3
+      |), drain AS (
+      |  SELECT CAST(0 AS BIGINT) AS i, CAST(sz.n1 AS BIGINT) AS w1,
+      |    CAST(0 AS BIGINT) AS w2, CAST(NULL AS BIGINT) AS t, '' AS dest
+      |  FROM sz
+      |  UNION ALL
+      |  SELECT v.i,
+      |    g.w1 + CASE WHEN g.w1 <= g.w2 THEN 1 ELSE 0 END,
+      |    g.w2 + CASE WHEN NOT g.w1 <= g.w2 THEN 1 ELSE 0 END,
+      |    v.t, CASE WHEN g.w1 <= g.w2 THEN 'cap-1' ELSE 'cap-2' END
+      |  FROM drain g JOIN dvic v ON v.i = g.i + 1
+      |)
+      |SELECT 'add' AS part, CAST(k AS BIGINT) AS k, t AS tbl, dest,
+      |  (SELECT total FROM n_all) AS ck
+      |FROM adds
+      |UNION ALL
+      |SELECT 'rm', CAST(k AS BIGINT), t, dest, CAST(0 AS BIGINT) FROM rm
+      |UNION ALL
+      |SELECT 'bal', i, t, dest, CAST(0 AS BIGINT) FROM bal WHERE i > 0
+      |UNION ALL
+      |SELECT 'drain', i, t, dest, CAST(0 AS BIGINT) FROM drain
+      |WHERE i > 0""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.ReplicationSet
+    import graft.streaming.ReplicationSet.{TableState, TableStatus}
+    import graft.streaming.TableSchedulers
+    import graft.streaming.TableSchedulers._
+    val tblCnt = Tables.load(spark, dir, "orders")
+      .groupBy((col("o_orderkey") % 13).as("t")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val nOrders = tblCnt.map(_._2).sum
+    def repOn(t: Long, cap: String) = ReplicationSet.init(t, 100L,
+      Seq(cap -> TableStatus(t, TableState.Replicating))).toOption.get
+    val reps = tblCnt.map { case (t, c) => t -> repOn(t, s"cap-${c % 2}") }
+      .toMap
+    val capsInit = Seq(
+      CaptureStatus("cap-0", CaptureState.Initialized),
+      CaptureStatus("cap-1", CaptureState.Initialized),
+      CaptureStatus("cap-2", CaptureState.Initialized))
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, String, Long)]
+    // basic: tables with (cnt+t)%3==0 have no replication set yet; the
+    // max table id is no longer current -> removed.
+    val maxT = tblCnt.map(_._1).max
+    val current = tblCnt.map(_._1).filter(_ != maxT)
+    val repsBasic = reps.filter { case (t, _) =>
+      val c = tblCnt.find(_._1 == t).get._2
+      (c + t) % 3 != 0
+    }
+    TableSchedulers.basicSchedule(nOrders, current, capsInit, repsBasic,
+      batchSize = 4).foreach {
+      case BurstBalance(adds, removes, _) =>
+        adds.zipWithIndex.foreach { case (a, i) =>
+          rows += (("add", i + 1L, a.tableId, a.captureId, a.checkpointTs))
+        }
+        removes.zipWithIndex.foreach { case (r, i) =>
+          rows += (("rm", i + 1L, r.tableId, r.captureId, 0L))
+        }
+      case _ =>
+    }
+    // balance: unlimited burst over the full placement
+    TableSchedulers.balanceMoveTables(capsInit, reps, Int.MaxValue)
+      .zipWithIndex.foreach { case (m, i) =>
+        rows += (("bal", i + 1L, m.tableId, m.destCapture, 0L))
+      }
+    // drain cap-0 (stopping, non-owner), task cap 3
+    val capsDrain = Seq(
+      CaptureStatus("cap-0", CaptureState.Stopping),
+      CaptureStatus("cap-1", CaptureState.Initialized, isOwner = true),
+      CaptureStatus("cap-2", CaptureState.Initialized))
+    TableSchedulers.drainSchedule(None, capsDrain, reps, 3)._1.foreach {
+      case MoveTable(t, dest) =>
+        rows += (("drain", rows.count(_._1 == "drain") + 1L, t, dest, 0L))
+      case _ =>
+    }
+    rows.toSeq.toDF("part", "k", "tbl", "dest", "ck")
+  }
+
   val all: Seq[GateQuery] =
     Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix,
-      ddlRepair, whereHandle, rmUnused, ddlDispatch, binlogPos)
+      ddlRepair, whereHandle, rmUnused, ddlDispatch, binlogPos,
+      replicationSet, tableSchedulers)
 }
