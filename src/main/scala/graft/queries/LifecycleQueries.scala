@@ -2171,8 +2171,201 @@ object LifecycleQueries {
     rows.toSeq.toDF("part", "k", "tbl", "dest", "ck")
   }
 
+  /**
+   * q278 — hot-table keyspan splitting ([[graft.streaming.KeySpanSplit]];
+   * cdc/scheduler/internal/v3/keyspan/): 40 "regions" derived from
+   * lineitem (region r = l_orderkey % 40, writtenKeys = its row count)
+   * driven through the three split decisions. `num` = getSpansNumber's
+   * max(captures × max(captures−1, 3), regions/50000) capped at 100
+   * (reconciler.go:219-234); `wsplit` = the written-keys walk — +1
+   * normalization, limit = totalNorm/baseSpans, emission on
+   * strictly-greater weight / rest-region exhaustion / rest-span
+   * re-estimation (splitter_write.go:117-271); `wskip` = the
+   * below-threshold single span; `rcount` = the evenly-split stepper
+   * with the front-loaded remainder and outer-bound re-imposition
+   * (splitter_region_count.go:46-160). The oracle REPLAYS both walks in
+   * SQL — the written-keys walk as a recursive CTE over the cumulative
+   * normalized weights, the stepper via its closed form
+   * cum_j = j·base + extra·min(j, bigSteps).
+   */
+  val keySpanSplit = GateQuery(
+    "q278_keyspan_split",
+    Some("""WITH RECURSIVE reg AS (
+      |  SELECT l_orderkey % 40 AS r, CAST(count(*) AS BIGINT) AS wk
+      |  FROM lineitem GROUP BY 1
+      |), norm AS (
+      |  SELECT r + 1 AS idx, wk + 1 AS nwk,
+      |    'k' || CAST(r AS VARCHAR) AS skey,
+      |    'k' || CAST(r + 1 AS VARCHAR) AS ekey
+      |  FROM reg
+      |), tot AS (
+      |  SELECT CAST(sum(nwk) AS BIGINT) AS totn,
+      |    CAST(sum(nwk - 1) AS BIGINT) AS totw,
+      |    CAST(count(*) AS BIGINT) AS n FROM norm
+      |), cum AS (
+      |  SELECT idx, skey, ekey, nwk,
+      |    CAST(sum(nwk) OVER (ORDER BY idx) AS BIGINT) AS cw
+      |  FROM norm
+      |), nums AS (
+      |  SELECT k, rn, cn,
+      |    least(100, CASE WHEN rn > 1
+      |      THEN greatest(cn * greatest(cn - 1, 3), rn // 50000)
+      |      ELSE 1 END) AS spans
+      |  FROM (SELECT 1 AS k, n AS rn, CAST(1 AS BIGINT) AS cn FROM tot
+      |        UNION ALL SELECT 2, n, 2 FROM tot
+      |        UNION ALL SELECT 3, n, 5 FROM tot
+      |        UNION ALL SELECT 4, totw, 2 FROM tot
+      |        UNION ALL SELECT 5, totw, 200 FROM tot) v
+      |), base AS (SELECT spans AS bs FROM nums WHERE k = 2
+      |), lim AS (SELECT t.totn // b.bs AS lim FROM tot t, base b
+      |), walk AS (
+      |  SELECT CAST(0 AS BIGINT) AS i, CAST(1 AS BIGINT) AS s,
+      |    CAST(b.bs AS BIGINT) AS rs, FALSE AS done,
+      |    CAST(NULL AS BIGINT) AS es, CAST(NULL AS BIGINT) AS ee
+      |  FROM base b
+      |  UNION ALL
+      |  SELECT w.i + 1,
+      |    CASE WHEN mid.isa THEN t.n + 1
+      |         WHEN st.isbc THEN w.i + 2 ELSE w.s END,
+      |    CASE WHEN st.isbc THEN mid.rs1 - 1 ELSE mid.rs1 END,
+      |    mid.isa,
+      |    CASE WHEN mid.isa OR st.isbc THEN w.s END,
+      |    CASE WHEN mid.isa THEN t.n WHEN st.isbc THEN w.i + 1 END
+      |  FROM walk w
+      |  CROSS JOIN tot t CROSS JOIN lim l
+      |  JOIN cum ci ON ci.idx = w.i + 1
+      |  LEFT JOIN cum cs ON cs.idx = w.s - 1,
+      |  LATERAL (
+      |    SELECT
+      |      ci.cw - coalesce(cs.cw, 0) AS w1,
+      |      t.n - w.i AS rr,
+      |      t.totn - coalesce(cs.cw, 0) AS rw
+      |  ) pre,
+      |  LATERAL (
+      |    SELECT
+      |      (w.rs = 1 AND pre.rw <= l.lim) AS isa,
+      |      CASE WHEN w.rs = 1 AND pre.rw > l.lim
+      |           THEN pre.rw // l.lim + 1 ELSE w.rs END AS rs1
+      |  ) mid,
+      |  LATERAL (
+      |    SELECT (NOT mid.isa) AND (pre.rr <= mid.rs1 OR pre.w1 > l.lim
+      |      OR (w.i + 1 - w.s + 1) >= 50000) AS isbc
+      |  ) st
+      |  WHERE NOT w.done AND w.i < t.n
+      |), emitted AS (
+      |  SELECT es, ee FROM walk WHERE es IS NOT NULL
+      |  UNION ALL
+      |  -- the catch-all leftover span (splitter_write.go:222-246)
+      |  SELECT w.s, t.n FROM walk w, tot t
+      |  WHERE w.i = t.n AND NOT w.done AND w.s <= t.n
+      |), wsplit AS (
+      |  SELECT row_number() OVER (ORDER BY es) AS k,
+      |    (SELECT skey FROM cum WHERE idx = es) AS skey,
+      |    (SELECT ekey FROM cum WHERE idx = ee) AS ekey,
+      |    ee - es + 1 AS cnt,
+      |    (SELECT cw FROM cum WHERE idx = ee)
+      |      - coalesce((SELECT cw FROM cum WHERE idx = es - 1), 0) AS w
+      |  FROM emitted
+      |), stepper AS (
+      |  SELECT t.n, b.bs, t.n // b.bs AS rps, t.n % b.bs AS rem,
+      |    CASE WHEN t.n // b.bs = 0 THEN 0
+      |         WHEN t.n % b.bs <> 0
+      |           THEN CAST(ceil((t.n % b.bs) / (1.0 * b.bs)) AS BIGINT)
+      |         ELSE 0 END AS extra
+      |  FROM tot t, base b
+      |), stepper2 AS (
+      |  SELECT *, CASE WHEN extra = 0 THEN 0
+      |    ELSE CAST(ceil(rem / (1.0 * extra)) AS BIGINT) END AS bsteps,
+      |    CASE WHEN rps = 0 THEN n ELSE bs END AS pages,
+      |    greatest(rps, 1) AS rps1
+      |  FROM stepper
+      |), pagej AS (
+      |  SELECT unnest(generate_series(1, CAST(pages AS BIGINT))) AS j,
+      |    rps1, extra, bsteps, n
+      |  FROM stepper2
+      |), bounds AS (
+      |  SELECT j, least(n,
+      |      j * rps1 + extra * least(j, bsteps)) AS e,
+      |    least(n, (j - 1) * rps1 + extra * least(j - 1, bsteps)) AS p,
+      |    n
+      |  FROM pagej
+      |), rcount AS (
+      |  SELECT row_number() OVER (ORDER BY j) AS k,
+      |    CASE WHEN j = 1 THEN 'TSTART'
+      |         ELSE (SELECT skey FROM cum WHERE idx = p + 1) END AS skey,
+      |    CASE WHEN e = n THEN 'TEND'
+      |         ELSE (SELECT ekey FROM cum WHERE idx = e) END AS ekey,
+      |    e - p AS cnt
+      |  FROM bounds WHERE p < n
+      |)
+      |SELECT 'num' AS part, CAST(k AS BIGINT) AS k, '' AS skey,
+      |  '' AS ekey, CAST(spans AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS w
+      |FROM nums
+      |UNION ALL
+      |SELECT 'wsplit', k, skey, ekey, CAST(cnt AS BIGINT), CAST(w AS BIGINT)
+      |FROM wsplit
+      |UNION ALL
+      |SELECT 'wskip', 1, (SELECT skey FROM cum WHERE idx = 1),
+      |  (SELECT ekey FROM cum ORDER BY idx DESC LIMIT 1),
+      |  (SELECT n FROM tot), (SELECT totn FROM tot)
+      |UNION ALL
+      |SELECT 'rcount', k, skey, ekey, CAST(cnt AS BIGINT),
+      |  CAST(0 AS BIGINT)
+      |FROM rcount""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.KeySpanSplit
+    import KeySpanSplit.{Region, Span}
+    val buckets = Tables.load(spark, dir, "lineitem")
+      .groupBy((col("l_orderkey") % 40).as("r")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val regions = buckets.map { case (r, c) =>
+      Region(s"k$r", s"k${r + 1}", c)
+    }.toSeq
+    val n = regions.size
+    val totW = buckets.map(_._2).sum
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, String, String, Long, Long)]
+    // num: the span-count formula over data-derived inputs
+    Seq((1L, n.toLong, 1), (2L, n.toLong, 2), (3L, n.toLong, 5),
+      (4L, totW, 2), (5L, totW, 200)).foreach { case (k, rn, cn) =>
+      rows += (("num", k, "", "",
+        KeySpanSplit.spansNumber(rn.toInt, cn).toLong, 0L))
+    }
+    // wsplit: the written-keys walk at baseSpans = spansNumber(n, 2)
+    val info = KeySpanSplit.splitByWrittenKeys(1L, regions,
+      KeySpanSplit.spansNumber(n, 2), writeKeyThreshold = 1L)
+    info.spans.zipWithIndex.foreach { case (s, i) =>
+      rows += (("wsplit", i + 1L, s.startKey, s.endKey,
+        info.regionCounts(i).toLong, info.weights(i)))
+    }
+    // wskip: threshold above the total write keeps one span
+    val skip = KeySpanSplit.splitByWrittenKeys(1L, regions, 6,
+      writeKeyThreshold = totW * 10)
+    rows += (("wskip", 1L, skip.spans.head.startKey,
+      skip.spans.head.endKey, skip.regionCounts.head.toLong,
+      skip.weights.head))
+    // rcount: the evenly-split stepper, outer bounds re-imposed; the
+    // per-span region count replays the loop's end-capped boundaries
+    // (splitter_region_count.go:76-109)
+    val rSpans = KeySpanSplit.splitByRegionCount(Span(1L, "TSTART", "TEND"),
+      regions, captureNum = 2, regionThreshold = 10)
+    locally {
+      val st = new KeySpanSplit.Stepper(KeySpanSplit.spansNumber(n, 2), n)
+      var end = math.min(st.step(), n)
+      var prev = 0
+      rSpans.zipWithIndex.foreach { case (s, i) =>
+        rows += (("rcount", i + 1L, s.startKey, s.endKey,
+          (end - prev).toLong, 0L))
+        prev = end
+        val sp = st.step()
+        end = if (end + sp < n) end + sp else n
+      }
+    }
+    rows.toSeq.toDF("part", "k", "skey", "ekey", "cnt", "w")
+  }
+
   val all: Seq[GateQuery] =
     Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix,
       ddlRepair, whereHandle, rmUnused, ddlDispatch, binlogPos,
-      replicationSet, tableSchedulers)
+      replicationSet, tableSchedulers, keySpanSplit)
 }
