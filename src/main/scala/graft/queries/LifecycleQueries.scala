@@ -2364,8 +2364,120 @@ object LifecycleQueries {
     rows.toSeq.toDF("part", "k", "skey", "ekey", "cnt", "w")
   }
 
+  /**
+   * q279 — the owner's checkpoint-advance algebra
+   * ([[graft.streaming.ReplicationManager.advanceCheckpoint]];
+   * replication_manager.go:557-745): seven tables × two key-span pieces
+   * with data-derived checkpoints (base = count(orders), per-table
+   * offsets from the bucket row counts) driven through five scenarios.
+   * `full` = min-checkpoint/min-resolved/max-lastSynced/min-puller with
+   * the slowest sink picked by (ck, rts) lexicographic min (:633-639);
+   * `hole` = a missing piece yields the all-zero cannot-proceed
+   * watermark while the redo-enabled barrier still clamps to
+   * min(redoBarrier, flushedMeta) (:680-695); `empty` = no tables
+   * advances to (minTableBarrier, globalBarrier) (:698-716); `clamp` =
+   * checkpoint capped at the min-table barrier (:718-720); `redo` =
+   * resolved capped by the redo barrier, the meta update taken BEFORE
+   * the flushed clamp, the global barrier never passing the flushed
+   * resolved ts (:728-743). Oracle = the same aggregations and clamps
+   * in SQL over the same derived pieces.
+   */
+  val advanceCheckpoint = GateQuery(
+    "q279_advance_checkpoint",
+    Some("""WITH cnt AS (
+      |  SELECT o_orderkey % 7 AS t, CAST(count(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1
+      |), b AS (SELECT CAST(count(*) AS BIGINT) AS base FROM orders
+      |), p AS (
+      |  SELECT t, i, base + c + t * 3 + i * 7 AS ck, base
+      |  FROM cnt, b, (VALUES (0), (1)) v(i)
+      |), p2 AS (
+      |  SELECT t, i, ck, ck + t + i + 1 AS rts, ck - 5 + i AS ls,
+      |    ck + 50 + t - i AS pu, base
+      |  FROM p
+      |)
+      |SELECT 'full' AS part, min(ck) AS ck, min(rts) AS rts,
+      |  max(ls) AS ls, min(pu) AS puller,
+      |  (SELECT base * 2 + 500 FROM b) AS g_bar,
+      |  (SELECT t FROM p2 ORDER BY ck, rts LIMIT 1) AS slow_sink,
+      |  (SELECT t FROM p2 ORDER BY pu LIMIT 1) AS slow_puller,
+      |  CAST(-1 AS BIGINT) AS meta_ck, CAST(-1 AS BIGINT) AS meta_rts
+      |FROM p2
+      |UNION ALL
+      |-- the slowest sink/puller side fields keep their pre-hole values
+      |-- (instance fields in the Go, assigned before the hole aborts)
+      |SELECT 'hole', 0, 0, 0, 0, base * 2 - 100,
+      |  (SELECT t FROM p2 WHERE t <= 3 ORDER BY ck, rts LIMIT 1),
+      |  (SELECT t FROM p2 WHERE t <= 3 ORDER BY pu LIMIT 1), -1, -1
+      |FROM b
+      |UNION ALL
+      |SELECT 'empty', base * 2 + 400, base * 2 + 500, 0, 0,
+      |  base * 2 + 500, -1, -1, -1, -1 FROM b
+      |UNION ALL
+      |SELECT 'clamp', base * 2 + 400,
+      |  (SELECT min(rts) FROM p2 WHERE t = 0 AND i = 0) + base * 2,
+      |  0, 0, base * 2 + 500, 0, -1, -1, -1
+      |FROM b
+      |UNION ALL
+      |SELECT 'redo', base, base + 150, 0, 0, base + 150, 0, -1,
+      |  base, base + 200 FROM b""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.ReplicationManager
+    import ReplicationManager._
+    import graft.streaming.ReplicationSet.Checkpoint
+    val buckets = Tables.load(spark, dir, "orders")
+      .groupBy((col("o_orderkey") % 7).as("t")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val base = buckets.map(_._2).sum
+    def piece(t: Long, c: Long, i: Int): SpanView = {
+      val ck = base + c + t * 3 + i * 7
+      SpanView(t, if (i == 0) "a" else "m", if (i == 0) "m" else "z",
+        Checkpoint(ck, ck + t + i + 1, ck - 5 + i),
+        Some(ck + 50 + t - i))
+    }
+    val tables = buckets.map { case (t, _) => (t, "a", "z") }.toSeq
+    val allPieces = buckets.toSeq.flatMap { case (t, c) =>
+      Seq(piece(t, c, 0), piece(t, c, 1))
+    }
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+    def emit(part: String, a: Advance): Unit =
+      rows += ((part, a.watermark.checkpointTs, a.watermark.resolvedTs,
+        a.watermark.lastSyncedTs, a.watermark.pullerResolvedTs,
+        a.barrier.globalBarrierTs,
+        a.slowestSink.map(_._1).getOrElse(-1L),
+        a.slowestPuller.map(_._1).getOrElse(-1L),
+        a.redoMetaUpdate.map(_._1).getOrElse(-1L),
+        a.redoMetaUpdate.map(_._2).getOrElse(-1L)))
+    val bar = BarrierTs(base * 2 + 500, base * 2 + 400, base * 2 - 100)
+    emit("full", ReplicationManager.advanceCheckpoint(tables, allPieces,
+      bar, redoEnabled = false))
+    // hole: drop table 3's second piece; redo enabled with a flushed
+    // meta ABOVE the redo barrier (the barrier wins the min)
+    emit("hole", ReplicationManager.advanceCheckpoint(tables,
+      allPieces.filterNot(p => p.tableId == 3L && p.startKey == "m"),
+      bar, redoEnabled = true, redoFlushedResolvedTs = base * 2 - 50))
+    emit("empty", ReplicationManager.advanceCheckpoint(Seq.empty,
+      Seq.empty, bar, redoEnabled = false))
+    // clamp: one whole-table span far past the min-table barrier
+    val hot = buckets.head._2
+    emit("clamp", ReplicationManager.advanceCheckpoint(
+      Seq((0L, "a", "z")),
+      Seq(SpanView(0L, "a", "z",
+        Checkpoint(base * 3, base + hot + 1 + base * 2))),
+      bar, redoEnabled = false))
+    // redo: resolved above the redo barrier, flushed meta below it
+    emit("redo", ReplicationManager.advanceCheckpoint(
+      Seq((0L, "a", "z")),
+      Seq(SpanView(0L, "a", "z", Checkpoint(base, base * 2 + 300))),
+      BarrierTs(base * 2 + 500, base * 2 + 400, base + 200),
+      redoEnabled = true, redoFlushedResolvedTs = base + 150))
+    rows.toSeq.toDF("part", "ck", "rts", "ls", "puller", "g_bar",
+      "slow_sink", "slow_puller", "meta_ck", "meta_rts")
+  }
+
   val all: Seq[GateQuery] =
     Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix,
       ddlRepair, whereHandle, rmUnused, ddlDispatch, binlogPos,
-      replicationSet, tableSchedulers, keySpanSplit)
+      replicationSet, tableSchedulers, keySpanSplit, advanceCheckpoint)
 }
