@@ -91,6 +91,30 @@ class KeySpanSplitSpec extends AnyFunSuite {
     assert(out.map(_.endKey).init == Seq("k7", "k14", "k21", "k28", "k34"))
   }
 
+  test("split constants parsed from the reference source (de-share)") {
+    import java.nio.file.{Files, Paths}
+    val rec = Paths.get("/root/reference/cdc/scheduler/internal/v3/" +
+      "keyspan/reconciler.go")
+    val sch = Paths.get(
+      "/root/reference/cdc/scheduler/internal/scheduler.go")
+    assume(Files.exists(rec) && Files.exists(sch),
+      "reference checkout not present")
+    val recSrc = new String(Files.readAllBytes(rec), "UTF-8")
+    def c(name: String): Int =
+      (name + """\s*=\s*(\d+)""").r.findFirstMatchIn(recSrc)
+        .map(_.group(1).toInt)
+        .getOrElse(fail(s"$name not found in reconciler.go"))
+    assert(c("spanRegionLimit") == KeySpanSplit.SpanRegionLimit)
+    assert(c("baseSpanNumberCoefficient") ==
+      KeySpanSplit.BaseSpanNumberCoefficient)
+    assert(c("maxSpanNumber") == KeySpanSplit.MaxSpanNumber)
+    val schSrc = new String(Files.readAllBytes(sch), "UTF-8")
+    val cp = """CheckpointCannotProceed = model\.Ts\((\d+)\)""".r
+      .findFirstMatchIn(schSrc).map(_.group(1).toLong)
+    assert(cp.contains(
+      graft.streaming.ReplicationManager.CannotProceed))
+  }
+
   test("region-count property: stepper equals its closed form") {
     val rnd = new scala.util.Random(1901L)
     for (trial <- 0 until 300) {

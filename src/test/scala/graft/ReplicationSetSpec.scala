@@ -501,6 +501,45 @@ class ReplicationSetSpec extends AnyFunSuite {
       (Seq.empty, None))
   }
 
+  // ---- constants pinned against the reference source (de-share) -----------
+
+  test("state/role enum values parsed from the reference source") {
+    import java.nio.file.{Files, Paths}
+    val pb = Paths.get(
+      "/root/reference/cdc/processor/tablepb/table.pb.go")
+    val rs = Paths.get("/root/reference/cdc/scheduler/internal/v3/" +
+      "replication/replication_set.go")
+    val cm = Paths.get("/root/reference/cdc/scheduler/internal/v3/" +
+      "member/capture_manager.go")
+    assume(Files.exists(pb) && Files.exists(rs) && Files.exists(cm),
+      "reference checkout not present")
+    def consts(path: java.nio.file.Path, re: String): Map[String, Int] =
+      re.r.findAllMatchIn(
+        new String(Files.readAllBytes(path), "UTF-8"))
+        .map(m => m.group(1) -> m.group(2).toInt).toMap
+    val ts = consts(pb, """TableState(\w+)\s+TableState = (\d+)""")
+    assert(ts == Map("Unknown" -> 0, "Absent" -> TableState.Absent,
+      "Preparing" -> TableState.Preparing,
+      "Prepared" -> TableState.Prepared,
+      "Replicating" -> TableState.Replicating,
+      "Stopping" -> TableState.Stopping,
+      "Stopped" -> TableState.Stopped))
+    val st = consts(rs,
+      """ReplicationSetState(\w+) ReplicationSetState = (\d+)""")
+    assert(st == Map("Unknown" -> 0, "Absent" -> RepState.Absent,
+      "Prepare" -> RepState.Prepare, "Commit" -> RepState.Commit,
+      "Replicating" -> RepState.Replicating,
+      "Removing" -> RepState.Removing))
+    val role = consts(rs, """Role(\w+) = (\d+)""")
+    assert(role == Map("Primary" -> Role.Primary,
+      "Secondary" -> Role.Secondary,
+      "Undetermined" -> Role.Undetermined))
+    val cs = consts(cm, """CaptureState(\w+) CaptureState = (\d+)""")
+    assert(cs == Map("Uninitialized" -> CaptureState.Uninitialized,
+      "Initialized" -> CaptureState.Initialized,
+      "Stopping" -> CaptureState.Stopping))
+  }
+
   test("move-table: stale/ineligible requests dropped, survivors emitted") {
     val caps = cluster("cap-a" -> CaptureState.Initialized,
       "cap-b" -> CaptureState.Uninitialized)
