@@ -2476,8 +2476,113 @@ object LifecycleQueries {
       "slow_sink", "slow_puller", "meta_ck", "meta_rts")
   }
 
+  /**
+   * q280 — the capture-membership handshake
+   * ([[graft.streaming.CaptureManager]];
+   * cdc/scheduler/internal/v3/member/capture_manager.go): one timeline
+   * driven through the manager — fresh captures greeted
+   * (:241-256), the first full initialization snapshotting every
+   * capture's tables into `changes.Init` (:286-292), a STALE-epoch
+   * heartbeat dropped while a same-epoch stopping response downgrades
+   * the capture (:83-118), a post-init removal carrying the last-known
+   * tables into `changes.Removed` (:259-279), TakeChanges'
+   * consume-once, and six ticks of the heartbeat/collect-stats clocks
+   * (heartbeatTick 2, collectStatsTick 3, :175-215). Table ids anchor
+   * to count(orders) % 7; oracle = the expected timeline with the same
+   * anchored arithmetic.
+   */
+  val captureManager = GateQuery(
+    "q280_capture_manager",
+    Some("""WITH b AS (
+      |  SELECT CAST(count(*) % 7 AS BIGINT) AS t1,
+      |    CAST(count(*) % 7 + 1 AS BIGINT) AS t2 FROM orders
+      |)
+      |SELECT v.step, v.kind, v.cap,
+      |  CASE v.num WHEN -7 THEN b.t1 WHEN -8 THEN b.t2
+      |    ELSE CAST(v.num AS BIGINT) END AS num, v.txt
+      |FROM (VALUES
+      |  (1, 'fresh', 'cap-b', 0, ''),
+      |  (1, 'fresh', 'cap-owner', 0, ''),
+      |  (1, 'take', '', 0, 'none'),
+      |  (2, 'state', 'cap-owner', 2, 'e0'),
+      |  (2, 'state', 'cap-b', 2, 'e1'),
+      |  (3, 'init', 'cap-b', -8, ''),
+      |  (3, 'init', 'cap-owner', -7, ''),
+      |  (3, 'flag', '', 1, ''),
+      |  (4, 'state', 'cap-b', 2, 'e1'),
+      |  (4, 'tables', 'cap-b', -8, ''),
+      |  (5, 'state', 'cap-b', 3, 'e1'),
+      |  (5, 'allinit', '', 1, ''),
+      |  (6, 'removed', 'cap-b', -8, ''),
+      |  (7, 'tick', '', 0, 'f'),
+      |  (8, 'tick', '', 1, 'f'),
+      |  (9, 'tick', '', 0, 'f'),
+      |  (10, 'tick', '', 1, 't'),
+      |  (11, 'tick', '', 0, 'f'),
+      |  (12, 'tick', '', 1, 't')
+      |) v(step, kind, cap, num, txt), b""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.CaptureManager
+    import CaptureManager._
+    import graft.streaming.ReplicationSet.{Checkpoint, TableState, TableStatus}
+    val t1 = Tables.load(spark, dir, "orders").count() % 7
+    val t2 = t1 + 1
+    def ts(t: Long) =
+      TableStatus(t, TableState.Replicating, Checkpoint(10, 20))
+    val m = new Manager("cap-owner", 7L, heartbeatTick = 2,
+      collectStatsTick = 3)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, String)]
+    // step 1: two fresh captures greeted; nothing to take before init
+    m.handleAliveCaptureUpdate(Map("cap-owner" -> "a0", "cap-b" -> "a1"))
+      .foreach(id => rows += ((1, "fresh", id, 0L, "")))
+    rows += ((1, "take", "",
+      0L, m.takeChanges().map(_ => "some").getOrElse("none")))
+    // step 2: both respond; epochs adopted
+    m.handleHeartbeatResponse("cap-owner", Seq(ts(t1)), LivenessAlive, "e0")
+    m.handleHeartbeatResponse("cap-b", Seq(ts(t2)), LivenessAlive, "e1")
+    Seq("cap-owner", "cap-b").foreach { id =>
+      val c = m.capture(id).get
+      rows += ((2, "state", id, c.currentState.toLong, c.currentEpoch))
+    }
+    // step 3: the init snapshot fires on the next alive update
+    m.handleAliveCaptureUpdate(Map("cap-owner" -> "a0", "cap-b" -> "a1"))
+    m.takeChanges().foreach { ch =>
+      ch.init.toSeq.sortBy(_._1).foreach { case (id, sts) =>
+        rows += ((3, "init", id, sts.head.tableId, ""))
+      }
+    }
+    rows += ((3, "flag", "", if (m.initialized) 1L else 0L, ""))
+    // step 4: a stale-epoch response is dropped wholesale
+    m.handleHeartbeatResponse("cap-b", Seq(ts(99L)), LivenessAlive, "e9")
+    val cb = m.capture("cap-b").get
+    rows += ((4, "state", "cap-b", cb.currentState.toLong, cb.currentEpoch))
+    rows += ((4, "tables", "cap-b", cb.currentTables.head.tableId, ""))
+    // step 5: same-epoch stopping downgrades; barrier still satisfied
+    m.handleHeartbeatResponse("cap-b", Seq(ts(t2)), LivenessStopping, "e1")
+    rows += ((5, "state", "cap-b",
+      m.capture("cap-b").get.currentState.toLong, "e1"))
+    rows += ((5, "allinit", "",
+      if (m.checkAllCaptureInitialized) 1L else 0L, ""))
+    // step 6: post-init removal carries the last-known tables
+    m.handleAliveCaptureUpdate(Map("cap-owner" -> "a0"))
+    m.takeChanges().foreach { ch =>
+      ch.removed.toSeq.sortBy(_._1).foreach { case (id, sts) =>
+        rows += ((6, "removed", id, sts.head.tableId, ""))
+      }
+    }
+    // steps 7-12: the heartbeat/collect-stats clocks over six ticks
+    (7 to 12).foreach { step =>
+      val hb = m.tick(Map("cap-owner" -> Seq(t1)), None)
+      rows += ((step, "tick", "", hb.size.toLong,
+        if (hb.nonEmpty && hb.forall(_.collectStats)) "t" else "f"))
+    }
+    rows.toSeq.toDF("step", "kind", "cap", "num", "txt")
+  }
+
   val all: Seq[GateQuery] =
     Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix,
       ddlRepair, whereHandle, rmUnused, ddlDispatch, binlogPos,
-      replicationSet, tableSchedulers, keySpanSplit, advanceCheckpoint)
+      replicationSet, tableSchedulers, keySpanSplit, advanceCheckpoint,
+      captureManager)
 }
