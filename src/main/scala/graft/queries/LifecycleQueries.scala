@@ -2580,9 +2580,87 @@ object LifecycleQueries {
     rows.toSeq.toDF("step", "kind", "cap", "num", "txt")
   }
 
+  /**
+   * q281 — the coordinator poll round end-to-end
+   * ([[graft.streaming.Coordinator]]; coordinator.go:268-385 +
+   * scheduler_manager.go:66-96): six deterministic rounds of one owner
+   * tick over two captures and three tables — the uninitialized
+   * short-circuit (zero watermark, greetings + heartbeats only), the
+   * init barrier crossing with the basic scheduler's round-robin burst
+   * add, the Preparing wait, the Prepared→promotion dispatches, the
+   * Replicating convergence (running tasks swept, the watermark turning
+   * real with the SEEDED puller-egress stage =
+   * the init checkpoint, NewReplicationSet:157-186), and the steady
+   * state. Checkpoints anchor to count(orders); oracle = the expected
+   * per-round table with the same arithmetic.
+   */
+  val coordinatorRound = GateQuery(
+    "q281_coordinator_round",
+    Some("""WITH b AS (
+      |  SELECT CAST(count(*) AS BIGINT) * 20 AS t0 FROM orders
+      |)
+      |SELECT v.r, CASE WHEN v.ck < 0 THEN 0 ELSE b.t0 + v.ck END AS ck,
+      |  CASE WHEN v.rts < 0 THEN 0 ELSE b.t0 + v.rts END AS rts,
+      |  CAST(v.ls AS BIGINT) AS ls,
+      |  CASE WHEN v.pu < 0 THEN 0 ELSE b.t0 + v.pu END AS pu,
+      |  CAST(v.nd AS BIGINT) AS nd, CAST(v.nh AS BIGINT) AS nh,
+      |  CAST(v.nr AS BIGINT) AS nr
+      |FROM (VALUES
+      |  (1, -1, -1, 0, -1, 0, 4, 0),
+      |  (2, 0, 0, 0, 0, 3, 2, 3),
+      |  (3, 0, 0, 0, 0, 0, 2, 3),
+      |  (4, 0, 0, 0, 0, 3, 2, 3),
+      |  (5, 101, 106, 0, 0, 0, 2, 0),
+      |  (6, 101, 106, 0, 0, 0, 2, 0)
+      |) v(r, ck, rts, ls, pu, nd, nh, nr), b""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.streaming.Coordinator.{Coord, Incoming}
+      import graft.streaming.CaptureManager.LivenessAlive
+      import graft.streaming.ReplicationSet.{Checkpoint, TableState, TableStatus}
+      val t0 = Tables.load(spark, dir, "orders").count() * 20
+      val coord = new Coord("cap-0", 7L, heartbeatTick = 1,
+        collectStatsTick = 4, maxTaskConcurrency = 8,
+        addTableBatchSize = 10)
+      val tables = Seq(1L, 2L, 3L)
+      val alive = Map("cap-0" -> "a0", "cap-1" -> "a1")
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Long, Long, Long, Long, Long, Long)]
+      def owned(cap: String): Seq[Long] =
+        coord.replicationM.replicationSets.collect {
+          case (t, rep) if rep.currentCaptures.contains(cap) => t
+        }.toSeq.sorted
+      def round(r: Int, state: Option[Int], ckOf: Long => Checkpoint)
+          : Unit = {
+        val incoming = Seq("cap-0", "cap-1").map { cap =>
+          val sts = state.toSeq.flatMap(s => owned(cap).map(t =>
+            TableStatus(t, s, if (s == TableState.Replicating) ckOf(t)
+            else Checkpoint(0, 0))))
+          Incoming(cap, s"e-$cap", LivenessAlive, sts)
+        }
+        val res = coord.poll(t0, tables, alive,
+          graft.streaming.ReplicationManager.BarrierTs(
+            1L << 40, (1L << 40) - 10, (1L << 40) - 20),
+          incoming).toOption.get
+        rows += ((r, res.watermark.checkpointTs, res.watermark.resolvedTs,
+          res.watermark.lastSyncedTs, res.watermark.pullerResolvedTs,
+          res.dispatches.size.toLong, res.heartbeats.size.toLong,
+          coord.replicationM.runningTaskTables.size.toLong))
+      }
+      round(1, None, _ => Checkpoint(0, 0))
+      round(2, None, _ => Checkpoint(0, 0))
+      round(3, Some(TableState.Preparing), _ => Checkpoint(0, 0))
+      round(4, Some(TableState.Prepared), _ => Checkpoint(0, 0))
+      round(5, Some(TableState.Replicating),
+        t => Checkpoint(t0 + 100 + t, t0 + 105 + t))
+      round(6, Some(TableState.Replicating),
+        t => Checkpoint(t0 + 100 + t, t0 + 105 + t))
+      rows.toSeq.toDF("r", "ck", "rts", "ls", "pu", "nd", "nh", "nr")
+  }
+
   val all: Seq[GateQuery] =
     Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix,
       ddlRepair, whereHandle, rmUnused, ddlDispatch, binlogPos,
       replicationSet, tableSchedulers, keySpanSplit, advanceCheckpoint,
-      captureManager)
+      captureManager, coordinatorRound)
 }

@@ -211,6 +211,26 @@ object ReplicationManager {
       Right(sent.toSeq)
     }
 
+    /** handleMessageHeartbeatResponse / DispatchTableResponse routing
+      * (:271-340): each reported table status drives its replication
+      * set's poll; unknown tables are ignored; a set that finished
+      * removing is garbage-collected. */
+    def handleHeartbeatTables(from: String, statuses: Seq[TableStatus])
+        : Either[String, Seq[Msg]] = {
+      val sent = scala.collection.mutable.ArrayBuffer.empty[Msg]
+      statuses.foreach { st =>
+        spans.get(st.tableId).foreach { rep =>
+          rep.handleTableStatus(from, st) match {
+            case Left(e) => return Left(e)
+            case Right(ms) =>
+              sent ++= ms
+              if (rep.hasRemoved) spans.remove(st.tableId)
+          }
+        }
+      }
+      Right(sent.toSeq)
+    }
+
     /** HandleTasks (:342-434): sweep finished tasks (table Replicating
       * again or removed, or gone), then accept tasks — burst balance
       * bypasses the concurrency cap and marks placeholders; a task on a

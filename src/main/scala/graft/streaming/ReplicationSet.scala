@@ -133,12 +133,18 @@ object ReplicationSet {
     private[streaming] val captures =
       scala.collection.mutable.Map.empty[String, Int]
     private[streaming] var checkpoint: Checkpoint = c0
-    private[streaming] var stats: Map[String, Long] = Map.empty
+    // Stats seeded with the init checkpoint (NewReplicationSet:157-186):
+    // a new table stuck in incremental scan must not let the owner's
+    // min-puller resolved ts rise past its creation point. Only the
+    // puller-egress stage is consumed downstream (AdvanceCheckpoint).
+    private[streaming] var stats: Map[String, Long] =
+      Map("puller-egress" -> c0.checkpointTs)
 
     def currentState: Int = state
     def currentPrimary: String = primary
     def currentCaptures: Map[String, Int] = captures.toMap
     def currentCheckpoint: Checkpoint = checkpoint
+    def currentStats: Map[String, Long] = stats
 
     private[streaming] def hasRole(role: Int): Boolean =
       captures.exists(_._2 == role)

@@ -228,6 +228,64 @@ object TableSchedulers {
     }
   }
 
+  /** Mutable manual-scheduler state the scheduler manager threads
+    * between ticks: the drain target, the pending manual moves, the
+    * rebalance trigger, and whether the periodic balance interval has
+    * elapsed (the Go's checkBalanceInterval/forceBalance timing, left
+    * to the caller). */
+  final class SchedulerState {
+    var drainTarget: Option[String] = None
+    val pendingMoves = scala.collection.mutable.ArrayBuffer.empty[MoveTable]
+    var rebalanceTriggered: Boolean = false
+    var balanceAllowed: Boolean = true
+
+    /** moveTableScheduler.addTask (scheduler_move_table.go:48-67):
+      * a pending move on the same span declines the new request. */
+    def addMove(tableId: Long, dest: String): Boolean =
+      if (pendingMoves.exists(_.tableId == tableId)) false
+      else { pendingMoves += MoveTable(tableId, dest); true }
+  }
+
+  /**
+   * The scheduler manager's priority walk (scheduler_manager.go:66-96 +
+   * scheduler.go:39-46): basic > drain > move-table > rebalance >
+   * balance; the FIRST scheduler producing tasks wins the tick; every
+   * scheduler but basic is suppressed while the running-task count is
+   * at the concurrency cap.
+   */
+  def schedule(checkpointTs: Long, currentTables: Seq[Long],
+               captures: Seq[CaptureStatus],
+               replications: Map[Long, Rep],
+               runningTaskCount: Int, maxTaskConcurrency: Int,
+               addTableBatchSize: Int,
+               st: SchedulerState): Seq[Task] = {
+    val basic = basicSchedule(checkpointTs, currentTables, captures,
+      replications, addTableBatchSize)
+    if (basic.nonEmpty) return basic
+    if (runningTaskCount >= maxTaskConcurrency) return Seq.empty
+    val (drain, target) = drainSchedule(st.drainTarget, captures,
+      replications, maxTaskConcurrency)
+    st.drainTarget = target
+    if (drain.nonEmpty) return drain
+    val (moves, dropped) = moveTableSchedule(st.pendingMoves.toSeq,
+      currentTables, captures, replications)
+    st.pendingMoves --= st.pendingMoves.filter(m =>
+      dropped.contains(m.tableId))
+    if (moves.nonEmpty) {
+      // emission = acceptance here: the reference clears a move task via
+      // its Accept callback when the replication manager takes it
+      st.pendingMoves.clear()
+      return moves
+    }
+    val (reb, trig) = rebalanceSchedule(st.rebalanceTriggered,
+      currentTables, captures, replications)
+    st.rebalanceTriggered = trig
+    if (reb.nonEmpty) return reb
+    if (st.balanceAllowed)
+      balanceSchedule(captures, replications, maxTaskConcurrency)
+    else Seq.empty
+  }
+
   /**
    * Manual move-table validation (scheduler_move_table.go:69-163): each
    * pending (table, dest) is DROPPED when the table is no longer
