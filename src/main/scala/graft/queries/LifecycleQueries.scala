@@ -1957,9 +1957,9 @@ object LifecycleQueries {
         scala.collection.mutable.ArrayBuffer
           .empty[(String, Int, String, String, String, Long, Long, Int)]
       def fmt(ms: Seq[Msg]): String = ms.map {
-        case AddTableReq(to, true, _) => s"add-sec:$to"
-        case AddTableReq(to, false, _) => s"add-pri:$to"
-        case RemoveTableReq(to) => s"rm:$to"
+        case AddTableReq(_, to, true, _) => s"add-sec:$to"
+        case AddTableReq(_, to, false, _) => s"add-pri:$to"
+        case RemoveTableReq(_, to) => s"rm:$to"
       }.mkString(";")
       def rec(sc: String, step: Int, r: Rep,
               out: Either[String, Seq[Msg]]): Unit = {
@@ -2658,9 +2658,112 @@ object LifecycleQueries {
       rows.toSeq.toDF("r", "ck", "rts", "ls", "pu", "nd", "nh", "nr")
   }
 
+  /**
+   * q282 — the processor-side scheduling agent
+   * ([[graft.streaming.Agent]]; cdc/scheduler/internal/v3/agent/): one
+   * deterministic timeline against the step executor — the
+   * owner-revision handshake (adopt resets the processor epoch, staled
+   * owners dropped, same-revision id mismatch errors,
+   * agent.go:408-460), the epoch-guarded dispatch (:331-394), the add
+   * task machine (Preparing reports NOTHING to spare the owner,
+   * table.go:227; Prepared is stable for a prepare task; the
+   * received→processed second phase reaches Replicating), heartbeat
+   * semantics (unknown requested spans report Absent, a pending remove
+   * overrides to Stopping, IsStopping latches liveness one-way), and
+   * the remove machine's Stopped response with the final checkpoint and
+   * the zero-resolved backfill (:96-105, :124-170). Checkpoints anchor
+   * to count(orders).
+   */
+  val captureAgent = GateQuery(
+    "q282_capture_agent",
+    Some("""WITH b AS (
+      |  SELECT CAST(count(*) AS BIGINT) * 40 AS t0 FROM orders
+      |)
+      |SELECT v.step, v.kind,
+      |  CASE WHEN v.num <= -5 THEN b.t0 + (v.num + 10)
+      |       ELSE CAST(v.num AS BIGINT) END AS num, v.txt
+      |FROM (VALUES
+      |  (1, 'own', 1, 'cap-1-epoch-2'),
+      |  (2, 'own', 0, 'cap-1-epoch-2'),
+      |  (3, 'own', -1, 'schedulerv3: owner IDs do not match'),
+      |  (4, 'tracked', 0, ''),
+      |  (5, 'tracked', 1, ''),
+      |  (6, 'resp', 0, ''),
+      |  (7, 'resp', 1, 'Prepared'),
+      |  (8, 'resp', 1, 'Prepared'),
+      |  (9, 'ck', -7, 'Replicating'),
+      |  (10, 'rts', -5, ''),
+      |  (11, 'hb', 2, 'Replicating,Absent'),
+      |  (12, 'hb', 1, 'Stopping'),
+      |  (13, 'resp', 1, 'Stopping'),
+      |  (14, 'ck', -7, 'Stopped'),
+      |  (15, 'rts', -7, ''),
+      |  (16, 'tracked', 0, ''),
+      |  (17, 'live', 1, ''),
+      |  (18, 'live', 1, '')
+      |) v(step, kind, num, txt), b""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.Agent
+    import Agent.CaptureAgent
+    import graft.streaming.ReplicationSet.{Checkpoint, TableState}
+    val t0 = Tables.load(spark, dir, "orders").count() * 40
+    val ex = new Agent.StepExecutor(t0)
+    val a = new CaptureAgent("cap-1", ex)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, String)]
+    def own(step: Int, id: String, rev: Long): Unit =
+      a.handleOwnerInfo(id, rev) match {
+        case Right(ok) => rows += ((step, "own", if (ok) 1L else 0L,
+          a.epoch))
+        case Left(e) => rows += ((step, "own", -1L, e))
+      }
+    own(1, "owner-a", 5L)
+    own(2, "owner-old", 4L)
+    own(3, "owner-b", 5L)
+    a.dispatchAdd(1L, Checkpoint(t0, t0), isSecondary = true, "stale")
+    rows += ((4, "tracked", a.trackedTables.size.toLong, ""))
+    a.dispatchAdd(1L, Checkpoint(t0, t0), isSecondary = true, a.epoch)
+    rows += ((5, "tracked", a.trackedTables.size.toLong, ""))
+    def resp(step: Int): Unit = {
+      val r = a.pollTables()
+      rows += ((step, "resp", r.size.toLong,
+        r.map(s => TableState.names(s.state)).mkString(",")))
+    }
+    resp(6) // Preparing: silent
+    ex.tick(); resp(7) // Prepared: stable for the prepare task
+    a.dispatchAdd(1L, Checkpoint(t0, t0), isSecondary = false, a.epoch)
+    resp(8) // second phase started, still Prepared
+    ex.tick() // Prepared -> Replicating, ck += 3
+    val rep = a.pollTables()
+    rows += ((9, "ck", rep.head.checkpoint.checkpointTs,
+      TableState.names(rep.head.state)))
+    rows += ((10, "rts", rep.head.checkpoint.resolvedTs, ""))
+    val (hb1, _, _) = a.handleHeartbeat(Seq(1L, 2L), isStopping = false,
+      collectStats = false)
+    rows += ((11, "hb", hb1.size.toLong,
+      hb1.map(s => TableState.names(s.state)).mkString(",")))
+    a.dispatchRemove(1L, a.epoch)
+    val (hb2, _, _) = a.handleHeartbeat(Seq.empty, isStopping = false,
+      collectStats = false)
+    rows += ((12, "hb", hb2.size.toLong,
+      hb2.map(s => TableState.names(s.state)).mkString(",")))
+    resp(13) // Stopping
+    ex.tick() // Stopping -> Stopped
+    val fin = a.pollTables()
+    rows += ((14, "ck", fin.head.checkpoint.checkpointTs,
+      TableState.names(fin.head.state)))
+    rows += ((15, "rts", fin.head.checkpoint.resolvedTs, ""))
+    rows += ((16, "tracked", a.trackedTables.size.toLong, ""))
+    a.handleHeartbeat(Seq.empty, isStopping = true, collectStats = false)
+    rows += ((17, "live", a.currentLiveness.toLong, ""))
+    a.handleHeartbeat(Seq.empty, isStopping = false, collectStats = false)
+    rows += ((18, "live", a.currentLiveness.toLong, ""))
+    rows.toSeq.toDF("step", "kind", "num", "txt")
+  }
+
   val all: Seq[GateQuery] =
     Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix,
       ddlRepair, whereHandle, rmUnused, ddlDispatch, binlogPos,
       replicationSet, tableSchedulers, keySpanSplit, advanceCheckpoint,
-      captureManager, coordinatorRound)
+      captureManager, coordinatorRound, captureAgent)
 }

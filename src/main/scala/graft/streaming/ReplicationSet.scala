@@ -70,10 +70,11 @@ object ReplicationSet {
     * (schedulepb.DispatchTableRequest: AddTable at replication_set.go:
     * 500-514 / 628-641 / 672-684, RemoveTable at :585-597 / 716-727 /
     * 821-833). */
-  sealed trait Msg { def to: String }
-  final case class AddTableReq(to: String, isSecondary: Boolean,
+  sealed trait Msg { def tableId: Long; def to: String }
+  final case class AddTableReq(tableId: Long, to: String,
+                               isSecondary: Boolean,
                                checkpoint: Checkpoint) extends Msg
-  final case class RemoveTableReq(to: String) extends Msg
+  final case class RemoveTableReq(tableId: Long, to: String) extends Msg
 
   /** Build a set from the statuses captures report at owner startup
     * (NewReplicationSet, replication_set.go:141-283). Left = the
@@ -245,7 +246,8 @@ object ReplicationSet {
     private def pollOnPrepare(input: TableStatus, captureId: String)
         : Either[String, (Option[Msg], Boolean)] = input.state match {
       case TableState.Absent if isInRole(captureId, Role.Secondary) =>
-        Right((Some(AddTableReq(captureId, isSecondary = true, checkpoint)),
+        Right((Some(AddTableReq(tableId, captureId, isSecondary = true,
+          checkpoint)),
           false))
       case TableState.Preparing if isInRole(captureId, Role.Secondary) =>
         Right((None, false)) // may take a long time — keep waiting
@@ -277,7 +279,7 @@ object ReplicationSet {
         if (isInRole(captureId, Role.Secondary)) {
           if (primary.nonEmpty)
             // Ask the old primary to stop before promoting (:584-598).
-            return Right((Some(RemoveTableReq(primary)), false))
+            return Right((Some(RemoveTableReq(tableId, primary)), false))
           if (hasRole(Role.Undetermined))
             // Unknown captures may still be writing — wait (:599-612).
             return Right((None, false))
@@ -285,8 +287,8 @@ object ReplicationSet {
         }
         // Promoted secondary: retry the primary AddTable (:626-641).
         if (primary == captureId && !hasRole(Role.Secondary))
-          Right((Some(AddTableReq(captureId, isSecondary = false,
-            checkpoint)), false))
+          Right((Some(AddTableReq(tableId, captureId,
+            isSecondary = false, checkpoint)), false))
         else Right((None, false))
 
       case TableState.Stopped | TableState.Absent =>
@@ -301,8 +303,8 @@ object ReplicationSet {
             promoteSecondary(sec) match {
               case Left(e) => Left(e)
               case Right(_) =>
-                Right((Some(AddTableReq(primary, isSecondary = false,
-                  checkpoint)), false))
+                Right((Some(AddTableReq(tableId, primary,
+                  isSecondary = false, checkpoint)), false))
             }
           }
         } else if (isInRole(captureId, Role.Secondary)) {
@@ -322,7 +324,7 @@ object ReplicationSet {
           updateCheckpointAndStats(input.checkpoint, input.stats)
           if (hasRole(Role.Secondary))
             // Old primary not stopped yet — re-ask (:716-728).
-            Right((Some(RemoveTableReq(captureId)), false))
+            Right((Some(RemoveTableReq(tableId, captureId)), false))
           else {
             // Promotion done / secondary lost: Replicating (:730-744).
             state = RepState.Replicating
@@ -364,7 +366,7 @@ object ReplicationSet {
         : Either[String, (Option[Msg], Boolean)] = input.state match {
       case TableState.Preparing | TableState.Prepared |
            TableState.Replicating =>
-        Right((Some(RemoveTableReq(captureId)), false))
+        Right((Some(RemoveTableReq(tableId, captureId)), false))
       case TableState.Absent | TableState.Stopped =>
         if (primary == captureId) clearPrimary()
         else if (isInRole(captureId, Role.Secondary)) {

@@ -174,14 +174,14 @@ class ReplicationManagerSpec extends AnyFunSuite {
               rep.poll(TableStatus(t, local((t, cap)), cp), cap) match {
                 case Left(e) => fail(s"trial $trial: $e")
                 case Right(ms) => ms.foreach {
-                  case ReplicationSet.AddTableReq(to, sec, _) if alive(to) =>
+                  case ReplicationSet.AddTableReq(_, to, sec, _) if alive(to) =>
                     local((t, to)) =
                       if (sec) {
                         if (local((t, to)) == TableState.Absent)
                           TableState.Preparing
                         else local((t, to))
                       } else TableState.Replicating
-                  case ReplicationSet.RemoveTableReq(to) if alive(to) =>
+                  case ReplicationSet.RemoveTableReq(_, to) if alive(to) =>
                     if (local((t, to)) != TableState.Absent)
                       local((t, to)) = TableState.Stopping
                   case _ =>

@@ -84,7 +84,7 @@ class ReplicationSetSpec extends AnyFunSuite {
     val r = rep()
     // handleAddTable: secondary AddTable dispatched.
     assert(r.handleAddTable("cap-a") ==
-      Right(Seq(AddTableReq("cap-a", isSecondary = true, Checkpoint(100, 100)))))
+      Right(Seq(AddTableReq(7L, "cap-a", isSecondary = true, Checkpoint(100, 100)))))
     assert(r.currentState == RepState.Prepare)
     // Preparing heartbeat: wait, no message.
     assert(r.poll(st(TableState.Preparing), "cap-a") == Right(Seq.empty))
@@ -92,7 +92,7 @@ class ReplicationSetSpec extends AnyFunSuite {
     // Prepared: Prepare -> Commit, then same poll promotes (no primary,
     // no undetermined) and retries AddTable as primary (:626-641).
     assert(r.poll(st(TableState.Prepared), "cap-a") ==
-      Right(Seq(AddTableReq("cap-a", isSecondary = false, Checkpoint(100, 100)))))
+      Right(Seq(AddTableReq(7L, "cap-a", isSecondary = false, Checkpoint(100, 100)))))
     assert(r.currentState == RepState.Commit)
     assert(r.currentPrimary == "cap-a")
     // Replicating: Commit -> Replicating, checkpoint merged.
@@ -125,7 +125,7 @@ class ReplicationSetSpec extends AnyFunSuite {
   test("move table: full handoff keeps exactly-once ownership") {
     val r = replicatingOn("cap-a")
     assert(r.handleMoveTable("cap-b") ==
-      Right(Seq(AddTableReq("cap-b", isSecondary = true, Checkpoint(200, 210)))))
+      Right(Seq(AddTableReq(7L, "cap-b", isSecondary = true, Checkpoint(200, 210)))))
     assert(r.currentState == RepState.Prepare)
     // Old primary keeps replicating through the prepare phase (:544-548).
     assert(r.poll(st(TableState.Replicating, 220L, 230L), "cap-a") ==
@@ -134,16 +134,16 @@ class ReplicationSetSpec extends AnyFunSuite {
     // Secondary prepared: Commit, and the OLD primary is asked to stop
     // (:584-598) — not the secondary promoted yet.
     assert(r.poll(st(TableState.Prepared), "cap-b") ==
-      Right(Seq(RemoveTableReq("cap-a"))))
+      Right(Seq(RemoveTableReq(7L, "cap-a"))))
     assert(r.currentState == RepState.Commit)
     assert(r.currentPrimary == "cap-a")
     // Old primary still replicating in Commit: re-ask (:716-728).
     assert(r.poll(st(TableState.Replicating, 240L, 250L), "cap-a") ==
-      Right(Seq(RemoveTableReq("cap-a"))))
+      Right(Seq(RemoveTableReq(7L, "cap-a"))))
     // Old primary stopped: promote the secondary, dispatch primary add,
     // checkpoint carries the old primary's final report (:643-684).
     assert(r.poll(st(TableState.Stopped, 260L, 270L), "cap-a") ==
-      Right(Seq(AddTableReq("cap-b", isSecondary = false, Checkpoint(260, 270)))))
+      Right(Seq(AddTableReq(7L, "cap-b", isSecondary = false, Checkpoint(260, 270)))))
     assert(r.currentState == RepState.Commit)
     assert(r.currentPrimary == "cap-b")
     assert(r.currentCaptures == Map("cap-b" -> Role.Primary))
@@ -173,7 +173,7 @@ class ReplicationSetSpec extends AnyFunSuite {
     assert(r.currentPrimary == "")
     // Secondary prepared: Commit; no primary, no undetermined -> promote.
     assert(r.poll(st(TableState.Prepared), "cap-b") ==
-      Right(Seq(AddTableReq("cap-b", isSecondary = false, Checkpoint(200, 210)))))
+      Right(Seq(AddTableReq(7L, "cap-b", isSecondary = false, Checkpoint(200, 210)))))
     assert(r.currentPrimary == "cap-b")
   }
 
@@ -190,7 +190,7 @@ class ReplicationSetSpec extends AnyFunSuite {
     assert(r.currentCaptures.get("cap-c").isEmpty)
     // Now the promotion goes through.
     assert(r.poll(st(TableState.Prepared), "cap-b") ==
-      Right(Seq(AddTableReq("cap-b", isSecondary = false, Checkpoint(100, 100)))))
+      Right(Seq(AddTableReq(7L, "cap-b", isSecondary = false, Checkpoint(100, 100)))))
     assert(r.currentPrimary == "cap-b")
   }
 
@@ -198,13 +198,13 @@ class ReplicationSetSpec extends AnyFunSuite {
 
   test("remove table: Removing dispatches removes until all captures stop") {
     val r = replicatingOn("cap-a")
-    assert(r.handleRemoveTable() == Right(Seq(RemoveTableReq("cap-a"))))
+    assert(r.handleRemoveTable() == Right(Seq(RemoveTableReq(7L, "cap-a"))))
     assert(r.currentState == RepState.Removing)
     assert(!r.hasRemoved)
     // Stopping: wait. Still-replicating report: re-ask.
     assert(r.poll(st(TableState.Stopping), "cap-a") == Right(Seq.empty))
     assert(r.poll(st(TableState.Replicating), "cap-a") ==
-      Right(Seq(RemoveTableReq("cap-a"))))
+      Right(Seq(RemoveTableReq(7L, "cap-a"))))
     // Stopped: cleared; the set is fully removed.
     assert(r.poll(st(TableState.Stopped), "cap-a") == Right(Seq.empty))
     assert(r.hasRemoved)
@@ -270,14 +270,14 @@ class ReplicationSetSpec extends AnyFunSuite {
       }
 
       def apply(ms: Seq[Msg]): Unit = ms.foreach {
-        case AddTableReq(to, sec, _) if alive(to) =>
+        case AddTableReq(_, to, sec, _) if alive(to) =>
           if (sec) {
             if (local(to) == TableState.Absent) {
               local(to) = TableState.Preparing
               timer(to) = rnd.nextInt(3)
             }
           } else local(to) = TableState.Replicating
-        case RemoveTableReq(to) if alive(to) =>
+        case RemoveTableReq(_, to) if alive(to) =>
           if (local(to) != TableState.Absent &&
               local(to) != TableState.Stopped) {
             local(to) = TableState.Stopping
