@@ -1153,9 +1153,133 @@ object DdlQueries {
     out.toDF("c", "a", "b", "n")
   }
 
+  /**
+   * q283 — the schema-snapshot table universe
+   * ([[graft.core.SchemaSnapshot]]; cdc/entry/schema/snapshot.go): one
+   * timeline through the structural DDL ops — schema create/duplicate
+   * errors and replace-renames dropping the old name binding (:722-780),
+   * table eligibility tracking with partition inheritance and
+   * latest-version-wins (:884-906), truncate branding only the VANISHED
+   * physical ids with rebirth clearing the brand (:811-842), the
+   * exchange-partition id swap (the standalone table adopts the
+   * exchanged partition's id, :977-1083), alter-partitioning's
+   * id move (:1063-1082), rename into a dropped schema silently leaving
+   * the universe (:443-455), the drop-all-then-create-all batch rename
+   * that permits in-batch name swaps (:1084-1115), and the drop-schema
+   * cascade (:722-735). Timestamps anchor to count(orders); oracle =
+   * the expected op-by-op observations.
+   */
+  val schemaSnapshot = GateQuery(
+    "q283_schema_snapshot",
+    Some("""WITH b AS (
+      |  SELECT CAST(count(*) AS BIGINT) * 50 AS t0 FROM orders
+      |)
+      |SELECT v.step, v.kind,
+      |  CASE WHEN v.v = -99 THEN b.t0 + 20 ELSE CAST(v.v AS BIGINT)
+      |  END AS v, v.txt
+      |FROM (VALUES
+      |  (1, 'ok', 1, ''),
+      |  (2, 'err', 0, 'ErrSnapshotSchemaExists'),
+      |  (3, 'err', 0, 'ErrSnapshotSchemaExists'),
+      |  (4, 'name', 1, 'renamed'),
+      |  (5, 'inel', 1, ''),
+      |  (6, 'inel', 1, ''),
+      |  (7, 'owner', 10, ''),
+      |  (8, 'inel', 0, ''),
+      |  (9, 'trunc', 1, ''),
+      |  (10, 'byname', 13, ''),
+      |  (11, 'trunc', 1, ''),
+      |  (12, 'trunc', 0, ''),
+      |  (13, 'owner', 14, ''),
+      |  (14, 'byname', 102, ''),
+      |  (15, 'owner', 14, ''),
+      |  (16, 'err', 0, 'ErrExchangePartition'),
+      |  (17, 'gone', 0, ''),
+      |  (18, 'byname', 42, ''),
+      |  (19, 'byname', 43, ''),
+      |  (20, 'count', 0, ''),
+      |  (21, 'ts', -99, '')
+      |) v(step, kind, v, txt), b""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.core.SchemaSnapshot
+    import SchemaSnapshot._
+    val t0 = Tables.load(spark, dir, "orders").count() * 50
+    val s = new Snapshot()
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, String)]
+    def ok(step: Int, r: Either[String, Unit]): Unit = r match {
+      case Right(_) => rows += ((step, "ok", 1L, ""))
+      case Left(e) => rows += ((step, "err", 0L, e))
+    }
+    // schema legs
+    ok(1, s.createSchema(DbInfo(1L, "sdb"), t0 + 1))
+    ok(2, s.createSchema(DbInfo(1L, "other"), t0 + 2))
+    ok(3, s.createSchema(DbInfo(2L, "sdb"), t0 + 3))
+    s.createSchema(DbInfo(2L, "sdb2"), t0 + 3)
+    s.replaceSchema(DbInfo(2L, "renamed"), t0 + 4)
+    rows += ((4, "name",
+      if (s.schemaIdByName("sdb2").isEmpty &&
+        s.schemaIdByName("renamed").contains(2L)) 1L else 0L, "renamed"))
+    // eligibility + partitions
+    s.createTable(TableDefn(10L, 1L, "t", eligible = false,
+      partitions = Seq(100L, 101L)), t0 + 5)
+    rows += ((5, "inel", if (s.isIneligibleTableId(10L)) 1L else 0L, ""))
+    rows += ((6, "inel", if (s.isIneligibleTableId(100L)) 1L else 0L, ""))
+    rows += ((7, "owner",
+      s.physicalTableById(101L).map(_.id).getOrElse(-1L), ""))
+    s.replaceTable(TableDefn(10L, 1L, "t", eligible = true,
+      partitions = Seq(100L, 101L)), t0 + 6)
+    rows += ((8, "inel", if (s.isIneligibleTableId(100L)) 1L else 0L, ""))
+    // truncate: plain + partitioned branding
+    s.createTable(TableDefn(11L, 1L, "u"), t0 + 7)
+    s.truncateTable(11L, TableDefn(13L, 1L, "u"), t0 + 8)
+    rows += ((9, "trunc", if (s.isTruncateTableId(11L)) 1L else 0L, ""))
+    rows += ((10, "byname",
+      s.tableIdByName("sdb", "u").getOrElse(-1L), ""))
+    s.truncateTable(10L,
+      TableDefn(14L, 1L, "t", partitions = Seq(101L, 102L)), t0 + 9)
+    rows += ((11, "trunc", if (s.isTruncateTableId(100L)) 1L else 0L, ""))
+    rows += ((12, "trunc", if (s.isTruncateTableId(101L)) 1L else 0L, ""))
+    rows += ((13, "owner",
+      s.physicalTableById(102L).map(_.id).getOrElse(-1L), ""))
+    // exchange partition: 102 out, standalone 20 in
+    s.createTable(TableDefn(20L, 2L, "src"), t0 + 10)
+    s.exchangePartition(
+      TableDefn(14L, 1L, "t", partitions = Seq(101L, 20L)), t0 + 11)
+    rows += ((14, "byname",
+      s.tableIdByName("renamed", "src").getOrElse(-1L), ""))
+    rows += ((15, "owner",
+      s.physicalTableById(20L).map(_.id).getOrElse(-1L), ""))
+    s.createTable(TableDefn(21L, 2L, "src2"), t0 + 12)
+    ok(16, s.exchangePartition(
+      TableDefn(14L, 1L, "t", partitions = Seq(21L, 30L)), t0 + 13))
+    // rename into a dropped schema: silently gone
+    s.createSchema(DbInfo(3L, "doomed"), t0 + 14)
+    s.dropSchema(3L, t0 + 15)
+    s.renameTable(13L, TableDefn(31L, 3L, "u2"), t0 + 16)
+    rows += ((17, "gone",
+      if (s.physicalTableById(31L).isEmpty &&
+        s.tableIdByName("sdb", "u").isEmpty) 0L else 1L, ""))
+    // batch rename swap
+    s.createTable(TableDefn(40L, 1L, "a"), t0 + 17)
+    s.createTable(TableDefn(41L, 1L, "b"), t0 + 18)
+    s.renameTables(Seq(40L -> TableDefn(42L, 1L, "b"),
+      41L -> TableDefn(43L, 1L, "a")), t0 + 19)
+    rows += ((18, "byname",
+      s.tableIdByName("sdb", "b").getOrElse(-1L), ""))
+    rows += ((19, "byname",
+      s.tableIdByName("sdb", "a").getOrElse(-1L), ""))
+    // drop-schema cascade clears schema 1's tables
+    s.dropSchema(1L, t0 + 20)
+    rows += ((20, "count",
+      s.tables.count(_.schemaId == 1L).toLong, ""))
+    rows += ((21, "ts", s.currentTs, ""))
+    rows.toSeq.toDF("step", "kind", "v", "txt")
+  }
+
   def all: Seq[GateQuery] =
     Seq(shardDdlGate, precheck, ddlText, ddlAllowList, ddlRenderFixpoint,
       debeziumDdl, maxwellDdl, simpleDdl, openDdl, watermarkMessages,
       shardDdlLocks, safeModePhase, optimisticLocks, ownerBarrier,
-      renameFilter, syncerCheckpoint)
+      renameFilter, syncerCheckpoint, schemaSnapshot)
 }
