@@ -2138,9 +2138,13 @@ object LifecycleQueries {
     // max table id is no longer current -> removed.
     val maxT = tblCnt.map(_._1).max
     val current = tblCnt.map(_._1).filter(_ != maxT)
+    // maxT keeps its replication set unconditionally: the oracle's 'rm'
+    // row is unconditional, and at an unlucky scale factor
+    // (cnt(maxT)+maxT) % 3 == 0 would otherwise drop it from the map
+    // and erase the RemoveTable
     val repsBasic = reps.filter { case (t, _) =>
       val c = tblCnt.find(_._1 == t).get._2
-      (c + t) % 3 != 0
+      t == maxT || (c + t) % 3 != 0
     }
     TableSchedulers.basicSchedule(nOrders, current, capsInit, repsBasic,
       batchSize = 4).foreach {

@@ -98,29 +98,56 @@ object Changefeed {
     if (head.isNullAt(0)) return None
     val resolved = head.getLong(0)
     val seen = DdlStream.loadApplied(registryDir).toSet
-    val pending = batch.filter(col("op") === DdlStream.DdlOp)
+    Some((resolved, barrierFromRows(resolved, collectDdlRows(batch),
+      seen, redoEnabled, defaultSchema)))
+  }
+
+  /** The batch's DDL control rows, collected ONCE per microbatch and
+    * shared between the barrier computation and the registry apply
+    * (each used to re-collect and re-read the applied log). */
+  private def collectDdlRows(batch: DataFrame)
+      : Seq[(String, Long, String, String)] =
+    batch.filter(col("op") === DdlStream.DdlOp)
       .select(col("etype"), col("commit_ts"),
         col("schema_name"), col("table_name"))
       .collect().toSeq // control-plane: a handful of DDLs per batch
-      .filterNot(r => seen.contains((r.getString(0), r.getLong(1))))
-      .flatMap { r =>
-        ddlAction(r.getString(0), defaultSchema).map(a =>
-          OwnerBarrier.DdlAt(r.getLong(1), a,
-            Seq(physicalId(r.getString(2), r.getString(3)))))
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+
+  private def barrierFromRows(resolved: Long,
+      rows: Seq[(String, Long, String, String)],
+      seen: Set[(String, Long)], redoEnabled: Boolean,
+      defaultSchema: String): OwnerBarrier.Barrier = {
+    val pending = rows
+      .filterNot(r => seen.contains((r._1, r._2)))
+      .flatMap { case (etype, ts, sch, tbl) =>
+        ddlAction(etype, defaultSchema).map(a =>
+          OwnerBarrier.DdlAt(ts, a, Seq(physicalId(sch, tbl))))
       }
-    Some((resolved, OwnerBarrier.barrier(resolved, pending, redoEnabled)))
+    OwnerBarrier.barrier(resolved, pending, redoEnabled)
   }
 
-  /** One JSON line per batch: the boundary's clamp record. */
+  /** One JSON line per batch: the boundary's clamp record.
+    * Replay-idempotent like the DDL registry on the same path: a
+    * foreachBatch retry re-runs the same batchId AFTER the first attempt
+    * may already have applied the batch's DDLs, so the recomputed
+    * barrier would differ — the original record stands, the re-run
+    * writes nothing. */
   private def appendBarrier(dir: String, batchId: Long, resolved: Long,
       b: OwnerBarrier.Barrier): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val path = java.nio.file.Paths.get(s"$dir/barriers.jsonl")
+    if (java.nio.file.Files.exists(path)) {
+      val marker = s"""{"batch":$batchId,"""
+      val it = java.nio.file.Files.lines(path)
+      try { if (it.anyMatch(_.startsWith(marker))) return }
+      finally it.close()
+    }
     val line = s"""{"batch":$batchId,"resolved_ts":$resolved,""" +
       s""""global_ts":${b.globalBarrierTs},""" +
       s""""min_table_ts":${b.minTableBarrierTs},""" +
       s""""redo_ts":${b.redoBarrierTs},"n_tb":${b.tableBarriers.size}}""" + "\n"
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/barriers.jsonl"), line,
+    java.nio.file.Files.writeString(path, line,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     ()
@@ -164,19 +191,25 @@ object Changefeed {
       .queryName(spec.id)
       .option("checkpointLocation", spec.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // OWNER BARRIER (W1/G5): log the composed barrier BEFORE the
-        // batch's DDLs execute — the boundary's checkpoint/redo clamp.
-        for (bd <- spec.barrierDir; rd <- spec.textDdlRegistryDir;
-             (resolved, bar) <- batchBarrier(batch, rd, spec.redoEnabled,
-               spec.textDdlDefaultSchema))
-          appendBarrier(bd, batchId, resolved, bar)
-        // DDL BARRIER (G5): when the textual-DDL path is on, control rows
-        // apply to the registry BEFORE data rows are shaped — compaction
-        // must never fold a DDL row, and data rows bind against the
-        // already-advanced registry in the same batch.
+        // DDL + OWNER BARRIER (W1/G5): control rows are collected ONCE;
+        // the composed barrier is logged BEFORE the batch's DDLs apply —
+        // the boundary's checkpoint/redo clamp — then the registry
+        // advances and data rows bind against it in the same batch.
         val data = spec.textDdlRegistryDir match {
           case Some(d) if batch.columns.contains("op") =>
-            DdlStream.applyDdlRows(batch, d)
+            val ddlRows = collectDdlRows(batch)
+            for (bd <- spec.barrierDir) {
+              val head = batch.agg(max(col("commit_ts"))).collect()(0)
+              if (!head.isNullAt(0)) {
+                val resolved = head.getLong(0)
+                val seen = DdlStream.loadApplied(d).toSet
+                appendBarrier(bd, batchId, resolved,
+                  barrierFromRows(resolved, ddlRows, seen,
+                    spec.redoEnabled, spec.textDdlDefaultSchema))
+              }
+            }
+            DdlStream.applyCollected(
+              ddlRows.map(r => (r._1, r._2)), d)
             batch.filter(col("op") =!= DdlStream.DdlOp)
           case _ => batch
         }

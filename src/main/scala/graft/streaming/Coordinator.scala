@@ -61,16 +61,17 @@ object Coordinator {
         CaptureStatus(c.id, c.currentState, c.isOwner))
 
     private def spansPerCapture: Map[String, Seq[Long]] =
-      replicationM.replicationSets.toSeq
+      replicationM.replicationSetsIter.toSeq
         .flatMap { case (t, rep) => rep.currentCaptures.keys.map(_ -> t) }
         .groupBy(_._1).map { case (c, ts) => c -> ts.map(_._2).sorted }
 
     private def advance(currentTables: Seq[Long], barrier: BarrierTs,
                         redoEnabled: Boolean,
                         redoFlushed: Long): Advance = {
-      val views = replicationM.replicationSets.toSeq.map { case (t, rep) =>
-        ReplicationManager.SpanView(t, "a", "z", rep.currentCheckpoint,
-          rep.currentStats.get("puller-egress"))
+      val views = replicationM.replicationSetsIter.toSeq.map {
+        case (t, rep) =>
+          ReplicationManager.SpanView(t, "a", "z", rep.currentCheckpoint,
+            rep.currentStats.get("puller-egress"))
       }
       ReplicationManager.advanceCheckpoint(
         currentTables.map(t => (t, "a", "z")), views, barrier,

@@ -101,8 +101,16 @@ object DdlStream {
       .select(col("etype"), col("commit_ts"))
       .collect() // control-plane sized: a handful of DDLs per batch
       .map(r => (r.getString(0), r.getLong(1))).toSeq
+    applyCollected(ddlRows, registryDir)
+  }
+
+  /** The apply step over an already-collected (sql, ts) batch — callers
+    * that collected the control rows for another purpose (the owner
+    * barrier) reuse them instead of re-running the collect. */
+  def applyCollected(pairs: Seq[(String, Long)],
+                     registryDir: String): Unit = {
     val seen = loadApplied(registryDir).toSet
-    val fresh = ddlRows.filterNot(seen.contains).distinct
+    val fresh = pairs.filterNot(seen.contains).distinct
     if (fresh.nonEmpty) append(registryDir, fresh.sortBy(_._2))
   }
 

@@ -174,6 +174,11 @@ object ReplicationManager {
       scala.collection.mutable.SortedMap.empty[Long, Task]
 
     def replicationSets: Map[Long, Rep] = spans.toMap
+    /** Read-only iteration without the per-call map copy — the
+      * coordinator's per-tick walks (spans per capture, the advance
+      * views) use this; `replicationSets` stays for callers that want a
+      * stable snapshot. */
+    def replicationSetsIter: Iterable[(Long, Rep)] = spans.view
     def runningTaskTables: Seq[Long] = runningTasks.keys.toSeq
 
     /** HandleCaptureChanges (:179-239): `init` builds every set from the
