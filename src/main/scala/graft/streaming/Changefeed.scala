@@ -133,7 +133,8 @@ object Changefeed {
     * may already have applied the batch's DDLs, so the recomputed
     * barrier would differ — the original record stands, the re-run
     * writes nothing. */
-  private def appendBarrier(dir: String, batchId: Long, resolved: Long,
+  private[graft] def appendBarrier(dir: String, batchId: Long,
+      resolved: Long,
       b: OwnerBarrier.Barrier): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val path = java.nio.file.Paths.get(s"$dir/barriers.jsonl")

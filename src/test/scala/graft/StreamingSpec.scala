@@ -133,6 +133,21 @@ class StreamingSpec extends SparkSpec {
     // the registry really advanced (all three DDLs applied, in ts order)
     val applied = graft.streaming.DdlStream.loadApplied(s"$dir/reg")
     assert(applied.map(_._2) == Seq(110L, 120L, 150L))
+    // replay idempotence: a foreachBatch RETRY of an already-recorded
+    // batchId must not append a second, contradictory record — the
+    // first attempt may already have applied the batch's DDLs, so the
+    // recomputed barrier differs
+    val barFile = java.nio.file.Paths.get(s"$dir/bar/barriers.jsonl")
+    val before = java.nio.file.Files.readAllLines(barFile).size
+    graft.streaming.Changefeed.appendBarrier(s"$dir/bar", 1L, 999L,
+      graft.streaming.OwnerBarrier.barrier(999L, Seq.empty,
+        redoEnabled = true))
+    assert(java.nio.file.Files.readAllLines(barFile).size == before)
+    // a NEW batchId still appends
+    graft.streaming.Changefeed.appendBarrier(s"$dir/bar", 99L, 999L,
+      graft.streaming.OwnerBarrier.barrier(999L, Seq.empty,
+        redoEnabled = true))
+    assert(java.nio.file.Files.readAllLines(barFile).size == before + 1)
   }
 
   test("live multiplexed changefeed: two region streams merge through the puller semantics") {
@@ -163,11 +178,6 @@ class StreamingSpec extends SparkSpec {
           log += d
           if (seen.add(d.seq)) consumed += 1 // first delivery wins
         }
-        // recompute the span frontier over the log-to-date; emit a
-        // resolved event downstream only on a strict advance
-        val f = graft.operators.Multiplex.progress(log.toSeq.toDF())
-          .agg(max(col("frontier_ts"))).head().getLong(0)
-        if (f > frontier) { frontier = f; emissions += f }
         ()
       }
       .start()
@@ -176,6 +186,15 @@ class StreamingSpec extends SparkSpec {
       ds.filter(_.region == 1).foreach(d => r1.addData(d))
       ds.filter(_.region == 2).foreach(d => r2.addData(d))
       q.processAllAvailable()
+      // recompute the span frontier over the log-to-date; emit a
+      // resolved event downstream only on a strict advance. Computed at
+      // the ROUND boundary: a round's deliveries may split across
+      // microbatches (MemoryStream gives no single-batch guarantee), and
+      // the frontier contract is defined over the delivered set, not
+      // over Spark's internal batch slicing.
+      val f = graft.operators.Multiplex.progress(log.toSeq.toDF())
+        .agg(max(col("frontier_ts"))).head().getLong(0)
+      if (f > frontier) { frontier = f; emissions += f }
     }
     // round 1: both regions deliver; region 2 does NOT forward → frontier 0
     round(MuxDelivery(1, 1, 10, 105, fwd = true),
