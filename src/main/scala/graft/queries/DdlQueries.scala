@@ -1277,9 +1277,100 @@ object DdlQueries {
     rows.toSeq.toDF("step", "kind", "v", "txt")
   }
 
+  /**
+   * q284 — the optimistic shard-DDL coordination algebra
+   * ([[graft.streaming.OptimisticLock]];
+   * dm/pkg/shardddl/optimism/lock.go trySyncForOneDDL :829-929 + the
+   * smaller/larger lattice proofs :976-1054): a DATA-DERIVED shard
+   * count (count(orders) % 4 + 2) driven through four scenarios —
+   * `add` (an additive DDL executes on every shard, the later shards
+   * via the CREATE-TABLE-like post==joined case), `rename` (the first
+   * n−1 shards park in skip-and-wait, the last announcement resolves
+   * with exactly n−1 redirects — one per OTHER conflict table), `drop`
+   * (a shrink defers until the last shard drops too), and `detect`
+   * (two shards renaming to DIFFERENT names is a hard conflict).
+   * Oracle = the same per-announcement decision table generated over
+   * the same derived n.
+   */
+  val optimisticTrySync = GateQuery(
+    "q284_optimistic_trysync",
+    Some("""WITH b AS (
+      |  SELECT CAST(count(*) % 4 + 2 AS BIGINT) AS n
+      |  FROM lineitem WHERE l_quantity > 25
+      |), js AS (
+      |  SELECT unnest(generate_series(1, CAST(n AS BIGINT)))
+      |    AS j, n FROM b
+      |)
+      |SELECT 'add' AS part, j AS k, CAST(1 AS BIGINT) AS changed,
+      |  'none' AS stage, CAST(0 AS BIGINT) AS nredir
+      |FROM js
+      |UNION ALL
+      |SELECT 'rename', j,
+      |  CAST(CASE WHEN j = n THEN 1 ELSE 0 END AS BIGINT),
+      |  CASE WHEN j = n THEN 'none' ELSE 'skip_wait_redirect' END,
+      |  CAST(CASE WHEN j = n THEN n - 1 ELSE 0 END AS BIGINT)
+      |FROM js
+      |UNION ALL
+      |SELECT 'drop', 1, 0, 'none', 0
+      |UNION ALL
+      |SELECT 'drop', 2, 1, 'none', 0
+      |UNION ALL
+      |SELECT 'detect', 1, 0, 'skip_wait_redirect', 0
+      |UNION ALL
+      |SELECT 'detect', 2, 0, 'detected', 0""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.streaming.OptimisticLock
+      import OptimisticLock._
+      val n = (Tables.load(spark, dir, "lineitem")
+        .filter(col("l_quantity") > 25).count() % 4 + 2).toInt
+      val base: Tbl = Seq("id" -> "bigint", "a" -> "varchar")
+      def mk(m: Int): Lock = {
+        val l = new Lock("li-g")
+        (0 until m).foreach(i => l.addTable((s"src$i", "db", "tb"), base))
+        l
+      }
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, String, Long)]
+      def rec(part: String, kk: Int, o: Outcome): Unit =
+        rows += ((part, kk.toLong, if (o.schemaChanged) 1L else 0L,
+          o.stage, o.redirected.size.toLong))
+      // add: every shard executes
+      locally {
+        val l = mk(n)
+        val post = base :+ ("c" -> "int")
+        (0 until n).foreach(i =>
+          rec("add", i + 1, l.trySyncOne((s"src$i", "db", "tb"), base, post)))
+      }
+      // rename: wait, wait, ..., resolve with n-1 redirects
+      locally {
+        val l = mk(n)
+        val post: Tbl = Seq("id" -> "bigint", "b" -> "varchar")
+        (0 until n).foreach(i =>
+          rec("rename", i + 1,
+            l.trySyncOne((s"src$i", "db", "tb"), base, post)))
+      }
+      // drop: shrink defers until the last shard
+      locally {
+        val l = mk(2)
+        val post: Tbl = Seq("id" -> "bigint")
+        rec("drop", 1, l.trySyncOne(("src0", "db", "tb"), base, post))
+        rec("drop", 2, l.trySyncOne(("src1", "db", "tb"), base, post))
+      }
+      // detect: disagreeing renames
+      locally {
+        val l = mk(2)
+        rec("detect", 1, l.trySyncOne(("src0", "db", "tb"), base,
+          Seq("id" -> "bigint", "b" -> "varchar")))
+        rec("detect", 2, l.trySyncOne(("src1", "db", "tb"), base,
+          Seq("id" -> "bigint", "d" -> "varchar")))
+      }
+      rows.toSeq.toDF("part", "k", "changed", "stage", "nredir")
+  }
+
   def all: Seq[GateQuery] =
     Seq(shardDdlGate, precheck, ddlText, ddlAllowList, ddlRenderFixpoint,
       debeziumDdl, maxwellDdl, simpleDdl, openDdl, watermarkMessages,
       shardDdlLocks, safeModePhase, optimisticLocks, ownerBarrier,
-      renameFilter, syncerCheckpoint, schemaSnapshot)
+      renameFilter, syncerCheckpoint, schemaSnapshot, optimisticTrySync)
 }
