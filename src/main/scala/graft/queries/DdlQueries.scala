@@ -1317,7 +1317,20 @@ object DdlQueries {
       |UNION ALL
       |SELECT 'detect', 1, 0, 'skip_wait_redirect', 0
       |UNION ALL
-      |SELECT 'detect', 2, 0, 'detected', 0""".stripMargin)) {
+      |SELECT 'detect', 2, 0, 'detected', 0
+      |UNION ALL
+      |SELECT 'col', 1, 1, 'track', 0
+      |UNION ALL
+      |SELECT 'col', 2, 1, 'reg', 0
+      |UNION ALL
+      |SELECT 'col', 3, 0,
+      |  'ErrShardDDLOptimismAddNotFullyDroppedColumn', 0
+      |UNION ALL
+      |SELECT 'col', 4, 0, 'partial', 1
+      |UNION ALL
+      |SELECT 'col', 5, 1, 'done', 2
+      |UNION ALL
+      |SELECT 'col', 6, 1, 'ok', 0""".stripMargin)) {
     (spark, dir) =>
       import spark.implicits._
       import graft.streaming.OptimisticLock
@@ -1364,6 +1377,35 @@ object DdlQueries {
           Seq("id" -> "bigint", "b" -> "varchar")))
         rec("detect", 2, l.trySyncOne(("src1", "db", "tb"), base,
           Seq("id" -> "bigint", "d" -> "varchar")))
+      }
+      // col: the partially-dropped-column lifecycle (:601-724, :778-827)
+      locally {
+        val l = mk(2)
+        val k0 = ("src0", "db", "tb"); val k1 = ("src1", "db", "tb")
+        val noA: Tbl = Seq("id" -> "bigint")
+        val tracked = l.checkAddDropColumn(k0, None, Some("a"), base,
+          noA, Seq.empty)
+        rows += (("col", 1L,
+          if (tracked == Right(Some("a"))) 1L else 0L, "track", 0L))
+        val reg = l.addDroppedColumns(k0, Seq("a")) ++
+          l.addDroppedColumns(k1, Seq("a"))
+        rows += (("col", 2L, if (reg == Seq("a", "a")) 1L else 0L,
+          "reg", 0L))
+        val blocked = l.checkAddDropColumn(k1, Some("a"), None, noA,
+          base, Seq.empty)
+        rows += (("col", 3L, 0L,
+          blocked.left.getOrElse("unexpected"), 0L))
+        l.deleteColumnsByOp(k0, Seq("a"), doneDropCols = Set.empty)
+        rows += (("col", 4L, 0L, "partial",
+          l.dropStage(k0, "a").toLong))
+        val removed = l.deleteColumnsByOp(k1, Seq("a"),
+          doneDropCols = Set("a"))
+        rows += (("col", 5L, removed.size.toLong, "done",
+          if (l.isDroppedColumn(k0, "a")) 1L else 2L))
+        val readd = l.checkAddDropColumn(k0, Some("a"), None, noA, base,
+          Seq.empty)
+        rows += (("col", 6L, if (readd == Right(None)) 1L else 0L,
+          "ok", 0L))
       }
       rows.toSeq.toDF("part", "k", "changed", "stage", "nredir")
   }

@@ -70,6 +70,16 @@ object OptimisticLock {
   final case class Outcome(schemaChanged: Boolean, stage: String,
                            redirected: Seq[(String, String, String)])
 
+  /** DropColumnStage (lock.go:40-50): the life of a partially dropped
+    * column — NotDone until the shard's op lands, PartiallyDone when a
+    * shard confirmed without the downstream drop, Done once the drop
+    * executed downstream. */
+  object DropStage {
+    val NotDone = 0; val PartiallyDone = 1; val Done = 2
+  }
+
+  val ErrAddNotFullyDropped = "ErrShardDDLOptimismAddNotFullyDroppedColumn"
+
   final class Lock(val id: String) {
     type Key = (String, String, String)
     private val tables = scala.collection.mutable.SortedMap.empty[Key, Tbl]
@@ -77,6 +87,9 @@ object OptimisticLock {
       scala.collection.mutable.SortedMap.empty[Key, Tbl]
     private val finalTables =
       scala.collection.mutable.SortedMap.empty[Key, Tbl]
+    // col -> (source, schema, table) -> DropStage (lock.go l.columns)
+    private val columns = scala.collection.mutable.SortedMap
+      .empty[String, scala.collection.mutable.SortedMap[Key, Int]]
 
     def addTable(key: Key, tbl: Tbl): Unit =
       if (!tables.contains(key)) {
@@ -160,6 +173,93 @@ object OptimisticLock {
     private def redirectOthers(caller: Key): Seq[Key] = {
       val out = conflictTables.keys.filter(_ != caller).toSeq
       out // the reference puts a ConflictResolved op per table (:1190)
+    }
+
+    // ---- partially-dropped-column tracking (:601-724, :778-827) ---------
+
+    /** IsDroppedColumn (:601-615). */
+    def isDroppedColumn(key: Key, col: String): Boolean =
+      columns.get(col).exists(_.contains(key))
+
+    /** AddDroppedColumns (:618-648): register NotDone for the cols this
+      * shard has not dropped yet; returns the newly registered ones. */
+    def addDroppedColumns(key: Key, cols: Seq[String]): Seq[String] = {
+      val fresh = cols.filterNot(isDroppedColumn(key, _))
+      fresh.foreach { c =>
+        columns.getOrElseUpdate(c,
+          scala.collection.mutable.SortedMap.empty[Key, Int])(key) =
+          DropStage.NotDone
+      }
+      fresh
+    }
+
+    /** Current stage of a column on a shard (-1 = untracked). */
+    def dropStage(key: Key, col: String): Int =
+      columns.get(col).flatMap(_.get(key)).getOrElse(-1)
+
+    /** DeleteColumnsByOp (:654-724): the shard's confirmed op marks each
+      * of its cols PartiallyDone — or Done when the op's DDLs include
+      * the downstream DROP COLUMN — and a column leaves the map only
+      * once NO shard is NotDone and at least one is Done. Returns the
+      * fully removed columns. */
+    def deleteColumnsByOp(key: Key, opCols: Seq[String],
+                          doneDropCols: Set[String]): Seq[String] = {
+      val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+      opCols.foreach { col =>
+        if (isDroppedColumn(key, col)) {
+          columns(col)(key) =
+            if (doneDropCols.contains(col)) DropStage.Done
+            else DropStage.PartiallyDone
+        }
+        columns.get(col).foreach { m =>
+          val allDone = m.values.forall(_ != DropStage.NotDone)
+          val dropDone = m.values.exists(_ == DropStage.Done)
+          if (allDone && dropDone) { columns.remove(col); removed += col }
+        }
+      }
+      removed.toSeq
+    }
+
+    /**
+     * checkAddDropColumn (:778-827) with the ADD/DROP column name passed
+     * by the caller (the reference extracts it from the DDL text with
+     * the TiDB parser — [[graft.core.DdlParser]] territory, not this
+     * kernel's). Left = the add-not-fully-dropped error; Right(Some) =
+     * the DROPPED column to start tracking; Right(None) = nothing to do.
+     * The field-length re-check (AddDifferentFieldLenColumns) needs the
+     * lattice to carry flen, which this one folds into the type string —
+     * a flen change IS a type clash here, caught earlier as a conflict.
+     */
+    def checkAddDropColumn(key: Key, addCol: Option[String],
+                           dropCol: Option[String], prev: Tbl, post: Tbl,
+                           newDropColumns: Seq[String])
+        : Either[String, Option[String]] = {
+      val curr = tables(key)
+      def joinedWith(t: Tbl): Either[String, Tbl] = {
+        tables(key) = t
+        val j = joinAll(tables)
+        tables(key) = curr
+        j
+      }
+      val oldJoined = joinedWith(prev) match {
+        case Left(_) => return Right(None)
+        case Right(j) => j
+      }
+      val newJoined = joinedWith(post) match {
+        case Left(_) => return Right(None)
+        case Right(j) => j
+      }
+      val cmp = compare(oldJoined, newJoined) match {
+        case Left(_) => return Right(None)
+        case Right(c) => c
+      }
+      if (cmp <= 0) {
+        for (col <- addCol)
+          if (isDroppedColumn(key, col) || newDropColumns.contains(col))
+            return Left(ErrAddNotFullyDropped)
+      }
+      if (cmp >= 0 && dropCol.nonEmpty) Right(dropCol)
+      else Right(None)
     }
 
     /**

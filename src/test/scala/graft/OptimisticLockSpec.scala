@@ -121,6 +121,39 @@ class OptimisticLockSpec extends AnyFunSuite {
     assert(o.schemaChanged && o.stage == Stage.None)
   }
 
+  test("dropped-column stages: NotDone -> Partially/Done -> removed once all done") {
+    val l = lock(2)
+    val noA: Tbl = Seq("id" -> "bigint")
+    // shard 0 drops `a`: checkAddDropColumn returns it for tracking
+    // (the join shrank because shard 1 hasn't dropped yet? no — the join
+    // still has `a` from shard 1, cmp == 0 -> still >= 0 -> tracked)
+    assert(l.checkAddDropColumn(k(0), None, Some("a"), base, noA,
+      Seq.empty) == Right(Some("a")))
+    assert(l.addDroppedColumns(k(0), Seq("a")) == Seq("a"))
+    assert(l.addDroppedColumns(k(0), Seq("a")).isEmpty) // already tracked
+    assert(l.isDroppedColumn(k(0), "a"))
+    assert(l.dropStage(k(0), "a") == DropStage.NotDone)
+    // shard 1 re-ADDING `a` while the drop is mid-flight is refused —
+    // but only for the shard that tracks it (per-shard key, :601-615)
+    l.addDroppedColumns(k(1), Seq("a"))
+    assert(l.checkAddDropColumn(k(1), Some("a"), None, noA, base,
+      Seq.empty) == Left(ErrAddNotFullyDropped))
+    // an add of a column listed in the SAME info's new drops also fails
+    assert(l.checkAddDropColumn(k(0), Some("z"), None, base,
+      base :+ ("z" -> "int"), Seq("z")) == Left(ErrAddNotFullyDropped))
+    // ops confirm: shard 0 partially, shard 1 with the downstream drop
+    assert(l.deleteColumnsByOp(k(0), Seq("a"),
+      doneDropCols = Set.empty).isEmpty) // PartiallyDone, a still blocked
+    assert(l.dropStage(k(0), "a") == DropStage.PartiallyDone)
+    val removed = l.deleteColumnsByOp(k(1), Seq("a"),
+      doneDropCols = Set("a"))
+    assert(removed == Seq("a")) // all done + one Done -> column released
+    assert(!l.isDroppedColumn(k(0), "a"))
+    // after full release, re-adding `a` is allowed again
+    assert(l.checkAddDropColumn(k(0), Some("a"), None, noA, base,
+      Seq.empty) == Right(None))
+  }
+
   test("property: any rename announcement order converges with N-1 redirects") {
     val rnd = new scala.util.Random(2201L)
     for (trial <- 0 until 200) {
