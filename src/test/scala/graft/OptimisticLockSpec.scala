@@ -154,6 +154,28 @@ class OptimisticLockSpec extends AnyFunSuite {
       Seq.empty) == Right(None))
   }
 
+  test("DropColumnStage values and the add-not-dropped error parsed from source") {
+    import java.nio.file.{Files, Paths}
+    val lk = Paths.get("/root/reference/dm/pkg/shardddl/optimism/lock.go")
+    val tr = Paths.get("/root/reference/dm/pkg/terror/error_list.go")
+    assume(Files.exists(lk) && Files.exists(tr),
+      "reference checkout not present")
+    val src = new String(Files.readAllBytes(lk), "UTF-8")
+    // the iota block: DropNotDone = 0, DropPartiallyDone, DropDone
+    val block = src.substring(src.indexOf("type DropColumnStage"),
+      src.indexOf("type tableType"))
+    val names = block.linesIterator.map(_.trim)
+      .filter(l => l.startsWith("Drop") && !l.startsWith("//"))
+      .map(_.split("[ \t]")(0).stripPrefix("Drop")).toSeq
+    assert(names.indexOf("NotDone") == DropStage.NotDone)
+    assert(names.indexOf("PartiallyDone") == DropStage.PartiallyDone)
+    assert(names.indexOf("Done") == DropStage.Done)
+    val terr = new String(Files.readAllBytes(tr), "UTF-8")
+    assert(terr.contains("ErrShardDDLOptimismAddNotFullyDroppedColumn"))
+    assert(ErrAddNotFullyDropped ==
+      "ErrShardDDLOptimismAddNotFullyDroppedColumn")
+  }
+
   test("property: any rename announcement order converges with N-1 redirects") {
     val rnd = new scala.util.Random(2201L)
     for (trial <- 0 until 200) {
