@@ -161,7 +161,9 @@ object SchemaSnapshot {
       * vanished from the new definition. */
     def truncateTable(oldId: Long, t: TableDefn, ts: Long)
         : Either[String, Unit] = {
-      val old = tablesById.get(oldId).getOrElse(
+      // physicalTableByID resolution (:811-813): a partition id resolves
+      // to its owning table
+      val old = physicalTableById(oldId).getOrElse(
         return Left(ErrTableNotFound))
       doDropTable(old)
       doCreateTable(t)
@@ -176,7 +178,8 @@ object SchemaSnapshot {
       * set is replaced; truncate-partition brands vanished ids. */
     def updatePartition(t: TableDefn, isTruncate: Boolean, ts: Long)
         : Either[String, Unit] = {
-      val old = tablesById.get(t.id).getOrElse(return Left(ErrTableNotFound))
+      val old = physicalTableById(t.id).getOrElse(
+        return Left(ErrTableNotFound)) // physicalTableByID (:909-911)
       if (old.partitions.isEmpty || t.partitions.isEmpty)
         return Left(ErrTableNotFound) // not a partition table
       old.partitions.foreach { pid =>
@@ -196,16 +199,16 @@ object SchemaSnapshot {
       * partition's id. */
     def exchangePartition(target: TableDefn, ts: Long)
         : Either[String, Unit] = {
-      val oldTarget = tablesById.get(target.id).getOrElse(
-        return Left(ErrTableNotFound))
+      val oldTarget = physicalTableById(target.id).getOrElse(
+        return Left(ErrTableNotFound)) // physicalTableByID (:983,:1029)
       if (oldTarget.partitions.isEmpty || target.partitions.isEmpty)
         return Left(ErrTableNotFound)
       val oldIds = oldTarget.partitions.toSet
       val newIds = target.partitions.toSet
       val in = (newIds -- oldIds).toSeq
       if (in.size != 1) return Left(ErrExchangePartition)
-      val source = tablesById.get(in.head).getOrElse(
-        return Left(ErrTableNotFound))
+      val source = physicalTableById(in.head).getOrElse(
+        return Left(ErrTableNotFound)) // physicalTableByID (:996)
       val out = (oldIds -- newIds).toSeq
       if (out.size != 1) return Left(ErrExchangePartition)
       val exchangedPid = out.head

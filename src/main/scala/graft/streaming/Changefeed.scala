@@ -127,6 +127,12 @@ object Changefeed {
     OwnerBarrier.barrier(resolved, pending, redoEnabled)
   }
 
+  // Highest batch id recorded per barrier dir — batch ids are monotone
+  // and foreachBatch is serialized, so one scan per JVM seeds the cache
+  // and every later idempotence check is O(1).
+  private val barrierMaxBatch =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** One JSON line per batch: the boundary's clamp record.
     * Replay-idempotent like the DDL registry on the same path: a
     * foreachBatch retry re-runs the same batchId AFTER the first attempt
@@ -138,12 +144,21 @@ object Changefeed {
       b: OwnerBarrier.Barrier): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val path = java.nio.file.Paths.get(s"$dir/barriers.jsonl")
-    if (java.nio.file.Files.exists(path)) {
-      val marker = s"""{"batch":$batchId,"""
-      val it = java.nio.file.Files.lines(path)
-      try { if (it.anyMatch(_.startsWith(marker))) return }
-      finally it.close()
-    }
+    val recorded = barrierMaxBatch.getOrElseUpdate(path.toString, {
+      if (!java.nio.file.Files.exists(path)) -1L
+      else {
+        val it = java.nio.file.Files.lines(path)
+        try {
+          it.mapToLong { l =>
+            val i = l.indexOf(',')
+            if (l.startsWith("""{"batch":""") && i > 9)
+              l.substring(9, i).toLong
+            else -1L
+          }.max.orElse(-1L)
+        } finally it.close()
+      }
+    })
+    if (batchId <= recorded) return
     val line = s"""{"batch":$batchId,"resolved_ts":$resolved,""" +
       s""""global_ts":${b.globalBarrierTs},""" +
       s""""min_table_ts":${b.minTableBarrierTs},""" +
@@ -151,6 +166,7 @@ object Changefeed {
     java.nio.file.Files.writeString(path, line,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+    barrierMaxBatch(path.toString) = batchId
     ()
   }
 
@@ -199,18 +215,20 @@ object Changefeed {
         val data = spec.textDdlRegistryDir match {
           case Some(d) if batch.columns.contains("op") =>
             val ddlRows = collectDdlRows(batch)
+            var seenShared: Option[Set[(String, Long)]] = None
             for (bd <- spec.barrierDir) {
               val head = batch.agg(max(col("commit_ts"))).collect()(0)
               if (!head.isNullAt(0)) {
                 val resolved = head.getLong(0)
                 val seen = DdlStream.loadApplied(d).toSet
+                seenShared = Some(seen)
                 appendBarrier(bd, batchId, resolved,
                   barrierFromRows(resolved, ddlRows, seen,
                     spec.redoEnabled, spec.textDdlDefaultSchema))
               }
             }
             DdlStream.applyCollected(
-              ddlRows.map(r => (r._1, r._2)), d)
+              ddlRows.map(r => (r._1, r._2)), d, seenShared)
             batch.filter(col("op") =!= DdlStream.DdlOp)
           case _ => batch
         }

@@ -78,7 +78,11 @@ object Coordinator {
         redoEnabled, redoFlushed)
     }
 
-    /** One poll round (coordinator.go:268-385). */
+    /** One poll round (coordinator.go:268-385). A Left is TERMINAL for
+      * this Coord, as in the reference — the poll errors tear the
+      * changefeed down and owner state is rebuilt from scratch; in
+      * particular the membership changes consumed by a failed
+      * handleCaptureChanges are not re-stashed. */
     def poll(checkpointTs: Long, currentTables: Seq[Long],
              aliveCaptures: Map[String, String], barrier: BarrierTs,
              incoming: Seq[Incoming], redoEnabled: Boolean = false,
@@ -122,11 +126,15 @@ object Coordinator {
         captureView, replicationM.replicationSets,
         replicationM.runningTaskTables.size, maxTaskConcurrency,
         addTableBatchSize, schedState)
-      // 7. task handling (:355-365)
+      // 7. task handling (:355-365); a manual move clears from the
+      // pending queue only on ACCEPTANCE (the Go's Accept callback) —
+      // one skipped at the concurrency cap retries next tick
       replicationM.handleTasks(tasks) match {
         case Left(e) => return Left(e)
         case Right(ms) => dispatches ++= ms
       }
+      schedState.pendingMoves --= schedState.pendingMoves.filter(m =>
+        replicationM.runningTask(m.tableId).contains(m))
       // 8. checkpoint advance, then 9. heartbeat tick (:368-373)
       val adv = advance(currentTables, barrier, redoEnabled,
         redoFlushedResolvedTs)

@@ -106,10 +106,11 @@ object DdlStream {
 
   /** The apply step over an already-collected (sql, ts) batch — callers
     * that collected the control rows for another purpose (the owner
-    * barrier) reuse them instead of re-running the collect. */
-  def applyCollected(pairs: Seq[(String, Long)],
-                     registryDir: String): Unit = {
-    val seen = loadApplied(registryDir).toSet
+    * barrier) reuse them, and pass the applied set when they already
+    * read it, instead of re-running the collect and the log read. */
+  def applyCollected(pairs: Seq[(String, Long)], registryDir: String,
+                     seen0: Option[Set[(String, Long)]] = None): Unit = {
+    val seen = seen0.getOrElse(loadApplied(registryDir).toSet)
     val fresh = pairs.filterNot(seen.contains).distinct
     if (fresh.nonEmpty) append(registryDir, fresh.sortBy(_._2))
   }

@@ -180,6 +180,11 @@ object ReplicationManager {
       * stable snapshot. */
     def replicationSetsIter: Iterable[(Long, Rep)] = spans.view
     def runningTaskTables: Seq[Long] = runningTasks.keys.toSeq
+    /** The task currently running on a table, if any — the acceptance
+      * signal the scheduler manager's Accept callback carries in the
+      * reference. */
+    def runningTask(tableId: Long): Option[Task] =
+      runningTasks.get(tableId)
 
     /** HandleCaptureChanges (:179-239): `init` builds every set from the
       * statuses captures reported (only once, at owner startup);

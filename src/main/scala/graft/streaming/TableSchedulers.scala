@@ -271,12 +271,12 @@ object TableSchedulers {
       currentTables, captures, replications)
     st.pendingMoves --= st.pendingMoves.filter(m =>
       dropped.contains(m.tableId))
-    if (moves.nonEmpty) {
-      // emission = acceptance here: the reference clears a move task via
-      // its Accept callback when the replication manager takes it
-      st.pendingMoves.clear()
-      return moves
-    }
+    // NOT cleared on emission: the reference clears a move only via its
+    // Accept callback when the replication manager actually takes it
+    // (replication_manager.go:380-433) — an emitted move skipped at the
+    // concurrency cap must retry next tick. The coordinator clears
+    // accepted moves after handleTasks.
+    if (moves.nonEmpty) return moves
     val (reb, trig) = rebalanceSchedule(st.rebalanceTriggered,
       currentTables, captures, replications)
     st.rebalanceTriggered = trig
