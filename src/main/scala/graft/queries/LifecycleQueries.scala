@@ -2765,9 +2765,316 @@ object LifecycleQueries {
     rows.toSeq.toDF("step", "kind", "num", "txt")
   }
 
+  // ---------------------------------------------------------------------
+  // q285 — DM validator stage orchestration
+  // ---------------------------------------------------------------------
+
+  /** One validator-lifecycle scripted step. `ev` ∈ run/vstart/vstop/
+    * verror/pause/resume/close/sync/row/cut/xid; i1/i2 carry the event's
+    * scalar args; the table-fact columns describe a row event's table.
+    * `rb` adds count(orders) to `rows` so counts stay data-anchored. */
+  final case class VEv(step: Int, t: Long, ev: String, i1: Long = 0,
+      i2: Long = 0, tbl: String = "", trk: Int = 1, vis: Int = 3,
+      bcols: Int = 3, evpk: Int = 1, curpk: Int = 1, rows: Int = 0,
+      rb: Int = 0, filt: Int = 0, ident: Int = 0, fails: Int = 0)
+
+  /** (scenario, mode∈{fast,full}?, has-syncer?, row-error-delay ms,
+    * meta-flush-interval ms, steps). */
+  val vScripts: Seq[(String, Int, Int, Long, Long, Seq[VEv])] = Seq(
+    // the headline independence property: pause/resume of the SUBTASK
+    // leaves the validator Running (rows keep counting), `validation
+    // stop/start` flips only the validator (start = full reset), and
+    // subtask close discards the handle → stage reads InvalidStage and a
+    // later `validation start` finds no subtask
+    ("indep", 1, 1, 1000000L, 1000000L, Seq(
+      VEv(1, 0, "run", i1 = 2, i2 = 2),
+      VEv(2, 10, "row", tbl = "t1", i1 = 0, rows = 2),
+      VEv(3, 20, "pause"),
+      VEv(4, 30, "row", tbl = "t1", i1 = 1, rows = 1, rb = 1),
+      VEv(5, 40, "resume"),
+      VEv(6, 50, "vstop"),
+      VEv(7, 60, "row", tbl = "t1", i1 = 0, rows = 5),
+      VEv(8, 70, "vstart", i1 = 2),
+      VEv(9, 80, "row", tbl = "t1", i1 = 2, rows = 3),
+      VEv(10, 90, "row", tbl = "t1", i1 = 1, rows = 2, ident = 1),
+      VEv(11, 100, "close"),
+      VEv(12, 110, "vstart", i1 = 2))),
+    // Start's guard chain: expect=Stopped creates the handle but leaves
+    // it Stopped (observably ≠ InvalidStage); init failure → error result
+    // + Stopped; double-start no-ops; a cancellation error is filtered
+    // while a real error stops the validator and is collected
+    ("guards", 1, 1, 1000000L, 1000000L, Seq(
+      VEv(1, 0, "vstart", i1 = 4),
+      VEv(2, 10, "vstart", i1 = 2, fails = 1),
+      VEv(3, 20, "vstart", i1 = 2),
+      VEv(4, 30, "vstart", i1 = 2),
+      VEv(5, 40, "verror", i1 = 1),
+      VEv(6, 50, "verror", i1 = 0),
+      VEv(7, 60, "vstop"),
+      VEv(8, 70, "vstart", i1 = 2),
+      VEv(9, 80, "verror", i1 = 0))),
+    // mode=none: no validator object is ever created — neither with the
+    // subtask (expect=InvalidStage from getExpectValidatorStage) nor by a
+    // later explicit start (StartValidator's mode guard)
+    ("mode_none", 0, 1, 1000000L, 1000000L, Seq(
+      VEv(1, 0, "vstart", i1 = 2),
+      VEv(2, 10, "run", i1 = 2, i2 = 0),
+      VEv(3, 20, "vstart", i1 = 2))),
+    // a subtask without a syncer unit cannot host a validator
+    ("no_syncer", 1, 0, 1000000L, 1000000L, Seq(
+      VEv(1, 0, "run", i1 = 2, i2 = 2),
+      VEv(2, 10, "vstart", i1 = 2))),
+    // per-table stage machine: first row event registers Running; each
+    // stop reason is sticky until the next validator start resets the
+    // map; a filtered event registers NOTHING (filter check precedes the
+    // status lookup)
+    ("tables", 1, 1, 1000000L, 1000000L, Seq(
+      VEv(1, 0, "run", i1 = 2, i2 = 2),
+      VEv(2, 10, "row", tbl = "t2", filt = 1, rows = 9),
+      VEv(3, 20, "row", tbl = "t1", i1 = 0, rows = 4),
+      VEv(4, 30, "row", tbl = "t2", trk = 0, i1 = 0, rows = 7),
+      VEv(5, 40, "row", tbl = "t2", i1 = 0, rows = 7),
+      VEv(6, 50, "row", tbl = "t1", vis = 2, bcols = 3, i1 = 0, rows = 1),
+      VEv(7, 60, "row", tbl = "t1", i1 = 0, rows = 8),
+      VEv(8, 70, "vstop"),
+      VEv(9, 80, "vstart", i1 = 2),
+      VEv(10, 90, "row", tbl = "t1", evpk = 0, curpk = 1, i1 = 0, rows = 1),
+      VEv(11, 100, "row", tbl = "t2", evpk = 0, curpk = 0, i1 = 2, rows = 1))),
+    // markErrorStarted: progress-reaches-syncer OR the row-error delay;
+    // reset on restart
+    ("marker", 1, 1, 1000L, 1000000L, Seq(
+      VEv(1, 0, "run", i1 = 2, i2 = 2),
+      VEv(2, 100, "sync", i1 = 5, i2 = 10),
+      VEv(3, 200, "sync", i1 = 7, i2 = 7),
+      VEv(4, 300, "vstop"),
+      VEv(5, 400, "vstart", i1 = 2),
+      VEv(6, 500, "row", tbl = "t1", i1 = 0, rows = 1),
+      VEv(7, 1400, "row", tbl = "t1", i1 = 0, rows = 1),
+      VEv(8, 1450, "sync", i1 = 1, i2 = 100))),
+    // flush cadence on txn boundaries: interval-elapsed OR cut-over
+    // reached (which clears the cut-over); keeps flushing while the
+    // subtask is paused
+    ("flush", 1, 1, 1000000L, 500L, Seq(
+      VEv(1, 0, "run", i1 = 2, i2 = 2),
+      VEv(2, 100, "xid", i1 = 10),
+      VEv(3, 700, "xid", i1 = 20),
+      VEv(4, 900, "xid", i1 = 30),
+      VEv(5, 910, "cut", i1 = 25),
+      VEv(6, 950, "xid", i1 = 24),
+      VEv(7, 980, "xid", i1 = 26),
+      VEv(8, 1000, "xid", i1 = 40),
+      VEv(9, 1010, "pause"),
+      VEv(10, 1600, "xid", i1 = 50))))
+
+  private def vCfgValues: String =
+    vScripts.map { case (sc, mok, syn, delay, flushiv, _) =>
+      s"(${sqlStr(sc)}, $mok, $syn, $delay, $flushiv)"
+    }.mkString(", ")
+
+  private def vScriptValues: String =
+    vScripts.flatMap { case (sc, _, _, _, _, steps) =>
+      steps.map { e =>
+        s"(${sqlStr(sc)}, ${e.step}, ${e.t}, ${sqlStr(e.ev)}, ${e.i1}, " +
+          s"${e.i2}, ${sqlStr(e.tbl)}, ${e.trk}, ${e.vis}, ${e.bcols}, " +
+          s"${e.evpk}, ${e.curpk}, ${e.rows}, ${e.rb}, ${e.filt}, " +
+          s"${e.ident}, ${e.fails})"
+      }
+    }.mkString(",\n")
+
+  /**
+   * q285 — DM validator STAGE ORCHESTRATION
+   * ([[graft.streaming.ValidatorLifecycle]],
+   * dm/syncer/data_validator.go:148-385 + dm/worker/subtask.go:247-281):
+   * seven scripted scenarios × every observable per step — validator
+   * stage as the subtask reads it (InvalidStage while no handle exists),
+   * subtask stage, markErrorStarted, collected errors, the three
+   * processed-row counters, flush count/location, both tables' validate
+   * status, and the dispatched-job count. The oracle re-steps the
+   * identical machine as a recursive CTE: the Start guard chain, the
+   * reset-on-start clears, pause-independence, the sticky per-table stop
+   * classification (decision order of genValidateTableInfo), the
+   * identity-update split, and the interval-or-cut-over flush rule.
+   */
+  val validatorStage = GateQuery(
+    "q285_validator_stage",
+    Some(s"""WITH RECURSIVE b AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS base FROM orders
+      |), cfg(sc, mok, syn, delay, flushiv) AS (VALUES $vCfgValues),
+      |vals(sc, step, t, ev, i1, i2, tbl, trk, vis, bcols, evpk, curpk,
+      |     rows, rb, filt, ident, fails) AS (VALUES
+      |$vScriptValues
+      |), script AS (
+      |  SELECT v.*, CASE WHEN v.rb = 1 THEN b.base + v.rows
+      |              ELSE CAST(v.rows AS BIGINT) END AS nrows
+      |  FROM vals v, b
+      |), st AS (
+      |  SELECT sc, 0 AS step, 0 AS cl, 0 AS created, 4 AS vst, 1 AS sub,
+      |    0 AS mark, 0 AS errs, CAST(0 AS BIGINT) AS start_t,
+      |    CAST(0 AS BIGINT) AS lastf, CAST(NULL AS BIGINT) AS cut,
+      |    CAST(NULL AS BIGINT) AS floc, 0 AS flushes,
+      |    CAST(0 AS BIGINT) AS ins, CAST(0 AS BIGINT) AS upd,
+      |    CAST(0 AS BIGINT) AS del, '' AS t1st, '' AS t1msg,
+      |    '' AS t2st, '' AS t2msg, CAST(0 AS BIGINT) AS disp
+      |  FROM cfg
+      |  UNION ALL
+      |  SELECT sc, estep,
+      |    CASE WHEN closing THEN 1 ELSE cl END,
+      |    CASE WHEN closing THEN 0
+      |         WHEN startable THEN 1 ELSE created END,
+      |    CASE WHEN closing THEN 4
+      |         WHEN begins AND fails = 0 THEN 2
+      |         WHEN begins THEN 4
+      |         WHEN ev = 'vstop' AND active THEN 4
+      |         WHEN ev = 'verror' AND active AND i1 = 0 THEN 4
+      |         ELSE vst END,
+      |    CASE WHEN ev = 'run' AND cl = 0 AND sub NOT IN (2, 5)
+      |           THEN CAST(i1 AS INT)
+      |         WHEN ev = 'pause' AND sub = 2 THEN 3
+      |         WHEN ev = 'resume' AND sub = 3 THEN 2
+      |         WHEN closing THEN 4 ELSE sub END,
+      |    CASE WHEN begins THEN 0
+      |         WHEN active AND ev IN ('sync', 'row', 'xid')
+      |           AND (mark = 1 OR t - start_t >= delay
+      |                OR (ev = 'sync' AND i1 >= i2)) THEN 1
+      |         ELSE mark END,
+      |    CASE WHEN begins THEN fails
+      |         WHEN ev = 'verror' AND active AND i1 = 0 THEN errs + 1
+      |         ELSE errs END,
+      |    CASE WHEN begins AND fails = 0 THEN t ELSE start_t END,
+      |    CASE WHEN begins AND fails = 0 THEN t
+      |         WHEN flush_now THEN t ELSE lastf END,
+      |    CASE WHEN ev = 'cut' AND created = 1 THEN CAST(i1 AS BIGINT)
+      |         WHEN need_cut THEN NULL ELSE cut END,
+      |    CASE WHEN flush_now THEN CAST(i1 AS BIGINT) ELSE floc END,
+      |    flushes + (CASE WHEN flush_now THEN 1 ELSE 0 END),
+      |    (CASE WHEN begins THEN 0 ELSE ins END) +
+      |      (CASE WHEN counted AND (i1 = 0 OR splits) THEN nrows
+      |            ELSE 0 END),
+      |    (CASE WHEN begins THEN 0 ELSE upd END) +
+      |      (CASE WHEN counted AND i1 = 1 AND NOT splits THEN nrows
+      |            ELSE 0 END),
+      |    (CASE WHEN begins THEN 0 ELSE del END) +
+      |      (CASE WHEN counted AND (i1 = 2 OR splits) THEN nrows
+      |            ELSE 0 END),
+      |    CASE WHEN begins THEN ''
+      |         WHEN row_live AND tbl = 't1' AND t1st <> 'S'
+      |           THEN (CASE WHEN msg IS NULL THEN 'R' ELSE 'S' END)
+      |         ELSE t1st END,
+      |    CASE WHEN begins THEN ''
+      |         WHEN row_live AND tbl = 't1' AND t1st <> 'S'
+      |           THEN coalesce(msg, '') ELSE t1msg END,
+      |    CASE WHEN begins THEN ''
+      |         WHEN row_live AND tbl = 't2' AND t2st <> 'S'
+      |           THEN (CASE WHEN msg IS NULL THEN 'R' ELSE 'S' END)
+      |         ELSE t2st END,
+      |    CASE WHEN begins THEN ''
+      |         WHEN row_live AND tbl = 't2' AND t2st <> 'S'
+      |           THEN coalesce(msg, '') ELSE t2msg END,
+      |    CASE WHEN counted
+      |           THEN nrows * (CASE WHEN splits THEN 2 ELSE 1 END)
+      |         ELSE CAST(0 AS BIGINT) END
+      |  FROM (
+      |    SELECT *,
+      |      (ev = 'row' AND active AND filt = 0
+      |        AND (CASE WHEN tbl = 't1' THEN t1st ELSE t2st END) <> 'S')
+      |        AS row_live,
+      |      (ev = 'row' AND active AND filt = 0
+      |        AND (CASE WHEN tbl = 't1' THEN t1st ELSE t2st END) <> 'S'
+      |        AND msg IS NULL) AS counted,
+      |      (ev = 'row' AND active AND filt = 0
+      |        AND (CASE WHEN tbl = 't1' THEN t1st ELSE t2st END) <> 'S'
+      |        AND msg IS NULL AND i1 = 1 AND ident = 1) AS splits,
+      |      (active AND ev = 'xid'
+      |        AND (t - lastf > flushiv
+      |             OR (cut IS NOT NULL AND cut <= i1))) AS flush_now,
+      |      (active AND ev = 'xid' AND cut IS NOT NULL AND cut <= i1)
+      |        AS need_cut
+      |    FROM (
+      |      SELECT s.sc, e.step AS estep, e.t, e.ev, e.i1, e.i2, e.tbl,
+      |        e.filt, e.ident, e.fails, e.nrows,
+      |        c.delay, c.flushiv,
+      |        s.cl, s.created, s.vst, s.sub, s.mark, s.errs, s.start_t,
+      |        s.lastf, s.cut, s.floc, s.flushes, s.ins, s.upd, s.del,
+      |        s.t1st, s.t1msg, s.t2st, s.t2msg,
+      |        CASE WHEN e.trk = 0 THEN 'table is not synced or dropped'
+      |             WHEN e.vis < e.bcols
+      |               THEN 'binlog has more columns than current table'
+      |             WHEN e.evpk = 0 AND e.curpk = 1 THEN
+      |        'primary key column of downstream table out of range of binlog event row'
+      |             WHEN e.evpk = 0 THEN 'no primary key'
+      |             ELSE NULL END AS msg,
+      |        (s.created = 1 AND s.vst = 2) AS active,
+      |        (e.ev = 'close' AND s.sub NOT IN (4, 5)) AS closing,
+      |        ((e.ev = 'vstart' OR (e.ev = 'run' AND s.sub NOT IN (2, 5)))
+      |          AND s.cl = 0 AND c.mok = 1 AND c.syn = 1
+      |          AND (CASE WHEN e.ev = 'run' THEN e.i2 ELSE e.i1 END) <> 0)
+      |          AS startable,
+      |        ((e.ev = 'vstart' OR (e.ev = 'run' AND s.sub NOT IN (2, 5)))
+      |          AND s.cl = 0 AND c.mok = 1 AND c.syn = 1
+      |          AND (CASE WHEN e.ev = 'run' THEN e.i2 ELSE e.i1 END) = 2
+      |          AND NOT (s.created = 1 AND s.vst = 2)) AS begins
+      |      FROM st s
+      |      JOIN script e ON e.sc = s.sc AND e.step = s.step + 1
+      |      JOIN cfg c ON c.sc = s.sc
+      |    ) l1
+      |  ) l2
+      |)
+      |SELECT sc, step,
+      |  CASE WHEN created = 1 THEN vst ELSE 0 END AS stage,
+      |  sub, mark, errs, ins, upd, del, flushes, floc,
+      |  t1st AS t1_stage, t1msg AS t1_msg, t2st AS t2_stage,
+      |  t2msg AS t2_msg, disp
+      |FROM st WHERE step > 0""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.ValidatorLifecycle
+    import graft.streaming.ValidatorLifecycle._
+    val base = Tables.load(spark, dir, "orders").count()
+    val rows = vScripts.flatMap { case (sc, mok, syn, delay, flushiv, steps) =>
+      val m = new ValidatorLifecycle(
+        mode = if (mok == 1) ModeFast else ModeNone,
+        hasSyncer = syn == 1,
+        rowErrorDelayMs = delay, metaFlushIntervalMs = flushiv)
+      steps.map { e =>
+        val nrows = if (e.rb == 1) (base + e.rows).toInt else e.rows
+        val disp: Long = e.ev match {
+          case "run" =>
+            m.subtaskRun(e.i1.toInt, e.i2.toInt, e.t); 0L
+          case "vstart" =>
+            m.startValidator(e.i1.toInt, e.t, initFails = e.fails == 1); 0L
+          case "vstop" => m.stopValidator(); 0L
+          case "verror" => m.validatorError(contextCancelled = e.i1 == 1); 0L
+          case "pause" => m.subtaskPause(); 0L
+          case "resume" => m.subtaskResume(); 0L
+          case "close" => m.subtaskClose(); 0L
+          case "sync" => m.observeProgress(e.i1, e.i2, e.t); 0L
+          case "cut" => m.setCutOver(e.i1); 0L
+          case "xid" => m.txnBoundary(e.i1, e.t); 0L
+          case "row" =>
+            m.rowsEvent(e.tbl, s"target_${e.tbl}",
+              TableFacts(e.trk == 1, e.vis, e.bcols, e.evpk == 1,
+                e.curpk == 1),
+              e.i1.toInt, nrows, e.t, filtered = e.filt == 1,
+              identityUpdated = e.ident == 1).toLong
+        }
+        def tst(n: String): (String, String) =
+          m.tableStatuses().find(_.source == n)
+            .map(s => (if (s.stage == Running) "R" else "S", s.message))
+            .getOrElse(("", ""))
+        val (t1s, t1m) = tst("t1"); val (t2s, t2m) = tst("t2")
+        val (ins, upd, del) = m.processedRowCounts
+        (sc, e.step, m.stage, m.subtaskView,
+          if (m.isMarkErrorStarted) 1 else 0, m.errorCount, ins, upd, del,
+          m.flushes, m.lastFlushedLoc, t1s, t1m, t2s, t2m, disp)
+      }
+    }
+    rows.toDF("sc", "step", "stage", "sub", "mark", "errs", "ins", "upd",
+      "del", "flushes", "floc", "t1_stage", "t1_msg", "t2_stage", "t2_msg",
+      "disp")
+  }
+
   val all: Seq[GateQuery] =
     Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix,
       ddlRepair, whereHandle, rmUnused, ddlDispatch, binlogPos,
       replicationSet, tableSchedulers, keySpanSplit, advanceCheckpoint,
-      captureManager, coordinatorRound, captureAgent)
+      captureManager, coordinatorRound, captureAgent, validatorStage)
 }

@@ -539,21 +539,31 @@ object StatsQueries {
     def hashes(cond: org.apache.spark.sql.Column) = docs.filter(cond)
       .select(explode(Dedup.shingles(col("text"), 3)).as("g"))
       .select(Hashing.portableLong(col("g")).as("h"))
-    val (ha, hb) = (hashes(col("lang") === "en"), hashes(col("n_chars") >= 200))
+    // The explode feeds FIVE branches (two register builds, the union
+    // lineage, both exact-count witnesses and their join) — Spark has no
+    // cross-branch CSE, so without a persist each branch re-runs the
+    // full trigram explode. Persist the distinct-ed hash sets (smaller
+    // than the raw explode, and distinct() is what four of the five
+    // branches need anyway); the registers group the same rows.
+    val (ha, hb) = (hashes(col("lang") === "en").distinct().persist(),
+      hashes(col("n_chars") >= 200).distinct().persist())
     val (ra, rb) = (Sketches.hllRegisters(ha, "h", HllP, HllW),
       Sketches.hllRegisters(hb, "h", HllP, HllW))
     val ru = ra.unionAll(rb).groupBy("b").agg(max("reg").as("reg"))
     def est(r: org.apache.spark.sql.DataFrame, as: String) =
       Sketches.hllEstimate(r, HllP, HllW, HllAlphaPpm)
         .select(col("est_distinct").as(as))
-    val da = ha.distinct(); val db = hb.distinct()
-    est(ra, "est_a").crossJoin(est(rb, "est_b"))
+    val out = est(ra, "est_a").crossJoin(est(rb, "est_b"))
       .crossJoin(est(ru, "est_union"))
       .withColumn("est_inter",
         col("est_a") + col("est_b") - col("est_union"))
-      .crossJoin(da.agg(count(lit(1)).as("exact_a")))
-      .crossJoin(db.agg(count(lit(1)).as("exact_b")))
-      .crossJoin(da.join(db, "h").agg(count(lit(1)).as("exact_inter")))
+      .crossJoin(ha.agg(count(lit(1)).as("exact_a")))
+      .crossJoin(hb.agg(count(lit(1)).as("exact_b")))
+      .crossJoin(ha.join(hb, "h").agg(count(lit(1)).as("exact_inter")))
+      .persist()
+    out.count() // materialize the 1-row result before dropping the inputs
+    ha.unpersist(); hb.unpersist()
+    out
   }
 
   def all: Seq[GateQuery] =

@@ -162,6 +162,28 @@ class PlanShapeSpec extends SparkSpec {
     ctf.unpersist()
   }
 
+  test("q216: set-algebra witnesses come from the persisted hash sets, not re-explodes") {
+    // the r16 weak plan: ha/hb fed five branches unpersisted, so the
+    // trigram explode re-ran per branch (~6x the corpus scan). The gate
+    // now distinct+persists both sides and materializes its 1-row result
+    // inside the builder — the RETURNED plan must be a cache read with no
+    // surviving Generate (explode) or parquet scan.
+    // the returned node is the cached 1-row result (the builder
+    // materialized it before unpersisting the inputs)…
+    val p = planOf("q216_hll_setops")
+    assert(p.linesIterator.take(2).mkString("\n").contains("InMemoryTableScan"),
+      s"plan root is not a cache read:\n$p")
+    // …and the embedded EXECUTED build (printed inside the
+    // InMemoryRelation as the isFinalPlan=true tree) ran its branches
+    // against the two hash-set caches: TableCacheQueryStage nodes exist
+    // only when a cache actually participated at execution time — the
+    // pre-fix (unpersisted) shape had none. Printed Generate counts are
+    // NOT usable here: every InMemoryTableScan re-prints its relation's
+    // full lineage, so the explode text repeats per cache mention.
+    assert(count(p, "TableCacheQueryStage") >= 2,
+      s"hash-set caches did not participate in the executed build; plan:\n$p")
+  }
+
   test("q187: the native as-of rewrite plans NO join — one union-window pass") {
     val p = planOf("q187_asof_native")
     // the whole point of the custom operator: a range join would fan out
