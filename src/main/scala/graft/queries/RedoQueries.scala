@@ -347,5 +347,321 @@ object RedoQueries {
     out.toSeq.toDF("kind", "k", "n", "v")
   }
 
-  def all: Seq[GateQuery] = Seq(redoLayout, relayPurge)
+  // ---------------------------------------------------------------------
+  // q286 — relay uuid-dir meta lifecycle
+  // ---------------------------------------------------------------------
+
+  /** One relay-meta scripted step (ev ∈ adddir/save/flush/adjust/mkdir/
+    * rmdir/trim/reload); a1..a5 carry string args, n1/n2 numerics. For
+    * `save`, n2=1 adds count(orders) to the position so the oracle stays
+    * data-anchored. */
+  final case class REv(step: Int, ev: String, a1: String = "",
+      a2: String = "", a3: String = "", a4: String = "", a5: String = "",
+      n1: Long = 0, n2: Long = 0)
+
+  private val UA = "53ea0ed1-9bf8-11e6-8bea-64006a897c73"
+  private val UB = "c6ae5afe-c7a3-11e8-a19d-0242ac130006"
+
+  /** (scenario, steps). */
+  val rScripts: Seq[(String, Seq[REv])] = Seq(
+    // the full rotation story: save-before-any-dir refuses; an adjust
+    // with no current dir mutates and reports adjusted=true WITH the
+    // flush error; first AddDir carries that state into .000001's meta;
+    // RESET MASTER (same uuid) rotates to .000002 flushing the dirty
+    // previous meta; Save(gset=nil) clears the FILE gtid but not the
+    // memory gset; a master switch to a new uuid with explicit pos+gtid;
+    // reload resumes from the last index line; a stale leftover dir
+    // fails mkdir AFTER the dirty pre-flush landed; trimming a deleted
+    // middle dir poisons the NEXT reload's consecutive-suffix check
+    ("rotate", Seq(
+      REv(1, "reload"),
+      REv(2, "save", a1 = "mysql-bin.000003", n1 = 77),
+      REv(3, "adjust", a3 = "0", a4 = "mysql-bin.000077", a5 = "ga:1-5"),
+      REv(4, "adddir", a1 = UA),
+      REv(5, "adjust", a3 = "0", a4 = "mysql-bin.000088", a5 = "ga:1-8"),
+      REv(6, "save", a1 = "mysql-bin.000003", a2 = "ga:1-10", n1 = 7, n2 = 1),
+      REv(7, "adddir", a1 = UA),
+      REv(8, "save", a1 = "mysql-bin.000001", n1 = 2000),
+      REv(9, "flush"),
+      REv(10, "adddir", a1 = UB, a2 = "mysql-bin.000005", n1 = 4,
+        a3 = "gb:1-3"),
+      REv(11, "reload"),
+      REv(12, "mkdir", a1 = s"$UB.000004"),
+      REv(13, "save", a1 = "mysql-bin.000009", a2 = "gb:1-9", n1 = 900),
+      REv(14, "adddir", a1 = UB),
+      REv(15, "rmdir", a1 = s"$UA.000002"),
+      REv(16, "trim"),
+      REv(17, "reload"),
+      REv(18, "trim"))),
+    // AdjustWithStartPos around a minimum-suffix dir: invalid configured
+    // binlog name refuses; a valid one seeds name + pos=4 and flushes;
+    // once meaningful (name past the min checkpoint) later adjusts no-op,
+    // including across a reload
+    ("adjust", Seq(
+      REv(1, "adddir", a1 = UA),
+      REv(2, "adjust", a1 = "bad-name", a3 = "0", a4 = "late.000001",
+        a5 = "lg:1-2"),
+      REv(3, "adjust", a1 = "mysql-bin.000042", a3 = "0",
+        a4 = "late.000001", a5 = "lg:1-2"),
+      REv(4, "adjust", a2 = "gx:1-4", a3 = "1", a4 = "late.000009",
+        a5 = "lg:9"),
+      REv(5, "reload"),
+      REv(6, "adjust", a3 = "1", a4 = "late.000009", a5 = "lg:9"))),
+    // GTID-mode seeding falls back to the LATEST upstream pos+gtid when
+    // none configured; a present gtid then blocks re-adjust, as does a
+    // suffix past the minimum after a rotation
+    ("gtidadj", Seq(
+      REv(1, "adddir", a1 = UA),
+      REv(2, "adjust", a3 = "1", a4 = "latest-bin.000010", a5 = "lg:1-9"),
+      REv(3, "adjust", a3 = "1", a4 = "latest-bin.000011", a5 = "lg:1-11"),
+      REv(4, "adddir", a1 = UA),
+      REv(5, "adjust", a3 = "0", a4 = "x.000001"))),
+    // explicit first-dir suffix (bound-to-source case): AddDir(suffix=5)
+    // names .000005 directly and later rotation continues from there
+    ("seedsfx", Seq(
+      REv(1, "adddir", a1 = UA, n1 = 5),
+      REv(2, "adjust", a3 = "0", a4 = "y.000002", a5 = "gy:1"),
+      REv(3, "adddir", a1 = UB),
+      REv(4, "reload"))))
+
+  private def rSqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+
+  private def rScriptValues: String =
+    rScripts.flatMap { case (sc, steps) =>
+      steps.map { e =>
+        s"(${rSqlStr(sc)}, ${e.step}, ${rSqlStr(e.ev)}, ${rSqlStr(e.a1)}, " +
+          s"${rSqlStr(e.a2)}, ${rSqlStr(e.a3)}, ${rSqlStr(e.a4)}, " +
+          s"${rSqlStr(e.a5)}, ${e.n1}, ${e.n2})"
+      }
+    }.mkString(",\n")
+
+  /**
+   * q286 — relay uuid-dir META LIFECYCLE ([[graft.streaming.RelayMeta]],
+   * dm/relay/meta.go + dm/pkg/utils/relay.go): four scripted scenarios ×
+   * every observable per step — current subdir, binlog name/pos, the
+   * FILE gtid and the MEMORY gset (they diverge by design on
+   * Save(gset=nil) and non-GTID adjust), the dirty flag, the
+   * `server-uuid.index` contents, the error identifier, and the call's
+   * return. The oracle re-steps the machine as a recursive CTE over LIST
+   * columns: suffix allocation, dirty pre-flush ordering (kept even when
+   * the subsequent mkdir fails), trim's index rewrite, and the
+   * consecutive-suffix verification that poisons a post-trim reload.
+   */
+  val relayMeta = GateQuery(
+    "q286_relay_meta",
+    Some(s"""WITH RECURSIVE b AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS base FROM orders
+      |), vals(sc, step, ev, a1, a2, a3, a4, a5, n1, n2) AS (VALUES
+      |$rScriptValues
+      |), st AS (
+      |  SELECT DISTINCT sc, 0 AS step, '' AS cur, '' AS name,
+      |    CAST(4 AS BIGINT) AS pos, '' AS btid, '' AS gset, 0 AS dirty,
+      |    CAST([] AS VARCHAR[]) AS mem, CAST([] AS VARCHAR[]) AS idxf,
+      |    CAST([] AS VARCHAR[]) AS dirs, CAST([] AS VARCHAR[]) AS metas,
+      |    '' AS err, '' AS ret
+      |  FROM vals
+      |  UNION ALL
+      |  SELECT sc, estep,
+      |    CASE WHEN add_ok THEN newsub
+      |         WHEN rl AND NOT rl_bad THEN rl_cur
+      |         WHEN rl THEN '' ELSE cur END,
+      |    CASE WHEN add_ok AND a2 <> '' THEN a2
+      |         WHEN add_ok THEN ''
+      |         WHEN save_ok THEN a1
+      |         WHEN adj_do THEN adj_name
+      |         WHEN rl AND NOT rl_bad AND has_meta THEN meta_name
+      |         WHEN rl THEN '' ELSE name END,
+      |    CASE WHEN add_ok AND a2 <> '' THEN n1
+      |         WHEN add_ok THEN 4
+      |         WHEN save_ok THEN effpos
+      |         WHEN adj_do THEN 4
+      |         WHEN rl AND NOT rl_bad AND has_meta THEN meta_pos
+      |         WHEN rl THEN 4 ELSE pos END,
+      |    CASE WHEN add_ok AND a3 <> '' THEN a3
+      |         WHEN add_ok THEN btid
+      |         WHEN save_ok THEN a2
+      |         WHEN adj_do THEN adj_g
+      |         WHEN rl AND NOT rl_bad AND has_meta THEN meta_btid
+      |         WHEN rl THEN '' ELSE btid END,
+      |    CASE WHEN add_ok AND a3 <> '' THEN a3
+      |         WHEN add_ok THEN gset
+      |         WHEN save_ok AND a2 <> '' THEN a2
+      |         WHEN save_ok THEN gset
+      |         WHEN adj_do THEN adj_gset
+      |         WHEN rl AND NOT rl_bad AND has_meta THEN meta_btid
+      |         WHEN rl THEN '' ELSE gset END,
+      |    CASE WHEN save_ok THEN 1
+      |         WHEN add_ok OR (is_add AND dirty = 1) THEN 0
+      |         WHEN flush_ok THEN 0
+      |         WHEN adj_do AND cur <> '' THEN 0
+      |         WHEN rl THEN 0 ELSE dirty END,
+      |    CASE WHEN add_ok THEN list_append(mem, newsub)
+      |         WHEN rl AND NOT rl_bad THEN idxf
+      |         WHEN rl THEN CAST([] AS VARCHAR[])
+      |         WHEN tr_act THEN tr_kept ELSE mem END,
+      |    CASE WHEN add_ok THEN list_append(mem, newsub)
+      |         WHEN tr_act THEN tr_kept ELSE idxf END,
+      |    CASE WHEN add_ok THEN list_append(dirs, newsub)
+      |         WHEN ev = 'mkdir' THEN list_append(dirs, a1)
+      |         WHEN ev = 'rmdir' THEN list_filter(dirs, x -> x <> a1)
+      |         ELSE dirs END,
+      |    CASE WHEN add_ok THEN
+      |           list_append(
+      |             list_filter(metas1, x -> NOT starts_with(x, newsub || '|')),
+      |             newsub || '|' ||
+      |               (CASE WHEN a2 <> '' THEN a2 ELSE '' END) || '|' ||
+      |               CAST(CASE WHEN a2 <> '' THEN n1 ELSE 4 END AS VARCHAR)
+      |               || '|' ||
+      |               (CASE WHEN a3 <> '' THEN a3 ELSE btid END))
+      |         WHEN flush_ok THEN
+      |           list_append(
+      |             list_filter(metas, x -> NOT starts_with(x, cur || '|')),
+      |             cur || '|' || name || '|' || CAST(pos AS VARCHAR)
+      |               || '|' || btid)
+      |         WHEN adj_do AND cur <> '' THEN
+      |           list_append(
+      |             list_filter(metas, x -> NOT starts_with(x, cur || '|')),
+      |             cur || '|' || adj_name || '|4|' || adj_g)
+      |         ELSE metas1 END,
+      |    CASE WHEN save_err OR flush_err THEN 'ErrRelayNoCurrentUUID'
+      |         WHEN add_fail THEN 'ErrRelayMkdir'
+      |         WHEN adj_badname THEN 'ErrRelayBinlogNameNotValid'
+      |         WHEN adj_do AND cur = '' THEN 'ErrRelayNoCurrentUUID'
+      |         WHEN rl_bad THEN 'ErrRelayUUIDSuffixNotValid'
+      |         ELSE '' END,
+      |    CASE WHEN add_ok THEN newsub
+      |         WHEN adj_do THEN '1'
+      |         WHEN ev = 'adjust' THEN '0'
+      |         WHEN tr_act THEN array_to_string(tr_trimmed, ';')
+      |         ELSE '' END
+      |  FROM (
+      |    SELECT *,
+      |      (is_add AND NOT list_contains(dirs, newsub)) AS add_ok,
+      |      (is_add AND list_contains(dirs, newsub)) AS add_fail,
+      |      (ev = 'adjust' AND NOT adj_blocked AND NOT adj_badname)
+      |        AS adj_do,
+      |      CASE WHEN is_add AND dirty = 1 THEN
+      |        list_append(
+      |          list_filter(metas, x -> NOT starts_with(x, cur || '|')),
+      |          cur || '|' || name || '|' || CAST(pos AS VARCHAR)
+      |            || '|' || btid)
+      |      ELSE metas END AS metas1,
+      |      coalesce(nullif(string_split(meta_row, '|')[2], ''), '')
+      |        AS meta_name,
+      |      coalesce(CAST(string_split(meta_row, '|')[3] AS BIGINT), 4)
+      |        AS meta_pos,
+      |      coalesce(string_split(meta_row, '|')[4], '') AS meta_btid,
+      |      meta_row IS NOT NULL AS has_meta
+      |    FROM (
+      |      SELECT s.sc, e.step AS estep, e.ev, e.a1, e.a2, e.a3, e.a4,
+      |        e.a5, e.n1,
+      |        e.n1 + CASE WHEN e.n2 = 1 THEN b.base ELSE 0 END AS effpos,
+      |        s.cur, s.name, s.pos, s.btid, s.gset, s.dirty, s.mem,
+      |        s.idxf, s.dirs, s.metas,
+      |        (e.ev = 'adddir') AS is_add,
+      |        CASE WHEN e.ev <> 'adddir' THEN ''
+      |             WHEN s.cur = '' THEN e.a1 || '.' ||
+      |               lpad(CAST(CASE WHEN e.n1 = 0 THEN 1 ELSE e.n1 END
+      |                    AS VARCHAR), 6, '0')
+      |             ELSE e.a1 || '.' ||
+      |               lpad(CAST(coalesce(TRY_CAST(right(s.cur, 6) AS INT), 0) + 1
+      |                    AS VARCHAR), 6, '0') END AS newsub,
+      |        (e.ev = 'save' AND s.cur = '') AS save_err,
+      |        (e.ev = 'save' AND s.cur <> '') AS save_ok,
+      |        (e.ev = 'flush' AND s.cur = '') AS flush_err,
+      |        (e.ev = 'flush' AND s.cur <> '') AS flush_ok,
+      |        (e.ev = 'adjust' AND s.cur <> '' AND
+      |          (coalesce(TRY_CAST(right(s.cur, 6) AS INT), 0) != 1
+      |           OR s.name > '' OR (s.name = '' AND s.pos > 4)
+      |           OR s.btid <> '')) AS adj_blocked,
+      |        CASE WHEN e.a3 = '1' AND e.a2 = '' THEN e.a4
+      |             WHEN e.a3 = '1' THEN e.a1
+      |             WHEN e.a1 = '' THEN e.a4 ELSE e.a1 END AS adj_name,
+      |        CASE WHEN e.a3 = '1' AND e.a2 = '' THEN e.a5
+      |             WHEN e.a3 = '1' THEN e.a2
+      |             WHEN e.a1 = '' THEN e.a5 ELSE e.a2 END AS adj_g,
+      |        CASE WHEN e.a3 = '1' THEN
+      |          (CASE WHEN e.a2 = '' THEN e.a5 ELSE e.a2 END)
+      |        ELSE '' END AS adj_gset,
+      |        (e.ev = 'adjust' AND NOT (s.cur <> '' AND
+      |            (coalesce(TRY_CAST(right(s.cur, 6) AS INT), 0) != 1
+      |             OR s.name > '' OR (s.name = '' AND s.pos > 4)
+      |             OR s.btid <> ''))
+      |          AND e.a3 = '0' AND e.a1 <> ''
+      |          AND NOT (len(string_split(e.a1, '.')) = 2
+      |                   AND coalesce(TRY_CAST(string_split(e.a1, '.')[2]
+      |                        AS BIGINT), 0) > 0)) AS adj_badname,
+      |        (e.ev = 'reload') AS rl,
+      |        (e.ev = 'reload' AND NOT (len(s.idxf) <= 1 OR
+      |          len(list_filter(range(2, len(s.idxf) + 1),
+      |            i -> TRY_CAST(right(s.idxf[i], 6) AS INT) !=
+      |                 TRY_CAST(right(s.idxf[i-1], 6) AS INT) + 1)) = 0))
+      |          AS rl_bad,
+      |        coalesce(s.idxf[-1], '') AS rl_cur,
+      |        list_filter(s.metas,
+      |          x -> starts_with(x, coalesce(s.idxf[-1], '') || '|'))[1]
+      |          AS meta_row,
+      |        (e.ev = 'trim') AS tr,
+      |        list_filter(s.mem, x -> list_contains(s.dirs, x)) AS tr_kept,
+      |        list_filter(s.mem, x -> NOT list_contains(s.dirs, x))
+      |          AS tr_trimmed,
+      |        (e.ev = 'trim' AND
+      |          len(list_filter(s.mem, x -> NOT list_contains(s.dirs, x)))
+      |            > 0) AS tr_act
+      |      FROM st s
+      |      JOIN vals e ON e.sc = s.sc AND e.step = s.step + 1, b
+      |    ) l1
+      |  ) l2
+      |)
+      |SELECT sc, step, cur, name, pos, btid, gset, dirty,
+      |  coalesce(array_to_string(idxf, ';'), '') AS idx, err, ret
+      |FROM st WHERE step > 0""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.RelayMeta
+    val base = graft.core.Tables.load(spark, dir, "orders").count()
+    val rows = rScripts.flatMap { case (sc, steps) =>
+      val fs = new RelayMeta.Fs
+      var m = new RelayMeta("mysql", fs)
+      steps.map { e =>
+        var err = ""; var ret = ""
+        e.ev match {
+          case "reload" =>
+            m = new RelayMeta("mysql", fs)
+            m.load().left.foreach(err = _)
+          case "save" =>
+            val p = e.n1 + (if (e.n2 == 1) base else 0L)
+            m.save(e.a1, p, if (e.a2.isEmpty) None else Some(e.a2))
+              .left.foreach(err = _)
+          case "flush" => m.flush().left.foreach(err = _)
+          case "adddir" =>
+            val np = if (e.a2.isEmpty) None else Some((e.a2, e.n1))
+            val ng = if (e.a3.isEmpty) None else Some(e.a3)
+            m.addDir(e.a1, np, ng, if (e.a2.isEmpty) e.n1.toInt else 0) match {
+              case Left(x) => err = x
+              case Right(s) => ret = s
+            }
+          case "adjust" =>
+            val (adj, er) = m.adjustWithStartPos(e.a1, e.a2, e.a3 == "1",
+              e.a4, e.a5)
+            ret = if (adj) "1" else "0"
+            er.foreach(err = _)
+          case "mkdir" => fs.dirs += e.a1
+          case "rmdir" => fs.dirs -= e.a1
+          case "trim" =>
+            m.trimUuidIndexFile() match {
+              case Left(x) => err = x
+              case Right(t) => ret = t.mkString(";")
+            }
+        }
+        val (cur, name, pos) = m.pos
+        (sc, e.step, cur, name, pos, m.fileGtid, m.gtidView._2,
+          if (m.dirty) 1 else 0,
+          fs.indexLines.mkString(";"), err, ret)
+      }
+    }
+    rows.toDF("sc", "step", "cur", "name", "pos", "btid", "gset", "dirty",
+      "idx", "err", "ret")
+  }
+
+  def all: Seq[GateQuery] = Seq(redoLayout, relayPurge, relayMeta)
 }

@@ -97,6 +97,39 @@ class Round17Spec extends SparkSpec {
     assert(Stopping == stageVal("Stopping"))
   }
 
+  // ---- relay meta constants parsed from the reference ----
+
+  private val relayUtilFile = Paths.get("/root/reference/dm/pkg/utils/relay.go")
+  private val relayMetaFile = Paths.get("/root/reference/dm/relay/meta.go")
+  private lazy val relayUtilSrc =
+    new String(Files.readAllBytes(relayUtilFile), "UTF-8")
+  private lazy val relayMetaSrc =
+    new String(Files.readAllBytes(relayMetaFile), "UTF-8")
+
+  test("relay meta filenames/suffix format match the reference, parsed") {
+    assume(Files.exists(relayUtilFile), "reference checkout not present")
+    import graft.streaming.RelayMeta
+    assert(RelayMeta.UuidIndexFilename ==
+      goStringConst(relayUtilSrc, "UUIDIndexFilename"))
+    assert(RelayMeta.MetaFilename ==
+      goStringConst(relayUtilSrc, "MetaFilename"))
+    // AddSuffixForUUID's format string (relay.go:70-72): sep + %06d
+    val fm = """fmt\.Sprintf\("%s%s%06d", uuid, uuidIndexSeparator, id\)""".r
+      .findFirstIn(relayUtilSrc)
+    assert(fm.isDefined, "AddSuffixForUUID format changed")
+    val sep = goStringConst(relayUtilSrc, "uuidIndexSeparator")
+    assert(RelayMeta.addSuffixForUuid("u", 7) == s"u${sep}000007")
+    // minUUIDSuffix / minCheckpoint (meta.go:31-33)
+    val minSfx = """minUUIDSuffix\s*=\s*(\d+)""".r
+      .findFirstMatchIn(relayMetaSrc)
+    assert(minSfx.isDefined && minSfx.get.group(1).toInt ==
+      RelayMeta.MinUuidSuffix)
+    val minCk = """minCheckpoint\s*=\s*mysql\.Position\{Pos:\s*(\d+)\}""".r
+      .findFirstMatchIn(relayMetaSrc)
+    assert(minCk.isDefined && minCk.get.group(1).toLong ==
+      RelayMeta.MinCheckpointPos)
+  }
+
   // ---- randomized stage-machine property vs an independent simulator ----
 
   /** Flat-state replay written directly from the Go control flow (NOT via
