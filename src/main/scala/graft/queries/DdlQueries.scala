@@ -1410,9 +1410,98 @@ object DdlQueries {
       rows.toSeq.toDF("part", "k", "changed", "stage", "nredir")
   }
 
+  // ---------------------------------------------------------------------
+  // q287 — DDL special comments
+  // ---------------------------------------------------------------------
+
+  private val SinkTestPath = "/root/reference/cdc/owner/ddl_sink_test.go"
+
+  /** Parse the reference's TestAddSpecialComment []struct literal into
+    * (query, charset, result) triples: Go string concatenations joined,
+    * `\n`/`\"` escapes decoded. The q287 oracle runs the SAME extraction
+    * in DuckDB over the same file, so the expected strings are never
+    * re-typed into this repo. */
+  def specialCommentCases(path: String = SinkTestPath): Seq[(String, String, String)] = {
+    val src = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val body = src.substring(src.indexOf("testCase := []struct"),
+      src.indexOf("s := &ddlSinkImpl{}"))
+    val caseRe =
+      """(?s)\{\s*event: &model\.DDLEvent\{(.*?)\n\t\t\t\},\s*result: (.*?),\n\t\t\}""".r
+    val strRe = """"((?:[^"\\]|\\.)*)"""".r
+    def joinStrings(goExpr: String): String =
+      strRe.findAllMatchIn(goExpr).map(_.group(1)).mkString
+        .replace("\\n", "\n").replace("\\\"", "\"")
+    caseRe.findAllMatchIn(body).map { m =>
+      val ev = m.group(1)
+      val qEnd = """,\n\t\t\t\t(Charset|Collate):""".r.findFirstMatchIn(ev)
+        .map(_.start).getOrElse(ev.length)
+      val qraw = ev.substring(ev.indexOf("Query:"), qEnd)
+      val charset = """Charset:\s*"([^"]*)"""".r.findFirstMatchIn(ev)
+        .map(_.group(1)).getOrElse("")
+      (joinStrings(qraw), charset, joinStrings(m.group(2)))
+    }.toSeq
+  }
+
+  /**
+   * q287 — DDL SPECIAL COMMENTS ([[graft.core.SpecialComment]],
+   * cdc/owner/ddl_sink.go:431-478 `addSpecialComment`): every query of
+   * the reference's own TestAddSpecialComment table re-rendered by the
+   * repo's renderer — version-gated `T![feature]` comment wrapping
+   * (auto_rand/auto_rand_base/auto_id_cache/clustered_index/force_inc/
+   * ttl/pre_split and the id-less SHARD_ROW_ID_BITS/PRE_SPLIT_REGIONS),
+   * placement-rule removal, and the forced TTL_ENABLE='OFF'. The oracle
+   * does NOT restate any expected string: it parses the (query, result)
+   * pairs straight out of ddl_sink_test.go with DuckDB's read_text, so
+   * the hash gate is "renderer == the reference's published contract".
+   */
+  val specialComments = GateQuery(
+    "q287_ddl_special_comments",
+    Some(s"""WITH raw AS (
+      |  SELECT content FROM read_text('$SinkTestPath')
+      |), body AS (
+      |  SELECT substring(content,
+      |    strpos(content, 'testCase := []struct'),
+      |    strpos(content, 's := &ddlSinkImpl{}')
+      |      - strpos(content, 'testCase := []struct')) AS b
+      |  FROM raw
+      |), cases AS (
+      |  SELECT row_number() OVER () AS idx,
+      |    regexp_extract(c,
+      |      '(?s)\\{\\s*event: &model\\.DDLEvent\\{(.*?)\\n\\t\\t\\t\\},\\s*result: (.*?),\\n\\t\\t\\}',
+      |      ['ev', 'res']) AS g
+      |  FROM (SELECT unnest(regexp_extract_all(b,
+      |    '(?s)\\{\\s*event: &model\\.DDLEvent\\{(.*?)\\n\\t\\t\\t\\},\\s*result: (.*?),\\n\\t\\t\\}',
+      |    0)) AS c FROM body)
+      |), fields AS (
+      |  SELECT idx,
+      |    regexp_extract(g.ev,
+      |      '(?s)Query:\\s*(.*?)(,\\n\\t\\t\\t\\t(?:Charset|Collate):|,?\\s*$$)',
+      |      1) AS qraw,
+      |    g.res AS rraw
+      |  FROM cases
+      |), joined AS (
+      |  SELECT idx,
+      |    list_aggregate(regexp_extract_all(qraw,
+      |      '"((?:[^"\\\\]|\\\\.)*)"', 1), 'string_agg', '') AS q,
+      |    list_aggregate(regexp_extract_all(rraw,
+      |      '"((?:[^"\\\\]|\\\\.)*)"', 1), 'string_agg', '') AS r
+      |  FROM fields
+      |)
+      |SELECT idx,
+      |  replace(replace(q, '\\n', chr(10)), '\\"', '"') AS query,
+      |  replace(replace(r, '\\n', chr(10)), '\\"', '"') AS rendered
+      |FROM joined ORDER BY idx""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    specialCommentCases().zipWithIndex.map { case ((q, cs, _), i) =>
+      (i + 1L, q, graft.core.SpecialComment.render(q, cs))
+    }.toDF("idx", "query", "rendered")
+  }
+
   def all: Seq[GateQuery] =
     Seq(shardDdlGate, precheck, ddlText, ddlAllowList, ddlRenderFixpoint,
       debeziumDdl, maxwellDdl, simpleDdl, openDdl, watermarkMessages,
       shardDdlLocks, safeModePhase, optimisticLocks, ownerBarrier,
-      renameFilter, syncerCheckpoint, schemaSnapshot, optimisticTrySync)
+      renameFilter, syncerCheckpoint, schemaSnapshot, optimisticTrySync,
+      specialComments)
 }

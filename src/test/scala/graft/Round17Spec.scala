@@ -130,6 +130,49 @@ class Round17Spec extends SparkSpec {
       RelayMeta.MinCheckpointPos)
   }
 
+  // ---- DDL special comments: the reference's own test table is the spec --
+
+  private val sinkTestFile =
+    Paths.get("/root/reference/cdc/owner/ddl_sink_test.go")
+
+  test("addSpecialComment: every reference test-table case reproduces") {
+    assume(Files.exists(sinkTestFile), "reference checkout not present")
+    import graft.core.SpecialComment
+    // the q287 gate's Scala-side extraction (its DuckDB oracle re-parses
+    // the same file independently)
+    val cases = graft.queries.DdlQueries.specialCommentCases()
+    assert(cases.size == 54, s"expected 54 parsed cases, got ${cases.size}")
+    for (((q, cs, want), i) <- cases.zipWithIndex) {
+      val got = SpecialComment.render(q, cs)
+      assert(got == want, s"case ${i + 1}:\n  Q: $q\n  want: $want\n  got:  $got")
+    }
+    // the trailing multi-statement case errors (ddl_sink_test.go:570-575)
+    intercept[SpecialComment.RenderError] {
+      SpecialComment.render(
+        "alter table t force, auto_increment = 12;" +
+          "alter table t force, auto_increment = 12;")
+    }
+  }
+
+  test("addSpecialComment: rendering is a fixpoint (q119's render contract)") {
+    assume(Files.exists(sinkTestFile), "reference checkout not present")
+    import graft.core.SpecialComment
+    // the emitted T![...] comments are live syntax to the parser — the
+    // reference's own round-trip property (an already-commented DDL
+    // re-renders identically, ddl_sink_test cases 17/23/33/43). Modulo
+    // whitespace runs: every REMOVED placement leaves a pure-whitespace
+    // artifact (trailing / before-comma / doubled space) that a second
+    // render — with the placement gone — cannot reproduce.
+    def norm(s: String) =
+      s.replaceAll("\\s+", " ").replaceAll(" ,", ",").trim
+    for ((q, cs, _) <- graft.queries.DdlQueries.specialCommentCases()) {
+      val once = SpecialComment.render(q, cs)
+      if (once.nonEmpty)
+        assert(norm(SpecialComment.render(once, cs)) == norm(once),
+          s"not a fixpoint: $q")
+    }
+  }
+
   // ---- randomized stage-machine property vs an independent simulator ----
 
   /** Flat-state replay written directly from the Go control flow (NOT via
