@@ -357,6 +357,94 @@ class StreamingSpec extends SparkSpec {
     assert(got == rebuilt && got == Set(("B", 1L, 6.0), ("C", 1L, 7.0)))
   }
 
+  test("scheduled changefeed: placement routes through the live coordinator") {
+    // r16 VERDICT stretch #8: q281/q282 prove the coordinator/agent loop
+    // in isolation; here the REAL changefeed's per-batch sink consults a
+    // live SchedulerBridge (real Coord + real CaptureAgents exchanging
+    // heartbeats/dispatches) and Spark EXECUTES the placement: every
+    // data row is routed to the capture its replication set names
+    // primary, through add → move → drain → crash.
+    val dir = Files.createTempDirectory("graft_cf_sched").toString
+    val spec = ChangefeedSpec(id = "cf-sched", checkpointDir = s"$dir/ckpt")
+    val bridge = new SchedulerBridge(Seq("cap-1", "cap-2", "cap-3"))
+    def tid(t: String): Long = Changefeed.physicalId("db", t)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEv]
+    def evT(seq: Long, table: String, pk: Long): StreamEv =
+      StreamEv(seq, "I", 100 + seq, 99 + seq, 0, "db", table, pk, pk,
+        None, Some(pk.toDouble), "e")
+
+    // the scheduled sink: one owner round + converge, then the data
+    // plane routes rows by the coordinator's placement (broadcast map
+    // join — at scale the owner map is O(tables), never the data)
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, batchId) => {
+      val tables = b.select("schema_name", "table_name").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val ids = tables.map { case (s, t) => Changefeed.physicalId(s, t) }
+      bridge.round(ids.toSeq)
+      val placement = bridge.converge(ids.toSeq)
+      val pdf = tables.map { case (s, t) =>
+        (s, t, placement.getOrElse(Changefeed.physicalId(s, t), ""))
+      }.toSeq.toDF("schema_name", "table_name", "capture")
+      b.join(broadcast(pdf), Seq("schema_name", "table_name"))
+        .withColumn("batch", lit(batchId))
+        .write.mode("append").parquet(s"$dir/out")
+    }
+
+    def runBatch(): Unit = {
+      val q = Changefeed.start(spark, mem.toDF(), spec)(sink)
+      q.awaitTermination()
+    }
+    def owners(): Map[(String, Long), String] =
+      spark.read.parquet(s"$dir/out")
+        .select("table_name", "batch", "capture").distinct()
+        .as[(String, Long, String)].collect()
+        .map { case (t, b, c) => (t, b) -> c }.toMap
+
+    // batch 0: two tables appear and get scheduled
+    mem.addData(evT(1, "t1", 1), evT(2, "t2", 2))
+    runBatch()
+    val o0 = owners()
+    assert(bridge.error.isEmpty)
+    assert(bridge.allReplicating(Seq(tid("t1"), tid("t2"))))
+    assert(Set("cap-1", "cap-2", "cap-3").contains(o0(("t1", 0L))))
+    assert(o0(("t1", 0L)).nonEmpty && o0(("t2", 0L)).nonEmpty)
+
+    // batch 1: move t1 to a specific capture; a NEW table t3 joins
+    val dest = Seq("cap-1", "cap-2", "cap-3").find(_ != o0(("t1", 0L))).get
+    assert(bridge.moveTable(tid("t1"), dest))
+    mem.addData(evT(3, "t1", 3), evT(4, "t3", 4))
+    runBatch()
+    val o1 = owners()
+    assert(o1(("t1", 1L)) == dest, s"move not executed: $o1")
+    assert(o1(("t3", 1L)).nonEmpty)
+
+    // batch 2: drain whatever holds t3 — its tables must leave
+    val drained = o1(("t3", 1L))
+    assert(bridge.drainCapture(drained))
+    mem.addData(evT(5, "t1", 5), evT(6, "t2", 6), evT(7, "t3", 7))
+    runBatch()
+    val o2 = owners()
+    assert(o2(("t3", 2L)) != drained, s"drain not executed: $o2")
+
+    // batch 3: crash a capture that still owns a table — survivors pick
+    // its tables up and every row lands on a live capture
+    val alive3 = bridge.aliveCaptures
+    val victim = Seq(("t1", o2(("t1", 2L))), ("t2", o2(("t2", 2L))),
+      ("t3", o2(("t3", 2L)))).map(_._2).find(alive3.contains).get
+    bridge.crashCapture(victim)
+    mem.addData(evT(8, "t1", 8), evT(9, "t2", 9), evT(10, "t3", 10))
+    runBatch()
+    val o3 = owners()
+    for (t <- Seq("t1", "t2", "t3")) {
+      assert(o3((t, 3L)).nonEmpty && o3((t, 3L)) != victim,
+        s"table $t still on crashed $victim: $o3")
+      assert(bridge.aliveCaptures.contains(o3((t, 3L))))
+    }
+    assert(bridge.error.isEmpty, s"coordinator error: ${bridge.error}")
+  }
+
   test("idempotent replay: re-applying a batch converges to same state") {
     val dir = Files.createTempDirectory("graft_cf3").toString
     val batch = Seq(
