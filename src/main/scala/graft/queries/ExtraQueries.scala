@@ -1403,6 +1403,112 @@ object ExtraQueries {
     rows.toDF("kind", "c", "res", "n")
   }
 
+  /** The q288 op script: two escalation waves (missing at ts=1, mismatch
+    * at ts=2), then the dmctl sequence — ignore one early id, resolve-all
+    * of wave 1, clear one wave-1 row, ignore-all over both waves, and a
+    * final targeted resolve that must win the same-ts tie by op order.
+    * (ts, op, errId, isAll) rendered into BOTH engines. */
+  private val errOps: Seq[graft.streaming.Validator.ErrorOp] = {
+    import graft.streaming.Validator._
+    Seq(
+      ErrorOp(1L, IgnoreErrOp, errId = 3L),
+      ErrorOp(1L, ResolveErrOp, isAll = true),
+      ErrorOp(1L, ClearErrOp, errId = 5L),
+      ErrorOp(2L, IgnoreErrOp, isAll = true),
+      ErrorOp(2L, ResolveErrOp, errId = 4L),
+      ErrorOp(2L, ClearErrOp, errId = 7L))
+  }
+
+  /**
+   * q288 — VALIDATOR ERROR OPERATIONS (`dmctl validation
+   * ignore-error/resolve-error/clear-error`,
+   * data_validator.go:1341-1362 → validator_checkpoint.go:683-724 +
+   * loadError :634-681): the q53 validation scenario's failures become
+   * two escalation waves of persisted error rows (ids in escalation
+   * order), a scripted op sequence folds over them — clear deletes
+   * permanently, ignore/resolve set status with latest-applicable-wins,
+   * ops only touch rows existing at their time so wave-2 escapes wave-1's
+   * resolve-all — and the gate pins the surviving per-row statuses plus
+   * the per-state counts of GetValidatorError's filter views.
+   */
+  val validatorErrorOps = GateQuery(
+    "q288_validator_error_ops",
+    Some(CdcQueries.splitCte +
+      s""", expected AS (
+        |  SELECT schema_name, table_name, pk,
+        |    arg_max(coalesce(val_after, -1), seq) AS exp_val,
+        |    arg_min(op, seq) AS first_op, arg_max(op, seq) AS last_op
+        |  FROM split GROUP BY 1, 2, 3
+        |), live AS (
+        |  SELECT * FROM expected
+        |  WHERE NOT (first_op = 'I' AND last_op = 'D') AND last_op <> 'D'
+        |), errs AS (
+        |  SELECT schema_name, table_name, pk,
+        |    CASE WHEN pk % 151 = 0 THEN 1 ELSE 2 END AS error_ts
+        |  FROM live WHERE pk % 151 = 0 OR pk % 97 = 0
+        |), ids AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY error_ts, schema_name,
+        |    table_name, pk) AS BIGINT) AS id
+        |  FROM errs
+        |), ops(op_seq, op_ts, op_kind, op_err_id, op_is_all) AS (VALUES
+        |  ${errOps.zipWithIndex.map { case (o, i) =>
+             s"(${i}, ${o.ts}, ${o.op}, ${o.errId}, ${if (o.isAll) "TRUE" else "FALSE"})"
+           }.mkString(", ")}
+        |), folded AS (
+        |  SELECT i.id, i.schema_name, i.table_name, i.pk, i.error_ts,
+        |    max(CASE WHEN o.op_kind = ${graft.streaming.Validator.ClearErrOp}
+        |        THEN 1 ELSE 0 END) AS cleared,
+        |    coalesce(arg_max(o.op_kind, CASE WHEN o.op_kind IN (
+        |        ${graft.streaming.Validator.IgnoreErrOp},
+        |        ${graft.streaming.Validator.ResolveErrOp})
+        |      THEN o.op_ts * 1000000 + o.op_seq END), 0) AS last_set
+        |  FROM ids i LEFT JOIN ops o
+        |    ON o.op_ts >= i.error_ts AND (o.op_is_all OR o.op_err_id = i.id)
+        |  GROUP BY 1, 2, 3, 4, 5
+        |), view AS (
+        |  SELECT id, schema_name, table_name, pk, error_ts,
+        |    CASE WHEN last_set = ${graft.streaming.Validator.IgnoreErrOp}
+        |           THEN ${graft.streaming.Validator.IgnoredErr}
+        |         WHEN last_set = ${graft.streaming.Validator.ResolveErrOp}
+        |           THEN ${graft.streaming.Validator.ResolvedErr}
+        |         ELSE ${graft.streaming.Validator.NewErr} END AS status
+        |  FROM folded WHERE cleared = 0
+        |)
+        |SELECT 'row' AS kind, id, schema_name, table_name, pk, error_ts,
+        |  CAST(status AS BIGINT) AS status, CAST(1 AS BIGINT) AS cnt
+        |FROM view
+        |UNION ALL
+        |SELECT 'count', CAST(status AS BIGINT), '', '', 0, 0, CAST(status AS BIGINT),
+        |  CAST(count(*) AS BIGINT)
+        |FROM view GROUP BY status""".stripMargin)) { (spark, dir) =>
+    import graft.streaming.Validator
+    val split = Transforms.updateSplit(CdcStream.derive(spark, dir))
+    val expected = split.groupBy("schema_name", "table_name", "pk").agg(
+      max_by(coalesce(col("val_after"), lit(-1d)), col("seq")).as("exp_val"),
+      min_by(col("op"), col("seq")).as("first_op"),
+      max_by(col("op"), col("seq")).as("last_op"))
+    val live = expected.filter(
+      !(col("first_op") === "I" && col("last_op") === "D") && col("last_op") =!= "D")
+    // the q53 failure classes as escalation waves: missing rows (dropped
+    // downstream) escalate first, value mismatches a round later
+    val errors = live
+      .filter(col("pk") % 151 === 0 || col("pk") % 97 === 0)
+      .withColumn("error_ts",
+        when(col("pk") % 151 === 0, 1L).otherwise(2L))
+      .select("schema_name", "table_name", "pk", "error_ts")
+    val view = Validator.errorView(errors, errOps)
+    val rows = view.select(lit("row").as("kind"), col("id"),
+      col("schema_name"), col("table_name"), col("pk"), col("error_ts"),
+      col("status").cast("long").as("status"), lit(1L).as("cnt"))
+    val counts = view.groupBy("status")
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("count").as("kind"), col("status").cast("long").as("id"),
+        lit("").as("schema_name"), lit("").as("table_name"),
+        lit(0L).as("pk"), lit(0L).as("error_ts"),
+        col("status").cast("long").as("status"), col("cnt"))
+    rows.unionByName(counts)
+  }
+
   def all: Seq[GateQuery] = Seq(
     schemaAsof, validator, mediaFeatures, imageDecode, imageResize,
     audioDecode, videoFrames,
@@ -1411,5 +1517,5 @@ object ExtraQueries {
     storageLayout, columnSelector, partitionId, twoPcMatch, onlineDdl,
     jsonOps, jsonVariant, enumDict, gtidSets, saltedJoin, dumpLoad,
     asofNative, asofForward, asofNearest, scdHistory, timeTravel,
-    warehousePipeline, gtidFlavor)
+    warehousePipeline, gtidFlavor, validatorErrorOps)
 }

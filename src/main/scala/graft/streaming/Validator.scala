@@ -116,4 +116,83 @@ object Validator {
 
     RoundStats(okCnt, nPending, nErr, stalled = nPending > maxPending)
   }
+
+  // ---- dmctl validation error operations --------------------------------
+
+  // pb.ValidateErrorState (dm/pb/dmworker.pb.go:356-359)
+  val InvalidErr = 0
+  val NewErr = 1
+  val IgnoredErr = 2
+  val ResolvedErr = 3
+  // pb.ValidationErrOp (dm/pb/dmworker.pb.go:387-390)
+  val IgnoreErrOp = 1
+  val ResolveErrOp = 2
+  val ClearErrOp = 3
+
+  /** One `dmctl validation ignore/resolve/clear-error` operation at
+    * logical time `ts`: targets one error id or all
+    * (data_validator.go:1341-1362 → validator_checkpoint.go:683-724). */
+  final case class ErrorOp(ts: Long, op: Int, errId: Long = 0L,
+                           isAll: Boolean = false)
+
+  /**
+   * The persisted-error view after a sequence of operations — the Spark
+   * twin of the reference's mutable error table
+   * (validator_checkpoint.go operateError/deleteError + loadError):
+   *
+   *  - error ids are assigned in escalation order (stable row_number over
+   *    (error_ts, table, pk) — the AUTO_INCREMENT of the reference's
+   *    table, derived instead of stored so the append-only parquet stays
+   *    immutable);
+   *  - an op applies to the rows EXISTING at its time (error_ts ≤ op.ts):
+   *    clear DELETES them (permanently — later ops cannot resurrect),
+   *    ignore/resolve SET the status, latest applicable op wins;
+   *  - errors escalating after a clear-all are untouched by it — new
+   *    errors always enter as NewErr (persistErrorRows writes
+   *    ValidateErrorState_NewErr, validator_checkpoint.go:310).
+   *
+   * `filterState` mirrors GetValidatorError: InvalidErr returns all
+   * (data_validator.go:1309-1339). Ops are control-plane sized — the fold
+   * is one broadcast join over the error table.
+   */
+  def errorView(errors: DataFrame, ops: Seq[ErrorOp],
+                filterState: Int = InvalidErr): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = errors.sparkSession
+    import spark.implicits._
+    val withId = errors.withColumn("id",
+      row_number().over(Window.orderBy(col("error_ts"), col("schema_name"),
+        col("table_name"), col("pk"))).cast("long"))
+    val opsDf = ops.zipWithIndex
+      .map { case (o, i) => (i.toLong, o.ts, o.op, o.errId, o.isAll) }
+      .toDF("op_seq", "op_ts", "op_kind", "op_err_id", "op_is_all")
+    val folded = withId
+      .join(broadcast(opsDf),
+        col("op_ts") >= col("error_ts") &&
+          (col("op_is_all") || col("op_err_id") === col("id")), "left")
+      .groupBy("id", "schema_name", "table_name", "pk", "error_ts")
+      .agg(
+        max(when(col("op_kind") === ClearErrOp, 1).otherwise(0))
+          .as("cleared"),
+        // latest applicable status op wins; same-ts ties break by op
+        // order (the scalar ts*1e6+seq key replays verbatim in SQL)
+        coalesce(
+          max_by(col("op_kind"),
+            when(col("op_kind").isin(IgnoreErrOp, ResolveErrOp),
+              col("op_ts") * 1000000L + col("op_seq"))),
+          lit(0)).as("last_set"))
+      .filter(col("cleared") === 0)
+      .withColumn("status",
+        when(col("last_set") === IgnoreErrOp, IgnoredErr)
+          .when(col("last_set") === ResolveErrOp, ResolvedErr)
+          .otherwise(NewErr))
+      .select("id", "schema_name", "table_name", "pk", "error_ts", "status")
+    if (filterState == InvalidErr) folded
+    else folded.filter(col("status") === filterState)
+  }
+
+  /** loadErrorCount's per-state tally (validator_checkpoint.go:604-632). */
+  def errorCounts(errors: DataFrame, ops: Seq[ErrorOp]): DataFrame =
+    errorView(errors, ops).groupBy("status")
+      .agg(count(lit(1)).as("cnt"))
 }

@@ -79,6 +79,25 @@ class Round17Spec extends SparkSpec {
       goDurationMs(taskSrc, "DefaultValidatorBatchQuerySize"))
   }
 
+  test("validator error-op/state enums match dmworker.pb.go, parsed") {
+    assume(Files.exists(pbFile), "reference checkout not present")
+    import graft.streaming.Validator
+    def enumVal(tpe: String, n: String): Int = {
+      val m = (tpe + "_" + n + """\s+""" + tpe + """ = (\d+)""").r
+        .findFirstMatchIn(pbSrc)
+      assert(m.isDefined, s"${tpe}_$n not found"); m.get.group(1).toInt
+    }
+    assert(Validator.InvalidErr == enumVal("ValidateErrorState", "InvalidErr"))
+    assert(Validator.NewErr == enumVal("ValidateErrorState", "NewErr"))
+    assert(Validator.IgnoredErr == enumVal("ValidateErrorState", "IgnoredErr"))
+    assert(Validator.ResolvedErr ==
+      enumVal("ValidateErrorState", "ResolvedErr"))
+    assert(Validator.IgnoreErrOp == enumVal("ValidationErrOp", "IgnoreErrOp"))
+    assert(Validator.ResolveErrOp ==
+      enumVal("ValidationErrOp", "ResolveErrOp"))
+    assert(Validator.ClearErrOp == enumVal("ValidationErrOp", "ClearErrOp"))
+  }
+
   test("pb.Stage enum values match dmworker.pb.go, parsed") {
     assume(Files.exists(pbFile), "reference checkout not present")
     def stageVal(n: String): Int = {
