@@ -66,14 +66,23 @@ object StatsQueries {
             |    // 1000000 AS BIGINT) AS est_distinct
             |FROM agg""".stripMargin)) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
-    val hashed = docs
+    // ONE corpus explode and ONE shuffle: the (h, multiplicity) table
+    // carries everything — n_grams = Σc, n_exact = |rows|, and the HLL
+    // registers are dedup-invariant (max rank per bucket). The pre-fix
+    // shape re-ran the explode per branch (the q216 disease, 2× here).
+    val byH = docs
       .select(explode(Dedup.shingles(col("text"), 3)).as("g"))
       .select(Hashing.portableLong(col("g")).as("h"))
-    val regs = Sketches.hllRegisters(hashed, "h", HllP, HllW)
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .persist()
+    val regs = Sketches.hllRegisters(byH, "h", HllP, HllW)
     val est = Sketches.hllEstimate(regs, HllP, HllW, HllAlphaPpm)
-    val exact = hashed
-      .agg(count(lit(1)).as("n_grams"), countDistinct(col("h")).as("n_exact"))
-    exact.crossJoin(est)
+    val exact = byH
+      .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_exact"))
+    val out = exact.crossJoin(est).persist()
+    out.count()
+    byH.unpersist()
+    out
   }
 
   // ---- q157: Bloom-filter cross-batch membership ---------------------
