@@ -311,7 +311,8 @@ object SpecialComment {
   /** TTL expression: tokens up to the next table-option keyword. */
   private def ttlExpr(c: Cur): String = {
     val stop = Set("ttl_enable", "ttl_job_interval", "engine", "charset",
-      "collate", "default", "placement", "auto_id_cache", "partition")
+      "collate", "default", "placement", "auto_id_cache", "partition",
+      "shard_row_id_bits", "pre_split_regions", "auto_random_base", "ttl")
     val toks = ArrayBuffer.empty[Tok]
     while (c.more && !(c.peek.kind == 'w' && stop(c.peek.text.toLowerCase)))
       toks += c.next()

@@ -38,6 +38,22 @@ object ExtraQueries {
         min(col("commit_ts")).as("min_ts"), max(col("commit_ts")).as("max_ts"))
   }
 
+  /** The validator scenario's live expected-row set, shared by q53 and
+    * q288 (one definition so the two gates cannot drift): compacted net
+    * images per PK from the split change stream, minus rows whose net
+    * effect is absence (I..D round trips and trailing deletes). */
+  private def liveExpected(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
+    val split = Transforms.updateSplit(CdcStream.derive(spark, dir))
+    val expected = split.groupBy("schema_name", "table_name", "pk").agg(
+      max_by(coalesce(col("val_after"), lit(-1d)), col("seq")).as("exp_val"),
+      min_by(col("op"), col("seq")).as("first_op"),
+      max_by(col("op"), col("seq")).as("last_op"))
+    expected.filter(
+      !(col("first_op") === "I" && col("last_op") === "D") &&
+        col("last_op") =!= "D")
+  }
+
   /**
    * V5/J3 — continuous-validator core: expected row images (from the
    * compacted change stream) batch-compared against the "downstream" state
@@ -70,13 +86,7 @@ object ExtraQueries {
         |FROM live l LEFT JOIN target t
         |  ON l.schema_name = t.schema_name AND l.table_name = t.table_name AND l.pk = t.pk
         |GROUP BY 1, 2""".stripMargin)) { (spark, dir) =>
-    val split = Transforms.updateSplit(CdcStream.derive(spark, dir))
-    val expected = split.groupBy("schema_name", "table_name", "pk").agg(
-      max_by(coalesce(col("val_after"), lit(-1d)), col("seq")).as("exp_val"),
-      min_by(col("op"), col("seq")).as("first_op"),
-      max_by(col("op"), col("seq")).as("last_op"))
-    val live = expected.filter(
-      !(col("first_op") === "I" && col("last_op") === "D") && col("last_op") =!= "D")
+    val live = liveExpected(spark, dir)
       .select("schema_name", "table_name", "pk", "exp_val")
     val target = live.filter(col("pk") % 151 =!= 0)
       .withColumn("tgt_val",
@@ -1482,13 +1492,7 @@ object ExtraQueries {
         |  CAST(count(*) AS BIGINT)
         |FROM view GROUP BY status""".stripMargin)) { (spark, dir) =>
     import graft.streaming.Validator
-    val split = Transforms.updateSplit(CdcStream.derive(spark, dir))
-    val expected = split.groupBy("schema_name", "table_name", "pk").agg(
-      max_by(coalesce(col("val_after"), lit(-1d)), col("seq")).as("exp_val"),
-      min_by(col("op"), col("seq")).as("first_op"),
-      max_by(col("op"), col("seq")).as("last_op"))
-    val live = expected.filter(
-      !(col("first_op") === "I" && col("last_op") === "D") && col("last_op") =!= "D")
+    val live = liveExpected(spark, dir)
     // the q53 failure classes as escalation waves: missing rows (dropped
     // downstream) escalate first, value mismatches a round later
     val errors = live

@@ -25,6 +25,11 @@ final case class GateQuery(
 
 object Gate {
 
+  /** SQL string-literal rendering for generated VALUES scripts (null →
+    * NULL) — ONE copy so gate script quoting cannot drift per file. */
+  def sqlStr(s: String): String =
+    if (s == null) "NULL" else "'" + s.replace("'", "''") + "'"
+
   /**
    * Remove stale PID-keyed scratch dirs of FINISHED gate processes under
    * java.io.tmpdir (dirs are named `<prefix>..._<pid>` so concurrent live

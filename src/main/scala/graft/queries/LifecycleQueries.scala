@@ -130,8 +130,7 @@ object LifecycleQueries {
       FsStep(3, 9615000L, k = 1, r = 100),
       FsStep(4, 9640000L, code = G, k = 5, r = 100))))
 
-  private def sqlStr(s: String): String =
-    if (s == null) "NULL" else "'" + s.replace("'", "''") + "'"
+  private def sqlStr(s: String): String = Gate.sqlStr(s)
 
   /** The script VALUES rows, generated from [[scripts]] so the two engines
     * replay the identical input (the SEMANTICS are re-derived independently
@@ -2857,14 +2856,16 @@ object LifecycleQueries {
     ("flush", 1, 1, 1000000L, 500L, Seq(
       VEv(1, 0, "run", i1 = 2, i2 = 2),
       VEv(2, 100, "xid", i1 = 10),
-      VEv(3, 700, "xid", i1 = 20),
-      VEv(4, 900, "xid", i1 = 30),
-      VEv(5, 910, "cut", i1 = 25),
-      VEv(6, 950, "xid", i1 = 24),
-      VEv(7, 980, "xid", i1 = 26),
-      VEv(8, 1000, "xid", i1 = 40),
-      VEv(9, 1010, "pause"),
-      VEv(10, 1600, "xid", i1 = 50))))
+      VEv(3, 150, "nerr", rows = 3, rb = 1),
+      VEv(4, 700, "xid", i1 = 20),
+      VEv(5, 900, "xid", i1 = 30),
+      VEv(6, 905, "nerr", rows = 4),
+      VEv(7, 910, "cut", i1 = 25),
+      VEv(8, 950, "xid", i1 = 24),
+      VEv(9, 980, "xid", i1 = 26),
+      VEv(10, 1000, "xid", i1 = 40),
+      VEv(11, 1010, "pause"),
+      VEv(12, 1600, "xid", i1 = 50))))
 
   private def vCfgValues: String =
     vScripts.map { case (sc, mok, syn, delay, flushiv, _) =>
@@ -2914,7 +2915,8 @@ object LifecycleQueries {
       |    CAST(NULL AS BIGINT) AS floc, 0 AS flushes,
       |    CAST(0 AS BIGINT) AS ins, CAST(0 AS BIGINT) AS upd,
       |    CAST(0 AS BIGINT) AS del, '' AS t1st, '' AS t1msg,
-      |    '' AS t2st, '' AS t2msg, CAST(0 AS BIGINT) AS disp
+      |    '' AS t2st, '' AS t2msg, CAST(0 AS BIGINT) AS disp,
+      |    CAST(0 AS BIGINT) AS nerr
       |  FROM cfg
       |  UNION ALL
       |  SELECT sc, estep,
@@ -2972,7 +2974,11 @@ object LifecycleQueries {
       |           THEN coalesce(msg, '') ELSE t2msg END,
       |    CASE WHEN counted
       |           THEN nrows * (CASE WHEN splits THEN 2 ELSE 1 END)
-      |         ELSE CAST(0 AS BIGINT) END
+      |         ELSE CAST(0 AS BIGINT) END,
+      |    CASE WHEN begins THEN 0
+      |         WHEN flush_now THEN 0
+      |         WHEN ev = 'nerr' AND created = 1 THEN nerr + nrows
+      |         ELSE nerr END
       |  FROM (
       |    SELECT *,
       |      (ev = 'row' AND active AND filt = 0
@@ -2995,7 +3001,7 @@ object LifecycleQueries {
       |        c.delay, c.flushiv,
       |        s.cl, s.created, s.vst, s.sub, s.mark, s.errs, s.start_t,
       |        s.lastf, s.cut, s.floc, s.flushes, s.ins, s.upd, s.del,
-      |        s.t1st, s.t1msg, s.t2st, s.t2msg,
+      |        s.t1st, s.t1msg, s.t2st, s.t2msg, s.nerr,
       |        CASE WHEN e.trk = 0 THEN 'table is not synced or dropped'
       |             WHEN e.vis < e.bcols
       |               THEN 'binlog has more columns than current table'
@@ -3023,7 +3029,7 @@ object LifecycleQueries {
       |  CASE WHEN created = 1 THEN vst ELSE 0 END AS stage,
       |  sub, mark, errs, ins, upd, del, flushes, floc,
       |  t1st AS t1_stage, t1msg AS t1_msg, t2st AS t2_stage,
-      |  t2msg AS t2_msg, disp
+      |  t2msg AS t2_msg, disp, nerr
       |FROM st WHERE step > 0""".stripMargin)) { (spark, dir) =>
     import spark.implicits._
     import graft.streaming.ValidatorLifecycle
@@ -3049,6 +3055,7 @@ object LifecycleQueries {
           case "sync" => m.observeProgress(e.i1, e.i2, e.t); 0L
           case "cut" => m.setCutOver(e.i1); 0L
           case "xid" => m.txnBoundary(e.i1, e.t); 0L
+          case "nerr" => m.addNewErrorRows(nrows); 0L
           case "row" =>
             m.rowsEvent(e.tbl, s"target_${e.tbl}",
               TableFacts(e.trk == 1, e.vis, e.bcols, e.evpk == 1,
@@ -3064,12 +3071,13 @@ object LifecycleQueries {
         val (ins, upd, del) = m.processedRowCounts
         (sc, e.step, m.stage, m.subtaskView,
           if (m.isMarkErrorStarted) 1 else 0, m.errorCount, ins, upd, del,
-          m.flushes, m.lastFlushedLoc, t1s, t1m, t2s, t2m, disp)
+          m.flushes, m.lastFlushedLoc, t1s, t1m, t2s, t2m, disp,
+          m.newErrorRowCount)
       }
     }
     rows.toDF("sc", "step", "stage", "sub", "mark", "errs", "ins", "upd",
       "del", "flushes", "floc", "t1_stage", "t1_msg", "t2_stage", "t2_msg",
-      "disp")
+      "disp", "nerr")
   }
 
   val all: Seq[GateQuery] =

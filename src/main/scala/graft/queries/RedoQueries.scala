@@ -424,14 +424,13 @@ object RedoQueries {
       REv(3, "adddir", a1 = UB),
       REv(4, "reload"))))
 
-  private def rSqlStr(s: String) = "'" + s.replace("'", "''") + "'"
 
   private def rScriptValues: String =
     rScripts.flatMap { case (sc, steps) =>
       steps.map { e =>
-        s"(${rSqlStr(sc)}, ${e.step}, ${rSqlStr(e.ev)}, ${rSqlStr(e.a1)}, " +
-          s"${rSqlStr(e.a2)}, ${rSqlStr(e.a3)}, ${rSqlStr(e.a4)}, " +
-          s"${rSqlStr(e.a5)}, ${e.n1}, ${e.n2})"
+        s"(${Gate.sqlStr(sc)}, ${e.step}, ${Gate.sqlStr(e.ev)}, ${Gate.sqlStr(e.a1)}, " +
+          s"${Gate.sqlStr(e.a2)}, ${Gate.sqlStr(e.a3)}, ${Gate.sqlStr(e.a4)}, " +
+          s"${Gate.sqlStr(e.a5)}, ${e.n1}, ${e.n2})"
       }
     }.mkString(",\n")
 
@@ -527,6 +526,7 @@ object RedoQueries {
       |         WHEN add_fail THEN 'ErrRelayMkdir'
       |         WHEN adj_badname THEN 'ErrRelayBinlogNameNotValid'
       |         WHEN adj_do AND cur = '' THEN 'ErrRelayNoCurrentUUID'
+      |         WHEN rl_parse THEN 'ErrRelayParseUUIDSuffix'
       |         WHEN rl_bad THEN 'ErrRelayUUIDSuffixNotValid'
       |         ELSE '' END,
       |    CASE WHEN add_ok THEN newsub
@@ -538,6 +538,7 @@ object RedoQueries {
       |    SELECT *,
       |      (is_add AND NOT list_contains(dirs, newsub)) AS add_ok,
       |      (is_add AND list_contains(dirs, newsub)) AS add_fail,
+      |      (rl_parse OR rl_bad0) AS rl_bad,
       |      (ev = 'adjust' AND NOT adj_blocked AND NOT adj_badname)
       |        AS adj_do,
       |      CASE WHEN is_add AND dirty = 1 THEN
@@ -560,9 +561,11 @@ object RedoQueries {
       |        s.idxf, s.dirs, s.metas,
       |        (e.ev = 'adddir') AS is_add,
       |        CASE WHEN e.ev <> 'adddir' THEN ''
+      |             -- with an explicit newPos (a2 set), n1 is the POSITION
+      |             -- and the suffix argument is 0 (→ the minimum)
       |             WHEN s.cur = '' THEN e.a1 || '.' ||
-      |               lpad(CAST(CASE WHEN e.n1 = 0 THEN 1 ELSE e.n1 END
-      |                    AS VARCHAR), 6, '0')
+      |               lpad(CAST(CASE WHEN e.n1 = 0 OR e.a2 <> '' THEN 1
+      |                         ELSE e.n1 END AS VARCHAR), 6, '0')
       |             ELSE e.a1 || '.' ||
       |               lpad(CAST(coalesce(TRY_CAST(right(s.cur, 6) AS INT), 0) + 1
       |                    AS VARCHAR), 6, '0') END AS newsub,
@@ -592,11 +595,15 @@ object RedoQueries {
       |                   AND coalesce(TRY_CAST(string_split(e.a1, '.')[2]
       |                        AS BIGINT), 0) > 0)) AS adj_badname,
       |        (e.ev = 'reload') AS rl,
+      |        (e.ev = 'reload' AND len(list_filter(s.idxf,
+      |           x -> NOT regexp_matches(x, '^[^.]+\\.[0-9]{6}$$'))) > 0)
+      |          AS rl_parse,
       |        (e.ev = 'reload' AND NOT (len(s.idxf) <= 1 OR
       |          len(list_filter(range(2, len(s.idxf) + 1),
-      |            i -> TRY_CAST(right(s.idxf[i], 6) AS INT) !=
-      |                 TRY_CAST(right(s.idxf[i-1], 6) AS INT) + 1)) = 0))
-      |          AS rl_bad,
+      |            i -> coalesce(TRY_CAST(right(s.idxf[i], 6) AS INT) !=
+      |                 TRY_CAST(right(s.idxf[i-1], 6) AS INT) + 1, TRUE)))
+      |            = 0))
+      |          AS rl_bad0,
       |        coalesce(s.idxf[-1], '') AS rl_cur,
       |        list_filter(s.metas,
       |          x -> starts_with(x, coalesce(s.idxf[-1], '') || '|'))[1]
@@ -621,12 +628,12 @@ object RedoQueries {
     val base = graft.core.Tables.load(spark, dir, "orders").count()
     val rows = rScripts.flatMap { case (sc, steps) =>
       val fs = new RelayMeta.Fs
-      var m = new RelayMeta("mysql", fs)
+      var m = new RelayMeta(fs)
       steps.map { e =>
         var err = ""; var ret = ""
         e.ev match {
           case "reload" =>
-            m = new RelayMeta("mysql", fs)
+            m = new RelayMeta(fs)
             m.load().left.foreach(err = _)
           case "save" =>
             val p = e.n1 + (if (e.n2 == 1) base else 0L)

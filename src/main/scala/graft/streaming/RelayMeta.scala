@@ -67,8 +67,9 @@ object RelayMeta {
 
 /** One LocalMeta instance over a shared [[RelayMeta.Fs]]. A `reload` in
   * the gate script is a FRESH instance + Load() over the same image —
-  * the fail-over resume path. */
-final class RelayMeta(flavor: String, fs: RelayMeta.Fs) {
+  * the fail-over resume path. (The reference's flavor parameter only
+  * feeds gtid.ParserGTID, which this kernel keeps as opaque strings.) */
+final class RelayMeta(fs: RelayMeta.Fs) {
   import RelayMeta._
 
   private var currentSubDir: String = ""

@@ -135,7 +135,17 @@ final class SchedulerBridge(captureIds: Seq[String],
       Incoming(c, e, l, sts)
     }
     coord.poll(checkpointTs, currentTables, alive.toMap, barrier, ins) match {
-      case Left(e) => lastError = Some(e); None
+      case Left(e) =>
+        // a poll error is TERMINAL for this coordinator, as in the
+        // reference (coordinator.go — the changefeed tears down and owner
+        // state rebuilds from scratch): latch the error, drop the
+        // in-flight messages so a caller that keeps polling anyway cannot
+        // re-deliver stale dispatches, and expect the owner to construct
+        // a NEW bridge
+        lastError = Some(e)
+        pendingHb = Seq.empty
+        pendingDispatch = Seq.empty
+        None
       case Right(res) =>
         pendingHb = res.heartbeats
         pendingDispatch = res.dispatches

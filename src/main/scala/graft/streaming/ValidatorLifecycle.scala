@@ -145,8 +145,6 @@ final class ValidatorLifecycle(
   private var closed: Boolean = false
   /** st.validator != nil (dm/worker/subtask.go:111,269-271,580). */
   private var created: Boolean = false
-  /** whether the validator was started together with the subtask. */
-  private var startedWithSubtask: Boolean = false
 
   // ---- validator side (valid while created) ----
   private var vStage: Int = Stopped // NewContinuousDataValidator: setStage(Stopped)
@@ -190,7 +188,7 @@ final class ValidatorLifecycle(
   def subtaskRun(expectStage: Int, expectValidatorStage: Int,
                  nowMs: Long): Unit = {
     if (closed || subtaskStage == Finished || subtaskStage == Running) return
-    startValidator(expectValidatorStage, nowMs, withSubtask = true)
+    startValidator(expectValidatorStage, nowMs)
     subtaskStage = expectStage
   }
 
@@ -205,7 +203,7 @@ final class ValidatorLifecycle(
    * @param initFails inject an initialization failure: Start fills the
    *                  process result and stays Stopped (:364-367)
    */
-  def startValidator(expect: Int, nowMs: Long, withSubtask: Boolean = false,
+  def startValidator(expect: Int, nowMs: Long,
                      initFails: Boolean = false): Unit = {
     if (closed) return // subtask gone from the holder → operate no-ops
     if (expect == InvalidStage) return // validation mode=none upstream key
@@ -213,7 +211,6 @@ final class ValidatorLifecycle(
     if (!hasSyncer) return
     if (!created) {
       created = true
-      startedWithSubtask = withSubtask
       vStage = Stopped
     }
     // DataValidator.Start
