@@ -670,5 +670,285 @@ object RedoQueries {
       "idx", "err", "ret")
   }
 
-  def all: Seq[GateQuery] = Seq(redoLayout, relayPurge, relayMeta)
+  // ---------------------------------------------------------------------
+  // q289 — relay enable/operate orchestration
+  // ---------------------------------------------------------------------
+
+  /** One relay-control step: ev ∈ enable/disable/closew/exit/op/stage/
+    * purge; i1 carries the op / expect / exit-error-count, i2 the
+    * deleted-stage flag, a2 a purge check's "name:stage,..." subtask
+    * encoding. */
+  final case class CEv(step: Int, ev: String, i1: Long = 0, i2: Long = 0,
+                       a2: String = "")
+
+  val cScripts: Seq[(String, Seq[CEv])] = Seq(
+    // the holder stage machine under the worker's expectant-stage ops:
+    // ops on a disabled worker silently no-op; enable is CAS; the first
+    // Running expectation STARTS a New holder (BeforeAnyOp) and a second
+    // one maps to an invalid resume; a process exit degrades to Paused;
+    // resume clears the result; a deleted stage key stops AND closes;
+    // post-stop ops refuse; re-enable builds a fresh holder; a closed
+    // worker refuses ops but the New-holder start path has no closed
+    // guard in the reference
+    ("ops", Seq(
+      CEv(1, "op", i1 = 2),
+      CEv(2, "enable"),
+      CEv(3, "enable"),
+      CEv(4, "stage", i1 = 2),
+      CEv(5, "stage", i1 = 2),
+      CEv(6, "exit", i1 = 2),
+      CEv(7, "stage", i1 = 2),
+      CEv(8, "stage", i1 = 3),
+      CEv(9, "op", i1 = 3),
+      CEv(10, "stage", i2 = 1),
+      CEv(11, "op", i1 = 2),
+      CEv(12, "disable"),
+      CEv(13, "disable"),
+      CEv(14, "enable"),
+      CEv(15, "closew"),
+      CEv(16, "op", i1 = 2),
+      CEv(17, "stage", i1 = 2))),
+    // crash-loop: a CLEAN process exit also degrades to Paused (crash
+    // and pause are one observable), resume restarts, an error exit
+    // carries its count until the next resume clears it
+    ("crash", Seq(
+      CEv(1, "enable"),
+      CEv(2, "stage", i1 = 2),
+      CEv(3, "exit", i1 = 0),
+      CEv(4, "stage", i1 = 2),
+      CEv(5, "exit", i1 = 5),
+      CEv(6, "op", i1 = 1),
+      CEv(7, "exit", i1 = 9))),
+    // ForbidPurge: the FIRST New/Paused subtask blocks purging, named;
+    // all-running allows; a closed worker never forbids
+    ("purge", Seq(
+      CEv(1, "purge", a2 = "ta:2,tb:2"),
+      CEv(2, "purge", a2 = "ta:2,tb:3,tc:1"),
+      CEv(3, "purge", a2 = "tc:1,tb:3"),
+      CEv(4, "closew"),
+      CEv(5, "purge", a2 = "ta:1"))))
+
+  /** Seed cases: (sid, locations as (ord, name, pos, gtid)). */
+  val seedCases: Seq[(Long, Seq[(Long, String, Long, String)])] = Seq(
+    // both suffixed: RAW compare picks the smaller seq; name strips the
+    // subdir suffix, the uuid suffix parses from the RAW winner
+    (1L, Seq((1L, "mysql-bin|000002.000003", 4L, "g:1-5"),
+      (2L, "mysql-bin|000002.000002", 100L, "g:1-3"))),
+    // mixed: the suffixed location ADJUSTS for comparison and wins
+    (2L, Seq((1L, "mysql-bin.000005", 10L, ""),
+      (2L, "mysql-bin|000001.000004", 50L, "g:1"))),
+    // exact tie: the FIRST subtask's location is kept (>= 1 replace)
+    (3L, Seq((1L, "mysql-bin.000003", 7L, "first:1"),
+      (2L, "mysql-bin.000003", 7L, "second:1"))),
+    // no checkpoints: empty name/gtid, the minimum suffix
+    (4L, Seq.empty),
+    // single unsuffixed: name unchanged, minimum suffix
+    (5L, Seq((1L, "mysql-bin.000007", 4L, "gg:9"))))
+
+  private def cScriptValues: String =
+    cScripts.flatMap { case (sc, steps) =>
+      steps.map(e => s"(${Gate.sqlStr(sc)}, ${e.step}, ${Gate.sqlStr(e.ev)}, " +
+        s"${e.i1}, ${e.i2}, ${Gate.sqlStr(e.a2)})")
+    }.mkString(",\n")
+
+  private def seedValues: String =
+    seedCases.flatMap { case (sid, locs) =>
+      if (locs.isEmpty) Seq(s"($sid, 0, '', 0, '')")
+      else locs.map { case (ord, n, p, g) =>
+        s"($sid, $ord, ${Gate.sqlStr(n)}, $p, ${Gate.sqlStr(g)})"
+      }
+    }.mkString(",\n")
+
+  /**
+   * q289 — relay ENABLE/OPERATE orchestration
+   * ([[graft.streaming.RelayControl]], dm/worker/relay.go:60-255 +
+   * source_worker.go:385-533,1038-1124 + server.go:928-947): three
+   * scripted scenarios over the holder stage machine (New→Running,
+   * exit-degrades-to-Paused, pause/resume/stop guards, closed-reads-
+   * Stopped, enable/disable CAS, closed-worker refusals, ForbidPurge)
+   * plus the EnableRelay start-position seeding cases (earliest subtask
+   * checkpoint with the both-suffixed raw-compare subtlety, subdir-suffix
+   * strip, raw-name suffix extraction, first-wins ties, empty fallback).
+   * The oracle re-steps the machine as a recursive CTE and re-folds the
+   * seed selection with the same pairwise compare.
+   */
+  val relayControl = GateQuery(
+    "q289_relay_control",
+    Some(s"""WITH RECURSIVE vals(sc, step, ev, i1, i2, a2) AS (VALUES
+      |$cScriptValues
+      |), st AS (
+      |  SELECT DISTINCT sc, 0 AS step, 0 AS enabled, 0 AS wclosed,
+      |    1 AS hstage, 1 AS hclosed, 0 AS purger, CAST(0 AS BIGINT) AS errs,
+      |    '' AS label, '' AS err, '' AS ret, 0 AS forbid, '' AS reason
+      |  FROM vals
+      |  UNION ALL
+      |  SELECT sc, estep,
+      |    CASE WHEN ev = 'enable' AND enabled = 0 THEN 1
+      |         WHEN ev = 'disable' THEN 0 ELSE enabled END,
+      |    CASE WHEN ev = 'closew' THEN 1 ELSE wclosed END,
+      |    CASE WHEN ev = 'enable' AND enabled = 0 THEN 1
+      |         WHEN starts THEN 2
+      |         WHEN op_eff = 2 AND can_op AND hstage = 2 THEN 3
+      |         WHEN op_eff = 3 AND can_op AND hstage = 3 THEN 2
+      |         WHEN op_eff = 1 AND can_op AND hstage <> 4 THEN 4
+      |         WHEN ev = 'exit' AND live AND hstage = 2 THEN 3
+      |         ELSE hstage END,
+      |    CASE WHEN ev = 'enable' AND enabled = 0 THEN 0
+      |         WHEN ev = 'disable' AND enabled = 1 THEN 1
+      |         WHEN op_eff = 1 AND can_op AND hstage <> 4 THEN 1
+      |         ELSE hclosed END,
+      |    CASE WHEN ev = 'enable' AND enabled = 0 THEN 0
+      |         WHEN ev = 'disable' AND enabled = 1 THEN 0
+      |         WHEN starts THEN 1 ELSE purger END,
+      |    CASE WHEN ev = 'enable' AND enabled = 0 THEN 0
+      |         WHEN starts THEN 0
+      |         WHEN op_eff = 3 AND can_op AND hstage = 3 THEN 0
+      |         WHEN ev = 'exit' AND live AND hstage = 2 THEN i1
+      |         ELSE errs END,
+      |    CASE WHEN starts THEN 'BeforeAnyOp'
+      |         WHEN ev = 'stage' THEN
+      |           CASE op_eff WHEN 1 THEN 'StopRelay' WHEN 2 THEN 'PauseRelay'
+      |                WHEN 3 THEN 'ResumeRelay' ELSE 'InvalidRelayOp' END
+      |         ELSE '' END,
+      |    CASE WHEN starts THEN ''
+      |         WHEN ev IN ('op', 'stage') AND wclosed = 1
+      |           THEN 'ErrWorkerAlreadyClosed'
+      |         WHEN ev IN ('op', 'stage') AND enabled = 0 THEN ''
+      |         WHEN op_eff = 2 AND hstage <> 2
+      |           THEN 'ErrWorkerRelayStageNotValid'
+      |         WHEN op_eff = 3 AND hstage <> 3
+      |           THEN 'ErrWorkerRelayStageNotValid'
+      |         WHEN op_eff = 1 AND hstage = 4
+      |           THEN 'ErrWorkerRelayStageNotValid'
+      |         WHEN ev IN ('op', 'stage') AND op_eff = 0
+      |           THEN 'ErrWorkerRelayOperNotSupport'
+      |         ELSE '' END,
+      |    CASE WHEN ev = 'enable' THEN
+      |           CAST(CASE WHEN enabled = 0 THEN 1 ELSE 0 END AS VARCHAR)
+      |         WHEN ev = 'disable' THEN
+      |           CAST(CASE WHEN enabled = 1 THEN 1 ELSE 0 END AS VARCHAR)
+      |         ELSE '' END,
+      |    CASE WHEN ev = 'purge' AND wclosed = 0 AND offender <> ''
+      |         THEN 1 ELSE 0 END,
+      |    CASE WHEN ev = 'purge' AND wclosed = 0 AND offender <> ''
+      |         THEN 'sub task ' || string_split(offender, ':')[1] ||
+      |           ' current stage is ' ||
+      |           (CASE string_split(offender, ':')[2]
+      |            WHEN '1' THEN 'New' WHEN '3' THEN 'Paused' END)
+      |         ELSE '' END
+      |  FROM (
+      |    SELECT s.sc, e.step AS estep, e.ev, e.i1, e.i2,
+      |      s.enabled, s.wclosed, s.hstage, s.hclosed, s.purger, s.errs,
+      |      (e.ev = 'stage' AND e.i1 = 2 AND e.i2 = 0 AND s.enabled = 1
+      |        AND s.hstage = 1) AS starts,
+      |      CASE WHEN e.ev = 'op' THEN e.i1
+      |           WHEN e.ev = 'stage' AND e.i2 = 1 THEN 1
+      |           WHEN e.ev = 'stage' AND e.i1 = 2 THEN 3
+      |           WHEN e.ev = 'stage' AND e.i1 = 3 THEN 2
+      |           WHEN e.ev = 'stage' THEN 0
+      |           ELSE -1 END AS op_eff,
+      |      (e.ev IN ('op', 'stage') AND s.wclosed = 0 AND s.enabled = 1)
+      |        AS can_op,
+      |      (s.enabled = 1 AND s.hclosed = 0) AS live,
+      |      coalesce(list_filter(string_split(e.a2, ','),
+      |        x -> string_split(x, ':')[2] IN ('1', '3'))[1], '')
+      |        AS offender
+      |    FROM st s JOIN vals e ON e.sc = s.sc AND e.step = s.step + 1
+      |  ) l1
+      |  WHERE NOT starts OR TRUE
+      |), seeds(sid, ord, name, pos, gtid) AS (VALUES
+      |$seedValues
+      |), adj AS (
+      |  SELECT sid, ord, name, pos, gtid,
+      |    CASE WHEN regexp_matches(name, '^[^|.]+\\|[0-9]+\\.[0-9]+$$')
+      |           AND CAST(regexp_extract(name, '\\|([0-9]+)\\.', 1)
+      |               AS BIGINT) > 0
+      |         THEN regexp_replace(name, '\\|[0-9]+\\.', '.')
+      |         ELSE name END AS adj_name
+      |  FROM seeds WHERE name <> ''
+      |), fold AS (
+      |  SELECT sid, ord, name, pos, gtid, adj_name FROM adj WHERE ord = 1
+      |  UNION ALL
+      |  SELECT t.sid, t.aord,
+      |    CASE WHEN t.repl THEN t.aname ELSE t.name END,
+      |    CASE WHEN t.repl THEN t.apos ELSE t.pos END,
+      |    CASE WHEN t.repl THEN t.agtid ELSE t.gtid END,
+      |    CASE WHEN t.repl THEN t.aadj ELSE t.adj_name END
+      |  FROM (
+      |    SELECT f.sid, f.name, f.pos, f.gtid, f.adj_name,
+      |      a.ord AS aord, a.name AS aname, a.pos AS apos,
+      |      a.gtid AS agtid, a.adj_name AS aadj,
+      |      -- Compare(min, loc) >= 1: both-suffixed pairs compare RAW
+      |      (CASE WHEN f.adj_name <> f.name AND a.adj_name <> a.name
+      |            THEN (f.name > a.name OR (f.name = a.name AND f.pos > a.pos))
+      |            ELSE (f.adj_name > a.adj_name OR
+      |                  (f.adj_name = a.adj_name AND f.pos > a.pos)) END)
+      |        AS repl
+      |    FROM fold f JOIN adj a ON a.sid = f.sid AND a.ord = f.ord + 1
+      |  ) t
+      |), seedout AS (
+      |  SELECT s.sid,
+      |    coalesce(f.adj_name, '') AS name,
+      |    coalesce(f.gtid, '') AS gtid,
+      |    CAST(coalesce(CASE WHEN f.name LIKE '%|%'
+      |      THEN CAST(regexp_extract(f.name, '\\|([0-9]+)\\.', 1) AS BIGINT)
+      |      ELSE 1 END, 1) AS BIGINT) AS sfx
+      |  FROM (SELECT DISTINCT sid FROM seeds) s
+      |  LEFT JOIN (
+      |    SELECT sid, name, gtid, adj_name,
+      |      row_number() OVER (PARTITION BY sid ORDER BY ord DESC) AS rn
+      |    FROM fold) f ON f.sid = s.sid AND f.rn = 1
+      |)
+      |SELECT sc, CAST(step AS BIGINT) AS step, 'step' AS kind,
+      |  enabled,
+      |  CASE WHEN enabled = 0 OR hclosed = 1 THEN 4 ELSE hstage END AS stage,
+      |  hstage AS raw, purger, errs, label, err, ret, forbid, reason,
+      |  '' AS name, '' AS gtid, CAST(0 AS BIGINT) AS sfx
+      |FROM st WHERE step > 0
+      |UNION ALL
+      |SELECT 'seed', sid, 'seed', 0, 0, 0, 0, 0, '', '', '', 0, '',
+      |  name, gtid, sfx
+      |FROM seedout""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.{BinlogPos, RelayControl}
+    val stepRows = cScripts.flatMap { case (sc, steps) =>
+      val m = new RelayControl
+      steps.map { e =>
+        var label = ""; var err = ""; var ret = ""
+        var forbid = 0; var reason = ""
+        e.ev match {
+          case "enable" => ret = if (m.enableRelay()) "1" else "0"
+          case "disable" => ret = if (m.disableRelay()) "1" else "0"
+          case "closew" => m.closeWorker()
+          case "exit" => m.processExit(e.i1.toInt)
+          case "op" => m.operateRelay(e.i1.toInt).foreach(err = _)
+          case "stage" =>
+            val (l, er) = m.operateRelayStage(e.i1.toInt, e.i2 == 1)
+            label = l; er.foreach(err = _)
+          case "purge" =>
+            val subs = e.a2.split(",").toSeq.filter(_.nonEmpty).map { p =>
+              val Array(n, s) = p.split(":"); (n, s.toInt)
+            }
+            val (f, r) = RelayControl.forbidPurge(m.isWorkerClosed, subs)
+            forbid = if (f) 1 else 0; reason = r
+        }
+        (sc, e.step, "step", if (m.isEnabled) 1 else 0, m.stage, m.rawStage,
+          if (m.purgerRunning) 1 else 0, m.resultErrorCount.toLong, label,
+          err, ret, forbid, reason, "", "", 0L)
+      }
+    }
+    val seedRows = seedCases.map { case (sid, locs) =>
+      val seeded = RelayControl.seedFromCheckpoints(
+        locs.map { case (_, n, p, g) => (BinlogPos.Position(n, p), g) })
+        .getOrElse(RelayControl.SeededCfg("", "", 0))
+      ("seed", sid.toInt, "seed", 0, 0, 0, 0, 0L, "", "", "", 0, "",
+        seeded.binlogName, seeded.gtid, seeded.uuidSuffix.toLong)
+    }
+    (stepRows ++ seedRows).toDF("sc", "step", "kind", "enabled", "stage",
+      "raw", "purger", "errs", "label", "err", "ret", "forbid", "reason",
+      "name", "gtid", "sfx")
+  }
+
+  def all: Seq[GateQuery] = Seq(redoLayout, relayPurge, relayMeta,
+    relayControl)
 }

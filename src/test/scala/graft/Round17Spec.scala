@@ -98,6 +98,24 @@ class Round17Spec extends SparkSpec {
     assert(Validator.ClearErrOp == enumVal("ValidationErrOp", "ClearErrOp"))
   }
 
+  test("relay op enum and the BeforeAnyOp label match the reference, parsed") {
+    assume(Files.exists(pbFile), "reference checkout not present")
+    import graft.streaming.RelayControl
+    def opVal(n: String): Int = {
+      val m = ("""RelayOp_""" + n + """\s+RelayOp = (\d+)""").r
+        .findFirstMatchIn(pbSrc)
+      assert(m.isDefined, s"RelayOp_$n not found"); m.get.group(1).toInt
+    }
+    assert(RelayControl.InvalidRelayOp == opVal("InvalidRelayOp"))
+    assert(RelayControl.StopRelay == opVal("StopRelay"))
+    assert(RelayControl.PauseRelay == opVal("PauseRelay"))
+    assert(RelayControl.ResumeRelay == opVal("ResumeRelay"))
+    val metricsSrc = new String(Files.readAllBytes(
+      Paths.get("/root/reference/dm/worker/metrics.go")), "UTF-8")
+    assert(RelayControl.OpErrTypeBeforeOp ==
+      goStringConst(metricsSrc, "opErrTypeBeforeOp"))
+  }
+
   test("pb.Stage enum values match dmworker.pb.go, parsed") {
     assume(Files.exists(pbFile), "reference checkout not present")
     def stageVal(n: String): Int = {
