@@ -3080,9 +3080,255 @@ object LifecycleQueries {
       "disp", "nerr")
   }
 
+  // ---------------------------------------------------------------------
+  // q290 — task-checker auto-resume
+  // ---------------------------------------------------------------------
+
+  /** One (task, round) status cell: present=0 means the task vanished
+    * from the worker's status map that round (tracking drops). */
+  final case class TEv(task: String, round: Int, now: Long,
+      present: Int = 1, stage: Int = 3, hasres: Int = 1, canc: Int = 0,
+      code: Long = 0, msg: String = "", raw: String = "", dispOk: Int = 1)
+
+  // gate-sized backoff: min 1 s, max 8 s, rollback 5 s, factor 2
+  private val TcMin = 1000L
+  private val TcMax = 8000L
+  private val TcRb = 5000L
+
+  private val tcRounds: Seq[(Int, Long)] = Seq(
+    1 -> 0L, 2 -> 6000L, 3 -> 7000L, 4 -> 13000L, 5 -> 26000L,
+    6 -> 40000L, 7 -> 46000L, 8 -> 52000L)
+
+  /** The task×round grid. Times are shared per round (tcRounds). */
+  val tcGrid: Seq[TEv] = {
+    def at(r: Int) = tcRounds.find(_._1 == r).get._2
+    val running = (1 to 8).map(r => TEv("run", r, at(r), stage = 2))
+    val manual = (1 to 8).map(r => TEv("manual", r, at(r), canc = 1))
+    // skip → dispatch ladder up to the max window, then Running rounds
+    // long enough apart to roll the backoff back twice
+    val flaky = Seq(
+      TEv("flaky", 1, at(1)), TEv("flaky", 2, at(2)), TEv("flaky", 3, at(3)),
+      TEv("flaky", 4, at(4)), TEv("flaky", 5, at(5)), TEv("flaky", 6, at(6)),
+      TEv("flaky", 7, at(7), stage = 2), TEv("flaky", 8, at(8), stage = 2))
+    val noddl = (1 to 3).map(r => TEv("noddl", r, at(r),
+      raw = "ERROR 1059: identifier too long"))
+    val relayparse = (1 to 2).map(r => TEv("relayparse", r, at(r),
+      code = 11038L, msg = "x: get event err EOF"))
+    val relayok = (1 to 2).map(r => TEv("relayok", r, at(r),
+      code = 11038L, msg = "transient read timeout"))
+    val light = (1 to 2).map(r => TEv("light", r, at(r),
+      code = 34019L, raw = "Table t1 is in mode Import"))
+    val lightbad = (1 to 2).map(r => TEv("lightbad", r, at(r),
+      code = 34019L, raw = "disk full"))
+    val wrongseq = (1 to 2).map(r => TEv("wrongseq", r, at(r), code = 36008L))
+    // vanish + return = fresh tracking (the first sighting Skips again)
+    val ghost = Seq(TEv("ghost", 1, at(1)), TEv("ghost", 2, at(2)),
+      TEv("ghost", 3, at(3), present = 0), TEv("ghost", 4, at(4)),
+      TEv("ghost", 5, at(5)))
+    // a failed dispatch neither stamps the resume time nor forwards
+    val dfail = Seq(TEv("dfail", 1, at(1)), TEv("dfail", 2, at(2), dispOk = 0),
+      TEv("dfail", 3, at(3)))
+    running ++ manual ++ flaky ++ noddl ++ relayparse ++ relayok ++
+      light ++ lightbad ++ wrongseq ++ ghost ++ dfail
+  }
+
+  /** Relay check cells: (round, now, enabled, stage, hasres, canc, code,
+    * dispOk). Round 1 has relay disabled — no check at all. */
+  val tcRelay: Seq[(Int, Long, Int, Int, Int, Int, Long, Int)] = Seq(
+    (1, 0L, 0, 3, 1, 0, 0L, 1),
+    (2, 6000L, 1, 3, 1, 0, 30001L, 1),
+    (3, 7000L, 1, 3, 1, 0, 0L, 1),
+    (4, 7500L, 1, 3, 1, 0, 0L, 1),
+    (5, 26000L, 1, 3, 1, 0, 0L, 1))
+
+  private def tcGridValues: String =
+    tcGrid.map(e => s"(${sqlStr(e.task)}, ${e.round}, ${e.now}, " +
+      s"${e.present}, ${e.stage}, ${e.hasres}, ${e.canc}, ${e.code}, " +
+      s"${sqlStr(e.msg)}, ${sqlStr(e.raw)}, ${e.dispOk})").mkString(",\n")
+
+  private def tcMsgValues: String = {
+    import graft.streaming.TaskChecker._
+    (UnsupportedDdlMsgs.map(("raw", _)) ++ UnsupportedDmlMsgs.map(("raw", _)) ++
+      ReplicationErrMsgs.map(("raw", _)) ++
+      ParseRelayLogErrMsgs.map(("parse", _)))
+      .map { case (k, m) => s"(${sqlStr(k)}, ${sqlStr(m.toLowerCase)})" }
+      .mkString(", ")
+  }
+
+  /**
+   * q290 — TASK-CHECKER AUTO-RESUME ([[graft.streaming.TaskChecker]],
+   * dm/worker/task_checker.go + dm/unit/unit.go IsResumableError +
+   * dm/pkg/backoff): a task×round grid through the checker — the four
+   * strategies, the un-resumable classifier (message tables, code set,
+   * the relay-log-parse gate on ErrParserParseRelayLog, the
+   * lightning-runtime carve-outs), the congestion-window backoff
+   * (first-sighting Skip, skip→dispatch ladder, boundary stop at max,
+   * rollback after quiet Ignore rounds), vanished-task re-tracking, the
+   * failed-dispatch no-op, and the relay slot with ITS code set. The
+   * oracle re-steps each task's state machine as a per-task recursive
+   * CTE over the same grid.
+   */
+  val taskChecker = GateQuery(
+    "q290_task_checker",
+    Some(s"""WITH RECURSIVE grid(task, round, now, present, stage, hasres,
+      |  canc, code, msg, raw, disp_ok) AS (VALUES
+      |$tcGridValues
+      |), msgs(kind, m) AS (VALUES $tcMsgValues),
+      |cls AS (
+      |  SELECT g.*,
+      |    (g.present = 1 AND g.stage = 3 AND g.hasres = 1 AND g.canc = 0)
+      |      AS pausederr,
+      |    (EXISTS (SELECT 1 FROM msgs WHERE kind = 'raw'
+      |              AND contains(lower(g.raw), m))
+      |     OR (g.code = 11038 AND EXISTS (SELECT 1 FROM msgs
+      |          WHERE kind = 'parse' AND contains(lower(g.msg), m)))
+      |     OR g.code IN (36008, 32004, 32001, 36027, 11129, 34020, 34021)
+      |     OR (g.code = 34019 AND NOT (contains(lower(g.raw), 'doesn''t exist')
+      |          OR contains(lower(g.raw), 'is in mode import'))))
+      |      AS unres
+      |  FROM grid g
+      |), st AS (
+      |  SELECT DISTINCT task, 0 AS round, 0 AS alive, 0 AS cwnd,
+      |    CAST(0 AS BIGINT) AS lpt, CAST(0 AS BIGINT) AS lrt,
+      |    0 AS strat, 0 AS disp
+      |  FROM grid
+      |  UNION ALL
+      |  SELECT task, cround,
+      |    CASE WHEN present = 0 THEN 0 ELSE 1 END,
+      |    CASE WHEN present = 0 THEN 0
+      |         WHEN strat1 = 4 AND disp_ok = 1
+      |              AND least($TcMax, $TcMin * (1 << cwnd1)) < $TcMax
+      |           THEN cwnd1 + 1
+      |         WHEN strat1 = 1 AND now - lpt1 > $TcRb
+      |           THEN greatest(0, cwnd1 - 1)
+      |         ELSE cwnd1 END,
+      |    CASE WHEN present = 0 THEN 0
+      |         WHEN strat1 = 1 AND now - lpt1 > $TcRb THEN now
+      |         WHEN strat1 = 1 THEN lpt1
+      |         ELSE now END,
+      |    CASE WHEN present = 0 THEN 0
+      |         WHEN strat1 = 4 AND disp_ok = 1 THEN now
+      |         ELSE lrt1 END,
+      |    strat1,
+      |    CASE WHEN strat1 = 4 AND disp_ok = 1 THEN 1 ELSE 0 END
+      |  FROM (
+      |    SELECT s.task, c.round AS cround, c.now, c.present, c.disp_ok,
+      |      -- a fresh (or re-tracked) task initializes its clocks to now
+      |      CASE WHEN s.alive = 0 THEN 0 ELSE s.cwnd END AS cwnd1,
+      |      CASE WHEN s.alive = 0 THEN c.now ELSE s.lpt END AS lpt1,
+      |      CASE WHEN s.alive = 0 THEN c.now ELSE s.lrt END AS lrt1,
+      |      CASE WHEN NOT c.pausederr THEN 1
+      |           WHEN c.unres THEN 3
+      |           WHEN c.now - (CASE WHEN s.alive = 0 THEN c.now ELSE s.lrt END)
+      |                < least($TcMax, $TcMin *
+      |                    (1 << (CASE WHEN s.alive = 0 THEN 0 ELSE s.cwnd END)))
+      |             THEN 2
+      |           ELSE 4 END AS strat1
+      |    FROM st s JOIN cls c ON c.task = s.task AND c.round = s.round + 1
+      |  ) l1
+      |)
+      |SELECT task, CAST(round AS BIGINT) AS round, 'task' AS kind,
+      |  strat, disp, cwnd,
+      |  least($TcMax, $TcMin * (1 << cwnd)) AS cur
+      |FROM st s WHERE round > 0
+      |  AND EXISTS (SELECT 1 FROM grid g WHERE g.task = s.task
+      |              AND g.round = s.round AND g.present = 1)
+      |UNION ALL
+      |SELECT 'tracked', CAST(round AS BIGINT), 'sum',
+      |  0, 0, CAST(count(*) AS INT), CAST(count(*) AS BIGINT)
+      |FROM grid WHERE present = 1 GROUP BY round
+      |UNION ALL
+      |SELECT 'relay', CAST(r.round AS BIGINT), 'relay', r.strat, r.disp,
+      |  r.cwnd, least($TcMax, $TcMin * (1 << r.cwnd))
+      |FROM (
+      |  WITH RECURSIVE rg(round, now, enabled, stage, hasres, canc, code,
+      |    disp_ok) AS (VALUES ${tcRelay.map(t =>
+           s"(${t._1}, ${t._2}, ${t._3}, ${t._4}, ${t._5}, ${t._6}, ${t._7}, ${t._8})")
+           .mkString(", ")}),
+      |  rst AS (
+      |    SELECT 0 AS round, 0 AS init, 0 AS cwnd, CAST(0 AS BIGINT) AS lpt,
+      |      CAST(0 AS BIGINT) AS lrt, 0 AS strat, 0 AS disp, 0 AS checked
+      |    UNION ALL
+      |    SELECT cround,
+      |      CASE WHEN enabled = 0 THEN init ELSE 1 END,
+      |      CASE WHEN enabled = 0 THEN cwnd
+      |           WHEN strat1 = 4 AND disp_ok = 1
+      |                AND least($TcMax, $TcMin * (1 << cwnd1)) < $TcMax
+      |             THEN cwnd1 + 1
+      |           WHEN strat1 = 1 AND now - lpt1 > $TcRb
+      |             THEN greatest(0, cwnd1 - 1)
+      |           ELSE cwnd1 END,
+      |      CASE WHEN enabled = 0 THEN lpt
+      |           WHEN strat1 = 1 AND now - lpt1 > $TcRb THEN now
+      |           WHEN strat1 = 1 THEN lpt1 ELSE now END,
+      |      CASE WHEN enabled = 0 THEN lrt
+      |           WHEN strat1 = 4 AND disp_ok = 1 THEN now ELSE lrt1 END,
+      |      CASE WHEN enabled = 0 THEN 0 ELSE strat1 END,
+      |      CASE WHEN enabled = 1 AND strat1 = 4 AND disp_ok = 1
+      |        THEN 1 ELSE 0 END,
+      |      enabled
+      |    FROM (
+      |      SELECT s.*, g.round AS cround, g.now, g.enabled, g.disp_ok,
+      |        CASE WHEN s.init = 0 THEN 0 ELSE s.cwnd END AS cwnd1,
+      |        CASE WHEN s.init = 0 THEN g.now ELSE s.lpt END AS lpt1,
+      |        CASE WHEN s.init = 0 THEN g.now ELSE s.lrt END AS lrt1,
+      |        CASE WHEN NOT (g.stage = 3 AND g.hasres = 1 AND g.canc = 0)
+      |               THEN 1
+      |             WHEN g.code IN (30001, 30002, 30004, 30005, 30008)
+      |               THEN 3
+      |             WHEN g.now - (CASE WHEN s.init = 0 THEN g.now ELSE s.lrt END)
+      |                  < least($TcMax, $TcMin *
+      |                      (1 << (CASE WHEN s.init = 0 THEN 0 ELSE s.cwnd END)))
+      |               THEN 2
+      |             ELSE 4 END AS strat1
+      |      FROM rst s JOIN rg g ON g.round = s.round + 1
+      |    ) rl1
+      |  )
+      |  SELECT * FROM rst WHERE round > 0 AND checked = 1
+      |) r""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.TaskChecker
+    import graft.streaming.TaskChecker.{UnitStatus, ProcessError}
+    val m = new TaskChecker(2.0, TcMin, TcMax, TcRb)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, String, Int, Int, Int, Long)]
+    for ((round, now) <- tcRounds) {
+      val cells = tcGrid.filter(e => e.round == round && e.present == 1)
+      val statuses = cells.map { e =>
+        val errs = if (e.code == 0 && e.msg.isEmpty && e.raw.isEmpty) Seq.empty
+          else Seq(ProcessError(e.code, e.msg, e.raw))
+        e.task -> UnitStatus(e.stage, e.hasres == 1, e.canc == 1, errs)
+      }
+      val dispOkByTask = cells.map(e => e.task -> (e.dispOk == 1)).toMap
+      val res = m.checkTaskStatus(statuses, now, dispOkByTask)
+      res.foreach { case (task, strat, disp) =>
+        val (cwnd, cur) = m.backoffOf(task).get
+        rows += ((task, round.toLong, "task", strat, if (disp) 1 else 0,
+          cwnd, cur))
+      }
+      rows += (("tracked", round.toLong, "sum", 0, 0, m.trackedTasks.size,
+        m.trackedTasks.size.toLong))
+      tcRelay.find(_._1 == round).foreach {
+        case (_, rnow, enabled, stage, hasres, canc, code, dispOk) =>
+          if (enabled == 1) {
+            val errs = if (code == 0) Seq.empty
+              else Seq(ProcessError(code, "", ""))
+            val (strat, disp) = m.checkRelayStatus(
+              UnitStatus(stage, hasres == 1, canc == 1, errs), rnow,
+              () => dispOk == 1)
+            val (cwnd, cur) = m.relayBackoff.get
+            rows += (("relay", round.toLong, "relay", strat,
+              if (disp) 1 else 0, cwnd, cur))
+          }
+      }
+    }
+    rows.toSeq.toDF("task", "round", "kind", "strat", "disp", "cwnd", "cur")
+  }
+
   val all: Seq[GateQuery] =
     Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix,
       ddlRepair, whereHandle, rmUnused, ddlDispatch, binlogPos,
       replicationSet, tableSchedulers, keySpanSplit, advanceCheckpoint,
-      captureManager, coordinatorRound, captureAgent, validatorStage)
+      captureManager, coordinatorRound, captureAgent, validatorStage,
+      taskChecker)
 }

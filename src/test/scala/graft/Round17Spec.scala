@@ -134,6 +134,100 @@ class Round17Spec extends SparkSpec {
     assert(Stopping == stageVal("Stopping"))
   }
 
+  // ---- task-checker tables parsed from the reference ----
+
+  private val retryFile = Paths.get("/root/reference/dm/pkg/retry/errors.go")
+  private val terrorFile =
+    Paths.get("/root/reference/dm/pkg/terror/error_list.go")
+  private val checkerCfgFile =
+    Paths.get("/root/reference/dm/config/checker_config.go")
+  private lazy val retrySrc = new String(Files.readAllBytes(retryFile), "UTF-8")
+  private lazy val terrorSrc =
+    new String(Files.readAllBytes(terrorFile), "UTF-8")
+
+  /** Parse one `Name = []string{ "...", ... }` literal. */
+  private def goStringSlice(src: String, name: String): Seq[String] = {
+    val start = src.indexOf(s"$name = []string{")
+    assert(start >= 0, s"$name not found")
+    val body = src.substring(start, src.indexOf("}", start))
+    """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body).map(_.group(1)).toSeq
+  }
+
+  /** Replay terror's iota arithmetic: within each const block, the first
+    * `ErrCode = iota + BASE` anchors, names count up from it. */
+  private lazy val terrorCodes: Map[String, Long] = {
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    for (block <- """(?s)const \((.*?)\n\)""".r
+        .findAllMatchIn(terrorSrc).map(_.group(1))) {
+      var base = -1L; var idx = 0L
+      for (line <- block.split("\n")) {
+        val m = """^\tcode(\w+)(?:\s+ErrCode = iota \+ (\d+))?\s*$""".r
+          .findFirstMatchIn(line)
+        m.foreach { mm =>
+          if (mm.group(2) != null) { base = mm.group(2).toLong; idx = 0 }
+          if (base >= 0) { out(mm.group(1)) = base + idx; idx += 1 }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  test("task-checker message tables match dm/pkg/retry/errors.go, parsed") {
+    assume(Files.exists(retryFile), "reference checkout not present")
+    import graft.streaming.TaskChecker._
+    assert(UnsupportedDdlMsgs == goStringSlice(retrySrc, "UnsupportedDDLMsgs"))
+    assert(UnsupportedDmlMsgs == goStringSlice(retrySrc, "UnsupportedDMLMsgs"))
+    assert(ReplicationErrMsgs == goStringSlice(retrySrc, "ReplicationErrMsgs"))
+    assert(ParseRelayLogErrMsgs ==
+      goStringSlice(retrySrc, "ParseRelayLogErrMsgs"))
+  }
+
+  test("un-resumable terror codes match error_list.go's iota arithmetic") {
+    assume(Files.exists(terrorFile), "reference checkout not present")
+    import graft.streaming.TaskChecker._
+    def codesOf(setName: String): Set[Long] = {
+      val start = retrySrc.indexOf(s"$setName = map[int32]struct{}{")
+      assert(start >= 0, s"$setName not found")
+      val body = retrySrc.substring(start, retrySrc.indexOf("}\n", start))
+      """terror\.Err(\w+)\.Code""".r.findAllMatchIn(body)
+        .map(m => terrorCodes(m.group(1))).toSet
+    }
+    assert(UnresumableErrCodes == codesOf("UnresumableErrCodes"),
+      s"got ${codesOf("UnresumableErrCodes")}")
+    assert(UnresumableRelayErrCodes == codesOf("UnresumableRelayErrCodes"),
+      s"got ${codesOf("UnresumableRelayErrCodes")}")
+    assert(ErrParserParseRelayLogCode == terrorCodes("ParserParseRelayLog"))
+    assert(ErrLoadLightningRuntimeCode == terrorCodes("LoadLightningRuntime"))
+  }
+
+  test("checker strategy names and defaults match the reference, parsed") {
+    assume(Files.exists(checkerCfgFile), "reference checkout not present")
+    import graft.streaming.TaskChecker._
+    val tcSrc = new String(Files.readAllBytes(
+      Paths.get("/root/reference/dm/worker/task_checker.go")), "UTF-8")
+    // resumeStrategy2Str (task_checker.go:80-86)
+    val nameRe = """Resume(\w+):\s+"([^"]+)"""".r
+    val names = nameRe.findAllMatchIn(tcSrc)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    assert(StrategyNames(ResumeIgnore) == names("Ignore"))
+    assert(StrategyNames(ResumeSkip) == names("Skip"))
+    assert(StrategyNames(ResumeNoSense) == names("NoSense"))
+    assert(StrategyNames(ResumeDispatch) == names("Dispatch"))
+    // iota+1 ordering (task_checker.go:64-79)
+    val order = """Resume(\w+)(?:\s+ResumeStrategy = iota \+ 1)?\n""".r
+      .findAllMatchIn(tcSrc.substring(tcSrc.indexOf("const ("),
+        tcSrc.indexOf("resumeStrategy2Str"))).map(_.group(1)).toSeq
+    assert(order == Seq("Ignore", "Skip", "NoSense", "Dispatch"),
+      s"got $order")
+    val cfgSrc = new String(Files.readAllBytes(checkerCfgFile), "UTF-8")
+    assert(DefaultCheckIntervalMs ==
+      goDurationMs(cfgSrc, "DefaultCheckInterval"))
+    assert(DefaultBackoffRollbackMs ==
+      goDurationMs(cfgSrc, "DefaultBackoffRollback"))
+    assert(DefaultBackoffMinMs == goDurationMs(cfgSrc, "DefaultBackoffMin"))
+    assert(DefaultBackoffMaxMs == goDurationMs(cfgSrc, "DefaultBackoffMax"))
+  }
+
   // ---- relay meta constants parsed from the reference ----
 
   private val relayUtilFile = Paths.get("/root/reference/dm/pkg/utils/relay.go")
