@@ -3325,10 +3325,140 @@ object LifecycleQueries {
     rows.toSeq.toDF("task", "round", "kind", "strat", "disp", "cwnd", "cur")
   }
 
+  // ---------------------------------------------------------------------
+  // q291 — query-status task-stage aggregation
+  // ---------------------------------------------------------------------
+
+  /** One response subtask row in arrival order; relay = -1 means the
+    * source has no relay, relayErr flags a relay process error. */
+  final case class QRow(ord: Int, source: String, task: String, stage: Int,
+      unit: Int, hasErr: Int = 0, relay: Int = -1, relayErr: Int = 0)
+
+  val qRows: Seq[QRow] = Seq(
+    // ta: uniform Running → Running
+    QRow(1, "s1", "ta", 2, 4), QRow(2, "s2", "ta", 2, 4, relay = 2),
+    // tb: all Finished → Finished; tc: Finished + Running differ → Running
+    QRow(3, "s1", "tb", 5, 4), QRow(4, "s2", "tb", 5, 4),
+    QRow(5, "s1", "tc", 5, 4), QRow(6, "s2", "tc", 2, 4),
+    // td: Paused (no error) latches below Error across later Running
+    QRow(7, "s1", "td", 2, 4), QRow(8, "s2", "td", 3, 4),
+    QRow(9, "s3", "td", 2, 4),
+    // te: Paused WITH error → Error latch over everything after
+    QRow(10, "s1", "te", 3, 4, hasErr = 1), QRow(11, "s2", "te", 2, 4),
+    // tf: Running Sync on a Paused relay → relay error verdict
+    QRow(12, "s1", "tf", 2, 4, relay = 3), QRow(13, "s2", "tf", 2, 4),
+    // tg: relay Stopped AND erroring → "Relay status is Error"
+    QRow(14, "s1", "tg", 2, 4, relay = 4, relayErr = 1),
+    // th: a LOAD unit ignores the paused relay → Running
+    QRow(15, "s1", "th", 2, 3, relay = 3),
+    // ti/tj: uniform New / Stopped verdicts
+    QRow(16, "s1", "ti", 1, 4), QRow(17, "s2", "ti", 1, 4),
+    QRow(18, "s1", "tj", 4, 4), QRow(19, "s2", "tj", 4, 4),
+    // tk: New then Paused-no-error → Paused (the OR leg of case 5)
+    QRow(20, "s1", "tk", 1, 4), QRow(21, "s2", "tk", 3, 4))
+
+  /** shouldWrap cases: (id, respResult, allSourcesTrue, nameFilter,
+    * srcFilter, more) → expected collapse. */
+  val qWrapCases: Seq[(Long, Boolean, Boolean, String, Int, Boolean)] = Seq(
+    (1L, true, true, "", 0, false),
+    (2L, false, true, "", 0, false),
+    (3L, true, true, "t1", 0, false),
+    (4L, true, true, "", 1, false),
+    (5L, true, true, "", 0, true),
+    (6L, true, false, "", 0, false))
+
+  private def qRowValues: String =
+    qRows.map { r =>
+      val rn = qRows.filter(x => x.task == r.task && x.ord <= r.ord).size
+      s"(${r.ord}, $rn, ${sqlStr(r.source)}, ${sqlStr(r.task)}, " +
+        s"${r.stage}, ${r.unit}, ${r.hasErr}, ${r.relay}, ${r.relayErr})"
+    }.mkString(",\n")
+
+  /**
+   * q291 — `dmctl query-status` TASK-STAGE AGGREGATION
+   * ([[graft.streaming.QueryStatus]], dm/ctl/master/query_status.go:
+   * 100-172): the order-dependent fold that collapses per-source subtask
+   * stages into one task verdict — Error latches (subtask-error and
+   * running-Sync-on-paused/stopped-relay legs, with the relay's own
+   * stage reading Error when it carries a process error), Paused latches
+   * below Error, the first row seeds, a differing later stage degrades
+   * to Running — plus the rendered "Please run `query-status ...`"
+   * suffix and the wrapper-applies gate. The oracle re-folds each task
+   * as a per-task recursive CTE over the same rows.
+   */
+  val queryStatus = GateQuery(
+    "q291_query_status",
+    Some(s"""WITH RECURSIVE rows0(ord, rn, source, task, stage, unit,
+      |  haserr, relay, relayerr) AS (VALUES
+      |$qRowValues
+      |), stn(id, nm) AS (VALUES (1, 'New'), (2, 'Running'), (3, 'Paused'),
+      |  (4, 'Stopped'), (5, 'Finished')),
+      |st AS (
+      |  SELECT DISTINCT task, 0 AS rn, '' AS cur FROM rows0
+      |  UNION ALL
+      |  SELECT task, crn,
+      |    CASE WHEN cur LIKE 'Error%' THEN cur
+      |         WHEN stage = 3 AND haserr = 1
+      |           THEN 'Error - Some error occurred in subtask'
+      |         WHEN unit = 4 AND stage = 2 AND relay IN (3, 4)
+      |           THEN 'Error - Relay status is ' ||
+      |             (CASE WHEN relayerr = 1 THEN 'Error'
+      |                   ELSE (SELECT nm FROM stn WHERE id = relay) END)
+      |         WHEN cur = 'Paused' THEN cur
+      |         WHEN cur = '' OR stage = 3
+      |           THEN (SELECT nm FROM stn WHERE id = stage)
+      |         WHEN cur <> (SELECT nm FROM stn WHERE id = stage)
+      |           THEN 'Running'
+      |         ELSE cur END
+      |  FROM (
+      |    SELECT s.task, r.rn AS crn, r.stage, r.unit, r.haserr, r.relay,
+      |      r.relayerr, s.cur
+      |    FROM st s JOIN rows0 r ON r.task = s.task AND r.rn = s.rn + 1
+      |  ) l1
+      |), fin AS (
+      |  SELECT s.task, s.cur,
+      |    (SELECT string_agg(source, ',' ORDER BY ord) FROM rows0 r
+      |     WHERE r.task = s.task) AS sources
+      |  FROM st s
+      |  WHERE s.rn = (SELECT max(rn) FROM rows0 r WHERE r.task = s.task)
+      |)
+      |SELECT 'task' AS kind, task AS name,
+      |  CASE WHEN cur LIKE 'Error%'
+      |       THEN cur || '. Please run `query-status ' || task ||
+      |            '` to get more details.'
+      |       ELSE cur END AS status,
+      |  sources, CAST(0 AS INT) AS wrap
+      |FROM fin
+      |UNION ALL
+      |SELECT 'wrap', CAST(id AS VARCHAR), '', '',
+      |  CAST(CASE WHEN rr AND alltrue AND nf = '' AND sf = 0 AND NOT more
+      |       THEN 1 ELSE 0 END AS INT)
+      |FROM (VALUES ${qWrapCases.map(c =>
+         s"(${c._1}, ${c._2}, ${c._3}, ${sqlStr(c._4)}, ${c._5}, ${c._6})")
+         .mkString(", ")}) w(id, rr, alltrue, nf, sf, more)""".stripMargin)) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.QueryStatus
+    val rows = qRows.map(r => QueryStatus.SubTaskRow(r.source, r.task,
+      r.stage, r.unit, r.hasErr == 1,
+      if (r.relay < 0) None else Some((r.relay, r.relayErr == 1))))
+    val taskRows = QueryStatus.wrapTaskResult(rows).map {
+      case (task, status, srcs) =>
+        ("task", task, status, srcs.mkString(","), 0)
+    }
+    val wrapRows = qWrapCases.map { case (id, rr, alltrue, nf, sf, more) =>
+      val w = QueryStatus.shouldWrap(rr,
+        if (alltrue) Seq(true, true) else Seq(true, false),
+        nf, if (sf == 0) Seq.empty else Seq("s1"), more)
+      ("wrap", id.toString, "", "", if (w) 1 else 0)
+    }
+    (taskRows ++ wrapRows).toDF("kind", "name", "status", "sources", "wrap")
+  }
+
   val all: Seq[GateQuery] =
     Seq(feedState, gcSafepoint, versionGate, serverOptions, creatorFix,
       ddlRepair, whereHandle, rmUnused, ddlDispatch, binlogPos,
       replicationSet, tableSchedulers, keySpanSplit, advanceCheckpoint,
       captureManager, coordinatorRound, captureAgent, validatorStage,
-      taskChecker)
+      taskChecker, queryStatus)
 }

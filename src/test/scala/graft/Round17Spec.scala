@@ -228,6 +228,30 @@ class Round17Spec extends SparkSpec {
     assert(DefaultBackoffMaxMs == goDurationMs(cfgSrc, "DefaultBackoffMax"))
   }
 
+  test("query-status constants match the reference, parsed") {
+    val qsFile = Paths.get("/root/reference/dm/ctl/master/query_status.go")
+    assume(Files.exists(qsFile), "reference checkout not present")
+    import graft.streaming.QueryStatus
+    val qsSrc = new String(Files.readAllBytes(qsFile), "UTF-8")
+    assert(QueryStatus.StageError == goStringConst(qsSrc, "const stageError"))
+    // the two error verdict strings and the render suffix, verbatim
+    assert(qsSrc.contains(
+      "stageError + \" - Some error occurred in subtask\""))
+    assert(qsSrc.contains("stageError + \" - Relay status is \""))
+    assert(qsSrc.contains(
+      "\". Please run `query-status \" + curTaskName + \"` to get more details.\""))
+    // pb.UnitType values
+    def unitVal(n: String): Int = {
+      val m = ("""UnitType_""" + n + """\s+UnitType = (\d+)""").r
+        .findFirstMatchIn(pbSrc)
+      assert(m.isDefined, s"UnitType_$n not found"); m.get.group(1).toInt
+    }
+    assert(QueryStatus.UnitSync == unitVal("Sync"))
+    assert(QueryStatus.UnitLoad == unitVal("Load"))
+    assert(QueryStatus.UnitDump == unitVal("Dump"))
+    assert(QueryStatus.UnitRelay == unitVal("Relay"))
+  }
+
   // ---- relay meta constants parsed from the reference ----
 
   private val relayUtilFile = Paths.get("/root/reference/dm/pkg/utils/relay.go")
