@@ -728,22 +728,32 @@ object RedoQueries {
       CEv(4, "closew"),
       CEv(5, "purge", a2 = "ta:1"))))
 
-  /** Seed cases: (sid, locations as (ord, name, pos, gtid)). */
-  val seedCases: Seq[(Long, Seq[(Long, String, Long, String)])] = Seq(
+  /** Seed cases: (sid, locations as (ord, name, pos, gtid, enableGtid)).
+    * GTID cases use single-uuid `u:1-N` sets so the oracle's containment
+    * reduces to range-end comparison (the kernel's full interval algebra
+    * is property-tested in Round17Spec). */
+  val seedCases: Seq[(Long, Seq[(Long, String, Long, String, Int)])] = Seq(
     // both suffixed: RAW compare picks the smaller seq; name strips the
     // subdir suffix, the uuid suffix parses from the RAW winner
-    (1L, Seq((1L, "mysql-bin|000002.000003", 4L, "g:1-5"),
-      (2L, "mysql-bin|000002.000002", 100L, "g:1-3"))),
+    (1L, Seq((1L, "mysql-bin|000002.000003", 4L, "g:1-5", 0),
+      (2L, "mysql-bin|000002.000002", 100L, "g:1-3", 0))),
     // mixed: the suffixed location ADJUSTS for comparison and wins
-    (2L, Seq((1L, "mysql-bin.000005", 10L, ""),
-      (2L, "mysql-bin|000001.000004", 50L, "g:1"))),
+    (2L, Seq((1L, "mysql-bin.000005", 10L, "", 0),
+      (2L, "mysql-bin|000001.000004", 50L, "g:1", 0))),
     // exact tie: the FIRST subtask's location is kept (>= 1 replace)
-    (3L, Seq((1L, "mysql-bin.000003", 7L, "first:1"),
-      (2L, "mysql-bin.000003", 7L, "second:1"))),
+    (3L, Seq((1L, "mysql-bin.000003", 7L, "first:1", 0),
+      (2L, "mysql-bin.000003", 7L, "second:1", 0))),
     // no checkpoints: empty name/gtid, the minimum suffix
     (4L, Seq.empty),
     // single unsuffixed: name unchanged, minimum suffix
-    (5L, Seq((1L, "mysql-bin.000007", 4L, "gg:9"))))
+    (5L, Seq((1L, "mysql-bin.000007", 4L, "gg:9", 0))),
+    // GTID leg: the SUBSET gtid wins despite the larger filename (the
+    // reference compares GTID sets first when the subtask enables GTID)
+    (6L, Seq((1L, "mysql-bin.000002", 4L, "u:1-100", 1),
+      (2L, "mysql-bin.000010", 4L, "u:1-50", 1))),
+    // GTID non-comparable (disjoint uuids): falls back to the position
+    (7L, Seq((1L, "mysql-bin.000009", 4L, "ua:1-5", 1),
+      (2L, "mysql-bin.000004", 4L, "ub:1-5", 1))))
 
   private def cScriptValues: String =
     cScripts.flatMap { case (sc, steps) =>
@@ -753,9 +763,9 @@ object RedoQueries {
 
   private def seedValues: String =
     seedCases.flatMap { case (sid, locs) =>
-      if (locs.isEmpty) Seq(s"($sid, 0, '', 0, '')")
-      else locs.map { case (ord, n, p, g) =>
-        s"($sid, $ord, ${Gate.sqlStr(n)}, $p, ${Gate.sqlStr(g)})"
+      if (locs.isEmpty) Seq(s"($sid, 0, '', 0, '', 0)")
+      else locs.map { case (ord, n, p, g, eg) =>
+        s"($sid, $ord, ${Gate.sqlStr(n)}, $p, ${Gate.sqlStr(g)}, $eg)"
       }
     }.mkString(",\n")
 
@@ -855,34 +865,61 @@ object RedoQueries {
       |        AS offender
       |    FROM st s JOIN vals e ON e.sc = s.sc AND e.step = s.step + 1
       |  ) l1
-      |  WHERE NOT starts OR TRUE
-      |), seeds(sid, ord, name, pos, gtid) AS (VALUES
+      |), seeds(sid, ord, name, pos, gtid, eg) AS (VALUES
       |$seedValues
       |), adj AS (
-      |  SELECT sid, ord, name, pos, gtid,
-      |    CASE WHEN regexp_matches(name, '^[^|.]+\\|[0-9]+\\.[0-9]+$$')
-      |           AND CAST(regexp_extract(name, '\\|([0-9]+)\\.', 1)
-      |               AS BIGINT) > 0
-      |         THEN regexp_replace(name, '\\|[0-9]+\\.', '.')
-      |         ELSE name END AS adj_name
+      |  -- realMySQLPos faithfully: filename = base '.' seq with seq > 0,
+      |  -- the LAST '|' of the base (not at position 0) carrying a
+      |  -- positive numeric suffix strips; anything else keeps the name
+      |  SELECT sid, ord, name, pos, gtid, eg,
+      |    CASE WHEN len(string_split(name, '.')) = 2
+      |           AND coalesce(TRY_CAST(string_split(name, '.')[2]
+      |               AS BIGINT), 0) > 0
+      |           AND regexp_matches(string_split(name, '.')[1],
+      |               '^.+\\|[^|]*$$')
+      |           AND coalesce(TRY_CAST(regexp_extract(
+      |               string_split(name, '.')[1], '\\|([^|]*)$$', 1)
+      |               AS BIGINT), 0) > 0
+      |         THEN regexp_replace(string_split(name, '.')[1],
+      |                '\\|[^|]*$$', '') || '.' || string_split(name, '.')[2]
+      |         ELSE name END AS adj_name,
+      |    -- the restricted single-uuid u:1-N gtid shape for the oracle's
+      |    -- containment: (uuid, range end); empty set = ('', 0)
+      |    coalesce(string_split(gtid, ':')[1], '') AS guuid,
+      |    coalesce(TRY_CAST(regexp_extract(gtid, '-([0-9]+)$$', 1)
+      |             AS BIGINT), 0) AS gend
       |  FROM seeds WHERE name <> ''
       |), fold AS (
-      |  SELECT sid, ord, name, pos, gtid, adj_name FROM adj WHERE ord = 1
+      |  SELECT sid, ord, name, pos, gtid, adj_name, guuid, gend
+      |  FROM adj WHERE ord = 1
       |  UNION ALL
       |  SELECT t.sid, t.aord,
       |    CASE WHEN t.repl THEN t.aname ELSE t.name END,
       |    CASE WHEN t.repl THEN t.apos ELSE t.pos END,
       |    CASE WHEN t.repl THEN t.agtid ELSE t.gtid END,
-      |    CASE WHEN t.repl THEN t.aadj ELSE t.adj_name END
+      |    CASE WHEN t.repl THEN t.aadj ELSE t.adj_name END,
+      |    CASE WHEN t.repl THEN t.aguuid ELSE t.guuid END,
+      |    CASE WHEN t.repl THEN t.agend ELSE t.gend END
       |  FROM (
-      |    SELECT f.sid, f.name, f.pos, f.gtid, f.adj_name,
+      |    SELECT f.sid, f.name, f.pos, f.gtid, f.adj_name, f.guuid, f.gend,
       |      a.ord AS aord, a.name AS aname, a.pos AS apos,
-      |      a.gtid AS agtid, a.adj_name AS aadj,
-      |      -- Compare(min, loc) >= 1: both-suffixed pairs compare RAW
-      |      (CASE WHEN f.adj_name <> f.name AND a.adj_name <> a.name
-      |            THEN (f.name > a.name OR (f.name = a.name AND f.pos > a.pos))
-      |            ELSE (f.adj_name > a.adj_name OR
-      |                  (f.adj_name = a.adj_name AND f.pos > a.pos)) END)
+      |      a.gtid AS agtid, a.adj_name AS aadj, a.guuid AS aguuid,
+      |      a.gend AS agend,
+      |      -- CompareLocation(min, loc, a.eg) >= 1: the GTID leg first
+      |      -- when the incoming subtask enables it (empty-set and
+      |      -- same-uuid containment shapes; disjoint uuids are not
+      |      -- comparable and fall back), then ComparePosition with the
+      |      -- both-suffixed raw-compare subtlety
+      |      (CASE
+      |        WHEN a.eg = 1 AND f.gtid = '' AND a.gtid = '' THEN FALSE
+      |        WHEN a.eg = 1 AND f.gtid = '' THEN FALSE      -- cmp = -1
+      |        WHEN a.eg = 1 AND a.gtid = '' THEN TRUE       -- cmp = +1
+      |        WHEN a.eg = 1 AND f.guuid = a.guuid
+      |          THEN f.gend > a.gend                        -- containment
+      |        WHEN f.adj_name <> f.name AND a.adj_name <> a.name
+      |          THEN (f.name > a.name OR (f.name = a.name AND f.pos > a.pos))
+      |        ELSE (f.adj_name > a.adj_name OR
+      |              (f.adj_name = a.adj_name AND f.pos > a.pos)) END)
       |        AS repl
       |    FROM fold f JOIN adj a ON a.sid = f.sid AND a.ord = f.ord + 1
       |  ) t
@@ -890,8 +927,10 @@ object RedoQueries {
       |  SELECT s.sid,
       |    coalesce(f.adj_name, '') AS name,
       |    coalesce(f.gtid, '') AS gtid,
-      |    CAST(coalesce(CASE WHEN f.name LIKE '%|%'
-      |      THEN CAST(regexp_extract(f.name, '\\|([0-9]+)\\.', 1) AS BIGINT)
+      |    CAST(coalesce(CASE WHEN regexp_matches(
+      |        string_split(f.name, '.')[1], '^.+\\|[^|]*$$')
+      |      THEN TRY_CAST(regexp_extract(string_split(f.name, '.')[1],
+      |             '\\|([^|]*)$$', 1) AS BIGINT)
       |      ELSE 1 END, 1) AS BIGINT) AS sfx
       |  FROM (SELECT DISTINCT sid FROM seeds) s
       |  LEFT JOIN (
@@ -939,7 +978,8 @@ object RedoQueries {
     }
     val seedRows = seedCases.map { case (sid, locs) =>
       val seeded = RelayControl.seedFromCheckpoints(
-        locs.map { case (_, n, p, g) => (BinlogPos.Position(n, p), g) })
+        locs.map { case (_, n, p, g, eg) =>
+          (BinlogPos.Position(n, p), g, eg == 1) })
         .getOrElse(RelayControl.SeededCfg("", "", 0))
       ("seed", sid.toInt, "seed", 0, 0, 0, 0, 0L, "", "", "", 0, "",
         seeded.binlogName, seeded.gtid, seeded.uuidSuffix.toLong)

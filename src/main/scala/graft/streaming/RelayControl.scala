@@ -47,19 +47,85 @@ object RelayControl {
   /** EnableRelay's seeded relay config slice (source_worker.go:420-434). */
   final case class SeededCfg(binlogName: String, gtid: String, uuidSuffix: Int)
 
+  /** Parse a MySQL-flavor GTID set string ("uuid:1-5:8,uuid2:3") into
+    * merged per-uuid intervals; empty string = the empty set. */
+  def parseGtidSet(s: String): Map[String, Seq[(Long, Long)]] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
+      val ps = part.split(":")
+      val ivs = ps.tail.toSeq.map { r =>
+        val b = r.split("-")
+        if (b.length == 2) (b(0).toLong, b(1).toLong)
+        else (b(0).toLong, b(0).toLong)
+      }.sortBy(_._1)
+      // merge adjacent/overlapping
+      val merged = ivs.foldLeft(Vector.empty[(Long, Long)]) { (acc, iv) =>
+        acc.lastOption match {
+          case Some((lo, hi)) if iv._1 <= hi + 1 =>
+            acc.init :+ (lo, math.max(hi, iv._2))
+          case _ => acc :+ iv
+        }
+      }
+      ps.head -> merged.toSeq
+    }.toMap
+
+  /** go-mysql GTIDSet.Contain: every interval of `b` covered by `a`. */
+  def gtidContain(a: Map[String, Seq[(Long, Long)]],
+                  b: Map[String, Seq[(Long, Long)]]): Boolean =
+    b.forall { case (uuid, ivs) =>
+      a.get(uuid).exists(as =>
+        ivs.forall { case (lo, hi) =>
+          as.exists { case (alo, ahi) => alo <= lo && hi <= ahi }
+        })
+    }
+
+  /** binlog.CompareGTID (dm/pkg/binlog/position.go:368-397): (cmp,
+    * comparable) with empty-set short-circuits and mutual containment. */
+  def compareGtid(s1: String, s2: String): (Int, Boolean) = {
+    val (e1, e2) = (s1.trim.isEmpty, s2.trim.isEmpty)
+    if (e1 && e2) (0, true)
+    else if (e1) (-1, true)
+    else if (e2) (1, true)
+    else {
+      val (a, b) = (parseGtidSet(s1), parseGtidSet(s2))
+      val (c1, c2) = (gtidContain(a, b), gtidContain(b, a))
+      if (c1 && c2) (0, true)
+      else if (c1) (1, true)
+      else if (c2) (-1, true)
+      else (0, false)
+    }
+  }
+
+  /** binlog.CompareLocation (position.go:312-331), inject-suffix-free
+    * (the model carries no injected-event suffix, so the final tiebreak
+    * is always 0): the GTID sets compare first when enabled; a
+    * non-comparable pair falls back to the position compare. */
+  def compareLocation(p1: BinlogPos.Position, g1: String,
+                      p2: BinlogPos.Position, g2: String,
+                      cmpGtid: Boolean): Int = {
+    if (cmpGtid) {
+      val (cmp, can) = compareGtid(g1, g2)
+      if (can) return cmp
+    }
+    BinlogPos.compare(p1, p2)
+  }
+
   /**
    * getMinLocInAllSubTasks + the seeding (server.go:928-947,
    * source_worker.go:420-434): earliest checkpoint wins (`>= 1` compare —
-   * ties keep the FIRST subtask's location), the relay binlog name strips
-   * the `|NNNNNN` subdir suffix, the uuid suffix parses from the RAW
-   * name (a bad suffix is the caller's error); no checkpoints → minimum
-   * suffix with empty name/gtid.
+   * ties keep the FIRST subtask's location) under CompareLocation with
+   * the INCOMING subtask's enable-gtid flag (the reference passes the
+   * loop iteration's cfg), the relay binlog name strips the `|NNNNNN`
+   * subdir suffix, the uuid suffix parses from the RAW name (a bad
+   * suffix is the caller's error); no checkpoints → minimum suffix with
+   * empty name/gtid.
    */
-  def seedFromCheckpoints(locs: Seq[(BinlogPos.Position, String)])
+  def seedFromCheckpoints(locs: Seq[(BinlogPos.Position, String, Boolean)])
       : Either[String, SeededCfg] = {
     var min: Option[(BinlogPos.Position, String)] = None
-    locs.foreach { l =>
-      if (min.isEmpty || BinlogPos.compare(min.get._1, l._1) >= 1) min = Some(l)
+    locs.foreach { case (p, g, enableGtid) =>
+      if (min.isEmpty ||
+        compareLocation(min.get._1, min.get._2, p, g, enableGtid) >= 1)
+        min = Some((p, g))
     }
     min match {
       case None =>

@@ -141,7 +141,6 @@ object TaskChecker {
   /** AutoResumeInfo (task_checker.go:110-118, 207-282). */
   final class AutoResumeInfo(val backoff: DmBackoff, now0: Long) {
     var latestPausedMs: Long = now0
-    var latestBlockMs: Long = 0L
     var latestResumeMs: Long = now0
 
     private def decide(st: Option[UnitStatus], resumable: ProcessError => Boolean,
@@ -162,8 +161,9 @@ object TaskChecker {
             latestPausedMs = nowMs // reset the rollback timer
           }
         case ResumeNoSense =>
+          // the reference also stamps LatestBlockTime here, read only by
+          // its "paused duration" log line — not an observable we carry
           latestPausedMs = nowMs
-          if (latestBlockMs == 0L) latestBlockMs = nowMs
         case _ => latestPausedMs = nowMs // Skip / Dispatch
       }
 

@@ -328,6 +328,48 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("GTID-set compare: interval algebra == element-wise containment") {
+    // CompareGTID's mutual-containment semantics
+    // (dm/pkg/binlog/position.go:368-397), the kernel's merged-interval
+    // containment checked against a brute-force element expansion
+    import graft.streaming.RelayControl
+    val rnd = new Random(289)
+    def randSet(): String = {
+      val uuids = Seq("ua", "ub", "uc").take(1 + rnd.nextInt(3))
+      uuids.take(1 + rnd.nextInt(uuids.size)).map { u =>
+        val ivs = (1 to 1 + rnd.nextInt(3)).map { _ =>
+          val lo = 1 + rnd.nextInt(20); val hi = lo + rnd.nextInt(6)
+          if (lo == hi) s"$lo" else s"$lo-$hi"
+        }
+        s"$u:${ivs.mkString(":")}"
+      }.mkString(",")
+    }
+    def elems(s: String): Set[(String, Long)] =
+      if (s.isEmpty) Set.empty
+      else s.split(",").flatMap { part =>
+        val ps = part.split(":")
+        ps.tail.flatMap { r =>
+          val b = r.split("-").map(_.toLong)
+          val (lo, hi) = (b(0), if (b.length == 2) b(1) else b(0))
+          (lo to hi).map(ps.head -> _)
+        }
+      }.toSet
+    for (_ <- 1 to 500) {
+      val (s1, s2) = (randSet(), if (rnd.nextBoolean()) randSet() else "")
+      val (e1, e2) = (elems(s1), elems(s2))
+      val want =
+        if (e1.isEmpty && e2.isEmpty) (0, true)
+        else if (e1.isEmpty) (-1, true)
+        else if (e2.isEmpty) (1, true)
+        else {
+          val (c1, c2) = (e2.subsetOf(e1), e1.subsetOf(e2))
+          if (c1 && c2) (0, true)
+          else if (c1) (1, true) else if (c2) (-1, true) else (0, false)
+        }
+      assert(RelayControl.compareGtid(s1, s2) == want, s"s1=$s1 s2=$s2")
+    }
+  }
+
   // ---- randomized stage-machine property vs an independent simulator ----
 
   /** Flat-state replay written directly from the Go control flow (NOT via
