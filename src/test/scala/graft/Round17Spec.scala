@@ -370,6 +370,120 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("300 random relay-meta traces: kernel == flat-state simulator") {
+    // the q286 oracle replays four scripts; this drives RANDOM event
+    // sequences through RelayMeta against a from-the-Go flat replay
+    // (meta.go AddDir/Save/Flush/Trim/Load) holding its OWN copy of the
+    // filesystem image, so edges the scripts don't compose diverge loudly
+    import graft.streaming.{BinlogPos, RelayMeta}
+    val rnd = new Random(86)
+    for (trace <- 1 to 300) {
+      val fs = new RelayMeta.Fs
+      var m = new RelayMeta(fs)
+      // fully independent sim state (its own fs image)
+      var cur = ""; var name = ""; var pos = 4L; var btid = ""; var gs = ""
+      var dirty = false
+      var mem = Vector.empty[String]   // the kernel's MEMORY subDirs
+      var sFile = Vector.empty[String] // the server-uuid.index FILE lines
+      var sDirs = Set.empty[String]
+      val sMetas = scala.collection.mutable.Map.empty[String, (String, Long, String)]
+      def sFlush(): Unit =
+        if (cur.nonEmpty) { sMetas(cur) = (name, pos, btid); dirty = false }
+      for (step <- 1 to 30) {
+        rnd.nextInt(7) match {
+          case 0 => // adddir
+            val uuid = Seq("ua", "ub")(rnd.nextInt(2))
+            val sfx = if (rnd.nextInt(4) == 0) 1 + rnd.nextInt(3) else 0
+            val np = if (rnd.nextBoolean())
+              Some((s"f.${"%06d".format(1 + rnd.nextInt(9))}",
+                rnd.nextInt(100).toLong)) else None
+            val ng = if (rnd.nextInt(3) == 0) Some(s"g:$step") else None
+            val newSub =
+              if (cur.isEmpty)
+                RelayMeta.addSuffixForUuid(uuid, if (sfx == 0) 1 else sfx)
+              else RelayMeta.addSuffixForUuid(uuid,
+                BinlogPos.parseRelaySubDir(cur).toOption.get._2 + 1)
+            val existed = sDirs.contains(newSub)
+            m.addDir(uuid, np, ng, sfx)
+            if (dirty) sFlush() // the pre-rotation flush happens either way
+            if (!existed) {
+              sDirs += newSub
+              mem = mem :+ newSub
+              sFile = mem // updateIndexFile writes memory+new, overwriting
+              cur = newSub
+              np match {
+                case Some((n, p)) => name = n; pos = p
+                case None => name = ""; pos = 4L
+              }
+              ng.foreach { g => gs = g; btid = g }
+              sFlush()
+            }
+          case 1 => // save
+            val g = if (rnd.nextBoolean()) Some(s"g:$step") else None
+            m.save(s"bin.${"%06d".format(step)}", step.toLong, g)
+            if (cur.nonEmpty) {
+              name = s"bin.${"%06d".format(step)}"; pos = step.toLong
+              g match {
+                case None => btid = ""
+                case Some(x) => btid = x; gs = x
+              }
+              dirty = true
+            }
+          case 2 =>
+            m.flush(); sFlush()
+          case 3 => // an external dir deletion
+            if (sDirs.nonEmpty) {
+              val d = sDirs.toSeq.sorted.apply(rnd.nextInt(sDirs.size))
+              fs.dirs -= d
+              sDirs -= d
+            }
+          case 4 => // trim
+            m.trimUuidIndexFile()
+            val kept = mem.filter(sDirs.contains)
+            if (kept.size != mem.size) {
+              mem = kept
+              sFile = kept
+            }
+          case 5 => // reload (fresh instance over the same image)
+            m = new RelayMeta(fs)
+            m.load()
+            val lines = sFile
+            val sfxs = lines.map(l =>
+              BinlogPos.parseRelaySubDir(l).toOption.map(_._2))
+            val consec = sfxs.forall(_.isDefined) &&
+              sfxs.flatten.sliding(2).forall(w =>
+                w.size < 2 || w(1) == w(0) + 1)
+            name = ""; pos = 4L; btid = ""; gs = ""; dirty = false
+            if (consec) {
+              cur = lines.lastOption.getOrElse("")
+              mem = lines
+              sMetas.get(cur).foreach { case (n, p, g) =>
+                name = n; pos = p; btid = g; if (g.nonEmpty) gs = g
+              }
+            } else { cur = ""; mem = Vector.empty }
+          case _ => // adjust (non-gtid, valid configured name)
+            val nm = s"adj.${"%06d".format(1 + rnd.nextInt(5))}"
+            m.adjustWithStartPos(nm, "", enableGtid = false, "", "")
+            val meaningless = cur.isEmpty ||
+              (BinlogPos.parseRelaySubDir(cur).toOption.exists(_._2 == 1) &&
+                !(name > "" || (name == "" && pos > 4L)) && btid.isEmpty)
+            if (meaningless) {
+              name = nm; pos = 4L; btid = ""; gs = ""
+              sFlush()
+            }
+        }
+        val ctx = s"trace $trace step $step"
+        val (kc, kn, kp) = m.pos
+        assert(kc == cur && kn == name && kp == pos, ctx)
+        assert(m.fileGtid == btid && m.gtidView._2 == gs, ctx)
+        assert(m.dirty == dirty, ctx)
+        assert(fs.indexLines == sFile, ctx)
+        assert(fs.dirs.toSet == sDirs, ctx)
+        assert(fs.metas.toMap == sMetas.toMap, ctx)
+      }
+    }
+  }
+
   // ---- randomized stage-machine property vs an independent simulator ----
 
   /** Flat-state replay written directly from the Go control flow (NOT via
