@@ -62,6 +62,57 @@ class ValidatorSpec extends SparkSpec {
     assert(r.pending === 1 && r.ok === 0)
   }
 
+  test("live rounds gate through the lifecycle: stop halts, restart resets") {
+    // the r17 kernel↔runtime wiring (the q285 machine driving the REAL
+    // validateRound loop, mirroring how the reference's doValidate only
+    // consumes events while the DataValidator stage is Running, and how
+    // dmctl validation stop/start wraps the same object)
+    import graft.streaming.ValidatorLifecycle
+    import graft.streaming.ValidatorLifecycle._
+    val dir = Files.createTempDirectory("validator_lc").toString
+    val lc = new ValidatorLifecycle(ModeFast)
+    var rounds = 0
+    def round(ts: Long, exp: DataFrame, tgt: DataFrame): Unit =
+      // the worker loop consults the stage exactly like doValidate's
+      // context: no round runs unless the validator is Running
+      if (lc.stage == Running) {
+        Validator.validateRound(spark, dir, exp, tgt, batchTs = ts)
+        rounds += 1
+      }
+
+    // subtask starts WITHOUT the validator expectation → nothing runs
+    lc.subtaskRun(Running, InvalidStage, nowMs = 0L)
+    round(1L, expected(1L -> 10.0), target())
+    assert(rounds == 0 && lc.stage == InvalidStage)
+
+    // dmctl validation start → rounds flow; pk=1 goes pending
+    lc.startValidator(Running, nowMs = 10L)
+    round(1L, expected(1L -> 10.0), target())
+    assert(rounds == 1)
+    assert(Validator.pendingState(spark, dir).count() == 1)
+
+    // subtask pause does NOT stop the validator (the independence)
+    lc.subtaskPause()
+    round(2L, expected(), target(1L -> 10.0))
+    assert(rounds == 2 && lc.stage == Running)
+    assert(Validator.pendingState(spark, dir).count() == 0)
+
+    // dmctl validation stop → the loop halts mid-stream
+    lc.stopValidator()
+    round(3L, expected(2L -> 20.0), target())
+    assert(rounds == 2 && lc.stage == Stopped)
+
+    // restart on the SAME handle resumes the loop
+    lc.startValidator(Running, nowMs = 40L)
+    round(4L, expected(2L -> 20.0), target(2L -> 20.0))
+    assert(rounds == 3)
+
+    // subtask close discards the handle → InvalidStage, loop dead
+    lc.subtaskClose()
+    round(5L, expected(3L -> 30.0), target())
+    assert(rounds == 3 && lc.stage == InvalidStage)
+  }
+
   test("stall flag trips when pending exceeds the cap") {
     val dir = Files.createTempDirectory("validator4").toString
     val r = Validator.validateRound(spark, dir,
