@@ -40,6 +40,65 @@ class RelaySpec extends SparkSpec {
     assert(Relay.purgeRelay(dir, beforeTs = 100L).isEmpty)
   }
 
+  test("relay writes gate through RelayControl; a crash auto-resumes via TaskChecker") {
+    // the r17 kernel↔runtime wiring on the relay side: the REAL segment
+    // writer only runs while the holder stage is Running (the
+    // reference's relay goroutine), a process crash degrades to Paused,
+    // and the task checker's relay slot dispatches the auto-resume that
+    // reopens the loop — three kernels and the real storage composed.
+    import graft.streaming.{RelayControl, TaskChecker}
+    import graft.streaming.TaskChecker.{ProcessError, UnitStatus}
+    import graft.streaming.ValidatorLifecycle.{Paused, Running}
+    val dir = Files.createTempDirectory("graft_relay_lc").toString
+    val rc = new RelayControl
+    val tc = new TaskChecker(2.0, 1000L, 8000L, 5000L)
+    var written = 0
+    def pump(batchId: Long, from: Long): Unit =
+      if (rc.stage == Running) {
+        Relay.relaySink(spark, dir, rotateRows = 15)(batch(from, 10), batchId)
+        written += 10
+      }
+
+    // enabled but no Running expectation yet → nothing writes
+    rc.enableRelay()
+    pump(0L, 1); assert(written == 0)
+
+    // the expectant stage starts the New holder → writes flow
+    val (label, err) = rc.operateRelayStage(Running)
+    assert(label == RelayControl.OpErrTypeBeforeOp && err.isEmpty)
+    pump(0L, 1); pump(1L, 11)
+    assert(written == 20 && Relay.readRelay(spark, dir).count() == 20)
+
+    // the relay process crashes with a RESUMABLE error → Paused
+    rc.processExit(errors = 1)
+    pump(2L, 21); assert(written == 20 && rc.stage == Paused)
+
+    // the checker's relay slot sees the paused unit; its FIRST sighting
+    // skips (fresh backoff clock), the next round dispatches the resume
+    val st = UnitStatus(Paused, hasResult = true, isCanceled = false,
+      Seq(ProcessError(0L, "", "transient read timeout")))
+    val (s1, d1) = tc.checkRelayStatus(st, nowMs = 0L, () => {
+      rc.operateRelay(RelayControl.ResumeRelay).isEmpty
+    })
+    assert(s1 == TaskChecker.ResumeSkip && !d1 && rc.stage == Paused)
+    val (s2, d2) = tc.checkRelayStatus(st, nowMs = 6000L, () => {
+      rc.operateRelay(RelayControl.ResumeRelay).isEmpty
+    })
+    assert(s2 == TaskChecker.ResumeDispatch && d2 && rc.stage == Running)
+
+    // the reopened loop continues the SAME relay dir from its position
+    pump(2L, 21)
+    assert(written == 30 && Relay.readRelay(spark, dir).count() == 30)
+    assert(Relay.position(dir)("binlog-pos") == 30L)
+
+    // an UN-resumable relay error (bad uuid suffix) blocks auto-resume
+    rc.processExit(errors = 1)
+    val bad = UnitStatus(Paused, hasResult = true, isCanceled = false,
+      Seq(ProcessError(30001L, "", "")))
+    val (s3, d3) = tc.checkRelayStatus(bad, nowMs = 20000L, () => true)
+    assert(s3 == TaskChecker.ResumeNoSense && !d3 && rc.stage == Paused)
+  }
+
   test("relay decouples one source pull from N consumers") {
     val dir = Files.createTempDirectory("graft_relay2").toString
     implicit val sqlCtx = spark.sqlContext
