@@ -1498,10 +1498,169 @@ object DdlQueries {
     }.toDF("idx", "query", "rendered")
   }
 
+  // ---------------------------------------------------------------------
+  // q292 — dmctl binlog-schema operations
+  // ---------------------------------------------------------------------
+
+  /** The scripted sync unit: tracker universe + the dw/`s`_`t` router +
+    * downstream/source create texts (the GET fallback pins the one-row
+    * render and the name swap). */
+  private val SoSchemas = Seq("db1", "db2")
+  private val SoTables = Map("db1" -> Seq("t1", "t2"), "db2" -> Seq("t3"))
+  private def soRoute(s: String, t: String) = ("dw", s + "_" + t)
+  private val SoTargetSql = Map(
+    ("dw", "db1_t1") ->
+      "CREATE TABLE `db1_t1` (\n  `a` int NOT NULL,\n  `b` varchar(10)\n)",
+    ("dw", "db2_t3") -> "create table dw.db2_t3 (`k` bigint, `v` int)")
+
+  /** One schema-op step: (step, vstage, op, db, tbl, text, fromTarget,
+    * sync). SET texts carry deliberately WRONG embedded names so the
+    * force-names leg is observable. */
+  final case class SEv(step: Int, vstage: Int, op: Int, db: String = "",
+      tbl: String = "", text: String = "", fromTarget: Int = 0,
+      sync: Int = 0)
+
+  private val soScript: Seq[SEv] = {
+    import graft.streaming.SchemaOps._
+    Seq(
+      SEv(1, 2, ListSchema),                        // validator Running: blocked
+      SEv(2, 2, ListMigrateTargets),                // ...except this op
+      SEv(3, 4, ListSchema),
+      SEv(4, 4, ListTable, db = "db1"),
+      SEv(5, 4, ListTable, db = "nosuch"),
+      SEv(6, 4, GetSchema, db = "db1", tbl = "t1"), // checkpoint miss → swap
+      SEv(7, 4, SetSchema, db = "db1", tbl = "t1",  // wrong names forced over
+        text = "create table wrong.name (`a` int not null, `c` varchar(8))",
+        sync = 1),
+      SEv(8, 4, GetSchema, db = "db1", tbl = "t1"), // now from checkpoint
+      SEv(9, 4, SetSchema, db = "db1", tbl = "t2",
+        text = "drop table db1.t2"),                // not a CREATE TABLE
+      SEv(10, 4, SetSchema, db = "db2", tbl = "t3", fromTarget = 1, sync = 1),
+      SEv(11, 4, RemoveSchema, db = "db1", tbl = "t1"),
+      SEv(12, 4, GetSchema, db = "db1", tbl = "t1"), // remove was a no-op
+      SEv(13, 4, ListMigrateTargets, db = "db[2]", tbl = ".*3"),
+      SEv(14, 4, ListMigrateTargets, db = "("))     // bad regex
+  }
+
+  /**
+   * q292 — `dmctl binlog-schema` OPERATIONS
+   * ([[graft.streaming.SchemaOps]], dm/syncer/schema.go:43-234 +
+   * dm/worker/subtask.go:700-710): the validator-Running guard (only
+   * list-migrate-targets passes), the list ops' Go-JSON renders, GET's
+   * checkpoint-miss fallback to the downstream create text with the
+   * target→source name swap and the one-row render, SET's
+   * must-be-CREATE-TABLE check with the request's names FORCED over the
+   * statement's and the sync-only-under-optimistic info put, REMOVE's
+   * documented no-op, and the regex-filtered migrate-target listing.
+   * Scripted over one optimistic-mode unit and one no-shard-mode twin
+   * (whose --sync is silently ignored); the oracle derives every output
+   * string from the same scripted universe.
+   */
+  val schemaOps = GateQuery(
+    "q292_schema_ops",
+    Some {
+      def sqlStr(s: String) = Gate.sqlStr(s)
+      val univValues = SoTables.toSeq.sortBy(x => SoSchemas.indexOf(x._1))
+        .flatMap { case (sch, ts) => ts.map(sch -> _) }
+        .zipWithIndex.map { case ((sch, t), i) =>
+          s"(${i + 1}, ${sqlStr(sch)}, ${sqlStr(t)})"
+        }.mkString(", ")
+      def row(sc: String, step: Int, err: String, nck: Int, nsync: Int) =
+        s"(${sqlStr(sc)}, $step, ${sqlStr(err)}, $nck, $nsync)"
+      // outputs DERIVED in SQL from the same scripted universe: the
+      // router is dw/`s`_`t`, list JSONs aggregate the universe, the GET
+      // render transforms the scripted downstream text, and the SET
+      // render transforms the scripted request text (keyword uppercase +
+      // forced names — the toSql shape for these inputs)
+      s"""WITH univ(ord, s, t) AS (VALUES $univValues),
+         |tgt AS (
+         |  SELECT ord, s, t, 'dw' AS ts, s || '_' || t AS tt FROM univ
+         |),
+         |mig AS (
+         |  SELECT '[' || string_agg('{"source_schema":"' || s ||
+         |    '","source_table":"' || t || '","target_schema":"' || ts ||
+         |    '","target_table":"' || tt || '"}', ',' ORDER BY ord) || ']'
+         |    AS all_t,
+         |  '[' || string_agg('{"source_schema":"' || s ||
+         |    '","source_table":"' || t || '","target_schema":"' || ts ||
+         |    '","target_table":"' || tt || '"}', ',' ORDER BY ord)
+         |    FILTER (WHERE regexp_matches(s, 'db[2]')
+         |            AND regexp_matches(t, '.*3')) || ']' AS t13
+         |  FROM tgt
+         |),
+         |lists AS (
+         |  SELECT (SELECT '[' || string_agg(DISTINCT '"' || s || '"',
+         |            ',' ORDER BY '"' || s || '"') || ']' FROM univ)
+         |      AS schemas_j,
+         |    (SELECT '[' || string_agg('"' || t || '"', ',' ORDER BY ord)
+         |       || ']' FROM univ WHERE s = 'db1') AS db1_j
+         |),
+         |get6 AS (
+         |  SELECT replace(replace(replace(
+         |    ${sqlStr(SoTargetSql(("dw", "db1_t1")))},
+         |    'CREATE TABLE `db1_t1`', 'CREATE TABLE `t1`'),
+         |    chr(10), ''), '  ', ' ') AS v
+         |),
+         |set7 AS (
+         |  SELECT 'CREATE TABLE `db1`.`t1` (' ||
+         |    replace(regexp_extract(
+         |      ${sqlStr(soScript.find(_.step == 7).get.text)},
+         |      '\\((.*)\\)', 1), 'not null', 'NOT NULL') || ')' AS v
+         |)
+         |SELECT sc, CAST(step AS BIGINT) AS step,
+         |  CASE step WHEN 2 THEN (SELECT all_t FROM mig)
+         |    WHEN 3 THEN (SELECT schemas_j FROM lists)
+         |    WHEN 4 THEN (SELECT db1_j FROM lists)
+         |    WHEN 6 THEN (SELECT v FROM get6)
+         |    WHEN 8 THEN (SELECT v FROM set7)
+         |    WHEN 12 THEN (SELECT v FROM set7)
+         |    WHEN 13 THEN (SELECT t13 FROM mig)
+         |    ELSE '' END AS ret,
+         |  err, CAST(nck AS BIGINT) AS nck, CAST(nsync AS BIGINT) AS nsync
+         |FROM (VALUES
+         |  ${row("opt", 1, "ErrWorkerValidatorNotPaused", 0, 0)},
+         |  ${row("opt", 2, "", 0, 0)},
+         |  ${row("opt", 3, "", 0, 0)},
+         |  ${row("opt", 4, "", 0, 0)},
+         |  ${row("opt", 5, "ErrSchemaTrackerUnSchemaNotExist", 0, 0)},
+         |  ${row("opt", 6, "", 0, 0)},
+         |  ${row("opt", 7, "", 1, 1)},
+         |  ${row("opt", 8, "", 1, 1)},
+         |  ${row("opt", 9, "ErrSchemaTrackerInvalidCreateTableStmt", 1, 1)},
+         |  ${row("opt", 10, "", 2, 2)},
+         |  ${row("opt", 11, "", 2, 2)},
+         |  ${row("opt", 12, "", 2, 2)},
+         |  ${row("opt", 13, "", 2, 2)},
+         |  ${row("opt", 14, "ErrInvalidRegex", 2, 2)},
+         |  ${row("noshard", 6, "", 0, 0)},
+         |  ${row("noshard", 7, "", 1, 0)},
+         |  ${row("noshard", 10, "", 2, 0)}
+         |) t(sc, step, err, nck, nsync)""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.SchemaOps
+    import graft.streaming.SchemaOps.Request
+    val rows = Seq("opt", "noshard").flatMap { sc =>
+      val so = new SchemaOps(SoSchemas, SoTables, soRoute,
+        shardMode = if (sc == "opt") "optimistic" else "",
+        targetSql = SoTargetSql.get)
+      val steps = if (sc == "opt") soScript
+        else soScript.filter(e => Seq(6, 7, 10).contains(e.step))
+      steps.map { e =>
+        val res = so.operate(Request(e.op, e.db, e.tbl, e.text,
+          fromTarget = e.fromTarget == 1, sync = e.sync == 1), e.vstage)
+        val (ret, err) = res.fold(x => ("", x), r => (r, ""))
+        (sc, e.step.toLong, ret, err, so.checkpoint.size.toLong,
+          so.syncedInfos.size.toLong)
+      }
+    }
+    rows.toDF("sc", "step", "ret", "err", "nck", "nsync")
+  }
+
   def all: Seq[GateQuery] =
     Seq(shardDdlGate, precheck, ddlText, ddlAllowList, ddlRenderFixpoint,
       debeziumDdl, maxwellDdl, simpleDdl, openDdl, watermarkMessages,
       shardDdlLocks, safeModePhase, optimisticLocks, ownerBarrier,
       renameFilter, syncerCheckpoint, schemaSnapshot, optimisticTrySync,
-      specialComments)
+      specialComments, schemaOps)
 }

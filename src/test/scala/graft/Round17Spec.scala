@@ -252,6 +252,29 @@ class Round17Spec extends SparkSpec {
     assert(QueryStatus.UnitRelay == unitVal("Relay"))
   }
 
+  test("schema-op enum and the one-row render match the reference, parsed") {
+    assume(Files.exists(pbFile), "reference checkout not present")
+    import graft.streaming.SchemaOps
+    def opVal(n: String): Int = {
+      val m = ("""SchemaOp_""" + n + """\s+SchemaOp = (\d+)""").r
+        .findFirstMatchIn(pbSrc)
+      assert(m.isDefined, s"SchemaOp_$n not found"); m.get.group(1).toInt
+    }
+    assert(SchemaOps.GetSchema == opVal("GetSchema"))
+    assert(SchemaOps.SetSchema == opVal("SetSchema"))
+    assert(SchemaOps.RemoveSchema == opVal("RemoveSchema"))
+    assert(SchemaOps.ListSchema == opVal("ListSchema"))
+    assert(SchemaOps.ListTable == opVal("ListTable"))
+    assert(SchemaOps.ListMigrateTargets == opVal("ListMigrateTargets"))
+    // CreateTableSQLToOneRow's exact two-replace recipe (db.go:447-452):
+    // note the double-space pass is SINGLE and non-overlapping
+    val dbSrc = new String(Files.readAllBytes(
+      Paths.get("/root/reference/dm/pkg/conn/db.go")), "UTF-8")
+    assert(dbSrc.contains("""sql = strings.ReplaceAll(sql, "\n", "")"""))
+    assert(dbSrc.contains("""sql = strings.ReplaceAll(sql, "  ", " ")"""))
+    assert(SchemaOps.createTableSqlToOneRow("a\n    b") == "a  b")
+  }
+
   // ---- relay meta constants parsed from the reference ----
 
   private val relayUtilFile = Paths.get("/root/reference/dm/pkg/utils/relay.go")
