@@ -1538,8 +1538,9 @@ object DdlQueries {
       SEv(10, 4, SetSchema, db = "db2", tbl = "t3", fromTarget = 1, sync = 1),
       SEv(11, 4, RemoveSchema, db = "db1", tbl = "t1"),
       SEv(12, 4, GetSchema, db = "db1", tbl = "t1"), // remove was a no-op
-      SEv(13, 4, ListMigrateTargets, db = "db[2]", tbl = ".*3"),
-      SEv(14, 4, ListMigrateTargets, db = "("))     // bad regex
+      SEv(13, 4, ListMigrateTargets, text = "db[2]", tbl = ".*3"),
+      SEv(14, 4, ListMigrateTargets, text = "("),   // bad regex
+      SEv(15, 4, ListMigrateTargets, text = "zzz")) // nil slice → "null"
   }
 
   /**
@@ -1589,8 +1590,9 @@ object DdlQueries {
          |  FROM tgt
          |),
          |lists AS (
-         |  SELECT (SELECT '[' || string_agg(DISTINCT '"' || s || '"',
-         |            ',' ORDER BY '"' || s || '"') || ']' FROM univ)
+         |  SELECT (SELECT '[' || string_agg('"' || s || '"',
+         |            ',' ORDER BY mo) || ']'
+         |          FROM (SELECT s, min(ord) AS mo FROM univ GROUP BY s) u)
          |      AS schemas_j,
          |    (SELECT '[' || string_agg('"' || t || '"', ',' ORDER BY ord)
          |       || ']' FROM univ WHERE s = 'db1') AS db1_j
@@ -1615,6 +1617,7 @@ object DdlQueries {
          |    WHEN 8 THEN (SELECT v FROM set7)
          |    WHEN 12 THEN (SELECT v FROM set7)
          |    WHEN 13 THEN (SELECT t13 FROM mig)
+         |    WHEN 15 THEN 'null'
          |    ELSE '' END AS ret,
          |  err, CAST(nck AS BIGINT) AS nck, CAST(nsync AS BIGINT) AS nsync
          |FROM (VALUES
@@ -1632,6 +1635,7 @@ object DdlQueries {
          |  ${row("opt", 12, "", 2, 2)},
          |  ${row("opt", 13, "", 2, 2)},
          |  ${row("opt", 14, "ErrInvalidRegex", 2, 2)},
+         |  ${row("opt", 15, "", 2, 2)},
          |  ${row("noshard", 6, "", 0, 0)},
          |  ${row("noshard", 7, "", 1, 0)},
          |  ${row("noshard", 10, "", 2, 0)}

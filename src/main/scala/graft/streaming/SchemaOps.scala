@@ -46,8 +46,13 @@ object SchemaOps {
   def createTableSqlToOneRow(sql: String): String =
     sql.replace("\n", "").replace("  ", " ")
 
+  /** Go json.Marshal string escaping for the identifier charset that can
+    * reach these fields (quotes and backslashes). */
+  private def jsonEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   private def jsonStrings(xs: Seq[String]): String =
-    xs.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    xs.map(s => "\"" + jsonEsc(s) + "\"").mkString("[", ",", "]")
 
   final case class Request(op: Int, database: String, table: String,
       schema: String = "", fromSource: Boolean = false,
@@ -150,10 +155,13 @@ final class SchemaOps(
   }
 
   private def listMigrateTargets(req: Request): Either[String, String] = {
+    // the schema-name REGEX rides the request's Schema field (schema.go
+    // :181 regexp.Compile(req.Schema); openapi_view.go fills it) — the
+    // Database field is unused for this op
     val schemas =
-      if (req.database.isEmpty) trackerSchemas
+      if (req.schema.isEmpty) trackerSchemas
       else {
-        val r = try req.database.r
+        val r = try req.schema.r
           catch { case _: Exception => return Left("ErrInvalidRegex") }
         trackerSchemas.filter(s => r.findFirstIn(s).isDefined)
       }
@@ -169,11 +177,15 @@ final class SchemaOps(
         }
       selected.foreach { t =>
         val (ts, tt) = route(schema, t)
-        targets += ("{\"source_schema\":\"" + schema +
-          "\",\"source_table\":\"" + t + "\",\"target_schema\":\"" + ts +
-          "\",\"target_table\":\"" + tt + "\"}")
+        targets += ("{\"source_schema\":\"" + jsonEsc(schema) +
+          "\",\"source_table\":\"" + jsonEsc(t) +
+          "\",\"target_schema\":\"" + jsonEsc(ts) +
+          "\",\"target_table\":\"" + jsonEsc(tt) + "\"}")
       }
     }
-    Right(targets.mkString("[", ",", "]"))
+    // json.Marshal of the NIL targets slice renders "null", not "[]"
+    // (schema.go:179 `var targets []openapi.TaskMigrateTarget`)
+    if (targets.isEmpty) Right("null")
+    else Right(targets.mkString("[", ",", "]"))
   }
 }

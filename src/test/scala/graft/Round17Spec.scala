@@ -454,11 +454,13 @@ class Round17Spec extends SparkSpec {
             }
           case 2 =>
             m.flush(); sFlush()
-          case 3 => // an external dir deletion
+          case 3 => // an external rm -rf: the subdir AND its relay.meta go
             if (sDirs.nonEmpty) {
               val d = sDirs.toSeq.sorted.apply(rnd.nextInt(sDirs.size))
               fs.dirs -= d
+              fs.metas.remove(d)
               sDirs -= d
+              sMetas.remove(d)
             }
           case 4 => // trim
             m.trimUuidIndexFile()
