@@ -311,5 +311,252 @@ object SchedulerQueries {
       rows.toDF("step", "op", "s", "w", "res", "bounds", "free", "unb")
   }
 
-  val all: Seq[GateQuery] = Seq(sourceScheduler)
+  private val q294Oracle: String =
+    """WITH b AS (SELECT CAST(count(*) AS INT) AS base FROM region)
+      |SELECT b.base + v.i AS step, v.kase, v.res, v.bounds, v.free,
+      |  v.relay, v.unb
+      |FROM (VALUES
+      |  (0, 'sr_nosrc', 'err:ErrSchedulerSourceCfgNotExist', 'r1->w1,r2->w2', 'w3', '', ''),
+      |  (1, 'sr_nowkr', 'err:ErrSchedulerWorkerNotExist', 'r1->w1,r2->w2', 'w3', '', ''),
+      |  (2, 'sr_bound', 'err:ErrSchedulerRelayWorkersWrongBound', 'r1->w1,r2->w2', 'w3', '', ''),
+      |  (3, 'sr_ok', 'ok', 'r1->w1,r2->w2', '', 'w3:r1', ''),
+      |  (4, 'sr_busy', 'err:ErrSchedulerRelayWorkersBusy', 'r1->w1,r2->w2', '', 'w3:r1', ''),
+      |  (5, 'sr_spec', 'err:ErrSchedulerStartRelayOnSpecified', 'r1->w1,r2->w2', '', 'w3:r1', ''),
+      |  (6, 'st_spec', 'err:ErrSchedulerStopRelayOnSpecified', 'r1->w1,r2->w2', '', 'w3:r1', ''),
+      |  (7, 'tr_relay', 'err:ErrSchedulerBoundDiffWithStartedRelay', 'r1->w1,r2->w2', '', 'w3:r1', ''),
+      |  (8, 'tr_ok', 'ok', 'r1->w3,r2->w2', 'w1', '', ''),
+      |  (9, 'off_hist', 'ok', 'r1->w1,r2->w2', '', '', ''),
+      |  (10, 'on_relay', 'ok', 'r1->w1,r2->w2', '', 'w3:r1', ''),
+      |  (11, 'st_wrong', 'err:ErrSchedulerRelayWorkersWrongRelay', 'r1->w1,r2->w2', '', 'w3:r1', ''),
+      |  (12, 'st_already', 'ok', 'r1->w1,r2->w2', '', 'w3:r1', ''),
+      |  (13, 'st_ok', 'ok', 'r1->w1,r2->w2', 'w3', '', ''),
+      |  (14, 'upd_ok', 'ok', 'r1->w1,r2->w2', 'w3', '', ''),
+      |  (15, 'sr_quick', 'ok', 'r1->w1,r2->w2', 'w3', '', ''),
+      |  (16, 'sr_onbound', 'err:ErrSchedulerStartRelayOnBound', 'r1->w1,r2->w2', 'w3', '', ''),
+      |  (17, 'st_onbound', 'err:ErrSchedulerStopRelayOnBound', 'r1->w1,r2->w2', 'w3', '', ''),
+      |  (18, 'st_quick', 'ok', 'r1->w1,r2->w2', 'w3', '', ''),
+      |  (19, 'task_ok', 'ok', 'r1->w1,r2->w2', 'w3', '', ''),
+      |  (20, 'task_multi', 'err:ErrSchedulerMultiTask', 'r1->w1,r2->w2', 'w3', '', ''),
+      |  (21, 'task_exist', 'err:ErrSchedulerSubTaskExist', 'r1->w1,r2->w2', 'w3', '', ''),
+      |  (22, 'task_unb', 'err:ErrSchedulerSourcesUnbound', 'r1->w1,r2->w2', 'w3', '', ''),
+      |  (23, 'rm_task', 'err:ErrSchedulerSourceOpTaskExist', 'r1->w1,r2->w2', 'w3', '', ''),
+      |  (24, 'upd_task', 'err:ErrSchedulerSourceCfgUpdate', 'r1->w1,r2->w2', 'w3', '', ''),
+      |  (25, 'tr_sync', 'ok', 'r1->w3,r2->w2', 'w1', '', ''),
+      |  (26, 'task_load', 'ok', 'r1->w3,r2->w2', 'w1', '', ''),
+      |  (27, 'tr_load', 'err:ErrSchedulerRequireRunningTaskInSyncUnit', 'r1->w3,r2->w2', 'w1', '', ''),
+      |  (28, 'pause', 'ok', 'r1->w3,r2->w2', 'w1', '', ''),
+      |  (29, 'tr_paused', 'ok', 'r1->w3,r2->w1', 'w2', '', ''),
+      |  (30, 'st_inv', 'err:ErrSchedulerSubTaskStageInvalidUpdate', 'r1->w3,r2->w1', 'w2', '', ''),
+      |  (31, 'st_notask', 'err:ErrSchedulerSubTaskOpTaskNotExist', 'r1->w3,r2->w1', 'w2', '', ''),
+      |  (32, 'st_nosrc', 'err:ErrSchedulerSubTaskOpSourceNotExist', 'r1->w3,r2->w1', 'w2', '', ''),
+      |  (33, 'rmt_nosrc', 'err:ErrSchedulerSubTaskOpSourceNotExist', 'r1->w3,r2->w1', 'w2', '', ''),
+      |  (34, 'rmt_notask', 'err:ErrSchedulerSubTaskOpTaskNotExist', 'r1->w3,r2->w1', 'w2', '', ''),
+      |  (35, 'rmt_ok', 'ok', 'r1->w3,r2->w1', 'w2', '', ''),
+      |  (36, 'sr_free', 'ok', 'r1->w3,r2->w1', '', 'w2:r2', ''),
+      |  (37, 'rmt2', 'ok', 'r1->w3,r2->w1', '', 'w2:r2', ''),
+      |  (38, 'rm_relayex', 'err:ErrSchedulerSourceOpRelayExist', 'r1->w3,r2->w1', '', 'w2:r2', ''),
+      |  (39, 'aww_nofree', 'err:ErrSchedulerWorkerNotFree', 'r1->w3,r2->w1', '', 'w2:r2', ''),
+      |  (40, 'aww_nowkr', 'err:ErrSchedulerWorkerNotExist', 'r1->w3,r2->w1', '', 'w2:r2', ''),
+      |  (41, 'on_w4', 'ok', 'r1->w3,r2->w1', 'w4', 'w2:r2', ''),
+      |  (42, 'aww_ok', 'ok', 'r1->w3,r2->w1,r3->w4', '', 'w2:r2', ''),
+      |  (43, 'aw_dup', 'ok', 'r1->w3,r2->w1,r3->w4', '', 'w2:r2', ''),
+      |  (44, 'aw_diff', 'err:ErrSchedulerWorkerExist', 'r1->w3,r2->w1,r3->w4', '', 'w2:r2', ''),
+      |  (45, 'rw_online', 'err:ErrSchedulerWorkerOnline', 'r1->w3,r2->w1,r3->w4', '', 'w2:r2', ''),
+      |  (46, 'rw_nowkr', 'err:ErrSchedulerWorkerNotExist', 'r1->w3,r2->w1,r3->w4', '', 'w2:r2', ''),
+      |  (47, 'off_w2', 'ok', 'r1->w3,r2->w1,r3->w4', '', '', ''),
+      |  (48, 'rw_ok', 'ok', 'r1->w3,r2->w1,r3->w4', '', '', '')
+      |) v(i, kase, res, bounds, free, relay, unb), b""".stripMargin
+
+  /**
+   * q294 — relay scheduling + the validation surface: start/stop-relay
+   * quick (no worker name: toggles enable-relay) and named paths with
+   * their full precheck sweeps (scheduler.go:1376-1585), the
+   * TransferSource validation chain incl. the Sync-unit requirement and
+   * the pause/resume envelope (:675-769), relay-constrained binds and
+   * relay recovery on re-online (:2133-2189), subtask add/remove/stage
+   * gating (:843-1046, :1699-1766), worker membership (:1262-1318), and
+   * AddSourceCfgWithWorker (:364-388). A fixed 47-step script; each row
+   * pins the result token (ok / bind outcome / terror identifier) plus
+   * the sorted bounds/free/relay/unbound snapshot. Timestamps don't
+   * exist in this algebra, so the oracle is the expected transition
+   * table (q276 form); every terror identifier it shares with the gate
+   * is parsed from dm/pkg/terror/error_list.go in Round18Spec.
+   */
+  val schedulerRelayOps = GateQuery(
+    "q294_scheduler_relay_ops",
+    Some(q294Oracle)) { (spark, dir) =>
+    import spark.implicits._
+    // anchor: steps are offset by count(region)=5 so the row ids are
+    // data-derived in both engines
+    val base = Tables.load(spark, dir, "region").count().toInt
+    val k = new Kernel
+    (1 to 4).foreach(i => k.addWorker(s"w$i", s"addr$i"))
+    Seq("w1", "w2", "w3").foreach(k.workerOnline)
+    k.addSourceCfg(SourceCfg("r1")) // binds w1
+    k.addSourceCfg(SourceCfg("r2")) // binds w2
+    def tok(r: Either[String, Any]): String =
+      r.fold(e => s"err:$e", _ => "ok")
+    val steps = Seq[(String, () => String)](
+      ("sr_nosrc", () => tok(k.startRelay("r9", Seq("w3")))),
+      ("sr_nowkr", () => tok(k.startRelay("r1", Seq("w9")))),
+      ("sr_bound", () => tok(k.startRelay("r1", Seq("w2")))),
+      ("sr_ok", () => tok(k.startRelay("r1", Seq("w3")))),
+      ("sr_busy", () => tok(k.startRelay("r2", Seq("w3")))),
+      ("sr_spec", () => tok(k.startRelay("r1", Seq.empty))),
+      ("st_spec", () => tok(k.stopRelay("r1", Seq.empty))),
+      ("tr_relay", () => tok(k.transferSource("r2", "w3"))),
+      ("tr_ok", () => tok(k.transferSource("r1", "w3"))),
+      ("off_hist", () => tok(k.workerOffline("w3"))),
+      ("on_relay", () => tok(k.workerOnline("w3"))),
+      ("st_wrong", () => tok(k.stopRelay("r2", Seq("w3")))),
+      ("st_already", () => tok(k.stopRelay("r1", Seq("w2")))),
+      ("st_ok", () => tok(k.stopRelay("r1", Seq("w3")))),
+      ("upd_ok", () =>
+        tok(k.updateSourceCfg(SourceCfg("r1", enableRelay = true)))),
+      ("sr_quick", () => tok(k.startRelay("r1", Seq.empty))),
+      ("sr_onbound", () => tok(k.startRelay("r1", Seq("w3")))),
+      ("st_onbound", () => tok(k.stopRelay("r1", Seq("w3")))),
+      ("st_quick", () => tok(k.stopRelay("r1", Seq.empty))),
+      ("task_ok", () => tok(k.addSubTasks("Running",
+        Seq(("t1", "r1", "Sync"), ("t1", "r2", "Sync"))))),
+      ("task_multi", () => tok(k.addSubTasks("Running",
+        Seq(("t2", "r1", "Sync"), ("t3", "r2", "Sync"))))),
+      ("task_exist", () => tok(k.addSubTasks("Running",
+        Seq(("t1", "r1", "Sync"))))),
+      ("task_unb", () => tok(k.addSubTasks("Running",
+        Seq(("t2", "r5", "Sync"))))),
+      ("rm_task", () => tok(k.removeSourceCfg("r1"))),
+      ("upd_task", () =>
+        tok(k.updateSourceCfg(SourceCfg("r1")))),
+      ("tr_sync", () => tok(k.transferSource("r1", "w3"))),
+      ("task_load", () => tok(k.addSubTasks("Running",
+        Seq(("t2", "r2", "Load"))))),
+      ("tr_load", () => tok(k.transferSource("r2", "w1"))),
+      ("pause", () =>
+        tok(k.updateExpectSubTaskStage("Paused", "t2", Seq("r2")))),
+      ("tr_paused", () => tok(k.transferSource("r2", "w1"))),
+      ("st_inv", () =>
+        tok(k.updateExpectSubTaskStage("Finished", "t1", Seq("r1")))),
+      ("st_notask", () =>
+        tok(k.updateExpectSubTaskStage("Paused", "t9", Seq("r1")))),
+      ("st_nosrc", () =>
+        tok(k.updateExpectSubTaskStage("Paused", "t1", Seq("r9")))),
+      ("rmt_nosrc", () => tok(k.removeSubTasks("t1", Seq("r9")))),
+      ("rmt_notask", () => tok(k.removeSubTasks("t9", Seq("r1")))),
+      ("rmt_ok", () => tok(k.removeSubTasks("t1", Seq("r1", "r2")))),
+      ("sr_free", () => tok(k.startRelay("r2", Seq("w2")))),
+      ("rmt2", () => tok(k.removeSubTasks("t2", Seq("r2")))),
+      ("rm_relayex", () => tok(k.removeSourceCfg("r2"))),
+      ("aww_nofree", () =>
+        tok(k.addSourceCfgWithWorker(SourceCfg("r3"), "w2"))),
+      ("aww_nowkr", () =>
+        tok(k.addSourceCfgWithWorker(SourceCfg("r3"), "w9"))),
+      ("on_w4", () => tok(k.workerOnline("w4"))),
+      ("aww_ok", () =>
+        tok(k.addSourceCfgWithWorker(SourceCfg("r3"), "w4"))),
+      ("aw_dup", () => tok(k.addWorker("w1", "addr1"))),
+      ("aw_diff", () => tok(k.addWorker("w1", "elsewhere"))),
+      ("rw_online", () => tok(k.removeWorker("w1"))),
+      ("rw_nowkr", () => tok(k.removeWorker("w9"))),
+      ("off_w2", () => tok(k.workerOffline("w2"))),
+      ("rw_ok", () => tok(k.removeWorker("w2"))))
+    val rows = steps.zipWithIndex.map { case ((kase, run), i) =>
+      val res = run()
+      val (bounds, free, relay, unb) = k.snapshot()
+      (base + i, kase, res, bounds, free, relay, unb)
+    }
+    rows.toDF("step", "kase", "res", "bounds", "free", "relay", "unb")
+  }
+
+  private val q295Oracle: String =
+    """WITH b AS (SELECT CAST(count(*) AS INT) AS base FROM region)
+      |SELECT b.base + v.i AS step, v.kase, v.res, v.bounds, v.free,
+      |  v.relay, v.unb
+      |FROM (VALUES
+      |  (0, 'swap', 'ok', 'm1->w2,m2->w1,m3->w3', 'w4', '', ''),
+      |  (1, 'handoff', 'ok', 'm1->w2,m2->w1,m3->w4', 'w3', '', ''),
+      |  (2, 'drain', 'ok', 'm1->w2,m2->w1,m3->w4', '', '', ''),
+      |  (3, 'orphan', 'ok', 'm1->w2,m3->w4', '', '', 'm2'),
+      |  (4, 'load_home', 'ok', 'm1->w2,m2->w1,m3->w4', '', '', ''),
+      |  (5, 'steal', 'ok', 'm1->w2,m2->w1,m3->w3', 'w4', '', ''),
+      |  (6, 'del_noop', 'ok', 'm1->w2,m2->w1,m3->w3', 'w4', '', ''),
+      |  (7, 'twas_wrong', 'err:ErrSchedulerWrongWorkerInput', 'm1->w2,m2->w1,m3->w3', 'w4', '', ''),
+      |  (8, 'twas_relay', 'err:ErrSchedulerBoundDiffWithStartedRelay', 'm1->w2,m2->w1,m3->w3', '', 'w4:m1', ''),
+      |  (9, 'stale_load', 'stale', 'm1->w2,m2->w1,m3->w3', '', 'w4:m1', '')
+      |) v(i, kase, res, bounds, free, relay, unb), b""".stripMargin
+
+  /**
+   * q295 — load-task placement: a dump/load unit leaves its files on the
+   * worker that ran it, so the scheduler steers sources back to their
+   * load homes. The script drives all four probes of
+   * getNextLoadTaskTransfer (scheduler.go:2607-2646): an unbound source
+   * whose files live on the newly free worker; a bound source stolen
+   * from a worker with no files for it; a free worker holding the
+   * source's files; the 4-way swap via transferWorkerAndSource
+   * (:558-672) incl. its wrong-input and started-relay validations; plus
+   * handleLoadTaskDel's resolve (:2698-2715) and the stale-load guard
+   * (a load record whose subtask is gone stops counting, :2649-2667).
+   */
+  val loadTaskTransfer = GateQuery(
+    "q295_load_task_transfer",
+    Some(q295Oracle)) { (spark, dir) =>
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "region").count().toInt
+    val k = new Kernel
+    (1 to 4).foreach(i => k.addWorker(s"w$i", s"addr$i"))
+    (1 to 4).foreach(i => k.workerOnline(s"w$i"))
+    Seq("m1", "m2", "m3").foreach(s => k.addSourceCfg(SourceCfg(s)))
+    k.addSubTasks("Running", Seq(
+      ("lt", "m1", "Load"), ("lt", "m2", "Load"), ("lt", "m3", "Load")))
+    def tok(r: Either[String, Any]): String =
+      r.fold(e => s"err:$e", _ => "ok")
+    val steps = Seq[(String, () => String)](
+      // m1's files are on w2 (bound to m2): resolve swaps the pair
+      ("swap", () => {
+        k.loadTaskPut("lt", "m1", "w2")
+        tok(k.tryResolveLoadTask("w1", "m1"))
+      }),
+      // m3's files are on the FREE worker w4: handoff, w3 comes out free
+      ("handoff", () => {
+        k.loadTaskPut("lt", "m3", "w4")
+        tok(k.tryResolveLoadTask("w3", "m3"))
+      }),
+      // drain the free worker, orphan m2 (its files on w1), then w1's
+      // re-online finds the unbound load home first
+      ("drain", () => tok(k.workerOffline("w3"))),
+      ("orphan", () => {
+        k.loadTaskPut("lt", "m2", "w1")
+        tok(k.workerOffline("w1"))
+      }),
+      ("load_home", () => tok(k.workerOnline("w1"))),
+      // m3's files move to the offline w3; its re-online steals m3 from
+      // w4 (which holds no files for it)
+      ("steal", () => {
+        k.loadTaskPut("lt", "m3", "w3")
+        tok(k.workerOnline("w3"))
+      }),
+      // deleting the record re-resolves; everything is already home
+      ("del_noop", () => tok(k.loadTaskDel("lt", "m3"))),
+      // 4-way swap validations
+      ("twas_wrong", () =>
+        tok(k.transferWorkerAndSource("w1", "m1", "w2", "m2"))),
+      ("twas_relay", () => {
+        k.startRelay("m1", Seq("w4"))
+        tok(k.transferWorkerAndSource("w4", "", "w3", "m3"))
+      }),
+      // a load record whose subtask is gone stops counting
+      ("stale_load", () => {
+        k.removeSubTasks("lt", Seq("m1"))
+        if (k.hasLoadTask("w2", "m1")) "counts" else "stale"
+      }))
+    val rows = steps.zipWithIndex.map { case ((kase, run), i) =>
+      val res = run()
+      val (bounds, free, relay, unb) = k.snapshot()
+      (base + i, kase, res, bounds, free, relay, unb)
+    }
+    rows.toDF("step", "kase", "res", "bounds", "free", "relay", "unb")
+  }
+
+  val all: Seq[GateQuery] =
+    Seq(sourceScheduler, schedulerRelayOps, loadTaskTransfer)
 }

@@ -179,8 +179,9 @@ object SourceScheduler {
         case None => Left(ErrWorkerNotExist)
         case Some(w) if w.stage != Offline => Left(ErrWorkerOnline)
         case Some(_) =>
+          // deleteWorker removes the MEMBER, not the source key — an
+          // emptied set still triggers stop-relay's stage cleanup later
           relayWorkers.values.foreach(_.remove(name))
-          relayWorkers.filterInPlace((_, ws) => ws.nonEmpty)
           workers.remove(name)
           note(s"del-worker:$name")
           Right(())
