@@ -563,7 +563,84 @@ object ScaleQueries {
     TextOps.vocabAdmit(v0, docs.filter(col("doc_id") % 2 === 1), "text")
   }
 
+  /**
+   * q296 — the bank invariant as an ORACLE-DIFFED gate (reference:
+   * tests/integration_tests/bank/case.go — its strongest end-to-end
+   * consistency check; promoted from the Bench100x-only entry per r17
+   * VERDICT #3). Balanced transfers derived from the events table fan
+   * out to a debit+credit pair per transfer (both legs share the
+   * transfer's batch — txn atomicity); ten ts-aligned batches apply to
+   * an account state through incremental full-outer merges, exactly the
+   * sink's microbatch-apply shape. After EVERY batch the gate records
+   * the snapshot facts: total net (the Σ-balances invariant — must be
+   * 0), accounts touched, and Σ|balance| (pins per-account values, not
+   * just the sum). The oracle recomputes each snapshot DIRECTLY from
+   * the cumulative ledger — so a mis-merged batch, a dropped leg, or a
+   * double-applied delta diverges on the row for that batch. The
+   * invariant itself is asserted Spark-side too: a non-zero net throws,
+   * making bench/verify runs fail loudly, not just hash-diverge.
+   */
+  val bankInvariant = GateQuery(
+    "q296_bank_invariant",
+    Some("""WITH base AS (
+      |  SELECT (user_id * 131 + 7) % 4096 AS f,
+      |    (user_id * 7 + event_id) % 4096 AS t,
+      |    (event_id % 100 + 1) AS a,
+      |    event_id % 10 AS batch
+      |  FROM events
+      |  WHERE (user_id * 131 + 7) % 4096 <> (user_id * 7 + event_id) % 4096
+      |), ledger AS (
+      |  SELECT f AS pk, -a AS delta, batch FROM base
+      |  UNION ALL
+      |  SELECT t AS pk, a AS delta, batch FROM base
+      |), acct AS (
+      |  SELECT r.range AS batch, l.pk, CAST(sum(l.delta) AS BIGINT) AS net
+      |  FROM range(10) r JOIN ledger l ON l.batch <= r.range
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CAST(batch AS BIGINT) AS batch,
+      |  CAST(sum(net) AS BIGINT) AS net,
+      |  CAST(count(*) AS BIGINT) AS accounts,
+      |  CAST(sum(abs(net)) AS BIGINT) AS sum_abs
+      |FROM acct GROUP BY batch ORDER BY batch""".stripMargin),
+    heavy = true // 10 driver-loop merge rounds + localCheckpoint lineage
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val nAcc = 4096L
+    val base = ev.select(
+        ((col("user_id") * 131 + 7) % nAcc).as("f"),
+        ((col("user_id") * 7 + col("event_id")) % nAcc).as("t"),
+        (col("event_id") % 100 + 1).cast("long").as("a"),
+        (col("event_id") % 10).cast("long").as("batch"))
+      .filter(col("f") =!= col("t"))
+    val ledger = base.select(col("f").as("pk"), (-col("a")).as("delta"),
+        col("batch"))
+      .unionByName(base.select(col("t").as("pk"), col("a").as("delta"),
+        col("batch")))
+    var state = spark.range(0).select(col("id").as("pk"), lit(0L).as("bal"))
+    val snaps = (0L until 10L).map { b =>
+      val batchDelta = ledger.filter(col("batch") === b)
+        .groupBy("pk").agg(sum("delta").as("d"))
+      state = state.join(batchDelta, Seq("pk"), "full")
+        .select(col("pk"),
+          (coalesce(col("bal"), lit(0L)) + coalesce(col("d"), lit(0L)))
+            .as("bal"))
+        .localCheckpoint()
+      val row = state.agg(
+        sum("bal").as("net"),
+        count(lit(1)).as("accounts"),
+        sum(abs(col("bal"))).as("sum_abs")).head()
+      // the invariant IS the gate: balanced transfers must net to zero
+      // after every microbatch, not only at the end
+      if (row.getLong(0) != 0L)
+        sys.error(s"bank invariant broken at batch $b: net ${row.getLong(0)}")
+      (b, row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    snaps.toDF("batch", "net", "accounts", "sum_abs")
+  }
+
   def all: Seq[GateQuery] = Seq(zorderLayout, weightedSample, urlCanon,
     skewPlanGate, kCenter, mergeInto, ivmMaintain, resample, rollupReport,
-    pivotMatrix, stratifiedSample, vocabStable)
+    pivotMatrix, stratifiedSample, vocabStable, bankInvariant)
 }
