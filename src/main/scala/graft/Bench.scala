@@ -181,10 +181,36 @@ object Bench {
         if (settleAfterEach) gcSettle()
         name -> sec
       }
+    // Prebuild phase: the dir-keyed shared caches (diff table, chunk-
+    // compare facts, LSH candidates, CC labels) run FIRST as their own
+    // timed entries, so every consuming gate reports marginal cost and
+    // the adjudicator's raw-vs-repeat readings see the same cache state
+    // (r17: q243 billed 6.94 s of cmpCache build that its repeats never
+    // paid). Skipped on filtered local runs — those measure whatever the
+    // named gate actually does, cold caches included.
+    val buildPhase =
+      if (args.nonEmpty) Seq.empty[(String, Double)]
+      else graft.queries.Gate.builds.map { case (name, warm) =>
+        drain(); val sh0 = shuffleWrite.get()
+        val t0 = System.nanoTime()
+        try warm(spark, sfDir) catch {
+          case e: Throwable =>
+            failedGates += name
+            System.err.println(
+              s"[bench] FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        drain(); shuffleByGate(name) = shuffleWrite.get() - sh0
+        gcSettle()
+        name -> sec
+      }
+    val buildNames = buildPhase.map(_._1).toSet
     val (heavyQs, pureQs) = sel.toSeq.sortBy(_._1).partition(kv => heavy(kv._1))
     val purePhase = run(pureQs, settleAfterEach = false)
     gcSettle()
-    val gatesRaw = (purePhase ++ run(heavyQs, settleAfterEach = true)).sortBy(_._1)
+    val gatesRaw =
+      (buildPhase ++ purePhase ++ run(heavyQs, settleAfterEach = true))
+        .sortBy(_._1)
 
     // Self-adjudication (r14 VERDICT #1): this host's band breathes ±40%
     // between JVMs and a collection landing mid-gate 2-13x inflates single
@@ -201,10 +227,12 @@ object Bench {
       val p = prior.get(name)
       // symmetric: unusually FAST readings re-measure too, else the
       // committed record (next run's prior) ratchets downward over rounds
+      // build entries never adjudicate: a repeat would hit the cache it
+      // just built and report ~0, ratcheting the committed prior down
       val outlier = p.exists(pr =>
         (raw > 1.5 * pr && raw - pr > 0.4) ||
           (raw < pr / 1.5 && pr - raw > 0.4)) &&
-        !failedGates.contains(name)
+        !failedGates.contains(name) && !buildNames.contains(name)
       if (!outlier) name -> raw
       else {
         gcSettle()
@@ -277,11 +305,17 @@ object Bench {
         fullLine.getBytes("UTF-8")) catch { case _: Throwable => }
     }
 
-    val qs = results.map { case (k, v) =>
+    // The stdout line must fit the driver's bounded (tail-only) capture:
+    // ~300 per-gate entries overflowed it again in r17 (parsed:null), so
+    // print only the SLOWEST 60 entries (short tokens) — the cost centers
+    // a reader acts on — plus the omitted count; BENCH_FULL.json carries
+    // the complete full-name map.
+    val shown = results.sortBy(-_._2).take(60).sortBy(_._1)
+    val qs = shown.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     System.err.println(
       f"[bench] stream ingest: $ingestRows rows in $ingestSec%.2f s = ${ingestRows / math.max(ingestSec, 1e-9)}%.0f rows/s")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","failed":${failedGates.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","failed":${failedGates.size},"queries":$qs,"queries_omitted":${results.size - shown.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

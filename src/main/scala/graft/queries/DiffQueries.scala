@@ -1369,4 +1369,9 @@ object DiffQueries {
       diffIgnoreColumns, diffRange, diffReport, diffCheckpointResume,
       diffCheckModes, bucketChunksMerge, bucketChunksSplit, shardMerge,
       structCompare, limitSplit, indexSelect)
+
+  // shared-cache warmers: Bench prebuilds these as their own entries so
+  // consuming gates (q51/q52/q240/q243…) report marginal cost
+  Gate.registerBuild("b1_diff_table")((s, d) => { classifiedDiff(s, d); () })
+  Gate.registerBuild("b2_cmp_facts")((s, d) => { chunkCmpFacts(s, d); () })
 }

@@ -1494,4 +1494,9 @@ object DocQueries {
       hashSplit, dedupRecall, cTfIdfKeywords, winnowOverlap, prefixFilterPairs,
       containmentPairs, gopherQualityGate, gopherRepetitionGate, c4CleanGate,
       boilerplateGate)
+
+  // shared-cache warmers: Bench prebuilds these as their own entries so
+  // consuming gates (q65/q67/q103/q150…) report marginal cost
+  Gate.registerBuild("b3_lsh_table")((s, d) => { scoredCandidates(s, d); () })
+  Gate.registerBuild("b4_cc_labels")((s, d) => { clusterLabels(s, d); () })
 }
