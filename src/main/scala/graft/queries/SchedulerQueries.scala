@@ -557,6 +557,88 @@ object SchedulerQueries {
     rows.toDF("step", "kase", "res", "bounds", "free", "relay", "unb")
   }
 
+  private val q297Oracle: String =
+    """WITH b AS (SELECT CAST(count(*) AS INT) AS base FROM region)
+      |SELECT b.base + v.i AS step, v.kind, v.a, v.b, v.c, v.d
+      |FROM (VALUES
+      |  (0, 'sections', 'leader,master,worker', '', '', ''),
+      |  (1, 'sections', 'leader', '', '', ''),
+      |  (2, 'sections', 'master,worker', '', '', ''),
+      |  (3, 'worker', 'w1', 'addr1', 'bound', 'm1'),
+      |  (4, 'worker', 'w2', 'addr2', 'free', ''),
+      |  (5, 'worker', 'w3', 'addr3', 'offline', ''),
+      |  (6, 'worker_filtered', 'w2', 'addr2', 'free', ''),
+      |  (7, 'off_both', 'should specify either --master or --worker',
+      |     '', '', ''),
+      |  (8, 'off_neither', 'should specify either --master or --worker',
+      |     '', '', ''),
+      |  (9, 'off_noname', 'a member name must be specified', '', '', ''),
+      |  (10, 'off_online', 'ErrSchedulerWorkerOnline', '', '', ''),
+      |  (11, 'off_unknown', 'ErrSchedulerWorkerNotExist', '', '', ''),
+      |  (12, 'off_ok', 'ok', '', '', ''),
+      |  (13, 'off_badtype', 'ErrMasterInvalidOfflineType', '', '', ''),
+      |  (14, 'leader_op', 'evict', '1', '', ''),
+      |  (15, 'leader_op', 'cancel-evict', '2', '', ''),
+      |  (16, 'leader_op', 'foo', '0', '', '')
+      |) v(i, kind, a, b, c, d), b""".stripMargin
+
+  /**
+   * q297 — dmctl member ops ([[graft.streaming.MemberOps]];
+   * dm/master/server.go ListMember/OfflineMember + dm/ctl/master/
+   * {list_member,offline_member,operate_leader}.go): the
+   * default-to-all-sections rule, name-filtered worker rows rendered
+   * off live scheduler agents, the offline-member validation chain
+   * (exactly-one-type, required name, online-worker rejection through
+   * the scheduler's RemoveWorker), and the leader-op token mapping.
+   * The etcd master/leader listing is wire-protocol (COVERAGE rows);
+   * the Ops strings and pb.LeaderOp values are parsed from the
+   * reference in Round18Spec.
+   */
+  val memberOps = GateQuery(
+    "q297_member_ops",
+    Some(q297Oracle)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.MemberOps
+    val base = Tables.load(spark, dir, "region").count().toInt
+    val k = new Kernel
+    (1 to 3).foreach(i => k.addWorker(s"w$i", s"addr$i"))
+    Seq("w1", "w2").foreach(k.workerOnline)
+    k.addSourceCfg(SourceCfg("m1")) // binds w1
+    def off(m: Boolean, w: Boolean, name: String): String =
+      MemberOps.offlineMemberType(m, w, name)
+        .flatMap(t => MemberOps.offlineMember(k, t, name))
+        .fold(identity, _ => "ok")
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, String, String)]
+    var i = 0
+    def add(kind: String, a: String, b: String = "", c: String = "",
+        d: String = ""): Unit = {
+      rows += ((base + i, kind, a, b, c, d)); i += 1
+    }
+    add("sections", MemberOps.sections(false, false, false).mkString(","))
+    add("sections", MemberOps.sections(true, false, false).mkString(","))
+    add("sections", MemberOps.sections(false, true, true).mkString(","))
+    MemberOps.listWorkers(k, Seq.empty).foreach { case (n, a, st, src) =>
+      add("worker", n, a, st, src)
+    }
+    MemberOps.listWorkers(k, Seq("w2")).foreach { case (n, a, st, src) =>
+      add("worker_filtered", n, a, st, src)
+    }
+    add("off_both", off(m = true, w = true, "w1"))
+    add("off_neither", off(m = false, w = false, "w1"))
+    add("off_noname", off(m = false, w = true, ""))
+    add("off_online", off(m = false, w = true, "w1"))
+    add("off_unknown", off(m = false, w = true, "w9"))
+    add("off_ok", off(m = false, w = true, "w3"))
+    add("off_badtype",
+      MemberOps.offlineMember(k, "pd", "w1").fold(identity, _ => "ok"))
+    add("leader_op", "evict", MemberOps.leaderOp("evict").toString)
+    add("leader_op", "cancel-evict",
+      MemberOps.leaderOp("cancel-evict").toString)
+    add("leader_op", "foo", MemberOps.leaderOp("foo").toString)
+    rows.toSeq.toDF("step", "kind", "a", "b", "c", "d")
+  }
+
   val all: Seq[GateQuery] =
-    Seq(sourceScheduler, schedulerRelayOps, loadTaskTransfer)
+    Seq(sourceScheduler, schedulerRelayOps, loadTaskTransfer, memberOps)
 }

@@ -88,6 +88,44 @@ class Round18Spec extends SparkSpec {
     assert(SourceScheduler.StageStopped == stageName(4))
   }
 
+  test("member-op constants match the reference, parsed") {
+    val masterPbFile = Paths.get("/root/reference/dm/pb/dmmaster.pb.go")
+    val offlineFile =
+      Paths.get("/root/reference/dm/ctl/master/offline_member.go")
+    val cfgFile = Paths.get("/root/reference/dm/ctl/common/config.go")
+    assume(Files.exists(masterPbFile), "reference checkout not present")
+    import graft.streaming.MemberOps
+    val masterPb = new String(Files.readAllBytes(masterPbFile), "UTF-8")
+    def opVal(n: String): Int = {
+      val m = ("""LeaderOp_""" + n + """\s+LeaderOp = (\d+)""").r
+        .findFirstMatchIn(masterPb)
+      assert(m.isDefined, s"LeaderOp_$n not found"); m.get.group(1).toInt
+    }
+    assert(MemberOps.InvalidLeaderOp == opVal("InvalidLeaderOp"))
+    assert(MemberOps.EvictLeaderOp == opVal("EvictLeaderOp"))
+    assert(MemberOps.CancelEvictLeaderOp == opVal("CancelEvictLeaderOp"))
+    // operate_leader.go's op-string table
+    val olSrc = new String(Files.readAllBytes(
+      Paths.get("/root/reference/dm/ctl/master/operate_leader.go")), "UTF-8")
+    assert(olSrc.contains("case \"evict\":") &&
+      olSrc.contains("case \"cancel-evict\":"))
+    // member type strings — dm/ctl/common/config.go
+    val cfgSrc = new String(Files.readAllBytes(cfgFile), "UTF-8")
+    def strConst(n: String): String = {
+      val m = (n + """\s*=\s*"(\w+)"""").r.findFirstMatchIn(cfgSrc)
+      assert(m.isDefined, s"$n not found"); m.get.group(1)
+    }
+    assert(MemberOps.Master == strConst("Master"))
+    assert(MemberOps.Worker == strConst("Worker"))
+    // the CLI validation messages the q297 oracle shares
+    val offSrc = new String(Files.readAllBytes(offlineFile), "UTF-8")
+    assert(offSrc.contains("should specify either --master or --worker"))
+    assert(offSrc.contains("a member name must be specified"))
+    // the invalid-offline-type terror identifier exists as declared
+    assert(("""ErrMasterInvalidOfflineType\s+=\s+New\(""").r
+      .findFirstIn(errSrc).isDefined)
+  }
+
   test("randomized scripts keep the scheduler's structural invariants") {
     // invariants the reference maintains by construction:
     // (1) bounds and worker.boundSource agree bijectively,
