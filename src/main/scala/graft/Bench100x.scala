@@ -232,7 +232,18 @@ object Bench100x {
     // the union-path digest, the per-shard XOR combine, and the keyed
     // full-outer row compare over 60M rows; the one new r15 gate with a
     // corpus-scale plan (the rest are control-plane lifecycle kernels)
-    "q263_shard_merge")
+    "q263_shard_merge",
+    // round-17/18 (r17 VERDICT #7): the lifecycle/scheduler kernels are
+    // control-plane O(script) by design — included so the artifact
+    // PROVES their cost does not grow with the corpus (each derives at
+    // most an 80-value anchor from the data) — plus the bank-invariant
+    // gate, whose ten-merge ledger IS corpus-scale (20M ledger rows at
+    // sf10)
+    "q285_validator_stage", "q286_relay_meta", "q287_ddl_special_comments",
+    "q288_validator_error_ops", "q289_relay_control", "q290_task_checker",
+    "q291_query_status", "q292_schema_ops", "q293_source_scheduler",
+    "q294_scheduler_relay_ops", "q295_load_task_transfer",
+    "q296_bank_invariant", "q297_member_ops")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(

@@ -692,6 +692,13 @@ object SourceScheduler {
       }
     }
 
+    /** The placement the data plane executes: source → bound worker.
+      * O(sources) and broadcastable — the DM twin of SchedulerBridge's
+      * (tableId → capture) map; an unbound source is absent (DM does not
+      * replicate it until a worker binds). */
+    def placement: Map[String, String] =
+      bounds.map { case (s, w) => s -> w.name }.toMap
+
     // ---- snapshots ------------------------------------------------------
 
     /** Compact state fingerprint for gates: sorted `src->wkr` bounds,

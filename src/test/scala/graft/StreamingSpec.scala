@@ -445,6 +445,87 @@ class StreamingSpec extends SparkSpec {
     assert(bridge.error.isEmpty, s"coordinator error: ${bridge.error}")
   }
 
+  test("dm task: source placement routes through the live source scheduler") {
+    // round-18: q293-q295 prove the DM-master bind kernels in isolation;
+    // here the REAL streaming query's per-batch sink consults a live
+    // SourceScheduler.Kernel and Spark EXECUTES the placement — every
+    // row is routed to the worker its source is bound to, through
+    // auto-register → worker-offline orphaning → re-online rebind →
+    // transfer-source → relay-constrained failover. Rows of an unbound
+    // source are held back (DM replicates a source only while bound),
+    // surfacing as worker='' pending rows.
+    import graft.streaming.SourceScheduler.{Kernel, SourceCfg}
+    val dir = Files.createTempDirectory("graft_dm_sched").toString
+    val spec = ChangefeedSpec(id = "dm-sched", checkpointDir = s"$dir/ckpt")
+    val k = new Kernel
+    (1 to 3).foreach(i => k.addWorker(s"w$i", s"addr$i"))
+    Seq("w1", "w2").foreach(k.workerOnline)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEv]
+    def evS(seq: Long, source: String, pk: Long): StreamEv =
+      StreamEv(seq, "I", 100 + seq, 99 + seq, 0, source, "t", pk, pk,
+        None, Some(pk.toDouble), "e")
+
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, batchId) => {
+      val srcs = b.select("schema_name").distinct()
+        .collect().map(_.getString(0)).sorted
+      srcs.filterNot(k.sourceCfgs.contains)
+        .foreach(s => k.addSourceCfg(SourceCfg(s)))
+      val pdf = srcs.map(s => (s, k.placement.getOrElse(s, "")))
+        .toSeq.toDF("schema_name", "worker")
+      b.join(broadcast(pdf), Seq("schema_name"))
+        .withColumn("batch", lit(batchId))
+        .select("schema_name", "pk", "worker", "batch")
+        .write.mode("append").parquet(s"$dir/out")
+    }
+    def runBatch(): Unit = {
+      val q = Changefeed.start(spark, mem.toDF(), spec)(sink)
+      q.awaitTermination()
+    }
+    def routed(): Map[(String, Long), Set[String]] =
+      spark.read.parquet(s"$dir/out")
+        .select("schema_name", "batch", "worker").distinct()
+        .as[(String, Long, String)].collect()
+        .groupBy { case (s, b, _) => (s, b) }
+        .view.mapValues(_.map(_._3).toSet).toMap
+
+    // batch 0: two sources appear, auto-register, bind to the free pair
+    mem.addData(evS(1, "src-a", 1), evS(2, "src-a", 2), evS(3, "src-b", 3))
+    runBatch()
+    val r0 = routed()
+    assert(r0(("src-a", 0L)) == Set("w1") && r0(("src-b", 0L)) == Set("w2"))
+
+    // batch 1: src-b's worker dies with no free replacement — its rows
+    // are PENDING (empty worker); src-a is untouched
+    k.workerOffline("w2")
+    mem.addData(evS(4, "src-a", 4), evS(5, "src-b", 5))
+    runBatch()
+    val r1 = routed()
+    assert(r1(("src-a", 1L)) == Set("w1") && r1(("src-b", 1L)) == Set(""))
+
+    // batch 2: w3 comes online and picks the orphan up; w2 returns free;
+    // then transfer-source moves src-a onto it
+    k.workerOnline("w3")
+    k.workerOnline("w2")
+    assert(k.transferSource("src-a", "w2").isRight)
+    mem.addData(evS(6, "src-a", 6), evS(7, "src-b", 7))
+    runBatch()
+    val r2 = routed()
+    assert(r2(("src-a", 2L)) == Set("w2") && r2(("src-b", 2L)) == Set("w3"))
+
+    // batch 3: w1 starts relay for src-b, then src-b's worker dies —
+    // the rebind must prefer the RELAY worker (scheduler.go:2324-2420)
+    assert(k.startRelay("src-b", Seq("w1")).isRight)
+    k.workerOffline("w3")
+    mem.addData(evS(8, "src-a", 8), evS(9, "src-b", 9))
+    runBatch()
+    val r3 = routed()
+    assert(r3(("src-b", 3L)) == Set("w1"), s"relay failover missed: $r3")
+    assert(r3(("src-a", 3L)) == Set("w2"))
+    assert(k.workers("w1").relaySource == "src-b")
+  }
+
   test("idempotent replay: re-applying a batch converges to same state") {
     val dir = Files.createTempDirectory("graft_cf3").toString
     val batch = Seq(
