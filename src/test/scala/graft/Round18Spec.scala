@@ -126,6 +126,164 @@ class Round18Spec extends SparkSpec {
       .findFirstIn(errSrc).isDefined)
   }
 
+  test("worker stage machine replays worker_test.go TestWorker") {
+    // the reference's own unit sequence (worker_test.go:29-133),
+    // step-for-step minus the gRPC legs
+    import SourceScheduler._
+    val w = new WorkerAgent("dm-worker-1", "127.0.0.1:51803")
+    val s1 = "mysql-replica-1"; val s2 = "mysql-replica-2"
+    assert(w.stage == Offline && w.boundSource.isEmpty)
+    w.toFree(); assert(w.stage == Free && w.boundSource.isEmpty)
+    assert(w.toBound(s1).isRight)
+    assert(w.stage == Bound && w.boundSource == s1)
+    w.toFree(); assert(w.stage == Free && w.boundSource.isEmpty)
+    w.toOffline(); assert(w.stage == Offline && w.boundSource.isEmpty)
+    // Offline -> Bound is invalid
+    assert(w.toBound(s1) == Left(ErrWorkerInvalidTrans))
+    assert(w.stage == Offline && w.boundSource.isEmpty)
+    w.toFree(); assert(w.toBound(s1).isRight)
+    assert(w.stage == Bound && w.boundSource == s1)
+    w.toOffline(); assert(w.stage == Offline && w.boundSource.isEmpty)
+    // Offline -> Free -> Relay
+    w.toFree(); assert(w.startRelay(s1).isRight)
+    assert(w.stage == Relay && w.relaySource == s1)
+    // Relay -> Free
+    w.stopRelay(); assert(w.stage == Free && w.relaySource.isEmpty)
+    // Relay -> Bound (bound with relay)
+    assert(w.startRelay(s1).isRight && w.toBound(s1).isRight)
+    assert(w.stage == Bound && w.boundSource == s1 && w.relaySource == s1)
+    // Bound turns relay off: stage keeps
+    w.stopRelay(); assert(w.stage == Bound && w.relaySource.isEmpty)
+    // Bound + wrong-source relay
+    assert(w.startRelay(s2) == Left(ErrRelayWorkersWrongBound))
+    assert(w.relaySource.isEmpty)
+    assert(w.startRelay(s1).isRight)
+    assert(w.stage == Bound && w.relaySource == s1)
+    // Bound -> Relay via unbound
+    assert(w.unbound().isRight)
+    assert(w.stage == Relay && w.boundSource.isEmpty && w.relaySource == s1)
+    // Relay -> Offline RETAINS the relay source (online recovery reads it)
+    w.toOffline(); assert(w.stage == Offline && w.relaySource == s1)
+    // stop-relay while offline clears it
+    w.stopRelay(); assert(w.stage == Offline && w.relaySource.isEmpty)
+  }
+
+  test("transfer-source replays scheduler_test.go TestTransferSource") {
+    // the reference's own integration sequence (scheduler_test.go:
+    // 1228-1348), minus the etcd failpoint and query-status retry legs
+    // (wire plumbing); state injections (manual unbounds) mirror the
+    // test's direct map writes.
+    import SourceScheduler._
+    val k = new Kernel
+    (1 to 4).foreach(i => k.addWorker(s"dm-worker-$i", s"a$i"))
+    def w(i: Int) = k.workers(s"dm-worker-$i")
+    def src(i: Int) = s"mysql-replica-$i"
+    k.workerOnline("dm-worker-1"); k.addSourceCfg(SourceCfg(src(1)))
+    k.workerOnline("dm-worker-2"); k.addSourceCfg(SourceCfg(src(2)))
+    k.workerOnline("dm-worker-3"); k.workerOnline("dm-worker-4")
+    assert(k.bounds(src(1)).name == "dm-worker-1")
+    assert(k.bounds(src(2)).name == "dm-worker-2")
+    assert(w(3).stage == Free && w(4).stage == Free)
+    // invalid: source not exists
+    assert(k.transferSource("not-exist", "dm-worker-3").isLeft)
+    // valid: bound -> free
+    assert(k.transferSource(src(1), "dm-worker-4").isRight)
+    assert(k.bounds(src(1)).name == "dm-worker-4" && w(1).stage == Free)
+    // valid: unbound -> free (manual unbound injection as in the test)
+    k.sourceCfgs(src(3)) = SourceCfg(src(3)); k.unbounds += src(3)
+    assert(k.transferSource(src(3), "dm-worker-3").isRight)
+    assert(k.bounds(src(3)).name == "dm-worker-3")
+    // valid: self = no-op
+    assert(k.transferSource(src(3), "dm-worker-3").isRight)
+    assert(k.bounds(src(3)).name == "dm-worker-3")
+    // invalid: bound -> bound
+    assert(k.transferSource(src(1), "dm-worker-3") ==
+      Left(ErrWorkerInvalidTrans))
+    assert(k.bounds(src(1)).name == "dm-worker-4")
+    assert(k.bounds(src(3)).name == "dm-worker-3")
+    // invalid: bound -> offline
+    w(1).toOffline()
+    assert(k.transferSource(src(1), "dm-worker-1") ==
+      Left(ErrWorkerInvalidTrans))
+    assert(k.bounds(src(1)).name == "dm-worker-4")
+    // invalid: unbound -> bound
+    k.sourceCfgs(src(4)) = SourceCfg(src(4)); k.unbounds += src(4)
+    assert(k.transferSource(src(4), "dm-worker-3") ==
+      Left(ErrWorkerInvalidTrans))
+    assert(k.bounds(src(3)).name == "dm-worker-3")
+    k.unbounds -= src(4); k.sourceCfgs.remove(src(4))
+    w(1).toFree()
+    // running task NOT in sync unit refuses the transfer
+    k.subtasks(("test")) = scala.collection.mutable.SortedMap(
+      src(1) -> Subtask(StageRunning, unit = "Load"))
+    assert(k.transferSource(src(1), "dm-worker-1") ==
+      Left(ErrRequireRunningTaskInSyncUnit))
+    // all running tasks in sync unit: transfer pauses, moves, resumes
+    k.subtasks("test")(src(1)) = Subtask(StageRunning, unit = "Sync")
+    assert(k.transferSource(src(1), "dm-worker-1").isRight)
+    assert(k.bounds(src(1)).name == "dm-worker-1" && w(1).stage == Bound)
+    assert(k.subtasks("test")(src(1)).stage == StageRunning) // resumed
+    assert(k.log.exists(_.startsWith("pause:test/")) &&
+      k.log.exists(_.startsWith("resume:test/")))
+  }
+
+  test("relay ops replay scheduler_test.go TestStartStopRelay") {
+    // the reference's relay centerpiece (scheduler_test.go:1351-1477),
+    // step-for-step; updateStatusToUnbound's direct call is mirrored by
+    // the same three state writes it performs.
+    import SourceScheduler._
+    val k = new Kernel
+    (1 to 4).foreach(i => k.addWorker(s"dm-worker-$i", s"a$i"))
+    def w(i: Int) = k.workers(s"dm-worker-$i")
+    def wn(i: Int) = s"dm-worker-$i"
+    def src(i: Int) = s"mysql-replica-$i"
+    k.workerOnline(wn(1)); k.addSourceCfg(SourceCfg(src(1)))
+    k.workerOnline(wn(2)); k.addSourceCfg(SourceCfg(src(2)))
+    k.workerOnline(wn(3)); k.workerOnline(wn(4))
+    // not-exist source
+    assert(k.startRelay(src(3), Seq(wn(1))) == Left(ErrSourceCfgNotExist))
+    assert(k.stopRelay(src(4), Seq(wn(1))) == Left(ErrSourceCfgNotExist))
+    // start-relay on bound-same-source (idempotent) and a free worker
+    assert(k.startRelay(src(1), Seq(wn(1))).isRight)
+    assert(k.startRelay(src(1), Seq(wn(1))).isRight)
+    assert(k.expectRelayStages.keySet == Set(src(1)))
+    assert(k.startRelay(src(1), Seq(wn(3))).isRight)
+    assert(k.relayWorkers(src(1)).toSet == Set(wn(1), wn(3)))
+    // wrong-bound / not-exist / busy
+    assert(k.startRelay(src(1), Seq(wn(2))) ==
+      Left(ErrRelayWorkersWrongBound))
+    assert(k.startRelay(src(1), Seq("not-exist")) == Left(ErrWorkerNotExist))
+    assert(k.startRelay(src(2), Seq(wn(3))) == Left(ErrRelayWorkersBusy))
+    // a second relay source
+    assert(k.startRelay(src(2), Seq(wn(2))).isRight)
+    assert(k.expectRelayStages.keySet == Set(src(1), src(2)))
+    assert(k.relayWorkers(src(2)).toSet == Set(wn(2)))
+    // stop-relay rejections leave everything unchanged
+    assert(k.stopRelay(src(1), Seq(wn(2))) ==
+      Left(ErrRelayWorkersWrongRelay))
+    assert(k.stopRelay(src(1), Seq("not-exist")) == Left(ErrWorkerNotExist))
+    assert(k.relayWorkers(src(1)).toSet == Set(wn(1), wn(3)))
+    // stop-relay success (idempotent), stage cleanup when the set drains
+    assert(k.stopRelay(src(1), Seq(wn(1))).isRight)
+    assert(k.stopRelay(src(1), Seq(wn(1))).isRight)
+    assert(k.stopRelay(src(1), Seq(wn(3))).isRight)
+    assert(k.expectRelayStages.keySet == Set(src(2)))
+    assert(!k.relayWorkers.contains(src(1)))
+    assert(k.bounds(src(1)).name == wn(1) && k.bounds(src(2)).name == wn(2))
+    // unbind source2: its worker drops to Relay (it relays source2)
+    k.unbounds += src(2); k.bounds.remove(src(2))
+    assert(w(2).unbound().isRight)
+    assert(w(2).stage == Relay)
+    assert(k.stopRelay(src(2), Seq(wn(2))).isRight)
+    assert(w(2).stage == Free)
+    // w2 can now relay source1
+    assert(k.startRelay(src(1), Seq(wn(2))).isRight)
+    assert(w(2).stage == Relay && w(2).relaySource == src(1))
+    // a worker relaying a DIFFERENT source is not eligible for source2
+    w(3).toOffline(); w(4).toOffline()
+    assert(k.tryBoundForSource(src(2)) == Right(false))
+  }
+
   test("randomized scripts keep the scheduler's structural invariants") {
     // invariants the reference maintains by construction:
     // (1) bounds and worker.boundSource agree bijectively,
