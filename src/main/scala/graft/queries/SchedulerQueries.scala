@@ -639,6 +639,90 @@ object SchedulerQueries {
     rows.toSeq.toDF("step", "kind", "a", "b", "c", "d")
   }
 
+  /**
+   * q298 — bootstrap recovery ([[SourceScheduler.Kernel.bootstrap]];
+   * scheduler.go:226-310 Start + :1865-2016 recover*): a restarted
+   * DM-master leader reconciling persisted state. Six scenarios:
+   * `conflict` = a worker persisted BOTH a relay membership and a bound
+   * for a different source — the bound is dropped (:1966-1972, the
+   * TestWorkerHasDiffRelayAndBound shape); `purge` = an enable-relay
+   * source's leftover per-worker relay configs are deleted (:1877-1884,
+   * the TestUpgradeCauseConflictRelayType shape); `dead` = a bound on a
+   * worker that lost keep-alive is dropped and the source rebinds in
+   * the post-recovery sweep; `nocfg` = a bound without a source config
+   * is dropped; `sweep` = the bind sweep honors the RECOVERED lastBound
+   * preference; `relaybind` = a recovered relay worker binds its relay
+   * source in the sweep. Per scenario: the full snapshot plus the
+   * etcd-delete log (which stale bounds / relay configs a real leader
+   * would remove).
+   */
+  val bootstrapRecovery = GateQuery(
+    "q298_bootstrap_recovery",
+    Some("""WITH b AS (SELECT CAST(count(*) AS INT) AS base FROM region)
+      |SELECT b.base + v.i AS step, v.kase, v.bounds, v.free, v.relay,
+      |  v.unb, v.dels
+      |FROM (VALUES
+      |  (0, 'conflict', '', '', 'w1:r2', 'r1,r2', 'del-bound:w1'),
+      |  (1, 'purge', 'r1->w1', 'w2', '', '',
+      |     'del-relay-config:r1/w1,del-relay-config:r1/w2'),
+      |  (2, 'dead', 'r1->w2', '', '', '', 'del-bound:w1'),
+      |  (3, 'nocfg', 'r1->w1', '', '', '', 'del-bound:w1'),
+      |  (4, 'sweep', 'rA->w1,rB->w2', '', '', '', ''),
+      |  (5, 'relaybind', 'rC->w1', '', '', '', '')
+      |) v(i, kase, bounds, free, relay, unb, dels), b""".stripMargin)) {
+    (spark, dir) =>
+      import spark.implicits._
+      val base = Tables.load(spark, dir, "region").count().toInt
+      def scenario(kase: String)(run: Kernel => Unit)
+          : (String, String, String, String, String) = {
+        val k = new Kernel
+        run(k)
+        val (bounds, free, relay, unb) = k.snapshot()
+        val dels = k.log.filter(l =>
+          l.startsWith("del-bound:") || l.startsWith("del-relay-config:"))
+        (kase, bounds, free, relay, unb + " " + dels.mkString(","))
+      }
+      val rows = Seq(
+        scenario("conflict")(_.bootstrap(
+          cfgs = Seq(SourceCfg("r1"), SourceCfg("r2")),
+          workerInfos = Seq(("w1", "a1")),
+          sbm = Map("w1" -> "r1"), lastBounds = Map.empty,
+          aliveWorkers = Set("w1"),
+          relayCfg = Map("r2" -> Set("w1")), bindAfter = false)),
+        scenario("purge")(_.bootstrap(
+          cfgs = Seq(SourceCfg("r1", enableRelay = true)),
+          workerInfos = Seq(("w1", "a1"), ("w2", "a2")),
+          sbm = Map("w1" -> "r1"), lastBounds = Map.empty,
+          aliveWorkers = Set("w1", "w2"),
+          relayCfg = Map("r1" -> Set("w1", "w2")), bindAfter = false)),
+        scenario("dead")(_.bootstrap(
+          cfgs = Seq(SourceCfg("r1")),
+          workerInfos = Seq(("w1", "a1"), ("w2", "a2")),
+          sbm = Map("w1" -> "r1"), lastBounds = Map.empty,
+          aliveWorkers = Set("w2"), relayCfg = Map.empty)),
+        scenario("nocfg")(_.bootstrap(
+          cfgs = Seq(SourceCfg("r1")),
+          workerInfos = Seq(("w1", "a1")),
+          sbm = Map("w1" -> "rX"), lastBounds = Map.empty,
+          aliveWorkers = Set("w1"), relayCfg = Map.empty)),
+        scenario("sweep")(_.bootstrap(
+          cfgs = Seq(SourceCfg("rA"), SourceCfg("rB")),
+          workerInfos = Seq(("w1", "a1"), ("w2", "a2")),
+          sbm = Map.empty, lastBounds = Map("w2" -> "rB"),
+          aliveWorkers = Set("w1", "w2"), relayCfg = Map.empty)),
+        scenario("relaybind")(_.bootstrap(
+          cfgs = Seq(SourceCfg("rC")),
+          workerInfos = Seq(("w1", "a1")),
+          sbm = Map.empty, lastBounds = Map.empty,
+          aliveWorkers = Set("w1"),
+          relayCfg = Map("rC" -> Set("w1")))))
+      rows.zipWithIndex.map { case ((kase, bounds, free, relay, ud), i) =>
+        val Array(unb, dels) = ud.split(" ", -1)
+        (base + i, kase, bounds, free, relay, unb, dels)
+      }.toDF("step", "kase", "bounds", "free", "relay", "unb", "dels")
+  }
+
   val all: Seq[GateQuery] =
-    Seq(sourceScheduler, schedulerRelayOps, loadTaskTransfer, memberOps)
+    Seq(sourceScheduler, schedulerRelayOps, loadTaskTransfer, memberOps,
+      bootstrapRecovery)
 }

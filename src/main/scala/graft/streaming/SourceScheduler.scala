@@ -692,6 +692,86 @@ object SourceScheduler {
       }
     }
 
+    /**
+     * Start's bootstrap recovery (scheduler.go:226-310): rebuild the
+     * scheduler from persisted state, reconciling conflicts the way a
+     * restarted DM-master leader does —
+     *  - recoverRelayConfigs (:1865-1889): an enable-relay source's
+     *    per-worker relay configs are PURGED (the two relay-scheduling
+     *    modes may not coexist); configs of unknown sources are warned
+     *    about but KEPT in memory;
+     *  - recoverWorkersBounds (:1908-2016): workers restore Offline or
+     *    (if keep-alive) Free, then relay stage from relay membership,
+     *    then their persisted bound — a bound whose source conflicts
+     *    with the worker's recovered relay source is DROPPED
+     *    (ErrSchedulerBoundDiffWithStartedRelay → skip, :1966-1972), as
+     *    is a bound without a source config or on a dead worker (the
+     *    invalid set is deleted from etcd, :1984-1995); every source
+     *    not bound ends in unbounds;
+     *  - the post-recovery bind sweep (:270-281): every Free/Relay
+     *    worker gets a bind try, stopping at the first that stays
+     *    unbound.
+     * `bindAfter = false` stops before the sweep (the reference's
+     * bootstrap unit tests exercise exactly that prefix).
+     */
+    def bootstrap(
+        cfgs: Seq[SourceCfg],
+        workerInfos: Seq[(String, String)],
+        sbm: Map[String, String],
+        lastBounds: Map[String, String],
+        aliveWorkers: Set[String],
+        relayCfg: Map[String, Set[String]],
+        subtasksIn: Seq[(String, String, String, String)] = Seq.empty,
+        loadTasksIn: Seq[(String, String, String)] = Seq.empty,
+        bindAfter: Boolean = true): Unit = {
+      sourceCfgs.clear(); workers.clear(); bounds.clear(); unbounds.clear()
+      lastBound.clear(); relayWorkers.clear(); expectRelayStages.clear()
+      subtasks.clear(); loadTasks.clear()
+      cfgs.foreach(c => sourceCfgs(c.sourceId) = c)
+      subtasksIn.foreach { case (t, s, st, u) =>
+        subtasks.getOrElseUpdate(t, mutable.SortedMap.empty)(s) =
+          Subtask(st, u)
+      }
+      relayCfg.toSeq.sortBy(_._1).foreach { case (src, ws) =>
+        if (sourceCfgs.get(src).exists(_.enableRelay))
+          ws.toSeq.sorted.foreach(w => note(s"del-relay-config:$src/$w"))
+        else relayWorkers(src) = mutable.SortedSet(ws.toSeq: _*)
+      }
+      loadTasksIn.foreach { case (t, s, w) => loadTaskPut(t, s, w) }
+      lastBounds.foreach { case (w, s) => lastBound(w) = s }
+      val relayInfo = relayWorkers.toSeq
+        .flatMap { case (src, ws) => ws.toSeq.map(_ -> src) }.toMap
+      val boundOk = mutable.Set.empty[String]
+      workerInfos.sortBy(_._1).foreach { case (name, addr) =>
+        val w = new WorkerAgent(name, addr)
+        workers(name) = w
+        if (aliveWorkers(name)) {
+          w.toFree()
+          relayInfo.get(name).foreach { src =>
+            w.startRelay(src).left.foreach(e =>
+              throw new IllegalStateException(s"bootstrap relay: $e"))
+          }
+          sbm.get(name).filter(sourceCfgs.contains).foreach { src =>
+            updateStatusToBound(w, src) match {
+              case Left(_) => () // relay/bound conflict: bound dropped
+              case Right(_) =>
+                boundOk += name
+                note(s"put-bound:$src->$name")
+            }
+          }
+        }
+      }
+      (sbm.keySet -- boundOk).toSeq.sorted
+        .foreach(n => note(s"del-bound:$n"))
+      sourceCfgs.keys.filterNot(bounds.contains).foreach(unbounds += _)
+      if (bindAfter) {
+        workers.valuesIterator
+          .filter(w => w.stage == Free || w.stage == Relay)
+          .find(w => tryBoundForWorker(w) != Right(true))
+        ()
+      }
+    }
+
     /** The placement the data plane executes: source → bound worker.
       * O(sources) and broadcastable — the DM twin of SchedulerBridge's
       * (tableId → capture) map; an unbound source is absent (DM does not

@@ -284,6 +284,50 @@ class Round18Spec extends SparkSpec {
     assert(k.tryBoundForSource(src(2)) == Right(false))
   }
 
+  test("bootstrap replays scheduler_test.go TestWorkerHasDiffRelayAndBound") {
+    // a worker persisted BOTH a relay membership for source2 and a bound
+    // for source1: recovery keeps the relay and DROPS the bound
+    // (scheduler.go:1966-1972), leaving source1 unbound
+    import SourceScheduler._
+    val k = new Kernel
+    k.bootstrap(
+      cfgs = Seq(SourceCfg("mysql-replica-1"), SourceCfg("mysql-replica-2")),
+      workerInfos = Seq(("dm-worker-1", "workerinfo.addr")),
+      sbm = Map("dm-worker-1" -> "mysql-replica-1"),
+      lastBounds = Map.empty,
+      aliveWorkers = Set("dm-worker-1"),
+      relayCfg = Map("mysql-replica-2" -> Set("dm-worker-1")),
+      bindAfter = false)
+    assert(k.relayWorkers("mysql-replica-2").toSet == Set("dm-worker-1"))
+    val w = k.workers("dm-worker-1")
+    assert(w.stage == Relay && w.relaySource == "mysql-replica-2")
+    assert(k.unbounds.contains("mysql-replica-1"))
+    assert(k.log.contains("del-bound:dm-worker-1"))
+  }
+
+  test("bootstrap replays scheduler_test.go TestUpgradeCauseConflictRelayType") {
+    // an enable-relay source with leftover per-worker relay configs (the
+    // pre-upgrade representation): recovery purges the configs
+    // (scheduler.go:1877-1884) and the bound recovers clean
+    import SourceScheduler._
+    val k = new Kernel
+    k.bootstrap(
+      cfgs = Seq(SourceCfg("mysql-replica-1", enableRelay = true)),
+      workerInfos = Seq(("dm-worker-1", "workerinfo.addr"),
+        ("dm-worker-2", "workerinfo.addr")),
+      sbm = Map("dm-worker-1" -> "mysql-replica-1"),
+      lastBounds = Map.empty,
+      aliveWorkers = Set("dm-worker-1", "dm-worker-2"),
+      relayCfg = Map("mysql-replica-1" ->
+        Set("dm-worker-1", "dm-worker-2")),
+      bindAfter = false)
+    assert(!k.relayWorkers.contains("mysql-replica-1"))
+    val w1 = k.workers("dm-worker-1")
+    assert(w1.stage == Bound && w1.relaySource.isEmpty)
+    assert(k.workers("dm-worker-2").stage == Free)
+    assert(k.log.count(_.startsWith("del-relay-config:")) == 2)
+  }
+
   test("randomized scripts keep the scheduler's structural invariants") {
     // invariants the reference maintains by construction:
     // (1) bounds and worker.boundSource agree bijectively,
