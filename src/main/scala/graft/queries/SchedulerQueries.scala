@@ -364,7 +364,23 @@ object SchedulerQueries {
       |  (45, 'rw_online', 'err:ErrSchedulerWorkerOnline', 'r1->w3,r2->w1,r3->w4', '', 'w2:r2', ''),
       |  (46, 'rw_nowkr', 'err:ErrSchedulerWorkerNotExist', 'r1->w3,r2->w1,r3->w4', '', 'w2:r2', ''),
       |  (47, 'off_w2', 'ok', 'r1->w3,r2->w1,r3->w4', '', '', ''),
-      |  (48, 'rw_ok', 'ok', 'r1->w3,r2->w1,r3->w4', '', '', '')
+      |  (48, 'rw_ok', 'ok', 'r1->w3,r2->w1,r3->w4', '', '', ''),
+      |  (49, 'urs_inv', 'err:ErrSchedulerRelayStageInvalidUpdate',
+      |     'r1->w3,r2->w1,r3->w4', '', '', ''),
+      |  (50, 'urs_nosrc', 'err:ErrSchedulerRelayStageSourceNotExist',
+      |     'r1->w3,r2->w1,r3->w4', '', '', ''),
+      |  (51, 'urs_ok', 'ok', 'r1->w3,r2->w1,r3->w4', '', '', ''),
+      |  (52, 'ust_notask', 'err:ErrSchedulerTaskNotExist',
+      |     'r1->w3,r2->w1,r3->w4', '', '', ''),
+      |  (53, 'task2', 'ok', 'r1->w3,r2->w1,r3->w4', '', '', ''),
+      |  (54, 'ust_multi', 'err:ErrSchedulerMultiTask',
+      |     'r1->w3,r2->w1,r3->w4', '', '', ''),
+      |  (55, 'ust_nosub', 'err:ErrSchedulerSubTaskNotExist',
+      |     'r1->w3,r2->w1,r3->w4', '', '', ''),
+      |  (56, 'ust_ok', 'ok', 'r1->w3,r2->w1,r3->w4', '', '', ''),
+      |  (57, 'resume_t3', 'ok', 'r1->w3,r2->w1,r3->w4', '', '', ''),
+      |  (58, 'ust_running', 'err:ErrSchedulerSubTaskCfgUpdate',
+      |     'r1->w3,r2->w1,r3->w4', '', '', '')
       |) v(i, kase, res, bounds, free, relay, unb), b""".stripMargin
 
   /**
@@ -459,7 +475,25 @@ object SchedulerQueries {
       ("rw_online", () => tok(k.removeWorker("w1"))),
       ("rw_nowkr", () => tok(k.removeWorker("w9"))),
       ("off_w2", () => tok(k.workerOffline("w2"))),
-      ("rw_ok", () => tok(k.removeWorker("w2"))))
+      ("rw_ok", () => tok(k.removeWorker("w2"))),
+      // expect-relay-stage updates (scheduler.go:1617-1680)
+      ("urs_inv", () =>
+        tok(k.updateExpectRelayStage("Stopped", Seq("r2")))),
+      ("urs_nosrc", () =>
+        tok(k.updateExpectRelayStage("Paused", Seq("r9")))),
+      ("urs_ok", () =>
+        tok(k.updateExpectRelayStage("Paused", Seq("r2")))),
+      // subtask config updates (scheduler.go:1048-1110)
+      ("ust_notask", () => tok(k.updateSubTasks(Seq(("t9", "r1"))))),
+      ("task2", () => tok(k.addSubTasks("Paused",
+        Seq(("t3", "r1", "Sync"))))),
+      ("ust_multi", () =>
+        tok(k.updateSubTasks(Seq(("t3", "r1"), ("t4", "r1"))))),
+      ("ust_nosub", () => tok(k.updateSubTasks(Seq(("t3", "r3"))))),
+      ("ust_ok", () => tok(k.updateSubTasks(Seq(("t3", "r1"))))),
+      ("resume_t3", () =>
+        tok(k.updateExpectSubTaskStage("Running", "t3", Seq("r1")))),
+      ("ust_running", () => tok(k.updateSubTasks(Seq(("t3", "r1"))))))
     val rows = steps.zipWithIndex.map { case ((kase, run), i) =>
       val res = run()
       val (bounds, free, relay, unb) = k.snapshot()

@@ -77,6 +77,11 @@ object SourceScheduler {
   val ErrStartRelayOnBound = "ErrSchedulerStartRelayOnBound"
   val ErrStopRelayOnBound = "ErrSchedulerStopRelayOnBound"
   val ErrWorkerNotFree = "ErrSchedulerWorkerNotFree"
+  val ErrTaskNotExist = "ErrSchedulerTaskNotExist"
+  val ErrSubTaskNotExist = "ErrSchedulerSubTaskNotExist"
+  val ErrSubTaskCfgUpdate = "ErrSchedulerSubTaskCfgUpdate"
+  val ErrRelayStageInvalidUpdate = "ErrSchedulerRelayStageInvalidUpdate"
+  val ErrRelayStageSourceNotExist = "ErrSchedulerRelayStageSourceNotExist"
 
   /** Upstream source config — only the fields the scheduler reads. */
   final case class SourceCfg(sourceId: String, enableRelay: Boolean = false)
@@ -308,6 +313,48 @@ object SourceScheduler {
       sources.foreach { s =>
         m(s) = m(s).copy(stage = newStage)
         note(s"put-stage:$task/$s=$newStage")
+      }
+      Right(())
+    }
+
+    /** scheduler.go:1048-1110 UpdateSubTasks — config update is allowed
+      * only for one task, only for existing subtasks, only when NOT
+      * Running, and only while the source is bound (the worker-side
+      * checkSubtasksCanUpdate RPC is wire; its gate here is the bound
+      * check). Unit is preserved; only the config identity "updates". */
+    def updateSubTasks(
+        cfgs: Seq[(String, String)]): Either[String, Unit] = {
+      if (cfgs.isEmpty) return Right(())
+      val taskNames = cfgs.map(_._1).distinct.sorted
+      if (taskNames.size > 1) return Left(ErrMultiTask)
+      val task = taskNames.head
+      val m = subtasks.get(task) match {
+        case None => return Left(ErrTaskNotExist)
+        case Some(x) => x
+      }
+      if (cfgs.exists(c => !m.contains(c._2)))
+        return Left(ErrSubTaskNotExist)
+      if (m(cfgs.head._2).stage == StageRunning)
+        return Left(ErrSubTaskCfgUpdate)
+      if (cfgs.exists(c => !bounds.contains(c._2)))
+        return Left(ErrSubTaskCfgUpdate)
+      cfgs.foreach { case (t, s) => note(s"put-subtask-cfg:$t/$s") }
+      Right(())
+    }
+
+    /** scheduler.go:1617-1680 UpdateExpectRelayStage — Running/Paused
+      * only; ALL named sources must have a config (stage-less sources
+      * are warned about but written). */
+    def updateExpectRelayStage(
+        newStage: String, sources: Seq[String]): Either[String, Unit] = {
+      if (sources.isEmpty) return Right(())
+      if (newStage != StageRunning && newStage != StagePaused)
+        return Left(ErrRelayStageInvalidUpdate)
+      val missing = sources.filterNot(sourceCfgs.contains)
+      if (missing.nonEmpty) return Left(ErrRelayStageSourceNotExist)
+      sources.foreach { s =>
+        expectRelayStages(s) = newStage
+        note(s"put-relay-stage:$s=$newStage")
       }
       Right(())
     }

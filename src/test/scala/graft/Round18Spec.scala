@@ -71,7 +71,11 @@ class Round18Spec extends SparkSpec {
       SourceScheduler.ErrStopRelayOnSpecified,
       SourceScheduler.ErrStartRelayOnBound,
       SourceScheduler.ErrStopRelayOnBound,
-      SourceScheduler.ErrWorkerNotFree)
+      SourceScheduler.ErrWorkerNotFree, SourceScheduler.ErrTaskNotExist,
+      SourceScheduler.ErrSubTaskNotExist,
+      SourceScheduler.ErrSubTaskCfgUpdate,
+      SourceScheduler.ErrRelayStageInvalidUpdate,
+      SourceScheduler.ErrRelayStageSourceNotExist)
     assert(used.distinct.size == used.size, "duplicate kernel tokens")
     used.foreach(t => assert(declared.contains(t), s"$t not declared"))
   }
