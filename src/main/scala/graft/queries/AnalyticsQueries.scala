@@ -340,12 +340,15 @@ object AnalyticsQueries {
   /**
    * q214 — exact correlation components: Pearson r per return flag from
    * five EXACT decimal sums (n, Σx, Σy, Σxy, Σx², Σy²) — float
-   * summation order never touches the aggregates, the one float
-   * division happens once per GROUP over identical exact inputs with an
-   * identical expression tree, so even the correlation itself is
-   * bit-reproducible cross-engine. The mergeable-components form is how
-   * corr/cov run at 100 TB (partial-agg combinable; `corr()` builtins
-   * float-drift under reordering).
+   * summation order never touches the aggregates; the one float
+   * division happens once per GROUP over the exact inputs. r itself is
+   * pinned at 1e-9 (not bit-exact): the decimal→double CAST of a
+   * ≥16-digit component (Σy² here) may legitimately round to a
+   * different ulp per engine — observed at sf0.001, where Spark and
+   * DuckDB disagreed in the 15th digit of r from a one-ulp Σy² cast.
+   * The mergeable-components form is how corr/cov run at 100 TB
+   * (partial-agg combinable; `corr()` builtins float-drift under
+   * reordering).
    */
   val corrComponents = GateQuery(
     "q214_corr_exact",
@@ -366,12 +369,12 @@ object AnalyticsQueries {
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
         |  CAST(sx AS DOUBLE) AS sum_x, CAST(sy AS DOUBLE) AS sum_y,
         |  CAST(sxy AS DOUBLE) AS sum_xy,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
         |  (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
         |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |   sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
-        |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_r
+        |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS corr_r
         |FROM a""".stripMargin)) { (spark, dir) =>
     import org.apache.spark.sql.types.DecimalType
     val d = DecimalType(18, 2)
@@ -387,8 +390,8 @@ object AnalyticsQueries {
       col("sy2").cast("double"))
     a.select(col("l_returnflag"), col("n"), sxD.as("sum_x"), syD.as("sum_y"),
       sxyD.as("sum_xy"),
-      ((nD * sxyD - sxD * syD) /
-        (sqrt(nD * sx2D - sxD * sxD) * sqrt(nD * sy2D - syD * syD)))
+      round((nD * sxyD - sxD * syD) /
+        (sqrt(nD * sx2D - sxD * sxD) * sqrt(nD * sy2D - syD * syD)), 9)
         .as("corr_r"))
   }
 

@@ -423,10 +423,16 @@ object ConfigQueries {
       |    ELSE '2m' END AS read_timeout,
       |  CAST(CASE WHEN kase = 'merge_override' THEN 1 ELSE 0 END AS INT)
       |    AS safe_mode,
-      |  CASE WHEN kase = 'wc_clamp' THEN 'worker-count-capped'
-      |    WHEN kase = 'txn_clamp' THEN 'max-txn-row-capped'
-      |    WHEN kase = 'muc_clamp' THEN 'max-multi-update-row-capped'
-      |    WHEN kase = 'mus_clamp' THEN 'max-multi-update-row-size-capped'
+      |  -- cap warnings fire only when the data-derived input EXCEEDS the
+      |  -- cap (at small scale count(orders) can sit under a cap)
+      |  CASE WHEN kase = 'wc_clamp' AND b.base > 1024
+      |      THEN 'worker-count-capped'
+      |    WHEN kase = 'txn_clamp' AND b.base > 2048
+      |      THEN 'max-txn-row-capped'
+      |    WHEN kase = 'muc_clamp' AND b.base > 256
+      |      THEN 'max-multi-update-row-capped'
+      |    WHEN kase = 'mus_clamp' AND b.base > 8192
+      |      THEN 'max-multi-update-row-size-capped'
       |    WHEN kase = 'mode_bogus' THEN 'invalid-tidb-txn-mode'
       |    WHEN kase = 'tz_unset' THEN 'time-zone-not-specified'
       |    WHEN kase = 'tz_empty' THEN 'time-zone-empty-use-downstream'

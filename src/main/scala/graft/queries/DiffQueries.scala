@@ -1016,11 +1016,12 @@ object DiffQueries {
         (col("cnt") === col("d_cnt") && col("checksum") === col("d_checksum"))
           .cast("long").as("match_down"))
     // the synthetic lineitem's (orderkey, linenumber) pair repeats; the
-    // 4-column key is the table's true handle (unique at sf0.01/sf0.1) —
-    // a non-unique join key would explode the full-outer compare into
-    // phantom `different` pairs
-    val classes = ChunkDiff.rowDiff(merged, li,
-      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"), canonical)
+    // 5-column key is the table's true handle (unique at every shipped
+    // scale — the 4-column form had ONE duplicate at sf0.001, which
+    // exploded the full-outer compare into two phantom `different` pairs)
+    val handle = Seq("l_orderkey", "l_linenumber", "l_partkey",
+      "l_suppkey", "l_shipdate")
+    val classes = ChunkDiff.rowDiff(merged, li, handle, canonical)
       .groupBy(col("diff_type"))
       .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("v"))
       .select(lit("diff").as("kind"), col("diff_type").as("k"), col("n"),
@@ -1044,9 +1045,8 @@ object DiffQueries {
         sum(when(col("cnt") === col("s_cnt") &&
           col("checksum") === col("s_checksum"), 0L).otherwise(1L)).as("bad_xor"))
       .select(lit("equal").as("kind"), lit("summary").as("k"), col("n"),
-        lit(ChunkDiff.rowDiff(cleanMerged, li,
-          Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
-          canonical).count()).as("v"),
+        lit(ChunkDiff.rowDiff(cleanMerged, li, handle, canonical)
+          .count()).as("v"),
         (col("bad_xor") === 0L).cast("long").as("xor_ok"),
         lit(1L).as("match_down"))
     // the struct gate (mergeSourcesChecked): a fatally mismatched shard
