@@ -16,9 +16,13 @@ import graft.streaming.SourceScheduler.{Kernel, SourceCfg}
  * either engine shows up as a value mismatch, not a shared constant. q294
  * drives the relay-scheduling and validation surface (start/stop-relay
  * quick + named paths, the TransferSource validation chain with the
- * pause/resume envelope, subtask gating); q295 the load-task transfer
- * probes. Error tokens are the reference's terror identifiers, parsed
- * from dm/pkg/terror/error_list.go in Round18Spec so they cannot drift.
+ * pause/resume envelope, subtask gating, expect-stage updates); q295 the
+ * load-task transfer probes; q297 the dmctl member-ops surface; q298 the
+ * bootstrap recovery reconciliation. Error tokens are the reference's
+ * terror identifiers, parsed from dm/pkg/terror/error_list.go in
+ * Round18Spec so they cannot drift; Round18Spec also replays the
+ * reference's own worker/transfer/relay/bootstrap test sequences against
+ * the kernel, step-for-step.
  */
 object SchedulerQueries {
 
