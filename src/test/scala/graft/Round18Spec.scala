@@ -288,6 +288,51 @@ class Round18Spec extends SparkSpec {
     assert(k.tryBoundForSource(src(2)) == Right(false))
   }
 
+  test("relay modes replay scheduler_test.go TestRelayWithWithoutWorker") {
+    // the enable-relay (no worker name) vs named-worker mode exclusivity
+    // (scheduler_test.go:1478-1549): both quick paths toggle the flag
+    // idempotently; the named path may include the BOUND worker; the two
+    // modes refuse to mix in either direction.
+    import SourceScheduler._
+    val k = new Kernel
+    k.addWorker("dm-worker-1", "a"); k.addWorker("dm-worker-2", "a")
+    k.workerOnline("dm-worker-1")
+    k.addSourceCfg(SourceCfg("mysql-replica-1")) // binds worker-1
+    k.workerOnline("dm-worker-2")
+    def w(i: Int) = k.workers(s"dm-worker-$i")
+    val s1 = "mysql-replica-1"
+    // step 2: enable-relay off — quick start/stop toggles the flag
+    assert(k.startRelay(s1, Seq.empty).isRight)
+    assert(k.sourceCfgs(s1).enableRelay)
+    assert(k.startRelay(s1, Seq.empty).isRight)
+    assert(k.sourceCfgs(s1).enableRelay)
+    assert(k.stopRelay(s1, Seq.empty).isRight)
+    assert(!k.sourceCfgs(s1).enableRelay)
+    assert(k.stopRelay(s1, Seq.empty).isRight)
+    assert(!k.sourceCfgs(s1).enableRelay)
+    // step 3: named path over the bound worker AND a free one
+    assert(k.startRelay(s1, Seq("dm-worker-1", "dm-worker-2")).isRight)
+    assert(!k.sourceCfgs(s1).enableRelay)
+    assert(w(1).stage == Bound && w(2).stage == Relay)
+    assert(k.stopRelay(s1, Seq("dm-worker-1")).isRight)
+    assert(w(1).stage == Bound)
+    assert(k.stopRelay(s1, Seq("dm-worker-2")).isRight)
+    assert(w(1).stage == Bound && w(2).stage == Free)
+    // step 4: enable-relay on — named ops refuse both directions
+    assert(k.startRelay(s1, Seq.empty).isRight)
+    assert(k.startRelay(s1, Seq("dm-worker-1")) ==
+      Left(ErrStartRelayOnBound))
+    assert(k.startRelay(s1, Seq("dm-worker-2")) ==
+      Left(ErrStartRelayOnBound))
+    assert(k.stopRelay(s1, Seq("dm-worker-1")) == Left(ErrStopRelayOnBound))
+    assert(k.stopRelay(s1, Seq("dm-worker-2")) == Left(ErrStopRelayOnBound))
+    assert(k.stopRelay(s1, Seq.empty).isRight)
+    // step 5: named relay started — quick ops refuse both directions
+    assert(k.startRelay(s1, Seq("dm-worker-1")).isRight)
+    assert(k.startRelay(s1, Seq.empty) == Left(ErrStartRelayOnSpecified))
+    assert(k.stopRelay(s1, Seq.empty) == Left(ErrStopRelayOnSpecified))
+  }
+
   test("bootstrap replays scheduler_test.go TestWorkerHasDiffRelayAndBound") {
     // a worker persisted BOTH a relay membership for source2 and a bound
     // for source1: recovery keeps the relay and DROPS the bound
