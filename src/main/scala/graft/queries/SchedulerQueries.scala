@@ -718,7 +718,7 @@ object SchedulerQueries {
         val (bounds, free, relay, unb) = k.snapshot()
         val dels = k.log.filter(l =>
           l.startsWith("del-bound:") || l.startsWith("del-relay-config:"))
-        (kase, bounds, free, relay, unb + " " + dels.mkString(","))
+        (kase, bounds, free, relay, unb + "|" + dels.mkString(","))
       }
       val rows = Seq(
         scenario("conflict")(_.bootstrap(
@@ -755,7 +755,7 @@ object SchedulerQueries {
           aliveWorkers = Set("w1"),
           relayCfg = Map("rC" -> Set("w1")))))
       rows.zipWithIndex.map { case ((kase, bounds, free, relay, ud), i) =>
-        val Array(unb, dels) = ud.split(" ", -1)
+        val Array(unb, dels) = ud.split("\\|", -1)
         (base + i, kase, bounds, free, relay, unb, dels)
       }.toDF("step", "kase", "bounds", "free", "relay", "unb", "dels")
   }
