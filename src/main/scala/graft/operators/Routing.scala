@@ -248,7 +248,7 @@ object Routing {
   def dispatchByNamedIndex(n: Int, indexes: Map[String, Seq[String]],
       indexName: String, colValue: String => Column): Column = {
     val cols = resolveIndex(indexes, indexName)
-    //  separator keeps (name, value) injective ("pk","180" vs
+    // the 0x01 separator keeps (name, value) injective ("pk","180" vs
     // "pk1","80"); oracle twin: name || chr(1) || valueString
     pmod(cols.map(c => md5Long(
         concat(lit(c), lit("\u0001"), colValue(c).cast("string"))))
