@@ -1029,13 +1029,27 @@ object StreamTwinQueries {
          |    e.t0 + 5000 * g.x AS tick
          |  FROM ebounds e,
          |    LATERAL unnest(range(0, (e.tend - e.t0) // 5000 + 1)) AS g(x)
+         |), evbuck AS (
+         |  -- bucket each event to the first tick that sees it (ts <= tick,
+         |  -- ticks are 5000-aligned); the greatest() pre-rolls events that
+         |  -- precede the epoch's first tick (the t0 = max(..,1) quirk) so
+         |  -- the cumulative matches the old ticks-x-events inequality join,
+         |  -- which was O(ticks*events) and ground for hours at sf0.1
+         |  SELECT p.schema_name, p.table_name, p.epoch,
+         |    greatest(5000 * ((p.ts + 4999) // 5000), e.t0) AS tb,
+         |    count(*) AS c
+         |  FROM epoched p JOIN ebounds e
+         |    ON e.schema_name = p.schema_name AND e.table_name = p.table_name
+         |   AND e.epoch = p.epoch
+         |  GROUP BY 1, 2, 3, 4
          |), tickcum AS (
          |  SELECT t.schema_name, t.table_name, t.epoch, t.tick,
-         |    count(p.ts) AS r
-         |  FROM ticks t LEFT JOIN epoched p
-         |    ON p.schema_name = t.schema_name AND p.table_name = t.table_name
-         |   AND p.epoch = t.epoch AND p.ts <= t.tick
-         |  GROUP BY 1, 2, 3, 4
+         |    CAST(sum(coalesce(b.c, 0)) OVER (
+         |      PARTITION BY t.schema_name, t.table_name, t.epoch
+         |      ORDER BY t.tick ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r
+         |  FROM ticks t LEFT JOIN evbuck b
+         |    ON b.schema_name = t.schema_name AND b.table_name = t.table_name
+         |   AND b.epoch = t.epoch AND b.tb = t.tick
          |), stepper AS (
          |  SELECT e.schema_name, e.table_name, e.epoch, e.tend,
          |    e.t0 - 5000 AS tick, e.start_ts AS last_send,
