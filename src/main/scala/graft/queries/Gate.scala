@@ -121,7 +121,8 @@ object Gate {
       StatsQueries.all ++ ExtraQueries.all ++ ScaleQueries.all ++
       AnalyticsQueries.all ++
       DdlQueries.all ++ StreamTwinQueries.all ++ ConfigQueries.all ++
-      LifecycleQueries.all ++ RedoQueries.all ++ SchedulerQueries.all
+      LifecycleQueries.all ++ RedoQueries.all ++ SchedulerQueries.all ++
+      TaskConfigQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -36,10 +36,36 @@ package graft.streaming
  *    block that BLANKS it trips this); duplicate names within an
  *    instance's rule lists are an error (:977-982).
  *  - Globals declared but referenced by no instance are an error
- *    (ErrConfigGlobalConfigsUnused, :984-1030, sorted).
+ *    (ErrConfigGlobalConfigsUnused, :984-1030, sorted, rendered
+ *    `[a b c]` like Go's %v of a slice); every global LOADER block is
+ *    adjusted in that same sweep (:1001-1010), so a bad load-mode enum
+ *    in an unused loader errors before the unused error fires.
  *  - BW→BA fallback: `black-white-list` only applies when
  *    `block-allow-list` is absent, at both task and instance level.
  *  - timezone, when set, must load (:1036-1040).
+ *
+ * Round 19 adds the remaining pure members of the same file:
+ *  - `LoaderConfig.adjust` (task.go:336-396): import-mode folds
+ *    sql/loader→logical case-insensitively then lowercases and gates on
+ *    the five-mode enum; pool-size default 16; the three
+ *    duplicate-resolution / post-op enums each lowercase + gate with
+ *    their own terror (on-duplicate-logical → replace, on-duplicate-
+ *    physical → none, checksum-physical → required, analyze → optional).
+ *  - `ValidatorConfig.Adjust` (task.go:486-523): mode ∈ {none, fast,
+ *    full} (empty → none), zero-value fills (worker-count 4, validate/
+ *    check intervals 10 s/5 s, row-error-delay 30 m, meta-flush 5 m,
+ *    batch-query-size 100, max-pending-row-size "500m", max-pending-row
+ *    count MaxInt32), and max-pending-row-size must parse as a
+ *    go-units RAMInBytes quantity.
+ *  - FK-checks session gates (task.go:425-447): `foreign_key_checks`
+ *    looked up case-insensitively, value trimmed of space/quote chars
+ *    and tested with TiDB's TiDBOptOn (EqualFold "ON" or literal "1");
+ *    when on, syncer `compact` and `multiple-rows` are each rejected
+ *    (they change DML statement boundaries). Consumed by the SUBTASK
+ *    adjust ([[SubTaskValidate]]), defined here like the reference.
+ *  - `ValidateCheckingItem` (checking_item.go:103-115): the
+ *    ignore-checking-items tokens — AllCheckingItems ∪
+ *    AdditionalCheckingItems.
  */
 object DmTaskConfig {
 
@@ -48,6 +74,175 @@ object DmTaskConfig {
   val DefaultCheckpointFlushInterval = 30
   val TaskModes = Set("all", "full", "incremental", "dump", "load", "load&sync")
   def hasDump(mode: String): Boolean = Set("all", "full", "dump")(mode)
+  /** helper.go:27-34. */
+  def hasLoad(mode: String): Boolean = Set("all", "full", "load", "load&sync")(mode)
+
+  // LoaderConfig enums (task.go:242-289).
+  val LoadModes = Set("sql", "loader", "logical", "physical", "import-into")
+  val LogicalDupResolves = Set("replace", "error", "ignore")
+  val PhysicalDupResolves = Set("none", "manual")
+  val PostOpLevels = Set("required", "optional", "off")
+  val DefaultPoolSize = 16
+
+  // ValidatorConfig defaults (task.go:67-84) — durations in seconds.
+  val DefaultValidatorWorkerCount = 4
+  val DefaultValidatorValidateIntervalSec = 10L
+  val DefaultValidatorCheckIntervalSec = 5L
+  val DefaultValidatorRowErrorDelaySec = 30L * 60
+  val DefaultValidatorMetaFlushIntervalSec = 5L * 60
+  val DefaultValidatorBatchQuerySize = 100
+  val DefaultValidatorMaxPendingRowSize = "500m"
+  val DefaultValidatorMaxPendingRow = Int.MaxValue
+
+  // checking_item.go:23-98 — AllCheckingItems ∪ AdditionalCheckingItems.
+  val AllCheckingItems: Set[String] = Set(
+    "all", "dump_privilege", "replication_privilege", "version",
+    "server_id", "binlog_enable", "binlog_format", "binlog_row_image",
+    "table_schema", "schema_of_shard_tables", "auto_increment_ID",
+    "online_ddl", "binlog_db", "meta_position", "conn_number",
+    "target_privilege", "empty_region", "region_distribution",
+    "downstream_version", "free_space", "downstream_mutex_features",
+    "downstream_table_empty")
+  val AdditionalCheckingItems: Set[String] = Set("primary_key")
+
+  /** checking_item.go:103-115. */
+  def validateCheckingItem(item: String): Either[(String, String), Unit] =
+    if (AllCheckingItems(item) || AdditionalCheckingItems(item)) Right(())
+    else Left(ErrCheckItemNotSupport -> item)
+
+  /**
+   * go-units RAMInBytes (vendored by task.go:515 for
+   * max-pending-row-size): optional decimal number, optional space,
+   * optional size suffix k/m/g/t/p (any case, optionally followed by
+   * `i` and/or `b`), all BINARY (1024-base) multipliers.
+   */
+  def ramInBytes(s: String): Either[String, Long] = {
+    val m = """^(\d+(?:\.\d+)?) ?([kKmMgGtTpP])?[iI]?[bB]?$""".r
+    s match {
+      case m(num, suffix) =>
+        val mult = Option(suffix).map(_.toLowerCase) match {
+          case None => 1L
+          case Some("k") => 1L << 10
+          case Some("m") => 1L << 20
+          case Some("g") => 1L << 30
+          case Some("t") => 1L << 40
+          case Some("p") => 1L << 50
+          case _ => return Left(s"invalid suffix: '$suffix'")
+        }
+        Right((num.toDouble * mult).toLong)
+      case _ => Left(s"invalid size: '$s'")
+    }
+  }
+
+  /** dm/pkg/utils/file.go:77-89 ParseFileSize: a bare integer is MiB,
+    * anything else must parse as RAMInBytes. Returns bytes. */
+  def parseFileSize(s: String, default: Long): Either[String, Long] =
+    if (s.isEmpty) Right(default)
+    else s.toLongOption match {
+      case Some(mib) => Right(mib * (1L << 20))
+      case None => ramInBytes(s)
+    }
+
+  /** TiDB variable.TiDBOptOn: EqualFold "ON" or the literal "1". */
+  def tidbOptOn(v: String): Boolean = v.equalsIgnoreCase("on") || v == "1"
+
+  /**
+   * IsForeignKeyChecksEnabled (task.go:425-433): first session key
+   * equal-folding `foreign_key_checks` decides (keys scanned in sorted
+   * order — the reference iterates a Go map and returns on the first
+   * hit, so with a single matching key, the only shape real configs
+   * have, the two agree); the value is trimmed of space/quote chars.
+   */
+  def isForeignKeyChecksEnabled(session: Map[String, String]): Boolean =
+    session.toSeq.sortBy(_._1)
+      .find(_._1.equalsIgnoreCase("foreign_key_checks"))
+      .exists { case (_, v) => tidbOptOn(v.replaceAll("""^[ '"]+|[ '"]+$""", "")) }
+
+  /** CheckForeignKeyChecksSyncerOptions (task.go:436-447). */
+  def checkForeignKeyChecks(session: Map[String, String],
+      compact: Boolean, multipleRows: Boolean)
+      : Either[(String, String), Unit] = {
+    if (!isForeignKeyChecksEnabled(session)) Right(())
+    else if (compact) Left(ErrUnsupportedFkOption -> "compact")
+    else if (multipleRows) Left(ErrUnsupportedFkOption -> "multiple-rows")
+    else Right(())
+  }
+
+  /** LoaderConfig's pure adjust surface (task.go:292-311 fields). */
+  final case class LoaderCfg(
+      poolSize: Int = 0, dir: String = "", sortingDirPhysical: String = "",
+      importMode: String = "", onDuplicateLogical: String = "",
+      onDuplicatePhysical: String = "", checksumPhysical: String = "",
+      analyze: String = "")
+
+  /** LoaderConfig.adjust (task.go:336-396). */
+  def adjustLoader(l0: LoaderCfg): Either[(String, String), LoaderCfg] = {
+    var l = l0
+    if (l.importMode.isEmpty) l = l.copy(importMode = "logical")
+    if (l.importMode.equalsIgnoreCase("sql") ||
+        l.importMode.equalsIgnoreCase("loader"))
+      l = l.copy(importMode = "logical")
+    l = l.copy(importMode = l.importMode.toLowerCase)
+    if (!LoadModes(l.importMode))
+      return Left(ErrInvalidLoadMode -> l.importMode)
+    if (l.poolSize == 0) l = l.copy(poolSize = DefaultPoolSize)
+    if (l.onDuplicateLogical.isEmpty) l = l.copy(onDuplicateLogical = "replace")
+    l = l.copy(onDuplicateLogical = l.onDuplicateLogical.toLowerCase)
+    if (!LogicalDupResolves(l.onDuplicateLogical))
+      return Left(ErrInvalidDupResolution -> l.onDuplicateLogical)
+    if (l.onDuplicatePhysical.isEmpty) l = l.copy(onDuplicatePhysical = "none")
+    l = l.copy(onDuplicatePhysical = l.onDuplicatePhysical.toLowerCase)
+    if (!PhysicalDupResolves(l.onDuplicatePhysical))
+      return Left(ErrInvalidPhysicalDupResolution -> l.onDuplicatePhysical)
+    if (l.checksumPhysical.isEmpty) l = l.copy(checksumPhysical = "required")
+    l = l.copy(checksumPhysical = l.checksumPhysical.toLowerCase)
+    if (!PostOpLevels(l.checksumPhysical))
+      return Left(ErrInvalidPhysicalChecksum -> l.checksumPhysical)
+    if (l.analyze.isEmpty) l = l.copy(analyze = "optional")
+    l = l.copy(analyze = l.analyze.toLowerCase)
+    if (!PostOpLevels(l.analyze))
+      return Left(ErrInvalidLoadAnalyze -> l.analyze)
+    Right(l)
+  }
+
+  /** ValidatorConfig's pure adjust surface (task.go:473-484) —
+    * durations carried in seconds. */
+  final case class ValidatorCfg(
+      mode: String = "", workerCount: Int = 0,
+      validateIntervalSec: Long = 0, checkIntervalSec: Long = 0,
+      rowErrorDelaySec: Long = 0, metaFlushIntervalSec: Long = 0,
+      batchQuerySize: Int = 0, maxPendingRowSize: String = "",
+      maxPendingRowCount: Int = 0)
+
+  /** ValidatorConfig.Adjust (task.go:486-523). */
+  def adjustValidator(v0: ValidatorCfg): Either[(String, String), ValidatorCfg] = {
+    var v = v0
+    if (v.mode.isEmpty) v = v.copy(mode = ValidatorLifecycle.ModeNone)
+    if (v.mode != ValidatorLifecycle.ModeNone &&
+        v.mode != ValidatorLifecycle.ModeFast &&
+        v.mode != ValidatorLifecycle.ModeFull)
+      return Left(ErrValidationMode -> v.mode)
+    if (v.workerCount <= 0) v = v.copy(workerCount = DefaultValidatorWorkerCount)
+    if (v.validateIntervalSec == 0)
+      v = v.copy(validateIntervalSec = DefaultValidatorValidateIntervalSec)
+    if (v.checkIntervalSec == 0)
+      v = v.copy(checkIntervalSec = DefaultValidatorCheckIntervalSec)
+    if (v.rowErrorDelaySec == 0)
+      v = v.copy(rowErrorDelaySec = DefaultValidatorRowErrorDelaySec)
+    if (v.metaFlushIntervalSec == 0)
+      v = v.copy(metaFlushIntervalSec = DefaultValidatorMetaFlushIntervalSec)
+    if (v.batchQuerySize == 0)
+      v = v.copy(batchQuerySize = DefaultValidatorBatchQuerySize)
+    if (v.maxPendingRowSize.isEmpty)
+      v = v.copy(maxPendingRowSize = DefaultValidatorMaxPendingRowSize)
+    ramInBytes(v.maxPendingRowSize) match {
+      case Left(e) => return Left(ErrRamBytesInvalid -> e)
+      case Right(_) => ()
+    }
+    if (v.maxPendingRowCount == 0)
+      v = v.copy(maxPendingRowCount = DefaultValidatorMaxPendingRow)
+    Right(v)
+  }
 
   final case class Meta(binlogName: String = "", binlogGtid: String = "")
 
@@ -88,10 +283,11 @@ object DmTaskConfig {
       filters: Set[String] = Set.empty,
       baLists: Set[String] = Set.empty, bwLists: Set[String] = Set.empty,
       mydumpers: Set[String] = Set.empty,
-      loaders: Set[String] = Set.empty,
+      loaders: Map[String, LoaderCfg] = Map.empty,
       syncers: Set[String] = Set.empty,
-      validators: Set[String] = Set.empty,
+      validators: Map[String, ValidatorCfg] = Map.empty,
       exprFilter: Map[String, ExprFilterCfg] = Map.empty,
+      ignoreCheckingItems: Seq[String] = Nil,
       instances: Seq[Instance] = Nil)
 
   final case class Adjusted(config: TaskConfig, warnings: Seq[String])
@@ -129,6 +325,17 @@ object DmTaskConfig {
   val ErrDuplicateCfgItem = "ErrConfigDuplicateCfgItem"
   val ErrGlobalConfigsUnused = "ErrConfigGlobalConfigsUnused"
   val ErrInvalidTimezone = "ErrConfigInvalidTimezone"
+  val ErrInvalidLoadMode = "ErrConfigInvalidLoadMode"
+  val ErrInvalidDupResolution = "ErrConfigInvalidDuplicateResolution"
+  val ErrInvalidPhysicalDupResolution = "ErrConfigInvalidPhysicalDuplicateResolution"
+  val ErrInvalidPhysicalChecksum = "ErrConfigInvalidPhysicalChecksum"
+  val ErrInvalidLoadAnalyze = "ErrConfigInvalidLoadAnalyze"
+  val ErrValidationMode = "ErrConfigValidationMode"
+  val ErrCheckItemNotSupport = "ErrConfigCheckItemNotSupport"
+  val ErrUnsupportedFkOption = "ErrConfigUnsupportedForeignKeyChecksOption"
+  // ValidatorConfig.Adjust returns units.RAMInBytes' raw error, not a
+  // terror (task.go:515-518) — modeled as its own class here.
+  val ErrRamBytesInvalid = "ErrRamBytesInvalid"
 
   /** `TaskConfig.adjust` as a pure fold; Left = (errClass, message). */
   def adjust(c0: TaskConfig): Either[(String, String), Adjusted] = {
@@ -155,6 +362,11 @@ object DmTaskConfig {
       case "loose" | "strict" => ()
       case other => return Left(ErrCollationNotSupport -> other)
     }
+    for (item <- c.ignoreCheckingItems)
+      validateCheckingItem(item) match {
+        case Left(e) => return Left(e)
+        case Right(()) => ()
+      }
     c.onlineDdlScheme match {
       case "" => ()
       case "pt" | "gh-ost" =>
@@ -178,6 +390,16 @@ object DmTaskConfig {
       if (set > 1)
         return Left(ErrExprFilterManyExpr -> s"$name sets $set event kinds")
     }
+
+    // every validator block adjusts before the instance loop (:790-794);
+    // name-sorted where Go iterates the map in random order
+    var validators = Map.empty[String, ValidatorCfg]
+    for ((name, v) <- c.validators.toSeq.sortBy(_._1))
+      adjustValidator(v) match {
+        case Left(e) => return Left(e)
+        case Right(adj) => validators += name -> adj
+      }
+    c = c.copy(validators = validators)
 
     // task-level BW→BA fallback
     val baLists = if (c.baLists.isEmpty && c.bwLists.nonEmpty) c.bwLists
@@ -246,12 +468,19 @@ object DmTaskConfig {
           inst.inlineMydumperPathBlank)
         return Left(ErrMydumperPathNotValid -> s"mysql-instance $idx")
       if (inst.loaderConfigName.nonEmpty) {
-        if (!c.loaders(inst.loaderConfigName))
+        if (!c.loaders.contains(inst.loaderConfigName))
           return Left(ErrLoaderCfgNotFound -> s"$idx: ${inst.loaderConfigName}")
         referred += (("loader", inst.loaderConfigName))
       }
+      // the instance's loader is the name-ref COPY (made before the
+      // global blocks adjust, task.go:875-895), an inline block, or the
+      // default — so the import-into gate reads the RAW mode, EqualFold
+      val effectiveImportMode =
+        if (inst.loaderConfigName.nonEmpty)
+          c.loaders(inst.loaderConfigName).importMode
+        else inst.importMode
       if (c.instances.length > 1 &&
-          inst.importMode.equalsIgnoreCase("import-into"))
+          effectiveImportMode.equalsIgnoreCase("import-into"))
         return Left(ErrImportIntoSharding ->
           "import-into does not support multi-source tasks")
       if (inst.syncerConfigName.nonEmpty) {
@@ -276,7 +505,7 @@ object DmTaskConfig {
               "safe-mode is true but safe-mode-duration is 0")
       }
       if (inst.validatorConfigName.nonEmpty) {
-        if (!c.validators(inst.validatorConfigName))
+        if (!c.validators.contains(inst.validatorConfigName))
           return Left(ErrValidatorCfgNotFound -> s"$idx: ${inst.validatorConfigName}")
         referred += (("validator", inst.validatorConfigName))
       }
@@ -298,16 +527,26 @@ object DmTaskConfig {
     if (duplicates.nonEmpty)
       return Left(ErrDuplicateCfgItem -> duplicates.mkString("\n"))
 
+    // every global loader block adjusts inside the unused sweep
+    // (task.go:1001-1010), so a bad enum errors before the unused error
+    var loaders = Map.empty[String, LoaderCfg]
+    for ((name, l) <- c.loaders.toSeq.sortBy(_._1))
+      adjustLoader(l) match {
+        case Left(e) => return Left(e)
+        case Right(adj) => loaders += name -> adj
+      }
+    c = c.copy(loaders = loaders)
+
     val unused =
       (c.routes.filterNot(n => referred(("route", n))) ++
         c.filters.filterNot(n => referred(("filter", n))) ++
         c.mydumpers.filterNot(n => referred(("mydumper", n))) ++
-        c.loaders.filterNot(n => referred(("loader", n))) ++
+        c.loaders.keySet.filterNot(n => referred(("loader", n))) ++
         c.syncers.filterNot(n => referred(("syncer", n))) ++
         c.exprFilter.keySet.filterNot(n => referred(("expr", n))) ++
-        c.validators.filterNot(n => referred(("validator", n)))).toSeq.sorted
-    if (unused.nonEmpty)
-      return Left(ErrGlobalConfigsUnused -> unused.mkString(", "))
+        c.validators.keySet.filterNot(n => referred(("validator", n)))).toSeq.sorted
+    if (unused.nonEmpty) // rendered like Go's %v of the sorted slice
+      return Left(ErrGlobalConfigsUnused -> unused.mkString("[", " ", "]"))
 
     if (c.timezone.nonEmpty) {
       try { java.time.ZoneId.of(c.timezone); () }
@@ -319,4 +558,12 @@ object DmTaskConfig {
 
     Right(Adjusted(c.copy(baLists = baLists, instances = insts), warnings))
   }
+
+  /** An instance's effective continuous-validator config
+    * (task.go:940-950): defaultValidatorConfig() — mode `none`, NO
+    * fills — unless validator-config-name refers to a global block
+    * (which adjust() has already filled). */
+  def effectiveValidator(c: TaskConfig, inst: Instance): ValidatorCfg =
+    if (inst.validatorConfigName.nonEmpty) c.validators(inst.validatorConfigName)
+    else ValidatorCfg(mode = ValidatorLifecycle.ModeNone)
 }
