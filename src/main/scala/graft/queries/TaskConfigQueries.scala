@@ -426,5 +426,188 @@ object TaskConfigQueries {
       "backoff_min", "jitter", "factor_x10", "warns")
   }
 
-  def all: Seq[GateQuery] = Seq(taskValidate, subtaskAdjust, sourceVerify)
+  /**
+   * q302 — the OpenAPI task converters
+   * ([[graft.streaming.TaskConverters]],
+   * dm/config/task_converters.go:118-763): one two-source scenario runs
+   * the FULL composition openapi.Task → SubTaskConfigs (migrate-rule
+   * fan-out into routes/filters/BA-lists, full/incr conf overlays on
+   * the defaults, per-subtask admission) → TaskConfig (getGenerateName
+   * dedup naming — equal payloads share `<prefix>-%02d` names, the
+   * loader dir trimmed back to the user's input) → TaskConfig.adjust
+   * (proving the generated references form a valid task) → back to an
+   * openapi.Task (sources + metas, `<source>-filter-rule-<idx>` names,
+   * migrate rules from routes then BA lists deduped first-wins on
+   * (source, schema, table)). Plus the converter error legs.
+   */
+  val taskConverters = GateQuery(
+    "q302_task_converters",
+    Some("""SELECT * FROM (VALUES
+      |  ('global','balist-01','dbs=db1;tables=db2.t1'),
+      |  ('global','balist-02','dbs=db1;tables='),
+      |  ('global','dump-01','threads=8;args=--consistency none'),
+      |  ('global','filter-01','db2,t1;ev=delete;sql=^DROP'),
+      |  ('global','load-01','dir=./exported_data;mode=logical;pool=32;dup=replace;sorting=./exported_data.mig.sorting'),
+      |  ('global','route-01','db1,,dst,'),
+      |  ('global','route-02','db2,t1,dst,t1'),
+      |  ('global','sync-01','workers=32;batch=200'),
+      |  ('global','validator-01','mode=none;workers=4;max=500m'),
+      |  ('inst','s1','routes=route-01 route-02;filters=filter-01;ba=balist-01;dump=dump-01;load=load-01;sync=sync-01;val=validator-01'),
+      |  ('inst','s2','routes=route-01;filters=;ba=balist-02;dump=dump-01;load=load-01;sync=sync-01;val=validator-01'),
+      |  ('adjust','ok','meta=dm_meta2;shard=optimistic;warns=meta-unused-0'),
+      |  ('rt','task','name=mig;mode=all;shard=optimistic;strict=1;meta=dm_meta2;ddl=1;ondup=replace'),
+      |  ('rt','src.s1','mysql-bin.000001@4;gtid='),
+      |  ('rt','src.s2','nometa'),
+      |  ('rt','full','export=8;import=32;dir=./exported_data;cons=none;mode=logical;pd='),
+      |  ('rt','incr','threads=32;batch=200'),
+      |  ('rt','filterrule.s1-filter-rule-0','ev=delete;sql=^DROP'),
+      |  ('rt','mig.0','s1,db1,,dst,;f=s1-filter-rule-0'),
+      |  ('rt','mig.1','s1,db2,t1,dst,t1;f=s1-filter-rule-0'),
+      |  ('rt','mig.2','s2,db1,,dst,;f='),
+      |  ('err','missing_source','ErrConfigSourceIDNotFound'),
+      |  ('err','filter_nf','ErrOpenAPICommonError'),
+      |  ('err','ii_multi','ErrConfigImportIntoShardingNotSupport'),
+      |  ('err','sec_empty','ErrOpenAPICommonError'),
+      |  ('err','ii_storage','ErrConfigImportIntoRequiresSharedStorage')
+      |) v(section, key, val)""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.{TaskConverters => CV}
+
+    val sources = Map(
+      "s1" -> STV.SourceCfgModel(sourceId = "s1", caseSensitive = true),
+      "s2" -> STV.SourceCfgModel(sourceId = "s2"))
+    val task = CV.OpenApiTask(
+      name = "mig", taskMode = "all",
+      shardMode = Some("optimistic"),
+      strictOptimisticShardMode = Some(true),
+      metaSchema = "dm_meta2", enhanceOnlineSchemaChange = true,
+      sourceConf = Seq(
+        CV.SourceConf("s1", binlogName = Some("mysql-bin.000001"),
+          binlogPos = Some(4L), binlogGtid = Some("")),
+        CV.SourceConf("s2")),
+      fullConf = Some(CV.FullMigrateConf(
+        exportThreads = Some(8), importThreads = Some(32),
+        dataDir = Some("./exported_data"), consistency = Some("none"),
+        importMode = Some("logical"))),
+      incrConf = Some(CV.IncrMigrateConf(
+        replThreads = Some(32), replBatch = Some(200))),
+      migrateRules = Seq(
+        CV.MigrateRule("s1", "db1", "",
+          Some(CV.MigrateRuleTarget(Some("dst"), None))),
+        CV.MigrateRule("s1", "db2", "t1",
+          Some(CV.MigrateRuleTarget(Some("dst"), Some("t1"))),
+          binlogFilterRules = Seq("rule-1")),
+        CV.MigrateRule("s1", "db1", ""), // doDBs dup — dedup keeps one
+        CV.MigrateRule("s2", "db1", "",
+          Some(CV.MigrateRuleTarget(Some("dst"), None)))),
+      binlogFilterRules = Map("rule-1" ->
+        CV.BinlogFilterRule(Seq("delete"), Seq("^DROP"))))
+
+    val rows = Vector.newBuilder[(String, String, String)]
+
+    CV.openApiTaskToTaskConfig(task, sources) match {
+      case Left((err, msg)) =>
+        rows += (("adjust", "failed", s"$err: $msg"))
+      case Right((ct, adjusted)) =>
+        def renderRoute(r: CV.RouteRule) = Seq(r.schemaPattern,
+          r.tablePattern, r.targetSchema, r.targetTable).mkString(",")
+        for ((n, b) <- ct.baLists.toSeq.sortBy(_._1))
+          rows += (("global", n, b match {
+            case Some(ba) => s"dbs=${ba.doDBs.mkString(" ")};tables=" +
+              ba.doTables.map { case (s, t) => s"$s.$t" }.mkString(" ")
+            case None => "nil"
+          }))
+        for ((n, m) <- ct.mydumpers.toSeq.sortBy(_._1))
+          rows += (("global", n, s"threads=${m.threads};args=${m.extraArgs}"))
+        for ((n, f) <- ct.filters.toSeq.sortBy(_._1))
+          rows += (("global", n, s"${f.schemaPattern},${f.tablePattern};" +
+            s"ev=${f.events.mkString(" ")};sql=${f.sqlPatterns.mkString(" ")}"))
+        for ((n, l) <- ct.loaders.toSeq.sortBy(_._1))
+          rows += (("global", n, s"dir=${l.dir};mode=${l.importMode};" +
+            s"pool=${l.poolSize};dup=${l.onDuplicateLogical};" +
+            s"sorting=${l.sortingDirPhysical}"))
+        for ((n, r) <- ct.routes.toSeq.sortBy(_._1))
+          rows += (("global", n, renderRoute(r)))
+        for ((n, s) <- ct.syncers.toSeq.sortBy(_._1))
+          rows += (("global", n, s"workers=${s.workerCount};batch=${s.batch}"))
+        for ((n, v) <- ct.validators.toSeq.sortBy(_._1))
+          rows += (("global", n, s"mode=${v.mode};workers=${v.workerCount};" +
+            s"max=${v.maxPendingRowSize}"))
+        for (i <- ct.instances)
+          rows += (("inst", i.sourceId,
+            s"routes=${i.routeRules.mkString(" ")};" +
+              s"filters=${i.filterRules.mkString(" ")};ba=${i.baListName};" +
+              s"dump=${i.mydumperConfigName};load=${i.loaderConfigName};" +
+              s"sync=${i.syncerConfigName};val=${i.validatorConfigName}"))
+        rows += (("adjust", "ok",
+          s"meta=${adjusted.config.metaSchema};" +
+            s"shard=${adjusted.config.shardMode};" +
+            s"warns=${adjusted.warnings.mkString(",")}"))
+
+        // round trip: subtasks → openapi
+        val subTasks = CV.openApiTaskToSubTasks(task, sources)
+          .getOrElse(Seq.empty)
+        val back = CV.subTasksToOpenApiTask(subTasks)
+        rows += (("rt", "task",
+          s"name=${back.name};mode=${back.taskMode};" +
+            s"shard=${back.shardMode.getOrElse("")};" +
+            s"strict=${if (back.strictOptimisticShardMode.contains(true)) 1 else 0};" +
+            s"meta=${back.metaSchema};" +
+            s"ddl=${if (back.enhanceOnlineSchemaChange) 1 else 0};" +
+            s"ondup=${back.onDuplicate}"))
+        for (src <- back.sourceConf)
+          rows += (("rt", s"src.${src.sourceName}",
+            if (src.binlogName.isEmpty && src.binlogPos.isEmpty) "nometa"
+            else s"${src.binlogName.getOrElse("")}@${src.binlogPos.getOrElse(0L)};" +
+              s"gtid=${src.binlogGtid.getOrElse("")}"))
+        for (full <- back.fullConf)
+          rows += (("rt", "full",
+            s"export=${full.exportThreads.getOrElse(0)};" +
+              s"import=${full.importThreads.getOrElse(0)};" +
+              s"dir=${full.dataDir.getOrElse("")};" +
+              s"cons=${full.consistency.getOrElse("")};" +
+              s"mode=${full.importMode.getOrElse("")};" +
+              s"pd=${full.pdAddr.getOrElse("")}"))
+        for (incr <- back.incrConf)
+          rows += (("rt", "incr",
+            s"threads=${incr.replThreads.getOrElse(0)};" +
+              s"batch=${incr.replBatch.getOrElse(0)}"))
+        for ((n, f) <- back.binlogFilterRules.toSeq.sortBy(_._1))
+          rows += (("rt", s"filterrule.$n",
+            s"ev=${f.ignoreEvents.mkString(" ")};" +
+              s"sql=${f.ignoreSqls.mkString(" ")}"))
+        for ((r, idx) <- back.migrateRules.zipWithIndex)
+          rows += (("rt", s"mig.$idx",
+            Seq(r.sourceName, r.schema, r.table,
+              r.target.flatMap(_.schema).getOrElse(""),
+              r.target.flatMap(_.table).getOrElse("")).mkString(",") +
+              s";f=${r.binlogFilterRules.mkString(" ")}"))
+    }
+
+    // converter error legs
+    def errOf(t: CV.OpenApiTask, srcs: Map[String, STV.SourceCfgModel] = sources)
+        : String =
+      CV.openApiTaskToSubTasks(t, srcs).left.map(_._1)
+        .swap.getOrElse("no-error")
+    val minimal = CV.OpenApiTask(name = "mig", taskMode = "all",
+      sourceConf = Seq(CV.SourceConf("s1")))
+    rows += (("err", "missing_source",
+      errOf(minimal.copy(sourceConf = Seq(CV.SourceConf("s9"))))))
+    rows += (("err", "filter_nf", errOf(minimal.copy(migrateRules =
+      Seq(CV.MigrateRule("s1", "db1", "", binlogFilterRules = Seq("nope")))))))
+    rows += (("err", "ii_multi", errOf(minimal.copy(
+      sourceConf = Seq(CV.SourceConf("s1"), CV.SourceConf("s2")),
+      fullConf = Some(CV.FullMigrateConf(importMode = Some("import-into")))))))
+    rows += (("err", "sec_empty", errOf(minimal.copy(fullConf =
+      Some(CV.FullMigrateConf(security =
+        Some(CV.OpenApiSecurity("", "cert", "key"))))))))
+    rows += (("err", "ii_storage", errOf(minimal.copy(fullConf =
+      Some(CV.FullMigrateConf(importMode = Some("import-into"),
+        dataDir = Some("./local")))))))
+
+    rows.result().toDF("section", "key", "val")
+  }
+
+  def all: Seq[GateQuery] =
+    Seq(taskValidate, subtaskAdjust, sourceVerify, taskConverters)
 }
