@@ -256,11 +256,21 @@ object Bench {
           failedGates += name
           name -> raw
         } else {
-          val med = reps(1)
+          // slow-side clamp (r18 VERDICT #3): the warmed repeats run the
+          // SAME plan against caches at least as warm as the raw reading
+          // saw, so a repeat median ABOVE raw means the re-run landed in
+          // a worse IO band — it must never replace a better measurement
+          // (r18's q263: raw 13.2 s overwritten by a 20.5 s repeat).
+          // Fast-side adjudications keep the median unclamped: there the
+          // point is to resist downward ratchet, so med > raw is the
+          // expected honest outcome.
+          val slowSide = p.exists(pr => raw > 1.5 * pr)
+          val med = if (slowSide) math.min(reps(1), raw) else reps(1)
           adjudicated(name) = med
           System.err.println(
             f"[bench] adjudicate $name: raw $raw%.2f s vs prior ${p.get}%.2f s" +
-              f" -> warmed median $med%.2f s (runs ${reps.map(r => f"$r%.2f").mkString("/")})")
+              f" -> warmed median $med%.2f s (runs ${reps.map(r => f"$r%.2f").mkString("/")})" +
+              (if (slowSide && reps(1) > raw) " [clamped at raw]" else ""))
           name -> med
         }
       }

@@ -131,11 +131,21 @@ object ChunkDiff {
    *   different — key on both sides but the digest differs (needs REPLACE)
    */
   def rowDiff(source: DataFrame, target: DataFrame, keyCols: Seq[String],
-              canonicalCols: DataFrame => Seq[Column]): DataFrame = {
-    val s = source.withColumn("s_digest", rowDigest(canonicalCols(source)))
-      .select(keyCols.map(col) :+ col("s_digest"): _*)
-    val t = target.withColumn("t_digest", rowDigest(canonicalCols(target)))
-      .select(keyCols.map(col) :+ col("t_digest"): _*)
+              canonicalCols: DataFrame => Seq[Column]): DataFrame =
+    rowDiffDigested(
+      source.withColumn("digest", rowDigest(canonicalCols(source))),
+      target.withColumn("digest", rowDigest(canonicalCols(target))),
+      keyCols)
+
+  /** [[rowDiff]] over PRE-DIGESTED sides (each carries a `digest`
+    * column): lets a caller that also aggregates the digests — q263
+    * feeds the same digested frame into the chunk checksums AND the row
+    * diff — compute and cache each side's digest pass ONCE instead of
+    * per consumer. */
+  def rowDiffDigested(source: DataFrame, target: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val s = source.select(keyCols.map(col) :+ col("digest").as("s_digest"): _*)
+    val t = target.select(keyCols.map(col) :+ col("digest").as("t_digest"): _*)
     s.join(t, keyCols, "full_outer")
       .withColumn("diff_type",
         when(col("t_digest").isNull, "missing")

@@ -340,6 +340,42 @@ class Round19Spec extends AnyFunSuite {
     assert(TC.parseFileSize("12q", 0).isLeft)
   }
 
+  test("pkg/diff chunk pipeline short-circuits (diff.go:425-470)") {
+    import graft.diff.{DiffSample => DS}
+    var checksumRan = 0; var rowsRan = 0
+    def checksum(eq: Boolean) = { checksumRan += 1; eq }
+    def rows(eq: Boolean) = { rowsRan += 1; eq }
+    // sampled-out chunks pay NO IO at all
+    assert(DS.chunkCheckDecision(filterByRand = true, roll = 80, sample = 40,
+      useChecksum = true, onlyUseChecksum = false,
+      checksum(true), rows(true)) == DS.Ignore)
+    assert(checksumRan == 0 && rowsRan == 0)
+    // equal checksum short-circuits the row compare
+    assert(DS.chunkCheckDecision(filterByRand = true, roll = 10, sample = 40,
+      useChecksum = true, onlyUseChecksum = false,
+      checksum(true), rows(true)) == DS.Success)
+    assert(checksumRan == 1 && rowsRan == 0)
+    // only-use-checksum fails WITHOUT the row fall-through
+    assert(DS.chunkCheckDecision(filterByRand = false, roll = 0, sample = 100,
+      useChecksum = true, onlyUseChecksum = true,
+      checksum(false), rows(true)) == DS.Failed)
+    assert(checksumRan == 2 && rowsRan == 0)
+    // unequal checksum without only-mode falls through to rows
+    assert(DS.chunkCheckDecision(filterByRand = false, roll = 0, sample = 100,
+      useChecksum = true, onlyUseChecksum = false,
+      checksum(false), rows(true)) == DS.Success)
+    assert(checksumRan == 3 && rowsRan == 1)
+    // no checksum mode goes straight to rows
+    assert(DS.chunkCheckDecision(filterByRand = false, roll = 0, sample = 100,
+      useChecksum = false, onlyUseChecksum = false,
+      checksum(true), rows(false)) == DS.Failed)
+    assert(checksumRan == 3 && rowsRan == 2)
+    // config fills parsed semantics (diff.go:186-211)
+    val DS.AdjustedDiffCfg(cfg, warns) = DS.adjustConfig(DS.TableDiffCfg())
+    assert(cfg == DS.TableDiffCfg(1000, "TRUE", 100, 4))
+    assert(warns == Seq("chunk-size-default"))
+  }
+
   test("AdjustPath/TrimPath round trip (storage/utils.go semantics)") {
     // local: trailing separator trimmed, suffix appended once
     assert(STV.adjustPath("./dump_data/", ".task") == "./dump_data.task")
