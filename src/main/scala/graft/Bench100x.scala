@@ -243,7 +243,12 @@ object Bench100x {
     "q288_validator_error_ops", "q289_relay_control", "q290_task_checker",
     "q291_query_status", "q292_schema_ops", "q293_source_scheduler",
     "q294_scheduler_relay_ops", "q295_load_task_transfer",
-    "q296_bank_invariant", "q297_member_ops")
+    "q296_bank_invariant", "q297_member_ops",
+    // round-19: the config-admission kernels are O(matrix) control plane
+    // (included to prove flat cost); q303 rides the two-sided 16-chunk
+    // digest — a real corpus-scale scan pair with a sampled check plan
+    "q298_bootstrap_recovery", "q299_task_validate", "q300_subtask_adjust",
+    "q301_source_verify", "q302_task_converters", "q303_diff_sample")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(
