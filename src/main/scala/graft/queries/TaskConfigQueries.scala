@@ -608,6 +608,117 @@ object TaskConfigQueries {
     rows.result().toDF("section", "key", "val")
   }
 
+  /**
+   * q304 — the time/CLI-args utilities and OpenAPI SOURCE converters:
+   * utils.ParseTimeZone (dm/pkg/utils/time.go:37-74 — SYSTEM/Local
+   * rejected, named zones, explicit offsets bounded to MySQL's
+   * [-12:59, +14:00] and normalized), utils.ParseStartTime (:32,77-99 —
+   * the anchored six-form pattern, offset-absolute vs zone-local),
+   * TaskCliArgs.Verify (task_cli_args.go:47-68), and
+   * SourceCfgToOpenAPISource / OpenAPISourceToSourceCfg
+   * (source_converter.go:23-110 — password ALWAYS obfuscated, security
+   * exposes only cert-allowed-cn, NewSourceConfig defaults
+   * nil-coalesced on the way back).
+   */
+  val timeCliSource = GateQuery(
+    "q304_time_cli_source",
+    Some("""SELECT * FROM (VALUES
+      |  ('tz','utc',        1,'UTC'),
+      |  ('tz','named',      1,'Asia/Shanghai'),
+      |  ('tz','system',     0,''),
+      |  ('tz','local_word', 0,''),
+      |  ('tz','plus14',     1,'+14:00'),
+      |  ('tz','plus1401',   0,''),
+      |  ('tz','minus1259',  1,'-12:59'),
+      |  ('tz','minus1300',  0,''),
+      |  ('tz','pad',        1,'+05:30'),
+      |  ('tz','bogus',      0,''),
+      |  ('st','space',      1,'1640995200'),
+      |  ('st','t_form',     1,'1640995200'),
+      |  ('st','offset',     1,'1640966400'),
+      |  ('st','no_colon',   1,'1640966400'),
+      |  ('st','zulu',       1,'1640995200'),
+      |  ('st','no_seconds', 0,''),
+      |  ('st','bad_month',  0,''),
+      |  ('st','slash',      0,''),
+      |  ('cli','ok',        1,''),
+      |  ('cli','empty_ok',  1,''),
+      |  ('cli','bad_start', 0,'start-time'),
+      |  ('cli','bad_safe',  0,'safe-mode-duration'),
+      |  ('cli','bad_wait',  0,'wait-time-on-stop'),
+      |  ('src','password',  1,'******'),
+      |  ('src','flavor_none',1,''),
+      |  ('src','roundtrip', 1,'s1|mysql|relay-dir|3600|0|15|relay=1|gtid=1'),
+      |  ('src','security_cn',1,'cn1 cn2'),
+      |  ('src','defaults',  1,'3600|0|15|check=5|min=1')
+      |) v(family, kase, ok, out)""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.streaming.{TaskConverters => CV}
+
+    def tz(kase: String, s: String) = TC.parseTimeZone(s) match {
+      case Left(_) => ("tz", kase, 0, "")
+      case Right(name) => ("tz", kase, 1, name)
+    }
+    def st(kase: String, s: String) = TC.parseStartTime(s) match {
+      case Left(_) => ("st", kase, 0, "")
+      case Right(epoch) => ("st", kase, 1, epoch.toString)
+    }
+    def cli(kase: String, start: String, safe: String, wait: String) =
+      TC.verifyTaskCliArgs(start, safe, wait) match {
+        case Left(field) => ("cli", kase, 0, field)
+        case Right(()) => ("cli", kase, 1, "")
+      }
+
+    val src = CV.SourceWithConn(
+      cfg = graft.streaming.SubTaskValidate.SourceCfgModel(
+        sourceId = "s1", flavor = "mysql", enableGtid = true,
+        relayDir = "relay-dir"),
+      host = "h1", port = 3306, user = "root", password = "secret",
+      enableRelay = true,
+      securityCertAllowedCn = Seq("cn1", "cn2"), hasSecurity = true)
+    val api = CV.sourceCfgToOpenApi(src)
+    val back = CV.openApiToSourceCfg(api)
+    val noFlavor = CV.sourceCfgToOpenApi(
+      src.copy(cfg = src.cfg.copy(flavor = "")))
+    val defaults = CV.openApiToSourceCfg(CV.OpenApiSource(
+      sourceName = "s2", enable = true, enableGtid = false,
+      host = "h2", port = 3307, user = "u", password = None))
+
+    val rows = Seq(
+      tz("utc", "UTC"), tz("named", "Asia/Shanghai"), tz("system", "SYSTEM"),
+      tz("local_word", "Local"), tz("plus14", "+14:00"),
+      tz("plus1401", "+14:01"), tz("minus1259", "-12:59"),
+      tz("minus1300", "-13:00"), tz("pad", "+5:30"), tz("bogus", "Mars/Olympus"),
+      st("space", "2022-01-01 00:00:00"), st("t_form", "2022-01-01T00:00:00"),
+      st("offset", "2022-01-01 00:00:00+08:00"),
+      st("no_colon", "2022-01-01T00:00:00+0800"),
+      st("zulu", "2022-01-01T00:00:00Z"),
+      st("no_seconds", "2022-01-01 00:00"),
+      st("bad_month", "2022-13-01 00:00:00"),
+      st("slash", "2022/01/01 00:00:00"),
+      cli("ok", "2022-01-01 00:00:00", "30s", "10s"),
+      cli("empty_ok", "", "", ""),
+      cli("bad_start", "yesterday", "30s", ""),
+      cli("bad_safe", "", "30x", ""),
+      cli("bad_wait", "", "", "later"),
+      ("src", "password", 1, api.password.getOrElse("")),
+      ("src", "flavor_none", 1, noFlavor.flavor.getOrElse("")),
+      ("src", "roundtrip", 1, Seq(back.cfg.sourceId, back.cfg.flavor,
+        back.cfg.relayDir, back.purgeIntervalSec, back.purgeExpiresHr,
+        back.purgeRemainGb, s"relay=${if (back.enableRelay) 1 else 0}",
+        s"gtid=${if (back.cfg.enableGtid) 1 else 0}").mkString("|")),
+      ("src", "security_cn",
+        if (back.hasSecurity) 1 else 0,
+        back.securityCertAllowedCn.mkString(" ")),
+      ("src", "defaults", 1, Seq(defaults.purgeIntervalSec,
+        defaults.purgeExpiresHr, defaults.purgeRemainGb,
+        s"check=${defaults.cfg.checker.checkIntervalSec}",
+        s"min=${defaults.cfg.checker.backoffMinSec}").mkString("|")))
+
+    rows.toDF("family", "kase", "ok", "out")
+  }
+
   def all: Seq[GateQuery] =
-    Seq(taskValidate, subtaskAdjust, sourceVerify, taskConverters)
+    Seq(taskValidate, subtaskAdjust, sourceVerify, taskConverters,
+      timeCliSource)
 }

@@ -147,6 +147,96 @@ object DmTaskConfig {
   def tidbOptOn(v: String): Boolean = v.equalsIgnoreCase("on") || v == "1"
 
   /**
+   * utils.ParseTimeZone (dm/pkg/utils/time.go:37-74): SYSTEM/Local are
+   * rejected; a named zone loads from tzdata; an explicit offset parses
+   * as `[+-]HH:MM` with MySQL's bounds — [-12:59, +14:00] — and
+   * normalizes to the `(+|-)HH:MM` render (dbutil.FormatTimeZoneOffset).
+   * Note Go's time.LoadLocation does NOT accept offset strings, so the
+   * offset branch is the ONLY path for `+`/`-` forms — java's ZoneId
+   * would accept offsets up to ±18:00, hence the explicit split here.
+   */
+  def parseTimeZone(s: String): Either[(String, String), String] = {
+    if (s == "SYSTEM" || s == "Local")
+      return Left(ErrInvalidTimezone ->
+        "'SYSTEM' or 'Local' time_zone is not supported")
+    if (s.startsWith("+") || s.startsWith("-")) {
+      val m = """^[+-](\d{1,2}):(\d{2})$""".r.findFirstMatchIn(s)
+      m match {
+        case Some(g) =>
+          val hh = g.group(1).toInt
+          val mm = g.group(2).toInt
+          val tot = hh * 60 + mm
+          val ok = mm < 60 &&
+            (if (s.startsWith("-")) tot <= 12 * 60 + 59 else tot <= 14 * 60)
+          if (ok) Right(f"${s.charAt(0)}$hh%02d:$mm%02d")
+          else Left(ErrInvalidTimezone -> s)
+        case None => Left(ErrInvalidTimezone -> s)
+      }
+    } else {
+      // named zones only on this branch (like Go's LoadLocation)
+      try {
+        if (!s.forall(c => c.isLetterOrDigit || c == '/' || c == '_' ||
+            c == '-' || c == '+'))
+          return Left(ErrInvalidTimezone -> s)
+        java.time.ZoneId.of(s); Right(s)
+      } catch {
+        case _: java.time.DateTimeException =>
+          Left(ErrInvalidTimezone -> s)
+      }
+    }
+  }
+
+  /**
+   * utils.ParseStartTime (dm/pkg/utils/time.go:32,77-99): the anchored
+   * pattern `\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(Z|[+-]\d{2}:?\d{2})?`
+   * gates the format, then the value must be a real datetime. An
+   * offset-carrying string is absolute; a naked one is interpreted in
+   * the given zone (the reference uses time.Local — pinned to UTC here
+   * for engine determinism, callers pass the task timezone when set).
+   * Returns epoch seconds.
+   */
+  private val StartTimeRe =
+    """^(\d{4})-(\d{2})-(\d{2})[ T](\d{2}):(\d{2}):(\d{2})(Z|[+-]\d{2}:?\d{2})?$""".r
+
+  def parseStartTime(s: String, zone: String = "UTC"): Either[String, Long] =
+    StartTimeRe.findFirstMatchIn(s) match {
+      case None => Left(s"unsupported start-time format $s")
+      case Some(m) =>
+        try {
+          val ldt = java.time.LocalDateTime.of(
+            m.group(1).toInt, m.group(2).toInt, m.group(3).toInt,
+            m.group(4).toInt, m.group(5).toInt, m.group(6).toInt)
+          val z = Option(m.group(7)) match {
+            case None => java.time.ZoneId.of(zone)
+            case Some("Z") => java.time.ZoneOffset.UTC
+            case Some(off) =>
+              val norm = if (off.contains(":")) off
+                else off.take(3) + ":" + off.drop(3)
+              java.time.ZoneOffset.of(norm)
+          }
+          Right(ldt.atZone(z).toEpochSecond)
+        } catch {
+          case _: RuntimeException =>
+            Left(s"unsupported start-time format $s")
+        }
+    }
+
+  /** TaskCliArgs.Verify (dm/config/task_cli_args.go:47-68): start-time
+    * must parse, and both duration knobs must be Go durations. The
+    * reference annotates PLAIN errors (no terror class), so the Left
+    * carries the offending field name only. */
+  def verifyTaskCliArgs(startTime: String, safeModeDuration: String,
+      waitTimeOnStop: String): Either[String, Unit] = {
+    if (startTime.nonEmpty && parseStartTime(startTime).isLeft)
+      return Left("start-time")
+    for ((v, what) <- Seq(safeModeDuration -> "safe-mode-duration",
+        waitTimeOnStop -> "wait-time-on-stop")
+         if v.nonEmpty && KafkaOptions.parseGoDurationMs(v).isLeft)
+      return Left(what)
+    Right(())
+  }
+
+  /**
    * IsForeignKeyChecksEnabled (task.go:425-433): first session key
    * equal-folding `foreign_key_checks` decides (keys scanned in sorted
    * order — the reference iterates a Go map and returns on the first
@@ -548,13 +638,11 @@ object DmTaskConfig {
     if (unused.nonEmpty) // rendered like Go's %v of the sorted slice
       return Left(ErrGlobalConfigsUnused -> unused.mkString("[", " ", "]"))
 
-    if (c.timezone.nonEmpty) {
-      try { java.time.ZoneId.of(c.timezone); () }
-      catch {
-        case _: java.time.DateTimeException =>
-          return Left(ErrInvalidTimezone -> c.timezone)
+    if (c.timezone.nonEmpty)
+      parseTimeZone(c.timezone) match {
+        case Left(e) => return Left(e)
+        case Right(_) => ()
       }
-    }
 
     Right(Adjusted(c.copy(baLists = baLists, instances = insts), warnings))
   }

@@ -450,6 +450,14 @@ object TaskConverters {
         appendRule(st.core.sourceId, schema, table, "", "")
     }
 
+    buildOpenApiTask(st0, sourceConf, fullConf, incrConf, migrateRules,
+      filterRuleMap)
+  }
+
+  private def buildOpenApiTask(st0: SubTask, sourceConf: Seq[SourceConf],
+      fullConf: FullMigrateConf, incrConf: IncrMigrateConf,
+      migrateRules: Seq[MigrateRule],
+      filterRuleMap: Map[String, BinlogFilterRule]): OpenApiTask =
     OpenApiTask(
       name = st0.core.name, taskMode = st0.core.mode,
       shardMode =
@@ -463,5 +471,82 @@ object TaskConverters {
       migrateRules = migrateRules,
       binlogFilterRules = filterRuleMap,
       ignoreCheckingItems = st0.ignoreCheckingItems)
+
+  // ---- OpenAPI source converters (source_converter.go:23-110) ------------
+
+  /** source_config.go:59 — PM requirement: the API always returns an
+    * obfuscated password. */
+  val ObfuscatedPasswordForFeedback = "******"
+
+  /** The openapi.Source fields the converters shuttle. */
+  final case class OpenApiSource(
+      sourceName: String, enable: Boolean, enableGtid: Boolean,
+      host: String, port: Int, user: String, password: Option[String],
+      flavor: Option[String] = None,
+      purgeInterval: Option[Long] = None, purgeExpires: Option[Long] = None,
+      purgeRemainSpace: Option[Long] = None,
+      enableRelay: Option[Boolean] = None,
+      relayBinlogName: Option[String] = None,
+      relayBinlogGtid: Option[String] = None,
+      relayDir: Option[String] = None,
+      securityCertAllowedCn: Option[Seq[String]] = None)
+
+  /** The SourceConfig view the converters read/write:
+    * [[SubTaskValidate.SourceCfgModel]] plus the connection block and
+    * purge knobs (source_config.go:62-105). */
+  final case class SourceWithConn(
+      cfg: STV.SourceCfgModel,
+      enable: Boolean = true,
+      host: String = "", port: Int = 0, user: String = "",
+      password: String = "",
+      purgeIntervalSec: Long = 3600, purgeExpiresHr: Long = 0,
+      purgeRemainGb: Long = 15,
+      enableRelay: Boolean = false,
+      securityCertAllowedCn: Seq[String] = Nil,
+      hasSecurity: Boolean = false)
+
+  /** SourceCfgToOpenAPISource (source_converter.go:23-55): the password
+    * is ALWAYS obfuscated, the flavor only ships when set, and a
+    * security block exposes ONLY cert-allowed-cn — never PEM content. */
+  def sourceCfgToOpenApi(s: SourceWithConn): OpenApiSource =
+    OpenApiSource(
+      sourceName = s.cfg.sourceId, enable = s.enable,
+      enableGtid = s.cfg.enableGtid,
+      host = s.host, port = s.port, user = s.user,
+      password = Some(ObfuscatedPasswordForFeedback),
+      flavor = if (s.cfg.flavor.nonEmpty) Some(s.cfg.flavor) else None,
+      purgeInterval = Some(s.purgeIntervalSec),
+      purgeExpires = Some(s.purgeExpiresHr),
+      purgeRemainSpace = Some(s.purgeRemainGb),
+      enableRelay = Some(s.enableRelay),
+      relayBinlogName = Some(s.cfg.relayBinlogName),
+      relayBinlogGtid = Some(s.cfg.relayBinlogGtid),
+      relayDir = Some(s.cfg.relayDir),
+      securityCertAllowedCn =
+        if (s.hasSecurity) Some(s.securityCertAllowedCn) else None)
+
+  /** OpenAPISourceToSourceCfg (source_converter.go:57-110): starts from
+    * NewSourceConfig's defaults (enable + purge {3600,0,15} + checker
+    * fills, source_config.go:108-130) and nil-coalesces every block. */
+  def openApiToSourceCfg(o: OpenApiSource): SourceWithConn = {
+    val base = SourceWithConn(
+      cfg = STV.adjustSource(STV.SourceCfgModel()).cfg)
+    base.copy(
+      cfg = base.cfg.copy(
+        sourceId = o.sourceName,
+        enableGtid = o.enableGtid,
+        flavor = o.flavor.getOrElse(""),
+        relayBinlogName = o.relayBinlogName.getOrElse(""),
+        relayBinlogGtid = o.relayBinlogGtid.getOrElse(""),
+        relayDir = o.relayDir.getOrElse("")),
+      enable = o.enable,
+      host = o.host, port = o.port, user = o.user,
+      password = o.password.getOrElse(""),
+      purgeIntervalSec = o.purgeInterval.getOrElse(3600L),
+      purgeExpiresHr = o.purgeExpires.getOrElse(0L),
+      purgeRemainGb = o.purgeRemainSpace.getOrElse(15L),
+      enableRelay = o.enableRelay.getOrElse(false),
+      securityCertAllowedCn = o.securityCertAllowedCn.getOrElse(Nil),
+      hasSecurity = o.securityCertAllowedCn.isDefined)
   }
 }

@@ -340,6 +340,43 @@ class Round19Spec extends AnyFunSuite {
     assert(TC.parseFileSize("12q", 0).isLeft)
   }
 
+  test("start-time pattern and timezone bounds, parsed from time.go") {
+    assumeRef()
+    val timeSrc = slurp("/root/reference/dm/pkg/utils/time.go")
+    // the reference's own pattern literal drives BOTH engines over a
+    // probe set — re-typing the regex wrong would diverge here
+    val pat = """startTimePattern = regexp\.MustCompile\(`([^`]+)`\)""".r
+      .findFirstMatchIn(timeSrc)
+    assert(pat.isDefined, "startTimePattern not found")
+    val goRe = java.util.regex.Pattern.compile(pat.get.group(1))
+    val probes = Seq(
+      "2022-01-01 00:00:00", "2022-01-01T00:00:00",
+      "2022-01-01 00:00:00+08:00", "2022-01-01T00:00:00+0800",
+      "2022-01-01T00:00:00Z", "2022-01-01 00:00", "2022/01/01 00:00:00",
+      "2022-01-01  00:00:00", "22-01-01 00:00:00",
+      "2022-01-01 00:00:00+8:00", "2022-01-01 00:00:00 +08:00")
+    // every probe carries a VALID datetime value, so format acceptance
+    // is the only deciding factor — the two engines must agree exactly
+    for (p <- probes)
+      assert(goRe.matcher(p).matches() ==
+        graft.streaming.DmTaskConfig.parseStartTime(p).isRight, p)
+    // offset bounds: -(12h59m) / +(14h) (time.go:53-62)
+    assert(timeSrc.contains("12*time.Hour+59*time.Minute"))
+    assert(timeSrc.contains("14*time.Hour"))
+    import graft.streaming.{DmTaskConfig => TCx}
+    assert(TCx.parseTimeZone("-12:59").isRight &&
+      TCx.parseTimeZone("-13:00").isLeft)
+    assert(TCx.parseTimeZone("+14:00").isRight &&
+      TCx.parseTimeZone("+14:01").isLeft)
+    // the obfuscated-password constant (source_config.go:59)
+    val srcCfg = slurp(sourceFile)
+    val ob = """ObfuscatedPasswordForFeedback string = "(\*+)"""".r
+      .findFirstMatchIn(srcCfg)
+    assert(ob.isDefined, "obfuscated password constant not found")
+    assert(graft.streaming.TaskConverters.ObfuscatedPasswordForFeedback ==
+      ob.get.group(1))
+  }
+
   test("pkg/diff chunk pipeline short-circuits (diff.go:425-470)") {
     import graft.diff.{DiffSample => DS}
     var checksumRan = 0; var rowsRan = 0
