@@ -1,0 +1,267 @@
+package graft.functions
+
+/**
+ * Debezium per-column field SCHEMA + VALUE rendering (SURVEY §2.6 E5 —
+ * the type matrix behind the envelope q41/q122/q226 already pin):
+ * reference pkg/sink/codec/debezium/codec.go
+ * `writeDebeziumFieldSchema` (:88-472) and `writeDebeziumFieldValue`
+ * (:477-837) — ~750 LoC of per-MySQL-type switches implementing
+ * Debezium's documented MySQL connector mapping:
+ *
+ *  - BIT(1) → boolean; BIT(n>1) → bytes + io.debezium.data.Bits with a
+ *    `length` parameter, value = little-endian ceil(n/8) bytes, base64.
+ *  - char/varchar/blob family → schema `string`; binary-flagged values
+ *    render base64 (BINARY(n) values arrive NUL-padded from storage).
+ *  - ENUM → io.debezium.data.Enum with `allowed` (options escaped:
+ *    `,`→`\,`, quotes unwrapped — common/helper.go:323-328); an invalid
+ *    member renders "" (non-strict-mode insert). SET → EnumSet,
+ *    `allowed` unescaped; invalid member → "".
+ *  - DATE → int32 io.debezium.time.Date, value = epoch DAYS (negative
+ *    before 1970); zero-dates render null (or 0 under NOT NULL).
+ *  - DATETIME → int64 Timestamp (fsp ≤ 3, epoch millis) /
+ *    MicroTimestamp (fsp ≥ 4, epoch micros), fractional seconds
+ *    ROUNDED to fsp; the two-digit-year windows <70→+2000, <100→+1900.
+ *  - TIMESTAMP → string io.debezium.time.ZonedTimestamp:
+ *    `yyyy-MM-ddTHH:mm:ss[.f{fsp}]Z` in UTC, fraction = the %06d micros
+ *    prefix of length fsp.
+ *  - TIME → int64 io.debezium.time.MicroTime (signed micros).
+ *  - YEAR → int32 io.debezium.time.Year with the same year windows.
+ *  - TINYINT → int16; SMALLINT → int16/int32 (unsigned); MEDIUMINT →
+ *    int32; INT → int32/int64 (unsigned); BIGINT → int64 — values
+ *    OUTSIDE the column type's range clamp to -1, and uint64 max
+ *    itself clamps to -1 (codec.go:749-807).
+ *  - FLOAT → `float` (a declared (M,D) upgrades it to double);
+ *    DOUBLE / DECIMAL / NUMERIC → `double`, values as parsed floats
+ *    (FLOAT through float32 precision).
+ *  - JSON → string io.debezium.data.Json; TiDB VECTOR → string
+ *    io.debezium.data.TiDBVectorFloat32 (the one logical type WITHOUT
+ *    a version field).
+ *  - `optional` = NOT NULL absent, everywhere.
+ *
+ * Gate q305 replays the reference's OWN golden contract — testdata/
+ * datatype.{ddl.sql,dml.sql,dbz.json} — field by field; nothing from
+ * the expected document is re-typed.
+ */
+object DebeziumFields {
+
+  final case class FieldSpec(name: String, tpe: String, flen: Int = -1,
+      fsp: Int = -1, elems: Seq[String] = Nil, notNull: Boolean = false,
+      unsigned: Boolean = false, binary: Boolean = false)
+
+  /** The schema-entry facts (everything but the `field` name itself):
+    * version 0 / name "" stand for absent. */
+  final case class FieldSchema(schType: String, optional: Boolean,
+      logicalName: String, version: Int, params: String)
+
+  /** common/helper.go:323-328. */
+  def escapeEnumOption(option: String): String =
+    option.replace(",", "\\,").replace("\\'", "'").replace("''", "'")
+
+  /** writeDebeziumFieldSchema (codec.go:88-472). */
+  def fieldSchema(f: FieldSpec): FieldSchema = {
+    val opt = !f.notNull
+    f.tpe match {
+      case "bit" =>
+        if (f.flen == 1) FieldSchema("boolean", opt, "", 0, "")
+        else FieldSchema("bytes", opt, "io.debezium.data.Bits", 1,
+          f.flen.toString)
+      case "varchar" | "string" | "blob" =>
+        FieldSchema("string", opt, "", 0, "")
+      case "enum" =>
+        FieldSchema("string", opt, "io.debezium.data.Enum", 1,
+          f.elems.map(escapeEnumOption).mkString(","))
+      case "set" =>
+        FieldSchema("string", opt, "io.debezium.data.EnumSet", 1,
+          f.elems.mkString(","))
+      case "date" =>
+        FieldSchema("int32", opt, "io.debezium.time.Date", 1, "")
+      case "datetime" =>
+        FieldSchema("int64", opt,
+          if (f.fsp <= 3) "io.debezium.time.Timestamp"
+          else "io.debezium.time.MicroTimestamp", 1, "")
+      case "timestamp" =>
+        FieldSchema("string", opt, "io.debezium.time.ZonedTimestamp", 1, "")
+      case "time" =>
+        FieldSchema("int64", opt, "io.debezium.time.MicroTime", 1, "")
+      case "year" =>
+        FieldSchema("int32", opt, "io.debezium.time.Year", 1, "")
+      case "tiny" => FieldSchema("int16", opt, "", 0, "")
+      case "short" =>
+        FieldSchema(if (f.unsigned) "int32" else "int16", opt, "", 0, "")
+      case "int24" => FieldSchema("int32", opt, "", 0, "")
+      case "long" =>
+        FieldSchema(if (f.unsigned) "int64" else "int32", opt, "", 0, "")
+      case "longlong" => FieldSchema("int64", opt, "", 0, "")
+      case "float" =>
+        FieldSchema(if (f.fsp != -1) "double" else "float", opt, "", 0, "")
+      case "double" | "newdecimal" => FieldSchema("double", opt, "", 0, "")
+      case "json" =>
+        FieldSchema("string", opt, "io.debezium.data.Json", 1, "")
+      case "vector" =>
+        FieldSchema("string", opt, "io.debezium.data.TiDBVectorFloat32", 0, "")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported field type $other")
+    }
+  }
+
+  // ---- value rendering (JSON scalar TEXT) --------------------------------
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def base64(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
+
+  /** getBitFromUint64: n bits little-endian, ceil(n/8) bytes. */
+  def bitBytes(n: Int, v: Long): Array[Byte] = {
+    val numBytes = (n + 7) / 8
+    Array.tabulate(numBytes)(i => ((v >>> (8 * i)) & 0xff).toByte)
+  }
+
+  /** The two-digit-year window (codec.go date/datetime/year legs). */
+  private def windowYear(y: Int): Int =
+    if (y < 70) y + 2000 else if (y < 100) y + 1900 else y
+
+  private val DtRe =
+    """^(\d{1,4})-(\d{1,2})-(\d{1,2})[ T](\d{1,2}):(\d{1,2}):(\d{1,2})(?:\.(\d{1,6}))?$""".r
+  private val TimeRe = """^(-?)(\d{1,3}):(\d{1,2}):(\d{1,2})(?:\.(\d{1,6}))?$""".r
+
+  private def microsOf(frac: String): Long =
+    if (frac == null) 0L else (frac + "0" * (6 - frac.length)).toLong
+
+  /** Round total micros to fsp digits (MySQL half-up). */
+  private def roundToFsp(totalMicros: Long, fsp: Int): Long = {
+    val unit = math.pow(10, 6 - math.max(fsp, 0)).toLong
+    val q = Math.floorDiv(totalMicros, unit)
+    val r = totalMicros - q * unit
+    (if (2 * r >= unit) q + 1 else q) * unit
+  }
+
+  private def parseDatetimeUtc(v: String, fsp: Int): Option[Long] =
+    v match {
+      case DtRe(y, mo, d, h, mi, s, frac) =>
+        try {
+          val ldt = java.time.LocalDateTime.of(windowYear(y.toInt), mo.toInt,
+            d.toInt, h.toInt, mi.toInt, s.toInt)
+          val total = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            microsOf(frac)
+          Some(roundToFsp(total, fsp))
+        } catch { case _: java.time.DateTimeException => None }
+      case _ => None
+    }
+
+  /**
+   * writeDebeziumFieldValue (codec.go:477-837) over the column's
+   * rendered source value — returns the JSON scalar TEXT of the field
+   * value (`null` for NULL). `fsp` carries the column's declared
+   * fractional precision where relevant.
+   */
+  def fieldValue(f: FieldSpec, raw: Option[String]): String = {
+    val value = raw.getOrElse(return "null")
+    f.tpe match {
+      case "bit" =>
+        val v = java.lang.Long.parseLong(value)
+        if (f.flen == 1) (v != 0).toString
+        else jsonStr(base64(bitBytes(f.flen, v)))
+      case "varchar" | "string" | "blob" =>
+        if (!f.binary) jsonStr(value)
+        else {
+          // BINARY(n) values arrive NUL-padded from storage
+          val b = value.getBytes("UTF-8")
+          val padded =
+            if (f.tpe == "string" && f.flen > b.length)
+              b ++ Array.fill[Byte](f.flen - b.length)(0)
+            else b
+          jsonStr(base64(padded))
+        }
+      case "enum" =>
+        jsonStr(if (f.elems.contains(value)) value else "")
+      case "set" =>
+        val members = value.split(",", -1).toSeq
+        jsonStr(
+          if (value.nonEmpty && members.forall(f.elems.contains)) value
+          else "")
+      case "newdecimal" => value.toDouble.toString
+      case "date" =>
+        try {
+          val d = java.time.LocalDate.parse(value)
+          val windowed = d.withYear(windowYear(d.getYear))
+          windowed.toEpochDay.toString
+        } catch {
+          case _: java.time.format.DateTimeParseException =>
+            if (f.notNull) "0" else "null"
+        }
+      case "datetime" =>
+        parseDatetimeUtc(value, math.max(f.fsp, 0)) match {
+          case None => if (f.notNull) "0" else "null"
+          case Some(micros) =>
+            if (math.max(f.fsp, 0) <= 3) (micros / 1000L).toString
+            else micros.toString
+        }
+      case "timestamp" =>
+        // config tz pinned UTC (the golden's session) — render ...Z
+        parseDatetimeUtc(value, math.max(f.fsp, 0)) match {
+          case None => if (f.notNull) jsonStr("1970-01-01T00:00:00Z")
+            else "null"
+          case Some(micros) =>
+            val sec = Math.floorDiv(micros, 1000000L)
+            val us = micros - sec * 1000000L
+            val base = java.time.LocalDateTime
+              .ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+              .format(java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+            val fsp = math.max(f.fsp, 0)
+            val fracPart =
+              if (fsp > 0) "." + f"$us%06d".take(fsp) else ""
+            jsonStr(base + fracPart + "Z")
+        }
+      case "time" =>
+        value match {
+          case TimeRe(sign, h, m, s, frac) =>
+            val total = (h.toLong * 3600 + m.toLong * 60 + s.toLong) *
+              1000000L + microsOf(frac)
+            val rounded = roundToFsp(total, math.max(f.fsp, 0))
+            ((if (sign == "-") -1 else 1) * rounded).toString
+          case _ => "null"
+        }
+      case "year" =>
+        val y = value.toDouble.toInt
+        windowYear(y).toString
+      case "tiny" | "short" | "int24" | "long" | "longlong" =>
+        val v = BigInt(value)
+        val (lo, hi): (BigInt, BigInt) =
+          if (f.unsigned) (BigInt(0), (BigInt(1) << bits(f.tpe)) - 1)
+          else (-(BigInt(1) << (bits(f.tpe) - 1)),
+            (BigInt(1) << (bits(f.tpe) - 1)) - 1)
+        // uint64 MAX itself clamps (codec.go:763); everything else only
+        // clamps when actually outside the column type's range
+        val clamp =
+          if (f.unsigned && f.tpe == "longlong" && v == hi) true
+          else v < lo || v > hi
+        if (clamp) "-1" else v.toString
+      case "float" => value.toFloat.toString
+      case "double" => value.toDouble.toString
+      case "json" => jsonStr(value)
+      case "vector" => jsonStr(value)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported field type $other")
+    }
+  }
+
+  private def bits(tpe: String): Int = tpe match {
+    case "tiny" => 8
+    case "short" => 16
+    case "int24" => 24
+    case "long" => 32
+    case "longlong" => 64
+    case _ => throw new IllegalArgumentException(tpe)
+  }
+}

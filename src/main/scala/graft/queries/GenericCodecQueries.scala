@@ -1044,9 +1044,127 @@ object GenericCodecQueries {
     ddl.unionByName(cp).crossJoin(broadcast(disabled))
   }
 
+  /**
+   * q305 — the Debezium per-column TYPE MATRIX
+   * ([[graft.functions.DebeziumFields]];
+   * pkg/sink/codec/debezium/codec.go:88-472 writeDebeziumFieldSchema +
+   * :477-837 writeDebeziumFieldValue): the CONTRACT is the reference's
+   * own golden fixture — testdata/datatype.{ddl.sql,dml.sql,dbz.json} —
+   * 51 columns spanning every mapped MySQL type (date windows,
+   * fsp-rounded datetime millis/micros, ZonedTimestamp fraction
+   * truncation, BIT(1)/BIT(n) little-endian base64, BINARY NUL
+   * padding, enum/set invalid-member "", the uint64-max → -1 clamp,
+   * float through float32 precision). Spark parses the DDL + DML and
+   * renders each field through the kernel; DuckDB reads the EXPECTED
+   * JSON document directly (q287 form — no expected value re-typed).
+   */
+  val debeziumTypeMatrix = GateQuery(
+    "q305_debezium_types",
+    Some("""WITH raw AS (SELECT content FROM
+      |  read_text('/root/reference/pkg/sink/codec/debezium/testdata/datatype.dbz.json')),
+      |doc AS (SELECT CAST(content AS JSON) AS j FROM raw),
+      |tops AS (
+      |  SELECT unnest(CAST(json_extract(j, '$.schema.fields') AS JSON[])) AS af
+      |  FROM doc),
+      |fields AS (
+      |  SELECT unnest(CAST(json_extract(af, '$.fields') AS JSON[])) AS f
+      |  FROM tops WHERE json_extract_string(af, '$.field') = 'after'),
+      |vals AS (SELECT json_extract(j, '$.payload.after') AS a FROM doc)
+      |SELECT json_extract_string(f, '$.field') AS field,
+      |  json_extract_string(f, '$.type') AS sch_type,
+      |  CASE WHEN json_extract_string(f, '$.optional') = 'true'
+      |       THEN 1 ELSE 0 END AS opt,
+      |  coalesce(json_extract_string(f, '$.name'), '') AS logical_name,
+      |  coalesce(TRY_CAST(json_extract(f, '$.version') AS INT), 0) AS version,
+      |  coalesce(json_extract_string(f, '$.parameters.length'),
+      |           json_extract_string(f, '$.parameters.allowed'), '') AS params,
+      |  CAST(json_extract(a, '$.' || json_extract_string(f, '$.field'))
+      |       AS VARCHAR) AS val
+      |FROM fields, vals""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.{DebeziumFields => DF}
+    val base = "/root/reference/pkg/sink/codec/debezium/testdata"
+    def slurp(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+
+    // parse the fixture DDL: `name TYPE(args) [UNSIGNED] [PRIMARY KEY]`
+    val colRe = ("""(?m)^\s*(\w+)\s+([A-Z]+)(?:\(([^)]*)\))?""" +
+      """(\s+UNSIGNED)?(\s+PRIMARY KEY)?,?\s*$""").r
+    val specs = colRe.findAllMatchIn(slurp(s"$base/datatype.ddl.sql")).map { m =>
+      val name = m.group(1)
+      val sqlT = m.group(2)
+      val args = Option(m.group(3)).getOrElse("")
+      val unsigned = m.group(4) != null
+      val pk = m.group(5) != null
+      val elems = if (sqlT == "ENUM" || sqlT == "SET")
+        args.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq
+        else Nil
+      val nums = if (elems.isEmpty && args.nonEmpty)
+        args.split(",").map(_.trim.toInt).toSeq else Nil
+      val (tpe, flen, fsp, binary) = sqlT match {
+        case "INT" => ("long", -1, -1, false)
+        case "TINYINT" => ("tiny", -1, -1, false)
+        case "SMALLINT" => ("short", -1, -1, false)
+        case "MEDIUMINT" => ("int24", -1, -1, false)
+        case "BIGINT" => ("longlong", -1, -1, false)
+        case "DATE" => ("date", -1, -1, false)
+        case "DATETIME" => ("datetime", -1, nums.headOption.getOrElse(-1), false)
+        case "TIME" => ("time", -1, nums.headOption.getOrElse(-1), false)
+        case "TIMESTAMP" => ("timestamp", -1, nums.headOption.getOrElse(-1), false)
+        case "YEAR" => ("year", -1, -1, false)
+        case "BIT" => ("bit", nums.headOption.getOrElse(1), -1, false)
+        case "VARCHAR" => ("varchar", nums.headOption.getOrElse(-1), -1, false)
+        case "CHAR" => ("string", nums.headOption.getOrElse(-1), -1, false)
+        case "VARBINARY" => ("varchar", nums.headOption.getOrElse(-1), -1, true)
+        case "BINARY" => ("string", nums.headOption.getOrElse(-1), -1, true)
+        case "BLOB" => ("blob", -1, -1, true)
+        case "DECIMAL" | "NUMERIC" => ("newdecimal",
+          nums.headOption.getOrElse(-1), nums.lift(1).getOrElse(-1), false)
+        case "FLOAT" => ("float", -1, nums.lift(1).getOrElse(-1), false)
+        case "DOUBLE" => ("double", -1, -1, false)
+        case "ENUM" => ("enum", -1, -1, false)
+        case "SET" => ("set", -1, -1, false)
+        case "JSON" => ("json", -1, -1, false)
+        case other => throw new IllegalArgumentException(other)
+      }
+      DF.FieldSpec(name, tpe, flen, fsp, elems, notNull = pk,
+        unsigned = unsigned, binary = binary)
+    }.toSeq
+
+    // parse the fixture DML value list (single-quote aware)
+    val body = slurp(s"$base/datatype.dml.sql")
+    val inner = body.substring(body.indexOf('(') + 1, body.lastIndexOf(')'))
+    val values = {
+      val out = Vector.newBuilder[String]
+      val cur = new StringBuilder
+      var inQ = false
+      for (c <- inner) c match {
+        case '\'' => inQ = !inQ; cur += c
+        case ',' if !inQ => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      out += cur.toString
+      out.result().map(_.trim).map { v =>
+        if (v.startsWith("'") && v.endsWith("'"))
+          v.substring(1, v.length - 1)
+        else v
+      }
+    }
+    require(specs.length == values.length,
+      s"fixture mismatch: ${specs.length} cols vs ${values.length} values")
+
+    specs.zip(values).map { case (spec, raw) =>
+      val s = DF.fieldSchema(spec)
+      val v = DF.fieldValue(spec, Some(raw))
+      (spec.name, s.schType, if (s.optional) 1 else 0, s.logicalName,
+        s.version, s.params, if (v == "null") None else Some(v))
+    }.toDF("field", "sch_type", "opt", "logical_name", "version",
+      "params", "val")
+  }
+
   def all: Seq[GateQuery] = Seq(canalGeneric, openGeneric, maxwellGeneric,
     csvGeneric, debeziumSchemaGate, simpleGeneric, integrityGeneric,
     vectorRoundtrip, canalUpdatedColumns, openUpdatedColumns, claimCheckRaw,
     debeziumOptions, canalShortTypes, avroModes, csvRefLayout,
-    simpleLargeMessage, schemaSidecar, avroWatermark)
+    simpleLargeMessage, schemaSidecar, avroWatermark, debeziumTypeMatrix)
 }

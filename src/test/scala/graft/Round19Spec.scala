@@ -413,6 +413,45 @@ class Round19Spec extends AnyFunSuite {
     assert(warns == Seq("chunk-size-default"))
   }
 
+  test("Debezium field matrix edges the golden fixture doesn't reach") {
+    import graft.functions.{DebeziumFields => DF}
+    import DF.FieldSpec
+    // two-digit-year windows (codec.go date/datetime/year legs)
+    assert(DF.fieldValue(FieldSpec("c", "year"), Some("18")) == "2018")
+    assert(DF.fieldValue(FieldSpec("c", "year"), Some("99")) == "1999")
+    assert(DF.fieldValue(FieldSpec("c", "date"), Some("0018-01-01")) ==
+      java.time.LocalDate.of(2018, 1, 1).toEpochDay.toString)
+    // NOT NULL zero-date renders 0, nullable renders null
+    assert(DF.fieldValue(FieldSpec("c", "date", notNull = true),
+      Some("0000-00-00")) == "0")
+    assert(DF.fieldValue(FieldSpec("c", "date"), Some("0000-00-00")) == "null")
+    // int range clamps: only uint64 MAX itself clamps for bigint; other
+    // unsigned types clamp strictly above their max (codec.go:763)
+    assert(DF.fieldValue(FieldSpec("c", "longlong", unsigned = true),
+      Some("18446744073709551615")) == "-1")
+    assert(DF.fieldValue(FieldSpec("c", "tiny", unsigned = true),
+      Some("255")) == "255")
+    assert(DF.fieldValue(FieldSpec("c", "tiny", unsigned = true),
+      Some("256")) == "-1")
+    assert(DF.fieldValue(FieldSpec("c", "tiny"), Some("-129")) == "-1")
+    // FLOAT with a declared (M,D) upgrades the schema to double
+    assert(DF.fieldSchema(FieldSpec("c", "float")).schType == "float")
+    assert(DF.fieldSchema(FieldSpec("c", "float", fsp = 2)).schType == "double")
+    // the vector logical type carries NO version field (codec.go:456-463)
+    val v = DF.fieldSchema(FieldSpec("c", "vector"))
+    assert(v.logicalName == "io.debezium.data.TiDBVectorFloat32" &&
+      v.version == 0)
+    // enum option escaping (common/helper.go:323-328)
+    assert(DF.escapeEnumOption("a,b") == "a\\,b")
+    assert(DF.escapeEnumOption("it''s") == "it's")
+    // bit bytes are little-endian, sized to the declared bit length
+    assert(DF.bitBytes(5, 16).toSeq == Seq(16.toByte))
+    assert(DF.bitBytes(60, 16).length == 8)
+    // fsp rounding carries into the next second
+    assert(DF.fieldValue(FieldSpec("c", "datetime", fsp = 0),
+      Some("2022-01-01 00:00:00.600000")) == "1640995201000")
+  }
+
   test("AdjustPath/TrimPath round trip (storage/utils.go semantics)") {
     // local: trailing separator trimmed, suffix appended once
     assert(STV.adjustPath("./dump_data/", ".task") == "./dump_data.task")
