@@ -1542,11 +1542,107 @@ object DiffQueries {
     rows.toDF("family", "k", "roll", "state")
   }
 
+  /**
+   * q306 — the DM precheck's table-structure COMPATIBILITY rules
+   * ([[graft.diff.TableStructCheck]];
+   * dm/pkg/checker/table_structure.go:293-505 checkAST +
+   * checkTableStructurePair, utils.go:182-274 AST fact extractors,
+   * :255-292 the Result fold): FK-ignored and no-PK/UK warnings, the
+   * missing-downstream × extended-columns failure, the charset warn
+   * with the utf8mb4 downstream exemption, collation, PK/UK set
+   * matching with per-side leftovers, the extended-column probes over
+   * the POST-common-removal maps (an extended column on BOTH sides
+   * reads downstream-missing, the reference's exact behavior), the
+   * ignorable-column rule, and warning<failure result precedence.
+   * Thirteen scripted scenarios; the oracle is the rule table.
+   */
+  val tableStructCheck = GateQuery(
+    "q306_table_struct_check",
+    Some("""SELECT * FROM (VALUES
+      |  ('s01_identical',   99,'success','result',''),
+      |  ('s02_no_pk_uk',     0,'warning','no-pk-uk',''),
+      |  ('s02_no_pk_uk',    99,'warning','result',''),
+      |  ('s03_fk',           0,'warning','fk-ignored','fk1'),
+      |  ('s03_fk',          99,'warning','result',''),
+      |  ('s04_charset',      0,'warning','charset','latin1:utf8'),
+      |  ('s04_charset',     99,'warning','result',''),
+      |  ('s05_charset_mb4', 99,'success','result',''),
+      |  ('s06_collation',    0,'warning','collation','utf8_bin:utf8_general_ci'),
+      |  ('s06_collation',   99,'warning','result',''),
+      |  ('s07_pkuk',         0,'warning','pkuk-up-extra','uk1:b'),
+      |  ('s07_pkuk',         1,'warning','pkuk-down-extra','uk1:c'),
+      |  ('s07_pkuk',         2,'warning','cols-up-extra','b'),
+      |  ('s07_pkuk',         3,'warning','cols-down-extra','c'),
+      |  ('s07_pkuk',        99,'warning','result',''),
+      |  ('s08_ext_no_table', 0,'failure','ext-no-downstream','e1'),
+      |  ('s08_ext_no_table',99,'failure','result',''),
+      |  ('s09_no_table_ok', 99,'success','result',''),
+      |  ('s10_ext_dup_up',   0,'failure','ext-dup-up','e1'),
+      |  ('s10_ext_dup_up',   1,'failure','ext-missing-down','e1'),
+      |  ('s10_ext_dup_up',  99,'failure','result',''),
+      |  ('s11_ext_ok',      99,'success','result',''),
+      |  ('s12_ext_both',     0,'failure','ext-missing-down','e1'),
+      |  ('s12_ext_both',    99,'failure','result',''),
+      |  ('s13_ignorable',    0,'warning','cols-down-extra','z'),
+      |  ('s13_ignorable',   99,'warning','result','')
+      |) v(kase, seq, state, code, payload)""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.diff.{TableStructCheck => TS}
+    import TS.{ColDef => C, Constraint => K, TableDef => T}
+
+    val pkA = K(TS.PrimaryKey, "", Seq("a"))
+    val base = T("t", Seq(C("a", notNull = true), C("b")), Seq(pkA))
+
+    def run(kase: String, up: T, down: Option[T],
+        ext: Seq[String] = Nil): Seq[(String, Int, String, String, String)] = {
+      val opts = TS.checkAst(up, down, ext)
+      opts.zipWithIndex.map { case (o, i) =>
+        (kase, i, o.state, o.code, o.payload)
+      } :+ ((kase, 99, TS.foldResult(opts), "result", ""))
+    }
+
+    val rows =
+      run("s01_identical", base, Some(base)) ++
+      run("s02_no_pk_uk", base.copy(constraints = Nil),
+        Some(base.copy(constraints = Nil))) ++
+      run("s03_fk", base.copy(constraints =
+        Seq(pkA, K(TS.ForeignKey, "fk1", Seq("b")))), Some(base)) ++
+      run("s04_charset", base.copy(charset = "latin1"),
+        Some(base.copy(charset = "utf8"))) ++
+      run("s05_charset_mb4", base.copy(charset = "latin1"),
+        Some(base.copy(charset = "UTF8MB4"))) ++
+      run("s06_collation", base.copy(collation = "utf8_bin"),
+        Some(base.copy(collation = "utf8_general_ci"))) ++
+      run("s07_pkuk",
+        T("t", Seq(C("a", notNull = true), C("b")),
+          Seq(pkA, K(TS.Unique, "uk1", Seq("b")))),
+        Some(T("t", Seq(C("a", notNull = true), C("c", notNull = true)),
+          Seq(pkA, K(TS.Unique, "uk1", Seq("c")))))) ++
+      run("s08_ext_no_table", base, None, Seq("e1")) ++
+      run("s09_no_table_ok", base, None) ++
+      run("s10_ext_dup_up",
+        T("t", Seq(C("a", notNull = true), C("e1")), Seq(pkA)),
+        Some(T("t", Seq(C("a", notNull = true)), Seq(pkA))), Seq("e1")) ++
+      run("s11_ext_ok", T("t", Seq(C("a", notNull = true)), Seq(pkA)),
+        Some(T("t", Seq(C("a", notNull = true), C("e1")), Seq(pkA))),
+        Seq("e1")) ++
+      run("s12_ext_both",
+        T("t", Seq(C("a", notNull = true), C("e1")), Seq(pkA)),
+        Some(T("t", Seq(C("a", notNull = true), C("e1")), Seq(pkA))),
+        Seq("e1")) ++
+      run("s13_ignorable", T("t", Seq(C("a", notNull = true)), Seq(pkA)),
+        Some(T("t", Seq(C("a", notNull = true),
+          C("x", notNull = true, hasDefault = true), C("y"),
+          C("z", notNull = true)), Seq(pkA))))
+
+    rows.toDF("kase", "seq", "state", "code", "payload")
+  }
+
   def all: Seq[GateQuery] =
     Seq(chunkChecksum, chunkChecksumComposite, rowDiff, fixSql, fixApply,
       diffIgnoreColumns, diffRange, diffReport, diffCheckpointResume,
       diffCheckModes, bucketChunksMerge, bucketChunksSplit, shardMerge,
-      structCompare, limitSplit, indexSelect, diffSample)
+      structCompare, limitSplit, indexSelect, diffSample, tableStructCheck)
 
   // shared-cache warmers: Bench prebuilds these as their own entries so
   // consuming gates (q51/q52/q240/q243…) report marginal cost

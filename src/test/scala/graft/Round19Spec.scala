@@ -452,6 +452,32 @@ class Round19Spec extends AnyFunSuite {
       Some("2022-01-01 00:00:00.600000")) == "1640995201000")
   }
 
+  test("table-structure checker tokens, parsed from checker source") {
+    assumeRef()
+    val tsSrc = slurp("/root/reference/dm/pkg/checker/table_structure.go")
+    val utSrc = slurp("/root/reference/dm/pkg/checker/utils.go")
+    // the utf8mb4 downstream exemption is the ONLY charset escape hatch
+    assert(tsSrc.contains(
+      "!strings.EqualFold(downstreamCharset, mysql.UTF8MB4Charset)"))
+    // the PRIMARY index-name literal for pk constraints (utils.go:213)
+    assert(utSrc.contains("""ret["PRIMARY"]"""))
+    // checkUnique's constraint set = {PrimaryKey, Uniq, UniqKey, UniqIndex}
+    val uniqSet = """case (ast\.Constraint[\w, .]+):\s*\n\s*return true""".r
+      .findFirstMatchIn(tsSrc).map(_.group(1)).getOrElse("")
+    for (t <- Seq("ConstraintPrimaryKey", "ConstraintUniq",
+        "ConstraintUniqKey", "ConstraintUniqIndex"))
+      assert(uniqSet.contains(t), s"$t missing from checkUnique")
+    // ignorable = nullable OR default/auto-increment/auto-random/generated
+    for (t <- Seq("ColumnOptionDefaultValue", "ColumnOptionAutoIncrement",
+        "ColumnOptionAutoRandom", "ColumnOptionGenerated"))
+      assert(utSrc.contains(t), s"$t missing from getColumnsAndIgnorable")
+    import graft.diff.{TableStructCheck => TS}
+    // warning never outranks failure in the Result fold
+    assert(TS.foldResult(Seq(TS.Opt(TS.Warning, "x", ""),
+      TS.Opt(TS.Failure, "y", ""))) == TS.Failure)
+    assert(TS.foldResult(Nil) == TS.Success)
+  }
+
   test("AdjustPath/TrimPath round trip (storage/utils.go semantics)") {
     // local: trailing separator trimmed, suffix appended once
     assert(STV.adjustPath("./dump_data/", ".task") == "./dump_data.task")
