@@ -46,7 +46,8 @@ object DebeziumFields {
 
   final case class FieldSpec(name: String, tpe: String, flen: Int = -1,
       fsp: Int = -1, elems: Seq[String] = Nil, notNull: Boolean = false,
-      unsigned: Boolean = false, binary: Boolean = false)
+      unsigned: Boolean = false, binary: Boolean = false,
+      zerofill: Boolean = false, charset: String = "")
 
   /** The schema-entry facts (everything but the `field` name itself):
     * version 0 / name "" stand for absent. */
@@ -264,4 +265,160 @@ object DebeziumFields {
     case "longlong" => 64
     case _ => throw new IllegalArgumentException(tpe)
   }
+
+  // ---- DDL tableChanges column extractors (codec.go:1301-1392 +
+  // helper.go:119-240 + internal/java.go:155-230) --------------------------
+
+  /** MySQLType2JdbcType (internal/java.go:155-230) — NOT the Canal map
+    * ([[graft.core.MySqlTypes.javaSqlType]] / MySQLType2JavaType):
+    * Debezium sends TINYINT as SMALLINT, YEAR as INTEGER, TIMESTAMP as
+    * TIMESTAMP_WITH_TIMEZONE, ENUM/SET as CHAR, FLOAT as FLOAT (6, not
+    * REAL 7). java.sql.Types ids. */
+  def jdbcType(tpe: String, binary: Boolean): Int = tpe match {
+    case "tiny" | "short" => 5 // SMALLINT
+    case "long" | "int24" | "year" => 4 // INTEGER
+    case "float" => 6 // FLOAT
+    case "double" => 8
+    case "newdecimal" => 3 // DECIMAL
+    case "timestamp" => 2014 // TIMESTAMP_WITH_TIMEZONE
+    case "datetime" => 93 // TIMESTAMP
+    case "longlong" => -5 // BIGINT
+    case "date" => 91
+    case "time" => 92
+    case "enum" | "set" => 1 // CHAR
+    case "blob" => if (binary) 2004 else 12 // BLOB / VARCHAR
+    case "varchar" => if (binary) -3 else 12 // VARBINARY / VARCHAR
+    case "string" => if (binary) -2 else 1 // BINARY / CHAR
+    case "bit" => -7
+    case "json" => 1111 // OTHER
+    case "vector" => 12
+    case other => throw new IllegalArgumentException(other)
+  }
+
+  /** types.TypeToStr with the binary-charset renames. */
+  def typeToStr(tpe: String, binary: Boolean): String = tpe match {
+    case "tiny" => "tinyint"
+    case "short" => "smallint"
+    case "int24" => "mediumint"
+    case "long" => "int"
+    case "longlong" => "bigint"
+    case "newdecimal" => "decimal"
+    case "varchar" => if (binary) "varbinary" else "varchar"
+    case "string" => if (binary) "binary" else "char"
+    case "blob" => if (binary) "blob" else "text"
+    case "time" => "time"
+    case other => other
+  }
+
+  /** mysql.GetDefaultFieldLengthAndDecimal's flen, for the types the
+    * length rule compares against (MySQL display widths). */
+  def defaultFlen(tpe: String): Int = tpe match {
+    case "tiny" => 4
+    case "short" => 6
+    case "int24" => 9
+    case "long" => 11
+    case "longlong" => 20
+    case "float" => 12
+    case "double" => 22
+    case "bit" => 1
+    case "string" => 1
+    case "varchar" => 5
+    case _ => -1
+  }
+
+  /** getLen (helper.go:131-161). */
+  def lenOf(f: FieldSpec): Option[Int] = f.tpe match {
+    case "timestamp" | "time" | "datetime" => Some(f.fsp)
+    case "bit" | "varchar" | "string" | "vector" | "longlong" | "float" |
+         "double" =>
+      if (f.flen != defaultFlen(f.tpe)) Some(f.flen) else None
+    case "tiny" | "short" | "int24" | "long" =>
+      var d = defaultFlen(f.tpe)
+      if (f.unsigned) d -= 1
+      if (f.tpe == "tiny" && f.zerofill) d += 1
+      if (f.flen != d) Some(f.flen) else None
+    case "year" | "newdecimal" => Some(f.flen)
+    case "set" => Some(2 * f.elems.length - 1)
+    case "enum" => Some(1)
+    case _ => None
+  }
+
+  /** getScale (helper.go:163-169) — a -1 scale renders null upstream
+    * (codec.go:1376-1381). */
+  def scaleOf(f: FieldSpec): Option[Int] = f.tpe match {
+    case "newdecimal" | "float" | "double" if f.fsp != -1 => Some(f.fsp)
+    case _ => None
+  }
+
+  /** getCharset (helper.go:119-129): the binary charset reads empty. */
+  def charsetOf(f: FieldSpec): String =
+    if (f.charset == "binary") ""
+    else f.tpe match {
+      case "timestamp" | "time" | "newdecimal" | "string" | "varchar" |
+           "blob" | "enum" | "set" => f.charset
+      case _ => ""
+    }
+
+  /** getSuffix (helper.go:171-212) for the types the gate exercises. */
+  private def suffixOf(f: FieldSpec): String = f.tpe match {
+    case "double" =>
+      // a non-default, non-zero declared decimal makes (M,D) visible
+      if (f.fsp != -1 && f.fsp != 0)
+        s"(${if (f.flen == -1) defaultFlen("double") else f.flen},${f.fsp})"
+      else ""
+    case "vector" if f.flen != -1 => s"(${f.flen})"
+    case _ => ""
+  }
+
+  /** getExpressionAndName (helper.go:214-229) → (expression, name). */
+  def expressionAndName(f: FieldSpec): (String, String) = {
+    val prefix = typeToStr(f.tpe, f.binary).toUpperCase
+    f.tpe match {
+      case "year" | "bit" | "varchar" | "string" | "newdecimal" =>
+        (prefix, prefix)
+      case _ =>
+        val cs = prefix + suffixOf(f)
+        val suf =
+          if (f.zerofill) " UNSIGNED ZEROFILL"
+          else if (f.unsigned) " UNSIGNED"
+          else ""
+        (cs + suf, prefix + suf)
+    }
+  }
+
+  /** getTiDBType (helper.go:231-241). */
+  def tidbType(f: FieldSpec): String = {
+    val base = typeToStr(f.tpe, f.binary)
+    f.tpe match {
+      case "year" | "bit" | "varchar" | "string" | "newdecimal" => base
+      case _ => if (f.unsigned) base + " unsigned" else base
+    }
+  }
+
+  /** The tableChanges id render (codec.go:1280-1295): a rename
+    * concatenates `"old-db"."old-table","new-db"."new-table"` —
+    * PreTableInfo FIRST. */
+  def tableChangeId(db: String, table: String,
+      pre: Option[(String, String)]): String = pre match {
+    case Some((pdb, ptable)) =>
+      s""""$pdb"."$ptable","$db"."$table""""
+    case None => s""""$db"."$table""""
+  }
+
+  /** defaultValueExpression (codec.go:1326-1344): CURRENT_TIMESTAMP
+    * renders the epoch string, `<nil>` renders null (None here), a bit
+    * default renders its parseBit form (the raw bit-literal digits). */
+  def defaultValueExpression(tpe: String, default: Option[String],
+      bitFlen: Int = -1): Option[String] = default.map { v =>
+    if (v.toUpperCase == "CURRENT_TIMESTAMP") "1970-01-01 00:00:00"
+    else if (tpe == "bit" && bitFlen > 0) v // parseBit form passes through
+    else v
+  }
+
+  /** The generated/autoIncremented flag pair (codec.go:1383-1388): an
+    * ON UPDATE CURRENT_TIMESTAMP column whose jdbc type is
+    * TIMESTAMP_WITH_TIMEZONE reads as auto-incremented AND generated. */
+  def autoIncrementedFlag(tpe: String, binary: Boolean,
+      autoIncrement: Boolean, onUpdateNow: Boolean): Boolean =
+    autoIncrement || (onUpdateNow && jdbcType(tpe, binary) == 2014)
 }

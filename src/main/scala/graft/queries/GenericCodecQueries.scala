@@ -1162,9 +1162,121 @@ object GenericCodecQueries {
       "params", "val")
   }
 
+  /**
+   * q307 — the Debezium DDL `tableChanges` column entries
+   * ([[graft.functions.DebeziumFields]];
+   * pkg/sink/codec/debezium/codec.go:1273-1392 EncodeDDLEvent's table
+   * block + helper.go:119-241 extractors + internal/java.go:155-230
+   * MySQLType2JdbcType): the jdbcType matrix — DISTINCT from the Canal
+   * map already gated (TINYINT→SMALLINT, YEAR→INTEGER,
+   * TIMESTAMP→TIMESTAMP_WITH_TIMEZONE 2014, ENUM/SET→CHAR, FLOAT→6) —
+   * plus typeName/typeExpression (early-return types carry no
+   * suffix/UNSIGNED; DOUBLE(M,D) only with a declared non-zero D),
+   * tidb_type, the length rule (defaults compare with the unsigned -1 /
+   * tiny-zerofill +1 adjustments; SET = 2n-1, ENUM = 1, temporal = fsp),
+   * scale, the binary-charset erasure, the rename id render
+   * (PreTableInfo FIRST), CURRENT_TIMESTAMP default folding, and the
+   * ON-UPDATE-NOW → autoIncremented+generated rule that applies ONLY to
+   * TIMESTAMP_WITH_TIMEZONE columns.
+   */
+  val debeziumDdlColumns = GateQuery(
+    "q307_debezium_ddl_columns",
+    Some("""SELECT * FROM (VALUES
+      |  ('col','int_signed',      4,'INT','INT','int',NULL,NULL,''),
+      |  ('col','int_unsigned',    4,'INT UNSIGNED','INT UNSIGNED','int unsigned',NULL,NULL,''),
+      |  ('col','int_uns_wide',    4,'INT UNSIGNED','INT UNSIGNED','int unsigned',11,NULL,''),
+      |  ('col','tiny_zerofill',   5,'TINYINT UNSIGNED ZEROFILL','TINYINT UNSIGNED ZEROFILL','tinyint unsigned',NULL,NULL,''),
+      |  ('col','bigint',         -5,'BIGINT','BIGINT','bigint',NULL,NULL,''),
+      |  ('col','year',            4,'YEAR','YEAR','year',4,NULL,''),
+      |  ('col','float_plain',     6,'FLOAT','FLOAT','float',NULL,NULL,''),
+      |  ('col','double_md',       8,'DOUBLE','DOUBLE(10,2)','double',10,2,''),
+      |  ('col','decimal',         3,'DECIMAL','DECIMAL','decimal',10,5,''),
+      |  ('col','varchar_utf8',   12,'VARCHAR','VARCHAR','varchar',100,NULL,'utf8mb4'),
+      |  ('col','varbinary',      -3,'VARBINARY','VARBINARY','varbinary',100,NULL,''),
+      |  ('col','char_bin',       -2,'BINARY','BINARY','binary',50,NULL,''),
+      |  ('col','text',           12,'TEXT','TEXT','text',NULL,NULL,'utf8mb4'),
+      |  ('col','blob_bin',     2004,'BLOB','BLOB','blob',NULL,NULL,''),
+      |  ('col','timestamp6',   2014,'TIMESTAMP','TIMESTAMP','timestamp',6,NULL,''),
+      |  ('col','datetime3',      93,'DATETIME','DATETIME','datetime',3,NULL,''),
+      |  ('col','time0',          92,'TIME','TIME','time',0,NULL,''),
+      |  ('col','enum',            1,'ENUM','ENUM','enum',1,NULL,'utf8mb4'),
+      |  ('col','set3',            1,'SET','SET','set',5,NULL,'utf8mb4'),
+      |  ('col','bit5',           -7,'BIT','BIT','bit',5,NULL,''),
+      |  ('col','json',         1111,'JSON','JSON','json',NULL,NULL,''),
+      |  ('ddl','id_plain',     NULL,'','"test"."t1"','',NULL,NULL,''),
+      |  ('ddl','id_rename',    NULL,'','"test"."t1","test"."t2"','',NULL,NULL,''),
+      |  ('ddl','default_now',  NULL,'','1970-01-01 00:00:00','',NULL,NULL,''),
+      |  ('ddl','default_plain',NULL,'','x','',NULL,NULL,''),
+      |  ('ddl','auto_onupdate',NULL,'','true','',NULL,NULL,''),
+      |  ('ddl','auto_on_dt',   NULL,'','false','',NULL,NULL,'')
+      |) v(family, kase, jdbc, type_name, type_expr, tidb_type, len,
+      |    scale, cs)""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.{DebeziumFields => DF}
+    import DF.FieldSpec
+
+    def col(kase: String, f: FieldSpec)
+        : (String, Option[Int], String, String, String, Option[Int],
+           Option[Int], String, String) = {
+      val (expr, name) = DF.expressionAndName(f)
+      ("col", Some(DF.jdbcType(f.tpe, f.binary)), name, expr,
+        DF.tidbType(f), DF.lenOf(f), DF.scaleOf(f), DF.charsetOf(f), kase)
+    }
+    def ddl(kase: String, payload: String)
+        : (String, Option[Int], String, String, String, Option[Int],
+           Option[Int], String, String) =
+      ("ddl", None, "", payload, "", None, None, "", kase)
+
+    val rows = Seq(
+      col("int_signed", FieldSpec("c", "long", flen = 11)),
+      col("int_unsigned", FieldSpec("c", "long", flen = 10, unsigned = true)),
+      col("int_uns_wide", FieldSpec("c", "long", flen = 11, unsigned = true)),
+      col("tiny_zerofill", FieldSpec("c", "tiny", flen = 4,
+        unsigned = true, zerofill = true)),
+      col("bigint", FieldSpec("c", "longlong", flen = 20)),
+      col("year", FieldSpec("c", "year", flen = 4)),
+      col("float_plain", FieldSpec("c", "float", flen = 12)),
+      col("double_md", FieldSpec("c", "double", flen = 10, fsp = 2)),
+      col("decimal", FieldSpec("c", "newdecimal", flen = 10, fsp = 5)),
+      col("varchar_utf8", FieldSpec("c", "varchar", flen = 100,
+        charset = "utf8mb4")),
+      col("varbinary", FieldSpec("c", "varchar", flen = 100,
+        binary = true, charset = "binary")),
+      col("char_bin", FieldSpec("c", "string", flen = 50,
+        binary = true, charset = "binary")),
+      col("text", FieldSpec("c", "blob", charset = "utf8mb4")),
+      col("blob_bin", FieldSpec("c", "blob", binary = true,
+        charset = "binary")),
+      col("timestamp6", FieldSpec("c", "timestamp", fsp = 6)),
+      col("datetime3", FieldSpec("c", "datetime", fsp = 3)),
+      col("time0", FieldSpec("c", "time", fsp = 0)),
+      col("enum", FieldSpec("c", "enum", elems = Seq("a", "b", "c"),
+        charset = "utf8mb4")),
+      col("set3", FieldSpec("c", "set", elems = Seq("a", "b", "c"),
+        charset = "utf8mb4")),
+      col("bit5", FieldSpec("c", "bit", flen = 5)),
+      col("json", FieldSpec("c", "json")),
+      ddl("id_plain", DF.tableChangeId("test", "t1", None)),
+      ddl("id_rename", DF.tableChangeId("test", "t2", Some(("test", "t1")))),
+      ddl("default_now", DF.defaultValueExpression("timestamp",
+        Some("CURRENT_TIMESTAMP")).getOrElse("")),
+      ddl("default_plain",
+        DF.defaultValueExpression("varchar", Some("x")).getOrElse("")),
+      ddl("auto_onupdate", DF.autoIncrementedFlag("timestamp",
+        binary = false, autoIncrement = false, onUpdateNow = true).toString),
+      ddl("auto_on_dt", DF.autoIncrementedFlag("datetime",
+        binary = false, autoIncrement = false, onUpdateNow = true).toString))
+
+    rows.map { case (fam, j, n, e, t, l, s, c, k) =>
+      (fam, k, j, n, e, t, l, s, c)
+    }.toDF("family", "kase", "jdbc", "type_name", "type_expr",
+      "tidb_type", "len", "scale", "cs")
+  }
+
   def all: Seq[GateQuery] = Seq(canalGeneric, openGeneric, maxwellGeneric,
     csvGeneric, debeziumSchemaGate, simpleGeneric, integrityGeneric,
     vectorRoundtrip, canalUpdatedColumns, openUpdatedColumns, claimCheckRaw,
     debeziumOptions, canalShortTypes, avroModes, csvRefLayout,
-    simpleLargeMessage, schemaSidecar, avroWatermark, debeziumTypeMatrix)
+    simpleLargeMessage, schemaSidecar, avroWatermark, debeziumTypeMatrix,
+    debeziumDdlColumns)
 }
