@@ -138,10 +138,12 @@ object ChunkDiff {
       keyCols)
 
   /** [[rowDiff]] over PRE-DIGESTED sides (each carries a `digest`
-    * column): lets a caller that also aggregates the digests — q263
-    * feeds the same digested frame into the chunk checksums AND the row
-    * diff — compute and cache each side's digest pass ONCE instead of
-    * per consumer. */
+    * column). NOTE: sharing a digested-and-PERSISTED base frame across
+    * consumers was measured 50% SLOWER at sf10 than recomputing the
+    * digest per consumer (the columnar cache write of wide rows
+    * dominates — round-19 NOTES); this split exists for callers that
+    * already hold a digested frame in-plan, not as license to cache
+    * one. */
   def rowDiffDigested(source: DataFrame, target: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val s = source.select(keyCols.map(col) :+ col("digest").as("s_digest"): _*)

@@ -146,17 +146,27 @@ object DebeziumFields {
     (if (2 * r >= unit) q + 1 else q) * unit
   }
 
-  private def parseDatetimeUtc(v: String, fsp: Int): Option[Long] =
+  /** Right(Some(micros)) for a real datetime, Right(None) for a MySQL
+    * zero-date (parses but has no Go time — the reference's GoTime
+    * error leg), Left for garbage StrToDateTime would REJECT
+    * (the reference raises ErrDebeziumEncodeFailed there, codec.go:644-648
+    * — masking bad input as epoch/null would hide corruption). */
+  private def parseDatetimeUtc(v: String, fsp: Int)
+      : Either[String, Option[Long]] =
     v match {
       case DtRe(y, mo, d, h, mi, s, frac) =>
-        try {
+        if (mo.toInt == 0 || d.toInt == 0) Right(None) // zero-date
+        else try {
           val ldt = java.time.LocalDateTime.of(windowYear(y.toInt), mo.toInt,
             d.toInt, h.toInt, mi.toInt, s.toInt)
           val total = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
             microsOf(frac)
-          Some(roundToFsp(total, fsp))
-        } catch { case _: java.time.DateTimeException => None }
-      case _ => None
+          Right(Some(roundToFsp(total, fsp)))
+        } catch {
+          case _: java.time.DateTimeException =>
+            Left(s"unparseable datetime: $v")
+        }
+      case _ => Left(s"unparseable datetime: $v")
     }
 
   /**
@@ -201,28 +211,41 @@ object DebeziumFields {
             if (f.notNull) "0" else "null"
         }
       case "datetime" =>
+        if (value == "CURRENT_TIMESTAMP") return "0" // codec.go:640-643
         parseDatetimeUtc(value, math.max(f.fsp, 0)) match {
-          case None => if (f.notNull) "0" else "null"
-          case Some(micros) =>
+          case Left(e) => throw new IllegalArgumentException(e)
+          case Right(None) => if (f.notNull) "0" else "null"
+          case Right(Some(micros)) =>
             if (math.max(f.fsp, 0) <= 3) (micros / 1000L).toString
             else micros.toString
         }
+      case "timestamp" if value == "CURRENT_TIMESTAMP" => // codec.go:691-698
+        if (f.notNull) jsonStr("1970-01-01T00:00:00Z") else "null"
       case "timestamp" =>
-        // config tz pinned UTC (the golden's session) — render ...Z
+        // config tz pinned UTC (the golden's session) — render ...Z.
+        // A zero-date or below-MinTimestamp value WITH a row value
+        // renders the epoch string; only a nil-sourced value (raw=None,
+        // handled at the top) renders null (codec.go:705-712 keys on
+        // col.Value == nil, NOT on the NOT NULL flag).
         parseDatetimeUtc(value, math.max(f.fsp, 0)) match {
-          case None => if (f.notNull) jsonStr("1970-01-01T00:00:00Z")
-            else "null"
-          case Some(micros) =>
-            val sec = Math.floorDiv(micros, 1000000L)
-            val us = micros - sec * 1000000L
-            val base = java.time.LocalDateTime
-              .ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
-              .format(java.time.format.DateTimeFormatter
-                .ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
-            val fsp = math.max(f.fsp, 0)
-            val fracPart =
-              if (fsp > 0) "." + f"$us%06d".take(fsp) else ""
-            jsonStr(base + fracPart + "Z")
+          case Left(e) => throw new IllegalArgumentException(e)
+          case Right(maybeMicros) =>
+            // MinTimestamp is 1970-01-01 00:00:01 (types.MinTimestamp)
+            val belowMin = maybeMicros.forall(_ < 1000000L)
+            if (belowMin) jsonStr("1970-01-01T00:00:00Z")
+            else {
+              val micros = maybeMicros.get
+              val sec = Math.floorDiv(micros, 1000000L)
+              val us = micros - sec * 1000000L
+              val base = java.time.LocalDateTime
+                .ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+                .format(java.time.format.DateTimeFormatter
+                  .ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+              val fsp = math.max(f.fsp, 0)
+              val fracPart =
+                if (fsp > 0) "." + f"$us%06d".take(fsp) else ""
+              jsonStr(base + fracPart + "Z")
+            }
         }
       case "time" =>
         value match {

@@ -102,7 +102,11 @@ object TaskConfigQueries {
             None, "", "", "")
         case Right(TC.Adjusted(c, warns)) =>
           val l = c.loaders.get("l1")
-          val v = c.validators.get("v1")
+          // the instance's EFFECTIVE validator (task.go:940-950): the
+          // name-ref resolves to the adjusted global block
+          val v = c.instances.headOption
+            .filter(_.validatorConfigName.nonEmpty)
+            .map(i => TC.effectiveValidator(c, i))
           (family, kase, 1, "", c.metaSchema, c.shardMode,
             c.collationCompatible, Some(if (c.onlineDdl) 1 else 0),
             l.map(_.importMode).getOrElse(""),

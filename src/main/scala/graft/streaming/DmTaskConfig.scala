@@ -160,15 +160,27 @@ object DmTaskConfig {
       return Left(ErrInvalidTimezone ->
         "'SYSTEM' or 'Local' time_zone is not supported")
     if (s.startsWith("+") || s.startsWith("-")) {
-      val m = """^[+-](\d{1,2}):(\d{2})$""".r.findFirstMatchIn(s)
-      m match {
-        case Some(g) =>
-          val hh = g.group(1).toInt
-          val mm = g.group(2).toInt
-          val tot = hh * 60 + mm
-          val ok = mm < 60 &&
-            (if (s.startsWith("-")) tot <= 12 * 60 + 59 else tot <= 14 * 60)
-          if (ok) Right(f"${s.charAt(0)}$hh%02d:$mm%02d")
+      // the reference parses the offset with types.ParseDuration (the
+      // MySQL TIME grammar) before bound-checking: `+10` is ten SECONDS,
+      // `+10:00` ten hours, `+10:00:30` carries seconds; the rendered
+      // name keeps only hours:minutes (dbutil.FormatTimeZoneOffset)
+      val body = s.substring(1)
+      val totalSec: Option[Long] = body match {
+        case b if b.matches("""\d{1,3}:\d{1,2}:\d{1,2}""") =>
+          val Array(h, m, sec) = b.split(":").map(_.toLong)
+          if (m < 60 && sec < 60) Some(h * 3600 + m * 60 + sec) else None
+        case b if b.matches("""\d{1,3}:\d{1,2}""") =>
+          val Array(h, m) = b.split(":").map(_.toLong)
+          if (m < 60) Some(h * 3600 + m * 60) else None
+        case b if b.matches("""\d{1,6}""") => Some(b.toLong) // seconds
+        case _ => None
+      }
+      totalSec match {
+        case Some(tot) =>
+          val ok =
+            if (s.startsWith("-")) tot <= (12 * 60 + 59) * 60
+            else tot <= 14 * 3600
+          if (ok) Right(f"${s.charAt(0)}${tot / 3600}%02d:${tot / 60 % 60}%02d")
           else Left(ErrInvalidTimezone -> s)
         case None => Left(ErrInvalidTimezone -> s)
       }

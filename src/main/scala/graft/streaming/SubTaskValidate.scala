@@ -124,6 +124,18 @@ object SubTaskValidate {
     }
   }
 
+  /** Go url.PathEscape: RFC 3986 path-segment escaping — unreserved
+    * chars, sub-delims (`!$&'()*+,;=`) and `:@` pass through, space
+    * becomes %20 (NOT java URLEncoder's `+`, and `+` itself is KEPT). */
+  def pathEscape(s: String): String = {
+    val keep = Set('!', '$', '&', '\'', '(', ')', '*', '+', ',', ';', '=',
+      ':', '@', '-', '.', '_', '~')
+    s.flatMap { c =>
+      if (c.isLetterOrDigit && c < 128 || keep(c)) c.toString
+      else c.toString.getBytes("UTF-8").map(b => f"%%${b & 0xff}%02X").mkString
+    }
+  }
+
   /** TrimPath (storage/utils.go:70-86): strip the uniqueId suffix. */
   def trimPath(raw: String, uniqueId: String): String = {
     if (raw.isEmpty || uniqueId.isEmpty) return raw
@@ -252,7 +264,7 @@ object SubTaskValidate {
     if (TC.hasLoad(c.mode) && c.loader.sortingDirPhysical.isEmpty) {
       val sorting =
         if (isLocalDiskPath(c.loader.dir)) c.loader.dir + ".sorting"
-        else "./sorting." + java.net.URLEncoder.encode(c.name, "UTF-8")
+        else "./sorting." + pathEscape(c.name)
       c = c.copy(loader = c.loader.copy(sortingDirPhysical = sorting))
     }
 

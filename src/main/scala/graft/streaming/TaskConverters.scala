@@ -370,6 +370,12 @@ object TaskConverters {
       : Either[(String, String), (ConvertedTask, TC.Adjusted)] =
     for {
       subTasks <- openApiTaskToSubTasks(task, sourceCfgMap, toSession)
+      // a source-less task would reach TaskConfig.adjust's
+      // at-least-one-instance error anyway; surface it here instead of
+      // letting subTasksToTaskConfig's head throw
+      _ <- if (subTasks.isEmpty)
+        Left(TC.ErrInstsAtLeastOne -> "mysql-instances at least one")
+      else Right(())
       ct = subTasksToTaskConfig(subTasks)
       adjusted <- TC.adjust(toTaskConfig(ct))
     } yield (ct, adjusted)

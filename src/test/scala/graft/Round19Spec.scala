@@ -450,6 +450,37 @@ class Round19Spec extends AnyFunSuite {
     // fsp rounding carries into the next second
     assert(DF.fieldValue(FieldSpec("c", "datetime", fsp = 0),
       Some("2022-01-01 00:00:00.600000")) == "1640995201000")
+    // a timestamp WITH a row value below MinTimestamp (incl. zero-date)
+    // renders the epoch string even when NULLABLE — the reference keys
+    // on col.Value == nil, not the NOT NULL flag (codec.go:705-712);
+    // only a nil-sourced value (None) is null
+    assert(DF.fieldValue(FieldSpec("c", "timestamp", fsp = 0),
+      Some("0000-00-00 00:00:00")) == "\"1970-01-01T00:00:00Z\"")
+    assert(DF.fieldValue(FieldSpec("c", "timestamp", fsp = 0), None) == "null")
+    // CURRENT_TIMESTAMP value legs (codec.go:640-643, :691-698)
+    assert(DF.fieldValue(FieldSpec("c", "datetime", fsp = 0),
+      Some("CURRENT_TIMESTAMP")) == "0")
+    assert(DF.fieldValue(FieldSpec("c", "timestamp", notNull = true),
+      Some("CURRENT_TIMESTAMP")) == "\"1970-01-01T00:00:00Z\"")
+    // garbage datetime is an ENCODE ERROR, not a silent 0/null
+    intercept[IllegalArgumentException] {
+      DF.fieldValue(FieldSpec("c", "datetime", fsp = 0), Some("not-a-date"))
+    }
+  }
+
+  test("review fixes: duration-grammar offsets and Go PathEscape") {
+    import graft.streaming.{DmTaskConfig => TCx, SubTaskValidate => SV}
+    // the reference parses offsets with the MySQL TIME grammar: a bare
+    // number is SECONDS, h:m:s carries seconds; render keeps h:mm
+    assert(TCx.parseTimeZone("+10:00:30") == Right("+10:00"))
+    assert(TCx.parseTimeZone("+30") == Right("+00:00"))
+    assert(TCx.parseTimeZone("-12:59:59").isLeft) // > 12:59 on the minus side
+    assert(TCx.parseTimeZone("+10:75").isLeft) // minutes out of range
+    // Go url.PathEscape: space -> %20, '+' kept, '/' escaped
+    assert(SV.pathEscape("my task") == "my%20task")
+    assert(SV.pathEscape("a+b") == "a+b")
+    assert(SV.pathEscape("a/b") == "a%2Fb")
+    assert(SV.pathEscape("tâche") == "t%C3%A2che")
   }
 
   test("table-structure checker tokens, parsed from checker source") {
