@@ -1080,7 +1080,25 @@ object GenericCodecQueries {
       |           json_extract_string(f, '$.parameters.allowed'), '') AS params,
       |  CAST(json_extract(a, '$.' || json_extract_string(f, '$.field'))
       |       AS VARCHAR) AS val
-      |FROM fields, vals""".stripMargin)) { (spark, dir) =>
+      |FROM fields, vals
+      |UNION ALL
+      |SELECT '_key_' || json_extract_string(kf, '$.field'),
+      |  json_extract_string(kf, '$.type'),
+      |  CASE WHEN json_extract_string(kf, '$.optional') = 'true'
+      |       THEN 1 ELSE 0 END,
+      |  coalesce(json_extract_string(kf, '$.name'), ''),
+      |  coalesce(TRY_CAST(json_extract(kf, '$.version') AS INT), 0), '',
+      |  CAST(json_extract(json_extract(kj, '$.payload'),
+      |       '$.' || json_extract_string(kf, '$.field')) AS VARCHAR)
+      |FROM (
+      |  SELECT CAST(content AS JSON) AS kj FROM
+      |  read_text('/root/reference/pkg/sink/codec/debezium/testdata/datatype.dbz.key.json')
+      |), LATERAL (SELECT unnest(CAST(json_extract(kj, '$.schema.fields') AS JSON[])) AS kf)
+      |UNION ALL
+      |SELECT '_key_schema_', 'struct', 0,
+      |  json_extract_string(CAST(content AS JSON), '$.schema.name'), 0, '',
+      |  NULL
+      |FROM read_text('/root/reference/pkg/sink/codec/debezium/testdata/datatype.dbz.key.json')""".stripMargin)) { (spark, dir) =>
     import spark.implicits._
     import graft.functions.{DebeziumFields => DF}
     val base = "/root/reference/pkg/sink/codec/debezium/testdata"
@@ -1153,13 +1171,27 @@ object GenericCodecQueries {
     require(specs.length == values.length,
       s"fixture mismatch: ${specs.length} cols vs ${values.length} values")
 
-    specs.zip(values).map { case (spec, raw) =>
+    val afterRows = specs.zip(values).map { case (spec, raw) =>
       val s = DF.fieldSchema(spec)
       val v = DF.fieldValue(spec, Some(raw))
       (spec.name, s.schType, if (s.optional) 1 else 0, s.logicalName,
         s.version, s.params, if (v == "null") None else Some(v))
-    }.toDF("field", "sch_type", "opt", "logical_name", "version",
-      "params", "val")
+    }
+    // the KEY message (EncodeKey, codec.go:937-971): HANDLE-KEY columns
+    // only, schema named `<clusterID>.<schema>.<table>.Key` — the
+    // cluster id and schema are the generating test's runtime config
+    // ("dbserver1"/"test"); the table name comes from the DDL fixture
+    val keySpecs = specs.zip(values).filter(_._1.notNull)
+    val keyRows = keySpecs.map { case (spec, raw) =>
+      val s = DF.fieldSchema(spec)
+      val v = DF.fieldValue(spec, Some(raw))
+      ("_key_" + spec.name, s.schType, if (s.optional) 1 else 0,
+        s.logicalName, s.version, s.params,
+        if (v == "null") None else Some(v))
+    } :+ (("_key_schema_", "struct", 0, "dbserver1.test.foo.Key", 0, "",
+      None: Option[String]))
+    (afterRows ++ keyRows).toDF("field", "sch_type", "opt", "logical_name",
+      "version", "params", "val")
   }
 
   /**
