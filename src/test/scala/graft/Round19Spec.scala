@@ -468,6 +468,65 @@ class Round19Spec extends AnyFunSuite {
     }
   }
 
+  test("task-config adjust is idempotent over 300 random valid configs") {
+    // the reference re-runs adjust on already-adjusted configs (dmctl
+    // check-task then start-task both call it); a filled field must
+    // never re-fill differently and a valid config must stay valid
+    import graft.streaming.{DmTaskConfig => TCx}
+    val rnd = new scala.util.Random(19)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    for (trial <- 0 until 300) {
+      val nRoutes = rnd.nextInt(3)
+      val routes = (0 until nRoutes).map(i => s"r$i").toSet
+      val nLoaders = rnd.nextInt(2)
+      val loaders = (0 until nLoaders).map(i => s"l$i" ->
+        TCx.LoaderCfg(importMode = pick(Seq("", "SQL", "logical",
+          "physical")))).toMap
+      val validators = if (rnd.nextBoolean()) Map("v0" ->
+        TCx.ValidatorCfg(mode = pick(Seq("", "none", "fast", "full"))))
+        else Map.empty[String, TCx.ValidatorCfg]
+      val nInst = 1 + rnd.nextInt(3)
+      // import-into is only valid single-source — avoid planting it
+      val insts = (0 until nInst).map { i =>
+        TCx.Instance(s"src$i",
+          meta = if (rnd.nextBoolean())
+            Some(TCx.Meta(binlogName = "mysql-bin.000001")) else None,
+          routeRules = routes.toSeq.sorted.take(rnd.nextInt(nRoutes + 1)),
+          loaderConfigName =
+            if (loaders.nonEmpty && rnd.nextBoolean()) "l0" else "",
+          validatorConfigName =
+            if (validators.nonEmpty) "v0" else "",
+          syncerCheckpointFlushInterval = pick(Seq(0, 10, 30, 45)))
+      }
+      // every global must be referenced or adjust rejects as unused
+      val referencedRoutes = insts.flatMap(_.routeRules).toSet
+      val referencedLoaders =
+        insts.map(_.loaderConfigName).filter(_.nonEmpty).toSet
+      val cfg = TCx.TaskConfig(
+        name = s"t$trial",
+        taskMode = pick(Seq("all", "full", "incremental", "load&sync")),
+        shardMode = pick(Seq("", "pessimistic", "optimistic")),
+        isSharding = rnd.nextBoolean(),
+        collationCompatible = pick(Seq("", "loose", "strict")),
+        onlineDdlScheme = pick(Seq("", "pt", "gh-ost")),
+        routes = referencedRoutes,
+        loaders = loaders.filter(kv => referencedLoaders(kv._1)),
+        validators =
+          if (insts.exists(_.validatorConfigName.nonEmpty)) validators
+          else Map.empty,
+        instances = insts)
+      TCx.adjust(cfg) match {
+        case Left(e) => fail(s"trial $trial unexpectedly rejected: $e")
+        case Right(TCx.Adjusted(once, _)) =>
+          TCx.adjust(once) match {
+            case Left(e) => fail(s"trial $trial rejects its own output: $e")
+            case Right(TCx.Adjusted(twice, _)) =>
+              assert(twice == once, s"trial $trial not idempotent")
+          }
+      }
+    }
+  }
+
   test("review fixes: duration-grammar offsets and Go PathEscape") {
     import graft.streaming.{DmTaskConfig => TCx, SubTaskValidate => SV}
     // the reference parses offsets with the MySQL TIME grammar: a bare
