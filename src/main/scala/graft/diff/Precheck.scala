@@ -11,8 +11,13 @@ import org.apache.spark.sql.types._
  * (TablesChecker: PK, types, name collisions, column bounds), primary-key
  * sanity (primary_key.go), charset cleanliness, MySQL-range timestamps, and
  * the shard-group checkers (ShardingTablesChecker schema consistency +
- * auto-increment PK conflict). Connectivity/privilege/binlog-config
- * checkers need a live server and are out of scope by SURVEY.
+ * auto-increment PK conflict). Only the live CONNECTION legs
+ * (dial/handshake of conn_checker.go, SHOW GRANTS / SHOW VARIABLES
+ * round-trips) need a server; their decision logic replays offline from
+ * snapshots carried in the task spec — server-config checks via
+ * [[Precheck.SourceMeta]] below, and the privilege checkers' full
+ * GRANT/REVOKE lattice via [[graft.diff.PrivilegeCheck]] fed the
+ * account's grant statements (q308).
  *
  * Schema checks run on the driver against the catalog StructType (no data
  * pass); data checks are ONE aggregation per table; shard checks are one

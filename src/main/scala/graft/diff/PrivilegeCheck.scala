@@ -1,0 +1,821 @@
+package graft.diff
+
+/**
+ * DM privilege checkers as an OFFLINE decision kernel
+ * (dm/pkg/checker/privilege.go:1-741): the reference's
+ * SourceDumpPrivilegeChecker / SourceReplicatePrivilegeChecker /
+ * TargetPrivilegeChecker run `SHOW GRANTS` on a live connection and feed
+ * the returned statements to `VerifyPrivileges` — a pure function from
+ * (grant strings, required-privilege lattice, server version) to the set
+ * of still-lacking privileges. Only the SHOW GRANTS round-trip needs a
+ * server; the decision logic rides the task spec exactly like
+ * [[Precheck.SourceMeta]] carries the server-variable snapshot: the spec
+ * carries the account's grant statements and this kernel replays
+ * privilege.go's verification offline.
+ *
+ * The lattice (privilege.go:35-48): a required privilege is either
+ * global (`*.*`) or a db→table tree where a db node is wholeDB (`db.*`)
+ * or a set of whole tables. Grants erase matching requirement leaves —
+ * global grants erase the privilege outright, db-level grants erase db
+ * nodes whose name matches the grant's LIKE-style db pattern
+ * (stringutil.CompilePattern with `\` escape, privilege.go:332), and
+ * table-level grants erase single tables (:398-430). `ALL PRIVILEGES`
+ * erases everything at its level except GRANT OPTION (:349-357), `SUPER`
+ * also satisfies REPLICATION CLIENT (:361-363), and the MySQL 8 dynamic
+ * privilege `FLUSH_TABLES` satisfies RELOAD (:337-345). REVOKE
+ * statements RESTORE matching requirement leaves from the original
+ * required set (:474-492), matching db/table names literally (MySQL
+ * partial revokes record schema names literally, :544-548). What
+ * survives is rendered by `LackedPrivilegesAsStr` (:243-286) in
+ * privilege-enum order (pkg/container/sortmap sorts keys ascending).
+ *
+ * Statement parsing: the reference uses the TiDB SQL parser; this kernel
+ * carries a small tokenizer covering the SHOW GRANTS output grammar
+ * (GRANT/REVOKE privilege and role statements, PROXY grants, quoted and
+ * backquoted identifiers, column lists, IDENTIFIED BY PASSWORD tails,
+ * WITH GRANT/ADMIN OPTION). Unknown privilege tokens parse as dynamic
+ * (extended) privileges, the TiDB behavior the reference's Aurora
+ * vectors (`LOAD FROM S3`, `INVOKE LAMBDA`) rely on. Go's random map
+ * iteration over lacking tables is re-expressed as name-sorted folds —
+ * the reference's own test vectors never lack two tables in one db, so
+ * every pinned render is unchanged.
+ */
+object PrivilegeCheck {
+
+  // ---------------------------------------------------------------- model
+
+  /** A privilege identifier. `order` is the TiDB parser's public
+    * PrivilegeType iota order (tidb parser mysql/privs.go) — the render
+    * sort key under sortmap.Sort; `render` is the Priv2Str name. The
+    * relative orderings the reference tests pin (Select < RELOAD,
+    * REPLICATION CLIENT < REPLICATION SLAVE, Create < Update) are
+    * asserted in Round20Spec against the reference's expected strings. */
+  final case class PrivT(order: Int, render: String) {
+    override def toString: String = render
+  }
+
+  val Usage = PrivT(0, "USAGE")
+  val Create = PrivT(1, "Create")
+  val Select = PrivT(2, "Select")
+  val Insert = PrivT(3, "Insert")
+  val Update = PrivT(4, "Update")
+  val Delete = PrivT(5, "Delete")
+  val ShowDB = PrivT(6, "Show Databases")
+  val Super = PrivT(7, "Super")
+  val CreateUser = PrivT(8, "Create User")
+  val Trigger = PrivT(9, "Trigger")
+  val Drop = PrivT(10, "Drop")
+  val Process = PrivT(11, "Process")
+  val Grant = PrivT(12, "Grant Option")
+  val References = PrivT(13, "References")
+  val Alter = PrivT(14, "Alter")
+  val Execute = PrivT(15, "Execute")
+  val Index = PrivT(16, "Index")
+  val CreateView = PrivT(17, "Create View")
+  val ShowView = PrivT(18, "Show View")
+  val CreateRole = PrivT(19, "Create Role")
+  val DropRole = PrivT(20, "Drop Role")
+  val CreateTMPTable = PrivT(21, "CREATE TEMPORARY TABLES")
+  val LockTables = PrivT(22, "LOCK TABLES")
+  val CreateRoutine = PrivT(23, "CREATE ROUTINE")
+  val AlterRoutine = PrivT(24, "ALTER ROUTINE")
+  val Event = PrivT(25, "EVENT")
+  val Shutdown = PrivT(26, "SHUTDOWN")
+  val Reload = PrivT(27, "RELOAD")
+  val File = PrivT(28, "FILE")
+  val Config = PrivT(29, "CONFIG")
+  val CreateTablespace = PrivT(30, "Create Tablespace")
+  val ReplicationClient = PrivT(31, "REPLICATION CLIENT")
+  val ReplicationSlave = PrivT(32, "REPLICATION SLAVE")
+  val All = PrivT(33, "ALL")
+  /** MySQL 8 dynamic privileges; the elem carries the name. */
+  val Extended = PrivT(34, "EXTENDED")
+
+  /** Static privilege-keyword table (multi-word keys space-joined,
+    * uppercase). Anything absent parses as [[Extended]]. */
+  val StaticPrivTokens: Map[String, PrivT] = Map(
+    "SELECT" -> Select, "INSERT" -> Insert, "UPDATE" -> Update,
+    "DELETE" -> Delete, "CREATE" -> Create, "DROP" -> Drop,
+    "PROCESS" -> Process, "REFERENCES" -> References, "ALTER" -> Alter,
+    "EXECUTE" -> Execute, "INDEX" -> Index, "EVENT" -> Event,
+    "TRIGGER" -> Trigger, "SUPER" -> Super, "RELOAD" -> Reload,
+    "FILE" -> File, "CONFIG" -> Config, "SHUTDOWN" -> Shutdown,
+    "USAGE" -> Usage, "ALL" -> All, "ALL PRIVILEGES" -> All,
+    "GRANT OPTION" -> Grant, "SHOW DATABASES" -> ShowDB,
+    "CREATE USER" -> CreateUser,
+    "CREATE TEMPORARY TABLES" -> CreateTMPTable,
+    "LOCK TABLES" -> LockTables, "CREATE VIEW" -> CreateView,
+    "SHOW VIEW" -> ShowView, "CREATE ROUTINE" -> CreateRoutine,
+    "ALTER ROUTINE" -> AlterRoutine, "CREATE ROLE" -> CreateRole,
+    "DROP ROLE" -> DropRole, "CREATE TABLESPACE" -> CreateTablespace,
+    "REPLICATION SLAVE" -> ReplicationSlave,
+    "REPLICATION CLIENT" -> ReplicationClient)
+
+  final case class TablePriv(wholeTable: Boolean = false,
+                             columns: Set[String] = Set.empty)
+  final case class DbPriv(wholeDB: Boolean = false,
+                          tables: Map[String, TablePriv] = Map.empty)
+  final case class Priv(needGlobal: Boolean = false,
+                        dbs: Map[String, DbPriv] = Map.empty)
+  type Lack = Map[PrivT, Priv]
+
+  /** genTableLevelPrivs (privilege.go:732-741): whole-table SELECT
+    * requirements from the task's (schema, table) check list. */
+  def tableLevelPrivs(tables: Seq[(String, String)]): Map[String, DbPriv] =
+    tables.groupBy(_._1).map { case (db, ts) =>
+      db -> DbPriv(wholeDB = false,
+        tables = ts.map(_._2 -> TablePriv(wholeTable = true)).toMap)
+    }
+
+  // ------------------------------------------------------------ statements
+
+  sealed trait Stmt
+  final case class GrantStmt(privs: Seq[PrivElem], level: GrantLevel,
+                             users: Seq[String]) extends Stmt
+  final case class GrantRoleStmt(roles: Seq[(String, String)]) extends Stmt
+  case object GrantProxyStmt extends Stmt
+  final case class RevokeStmt(privs: Seq[PrivElem],
+                              level: GrantLevel) extends Stmt
+  /** Parses as SQL but isn't a grant — "<stmt> is not grant statement". */
+  final case class OtherStmt(text: String) extends Stmt
+
+  final case class PrivElem(priv: PrivT, name: String = "",
+                            cols: Seq[String] = Nil)
+
+  sealed trait LevelType
+  case object LevelGlobal extends LevelType
+  case object LevelDb extends LevelType
+  case object LevelTable extends LevelType
+  final case class GrantLevel(level: LevelType, dbName: String = "",
+                              tableName: String = "")
+
+  // ------------------------------------------------------------- tokenizer
+
+  private sealed trait Tok { def start: Int; def end: Int }
+  private final case class Word(s: String, start: Int, end: Int) extends Tok
+  private final case class Quoted(s: String, start: Int, end: Int) extends Tok
+  private final case class BackQuoted(s: String, start: Int, end: Int)
+    extends Tok
+  private final case class Punct(c: Char, start: Int, end: Int) extends Tok
+
+  private def lex(sql: String): Either[String, Vector[Tok]] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '`' || c == '\'' || c == '"') {
+        val start = i
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val d = sql.charAt(i)
+          if (d == c) {
+            if (i + 1 < n && sql.charAt(i + 1) == c) { sb += c; i += 2 }
+            else { closed = true; i += 1 }
+          } else if (c != '`' && d == '\\' && i + 1 < n) {
+            sb += sql.charAt(i + 1); i += 2
+          } else { sb += d; i += 1 }
+        }
+        if (!closed) return Left(goyaccError(sql, start, n))
+        if (c == '`') out += BackQuoted(sb.toString, start, i)
+        else out += Quoted(sb.toString, start, i)
+      } else if (",()@.*".indexOf(c) >= 0) {
+        out += Punct(c, i, i + 1); i += 1
+      } else {
+        val start = i
+        while (i < n && !sql.charAt(i).isWhitespace &&
+          ",()@.*`'\"".indexOf(sql.charAt(i)) < 0) i += 1
+        out += Word(sql.substring(start, i), start, i)
+      }
+    }
+    Right(out.result())
+  }
+
+  /** The TiDB/goyacc parse-error shape: column is the 1-based end of the
+    * offending token, `near` runs from the token start to end-of-input
+    * (privilege_test.go pins `line 1 column 7 near "invalid SQL
+    * statement" ` — note the trailing space). */
+  private def goyaccError(sql: String, tokStart: Int, tokEnd: Int): String =
+    s"""line 1 column $tokEnd near "${sql.substring(tokStart)}" """
+
+  /** Statement-starting keywords that parse as valid SQL but are not
+    * GRANT/REVOKE — VerifyPrivileges rejects them with the
+    * "is not grant statement" error instead of a parse error. */
+  private val OtherStmtKeywords = Set(
+    "CREATE", "SELECT", "INSERT", "UPDATE", "DELETE", "DROP", "ALTER",
+    "SHOW", "SET", "USE", "BEGIN", "COMMIT", "ROLLBACK", "FLUSH",
+    "ANALYZE", "TRUNCATE", "RENAME", "EXPLAIN", "DESC", "DESCRIBE")
+
+  // --------------------------------------------------------------- parser
+
+  def parseStmt(sql: String): Either[String, Stmt] = lex(sql).flatMap { toks =>
+    toks.headOption match {
+      case Some(Word(w, _, _)) if w.equalsIgnoreCase("GRANT") =>
+        parseGrant(sql, toks)
+      case Some(Word(w, _, _)) if w.equalsIgnoreCase("REVOKE") =>
+        parseRevoke(sql, toks)
+      case Some(Word(w, _, _)) if OtherStmtKeywords(w.toUpperCase) =>
+        Right(OtherStmt(sql))
+      case Some(t) => Left(goyaccError(sql, t.start, t.end))
+      case None => Left(goyaccError(sql, 0, 0))
+    }
+  }
+
+  /** Index of the first TOP-LEVEL bare `ON` / `TO` keyword — backquoted
+    * role names containing " ON " never trip this (they lex as one
+    * BackQuoted token). */
+  private def firstKeyword(toks: Vector[Tok], kws: Set[String]): Int =
+    toks.indexWhere {
+      case Word(w, _, _) => kws(w.toUpperCase)
+      case _ => false
+    }
+
+  private def parseGrant(sql: String,
+                         toks: Vector[Tok]): Either[String, Stmt] = {
+    val body = toks.drop(1)
+    val on = firstKeyword(body, Set("ON"))
+    val to = firstKeyword(body, Set("TO"))
+    if (on < 0 && to < 0)
+      return Left(goyaccError(sql, toks.last.start, toks.last.end))
+    if (on < 0 || (to >= 0 && to < on)) {
+      // role grant: GRANT `r1`@`%`, `r2`@`%` TO user [WITH ADMIN OPTION]
+      val roles = parseUserList(body.take(to))
+      if (roles.isEmpty)
+        return Left(goyaccError(sql, body.head.start, body.head.end))
+      return Right(GrantRoleStmt(roles))
+    }
+    parsePrivList(sql, body.take(on)).flatMap { privs =>
+      if (privs.exists(p => p.priv == Extended &&
+          p.name.equalsIgnoreCase("PROXY")))
+        Right(GrantProxyStmt)
+      else parseLevel(sql, body.drop(on + 1)).flatMap { case (level, rest) =>
+        val toIdx = firstKeyword(rest, Set("TO"))
+        if (toIdx < 0)
+          Left(goyaccError(sql, toks.last.start, toks.last.end))
+        else {
+          val tail = rest.drop(toIdx + 1)
+          val stop = firstKeyword(tail, Set("IDENTIFIED", "WITH", "REQUIRE"))
+          val users = parseUserList(if (stop < 0) tail else tail.take(stop))
+          Right(GrantStmt(privs, level, users.map(u => u._1 + "@" + u._2)))
+        }
+      }
+    }
+  }
+
+  private def parseRevoke(sql: String,
+                          toks: Vector[Tok]): Either[String, Stmt] = {
+    val body = toks.drop(1)
+    val on = firstKeyword(body, Set("ON"))
+    if (on < 0) return Left(goyaccError(sql, toks.last.start, toks.last.end))
+    parsePrivList(sql, body.take(on)).flatMap { privs =>
+      parseLevel(sql, body.drop(on + 1)).map { case (level, _) =>
+        RevokeStmt(privs, level)
+      }
+    }
+  }
+
+  /** Comma-separated privilege list; each item is a word sequence with an
+    * optional trailing column list. Unknown word sequences parse as
+    * dynamic (extended) privileges — the TiDB behavior Aurora's
+    * `LOAD FROM S3` / `INVOKE LAMBDA` grants rely on. */
+  private def parsePrivList(sql: String,
+                            toks: Vector[Tok])
+      : Either[String, Seq[PrivElem]] = {
+    val out = Seq.newBuilder[PrivElem]
+    var i = 0
+    while (i < toks.length) {
+      val words = Vector.newBuilder[String]
+      var cols = Seq.empty[String]
+      var done = false
+      while (i < toks.length && !done) toks(i) match {
+        case Word(w, _, _) => words += w; i += 1
+        case Punct(',', _, _) => done = true; i += 1
+        case Punct('(', _, _) =>
+          val close = toks.indexWhere(
+            { case Punct(')', _, _) => true; case _ => false }, i)
+          if (close < 0)
+            return Left(goyaccError(sql, toks(i).start, toks(i).end))
+          cols = toks.slice(i + 1, close).collect {
+            case Word(w, _, _) => w
+            case BackQuoted(s, _, _) => s
+          }
+          i = close + 1
+        case t => return Left(goyaccError(sql, t.start, t.end))
+      }
+      val ws = words.result()
+      if (ws.nonEmpty) {
+        val key = ws.map(_.toUpperCase).mkString(" ")
+        out += StaticPrivTokens.get(key)
+          .map(p => PrivElem(p, cols = cols))
+          .getOrElse(PrivElem(Extended, name = ws.mkString(" "), cols = cols))
+      }
+    }
+    Right(out.result())
+  }
+
+  /** `*.*` | db`.*` | db.tbl, identifiers bare or backquoted (the raw
+    * content is kept — `demo\_foobar` keeps its escape for the LIKE
+    * matcher). An optional TABLE/FUNCTION/PROCEDURE object type is
+    * skipped, matching the reference's level-only reading. Returns the
+    * level and the remaining tokens. */
+  private def parseLevel(sql: String, toks: Vector[Tok])
+      : Either[String, (GrantLevel, Vector[Tok])] = {
+    var rest = toks
+    rest.headOption match {
+      case Some(Word(w, _, _))
+          if Set("TABLE", "FUNCTION", "PROCEDURE")(w.toUpperCase) &&
+            rest.length > 1 =>
+        rest = rest.drop(1)
+      case _ => ()
+    }
+    def ident(t: Tok): Option[String] = t match {
+      case Word(s, _, _) => Some(s)
+      case BackQuoted(s, _, _) => Some(s)
+      case Punct('*', _, _) => Some("*")
+      case _ => None
+    }
+    rest match {
+      case a +: Punct('.', _, _) +: b +: tail =>
+        (ident(a), ident(b)) match {
+          case (Some("*"), Some("*")) =>
+            Right((GrantLevel(LevelGlobal), tail))
+          case (Some(db), Some("*")) =>
+            Right((GrantLevel(LevelDb, dbName = db), tail))
+          case (Some(db), Some(tb)) =>
+            Right((GrantLevel(LevelTable, dbName = db, tableName = tb), tail))
+          case _ => Left(goyaccError(sql, a.start, a.end))
+        }
+      case a +: tail =>
+        ident(a) match {
+          case Some("*") => Right((GrantLevel(LevelGlobal), tail))
+          case Some(db) => Right((GrantLevel(LevelDb, dbName = db), tail))
+          case None => Left(goyaccError(sql, a.start, a.end))
+        }
+      case _ => Left(goyaccError(sql, sql.length, sql.length))
+    }
+  }
+
+  /** user/role list: 'name'@'host' | `name`@`host` | name, host
+    * defaulting to `%`. */
+  private def parseUserList(toks: Vector[Tok]): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    def str(t: Tok): Option[String] = t match {
+      case Word(s, _, _) => Some(s)
+      case Quoted(s, _, _) => Some(s)
+      case BackQuoted(s, _, _) => Some(s)
+      case _ => None
+    }
+    while (i < toks.length) toks(i) match {
+      case Punct(',', _, _) => i += 1
+      case t =>
+        str(t) match {
+          case None => i += 1
+          case Some(name) =>
+            if (i + 2 < toks.length && (toks(i + 1) match {
+                case Punct('@', _, _) => true; case _ => false
+              }) && str(toks(i + 2)).isDefined) {
+              out += (name -> str(toks(i + 2)).get); i += 3
+            } else { out += (name -> "%"); i += 1 }
+        }
+    }
+    out.result()
+  }
+
+  // -------------------------------------------------- pattern match (LIKE)
+
+  private val PatMatch: Byte = 0
+  private val PatOne: Byte = 1
+  private val PatAny: Byte = 2
+
+  /** stringutil.CompilePattern semantics: `escape` makes the next char
+    * literal, `_` matches one char, `%` any run; a trailing escape is
+    * literal. */
+  private[diff] def compilePattern(pattern: String, escape: Char)
+      : (Array[Char], Array[Byte]) = {
+    val chars = Array.newBuilder[Char]
+    val types = Array.newBuilder[Byte]
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == escape && i + 1 < pattern.length) {
+        chars += pattern.charAt(i + 1); types += PatMatch; i += 2
+      } else if (c == '_') { chars += c; types += PatOne; i += 1 }
+      else if (c == '%') { chars += c; types += PatAny; i += 1 }
+      else { chars += c; types += PatMatch; i += 1 }
+    }
+    (chars.result(), types.result())
+  }
+
+  /** stringutil.DoMatch: case-sensitive LIKE with backtracking. */
+  private[diff] def doMatch(str: String, patChars: Array[Char],
+                            patTypes: Array[Byte]): Boolean = {
+    var p = 0; var s = 0
+    var starP = -1; var starS = -1
+    while (s < str.length) {
+      if (p < patChars.length && (patTypes(p) == PatOne ||
+          (patTypes(p) == PatMatch && patChars(p) == str.charAt(s)))) {
+        p += 1; s += 1
+      } else if (p < patChars.length && patTypes(p) == PatAny) {
+        starP = p; starS = s; p += 1
+      } else if (starP >= 0) {
+        starS += 1; s = starS; p = starP + 1
+      } else return false
+    }
+    while (p < patChars.length && patTypes(p) == PatAny) p += 1
+    p == patChars.length
+  }
+
+  // ----------------------------------------------------- verify privileges
+
+  /** privilege.go:719-721. */
+  def isRevokeGrant(grant: String): Boolean =
+    grant.trim.toUpperCase.startsWith("REVOKE ")
+
+  /** privilege.go:723-730 — HeatWave appends WITH ADMIN OPTION to role
+    * grants; other grants pass through untouched. */
+  def trimAdminOption(grant: String): String = {
+    val trimmed = grant.trim
+    val suffix = " WITH ADMIN OPTION"
+    if (trimmed.length < suffix.length ||
+        !trimmed.substring(trimmed.length - suffix.length)
+          .equalsIgnoreCase(suffix)) grant
+    else trimmed.substring(0, trimmed.length - suffix.length).trim
+  }
+
+  /** The IDENTIFIED BY PASSWORD rewrites showGrants applies before
+    * parsing (privilege.go:660-670) — the TiDB parser can't read the
+    * `<secret>` placeholder MySQL 5.6 SHOW GRANTS emits. */
+  def normalizeShownGrant(grant: String): String = {
+    var g = grant.replaceFirst(
+      java.util.regex.Pattern.quote("IDENTIFIED BY PASSWORD <secret>"),
+      java.util.regex.Matcher.quoteReplacement(
+        "IDENTIFIED BY PASSWORD 'secret'"))
+    if (g == grant)
+      g = grant.replaceFirst(
+        java.util.regex.Pattern.quote("IDENTIFIED BY PASSWORD WITH"),
+        java.util.regex.Matcher.quoteReplacement(
+          "IDENTIFIED BY PASSWORD 'secret' WITH"))
+    if (g.endsWith("IDENTIFIED BY PASSWORD")) g + " 'secret'" else g
+  }
+
+  /** Role discovery over the first SHOW GRANTS page (privilege.go:
+    * 688-716): role grants contribute their roles; unparseable grants
+    * are skipped (the reference logs a warning). */
+  def discoverRoles(grants: Seq[String]): Seq[(String, String)] =
+    grants.flatMap(g => parseStmt(trimAdminOption(g)) match {
+      case Right(GrantRoleStmt(roles)) => roles
+      case _ => Nil
+    })
+
+  /** The follow-up `... USING `r1`@`%`, `r2`@`%`` query string
+    * (privilege.go:707-716). */
+  def usingQuery(base: String, roles: Seq[(String, String)]): String =
+    base + " USING " + roles.map { case (n, h) => s"`$n`@`$h`" }
+      .mkString(", ")
+
+  /** VerifyPrivileges (privilege.go:290-452): returns the still-lacking
+    * requirement lattice, or the first parse/shape error. `version` only
+    * toggles the reference's MariaDB parser dialect; the grammar subset
+    * here covers both. */
+  def verifyPrivileges(grants: Seq[String], required: Lack,
+                       version: String = "8.0.11")
+      : Either[String, Lack] = {
+    if (grants.isEmpty)
+      return Left(
+        "there is no such grant defined for current user on host '%%'")
+    var lack = required
+    grants.foreach { grant =>
+      // satisfied requirements skip further grants — but revokes can
+      // re-open them, so they always parse (privilege.go:308-310)
+      if (lack.nonEmpty || isRevokeGrant(grant)) {
+        parseStmt(trimAdminOption(grant)) match {
+          case Left(err) => return Left(err)
+          case Right(GrantRoleStmt(_)) | Right(GrantProxyStmt) => ()
+          case Right(r: RevokeStmt) =>
+            lack = restoreRevokedPrivs(lack, required, r)
+          case Right(OtherStmt(_)) =>
+            return Left(s"$grant is not grant statement")
+          case Right(g: GrantStmt) =>
+            if (g.users.isEmpty) return Left(s"grant has no user $grant")
+            lack = applyGrant(lack, g)
+        }
+      }
+    }
+    Right(purge(lack))
+  }
+
+  private def applyGrant(lack0: Lack, g: GrantStmt): Lack = {
+    var lack = lack0
+    g.level.level match {
+      case LevelGlobal =>
+        g.privs.foreach { elem =>
+          if (elem.priv == Extended) {
+            // FLUSH_TABLES is sufficient for FLUSH TABLES WITH READ
+            // LOCK — DM's actual RELOAD use (privilege.go:337-345)
+            if (elem.name.equalsIgnoreCase("FLUSH_TABLES"))
+              lack -= Reload
+          } else if (elem.priv == All) {
+            lack = if (lack.contains(Grant))
+              Map(Grant -> Priv(needGlobal = true))
+            else Map.empty
+          } else {
+            // SUPER suffices for SHOW MASTER STATUS (privilege.go:361)
+            if (elem.priv == Super) lack -= ReplicationClient
+            lack -= elem.priv
+          }
+        }
+      case LevelDb =>
+        val (pc, pt) = compilePattern(g.level.dbName, '\\')
+        g.privs.foreach { elem =>
+          if (elem.priv == All) {
+            lack = lack.map { case (k, p) =>
+              if (p.needGlobal) k -> p
+              else k -> p.copy(dbs =
+                p.dbs.filterNot { case (db, _) => doMatch(db, pc, pt) })
+            }
+          } else lack.get(elem.priv) match {
+            case Some(p) if !p.needGlobal =>
+              // column-limited SELECT can't SHOW CREATE TABLE
+              // (privilege.go:387-391)
+              if (!(elem.priv == Select && elem.cols.nonEmpty))
+                lack = lack.updated(elem.priv, p.copy(dbs =
+                  p.dbs.filterNot { case (db, _) => doMatch(db, pc, pt) }))
+            case _ => ()
+          }
+        }
+      case LevelTable =>
+        val dbName = g.level.dbName
+        val tbl = g.level.tableName
+        g.privs.foreach { elem =>
+          if (elem.priv == All) {
+            lack = lack.map { case (k, p) =>
+              if (p.needGlobal) k -> p
+              else p.dbs.get(dbName) match {
+                case Some(dp) if !dp.wholeDB =>
+                  k -> p.copy(dbs = p.dbs.updated(dbName,
+                    dp.copy(tables = dp.tables - tbl)))
+                case _ => k -> p
+              }
+            }
+          } else lack.get(elem.priv) match {
+            case Some(p) if !p.needGlobal =>
+              p.dbs.get(dbName) match {
+                case Some(dp) if !dp.wholeDB &&
+                    !(elem.priv == Select && elem.cols.nonEmpty) =>
+                  lack = lack.updated(elem.priv, p.copy(dbs =
+                    p.dbs.updated(dbName,
+                      dp.copy(tables = dp.tables - tbl))))
+                case _ => ()
+              }
+            case _ => ()
+          }
+        }
+    }
+    lack
+  }
+
+  /** purge empty leaves (privilege.go:434-449). */
+  private def purge(lack: Lack): Lack =
+    lack.flatMap { case (k, p) =>
+      val dbs = p.dbs.flatMap { case (db, dp) =>
+        val tables = dp.tables.filter { case (_, tp) =>
+          tp.wholeTable || tp.columns.nonEmpty
+        }
+        if (dp.wholeDB || tables.nonEmpty) Some(db -> dp.copy(tables = tables))
+        else None
+      }
+      if (p.needGlobal || dbs.nonEmpty) Some(k -> p.copy(dbs = dbs)) else None
+    }
+
+  // --------------------------------------------------------------- revokes
+
+  /** privilege.go:474-492 — each required privilege covered by one of the
+    * revoked privileges is restored at the revoke's level. Go iterates
+    * the required map in random order; per-privilege restores are
+    * independent, so a name-sorted fold is equivalent. */
+  private def restoreRevokedPrivs(lack0: Lack, required: Lack,
+                                  revoke: RevokeStmt): Lack = {
+    var lack = lack0
+    required.toSeq.sortBy(_._1.order).foreach { case (privName, reqPriv) =>
+      val covered = revoke.privs.exists(rp =>
+        revokePrivCoversRequiredPriv(rp, privName, revoke.level.level,
+          reqPriv.needGlobal))
+      if (covered)
+        lack = restoreRequiredPrivAtLevel(lack, privName, reqPriv,
+          revoke.level)
+    }
+    lack
+  }
+
+  /** privilege.go:494-515. */
+  private[diff] def revokePrivCoversRequiredPriv(
+      revoked: PrivElem, required: PrivT, level: LevelType,
+      requiredGlobal: Boolean): Boolean =
+    revoked.priv match {
+      case All =>
+        // REVOKE ALL below global can't touch a global-only privilege
+        !(requiredGlobal && level != LevelGlobal && isGlobalOnlyPriv(required))
+      case Super =>
+        required == Super || required == ReplicationClient
+      case Extended =>
+        level == LevelGlobal && required == Reload &&
+          revoked.name.equalsIgnoreCase("FLUSH_TABLES")
+      case p => p == required
+    }
+
+  /** privilege.go:517-525. */
+  private[diff] def isGlobalOnlyPriv(p: PrivT): Boolean =
+    p == Reload || p == ReplicationSlave || p == ReplicationClient ||
+      p == Super || p == Grant
+
+  /** privilege.go:527-573 — revoke db/table names match the required
+    * lattice LITERALLY (MySQL partial revokes record schema names
+    * verbatim even when they contain `_`/`%`). */
+  private def restoreRequiredPrivAtLevel(lack: Lack, privName: PrivT,
+                                         requiredPriv: Priv,
+                                         revokeLevel: GrantLevel): Lack = {
+    if (requiredPriv.needGlobal)
+      return lack.updated(privName, Priv(needGlobal = true))
+    revokeLevel.level match {
+      case LevelGlobal => mergePriv(lack, privName, requiredPriv)
+      case LevelDb =>
+        val toRestore = Priv(dbs = requiredPriv.dbs.filter {
+          case (db, _) => db == revokeLevel.dbName
+        })
+        mergePriv(lack, privName, toRestore)
+      case LevelTable =>
+        requiredPriv.dbs.get(revokeLevel.dbName) match {
+          case None => lack
+          case Some(dp) if dp.wholeDB =>
+            mergePriv(lack, privName,
+              Priv(dbs = Map(revokeLevel.dbName -> dp)))
+          case Some(dp) =>
+            val tables = dp.tables.filter {
+              case (t, _) => t == revokeLevel.tableName
+            }
+            mergePriv(lack, privName, Priv(dbs = Map(revokeLevel.dbName ->
+              DbPriv(tables = tables))))
+        }
+    }
+  }
+
+  /** privilege.go:599-633 — note the Go code writes the (possibly
+    * empty-dbs) entry back unconditionally once toRestore has dbs; the
+    * final purge sweeps it, replicated here. */
+  private def mergePriv(lack: Lack, privName: PrivT,
+                        toRestore: Priv): Lack = {
+    if (toRestore.needGlobal)
+      return lack.updated(privName, Priv(needGlobal = true))
+    if (toRestore.dbs.isEmpty) return lack
+    val existing = lack.getOrElse(privName, Priv())
+    if (existing.needGlobal) return lack
+    var dbs = existing.dbs
+    toRestore.dbs.foreach { case (dbName, dp) =>
+      if (dp.wholeDB || dp.tables.nonEmpty) {
+        dbs.get(dbName) match {
+          case Some(ex) if !dp.wholeDB && !ex.wholeDB =>
+            dbs = dbs.updated(dbName,
+              ex.copy(tables = ex.tables ++ dp.tables))
+          case _ => dbs = dbs.updated(dbName, dp)
+        }
+      }
+    }
+    lack.updated(privName, existing.copy(dbs = dbs))
+  }
+
+  // ---------------------------------------------------------------- render
+
+  private def quoteName(n: String): String = "`" + n.replace("`", "``") + "`"
+
+  /** LackedPrivilegesAsStr (privilege.go:243-286), loop shape replicated
+    * exactly — whole-db entries end "; " without bumping the db counter,
+    * table runs join with ", ", dbs separate with "; " only between
+    * table-run entries, and every privilege block ends "; ". dbs and
+    * tables iterate name-sorted (the reference iterates tables in Go map
+    * order; its vectors never lack two tables in one db). */
+  def lackedPrivilegesAsStr(lack: Lack): String = {
+    val b = new StringBuilder
+    lack.toSeq.sortBy(_._1.order).foreach { case (priv, p) =>
+      b ++= "lack of "
+      b ++= priv.render
+      if (p.needGlobal) b ++= " global (*.*)"
+      b ++= " privilege"
+      if (p.dbs.isEmpty) b ++= "; "
+      else {
+        b ++= ": {"
+        var i = 0
+        p.dbs.toSeq.sortBy(_._1).foreach { case (dbName, dp) =>
+          if (dp.wholeDB) {
+            b ++= quoteName(dbName); b ++= ".*; "
+          } else {
+            var j = 0
+            dp.tables.keys.toSeq.sorted.foreach { t =>
+              b ++= quoteName(dbName) + "." + quoteName(t)
+              j += 1
+              if (j != dp.tables.size) b ++= ", "
+            }
+            i += 1
+            if (i != p.dbs.size) b ++= "; "
+          }
+        }
+        b ++= "}; "
+      }
+    }
+    b.toString
+  }
+
+  // -------------------------------------------------------------- checkers
+
+  val StateSuccess = "success"
+  val StateFailure = "failure"
+  val StateWarning = "warning"
+
+  final case class CheckOutcome(name: String, state: String,
+                                err: String, instruction: String)
+
+  /** verifyPrivilegesWithResult (privilege.go:221-241): Some(errStr) when
+    * verification errors or privileges lack. */
+  def verifyWithResult(grants: Seq[String], required: Lack,
+                       version: String = "8.0.11"): Option[String] =
+    verifyPrivileges(grants, required, version) match {
+      case Left(err) => Some(err)
+      case Right(lack) if lack.nonEmpty => Some(lackedPrivilegesAsStr(lack))
+      case _ => None
+    }
+
+  /** The dump checker's requirement set (privilege.go:95-111): SELECT
+    * (global for whole-instance dumps, else per check-table), plus
+    * RELOAD for consistency auto/flush or LOCK TABLES for lock. */
+  def dumpRequiredPrivs(checkTables: Seq[(String, String)],
+                        consistency: String,
+                        dumpWholeInstance: Boolean): Lack = {
+    val select: Lack = Map(Select ->
+      (if (dumpWholeInstance) Priv(needGlobal = true)
+       else Priv(dbs = tableLevelPrivs(checkTables))))
+    consistency match {
+      case "auto" | "flush" =>
+        select.updated(Reload, Priv(needGlobal = true))
+      case "lock" =>
+        select.updated(LockTables, Priv(needGlobal = true))
+      case _ => select
+    }
+  }
+
+  /** privilege.go:157-160. */
+  val ReplicationRequiredPrivs: Lack = Map(
+    ReplicationSlave -> Priv(needGlobal = true),
+    ReplicationClient -> Priv(needGlobal = true))
+
+  /** privilege.go:201-210. */
+  val TargetRequiredPrivs: Lack = Map(
+    Create -> Priv(needGlobal = true), Select -> Priv(needGlobal = true),
+    Insert -> Priv(needGlobal = true), Update -> Priv(needGlobal = true),
+    Delete -> Priv(needGlobal = true), Alter -> Priv(needGlobal = true),
+    Drop -> Priv(needGlobal = true), Index -> Priv(needGlobal = true))
+
+  /** SourceDumpPrivilegeChecker.Check (privilege.go:81-126). */
+  def dumpPrivilegeCheck(grants: Seq[String],
+                         checkTables: Seq[(String, String)],
+                         consistency: String = "auto",
+                         dumpWholeInstance: Boolean = false,
+                         version: String = "8.0.11"): CheckOutcome = {
+    val required = dumpRequiredPrivs(checkTables, consistency,
+      dumpWholeInstance)
+    verifyWithResult(grants, required, version) match {
+      case Some(err) => CheckOutcome("source db dump privilege checker",
+        StateFailure, err,
+        "Please grant the required privileges to the account.")
+      case None => CheckOutcome("source db dump privilege checker",
+        StateSuccess, "", "")
+    }
+  }
+
+  /** SourceReplicatePrivilegeChecker.Check (privilege.go:144-168). */
+  def replicationPrivilegeCheck(grants: Seq[String],
+                                version: String = "8.0.11"): CheckOutcome = {
+    verifyWithResult(grants, ReplicationRequiredPrivs, version) match {
+      case Some(err) =>
+        CheckOutcome("source db replication privilege checker",
+          StateFailure, err, "Grant the required privileges to the account.")
+      case None => CheckOutcome("source db replication privilege checker",
+        StateSuccess, "", "")
+    }
+  }
+
+  /** TargetPrivilegeChecker.Check (privilege.go:189-219): eight global
+    * privileges; a lack is only a WARNING — the binlog's write set is
+    * not precisely known up front. */
+  def targetPrivilegeCheck(grants: Seq[String],
+                           version: String = "8.0.11"): CheckOutcome = {
+    verifyWithResult(grants, TargetRequiredPrivs, version) match {
+      case Some(err) => CheckOutcome("target db privilege checker",
+        StateWarning, err, "You need grant related privileges.")
+      case None => CheckOutcome("target db privilege checker",
+        StateSuccess, "", "")
+    }
+  }
+}

@@ -1638,11 +1638,222 @@ object DiffQueries {
     rows.toDF("kase", "seq", "state", "code", "payload")
   }
 
+  /**
+   * q308 — the DM privilege checkers as an offline decision matrix
+   * ([[graft.diff.PrivilegeCheck]]; dm/pkg/checker/privilege.go:81-219
+   * checkers + :290-452 VerifyPrivileges + :243-286 the lacking
+   * render): grant statements ride the task spec the way
+   * [[graft.diff.Precheck.SourceMeta]] carries server variables, and
+   * the kernel replays the reference's GRANT/REVOKE lattice — global /
+   * LIKE-pattern db / table erasure, ALL-PRIVILEGES and SUPER and
+   * FLUSH_TABLES equivalences, literal-name revoke restores — plus the
+   * goyacc-shaped parse errors and per-checker instructions. Exercises
+   * every decision family of privilege_test.go (whose 60+ vectors
+   * Round20Spec replays verbatim from the Go source).
+   */
+  val privilegeCheck = GateQuery(
+    "q308_privilege_check",
+    Some("""SELECT * FROM (VALUES
+      |  ('dump','no_grants',     'failure','there is no such grant defined for current user on host ''%%''','Please grant the required privileges to the account.'),
+      |  ('dump','invalid_grant', 'failure','line 1 column 7 near "invalid SQL statement" ','Please grant the required privileges to the account.'),
+      |  ('dump','not_grant_stmt','failure','CREATE DATABASE db1 is not grant statement','Please grant the required privileges to the account.'),
+      |  ('dump','reload_only',   'failure','lack of Select privilege: {`db1`.`tb1`}; ','Please grant the required privileges to the account.'),
+      |  ('dump','no_do_tables',  'success','',''),
+      |  ('dump','select_reload', 'success','',''),
+      |  ('dump','all_privs',     'success','',''),
+      |  ('dump','db_level_all',  'failure','lack of RELOAD global (*.*) privilege; ','Please grant the required privileges to the account.'),
+      |  ('dump','column_select', 'failure','lack of Select privilege: {`lance`.`t`}; ','Please grant the required privileges to the account.'),
+      |  ('dump','flush_tables',  'success','',''),
+      |  ('dump','flush_status',  'failure','lack of RELOAD global (*.*) privilege; ','Please grant the required privileges to the account.'),
+      |  ('dump','revoke_reopens','failure','lack of Select privilege: {`db1`.`tb1`}; ','Please grant the required privileges to the account.'),
+      |  ('dump','revoke_literal','success','',''),
+      |  ('dump','whole_instance','failure','lack of Select global (*.*) privilege; ','Please grant the required privileges to the account.'),
+      |  ('dump','lock_mode',     'failure','lack of LOCK TABLES global (*.*) privilege; ','Please grant the required privileges to the account.'),
+      |  ('dump','none_mode',     'success','',''),
+      |  ('dump','wildcard_both', 'failure','lack of Select privilege: {`block_db`.`t1`}; ','Please grant the required privileges to the account.'),
+      |  ('repl','ok',            'success','',''),
+      |  ('repl','slave_only',    'failure','lack of REPLICATION CLIENT global (*.*) privilege; ','Grant the required privileges to the account.'),
+      |  ('repl','client_only',   'failure','lack of REPLICATION SLAVE global (*.*) privilege; ','Grant the required privileges to the account.'),
+      |  ('repl','super_covers',  'success','',''),
+      |  ('repl','revoke_super',  'failure','lack of REPLICATION CLIENT global (*.*) privilege; ','Grant the required privileges to the account.'),
+      |  ('repl','neither',       'failure','lack of REPLICATION CLIENT global (*.*) privilege; lack of REPLICATION SLAVE global (*.*) privilege; ','Grant the required privileges to the account.'),
+      |  ('target','all_privs',   'success','',''),
+      |  ('target','eight',       'success','',''),
+      |  ('target','missing_two', 'warning','lack of Create global (*.*) privilege; lack of Update global (*.*) privilege; ','You need grant related privileges.'),
+      |  ('target','no_grants',   'warning','there is no such grant defined for current user on host ''%%''','You need grant related privileges.')
+      |) v(checker, kase, state, err, instruction)""".stripMargin)) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.diff.{PrivilegeCheck => PC}
+
+    def dump(kase: String, grants: Seq[String],
+             tables: Seq[(String, String)] = Seq("db1" -> "tb1"),
+             consistency: String = "auto", whole: Boolean = false) = {
+      val o = PC.dumpPrivilegeCheck(grants, tables, consistency, whole)
+      ("dump", kase, o.state, o.err, o.instruction)
+    }
+    def repl(kase: String, grants: Seq[String]) = {
+      val o = PC.replicationPrivilegeCheck(grants)
+      ("repl", kase, o.state, o.err, o.instruction)
+    }
+    def target(kase: String, grants: Seq[String]) = {
+      val o = PC.targetPrivilegeCheck(grants)
+      ("target", kase, o.state, o.err, o.instruction)
+    }
+
+    val rows = Seq(
+      dump("no_grants", Nil),
+      dump("invalid_grant", Seq("invalid SQL statement")),
+      dump("not_grant_stmt", Seq("CREATE DATABASE db1")),
+      dump("reload_only", Seq("GRANT RELOAD ON *.* TO 'user'@'%'")),
+      dump("no_do_tables", Seq("GRANT RELOAD ON *.* TO 'user'@'%'"),
+        tables = Nil),
+      dump("select_reload",
+        Seq("GRANT RELOAD, SELECT ON *.* TO 'user'@'%'")),
+      dump("all_privs", Seq("GRANT ALL PRIVILEGES ON *.* TO 'user'@'%'" +
+        " IDENTIFIED BY PASSWORD 'secret'")),
+      dump("db_level_all", Seq("GRANT ALL PRIVILEGES ON `medz`.* TO " +
+        "`zhangsan`@`10.8.1.9` WITH GRANT OPTION"),
+        tables = Seq("medz" -> "medz")),
+      dump("column_select", Seq("GRANT RELOAD ON *.* TO 'user'@'%'",
+        "GRANT SELECT (c) ON `lance`.`t` TO 'user'@'%'"),
+        tables = Seq("lance" -> "t")),
+      dump("flush_tables", Seq("GRANT SELECT ON *.* TO `root`@`localhost`",
+        "GRANT FLUSH_TABLES ON *.* TO `root`@`localhost`"), tables = Nil),
+      dump("flush_status", Seq("GRANT SELECT ON *.* TO `root`@`localhost`",
+        "GRANT FLUSH_STATUS ON *.* TO `root`@`localhost`"), tables = Nil),
+      dump("revoke_reopens",
+        Seq("GRANT RELOAD, SELECT ON *.* TO `dmtest`@`%`",
+          "REVOKE SELECT ON `db1`.* FROM `dmtest`@`%`")),
+      dump("revoke_literal",
+        Seq("GRANT RELOAD, SELECT ON *.* TO `dmtest`@`%`",
+          "REVOKE SELECT ON `db_%`.* FROM `dmtest`@`%`"),
+        tables = Seq("db_01" -> "tb1")),
+      dump("whole_instance", Seq("GRANT RELOAD ON *.* TO `u1`@`localhost`",
+        "GRANT SELECT ON `db1`.* TO `u1`@`localhost`"), whole = true),
+      dump("lock_mode", Seq("GRANT SELECT ON *.* TO 'user'@'%'"),
+        tables = Nil, consistency = "lock"),
+      dump("none_mode", Seq("GRANT SELECT ON *.* TO 'user'@'%'"),
+        consistency = "none"),
+      dump("wildcard_both", Seq("GRANT RELOAD ON *.* TO `dmuser`@`%`",
+        "GRANT SELECT ON `demo%`.* TO `dmuser`@`%`"),
+        tables = Seq("demo_some" -> "t1", "block_db" -> "t1")),
+      repl("ok", Seq(
+        "GRANT REPLICATION SLAVE, REPLICATION CLIENT ON *.* TO 'user'@'%'")),
+      repl("slave_only",
+        Seq("GRANT REPLICATION SLAVE ON *.* TO 'user'@'%'")),
+      repl("client_only",
+        Seq("GRANT REPLICATION CLIENT ON *.* TO 'user'@'%'")),
+      repl("super_covers",
+        Seq("GRANT REPLICATION SLAVE, SUPER ON *.* TO `dmtest`@`%`")),
+      repl("revoke_super",
+        Seq("GRANT REPLICATION SLAVE, SUPER ON *.* TO `dmtest`@`%`",
+          "REVOKE SUPER ON *.* FROM `dmtest`@`%`")),
+      repl("neither", Seq("GRANT SELECT ON *.* TO 'user'@'%'")),
+      target("all_privs", Seq("GRANT ALL PRIVILEGES ON *.* TO 'user'@'%'")),
+      target("eight", Seq("GRANT SELECT, CREATE, INSERT, UPDATE, DELETE, " +
+        "ALTER, DROP, INDEX ON *.* TO 'root'@'%'")),
+      target("missing_two", Seq("GRANT SELECT, INSERT, DELETE, ALTER, " +
+        "DROP, INDEX ON *.* TO 'root'@'%'")),
+      target("no_grants", Nil))
+
+    rows.toDF("checker", "kase", "state", "err", "instruction")
+  }
+
+  /**
+   * q309 — the DM connection-capacity and lightning free-space
+   * prechecks ([[graft.diff.ConnCheck]]; dm/pkg/checker/
+   * conn_checker.go:28-218 + lightning.go:144-216): the unlimited
+   * (max_connections=0) early-success, the SUPER/PROCESS privilege
+   * degrade with the reference's instruction-overwrite quirk, the
+   * needed-vs-max failure and needed-vs-available warning renders with
+   * the loader/dumper needed-connection formulas (Σ(poolSize+1),
+   * threads+2), the loader's lightning downgrade, the free-space
+   * ladder with go-units BytesSize renders, and the binlog do/ignore-db
+   * precedence check (binlog.go:216-273) with its real
+   * failure-state-warn-error quirk. Error rows carry (severity,
+   * message) per seq; seq=99 is the (final state, instruction) summary.
+   */
+  val connCapacityCheck = GateQuery(
+    "q309_conn_capacity",
+    Some("""SELECT * FROM (VALUES
+      |  ('dumper_unlimited', 99,'success',''),
+      |  ('dumper_ok',        99,'success',''),
+      |  ('dumper_exceeds',    0,'failure','checked database''s max_connections: 16 is less than the number dumper needs: 34'),
+      |  ('dumper_exceeds',   99,'failure','You need to set a larger max_connection, or adjust the configuration of DM such as reducing the worker count of sycner and reducing the pool size of the dumper and loader.'),
+      |  ('dumper_no_priv',    0,'warning','lack of Process global (*.*) privilege; '),
+      |  ('dumper_no_priv',   99,'warning',''),
+      |  ('dumper_tight',      0,'failure','database''s max_connections: 40, used_connections: 9, available_connections: 31 is less than dumper needs: 34'),
+      |  ('dumper_tight',     99,'warning','You need to set a larger max_connection, or adjust the configuration of DM such as reducing the worker count of sycner and reducing the pool size of the dumper and loader.'),
+      |  ('loader_ok',        99,'success',''),
+      |  ('loader_downgrade',  0,'failure','checked database''s max_connections: 20 is less than the number loader needs: 33'),
+      |  ('loader_downgrade',  1,'warning','task precheck cannot accurately check the number of connection needed for Lightning.'),
+      |  ('loader_downgrade', 99,'warning','You need to set a larger connection for TiDB.'),
+      |  ('loader_no_priv',    0,'warning','lack of Super global (*.*) privilege; '),
+      |  ('loader_no_priv',   99,'warning',''),
+      |  ('space_ok',         99,'success',''),
+      |  ('space_warn',        0,'warning','Cluster may not have enough space, available is 40GiB, but we need 60GiB'),
+      |  ('space_warn',       99,'warning','you can try to scale-out TiKV storage or TiKV instance to gain more storage space'),
+      |  ('space_fail',        0,'failure','Downstream doesn''t have enough space, available is 6GiB, but we need 10GiB'),
+      |  ('space_fail',       99,'failure','you can try to scale-out TiKV storage or TiKV instance to gain more storage space'),
+      |  ('bdb_do_ok',        99,'success',''),
+      |  ('bdb_do_missing',    0,'warning','these dbs [db2] are not in binlog_do_db[db1]'),
+      |  ('bdb_do_missing',   99,'failure','Ensure that the do_dbs contains the dbs you want to migrate'),
+      |  ('bdb_ignore_hit',    0,'warning','these dbs [db1] are in binlog_ignore_db[db0,db1]'),
+      |  ('bdb_ignore_hit',   99,'failure','Ensure that the ignore_dbs does not contain the dbs you want to migrate'),
+      |  ('bdb_both_empty',   99,'success',''),
+      |  ('bdb_case_fold',    99,'success','')
+      |) v(kase, seq, state, msg)""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.diff.{ConnCheck => CC}
+
+    def rows(kase: String, o: CC.ConnOutcome)
+        : Seq[(String, Int, String, String)] =
+      o.errs.zipWithIndex.map { case ((sev, err), i) => (kase, i, sev, err) } :+
+        ((kase, 99, o.state, o.instruction))
+
+    val procGrant = Seq("GRANT PROCESS ON *.* TO 'u'@'%'")
+    val superGrant = Seq("GRANT SUPER ON *.* TO 'u'@'%'")
+    val selectOnly = Seq("GRANT SELECT ON *.* TO 'u'@'%'")
+    val gib = 1024L * 1024 * 1024
+
+    val out =
+      rows("dumper_unlimited", CC.dumperConnCheck(0, Nil, 0, 32)) ++
+      rows("dumper_ok", CC.dumperConnCheck(100, procGrant, 10, 4)) ++
+      rows("dumper_exceeds", CC.dumperConnCheck(16, procGrant, 5, 32)) ++
+      rows("dumper_no_priv", CC.dumperConnCheck(40, selectOnly, 7, 32)) ++
+      rows("dumper_tight", CC.dumperConnCheck(40, procGrant, 10, 32)) ++
+      rows("loader_ok",
+        CC.loaderConnCheck(200, superGrant, 3, Seq(16, 16))) ++
+      rows("loader_downgrade",
+        CC.loaderConnCheck(20, superGrant, 3, Seq(32))) ++
+      rows("loader_no_priv",
+        CC.loaderConnCheck(100, selectOnly, 3, Seq(8))) ++
+      rows("space_ok",
+        CC.freeSpaceCheck(Seq("100GiB", "100GiB"), 10 * gib, 3)) ++
+      rows("space_warn", CC.freeSpaceCheck(Seq("40GiB"), 10 * gib, 3)) ++
+      rows("space_fail",
+        CC.freeSpaceCheck(Seq("4GiB", "2GiB"), 10 * gib, 3)) ++
+      rows("bdb_do_ok", CC.binlogDbCheck(Seq("db1", "db2"),
+        "db1,db2,db3", "", caseSensitive = true)) ++
+      rows("bdb_do_missing", CC.binlogDbCheck(Seq("db1", "db2"),
+        "db1", "", caseSensitive = true)) ++
+      rows("bdb_ignore_hit", CC.binlogDbCheck(Seq("db1"),
+        "", "db0,db1", caseSensitive = true)) ++
+      rows("bdb_both_empty", CC.binlogDbCheck(Seq("db1"), "", "",
+        caseSensitive = true)) ++
+      rows("bdb_case_fold", CC.binlogDbCheck(Seq("db1"),
+        "DB1,Other", "", caseSensitive = false))
+
+    out.toDF("kase", "seq", "state", "msg")
+  }
+
   def all: Seq[GateQuery] =
     Seq(chunkChecksum, chunkChecksumComposite, rowDiff, fixSql, fixApply,
       diffIgnoreColumns, diffRange, diffReport, diffCheckpointResume,
       diffCheckModes, bucketChunksMerge, bucketChunksSplit, shardMerge,
-      structCompare, limitSplit, indexSelect, diffSample, tableStructCheck)
+      structCompare, limitSplit, indexSelect, diffSample, tableStructCheck,
+      privilegeCheck, connCapacityCheck)
 
   // shared-cache warmers: Bench prebuilds these as their own entries so
   // consuming gates (q51/q52/q240/q243…) report marginal cost

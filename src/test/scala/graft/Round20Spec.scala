@@ -1,0 +1,435 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.diff.{PrivilegeCheck => PC}
+
+/** Round-20 de-share properties for the DM privilege checker: the
+  * reference's privilege_test.go vectors (TestVerifyDumpPrivileges,
+  * TestVerifyReplicationPrivileges, TestVerifyPrivilegesWildcard,
+  * TestVerifyTargetPrivilege — 60+ cases) are PARSED OUT OF THE GO TEST
+  * SOURCE and replayed through [[graft.diff.PrivilegeCheck]], asserting
+  * the exact expected error renders; the required-privilege sets and
+  * instruction/name strings the q308 oracle shares with the kernel are
+  * parsed from privilege.go itself.
+  */
+class Round20Spec extends AnyFunSuite {
+
+  private def slurp(p: String): String =
+    new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+
+  private val privFile = "/root/reference/dm/pkg/checker/privilege.go"
+  private val privTestFile = "/root/reference/dm/pkg/checker/privilege_test.go"
+
+  private def assumeRef(): Unit =
+    assume(Files.exists(Paths.get(privFile)), "reference checkout not present")
+
+  private lazy val privSrc = slurp(privFile)
+  private lazy val testSrc = slurp(privTestFile)
+
+  // ------------------------------------------------ Go test-literal parser
+
+  /** Unescape a Go interpreted string body (the escapes these fixtures
+    * use: \" \\ \n \t). */
+  private def unGo(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b += '"'
+          case '\\' => b += '\\'
+          case 'n' => b += '\n'
+          case 't' => b += '\t'
+          case o => b += '\\'; b += o
+        }
+        i += 2
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** All "..."-literal bodies in order, honoring escapes. */
+  private def goStrings(chunk: String): Seq[String] =
+    """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(chunk)
+      .map(m => unGo(m.group(1))).toSeq
+
+  /** Top-level `{...}` chunks of a Go composite literal, skipping
+    * strings and line comments (the fixture comments contain backticks
+    * and commas that would desync a naive scan). */
+  private def braceChunks(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = -1
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '"') {
+        i += 1
+        while (i < body.length && body.charAt(i) != '"') {
+          if (body.charAt(i) == '\\') i += 1
+          i += 1
+        }
+        i += 1
+      } else if (c == '/' && i + 1 < body.length &&
+          body.charAt(i + 1) == '/') {
+        while (i < body.length && body.charAt(i) != '\n') i += 1
+      } else {
+        if (c == '{') {
+          if (depth == 0) start = i
+          depth += 1
+        } else if (c == '}') {
+          depth -= 1
+          if (depth == 0 && start >= 0) {
+            out += body.substring(start, i + 1); start = -1
+          }
+        }
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  private final case class GoCase(grants: Seq[String],
+                                  checkTables: Seq[(String, String)],
+                                  wholeInstance: Boolean,
+                                  success: Boolean, errStr: String)
+
+  /** Parse the `cases := []struct{...}{ ... }` vector table of one test
+    * function into replayable cases. */
+  private def parseCases(fnName: String): Seq[GoCase] = {
+    val fnStart = testSrc.indexOf(s"func $fnName")
+    assert(fnStart >= 0, s"$fnName not found in privilege_test.go")
+    val fnEnd = testSrc.indexOf("\nfunc ", fnStart + 1) match {
+      case -1 => testSrc.length
+      case x => x
+    }
+    val body = testSrc.substring(fnStart, fnEnd)
+    val listAt = body.indexOf("}{")
+    assert(listAt >= 0, s"$fnName has no cases literal")
+    // the list literal runs to the `}` that closes `}{`; braceChunks on
+    // the slice after `}{` yields exactly the per-case entries (nested
+    // grants/checkTables literals are inside each entry)
+    val forAt = body.indexOf("\n\tfor ")
+    val list = body.substring(listAt + 2, if (forAt > 0) forAt else body.length)
+    braceChunks(list).map { chunk =>
+      val grants =
+        if ("""grants:\s+nil""".r.findFirstIn(chunk).isDefined) Nil
+        else {
+          val at = chunk.indexOf("[]string{")
+          if (at < 0) Nil
+          else goStrings(braceChunks(chunk.substring(at)).head)
+        }
+      val tables = {
+        val at = chunk.indexOf("filter.Table{")
+        if (at < 0) Nil
+        else """\{Schema: "([^"]+)", Name: "([^"]+)"\}""".r
+          .findAllMatchIn(chunk.substring(at))
+          .map(m => (m.group(1), m.group(2))).toSeq
+      }
+      val whole = chunk.contains("dumpWholeInstance: true")
+      val state = """(?:dumpState|replicationState|checkState):\s+State(\w+)""".r
+        .findFirstMatchIn(chunk).map(_.group(1))
+      assert(state.isDefined, s"no state in case chunk of $fnName")
+      val err = """errStr:\s+"((?:[^"\\]|\\.)*)"""".r
+        .findFirstMatchIn(chunk).map(m => unGo(m.group(1))).getOrElse("")
+      GoCase(grants, tables, whole, state.get == "Success", err)
+    }
+  }
+
+  private def replay(fnName: String, required: GoCase => PC.Lack): Unit = {
+    val cases = parseCases(fnName)
+    assert(cases.size >= 5, s"$fnName parsed only ${cases.size} cases")
+    for ((cs, i) <- cases.zipWithIndex) {
+      val got = PC.verifyWithResult(cs.grants, required(cs))
+      if (cs.success)
+        assert(got.isEmpty, s"$fnName case $i (${cs.grants}): got $got")
+      else {
+        assert(got.isDefined, s"$fnName case $i (${cs.grants}): expected " +
+          s"'${cs.errStr}', got success")
+        assert(got.get == cs.errStr,
+          s"$fnName case $i: got '${got.get}' want '${cs.errStr}'")
+      }
+    }
+  }
+
+  // ------------------------------------------------------- vector replays
+
+  test("TestVerifyDumpPrivileges vectors, replayed from source") {
+    assumeRef()
+    // the test's own required set: table-level SELECT + global RELOAD,
+    // whole-instance flips SELECT to global (privilege_test.go:304-313)
+    replay("TestVerifyDumpPrivileges", cs => {
+      val base: PC.Lack = Map(
+        PC.Select -> (if (cs.wholeInstance) PC.Priv(needGlobal = true)
+                      else PC.Priv(dbs = PC.tableLevelPrivs(cs.checkTables))),
+        PC.Reload -> PC.Priv(needGlobal = true))
+      base
+    })
+    assert(parseCases("TestVerifyDumpPrivileges").size >= 25)
+  }
+
+  test("TestVerifyReplicationPrivileges vectors, replayed from source") {
+    assumeRef()
+    replay("TestVerifyReplicationPrivileges",
+      _ => PC.ReplicationRequiredPrivs)
+    assert(parseCases("TestVerifyReplicationPrivileges").size >= 15)
+  }
+
+  test("TestVerifyPrivilegesWildcard vectors, replayed from source") {
+    assumeRef()
+    replay("TestVerifyPrivilegesWildcard", cs =>
+      Map(PC.Select -> PC.Priv(dbs = PC.tableLevelPrivs(cs.checkTables))))
+    assert(parseCases("TestVerifyPrivilegesWildcard").size == 5)
+  }
+
+  test("TestVerifyTargetPrivilege vectors, required set parsed from test") {
+    assumeRef()
+    // the TEST replays with seven privileges (no Index) — parse its own
+    // map literal rather than the checker's (privilege_test.go:690-698)
+    val fnStart = testSrc.indexOf("func TestVerifyTargetPrivilege")
+    val body = testSrc.substring(fnStart)
+    val mapAt = body.indexOf("replRequiredPrivs := map")
+    val names = """mysql\.(\w+)Priv:""".r
+      .findAllMatchIn(body.substring(mapAt,
+        body.indexOf("verifyPrivilegesWithResult", mapAt)))
+      .map(_.group(1)).toSet
+    val required = names.map(n => goPriv(n) -> PC.Priv(needGlobal = true)).toMap
+    assert(names.size == 7 && !names.contains("Index"))
+    replay("TestVerifyTargetPrivilege", _ => required)
+  }
+
+  private val goPriv: Map[String, PC.PrivT] = Map(
+    "Create" -> PC.Create, "Select" -> PC.Select, "Insert" -> PC.Insert,
+    "Update" -> PC.Update, "Delete" -> PC.Delete, "Alter" -> PC.Alter,
+    "Drop" -> PC.Drop, "Index" -> PC.Index, "Reload" -> PC.Reload,
+    "LockTables" -> PC.LockTables,
+    "ReplicationSlave" -> PC.ReplicationSlave,
+    "ReplicationClient" -> PC.ReplicationClient, "Super" -> PC.Super,
+    "Grant" -> PC.Grant)
+
+  // ------------------------------------- kernel constants vs privilege.go
+
+  test("checker required-privilege sets, parsed from privilege.go") {
+    assumeRef()
+    // dump (privilege.go:95-111): SELECT always; the consistency switch
+    // maps auto/flush → RELOAD and lock → LOCK TABLES
+    val checkBody = privSrc.substring(
+      privSrc.indexOf("func (pc *SourceDumpPrivilegeChecker) Check"),
+      privSrc.indexOf("func (pc *SourceDumpPrivilegeChecker) Name"))
+    assert(checkBody.contains(
+      "dumpRequiredPrivs[mysql.SelectPriv] = priv{needGlobal: true}"))
+    val armRe = """case ("[^:]+"):\s*\n\s*dumpRequiredPrivs\[mysql\.(\w+)Priv\]""".r
+    val arms = armRe.findAllMatchIn(checkBody).map(m =>
+      m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .toSeq -> m.group(2)).toSeq
+    assert(arms.nonEmpty, "consistency switch arms not parsed")
+    for ((tokens, privName) <- arms; tok <- tokens) {
+      val req = PC.dumpRequiredPrivs(Nil, tok, dumpWholeInstance = false)
+      assert(req.get(goPriv(privName)).exists(_.needGlobal),
+        s"consistency $tok must require $privName global")
+    }
+    // a consistency outside the switch adds nothing beyond SELECT
+    assert(PC.dumpRequiredPrivs(Nil, "none", dumpWholeInstance = false)
+      .keySet == Set(PC.Select))
+    assert(PC.dumpRequiredPrivs(Nil, "auto", dumpWholeInstance = true)
+      (PC.Select).needGlobal)
+    assert(PC.dumpRequiredPrivs(Seq("db1" -> "tb1"), "auto",
+      dumpWholeInstance = false)(PC.Select).dbs ==
+      Map("db1" -> PC.DbPriv(tables =
+        Map("tb1" -> PC.TablePriv(wholeTable = true)))))
+
+    // replication (privilege.go:157-160) and target (:201-210) literals
+    def mapPrivs(anchor: String): Set[String] = {
+      val at = privSrc.indexOf(anchor)
+      assert(at >= 0, s"$anchor not found")
+      val end = privSrc.indexOf("verifyPrivilegesWithResult", at)
+      """mysql\.(\w+)Priv:""".r
+        .findAllMatchIn(privSrc.substring(at, end)).map(_.group(1)).toSet
+    }
+    val repl = mapPrivs(
+      "func (pc *SourceReplicatePrivilegeChecker) Check")
+    assert(repl.map(goPriv) == PC.ReplicationRequiredPrivs.keySet)
+    val target = mapPrivs("func (t *TargetPrivilegeChecker) Check")
+    assert(target.size == 8 && target.map(goPriv) ==
+      PC.TargetRequiredPrivs.keySet)
+  }
+
+  test("checker names, instructions and render fragments, parsed") {
+    assumeRef()
+    def literalAfter(anchor: String): String = {
+      val at = privSrc.indexOf(anchor)
+      assert(at >= 0, s"$anchor not found")
+      goStrings(privSrc.substring(at,
+        math.min(privSrc.length, at + anchor.length + 120))).head
+    }
+    assert(PC.dumpPrivilegeCheck(Seq("GRANT SELECT ON *.* TO 'u'@'%'"),
+      Nil, "none").name ==
+      literalAfter("""func (pc *SourceDumpPrivilegeChecker) Name() string {
+	return"""))
+    // instruction strings: dump overrides, replication sets its own,
+    // target keeps verifyPrivilegesWithResult's
+    val dumpFail = PC.dumpPrivilegeCheck(Seq("GRANT USAGE ON *.* TO 'u'"),
+      Seq("d" -> "t"))
+    assert(dumpFail.state == PC.StateFailure)
+    assert(privSrc.contains(
+      s"""result.Instruction = "${dumpFail.instruction}""""))
+    val replFail = PC.replicationPrivilegeCheck(
+      Seq("GRANT USAGE ON *.* TO 'u'"))
+    assert(privSrc.contains(
+      s"""result.Instruction = "${replFail.instruction}""""))
+    val targetFail = PC.targetPrivilegeCheck(
+      Seq("GRANT USAGE ON *.* TO 'u'"))
+    assert(targetFail.state == PC.StateWarning)
+    assert(privSrc.contains(
+      s"""result.Instruction = "${targetFail.instruction}""""))
+    // LackedPrivilegesAsStr fragments (privilege.go:248-254)
+    for (frag <- Seq("\"lack of \"", "\" global (*.*)\"", "\" privilege\""))
+      assert(privSrc.contains(s"b.WriteString($frag)"), frag)
+    // the no-grants sentinel (privilege.go:296)
+    val sentinel = goStrings(privSrc.substring(
+      privSrc.indexOf("if len(grants) == 0"))).head
+    assert(PC.verifyWithResult(Nil, PC.ReplicationRequiredPrivs)
+      .contains(sentinel))
+  }
+
+  test("conn-checker formulas, priv sets and renders, parsed from source") {
+    assumeRef()
+    import graft.diff.{ConnCheck => CC}
+    val connSrc = slurp("/root/reference/dm/pkg/checker/conn_checker.go")
+    // needed-connection formulas (conn_checker.go:163, :196)
+    assert(connSrc.contains("stCfg.LoaderConfig.PoolSize + 1"))
+    assert(connSrc.contains("return dumperThreads + 2"))
+    // required privileges per checker
+    val loaderBody = connSrc.substring(
+      connSrc.indexOf("func (l *LoaderConnNumberChecker) Check"),
+      connSrc.indexOf("func NewDumperConnNumberChecker"))
+    assert(loaderBody.contains("mysql.SuperPriv: {needGlobal: true}"))
+    val dumperBody = connSrc.substring(
+      connSrc.indexOf("func (d *DumperConnNumberChecker) Check"))
+    assert(dumperBody.contains("mysql.ProcessPriv: {needGlobal: true}"))
+    // the error renders, parsed and re-instantiated: %d/%s substituted
+    // in argument order
+    def render(template: String, args: Any*): String = {
+      var out = template
+      args.foreach(a => out = out.replaceFirst("%[ds]", a.toString))
+      out
+    }
+    def templateAfter(anchor: String): String = {
+      val at = connSrc.indexOf(anchor)
+      assert(at >= 0, s"$anchor not found")
+      goStrings(connSrc.substring(at, at + 600))
+        .find(_.contains("%d")).get
+    }
+    val exceeds = templateAfter("if neededConn > maxConn {")
+    val tight = templateAfter("} else if maxConn-usedConn < neededConn {")
+    val got = CC.dumperConnCheck(16,
+      Seq("GRANT PROCESS ON *.* TO 'u'@'%'"), 5, 32)
+    assert(got.errs.map(_._2) ==
+      Seq(render(exceeds, 16, "dumper", 34)))
+    val gotTight = CC.dumperConnCheck(40,
+      Seq("GRANT PROCESS ON *.* TO 'u'@'%'"), 10, 32)
+    assert(gotTight.errs.map(_._2) ==
+      Seq(render(tight, 40, 9, 31, "dumper", 34)))
+    // loader formula: pools [3,5] need (3+1)+(5+1) = 10
+    val loader = CC.loaderConnCheck(8,
+      Seq("GRANT SUPER ON *.* TO 'u'@'%'"), 1, Seq(3, 5))
+    assert(loader.errs.head._2 == render(exceeds, 8, "loader", 10))
+    // instruction strings + the lightning downgrade warn
+    for (lit <- Seq(got.instruction, loader.instruction) ++
+        loader.errs.lastOption.map(_._2))
+      assert(connSrc.contains(s""""$lit""""), lit.take(40))
+  }
+
+  test("binlog do/ignore-db templates and precedence, parsed from source") {
+    assumeRef()
+    import graft.diff.{ConnCheck => CC}
+    val binlogSrc = slurp("/root/reference/dm/pkg/checker/binlog.go")
+    assert(binlogSrc.contains(
+      "these dbs [%s] are not in binlog_do_db[%s]"))
+    assert(binlogSrc.contains(
+      "these dbs [%s] are in binlog_ignore_db[%s]"))
+    val miss = CC.binlogDbCheck(Seq("db1", "db2"), "db1", "",
+      caseSensitive = true)
+    assert(binlogSrc.contains(s""""${miss.instruction}""""))
+    val ign = CC.binlogDbCheck(Seq("db1"), "", "db0,db1",
+      caseSensitive = true)
+    assert(binlogSrc.contains(s""""${ign.instruction}""""))
+    // do-db set wins: an ignore-db hit is IGNORED when any do-db is set
+    assert(CC.binlogDbCheck(Seq("db1"), "db1", "db1",
+      caseSensitive = true).state == "success")
+    // the warn legs keep the Result's INITIAL StateFailure — the quirk
+    // is in the source: state is only ever set to success at the end
+    val checkBody = binlogSrc.substring(
+      binlogSrc.indexOf("func (c *BinlogDBChecker) Check"),
+      binlogSrc.indexOf("func (c *BinlogDBChecker) Name"))
+    assert(checkBody.contains("State: StateFailure"))
+    assert(!checkBody.contains("StateWarning"))
+    assert(miss.state == "failure" &&
+      miss.errs.forall(_._1 == "warning"))
+  }
+
+  test("lightning free-space ladder, parsed from lightning.go") {
+    assumeRef()
+    import graft.diff.{ConnCheck => CC}
+    val lightSrc = slurp("/root/reference/dm/pkg/checker/lightning.go")
+    // the safe-size rule: replicas × 2 headroom (lightning.go:196)
+    assert(lightSrc.contains(
+      "safeSize := uint64(c.sourceDataSize) * maxReplicas * 2"))
+    val gib = 1024L * 1024 * 1024
+    // render shapes parsed from source, re-instantiated via goBytesSize
+    assert(lightSrc.contains(
+      "Downstream doesn't have enough space, available is %s, but we need %s"))
+    assert(lightSrc.contains(
+      "Cluster may not have enough space, available is %s, but we need %s"))
+    val fail = CC.freeSpaceCheck(Seq("4GiB", "2GiB"), 10 * gib, 3)
+    assert(fail.errs.head._2 == "Downstream doesn't have enough space, " +
+      "available is 6GiB, but we need 10GiB")
+    val warn = CC.freeSpaceCheck(Seq("40GiB"), 10 * gib, 3)
+    assert(warn.errs.head._2 == "Cluster may not have enough space, " +
+      "available is 40GiB, but we need 60GiB")
+    assert(lightSrc.contains(s""""${fail.instruction}""""))
+    // go-units BytesSize / %.4g shape: trailing zeros trimmed, 4
+    // significant digits, binary units
+    assert(CC.goBytesSize(1536.0) == "1.5KiB")
+    assert(CC.goBytesSize(1024.0 * 1024) == "1MiB")
+    assert(CC.goBytesSize(1234.5 * 1024) == "1.206MiB")
+    assert(CC.goBytesSize(1000) == "1000B")
+    assert(CC.goBytesSize(0) == "0B")
+  }
+
+  test("trimAdminOption and role discovery match the shown-grant tests") {
+    // TestTrimAdminOption's Unicode case: suffix matching is ASCII-fold,
+    // the role name's İ must survive untouched
+    assert(PC.trimAdminOption(
+      "GRANT `admİN`@`%` TO `dmtest`@`%` WITH ADMIN OPTION") ==
+      "GRANT `admİN`@`%` TO `dmtest`@`%`")
+    assert(PC.trimAdminOption("GRANT SELECT ON *.* TO `dmtest`@`%`") ==
+      "GRANT SELECT ON *.* TO `dmtest`@`%`")
+    // TestShowGrantsWithMultipleRoles: the USING query assembled from
+    // discovered roles
+    val roles = PC.discoverRoles(Seq(
+      "GRANT `r1`@`%`,`r2`@`%` TO `dmtest`@`%` WITH ADMIN OPTION"))
+    assert(PC.usingQuery("SHOW GRANTS FOR CURRENT_USER", roles) ==
+      "SHOW GRANTS FOR CURRENT_USER USING `r1`@`%`, `r2`@`%`")
+    // TestShowGrantsIgnoresUnparseableGrantForRoleDiscovery: a MariaDB
+    // grant contributes no roles and kills nothing
+    assert(PC.discoverRoles(Seq(
+      "GRANT BINLOG MONITOR ON *.* TO `dmtest`@`%`",
+      "GRANT SELECT ON *.* TO `dmtest`@`%`")).isEmpty)
+    // the IDENTIFIED BY PASSWORD rewrites (privilege.go:660-670)
+    assert(PC.normalizeShownGrant(
+      "GRANT ALL ON *.* TO 'u'@'%' IDENTIFIED BY PASSWORD <secret>") ==
+      "GRANT ALL ON *.* TO 'u'@'%' IDENTIFIED BY PASSWORD 'secret'")
+    assert(PC.normalizeShownGrant(
+      "GRANT ALL ON *.* TO 'u'@'%' IDENTIFIED BY PASSWORD WITH GRANT OPTION")
+      == "GRANT ALL ON *.* TO 'u'@'%' IDENTIFIED BY PASSWORD 'secret' " +
+        "WITH GRANT OPTION")
+    assert(PC.normalizeShownGrant(
+      "GRANT ALL ON *.* TO 'u'@'%' IDENTIFIED BY PASSWORD") ==
+      "GRANT ALL ON *.* TO 'u'@'%' IDENTIFIED BY PASSWORD 'secret'")
+  }
+}
