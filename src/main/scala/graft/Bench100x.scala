@@ -248,7 +248,16 @@ object Bench100x {
     // (included to prove flat cost); q303 rides the two-sided 16-chunk
     // digest — a real corpus-scale scan pair with a sampled check plan
     "q298_bootstrap_recovery", "q299_task_validate", "q300_subtask_adjust",
-    "q301_source_verify", "q302_task_converters", "q303_diff_sample")
+    "q301_source_verify", "q302_task_converters", "q303_diff_sample",
+    // round-19/20 completeness (r19 VERDICT #5): every remaining gate
+    // family — time/CLI/source converters, the Debezium golden replays,
+    // table-structure pairs, the privilege/conn-capacity checkers and
+    // the Debezium envelope+decoder — all O(spec)/O(golden) control
+    // plane; included so the 100x artifact proves the flat cost
+    "q304_time_cli_source", "q305_debezium_types",
+    "q306_table_struct_check", "q307_debezium_ddl_columns",
+    "q308_privilege_check", "q309_conn_capacity",
+    "q310_debezium_envelope", "q311_debezium_decoder")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(

@@ -1305,10 +1305,261 @@ object GenericCodecQueries {
       "tidb_type", "len", "scale", "cs")
   }
 
+  /**
+   * q310 — the COMPLETE Debezium message assembly
+   * ([[graft.functions.DebeziumEnvelope]];
+   * pkg/sink/codec/debezium/codec.go:937-1698 EncodeKey / EncodeValue /
+   * EncodeDDLEvent / EncodeCheckpointEvent): the CONTRACT is the
+   * reference's own codec_test.go — its first twelve require.JSONEq
+   * golden documents (rename/create/drop DDL key+value with and without
+   * schema, the watermark checkpoint pair, the insert row key+value
+   * pair both ways) are extracted from the test source by the ORACLE
+   * (read_text + regexp, q287/q305 form) and path-flattened by a
+   * recursive CTE; Spark assembles the same twelve messages through the
+   * kernel and flattens identically. 507 leaf paths — every field of
+   * every envelope, source block, tableChanges table block and schema
+   * struct is pinned; nothing re-typed.
+   */
+  val debeziumEnvelope = GateQuery(
+    "q310_debezium_envelope",
+    Some("""WITH RECURSIVE l AS (
+      |  SELECT regexp_extract_all(content,
+      |    'require\.JSONEq\(t, `([^`]+)`', 1) AS ls
+      |  FROM read_text('/root/reference/pkg/sink/codec/debezium/codec_test.go')
+      |),
+      |docs AS (
+      |  SELECT v.kase AS kase, CAST(ls[v.i] AS JSON) AS j
+      |  FROM l, (VALUES
+      |    ('ddl_rename_key', 1), ('ddl_rename_value', 2),
+      |    ('ddl_create_key', 3), ('ddl_create_value', 4),
+      |    ('ddl_drop_key', 5), ('ddl_drop_value', 6),
+      |    ('cp_key', 7), ('cp_value', 8),
+      |    ('ins_key_noschema', 9), ('ins_value_noschema', 10),
+      |    ('ins_key_schema', 11), ('ins_value_schema', 12)
+      |  ) v(kase, i)
+      |),
+      |tree AS (
+      |  SELECT kase, '$' AS path, j AS node FROM docs
+      |  UNION ALL
+      |  SELECT kase, path || s.u.p AS path, s.u.n AS node FROM (
+      |    SELECT kase, path, unnest(
+      |      CASE WHEN json_type(node) = 'OBJECT' THEN
+      |        [ {'p': '.' || k,
+      |           'n': coalesce(json_extract(node, '$."' || k || '"'),
+      |                         CAST('null' AS JSON)) }
+      |          for k in json_keys(node) ]
+      |      WHEN json_type(node) = 'ARRAY' THEN
+      |        [ {'p': '[' || (i-1) || ']',
+      |           'n': coalesce(json_extract(node, '$[' || (i-1) || ']'),
+      |                         CAST('null' AS JSON)) }
+      |          for i in generate_series(1,
+      |            CAST(json_array_length(node) AS INT)) ]
+      |      ELSE CAST([] AS STRUCT(p VARCHAR, n JSON)[]) END) AS u
+      |    FROM tree) s
+      |)
+      |SELECT kase, path,
+      |  CASE WHEN json_type(node) = 'OBJECT' THEN '(empty-object)'
+      |       WHEN json_type(node) = 'ARRAY' THEN '(empty-array)'
+      |       ELSE coalesce(json_extract_string(node, '$'), 'null')
+      |  END AS val
+      |FROM tree
+      |WHERE json_type(node) NOT IN ('OBJECT', 'ARRAY')
+      |   OR (json_type(node) = 'OBJECT' AND len(json_keys(node)) = 0)
+      |   OR (json_type(node) = 'ARRAY'
+      |       AND CAST(json_array_length(node) AS INT) = 0)""".stripMargin)) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.{DebeziumEnvelope => DE}
+    import graft.functions.DebeziumFields.FieldSpec
+
+    // the generating test's runtime: cluster "test_cluster", nowFunc
+    // pinned to Unix(1701326309) (codec_test.go:31-36)
+    val cluster = "test_cluster"
+    val nowMs = 1701326309L * 1000
+    val idCol = DE.DdlColumn(FieldSpec("id", "long", flen = 0,
+      notNull = true))
+    val tiny = Seq(FieldSpec("tiny", "tiny") -> Option("1"))
+
+    def ddlVal(action: String, query: String,
+               table: (String, String), pre: Option[(String, String)],
+               noSchema: Boolean): String =
+      DE.ddlValue(cluster, 1L, nowMs, action, query, Some(table), pre,
+        charset = "", pkNames = Seq("id"), columns = Seq(idCol),
+        disableSchema = noSchema).toOption.get
+
+    val docs: Seq[(String, String)] = Seq(
+      "ddl_rename_key" -> DE.ddlKey("test"),
+      "ddl_rename_value" -> ddlVal("RenameTable",
+        "RENAME TABLE test.table1 to test.table2",
+        ("test", "table1"), Some(("test", "table2")), noSchema = false),
+      "ddl_create_key" -> DE.ddlKey("test", disableSchema = true),
+      "ddl_create_value" -> ddlVal("CreateTable",
+        "CREATE TABLE test.table1",
+        ("test", "table1"), None, noSchema = true),
+      "ddl_drop_key" -> DE.ddlKey("test", disableSchema = true),
+      "ddl_drop_value" -> ddlVal("DropTable", "DROP TABLE test.table2",
+        ("test", "table2"), Some(("test", "table2")), noSchema = true),
+      "cp_key" -> DE.checkpointKey(cluster),
+      "cp_value" -> DE.checkpointValue(cluster, 3L, nowMs),
+      "ins_key_noschema" -> DE.rowKey(cluster, "test", "table1", tiny,
+        disableSchema = true),
+      "ins_value_noschema" -> DE.rowValue(cluster, 1L, nowMs, "test",
+        "table1", "c", tiny, disableSchema = true),
+      "ins_key_schema" -> DE.rowKey(cluster, "test", "table1", tiny),
+      "ins_value_schema" -> DE.rowValue(cluster, 1L, nowMs, "test",
+        "table1", "c", tiny))
+
+    docs.flatMap { case (kase, json) =>
+      DE.flatten(json).map { case (path, v) => (kase, path, v) }
+    }.toDF("kase", "path", "val")
+  }
+
+  /**
+   * q311 — the Debezium DECODER round-trip
+   * ([[graft.functions.DebeziumEnvelope]] decoder half;
+   * pkg/sink/codec/debezium/decoder.go:1-377): full encode→decode
+   * fixpoint over a 19-type row — messages assembled by the q310-gated
+   * encoders (TiDB extension on, schema on), decoded through the
+   * reference's semantics: message-type classification by `op`
+   * (decoder.go:87-106), resolved/DDL extraction from the source block,
+   * schema-driven row decoding (tidb_type parse-back with the
+   * unsigned/binary flag strips, MicroTimestamp fsp promotion, PK flags
+   * from the key payload, column-id-DESCENDING sort), and the value
+   * conversions (base64 binary, Go `time.UTC().String()` renders for
+   * date/datetime, `types.Duration` fsp-6 renders, unsigned
+   * reinterpretation — uint64-max survives the encode clamp to -1 and
+   * decodes back to 18446744073709551615 — and little-endian BIT). The
+   * oracle is the expected decode matrix: insert/update/delete sections
+   * share one field table, so every section must decode identically.
+   */
+  val debeziumDecoder = GateQuery(
+    "q311_debezium_decoder",
+    Some("""WITH fields(ord, field, val, pk) AS (VALUES
+      |  (0, 's_null', 'null', 0),
+      |  (1, 'r_ubig', '18446744073709551615', 0),
+      |  (2, 'q_json', '{"k":1}', 0),
+      |  (3, 'p_float', '1.5', 0),
+      |  (4, 'o_dec', '3.14', 0),
+      |  (5, 'n_set', 'a,b', 0),
+      |  (6, 'm_enum', 'a', 0),
+      |  (7, 'l_bit16', '5', 0),
+      |  (8, 'k_bit1', '1', 0),
+      |  (9, 'j_year', '2022', 0),
+      |  (10, 'i_ts', '2022-01-01T00:00:00Z', 0),
+      |  (11, 'h_time', '10:10:10.000000', 0),
+      |  (12, 'g_dt6', '2022-01-01 12:34:56.123456 +0000 UTC', 0),
+      |  (13, 'f_dt0', '2022-01-01 12:34:56 +0000 UTC', 0),
+      |  (14, 'e_date', '2022-01-03 00:00:00 +0000 UTC', 0),
+      |  (15, 'd_bin', '0x4142', 0),
+      |  (16, 'c_str', 'héllo', 0),
+      |  (17, 'b_utiny', '200', 0),
+      |  (18, 'a_int', '7', 1)
+      |), sections(op, section) AS (VALUES
+      |  ('ins', 'after'), ('del', 'before'),
+      |  ('upd', 'before'), ('upd', 'after'))
+      |SELECT s.op, s.section, f.ord, f.field, f.val, f.pk
+      |FROM fields f CROSS JOIN sections s
+      |UNION ALL
+      |SELECT * FROM (VALUES
+      |  ('mt', 'ddl_value', 0, 'type', 'ddl', 0),
+      |  ('mt', 'cp_value', 0, 'type', 'resolved', 0),
+      |  ('mt', 'row_value', 0, 'type', 'row', 0),
+      |  ('mt', 'bad_op', 0, 'type', 'ErrDebeziumInvalidMessage', 0),
+      |  ('meta', 'ddl', 0, 'db', 'test', 0),
+      |  ('meta', 'ddl', 1, 'table', 'table1', 0),
+      |  ('meta', 'ddl', 2, 'query', 'RENAME TABLE test.table1 to test.table2', 0),
+      |  ('meta', 'ddl', 3, 'commit_ts', '1', 0),
+      |  ('meta', 'resolved', 0, 'ts', '3', 0),
+      |  ('meta', 'row', 0, 'commit_ts', '9', 0),
+      |  ('meta', 'row', 1, 'schema', 'test', 0),
+      |  ('meta', 'row', 2, 'table', 't1', 0)
+      |) v(op, section, ord, field, val, pk)""".stripMargin)) {
+    (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.{DebeziumEnvelope => DE}
+    import graft.functions.DebeziumFields.FieldSpec
+
+    val cols: Seq[(FieldSpec, Option[String])] = Seq(
+      FieldSpec("a_int", "long", notNull = true) -> Some("7"),
+      FieldSpec("b_utiny", "tiny", unsigned = true) -> Some("200"),
+      FieldSpec("c_str", "varchar", flen = 20) -> Some("héllo"),
+      FieldSpec("d_bin", "varchar", flen = 20, binary = true,
+        charset = "binary") -> Some("AB"),
+      FieldSpec("e_date", "date") -> Some("2022-01-03"),
+      FieldSpec("f_dt0", "datetime", fsp = 0) ->
+        Some("2022-01-01 12:34:56"),
+      FieldSpec("g_dt6", "datetime", fsp = 6) ->
+        Some("2022-01-01 12:34:56.123456"),
+      FieldSpec("h_time", "time", fsp = 0) -> Some("10:10:10"),
+      FieldSpec("i_ts", "timestamp", fsp = 0) ->
+        Some("2022-01-01 00:00:00"),
+      FieldSpec("j_year", "year") -> Some("2022"),
+      FieldSpec("k_bit1", "bit", flen = 1) -> Some("1"),
+      FieldSpec("l_bit16", "bit", flen = 16) -> Some("5"),
+      FieldSpec("m_enum", "enum", elems = Seq("a", "b")) -> Some("a"),
+      FieldSpec("n_set", "set", elems = Seq("a", "b")) -> Some("a,b"),
+      FieldSpec("o_dec", "newdecimal", flen = 10, fsp = 2) -> Some("3.14"),
+      FieldSpec("p_float", "float") -> Some("1.5"),
+      FieldSpec("q_json", "json") -> Some("""{"k":1}"""),
+      FieldSpec("r_ubig", "longlong", unsigned = true) ->
+        Some("18446744073709551615"),
+      FieldSpec("s_null", "varchar", flen = 10) -> None)
+    val keyCols = cols.filter(_._1.notNull)
+
+    val cluster = "test_cluster"
+    val nowMs = 1701326309L * 1000
+    val key = DE.rowKey(cluster, "test", "t1", keyCols, ext = true)
+    def value(op: String) = DE.rowValue(cluster, 9L, nowMs, "test",
+      "t1", op, cols, preCols = cols, ext = true)
+
+    val rows = Seq.newBuilder[(String, String, Int, String, String, Int)]
+    def emit(op: String, section: String,
+             decoded: Seq[(String, String, Boolean)]): Unit =
+      decoded.zipWithIndex.foreach { case ((f, v, pk), i) =>
+        rows += ((op, section, i, f, v, if (pk) 1 else 0))
+      }
+    val ins = DE.rowEventOf(key, value("c"))
+    emit("ins", "after", ins.after)
+    val del = DE.rowEventOf(key, value("d"))
+    emit("del", "before", del.before)
+    val upd = DE.rowEventOf(key, value("u"))
+    emit("upd", "before", upd.before)
+    emit("upd", "after", upd.after)
+
+    // message-type classification + resolved/DDL extraction over the
+    // kernel's own encoded messages
+    val ddlDoc = DE.ddlValue(cluster, 1L, nowMs, "RenameTable",
+      "RENAME TABLE test.table1 to test.table2",
+      Some(("test", "table1")), Some(("test", "table2")),
+      pkNames = Seq("id"), columns = Seq(DE.DdlColumn(
+        FieldSpec("id", "long", flen = 0, notNull = true))))
+      .toOption.get
+    val cpDoc = DE.checkpointValue(cluster, 3L, nowMs)
+    def mt(kase: String, doc: String): Unit =
+      rows += (("mt", kase, 0, "type",
+        DE.messageType(doc).fold(identity, identity), 0))
+    mt("ddl_value", ddlDoc)
+    mt("cp_value", cpDoc)
+    mt("row_value", value("c"))
+    mt("bad_op", """{"payload":{"op":"x"}}""")
+    val (db, tbl, q, cts) = DE.ddlEventOf(ddlDoc)
+    rows += (("meta", "ddl", 0, "db", db, 0))
+    rows += (("meta", "ddl", 1, "table", tbl, 0))
+    rows += (("meta", "ddl", 2, "query", q, 0))
+    rows += (("meta", "ddl", 3, "commit_ts", cts.toString, 0))
+    rows += (("meta", "resolved", 0, "ts",
+      DE.resolvedTs(cpDoc).toString, 0))
+    rows += (("meta", "row", 0, "commit_ts", ins.commitTs.toString, 0))
+    rows += (("meta", "row", 1, "schema", ins.schemaName, 0))
+    rows += (("meta", "row", 2, "table", ins.tableName, 0))
+
+    rows.result().toDF("op", "section", "ord", "field", "val", "pk")
+  }
+
   def all: Seq[GateQuery] = Seq(canalGeneric, openGeneric, maxwellGeneric,
     csvGeneric, debeziumSchemaGate, simpleGeneric, integrityGeneric,
     vectorRoundtrip, canalUpdatedColumns, openUpdatedColumns, claimCheckRaw,
     debeziumOptions, canalShortTypes, avroModes, csvRefLayout,
     simpleLargeMessage, schemaSidecar, avroWatermark, debeziumTypeMatrix,
-    debeziumDdlColumns)
+    debeziumDdlColumns, debeziumEnvelope, debeziumDecoder)
 }

@@ -401,6 +401,198 @@ class Round20Spec extends AnyFunSuite {
     assert(CC.goBytesSize(0) == "0B")
   }
 
+  test("Debezium DDL action classifier, parsed from codec.go") {
+    assumeRef()
+    import graft.functions.{DebeziumEnvelope => DE}
+    val src = slurp("/root/reference/pkg/sink/codec/debezium/codec.go")
+    val fn = src.substring(
+      src.indexOf("func (c *dbzCodec) EncodeDDLEvent"),
+      src.indexOf("// message key"))
+    val armRe =
+      """(?s)case ((?:\s*timodel\.Action\w+,?)+):\s*changeType = "(\w+)"""".r
+    var checked = 0
+    for (m <- armRe.findAllMatchIn(fn);
+         a <- """Action(\w+)""".r.findAllMatchIn(m.group(1))
+           .map(_.group(1))) {
+      assert(DE.ddlChangeType(a) == Right(m.group(2)),
+        s"$a should classify ${m.group(2)}")
+      checked += 1
+    }
+    assert(checked >= 30, s"only $checked action arms parsed")
+    // the default arm is the unsupported-DDL terror
+    assert(fn.contains("ErrDDLUnsupportType"))
+    assert(DE.ddlChangeType("AddForeignKey") ==
+      Left("ErrDDLUnsupportType"))
+  }
+
+  test("decoder Go-render edges: time strings, durations, bit buffers") {
+    import graft.functions.{DebeziumEnvelope => DE}
+    // Go time.Time.String() trims trailing fraction zeros
+    assert(DE.goUtcString(1640995200000000L) ==
+      "2022-01-01 00:00:00 +0000 UTC")
+    assert(DE.goUtcString(1640995200123450L) ==
+      "2022-01-01 00:00:00.12345 +0000 UTC")
+    assert(DE.goUtcString(1640995200100000L) ==
+      "2022-01-01 00:00:00.1 +0000 UTC")
+    // pre-epoch (negative micros) renders the earlier date
+    assert(DE.goUtcString(-86400000000L) ==
+      "1969-12-31 00:00:00 +0000 UTC")
+    // types.Duration at MaxFsp always carries six digits; sign leads
+    assert(DE.goDurationString(36610000005L) == "10:10:10.000005")
+    assert(DE.goDurationString(-3600000000L) == "-01:00:00.000000")
+    // tidb_type parse-back: unsigned/binary flag strips
+    assert(DE.parseTidbType("int unsigned") == (("long", true, false)))
+    assert(DE.parseTidbType("varbinary") == (("varchar", false, true)))
+    assert(DE.parseTidbType("text") == (("blob", false, false)))
+    assert(DE.parseTidbType("blob") == (("blob", false, true)))
+  }
+
+  test("debezium encode→decode fixpoint over 200 random typed rows") {
+    import graft.functions.{DebeziumEnvelope => DE}
+    import graft.functions.DebeziumFields.FieldSpec
+    val rnd = new scala.util.Random(20)
+    def pad2(n: Int) = f"$n%02d"
+    for (trial <- 0 until 200) {
+      // one random column per family, values drawn in-range so the
+      // decode render can be derived INDEPENDENTLY of the kernel
+      val intV = rnd.nextInt(1 << 16) - (1 << 15)
+      val utinyV = rnd.nextInt(256)
+      val strV = "s" + rnd.alphanumeric.take(rnd.nextInt(8)).mkString
+      val binV = rnd.alphanumeric.take(3).mkString
+      val day = java.time.LocalDate.of(2000 + rnd.nextInt(60),
+        1 + rnd.nextInt(12), 1 + rnd.nextInt(28))
+      val h = rnd.nextInt(24); val mi = rnd.nextInt(60)
+      val se = rnd.nextInt(60)
+      val dtV = s"$day $h:$mi:$se".replaceAll(" (\\d):", " 0$1:")
+      val dtRaw = f"$day $h%02d:$mi%02d:$se%02d"
+      val bitV = rnd.nextInt(1 << 16)
+      val yearV = 1990 + rnd.nextInt(40)
+      val cols = Seq(
+        FieldSpec("pk", "long", notNull = true) ->
+          Some(intV.toString),
+        FieldSpec("ut", "tiny", unsigned = true) ->
+          Some(utinyV.toString),
+        FieldSpec("st", "varchar", flen = 20) -> Some(strV),
+        FieldSpec("bi", "varchar", flen = 20, binary = true,
+          charset = "binary") -> Some(binV),
+        FieldSpec("dt", "date") -> Some(day.toString),
+        FieldSpec("ts6", "datetime", fsp = 6) ->
+          Some(dtRaw + ".250000"),
+        FieldSpec("tm", "time", fsp = 0) ->
+          Some(f"$h%02d:$mi%02d:$se%02d"),
+        FieldSpec("b16", "bit", flen = 16) -> Some(bitV.toString),
+        FieldSpec("yr", "year") -> Some(yearV.toString))
+      val key = DE.rowKey("c1", "d1", "t1",
+        cols.filter(_._1.notNull), ext = true)
+      val value = DE.rowValue("c1", 42L, 0L, "d1", "t1", "c", cols,
+        ext = true)
+      val decoded = DE.rowEventOf(key, value).after.map {
+        case (n, v, _) => n -> v
+      }.toMap
+      // independent expected renders
+      assert(decoded("pk") == intV.toString, s"trial $trial pk")
+      assert(decoded("ut") == utinyV.toString)
+      assert(decoded("st") == strV)
+      assert(decoded("bi") == "0x" +
+        binV.getBytes("UTF-8").map(b => f"$b%02x").mkString)
+      assert(decoded("dt") == s"$day 00:00:00 +0000 UTC")
+      assert(decoded("ts6") ==
+        f"$day $h%02d:$mi%02d:$se%02d.25 +0000 UTC", s"trial $trial dt")
+      assert(decoded("tm") == f"$h%02d:$mi%02d:$se%02d.000000")
+      assert(decoded("b16") == bitV.toString)
+      assert(decoded("yr") == yearV.toString)
+    }
+  }
+
+  test("TaskConverters openapi round-trip fixpoint over 100 random tasks") {
+    import graft.streaming.{TaskConverters => CV}
+    import graft.streaming.{SubTaskValidate => STV}
+    val rnd = new scala.util.Random(2020)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    var converted = 0
+    for (trial <- 0 until 100) {
+      val nSources = 1 + rnd.nextInt(3)
+      val sourceNames = (0 until nSources).map(i => s"s$i")
+      val sources = sourceNames.map(n =>
+        n -> STV.SourceCfgModel(sourceId = n,
+          caseSensitive = rnd.nextBoolean())).toMap
+      val filterRules =
+        if (rnd.nextBoolean())
+          Map(s"fr$trial" -> CV.BinlogFilterRule(
+            Seq(pick(Seq("delete", "insert", "update"))), Seq("^DROP")))
+        else Map.empty[String, CV.BinlogFilterRule]
+      // filter references only on sources with EXACTLY ONE migrate
+      // rule: the reference's stamping is per (rule × reference) and
+      // its re-export attaches every stamped name to every rule of the
+      // source (task_converters.go:301-311 + :635-640), so a source
+      // with 2 filtered rules GROWS templates on every round trip —
+      // pinned as a quirk below; the fixpoint class excludes it
+      val ruleCounts = sourceNames.map(_ -> (1 + rnd.nextInt(2))).toMap
+      val migrate = sourceNames.flatMap { sn =>
+        (0 until ruleCounts(sn)).map { i =>
+          CV.MigrateRule(sn, s"db$i",
+            if (rnd.nextBoolean()) s"t$i" else "",
+            if (rnd.nextBoolean())
+              Some(CV.MigrateRuleTarget(Some("dst"),
+                if (rnd.nextBoolean()) Some(s"t$i") else None))
+            else None,
+            binlogFilterRules =
+              if (ruleCounts(sn) == 1) filterRules.keys.toSeq else Nil)
+        }
+      }
+      val task = CV.OpenApiTask(
+        name = s"mig$trial",
+        taskMode = pick(Seq("all", "full", "incremental")),
+        shardMode =
+          if (rnd.nextBoolean()) Some(pick(Seq("pessimistic",
+            "optimistic"))) else None,
+        metaSchema = "dm_meta",
+        enhanceOnlineSchemaChange = rnd.nextBoolean(),
+        sourceConf = sourceNames.map(n => CV.SourceConf(n)),
+        fullConf = Some(CV.FullMigrateConf(
+          exportThreads = Some(4), importThreads = Some(16),
+          dataDir = Some("./exported_data"),
+          consistency = Some(pick(Seq("auto", "none"))))),
+        incrConf = Some(CV.IncrMigrateConf(
+          replThreads = Some(16), replBatch = Some(100))),
+        migrateRules = migrate,
+        binlogFilterRules = filterRules)
+      CV.openApiTaskToSubTasks(task, sources) match {
+        case Left(e) => fail(s"trial $trial rejected: $e")
+        case Right(subTasks) =>
+          converted += 1
+          val back = CV.subTasksToOpenApiTask(subTasks)
+          // the reference re-runs the converters on the re-exported
+          // task (openapi GET → edit → POST); the second pass must be
+          // a FIXPOINT
+          CV.openApiTaskToSubTasks(back, sources) match {
+            case Left(e) => fail(s"trial $trial round-2 rejected: $e")
+            case Right(subTasks2) =>
+              val back2 = CV.subTasksToOpenApiTask(subTasks2)
+              assert(back2 == back, s"trial $trial not a fixpoint")
+          }
+      }
+    }
+    assert(converted == 100)
+    // the excluded class, pinned: a source with TWO filtered migrate
+    // rules doubles its stamped templates on re-export — the
+    // reference's real divergence, faithfully reproduced
+    val fr = Map("fr" -> CV.BinlogFilterRule(Seq("delete"), Seq("^DROP")))
+    val twoRules = CV.OpenApiTask(name = "t", taskMode = "all",
+      sourceConf = Seq(CV.SourceConf("s0")),
+      migrateRules = Seq(
+        CV.MigrateRule("s0", "db0", "", binlogFilterRules = Seq("fr")),
+        CV.MigrateRule("s0", "db1", "", binlogFilterRules = Seq("fr"))),
+      binlogFilterRules = fr)
+    val srcs = Map("s0" -> STV.SourceCfgModel(sourceId = "s0"))
+    val b1 = CV.subTasksToOpenApiTask(
+      CV.openApiTaskToSubTasks(twoRules, srcs).toOption.get)
+    val b2 = CV.subTasksToOpenApiTask(
+      CV.openApiTaskToSubTasks(b1, srcs).toOption.get)
+    assert(b1.binlogFilterRules.size == 2 &&
+      b2.binlogFilterRules.size == 4)
+  }
+
   test("trimAdminOption and role discovery match the shown-grant tests") {
     // TestTrimAdminOption's Unicode case: suffix matching is ASCII-fold,
     // the role name's İ must survive untouched
