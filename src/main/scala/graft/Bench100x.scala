@@ -257,7 +257,8 @@ object Bench100x {
     "q304_time_cli_source", "q305_debezium_types",
     "q306_table_struct_check", "q307_debezium_ddl_columns",
     "q308_privilege_check", "q309_conn_capacity",
-    "q310_debezium_envelope", "q311_debezium_decoder")
+    "q310_debezium_envelope", "q311_debezium_decoder",
+    "q312_checker_dispatch")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse(

@@ -1848,12 +1848,154 @@ object DiffQueries {
     out.toDF("kase", "seq", "state", "msg")
   }
 
+  /**
+   * q312 — the DM precheck DISPATCH matrix
+   * ([[graft.diff.CheckerDispatch]]; dm/checker/checker.go:262-558
+   * Checker.Init + dm/config/helper.go mode predicates +
+   * checking_item.go FilterCheckingItems): which checkers run, in which
+   * order, for a given task — conn-number fan-out by dump/load legs,
+   * the per-instance version/dump-privilege vs meta-position
+   * alternation, the sync-mode family, the lazy online-DDL-plugin
+   * ordering quirk (earlier instances skip the checker), the
+   * fresh-sharded-dump-only shard checkers with
+   * pessimistic/optimistic renders, the physical-import lightning
+   * block, and ignore-item filtering incl. `all`.
+   */
+  val checkerDispatch = GateQuery(
+    "q312_checker_dispatch",
+    Some("""SELECT * FROM (VALUES
+      |  ('all_mode',  0,'dumper_conn_number_checker','s1'),
+      |  ('all_mode',  1,'loader_conn_number_checker',''),
+      |  ('all_mode',  2,'target db privilege checker',''),
+      |  ('all_mode',  3,'mysql_version','s1'),
+      |  ('all_mode',  4,'source db dump privilege checker','s1'),
+      |  ('all_mode',  5,'mysql_server_id','s1'),
+      |  ('all_mode',  6,'mysql_binlog_enable','s1'),
+      |  ('all_mode',  7,'mysql_binlog_format','s1'),
+      |  ('all_mode',  8,'mysql_binlog_row_image','s1'),
+      |  ('all_mode',  9,'source db replication privilege checker','s1'),
+      |  ('all_mode', 10,'binlog_do_db/binlog_ignore_db check','s1'),
+      |  ('all_mode', 11,'table structure compatibility check',''),
+      |  ('incr_meta', 0,'target db privilege checker',''),
+      |  ('incr_meta', 1,'mysql_version','s1'),
+      |  ('incr_meta', 2,'meta position check','s1'),
+      |  ('incr_meta', 3,'mysql_server_id','s1'),
+      |  ('incr_meta', 4,'mysql_binlog_enable','s1'),
+      |  ('incr_meta', 5,'mysql_binlog_format','s1'),
+      |  ('incr_meta', 6,'mysql_binlog_row_image','s1'),
+      |  ('incr_meta', 7,'source db replication privilege checker','s1'),
+      |  ('incr_meta', 8,'binlog_do_db/binlog_ignore_db check','s1'),
+      |  ('incr_meta', 9,'table structure compatibility check',''),
+      |  ('incr_relay',0,'target db privilege checker',''),
+      |  ('incr_relay',1,'mysql_version','s1'),
+      |  ('incr_relay',2,'mysql_server_id','s1'),
+      |  ('incr_relay',3,'mysql_binlog_enable','s1'),
+      |  ('incr_relay',4,'mysql_binlog_format','s1'),
+      |  ('incr_relay',5,'mysql_binlog_row_image','s1'),
+      |  ('incr_relay',6,'source db replication privilege checker','s1'),
+      |  ('incr_relay',7,'binlog_do_db/binlog_ignore_db check','s1'),
+      |  ('incr_relay',8,'table structure compatibility check',''),
+      |  ('full_mode', 0,'dumper_conn_number_checker','s1'),
+      |  ('full_mode', 1,'loader_conn_number_checker',''),
+      |  ('full_mode', 2,'target db privilege checker',''),
+      |  ('full_mode', 3,'mysql_version','s1'),
+      |  ('full_mode', 4,'source db dump privilege checker','s1'),
+      |  ('full_mode', 5,'table structure compatibility check',''),
+      |  ('ignore_some',0,'dumper_conn_number_checker','s1'),
+      |  ('ignore_some',1,'loader_conn_number_checker',''),
+      |  ('ignore_some',2,'target db privilege checker',''),
+      |  ('ignore_some',3,'source db dump privilege checker','s1'),
+      |  ('ignore_some',4,'mysql_server_id','s1'),
+      |  ('ignore_some',5,'source db replication privilege checker','s1'),
+      |  ('ignore_some',6,'binlog_do_db/binlog_ignore_db check','s1'),
+      |  ('ignore_some',7,'table structure compatibility check',''),
+      |  ('ignore_all', 0,'(none)',''),
+      |  ('online_ddl', 0,'target db privilege checker',''),
+      |  ('online_ddl', 1,'mysql_version','s1'),
+      |  ('online_ddl', 2,'mysql_server_id','s1'),
+      |  ('online_ddl', 3,'mysql_binlog_enable','s1'),
+      |  ('online_ddl', 4,'mysql_binlog_format','s1'),
+      |  ('online_ddl', 5,'mysql_binlog_row_image','s1'),
+      |  ('online_ddl', 6,'source db replication privilege checker','s1'),
+      |  ('online_ddl', 7,'binlog_do_db/binlog_ignore_db check','s1'),
+      |  ('online_ddl', 8,'mysql_version','s2'),
+      |  ('online_ddl', 9,'mysql_server_id','s2'),
+      |  ('online_ddl',10,'mysql_binlog_enable','s2'),
+      |  ('online_ddl',11,'mysql_binlog_format','s2'),
+      |  ('online_ddl',12,'mysql_binlog_row_image','s2'),
+      |  ('online_ddl',13,'source db replication privilege checker','s2'),
+      |  ('online_ddl',14,'online ddl checker','s2'),
+      |  ('online_ddl',15,'binlog_do_db/binlog_ignore_db check','s2'),
+      |  ('online_ddl',16,'table structure compatibility check',''),
+      |  ('shard_pess', 0,'table structure compatibility check',''),
+      |  ('shard_pess', 1,'sharding table `db`.`t_a` consistency checking','`db`.`t_a`'),
+      |  ('shard_pess', 2,'sharding table `db`.`t_c` consistency checking','`db`.`t_c`'),
+      |  ('shard_opt',  0,'table structure compatibility check',''),
+      |  ('shard_opt',  1,'optimistic sharding table `db`.`t_a` consistency checking','`db`.`t_a`'),
+      |  ('shard_stale',0,'table structure compatibility check',''),
+      |  ('lightning',  0,'table structure compatibility check',''),
+      |  ('lightning',  1,'primary key existence check',''),
+      |  ('lightning',  2,'lightning_free_space',''),
+      |  ('lightning',  3,'lightning_empty_region',''),
+      |  ('lightning',  4,'lightning_region_distribution',''),
+      |  ('lightning',  5,'lightning_cluster_version',''),
+      |  ('lightning',  6,'lightning_downstream_mutex_features',''),
+      |  ('lightning',  7,'lightning_downstream_empty_table','')
+      |) v(kase, seq, checker, scope)""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    import graft.diff.{CheckerDispatch => CD}
+    import CD.{DispatchSpec => D, InstanceSpec => I}
+
+    def rows(kase: String, spec: D): Seq[(String, Int, String, String)] = {
+      val cl = CD.checkList(spec)
+      if (cl.isEmpty) Seq((kase, 0, "(none)", ""))
+      else cl.zipWithIndex.map { case ((n, s), i) => (kase, i, n, s) }
+    }
+    val s1all = I("s1", "all")
+    val defaults = CD.filterCheckingItems(Nil)
+
+    val out =
+      rows("all_mode", D(defaults, Seq(s1all))) ++
+      rows("incr_meta", D(defaults, Seq(I("s1", "incremental",
+        hasMeta = true, metaBinlogName = "mysql-bin.000001")))) ++
+      rows("incr_relay", D(defaults, Seq(I("s1", "incremental",
+        useRelay = true, hasMeta = true,
+        metaBinlogName = "mysql-bin.000001")))) ++
+      rows("full_mode", D(defaults, Seq(I("s1", "full")))) ++
+      rows("ignore_some", D(CD.filterCheckingItems(Seq("version",
+        "binlog_enable", "binlog_format", "binlog_row_image")),
+        Seq(s1all))) ++
+      rows("ignore_all",
+        D(CD.filterCheckingItems(Seq("all")), Seq(s1all))) ++
+      rows("online_ddl", D(defaults -- Set("conn_number",
+        "dump_privilege"),
+        Seq(I("s1", "incremental"), I("s2", "incremental",
+          onlineDDL = true)))) ++
+      rows("shard_pess", D(Set("table_schema", "schema_of_shard_tables",
+        "auto_increment_ID"), Seq(s1all), shardMode = "pessimistic",
+        shardTargets = Seq(("`db`.`t_c`", 3), ("`db`.`t_a`", 2),
+          ("`db`.`t_b`", 1)))) ++
+      rows("shard_opt", D(Set("table_schema", "schema_of_shard_tables"),
+        Seq(s1all), shardMode = "optimistic",
+        shardTargets = Seq(("`db`.`t_a`", 2)))) ++
+      rows("shard_stale", D(Set("table_schema",
+        "schema_of_shard_tables"), Seq(s1all),
+        shardMode = "pessimistic", isFresh = false,
+        shardTargets = Seq(("`db`.`t_a`", 2)))) ++
+      rows("lightning", D(
+        Set("table_schema", "primary_key") ++
+          CD.LightningPrechecks.toSet,
+        Seq(I("s1", "full")), importMode = "physical"))
+
+    out.toDF("kase", "seq", "checker", "scope")
+  }
+
   def all: Seq[GateQuery] =
     Seq(chunkChecksum, chunkChecksumComposite, rowDiff, fixSql, fixApply,
       diffIgnoreColumns, diffRange, diffReport, diffCheckpointResume,
       diffCheckModes, bucketChunksMerge, bucketChunksSplit, shardMerge,
       structCompare, limitSplit, indexSelect, diffSample, tableStructCheck,
-      privilegeCheck, connCapacityCheck)
+      privilegeCheck, connCapacityCheck, checkerDispatch)
 
   // shared-cache warmers: Bench prebuilds these as their own entries so
   // consuming gates (q51/q52/q240/q243…) report marginal cost

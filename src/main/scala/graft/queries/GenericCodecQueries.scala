@@ -1310,15 +1310,16 @@ object GenericCodecQueries {
    * ([[graft.functions.DebeziumEnvelope]];
    * pkg/sink/codec/debezium/codec.go:937-1698 EncodeKey / EncodeValue /
    * EncodeDDLEvent / EncodeCheckpointEvent): the CONTRACT is the
-   * reference's own codec_test.go — its first twelve require.JSONEq
-   * golden documents (rename/create/drop DDL key+value with and without
-   * schema, the watermark checkpoint pair, the insert row key+value
-   * pair both ways) are extracted from the test source by the ORACLE
-   * (read_text + regexp, q287/q305 form) and path-flattened by a
-   * recursive CTE; Spark assembles the same twelve messages through the
-   * kernel and flattens identically. 507 leaf paths — every field of
-   * every envelope, source block, tableChanges table block and schema
-   * struct is pinned; nothing re-typed.
+   * reference's own codec_test.go — ALL 22 of its require.JSONEq golden
+   * documents (rename/create/drop DDL key+value with and without
+   * schema, the watermark checkpoint pair, and the insert/update/delete
+   * row key+value pairs incl. the OutputOldValue=false update and the
+   * pre-image delete key) are extracted from the test source by the
+   * ORACLE (read_text + regexp, q287/q305 form) and path-flattened by a
+   * recursive CTE; Spark assembles the same messages through the kernel
+   * and flattens identically — every field of every envelope, source
+   * block, tableChanges table block and schema struct pinned; nothing
+   * re-typed.
    */
   val debeziumEnvelope = GateQuery(
     "q310_debezium_envelope",
@@ -1335,7 +1336,12 @@ object GenericCodecQueries {
       |    ('ddl_drop_key', 5), ('ddl_drop_value', 6),
       |    ('cp_key', 7), ('cp_value', 8),
       |    ('ins_key_noschema', 9), ('ins_value_noschema', 10),
-      |    ('ins_key_schema', 11), ('ins_value_schema', 12)
+      |    ('ins_key_schema', 11), ('ins_value_schema', 12),
+      |    ('upd_key_noschema', 13), ('upd_value_noschema', 14),
+      |    ('upd_key_schema', 15), ('upd_value_schema', 16),
+      |    ('upd_key_noold', 17), ('upd_value_noold', 18),
+      |    ('del_key_noschema', 19), ('del_value_noschema', 20),
+      |    ('del_key_schema', 21), ('del_value_schema', 22)
       |  ) v(kase, i)
       |),
       |tree AS (
@@ -1407,7 +1413,32 @@ object GenericCodecQueries {
         "table1", "c", tiny, disableSchema = true),
       "ins_key_schema" -> DE.rowKey(cluster, "test", "table1", tiny),
       "ins_value_schema" -> DE.rowValue(cluster, 1L, nowMs, "test",
-        "table1", "c", tiny))
+        "table1", "c", tiny)) ++ {
+      // update/delete: after tiny=1, before tiny=2 (codec_test.go:
+      // 918-1290); the delete KEY carries the PRE handle values
+      val tinyPre = Seq(FieldSpec("tiny", "tiny") -> Option("2"))
+      def upd(noSchema: Boolean, oldValue: Boolean) =
+        DE.rowValue(cluster, 1L, nowMs, "test", "table1", "u", tiny,
+          preCols = tinyPre, disableSchema = noSchema,
+          outputOldValue = oldValue)
+      def del(noSchema: Boolean) =
+        DE.rowValue(cluster, 1L, nowMs, "test", "table1", "d", Nil,
+          preCols = tinyPre, disableSchema = noSchema)
+      Seq(
+        "upd_key_noschema" -> DE.rowKey(cluster, "test", "table1", tiny,
+          disableSchema = true),
+        "upd_value_noschema" -> upd(noSchema = true, oldValue = true),
+        "upd_key_schema" -> DE.rowKey(cluster, "test", "table1", tiny),
+        "upd_value_schema" -> upd(noSchema = false, oldValue = true),
+        "upd_key_noold" -> DE.rowKey(cluster, "test", "table1", tiny,
+          disableSchema = true),
+        "upd_value_noold" -> upd(noSchema = true, oldValue = false),
+        "del_key_noschema" -> DE.rowKey(cluster, "test", "table1",
+          tinyPre, disableSchema = true),
+        "del_value_noschema" -> del(noSchema = true),
+        "del_key_schema" -> DE.rowKey(cluster, "test", "table1", tinyPre),
+        "del_value_schema" -> del(noSchema = false))
+    }
 
     docs.flatMap { case (kase, json) =>
       DE.flatten(json).map { case (path, v) => (kase, path, v) }

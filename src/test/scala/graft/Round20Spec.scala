@@ -401,6 +401,208 @@ class Round20Spec extends AnyFunSuite {
     assert(CC.goBytesSize(0) == "0B")
   }
 
+  test("privilege lattice vs brute-force leaf coverage, 300 random trials") {
+    // independent twin: enumerate every required LEAF and decide
+    // coverage directly from the grant statements — no shared code with
+    // the kernel's fold (LIKE matching via regex translation here)
+    val rnd = new scala.util.Random(308)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    def likeMatches(pattern: String, s: String): Boolean = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < pattern.length) {
+        val c = pattern.charAt(i)
+        if (c == '\\' && i + 1 < pattern.length) {
+          sb ++= java.util.regex.Pattern.quote(
+            pattern.charAt(i + 1).toString); i += 2
+        } else {
+          if (c == '%') sb ++= ".*"
+          else if (c == '_') sb ++= "."
+          else sb ++= java.util.regex.Pattern.quote(c.toString)
+          i += 1
+        }
+      }
+      s.matches(sb.toString)
+    }
+    val privPool = Seq(PC.Select -> "SELECT", PC.Insert -> "INSERT",
+      PC.Reload -> "RELOAD", PC.ReplicationClient -> "REPLICATION CLIENT",
+      PC.LockTables -> "LOCK TABLES")
+    val dbPool = Seq("db1", "db2", "db_x", "demo_foobar")
+    for (trial <- 0 until 300) {
+      // random required lattice
+      val required: PC.Lack = privPool
+        .filter(_ => rnd.nextBoolean()).map { case (p, _) =>
+          if (rnd.nextBoolean()) p -> PC.Priv(needGlobal = true)
+          else p -> PC.Priv(dbs = dbPool.filter(_ => rnd.nextBoolean())
+            .map { db =>
+              if (rnd.nextBoolean()) db -> PC.DbPriv(wholeDB = true)
+              else db -> PC.DbPriv(tables = Seq("t1", "t2")
+                .filter(_ => rnd.nextBoolean())
+                .map(_ -> PC.TablePriv(wholeTable = true)).toMap)
+            }.toMap)
+        }.toMap
+      // random grant set (grant-only; no columns, no wildickery beyond
+      // db patterns)
+      case class G(priv: String, level: Int, db: String, table: String)
+      val grants = (0 until rnd.nextInt(5)).map { _ =>
+        val p = pick(privPool.map(_._2) ++
+          Seq("ALL PRIVILEGES", "SUPER", "FLUSH_TABLES", "USAGE"))
+        pick(Seq(0, 1, 2)) match {
+          case 0 => G(p, 0, "", "")
+          case 1 => G(p, 1, pick(dbPool :+ "db\\_x" :+ "d%"), "")
+          case 2 => G(p, 2, pick(dbPool), pick(Seq("t1", "t2")))
+        }
+      }
+      val stmts = grants.map {
+        case G(p, 0, _, _) => s"GRANT $p ON *.* TO 'u'@'%'"
+        case G(p, 1, db, _) => s"GRANT $p ON `$db`.* TO 'u'@'%'"
+        case G(p, 2, db, t) => s"GRANT $p ON `$db`.`$t` TO 'u'@'%'"
+      }
+      // brute force per-leaf coverage
+      def privCovers(gp: String, p: PC.PrivT, global: Boolean): Boolean =
+        gp == privPool.find(_._1 == p).map(_._2).getOrElse("?") ||
+          gp == "ALL PRIVILEGES" ||
+          (gp == "SUPER" && (global && p == PC.ReplicationClient)) ||
+          (gp == "FLUSH_TABLES" && global && p == PC.Reload)
+      def globalCovered(p: PC.PrivT): Boolean =
+        grants.exists(g => g.level == 0 && privCovers(g.priv, p,
+          global = true))
+      def dbCovered(p: PC.PrivT, db: String): Boolean =
+        globalCovered(p) || grants.exists(g => g.level == 1 &&
+          privCovers(g.priv, p, global = false) && likeMatches(g.db, db))
+      def tableCovered(p: PC.PrivT, db: String, t: String): Boolean =
+        dbCovered(p, db) || grants.exists(g => g.level == 2 &&
+          privCovers(g.priv, p, global = false) && g.db == db &&
+          g.table == t)
+      val expected: PC.Lack = required.flatMap { case (p, pr) =>
+        if (pr.needGlobal) {
+          if (globalCovered(p)) None else Some(p -> pr)
+        } else {
+          val dbs = pr.dbs.flatMap { case (db, dp) =>
+            if (dp.wholeDB) {
+              if (dbCovered(p, db)) None else Some(db -> dp)
+            } else {
+              val ts = dp.tables.filter { case (t, _) =>
+                !tableCovered(p, db, t)
+              }
+              if (ts.isEmpty) None else Some(db -> dp.copy(tables = ts))
+            }
+          }
+          if (dbs.isEmpty) None else Some(p -> pr.copy(dbs = dbs))
+        }
+      }
+      if (stmts.nonEmpty) {
+        val got = PC.verifyPrivileges(stmts, required)
+        assert(got == Right(expected),
+          s"trial $trial\n grants=$stmts\n required=$required")
+        // revoke round-trip: revoking one granted GLOBAL statement then
+        // re-granting it restores the original outcome. Global-only by
+        // design: below global the reference's restore is deliberately
+        // conservative (a table-level revoke under a wholeDB
+        // requirement re-opens the WHOLE db, which re-granting the
+        // table cannot close; SUPER's ReplicationClient equivalence
+        // applies on revoke at any level but on grant only at global) —
+        // those asymmetries are the reference's real semantics, pinned
+        // by the replayed vectors above
+        val revocable = grants.filter(_.level == 0)
+        if (revocable.nonEmpty) {
+          val g = pick(revocable)
+          val (revoke, regrant) = g match {
+            case G(p, 0, _, _) =>
+              (s"REVOKE $p ON *.* FROM 'u'@'%'",
+                s"GRANT $p ON *.* TO 'u'@'%'")
+            case G(p, 1, db, _) =>
+              (s"REVOKE $p ON `$db`.* FROM 'u'@'%'",
+                s"GRANT $p ON `$db`.* TO 'u'@'%'")
+            case G(p, _, db, t) =>
+              (s"REVOKE $p ON `$db`.`$t` FROM 'u'@'%'",
+                s"GRANT $p ON `$db`.`$t` TO 'u'@'%'")
+          }
+          val rt = PC.verifyPrivileges(stmts ++ Seq(revoke, regrant),
+            required)
+          assert(rt == Right(expected), s"trial $trial revoke round-trip")
+        }
+      }
+    }
+  }
+
+  test("checker dispatch: mode sets, item vocabulary and gate order, parsed") {
+    assumeRef()
+    import graft.diff.{CheckerDispatch => CD}
+    val helperSrc = slurp("/root/reference/dm/config/helper.go")
+    val subtaskSrc2 = slurp("/root/reference/dm/config/subtask.go")
+    val checkingSrc = slurp("/root/reference/dm/config/checking_item.go")
+    val checkerSrc = slurp("/root/reference/dm/checker/checker.go")
+    // mode tokens (ModeX = "token", subtask.go) drive the parsed
+    // HasDump/HasLoad/HasSync case arms
+    val modeTok = """(Mode\w+)\s+= "([\w&]+)"""".r
+      .findAllMatchIn(subtaskSrc2).map(m => m.group(1) -> m.group(2)).toMap
+    def modeSet(fn: String): Set[String] = {
+      val body = helperSrc.substring(helperSrc.indexOf(s"func $fn"))
+      """case ((?:Mode\w+(?:, )?)+):""".r.findFirstMatchIn(body)
+        .get.group(1).split(", ").map(modeTok).toSet
+    }
+    val allModes = modeTok.values.toSet + "nonsense"
+    for (m <- allModes) {
+      assert(CD.hasDump(m) == modeSet("HasDump")(m), s"hasDump $m")
+      assert(CD.hasLoad(m) == modeSet("HasLoad")(m), s"hasLoad $m")
+      assert(CD.hasSync(m) == modeSet("HasSync")(m), s"hasSync $m")
+    }
+    // checking-item vocabulary: AllCheckingItems map keys − "all"
+    val itemTok = """(\w+Checking)\s+= "(\w+)"""".r
+      .findAllMatchIn(checkingSrc).map(m => m.group(1) -> m.group(2)).toMap
+    val allMapBlock = checkingSrc.substring(
+      checkingSrc.indexOf("var AllCheckingItems"),
+      checkingSrc.indexOf("// LightningPrechecks"))
+    val mapKeys = """\t(\w+Checking):""".r.findAllMatchIn(allMapBlock)
+      .map(m => itemTok(m.group(1))).toSet
+    assert(CD.DefaultItems == mapKeys - "all")
+    // filter semantics
+    assert(CD.filterCheckingItems(Seq("all")).isEmpty)
+    assert(CD.filterCheckingItems(Seq("version")) ==
+      CD.DefaultItems - "version")
+    // LightningPrechecks order from the list literal
+    val lpBlock = checkingSrc.substring(
+      checkingSrc.indexOf("var LightningPrechecks"),
+      checkingSrc.indexOf("}", checkingSrc.indexOf("var LightningPrechecks")))
+    val lpOrder = """\t(Lightning\w+Checking),""".r
+      .findAllMatchIn(lpBlock).map(m => itemTok(m.group(1))).toSeq
+    assert(lpOrder == CD.LightningPrechecks)
+    // Init's gate order: the sequence of checkingItems[config.X] probes
+    // must order the kernel's all-items single-instance output
+    val initBody = checkerSrc.substring(
+      checkerSrc.indexOf("func (c *Checker) Init"),
+      checkerSrc.indexOf("func (c *Checker) displayCheckingItems"))
+    val gateOrder = """checkingItems\[config\.(\w+Checking)\]""".r
+      .findAllMatchIn(initBody).map(m => itemTok(m.group(1))).toSeq.distinct
+    val nameToItem = Map(
+      "dumper_conn_number_checker" -> "conn_number",
+      "loader_conn_number_checker" -> "conn_number",
+      "target db privilege checker" -> "target_privilege",
+      "mysql_version" -> "version",
+      "source db dump privilege checker" -> "dump_privilege",
+      "meta position check" -> "meta_position",
+      "mysql_server_id" -> "server_id",
+      "mysql_binlog_enable" -> "binlog_enable",
+      "mysql_binlog_format" -> "binlog_format",
+      "mysql_binlog_row_image" -> "binlog_row_image",
+      "source db replication privilege checker" -> "replication_privilege",
+      "online ddl checker" -> "online_ddl",
+      "binlog_do_db/binlog_ignore_db check" -> "binlog_db",
+      "table structure compatibility check" -> "table_schema",
+      "primary key existence check" -> "primary_key")
+    val out = CD.checkList(CD.DispatchSpec(
+      CD.filterCheckingItems(Nil) + "primary_key",
+      Seq(CD.InstanceSpec("s1", "all", onlineDDL = true))))
+    val itemSeq = out.map(_._1).map(nameToItem).distinct
+    // every emitted family appears, in Init's own probe order
+    assert(itemSeq == gateOrder.filter(itemSeq.toSet), s"order: $itemSeq")
+    // the lazy-plugin quirk in source: the plugin init precedes the
+    // sync block within the SAME instance iteration
+    assert(initBody.indexOf("instance.cfg.OnlineDDL && c.onlineDDL == nil") <
+      initBody.indexOf("config.HasSync(instance.cfg.Mode)"))
+  }
+
   test("Debezium DDL action classifier, parsed from codec.go") {
     assumeRef()
     import graft.functions.{DebeziumEnvelope => DE}
