@@ -187,6 +187,37 @@ object ConnCheck {
     }
   }
 
+  /** OnlineDDLChecker (dm/pkg/checker/onlineddl.go:41-75) over the
+    * per-schema table-list snapshot: a table matching a shadow rule
+    * (q300's anchored single-submatch regexes — the online-DDL plugin's
+    * TableType/RealName) is a ghost mid-migration; its REAL table (the
+    * rule's submatch) passes the task's block-allow filter and any
+    * survivor fails the precheck ("please wait the online-ddl over").
+    * The live leg is one GetTables per schema; schemas iterate
+    * name-sorted where Go's map order picks which one trips first (the
+    * verdict is order-independent — the reference early-returns on the
+    * first hit). The failure carries the reference's Extra in the
+    * instruction slot. */
+  def onlineDdlCheck(tablesBySchema: Seq[(String, Seq[String])],
+                     shadowRules: Seq[String],
+                     baAllows: (String, String) => Boolean): ConnOutcome = {
+    val name = "online ddl checker"
+    val regexes = shadowRules.map(_.r)
+    tablesBySchema.sortBy(_._1).foreach { case (schema, tables) =>
+      val realTables = tables.flatMap { t =>
+        regexes.view.flatMap(r =>
+          r.findFirstMatchIn(t).map(_.group(1))).headOption
+          .map(real => (schema, real))
+      }
+      if (realTables.exists { case (s, t) => baAllows(s, t) })
+        return ConnOutcome(name, PrivilegeCheck.StateFailure,
+          Seq(PrivilegeCheck.StateFailure ->
+            "your ddl is in pt/ghost online-ddl"),
+          "please wait the online-ddl over")
+    }
+    ConnOutcome(name, PrivilegeCheck.StateSuccess, Nil, "")
+  }
+
   /** LightningFreeSpaceChecker (lightning.go:163-216) over the
     * spec-carried store snapshot: per-store available sizes in go-units
     * grammar ("100GiB"), the task's source data size, PD's max-replica

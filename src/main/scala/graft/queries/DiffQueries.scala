@@ -1802,7 +1802,11 @@ object DiffQueries {
       |  ('bdb_ignore_hit',    0,'warning','these dbs [db1] are in binlog_ignore_db[db0,db1]'),
       |  ('bdb_ignore_hit',   99,'failure','Ensure that the ignore_dbs does not contain the dbs you want to migrate'),
       |  ('bdb_both_empty',   99,'success',''),
-      |  ('bdb_case_fold',    99,'success','')
+      |  ('bdb_case_fold',    99,'success',''),
+      |  ('oddl_clean',       99,'success',''),
+      |  ('oddl_ghost',        0,'failure','your ddl is in pt/ghost online-ddl'),
+      |  ('oddl_ghost',       99,'failure','please wait the online-ddl over'),
+      |  ('oddl_filtered',    99,'success','')
       |) v(kase, seq, state, msg)""".stripMargin)) { (spark, dir) =>
     import spark.implicits._
     import graft.diff.{ConnCheck => CC}
@@ -1843,7 +1847,18 @@ object DiffQueries {
       rows("bdb_both_empty", CC.binlogDbCheck(Seq("db1"), "", "",
         caseSensitive = true)) ++
       rows("bdb_case_fold", CC.binlogDbCheck(Seq("db1"),
-        "DB1,Other", "", caseSensitive = false))
+        "DB1,Other", "", caseSensitive = false)) ++ {
+      val shadow = Seq(graft.streaming.SubTaskValidate
+        .DefaultShadowTableRules)
+      rows("oddl_clean", CC.onlineDdlCheck(
+        Seq("db1" -> Seq("users", "orders")), shadow, (_, _) => true)) ++
+      rows("oddl_ghost", CC.onlineDdlCheck(
+        Seq("db1" -> Seq("users", "_users_gho")), shadow,
+        (_, _) => true)) ++
+      rows("oddl_filtered", CC.onlineDdlCheck(
+        Seq("db1" -> Seq("_users_gho")), shadow,
+        (_, t) => t != "users"))
+    }
 
     out.toDF("kase", "seq", "state", "msg")
   }

@@ -592,6 +592,47 @@ class Round20Spec extends AnyFunSuite {
     }
   }
 
+  test("TestConnNumberChecker scenarios, replayed from source") {
+    assumeRef()
+    import graft.diff.{ConnCheck => CC}
+    val src = slurp("/root/reference/dm/pkg/checker/conn_checker_test.go")
+    // the four scenario parameters anchored in the test source:
+    // loader pool 16 (needed 17), max_connections 16/17, processlist
+    // 1 or 2 rows, ALL-vs-INDEX grants
+    assert(src.contains("PoolSize: 16"))
+    assert(src.contains("""AddRow("max_connections", 16)"""))
+    assert(src.contains("""AddRow("max_connections", 17)"""))
+    assert(src.contains("GRANT ALL PRIVILEGES ON *.* TO 'test'@'%'"))
+    assert(src.contains("GRANT INDEX ON *.* TO 'test'@'%'"))
+    val all = Seq("GRANT ALL PRIVILEGES ON *.* TO 'test'@'%'")
+    val indexOnly = Seq("GRANT INDEX ON *.* TO 'test'@'%'")
+    // 1: capacity failure downgraded for lightning — warning, 2 errors
+    val r1 = CC.loaderConnCheck(16, all, 1, Seq(16))
+    assert(r1.state == "warning" && r1.errs.size == 2)
+    assert(r1.errs(0)._2.contains("is less than the number loader"))
+    assert(r1.errs(1)._2.contains("task precheck cannot accurately " +
+      "check the number of connection needed for Lightning"))
+    // 2: exactly enough — success, no errors
+    val r2 = CC.loaderConnCheck(17, all, 1, Seq(16))
+    assert(r2.state == "success" && r2.errs.isEmpty)
+    // 3: available < needed — warning, 1 error
+    val r3 = CC.loaderConnCheck(17, all, 2, Seq(16))
+    assert(r3.state == "warning" && r3.errs.size == 1)
+    assert(r3.errs.head._2.contains("is less than loader needs"))
+    // 4: no SUPER — privilege warn, usedConn pinned 0 keeps capacity ok
+    val r4 = CC.loaderConnCheck(17, indexOnly, 1, Seq(16))
+    assert(r4.state == "warning" && r4.errs.size == 1)
+    assert(r4.errs.head._2.contains("lack of Super global"))
+    // onlineddl.go's strings, parsed from source
+    val oddlSrc = slurp("/root/reference/dm/pkg/checker/onlineddl.go")
+    val ghost = CC.onlineDdlCheck(Seq("db1" -> Seq("_users_gho")),
+      Seq(graft.streaming.SubTaskValidate.DefaultShadowTableRules),
+      (_, _) => true)
+    assert(oddlSrc.contains(s"""NewError("${ghost.errs.head._2}")"""))
+    assert(oddlSrc.contains(s""""${ghost.instruction}""""))
+    assert(oddlSrc.contains(s"""return "${ghost.name}""""))
+  }
+
   test("checker dispatch: mode sets, item vocabulary and gate order, parsed") {
     assumeRef()
     import graft.diff.{CheckerDispatch => CD}
