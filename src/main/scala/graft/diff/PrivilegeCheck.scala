@@ -737,15 +737,23 @@ object PrivilegeCheck {
   final case class CheckOutcome(name: String, state: String,
                                 err: String, instruction: String)
 
-  /** verifyPrivilegesWithResult (privilege.go:221-241): Some(errStr) when
-    * verification errors or privileges lack. */
-  def verifyWithResult(grants: Seq[String], required: Lack,
-                       version: String = "8.0.11"): Option[String] =
+  /** verifyPrivilegesWithResult (privilege.go:221-241): Some((errStr,
+    * lacked)) when verification errors (lacked=false) or privileges
+    * lack (lacked=true) — the distinction matters for the TARGET
+    * checker, whose instruction comes only from the lacked branch. */
+  def verifyWithResultDetail(grants: Seq[String], required: Lack,
+                             version: String = "8.0.11")
+      : Option[(String, Boolean)] =
     verifyPrivileges(grants, required, version) match {
-      case Left(err) => Some(err)
-      case Right(lack) if lack.nonEmpty => Some(lackedPrivilegesAsStr(lack))
+      case Left(err) => Some((err, false))
+      case Right(lack) if lack.nonEmpty =>
+        Some((lackedPrivilegesAsStr(lack), true))
       case _ => None
     }
+
+  def verifyWithResult(grants: Seq[String], required: Lack,
+                       version: String = "8.0.11"): Option[String] =
+    verifyWithResultDetail(grants, required, version).map(_._1)
 
   /** The dump checker's requirement set (privilege.go:95-111): SELECT
     * (global for whole-instance dumps, else per check-table), plus
@@ -808,12 +816,17 @@ object PrivilegeCheck {
 
   /** TargetPrivilegeChecker.Check (privilege.go:189-219): eight global
     * privileges; a lack is only a WARNING — the binlog's write set is
-    * not precisely known up front. */
+    * not precisely known up front. Unlike dump/replication, the target
+    * checker never sets its own instruction, so a verify ERROR (no
+    * grants / parse failure) carries NO instruction — only the
+    * lacked-privileges branch inherits verifyPrivilegesWithResult's
+    * "You need grant related privileges." (privilege.go:237). */
   def targetPrivilegeCheck(grants: Seq[String],
                            version: String = "8.0.11"): CheckOutcome = {
-    verifyWithResult(grants, TargetRequiredPrivs, version) match {
-      case Some(err) => CheckOutcome("target db privilege checker",
-        StateWarning, err, "You need grant related privileges.")
+    verifyWithResultDetail(grants, TargetRequiredPrivs, version) match {
+      case Some((err, lacked)) => CheckOutcome("target db privilege checker",
+        StateWarning, err,
+        if (lacked) "You need grant related privileges." else "")
       case None => CheckOutcome("target db privilege checker",
         StateSuccess, "", "")
     }

@@ -39,16 +39,7 @@ object DebeziumEnvelope {
 
   // ----------------------------------------------------------- JSON atoms
 
-  private def js(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def js(s: String): String = DF.jsonStr(s)
 
   private def kv(k: String, v: String): String = js(k) + ":" + v
   private def obj(fields: Seq[String]): String =
@@ -533,7 +524,10 @@ object DebeziumEnvelope {
       case "decimal" => "newdecimal"
       case "varbinary" | "varchar" => "varchar"
       case "binary" | "char" => "string"
-      case "blob" | "text" => "blob"
+      // size variants included: the reference encoder's types.TypeToStr
+      // emits tinyblob/mediumblob/longblob (and the text forms), all of
+      // which StrToType folds back into the blob family
+      case b if b.endsWith("blob") || b.endsWith("text") => "blob"
       case other => other
     }
     (token, unsigned, binary)

@@ -107,7 +107,7 @@ object DebeziumFields {
 
   // ---- value rendering (JSON scalar TEXT) --------------------------------
 
-  private def jsonStr(s: String): String =
+  private[functions] def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

@@ -1680,7 +1680,7 @@ object DiffQueries {
       |  ('target','all_privs',   'success','',''),
       |  ('target','eight',       'success','',''),
       |  ('target','missing_two', 'warning','lack of Create global (*.*) privilege; lack of Update global (*.*) privilege; ','You need grant related privileges.'),
-      |  ('target','no_grants',   'warning','there is no such grant defined for current user on host ''%%''','You need grant related privileges.')
+      |  ('target','no_grants',   'warning','there is no such grant defined for current user on host ''%%''','')
       |) v(checker, kase, state, err, instruction)""".stripMargin)) {
     (spark, dir) =>
     import spark.implicits._

@@ -286,6 +286,12 @@ class Round20Spec extends AnyFunSuite {
     assert(targetFail.state == PC.StateWarning)
     assert(privSrc.contains(
       s"""result.Instruction = "${targetFail.instruction}""""))
+    // the target checker's ERROR path (vs lacked) carries NO
+    // instruction — verifyPrivilegesWithResult only sets it in the
+    // lacked branch and TargetPrivilegeChecker never sets its own
+    assert(PC.targetPrivilegeCheck(Nil).instruction == "")
+    assert(PC.targetPrivilegeCheck(
+      Seq("invalid SQL statement")).instruction == "")
     // LackedPrivilegesAsStr fragments (privilege.go:248-254)
     for (frag <- Seq("\"lack of \"", "\" global (*.*)\"", "\" privilege\""))
       assert(privSrc.contains(s"b.WriteString($frag)"), frag)
@@ -754,6 +760,10 @@ class Round20Spec extends AnyFunSuite {
     assert(DE.parseTidbType("varbinary") == (("varchar", false, true)))
     assert(DE.parseTidbType("text") == (("blob", false, false)))
     assert(DE.parseTidbType("blob") == (("blob", false, true)))
+    // size variants the reference encoder emits via types.TypeToStr
+    assert(DE.parseTidbType("longblob") == (("blob", false, true)))
+    assert(DE.parseTidbType("tinyblob") == (("blob", false, true)))
+    assert(DE.parseTidbType("mediumtext") == (("blob", false, false)))
   }
 
   test("debezium encode→decode fixpoint over 200 random typed rows") {
