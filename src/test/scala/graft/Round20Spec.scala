@@ -764,6 +764,21 @@ class Round20Spec extends AnyFunSuite {
     assert(DE.parseTidbType("longblob") == (("blob", false, true)))
     assert(DE.parseTidbType("tinyblob") == (("blob", false, true)))
     assert(DE.parseTidbType("mediumtext") == (("blob", false, false)))
+    // TestGetSchemaTopicName, replayed from source: leading digit keeps
+    // the digit after the replacement char, '.' sanitizes in names but
+    // survives in topic names, non-ASCII letters replace in topics
+    val helperTest = slurp(
+      "/root/reference/pkg/sink/codec/debezium/helper_test.go")
+    val fnAt = helperTest.indexOf("func TestGetSchemaTopicName")
+    if (fnAt >= 0) {
+      val body = helperTest.substring(fnAt)
+      def lit(k: String): String =
+        (k + """ := "([^"]+)"""").r.findFirstMatchIn(body).get.group(1)
+      val expected = """name, "([^"]+)"""".r
+        .findFirstMatchIn(body).get.group(1)
+      assert(DE.schemaTopicName(lit("namespace"), lit("schema"),
+        lit("table")) == expected)
+    }
   }
 
   test("debezium encode→decode fixpoint over 200 random typed rows") {
