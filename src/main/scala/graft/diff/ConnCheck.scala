@@ -218,6 +218,31 @@ object ConnCheck {
     ConnOutcome(name, PrivilegeCheck.StateSuccess, Nil, "")
   }
 
+  /** PrimaryKeyChecker (dm/pkg/checker/primary_key.go:27-181) over the
+    * catalog snapshot: every source table must declare a PRIMARY KEY;
+    * a table deleted between listing and SHOW CREATE TABLE (the
+    * ErrNoSuchTable race) is skipped silently. Input is (db, table,
+    * Some(hasPrimaryKey)) with None marking the vanished table; the
+    * failure render and checker name are the reference's own. The live
+    * legs (GetConcurrency + SHOW CREATE TABLE round-trips) stay
+    * delegated; the AST PK detection is the q306 constraint extractor's
+    * territory. */
+  def primaryKeyCheck(tables: Seq[(String, String, Option[Boolean])])
+      : ConnOutcome = {
+    val name = "primary key existence check"
+    val errs = tables.collect {
+      case (db, t, Some(false)) =>
+        PrivilegeCheck.StateFailure ->
+          (s"table `$db`.`$t` primary key does not exist")
+    }
+    if (errs.isEmpty) ConnOutcome(name, PrivilegeCheck.StateSuccess, Nil, "")
+    else ConnOutcome(name, PrivilegeCheck.StateFailure, errs,
+      "You need to set primary key for the upstream table. Otherwise " +
+        "replication efficiency may be low, and correctness (e.g., " +
+        "deduplication and idempotency) may be affected if no primary " +
+        "key exists.")
+  }
+
   /** LightningFreeSpaceChecker (lightning.go:163-216) over the
     * spec-carried store snapshot: per-store available sizes in go-units
     * grammar ("100GiB"), the task's source data size, PD's max-replica

@@ -1806,7 +1806,11 @@ object DiffQueries {
       |  ('oddl_clean',       99,'success',''),
       |  ('oddl_ghost',        0,'failure','your ddl is in pt/ghost online-ddl'),
       |  ('oddl_ghost',       99,'failure','please wait the online-ddl over'),
-      |  ('oddl_filtered',    99,'success','')
+      |  ('oddl_filtered',    99,'success',''),
+      |  ('pk_ok',            99,'success',''),
+      |  ('pk_missing',        0,'failure','table `test-db`.`test-table-1` primary key does not exist'),
+      |  ('pk_missing',       99,'failure','You need to set primary key for the upstream table. Otherwise replication efficiency may be low, and correctness (e.g., deduplication and idempotency) may be affected if no primary key exists.'),
+      |  ('pk_deleted_skip',  99,'success','')
       |) v(kase, seq, state, msg)""".stripMargin)) { (spark, dir) =>
     import spark.implicits._
     import graft.diff.{ConnCheck => CC}
@@ -1857,7 +1861,13 @@ object DiffQueries {
         (_, _) => true)) ++
       rows("oddl_filtered", CC.onlineDdlCheck(
         Seq("db1" -> Seq("_users_gho")), shadow,
-        (_, t) => t != "users"))
+        (_, t) => t != "users")) ++
+      rows("pk_ok", CC.primaryKeyCheck(
+        Seq(("test-db", "test-table-1", Some(true))))) ++
+      rows("pk_missing", CC.primaryKeyCheck(
+        Seq(("test-db", "test-table-1", Some(false))))) ++
+      rows("pk_deleted_skip", CC.primaryKeyCheck(
+        Seq(("test-db", "gone", None))))
     }
 
     out.toDF("kase", "seq", "state", "msg")

@@ -629,6 +629,19 @@ class Round20Spec extends AnyFunSuite {
     val r4 = CC.loaderConnCheck(17, indexOnly, 1, Seq(16))
     assert(r4.state == "warning" && r4.errs.size == 1)
     assert(r4.errs.head._2.contains("lack of Super global"))
+    // primary_key.go's strings + TestPrimaryKeyChecker's pinned render,
+    // replayed from the test source
+    val pkTest = slurp("/root/reference/dm/pkg/checker/primary_key_test.go")
+    val pkRender = """Contains\(t, res.Errors\[0\].ShortErr, "([^"]+)"\)""".r
+      .findFirstMatchIn(pkTest).get.group(1)
+    val pkFail = CC.primaryKeyCheck(
+      Seq(("test-db", "test-table-1", Some(false))))
+    assert(pkFail.errs.head._2 == pkRender)
+    val pkSrc = slurp("/root/reference/dm/pkg/checker/primary_key.go")
+    assert(pkSrc.contains(s""""${pkFail.instruction}""""))
+    assert(pkSrc.contains(s"""return "${pkFail.name}""""))
+    // the deleted-table race skips silently (primary_key.go ErrNoSuchTable)
+    assert(CC.primaryKeyCheck(Seq(("d", "gone", None))).state == "success")
     // onlineddl.go's strings, parsed from source
     val oddlSrc = slurp("/root/reference/dm/pkg/checker/onlineddl.go")
     val ghost = CC.onlineDdlCheck(Seq("db1" -> Seq("_users_gho")),
