@@ -34,6 +34,12 @@ import graft.functions.{DebeziumFields => DF}
  * `types.Duration(fsp 6).String()`, unsigned reinterpretation, BIT
  * little-endian uint64, columns sorted DESCENDING by column id
  * (decoder.go:245-247).
+ *
+ * SCALE NOTE: this object is the per-message BYTE CONTRACT (driver-side
+ * string assembly, exercised by the q310/q311 golden/fixpoint gates and
+ * unit properties). The corpus-scale encode path stays the columnar
+ * Debezium codec in [[graft.operators.Codecs]] (q41/q122/q226) — one
+ * whole-stage-codegen projection per batch, no per-row driver work.
  */
 object DebeziumEnvelope {
 
