@@ -266,6 +266,38 @@ object TextRuns {
     } else new GenericArrayData(Array(md5Long(text.getBytes)))
   }
 
+  /** Word n-grams AS STRINGS in document order (duplicates kept) — the
+    * string-valued sibling of [[shingleHashSeq]] for operators keyed by
+    * the gram TEXT itself (vocabulary ranking, where tie-breaks order by
+    * the gram string so a hash swap would change results): same
+    * tokenization, same ' '-joined windows, same whole-text fallback.
+    * One in-row pass — replaces the interpreted transform/concat_ws
+    * chain of the column form with a single tokenize+join loop. */
+  def shingleStrings(text: UTF8String, n: Int): ArrayData = {
+    val toks = Whitespace.split(text.toString, -1)
+    if (toks.length >= n) {
+      val out = new Array[Any](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      // whole-text fallback (Dedup.shingles parity); copy the bytes — the
+      // input UTF8String may be backed by a reused row buffer
+      new GenericArrayData(Array[Any](UTF8String.fromBytes(text.getBytes)))
+    }
+  }
+
   /** SimHash over token-occurrence hashes (NOT distinct — each occurrence
     * votes): bit b of the result is set iff Σ±1 over bit b of the token
     * md5-hashes is positive. Values identical to the column form. */
@@ -347,6 +379,9 @@ object TextRuns {
 
   def shingleHashSeq(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashSeq(ExpressionUtils.expression(text), n))
+
+  def shingleStrings(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleStrings(ExpressionUtils.expression(text), n))
 
   def winnowHashes(text: Column, n: Int, w: Int): Column =
     ExpressionUtils.column(WinnowHashes(ExpressionUtils.expression(text), n, w))
@@ -445,6 +480,19 @@ case class ShingleHashSeq(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.shingleHashSeq($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashSeq =
+    copy(child = newChild)
+}
+
+/** text → array<string>: word n-grams in document order (string-valued
+  * sibling of [[ShingleHashSeq]]; duplicates kept). */
+case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuns.shingleStrings(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.shingleStrings($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
     copy(child = newChild)
 }
 

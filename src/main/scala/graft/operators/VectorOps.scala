@@ -20,13 +20,15 @@ import graft.core.Hashing
  */
 object VectorOps {
 
-  /** Sequential-fold dot product of two float-array columns, in doubles. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0d), (acc, x) => acc + x)
+  /** Sequential-fold dot product of two float-array columns, in doubles.
+    * r20: kernel-backed ([[graft.functions.VectorKernels]]) — the
+    * zip_with+aggregate form evaluated interpreted and allocated an
+    * intermediate array per call; the kernel is one codegen'd primitive
+    * loop with the identical IEEE fold order (bit-equal results, pinned
+    * by VectorKernelSpec). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorKernels.dotF(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def norm(a: Column): Column = graft.functions.VectorKernels.normF(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -71,16 +73,12 @@ object VectorOps {
     }
   }
 
-  /** LSH signature: `planes` sign bits of literal-weight projections. */
-  def lshSignature(vec: Column, planes: Int, dim: Int): Column = {
-    val ws = hyperplaneWeights(planes, dim)
-    (0 until planes).map { j =>
-      val proj = aggregate(
-        zip_with(vec, typedLit(ws(j)), (x, w) => x.cast("double") * w.cast("double")),
-        lit(0d), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** LSH signature: `planes` sign bits of literal-weight projections.
+    * r20: kernel-backed — one pass over the vector computes every plane's
+    * projection (same sequential double fold per plane) instead of
+    * `planes` interpreted zip_with+aggregate trees. */
+  def lshSignature(vec: Column, planes: Int, dim: Int): Column =
+    graft.functions.VectorKernels.lshSig(vec, hyperplaneWeights(planes, dim))
 
   /** Bucketed ANN: exact cosine ranking restricted to same-signature
     * candidates. Recall < 1 by construction; `planes` trades recall for
@@ -109,8 +107,10 @@ object VectorOps {
    * double is IEEE-exact, so quantization itself is deterministic too.
    */
   val QuantScale = 1L << 20
+  // r20: kernel-backed (identical floor/cast per element, one codegen'd
+  // primitive loop instead of an interpreted transform)
   def quantize(vec: Column): Column =
-    transform(vec, x => floor(x.cast("double") * QuantScale).cast("long"))
+    graft.functions.VectorKernels.quantize(vec, QuantScale)
 
   /**
    * int8 unit-sphere quantization: floor(127·x/‖x‖) per element — the
@@ -123,20 +123,15 @@ object VectorOps {
    */
   // Zero-norm guard: x/0 would give NaN→null in Spark but a CAST error in
   // the DuckDB twin — map degenerate vectors to all-zeros in BOTH engines.
-  // The norm is BOUND ONCE per row as a lambda variable (transform over a
-  // one-element array): referencing `norm(vec)` directly inside the
-  // per-element lambda would re-run the interpreted aggregate for every
-  // element — O(d²) per row (measured 2.6× on the int8 kNN gate).
+  // r20: kernel-backed — the norm computes once per row inside the kernel
+  // (the former bind-once transform trick is moot) and the per-element
+  // floor(x·127/‖x‖) runs in one codegen'd loop.
   def quantizeInt8(vec: Column): Column =
-    element_at(
-      transform(array(norm(vec)), n =>
-        transform(vec, x => when(n === 0d, lit(0L))
-          .otherwise(floor(x.cast("double") * 127d / n).cast("long")))),
-      1)
+    graft.functions.VectorKernels.quantizeInt8(vec)
 
-  /** Exact integer dot product of quantized vectors. */
+  /** Exact integer dot product of quantized vectors (r20: kernel-backed). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorKernels.dotQ(a, b)
 
   /** Portable floor-division: both engines agree because (s - pmod(s,c)) is
     * exactly divisible, and an integer-valued double casts exactly. */
@@ -159,9 +154,10 @@ object VectorOps {
       .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("pairs"))
       .select(col("centroid_id"), transform(col("pairs"), p => p.getField("c")).as("centroid"))
 
-  /** Exact integer squared L2 distance between quantized vectors. */
+  /** Exact integer squared L2 distance between quantized vectors
+    * (r20: kernel-backed — identical integer math and null rules). */
   def sqDistQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorKernels.sqDistQ(a, b)
 
   // ---- incremental (mini-batch) k-means state ------------------------
 
@@ -260,20 +256,55 @@ object VectorOps {
   }
 
   /**
-   * Nearest-centroid assignment (all-integer, deterministic): broadcast the
-   * tiny centroid table, compute exact distances, keep the argmin with
-   * centroid_id tie-break. Map-only over the corpus.
+   * Nearest-centroid assignment (all-integer, deterministic): the argmin
+   * with centroid_id tie-break, map-only over the corpus.
+   *
+   * r20 reshape: the centroid table is control-plane data (k·d longs), so
+   * it collects once and folds into a single codegen'd argmin kernel
+   * ([[graft.functions.VectorKernels.nearestCell]]) — ONE primitive loop
+   * per row with early-exit pruning, replacing the crossJoin (k rows per
+   * corpus row) + per-candidate interpreted sqDistQ + row_number window.
+   * Results are identical: strict < over ascending ids == the old
+   * (dist, centroid_id) ordering (pinned by VectorKernelSpec). The
+   * `centroid` array column re-attaches through a broadcast join on the
+   * k-row table for consumers that read it (IVF residuals).
    */
   def assignCentroids(df: DataFrame, cents: DataFrame,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val v = df.withColumn("qv", quantize(col(vecCol)))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("centroid_id"))
-    v.crossJoin(broadcast(cents))
-      .withColumn("dist", sqDistQ(col("qv"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "qv")
+    // centroid_id may arrive int-typed (label-derived cents); normalize to
+    // long for the kernel — the join back recoerces, and the driver hash
+    // is int-width-insensitive
+    val centRows = cents
+      .select(col("centroid_id").cast("long"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.longValue()).toSeq))
+      .sortBy(_._1).toSeq
+    // cast back to the incoming centroid_id dtype (it may be int-typed)
+    // so the output schema is unchanged from the pre-kernel form
+    val cidType = cents.schema("centroid_id").dataType
+    if (centRows.isEmpty)
+      // empty centroid table: the old crossJoin produced zero rows
+      return df
+        .withColumn("centroid_id", lit(null).cast(cidType))
+        .withColumn("centroid", lit(null).cast("array<bigint>"))
+        .withColumn("dist", lit(null).cast("long"))
+        .filter(lit(false))
+    val best = graft.functions.VectorKernels.nearestCell(
+      quantize(col(vecCol)), centRows.map(_._1), centRows.map(_._2))
+    // re-attach the centroid array from the rows ALREADY collected — a
+    // broadcast join against the `cents` plan would recompute its whole
+    // subtree a second time (measured: q85_ivf_search 1.29 → 2.07 s
+    // before this local-rows fix)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centLocal = broadcast(centRows.toDF("centroid_id", "centroid")
+      .select(col("centroid_id").cast(cidType), col("centroid")))
+    df.withColumn("_best", best)
+      .withColumn("centroid_id", col("_best.centroid_id").cast(cidType))
+      .withColumn("dist", col("_best.dist"))
+      .drop("_best")
+      .join(centLocal, Seq("centroid_id"))
+      .select(df.columns.map(col) ++
+        Seq(col("centroid_id"), col("centroid"), col("dist")): _*)
   }
 
   /**
@@ -310,39 +341,25 @@ object VectorOps {
       .select(col("qv")).collect()
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0)) }.toSeq
 
-    // Two assignment strategies, identical results (integer distances,
-    // (dist, cid) tie-break):
-    //  - k ≤ literalMaxK: centroids fold into the plan as literals — one
-    //    map-only pass, no join at all.
-    //  - k > literalMaxK (the √n-scale regime recommendedCells implies):
-    //    literal folding would blow past codegen method limits, so
-    //    centroids broadcast as a table and the argmin is a map-side-
-    //    combinable min(struct(dist, cid, vec)) hash agg — the corpus
-    //    still never shuffles more than one pre-aggregated row per id.
-    def assignLit(cents: Seq[(Long, Seq[Long])]): DataFrame = {
-      val ds = cents.map { case (cid, c) =>
-        struct(sqDistQ(col("qv"), array(c.map(lit): _*)).as("dist"),
-          lit(cid).as("cid"))
-      }
-      q.withColumn("best", leastOf(ds))
+    // r20: ONE assignment strategy for any k — the codegen'd argmin kernel
+    // (centroids ship with the expression as a flat long[], early-exit
+    // pruned inner loop, no join, no window, no per-candidate interpreted
+    // distance tree). Replaces BOTH former paths — the k ≤ literalMaxK
+    // literal fold (k separate sqDistQ struct exprs, codegen-method-limit
+    // bound) and the k > literalMaxK broadcast-join min(struct) agg (which
+    // shuffled one pre-aggregated row per id). Identical results: strict <
+    // over ascending cids == the (dist, cid) tuple min of both old forms
+    // (KmeansSpec pins kernel == legacy-join equality row for row;
+    // `literalMaxK` is retained for call compatibility and no longer
+    // selects anything).
+    def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+      val sorted = cents.sortBy(_._1)
+      val best = graft.functions.VectorKernels.nearestCell(
+        col("qv"), sorted.map(_._1), sorted.map(_._2))
+      q.withColumn("best", best)
         .select(col(idCol), col(vecCol),
-          col("best.cid").as("centroid_id"), col("best.dist").as("dist"))
-    }
-    def assignJoin(cents: Seq[(Long, Seq[Long])]): DataFrame = {
-      import spark.implicits._
-      val cdf = cents.toDF("centroid_id", "centroid")
-      q.crossJoin(broadcast(cdf))
-        .withColumn("dist", sqDistQ(col("qv"), col("centroid")))
-        // (dist, cid) is unique per candidate, so the struct min is
-        // deterministic and the vector rides along without being compared
-        .groupBy(col(idCol))
-        .agg(min(struct(col("dist"), col("centroid_id"),
-          col(vecCol).as("v"))).as("best"))
-        .select(col(idCol), col("best.v").as(vecCol),
           col("best.centroid_id").as("centroid_id"), col("best.dist").as("dist"))
     }
-    def assign(cents: Seq[(Long, Seq[Long])]): DataFrame =
-      if (k <= literalMaxK) assignLit(cents) else assignJoin(cents)
 
     var cents = seeds
     var round = 0

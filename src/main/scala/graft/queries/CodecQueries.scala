@@ -771,17 +771,27 @@ object CodecQueries {
     val plain = df.select(
       Codecs.openProtocolKey(df).as("k"),
       Codecs.openProtocolValue(df).cast("binary").as("v"))
-    val branches = Seq(MessageCompress.None, MessageCompress.Snappy,
-        MessageCompress.Lz4).map { cc =>
-      plain
-        .withColumn("wire", MessageCompress.compressBytes(col("v"), cc))
-        .select(lit(cc).as("codec"),
-          col("k"),
-          (col("wire") =!= col("v")).as("rewritten"),
-          MessageCompress.decompressBytes(col("wire"), cc)
-            .cast("string").as("vj"))
+    // ONE scan + ONE protocol encode per row, exploded across the three
+    // codecs — the union-of-branches form re-derived the CDC stream and
+    // re-encoded the open-protocol JSON once PER codec (3× the scan and
+    // encode work for identical rows; r20 bench: 7.8 s → see
+    // OPTIMIZATION_r20.md). Each wire value is computed in its own
+    // projection first so the two consumers below (rewritten compare,
+    // decompress) share a single compression pass per codec.
+    val codecs = Seq(MessageCompress.None, MessageCompress.Snappy,
+      MessageCompress.Lz4)
+    val wired = plain.select(col("k") +: col("v") +: codecs.map(cc =>
+      MessageCompress.compressBytes(col("v"), cc).as(s"w_$cc")): _*)
+    val cases = codecs.map { cc =>
+      struct(lit(cc).as("codec"),
+        (col(s"w_$cc") =!= col("v")).as("rewritten"),
+        MessageCompress.decompressBytes(col(s"w_$cc"), cc)
+          .cast("string").as("vj"))
     }
-    branches.reduce(_ unionByName _)
+    wired
+      .select(col("k"), explode(array(cases: _*)).as("c"))
+      .select(col("c.codec").as("codec"), col("k"),
+        col("c.rewritten").as("rewritten"), col("c.vj").as("vj"))
       .withColumn("e", Codecs.openToEnvelope(
         Codecs.openDecodeKey(col("k")), Codecs.openDecodeValue(col("vj"))))
       .groupBy("codec")

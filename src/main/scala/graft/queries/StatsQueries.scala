@@ -70,9 +70,15 @@ object StatsQueries {
     // carries everything — n_grams = Σc, n_exact = |rows|, and the HLL
     // registers are dedup-invariant (max rank per bucket). The pre-fix
     // shape re-ran the explode per branch (the q216 disease, 2× here).
+    // r20: the gram hashes come from the in-row shingleHashSeq kernel
+    // (identical md5 per gram, duplicates kept, same short-text fallback)
+    // instead of explode(string grams)→md5 — the interpreted transform/
+    // concat_ws chain and the gram-string materialization were the scan
+    // bottleneck at 100× (guide §1.2 step 2 / §4.1: codegen kernels over
+    // interpreted higher-order expressions).
     val byH = docs
-      .select(explode(Dedup.shingles(col("text"), 3)).as("g"))
-      .select(Hashing.portableLong(col("g")).as("h"))
+      .select(explode(
+        graft.functions.TextRuns.shingleHashSeq(col("text"), 3)).as("h"))
       .groupBy("h").agg(count(lit(1)).as("c"))
       .persist()
     val regs = Sketches.hllRegisters(byH, "h", HllP, HllW)
@@ -302,8 +308,13 @@ object StatsQueries {
             |GROUP BY v""".stripMargin)) { (spark, dir) =>
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // r20: gram STRINGS from the in-row shingleStrings kernel (identical
+    // strings — the rank ties break on the gram text, so the hash-kernel
+    // swap q156 got would change results here); fuses tokenize+join into
+    // one pass instead of the interpreted transform/concat_ws chain
     val vocab = Tables.load(spark, dir, "documents")
-      .select(explode(Dedup.shingles(col("text"), 3)).as("t"))
+      .select(explode(
+        graft.functions.TextRuns.shingleStrings(col("text"), 3)).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
     // the rank runs over the vocab table, not the corpus — single-partition
     // window is deliberate (vocab ≪ corpus at any scale we target here;
@@ -545,9 +556,10 @@ object StatsQueries {
          |""".stripMargin
     }) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
+    // r20: same kernel fusion as q156 — identical hashes, one in-row pass
     def hashes(cond: org.apache.spark.sql.Column) = docs.filter(cond)
-      .select(explode(Dedup.shingles(col("text"), 3)).as("g"))
-      .select(Hashing.portableLong(col("g")).as("h"))
+      .select(explode(
+        graft.functions.TextRuns.shingleHashSeq(col("text"), 3)).as("h"))
     // The explode feeds FIVE branches (two register builds, the union
     // lineage, both exact-count witnesses and their join) — Spark has no
     // cross-branch CSE, so without a persist each branch re-runs the

@@ -42,20 +42,46 @@ class KmeansSpec extends SparkSpec {
       ("t2", 120L, 0L, 0L)))  // no DDLs for t2
   }
 
-  test("kmeans join-assignment path (large k) equals the literal path exactly") {
-    // 40 vectors, k=6: forcing literalMaxK=2 routes every assignment
-    // through the broadcast-join argmin — (id, centroid, dist) must match
-    // the literal-folded plan row for row, including tie-breaks
+  test("kmeans kernel assignment equals the legacy broadcast-join argmin exactly") {
+    // r20: the NearestCellKernel replaced both former assignment paths
+    // (literal fold and broadcast-join min(struct)); this pin re-runs the
+    // SAME Lloyd loop with the legacy join-argmin rebuilt inline — (id,
+    // centroid, dist) must match row for row, including tie-breaks.
     val vecs = (0L until 40L).map { i =>
       (i, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11).toFloat))
     }.toDF("vec_id", "embedding")
-    val lit0 = VectorOps.kmeans(vecs, k = 6, iters = 2)
+    val kernel0 = VectorOps.kmeans(vecs, k = 6, iters = 2)
       .select("vec_id", "centroid_id", "dist")
       .as[(Long, Long, Long)].collect().toSet
-    val join0 = VectorOps.kmeans(vecs, k = 6, iters = 2, literalMaxK = 2)
+    // legacy loop: identical seeds (k smallest ids), identical means
+    // (VectorOps.centroids), legacy assignment (crossJoin + min(struct))
+    def legacySqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    val q = vecs.select(col("vec_id"), col("embedding"))
+      .withColumn("qv", VectorOps.quantize(col("embedding")))
+    def legacyAssign(cents: Seq[(Long, Seq[Long])]) = {
+      val cdf = cents.toDF("centroid_id", "centroid")
+      q.crossJoin(broadcast(cdf))
+        .withColumn("dist", legacySqDist(col("qv"), col("centroid")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("centroid_id"),
+          col("embedding").as("v"))).as("best"))
+        .select(col("vec_id"), col("best.v").as("embedding"),
+          col("best.centroid_id").as("centroid_id"), col("best.dist").as("dist"))
+    }
+    var cents: Seq[(Long, Seq[Long])] = q.orderBy(col("vec_id")).limit(6)
+      .select(col("qv")).collect()
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0)) }.toSeq
+    for (_ <- 0 until 2)
+      cents = VectorOps.centroids(
+          legacyAssign(cents).select(col("centroid_id"), col("embedding")),
+          "centroid_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+        .sortBy(_._1)
+    val legacy0 = legacyAssign(cents)
       .select("vec_id", "centroid_id", "dist")
       .as[(Long, Long, Long)].collect().toSet
-    assert(join0 == lit0)
+    assert(legacy0 == kernel0)
   }
 
   test("kmeans survives total cluster collapse (identical vectors)") {
