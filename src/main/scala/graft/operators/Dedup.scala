@@ -420,6 +420,45 @@ object Dedup {
     }
   }
 
+  /**
+   * Per-bucket EXACT-JACCARD candidate scoring — the r20 shuffle fix for
+   * the pair-REPORT path (q65/q67's scored-candidate table). The old
+   * shape generated (id_a, id_b) pairs from a slim banded table, then
+   * JOINED the shingle-set table back twice to compute jac — the second
+   * join shuffles (pairs × sh-array) bytes, the measured 7.2 GB at the
+   * 100× point (candidate pairs outnumber docs on a dup-dense corpus).
+   * Here the shingle sets ride the banded rows into ONE
+   * (band, band_sig) exchange (bands × |sh| bytes ≈ corpus-linear), each
+   * bucket scores its own pairs locally, and only (id_a, id_b, jac)
+   * triples shuffle for the global distinct — guide §8: move the heavy
+   * bytes once, decide locally, ship the decision.
+   *
+   * Result-identical to the join form: a bucket's pairs are exactly the
+   * banded self-join's matches (same cap, same id ordering), jac is the
+   * same merge-count over the SAME sorted-distinct hash sets with the
+   * division in the same IEEE op, and a pair colliding in several bands
+   * computes the identical triple, so the distinct collapses it exactly
+   * as before (pinned by LshScoredPairsSpec).
+   *
+   * `banded` must carry (id, sh, band, band_sig) with `sh` sorted
+   * distinct ([[minhashAnalyzed]] output). The cap drops whole buckets
+   * above `maxBucket` members (0 disables), counting every member like
+   * the window form did.
+   */
+  def bucketScoredPairs(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded
+      .groupBy("band", "band_sig")
+      .agg(collect_list(struct(col("id").as("id"), col("sh").as("sh"))).as("ms"))
+      .filter(size(col("ms")) > 1 &&
+        (if (maxBucket <= 0) lit(true) else size(col("ms")) <= maxBucket))
+      // columnar pair generation: one kernel call per bucket, primitive
+      // merges — a typed-Dataset flatMap here boxed every shingle set
+      // and dominated the 100× wall time
+      .select(explode(graft.functions.PairKernels.bucketPairs(col("ms"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.jac").as("jac"))
+      .distinct()
+
   /** Per-bucket verified star edges (see [[lshClusterLabels]]). */
   def bucketStars(banded: DataFrame, minJac: Double): DataFrame = {
     val spark = banded.sparkSession

@@ -183,38 +183,22 @@ object DocQueries {
   private def scoredCandidates(spark: SparkSession, dir: String): DataFrame =
     lshCache.getOrElseUpdate(dir, Gate.timedBuild(s"LSH candidate table ($dir)") {
       import org.apache.spark.storage.StorageLevel
-      // ONE kernel pass computes both the signature (→ bands) and the
-      // distinct-shingle hash set (→ Jaccard); persisted so the band join
-      // and the two pair-side lookups don't re-digest the corpus.
+      // r20 reshape (guide §8 — move heavy bytes once): ONE kernel pass
+      // computes signature + shingle set; the shingle sets ride the banded
+      // rows into the single (band, band_sig) exchange and every bucket
+      // scores its own pairs locally (Dedup.bucketScoredPairs). The old
+      // pairs→join-sh-twice shape shuffled (pairs × sh-array) bytes —
+      // 7.2 GB at the 100× point vs ~0.9 GB for this form, identical
+      // output (LshScoredPairsSpec pins equality).
       val an = Dedup.minhashAnalyzed(corpus(spark, dir), "doc_id", "text",
-          ShingleN, MinhashK)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val banded0 = an.select(col("id"),
+        ShingleN, MinhashK)
+      val banded = an.select(col("id"), col("sh"),
           explode(Dedup.lshBands(col("sig"), MinhashK, Bands)).as("b"))
-        .select(col("id"), col("b.band").as("band"), col("b.sig").as("band_sig"))
-      val banded = {
-        import org.apache.spark.sql.expressions.Window
-        banded0.withColumn("_bsz",
-            count(lit(1)).over(Window.partitionBy(col("band"), col("band_sig"))))
-          .filter(col("_bsz") <= MaxBucket).drop("_bsz")
-      }
-      val pairs = banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.band_sig") === col("b.band_sig") &&
-            col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct()
-      val sh = an.select(col("id"), col("sh"))
-      val scored = pairs
-        .join(sh.toDF("id_a", "sh_a"), "id_a")
-        .join(sh.toDF("id_b", "sh_b"), "id_b")
-        .withColumn("jac",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-        .select("id_a", "id_b", "jac")
+        .select(col("id"), col("sh"),
+          col("b.band").as("band"), col("b.sig").as("band_sig"))
+      val scored = Dedup.bucketScoredPairs(banded, MaxBucket)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      scored.count() // materialize, then drop the corpus-size intermediate
-      an.unpersist()
+      scored.count() // materialize the shared candidate table
       scored
     })
 

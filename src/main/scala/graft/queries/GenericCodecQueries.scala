@@ -305,45 +305,55 @@ object GenericCodecQueries {
     def gate(format: String, checks: Column*): DataFrame =
       df.select(lit(format).as("format"), col("op"),
         checks.reduce(_ && _).as("m"))
+    // r20: STAGE the parse per format (the q222 fix) — `m` as a Scala val
+    // copied the whole from_json(encoder) tree into both checks, encoding
+    // and parsing every message twice; the staged alias parses once.
+    def gateM(format: String, parse: Column)(
+        checks: Column => Seq[Column]): DataFrame =
+      df.withColumn("_m", parse)
+        .select(lit(format).as("format"), col("op"),
+          checks(col("_m")).reduce(_ && _).as("m"))
     val canal = {
       val sch = new StructType()
         .add("data", ArrayType(strField("vec")))
         .add("old", ArrayType(strField("vec")))
-      val m = from_json(GenericCodecs.canalJson(specs), sch)
-      gate("canal",
+      gateM("canal", from_json(GenericCodecs.canalJson(specs), sch)) { m => Seq(
         ok(parseVec(element_at(m.getField("data"), 1).getField("vec")), effV),
         ok(parseVec(element_at(m.getField("old"), 1).getField("vec")),
           when(col("op") === "U", b)))
+      }
     }
     val open = {
       val vw = new StructType().add("vec",
         new StructType().add("v", StringType))
       val sch = new StructType().add("u", vw).add("d", vw)
-      val m = from_json(GenericCodecs.openProtocolValue(specs), sch)
-      gate("open",
+      gateM("open", from_json(GenericCodecs.openProtocolValue(specs), sch)) { m => Seq(
         ok(parseVec(m.getField("u").getField("vec").getField("v")),
           when(col("op") =!= "D", a)),
         ok(parseVec(m.getField("d").getField("vec").getField("v")),
           when(col("op") === "D", b)))
+      }
     }
     val maxwell = {
       val sch = new StructType().add("data", strField("vec"))
         .add("old", strField("vec"))
-      val m = from_json(GenericCodecs.maxwell(specs), sch)
-      gate("maxwell",
+      gateM("maxwell", from_json(GenericCodecs.maxwell(specs), sch)) { m => Seq(
         ok(parseVec(m.getField("data").getField("vec")), effV),
         ok(parseVec(m.getField("old").getField("vec")),
           when(col("op") === "U", b)))
+      }
     }
     val dbz = {
       val sch = new StructType().add("payload", new StructType()
         .add("before", strField("vec")).add("after", strField("vec")))
-      val m = from_json(GenericCodecs.debezium(specs), sch).getField("payload")
-      gate("debezium",
-        ok(parseVec(m.getField("before").getField("vec")),
-          when(col("op") =!= "I", b)),
-        ok(parseVec(m.getField("after").getField("vec")),
-          when(col("op") =!= "D", a)))
+      gateM("debezium", from_json(GenericCodecs.debezium(specs), sch)) { m0 =>
+        val m = m0.getField("payload")
+        Seq(
+          ok(parseVec(m.getField("before").getField("vec")),
+            when(col("op") =!= "I", b)),
+          ok(parseVec(m.getField("after").getField("vec")),
+            when(col("op") =!= "D", a)))
+      }
     }
     val csv = {
       // the vector is the line's only bracketed cell — extract its quoted
@@ -355,12 +365,12 @@ object GenericCodecQueries {
     val simple = {
       val sch = new StructType().add("data", strField("vec"))
         .add("old", strField("vec"))
-      val m = from_json(GenericCodecs.simpleRow(specs, 1), sch)
-      gate("simple",
+      gateM("simple", from_json(GenericCodecs.simpleRow(specs, 1), sch)) { m => Seq(
         ok(parseVec(m.getField("data").getField("vec")),
           when(col("op") =!= "D", a)),
         ok(parseVec(m.getField("old").getField("vec")),
           when(col("op") =!= "I", b)))
+      }
     }
     Seq(canal, open, maxwell, dbz, csv, simple).reduce(_.unionByName(_))
       .groupBy("format", "op")
@@ -436,16 +446,24 @@ object GenericCodecQueries {
     val sch = new StructType()
       .add("data", ArrayType(MapType(StringType, StringType)))
       .add("old", ArrayType(MapType(StringType, StringType)))
-    val m = from_json(msg, sch)
-    val dataM = element_at(m.getField("data"), 1)
-    val oldM = element_at(m.getField("old"), 1)
+    // r20: STAGE the parse — encode once, parse once, then consume. The
+    // single-select form inlined the from_json(to_json(…)) tree into every
+    // consumer expression (62 from_json / 1488 message-encoder copies in
+    // the physical plan; see plans/r20/q222_*_before.txt), re-encoding and
+    // re-parsing the message dozens of times per row. Materializing the
+    // two decoded maps as their own projection leaves ONE encoder and ONE
+    // parser per row — CollapseProject keeps the stages apart because the
+    // aliases are non-cheap and multiply referenced.
+    val parsed = df.withColumn("_m", from_json(msg, sch))
+    val dataM = element_at(col("_m").getField("data"), 1)
+    val oldM = element_at(col("_m").getField("old"), 1)
     // lossy-contract recovery: pre[col] = old[col] if emitted else data[col]
     val recovered = specs.map { s =>
       val rec = when(map_contains_key(oldM, s.name), element_at(oldM, s.name))
         .otherwise(element_at(dataM, s.name))
       rec <=> MySqlTypes.canalValue(s, col("b_" + s.name))
     }.reduce(_ && _)
-    df.select(col("seq"), col("op"),
+    parsed.select(col("seq"), col("op"),
       size(map_keys(dataM)).cast("long").as("n_data"),
       when(col("op") === "U",
         array_join(array_sort(map_keys(oldM)), ",")).as("old_cols"),
@@ -478,12 +496,15 @@ object GenericCodecQueries {
       .add("u", MapType(StringType, colT))
       .add("p", MapType(StringType, colT))
       .add("d", MapType(StringType, colT))
-    val m = from_json(msg, sch)
-    df.select(col("seq"), col("op"),
-      size(map_keys(m.getField("u"))).cast("long").as("n_u"),
-      when(col("op") === "U",
-        array_join(array_sort(map_keys(m.getField("p"))), ",")).as("p_cols"),
-      size(map_keys(m.getField("d"))).cast("long").as("n_d"))
+    // r20: staged parse (the q222 fix) — one encode+parse per row instead
+    // of one per consumer expression
+    df.withColumn("_m", from_json(msg, sch))
+      .select(col("seq"), col("op"),
+        size(map_keys(col("_m").getField("u"))).cast("long").as("n_u"),
+        when(col("op") === "U",
+          array_join(array_sort(map_keys(col("_m").getField("p"))), ","))
+          .as("p_cols"),
+        size(map_keys(col("_m").getField("d"))).cast("long").as("n_d"))
   }
 
   // ---- q224: claim-check, wrapped vs raw-value ------------------------
