@@ -64,6 +64,42 @@ object PairKernels {
 
   def bucketPairs(ms: Column): Column =
     ExpressionUtils.column(BucketPairsKernel(ExpressionUtils.expression(ms)))
+
+  /** All (id_a < id_b) pairs of one simhash band bucket whose hamming
+    * distance is ≤ maxHam. `ms` is array<struct(id: long, h: long)>;
+    * hamming is emitted as int (bit_count's type in the join form). */
+  def bucketHamPairs(ms: ArrayData, maxHam: Int): ArrayData = {
+    val n = ms.numElements()
+    val ids = new Array[Long](n)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = ms.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      hs(i) = row.getLong(1)
+      i += 1
+    }
+    val order = (0 until n).toArray.sortBy(ids(_))
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    i = 0
+    while (i < n) {
+      val ia = order(i)
+      var j = i + 1
+      while (j < n) {
+        val ib = order(j)
+        val ham = java.lang.Long.bitCount(hs(ia) ^ hs(ib))
+        if (ham <= maxHam)
+          out += new GenericInternalRow(Array[Any](ids(ia), ids(ib), ham))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def bucketHamPairs(ms: Column, maxHam: Int): Column =
+    ExpressionUtils.column(
+      BucketHamPairsKernel(ExpressionUtils.expression(ms), maxHam))
 }
 
 /** array<struct(id, sh)> bucket members → array<struct(id_a, id_b, jac)>
@@ -78,5 +114,23 @@ case class BucketPairsKernel(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.PairKernels.bucketPairs($c)")
   override protected def withNewChildInternal(newChild: Expression): BucketPairsKernel =
+    copy(child = newChild)
+}
+
+/** array<struct(id, h)> bucket members → array<struct(id_a, id_b,
+  * hamming)> of member pairs within maxHam (see
+  * [[PairKernels.bucketHamPairs]]). */
+case class BucketHamPairsKernel(child: Expression, maxHam: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("hamming", IntegerType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    PairKernels.bucketHamPairs(input.asInstanceOf[ArrayData], maxHam)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PairKernels.bucketHamPairs($c, $maxHam)")
+  override protected def withNewChildInternal(newChild: Expression): BucketHamPairsKernel =
     copy(child = newChild)
 }

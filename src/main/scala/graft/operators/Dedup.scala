@@ -276,15 +276,22 @@ object Dedup {
       }: _*)).as("bc"))
       .select(col("id"), col("simhash"),
         col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+    // r20 (the q65 bucket-local reshape): ONE (band, chunk) exchange and
+    // per-bucket pair generation through a codegen'd kernel — the banded
+    // self-join + distinct shuffled every candidate pair twice (898 MB at
+    // the 100× point) and materialized far pairs the maxHam filter then
+    // discarded. Identical output: same buckets → same pairs, hamming is
+    // a pure function of the pair, and filtering before the distinct
+    // commutes with it.
+    banded.groupBy("band", "chunk")
+      .agg(collect_list(struct(col("id").as("id"),
+        col("simhash").as("h"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(
+        graft.functions.PairKernels.bucketHamPairs(col("ms"), maxHam)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").as("hamming"))
       .distinct()
-      .withColumn("hamming", hamming(col("ha"), col("hb")))
-      .filter(col("hamming") <= maxHam)
-      .select("id_a", "id_b", "hamming")
   }
 
   /**

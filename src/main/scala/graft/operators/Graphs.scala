@@ -43,12 +43,21 @@ object Graphs {
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct().persist()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // r20: per-iteration work hoisted out of the loop — the old loop
+    // re-joined the RAW edge list against outdeg every round. Multi-edges
+    // collapse to (src, dst, m) with the contribution scaled by m
+    // (m · ⌊pr/deg⌋ ≡ the per-edge sum, bit-exact), and the degree join
+    // happens once; each round is then ONE join + ONE dst aggregation
+    // over the strictly smaller distinct-edge table.
+    val ed = e.groupBy("src", "dst").agg(count(lit(1)).as("m"))
+      .join(outdeg, "src")
+      .persist()
     try {
       var pr = nodes.select(col("node"), lit(Ppm).as("pr_ppm"))
       for (i <- 1 to iters) {
-        val contrib = e.join(pr, e("src") === pr("node"))
-          .join(outdeg, "src")
-          .select(col("dst"), idiv(col("pr_ppm"), col("deg")).as("c"))
+        val contrib = ed.join(pr, ed("src") === pr("node"))
+          .select(col("dst"),
+            (col("m") * idiv(col("pr_ppm"), col("deg"))).as("c"))
           .groupBy("dst").agg(sum("c").as("in_mass"))
         pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
           .select(col("node"),
@@ -61,6 +70,6 @@ object Graphs {
       }
       // materialize before releasing the cached inputs
       pr.localCheckpoint(true)
-    } finally { e.unpersist(); nodes.unpersist(); () }
+    } finally { e.unpersist(); nodes.unpersist(); ed.unpersist(); () }
   }
 }
