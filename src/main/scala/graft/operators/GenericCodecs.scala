@@ -274,12 +274,22 @@ object GenericCodecs {
 
   def canalJsonClaimCheck(specs: Seq[ColumnSpec], maxBytes: Int,
                           handle: LargeMessageHandle)
+      : (Column, Column, Column) =
+    canalJsonClaimCheck(specs, maxBytes, handle, canalJsonTidb(specs))
+
+  /** Overload taking the PRE-STAGED full message column (r20): the
+    * returned triple references `full` from the length gate, the md5
+    * location, the payload and the in-stream fallback — inlining the
+    * whole canal+ext encoder at each of those sites re-encoded the
+    * message 4-5× per row. Callers stage `withColumn("_full", …)` and
+    * pass the attribute. */
+  def canalJsonClaimCheck(specs: Seq[ColumnSpec], maxBytes: Int,
+                          handle: LargeMessageHandle, full: Column)
       : (Column, Column, Column) = {
     require(handle.option == "claim-check",
       s"canalJsonClaimCheck requires the claim-check option, got ${handle.option}")
     handle.validate("canal-json", enableTiDBExtension = true)
     val hs = specs.filter(_.isHandle)
-    val full = canalJsonTidb(specs)
     val big = length(full) > maxBytes
     val location = concat(
       lit(handle.claimCheckStorageUri.stripSuffix("/") + "/"),
@@ -854,10 +864,18 @@ object GenericCodecs {
    */
   def simpleRowLargeMessage(specs: Seq[ColumnSpec], schemaVersion: Int,
                             maxBytes: Int, handle: LargeMessageHandle)
+      : (Column, Column, Column) =
+    simpleRowLargeMessage(specs, schemaVersion, maxBytes, handle,
+      simpleRow(specs, schemaVersion))
+
+  /** Overload taking the PRE-STAGED full message (same rationale as the
+    * canalJsonClaimCheck overload — r20). */
+  def simpleRowLargeMessage(specs: Seq[ColumnSpec], schemaVersion: Int,
+                            maxBytes: Int, handle: LargeMessageHandle,
+                            full: Column)
       : (Column, Column, Column) = {
     handle.validate("simple")
     require(handle.option != "none", "large message handling is disabled")
-    val full = simpleRow(specs, schemaVersion)
     val big = length(full) > maxBytes
     val hs = specs.filter(_.isHandle)
     def img(v: ColumnSpec => Column): Column =

@@ -564,22 +564,31 @@ object GenericCodecQueries {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.types.{StringType, StructType}
     val df = WideCdc.derive(spark, dir).filter(expr(Sample))
-    val full = GenericCodecs.canalJsonTidb(specs)
     def run(mode: String): DataFrame = {
       val handle = GenericCodecs.LargeMessageHandle("claim-check",
         claimCheckStorageUri = "cc", claimCheckRawValue = mode == "raw")
-      val (msg, loc, pay) = GenericCodecs.canalJsonClaimCheck(specs, CcMax, handle)
+      // r20: stage the full message and the claim-check triple as named
+      // columns — the Scala-val form inlined the whole canal+ext encoder
+      // into the length gate, the md5 location, the payload, the
+      // in-stream fallback AND the rt compare (4-5 encodes per row)
+      val staged = df
+        .withColumn("_full", GenericCodecs.canalJsonTidb(specs))
+      val (msg, loc, pay) =
+        GenericCodecs.canalJsonClaimCheck(specs, CcMax, handle, col("_full"))
+      val cols = staged
+        .withColumn("_msg", msg).withColumn("_loc", loc)
+        .withColumn("_pay", pay)
       // consumer recovery (canal_json_decoder.go:183-189): raw mode reads
       // the side file AS the message; wrapped unmarshals and b64-decodes
       val recovered =
-        if (mode == "raw") pay
-        else decode(unbase64(from_json(pay,
+        if (mode == "raw") col("_pay")
+        else decode(unbase64(from_json(col("_pay"),
           new StructType().add("key", StringType).add("value", StringType))
           .getField("value")), "UTF-8")
-      df.select(lit(mode).as("mode"),
-        when(loc.isNotNull, 1).otherwise(0).as("is_claim"),
-        msg.as("msg"), pay.as("payload"), loc.as("loc"),
-        (recovered <=> full).as("rt"))
+      cols.select(lit(mode).as("mode"),
+        when(col("_loc").isNotNull, 1).otherwise(0).as("is_claim"),
+        col("_msg").as("msg"), col("_pay").as("payload"), col("_loc").as("loc"),
+        (recovered <=> col("_full")).as("rt"))
     }
     run("raw").unionByName(run("wrapped"))
       .groupBy("mode", "is_claim")
@@ -838,29 +847,36 @@ object GenericCodecQueries {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
     val df = WideCdc.derive(spark, dir).filter(expr(Sample))
-    val full = GenericCodecs.simpleRow(specs, 1)
     def run(mode: String): DataFrame = {
       val handle = mode match {
         case "hko" => GenericCodecs.LargeMessageHandle("handle-key-only")
         case m => GenericCodecs.LargeMessageHandle("claim-check",
           claimCheckStorageUri = "cc", claimCheckRawValue = m == "cc_raw")
       }
-      val (msg, loc, pay) =
-        GenericCodecs.simpleRowLargeMessage(specs, 1, SimpleMax, handle)
+      // r20: stage the full message and the triple (the q224 fix) — the
+      // Scala-val form re-encoded the simple message at every reference
+      val staged = df
+        .withColumn("_full", GenericCodecs.simpleRow(specs, 1))
+      val (msg, loc, pay) = GenericCodecs.simpleRowLargeMessage(
+        specs, 1, SimpleMax, handle, col("_full"))
+      val cols = staged
+        .withColumn("_msg", msg).withColumn("_loc", loc)
+        .withColumn("_pay", pay)
       val recovered =
-        if (mode == "cc_raw") pay
+        if (mode == "cc_raw") col("_pay")
         else if (mode == "cc_wrapped")
-          decode(unbase64(from_json(pay, new StructType()
+          decode(unbase64(from_json(col("_pay"), new StructType()
             .add("key", StringType).add("value", StringType))
             .getField("value")), "UTF-8")
         else lit(null).cast("string")
-      val hko = from_json(msg,
+      val hko = from_json(col("_msg"),
         new StructType().add("handleKeyOnly", BooleanType))
         .getField("handleKeyOnly")
-      df.select(lit(mode).as("mode"),
-        when(length(full) > SimpleMax, 1).otherwise(0).as("is_claim"),
-        msg.as("msg"), pay.as("payload"), loc.as("loc"),
-        (recovered <=> full).as("rt"), coalesce(hko, lit(false)).as("hko"))
+      cols.select(lit(mode).as("mode"),
+        when(length(col("_full")) > SimpleMax, 1).otherwise(0).as("is_claim"),
+        col("_msg").as("msg"), col("_pay").as("payload"), col("_loc").as("loc"),
+        (recovered <=> col("_full")).as("rt"),
+        coalesce(hko, lit(false)).as("hko"))
     }
     run("hko").unionByName(run("cc_wrapped")).unionByName(run("cc_raw"))
       .groupBy("mode", "is_claim")

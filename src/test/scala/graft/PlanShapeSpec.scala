@@ -64,8 +64,16 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("q85_ivf_search")
     assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
-    // three window top-k stages, each with partial+final WindowGroupLimit
-    assert(count(p, "WindowGroupLimit") == 6, s"plan:\n$p")
+    // r20: the corpus-side centroid ASSIGNMENT is now the NearestCell
+    // kernel (a projection — no join, no window); the remaining windows
+    // are the per-query probe ranking and the in-cell top-k, each with
+    // partial+final WindowGroupLimit. A regression back to the
+    // crossJoin+window assignment re-adds a corpus-scale window (6 here)
+    // and fails loud.
+    assert(count(p, "WindowGroupLimit") == 4, s"plan:\n$p")
+    assert(p.contains("nearestcellkernel") || p.contains("NearestCellKernel")
+        || p.toLowerCase.contains("nearestcell"),
+      s"kernel assignment missing from plan:\n$p")
   }
 
   test("q156: HLL runs ONE explode into one gram shuffle; branches read the cache") {
