@@ -25,6 +25,14 @@ object PairKernels {
     * array_intersect/array_union column form. */
   def bucketPairs(ms: ArrayData): ArrayData = {
     val n = ms.numElements()
+    // fail LOUD on a bucket whose pair list cannot materialize as one
+    // array value (n·(n−1)/2 in Int arithmetic would overflow negative
+    // and throw an opaque NegativeArraySizeException) — an uncapped
+    // mega-bucket must be dropped upstream (maxBucket), not half-emitted
+    val nPairs = n.toLong * (n - 1L) / 2L
+    require(nPairs <= Int.MaxValue.toLong,
+      s"bucket of $n members needs $nPairs pairs — above the single-value " +
+        "limit; cap degenerate buckets upstream (maxBucket)")
     val ids = new Array[Long](n)
     val shs = new Array[Array[Long]](n)
     var i = 0
@@ -36,7 +44,7 @@ object PairKernels {
     }
     // sort members by id so emitted pairs satisfy id_a < id_b
     val order = (0 until n).toArray.sortBy(ids(_))
-    val out = new Array[Any](n * (n - 1) / 2)
+    val out = new Array[Any](nPairs.toInt)
     var k = 0
     i = 0
     while (i < n) {

@@ -346,6 +346,83 @@ object TextRuns {
   def gramPairs(text: Column): Column =
     ExpressionUtils.column(GramPairs(ExpressionUtils.expression(text)))
 
+  /** Per-position word bigram triples struct(w1, w2, "w1 w2") — the
+    * [[gramPairArray]] sibling for consumers that also key on the SECOND
+    * word (Kneser-Ney's continuation counts): the former column form
+    * re-derived w2 with a regex `split(g, " ")` per gram row; here it is
+    * the token already in hand. Same tokenization, same pair windows. */
+  def gramTripleArray(text: UTF8String): ArrayData = {
+    val toks = Whitespace.split(text.toString, -1)
+    val total = toks.length - 1
+    if (total <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](total)
+    var i = 0
+    while (i < total) {
+      out(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(toks(i)),
+        UTF8String.fromString(toks(i + 1)),
+        UTF8String.fromString(toks(i) + " " + toks(i + 1))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def gramTriples(text: Column): Column =
+    ExpressionUtils.column(GramTriples(ExpressionUtils.expression(text)))
+
+  /** Hashed-bucket term frequencies in ONE in-row pass: distinct tokens'
+    * tf folded onto `bucket = md5Long(token) mod b`, summed per bucket and
+    * sorted by bucket — the DSIR feature extractor. Identical totals to
+    * explode([[tokenTfArray]]) → pmod(portableLong(w), b) → sum: md5Long
+    * IS portableLong's integer value and per-bucket regrouping commutes
+    * with every downstream sum (Σ tf·λ_b groups the same terms). Emits
+    * ≤ min(#distinct tokens, b) rows per doc instead of one per distinct
+    * token, and the md5 runs on the token bytes directly — no
+    * conv(substring(md5hex)) string chain on the corpus path. */
+  def bucketTfArray(text: UTF8String, b: Int): ArrayData = {
+    val toks = Whitespace.split(text.toString, -1)
+    val m = new java.util.TreeMap[String, Long]()
+    var i = 0
+    while (i < toks.length) { m.merge(toks(i), 1L, (a, c) => a + c); i += 1 }
+    val agg = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val bucket = java.lang.Long.valueOf(
+        md5Long(e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % b)
+      agg.merge(bucket, e.getValue, (a, c) => java.lang.Long.valueOf(a + c))
+    }
+    val out = new Array[Any](agg.size())
+    var j = 0
+    val it2 = agg.entrySet().iterator()
+    while (it2.hasNext) {
+      val e = it2.next()
+      out(j) = new GenericInternalRow(Array[Any](
+        e.getKey.longValue(), e.getValue.longValue()))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def bucketTf(text: Column, b: Int): Column =
+    ExpressionUtils.column(BucketTf(ExpressionUtils.expression(text), b))
+
+  /** Exact-dup digest of normalized text in ONE in-row pass: lowercase
+    * (the same UTF8String.toLowerCase the `lower` expression calls),
+    * whitespace runs collapsed to single spaces (same `\s+` regex), md5 →
+    * 60-bit long ([[md5Long]] ≡ conv(substring(md5(x),1,15),16,10)).
+    * Byte-identical to the legacy
+    * `portableLong(regexp_replace(lower(text), "\\s+", " "))` column
+    * chain, which materialized three intermediate strings per row. */
+  def exactKeyLong(text: UTF8String): Long = {
+    val collapsed =
+      Whitespace.matcher(text.toLowerCase.toString).replaceAll(" ")
+    md5Long(collapsed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def exactKey(text: Column): Column =
+    ExpressionUtils.column(ExactKey(ExpressionUtils.expression(text)))
+
   /** Distinct tokens with their in-doc occurrence counts in ONE
     * tokenization pass: array<struct(w string, tf long)>, sorted by w.
     * Replaces the explode-all-occurrences → groupBy((doc, token)) shape —
@@ -521,6 +598,48 @@ case class GramPairs(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.gramPairArray($c)")
   override protected def withNewChildInternal(newChild: Expression): GramPairs =
+    copy(child = newChild)
+}
+
+/** text → array<struct(w1 string, w2 string, g string)>: per-position word
+  * bigram triples, one tokenization pass per row. */
+case class GramTriples(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false),
+    StructField("g", StringType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuns.gramTripleArray(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.gramTripleArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): GramTriples =
+    copy(child = newChild)
+}
+
+/** text → array<struct(bucket long, tf long)>: hashed-bucket term
+  * frequencies (mod `b`), summed per bucket, sorted by bucket. */
+case class BucketTf(child: Expression, b: Int) extends UnaryExpression {
+  require(b >= 1, "bucket count must be >= 1")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bucket", LongType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuns.bucketTfArray(input.asInstanceOf[UTF8String], b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.bucketTfArray($c, $b)")
+  override protected def withNewChildInternal(newChild: Expression): BucketTf =
+    copy(child = newChild)
+}
+
+/** text → long exact-dup digest of normalized text (lower + collapsed
+  * whitespace + md5), one in-row pass. */
+case class ExactKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuns.exactKeyLong(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextRuns.exactKeyLong($c)")
+  override protected def withNewChildInternal(newChild: Expression): ExactKey =
     copy(child = newChild)
 }
 

@@ -220,6 +220,57 @@ object VectorKernels {
     new GenericInternalRow(Array[Any](bestC, bestD))
   }
 
+  /** nProbe nearest centroids over a quantized long vector, ordered by
+    * (integer squared L2 asc, centroid id asc) — the top-N sibling of
+    * [[nearestCell]] (r21: replaces the IVF probe-selection crossJoin +
+    * row_number window). `cids` must arrive sorted ascending; scanning
+    * them in order with STRICT displacement keeps the lowest id on ties,
+    * exactly the window's (cdist, centroid_id) ordering. Degenerate input
+    * (length mismatch / null element) nulls every distance; the window
+    * form then ranked by (NULL, cid) with nulls first → the first nProbe
+    * ids — replicated. Inner loop early-exits past the current worst
+    * kept distance. */
+  def nearestCells(qv: ArrayData, cids: Array[Long], flat: Array[Long],
+                   d: Int, nProbe: Int): ArrayData = {
+    val keep = math.min(nProbe, cids.length)
+    val n = qv.numElements()
+    if (n != d || anyNull(qv))
+      return new GenericArrayData(java.util.Arrays.copyOf(cids, keep))
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) { q(i) = qv.getLong(i); i += 1 }
+    val bestD = new Array[Long](keep)
+    val bestC = new Array[Long](keep)
+    var filled = 0
+    var c = 0
+    while (c < cids.length) {
+      val off = c * d
+      val full = filled == keep
+      val worst = if (full) bestD(keep - 1) else Long.MaxValue
+      var s = 0L
+      i = 0
+      while (i < d && !(full && s >= worst)) {
+        val t = q(i) - flat(off + i)
+        s += t * t
+        i += 1
+      }
+      if (i == d && (!full || s < worst)) {
+        // insert (s, cids(c)) keeping (dist, cid) order; scan from the
+        // tail — strict < so an equal-distance later (higher) cid lands
+        // AFTER the earlier one, the window's tie rule. When full the
+        // old worst drops off the end.
+        var p = if (full) keep - 1 else filled
+        while (p > 0 && s < bestD(p - 1)) {
+          bestD(p) = bestD(p - 1); bestC(p) = bestC(p - 1); p -= 1
+        }
+        bestD(p) = s; bestC(p) = cids(c)
+        if (!full) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(bestC)
+  }
+
   // ---- Column builders -------------------------------------------------
 
   def sqDistQ(a: Column, b: Column): Column =
@@ -250,6 +301,11 @@ object VectorKernels {
   def nearestCell(qv: Column, cids: Seq[Long], cents: Seq[Seq[Long]]): Column =
     ExpressionUtils.column(NearestCellKernel(ExpressionUtils.expression(qv),
       cids.toVector, cents.map(_.toVector).toVector))
+
+  def nearestCells(qv: Column, cids: Seq[Long], cents: Seq[Seq[Long]],
+                   nProbe: Int): Column =
+    ExpressionUtils.column(NearestCellsKernel(ExpressionUtils.expression(qv),
+      cids.toVector, cents.map(_.toVector).toVector, nProbe))
 }
 
 /** Shared element-type probe: these kernels accept float or double
@@ -298,12 +354,27 @@ case class DotQKernel(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** array<float|double> dot in doubles, sequential fold. */
+/** array<float|double> dot in doubles, sequential fold. Both sides must
+  * share the element type — the element accessor is probed from the LEFT
+  * child, so a float/double mix would read the right side with the wrong
+  * accessor (silently wrong values on UnsafeArrayData); fail at analysis
+  * instead. */
 case class DotFKernel(left: Expression, right: Expression)
     extends BinaryExpression with FloatOrDoubleChild {
   override protected def vecChild: Expression = left
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _))
+          if a == b && (a == FloatType || a == DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dotF requires both sides array<float> or both array<double>, got $l × $r")
+    }
+  }
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       elemIsFloat)
@@ -408,5 +479,32 @@ case class NearestCellKernel(child: Expression, cids: Vector[Long],
       s"graft.functions.VectorKernels.nearestCell($c, $cidsRef, $flatRef, $d)")
   }
   override protected def withNewChildInternal(newChild: Expression): NearestCellKernel =
+    copy(child = newChild)
+}
+
+/** array<long> quantized vector → array<long> of the nProbe nearest
+  * centroid ids in (dist asc, id asc) order — the IVF probe list (see
+  * [[VectorKernels.nearestCells]]). */
+case class NearestCellsKernel(child: Expression, cids: Vector[Long],
+    cents: Vector[Vector[Long]], nProbe: Int) extends UnaryExpression {
+  require(nProbe >= 1, "nProbe must be >= 1")
+  require(cids.nonEmpty && cids.length == cents.length &&
+    cents.forall(_.length == cents.head.length),
+    "centroid table must be non-empty and rectangular")
+  require(cids.zip(cids.tail).forall { case (a, b) => a < b },
+    "centroid ids must be strictly ascending (tie-break contract)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val cidArr: Array[Long] = cids.toArray
+  private lazy val flat: Array[Long] = cents.flatten.toArray
+  private def d: Int = cents.head.length
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.nearestCells(a.asInstanceOf[ArrayData], cidArr, flat, d, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cellIds", cidArr, "long[]")
+    val flatRef = ctx.addReferenceObj("cellCents", flat, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.nearestCells($c, $cidsRef, $flatRef, $d, $nProbe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsKernel =
     copy(child = newChild)
 }

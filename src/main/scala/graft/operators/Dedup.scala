@@ -39,9 +39,15 @@ object Dedup {
       .otherwise(array(text))
   }
 
-  /** Exact-dup digest of normalized text (lower + collapsed whitespace). */
+  /** Exact-dup digest of normalized text (lower + collapsed whitespace).
+    * r21: kernel-backed ([[graft.functions.TextRuns.exactKey]]) — the
+    * legacy `portableLong(regexp_replace(lower(text), "\\s+", " "))`
+    * chain materialized three intermediate strings per row (lowered copy,
+    * collapsed copy, md5 hex) before the conv(substring(…)) parse; the
+    * kernel is one in-row pass with byte-identical values (pinned by
+    * LmKernelSpec against the legacy chain, unicode cases included). */
   def exactKey(text: Column): Column =
-    Hashing.portableLong(regexp_replace(lower(text), "\\s+", " "))
+    graft.functions.TextRuns.exactKey(text)
 
   /** MinHash signature (column form): k seeded hashes min'd over the
     * shingle set. Prefer [[minhashSignatures]] in pipelines — projection
@@ -264,8 +270,19 @@ object Dedup {
     (bands * w, bands)
   }
 
+  /**
+   * @param maxBucket degenerate-bucket cap, same contract as
+   *   [[lshCandidates]]: buckets above it are dropped whole (members
+   *   still pair through their other bands). 0 disables — the declared
+   *   gates run uncapped to keep their pinned outputs, but NOTE that
+   *   uncapped is UNSAFE at corpus scale: one identical-text flood bucket
+   *   holds its whole quadratic pair list in a single row value
+   *   (Ω(Σ group²) — the measured 1.22e9-pair pathology), and the pair
+   *   kernel fails loud rather than overflow. Production pipelines run
+   *   exact dedup first and set a cap.
+   */
   def simhashCandidates(sh: DataFrame, bits: Int, bands: Int,
-                        maxHam: Int): DataFrame = {
+                        maxHam: Int, maxBucket: Int = 0): DataFrame = {
     require(bands >= 1 && bits % bands == 0)
     val w = bits / bands
     val mask = (1L << w) - 1
@@ -286,7 +303,8 @@ object Dedup {
     banded.groupBy("band", "chunk")
       .agg(collect_list(struct(col("id").as("id"),
         col("simhash").as("h"))).as("ms"))
-      .filter(size(col("ms")) > 1)
+      .filter(size(col("ms")) > 1 &&
+        (if (maxBucket <= 0) lit(true) else size(col("ms")) <= maxBucket))
       .select(explode(
         graft.functions.PairKernels.bucketHamPairs(col("ms"), maxHam)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
@@ -307,11 +325,14 @@ object Dedup {
    */
   def dupClusters(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20,
                   localEdgeThreshold: Long = 1000000L): DataFrame = {
-    // each round references the previous frame several times (join + both
+    // each round references the previous frame several times (window + both
     // union directions), so lineage grows multiplicatively — localCheckpoint
-    // TRUNCATES the plan per round (cache alone would not)
+    // TRUNCATES the plan per round (cache alone would not). r21: the
+    // checkpoints are LAZY — the action that already has to read each
+    // round's fixpoint signature materializes them, so neither the entry
+    // sizing count nor any round pays a separate materialization pass.
     var e = edges.select(col("id_a").as("u"), col("id_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(false)
     // ADAPTIVE SHORT-CIRCUIT: the candidate-pair graph is orders of
     // magnitude smaller than the corpus (it exists only where LSH found
     // collisions). When the deduped edge set fits trivially on the driver,
@@ -320,60 +341,39 @@ object Dedup {
     // Past the threshold — the genuine 100 TB regime — the star-contraction
     // loop below takes over. Same decision AQE makes join-side: plan by
     // measured size, not hope.
-    val edgeCount = e.count()
-    if (edgeCount <= localEdgeThreshold) {
-      val parent = collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x // path compression
-        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-        r
-      }
-      e.select(col("u"), col("v")).collect().foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val labels = parent.keys.map(x => (x, find(x))).toSeq
-      if (labels.isEmpty) return nodes.select(col("id"), col("id").as("comp"))
-      val spark = nodes.sparkSession
-      import spark.implicits._
-      val labelDf = labels.toDF("id", "p")
-      return nodes.select(col("id"))
-        .join(broadcast(labelDf), Seq("id"), "left")
-        .select(col("id"), least(col("id"), coalesce(col("p"), col("id"))).as("comp"))
-    }
+    val edgeCount = e.count() // one action: sizes the short-circuit AND
+    // materializes the entry checkpoint
+    if (edgeCount <= localEdgeThreshold) return localUnionFind(nodes, e)
     var prevSig: (Long, Long) = (-1L, -1L)
     var iter = 0
-    var done = e.isEmpty
+    var done = edgeCount == 0L
     while (!done && iter < maxIter) {
-      // LARGE-STAR: every node's strictly-larger neighbors re-hook to the
-      // min of its neighborhood (incl. itself)
-      val n1 = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val m1 = n1.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val afterLarge = n1.join(m1, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(m1.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
-      // SMALL-STAR: smaller-or-equal neighbors (and the node) hook to min
-      val n2 = afterLarge.unionByName(
-        afterLarge.select(col("v").as("u"), col("u").as("v")))
-      val m2 = n2.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val next = n2.join(m2, "u").filter(col("v") <= col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(m2.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+      // one alternating LARGE-STAR / SMALL-STAR round (r21 reshape: each
+      // star op attaches the neighborhood minimum through a window over
+      // the SAME u-keyed exchange the old groupBy(min) + join pair paid
+      // for twice — guide §2.4, operations keyed the same way share one
+      // exchange; per half-round the plan is one Exchange+sort instead
+      // of three Exchanges and a sort-merge join)
+      val next = starHalf(starHalf(e, large = true), large = false)
+        .localCheckpoint(false)
       // fixpoint signature: edge count + sum of endpoints (both stable
-      // exactly when the star forest stops changing)
+      // exactly when the star forest stops changing). This one action
+      // also materializes the round's checkpoint.
       val sigRow = next.agg(count(lit(1)), sum(col("u") + col("v"))).head()
       val sig = (sigRow.getLong(0), if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
       e = next
-      done = sig == prevSig
-      prevSig = sig
       iter += 1
+      if (sig == prevSig) done = true
+      else if (sig._1 <= localEdgeThreshold)
+        // r21: contraction shrinks the frontier geometrically — once the
+        // edge set fits the driver, finish with the exact α(E) union-find
+        // instead of paying more distributed rounds. Star ops preserve
+        // connected components and never drop a member of a ≥2-node
+        // component, so CC(e) at any round equals CC(input) — the same
+        // invariant the post-loop extraction itself relies on when
+        // maxIter stops the loop early.
+        return localUnionFind(nodes, e)
+      prevSig = sig
     }
     // at the fixpoint every edge points u→component-min; isolated nodes
     // label themselves
@@ -381,6 +381,55 @@ object Dedup {
       .groupBy("u").agg(min(col("v")).as("p"))
     nodes.select(col("id"))
       .join(parents.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("p"), col("id"))).as("comp"))
+  }
+
+  /** One star half-round over a symmetric-closed edge frame: every node's
+    * strictly-larger (large star) or ≤ (small star) neighbors re-hook to
+    * the minimum of its closed neighborhood, and the node itself hooks
+    * there too. The min attaches via a whole-partition window so the
+    * u-keyed exchange is paid ONCE (the former groupBy(min) + join shape
+    * shuffled the 2|E| frame by u twice per half-round); the hook branch
+    * emits (u, m) per ROW instead of per group — duplicates are
+    * co-partitioned and collapse in the distinct's map-side partial
+    * aggregation, so the emitted edge SET is identical. */
+  private def starHalf(in: DataFrame, large: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = in.unionByName(in.select(col("v").as("u"), col("u").as("v")))
+    val withM = n.withColumn("m",
+      least(col("u"), min(col("v")).over(Window.partitionBy(col("u")))))
+    val rehooked =
+      (if (large) withM.filter(col("v") > col("u"))
+       else withM.filter(col("v") <= col("u")))
+        .select(col("v").as("u"), col("m").as("v"))
+    rehooked.unionByName(withM.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Driver-side exact α(E) union-find over a collected edge frame —
+    * the [[dupClusters]] short-circuit: labels = min id per component,
+    * isolated nodes label themselves (identical to the distributed
+    * extraction at the star fixpoint). */
+  private def localUnionFind(nodes: DataFrame, e: DataFrame): DataFrame = {
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    e.select(col("u"), col("v")).collect().foreach { row =>
+      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = parent.keys.map(x => (x, find(x))).toSeq
+    if (labels.isEmpty) return nodes.select(col("id"), col("id").as("comp"))
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val labelDf = labels.toDF("id", "p")
+    nodes.select(col("id"))
+      .join(broadcast(labelDf), Seq("id"), "left")
       .select(col("id"), least(col("id"), coalesce(col("p"), col("id"))).as("comp"))
   }
 

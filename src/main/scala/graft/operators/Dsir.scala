@@ -29,12 +29,15 @@ object Dsir {
 
   /** Occurrence counts per hashed bucket: (bucket, n), one bounded
     * partial agg; buckets with no mass are absent (the λ builder
-    * completes the range). */
+    * completes the range). r21: the tokenize→md5→mod-b chain is ONE
+    * in-row kernel ([[graft.functions.TextRuns.bucketTf]]) emitting
+    * per-bucket pre-summed tf pairs — the former form exploded a row per
+    * distinct token STRING and ran the conv(substring(md5(…))) column
+    * chain on each; per-bucket totals are identical (md5Long ≡
+    * portableLong and regrouping commutes with the sum). */
   def bucketCounts(df: DataFrame, textCol: String, b: Int): DataFrame =
-    df.select(explode(graft.functions.TextRuns.tokenTf(col(textCol))).as("p"))
-      .select(pmod(Hashing.portableLong(col("p.w")), lit(b.toLong)).as("bucket"),
-        col("p.tf").as("tf"))
-      .groupBy("bucket").agg(sum(col("tf")).as("n"))
+    df.select(explode(graft.functions.TextRuns.bucketTf(col(textCol), b)).as("p"))
+      .groupBy(col("p.bucket").as("bucket")).agg(sum(col("p.tf")).as("n"))
 
   /**
    * The importance model: per bucket 0..b−1, λ_q16 = smoothed target
@@ -69,18 +72,21 @@ object Dsir {
   def scoreDocs(corpus: DataFrame, lam: DataFrame, idCol: String,
                 textCol: String, b: Int, keepCols: Seq[String] = Nil): DataFrame = {
     val keyCols = (idCol +: keepCols).map(col)
+    // r21: one in-row kernel hashes and pre-sums the doc's tf mass per
+    // bucket (see [[bucketCounts]]); Σ tf·λ over buckets equals the
+    // per-token sum because tokens sharing a bucket share its λ.
+    // n_tokens = Σ tf folds in the SAME partial aggregation (the former
+    // per-doc interpreted `aggregate` fold fell out of whole-stage
+    // codegen); `lam` must be the COMPLETE 0..b−1 table
+    // ([[bucketLogRatio]]'s output) so the inner join keeps every bucket.
     val tf = corpus
-      .withColumn("_tfp", graft.functions.TextRuns.tokenTf(col(textCol)))
-      .select(keyCols
-        :+ aggregate(col("_tfp"), lit(0L),
-          (acc, p) => acc + p.getField("tf")).as("n_tokens")
-        :+ explode(col("_tfp")).as("p"): _*)
-      .select(keyCols :+ col("n_tokens")
-        :+ pmod(Hashing.portableLong(col("p.w")), lit(b.toLong)).as("bucket")
-        :+ col("p.tf").as("tf"): _*)
+      .select(keyCols :+
+        explode(graft.functions.TextRuns.bucketTf(col(textCol), b)).as("p"): _*)
+      .select(keyCols :+ col("p.bucket").as("bucket") :+ col("p.tf").as("tf"): _*)
     tf.join(broadcast(lam), Seq("bucket"))
-      .groupBy((idCol +: keepCols :+ "n_tokens").map(col): _*)
-      .agg(sum(col("tf") * col("lam_q16")).as("score_q16"))
+      .groupBy(idCol, keepCols: _*)
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("lam_q16")).as("score_q16"))
   }
 
   /** DuckDB SQL twins — keep in lockstep with the Column builders. */

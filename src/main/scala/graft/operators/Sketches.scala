@@ -148,19 +148,42 @@ object Sketches {
    * Probe the filter: per probe row, nset = how many of its k positions
    * are set; `maybe_seen` (the Bloom answer) ⇔ nset = k. No false
    * negatives by construction; false positives are exactly the
-   * maybe_seen ∧ ¬truly-seen rows, which the gate counts. Bits broadcast;
-   * the probe side never shuffles more than (id, key, k positions).
+   * maybe_seen ∧ ¬truly-seen rows, which the gate counts.
+   *
+   * r21 reshape (guide §2.4 — remove shuffles outright): the former
+   * explode(k positions) → broadcast join → groupBy(id, key) shape paid
+   * one EXCHANGE over the whole probe set (k× row inflation into the
+   * partial agg, then a corpus-grain shuffle) just to re-assemble rows it
+   * had itself split. Now each of the k positions probes the SAME
+   * broadcast bit relation through its own map-only left join (the k
+   * joins reuse one broadcast exchange) and nset is an in-row sum — the
+   * probe side is map-only end to end, nothing shuffles. nset is
+   * identical: Σ_j 1[pos_j ∈ bits] either way (bits positions are
+   * distinct, so a left join never duplicates a probe row). Output is
+   * PROBE-ROW grain — callers must give rows distinct (id, key)s (the
+   * old groupBy form collapsed duplicate ids into one row with a
+   * meaningless summed nset; don't rely on that).
    */
   def bloomProbe(bits: DataFrame, probe: DataFrame, idCol: String,
       keyCol: String, m: Long, k: Int): DataFrame = {
-    probe.select(col(idCol), col(keyCol),
-        explode(array((0 until k).map { j =>
-          pmod(Hashing.seededMix(col(keyCol), j), lit(m))
-        }: _*)).as("pos"))
-      .join(broadcast(bits.withColumn("_set", lit(1L))), Seq("pos"), "left")
-      .groupBy(col(idCol), col(keyCol))
-      .agg(sum(coalesce(col("_set"), lit(0L))).as("nset"))
+    // one build subplan reused verbatim by all k joins (renames happen
+    // AFTER each join) so ReuseExchange collapses them to a single
+    // broadcast of the bit relation
+    val bitsB = broadcast(
+      bits.select(col("pos").as("_pos"), lit(1L).as("_set")))
+    val withFlags = (0 until k).foldLeft(
+      probe.select(col(idCol), col(keyCol))) { (df, j) =>
+      df.withColumn("_pos", pmod(Hashing.seededMix(col(keyCol), j), lit(m)))
+        .join(bitsB, Seq("_pos"), "left")
+        .withColumnRenamed("_set", s"_s$j")
+        .drop("_pos")
+    }
+    withFlags
+      .withColumn("nset",
+        (0 until k).map(j => coalesce(col(s"_s$j"), lit(0L))).reduce(_ + _))
+      .drop((0 until k).map(j => s"_s$j"): _*)
       .withColumn("maybe_seen", (col("nset") === k.toLong).cast("int"))
+      .select(col(idCol), col(keyCol), col("nset"), col("maybe_seen"))
   }
 
   /**

@@ -50,14 +50,13 @@ object TextLm {
     e.toLong * 16 + MantissaQ16(m - 16)
   }
 
-  def l2q16(x: Column): Column = {
-    val e = (length(bin(x.cast("long"))) - 1).cast("long")
-    val p2 = pow(lit(2.0), e.cast("double")).cast("long")
-    val a = x.cast("long") * 16L
-    val m = ((a - pmod(a, p2)) / p2).cast("long") // floor(16x / 2^e)
-    val table = array(MantissaQ16.map(v => lit(v.toLong)): _*)
-    e * 16L + element_at(table, (m - 15L).cast("int"))
-  }
+  // r21: kernel-backed ([[graft.functions.LmKernels]]) — the former
+  // expression tree materialized a base-2 STRING (bin) and called pow()
+  // per evaluation, once per scored gram/token at corpus scale; the
+  // kernel is one static call with bit-identical values on the
+  // documented domain (LmKernelSpec pins kernel == the legacy tree).
+  def l2q16(x: Column): Column =
+    graft.functions.LmKernels.l2q16(x.cast("long"))
 
   /** Per-position word bigrams: struct(w1, "w1 w2"); empty array below two
     * tokens. Occurrence grain (NOT distinct) — LM counts are true
@@ -98,17 +97,29 @@ object TextLm {
   def scoreDocs(corpus: DataFrame, uni: DataFrame, bi: DataFrame,
                 idCol: String, textCol: String,
                 keepCols: Seq[String] = Nil): DataFrame = {
-    val vocab = uni.agg(count(lit(1)).as("v"))
+    // r21 (guide §1.2 step 2): the two l2q16 terms are functions of the
+    // LM-TABLE row alone — l2q16(cu + V) of the unigram row, l2q16(cb + 1)
+    // of the bigram row — so they are computed ONCE per vocab-bounded
+    // model row before the broadcast instead of once per corpus gram
+    // position. V is a control-plane scalar: collected once (same one
+    // evaluation the old 1-row crossJoin frame paid) and folded as a
+    // literal, so the per-gram plan loses the cross join outright.
+    // Unseen grams fall back to the same constants the old per-row
+    // coalesce produced: l2q16(0 + V) and l2q16(0 + 1) = 0. Integers
+    // identical position for position (LmKernelSpec/oracle-pinned).
+    val v = uni.agg(count(lit(1)).as("v")).head().getLong(0)
+    val a0 = graft.functions.LmKernels.l2q16(v)
     val keyCols = (idCol +: keepCols).map(col)
+    val uniA = uni.select(col("w").as("w1"),
+      l2q16(col("cu") + lit(v)).as("a_q16"))
+    val biB = bi.select(col("g"), l2q16(col("cb") + 1L).as("b_q16"))
     corpus
       .select(keyCols :+ explode(gramPairs(col(textCol))).as("p"): _*)
       .select(keyCols :+ col("p.w1").as("w1") :+ col("p.g").as("g"): _*)
-      .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"), "left")
-      .join(broadcast(bi), Seq("g"), "left")
-      .crossJoin(broadcast(vocab))
+      .join(broadcast(uniA), Seq("w1"), "left")
+      .join(broadcast(biB), Seq("g"), "left")
       .withColumn("bits",
-        l2q16(coalesce(col("cu"), lit(0L)) + col("v")) -
-          l2q16(coalesce(col("cb"), lit(0L)) + 1L))
+        coalesce(col("a_q16"), lit(a0)) - coalesce(col("b_q16"), lit(0L)))
       .groupBy(idCol, keepCols: _*)
       .agg(count(lit(1)).as("n_grams"), sum(col("bits")).as("bits"))
   }
@@ -140,9 +151,12 @@ object TextLm {
    */
   def knStats(held: DataFrame, textCol: String, biMinCount: Long)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val pairs = held.select(explode(gramPairs(col(textCol))).as("p"))
-      .select(col("p.w1").as("w1"), col("p.g").as("g"))
-      .withColumn("w2", element_at(split(col("g"), " "), 2))
+    // r21: w2 comes out of the gram kernel directly
+    // ([[graft.functions.TextRuns.gramTriples]]) — the former
+    // element_at(split(g, " "), 2) re-split every gram string
+    val pairs = held.select(
+        explode(graft.functions.TextRuns.gramTriples(col(textCol))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.g").as("g"), col("p.w2").as("w2"))
     val biFull = pairs.groupBy("g").agg(count(lit(1)).as("cb"))
     val bi = biFull.filter(col("cb") >= biMinCount)
     val ctx = pairs.groupBy("w1")
@@ -185,21 +199,25 @@ object TextLm {
                   idCol: String, textCol: String,
                   keepCols: Seq[String] = Nil): DataFrame = {
     val keyCols = (idCol +: keepCols).map(col)
+    // r21: B+U is a control-plane scalar — collected once (the same one
+    // evaluation the old 1-row crossJoin broadcast paid) and folded as a
+    // literal, removing the per-gram cross join from the plan.
+    val buV = bu.head().getLong(0)
     val cb0 = coalesce(col("cb"), lit(0L))
     val ncw0 = coalesce(col("ncw"), lit(0L))
     val seen =
-      l2q16(lit(4L) * col("cv") * col("bu")) -
-        l2q16(greatest(lit(4L) * cb0 - 3L, lit(0L)) * col("bu") +
+      l2q16(lit(4L) * col("cv") * lit(buV)) -
+        l2q16(greatest(lit(4L) * cb0 - 3L, lit(0L)) * lit(buV) +
           lit(3L) * col("n1v") * (ncw0 + 1L))
-    val unseenCtx = l2q16(col("bu")) - l2q16(ncw0 + 1L)
+    val unseenCtx = lit(graft.functions.LmKernels.l2q16(buV)) - l2q16(ncw0 + 1L)
     corpus
-      .select(keyCols :+ explode(gramPairs(col(textCol))).as("p"): _*)
-      .select(keyCols :+ col("p.w1").as("w1") :+ col("p.g").as("g"): _*)
-      .withColumn("w2", element_at(split(col("g"), " "), 2))
+      .select(keyCols :+
+        explode(graft.functions.TextRuns.gramTriples(col(textCol))).as("p"): _*)
+      .select(keyCols :+ col("p.w1").as("w1") :+ col("p.g").as("g")
+        :+ col("p.w2").as("w2"): _*)
       .join(broadcast(bi), Seq("g"), "left")
       .join(broadcast(ctx), Seq("w1"), "left")
       .join(broadcast(cont), Seq("w2"), "left")
-      .crossJoin(broadcast(bu))
       .withColumn("bits", when(col("cv").isNull, unseenCtx).otherwise(seen))
       .groupBy(idCol, keepCols: _*)
       .agg(count(lit(1)).as("n_grams"), sum(col("bits")).as("bits"))

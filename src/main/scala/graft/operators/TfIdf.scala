@@ -39,27 +39,34 @@ object TfIdf {
                 idCol: String, textCol: String,
                 keepCols: Seq[String] = Nil): DataFrame = {
     val keyCols = (idCol +: keepCols).map(col)
-    val nd = corpus.agg(count(lit(1)).as("nd")) // one row, broadcast
+    // r21 (guide §1.2 step 2): idf_q16 is a function of the DF-TABLE row
+    // alone — computed once per vocab row before the broadcast instead of
+    // once per (doc, token) at corpus scale (the former per-row form
+    // evaluated two l2q16 trees per scored token). N is a control-plane
+    // scalar, collected once (the same single evaluation the old 1-row
+    // crossJoin frame paid) and folded as a literal. Same integers per
+    // token; idf presence ⇔ the old df presence.
+    val nd = corpus.agg(count(lit(1)).as("nd")).head().getLong(0)
+    val ndL2 = graft.functions.LmKernels.l2q16(math.max(nd, 0L))
+    val dfIdf = df.select(col("w"),
+      (lit(ndL2) - TextLm.l2q16(col("df"))).as("idf_q16"))
     // tf per distinct token computed IN the row (one tokenization pass,
     // graft.functions.TextRuns.tokenTf) — the explode-then-groupBy form
-    // would shuffle every token occurrence at corpus scale; n_tokens folds
-    // from the pair array rather than re-splitting the text
+    // would shuffle every token occurrence at corpus scale. n_tokens is
+    // Σ tf over the doc's distinct tokens, folded in the SAME partial
+    // aggregation as the score (r21 — the former per-doc interpreted
+    // `aggregate` fold fell out of whole-stage codegen).
     val tf = corpus
       .withColumn("_tfp", graft.functions.TextRuns.tokenTf(col(textCol)))
-      .select(keyCols
-        :+ aggregate(col("_tfp"), lit(0L),
-          (acc, p) => acc + p.getField("tf")).as("n_tokens")
-        :+ explode(col("_tfp")).as("p"): _*)
-      .select(keyCols :+ col("n_tokens") :+ col("p.w").as("w")
-        :+ col("p.tf").as("tf"): _*)
-    tf.join(broadcast(df), Seq("w"), "left")
-      .crossJoin(broadcast(nd))
+      .select(keyCols :+ explode(col("_tfp")).as("p"): _*)
+      .select(keyCols :+ col("p.w").as("w") :+ col("p.tf").as("tf"): _*)
+    tf.join(broadcast(dfIdf), Seq("w"), "left")
       .withColumn("wscore",
-        when(col("df").isNotNull,
-          col("tf") * (TextLm.l2q16(col("nd")) - TextLm.l2q16(col("df"))))
+        when(col("idf_q16").isNotNull, col("tf") * col("idf_q16"))
           .otherwise(lit(0L)))
-      .groupBy((idCol +: keepCols :+ "n_tokens").map(col): _*)
-      .agg(sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+      .groupBy(idCol, keepCols: _*)
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("idf_q16").isNotNull, 1L).otherwise(0L)).as("n_scored"),
         sum(col("wscore")).as("tfidf_q16"))
   }
 

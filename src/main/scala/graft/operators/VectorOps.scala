@@ -76,9 +76,14 @@ object VectorOps {
   /** LSH signature: `planes` sign bits of literal-weight projections.
     * r20: kernel-backed — one pass over the vector computes every plane's
     * projection (same sequential double fold per plane) instead of
-    * `planes` interpreted zip_with+aggregate trees. */
+    * `planes` interpreted zip_with+aggregate trees. r21: a NULL vector
+    * coalesces to signature 0, the legacy when(proj > 0, …).otherwise(0)
+    * value — the bare kernel is null-intolerant and would silently move
+    * null-embedding docs from bucket 0 to a NULL group. */
   def lshSignature(vec: Column, planes: Int, dim: Int): Column =
-    graft.functions.VectorKernels.lshSig(vec, hyperplaneWeights(planes, dim))
+    coalesce(
+      graft.functions.VectorKernels.lshSig(vec, hyperplaneWeights(planes, dim)),
+      lit(0L))
 
   /** Bucketed ANN: exact cosine ranking restricted to same-signature
     * candidates. Recall < 1 by construction; `planes` trades recall for
@@ -269,8 +274,17 @@ object VectorOps {
    * `centroid` array column re-attaches through a broadcast join on the
    * k-row table for consumers that read it (IVF residuals).
    */
+  /** Above this many packed centroid BYTES (k·d·8) the argmin kernel's
+    * reference arrays stop riding the serialized expression (they would
+    * bloat every task binary and plan string) and assignment cuts over to
+    * the broadcast-join min(struct) strategy — same results, one
+    * broadcast per executor instead of a table per task. Small-k plans
+    * (every declared gate) are unchanged. */
+  private[operators] val CentroidPlanMaxBytes: Long = 4L << 20
+
   def assignCentroids(df: DataFrame, cents: DataFrame,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      maxPlanBytes: Long = CentroidPlanMaxBytes): DataFrame = {
     // centroid_id may arrive int-typed (label-derived cents); normalize to
     // long for the kernel — the join back recoerces, and the driver hash
     // is int-width-insensitive
@@ -288,8 +302,6 @@ object VectorOps {
         .withColumn("centroid", lit(null).cast("array<bigint>"))
         .withColumn("dist", lit(null).cast("long"))
         .filter(lit(false))
-    val best = graft.functions.VectorKernels.nearestCell(
-      quantize(col(vecCol)), centRows.map(_._1), centRows.map(_._2))
     // re-attach the centroid array from the rows ALREADY collected — a
     // broadcast join against the `cents` plan would recompute its whole
     // subtree a second time (measured: q85_ivf_search 1.29 → 2.07 s
@@ -298,10 +310,41 @@ object VectorOps {
     import spark.implicits._
     val centLocal = broadcast(centRows.toDF("centroid_id", "centroid")
       .select(col("centroid_id").cast(cidType), col("centroid")))
-    df.withColumn("_best", best)
-      .withColumn("centroid_id", col("_best.centroid_id").cast(cidType))
-      .withColumn("dist", col("_best.dist"))
-      .drop("_best")
+    val centBytes =
+      centRows.length.toLong * centRows.head._2.length.toLong * 8L
+    val assigned =
+      if (centBytes <= maxPlanBytes) {
+        val best = graft.functions.VectorKernels.nearestCell(
+          quantize(col(vecCol)), centRows.map(_._1), centRows.map(_._2))
+        // NULL-embedding rows keep the legacy crossJoin+window labeling —
+        // lowest centroid id, NULL dist (the kernel itself already maps
+        // degenerate non-null vectors there; a bare NULL input nulls the
+        // whole struct, which an inner join would silently drop)
+        df.withColumn("_best", best)
+          .withColumn("centroid_id",
+            coalesce(col("_best.centroid_id"), lit(centRows.head._1))
+              .cast(cidType))
+          .withColumn("dist", col("_best.dist"))
+          .drop("_best")
+      } else {
+        // cutover: broadcast-join argmin over the SAME collected rows.
+        // min(struct(dist, cid)) replays the kernel's tie rule (strict <
+        // over ascending ids == lexicographic (dist, cid) min) and its
+        // degenerate rule (all-NULL dists sort first → lowest cid, NULL
+        // dist). Requires idCol unique, like the pre-kernel window form;
+        // AssignStrategySpec pins both strategies equal.
+        val centArg = broadcast(centRows.toDF("_cid", "_cent"))
+        val best = df.select(col(idCol), quantize(col(vecCol)).as("_qv"))
+          .crossJoin(centArg)
+          .groupBy(idCol)
+          .agg(min(struct(sqDistQ(col("_qv"), col("_cent")).as("dist"),
+            col("_cid").as("centroid_id"))).as("_best"))
+          .select(col(idCol),
+            col("_best.centroid_id").cast(cidType).as("centroid_id"),
+            col("_best.dist").as("dist"))
+        df.join(best, Seq(idCol))
+      }
+    assigned
       .join(centLocal, Seq("centroid_id"))
       .select(df.columns.map(col) ++
         Seq(col("centroid_id"), col("centroid"), col("dist")): _*)
@@ -554,14 +597,34 @@ object VectorOps {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"), quantize(col(vecCol)).as("qq"))
-    // probe list: nProbe nearest centroids per query (tiny cross join)
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist"), col("centroid_id"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("cdist", sqDistQ(col("qq"), col("centroid")))
-      .withColumn("prank", row_number().over(probeW))
-      .filter(col("prank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+    // probe list: nProbe nearest centroids per query. r21: the centroid
+    // table is control-plane data (k·d longs — the assignCentroids
+    // argument), so probe selection folds into one codegen'd top-N kernel
+    // per query row; the former crossJoin(|Q|·nlist rows) + row_number
+    // window paid the vector tier's last Exchange+sort. Identical probe
+    // sets: the kernel's (dist asc, id asc) strict ordering is the
+    // window's (cdist, centroid_id) rule, degenerate/NULL embeddings fall
+    // back to the first nProbe ids exactly as the nulls-first window
+    // ranking did (pinned by VectorKernelSpec).
+    val centRows = cents
+      .select(col("centroid_id").cast("long"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.longValue()).toSeq))
+      .sortBy(_._1).toSeq
+    val cidType = cents.schema("centroid_id").dataType
+    if (centRows.isEmpty)
+      // empty centroid table: the old crossJoin produced zero probe rows
+      return q.select(col("query_id"), lit(0).as("rank"),
+        col("query_id").as("neighbor_id"), lit(0d).as("cos"))
+        .filter(lit(false))
+    val fallback = array(centRows.map(_._1).take(nProbe).map(lit(_)): _*)
+    val probeCells = graft.functions.VectorKernels.nearestCells(
+      col("qq"), centRows.map(_._1), centRows.map(_._2), nProbe)
+    val probes = q
+      .withColumn("_pc", when(col("qq").isNull, fallback).otherwise(probeCells))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("_pc")).as("_cid"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("_cid").cast(cidType).as("centroid_id"))
     val c = corpusAssigned.select(col("centroid_id"),
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
     val w = Window.partitionBy(col("query_id"))

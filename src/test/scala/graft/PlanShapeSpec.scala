@@ -51,29 +51,38 @@ class PlanShapeSpec extends SparkSpec {
   test("q101: tf-idf joins its small doc-frequency tables by broadcast only") {
     val p = planOf("q101_tfidf")
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
-    assert(shuffles(p) == 4, s"got ${shuffles(p)} shuffles; plan:\n$p")
+    // r21: 3 shuffles — the DF-table agg pair and the per-doc score agg;
+    // the former 4th (the corpus-count 1-row frame's agg feeding a per-row
+    // cross join) is now a driver-collected literal and idf_q16 rides the
+    // broadcast DF table precomputed
+    assert(shuffles(p) == 3, s"got ${shuffles(p)} shuffles; plan:\n$p")
   }
 
   test("q93: LM perplexity keeps every gram table broadcast-joined") {
     val p = planOf("q93_lm_perplexity")
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
-    assert(shuffles(p) == 6, s"got ${shuffles(p)} shuffles; plan:\n$p")
+    // r21: 4 shuffles (uni agg, bi agg, per-doc agg, report agg) — the
+    // vocab-count 1-row frame's agg + per-row cross join are gone (the
+    // scalar folds as a literal; l2q16 terms ride the broadcast tables)
+    assert(shuffles(p) == 4, s"got ${shuffles(p)} shuffles; plan:\n$p")
   }
 
   test("q85: IVF centroids broadcast to the probe side; top-k limits map-side") {
     val p = planOf("q85_ivf_search")
-    assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
-    // r20: the corpus-side centroid ASSIGNMENT is now the NearestCell
-    // kernel (a projection — no join, no window); the remaining windows
-    // are the per-query probe ranking and the in-cell top-k, each with
-    // partial+final WindowGroupLimit. A regression back to the
-    // crossJoin+window assignment re-adds a corpus-scale window (6 here)
-    // and fails loud.
-    assert(count(p, "WindowGroupLimit") == 4, s"plan:\n$p")
-    assert(p.contains("nearestcellkernel") || p.contains("NearestCellKernel")
-        || p.toLowerCase.contains("nearestcell"),
+    // r20: the corpus-side centroid ASSIGNMENT is the NearestCell kernel
+    // (a projection — no join, no window). r21: the per-query PROBE
+    // selection is the NearestCells top-N kernel — the former
+    // crossJoin(queries × cells) (a BroadcastNestedLoopJoin) + row_number
+    // window pair is gone, leaving only the in-cell top-k window with its
+    // partial+final WindowGroupLimit. A regression back re-adds the
+    // nested-loop join or more window group-limits and fails loud.
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    assert(count(p, "WindowGroupLimit") == 2, s"plan:\n$p")
+    assert(p.toLowerCase.contains("nearestcell"),
       s"kernel assignment missing from plan:\n$p")
+    assert(p.toLowerCase.contains("nearestcells"),
+      s"probe-cells kernel missing from plan:\n$p")
   }
 
   test("q156: HLL runs ONE explode into one gram shuffle; branches read the cache") {
@@ -152,11 +161,13 @@ class PlanShapeSpec extends SparkSpec {
   test("q178: KN scoring keeps all four model tables broadcast-joined") {
     val p = planOf("q178_kneser_ney")
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
-    // ten exchanges, ALL on the bounded held-slice model side (bi/ctx/
-    // cont agg pairs + the two scalar aggs) plus the final per-doc agg;
-    // the corpus gram stream itself never exchanges — a regression that
-    // shuffle-joins a model table adds a SortMergeJoin and fails above
-    assert(distinctShuffles(p) == 10, s"got ${distinctShuffles(p)}; plan:\n$p")
+    // r21: six exchanges, ALL on the bounded held-slice model side
+    // (bi/ctx/cont agg pairs) plus the final per-doc agg; the two scalar
+    // aggs behind B+U are driver-collected before planning and the
+    // per-gram cross join is gone. The corpus gram stream itself never
+    // exchanges — a regression that shuffle-joins a model table adds a
+    // SortMergeJoin and fails above
+    assert(distinctShuffles(p) == 6, s"got ${distinctShuffles(p)}; plan:\n$p")
   }
 
   test("q179: c-tf-idf scores from the CACHED counts table, broadcast f-join") {
